@@ -1,0 +1,83 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical vector-record data model.
+  *
+  * The reference engine holds a single collection of float32 vectors with a
+  * string id and dynamic metadata (vervectordb/__init__.py:221-245). Here the
+  * canonical shape is a DataFrame:
+  *
+  *   (id LONG, vector ARRAY<DOUBLE>, category STRING, status STRING)
+  *
+  * Ids are deterministic (derived from row keys) instead of the reference's
+  * uuid4 (vervectordb/__init__.py:251) so results are reproducible and
+  * oracle-comparable. The test vectors are derived with pure arithmetic from
+  * `lineitem` columns so a DuckDB oracle recomputes bit-identical inputs
+  * (FIXTURES.md §A). At production scale the same schema holds real
+  * embeddings (see the `embeddings` table: vec_id, embedding ARRAY<FLOAT>).
+  */
+object VectorModel {
+
+  /** Dimensionality of the lineitem-derived test vectors. */
+  val Dim = 8
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  /** Deterministic vector view over lineitem. Every component is pure
+    * double arithmetic over stored columns — identically recomputable in
+    * DuckDB SQL ([[OracleSql.vectorCte]]). The id is a bijective packing of
+    * (orderkey, linenumber, partkey, suppkey, quantity) — verified unique at
+    * every scale factor. */
+  def lineitemVectors(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir).select(
+      (((col("l_orderkey") * 8 + col("l_linenumber")) * 32768 + col("l_partkey")) * 131072
+        + col("l_suppkey") * 64 + col("l_quantity").cast("long")).as("id"),
+      array(
+        col("l_quantity").cast("double"),
+        col("l_extendedprice") / 1000.0,
+        col("l_discount") * 10.0,
+        col("l_tax") * 10.0,
+        (col("l_partkey") % 97).cast("double") / 97.0,
+        (col("l_suppkey") % 89).cast("double") / 89.0,
+        (col("l_orderkey") % 83).cast("double") / 83.0,
+        col("l_linenumber").cast("double")
+      ).as("vector"),
+      col("l_returnflag").as("category"),
+      col("l_linestatus").as("status"))
+
+  /** Fixed flagship query vector (all components dyadic rationals, so the
+    * SQL literal text parses to the identical double in any engine). */
+  val Query: Seq[Double] = Seq(25.0, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 3.0)
+
+  /** A small deterministic set of query vectors derived from `part`
+    * (the multi-query/batch-search input, SURVEY.md S4). */
+  def partQueries(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .where(col("p_partkey") <= 5)
+      .select(
+        col("p_partkey").as("query_id"),
+        array(
+          col("p_size").cast("double"),
+          col("p_retailprice") / 100.0,
+          (col("p_partkey") % 97).cast("double") / 97.0,
+          (col("p_partkey") % 89).cast("double") / 89.0,
+          (col("p_partkey") % 83).cast("double") / 83.0,
+          lit(1.0), lit(2.0), lit(3.0)
+        ).as("qvec"))
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Embedding dimensionality of the `embeddings` test table. */
+  val EmbDim = 64
+
+  /** Fixed 64-d query vector for ANN over `embeddings`; deterministic
+    * closed-form components. */
+  val AnnQuery: Seq[Double] = (0 until EmbDim).map(i => ((i * 37 + 11) % 101) / 101.0)
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.search.VectorSearch
+import graft.store.VectorStore
+import OracleSql.{lit => dlit, _}
+
+/** Exact, deterministic vector-engine queries (reference S1/S4/S5/S6,
+  * W1/W3/W4) with their DuckDB oracle SQL. Every query orders its output
+  * totally so the oracle comparison is row-order stable. */
+object VectorQueries {
+
+  private def v(i: Int) = s"v$i"
+  private def av(i: Int) = s"a.v$i"
+  private def bv(i: Int) = s"b.v$i"
+  private def qv(i: Int) = s"q$i"
+
+  /** S1: exact brute-force top-10 by cosine vs the flagship query vector. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.bruteForceTopK(VectorModel.lineitemVectors(spark, dir), VectorModel.Query, 10)
+      .select("id", "sim")
+
+  val bruteTopKSql: String =
+    s"""WITH $vectorCte
+       |SELECT id, round(${cosineConst(v, VectorModel.Query)}, 6) AS sim
+       |FROM v ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+
+  /** S5: metadata-filtered exact top-10 (filter-first — exact, strictly
+    * better than the reference's overfetch, SURVEY.md §2 note). */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.bruteForceTopK(
+      VectorModel.lineitemVectors(spark, dir), VectorModel.Query, 10,
+      filter = Some(col("category") === "R" && col("status") === "F"))
+      .select("id", "sim")
+
+  val filteredTopKSql: String =
+    s"""WITH $vectorCte
+       |SELECT id, round(${cosineConst(v, VectorModel.Query)}, 6) AS sim
+       |FROM v WHERE category = 'R' AND status = 'F'
+       |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+
+  /** S4: batch multi-query search — top-3 per part-derived query vector. */
+  def batchTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.batchTopK(
+      VectorModel.lineitemVectors(spark, dir),
+      VectorModel.partQueries(spark, dir),
+      VectorModel.Dim, 3)
+      .orderBy("query_id", "rn")
+
+  val batchTopKSql: String =
+    s"""WITH $vectorCte, $partQueryCte
+       |SELECT query_id, id, round(sim_raw, 6) AS sim, rn FROM (
+       |  SELECT q.query_id, a.id,
+       |    ${cosineCols(i => s"a.v$i", i => s"q.q$i", VectorModel.Dim)} AS sim_raw,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${cosineCols(i => s"a.v$i", i => s"q.q$i", VectorModel.Dim)} DESC, a.id ASC) AS rn
+       |  FROM v a CROSS JOIN q)
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
+  /** S6: point lookup of the minimum-id record, full record flat. (A
+    * literal-id lookup is exercised in ScalaTest; the minimum id keeps this
+    * deterministic at every scale factor, since the SFs share no rows.) */
+  def getById(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.lineitemVectors(spark, dir)
+      .orderBy(col("id").asc)
+      .limit(1)
+      .select(
+        Seq(col("id")) ++
+          (0 until VectorModel.Dim).map(i => element_at(col("vector"), i + 1).as(s"v$i")) ++
+          Seq(col("category"), col("status")): _*)
+
+  val getByIdSql: String =
+    s"""WITH $vectorCte
+       |SELECT id, ${(0 until VectorModel.Dim).map(i => s"v$i").mkString(", ")}, category, status
+       |FROM v ORDER BY id ASC LIMIT 1""".stripMargin
+
+  /** W1/W2: insert one literal row, then aggregate per category — proves
+    * union/append semantics deterministically. */
+  def insertAgg(spark: SparkSession, dir: String): DataFrame = {
+    val data = VectorModel.lineitemVectors(spark, dir)
+    val newRow = spark.range(1).select(
+      lit(1L).as("id"),
+      array((0 until VectorModel.Dim).map(i => lit(i + 1.0)): _*).as("vector"),
+      lit("Z").as("category"),
+      lit("Z").as("status"))
+    VectorStore.insert(data, newRow, VectorModel.Dim)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("vector"), 1)).cast("long").as("sum_v0"))
+      .orderBy("category")
+  }
+
+  val insertAggSql: String =
+    s"""WITH $vectorCte,
+       |u AS (SELECT id, v0, category FROM v
+       |      UNION ALL SELECT 1, CAST('1.0' AS DOUBLE), 'Z')
+       |SELECT category, count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
+       |FROM u GROUP BY category ORDER BY category""".stripMargin
+
+  /** W4: delete rows with category 'N', then aggregate — proves the rewrite
+    * removed exactly the matching rows. */
+  def deleteAgg(spark: SparkSession, dir: String): DataFrame =
+    VectorStore.delete(VectorModel.lineitemVectors(spark, dir), col("category") === "N")
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("vector"), 1)).cast("long").as("sum_v0"))
+      .orderBy("category")
+
+  val deleteAggSql: String =
+    s"""WITH $vectorCte
+       |SELECT category, count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
+       |FROM v WHERE NOT (category = 'N') GROUP BY category ORDER BY category""".stripMargin
+
+  /** W3: update metadata (category := 'X' where status = 'O'), aggregate. */
+  def updateAgg(spark: SparkSession, dir: String): DataFrame =
+    VectorStore.update(
+      VectorModel.lineitemVectors(spark, dir),
+      col("status") === "O",
+      Map("category" -> lit("X")))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("vector"), 1)).cast("long").as("sum_v0"))
+      .orderBy("category")
+
+  val updateAggSql: String =
+    s"""WITH $vectorCte
+       |SELECT CASE WHEN status = 'O' THEN 'X' ELSE category END AS category,
+       |  count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
+       |FROM v GROUP BY 1 ORDER BY category""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vq_brute_topk" -> (bruteTopK _),
+    "vq_filtered_topk" -> (filteredTopK _),
+    "vq_batch_topk" -> (batchTopK _),
+    "vq_get_by_id" -> (getById _),
+    "vq_insert_agg" -> (insertAgg _),
+    "vq_delete_agg" -> (deleteAgg _),
+    "vq_update_agg" -> (updateAgg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "vq_brute_topk" -> bruteTopKSql,
+    "vq_filtered_topk" -> filteredTopKSql,
+    "vq_batch_topk" -> batchTopKSql,
+    "vq_get_by_id" -> getByIdSql,
+    "vq_insert_agg" -> insertAggSql,
+    "vq_delete_agg" -> deleteAggSql,
+    "vq_update_agg" -> updateAggSql)
+}

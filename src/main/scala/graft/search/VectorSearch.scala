@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Exact search operators (reference S1/S4/S5/S6, SURVEY.md §2.1).
+  *
+  * Spark-first design notes:
+  *  - Top-k = `orderBy(...).limit(k)` → Catalyst plans `TakeOrderedAndProject`
+  *    (bounded per-partition heap + driver merge — no full sort, no shuffle).
+  *  - Filters are plain `Column` predicates applied *before* the ranking, so
+  *    Catalyst pushes them into the Parquet scan. This is deliberately exact,
+  *    unlike the reference's overfetch-then-filter (`top_k*3`,
+  *    vervectordb/__init__.py:345,386,470) which can drop matches — see
+  *    SURVEY.md §2 "overfetch semantics note".
+  *  - All similarity math expands to codegen'd built-in expressions.
+  */
+object VectorSearch {
+
+  /** S1 `brute_force_search` (vervectordb/__init__.py:337-365): exact top-k
+    * by cosine similarity vs a constant query vector. Deterministic
+    * tie-break by id. */
+  def bruteForceTopK(
+      data: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      filter: Option[Column] = None,
+      vecCol: String = "vector",
+      idCol: String = "id"): DataFrame = {
+    val base = filter.foldLeft(data)((d, f) => d.where(f))
+    base
+      .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** S4 `batch_search` (vervectordb/__init__.py:517-536): top-k per query.
+    * The query set is small → broadcast cross join (no shuffle of the data
+    * side for the join itself); ranking is a window top-k per query_id.
+    * Unlike the reference, queries run in one distributed job rather than a
+    * serial per-query loop. */
+  def batchTopK(
+      data: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      vecCol: String = "vector",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    val joined = data.crossJoin(broadcast(queries))
+      .withColumn("sim_raw", VectorFunctions.cosineCols(col(vecCol), col(queryVecCol), dim))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_raw").desc, col(idCol).asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("sim_raw"), 6).as("sim"), col("rn"))
+  }
+
+  /** S5 `filtered_search` keyword predicate (vervectordb/__init__.py:538-554):
+    * case-insensitive substring match, OR across keywords. Returns a Column
+    * usable as the `filter` of any search operator. */
+  def keywordPredicate(textCol: Column, keywords: Seq[String]): Column =
+    keywords.map(kw => lower(textCol).contains(kw.toLowerCase)).reduceLeft(_ || _)
+
+  /** S6 `get_by_id` (vervectordb/__init__.py:301-309): point lookup. Absence
+    * handling (reference raises KeyError) is the caller's concern — an empty
+    * DataFrame is returned. */
+  def getById(data: DataFrame, id: Long, idCol: String = "id"): DataFrame =
+    data.where(col(idCol) === id)
+}

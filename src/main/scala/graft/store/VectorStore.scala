@@ -1,0 +1,56 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (reference W1–W4, W10–W11; SURVEY.md §2.2).
+  *
+  * DataFrames are immutable, so the reference's in-place mutations become
+  * copy-on-write transformations; persistence is versioned-snapshot Parquet.
+  * Unlike the reference — whose `update`/`delete` leave HNSW/IVF state stale
+  * (a wrong-results bug for IVF row indices, vervectordb/__init__.py:311-335)
+  * — derived index columns here are recomputed from the data they describe,
+  * so staleness cannot occur by construction.
+  *
+  * At cluster scale the rewrite pattern is: partition the table (by cluster
+  * id / bucket), rewrite only affected partitions with dynamic partition
+  * overwrite, and let AQE coalesce small outputs.
+  */
+object VectorStore {
+
+  /** W1/W2 `insert`/`batch_insert` (vervectordb/__init__.py:247-299).
+    * Single-row insert is the degenerate batch. Enforces the reference's
+    * dimension check (`:243-245`) — rows with the wrong vector length are
+    * rejected with an error. */
+  def insert(data: DataFrame, rows: DataFrame, dim: Int, vecCol: String = "vector"): DataFrame = {
+    val checked = rows.withColumn(
+      vecCol,
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"vector dimension mismatch: expected $dim, got "),
+          size(col(vecCol)).cast("string")))))
+    data.unionByName(checked)
+  }
+
+  /** W3 `update` (vervectordb/__init__.py:311-322): replace vector and/or
+    * metadata columns for rows matching `pred`. */
+  def update(data: DataFrame, pred: Column, assignments: Map[String, Column]): DataFrame =
+    assignments.foldLeft(data) { case (df, (name, value)) =>
+      df.withColumn(name, when(pred, value).otherwise(col(name)))
+    }
+
+  /** W4 `delete` (vervectordb/__init__.py:324-335). */
+  def delete(data: DataFrame, pred: Column): DataFrame =
+    data.where(!pred)
+
+  /** W10 `save` (vervectordb/__init__.py:556-573): data → Parquet; small
+    * model state (centroids, codebooks) is the caller's sidecar. */
+  def save(data: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = data.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** W11 `load` (vervectordb/__init__.py:575-594). */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
