@@ -40,6 +40,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
             failures += 1
             continue
+        dt_mism = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in exp.columns
+                   if got[c].dtype != exp[c].dtype]
+        if dt_mism:
+            print(f"FAIL {name}: dtype mismatches (spark, oracle): {dt_mism}")
+            failures += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             failures += 1

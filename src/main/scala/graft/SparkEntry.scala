@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.VectorModel
-import graft.queries.VectorQueries
+import graft.queries.{AnalyticsQueries, AnnQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
 import graft.search.VectorSearch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,10 +23,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.queries
+    VectorQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      AnnQueries.queries ++ AnalyticsQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    VectorQueries.oracleSql
+    VectorQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      AnnQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

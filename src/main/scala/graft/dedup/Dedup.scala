@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * All hashing is derived from md5 so the DuckDB oracle recomputes identical
+  * signatures; everything is expression-level (codegen'd, no UDFs).
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup is one hash-shuffle on a 16-byte key — the cheapest path;
+  *    run it first to shrink the input to the fuzzy stages.
+  *  - Shingle-join candidate generation is quadratic per shingle bucket; at
+  *    scale cap the document frequency of join shingles (hot-shingle skew)
+  *    and/or go through MinHash bands (constant fan-out per doc) as done in
+  *    [[lshCandidatePairs]]. Band join keys are md5 strings — uniformly
+  *    distributed, no skew salting needed.
+  *  - SimHash pair generation here is a blocked self-join; at scale, block
+  *    on bit-bands of the fingerprint (pigeonhole: hamming ≤ k ⇒ some
+  *    band of 60/(k+1) bits matches exactly) instead of the cross join.
+  */
+object Dedup {
+
+  /** Word k-shingles (distinct) of a whitespace-tokenized text column.
+    * Requires ≥ k tokens (callers filter shorter docs in both engines). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exact-duplicate groups by content hash: one row per distinct content,
+    * keeper = min id. A single hash-shuffle; the canonical first pass. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Candidate pairs sharing at least one shingle, with exact Jaccard
+    * similarity over distinct shingle sets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
+    val sizes = sh.select(col("doc"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc"), explode(col("sh")).as("sg"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("n", "na"), "da")
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("n", "nb"), "db")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 60-bit hash of a string via md5 (mirrored by the oracle as
+    * ('0x' || substr(md5(s),1,15))::BIGINT). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature columns h0..h{n-1}: per-doc min of seed-prefixed
+    * shingle hashes. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, k: Int = 3): DataFrame = {
+    val ex = df
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
+    val hashCols = (0 until numHashes).map(j =>
+      min(hash60(concat(lit(s"$j:"), col("sg")))).as(s"h$j"))
+    ex.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band (band hash = md5 of the
+    * band's signature slice), with estimated Jaccard = matching-hash
+    * fraction of the two signatures. */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rpb = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
+    }
+    val bl = sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cand = bl.as("a").join(bl.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      .distinct()
+    val est = (0 until numHashes)
+      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .reduceLeft[Column](_ + _)
+      .cast("double") / lit(numHashes.toDouble)
+    cand.join(sig.as("a"), col("da") === col("a.doc"))
+      .join(sig.as("b"), col("db") === col("b.doc"))
+      .select(col("da"), col("db"), round(est, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash over distinct shingles: bit b is the sign of the sum of
+    * ±1 votes from each shingle's hash bit b. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      bits: Int = 60): DataFrame = {
+    val ex = df
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
+      .select(col("doc"), hash60(col("sg")).as("hw"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(shiftright(col("hw"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val votes = ex.groupBy("doc").agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("doc"),
+      (0 until bits).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduceLeft[Column](_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame =
+    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a.doc").as("da"), col("b.doc").as("db"), col("hamming"))
+
+  /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
+    * cluster/label id — at scale, an LSH or IVF bucket). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, dim: Int, threshold: Double): DataFrame =
+    df.as("a").join(df.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim_raw",
+        VectorFunctions.cosineCols(col(s"a.$vecCol"), col(s"b.$vecCol"), dim))
+      .where(col("sim_raw") >= threshold)
+      .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"),
+        col(s"a.$blockCol").as("block"), round(col("sim_raw"), 6).as("sim"))
+}

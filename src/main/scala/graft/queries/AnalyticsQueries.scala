@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics queries (aggregation / join / window) over the
+  * TPC-H-ish tables, with DuckDB mirrors.
+  *
+  * Determinism notes: money sums go through a cents-as-BIGINT cast so the
+  * sum is exact integer arithmetic (order-independent); `round()` on a
+  * positive double is half-away-from-zero in both engines.
+  */
+object AnalyticsQueries {
+
+  /** Pricing-summary aggregation (TPC-H Q1 shape): map-side partial
+    * aggregation + one shuffle on the tiny group key. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100.0).cast("long")).as("sum_price_cents"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue top-20 (TPC-H Q3 shape): broadcast the small dimension side,
+    * aggregate revenue in exact cents, top-k via TakeOrderedAndProject. */
+  def q3JoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val q3JoinTopKSql: String =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(round(l_extendedprice*(CAST('1.0' AS DOUBLE)-l_discount)*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  /** Top-3 events per user by value (window ranking over the events
+    * stream table). */
+  def eventsWindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+      .orderBy("user_id", "rn")
+  }
+
+  val eventsWindowTopKSql: String =
+    """SELECT user_id, event_id, value, rn FROM (
+      |  SELECT user_id, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** Per-type event rate stats over hourly buckets — the batch shape of the
+    * streaming windowed aggregation in graft.streaming. `ts` arrives as
+    * nanos-since-epoch LONG (nanosAsLong), so the hour bucket is exact
+    * integer division in both engines. */
+  def eventsHourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"),
+        (expr("ts div 3600000000000") * 3600).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100.0).cast("long")).as("sum_value_cents"))
+      .orderBy("event_type", "hour_epoch")
+
+  val eventsHourlyAggSql: String =
+    """SELECT event_type,
+      |  (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_epoch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopK _),
+    "ev_window_topk" -> (eventsWindowTopK _),
+    "ev_hourly_agg" -> (eventsHourlyAgg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopKSql,
+    "ev_window_topk" -> eventsWindowTopKSql,
+    "ev_hourly_agg" -> eventsHourlyAggSql)
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.search.VectorSearch
+
+/** Similarity-search queries over the `embeddings` table. The exact
+  * brute-force scan is the oracle-backed baseline; IVF/HNSW approximate
+  * variants live in graft.index and are recall-gated in ScalaTest. */
+object AnnQueries {
+
+  /** Exact cosine top-20 over embeddings vs the fixed 64-d query. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.bruteForceTopK(
+      VectorModel.embeddings(spark, dir), VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim")
+
+  val bruteTopKSql: String = {
+    val sim = OracleSql.cosineConst(OracleSql.listElem("embedding"), VectorModel.AnnQuery)
+    s"""SELECT vec_id, round($sim, 6) AS sim
+       |FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** S5 keyword-filtered ANN: filter documents by keyword (case-insensitive
+    * substring, OR semantics — vervectordb/__init__.py:540-544), join to
+    * their embeddings, exact top-10. Filter-first: the predicate and column
+    * pruning reach the scans before the similarity ranking. */
+  def keywordAnn(spark: SparkSession, dir: String): DataFrame = {
+    val keywords = Seq("window", "stream")
+    val docs = VectorModel.documents(spark, dir)
+      .where(VectorSearch.keywordPredicate(col("text"), keywords))
+      .select(col("doc_id"))
+    val joined = VectorModel.embeddings(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+    VectorSearch.bruteForceTopK(joined, VectorModel.AnnQuery, 10,
+      vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim")
+  }
+
+  val keywordAnnSql: String = {
+    val sim = OracleSql.cosineConst(OracleSql.listElem("embedding"), VectorModel.AnnQuery)
+    s"""SELECT vec_id, round($sim, 6) AS sim
+       |FROM embeddings JOIN (
+       |  SELECT doc_id FROM documents
+       |  WHERE contains(lower(text), 'window') OR contains(lower(text), 'stream')
+       |) d ON vec_id = d.doc_id
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute_topk" -> (bruteTopK _),
+    "ann_keyword_topk" -> (keywordAnn _))
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_brute_topk" -> bruteTopKSql,
+    "ann_keyword_topk" -> keywordAnnSql)
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.model.VectorModel
+
+/** Deduplication queries over `documents`/`embeddings` with DuckDB mirrors.
+  * All five dedup families (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding cosine) are deterministic, so each gets a full value-level
+  * oracle — including the LSH ones, thanks to md5-derived hashing. */
+object DedupQueries {
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val ShingleK = 3
+
+  /** Shared DuckDB CTE: distinct 3-word shingles per doc. */
+  private val shingleCte =
+    s"""sgl AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks)-1)])) AS sg
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $ShingleK)""".stripMargin
+
+  /** Exact dedup: one row per distinct content. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(VectorModel.documents(spark, dir), "doc_id", "text")
+      .orderBy("keeper")
+
+  val exactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs (threshold 0.5). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(VectorModel.documents(spark, dir), "doc_id", "text",
+      ShingleK, 0.5)
+      .orderBy("da", "db")
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |pairs AS (
+       |  SELECT a.doc_id da, b.doc_id db, count(*) inter
+       |  FROM sgl a JOIN sgl b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) n FROM sgl GROUP BY doc_id)
+       |SELECT da, db, round(CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM pairs JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |ORDER BY da, db""".stripMargin
+
+  /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(VectorModel.documents(spark, dir),
+      "doc_id", "text", NumHashes, ShingleK)
+    Dedup.lshCandidatePairs(sig, NumHashes, Bands, 0.5).orderBy("da", "db")
+  }
+
+  val minhashLshSql: String = {
+    val rpb = NumHashes / Bands
+    val mins = (0 until NumHashes)
+      .map(j => s"min(('0x'||substr(md5('$j:'||sg),1,15))::BIGINT) AS h$j")
+      .mkString(", ")
+    val bandCols = (0 until Bands).map { b =>
+      "md5(" + (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
+        .mkString("||','||") + s") AS band$b"
+    }.mkString(", ")
+    val matches = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sgl GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandCols FROM sig),
+       |bl AS (SELECT doc_id, b, bh FROM bands
+       |       UNPIVOT (bh FOR b IN (${(0 until Bands).map("band" + _).mkString(", ")}))),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |         FROM bl a JOIN bl b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT cand.da, cand.db,
+       |  round(CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
+       |FROM cand JOIN sig a ON cand.da = a.doc_id JOIN sig b ON cand.db = b.doc_id
+       |WHERE CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** SimHash near-dup pairs at hamming ≤ 12 over 60-bit fingerprints. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash(VectorModel.documents(spark, dir), "doc_id", "text", ShingleK)
+    Dedup.simhashPairs(sh, 12).orderBy("da", "db")
+  }
+
+  val simhashPairsSql: String = {
+    val sums = (0 until 60)
+      .map(b => s"sum(CASE WHEN (hw >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val combine = (0 until 60)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,
+       |h AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT AS hw FROM sgl),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $combine AS simhash FROM bits)
+       |SELECT a.doc_id da, b.doc_id db, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label, threshold 0.4. */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(VectorModel.embeddings(spark, dir),
+      "vec_id", "embedding", "label", VectorModel.EmbDim, 0.4)
+      .orderBy("da", "db")
+
+  val embeddingCosineSql: String = {
+    val sim = OracleSql.cosineCols(
+      OracleSql.listElem("a.embedding"), OracleSql.listElem("b.embedding"),
+      VectorModel.EmbDim)
+    s"""SELECT a.vec_id da, b.vec_id db, a.label AS block, round($sim, 6) AS sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $sim >= CAST('0.4' AS DOUBLE)
+       |ORDER BY da, db""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (exact _),
+    "dd_ngram_jaccard" -> (ngramJaccard _),
+    "dd_minhash_lsh" -> (minhashLsh _),
+    "dd_simhash" -> (simhashPairs _),
+    "dd_embedding_cosine" -> (embeddingCosine _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" -> exactSql,
+    "dd_ngram_jaccard" -> ngramJaccardSql,
+    "dd_minhash_lsh" -> minhashLshSql,
+    "dd_simhash" -> simhashPairsSql,
+    "dd_embedding_cosine" -> embeddingCosineSql)
+}

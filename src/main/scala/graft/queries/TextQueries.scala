@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.text.TextAnalysis
+
+/** Text-analysis queries over the `documents` table with DuckDB mirrors. */
+object TextQueries {
+
+  /** Token statistics: whitespace tokens, lexer tokens, char count. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.lexTokenCount(col("text")).cast("long").as("n_lex_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.LexPattern}')) AS n_lex_tokens,
+       |  length(text) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def duckMarkerCount(markers: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  /** Quality scoring: stopword ratio, mean token length, composite score. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val stopRatio = s"CAST(${duckMarkerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
+    val avgLen = s"CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / $nTok"
+    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    s"""SELECT doc_id,
+       |  round($stopRatio, 6) AS stop_ratio,
+       |  round($avgLen, 6) AS avg_token_len,
+       |  round((CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprints: exact md5 + order-insensitive sorted-token md5. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.sortedTokenFingerprint(col("text")).as("sorted_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, md5(text) AS fp,
+      |  md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS sorted_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic vs the table's lang label, plus marker score. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      col("lang").as("lang_label"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      lang -> duckMarkerCount(markers)
+    }
+    val allZero = scores.map { case (_, s) => s"$s = 0" }.mkString(" AND ")
+    val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      rest match {
+        case Seq() => s"ELSE '$lang'"
+        case Seq(only) => s"WHEN $s >= $only THEN '$lang'"
+        case many => s"WHEN $s >= greatest(${many.mkString(", ")}) THEN '$lang'"
+      }
+    }
+    s"""SELECT doc_id,
+       |  CASE WHEN $allZero THEN 'und'
+       |       ${chain.init.mkString(" ")}
+       |       ${chain.last} END AS lang_pred,
+       |  lang AS lang_label
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_stats" -> (tokenStats _),
+    "tx_quality" -> (quality _),
+    "tx_fingerprints" -> (fingerprints _),
+    "tx_langid" -> (langId _))
+
+  val oracleSql: Map[String, String] = Map(
+    "tx_token_stats" -> tokenStatsSql,
+    "tx_quality" -> qualitySql,
+    "tx_fingerprints" -> fingerprintsSql,
+    "tx_langid" -> langIdSql)
+}

@@ -55,7 +55,7 @@ object VectorSearch {
       .withColumn("sim_raw", VectorFunctions.cosineCols(col(vecCol), col(queryVecCol), dim))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_raw").desc, col(idCol).asc)
     joined
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), round(col("sim_raw"), 6).as("sim"), col("rn"))
   }

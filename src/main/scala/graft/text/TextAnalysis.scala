@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All operators are pure column expressions (codegen'd, no UDFs) and have
+  * exact DuckDB mirrors in [[graft.queries.TextQueries]]. This is the text
+  * pipeline the reference evidences but never shipped (jieba/GTE deps with
+  * no importing code — SURVEY.md "Reference size & layout" note).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Spark `split` keeps trailing empties (limit -1),
+    * matching DuckDB `string_split`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish lexer token count: alpha runs, digit runs, or single
+    * non-alphanumeric marks. */
+  val LexPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LexPattern), lit(0)))
+
+  /** Count of tokens belonging to a fixed marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column =
+    markerCount(text, Stopwords).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length implied by chars/tokens (single-space tokenization):
+    * (n_chars - (n_tokens - 1)) / n_tokens. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: favors mid-length docs with a sane
+    * stopword rate. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column = {
+    val lenFactor = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    (lit(1.0) - stopwordRatio(text)) * lenFactor
+  }
+
+  /** Language-ID marker sets (tiny stopword profiles). With no marker hits
+    * the verdict is "und". Deterministic tie-break: en > de > es > fr > zh. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "dans"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** Predicted language: argmax of marker counts with the fixed tie-break
+    * order above; "und" when every count is zero. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, markers) => lang -> markerCount(text, markers) }
+    val allZero = scores.map(_._2 === 0).reduceLeft(_ && _)
+    val cases = scores.zipWithIndex.foldRight(lit("und")) { case (((lang, score), i), els) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val isMax = rest match {
+        case Seq() => lit(true)
+        case Seq(only) => score >= only
+        case many => score >= greatest(many: _*)
+      }
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    when(allZero, lit("und")).otherwise(cases)
+  }
+
+  /** Exact content fingerprint (md5 of raw text). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Order-insensitive bag-of-words fingerprint: md5 over the sorted token
+    * list — catches shuffled near-identical docs. */
+  def sortedTokenFingerprint(text: Column): Column =
+    md5(array_join(array_sort(split(lower(text), " ")), " "))
+}
