@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.VectorModel
-import graft.queries.{AnalyticsQueries, AnnQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, AnnQueries, ApproxQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
 import graft.search.VectorSearch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      AnnQueries.queries ++ AnalyticsQueries.queries ++ MultimodalQueries.queries
+      AnnQueries.queries ++ AnalyticsQueries.queries ++ MultimodalQueries.queries ++
+      ApproxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */

@@ -1,0 +1,55 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed HNSW: W5 `build_hnsw_index` + S2 `hnsw_search`
+  * (vervectordb/__init__.py:367-409), Spark-first.
+  *
+  * A single global HNSW graph does not distribute (construction is
+  * sequential), so the Spark design is one local graph per partition built
+  * inside `mapPartitions`, searched in parallel, with a global
+  * top-k merge — one narrow job, no shuffle after the deterministic
+  * repartition. Recall is gated against the exact operator in ScalaTest
+  * (SURVEY.md §5), the reference's own methodology
+  * (examples/datawhale.py:142-148).
+  *
+  * Determinism: rows are hash-repartitioned by id and sorted within each
+  * partition, and each partition's RNG is seeded by its partition id, so
+  * graph construction — and therefore results — are reproducible.
+  *
+  * At cluster scale: partition count ≈ executors; each builds an
+  * in-memory graph of its shard (the graph is ~n·M·levels edges). For a
+  * persisted variant, serialize per-partition graphs as a sidecar and
+  * map-side join them back; rebuild cost here is the build-per-query shape
+  * of the reference's own `build_hnsw_index` full rebuild (`:367-377`).
+  */
+object Hnsw {
+
+  /** Approximate top-k over `df` (idCol LONG, vecCol ARRAY<DOUBLE>). */
+  def hnswTopK(df: DataFrame, query: Seq[Double], k: Int,
+      m: Int = 32, efConstruction: Int = 200, efSearch: Int = 200,
+      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id")
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = query.toArray
+    val prepared = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(numPartitions, col(idCol))
+      .sortWithinPartitions(idCol)
+    val perPartition = prepared
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val index = new HnswIndex(m, efConstruction, seed = 42L + TaskContext.getPartitionId())
+        rows.foreach { case (id, vec) => index.insert(id, vec) }
+        index.search(q, k, efSearch).iterator
+      }
+      .toDF(idCol, "sim")
+    perPartition
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.pq
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization: W7 `train_pq` / W8 `compress` / W9 `decompress`
+  * and the PQCompressor internals (vervectordb/__init__.py:152-218,
+  * 489-515).
+  *
+  * Mirrors the reference semantics: dim must divide into m subspaces
+  * (`:163-164`); per-subspace k-means with 2^nBits centroids; encode =
+  * nearest centroid per subspace by **L2** distance (`:198-199`); codes are
+  * storage-only (no ADC search — SURVEY.md §2.4 note). Training samples are
+  * capped at 10 000 rows (`:493-497`) so the fit is driver-local — at 100 TB
+  * the sample is still 10k rows; only encode/decode run distributed, with
+  * the codebooks broadcast (m·256·subDim doubles ≈ KBs).
+  *
+  * Determinism: seeded Fisher–Yates sample positions + Lloyd iterations
+  * with a fixed order — same inputs → same codebooks on any cluster.
+  */
+final class ProductQuantizer(val dim: Int, val m: Int = 8, val nBits: Int = 8)
+    extends Serializable {
+  require(dim % m == 0, s"dim $dim not divisible by m $m") // reference :163-164
+  val subDim: Int = dim / m
+  val k: Int = 1 << nBits
+
+  /** codebooks(s)(c) = centroid c of subspace s. */
+  var codebooks: Array[Array[Array[Double]]] = _
+
+  private def l2sq(a: Array[Double], aOff: Int, b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(aOff + i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Lloyd k-means on one subspace slice; seeded init by sampling distinct
+    * starting points, empty clusters keep their previous centroid. */
+  private def fitSubspace(samples: Array[Array[Double]], sub: Int, seed: Long)
+      : Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    val n = samples.length
+    val off = sub * subDim
+    val centroids = Array.ofDim[Double](k, subDim)
+    val perm = Array.tabulate(n)(identity)
+    for (i <- n - 1 to 1 by -1) { val j = rng.nextInt(i + 1); val t = perm(i); perm(i) = perm(j); perm(j) = t }
+    for (c <- 0 until k) {
+      val src = samples(perm(c % n))
+      System.arraycopy(src, off, centroids(c), 0, subDim)
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    var changed = true
+    while (iter < 20 && changed) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = l2sq(samples(i), off, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, subDim)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < subDim) { sums(c)(j) += samples(i)(off + j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < subDim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** P1 fit: independent k-means per subspace (reference `:161-180`). */
+  def fit(samples: Array[Array[Double]], seed: Long = 42L): this.type = {
+    codebooks = Array.tabulate(m)(s => fitSubspace(samples, s, seed + s))
+    this
+  }
+
+  /** P2 encode one vector → m byte codes (nearest centroid per subspace,
+    * L2 — reference `:182-201`). */
+  def encode(vec: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = l2sq(vec, s * subDim, codebooks(s)(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** P3 decode codes → reconstructed vector (reference `:203-218`). */
+  def decode(codes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](dim)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(codebooks(s)(codes(s) & 0xff), 0, out, s * subDim, subDim)
+      s += 1
+    }
+    out
+  }
+}
+
+object ProductQuantizer {
+
+  /** W7 `train_pq`: fit on a deterministic ≤10k-row sample (reference
+    * `:489-501`; np.random.choice becomes an id-ordered take — documented
+    * deviation, deterministic at any scale). */
+  def train(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      m: Int = 8, nBits: Int = 8, sampleSize: Int = 10000): ProductQuantizer = {
+    val samples = df
+      .orderBy(col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    new ProductQuantizer(dim, m, nBits).fit(samples)
+  }
+
+  /** W8 `compress`: add a `pq_code ARRAY<TINYINT>` column (broadcast
+    * codebooks inside the closure; ~KBs). */
+  def encodeDf(df: DataFrame, pq: ProductQuantizer, vecCol: String): DataFrame = {
+    val enc = udf((v: Seq[Double]) => pq.encode(v.toArray))
+    df.withColumn("pq_code", enc(col(vecCol).cast("array<double>")))
+  }
+
+  /** W9 `decompress`: reconstruct `vector_approx` from codes (stored as
+    * BINARY — m bytes per row, the 32–64× compressed form). */
+  def decodeDf(df: DataFrame, pq: ProductQuantizer): DataFrame = {
+    val dec = udf((c: Array[Byte]) => pq.decode(c))
+    df.withColumn("vector_approx", dec(col("pq_code")))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Hnsw, Ivf}
+import graft.model.VectorModel
+import graft.pq.ProductQuantizer
+
+/** Approximate operators (S2 HNSW, S3 IVF, W5–W9 PQ). Deliberately NOT in
+  * oracleSql — k-means/graph internals aren't SQL-expressible; the driver
+  * records rows-only checks and ScalaTest gates recall/reconstruction
+  * against the exact operators (SURVEY.md §5, the reference's own
+  * methodology in examples/datawhale.py:142-207). Outputs are still
+  * deterministic (seeded). */
+object ApproxQueries {
+
+  /** S3 over lineitem-derived vectors: KMeans(16, seed 42) + 8-probe search. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, dir))
+    Ivf.search(assigned, model, VectorModel.Query, 10)
+      .select("id", "sim", "cluster_id")
+  }
+
+  /** S3 over the embeddings table. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, model) = Ivf.fit(
+      VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),
+      vecCol = "embedding")
+    Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim", "cluster_id")
+  }
+
+  /** S2 over lineitem-derived vectors (per-partition graphs, global merge). */
+  def hnswTopK(spark: SparkSession, dir: String): DataFrame =
+    Hnsw.hnswTopK(VectorModel.lineitemVectors(spark, dir), VectorModel.Query, 10)
+
+  /** W7–W9 roundtrip over embeddings: per-row mean-abs reconstruction error
+    * (the reference's PQ quality metric, examples/datawhale.py:52-61). */
+  def pqRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+    val pq = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
+    val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
+    val decoded = ProductQuantizer.decodeDf(encoded, pq)
+    decoded.select(
+      col("vec_id"),
+      round(
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("vector_approx"),
+            (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => acc + x) / VectorModel.EmbDim.toDouble,
+        6).as("mae"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vq_ivf_topk" -> (ivfTopK _),
+    "vq_hnsw_topk" -> (hnswTopK _),
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "pq_roundtrip" -> (pqRoundtrip _))
+}

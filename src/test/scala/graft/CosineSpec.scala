@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.model.VectorModel
+
+/** Cosine-similarity properties (reference semantics,
+  * vervectordb/__init__.py:31-36) + equivalence of the expanded and
+  * higher-order-function formulations. */
+class CosineSpec extends SparkSpec {
+
+  test("expanded and HOF cosine agree bitwise on real vectors") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001).limit(500)
+    val q = VectorModel.Query
+    val both = df.select(
+      VectorFunctions.cosineConst(col("vector"), q).as("expanded"),
+      VectorFunctions.cosineHof(col("vector"),
+        array(q.map(lit): _*)).as("hof"))
+    val mismatches = both.where(col("expanded") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("cosine is bounded in [-1, 1]") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001)
+    val out = df.select(VectorFunctions.cosineConst(col("vector"), VectorModel.Query).as("s"))
+      .agg(min("s").as("mn"), max("s").as("mx")).collect()(0)
+    assert(out.getDouble(0) >= -1.0 - 1e-12 && out.getDouble(1) <= 1.0 + 1e-12)
+  }
+
+  test("zero-norm vector yields similarity 0.0") {
+    val df = spark.range(1).select(
+      array(Seq.fill(8)(lit(0.0)): _*).as("vector"))
+    val s = df.select(VectorFunctions.cosineConst(col("vector"), VectorModel.Query).as("s"))
+      .collect()(0).getDouble(0)
+    assert(s === 0.0)
+  }
+
+  test("zero-norm query yields similarity 0.0 (cols variant)") {
+    val df = spark.range(1).select(
+      array((1 to 8).map(i => lit(i.toDouble)): _*).as("a"),
+      array(Seq.fill(8)(lit(0.0)): _*).as("b"))
+    val s = df.select(VectorFunctions.cosineCols(col("a"), col("b"), 8).as("s"))
+      .collect()(0).getDouble(0)
+    assert(s === 0.0)
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001).limit(100)
+    val bad = df.select(VectorFunctions.cosineCols(col("vector"), col("vector"), 8).as("s"))
+      .where(abs(col("s") - 1.0) > 1e-9).count()
+    assert(bad === 0)
+  }
+}

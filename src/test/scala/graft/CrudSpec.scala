@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.store.VectorStore
+
+/** CRUD invariants (W1–W4, W10–W11; reference vervectordb/__init__.py:
+  * 243-335, 556-594). */
+class CrudSpec extends SparkSpec {
+
+  lazy val data = VectorModel.lineitemVectors(spark, Sf0001).cache()
+
+  private def newRow(id: Long, d: Int) = {
+    spark.range(1).select(
+      lit(id).as("id"),
+      array((0 until d).map(i => lit(i + 1.0)): _*).as("vector"),
+      lit("Z").as("category"), lit("Z").as("status"))
+  }
+
+  test("insert appends exactly one row and it is retrievable") {
+    val n0 = data.count()
+    val out = VectorStore.insert(data, newRow(-42L, 8), VectorModel.Dim)
+    assert(out.count() === n0 + 1)
+    assert(out.where(col("id") === -42L).count() === 1)
+  }
+
+  test("insert rejects wrong-dimension vectors (reference :243-245)") {
+    val bad = VectorStore.insert(data, newRow(-43L, 5), VectorModel.Dim)
+    val e = intercept[Exception] { bad.where(col("id") === -43L).collect() }
+    assert(e.getMessage.toLowerCase.contains("dimension mismatch"))
+  }
+
+  test("delete removes exactly the matching rows; ids stay unique") {
+    val n0 = data.count()
+    val nR = data.where(col("category") === "R").count()
+    val out = VectorStore.delete(data, col("category") === "R")
+    assert(out.count() === n0 - nR)
+    assert(out.where(col("category") === "R").count() === 0)
+    assert(out.select("id").distinct().count() === out.count())
+  }
+
+  test("update replaces values without changing count") {
+    val n0 = data.count()
+    val out = VectorStore.update(data, col("status") === "O",
+      Map("category" -> lit("X")))
+    assert(out.count() === n0)
+    assert(out.where(col("status") === "O" && col("category") =!= "X").count() === 0)
+    assert(out.where(col("status") =!= "O" && col("category") === "X").count() === 0)
+  }
+
+  test("save/load roundtrip preserves content (W10/W11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val subset = data.limit(100)
+    VectorStore.save(subset, s"$dir/t")
+    val back = VectorStore.load(spark, s"$dir/t")
+    assert(back.count() === 100)
+    assert(back.columns.sorted.toSeq === subset.columns.sorted.toSeq)
+    val origSum = subset.agg(sum("id")).collect()(0).getLong(0)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === origSum)
+  }
+}

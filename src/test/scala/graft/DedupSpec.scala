@@ -1,0 +1,55 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.model.VectorModel
+
+/** Dedup family cross-consistency: the approximate families must recover
+  * the exact n-gram Jaccard near-dup pairs. */
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = VectorModel.documents(spark, Sf0001).cache()
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs = pairSet(
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+
+  test("planted near-duplicates exist in the corpus") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash-LSH recovers all high-Jaccard pairs (recall 1.0 expected at j>=0.5)") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val lsh = pairSet(Dedup.lshCandidatePairs(sig, threshold = 0.5))
+    val recall = exactPairs.intersect(lsh).size.toDouble / exactPairs.size
+    info(s"minhash recall of jaccard>=0.5 pairs: $recall")
+    assert(recall >= 0.9)
+  }
+
+  test("SimHash hamming<=12 recovers high-Jaccard pairs") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = pairSet(Dedup.simhashPairs(sh, 12))
+    val recall = exactPairs.intersect(pairs).size.toDouble / exactPairs.size
+    info(s"simhash recall: $recall")
+    assert(recall >= 0.9)
+  }
+
+  test("exact groups: group count equals distinct contents; sizes sum to n") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").cache()
+    val n = docs.count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(groups.count() === distinctTexts)
+    val total = groups.agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .collect()(0).getLong(0)
+    assert(total === n)
+  }
+
+  test("embedding near-dup pairs all meet the threshold and block equality") {
+    val emb = VectorModel.embeddings(spark, Sf0001)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label",
+      VectorModel.EmbDim, 0.3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("sim") >= 0.3))
+  }
+}

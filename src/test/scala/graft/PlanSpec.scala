@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.Ivf
+import graft.model.VectorModel
+import graft.queries.AnalyticsQueries
+import graft.search.VectorSearch
+
+/** Physical-plan assertions — the 100 TB design invariants: top-k must not
+  * global-sort, filters must reach the scan, small dims must broadcast,
+  * cluster probes must prune partitions, scans must prune columns. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // other suites may have cached identical logical plans in this shared
+    // session; clear so the physical plan shows the real parquet scan
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("brute-force top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(VectorSearch.bruteForceTopK(
+      VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), "top-k must not global-sort")
+  }
+
+  test("metadata filter is pushed down to the parquet scan") {
+    val df = VectorSearch.bruteForceTopK(
+      VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10,
+      Some(col("category") === "R"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+      || p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+  }
+
+  test("scan prunes to only the referenced columns") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001).select("id", "category")
+    val p = plan(df)
+    assert(!p.contains("l_shipdate"), "unused column must not be read:\n" + p.take(2000))
+  }
+
+  test("q3 join broadcasts the filtered customer dimension") {
+    val p = plan(AnalyticsQueries.q3JoinTopK(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("IVF probe over the clustered layout prunes partitions at the source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, Sf0001))
+    Ivf.saveClustered(assigned, s"$dir/t")
+    val reread = spark.read.parquet(s"$dir/t")
+    val probes = model.probeClusters(VectorModel.Query, 8)
+    val probed = reread.where(col("cluster_id").isin(probes: _*))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster_id"),
+      "probe filter must prune cluster partitions:\n" + scan.take(2000))
+    // pruned scan must read fewer files than the full table has partitions
+    val totalClusters = assigned.select("cluster_id").distinct().count()
+    assert(probes.size < totalClusters)
+  }
+
+  test("whole-stage codegen covers the similarity expression") {
+    val df = VectorSearch.bruteForceTopK(
+      VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)
+    // '*(n)' prefixes mark operators fused into a WholeStageCodegen stage
+    val p = plan(df)
+    assert(p.contains("*(1) Project") || p.contains("*(1) ColumnarToRow"), p.take(2000))
+  }
+}

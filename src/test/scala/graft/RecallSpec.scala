@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.harness.Recall
+import graft.index.{Hnsw, Ivf}
+import graft.model.VectorModel
+import graft.search.VectorSearch
+
+/** Recall gates for the approximate operators vs the exact oracle — the
+  * reference's own methodology (examples/datawhale.py:142-207). */
+class RecallSpec extends SparkSpec {
+
+  lazy val lineVecs = VectorModel.lineitemVectors(spark, Sf0001).cache()
+  lazy val embeddings = VectorModel.embeddings(spark, Sf0001)
+    .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+
+  test("IVF recall@10 on lineitem vectors >= 0.6") {
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
+    val (assigned, model) = Ivf.fit(lineVecs)
+    val approx = Ivf.search(assigned, model, VectorModel.Query, 10)
+    val r = Recall.recallAtK(exact, approx, "id")
+    info(s"IVF recall@10 = $r")
+    assert(r >= 0.6)
+  }
+
+  // On near-uniform random embeddings, probing 8/16 clusters bounds recall
+  // near the scanned fraction (~0.5); the gate checks clustering does not
+  // hurt. Structured data (lineitem test above) clears 0.6.
+  test("IVF recall@20 on embeddings >= 0.45") {
+    val exact = VectorSearch.bruteForceTopK(embeddings, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding")
+    val approx = Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val r = Recall.recallAtK(exact, approx, "vec_id")
+    info(s"IVF embeddings recall@20 = $r")
+    assert(r >= 0.45)
+  }
+
+  test("HNSW recall@10 on lineitem vectors >= 0.8") {
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
+    val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10, numPartitions = 8)
+    val r = Recall.recallAtK(exact, approx, "id")
+    info(s"HNSW recall@10 = $r")
+    assert(r >= 0.8)
+  }
+
+  test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
+    val queries = (0 until 5).map { s =>
+      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+    }
+    val pairs = queries.map { q =>
+      (VectorSearch.bruteForceTopK(embeddings, q, 10, vecCol = "embedding", idCol = "vec_id"),
+        Hnsw.hnswTopK(embeddings, q, 10, numPartitions = 4,
+          vecCol = "embedding", idCol = "vec_id"))
+    }
+    val r = Recall.meanRecall(pairs, "vec_id")
+    info(s"HNSW mean recall@10 over ${queries.size} queries = $r")
+    assert(r >= 0.8)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+import graft.streaming.StreamingIngest
+
+/** Structured-streaming ingest: the streaming hourly aggregation must equal
+  * its batch twin, and foreachBatch append must land all rows. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsDir: String = {
+    // file-stream sources want a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("streaming hourly aggregation equals the batch aggregation") {
+    val dir = eventsDir
+    val agg = StreamingIngest.hourlyCounts(StreamingIngest.readEvents(spark, dir))
+    val q = StreamingIngest.runToMemorySink(agg, "hourly_test")
+    try {
+      val streamed = spark.sql(
+        "SELECT event_type, hour_epoch, n, sum_value_cents FROM hourly_test")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = AnalyticsQueries.eventsHourlyAgg(spark, Sf0001)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch append ingest lands every row") {
+    val dir = eventsDir
+    val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val q = StreamingIngest.ingestAppend(
+      StreamingIngest.readEvents(spark, dir),
+      s"$target/table", s"$target/ckpt")
+    q.awaitTermination(60000)
+    val n = spark.read.parquet(s"$target/table").count()
+    val expected = spark.read.parquet(s"$Sf0001/events.parquet").count()
+    assert(n === expected)
+  }
+}
