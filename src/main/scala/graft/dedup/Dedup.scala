@@ -67,15 +67,26 @@ object Dedup {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature columns h0..h{n-1}: per-doc min of seed-prefixed
-    * shingle hashes. */
+  /** Mersenne prime modulus for the minhash function family. */
+  val MinhashP: Long = (1L << 31) - 1
+
+  /** Deterministic coefficients for hash function j (values < 2^31 so
+    * (a * (h mod p)) stays within 63 bits). */
+  def minhashA(j: Int): Long = 2L * j + 3
+  def minhashB(j: Int): Long = 7L * j + 1
+
+  /** MinHash signature columns h0..h{n-1}: per-doc min over shingles of
+    * h_j(s) = (a_j * (md5_60(s) mod p) + b_j) mod p — one md5 per shingle,
+    * the rest integer arithmetic (universal-hash family, mirrored exactly
+    * by the oracle SQL). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, k: Int = 3): DataFrame = {
     val ex = df
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
+      .select(col("doc"), (hash60(col("sg")) % MinhashP).as("hm"))
     val hashCols = (0 until numHashes).map(j =>
-      min(hash60(concat(lit(s"$j:"), col("sg")))).as(s"h$j"))
+      min((lit(minhashA(j)) * col("hm") + minhashB(j)) % MinhashP).as(s"h$j"))
     ex.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
   }
 

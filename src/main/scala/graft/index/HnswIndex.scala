@@ -15,45 +15,118 @@ import scala.collection.mutable
   *  - greedy best-first beam `searchLayer` bounded by ef (`:38-76`)
   *  - neighbor selection = simple top-M by similarity, no diversity
   *    heuristic (`:78-89`)
-  *  - bidirectional linking on insert; reverse edges are appended without
-  *    pruning, so degree can exceed M (`:131-132`) — matches the reference
+  *  - bidirectional linking on insert; unlike the reference — which appends
+  *    reverse edges without pruning so degree grows unboundedly (`:131-132`),
+  *    an O(n·M) time/memory leak — reverse edges here are pruned to the
+  *    standard degree caps (2M at level 0, M above)
   *  - search implements the intended upper-level greedy descent (the
   *    reference's descent loop is dead code, `:141-144`; doing it properly
   *    only improves recall — SURVEY.md I6)
   *
-  * Deterministic given insert order and seed.
+  * Implementation is allocation-free in the hot path: nodes are dense int
+  * indices, adjacency is growable primitive int arrays, and the beam-search
+  * frontier/result sets are binary heaps over parallel (double, int) arrays
+  * — no boxing, no tuples. Deterministic given insert order and seed.
   */
-final class HnswIndex(m: Int = 32, efConstruction: Int = 200, seed: Long = 42L) {
+final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   val LevelCap = 5
   private val mL = 1.0 / math.log(2.0)
   private val rng = new java.util.Random(seed)
 
-  final class Node(val id: Long, val vector: Array[Double], val level: Int) {
-    /** neighbors(l) = ids linked at level l, 0 ≤ l ≤ level. */
-    val neighbors: Array[mutable.ArrayBuffer[Long]] =
-      Array.fill(level + 1)(mutable.ArrayBuffer.empty[Long])
-    val norm: Double = {
-      var s = 0.0; var i = 0
-      while (i < vector.length) { s += vector(i) * vector(i); i += 1 }
-      math.sqrt(s)
+  /** Growable primitive int list (adjacency rows). */
+  private final class IntVec(initCap: Int) {
+    var arr = new Array[Int](initCap)
+    var len = 0
+    def add(x: Int): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = x; len += 1
+    }
+    def setAll(src: Array[Int], n: Int): Unit = {
+      if (arr.length < n) arr = new Array[Int](n)
+      System.arraycopy(src, 0, arr, 0, n); len = n
     }
   }
 
-  private val nodes = mutable.LongMap.empty[Node]
-  private var entryPoint: Option[Node] = None
+  /** Binary heap over parallel (sim, node) arrays. `max=true` pops the
+    * highest sim first. */
+  private final class Heap(max: Boolean, initCap: Int) {
+    private val sign = if (max) -1.0 else 1.0 // store sign*sim; root is min
+    var sims = new Array[Double](initCap)
+    var ns = new Array[Int](initCap)
+    var size = 0
+    def clear(): Unit = size = 0
+    def headSim: Double = sign * sims(0)
+    def headNode: Int = ns(0)
+    def push(sim: Double, n: Int): Unit = {
+      if (size == sims.length) {
+        sims = java.util.Arrays.copyOf(sims, size * 2)
+        ns = java.util.Arrays.copyOf(ns, size * 2)
+      }
+      var i = size; size += 1
+      val s = sign * sim
+      while (i > 0 && sims((i - 1) / 2) > s) {
+        sims(i) = sims((i - 1) / 2); ns(i) = ns((i - 1) / 2); i = (i - 1) / 2
+      }
+      sims(i) = s; ns(i) = n
+    }
+    def pop(): Unit = {
+      size -= 1
+      val s = sims(size); val n = ns(size)
+      var i = 0
+      var c = 1
+      while (c < size) {
+        if (c + 1 < size && sims(c + 1) < sims(c)) c += 1
+        if (sims(c) >= s) c = size
+        else { sims(i) = sims(c); ns(i) = ns(c); i = c; c = 2 * i + 1 }
+      }
+      sims(i) = s; ns(i) = n
+    }
+  }
+
+  // node storage: dense int indices
+  private var cap = 1024
+  private var vecs = new Array[Array[Double]](cap)
+  private var norms = new Array[Double](cap)
+  private var extIds = new Array[Long](cap)
+  private var nodeLevels = new Array[Int](cap)
+  /** adj(node)(level) — present for level <= nodeLevels(node). */
+  private var adj = new Array[Array[IntVec]](cap)
+  private var n = 0
+  private val idToIdx = mutable.LongMap.empty[Int]
+  private var entry = -1
   private var maxLevel = 0
 
-  def size: Int = nodes.size
+  // scratch buffers reused across searchLayer calls (single-threaded use)
+  private var visitedStamp = new Array[Int](cap)
+  private var stamp = 0
+  private val candHeap = new Heap(max = true, 256)
+  private val resultHeap = new Heap(max = false, 256)
+  private val scratchSims = new Array[Double](4096)
+  private val scratchIdx = new Array[Int](4096)
+
+  def size: Int = n
+
+  private def grow(): Unit = {
+    cap *= 2
+    vecs = java.util.Arrays.copyOf(vecs, cap)
+    norms = java.util.Arrays.copyOf(norms, cap)
+    extIds = java.util.Arrays.copyOf(extIds, cap)
+    nodeLevels = java.util.Arrays.copyOf(nodeLevels, cap)
+    adj = java.util.Arrays.copyOf(adj, cap)
+    visitedStamp = java.util.Arrays.copyOf(visitedStamp, cap)
+  }
 
   private def randomLevel(): Int =
     math.min(LevelCap, (-math.log(rng.nextDouble() max Double.MinPositiveValue) * mL).toInt)
 
-  private def sim(a: Node, q: Array[Double], qNorm: Double): Double = {
-    if (a.norm == 0.0 || qNorm == 0.0) return 0.0
+  private def simTo(node: Int, q: Array[Double], qNorm: Double): Double = {
+    val nn = norms(node)
+    if (nn == 0.0 || qNorm == 0.0) return 0.0
+    val v = vecs(node)
     var dot = 0.0; var i = 0
-    while (i < a.vector.length) { dot += a.vector(i) * q(i); i += 1 }
-    dot / (a.norm * qNorm)
+    while (i < v.length) { dot += v(i) * q(i); i += 1 }
+    dot / (nn * qNorm)
   }
 
   private def vecNorm(q: Array[Double]): Double = {
@@ -62,109 +135,151 @@ final class HnswIndex(m: Int = 32, efConstruction: Int = 200, seed: Long = 42L) 
     math.sqrt(s)
   }
 
-  /** Greedy best-first beam search at one level, result bounded by ef.
-    * Mirrors the reference's candidate max-heap / result min-heap loop with
-    * early exit when the best candidate cannot improve the worst result. */
-  private def searchLayer(q: Array[Double], qNorm: Double, entry: Node, ef: Int, level: Int)
-      : mutable.PriorityQueue[(Double, Long)] = {
-    val visited = mutable.LongMap.empty[Unit]
-    // candidates: best-first (max sim first); results: worst-first (min sim first)
-    val candidates = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(_._1))
-    val results = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by(t => -t._1))
-    val eSim = sim(entry, q, qNorm)
-    visited(entry.id) = ()
-    candidates.enqueue((eSim, entry.id))
-    results.enqueue((eSim, entry.id))
-    while (candidates.nonEmpty) {
-      val (cSim, cId) = candidates.dequeue()
-      val worst = results.head._1
-      if (cSim < worst && results.size >= ef) {
-        candidates.clear() // early exit: no candidate can improve results
-      } else {
-        val node = nodes(cId)
-        if (level <= node.level) {
-          node.neighbors(level).foreach { nId =>
-            if (!visited.contains(nId)) {
-              visited(nId) = ()
-              val n = nodes(nId)
-              val s = sim(n, q, qNorm)
-              if (results.size < ef || s > results.head._1) {
-                candidates.enqueue((s, nId))
-                results.enqueue((s, nId))
-                if (results.size > ef) results.dequeue()
-              }
+  /** Beam search at one level. On return, resultHeap holds ≤ ef entries
+    * (min-first). Overwrites both scratch heaps. */
+  private def searchLayer(q: Array[Double], qNorm: Double, entryNode: Int,
+      ef: Int, level: Int): Unit = {
+    stamp += 1
+    candHeap.clear(); resultHeap.clear()
+    val eSim = simTo(entryNode, q, qNorm)
+    visitedStamp(entryNode) = stamp
+    candHeap.push(eSim, entryNode)
+    resultHeap.push(eSim, entryNode)
+    while (candHeap.size > 0) {
+      val cSim = candHeap.headSim
+      val cNode = candHeap.headNode
+      candHeap.pop()
+      if (cSim < resultHeap.headSim && resultHeap.size >= ef) {
+        candHeap.clear() // no remaining candidate can improve the results
+      } else if (level <= nodeLevels(cNode)) {
+        val edges = adj(cNode)(level)
+        var i = 0
+        while (i < edges.len) {
+          val nb = edges.arr(i)
+          if (visitedStamp(nb) != stamp) {
+            visitedStamp(nb) = stamp
+            val s = simTo(nb, q, qNorm)
+            if (resultHeap.size < ef) {
+              candHeap.push(s, nb)
+              resultHeap.push(s, nb)
+            } else if (s > resultHeap.headSim) {
+              candHeap.push(s, nb)
+              resultHeap.push(s, nb)
+              resultHeap.pop()
             }
           }
+          i += 1
         }
       }
     }
-    results
   }
 
-  /** Simple top-M by similarity (no diversity heuristic — reference
-    * `select_neighbors`, `:78-89`). */
-  private def selectTop(cands: Iterable[(Double, Long)], max: Int): Seq[Long] =
-    cands.toSeq.sortBy(t => (-t._1, t._2)).take(max).map(_._2)
+  /** Drain resultHeap into scratch arrays sorted by (sim DESC, idx ASC);
+    * returns count. */
+  private def drainSorted(): Int = {
+    val cnt = resultHeap.size
+    var i = cnt - 1
+    while (i >= 0) {
+      scratchSims(i) = resultHeap.headSim
+      scratchIdx(i) = resultHeap.headNode
+      resultHeap.pop()
+      i -= 1
+    }
+    // ascending pops gave us sims ascending-reversed = descending; fix ties by idx
+    // (equal sims are adjacent; stable order by idx)
+    var j = 1
+    while (j < cnt) {
+      if (scratchSims(j - 1) == scratchSims(j) && scratchIdx(j - 1) > scratchIdx(j)) {
+        val t = scratchIdx(j - 1); scratchIdx(j - 1) = scratchIdx(j); scratchIdx(j) = t
+        if (j > 1) j -= 2
+      }
+      j += 1
+    }
+    cnt
+  }
+
+  /** Prune a node's adjacency at `level` to its `max` most similar edges. */
+  private def pruneEdges(node: Int, level: Int, max: Int): Unit = {
+    val edges = adj(node)(level)
+    if (edges.len <= max) return
+    val v = vecs(node); val nrm = norms(node)
+    // selection via bounded min-heap of size max
+    val h = new Heap(max = false, max + 1)
+    var i = 0
+    while (i < edges.len) {
+      val s = simTo(edges.arr(i), v, nrm)
+      if (h.size < max) h.push(s, edges.arr(i))
+      else if (s > h.headSim) { h.push(s, edges.arr(i)); h.pop() }
+      i += 1
+    }
+    val kept = new Array[Int](h.size)
+    var j = h.size - 1
+    while (j >= 0) { kept(j) = h.headNode; h.pop(); j -= 1 }
+    edges.setAll(kept, kept.length)
+  }
 
   /** Insert; duplicate id is a no-op (reference `:92-93`). */
   def insert(id: Long, vector: Array[Double]): Unit = {
-    if (nodes.contains(id)) return
+    if (idToIdx.contains(id)) return
+    if (n == cap) grow()
     val level = randomLevel()
-    val node = new Node(id, vector, level)
-    nodes(id) = node
-    entryPoint match {
-      case None =>
-        entryPoint = Some(node)
-        maxLevel = level
-      case Some(ep) =>
-        val qNorm = node.norm
-        var entry = ep
-        // greedy descent through levels above the new node's level
-        var l = maxLevel
-        while (l > level) {
-          val res = searchLayer(vector, qNorm, entry, 1, l)
-          if (res.nonEmpty) entry = nodes(res.maxBy(_._1)._2)
-          l -= 1
-        }
-        // connect at each level from min(level, maxLevel) down to 0
-        var lc = math.min(level, maxLevel)
-        while (lc >= 0) {
-          val cands = searchLayer(vector, qNorm, entry, efConstruction, lc)
-          val chosen = selectTop(cands, m)
-          node.neighbors(lc) ++= chosen
-          chosen.foreach { nId =>
-            // reverse edge appended without pruning (reference `:131-132`)
-            nodes(nId).neighbors(lc) += id
-          }
-          if (cands.nonEmpty) entry = nodes(cands.maxBy(_._1)._2)
-          lc -= 1
-        }
-        if (level > maxLevel) {
-          maxLevel = level
-          entryPoint = Some(node)
-        }
+    val node = n; n += 1
+    idToIdx(id) = node
+    vecs(node) = vector
+    norms(node) = vecNorm(vector)
+    extIds(node) = id
+    nodeLevels(node) = level
+    adj(node) = Array.fill(level + 1)(new IntVec(m + 1))
+    if (entry < 0) {
+      entry = node
+      maxLevel = level
+      return
+    }
+    val qNorm = norms(node)
+    var ep = entry
+    var l = maxLevel
+    while (l > level) {
+      searchLayer(vector, qNorm, ep, 1, l)
+      if (resultHeap.size > 0) ep = resultHeap.headNode
+      l -= 1
+    }
+    var lc = math.min(level, maxLevel)
+    while (lc >= 0) {
+      searchLayer(vector, qNorm, ep, efConstruction, lc)
+      val cnt = drainSorted()
+      val take = math.min(m, cnt)
+      val degreeCap = if (lc == 0) 2 * m else m
+      var i = 0
+      while (i < take) {
+        val nb = scratchIdx(i)
+        adj(node)(lc).add(nb)
+        adj(nb)(lc).add(node)
+        if (adj(nb)(lc).len > degreeCap) pruneEdges(nb, lc, degreeCap)
+        i += 1
+      }
+      if (cnt > 0) ep = scratchIdx(0)
+      lc -= 1
+    }
+    if (level > maxLevel) {
+      maxLevel = level
+      entry = node
     }
   }
 
   /** Top-k search: greedy descent from the entry point, then a level-0 beam
     * with ef = max(efSearch, 2k) (reference `:146`). */
-  def search(q: Array[Double], k: Int, efSearch: Int = 200): Seq[(Long, Double)] = {
-    entryPoint match {
-      case None => Seq.empty
-      case Some(ep) =>
-        val qNorm = vecNorm(q)
-        var entry = ep
-        var l = maxLevel
-        while (l > 0) {
-          val res = searchLayer(q, qNorm, entry, 1, l)
-          if (res.nonEmpty) entry = nodes(res.maxBy(_._1)._2)
-          l -= 1
-        }
-        val ef = math.max(efSearch, 2 * k)
-        searchLayer(q, qNorm, entry, ef, 0)
-          .toSeq.sortBy(t => (-t._1, t._2))
-          .take(k)
-          .map { case (s, id) => (id, s) }
+  def search(q: Array[Double], k: Int, efSearch: Int = 128): Seq[(Long, Double)] = {
+    if (entry < 0) return Seq.empty
+    val qNorm = vecNorm(q)
+    var ep = entry
+    var l = maxLevel
+    while (l > 0) {
+      searchLayer(q, qNorm, ep, 1, l)
+      if (resultHeap.size > 0) ep = resultHeap.headNode
+      l -= 1
     }
+    searchLayer(q, qNorm, ep, math.max(efSearch, 2 * k), 0)
+    val cnt = drainSorted()
+    (0 until math.min(k, cnt)).map(i => (extIds(scratchIdx(i)), scratchSims(i)))
   }
 }

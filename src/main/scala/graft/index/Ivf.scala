@@ -48,15 +48,29 @@ object Ivf {
   /** W6: fit k-means (MLlib, seeded) and return (data + cluster_id, model).
     * The input is repartitioned deterministically so the seeded k-means||
     * init sees a stable partitioning. */
-  def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L)
-      : (DataFrame, IvfModel) = {
+  /** Rows used to fit the centroids. 16 centroids converge on a bounded
+    * sample; at 100 TB a full-table k-means is neither feasible nor needed —
+    * fit on the sample, assign the full table in one distributed pass. */
+  val FitSampleRows = 100000
+
+  def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L,
+      maxIter: Int = 10, idCol: String = "id"): (DataFrame, IvfModel) = {
     val featurized = df.withColumn("features", array_to_vector(col(vecCol)))
-    val model = new KMeans()
-      .setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster_id")
-      .fit(featurized)
-    val assigned = model.transform(featurized).drop("features")
-    (assigned, IvfModel(model.clusterCenters.map(_.toArray)))
+    // deterministic hash-mod sample, one narrow pass (no shuffle, no sort)
+    val n = df.count()
+    val sampleMod = math.max(1L, n / FitSampleRows)
+    val sample = featurized
+      .where(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
+      .select("features")
+      .cache()
+    try {
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features").setPredictionCol("cluster_id")
+        .fit(sample)
+      val assigned = model.transform(featurized).drop("features")
+      (assigned, IvfModel(model.clusterCenters.map(_.toArray)))
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Persist the clustered table partitioned by cluster_id — the on-disk

@@ -86,9 +86,14 @@ final class ProductQuantizer(val dim: Int, val m: Int = 8, val nBits: Int = 8)
     centroids
   }
 
-  /** P1 fit: independent k-means per subspace (reference `:161-180`). */
+  /** P1 fit: independent k-means per subspace (reference `:161-180`) —
+    * embarrassingly parallel, each subspace seeded independently so the
+    * result is identical to a sequential fit. */
   def fit(samples: Array[Array[Double]], seed: Long = 42L): this.type = {
-    codebooks = Array.tabulate(m)(s => fitSubspace(samples, s, seed + s))
+    val out = new Array[Array[Array[Double]]](m)
+    java.util.stream.IntStream.range(0, m).parallel()
+      .forEach(s => out(s) = fitSubspace(samples, s, seed + s))
+    codebooks = out
     this
   }
 

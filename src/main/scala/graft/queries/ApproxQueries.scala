@@ -26,7 +26,7 @@ object ApproxQueries {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (assigned, model) = Ivf.fit(
       VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),
-      vecCol = "embedding")
+      vecCol = "embedding", idCol = "vec_id")
     Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim", "cluster_id")

@@ -60,8 +60,9 @@ object DedupQueries {
 
   val minhashLshSql: String = {
     val rpb = NumHashes / Bands
+    val p = Dedup.MinhashP
     val mins = (0 until NumHashes)
-      .map(j => s"min(('0x'||substr(md5('$j:'||sg),1,15))::BIGINT) AS h$j")
+      .map(j => s"min((${Dedup.minhashA(j)} * hm + ${Dedup.minhashB(j)}) % $p) AS h$j")
       .mkString(", ")
     val bandCols = (0 until Bands).map { b =>
       "md5(" + (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
@@ -70,7 +71,8 @@ object DedupQueries {
     val matches = (0 until NumHashes)
       .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $shingleCte,
-       |sig AS (SELECT doc_id, $mins FROM sgl GROUP BY doc_id),
+       |hm AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT % $p AS hm FROM sgl),
+       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
        |bands AS (SELECT doc_id, $bandCols FROM sig),
        |bl AS (SELECT doc_id, b, bh FROM bands
        |       UNPIVOT (bh FOR b IN (${(0 until Bands).map("band" + _).mkString(", ")}))),

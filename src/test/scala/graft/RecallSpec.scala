@@ -30,7 +30,7 @@ class RecallSpec extends SparkSpec {
   test("IVF recall@20 on embeddings >= 0.45") {
     val exact = VectorSearch.bruteForceTopK(embeddings, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
-    val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding")
+    val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
     val approx = Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
     val r = Recall.recallAtK(exact, approx, "vec_id")
