@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 otherwise rejects;
       // read as nanos-since-epoch LONG (queries bucket it integrally).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

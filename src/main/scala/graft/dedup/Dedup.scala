@@ -3,8 +3,6 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
-
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
@@ -146,7 +144,7 @@ object Dedup {
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("sim_raw",
-        VectorFunctions.cosineCols(col(s"a.$vecCol"), col(s"b.$vecCol"), dim))
+        graft.GraftExtensions.cosineSim(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .where(col("sim_raw") >= threshold)
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"),
         col(s"a.$blockCol").as("block"), round(col("sim_raw"), 6).as("sim"))

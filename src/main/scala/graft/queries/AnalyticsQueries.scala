@@ -101,15 +101,61 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_epoch""".stripMargin
 
+  /** Session gap: 1 hour in microseconds. Session time is µs in both
+    * engines — DuckDB truncates parquet TIMESTAMP(NANOS) to its µs
+    * TIMESTAMP, so Spark's nanos are floored to match (`ts div 1000`). */
+  val SessionGapUs: Long = 3600L * 1000000L
+
+  /** Gap-based sessionization per user (batch twin of the streaming
+    * stateful operator in graft.streaming): lag → session-start flags →
+    * running sum as session id → per-session aggregates. Two window passes
+    * over one shuffle-by-user partitioning. */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("prev_ts", lag("tsu", 1).over(byUser))
+      .withColumn("is_start",
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_start").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(tsu) - min(tsu)) div 1000").as("duration_ms"),
+        sum(round(col("value") * 100.0).cast("long")).as("sum_value_cents"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val eventsSessionsSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS is_start
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+       |s AS (
+       |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM x)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  (max(tsu) - min(tsu)) // 1000 AS duration_ms,
+       |  CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
+       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
     "ev_window_topk" -> (eventsWindowTopK _),
-    "ev_hourly_agg" -> (eventsHourlyAgg _))
+    "ev_hourly_agg" -> (eventsHourlyAgg _),
+    "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "ev_window_topk" -> eventsWindowTopKSql,
-    "ev_hourly_agg" -> eventsHourlyAggSql)
+    "ev_hourly_agg" -> eventsHourlyAggSql,
+    "ev_sessions" -> eventsSessionsSql)
 }

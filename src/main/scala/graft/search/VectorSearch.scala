@@ -52,7 +52,8 @@ object VectorSearch {
       queryIdCol: String = "query_id",
       queryVecCol: String = "qvec"): DataFrame = {
     val joined = data.crossJoin(broadcast(queries))
-      .withColumn("sim_raw", VectorFunctions.cosineCols(col(vecCol), col(queryVecCol), dim))
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("sim_raw").desc, col(idCol).asc)
     joined
       .withColumn("rn", row_number().over(w).cast("long"))

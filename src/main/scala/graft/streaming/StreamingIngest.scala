@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-streaming ingest — the streaming analog of the reference's
@@ -70,4 +70,50 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Per-user open-session state for [[sessionize]]. */
+  case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+
+  /** A closed session (gap exceeded). */
+  case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long,
+      duration_ms: Long, sum_value_cents: Long)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState — the
+    * custom-state streaming analog of AnalyticsQueries.eventsSessions
+    * (session time in µs, matching the batch twin). A session closes (and
+    * is emitted) when a later event proves a gap > gapUs; the open tail
+    * session per user stays in state across micro-batches and is never
+    * emitted (documented: equivalently, batch output minus each user's
+    * final session). Assumes cross-batch event-time monotonicity per user
+    * within gap tolerance — production would add a watermark +
+    * EventTimeTimeout to close idle sessions. */
+  def sessionize(events: DataFrame, gapUs: Long) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        def close(s: SessionState) =
+          SessionOut(user, s.start, s.n, (s.last - s.start) / 1000L, s.cents)
+        val out = scala.collection.mutable.Buffer.empty[SessionOut]
+        var cur = state.getOption
+        it.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, v) =>
+          val cents = math.round(v * 100.0)
+          cur match {
+            case Some(s) if ts - s.last <= gapUs =>
+              cur = Some(SessionState(s.start, math.max(s.last, ts), s.n + 1, s.cents + cents))
+            case Some(s) =>
+              out += close(s)
+              cur = Some(SessionState(ts, ts, 1, cents))
+            case None =>
+              cur = Some(SessionState(ts, ts, 1, cents))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+  }
 }

@@ -21,6 +21,23 @@ class CosineSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("fused cosine_sim expression agrees bitwise with the expanded form") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001)
+    val q = VectorModel.Query
+    val both = df.select(
+      VectorFunctions.cosineConst(col("vector"), q).as("expanded"),
+      graft.GraftExtensions.cosineSim(col("vector"), array(q.map(lit): _*)).as("fused"))
+    assert(both.where(col("expanded") =!= col("fused")).count() === 0)
+  }
+
+  test("cosine_sim is callable from SQL and zero-norm guarded") {
+    VectorModel.lineitemVectors(spark, Sf0001).limit(5).createOrReplaceTempView("cs_v")
+    val out = spark.sql(
+      "SELECT cosine_sim(vector, vector) AS s, cosine_sim(array(0.0D), array(0.0D)) AS z FROM cs_v")
+      .collect()
+    assert(out.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getDouble(1) === 0.0))
+  }
+
   test("cosine is bounded in [-1, 1]") {
     val df = VectorModel.lineitemVectors(spark, Sf0001)
     val out = df.select(VectorFunctions.cosineConst(col("vector"), VectorModel.Query).as("s"))

@@ -33,6 +33,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization carries state across micro-batches and matches the batch twin") {
+    import org.apache.spark.sql.functions._
+    // two time-ordered files => two micro-batches; per-user order preserved
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val all = spark.read.parquet(s"$Sf0001/events.parquet").orderBy("ts")
+    val n = all.count()
+    all.limit((n / 2).toInt).coalesce(1).write.parquet(s"$dir/in/b0")
+    all.orderBy(col("ts").desc).limit((n - n / 2).toInt)
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    val stream = spark.readStream.schema(StreamingIngest.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in")
+    val q = StreamingIngest
+      .sessionize(stream, graft.queries.AnalyticsQueries.SessionGapUs)
+      .writeStream.outputMode("append").format("memory").queryName("sess_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, duration_ms, sum_value_cents FROM sess_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      // batch twin minus each user's final (still-open) session
+      val batch = graft.queries.AnalyticsQueries.eventsSessions(spark, Sf0001)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val expected = batch
+        .withColumn("max_sid", max("session_id").over(w))
+        .where(col("session_id") =!= col("max_sid"))
+        .select("user_id", "n_events", "duration_ms", "sum_value_cents")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(streamed === expected)
+      assert(streamed.nonEmpty, "expected at least one closed session")
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
