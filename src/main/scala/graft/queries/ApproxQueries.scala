@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.index.{Hnsw, Ivf}
+import graft.index.{Hnsw, Ivf, LshAnn}
 import graft.model.VectorModel
 import graft.pq.ProductQuantizer
 
@@ -54,9 +54,20 @@ object ApproxQueries {
       .orderBy("vec_id")
   }
 
+  /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
+    val bucketed = LshAnn.withBuckets(
+      VectorModel.embeddings(spark, dir), "embedding", planes)
+    LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim", "lsh_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_lsh_topk" -> (annLshTopK _),
     "pq_roundtrip" -> (pqRoundtrip _))
 }

@@ -53,4 +53,17 @@ object VectorStore {
   /** W11 `load` (vervectordb/__init__.py:575-594). */
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed save: hash-bucket (and sort) the table by a join key so that
+    * subsequent joins/aggregations on that key run with NO shuffle — two
+    * tables bucketed the same way sort-merge-join exchange-free. At 100 TB
+    * this is the difference between a join that moves the whole table and
+    * one that moves nothing; asserted in PlanSpec. */
+  def saveBucketed(data: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int = 16): Unit =
+    data.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
 }

@@ -61,6 +61,19 @@ class PlanSpec extends SparkSpec {
     assert(probes.size < totalClusters)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    import graft.store.VectorStore
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    VectorStore.saveBucketed(vecs.select("id", "category"), "bt_left", "id")
+    VectorStore.saveBucketed(vecs.select("id", "status"), "bt_right", "id")
+    val joined = spark.table("bt_left").join(spark.table("bt_right"), "id")
+    val withoutBroadcast = joined.hint("merge")
+    withoutBroadcast.count()
+    val p = withoutBroadcast.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle:\n" + p.take(3000))
+  }
+
   test("whole-stage codegen covers the similarity expression") {
     val df = VectorSearch.bruteForceTopK(
       VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)

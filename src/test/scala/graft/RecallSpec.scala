@@ -38,6 +38,21 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.45)
   }
 
+  test("sign-LSH recall@20 on embeddings beats its scanned fraction") {
+    import graft.index.LshAnn
+    val exact = VectorSearch.bruteForceTopK(embeddings, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
+    val bucketed = LshAnn.withBuckets(embeddings, "embedding", planes)
+    val approx = LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val r = Recall.recallAtK(exact, approx, "vec_id")
+    info(s"LSH recall@20 = $r")
+    // probing 5/16 buckets scans ~31% of near-uniform data; LSH must beat
+    // that baseline to show the buckets correlate with cosine similarity
+    assert(r >= 0.35)
+  }
+
   test("HNSW recall@10 on lineitem vectors >= 0.8") {
     val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
     val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10, numPartitions = 8)
