@@ -1,0 +1,213 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.index.{Hnsw, Ivf}
+import graft.pq.ProductQuantizer
+import graft.search.VectorSearch
+import graft.store.VectorStore
+
+/** One-object facade with the reference `VerVectorDB` API surface
+  * (vervectordb/__init__.py:221-594): a user of the reference can switch to
+  * this class and run every operation they run today, executed Spark-first.
+  *
+  * State is a versioned immutable DataFrame
+  * (id LONG, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>) plus small
+  * driver-side models (IVF centroids, PQ codebooks). Mutations are
+  * copy-on-write; unlike the reference — whose delete leaves stale IVF row
+  * indices that silently return wrong rows (`:324-335`, SURVEY.md §2 W4) —
+  * any write invalidates the derived indexes here, forcing a rebuild.
+  *
+  * Ids are deterministic sequence numbers rather than uuid4 (`:251`) —
+  * reproducible and oracle-testable (SURVEY.md §7).
+  */
+final class VectorDb(val spark: SparkSession, val dim: Int) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  private var data: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], schema)
+  private var nextId: Long = 0L
+  private var ivf: Option[(DataFrame, Ivf.IvfModel)] = None
+  private var pq: Option[ProductQuantizer] = None
+
+  def count(): Long = data.count()
+  def toDf: DataFrame = data
+
+  private def checkDim(v: Seq[Double]): Unit =
+    require(v.length == dim,
+      s"vector dimension mismatch: expected $dim, got ${v.length}") // reference :243-245
+
+  private def invalidateIndexes(): Unit = { ivf = None } // W3/W4 semantics fix
+
+  /** W1 `insert` — returns the new id. */
+  def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
+    batchInsert(Seq((vector, metadata))).head
+
+  /** W2 `batch_insert`. */
+  def batchInsert(rows: Seq[(Seq[Double], Map[String, String])]): Seq[Long] = {
+    rows.foreach { case (v, _) => checkDim(v) }
+    val ids = rows.indices.map(nextId + _)
+    val newRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.zip(ids).map { case ((v, m), id) => Row(id, v, m) }),
+      schema)
+    data = VectorStore.insert(data, newRows, dim)
+    nextId += rows.length
+    invalidateIndexes()
+    ids
+  }
+
+  /** S6 `get_by_id`. */
+  def getById(id: Long): Option[(Seq[Double], Map[String, String])] =
+    VectorSearch.getById(data, id).collect().headOption.map { r =>
+      (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+    }
+
+  /** W3 `update` — vector and/or metadata; no-op on absent id (the
+    * reference raises; callers can check getById first). */
+  def update(id: Long, vector: Option[Seq[Double]] = None,
+      metadata: Option[Map[String, String]] = None): Unit = {
+    vector.foreach(checkDim)
+    val assignments =
+      vector.map(v => "vector" -> array(v.map(lit): _*).cast("array<double>")).toMap ++
+        metadata.map(m => "metadata" ->
+          map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*).cast("map<string,string>")).toMap
+    data = VectorStore.update(data, col("id") === id, assignments)
+    invalidateIndexes()
+  }
+
+  /** W4 `delete`. */
+  def delete(id: Long): Unit = {
+    data = VectorStore.delete(data, col("id") === id)
+    invalidateIndexes()
+  }
+
+  /** S1 `brute_force_search`: exact top-k (filter-first, SURVEY.md §2). */
+  def bruteForceSearch(query: Seq[Double], topK: Int = 5,
+      filter: Option[Column] = None): DataFrame = {
+    checkDim(query)
+    VectorSearch.bruteForceTopK(data, query, topK, filter)
+  }
+
+  /** W6 `build_ivf_index`. */
+  def buildIvfIndex(k: Int = 16, seed: Long = 42L): Unit =
+    ivf = Some(Ivf.fit(data, "vector", k, seed))
+
+  /** S3 `ivf_search`; requires buildIvfIndex (reference raises too, :428). */
+  def ivfSearch(query: Seq[Double], topK: Int = 5,
+      filter: Option[Column] = None): DataFrame = {
+    checkDim(query)
+    val (assigned, model) = ivf.getOrElse(
+      throw new IllegalStateException("IVF index not built"))
+    Ivf.search(assigned, model, query, topK, filter)
+  }
+
+  /** W5+S2 `build_hnsw_index`+`hnsw_search`: per-partition graphs built for
+    * the search pass (W5 full-rebuild semantics, `:367-377`). */
+  def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
+      numPartitions: Int = 8): DataFrame = {
+    checkDim(query)
+    Hnsw.hnswTopK(data, query, topK, efSearch = efSearch, numPartitions = numPartitions)
+  }
+
+  /** S5 `filtered_search`: keyword OR-substring over a metadata key, AND an
+    * optional metadata predicate (vervectordb/__init__.py:538-554). */
+  def filteredSearch(query: Seq[Double], topK: Int = 5,
+      keywords: Seq[String] = Nil, textKey: String = "text",
+      metadataFilter: Option[Column] = None, method: String = "brute_force"): DataFrame = {
+    val kwPred = if (keywords.isEmpty) None
+    else Some(VectorSearch.keywordPredicate(element_at(col("metadata"), textKey), keywords))
+    val pred = (kwPred, metadataFilter) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+    method match {
+      case "ivf" => ivfSearch(query, topK, pred)
+      case _ => bruteForceSearch(query, topK, pred)
+    }
+  }
+
+  /** S4 `batch_search`: one distributed job for the whole query set. */
+  def batchSearch(queries: Seq[Seq[Double]], topK: Int = 5): DataFrame = {
+    queries.foreach(checkDim)
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    VectorSearch.batchTopK(data, qdf, dim, topK)
+  }
+
+  /** W7 `train_pq`. */
+  def trainPq(m: Int = 8, nBits: Int = 8): Unit =
+    pq = Some(ProductQuantizer.train(data, "vector", "id", dim, m, nBits))
+
+  /** W8 `compress`: adds `pq_code` (BINARY, m bytes). */
+  def compress(): DataFrame = {
+    val q = pq.getOrElse(throw new IllegalStateException("PQ not trained"))
+    ProductQuantizer.encodeDf(data, q, "vector")
+  }
+
+  /** W9 `decompress`. */
+  def decompress(encoded: DataFrame): DataFrame = {
+    val q = pq.getOrElse(throw new IllegalStateException("PQ not trained"))
+    ProductQuantizer.decodeDf(encoded, q)
+  }
+
+  /** W10 `save`: data Parquet + small model sidecars (centroids, codebooks
+    * as tiny Parquet tables; next-id as a 1-row table). */
+  def save(path: String): Unit = {
+    VectorStore.save(data, s"$path/data")
+    spark.createDataFrame(Seq(Tuple1(nextId))).toDF("next_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    ivf.foreach { case (assigned, model) =>
+      Ivf.saveClustered(assigned, s"$path/ivf_data")
+      spark.createDataFrame(model.centroids.toSeq.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq)
+      }).toDF("cluster_id", "centroid")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids")
+    }
+    pq.foreach { q =>
+      val rows = for {
+        s <- 0 until q.m
+        c <- 0 until q.k
+      } yield (s, c, q.codebooks(s)(c).toSeq)
+      spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
+    }
+  }
+}
+
+object VectorDb {
+
+  /** W11 `load` (classmethod in the reference, `:575-594`). */
+  def load(spark: SparkSession, path: String, dim: Int): VectorDb = {
+    val db = new VectorDb(spark, dim)
+    db.data = VectorStore.load(spark, s"$path/data")
+    db.nextId = spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+    val fs = new java.io.File(s"$path/ivf_centroids")
+    if (fs.exists()) {
+      val centroids = spark.read.parquet(s"$path/ivf_centroids")
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      val assigned = spark.read.parquet(s"$path/ivf_data")
+      db.ivf = Some((assigned, Ivf.IvfModel(centroids)))
+    }
+    val pqf = new java.io.File(s"$path/pq_codebooks")
+    if (pqf.exists()) {
+      val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val q = new ProductQuantizer(dim, m)
+      q.codebooks = Array.tabulate(m) { s =>
+        rows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+      db.pq = Some(q)
+    }
+    db
+  }
+}

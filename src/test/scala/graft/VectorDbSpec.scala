@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.VectorDb
+
+/** End-to-end facade test mirroring the reference's demo flows
+  * (examples/datawhale.py:9-139): insert → search → filter → index →
+  * compress → persist → reload → same answers. */
+class VectorDbSpec extends SparkSpec {
+
+  private def freshDb(n: Int = 200, dim: Int = 8): VectorDb = {
+    val rng = new java.util.Random(11)
+    val db = new VectorDb(spark, dim)
+    val rows = (0 until n).map { i =>
+      val v = Seq.fill(dim)(rng.nextDouble() * 10)
+      val m = Map("text" -> s"document about ${if (i % 2 == 0) "science" else "art"} $i",
+        "category" -> (i % 3).toString)
+      (v, m)
+    }
+    db.batchInsert(rows)
+    db
+  }
+
+  test("insert returns sequential ids; count matches; getById round-trips") {
+    val db = freshDb(50)
+    assert(db.count() === 50)
+    val id = db.insert(Seq.fill(8)(1.0), Map("text" -> "solo"))
+    assert(id === 50L)
+    val got = db.getById(id)
+    assert(got.exists(_._2("text") == "solo"))
+    assert(db.getById(9999L).isEmpty)
+  }
+
+  test("dimension check rejects bad vectors (reference :243-245)") {
+    val db = freshDb(5)
+    intercept[IllegalArgumentException] { db.insert(Seq(1.0, 2.0)) }
+  }
+
+  test("brute force search returns top-k; filtered search respects predicates") {
+    val db = freshDb()
+    val q = Seq.fill(8)(5.0)
+    val res = db.bruteForceSearch(q, 10).collect()
+    assert(res.length === 10)
+    val filtered = db.filteredSearch(q, 10, keywords = Seq("SCIENCE")).collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_.getMap[String, String](2)("text").contains("science")))
+    val both = db.filteredSearch(q, 10, keywords = Seq("science"),
+      metadataFilter = Some(element_at(col("metadata"), "category") === "0")).collect()
+    assert(both.forall { r =>
+      val m = r.getMap[String, String](2)
+      m("text").contains("science") && m("category") == "0"
+    })
+  }
+
+  test("update and delete are copy-on-write and index-invalidating") {
+    val db = freshDb(30)
+    db.buildIvfIndex(k = 4)
+    db.update(0L, metadata = Some(Map("text" -> "updated", "category" -> "9")))
+    assert(db.getById(0L).exists(_._2("category") == "9"))
+    db.delete(1L)
+    assert(db.count() === 29)
+    assert(db.getById(1L).isEmpty)
+    // stale-index bug fixed by construction: post-write IVF search requires rebuild
+    intercept[IllegalStateException] { db.ivfSearch(Seq.fill(8)(1.0)) }
+    db.buildIvfIndex(k = 4)
+    assert(db.ivfSearch(Seq.fill(8)(1.0), 5).count() === 5)
+  }
+
+  test("batch search covers every query with k rows each") {
+    val db = freshDb(100)
+    val queries = (0 until 4).map(i => Seq.fill(8)(i + 1.0))
+    val res = db.batchSearch(queries, 3)
+    assert(res.count() === 12)
+    assert(res.select("query_id").distinct().count() === 4)
+  }
+
+  test("hnsw search agrees with brute force on an easy query") {
+    val db = freshDb(300)
+    val q = Seq.fill(8)(5.0)
+    val exact = db.bruteForceSearch(q, 10)
+    val approx = db.hnswSearch(q, 10)
+    val r = graft.harness.Recall.recallAtK(exact, approx, "id")
+    assert(r >= 0.8, s"recall $r")
+  }
+
+  test("pq compress/decompress round-trips with bounded error") {
+    val db = freshDb(300)
+    db.trainPq(m = 4)
+    val encoded = db.compress()
+    assert(encoded.where(octet_length(col("pq_code")) =!= 4).count() === 0)
+    val decoded = db.decompress(encoded)
+    val mae = decoded.select(
+      aggregate(zip_with(col("vector"), col("vector_approx"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => acc + x)./(8.0).as("mae"))
+      .agg(avg("mae")).collect()(0).getDouble(0)
+    assert(mae < 2.0, s"mae $mae vs data scale ~5")
+  }
+
+  test("save/load round-trips data, ids, and both index models (W10/W11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db").toString
+    val db = freshDb(100)
+    db.buildIvfIndex(k = 4)
+    db.trainPq(m = 4)
+    val q = Seq.fill(8)(3.0)
+    val before = db.bruteForceSearch(q, 5).collect().map(_.getLong(0)).toSeq
+    val beforeIvf = db.ivfSearch(q, 5).collect().map(_.getLong(0)).toSeq
+    db.save(s"$dir/db")
+    val back = VectorDb.load(spark, s"$dir/db", 8)
+    assert(back.count() === 100)
+    assert(back.bruteForceSearch(q, 5).collect().map(_.getLong(0)).toSeq === before)
+    assert(back.ivfSearch(q, 5).collect().map(_.getLong(0)).toSeq === beforeIvf)
+    val id = back.insert(Seq.fill(8)(0.5))
+    assert(id === 100L, "next id must survive persistence")
+    assert(back.compress().count() === 101)
+  }
+}
