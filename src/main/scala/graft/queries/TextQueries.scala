@@ -91,15 +91,38 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Order-sensitive polynomial rolling fingerprint per document. */
+  def rollingFp(spark: SparkSession, dir: String): DataFrame = {
+    val p = TextAnalysis.RollP
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg((sum(TextAnalysis.rollingFingerprint(col("tok"), col("pos"))) % p).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  val rollingFpSql: String = {
+    val p = TextAnalysis.RollP
+    s"""SELECT doc_id,
+       |  CAST(sum((('0x'||substr(md5(tok),1,15))::BIGINT % $p) * (pos + 1) % $p) AS BIGINT) % $p AS rolling_fp
+       |FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    unnest(range(len(string_split(text, ' ')))) AS pos
+       |  FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
+    "tx_rolling_fp" -> (rollingFp _),
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
+    "tx_rolling_fp" -> rollingFpSql,
     "tx_langid" -> langIdSql)
 }

@@ -43,16 +43,24 @@ object VectorStore {
   def delete(data: DataFrame, pred: Column): DataFrame =
     data.where(!pred)
 
-  /** W10 `save` (vervectordb/__init__.py:556-573): data → Parquet; small
-    * model state (centroids, codebooks) is the caller's sidecar. */
-  def save(data: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = data.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  /** W10 `save` (vervectordb/__init__.py:556-573): data → columnar files;
+    * small model state (centroids, codebooks) is the caller's sidecar.
+    * Parquet is the default (columnar, predicate/column pushdown); json/csv
+    * supported for interchange (csv cannot carry array columns — project
+    * scalars first). */
+  def save(data: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    val w = data.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
-  /** W11 `load` (vervectordb/__init__.py:575-594). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** W11 `load` (vervectordb/__init__.py:575-594). Non-parquet formats need
+    * the schema supplied to avoid lossy inference. */
+  def load(spark: SparkSession, path: String, format: String = "parquet",
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
 
   /** Bucketed save: hash-bucket (and sort) the table by a join key so that
     * subsequent joins/aggregations on that key run with NO shuffle — two

@@ -80,4 +80,16 @@ object TextAnalysis {
     * list — catches shuffled near-identical docs. */
   def sortedTokenFingerprint(text: Column): Column =
     md5(array_join(array_sort(split(lower(text), " ")), " "))
+
+  /** Modulus for the rolling fingerprint (Mersenne 2^31-1: products of two
+    * residues stay within 63 bits). */
+  val RollP: Long = (1L << 31) - 1
+
+  /** Order-sensitive rolling fingerprint: Σ (md5_60(token) mod P)·(pos+1)
+    * mod P over token positions — a polynomial rolling hash that
+    * distinguishes permutations of the same bag of words, cheap enough to
+    * compute at ingest for every document. */
+  def rollingFingerprint(tokensExploded: Column, posCol: Column): Column =
+    // used through an aggregation: sum over rows of term(pos, token)
+    (graft.dedup.Dedup.hash60(tokensExploded) % RollP) * (posCol + 1) % RollP
 }

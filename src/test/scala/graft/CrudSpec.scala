@@ -59,4 +59,31 @@ class CrudSpec extends SparkSpec {
     val origSum = subset.agg(sum("id")).collect()(0).getLong(0)
     assert(back.agg(sum("id")).collect()(0).getLong(0) === origSum)
   }
+
+  test("json and csv formats roundtrip (csv without array columns)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val subset = data.limit(50).cache()
+    val origSum = subset.agg(sum("id")).collect()(0).getLong(0)
+    VectorStore.save(subset, s"$dir/j", format = "json")
+    val j = VectorStore.load(spark, s"$dir/j", "json", Some(subset.schema))
+    assert(j.count() === 50)
+    assert(j.agg(sum("id")).collect()(0).getLong(0) === origSum)
+    assert(j.select(size(col("vector"))).distinct().collect()(0).getInt(0) === 8)
+    val flat = subset.select("id", "category", "status")
+    VectorStore.save(flat, s"$dir/c", format = "csv")
+    val c = VectorStore.load(spark, s"$dir/c", "csv", Some(flat.schema))
+    assert(c.count() === 50)
+    assert(c.agg(sum("id")).collect()(0).getLong(0) === origSum)
+  }
+
+  test("salted aggregation equals the direct aggregation (skew path)") {
+    import graft.operators.Skew
+    val cents = round(element_at(col("vector"), 2) * 100.0).cast("long")
+    val direct = data.groupBy("category")
+      .agg(sum(cents).as("sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = Skew.saltedSumCount(data, "category", cents, 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(salted === direct)
+  }
 }
