@@ -145,7 +145,50 @@ object AnalyticsQueries {
        |  CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Backward as-of join: each event enriched with the user's most recent
+    * order at-or-before the event time (orders = slowly-changing dimension).
+    * Implemented by [[graft.operators.AsOfJoin]] (union + single shuffle +
+    * running last — no range-join explosion); the oracle uses DuckDB's
+    * native ASOF JOIN, so the operator is checked against an independent
+    * implementation of the semantics. */
+  def eventsAsOfOrders(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+    val dedupe = Window.partitionBy("user_id", "odus")
+      .orderBy(col("o_orderkey").desc)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(
+        col("o_custkey").as("user_id"),
+        // parquet stores TIMESTAMP_NTZ; session TZ is UTC so the cast is a
+        // pure reinterpretation, matching DuckDB's naive epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odus"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100.0).cast("long").as("order_cents"))
+      .withColumn("_rn", row_number().over(dedupe))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+    AsOfJoin.asOfBackward(events, orders, "user_id", "tsu", "odus",
+      Seq("o_orderkey", "order_cents"), tieBreak = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "order_cents")
+      .orderBy("event_id")
+  }
+
+  val eventsAsOfOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) AS odus, o_orderkey,
+      |    CAST(round(o_totalprice*CAST('100.0' AS DOUBLE)) AS BIGINT) AS order_cents,
+      |    row_number() OVER (PARTITION BY o_custkey, epoch_us(o_orderdate)
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |od AS (SELECT * FROM o WHERE rn = 1),
+      |e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events)
+      |SELECT e.event_id, e.user_id, od.o_orderkey, od.order_cents
+      |FROM e ASOF JOIN od ON e.user_id = od.o_custkey AND e.tsu >= od.odus
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof_orders" -> (eventsAsOfOrders _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
     "ev_window_topk" -> (eventsWindowTopK _),
@@ -153,6 +196,7 @@ object AnalyticsQueries {
     "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "ev_asof_orders" -> eventsAsOfOrdersSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "ev_window_topk" -> eventsWindowTopKSql,

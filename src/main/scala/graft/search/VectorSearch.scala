@@ -39,13 +39,32 @@ object VectorSearch {
 
   /** S4 `batch_search` (vervectordb/__init__.py:517-536): top-k per query.
     * The query set is small → broadcast cross join (no shuffle of the data
-    * side for the join itself); ranking is a window top-k per query_id.
-    * Unlike the reference, queries run in one distributed job rather than a
-    * serial per-query loop. */
+    * side for the join itself); ranking is a k-bounded custom aggregator
+    * ([[graft.operators.TopK]]) so partial aggregation truncates to k rows
+    * per query map-side — the shuffle carries O(queries·k·tasks) rows, not
+    * the whole joined table. Unlike the reference, queries run in one
+    * distributed job rather than a serial per-query loop. */
   def batchTopK(
       data: DataFrame,
       queries: DataFrame,
       dim: Int,
+      k: Int,
+      vecCol: String = "vector",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    val joined = data.crossJoin(broadcast(queries))
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol), col(queryVecCol)))
+    graft.operators.TopK.perGroupTopK(joined, queryIdCol, col(idCol), col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Window-ranking formulation of batch top-k — the shuffle-everything
+    * baseline the aggregator is tested against. */
+  def batchTopKWindow(
+      data: DataFrame,
+      queries: DataFrame,
       k: Int,
       vecCol: String = "vector",
       idCol: String = "id",

@@ -44,6 +44,14 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("aggregator top-k equals window top-k row for row") {
+    val agg = VectorSearch.batchTopK(data, VectorModel.partQueries(spark, Sf0001),
+      VectorModel.Dim, 3).orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val win = VectorSearch.batchTopKWindow(data, VectorModel.partQueries(spark, Sf0001), 3)
+      .orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    assert(agg === win)
+  }
+
   test("get_by_id returns exactly the requested record") {
     val someId = data.orderBy("id").limit(1).collect()(0).getLong(0)
     val res = VectorSearch.getById(data, someId).collect()
