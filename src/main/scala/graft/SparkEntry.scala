@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.VectorModel
-import graft.queries.{AnalyticsQueries, AnnQueries, ApproxQueries, DedupQueries, MultimodalQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, AnnQueries, ApproxQueries, DedupQueries, MultimodalQueries, PipelineQueries, TextQueries, VectorQueries}
 import graft.search.VectorSearch
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,11 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       AnnQueries.queries ++ AnalyticsQueries.queries ++ MultimodalQueries.queries ++
-      ApproxQueries.queries
+      ApproxQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      AnnQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ MultimodalQueries.oracleSql
+      AnnQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

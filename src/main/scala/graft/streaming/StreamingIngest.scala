@@ -71,6 +71,28 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingest with per-batch index refresh — the analog of the
+    * reference's incremental HNSW maintenance on insert
+    * (vervectordb/__init__.py:264-265): each micro-batch appends to the
+    * vector table and rewrites the cluster-partitioned IVF layout over the
+    * full table, so searches against `indexPath` always see a consistent
+    * index covering every ingested row. At scale the refresh would be
+    * incremental (assign new rows with the existing centroids; re-fit
+    * centroids on drift), which `graft.index.Ivf` supports by construction
+    * (fit and assign are separate passes). */
+  def ingestWithIvfRefresh(stream: DataFrame, tablePath: String, indexPath: String,
+      checkpoint: String, vecCol: String, idCol: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(tablePath)
+        val all = batch.sparkSession.read.parquet(tablePath)
+        val (assigned, _) = graft.index.Ivf.fit(all, vecCol, k = 4, idCol = idCol)
+        graft.index.Ivf.saveClustered(assigned, indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

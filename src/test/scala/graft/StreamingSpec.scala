@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest with IVF refresh: the index covers all ingested rows") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    // two batches of vector rows derived from lineitem
+    val vecs = graft.model.VectorModel.lineitemVectors(spark, Sf0001)
+      .select("id", "vector").orderBy("id").limit(400).cache()
+    vecs.limit(200).coalesce(1).write.parquet(s"$base/in/b0")
+    vecs.orderBy(col("id").desc).limit(200).coalesce(1).write.parquet(s"$base/in/b1")
+    val stream = spark.readStream
+      .schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.ingestWithIvfRefresh(stream,
+      s"$base/table", s"$base/index", s"$base/ckpt", "vector", "id")
+    try {
+      q.awaitTermination(120000)
+      val indexed = spark.read.parquet(s"$base/index")
+      assert(indexed.count() === 400, "index must cover both micro-batches")
+      assert(indexed.select("cluster_id").distinct().count() === 4)
+      // the refreshed clustered layout answers searches over all rows
+      val ids = indexed.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids === vecs.collect().map(_.getLong(0)).toSet)
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
