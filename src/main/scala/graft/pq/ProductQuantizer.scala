@@ -157,4 +157,43 @@ object ProductQuantizer {
     val dec = udf((c: Array[Byte]) => pq.decode(c))
     df.withColumn("vector_approx", dec(col("pq_code")))
   }
+
+  /** ADC (asymmetric distance computation) search over PQ codes — an
+    * extension past the reference, whose codes are storage-only
+    * (SURVEY.md §2.4): score every row from its m-byte code and a per-query
+    * lookup table, never touching the raw vectors. At 100 TB this is the
+    * point of PQ — the scan reads 32–64× fewer bytes and the LUT
+    * (m·256 doubles ≈ 16 KB) broadcasts with the closure. Approximate by
+    * construction → recall-gated like HNSW/IVF.
+    *
+    * Scoring: negative squared L2 between the query and the reconstruction,
+    * so higher is better and the exact-cosine ranking is comparable on
+    * normalized data. */
+  def adcTopK(encoded: DataFrame, pq: ProductQuantizer, query: Seq[Double],
+      k: Int, idCol: String): DataFrame = {
+    require(query.length == pq.dim)
+    val q = query.toArray
+    // lut(s)(c) = squared L2 between query slice s and centroid c of subspace s
+    val lut: Array[Array[Double]] = Array.tabulate(pq.m) { s =>
+      Array.tabulate(pq.k) { c =>
+        val cent = pq.codebooks(s)(c)
+        var d = 0.0
+        var j = 0
+        while (j < pq.subDim) {
+          val diff = q(s * pq.subDim + j) - cent(j); d += diff * diff; j += 1
+        }
+        d
+      }
+    }
+    val score = udf((code: Array[Byte]) => {
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
+      -s
+    })
+    encoded
+      .withColumn("adc_score", round(score(col("pq_code")), 6))
+      .orderBy(col("adc_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -187,7 +187,61 @@ object AnalyticsQueries {
       |FROM e ASOF JOIN od ON e.user_id = od.o_custkey AND e.tsu >= od.odus
       |ORDER BY event_id""".stripMargin
 
+  /** Set operations (INTERSECT/EXCEPT with distinct semantics): part keys
+    * seen at both extreme quantities but never at high tax. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    def keys(pred: org.apache.spark.sql.Column) =
+      li.where(pred).select("l_partkey").distinct()
+    keys(col("l_quantity") >= 45)
+      .intersect(keys(col("l_quantity") <= 5))
+      .except(keys(col("l_tax") > 0.07))
+      .orderBy("l_partkey")
+  }
+
+  val setOpsSql: String =
+    """SELECT l_partkey FROM (
+      |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45
+      |  INTERSECT
+      |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity <= 5
+      |  EXCEPT
+      |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_tax > CAST('0.07' AS DOUBLE))
+      |ORDER BY l_partkey""".stripMargin
+
+  /** Scalar-function parity sampler: string/math built-ins whose semantics
+    * must agree across engines (1-based substr, truncating int ops,
+    * ceil/floor as BIGINT). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_type")).cast("long").as("type_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        (col("p_partkey") % 7).as("k_mod"),
+        ceil(col("p_retailprice") / 10.0).cast("long").as("price_ceil"),
+        floor(col("p_retailprice") / 10.0).cast("long").as("price_floor"),
+        greatest(col("p_size").cast("long"), col("p_partkey") % 50).as("g"),
+        abs(col("p_size") - 25).cast("long").as("size_dev"))
+      .orderBy("p_partkey")
+
+  val scalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  substr(p_name, 1, 8) AS name8,
+      |  CAST(length(p_type) AS BIGINT) AS type_len,
+      |  p_brand || '-' || p_type AS brand_type,
+      |  p_partkey % 7 AS k_mod,
+      |  CAST(ceil(p_retailprice/CAST('10.0' AS DOUBLE)) AS BIGINT) AS price_ceil,
+      |  CAST(floor(p_retailprice/CAST('10.0' AS DOUBLE)) AS BIGINT) AS price_floor,
+      |  greatest(CAST(p_size AS BIGINT), p_partkey % 50) AS g,
+      |  CAST(abs(p_size - 25) AS BIGINT) AS size_dev
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (setOps _),
+    "q_scalar_funcs" -> (scalarFuncs _),
     "ev_asof_orders" -> (eventsAsOfOrders _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
@@ -196,6 +250,8 @@ object AnalyticsQueries {
     "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_set_ops" -> setOpsSql,
+    "q_scalar_funcs" -> scalarFuncsSql,
     "ev_asof_orders" -> eventsAsOfOrdersSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,

@@ -64,7 +64,17 @@ object ApproxQueries {
       .select("vec_id", "sim", "lsh_bucket")
   }
 
+  /** PQ-ADC top-k over embeddings: scan m-byte codes instead of vectors. */
+  def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+    val pq = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
+    val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
+    ProductQuantizer.adcTopK(encoded, pq, VectorModel.AnnQuery, 20, "vec_id")
+      .select("vec_id", "adc_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),

@@ -45,6 +45,23 @@ class PqSpec extends SparkSpec {
     assert(meanMae < scale, s"mae $meanMae should beat the trivial scale $scale")
   }
 
+  test("ADC search over codes approximates the exact L2 ranking") {
+    import graft.search.VectorSearch
+    import graft.functions.VectorFunctions
+    val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
+    val adc = ProductQuantizer.adcTopK(encoded, pq, VectorModel.AnnQuery, 20, "vec_id")
+    // exact L2 ranking (ADC approximates L2, not cosine)
+    val exact = emb.withColumn("negl2",
+      -VectorFunctions.l2Cols(col("embedding").cast("array<double>"),
+        array(VectorModel.AnnQuery.map(lit): _*), VectorModel.EmbDim))
+      .orderBy(col("negl2").desc, col("vec_id").asc)
+      .limit(20)
+    val r = graft.harness.Recall.recallAtK(
+      exact.select("vec_id"), adc.select("vec_id"), "vec_id")
+    info(s"PQ-ADC recall@20 vs exact L2 = $r")
+    assert(r >= 0.5)
+  }
+
   test("encode/decode are deterministic for a fixed seed") {
     val pq2 = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
     val v = emb.limit(1).collect()(0).getSeq[Float](1).map(_.toDouble).toArray
