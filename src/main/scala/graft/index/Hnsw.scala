@@ -59,4 +59,34 @@ object Hnsw {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batch variant: the per-partition graph is built ONCE and searched for
+    * every query — amortizing construction across the query set (the
+    * reference's `batch_search` over its prebuilt index,
+    * vervectordb/__init__.py:517-536). Global per-query top-k via the
+    * k-bounded aggregator. Returns (query_id, idCol, sim, rn). */
+  def hnswBatchTopK(df: DataFrame, queries: Seq[(Long, Seq[Double])], k: Int,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id")
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
+    val prepared = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(numPartitions, col(idCol))
+      .sortWithinPartitions(idCol)
+    val perPartition = prepared
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val index = new HnswIndex(m, efConstruction, seed = 42L + TaskContext.getPartitionId())
+        rows.foreach { case (id, vec) => index.insert(id, vec) }
+        qArr.iterator.flatMap { case (qid, q) =>
+          index.search(q, k, efSearch).map { case (id, sim) => (qid, id, sim) }
+        }
+      }
+      .toDF("query_id", idCol, "sim_raw")
+    graft.operators.TopK.perGroupTopK(perPartition, "query_id", col(idCol), col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+  }
 }

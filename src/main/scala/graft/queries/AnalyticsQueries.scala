@@ -239,7 +239,89 @@ object AnalyticsQueries {
       |  CAST(abs(p_size - 25) AS BIGINT) AS size_dev
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Distinct aggregates per group (two-phase distinct shuffle). */
+  def countDistinct_(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val countDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Join-type coverage: semi, anti, and outer-null counts in one result. */
+  def joinTypes(spark: SparkSession, dir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val outerNull = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .where(col("o_orderkey").isNull).count()
+    import spark.implicits._
+    Seq(("anti", anti), ("outer_null", outerNull), ("semi", semi))
+      .toDF("join_type", "n").orderBy("join_type")
+  }
+
+  val joinTypesSql: String =
+    """SELECT 'anti' AS join_type, count(*) AS n FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'outer_null', count(*) FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  WHERE o_orderkey IS NULL
+      |UNION ALL
+      |SELECT 'semi', count(*) FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY join_type""".stripMargin
+
+  /** Window frames: per-user running total and 3-row moving sum in cents. */
+  def eventsRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_cents"),
+        sum("cents").over(w.rowsBetween(-2, 0)).as("moving3_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val eventsRunningSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tsn ASC, event_id ASC
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_cents
+      |FROM (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+      |        CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT) AS cents FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** ROLLUP hierarchy totals (null group keys coalesced to 'ALL'). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_distinct" -> (countDistinct_ _),
+    "q_join_types" -> (joinTypes _),
+    "ev_running" -> (eventsRunning _),
+    "q_rollup" -> (rollupAgg _),
     "q_set_ops" -> (setOps _),
     "q_scalar_funcs" -> (scalarFuncs _),
     "ev_asof_orders" -> (eventsAsOfOrders _),
@@ -250,6 +332,10 @@ object AnalyticsQueries {
     "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_count_distinct" -> countDistinctSql,
+    "q_join_types" -> joinTypesSql,
+    "ev_running" -> eventsRunningSql,
+    "q_rollup" -> rollupAggSql,
     "q_set_ops" -> setOpsSql,
     "q_scalar_funcs" -> scalarFuncsSql,
     "ev_asof_orders" -> eventsAsOfOrdersSql,

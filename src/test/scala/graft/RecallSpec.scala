@@ -61,6 +61,24 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8)
   }
 
+  test("batch HNSW equals per-query HNSW result for result") {
+    val queries = (0 until 3).map { s =>
+      (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0))
+    }
+    val batch = Hnsw.hnswBatchTopK(embeddings, queries, 10, numPartitions = 4,
+      vecCol = "embedding", idCol = "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val single = queries.flatMap { case (qid, q) =>
+      Hnsw.hnswTopK(embeddings, q, 10, numPartitions = 4,
+        vecCol = "embedding", idCol = "vec_id")
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(batch === single)
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
