@@ -38,6 +38,44 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Skew-capped variant of [[ngramJaccardPairs]] for web-scale corpora:
+    * candidate pairs come only from shingles whose document frequency is
+    * ≤ maxDocFreq (hot shingles generate O(df²) join rows — the skew
+    * bottleneck), then the TRUE Jaccard is recomputed over the full
+    * distinct-shingle sets with array_intersect, so reported similarities
+    * are exact. The only approximation is candidate recall: a pair sharing
+    * *only* hot shingles is missed — for near-dup thresholds this is
+    * vanishing (a j ≥ t pair shares ≥ t/(1+t) of either set; all of those
+    * being globally hot is a measure-zero corpus pathology), and DedupSpec
+    * asserts equality with the uncapped operator on the test corpus.
+    * maxDocFreq must be ≥ 2: a shingle shared by any pair has df ≥ 2 by
+    * definition, so a cap of 1 yields no candidates at all. */
+  def ngramJaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
+    val sh = df
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
+      .cache()
+    val ex = sh.select(col("doc"), explode(col("sh")).as("sg"))
+    val rare = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("sg")
+    val rareEx = ex.join(rare, "sg")
+    val cand = rareEx.as("a").join(rareEx.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc").as("da"), col("sh").as("sha")), "da")
+      .join(sh.select(col("doc").as("db"), col("sh").as("shb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * similarity over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -33,9 +33,37 @@ object MultimodalQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame-sampling plan per document: which frame indices the (stubbed)
+    * sampler would decode — mirrors [[Multimodal.sampleFrameIndices]]'s
+    * closed form (i·n/max integer division) as scalars. */
+  def framePlan(spark: SparkSession, dir: String): DataFrame = {
+    val maxF = 4
+    val n = col("n_frames")
+    mediaFeatures(spark, dir)
+      .select(
+        col("doc_id"), n,
+        least(n, lit(maxF.toLong)).as("n_sampled"),
+        lit(0L).as("first_idx"),
+        when(n <= maxF, n - 1)
+          .otherwise(expr(s"(${maxF - 1} * n_frames) div $maxF")).as("last_idx"))
+      .orderBy("doc_id")
+  }
+
+  val framePlanSql: String =
+    """SELECT doc_id, n_frames,
+      |  least(n_frames, 4) AS n_sampled,
+      |  CAST(0 AS BIGINT) AS first_idx,
+      |  CASE WHEN n_frames <= 4 THEN n_frames - 1
+      |       ELSE (3 * n_frames) // 4 END AS last_idx
+      |FROM (SELECT doc_id, CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS BIGINT) AS n_frames
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_media_features" -> (mediaFeatures _))
+    "mm_media_features" -> (mediaFeatures _),
+    "mm_frame_plan" -> (framePlan _))
 
   val oracleSql: Map[String, String] = Map(
-    "mm_media_features" -> mediaFeaturesSql)
+    "mm_media_features" -> mediaFeaturesSql,
+    "mm_frame_plan" -> framePlanSql)
 }

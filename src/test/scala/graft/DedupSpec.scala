@@ -35,6 +35,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("skew-capped jaccard equals the uncapped operator on this corpus") {
+    val capped = pairSetWithSim(
+      Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 20))
+    val full = pairSetWithSim(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    assert(capped === full)
+  }
+
+  private def pairSetWithSim(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
   test("exact groups: group count equals distinct contents; sizes sum to n") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text").cache()
     val n = docs.count()
