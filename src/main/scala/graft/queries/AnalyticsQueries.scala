@@ -317,7 +317,26 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** SQL entry surface: the engine accepts SQL text over registered views
+    * (with graft extensions available, e.g. cosine_sim). Same relational
+    * result as a DataFrame plan — the point is the spark.sql path. */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_sql")
+    spark.sql(
+      """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM li_sql WHERE l_discount > 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val sqlSurfaceSql: String =
+    """SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem WHERE l_discount > CAST('0.05' AS DOUBLE)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_surface" -> (sqlSurface _),
     "q_count_distinct" -> (countDistinct_ _),
     "q_join_types" -> (joinTypes _),
     "ev_running" -> (eventsRunning _),
@@ -332,6 +351,7 @@ object AnalyticsQueries {
     "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_surface" -> sqlSurfaceSql,
     "q_count_distinct" -> countDistinctSql,
     "q_join_types" -> joinTypesSql,
     "ev_running" -> eventsRunningSql,

@@ -71,6 +71,17 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on the id — the
+    * streaming twin of Dedup.exactGroups' keep-first semantics. State is
+    * bounded by the watermark horizon (ids older than the watermark are
+    * forgotten; late duplicates beyond it would pass — the standard
+    * tradeoff). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("event_id", "event_time")
+
   /** Streaming ingest with per-batch index refresh — the analog of the
     * reference's incremental HNSW maintenance on insert
     * (vervectordb/__init__.py:264-265): each micro-batch appends to the

@@ -98,6 +98,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops exact duplicate events across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    // the same file twice => every event is duplicated across two batches
+    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
+    val stream = spark.readStream.schema(StreamingIngest.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamingIngest.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_test").collect()(0).getLong(0)
+      val expected = spark.read.parquet(s"$Sf0001/events.parquet").count()
+      assert(n === expected, "each duplicated event must appear exactly once")
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
