@@ -50,11 +50,46 @@ object AnnQueries {
        |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** Blocked k-NN similarity join: for EVERY embedding, its top-3 cosine
+    * neighbors within its label block (self excluded) — the per-row
+    * similarity-join shape of a near-dup/retrieval pipeline. Pairwise sims
+    * flow through the fused cosine_sim expression; ranking is the
+    * k-bounded aggregator (map-side truncation), so the shuffle after the
+    * blocked join carries ≤ k rows per vector per task. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+    val joined = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("id"),
+        graft.GraftExtensions.cosineSim(col("a.embedding"), col("b.embedding")).as("sim_raw"))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col("id"), col("sim_raw"), 3)
+      .withColumnRenamed("query_id", "vec_id")
+      .withColumnRenamed("id", "neighbor_id")
+      .orderBy("vec_id", "rn")
+  }
+
+  val knnJoinSql: String = {
+    val sim = OracleSql.cosineCols(
+      OracleSql.listElem("a.embedding"), OracleSql.listElem("b.embedding"),
+      VectorModel.EmbDim)
+    s"""SELECT vec_id, neighbor_id, round(sim_raw, 6) AS sim, rn FROM (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, $sim AS sim_raw,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $sim DESC, b.vec_id ASC) AS BIGINT) AS rn
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (bruteTopK _),
-    "ann_keyword_topk" -> (keywordAnn _))
+    "ann_keyword_topk" -> (keywordAnn _),
+    "ann_knn_join" -> (knnJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "ann_brute_topk" -> bruteTopKSql,
-    "ann_keyword_topk" -> keywordAnnSql)
+    "ann_keyword_topk" -> keywordAnnSql,
+    "ann_knn_join" -> knnJoinSql)
 }

@@ -14,9 +14,6 @@ import OracleSql.{lit => dlit, _}
 object VectorQueries {
 
   private def v(i: Int) = s"v$i"
-  private def av(i: Int) = s"a.v$i"
-  private def bv(i: Int) = s"b.v$i"
-  private def qv(i: Int) = s"q$i"
 
   /** S1: exact brute-force top-10 by cosine vs the flagship query vector. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame =
