@@ -73,4 +73,14 @@ object Multimodal {
     if (nFrames <= maxFrames) 0 until nFrames
     else (0 until maxFrames).map(i => i * nFrames / maxFrames)
   }
+
+  /** Resize plan: target dimensions bounding the longest side to maxDim
+    * while preserving aspect ratio — pure integer arithmetic (floor), the
+    * stage a real resampler would receive. No-op when already within
+    * bounds. */
+  def resizePlan(width: Int, height: Int, maxDim: Int): (Int, Int) = {
+    val longest = math.max(width, height)
+    if (longest <= maxDim) (width, height)
+    else (width * maxDim / longest, height * maxDim / longest)
+  }
 }

@@ -59,11 +59,40 @@ object MultimodalQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Resize plan per document: bound the longest side to 256 preserving
+    * aspect — mirror of [[Multimodal.resizePlan]]'s integer arithmetic. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val maxDim = 256
+    val longest = greatest(col("width"), col("height"))
+    mediaFeatures(spark, dir)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        when(longest <= maxDim, col("width"))
+          .otherwise(expr(s"(width * $maxDim) div greatest(width, height)")).as("out_w"),
+        when(longest <= maxDim, col("height"))
+          .otherwise(expr(s"(height * $maxDim) div greatest(width, height)")).as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val resizePlanSql: String =
+    """SELECT doc_id, width, height,
+      |  CASE WHEN greatest(width, height) <= 256 THEN width
+      |       ELSE (width * 256) // greatest(width, height) END AS out_w,
+      |  CASE WHEN greatest(width, height) <= 256 THEN height
+      |       ELSE (height * 256) // greatest(width, height) END AS out_h
+      |FROM (SELECT doc_id,
+      |        CAST(32 + octet_length(CAST(text AS BLOB)) % 609 AS BIGINT) AS width,
+      |        CAST(32 + (octet_length(CAST(text AS BLOB)) * 7) % 449 AS BIGINT) AS height
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),
-    "mm_frame_plan" -> (framePlan _))
+    "mm_frame_plan" -> (framePlan _),
+    "mm_resize_plan" -> (resizePlan _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_media_features" -> mediaFeaturesSql,
-    "mm_frame_plan" -> framePlanSql)
+    "mm_frame_plan" -> framePlanSql,
+    "mm_resize_plan" -> resizePlanSql)
 }

@@ -32,6 +32,14 @@ class MultimodalSpec extends SparkSpec {
     assert(first.get(0).isInstanceOf[Array[Byte]])
   }
 
+  test("resize plan preserves aspect, bounds the longest side, no-ops when small") {
+    assert(Multimodal.resizePlan(100, 50, 256) === ((100, 50)))
+    assert(Multimodal.resizePlan(512, 256, 256) === ((256, 128)))
+    assert(Multimodal.resizePlan(300, 400, 256) === ((192, 256)))
+    val (w, h) = Multimodal.resizePlan(641, 480, 256)
+    assert(math.max(w, h) === 256 && w * 480 <= 641 * h + 641) // aspect within floor error
+  }
+
   test("frame sampling is deterministic and bounded") {
     assert(Multimodal.sampleFrameIndices(3, 4) === Seq(0, 1, 2))
     assert(Multimodal.sampleFrameIndices(30, 4) === Seq(0, 7, 15, 22))
