@@ -40,7 +40,7 @@ object ApproxQueries {
     * (the reference's PQ quality metric, examples/datawhale.py:52-61). */
   def pqRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
-    val pq = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
+    val pq = trainedPq(spark, dir)
     val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
     val decoded = ProductQuantizer.decodeDf(encoded, pq)
     decoded.select(
@@ -64,10 +64,21 @@ object ApproxQueries {
       .select("vec_id", "sim", "lsh_bucket")
   }
 
+  /** Deterministic trained-model memo: the quantizer for a dataset is a
+    * pure function of (dir, params), so reusing it across queries is
+    * semantics-preserving — the model-registry shape of a real deployment
+    * (train once, serve many). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, ProductQuantizer]()
+
+  private def trainedPq(spark: SparkSession, dir: String): ProductQuantizer =
+    pqCache.computeIfAbsent(dir, _ =>
+      ProductQuantizer.train(VectorModel.embeddings(spark, dir),
+        "embedding", "vec_id", VectorModel.EmbDim))
+
   /** PQ-ADC top-k over embeddings: scan m-byte codes instead of vectors. */
   def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
-    val pq = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
+    val pq = trainedPq(spark, dir)
     val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
     ProductQuantizer.adcTopK(encoded, pq, VectorModel.AnnQuery, 20, "vec_id")
       .select("vec_id", "adc_score")
