@@ -3,6 +3,8 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Par
+
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
@@ -60,7 +62,7 @@ object Dedup {
     val rare = ex.groupBy("sg").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
       .select("sg")
-    val rareEx = ex.join(rare, "sg")
+    val rareEx = Par.widenBy(ex.join(rare, "sg"), col("sg"))
     val cand = rareEx.as("a").join(rareEx.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
@@ -84,7 +86,10 @@ object Dedup {
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
     val sizes = sh.select(col("doc"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc"), explode(col("sh")).as("sg"))
+    // Widen on the join key BEFORE the pair join: the candidate fan-out is
+    // Σ df(shingle)² — quadratic work that must not run at scan parallelism.
+    val ex = Par.widenBy(
+      sh.select(col("doc"), explode(col("sh")).as("sg")), col("sg"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
@@ -135,7 +140,12 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
     }
-    val bl = sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    // sig is post-shuffle (groupBy output): spread unconditionally — AQE
+    // would otherwise coalesce it to one partition by bytes and serialize
+    // the band self-join.
+    val bl = Par.spread(
+      sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
+      col("band"), col("bh"))
     val cand = bl.as("a").join(bl.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
@@ -167,18 +177,38 @@ object Dedup {
         .reduceLeft[Column](_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame =
-    sh.as("a").join(sh.as("b"), col("a.doc") < col("b.doc"))
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming.
+    *
+    * The pair join is a broadcast nested loop (no equi key); the probe side
+    * is spread to session parallelism so the n²/2 comparisons run on every
+    * core — sh is a groupBy output that AQE would otherwise coalesce to one
+    * partition. At a hamming budget this loose (12/60 bits) band-blocking
+    * prunes almost nothing (P[band match] ≈ 2⁻⁴·⁶ per 13 pigeonhole bands),
+    * so the scale path is a tighter budget + banding, not this operator. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
+    // Explicit side choice: broadcast the (tiny: doc id + 1 long) build side,
+    // stream the spread side — otherwise the planner may broadcast the wide
+    // side and stream the AQE-coalesced single partition serially.
+    val wide = Par.spread(sh)
+    wide.as("a").join(broadcast(sh).as("b"), col("a.doc") < col("b.doc"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("a.doc").as("da"), col("b.doc").as("db"), col("hamming"))
+  }
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
-    * cluster/label id — at scale, an LSH or IVF bucket). */
+    * cluster/label id — at scale, an LSH or IVF bucket).
+    *
+    * The stream side is widened ROUND-ROBIN, not hashed by block: a
+    * low-cardinality block column (10 labels here) hash-partitions into a
+    * handful of skewed partitions. With the block side broadcast, every
+    * stream partition probes independently — parallelism without skew. At
+    * scale the block column is a high-cardinality bucket id and this join
+    * becomes a co-partitioned shuffle join on it instead. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, dim: Int, threshold: Double): DataFrame =
-    df.as("a").join(df.as("b"),
+      blockCol: String, dim: Int, threshold: Double): DataFrame = {
+    val wide = Par.widen(df)
+    wide.as("a").join(broadcast(df).as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("sim_raw",
@@ -186,4 +216,5 @@ object Dedup {
       .where(col("sim_raw") >= threshold)
       .select(col(s"a.$idCol").as("da"), col(s"b.$idCol").as("db"),
         col(s"a.$blockCol").as("block"), round(col("sim_raw"), 6).as("sim"))
+  }
 }

@@ -55,7 +55,10 @@ object Ivf {
 
   def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10, idCol: String = "id"): (DataFrame, IvfModel) = {
-    val featurized = df.withColumn("features", array_to_vector(col(vecCol)))
+    // Widen narrow scans first: k-means iterations and the assignment pass
+    // both inherit the input's partitioning.
+    val featurized = graft.operators.Par.widen(df)
+      .withColumn("features", array_to_vector(col(vecCol)))
     // deterministic hash-mod sample, one narrow pass (no shuffle, no sort)
     val n = df.count()
     val sampleMod = math.max(1L, n / FitSampleRows)

@@ -58,7 +58,9 @@ object AnnQueries {
     * blocked join carries ≤ k rows per vector per task. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
-    val joined = emb.as("a").join(emb.as("b"),
+    // Round-robin widen + broadcast build: label has only 10 distinct
+    // values, so hash-widening by it would skew; see Dedup.embeddingNearDupPairs.
+    val joined = graft.operators.Par.widen(emb).as("a").join(broadcast(emb).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),

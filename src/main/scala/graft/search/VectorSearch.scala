@@ -53,7 +53,9 @@ object VectorSearch {
       idCol: String = "id",
       queryIdCol: String = "query_id",
       queryVecCol: String = "qvec"): DataFrame = {
-    val joined = data.crossJoin(broadcast(queries))
+    // Probe-side parallelism guard: the cross join multiplies work by
+    // |queries|, so a narrow (small-file) data scan must be widened first.
+    val joined = graft.operators.Par.widen(data).crossJoin(broadcast(queries))
       .withColumn("sim_raw",
         graft.GraftExtensions.cosineSim(col(vecCol), col(queryVecCol)))
     graft.operators.TopK.perGroupTopK(joined, queryIdCol, col(idCol), col("sim_raw"), k)
