@@ -300,6 +300,41 @@ object AnalyticsQueries {
       |        CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT) AS cents FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Incident attribution window: 10 minutes, in µs. */
+  val IncidentWindowUs: Long = 10L * 60L * 1000000L
+
+  /** Range join: every error event opens a 10-minute incident window;
+    * same-user events falling inside it are attributed to the incident —
+    * the interval-containment join Spark lacks natively.
+    * [[graft.operators.RangeJoin]] bands the time axis so this plans as an
+    * equi-join (+ residual filter), not a nested loop; the oracle
+    * recomputes it as a plain BETWEEN join. */
+  def eventsRangeJoinIncidents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"), col("value"))
+    val incidents = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        expr("ts div 1000").as("lo"))
+      .withColumn("hi", col("lo") + IncidentWindowUs)
+    RangeJoin.pointInInterval(events, incidents, "tsu", "lo", "hi",
+        IncidentWindowUs, Seq("user_id" -> "err_user"))
+      .groupBy("error_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0).cast("long")).as("sum_value_cents"))
+      .orderBy("error_id")
+  }
+
+  val eventsRangeJoinIncidentsSql: String =
+    s"""SELECT er.event_id AS error_id, count(*) AS n_events,
+       |  CAST(sum(CAST(round(e.value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
+       |FROM events e JOIN events er
+       |  ON e.user_id = er.user_id AND er.event_type = 'error'
+       |  AND epoch_us(e.ts) BETWEEN epoch_us(er.ts) AND epoch_us(er.ts) + $IncidentWindowUs
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ROLLUP hierarchy totals (null group keys coalesced to 'ALL'). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
@@ -344,6 +379,7 @@ object AnalyticsQueries {
     "q_set_ops" -> (setOps _),
     "q_scalar_funcs" -> (scalarFuncs _),
     "ev_asof_orders" -> (eventsAsOfOrders _),
+    "ev_range_join" -> (eventsRangeJoinIncidents _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
     "ev_window_topk" -> (eventsWindowTopK _),
@@ -359,6 +395,7 @@ object AnalyticsQueries {
     "q_set_ops" -> setOpsSql,
     "q_scalar_funcs" -> scalarFuncsSql,
     "ev_asof_orders" -> eventsAsOfOrdersSql,
+    "ev_range_join" -> eventsRangeJoinIncidentsSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "ev_window_topk" -> eventsWindowTopKSql,
