@@ -82,6 +82,31 @@ object StreamingIngest {
       .withWatermark("event_time", "1 hour")
       .dropDuplicates("event_id", "event_time")
 
+  /** Watermarked stream-stream inner join — the streaming twin of the
+    * batch incident range join
+    * ([[graft.queries.AnalyticsQueries.eventsRangeJoinIncidents]]): every
+    * error event opens a `windowUs` incident window; same-user events
+    * inside it join to the incident. The event-time range condition plus
+    * both watermarks bound the join state (rows older than watermark −
+    * window are dropped from state), which is what lets this run forever
+    * at scale. Output: (error_id, event_id, user_id, value) pairs. */
+  def incidentJoinStream(events: DataFrame, windowUs: Long): DataFrame = {
+    val pts = events
+      .select(col("event_id"), col("user_id"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", "1 hour")
+    val errs = events
+      .where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+        timestamp_micros(expr("ts div 1000")).as("error_time"))
+      .withWatermark("error_time", "1 hour")
+    errs.join(pts,
+      col("user_id") === col("err_user") &&
+        col("event_time") >= col("error_time") &&
+        col("event_time") <= col("error_time") + expr(s"INTERVAL ${windowUs} MICROSECOND"))
+      .select(col("error_id"), col("event_id"), col("user_id"), col("value"))
+  }
+
   /** Streaming ingest with per-batch index refresh — the analog of the
     * reference's incremental HNSW maintenance on insert
     * (vervectordb/__init__.py:264-265): each micro-batch appends to the

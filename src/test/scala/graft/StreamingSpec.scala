@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream incident join matches the batch range join pairs") {
+    import org.apache.spark.sql.functions._
+    val windowUs = graft.queries.AnalyticsQueries.IncidentWindowUs
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamingIngest.EventsSchema).parquet(dir)
+    val q = StreamingIngest.incidentJoinStream(stream, windowUs)
+      .writeStream.outputMode("append").format("memory").queryName("incident_join")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT error_id, event_id FROM incident_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val events = spark.read.parquet(s"$Sf0001/events.parquet")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+      val incidents = spark.read.parquet(s"$Sf0001/events.parquet")
+        .where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
+          expr("ts div 1000").as("lo"))
+        .withColumn("hi", col("lo") + windowUs)
+      val batch = graft.operators.RangeJoin.pointInInterval(
+          events, incidents, "tsu", "lo", "hi", windowUs, Seq("user_id" -> "err_user"))
+        .select("error_id", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicate events across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
     // the same file twice => every event is duplicated across two batches
