@@ -1,8 +1,5 @@
 package graft.index
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +25,20 @@ object Ivf {
   case class IvfModel(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
 
+    /** Index of the L2-nearest centroid (the assignment function; ties to
+      * the lower index, matching Lloyd's scan order). */
+    def nearestCentroid(v: Seq[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        var s = 0.0; var i = 0
+        while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      best
+    }
+
     /** Probe cluster ids: top-n centroids by cosine similarity to the query
       * (the reference scores centroids by cosine, `:438`). */
     def probeClusters(query: Seq[Double], nProbes: Int): Seq[Int] = {
@@ -45,35 +56,113 @@ object Ivf {
     }
   }
 
-  /** W6: fit k-means (MLlib, seeded) and return (data + cluster_id, model).
-    * The input is repartitioned deterministically so the seeded k-means||
-    * init sees a stable partitioning. */
   /** Rows used to fit the centroids. 16 centroids converge on a bounded
     * sample; at 100 TB a full-table k-means is neither feasible nor needed —
     * fit on the sample, assign the full table in one distributed pass. */
   val FitSampleRows = 100000
 
+  /** W6: fit k-means on a bounded driver-side sample, assign distributed.
+    *
+    * The fit mirrors the reference (sklearn KMeans on the in-memory matrix,
+    * vervectordb/__init__.py:416-418): the sample (≤ [[FitSampleRows]],
+    * deterministic hash-mod, sorted by id so centroids are independent of
+    * partitioning) is collected and Lloyd's runs at memory speed with
+    * seeded k-means++ init. A distributed MLlib KMeans here would spend
+    * ~25 scheduler round-trips (k-means|| init passes + one job per
+    * iteration) to fit 16 centroids on a sample that fits in single-digit
+    * MB — the cluster is for the ASSIGNMENT pass over the full table, which
+    * stays distributed (broadcast centroids, one narrow map). */
   def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10, idCol: String = "id"): (DataFrame, IvfModel) = {
-    // Widen narrow scans first: k-means iterations and the assignment pass
-    // both inherit the input's partitioning.
-    val featurized = graft.operators.Par.widen(df)
-      .withColumn("features", array_to_vector(col(vecCol)))
-    // deterministic hash-mod sample, one narrow pass (no shuffle, no sort)
+    val wide = graft.operators.Par.widen(df)
     val n = df.count()
     val sampleMod = math.max(1L, n / FitSampleRows)
-    val sample = featurized
+    val sample = df
       .where(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
-      .select("features")
-      .cache()
-    try {
-      val model = new KMeans()
-        .setK(k).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("features").setPredictionCol("cluster_id")
-        .fit(sample)
-      val assigned = model.transform(featurized).drop("features")
-      (assigned, IvfModel(model.clusterCenters.map(_.toArray)))
-    } finally sample.unpersist(blocking = false)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val centroids = lloyd(sample, k, seed, maxIter)
+    val model = IvfModel(centroids)
+    val assignUdf = udf((v: Seq[Double]) => model.nearestCentroid(v))
+    val assigned = wide.withColumn("cluster_id", assignUdf(col(vecCol)))
+    (assigned, model)
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations, driver-local. Empty
+    * clusters keep their previous centroid. Pure function of (sample order,
+    * k, seed, maxIter). */
+  private[index] def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty k-means sample")
+    val dim = sample.head.length
+    val rng = new java.util.Random(seed)
+    val kk = math.min(k, sample.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = sample(rng.nextInt(sample.length)).clone()
+    val minD2 = sample.map(d2(_, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD2.sum
+      var r = rng.nextDouble() * total
+      var pick = 0
+      while (pick < sample.length - 1 && r > minD2(pick)) { r -= minD2(pick); pick += 1 }
+      centers(c) = sample(pick).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), centers(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+      c += 1
+    }
+    // Lloyd's
+    val assign = new Array[Int](sample.length)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = d2(sample(i), centers(0)); var j = 1
+        while (j < kk) {
+          val d = d2(sample(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best || iter == 0) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < sample.length) {
+        val a = assign(i); counts(a) += 1
+        val s = sums(a); val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < dim) { sums(j)(t) /= counts(j); t += 1 }
+          centers(j) = sums(j)
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    if (kk < k) centers.take(kk) ++ Array.fill(k - kk)(centers(0).clone())
+    else centers
   }
 
   /** Persist the clustered table partitioned by cluster_id — the on-disk
