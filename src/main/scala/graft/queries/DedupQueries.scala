@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, MllibLsh}
 import graft.model.VectorModel
 
 /** Deduplication queries over `documents`/`embeddings` with DuckDB mirrors.
@@ -124,7 +124,14 @@ object DedupQueries {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** MLlib MinHashLSH approximate similarity join (seeded; rows-only check
+    * — recall-gated in DedupSpec against the exact operator). */
+  def mllibLshJoin(spark: SparkSession, dir: String): DataFrame =
+    MllibLsh.approxJaccardPairs(VectorModel.documents(spark, dir),
+      "doc_id", "text", 0.5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_mllib_lsh" -> (mllibLshJoin _),
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),

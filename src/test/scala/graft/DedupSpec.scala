@@ -27,6 +27,17 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("MLlib MinHashLSH approx join recovers high-Jaccard pairs") {
+    val pairs = pairSet(graft.dedup.MllibLsh.approxJaccardPairs(
+      docs, "doc_id", "text", 0.5))
+    val recall = exactPairs.intersect(pairs).size.toDouble / exactPairs.size
+    info(s"mllib minhash-lsh recall of jaccard>=0.5 pairs: $recall")
+    assert(recall >= 0.9)
+    // precision on reported similarity: every returned pair is >= threshold
+    assert(graft.dedup.MllibLsh.approxJaccardPairs(docs, "doc_id", "text", 0.5)
+      .where(org.apache.spark.sql.functions.col("est_jaccard") < 0.5).count() === 0L)
+  }
+
   test("SimHash hamming<=12 recovers high-Jaccard pairs") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val pairs = pairSet(Dedup.simhashPairs(sh, 12))
