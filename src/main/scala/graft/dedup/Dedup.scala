@@ -63,7 +63,7 @@ object Dedup {
       .where(col("df") <= maxDocFreq)
       .select("sg")
     val rareEx = Par.widenBy(ex.join(rare, "sg"), col("sg"))
-    val cand = rareEx.as("a").join(rareEx.as("b"),
+    val cand = rareEx.as("a").join(rareEx.hint("shuffle_hash").as("b"),
         col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
@@ -90,7 +90,11 @@ object Dedup {
     // Σ df(shingle)² — quadratic work that must not run at scan parallelism.
     val ex = Par.widenBy(
       sh.select(col("doc"), explode(col("sh")).as("sg")), col("sg"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // Both sides are co-partitioned by sg after the widen; shuffle-hash
+    // reuses that exchange instead of collecting the exploded table to the
+    // driver for a broadcast — which is also the only join shape that
+    // exists once the corpus outgrows the broadcast threshold.
+    val inter = ex.as("a").join(ex.hint("shuffle_hash").as("b"),
         col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
       .agg(count(lit(1)).as("inter"))
