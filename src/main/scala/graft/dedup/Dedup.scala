@@ -150,7 +150,7 @@ object Dedup {
     val bl = Par.spread(
       sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
       col("band"), col("bh"))
-    val cand = bl.as("a").join(bl.as("b"),
+    val cand = bl.as("a").join(bl.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))

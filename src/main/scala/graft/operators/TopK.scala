@@ -20,12 +20,21 @@ object TopK {
 
   case class ScoredId(id: Long, sim: Double)
 
-  /** Keeps the k best (sim DESC, id ASC) — deterministic total order. */
+  /** Keeps the k best (sim DESC, id ASC) — deterministic total order. The
+    * buffer is maintained sorted, so the per-row fast path is one compare
+    * against the current k-th (no allocation, no sort) — under
+    * ObjectHashAggregate the buffer lives as an object, making that compare
+    * the whole cost for the overwhelming majority of rows. */
   class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private def beats(a: ScoredId, w: ScoredId): Boolean =
+      a.sim > w.sim || (a.sim == w.sim && a.id < w.id)
     private def best(xs: Seq[ScoredId]): Seq[ScoredId] =
       xs.sortBy(x => (-x.sim, x.id)).take(k)
     override def zero: Seq[ScoredId] = Seq.empty
-    override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = best(b :+ a)
+    override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+      if (b.size < k) best(b :+ a)
+      else if (beats(a, b.last)) best(b :+ a)
+      else b
     override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = best(b1 ++ b2)
     override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
     override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
