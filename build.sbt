@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits hundreds of classes across a 45-query run;
+  // the JVM default 240m code cache fills mid-run, the JIT shuts off, and
+  // later queries execute interpreted (observed as 10-50x slowdowns that
+  // track JVM age, not query cost).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

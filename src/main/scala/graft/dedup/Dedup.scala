@@ -54,7 +54,10 @@ object Dedup {
     * definition, so a cap of 1 yields no candidates at all. */
   def ngramJaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
-    val sh = df
+    // Widen the raw scan FIRST: tokenize/shingle expressions are the
+    // dominant per-row cost and must not run in a single pre-exchange map
+    // task over a one-file scan.
+    val sh = Par.widen(df)
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
       .cache()
@@ -82,7 +85,8 @@ object Dedup {
     * similarity over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df
+    // Widen the raw scan first — see ngramJaccardPairsCapped.
+    val sh = Par.widen(df)
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
     val sizes = sh.select(col("doc"), size(col("sh")).as("n"))
@@ -126,7 +130,8 @@ object Dedup {
     * by the oracle SQL). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, k: Int = 3): DataFrame = {
-    val ex = df
+    // Widen the raw scan first — see ngramJaccardPairsCapped.
+    val ex = Par.widen(df)
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
       .select(col("doc"), (hash60(col("sg")) % MinhashP).as("hm"))
@@ -169,7 +174,8 @@ object Dedup {
     * ±1 votes from each shingle's hash bit b. */
   def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
       bits: Int = 60): DataFrame = {
-    val ex = df
+    // Widen the raw scan first — see ngramJaccardPairsCapped.
+    val ex = Par.widen(df)
       .where(size(split(col(textCol), " ")) >= k)
       .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
       .select(col("doc"), hash60(col("sg")).as("hw"))

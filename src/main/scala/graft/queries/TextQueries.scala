@@ -94,7 +94,8 @@ object TextQueries {
   /** Order-sensitive polynomial rolling fingerprint per document. */
   def rollingFp(spark: SparkSession, dir: String): DataFrame = {
     val p = TextAnalysis.RollP
-    VectorModel.documents(spark, dir)
+    // widen the scan so per-token md5 work runs at session parallelism
+    graft.operators.Par.widen(VectorModel.documents(spark, dir))
       .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
       .groupBy("doc_id")
       .agg((sum(TextAnalysis.rollingFingerprint(col("tok"), col("pos"))) % p).as("rolling_fp"))
