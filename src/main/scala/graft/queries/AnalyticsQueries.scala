@@ -335,6 +335,34 @@ object AnalyticsQueries {
        |  AND epoch_us(e.ts) BETWEEN epoch_us(er.ts) AND epoch_us(er.ts) + $IncidentWindowUs
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** HLL++ sketch aggregate: approximate distinct users per event type —
+    * the cardinality-estimation shape of a 100 TB pipeline (a sketch
+    * merges; an exact distinct shuffles every key). Deterministic
+    * (hash-based, order-independent) but not cross-engine exact → rows-only
+    * check; SketchSpec bounds the relative error vs the exact distinct. */
+  def approxUsers(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Exact interpolated percentiles of event value per type (oracle:
+    * DuckDB quantile_cont uses the same linear-interpolation definition). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy("event_type")
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, CAST('0.5' AS DOUBLE)), 6) AS p50,
+      |  round(quantile_cont(value, CAST('0.95' AS DOUBLE)), 6) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** ROLLUP hierarchy totals (null group keys coalesced to 'ALL'). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
@@ -380,6 +408,8 @@ object AnalyticsQueries {
     "q_scalar_funcs" -> (scalarFuncs _),
     "ev_asof_orders" -> (eventsAsOfOrders _),
     "ev_range_join" -> (eventsRangeJoinIncidents _),
+    "q_approx_users" -> (approxUsers _),
+    "q_percentiles" -> (valuePercentiles _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
     "ev_window_topk" -> (eventsWindowTopK _),
@@ -396,6 +426,7 @@ object AnalyticsQueries {
     "q_scalar_funcs" -> scalarFuncsSql,
     "ev_asof_orders" -> eventsAsOfOrdersSql,
     "ev_range_join" -> eventsRangeJoinIncidentsSql,
+    "q_percentiles" -> valuePercentilesSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
     "ev_window_topk" -> eventsWindowTopKSql,
