@@ -54,6 +54,29 @@ object ApproxQueries {
       .orderBy("vec_id")
   }
 
+  /** S3 over the PERSISTED cluster-partitioned layout — the deployment
+    * shape: build once ([[Ivf.saveClustered]]), serve many. The probe
+    * filter prunes cluster partitions at the file level (the plan shows
+    * PartitionFilters), so each query reads ~half the files — the
+    * Spark-native inverted list. Layout is memoized per dataset dir, like
+    * a real index lifecycle. */
+  def ivfStoredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ivfLayoutCache.computeIfAbsent(dir, _ => {
+      val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, dir))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_layout").toString
+      Ivf.saveClustered(assigned, path)
+      (path, model)
+    })
+    val (path, model) = layout
+    val clustered = spark.read.parquet(path)
+    Ivf.search(clustered, model, VectorModel.Query, 10)
+      .select("id", "sim", "cluster_id")
+  }
+
+  private val ivfLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -87,6 +110,7 @@ object ApproxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
+    "vq_ivf_stored_topk" -> (ivfStoredTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_topk" -> (annLshTopK _),

@@ -68,4 +68,13 @@ class SearchSpec extends SparkSpec {
     assert(hits.where(!(lower(col("text")).contains("window") ||
       lower(col("text")).contains("stream"))).count() === 0)
   }
+
+  test("IVF search over the persisted clustered layout equals the in-memory path") {
+    val stored = graft.queries.ApproxQueries.ivfStoredTopK(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = graft.queries.ApproxQueries.ivfTopK(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+  }
 }
