@@ -77,6 +77,20 @@ object ApproxQueries {
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
 
+  /** S4 with method=hnsw (vervectordb/__init__.py:527-531): per-partition
+    * graphs built ONCE for the whole query batch, searched per query,
+    * k-bounded global merge — amortizing construction across queries,
+    * unlike the reference's serial per-query loop. */
+  def hnswBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val queries = VectorModel.partQueries(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    Hnsw.hnswBatchTopK(VectorModel.lineitemVectors(spark, dir), queries, 3)
+      .orderBy("query_id", "rn")
+  }
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -111,6 +125,7 @@ object ApproxQueries {
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
+    "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
