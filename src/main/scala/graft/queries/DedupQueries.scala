@@ -51,6 +51,16 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY da, db""".stripMargin
 
+  /** Skew-capped n-gram Jaccard — the web-scale variant (hot-shingle df
+    * capped at 100, TRUE Jaccard recomputed on candidates). On corpora
+    * where no qualifying pair shares only hot shingles its output equals
+    * the uncapped operator exactly, so it shares the same DuckDB oracle —
+    * the equality IS the correctness claim for the cap. */
+  def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsCapped(VectorModel.documents(spark, dir),
+      "doc_id", "text", ShingleK, 0.5, maxDocFreq = 100)
+      .orderBy("da", "db")
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSignatures(VectorModel.documents(spark, dir),
@@ -132,6 +142,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_mllib_lsh" -> (mllibLshJoin _),
+    "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
@@ -139,6 +150,7 @@ object DedupQueries {
     "dd_embedding_cosine" -> (embeddingCosine _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_ngram_capped" -> ngramJaccardSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,

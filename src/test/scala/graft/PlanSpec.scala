@@ -74,6 +74,32 @@ class PlanSpec extends SparkSpec {
       "bucketed join must not shuffle:\n" + p.take(3000))
   }
 
+  test("point lookup on a bucketed table prunes to a single bucket") {
+    import graft.store.VectorStore
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    VectorStore.saveBucketed(vecs.select("id", "category"), "bt_prune", "id")
+    val someId = spark.table("bt_prune").orderBy("id").limit(1)
+      .collect()(0).getLong(0)
+    // autoBucketedScan drops the bucketed layout when no join/agg needs the
+    // distribution — turn it off so the bucket-filter pruning path plans
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false") {
+      val p = spark.table("bt_prune").where(col("id") === someId)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of"),
+        "id-equality must prune to one bucket:\n" + p.take(3000))
+    }
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("whole-stage codegen covers the similarity expression") {
     val df = VectorSearch.bruteForceTopK(
       VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)
