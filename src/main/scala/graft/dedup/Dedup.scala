@@ -56,12 +56,17 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
     // Widen the raw scan FIRST: tokenize/shingle expressions are the
     // dominant per-row cost and must not run in a single pre-exchange map
-    // task over a one-file scan.
+    // task over a one-file scan. Shingles are 60-bit-hashed ONCE up front:
+    // the verification join then shuffles long arrays instead of string
+    // arrays (~8x lighter) and intersects integers. Collisions within a
+    // doc pair's ~10^2 shingles are a 2^-60-scale event — the DuckDB
+    // value-equality gate would catch one.
     val sh = Par.widen(df)
       .where(size(split(col(textCol), " ")) >= k)
-      .select(col(idCol).as("doc"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("doc"),
+        array_distinct(transform(shingles(col(textCol), k), s => hash60(s))).as("shh"))
       .cache()
-    val ex = sh.select(col("doc"), explode(col("sh")).as("sg"))
+    val ex = sh.select(col("doc"), explode(col("shh")).as("sg"))
     val rare = ex.groupBy("sg").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
       .select("sg")
@@ -71,8 +76,8 @@ object Dedup {
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
     cand
-      .join(sh.select(col("doc").as("da"), col("sh").as("sha")), "da")
-      .join(sh.select(col("doc").as("db"), col("sh").as("shb")), "db")
+      .join(sh.select(col("doc").as("da"), col("shh").as("sha")), "da")
+      .join(sh.select(col("doc").as("db"), col("shh").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("inter").cast("double") /

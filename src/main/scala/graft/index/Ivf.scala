@@ -166,9 +166,13 @@ object Ivf {
   }
 
   /** Persist the clustered table partitioned by cluster_id — the on-disk
-    * inverted-list layout that makes probe filters prune files. */
+    * inverted-list layout that makes probe filters prune files. Rows are
+    * clustered by the partition column first: otherwise every write task
+    * opens a file in every cluster dir (tasks × clusters small files — a
+    * real failure mode for dynamic partition writes at scale). */
   def saveClustered(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    assigned.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
   /** S3: probe-pruned approximate top-k. `max(k/2, 8)` probes per the
     * reference; filter-first exact semantics within the probed subset. */
