@@ -93,7 +93,7 @@ object Ivf {
   /** Seeded k-means++ init + Lloyd's iterations, driver-local. Empty
     * clusters keep their previous centroid. Pure function of (sample order,
     * k, seed, maxIter). */
-  private[index] def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
+  private[graft] def lloyd(sample: Array[Array[Double]], k: Int, seed: Long,
       maxIter: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty k-means sample")
     val dim = sample.head.length

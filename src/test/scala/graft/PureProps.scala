@@ -73,4 +73,36 @@ object PureProps extends Properties("graft.pure") {
       vecs.zipWithIndex.foreach { case (v, i) => idx.insert(i.toLong, v) }
       idx.size == n
     }
+
+  property("lloyd: deterministic, k centers of input dimension, assignments cover") =
+    forAll(Gen.choose(20, 200), Gen.choose(2, 8)) { (n, k) =>
+      val rng = new java.util.Random(n * 31 + k)
+      val sample = Array.fill(n)(Array.fill(dim)(rng.nextDouble() * 6 - 3))
+      val a = graft.index.Ivf.lloyd(sample, k, seed = 42L, maxIter = 5)
+      val b = graft.index.Ivf.lloyd(sample.map(_.clone()), k, seed = 42L, maxIter = 5)
+      a.length == k && a.forall(_.length == dim) &&
+        a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }
+
+  property("lloyd: every centroid is within the sample's bounding box") =
+    forAll(Gen.choose(20, 120)) { n =>
+      val rng = new java.util.Random(n)
+      val sample = Array.fill(n)(Array.fill(dim)(rng.nextDouble() * 10 - 5))
+      val centers = graft.index.Ivf.lloyd(sample, 4, seed = 7L, maxIter = 6)
+      (0 until dim).forall { d =>
+        val lo = sample.map(_(d)).min; val hi = sample.map(_(d)).max
+        centers.forall(c => c(d) >= lo - 1e-9 && c(d) <= hi + 1e-9)
+      }
+    }
+
+  property("range banding: bands cover an interval exactly (membership <=> band match)") =
+    forAll(Gen.choose(1L, 1000L), Gen.choose(0L, 100000L), Gen.choose(0L, 5000L),
+      Gen.choose(0L, 100000L)) { (w, lo, span, p) =>
+      val hi = lo + span
+      val bands = (lo / w) to (hi / w)
+      val inBand = bands.contains(p / w)
+      val member = p >= lo && p <= hi
+      // membership implies band match (no false negatives — the lossless side)
+      !member || inBand
+    }
 }
