@@ -82,6 +82,18 @@ object StreamingIngest {
       .withWatermark("event_time", "1 hour")
       .dropDuplicates("event_id", "event_time")
 
+  /** Streaming dedup on the id ALONE via dropDuplicatesWithinWatermark:
+    * unlike [[dedupStream]] (whose dedup key includes the event time, so
+    * only exact (id, time) duplicates collapse), this deduplicates ids
+    * whose duplicates arrive at ANY time within the watermark delay —
+    * the semantics usually wanted for at-least-once sources — while state
+    * still expires. */
+  def dedupStreamWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked stream-stream inner join — the streaming twin of the
     * batch incident range join
     * ([[graft.queries.AnalyticsQueries.eventsRangeJoinIncidents]]): every

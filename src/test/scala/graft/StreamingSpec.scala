@@ -98,6 +98,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups ids across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddww").toString
+    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
+    val stream = spark.readStream.schema(StreamingIngest.EventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamingIngest.dedupStreamWithinWatermark(stream)
+      .writeStream.outputMode("append").format("memory").queryName("ddww_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT event_id) FROM ddww_test").collect()(0).getLong(0)
+      val total = spark.sql("SELECT count(*) FROM ddww_test").collect()(0).getLong(0)
+      val expected = spark.read.parquet(s"$Sf0001/events.parquet").count()
+      assert(n === expected)
+      assert(total === expected, "each id must be emitted exactly once")
+    } finally q.stop()
+  }
+
   test("stream-stream incident join matches the batch range join pairs") {
     import org.apache.spark.sql.functions._
     val windowUs = graft.queries.AnalyticsQueries.IncidentWindowUs
