@@ -266,6 +266,47 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     }
   }
 
+  /** Structural dump for persistence: one row per node, in insertion
+    * order — (external id, vector, node level, adjacency as external ids
+    * per level 0..nodeLevel, isEntry). Restoring via [[HnswIndex.restore]]
+    * reproduces the graph exactly (no re-construction), so post-restore
+    * searches are identical to pre-dump searches. */
+  def dump(): Iterator[(Long, Array[Double], Int, Array[Array[Long]], Boolean)] =
+    (0 until n).iterator.map { node =>
+      val levels = adj(node)
+      val adjExt = Array.tabulate(nodeLevels(node) + 1) { l =>
+        val e = levels(l)
+        Array.tabulate(e.len)(i => extIds(e.arr(i)))
+      }
+      (extIds(node), vecs(node), nodeLevels(node), adjExt, node == entry)
+    }
+
+  /** Wire a restored node (phase 2 of [[HnswIndex.restore]]). */
+  private[index] def restoreNode(id: Long, vector: Array[Double], level: Int,
+      isEntry: Boolean): Int = {
+    if (n == cap) grow()
+    val node = n; n += 1
+    idToIdx(id) = node
+    vecs(node) = vector
+    norms(node) = vecNorm(vector)
+    extIds(node) = id
+    nodeLevels(node) = level
+    adj(node) = Array.fill(level + 1)(new IntVec(m + 1))
+    if (isEntry) { entry = node; maxLevel = math.max(maxLevel, level) }
+    if (level > maxLevel) maxLevel = level
+    node
+  }
+
+  private[index] def restoreEdges(node: Int, adjExt: Array[Array[Long]]): Unit = {
+    var l = 0
+    while (l < adjExt.length) {
+      val row = adjExt(l)
+      var i = 0
+      while (i < row.length) { adj(node)(l).add(idToIdx(row(i))); i += 1 }
+      l += 1
+    }
+  }
+
   /** Top-k search: greedy descent from the entry point, then a level-0 beam
     * with ef = max(efSearch, 2k) (reference `:146`). */
   def search(q: Array[Double], k: Int, efSearch: Int = 128): Seq[(Long, Double)] = {
@@ -281,5 +322,23 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     searchLayer(q, qNorm, ep, math.max(efSearch, 2 * k), 0)
     val cnt = drainSorted()
     (0 until math.min(k, cnt)).map(i => (extIds(scratchIdx(i)), scratchSims(i)))
+  }
+}
+
+object HnswIndex {
+
+  /** Rebuild an index from [[HnswIndex.dump]] rows (must be in the dumped
+    * order): allocate all nodes first, then wire adjacency — no beam
+    * search, O(nodes + edges). */
+  def restore(rows: Seq[(Long, Array[Double], Int, Array[Array[Long]], Boolean)],
+      m: Int = 16, efConstruction: Int = 64, seed: Long = 42L): HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction, seed)
+    val nodes = rows.map { case (id, vec, level, _, isEntry) =>
+      idx.restoreNode(id, vec, level, isEntry)
+    }
+    rows.iterator.zip(nodes.iterator).foreach { case ((_, _, _, adjExt, _), node) =>
+      idx.restoreEdges(node, adjExt)
+    }
+    idx
   }
 }

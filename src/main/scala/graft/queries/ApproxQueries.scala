@@ -91,6 +91,23 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** S2 over the PERSISTED per-partition graphs ([[graft.index.HnswStore]])
+    * — W10/W11 parity: the reference pickles its HNSW graph on save; here
+    * the graph structure round-trips through parquet and searches restore
+    * in O(nodes+edges) with results identical to a fresh build
+    * (RecallSpec). Layout memoized per dataset dir. */
+  def hnswStoredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = hnswLayoutCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_hnsw_layout").toString
+      graft.index.HnswStore.save(VectorModel.lineitemVectors(spark, dir), s"$p/g")
+      s"$p/g"
+    })
+    graft.index.HnswStore.topK(spark, path, VectorModel.Query, 10)
+  }
+
+  private val hnswLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -126,6 +143,7 @@ object ApproxQueries {
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
+    "vq_hnsw_stored_topk" -> (hnswStoredTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_topk" -> (annLshTopK _),

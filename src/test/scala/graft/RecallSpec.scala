@@ -61,6 +61,19 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8)
   }
 
+  test("HNSW search over the persisted graph equals a fresh build") {
+    import graft.index.{Hnsw, HnswStore}
+    val vecs = graft.model.VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_store").toString
+    HnswStore.save(vecs, s"$dir/g", numPartitions = 8)
+    val stored = HnswStore.topK(spark, s"$dir/g", graft.model.VectorModel.Query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Hnsw.hnswTopK(vecs, graft.model.VectorModel.Query, 10, numPartitions = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored === fresh)
+    assert(stored.nonEmpty)
+  }
+
   test("batch HNSW equals per-query HNSW result for result") {
     val queries = (0 until 3).map { s =>
       (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0))
