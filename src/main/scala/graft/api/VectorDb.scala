@@ -35,6 +35,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   private var nextId: Long = 0L
   private var ivf: Option[(DataFrame, Ivf.IvfModel)] = None
   private var pq: Option[ProductQuantizer] = None
+  private var hnswPath: Option[String] = None
 
   def count(): Long = data.count()
   def toDf: DataFrame = data
@@ -43,7 +44,9 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     require(v.length == dim,
       s"vector dimension mismatch: expected $dim, got ${v.length}") // reference :243-245
 
-  private def invalidateIndexes(): Unit = { ivf = None } // W3/W4 semantics fix
+  // W3/W4 semantics fix: the reference leaves indexes stale after writes
+  // (silently wrong IVF rows, vervectordb/__init__.py:324-335)
+  private def invalidateIndexes(): Unit = { ivf = None; hnswPath = None }
 
   /** W1 `insert` — returns the new id. */
   def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
@@ -108,12 +111,28 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     Ivf.search(assigned, model, query, topK, filter)
   }
 
-  /** W5+S2 `build_hnsw_index`+`hnsw_search`: per-partition graphs built for
-    * the search pass (W5 full-rebuild semantics, `:367-377`). */
+  /** W5 `build_hnsw_index` (`:367-377`): build the per-partition graphs
+    * once and persist their structure ([[graft.index.HnswStore]]), so
+    * subsequent [[hnswSearch]] calls restore instead of rebuilding —
+    * the reference's build-once semantics. */
+  def buildHnswIndex(numPartitions: Int = 8): Unit = {
+    val p = java.nio.file.Files.createTempDirectory("vectordb_hnsw").toString + "/g"
+    graft.index.HnswStore.save(data, p, numPartitions = numPartitions)
+    hnswPath = Some(p)
+  }
+
+  /** S2 `hnsw_search`: over the persisted graphs when [[buildHnswIndex]]
+    * was called (and no write invalidated it), else a fresh per-partition
+    * build — identical results either way (RecallSpec). */
   def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
       numPartitions: Int = 8): DataFrame = {
     checkDim(query)
-    Hnsw.hnswTopK(data, query, topK, efSearch = efSearch, numPartitions = numPartitions)
+    hnswPath match {
+      case Some(p) =>
+        graft.index.HnswStore.topK(spark, p, query, topK, efSearch = efSearch)
+      case None =>
+        Hnsw.hnswTopK(data, query, topK, efSearch = efSearch, numPartitions = numPartitions)
+    }
   }
 
   /** S5 `filtered_search`: keyword OR-substring over a metadata key, AND an
@@ -181,6 +200,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
       spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
         .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
     }
+    hnswPath.foreach { p =>
+      spark.read.parquet(p).write.mode(SaveMode.Overwrite)
+        .partitionBy("part").parquet(s"$path/hnsw")
+    }
   }
 }
 
@@ -198,6 +221,8 @@ object VectorDb {
       val assigned = spark.read.parquet(s"$path/ivf_data")
       db.ivf = Some((assigned, Ivf.IvfModel(centroids)))
     }
+    val hf = new java.io.File(s"$path/hnsw")
+    if (hf.exists()) db.hnswPath = Some(s"$path/hnsw")
     val pqf = new java.io.File(s"$path/pq_codebooks")
     if (pqf.exists()) {
       val rows = spark.read.parquet(s"$path/pq_codebooks").collect()

@@ -97,21 +97,34 @@ class VectorDbSpec extends SparkSpec {
     assert(mae < 2.0, s"mae $mae vs data scale ~5")
   }
 
-  test("save/load round-trips data, ids, and both index models (W10/W11)") {
+  test("save/load round-trips data, ids, and all three index models (W10/W11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_db").toString
     val db = freshDb(100)
     db.buildIvfIndex(k = 4)
     db.trainPq(m = 4)
+    db.buildHnswIndex(numPartitions = 4)
     val q = Seq.fill(8)(3.0)
     val before = db.bruteForceSearch(q, 5).collect().map(_.getLong(0)).toSeq
     val beforeIvf = db.ivfSearch(q, 5).collect().map(_.getLong(0)).toSeq
+    val beforeHnsw = db.hnswSearch(q, 5).collect().map(_.getLong(0)).toSeq
     db.save(s"$dir/db")
     val back = VectorDb.load(spark, s"$dir/db", 8)
     assert(back.count() === 100)
     assert(back.bruteForceSearch(q, 5).collect().map(_.getLong(0)).toSeq === before)
     assert(back.ivfSearch(q, 5).collect().map(_.getLong(0)).toSeq === beforeIvf)
+    assert(back.hnswSearch(q, 5).collect().map(_.getLong(0)).toSeq === beforeHnsw,
+      "restored hnsw graph must answer identically")
     val id = back.insert(Seq.fill(8)(0.5))
     assert(id === 100L, "next id must survive persistence")
     assert(back.compress().count() === 101)
+  }
+
+  test("writes invalidate the persisted hnsw index (stale-index fix)") {
+    val db = freshDb(60)
+    db.buildHnswIndex(numPartitions = 4)
+    db.delete(0L)
+    val q = Seq.fill(8)(5.0)
+    // post-delete search must rebuild over live data: deleted id never returned
+    assert(!db.hnswSearch(q, 60).collect().map(_.getLong(0)).contains(0L))
   }
 }
