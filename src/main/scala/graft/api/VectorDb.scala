@@ -36,6 +36,9 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   private var ivf: Option[(DataFrame, Ivf.IvfModel)] = None
   private var pq: Option[ProductQuantizer] = None
   private var hnswPath: Option[String] = None
+  /** True when hnswPath is a temp dir this instance created (deletable);
+    * false when it points into a loaded save directory. */
+  private var hnswOwned: Boolean = false
 
   def count(): Long = data.count()
   def toDf: DataFrame = data
@@ -46,7 +49,20 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
 
   // W3/W4 semantics fix: the reference leaves indexes stale after writes
   // (silently wrong IVF rows, vervectordb/__init__.py:324-335)
-  private def invalidateIndexes(): Unit = { ivf = None; hnswPath = None }
+  private def invalidateIndexes(): Unit = {
+    ivf = None
+    dropOwnedHnsw()
+    hnswPath = None
+  }
+
+  private def dropOwnedHnsw(): Unit =
+    if (hnswOwned) hnswPath.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(p).getParentFile)
+    }
 
   /** W1 `insert` — returns the new id. */
   def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
@@ -116,14 +132,20 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * subsequent [[hnswSearch]] calls restore instead of rebuilding —
     * the reference's build-once semantics. */
   def buildHnswIndex(numPartitions: Int = 8): Unit = {
+    dropOwnedHnsw()
     val p = java.nio.file.Files.createTempDirectory("vectordb_hnsw").toString + "/g"
     graft.index.HnswStore.save(data, p, numPartitions = numPartitions)
     hnswPath = Some(p)
+    hnswOwned = true
   }
 
   /** S2 `hnsw_search`: over the persisted graphs when [[buildHnswIndex]]
     * was called (and no write invalidated it), else a fresh per-partition
-    * build — identical results either way (RecallSpec). */
+    * build. With a persisted index, its build-time partitioning and graph
+    * parameters govern the answer and this method's `numPartitions`
+    * argument is ignored (identical to a fresh build only when the
+    * arguments match the build-time values — RecallSpec covers the
+    * matching case). */
   def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
       numPartitions: Int = 8): DataFrame = {
     checkDim(query)
@@ -180,13 +202,24 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   }
 
   /** W10 `save`: data Parquet + small model sidecars (centroids, codebooks
-    * as tiny Parquet tables; next-id as a 1-row table). */
+    * as tiny Parquet tables; next-id as a 1-row table).
+    *
+    * Data and IVF assignments are snapshotted through the block-manager
+    * cache first, so saving a loaded instance back onto its own directory
+    * does not read-while-overwriting. (A production deployment would
+    * write-to-temp-and-swap instead — cache eviction during the write
+    * would fall back to the deleted files.) */
   def save(path: String): Unit = {
+    data = data.cache()
+    data.count()
     VectorStore.save(data, s"$path/data")
     spark.createDataFrame(Seq(Tuple1(nextId))).toDF("next_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     ivf.foreach { case (assigned, model) =>
-      Ivf.saveClustered(assigned, s"$path/ivf_data")
+      val snap = assigned.cache()
+      snap.count()
+      ivf = Some((snap, model))
+      Ivf.saveClustered(snap, s"$path/ivf_data")
       spark.createDataFrame(model.centroids.toSeq.zipWithIndex.map {
         case (c, i) => (i, c.toSeq)
       }).toDF("cluster_id", "centroid")
@@ -200,8 +233,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
       spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
         .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
     }
-    hnswPath.foreach { p =>
-      spark.read.parquet(p).write.mode(SaveMode.Overwrite)
+    hnswPath.filter(_ != s"$path/hnsw").foreach { p =>
+      // cluster by the partition column first (one file per graph shard,
+      // not tasks × shards — same fix as Ivf.saveClustered)
+      spark.read.parquet(p).repartition(col("part"))
+        .write.mode(SaveMode.Overwrite)
         .partitionBy("part").parquet(s"$path/hnsw")
     }
   }
@@ -222,7 +258,7 @@ object VectorDb {
       db.ivf = Some((assigned, Ivf.IvfModel(centroids)))
     }
     val hf = new java.io.File(s"$path/hnsw")
-    if (hf.exists()) db.hnswPath = Some(s"$path/hnsw")
+    if (hf.exists()) { db.hnswPath = Some(s"$path/hnsw"); db.hnswOwned = false }
     val pqf = new java.io.File(s"$path/pq_codebooks")
     if (pqf.exists()) {
       val rows = spark.read.parquet(s"$path/pq_codebooks").collect()

@@ -221,9 +221,14 @@ object Dedup {
     * scale the block column is a high-cardinality bucket id and this join
     * becomes a co-partitioned shuffle join on it instead. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, dim: Int, threshold: Double): DataFrame = {
+      blockCol: String, dim: Int, threshold: Double,
+      broadcastBuild: Boolean = true): DataFrame = {
     val wide = Par.widen(df)
-    wide.as("a").join(broadcast(df).as("b"),
+    // broadcastBuild = false for tables past the broadcast/driver limit:
+    // falls back to the planner's shuffle join on the block column (the
+    // co-partitioned shape a high-cardinality bucket id gives at scale).
+    val build = if (broadcastBuild) broadcast(df) else df
+    wide.as("a").join(build.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("sim_raw",

@@ -43,12 +43,16 @@ object MllibLsh {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
       .fit(feat)
-    model.approxSimilarityJoin(feat, feat, 1.0 - threshold, "jaccard_dist")
+    // approxSimilarityJoin filters dist STRICTLY below the bound, which
+    // would drop pairs at exactly the threshold; widen the bound by an
+    // epsilon and re-apply the inclusive contract on the similarity.
+    model.approxSimilarityJoin(feat, feat, 1.0 - threshold + 1e-9, "jaccard_dist")
       .where(col("datasetA.doc") < col("datasetB.doc"))
       .select(
         col("datasetA.doc").as("da"),
         col("datasetB.doc").as("db"),
         round(lit(1.0) - col("jaccard_dist"), 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
       .orderBy("da", "db")
   }
 }

@@ -33,18 +33,27 @@ object Par {
   private def target(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Round-robin widen of a scan-derived input; no-op if already wide. */
+  /** Round-robin widen of a SCAN-DERIVED input; no-op if already wide.
+    *
+    * Must only be fed plans with no shuffle upstream: the partition-count
+    * probe (`df.rdd`) is free on a pure scan lineage, but under AQE it
+    * eagerly materializes any upstream shuffle stages — and for
+    * post-shuffle plans the static count is a lie anyway (AQE may coalesce
+    * at runtime). Post-shuffle inputs take [[spread]]. */
   def widen(df: DataFrame): DataFrame =
     if (df.rdd.getNumPartitions >= target(df)) df else df.repartition(target(df))
 
-  /** Hash widen of a scan-derived input on the downstream join/group keys;
-    * no-op if already wide. Co-partitions an ensuing self-join. */
+  /** Hash-repartition on the downstream join/group keys to the session
+    * default, unconditionally. Used before superlinear self-joins: the
+    * join would shuffle by these keys anyway, so this pins the width
+    * without adding an exchange, stays exempt from AQE coalescing
+    * (explicit numPartitions), and — unlike a partition-count probe —
+    * never executes upstream stages early. */
   def widenBy(df: DataFrame, keys: Column*): DataFrame =
-    if (df.rdd.getNumPartitions >= target(df)) df
-    else df.repartition(target(df), keys: _*)
+    df.repartition(target(df), keys: _*)
 
-  /** Unconditional hash (or round-robin, with no keys) repartition to the
-    * session default — for post-shuffle inputs feeding superlinear work. */
+  /** Unconditional round-robin (or keyed) repartition to the session
+    * default — for post-shuffle inputs feeding superlinear work. */
   def spread(df: DataFrame, keys: Column*): DataFrame =
     if (keys.isEmpty) df.repartition(target(df))
     else df.repartition(target(df), keys: _*)

@@ -32,7 +32,8 @@ object TopK {
       xs.sortBy(x => (-x.sim, x.id)).take(k)
     override def zero: Seq[ScoredId] = Seq.empty
     override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-      if (b.size < k) best(b :+ a)
+      if (k <= 0) b
+      else if (b.size < k) best(b :+ a)
       else if (beats(a, b.last)) best(b :+ a)
       else b
     override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = best(b1 ++ b2)

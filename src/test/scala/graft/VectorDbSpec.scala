@@ -119,6 +119,22 @@ class VectorDbSpec extends SparkSpec {
     assert(back.compress().count() === 101)
   }
 
+  test("a loaded db can save back onto its own directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_cycle").toString
+    val db = freshDb(40)
+    db.buildIvfIndex(k = 4)
+    db.buildHnswIndex(numPartitions = 4)
+    db.save(s"$dir/db")
+    val back = VectorDb.load(spark, s"$dir/db", 8)
+    back.trainPq(m = 4)
+    back.save(s"$dir/db") // read-from == write-to: must not throw
+    val again = VectorDb.load(spark, s"$dir/db", 8)
+    assert(again.count() === 40)
+    val q = Seq.fill(8)(3.0)
+    assert(again.hnswSearch(q, 5).count() === 5)
+    assert(again.compress().count() === 40)
+  }
+
   test("writes invalidate the persisted hnsw index (stale-index fix)") {
     val db = freshDb(60)
     db.buildHnswIndex(numPartitions = 4)
