@@ -69,6 +69,18 @@ class SearchSpec extends SparkSpec {
       lower(col("text")).contains("stream"))).count() === 0)
   }
 
+  test("driver flagship entry returns rows (t1 smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+    // every registered query has either an oracle or is a known rows-only op
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly.forall(n =>
+      n.contains("hnsw") || n.contains("ivf") || n.contains("lsh") ||
+        n.contains("pq") || n.contains("approx")),
+      s"unexpected rows-only queries: $rowsOnly")
+    // every oracle key has a matching query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
   test("IVF search over the persisted clustered layout equals the in-memory path") {
     val stored = graft.queries.ApproxQueries.ivfStoredTopK(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
