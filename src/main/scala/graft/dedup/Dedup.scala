@@ -14,14 +14,14 @@ import graft.operators.Par
   * Scale notes (100 TB):
   *  - Exact dedup is one hash-shuffle on a 16-byte key — the cheapest path;
   *    run it first to shrink the input to the fuzzy stages.
-  *  - Shingle-join candidate generation is quadratic per shingle bucket; at
-  *    scale cap the document frequency of join shingles (hot-shingle skew)
-  *    and/or go through MinHash bands (constant fan-out per doc) as done in
-  *    [[lshCandidatePairs]]. Band join keys are md5 strings — uniformly
-  *    distributed, no skew salting needed.
-  *  - SimHash pair generation here is a blocked self-join; at scale, block
-  *    on bit-bands of the fingerprint (pigeonhole: hamming ≤ k ⇒ some
-  *    band of 60/(k+1) bits matches exactly) instead of the cross join.
+  *  - Shingle-join candidate generation is quadratic per shingle bucket
+  *    ([[ngramJaccardPairs]], kept as the exactness twin); the scale path
+  *    is MinHash bands — constant fan-out per doc, md5-uniform bucket
+  *    keys, no skew salting — with the true Jaccard recomputed on the
+  *    candidates ([[ngramJaccardPairsBanded]]).
+  *  - SimHash pair generation blocks on pigeonhole bit-bands of the
+  *    fingerprint (hamming ≤ k ⇒ some band of bits/(k+1) bits matches
+  *    exactly), so it is equi-join-shaped and EXACT ([[simhashPairs]]).
   */
 object Dedup {
 
@@ -40,20 +40,21 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Skew-capped variant of [[ngramJaccardPairs]] for web-scale corpora:
-    * candidate pairs come only from shingles whose document frequency is
-    * ≤ maxDocFreq (hot shingles generate O(df²) join rows — the skew
-    * bottleneck), then the TRUE Jaccard is recomputed over the full
+  /** Web-scale variant of [[ngramJaccardPairs]]: candidate pairs come from
+    * banded MinHash (one bucket per hash function — `numHashes` single-row
+    * bands), then the TRUE Jaccard is recomputed over the full
     * distinct-shingle sets with array_intersect, so reported similarities
-    * are exact. The only approximation is candidate recall: a pair sharing
-    * *only* hot shingles is missed — for near-dup thresholds this is
-    * vanishing (a j ≥ t pair shares ≥ t/(1+t) of either set; all of those
-    * being globally hot is a measure-zero corpus pathology), and DedupSpec
-    * asserts equality with the uncapped operator on the test corpus.
-    * maxDocFreq must be ≥ 2: a shingle shared by any pair has df ≥ 2 by
-    * definition, so a cap of 1 yields no candidates at all. */
-  def ngramJaccardPairsCapped(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 100): DataFrame = {
+    * are exact. Candidate cost is O(n · numHashes) bucket rows — constant
+    * fan-out per doc — instead of the Σdf² of a shingle self-join, and the
+    * band keys are md5-uniform so no bucket skew. The only approximation is
+    * candidate recall: a pair with true Jaccard j agrees on any one minhash
+    * with probability j, so it is missed with probability (1−j)^numHashes —
+    * ≤ 2⁻³² at j ≥ 0.5 with the default 32 hashes, far below the one-pair
+    * scale of any corpus this runs on, which is why it shares the exact
+    * operator's oracle. DedupSpec asserts equality with the uncapped
+    * operator on the test corpus. */
+  def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, numHashes: Int = 32): DataFrame = {
     // Widen the raw scan FIRST: tokenize/shingle expressions are the
     // dominant per-row cost and must not run in a single pre-exchange map
     // task over a one-file scan. Shingles are 60-bit-hashed ONCE up front:
@@ -66,15 +67,12 @@ object Dedup {
       .select(col(idCol).as("doc"),
         array_distinct(transform(shingles(col(textCol), k), s => hash60(s))).as("shh"))
       .cache()
-    val ex = sh.select(col("doc"), explode(col("shh")).as("sg"))
-    val rare = ex.groupBy("sg").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq)
-      .select("sg")
-    val rareEx = Par.widenBy(ex.join(rare, "sg"), col("sg"))
-    val cand = rareEx.as("a").join(rareEx.hint("shuffle_hash").as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("da"), col("b.doc").as("db"))
-      .distinct()
+    val hm = sh.select(col("doc"), explode(col("shh")).as("h"))
+      .select(col("doc"), (col("h") % MinhashP).as("hm"))
+    val hashCols = (0 until numHashes).map(j =>
+      min((lit(minhashA(j)) * col("hm") + minhashB(j)) % MinhashP).as(s"h$j"))
+    val sig = hm.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
+    val cand = bandedCandidatePairs(sig, numHashes, bands = numHashes)
     cand
       .join(sh.select(col("doc").as("da"), col("shh").as("sha")), "da")
       .join(sh.select(col("doc").as("db"), col("shh").as("shb")), "db")
@@ -145,11 +143,12 @@ object Dedup {
     ex.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band (band hash = md5 of the
-    * band's signature slice), with estimated Jaccard = matching-hash
-    * fraction of the two signatures. */
-  def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+  /** Distinct candidate pairs sharing at least one signature band (band
+    * key = md5 of the band's signature slice, so bucket keys are uniform —
+    * no skew salting needed). `sig` must carry columns h0..h{numHashes-1};
+    * fan-out is exactly `bands` bucket rows per doc. */
+  private[graft] def bandedCandidatePairs(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     val rpb = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
@@ -160,11 +159,19 @@ object Dedup {
     val bl = Par.spread(
       sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
       col("band"), col("bh"))
-    val cand = bl.as("a").join(bl.hint("shuffle_hash").as("b"),
+    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
+  }
+
+  /** LSH candidate pairs: docs sharing any band (band hash = md5 of the
+    * band's signature slice), with estimated Jaccard = matching-hash
+    * fraction of the two signatures. */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = bandedCandidatePairs(sig, numHashes, bands)
     val est = (0 until numHashes)
       .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
       .reduceLeft[Column](_ + _)
@@ -192,23 +199,41 @@ object Dedup {
         .reduceLeft[Column](_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming.
-    *
-    * The pair join is a broadcast nested loop (no equi key); the probe side
-    * is spread to session parallelism so the n²/2 comparisons run on every
-    * core — sh is a groupBy output that AQE would otherwise coalesce to one
-    * partition. At a hamming budget this loose (12/60 bits) band-blocking
-    * prunes almost nothing (P[band match] ≈ 2⁻⁴·⁶ per 13 pigeonhole bands),
-    * so the scale path is a tighter budget + banding, not this operator. */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
-    // Explicit side choice: broadcast the (tiny: doc id + 1 long) build side,
-    // stream the spread side — otherwise the planner may broadcast the wide
-    // side and stream the AQE-coalesced single partition serially.
-    val wide = Par.spread(sh)
-    wide.as("a").join(broadcast(sh).as("b"), col("a.doc") < col("b.doc"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming — EXACT, via
+    * pigeonhole banding: the fingerprint is split into maxHamming+1
+    * contiguous bit bands, and any pair differing in ≤ maxHamming bits must
+    * agree exactly on at least one band (maxHamming differing bits cannot
+    * touch all maxHamming+1 bands), so a per-band equi-join over
+    * (band, band_bits) generates a candidate superset and the exact
+    * hamming filter makes the output identical to the all-pairs join —
+    * with equi-join shapes (shuffle-hash, bucket-parallel) instead of an
+    * O(n²/2) broadcast nested loop. Candidate volume per band is
+    * Σ_bucket size² — worst-case skew is a popular band value, which for
+    * natural corpora concentrates near-dup clusters (the pairs we want
+    * anyway); a production budget tighter than 12/60 bits sharpens the
+    * prune exponentially. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12, bits: Int = 60): DataFrame = {
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBands).map { b =>
+      shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    }
+    // sh is a groupBy output: spread on the join keys — AQE would otherwise
+    // coalesce it to one partition by bytes and serialize the band join.
+    val bl = Par.spread(
+      sh.select(col("doc"), col("simhash"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bv"))),
+      col("band"), col("bv"))
+    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a.doc").as("da"), col("b.doc").as("db"), col("hamming"))
+      .select(col("da"), col("db"), col("hamming"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a

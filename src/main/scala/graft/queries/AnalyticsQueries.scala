@@ -254,17 +254,28 @@ object AnalyticsQueries {
       |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Join-type coverage: semi, anti, and outer-null counts in one result. */
+  /** Join-type coverage: semi, anti, and outer-null counts — ONE job, not
+    * three. A single left-outer join against the distinct order customer
+    * keys yields a has-order flag per customer; semi = flag set, anti =
+    * flag unset, and outer-null ≡ anti (a left-outer row with a null right
+    * side IS a non-matching customer — orders carries no null o_orderkey).
+    * The three counts are one aggregate over that join, then pivoted to
+    * rows driver-free with explode(array(struct…)). */
   def joinTypes(spark: SparkSession, dir: String): DataFrame = {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi").count()
-    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti").count()
-    val outerNull = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
-      .where(col("o_orderkey").isNull).count()
-    import spark.implicits._
-    Seq(("anti", anti), ("outer_null", outerNull), ("semi", semi))
-      .toDF("join_type", "n").orderBy("join_type")
+    val orderKeys = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey")).distinct()
+    customer
+      .join(orderKeys, col("c_custkey") === col("o_custkey"), "left_outer")
+      .agg(
+        coalesce(sum(when(col("o_custkey").isNotNull, 1L)), lit(0L)).as("semi"),
+        coalesce(sum(when(col("o_custkey").isNull, 1L)), lit(0L)).as("anti"))
+      .select(explode(array(
+        struct(lit("anti").as("join_type"), col("anti").as("n")),
+        struct(lit("outer_null").as("join_type"), col("anti").as("n")),
+        struct(lit("semi").as("join_type"), col("semi").as("n")))).as("r"))
+      .select(col("r.join_type"), col("r.n"))
+      .orderBy("join_type")
   }
 
   val joinTypesSql: String =

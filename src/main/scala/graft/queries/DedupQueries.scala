@@ -51,14 +51,15 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY da, db""".stripMargin
 
-  /** Skew-capped n-gram Jaccard — the web-scale variant (hot-shingle df
-    * capped at 100, TRUE Jaccard recomputed on candidates). On corpora
-    * where no qualifying pair shares only hot shingles its output equals
-    * the uncapped operator exactly, so it shares the same DuckDB oracle —
-    * the equality IS the correctness claim for the cap. */
+  /** Banded n-gram Jaccard — the web-scale variant (candidates from 32
+    * single-row MinHash bands, TRUE Jaccard recomputed on candidates with
+    * array_intersect). A qualifying pair (j ≥ 0.5) is missed only if it
+    * disagrees on all 32 minhashes — probability ≤ 2⁻³², corpus-independent
+    * — so its output equals the exact operator's and it shares the same
+    * DuckDB oracle; DedupSpec additionally asserts the equality in-process. */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsCapped(VectorModel.documents(spark, dir),
-      "doc_id", "text", ShingleK, 0.5, maxDocFreq = 100)
+    Dedup.ngramJaccardPairsBanded(VectorModel.documents(spark, dir),
+      "doc_id", "text", ShingleK, 0.5, numHashes = 32)
       .orderBy("da", "db")
 
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */

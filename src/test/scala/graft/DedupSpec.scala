@@ -46,12 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
-  test("skew-capped jaccard equals the uncapped operator on this corpus") {
-    val capped = pairSetWithSim(
-      Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 20))
+  test("banded jaccard equals the uncapped operator on this corpus") {
+    val banded = pairSetWithSim(
+      Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 3, 0.5))
     val full = pairSetWithSim(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
-    assert(capped === full)
+    assert(banded === full)
+  }
+
+  test("banded simhash join is exact (equals all-pairs) and has no nested-loop join") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").cache()
+    val banded = Dedup.simhashPairs(sh, 12)
+    val allPairs = sh.as("a")
+      .join(org.apache.spark.sql.functions.broadcast(sh).as("b"),
+        org.apache.spark.sql.functions.col("a.doc") < org.apache.spark.sql.functions.col("b.doc"))
+      .select(
+        org.apache.spark.sql.functions.col("a.doc").as("da"),
+        org.apache.spark.sql.functions.col("b.doc").as("db"),
+        org.apache.spark.sql.functions.bit_count(
+          org.apache.spark.sql.functions.col("a.simhash")
+            .bitwiseXOR(org.apache.spark.sql.functions.col("b.simhash"))).cast("long").as("hamming"))
+      .where(org.apache.spark.sql.functions.col("hamming") <= 12)
+    def hset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hset(banded) === hset(allPairs))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"banded simhash plan has a nested loop join:\n$plan")
   }
 
   private def pairSetWithSim(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
