@@ -61,18 +61,23 @@ object ApproxQueries {
     * Spark-native inverted list. Layout is memoized per dataset dir, like
     * a real index lifecycle. */
   def ivfStoredTopK(spark: SparkSession, dir: String): DataFrame = {
-    val layout = ivfLayoutCache.computeIfAbsent(dir, _ => {
+    val (path, model) = ivfLayout(spark, dir)
+    val clustered = spark.read.parquet(path)
+    Ivf.search(clustered, model, VectorModel.Query, 10)
+      .select("id", "sim", "cluster_id")
+  }
+
+  /** Build-once/serve-many: fit + write of the cluster-partitioned layout,
+    * memoized per dataset dir. Exposed so Bench can run it as an explicit
+    * timed build step — serving queries then time serving only. */
+  private[graft] def ivfLayout(spark: SparkSession, dir: String): (String, Ivf.IvfModel) =
+    ivfLayoutCache.computeIfAbsent(dir, _ => {
       val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, dir))
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_layout").toString
       Ivf.saveClustered(assigned, path)
       (path, model)
     })
-    val (path, model) = layout
-    val clustered = spark.read.parquet(path)
-    Ivf.search(clustered, model, VectorModel.Query, 10)
-      .select("id", "sim", "cluster_id")
-  }
 
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
@@ -96,14 +101,17 @@ object ApproxQueries {
     * the graph structure round-trips through parquet and searches restore
     * in O(nodes+edges) with results identical to a fresh build
     * (RecallSpec). Layout memoized per dataset dir. */
-  def hnswStoredTopK(spark: SparkSession, dir: String): DataFrame = {
-    val path = hnswLayoutCache.computeIfAbsent(dir, _ => {
+  def hnswStoredTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.index.HnswStore.topK(spark, hnswLayout(spark, dir), VectorModel.Query, 10)
+
+  /** Build-once/serve-many graph persistence, memoized per dataset dir;
+    * exposed as a Bench build step (see [[ivfLayout]]). */
+  private[graft] def hnswLayout(spark: SparkSession, dir: String): String =
+    hnswLayoutCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_hnsw_layout").toString
       graft.index.HnswStore.save(VectorModel.lineitemVectors(spark, dir), s"$p/g")
       s"$p/g"
     })
-    graft.index.HnswStore.topK(spark, path, VectorModel.Query, 10)
-  }
 
   private val hnswLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

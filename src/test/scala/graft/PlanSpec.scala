@@ -100,6 +100,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vq_get_by_id serves from the sorted layout with a pushed id filter") {
+    val df = graft.queries.VectorQueries.getById(spark, Sf0001)
+    val p = plan(df)
+    assert(p.contains("EqualTo(id,"),
+      "point lookup must push the id equality into the scan:\n" + p.take(3000))
+    assert(!p.contains("TakeOrderedAndProject"),
+      "point lookup must not sort-scan the table:\n" + p.take(3000))
+  }
+
   test("whole-stage codegen covers the similarity expression") {
     val df = VectorSearch.bruteForceTopK(
       VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)
