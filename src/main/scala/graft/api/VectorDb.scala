@@ -51,18 +51,19 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   // (silently wrong IVF rows, vervectordb/__init__.py:324-335)
   private def invalidateIndexes(): Unit = {
     ivf = None
+    ivfSnap.foreach(_.unpersist())
+    ivfSnap = None
     dropOwnedHnsw()
     hnswPath = None
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   private def dropOwnedHnsw(): Unit =
-    if (hnswOwned) hnswPath.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(new java.io.File(p).getParentFile)
-    }
+    if (hnswOwned) hnswPath.foreach(p => rmTree(new java.io.File(p).getParentFile))
 
   /** W1 `insert` — returns the new id. */
   def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
@@ -201,6 +202,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     ProductQuantizer.decodeDf(encoded, q)
   }
 
+  /** Previous save's cached snapshots, unpersisted once the next save's
+    * snapshot is durable — repeated mutate/save cycles hold at most one
+    * cached copy each of data and IVF assignments. */
+  private var dataSnap: Option[DataFrame] = None
+  private var ivfSnap: Option[DataFrame] = None
+
   /** W10 `save`: data Parquet + small model sidecars (centroids, codebooks
     * as tiny Parquet tables; next-id as a 1-row table).
     *
@@ -208,38 +215,62 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * cache first, so saving a loaded instance back onto its own directory
     * does not read-while-overwriting. (A production deployment would
     * write-to-temp-and-swap instead — cache eviction during the write
-    * would fall back to the deleted files.) */
+    * would fall back to the deleted files.)
+    *
+    * Sidecars whose in-memory state is ABSENT are deleted from the target:
+    * after load → mutate (which invalidates indexes) → save onto the same
+    * directory, a surviving `$path/hnsw`/`ivf_*`/`pq_codebooks` would be
+    * resurrected by the next load and silently serve deleted or stale
+    * rows — the exact W3/W4 staleness bug this class exists to fix. */
   def save(path: String): Unit = {
-    data = data.cache()
-    data.count()
+    val snap = data.cache()
+    snap.count()
+    data = snap
     VectorStore.save(data, s"$path/data")
     spark.createDataFrame(Seq(Tuple1(nextId))).toDF("next_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    ivf.foreach { case (assigned, model) =>
-      val snap = assigned.cache()
-      snap.count()
-      ivf = Some((snap, model))
-      Ivf.saveClustered(snap, s"$path/ivf_data")
-      spark.createDataFrame(model.centroids.toSeq.zipWithIndex.map {
-        case (c, i) => (i, c.toSeq)
-      }).toDF("cluster_id", "centroid")
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids")
+    ivf match {
+      case Some((assigned, model)) =>
+        val isnap = assigned.cache()
+        isnap.count()
+        ivf = Some((isnap, model))
+        Ivf.saveClustered(isnap, s"$path/ivf_data")
+        spark.createDataFrame(model.centroids.toSeq.zipWithIndex.map {
+          case (c, i) => (i, c.toSeq)
+        }).toDF("cluster_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/ivf_centroids")
+        ivfSnap.filter(_ ne isnap).foreach(_.unpersist())
+        ivfSnap = Some(isnap)
+      case None =>
+        rmTree(new java.io.File(s"$path/ivf_data"))
+        rmTree(new java.io.File(s"$path/ivf_centroids"))
+        ivfSnap.foreach(_.unpersist())
+        ivfSnap = None
     }
-    pq.foreach { q =>
-      val rows = for {
-        s <- 0 until q.m
-        c <- 0 until q.k
-      } yield (s, c, q.codebooks(s)(c).toSeq)
-      spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
+    pq match {
+      case Some(q) =>
+        val rows = for {
+          s <- 0 until q.m
+          c <- 0 until q.k
+        } yield (s, c, q.codebooks(s)(c).toSeq)
+        spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
+      case None =>
+        rmTree(new java.io.File(s"$path/pq_codebooks"))
     }
-    hnswPath.filter(_ != s"$path/hnsw").foreach { p =>
-      // cluster by the partition column first (one file per graph shard,
-      // not tasks × shards — same fix as Ivf.saveClustered)
-      spark.read.parquet(p).repartition(col("part"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("part").parquet(s"$path/hnsw")
+    hnswPath match {
+      case Some(p) if p != s"$path/hnsw" =>
+        // cluster by the partition column first (one file per graph shard,
+        // not tasks × shards — same fix as Ivf.saveClustered)
+        spark.read.parquet(p).repartition(col("part"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("part").parquet(s"$path/hnsw")
+      case Some(_) => // already persisted in place
+      case None =>
+        rmTree(new java.io.File(s"$path/hnsw"))
     }
+    dataSnap.filter(_ ne snap).foreach(_.unpersist())
+    dataSnap = Some(snap)
   }
 }
 

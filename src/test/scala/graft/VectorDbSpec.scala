@@ -135,6 +135,32 @@ class VectorDbSpec extends SparkSpec {
     assert(again.compress().count() === 40)
   }
 
+  test("save after an index-invalidating write deletes stale sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_stale").toString
+    val db = freshDb(50)
+    db.buildIvfIndex(k = 4)
+    db.buildHnswIndex(numPartitions = 4)
+    db.trainPq(m = 4)
+    db.save(s"$dir/db")
+    val back = VectorDb.load(spark, s"$dir/db", 8)
+    back.delete(0L)
+    back.save(s"$dir/db") // indexes invalidated: sidecars must not survive
+    assert(!new java.io.File(s"$dir/db/hnsw").exists(), "stale hnsw sidecar survived save")
+    assert(!new java.io.File(s"$dir/db/ivf_data").exists(), "stale ivf_data survived save")
+    assert(!new java.io.File(s"$dir/db/ivf_centroids").exists(), "stale ivf_centroids survived save")
+    // PQ is a trained quantizer, not row-level state: it survives writes
+    // (in-memory state present, so save rewrites the sidecar fresh)
+    assert(new java.io.File(s"$dir/db/pq_codebooks").exists())
+    val again = VectorDb.load(spark, s"$dir/db", 8)
+    assert(again.count() === 49)
+    assert(again.compress().count() === 49)
+    val q = Seq.fill(8)(5.0)
+    // hnsw falls back to a fresh build over live data — deleted id never returned
+    assert(!again.hnswSearch(q, 49).collect().map(_.getLong(0)).contains(0L))
+    // ivf is absent, not stale: searching without a rebuild must raise
+    intercept[IllegalStateException](again.ivfSearch(q, 5))
+  }
+
   test("writes invalidate the persisted hnsw index (stale-index fix)") {
     val db = freshDb(60)
     db.buildHnswIndex(numPartitions = 4)
