@@ -140,21 +140,44 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     hnswOwned = true
   }
 
+  /** Candidate overfetch factor for post-filtered search over a persisted
+    * graph (the reference's `top_k*3`, vervectordb/__init__.py:386). */
+  private val FilterOverfetch = 3
+
   /** S2 `hnsw_search`: over the persisted graphs when [[buildHnswIndex]]
     * was called (and no write invalidated it), else a fresh per-partition
     * build. With a persisted index, its build-time partitioning and graph
     * parameters govern the answer and this method's `numPartitions`
     * argument is ignored (identical to a fresh build only when the
     * arguments match the build-time values — RecallSpec covers the
-    * matching case). */
+    * matching case).
+    *
+    * `filter` (reference `filter_func`, `:379-409`): a fresh build filters
+    * FIRST (graphs over exactly the qualifying rows — exact filter
+    * semantics); a persisted graph can't pre-filter, so its candidates are
+    * overfetched topK×3 and post-filtered via a join back to the data —
+    * the reference's own semantics, which can return fewer than topK rows
+    * under a selective filter. */
   def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
-      numPartitions: Int = 8): DataFrame = {
+      numPartitions: Int = 8, filter: Option[Column] = None): DataFrame = {
     checkDim(query)
     hnswPath match {
       case Some(p) =>
-        graft.index.HnswStore.topK(spark, p, query, topK, efSearch = efSearch)
+        val fetchK = filter.fold(topK)(_ => topK * FilterOverfetch)
+        val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,
+          efSearch = math.max(efSearch, 2 * fetchK))
+        filter match {
+          case None => cand
+          case Some(f) =>
+            data.join(broadcast(cand), "id")
+              .where(f)
+              .orderBy(col("sim").desc, col("id").asc)
+              .limit(topK)
+              .select("id", "sim")
+        }
       case None =>
-        Hnsw.hnswTopK(data, query, topK, efSearch = efSearch, numPartitions = numPartitions)
+        Hnsw.hnswTopK(data, query, topK, efSearch = efSearch,
+          numPartitions = numPartitions, filter = filter)
     }
   }
 
@@ -171,19 +194,36 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     }
     method match {
       case "ivf" => ivfSearch(query, topK, pred)
+      case "hnsw" => hnswSearch(query, topK, filter = pred)
       case _ => bruteForceSearch(query, topK, pred)
     }
   }
 
-  /** S4 `batch_search`: one distributed job for the whole query set. */
-  def batchSearch(queries: Seq[Seq[Double]], topK: Int = 5): DataFrame = {
+  /** S4 `batch_search` with method dispatch (reference `:517-536`, which
+    * loops queries serially per method): every method here runs ONE
+    * distributed job for the whole query set and returns the same
+    * (query_id, id, sim, rn) shape — brute = broadcast join + k-bounded
+    * aggregator; hnsw = per-partition graphs built once for the batch;
+    * ivf = probe-cluster equi-join ([[Ivf.batchSearch]]). */
+  def batchSearch(queries: Seq[Seq[Double]], topK: Int = 5,
+      method: String = "brute_force", efSearch: Int = 128): DataFrame = {
     queries.foreach(checkDim)
-    val qdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
-      StructType(Seq(
-        StructField("query_id", LongType, nullable = false),
-        StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
-    VectorSearch.batchTopK(data, qdf, dim, topK)
+    lazy val indexed = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    method match {
+      case "hnsw" =>
+        Hnsw.hnswBatchTopK(data, indexed, topK, efSearch = efSearch)
+      case "ivf" =>
+        val (assigned, model) = ivf.getOrElse(
+          throw new IllegalStateException("IVF index not built"))
+        Ivf.batchSearch(assigned, model, indexed, topK)
+      case _ =>
+        val qdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+        VectorSearch.batchTopK(data, qdf, dim, topK)
+    }
   }
 
   /** W7 `train_pq`. */

@@ -37,12 +37,19 @@ object Hnsw {
     * hold with these defaults. */
   def hnswTopK(df: DataFrame, query: Seq[Double], k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
-      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id")
+      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id",
+      filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val q = query.toArray
-    val prepared = df
+    // Filter-first: a fresh per-query build searches graphs over exactly
+    // the qualifying rows — exact filter semantics, smaller graphs — the
+    // same strictly-better deviation from the reference's overfetch-then-
+    // post-filter (vervectordb/__init__.py:388-407) as S1/S3 (SURVEY.md §2
+    // overfetch note). Persisted graphs can't pre-filter; their filtered
+    // path overfetches + post-filters at the facade (VectorDb.hnswSearch).
+    val prepared = filter.foldLeft(df)((d, f) => d.where(f))
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .repartition(numPartitions, col(idCol))
       .sortWithinPartitions(idCol)

@@ -184,4 +184,36 @@ object Ivf {
     val pruned = assigned.where(col("cluster_id").isin(probes: _*))
     VectorSearch.bruteForceTopK(pruned, query, topK, filter, vecCol, idCol)
   }
+
+  /** S4 with method=ivf (vervectordb/__init__.py:532-534, which the
+    * reference loops serially): ONE distributed job for the whole query
+    * set. Each query's probe clusters are computed driver-side (tiny
+    * centroid model), exploded to (query_id, cluster_id, qvec) rows, and
+    * equi-joined to the assigned table on cluster_id — so every query
+    * scans only its probed clusters (partition pruning when `assigned` is
+    * the persisted clustered layout), and ranking is the k-bounded
+    * aggregator, shuffling at most k rows per (query, task). */
+  def batchSearch(assigned: DataFrame, model: IvfModel,
+      queries: Seq[(Long, Seq[Double])], topK: Int,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = assigned.sparkSession
+    val nProbes = math.max(model.k / 2, 8)
+    val probeRows = queries.flatMap { case (qid, q) =>
+      model.probeClusters(q, nProbes).map(c => Row(qid, c, q))
+    }
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val joined = graft.operators.Par.widen(assigned)
+      .join(broadcast(qdf), "cluster_id")
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
+      .withColumnRenamed("id", idCol)
+  }
 }

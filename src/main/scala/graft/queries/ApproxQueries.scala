@@ -116,6 +116,21 @@ object ApproxQueries {
   private val hnswLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** S4 with method=ivf over the persisted clustered layout: the whole
+    * query batch in one job, each query scanning only its probed cluster
+    * partitions ([[Ivf.batchSearch]]). */
+  def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfLayout(spark, dir)
+    val clustered = spark.read.parquet(path)
+    val queries = VectorModel.partQueries(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    Ivf.batchSearch(clustered, model, queries, 3)
+      .orderBy("query_id", "rn")
+  }
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -150,6 +165,7 @@ object ApproxQueries {
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
+    "vq_ivf_batch_topk" -> (ivfBatchTopK _),
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
     "vq_hnsw_stored_topk" -> (hnswStoredTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),

@@ -92,6 +92,38 @@ class RecallSpec extends SparkSpec {
     assert(batch === single)
   }
 
+  test("filtered HNSW (fresh build, filter-first) recall >= 0.8 vs filtered brute") {
+    val f = Some(col("category") === "R")
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10, f)
+    val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10,
+      numPartitions = 8, filter = f)
+    // filter-first: every returned row satisfies the predicate exactly
+    val cats = approx.join(lineVecs.select("id", "category"), "id")
+      .select("category").collect().map(_.getString(0))
+    assert(cats.nonEmpty && cats.forall(_ == "R"))
+    val r = Recall.recallAtK(exact, approx, "id")
+    info(s"filtered HNSW recall@10 = $r")
+    assert(r >= 0.8)
+  }
+
+  test("IVF batch equals per-query IVF search result") {
+    val (assigned, model) = Ivf.fit(lineVecs)
+    val queries = (0 until 3).map { s =>
+      (s.toLong, Seq(25.0 + s, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s))
+    }
+    val batch = Ivf.batchSearch(assigned, model, queries, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val single = queries.flatMap { case (qid, q) =>
+      Ivf.search(assigned, model, q, 5)
+        .select("id", "sim").collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(batch === single)
+    assert(batch.nonEmpty)
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)

@@ -53,6 +53,45 @@ class VectorDbSpec extends SparkSpec {
     })
   }
 
+  test("filtered search dispatches to hnsw (persisted and fresh) with filter semantics") {
+    val db = freshDb(120)
+    val q = Seq.fill(8)(5.0)
+    def assertFiltered(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(rows.nonEmpty)
+      val ids = rows.map(_.getLong(0)).toSet
+      // category == "0" ids are exactly those with i % 3 == 0
+      assert(ids.forall(_ % 3 == 0), s"non-matching ids returned: $ids")
+    }
+    val pred = Some(element_at(col("metadata"), "category") === "0")
+    // fresh build: filter-first, exact semantics
+    assertFiltered(db.filteredSearch(q, 10, metadataFilter = pred, method = "hnsw").collect())
+    // persisted graph: overfetch + post-filter
+    db.buildHnswIndex(numPartitions = 4)
+    assertFiltered(db.filteredSearch(q, 10, metadataFilter = pred, method = "hnsw").collect())
+  }
+
+  test("batch search dispatches per method; every method covers every query") {
+    val db = freshDb(150)
+    db.buildIvfIndex(k = 4)
+    val qs = (0 until 4).map(s => Seq.tabulate(8)(i => (i + s + 1).toDouble))
+    val brute = db.batchSearch(qs, 5).collect()
+    val hnsw = db.batchSearch(qs, 5, method = "hnsw").collect()
+    val ivf = db.batchSearch(qs, 5, method = "ivf").collect()
+    for ((res, name) <- Seq((brute, "brute"), (hnsw, "hnsw"), (ivf, "ivf"))) {
+      val byQuery = res.groupBy(_.getLong(0))
+      assert(byQuery.keySet === qs.indices.map(_.toLong).toSet, s"$name missed a query")
+      assert(res.forall(_.schema.fieldNames.toSeq == Seq("query_id", "id", "sim", "rn")),
+        s"$name returns a different shape")
+      byQuery.values.foreach(rows => assert(rows.length === 5, s"$name row count"))
+    }
+    // approximate methods recover most of the exact per-query answers
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = keys(brute)
+    assert(keys(hnsw).intersect(b).size >= (b.size * 0.8).toInt, "hnsw batch recall")
+    assert(keys(ivf).intersect(b).size >= (b.size * 0.5).toInt, "ivf batch recall")
+  }
+
   test("update and delete are copy-on-write and index-invalidating") {
     val db = freshDb(30)
     db.buildIvfIndex(k = 4)
