@@ -64,30 +64,45 @@ object Ivf {
   /** W6: fit k-means on a bounded driver-side sample, assign distributed.
     *
     * The fit mirrors the reference (sklearn KMeans on the in-memory matrix,
-    * vervectordb/__init__.py:416-418): the sample (≤ [[FitSampleRows]],
-    * deterministic hash-mod, sorted by id so centroids are independent of
-    * partitioning) is collected and Lloyd's runs at memory speed with
-    * seeded k-means++ init. A distributed MLlib KMeans here would spend
-    * ~25 scheduler round-trips (k-means|| init passes + one job per
-    * iteration) to fit 16 centroids on a sample that fits in single-digit
-    * MB — the cluster is for the ASSIGNMENT pass over the full table, which
-    * stays distributed (broadcast centroids, one narrow map). */
+    * vervectordb/__init__.py:416-418): the sample is collected and Lloyd's
+    * runs at memory speed with seeded k-means++ init. A distributed MLlib
+    * KMeans here would spend ~25 scheduler round-trips (k-means|| init
+    * passes + one job per iteration) to fit 16 centroids on a sample that
+    * fits in single-digit MB — the cluster is for the ASSIGNMENT pass over
+    * the full table, which stays distributed (broadcast centroids, one
+    * narrow map).
+    *
+    * Sampling is ONE pass, no count(): rows get a deterministic
+    * pseudo-random priority (hash of the id) and the ≤ [[FitSampleRows]]
+    * smallest are taken — orderBy+limit plans as TakeOrderedAndProject
+    * (bounded per-partition heap + driver merge, no full sort). The
+    * priority is a pure function of the id, so the sample — and therefore
+    * the centroids — is independent of partitioning and executor count.
+    * The previous exact count() pre-pass existed only to size a hash-mod;
+    * at 100 TB that was a full scan for one scalar. */
   def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10, idCol: String = "id"): (DataFrame, IvfModel) = {
     val wide = graft.operators.Par.widen(df)
-    val n = df.count()
-    val sampleMod = math.max(1L, n / FitSampleRows)
     val sample = df
-      .where(pmod(hash(col(idCol)), lit(sampleMod)) === 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(hash(col(idCol)), col(idCol))
+      .limit(FitSampleRows)
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
     val centroids = lloyd(sample, k, seed, maxIter)
     val model = IvfModel(centroids)
+    (assign(wide, model, vecCol), model)
+  }
+
+  /** Assign-only pass: label rows with the nearest centroid of an EXISTING
+    * model — one narrow map, no fit. This is the incremental-maintenance
+    * path: micro-batches of new rows are assigned with the current
+    * centroids and appended to the clustered layout; refit is a separate,
+    * infrequent decision (on measured drift), not a per-write cost. */
+  def assign(df: DataFrame, model: IvfModel, vecCol: String = "vector"): DataFrame = {
     val assignUdf = udf((v: Seq[Double]) => model.nearestCentroid(v))
-    val assigned = wide.withColumn("cluster_id", assignUdf(col(vecCol)))
-    (assigned, model)
+    df.withColumn("cluster_id", assignUdf(col(vecCol)))
   }
 
   /** Seeded k-means++ init + Lloyd's iterations, driver-local. Empty

@@ -119,15 +119,11 @@ object StreamingIngest {
       .select(col("error_id"), col("event_id"), col("user_id"), col("value"))
   }
 
-  /** Streaming ingest with per-batch index refresh — the analog of the
-    * reference's incremental HNSW maintenance on insert
-    * (vervectordb/__init__.py:264-265): each micro-batch appends to the
-    * vector table and rewrites the cluster-partitioned IVF layout over the
-    * full table, so searches against `indexPath` always see a consistent
-    * index covering every ingested row. At scale the refresh would be
-    * incremental (assign new rows with the existing centroids; re-fit
-    * centroids on drift), which `graft.index.Ivf` supports by construction
-    * (fit and assign are separate passes). */
+  /** Streaming ingest with per-batch FULL index refresh — each micro-batch
+    * appends to the vector table and rewrites the cluster-partitioned IVF
+    * layout over the whole table. Simple and always-consistent, but the
+    * refit cost grows with the table: at scale use
+    * [[ingestWithIvfAssign]] (incremental) and refit only on drift. */
   def ingestWithIvfRefresh(stream: DataFrame, tablePath: String, indexPath: String,
       checkpoint: String, vecCol: String, idCol: String): StreamingQuery =
     stream.writeStream
@@ -136,6 +132,29 @@ object StreamingIngest {
         val all = batch.sparkSession.read.parquet(tablePath)
         val (assigned, _) = graft.index.Ivf.fit(all, vecCol, k = 4, idCol = idCol)
         graft.index.Ivf.saveClustered(assigned, indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming ingest with INCREMENTAL index maintenance — the scale path,
+    * and the true analog of the reference's incremental HNSW insert
+    * (vervectordb/__init__.py:264-265): each micro-batch is assigned to
+    * the EXISTING centroids (one narrow map — per-batch cost is O(batch),
+    * not O(table)) and appended into the cluster-partitioned layout, so
+    * the index stays consistent and searchable without ever touching old
+    * rows. Centroids only drift meaningfully when the data distribution
+    * does; a deployment refits on a drift signal (e.g. mean
+    * assignment distance trending up) and rewrites the layout once —
+    * [[graft.index.Ivf.fit]]/[[graft.index.Ivf.assign]] are already the
+    * split passes that supports. Small per-batch files are the standard
+    * streaming-sink tradeoff, compacted offline. */
+  def ingestWithIvfAssign(stream: DataFrame, indexPath: String, checkpoint: String,
+      vecCol: String, model: graft.index.Ivf.IvfModel): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.index.Ivf.assign(batch, model, vecCol)
+          .write.mode("append").partitionBy("cluster_id").parquet(indexPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -98,6 +98,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental IVF ingest: assign-only batches equal a batch assignment") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfassign").toString
+    val vecs = graft.model.VectorModel.lineitemVectors(spark, Sf0001)
+      .select("id", "vector").orderBy("id").limit(400).cache()
+    // fit once on the "historical" first half — the deployed model
+    val (_, model) = graft.index.Ivf.fit(vecs.limit(200), k = 4)
+    vecs.limit(200).coalesce(1).write.parquet(s"$base/in/b0")
+    vecs.orderBy(col("id").desc).limit(200).coalesce(1).write.parquet(s"$base/in/b1")
+    val stream = spark.readStream
+      .schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.ingestWithIvfAssign(stream,
+      s"$base/index", s"$base/ckpt", "vector", model)
+    try {
+      q.awaitTermination(120000)
+      val indexed = spark.read.parquet(s"$base/index")
+      assert(indexed.count() === 400, "index must cover both micro-batches")
+      // assign-only output is IDENTICAL to one batch assignment pass with
+      // the same centroids — incremental maintenance loses nothing
+      val streamed = indexed.select("id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batch = graft.index.Ivf.assign(vecs, model)
+        .select("id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups ids across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ddww").toString
     val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
