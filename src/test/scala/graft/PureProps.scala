@@ -59,7 +59,11 @@ object PureProps extends Properties("graft.pure") {
       val vecs = Array.fill(n)(Array.fill(dim)(rng.nextDouble() + 0.1))
       vecs.zipWithIndex.foreach { case (v, i) => idx.insert(i.toLong, v) }
       val probe = rng.nextInt(n)
-      val top = idx.search(vecs(probe), 1, 32)
+      // ef >= n: the beam never prunes, so search exhausts the connected
+      // graph (inserts link bidirectionally, so it IS connected) and the
+      // self-match cannot be approximated away — with a small ef this
+      // property is only probabilistic and flaked rarely in full runs
+      val top = idx.search(vecs(probe), 1, math.max(n, 32))
       // cosine ties are possible in principle but not with continuous data
       top.nonEmpty && top.head._2 >= 0.9999999
     }
