@@ -16,9 +16,12 @@ import graft.store.VectorStore
   * State is a versioned immutable DataFrame
   * (id LONG, vector ARRAY<DOUBLE>, metadata MAP<STRING,STRING>) plus small
   * driver-side models (IVF centroids, PQ codebooks). Mutations are
-  * copy-on-write; unlike the reference — whose delete leaves stale IVF row
-  * indices that silently return wrong rows (`:324-335`, SURVEY.md §2 W4) —
-  * any write invalidates the derived indexes here, forcing a rebuild.
+  * copy-on-write and indexes are maintained INCREMENTALLY — the
+  * reference's insert-maintains-HNSW semantics (`:264-265`) without its
+  * staleness bugs (delete leaves stale IVF row indices that silently
+  * return wrong rows, `:324-335`, SURVEY.md §2 W4): IVF re-assigns live
+  * rows with the existing centroids, and HNSW serves through a
+  * delta-merge (see [[refreshIndexesOnWrite]]).
   *
   * Ids are deterministic sequence numbers rather than uuid4 (`:251`) —
   * reproducible and oracle-testable (SURVEY.md §7).
@@ -39,6 +42,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   /** True when hnswPath is a temp dir this instance created (deletable);
     * false when it points into a loaded save directory. */
   private var hnswOwned: Boolean = false
+  /** Ids below this watermark are covered by the persisted graph; ids at or
+    * above it were inserted after the build and live in the DELTA region,
+    * searched exactly and merged with graph candidates (ids are sequence
+    * numbers, so the watermark is just the build-time nextId). */
+  private var hnswCoveredUpTo: Long = 0L
+  /** Set by update/delete: graph-covered rows may have changed, so serving
+    * switches to the merge path (candidates re-scored against live rows —
+    * deleted ids drop out, updated vectors re-score). */
+  private var hnswMutated: Boolean = false
 
   def count(): Long = data.count()
   def toDf: DataFrame = data
@@ -47,14 +59,25 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     require(v.length == dim,
       s"vector dimension mismatch: expected $dim, got ${v.length}") // reference :243-245
 
-  // W3/W4 semantics fix: the reference leaves indexes stale after writes
-  // (silently wrong IVF rows, vervectordb/__init__.py:324-335)
-  private def invalidateIndexes(): Unit = {
-    ivf = None
+  /** Incremental index maintenance on write — the reference's
+    * `insert`-maintains-HNSW semantics (vervectordb/__init__.py:264-265)
+    * without its staleness bugs (stale IVF row indices silently return
+    * wrong rows after delete, `:324-335`):
+    *  - IVF: assignment is a pure function of (row, centroids), so the
+    *    assigned view is re-derived from LIVE data with the existing
+    *    centroids — one lazy narrow map, no refit, staleness impossible.
+    *  - HNSW: the persisted graph is kept. Inserts land in the delta
+    *    region above [[hnswCoveredUpTo]] (searched exactly, merged at
+    *    query time); update/delete flips [[hnswMutated]] so candidates
+    *    are re-scored against live rows. A deployment rebuilds
+    *    ([[buildHnswIndex]]) when the delta fraction makes merge serving
+    *    slower than a rebuild — the compaction decision, not a per-write
+    *    cost. */
+  private def refreshIndexesOnWrite(mutated: Boolean): Unit = {
+    ivf = ivf.map { case (_, model) => (Ivf.assign(data, model), model) }
     ivfSnap.foreach(_.unpersist())
     ivfSnap = None
-    dropOwnedHnsw()
-    hnswPath = None
+    if (mutated) hnswMutated = true
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -79,7 +102,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
       schema)
     data = VectorStore.insert(data, newRows, dim)
     nextId += rows.length
-    invalidateIndexes()
+    refreshIndexesOnWrite(mutated = false)
     ids
   }
 
@@ -99,13 +122,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
         metadata.map(m => "metadata" ->
           map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*).cast("map<string,string>")).toMap
     data = VectorStore.update(data, col("id") === id, assignments)
-    invalidateIndexes()
+    refreshIndexesOnWrite(mutated = true)
   }
 
   /** W4 `delete`. */
   def delete(id: Long): Unit = {
     data = VectorStore.delete(data, col("id") === id)
-    invalidateIndexes()
+    refreshIndexesOnWrite(mutated = true)
   }
 
   /** S1 `brute_force_search`: exact top-k (filter-first, SURVEY.md §2). */
@@ -138,6 +161,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     graft.index.HnswStore.save(data, p, numPartitions = numPartitions)
     hnswPath = Some(p)
     hnswOwned = true
+    hnswCoveredUpTo = nextId
+    hnswMutated = false
   }
 
   /** Candidate overfetch factor for post-filtered search over a persisted
@@ -157,12 +182,21 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * semantics); a persisted graph can't pre-filter, so its candidates are
     * overfetched topK×3 and post-filtered via a join back to the data —
     * the reference's own semantics, which can return fewer than topK rows
-    * under a selective filter. */
+    * under a selective filter.
+    *
+    * After writes the index serves INCREMENTALLY (see
+    * [[refreshIndexesOnWrite]]): graph candidates are re-scored against
+    * live rows and merged with an exact search over the delta region —
+    * inserted rows are found, deleted rows never return, updated vectors
+    * score with their live values (a heavily-updated vector the graph
+    * routes poorly toward is the documented recall cost; rebuild to
+    * recover it). */
   def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
       numPartitions: Int = 8, filter: Option[Column] = None): DataFrame = {
     checkDim(query)
     hnswPath match {
-      case Some(p) =>
+      case Some(p) if !hnswMutated && hnswCoveredUpTo == nextId =>
+        // clean index covering every row: serve straight from the graph
         val fetchK = filter.fold(topK)(_ => topK * FilterOverfetch)
         val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,
           efSearch = math.max(efSearch, 2 * fetchK))
@@ -175,10 +209,37 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
               .limit(topK)
               .select("id", "sim")
         }
+      case Some(p) =>
+        hnswMergeSearch(p, query, topK, efSearch, filter)
       case None =>
         Hnsw.hnswTopK(data, query, topK, efSearch = efSearch,
           numPartitions = numPartitions, filter = filter)
     }
+  }
+
+  /** Incremental serving over a written-to index: graph candidates
+    * (overfetched topK×3) inner-join LIVE data — deleted ids drop, and
+    * similarity is recomputed from live vectors so updates score
+    * correctly — then merge with an exact brute-force pass over the
+    * delta region (ids the graph has never seen). Both branches are
+    * k-bounded; the join is a broadcast of ≤ 3k candidate ids. */
+  private def hnswMergeSearch(path: String, query: Seq[Double], topK: Int,
+      efSearch: Int, filter: Option[Column]): DataFrame = {
+    val fetchK = topK * FilterOverfetch
+    val cand = graft.index.HnswStore.topK(spark, path, query, fetchK,
+      efSearch = math.max(efSearch, 2 * fetchK))
+    def score(df: DataFrame): DataFrame = {
+      val base = filter.foldLeft(df)((d, f) => d.where(f))
+      base.withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineConst(col("vector"), query), 6))
+        .select("id", "sim")
+    }
+    // graph-covered candidates re-scored against live rows ∪ exact delta;
+    // the regions are disjoint (graph holds only ids < hnswCoveredUpTo)
+    score(data.join(broadcast(cand.select("id")), "id"))
+      .union(score(data.where(col("id") >= hnswCoveredUpTo)))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(topK)
   }
 
   /** S5 `filtered_search`: keyword OR-substring over a metadata key, AND an
@@ -267,7 +328,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     snap.count()
     data = snap
     VectorStore.save(data, s"$path/data")
-    spark.createDataFrame(Seq(Tuple1(nextId))).toDF("next_id")
+    spark.createDataFrame(Seq((nextId, hnswCoveredUpTo, hnswMutated)))
+      .toDF("next_id", "hnsw_covered_up_to", "hnsw_mutated")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     ivf match {
       case Some((assigned, model)) =>
@@ -320,7 +382,10 @@ object VectorDb {
   def load(spark: SparkSession, path: String, dim: Int): VectorDb = {
     val db = new VectorDb(spark, dim)
     db.data = VectorStore.load(spark, s"$path/data")
-    db.nextId = spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    db.nextId = meta.getLong(0)
+    db.hnswCoveredUpTo = meta.getLong(1)
+    db.hnswMutated = meta.getBoolean(2)
     val fs = new java.io.File(s"$path/ivf_centroids")
     if (fs.exists()) {
       val centroids = spark.read.parquet(s"$path/ivf_centroids")

@@ -92,7 +92,7 @@ class VectorDbSpec extends SparkSpec {
     assert(keys(ivf).intersect(b).size >= (b.size * 0.5).toInt, "ivf batch recall")
   }
 
-  test("update and delete are copy-on-write and index-invalidating") {
+  test("update and delete are copy-on-write with incremental IVF maintenance") {
     val db = freshDb(30)
     db.buildIvfIndex(k = 4)
     db.update(0L, metadata = Some(Map("text" -> "updated", "category" -> "9")))
@@ -100,10 +100,16 @@ class VectorDbSpec extends SparkSpec {
     db.delete(1L)
     assert(db.count() === 29)
     assert(db.getById(1L).isEmpty)
-    // stale-index bug fixed by construction: post-write IVF search requires rebuild
-    intercept[IllegalStateException] { db.ivfSearch(Seq.fill(8)(1.0)) }
-    db.buildIvfIndex(k = 4)
-    assert(db.ivfSearch(Seq.fill(8)(1.0), 5).count() === 5)
+    // incremental maintenance: the index re-assigns LIVE rows with the
+    // existing centroids — no rebuild needed, deleted id never returned
+    // (the reference's stale inverted lists return wrong rows, :324-335)
+    val ids = db.ivfSearch(Seq.fill(8)(1.0), 29).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L))
+    assert(ids.nonEmpty)
+    // a newly inserted row is immediately searchable through the index
+    val newId = db.insert(Seq.fill(8)(1.0))
+    val again = db.ivfSearch(Seq.fill(8)(1.0), 5).collect().map(_.getLong(0)).toSet
+    assert(again.contains(newId), "inserted row must be index-visible")
   }
 
   test("batch search covers every query with k rows each") {
@@ -174,7 +180,11 @@ class VectorDbSpec extends SparkSpec {
     assert(again.compress().count() === 40)
   }
 
-  test("save after an index-invalidating write deletes stale sidecars") {
+  test("mutate -> save -> reload cannot resurrect deleted rows through any index") {
+    // The round-2 staleness bug: save() left old index sidecars on disk
+    // after a write invalidated them, and reload served deleted rows.
+    // With incremental maintenance the sidecars legitimately survive —
+    // correctness is behavioral: no search path may return a deleted id.
     val dir = java.nio.file.Files.createTempDirectory("graft_db_stale").toString
     val db = freshDb(50)
     db.buildIvfIndex(k = 4)
@@ -183,29 +193,61 @@ class VectorDbSpec extends SparkSpec {
     db.save(s"$dir/db")
     val back = VectorDb.load(spark, s"$dir/db", 8)
     back.delete(0L)
-    back.save(s"$dir/db") // indexes invalidated: sidecars must not survive
-    assert(!new java.io.File(s"$dir/db/hnsw").exists(), "stale hnsw sidecar survived save")
-    assert(!new java.io.File(s"$dir/db/ivf_data").exists(), "stale ivf_data survived save")
-    assert(!new java.io.File(s"$dir/db/ivf_centroids").exists(), "stale ivf_centroids survived save")
-    // PQ is a trained quantizer, not row-level state: it survives writes
-    // (in-memory state present, so save rewrites the sidecar fresh)
-    assert(new java.io.File(s"$dir/db/pq_codebooks").exists())
+    back.save(s"$dir/db")
     val again = VectorDb.load(spark, s"$dir/db", 8)
     assert(again.count() === 49)
     assert(again.compress().count() === 49)
     val q = Seq.fill(8)(5.0)
-    // hnsw falls back to a fresh build over live data — deleted id never returned
+    // hnsw serves through the persisted graph's merge path (re-scored
+    // against live rows) — deleted id never returned
     assert(!again.hnswSearch(q, 49).collect().map(_.getLong(0)).contains(0L))
-    // ivf is absent, not stale: searching without a rebuild must raise
-    intercept[IllegalStateException](again.ivfSearch(q, 5))
+    // ivf assignment was re-derived from live rows before the save
+    assert(!again.ivfSearch(q, 49).collect().map(_.getLong(0)).contains(0L))
   }
 
-  test("writes invalidate the persisted hnsw index (stale-index fix)") {
+  test("save deletes sidecars of indexes that were never (re)built") {
+    // The un-built case still must not resurrect: a db saved WITHOUT an
+    // index onto a directory that has one from an earlier save drops it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_unbuilt").toString
+    val db = freshDb(30)
+    db.buildIvfIndex(k = 4)
+    db.buildHnswIndex(numPartitions = 4)
+    db.save(s"$dir/db")
+    val fresh = new VectorDb(spark, 8)
+    fresh.batchInsert((0 until 10).map(i => (Seq.fill(8)(i.toDouble), Map.empty[String, String])))
+    fresh.save(s"$dir/db") // no indexes on this instance: sidecars must go
+    assert(!new java.io.File(s"$dir/db/hnsw").exists(), "orphan hnsw sidecar survived")
+    assert(!new java.io.File(s"$dir/db/ivf_data").exists(), "orphan ivf_data survived")
+    assert(!new java.io.File(s"$dir/db/ivf_centroids").exists(), "orphan ivf_centroids survived")
+    assert(!new java.io.File(s"$dir/db/pq_codebooks").exists(), "orphan pq_codebooks survived")
+    val again = VectorDb.load(spark, s"$dir/db", 8)
+    assert(again.count() === 10)
+    intercept[IllegalStateException](again.ivfSearch(Seq.fill(8)(1.0), 5))
+  }
+
+  test("hnsw serves incrementally through writes (insert/delete/update)") {
     val db = freshDb(60)
     db.buildHnswIndex(numPartitions = 4)
-    db.delete(0L)
     val q = Seq.fill(8)(5.0)
-    // post-delete search must rebuild over live data: deleted id never returned
+    // delete: merge path re-scores graph candidates against live rows
+    db.delete(0L)
     assert(!db.hnswSearch(q, 60).collect().map(_.getLong(0)).contains(0L))
+    // insert: the delta region is searched exactly — a perfect match
+    // inserted AFTER the build must surface as the top hit
+    val newId = db.insert(q)
+    val top = db.hnswSearch(q, 1).collect()
+    assert(top.head.getLong(0) === newId, "delta insert must be searchable without rebuild")
+    // update re-scores with LIVE vectors. (cosine is scale-invariant, so
+    // demotion needs an orthogonal vector, not a scaled one)
+    val ortho = Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)
+    // a delta row (exact search) demotes on update
+    db.update(newId, vector = Some(ortho))
+    assert(db.hnswSearch(q, 1).collect().head.getLong(0) !== newId)
+    // a graph-covered row re-scores too: row 5 is the exact match for its
+    // own vector; after updating it away it must stop being the top hit
+    val v5 = db.getById(5L).get._1
+    assert(db.hnswSearch(v5, 1).collect().head.getLong(0) === 5L)
+    db.update(5L, vector = Some(ortho.map(_ * 10)))
+    assert(db.hnswSearch(v5, 1).collect().head.getLong(0) !== 5L)
   }
 }
