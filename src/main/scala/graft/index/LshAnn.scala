@@ -35,11 +35,17 @@ object LshAnn {
   def hyperplanes(numBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(numBits)(p => Array.tabulate(dim)(d => mixedUnit(seed, p, d)))
 
-  /** Bucket id column: bit b set iff vec · plane_b > 0. Pure codegen'd
-    * expressions — usable at ingest for layout partitioning. */
+  /** Bucket id column: bit b set iff vec · plane_b > 0. Uses the custom
+    * loop-codegen'd cosine expression rather than an unrolled per-dim sum:
+    * the sign of cosine equals the sign of the dot (norms are positive,
+    * zero-norm guard yields 0 → bit unset, same as dot = 0), and the
+    * unrolled form at numBits × dim = 4 × 64 blew past janino's method
+    * limit — the whole stage then fell back to INTERPRETED eval, the
+    * silent codegen failure mode PLANS.md exists to catch. */
   def bucketCol(vecCol: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
-      when(VectorFunctions.dotConst(vecCol, p.toSeq) > 0.0, lit(1 << b)).otherwise(lit(0))
+      when(graft.GraftExtensions.cosineSim(vecCol, array(p.map(lit).toSeq: _*)) > 0.0,
+        lit(1 << b)).otherwise(lit(0))
     }.reduceLeft[Column](_ + _)
 
   def withBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame =
