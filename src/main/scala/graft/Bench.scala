@@ -19,7 +19,7 @@ object Bench {
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
     ("build_ivf_layout", Set("vq_ivf_stored_topk", "vq_ivf_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d); () }),
-    ("build_hnsw_layout", Set("vq_hnsw_stored_topk"),
+    ("build_hnsw_layout", Set("vq_hnsw_stored_topk", "vq_hnsw_stored_batch"),
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }))

@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** HNSW persistence — the reference pickles its graph on `save`
@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   * The dump preserves the exact graphs [[Hnsw.hnswTopK]] would build
   * (same deterministic repartition + per-partition seed), so searches over
   * the restored index return identical results to a fresh build.
+  *
+  * SERVING IS SHUFFLE-FREE: the layout holds one file per graph partition
+  * and Spark never splits a parquet file ≤ files.maxPartitionBytes, so
+  * every task sees only COMPLETE graphs and restore runs inside
+  * `mapPartitions` with an in-memory group-by — no exchange of the index
+  * per query (shuffling the whole index per lookup is exactly the shape
+  * that dies at 100 TB). If any file outgrows the split threshold (an
+  * over-large shard), serving falls back to the grouping shuffle for
+  * correctness; the fix at scale is more, smaller shards at build time.
   */
 object HnswStore {
+
+  private type Rec = (Int, Int, Long, Array[Double], Int, Array[Array[Long]], Boolean)
 
   /** Build per-partition graphs (identically to [[Hnsw.hnswTopK]]) and
     * persist their structure, clustered one file per graph partition. */
@@ -44,33 +55,76 @@ object HnswStore {
       .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
+  private def storedRecords(spark: SparkSession, path: String): Dataset[Rec] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("part").cast("int"), col("ord").cast("int"),
+        col("id").cast("long"), col("vector").cast("array<double>"),
+        col("node_level").cast("int"), col("adj").cast("array<array<bigint>>"),
+        col("is_entry"))
+      .as[Rec]
+  }
+
+  /** True iff every data file fits one read split, i.e. tasks are
+    * guaranteed to hold complete graph partitions. */
+  private def filesUnsplit(spark: SparkSession, path: String): Boolean = {
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      else Iterator(f)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .forall(_.length <= maxBytes)
+  }
+
+  /** Restore every graph co-resident with a task and run `search` on it. */
+  private def served[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, path: String, m: Int, efConstruction: Int)(
+      search: HnswIndex => Iterator[T]): Dataset[T] = {
+    import spark.implicits._
+    val stored = storedRecords(spark, path)
+    def restore(grp: Seq[Rec]): HnswIndex =
+      HnswIndex.restore(
+        grp.sortBy(_._2).map { case (_, _, id, vec, level, adj, isEntry) =>
+          (id, vec, level, adj, isEntry)
+        }, m, efConstruction)
+    if (filesUnsplit(spark, path))
+      stored.mapPartitions { rows =>
+        rows.toSeq.groupBy(_._1).valuesIterator.flatMap(grp => search(restore(grp.toSeq)))
+      }
+    else
+      stored.groupByKey(_._1).flatMapGroups((_, rows) => search(restore(rows.toSeq)))
+  }
+
   /** Approximate top-k over the persisted graphs: restore each partition's
-    * graph from its rows, search, merge globally. */
+    * graph IN PLACE (no shuffle — see object doc), search, merge globally. */
   def topK(spark: SparkSession, path: String, query: Seq[Double], k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
       idCol: String = "id"): DataFrame = {
     import spark.implicits._
     val q = query.toArray
-    val stored = spark.read.parquet(path)
-      .select(col("part").cast("int"), col("ord").cast("int"),
-        col("id").cast("long"), col("vector").cast("array<double>"),
-        col("node_level").cast("int"), col("adj").cast("array<array<bigint>>"),
-        col("is_entry"))
-      .as[(Int, Int, Long, Array[Double], Int, Array[Array[Long]], Boolean)]
-    val perPartition = stored
-      .groupByKey(_._1)
-      .flatMapGroups { (_, rows) =>
-        val sorted = rows.toSeq.sortBy(_._2)
-        val index = HnswIndex.restore(
-          sorted.map { case (_, _, id, vec, level, adj, isEntry) =>
-            (id, vec, level, adj, isEntry)
-          }, m, efConstruction)
-        index.search(q, k, efSearch).iterator
-      }
+    served(spark, path, m, efConstruction)(idx => idx.search(q, k, efSearch).iterator)
       .toDF(idCol, "sim")
-    perPartition
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batch search over the persisted graphs: each graph restores ONCE for
+    * the whole query set (the amortization [[Hnsw.hnswBatchTopK]] gets
+    * from building once — here even the restore is amortized). Returns
+    * (query_id, idCol, sim, rn) like the other batch paths. */
+  def batchTopK(spark: SparkSession, path: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
+    val perPartition = served(spark, path, m, efConstruction) { idx =>
+      qArr.iterator.flatMap { case (qid, q) =>
+        idx.search(q, k, efSearch).map { case (id, sim) => (qid, id, sim) }
+      }
+    }.toDF("query_id", idCol, "sim_raw")
+    graft.operators.TopK.perGroupTopK(perPartition, "query_id", col(idCol), col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -131,6 +131,20 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** S4 with method=hnsw over the PERSISTED graphs — the full
+    * build-once/serve-many batch shape: graph restore amortized across
+    * the query set, no index shuffle ([[graft.index.HnswStore.batchTopK]]). */
+  def hnswStoredBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = hnswLayout(spark, dir)
+    val queries = VectorModel.partQueries(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    graft.index.HnswStore.batchTopK(spark, path, queries, 3)
+      .orderBy("query_id", "rn")
+  }
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -167,6 +181,7 @@ object ApproxQueries {
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
     "vq_ivf_batch_topk" -> (ivfBatchTopK _),
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
+    "vq_hnsw_stored_batch" -> (hnswStoredBatchTopK _),
     "vq_hnsw_stored_topk" -> (hnswStoredTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),

@@ -74,6 +74,25 @@ class RecallSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("stored-graph batch equals fresh-build batch; serving plan has no index shuffle") {
+    import graft.index.{Hnsw, HnswStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_sb").toString
+    HnswStore.save(lineVecs, s"$dir/g", numPartitions = 8)
+    val queries = (0 until 3).map(s =>
+      (s.toLong, Seq(25.0 + s, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s)))
+    val storedDf = HnswStore.batchTopK(spark, s"$dir/g", queries, 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val fresh = Hnsw.hnswBatchTopK(lineVecs, queries, 5, numPartitions = 8)
+    assert(keyed(storedDf) === keyed(fresh))
+    // one-file-per-graph layout: restore runs in place, no exchange
+    // before the per-partition search (only the final top-k merge remains)
+    val p = HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "stored-graph serving must not shuffle the index:\n" + p.take(3000))
+  }
+
   test("batch HNSW equals per-query HNSW result for result") {
     val queries = (0 until 3).map { s =>
       (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0))
