@@ -231,4 +231,28 @@ object Ivf {
     graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Distributed approximate k-NN SELF-join — the similarity-join shape
+    * that survives past the broadcast/driver limit (the exact blocked
+    * join broadcasts a whole table as build side): every row probes its
+    * `nProbes` nearest clusters (exploded to equi-join keys) against the
+    * cluster-assigned table, co-partitioned on cluster_id — candidate
+    * volume is Σ_c |probers(c)|·|members(c)| instead of n², with
+    * k-means-balanced buckets instead of data-dependent skew. Ranking is
+    * the k-bounded aggregator (map-side truncation). Returns
+    * (query_id, id, sim, rn); recall vs the exact join is spec-gated. */
+  def knnJoin(df: DataFrame, model: IvfModel, k: Int, nProbes: Int = 2,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+    val probesUdf = udf((v: Seq[Double]) => model.probeClusters(v, nProbes))
+    val left = graft.operators.Par.widen(df)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probesUdf(col(vecCol))).as("cluster_id"))
+    val right = assign(df, model, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("dv"), col("cluster_id"))
+    val joined = left.join(right.hint("shuffle_hash"), Seq("cluster_id"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        graft.GraftExtensions.cosineSim(col("qv"), col("dv")).as("sim_raw"))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col("id"), col("sim_raw"), k)
+  }
 }

@@ -85,9 +85,26 @@ object AnnQueries {
        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
   }
 
+  /** IVF-bucketed approximate k-NN join — the scale path for [[knnJoin]]
+    * (which broadcasts a whole table as build side and therefore stops at
+    * the broadcast limit): probe-cluster equi-join, no broadcast of data,
+    * co-partitioned on cluster_id ([[graft.index.Ivf.knnJoin]]). Unblocked
+    * (global neighbors, not per-label); recall-gated in RecallSpec. */
+  def ivfKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    graft.index.Ivf.knnJoin(emb, model, 3, nProbes = 2,
+      vecCol = "embedding", idCol = "vec_id")
+      .withColumnRenamed("query_id", "vec_id")
+      .withColumnRenamed("id", "neighbor_id")
+      .orderBy("vec_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute_topk" -> (bruteTopK _),
     "ann_keyword_topk" -> (keywordAnn _),
+    "ann_ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn_join" -> (knnJoin _))
 
   val oracleSql: Map[String, String] = Map(

@@ -95,4 +95,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getAs[Double]("sim") >= 0.3))
   }
+
+  test("embedding near-dup: shuffle-join scale path equals the broadcast path") {
+    // broadcastBuild=false is what runs past the broadcast/driver limit —
+    // it must produce the identical pair set (values included)
+    val emb = VectorModel.embeddings(spark, Sf0001)
+    def collectPairs(broadcastBuild: Boolean) =
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label",
+        VectorModel.EmbDim, 0.3, broadcastBuild = broadcastBuild)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+        .toSet
+    assert(collectPairs(broadcastBuild = false) === collectPairs(broadcastBuild = true))
+  }
 }

@@ -143,6 +143,35 @@ class RecallSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("IVF knn join: no broadcast of data, recall beats its scanned fraction") {
+    val (_, model) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
+    val approx = Ivf.knnJoin(embeddings, model, 3, nProbes = 2,
+      vecCol = "embedding", idCol = "vec_id").cache()
+    // exact global top-3 per row via the window baseline over a cross join
+    val exact = VectorSearch.batchTopKWindow(
+      embeddings.select(col("vec_id").as("id"), col("embedding").as("vector")),
+      embeddings.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      4, queryIdCol = "query_id", queryVecCol = "qvec")
+      .where(col("id") =!= col("query_id"))
+      .withColumn("rn2", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("id").asc)))
+      .where(col("rn2") <= 3)
+    def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = pairs(exact, "query_id", "id")
+    val ap = pairs(approx, "query_id", "id")
+    val recall = ex.intersect(ap).size.toDouble / ex.size
+    info(s"IVF knn-join recall@3 = $recall")
+    // probing 2/16 clusters scans ~12.5% of near-uniform data; the join
+    // must beat that baseline to show clusters correlate with cosine
+    assert(recall >= 0.2)
+    // scale shape: the data side is never broadcast
+    val p = approx.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "knn join must not broadcast a table side:\n" + p.take(3000))
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
