@@ -55,12 +55,42 @@ object DedupQueries {
     * single-row MinHash bands, TRUE Jaccard recomputed on candidates with
     * array_intersect). A qualifying pair (j ≥ 0.5) is missed only if it
     * disagrees on all 32 minhashes — probability ≤ 2⁻³², corpus-independent
-    * — so its output equals the exact operator's and it shares the same
-    * DuckDB oracle; DedupSpec additionally asserts the equality in-process. */
+    * — so its output equals the exact operator's on any real corpus;
+    * DedupSpec asserts that equality in-process. Its DRIVER oracle, though,
+    * is its own semantics ([[ngramJaccardCappedSql]] mirrors the banding),
+    * so the gate does not depend on the corpus avoiding the 2⁻³² event. */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairsBanded(VectorModel.documents(spark, dir),
       "doc_id", "text", ShingleK, 0.5, numHashes = 32)
       .orderBy("da", "db")
+
+  /** DuckDB mirror of the banded variant's exact semantics: the same 32
+    * minhash functions over 60-bit md5 shingle hashes, candidates = pairs
+    * agreeing on ANY single minhash (single-row bands ≡ raw h_j equality —
+    * the Spark side's md5(band slice) key only re-encodes h_j), true
+    * Jaccard recomputed over the DISTINCT hashed-shingle sets. */
+  val ngramJaccardCappedSql: String = {
+    val p = Dedup.MinhashP
+    val mins = (0 until NumHashes)
+      .map(j => s"min((${Dedup.minhashA(j)} * hm + ${Dedup.minhashB(j)}) % $p) AS h$j")
+      .mkString(", ")
+    s"""WITH $shingleCte,
+       |hsh AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT AS hv FROM sgl),
+       |sz AS (SELECT doc_id, count(*) n FROM hsh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $mins FROM (SELECT doc_id, hv % $p AS hm FROM hsh) GROUP BY doc_id),
+       |bl AS (SELECT doc_id, j, hv FROM sig
+       |       UNPIVOT (hv FOR j IN (${(0 until NumHashes).map("h" + _).mkString(", ")}))),
+       |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+       |         FROM bl a JOIN bl b ON a.j = b.j AND a.hv = b.hv AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) inter
+       |          FROM cand c JOIN hsh a ON a.doc_id = c.da
+       |                      JOIN hsh b ON b.doc_id = c.db AND a.hv = b.hv
+       |          GROUP BY 1, 2)
+       |SELECT da, db, round(CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |ORDER BY da, db""".stripMargin
+  }
 
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
@@ -151,7 +181,7 @@ object DedupQueries {
     "dd_embedding_cosine" -> (embeddingCosine _))
 
   val oracleSql: Map[String, String] = Map(
-    "dd_ngram_capped" -> ngramJaccardSql,
+    "dd_ngram_capped" -> ngramJaccardCappedSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
