@@ -22,7 +22,9 @@ object Bench {
     ("build_hnsw_layout", Set("vq_hnsw_stored_topk", "vq_hnsw_stored_batch"),
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
-      (s, d) => { queries.VectorQueries.pointLayout(s, d); () }))
+      (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
+    ("build_ivfpq_layout", Set("ann_ivfpq_topk"),
+      (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -172,6 +172,34 @@ class RecallSpec extends SparkSpec {
       "knn join must not broadcast a table side:\n" + p.take(3000))
   }
 
+  test("IVF-PQ with exact refine: recall within 90% of plain IVF, codes are m bytes") {
+    import graft.index.IvfPq
+    val exact = VectorSearch.bruteForceTopK(embeddings, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val (encoded, model) = IvfPq.build(embeddings, VectorModel.EmbDim,
+      vecCol = "embedding", idCol = "vec_id")
+    assert(encoded.select(max(length(col("pq_code")))).head.getInt(0) === 8)
+    val approx = IvfPq.search(encoded, model, VectorModel.AnnQuery, 20,
+      refineFrom = Some(embeddings), vecCol = "embedding", idCol = "vec_id")
+    val r = Recall.recallAtK(exact, approx, "vec_id")
+    // same probed fraction as plain IVF; ADC candidate selection plus the
+    // exact 4k refine must not lose more than a sliver vs scanning raw
+    // vectors in the probed clusters
+    val (assignedRaw, ivfModel) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
+    val ivfOnly = Ivf.search(assignedRaw, ivfModel, VectorModel.AnnQuery, 20,
+      vecCol = "embedding", idCol = "vec_id")
+    val rIvf = Recall.recallAtK(exact, ivfOnly, "vec_id")
+    info(s"IVF-PQ recall@20 = $r (plain IVF = $rIvf)")
+    assert(r >= 0.9 * rIvf)
+    assert(r >= 0.35)
+    // every refined similarity must equal the exact operator's for that id
+    val exactSims = exact.collect().map(row => row.getLong(0) -> row.getDouble(row.fieldIndex("sim"))).toMap
+    approx.collect().foreach { row =>
+      val id = row.getLong(0)
+      exactSims.get(id).foreach(s => assert(row.getDouble(1) === s))
+    }
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
