@@ -113,7 +113,34 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** BM25 keyword relevance: fixed query-term bag, top 15 docs. */
+  val Bm25Terms = Seq("vector", "spark", "join")
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(VectorModel.documents(spark, dir), Bm25Terms, 15)
+
+  val bm25TopKSql: String = {
+    import graft.text.Bm25.{B, K1}
+    val lit = OracleSql.lit _
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val idf = s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + ${lit(0.5)})/(CAST(df AS DOUBLE) + ${lit(0.5)}) + ${lit(1.0)})"
+    val avgdl = "(CAST(sum_dl AS DOUBLE)/CAST(n_docs AS DOUBLE))"
+    val norm = s"(CAST(tf AS DOUBLE) + ${lit(K1)} * (${lit(1.0)} - ${lit(B)} + ${lit(B)} * CAST(dl AS DOUBLE)/$avgdl))"
+    s"""WITH base AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS toks FROM documents),
+       |dls AS (SELECT doc, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
+       |tf AS (SELECT doc, dl, term, count(*) AS tf
+       |       FROM (SELECT doc, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term FROM base)
+       |       WHERE term IN ($terms) GROUP BY doc, dl, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (SELECT doc, $idf * (CAST(tf AS DOUBLE) * ${lit(K1 + 1.0)}) / $norm AS w
+       |           FROM tf JOIN dfs USING (term) CROSS JOIN stats)
+       |SELECT doc AS doc_id, round(sum(w), 6) AS bm25
+       |FROM scored GROUP BY doc ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bm25_topk" -> (bm25TopK _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -121,6 +148,7 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_bm25_topk" -> bm25TopKSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
