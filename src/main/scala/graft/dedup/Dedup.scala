@@ -236,6 +236,56 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Connected components over a near-dup pair list: every vertex labeled
+    * with the MINIMUM id reachable through the pair graph — the canonical
+    * keeper assignment a dedup pipeline needs after pair generation
+    * (keep rows where id == component, drop the rest).
+    *
+    * Iterative min-label propagation to a fixed point: each round joins
+    * the (symmetrized) edge list to the current labels and takes the
+    * elementwise min with the neighbors' labels. Rounds = component
+    * diameter; near-dup components are star-/clique-shaped (a cluster of
+    * copies of one document), so this converges in a handful of rounds —
+    * the regime where plain propagation beats the O(log n)
+    * alternating-star algorithms that pay extra shuffles per round. Each
+    * round is one shuffle join + one aggregation on (vertex, label) pairs
+    * — never materializes anything larger than V + E. Deterministic:
+    * integer min over a fixed edge set.
+    *
+    * `maxIter` bounds pathological chain-shaped graphs; hitting it throws
+    * rather than returning a partial labeling. */
+  def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .cache()
+    var labels = vertices
+      .select(col(idCol).cast("long").as("doc"), col(idCol).cast("long").as("label"))
+      .cache()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "doc2"), col("doc") === col("doc2"), "left")
+        .select(col("doc"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .cache()
+      val next = updated.select(col("doc"), col("new_label").as("label")).cache()
+      next.count() // materialize before dropping the parents it derives from
+      changed = updated.where(col("new_label") =!= col("label")).count()
+      labels.unpersist()
+      updated.unpersist()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("doc").as(idCol), col("label").as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale, an LSH or IVF bucket).
     *

@@ -92,6 +92,30 @@ object DedupQueries {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** Near-dup connected components: every doc labeled with the min id of
+    * its component in the banded-Jaccard pair graph — the keeper
+    * assignment (keep doc where doc_id == component). */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text",
+      ShingleK, 0.5, numHashes = 32)
+    Dedup.connectedComponents(docs, "doc_id", pairs).orderBy("doc_id")
+  }
+
+  /** Recursive-CTE mirror: full reachability closure over the symmetrized
+    * pair graph (tiny components make the closure cheap for the oracle),
+    * component = min reachable id. The pair CTE is the banded oracle
+    * nested verbatim, so the gate covers the whole composition. */
+  lazy val componentsSql: String =
+    s"""WITH RECURSIVE pairs AS ($ngramJaccardCappedSql),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSignatures(VectorModel.documents(spark, dir),
@@ -173,6 +197,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_mllib_lsh" -> (mllibLshJoin _),
+    "dd_components" -> (components _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
@@ -182,6 +207,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dd_ngram_capped" -> ngramJaccardCappedSql,
+    "dd_components" -> componentsSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,

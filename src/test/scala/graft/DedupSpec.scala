@@ -96,6 +96,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("sim") >= 0.3))
   }
 
+  test("connected components: chain, clique, and singleton all label to min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain (worst diameter), {10,11,12} via a
+    // clique, {20} isolated
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("da", "db")
+    val got = Dedup.connectedComponents(verts, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("embedding near-dup: shuffle-join scale path equals the broadcast path") {
     // broadcastBuild=false is what runs past the broadcast/driver limit —
     // it must produce the identical pair set (values included)
