@@ -109,6 +109,28 @@ class PlanSpec extends SparkSpec {
       "point lookup must not sort-scan the table:\n" + p.take(3000))
   }
 
+  test("IVF-PQ serving prunes cluster partitions of the code layout") {
+    import graft.index.IvfPq
+    val emb = VectorModel.embeddings(spark, Sf0001)
+    val (encoded, model) = IvfPq.build(emb, VectorModel.EmbDim,
+      vecCol = "embedding", idCol = "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    Ivf.saveClustered(encoded, s"$dir/t")
+    val layout = spark.read.parquet(s"$dir/t")
+    val served = IvfPq.search(layout, model, VectorModel.AnnQuery, 10,
+      refineFrom = None, idCol = "vec_id")
+    val scan = served.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster_id"),
+      "ADC scan must prune cluster partitions:\n" + scan.take(2000))
+  }
+
+  test("BM25 ranks via TakeOrderedAndProject, no global sort") {
+    val p = plan(graft.text.Bm25.topK(
+      VectorModel.documents(spark, Sf0001), Seq("vector", "spark"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), "top-k must not global-sort")
+  }
+
   test("whole-stage codegen covers the similarity expression") {
     val df = VectorSearch.bruteForceTopK(
       VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)
