@@ -61,9 +61,74 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language keep rates for the curated mix, as buckets out of 1000
+    * (integer thresholds — no double arithmetic in the sampling decision).
+    * The shape of real pretraining-mix curation: keep all high-resource
+    * English, downsample the rest. */
+  val SampleBuckets: Seq[(String, Int)] = Seq("en" -> 1000, "zh" -> 500, "es" -> 500)
+  val DefaultBucket = 250
+
+  /** The full curation mix — the stage after [[cleanCorpus]]: near-dup
+    * component keepers (doc == min id of its banded-Jaccard component, so
+    * exact copies AND fuzzy rewrites collapse to one representative) →
+    * quality floor → per-language DETERMINISTIC stratified sampling
+    * (md5-derived 60-bit hash of lang:doc_id mod 1000 under the language's
+    * bucket threshold — reproducible on any cluster, any partitioning, and
+    * exactly mirrored by the oracle).
+    *
+    * Scale: keeper set = one banded-dedup pass + O(diameter) label rounds;
+    * quality/sampling are pure expressions (no shuffle); the semi-join on
+    * doc_id is the only remaining exchange. */
+  def curatedMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 3, 0.5, numHashes = 32)
+    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
+    val bucket = SampleBuckets.foldRight(lit(DefaultBucket): org.apache.spark.sql.Column) {
+      case ((lang, b), acc) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    docs
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .where(TextAnalysis.qualityScore(col("text")) >= QualityFloor)
+      .where(Dedup.hash60(concat_ws(":", col("lang"), col("doc_id"))) % 1000 < bucket)
+      .select(
+        col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  lazy val curatedMixSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    def markerCount(markers: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val stopRatio = s"CAST(${markerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
+    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    val quality = s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
+    val bucket = "CASE " +
+      SampleBuckets.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ") +
+      s" ELSE $DefaultBucket END"
+    val sampleHash = "('0x'||substr(md5(lang||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000"
+    s"""WITH RECURSIVE pairs AS (${DedupQueries.ngramJaccardCappedSql}),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
+       |SELECT doc_id, lang, round($quality, 6) AS quality
+       |FROM documents
+       |WHERE doc_id IN (SELECT doc FROM comp WHERE doc = component)
+       |  AND $quality >= CAST('$QualityFloor' AS DOUBLE)
+       |  AND $sampleHash < $bucket
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_clean_corpus" -> (cleanCorpus _))
+    "pipe_clean_corpus" -> (cleanCorpus _),
+    "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
-    "pipe_clean_corpus" -> cleanCorpusSql)
+    "pipe_clean_corpus" -> cleanCorpusSql,
+    "pipe_curated_mix" -> curatedMixSql)
 }
