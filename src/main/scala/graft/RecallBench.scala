@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.harness.Recall
-import graft.index.{Hnsw, Ivf, LshAnn}
+import graft.index.{Hnsw, Ivf, IvfPq, LshAnn}
 import graft.model.VectorModel
 import graft.search.VectorSearch
 
@@ -74,6 +74,14 @@ object RecallBench {
     val (lshMs, lshRes) = timeAll(q =>
       LshAnn.search(lshBucketed, planes, q, k, vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
+    // IVF-PQ: residual codes + ADC + exact refine (build amortized)
+    val (ivfPqEncoded, ivfPqModel) = IvfPq.build(data, dim,
+      vecCol = "embedding", idCol = "vec_id")
+    ivfPqEncoded.cache().count()
+    val (ivfPqMs, ivfPqRes) = timeAll(q =>
+      IvfPq.search(ivfPqEncoded, ivfPqModel, q, k,
+        refineFrom = Some(data), vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id"))
 
     def recall(approx: Seq[Set[Long]]): Double =
       exact.zip(approx).map { case (e, a) =>
@@ -85,7 +93,8 @@ object RecallBench {
         f""""brute_ms":$bruteMs%.2f,""" +
         f""""ivf_ms":$ivfMs%.2f,"ivf_recall":${recall(ivfRes)}%.4f,""" +
         f""""hnsw_ms":$hnswMs%.2f,"hnsw_recall":${recall(hnswRes)}%.4f,""" +
-        f""""lsh_ms":$lshMs%.2f,"lsh_recall":${recall(lshRes)}%.4f}"""
+        f""""lsh_ms":$lshMs%.2f,"lsh_recall":${recall(lshRes)}%.4f,""" +
+        f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f}"""
     println(json)
     spark.stop()
   }
