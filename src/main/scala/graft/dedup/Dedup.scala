@@ -256,34 +256,51 @@ object Dedup {
     * rather than returning a partial labeling. */
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+      .union(pairs.select(col("db").cast("long").as("src"), col("da").cast("long").as("dst")))
       .cache()
-    var labels = vertices
-      .select(col(idCol).cast("long").as("doc"), col(idCol).cast("long").as("label"))
+    // Materialize the (expensive) pair pipeline exactly once: the first
+    // round's plan references `edges` through two subtrees (labels lineage
+    // + the join), and an unpopulated cache would compute the pipeline
+    // twice within that single job.
+    edges.count()
+    // Propagate only over the edge-touched subgraph: isolated vertices are
+    // their own component by definition and never change — joining them
+    // through every round would make each iteration O(V) instead of
+    // O(V_touched); on a near-dup graph V_touched ≪ V.
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("label"))
       .cache()
     var iter = 0
     var changed = 1L
+    var prevRound: DataFrame = labels
     while (changed > 0 && iter < maxIter) {
+      // every doc in `labels` has ≥1 edge (it came from the edge list), so
+      // the neighbor-min join is inner and covers all of them
       val nbrMin = edges.join(labels.withColumnRenamed("doc", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
       val updated = labels
-        .join(nbrMin.withColumnRenamed("src", "doc2"), col("doc") === col("doc2"), "left")
+        .join(nbrMin.withColumnRenamed("src", "doc2"), col("doc") === col("doc2"))
         .select(col("doc"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+          least(col("label"), col("nbr_label")).as("new_label"))
         .cache()
-      val next = updated.select(col("doc"), col("new_label").as("label")).cache()
-      next.count() // materialize before dropping the parents it derives from
-      changed = updated.where(col("new_label") =!= col("label")).count()
-      labels.unpersist()
-      updated.unpersist()
-      labels = next
+      // ONE driver action per round: materializes `updated` and reads the
+      // change count off it; the next round's labels read the same cache
+      changed = updated
+        .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+      prevRound.unpersist()
+      prevRound = updated
+      labels = updated.select(col("doc"), col("new_label").as("label"))
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("doc").as(idCol), col("label").as("component"))
+    vertices.select(col(idCol).cast("long").as("doc"))
+      .join(labels.withColumnRenamed("label", "component"), Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("component"), col("doc")).as("component"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
