@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.index.{Hnsw, Ivf}
+import graft.index.{Hnsw, Ivf, IvfPq}
 import graft.pq.ProductQuantizer
 import graft.search.VectorSearch
 import graft.store.VectorStore
@@ -37,6 +37,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     spark.sparkContext.emptyRDD[Row], schema)
   private var nextId: Long = 0L
   private var ivf: Option[(DataFrame, Ivf.IvfModel)] = None
+  private var ivfPq: Option[(DataFrame, IvfPq.IvfPqModel)] = None
   private var pq: Option[ProductQuantizer] = None
   private var hnswPath: Option[String] = None
   /** True when hnswPath is a temp dir this instance created (deletable);
@@ -75,6 +76,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     *    cost. */
   private def refreshIndexesOnWrite(mutated: Boolean): Unit = {
     ivf = ivf.map { case (_, model) => (Ivf.assign(data, model), model) }
+    ivfPq = ivfPq.map { case (_, model) => (IvfPq.encode(data, model), model) }
     ivfSnap.foreach(_.unpersist())
     ivfSnap = None
     if (mutated) hnswMutated = true
@@ -287,6 +289,32 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     }
   }
 
+  /** Extension (graft.index.IvfPq): build the composed IVF-PQ index —
+    * cluster assignment + residual PQ codes, the scan-m-bytes-from-probed-
+    * partitions scale path. Maintained incrementally on writes like IVF
+    * (the encoded view is a pure function of live rows and the model). */
+  def buildIvfPqIndex(k: Int = 16, m: Int = 8, nBits: Int = 8, seed: Long = 42L): Unit =
+    ivfPq = Some(IvfPq.build(data, dim, k = k, m = m, nBits = nBits, seed = seed))
+
+  /** Extension: ADC search over the IVF-PQ codes with exact re-rank
+    * against live vectors; requires [[buildIvfPqIndex]]. */
+  def ivfPqSearch(query: Seq[Double], topK: Int = 5): DataFrame = {
+    checkDim(query)
+    val (encoded, model) = ivfPq.getOrElse(
+      throw new IllegalStateException("IVF-PQ index not built"))
+    IvfPq.search(encoded, model, query, topK, refineFrom = Some(data))
+  }
+
+  /** Extension (graft.text.Bm25): BM25 keyword-relevance ranking over a
+    * metadata text key — proper lexical retrieval next to the reference's
+    * substring keyword filter ([[filteredSearch]]). */
+  def keywordRank(terms: Seq[String], topK: Int = 5,
+      textKey: String = "text"): DataFrame =
+    graft.text.Bm25.topK(
+      data.select(col("id"), element_at(col("metadata"), textKey).as("text"))
+        .where(col("text").isNotNull),
+      terms, topK, idCol = "id", textCol = "text")
+
   /** W7 `train_pq`. */
   def trainPq(m: Int = 8, nBits: Int = 8): Unit =
     pq = Some(ProductQuantizer.train(data, "vector", "id", dim, m, nBits))
@@ -308,6 +336,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * cached copy each of data and IVF assignments. */
   private var dataSnap: Option[DataFrame] = None
   private var ivfSnap: Option[DataFrame] = None
+  private var ivfPqSnap: Option[DataFrame] = None
 
   /** W10 `save`: data Parquet + small model sidecars (centroids, codebooks
     * as tiny Parquet tables; next-id as a 1-row table).
@@ -360,6 +389,33 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
       case None =>
         rmTree(new java.io.File(s"$path/pq_codebooks"))
     }
+    ivfPq match {
+      case Some((encoded, model)) =>
+        // snapshot through the cache like data/ivf: saving a loaded
+        // instance back onto its own directory must not read-while-write
+        val esnap = encoded.cache()
+        esnap.count()
+        ivfPq = Some((esnap, model))
+        Ivf.saveClustered(esnap, s"$path/ivfpq_data")
+        spark.createDataFrame(model.ivf.centroids.toSeq.zipWithIndex.map {
+          case (c, i) => (i, c.toSeq)
+        }).toDF("cluster_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/ivfpq_centroids")
+        val cbRows = for {
+          s <- 0 until model.pq.m
+          c <- 0 until model.pq.k
+        } yield (s, c, model.pq.codebooks(s)(c).toSeq)
+        spark.createDataFrame(cbRows).toDF("subspace", "centroid_id", "centroid")
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/ivfpq_codebooks")
+        ivfPqSnap.filter(_ ne esnap).foreach(_.unpersist())
+        ivfPqSnap = Some(esnap)
+      case None =>
+        rmTree(new java.io.File(s"$path/ivfpq_data"))
+        rmTree(new java.io.File(s"$path/ivfpq_centroids"))
+        rmTree(new java.io.File(s"$path/ivfpq_codebooks"))
+        ivfPqSnap.foreach(_.unpersist())
+        ivfPqSnap = None
+    }
     hnswPath match {
       case Some(p) if p != s"$path/hnsw" =>
         // cluster by the partition column first (one file per graph shard,
@@ -404,6 +460,19 @@ object VectorDb {
         rows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
       }
       db.pq = Some(q)
+    }
+    val ipf = new java.io.File(s"$path/ivfpq_centroids")
+    if (ipf.exists()) {
+      val centroids = spark.read.parquet(s"$path/ivfpq_centroids")
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      val cbRows = spark.read.parquet(s"$path/ivfpq_codebooks").collect()
+      val m = cbRows.map(_.getInt(0)).max + 1
+      val q = new ProductQuantizer(dim, m)
+      q.codebooks = Array.tabulate(m) { s =>
+        cbRows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+      val encoded = spark.read.parquet(s"$path/ivfpq_data")
+      db.ivfPq = Some((encoded, IvfPq.IvfPqModel(Ivf.IvfModel(centroids), q)))
     }
     db
   }

@@ -52,7 +52,15 @@ object IvfPq {
       Array.tabulate(v.length)(i => v(i) - c(i))
     }
     val pq = new ProductQuantizer(dim, m, nBits).fit(residuals, seed)
-    val centroids = ivf.centroids
+    val model = IvfPqModel(ivf, pq)
+    (encodeAssigned(assigned, model, vecCol, idCol), model)
+  }
+
+  /** Residual-encode an ALREADY-ASSIGNED table (has `cluster_id`). */
+  private def encodeAssigned(assigned: DataFrame, model: IvfPqModel,
+      vecCol: String, idCol: String): DataFrame = {
+    val centroids = model.ivf.centroids
+    val pq = model.pq
     val enc = udf((v: Seq[Double], cl: Int) => {
       val c = centroids(cl)
       val r = v.toArray
@@ -60,10 +68,18 @@ object IvfPq {
       while (i < r.length) { r(i) -= c(i); i += 1 }
       pq.encode(r)
     })
-    val encoded = assigned.select(col(idCol), col("cluster_id"),
+    assigned.select(col(idCol), col("cluster_id"),
       enc(col(vecCol).cast("array<double>"), col("cluster_id")).as("pq_code"))
-    (encoded, IvfPqModel(ivf, pq))
   }
+
+  /** Assign + residual-encode with an EXISTING model — a pure function of
+    * (row, model), one lazy narrow map. This is the incremental-maintenance
+    * path: after a write, the encoded view is re-derived from live data
+    * (deleted rows drop out, updated vectors re-encode); refit is a
+    * separate drift decision, exactly like [[Ivf.assign]]. */
+  def encode(df: DataFrame, model: IvfPqModel,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    encodeAssigned(Ivf.assign(df, model.ivf, vecCol), model, vecCol, idCol)
 
   /** ADC search over the encoded table: probe `max(k/2, 8)` clusters (the
     * reference's S3 probe rule), score codes via the per-cluster residual

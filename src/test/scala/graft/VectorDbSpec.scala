@@ -225,6 +225,44 @@ class VectorDbSpec extends SparkSpec {
     intercept[IllegalStateException](again.ivfSearch(Seq.fill(8)(1.0), 5))
   }
 
+  test("ivf-pq extension: search refines to exact sims, maintains through writes, persists") {
+    val db = freshDb(150)
+    val q = Seq.fill(8)(5.0)
+    db.buildIvfPqIndex()
+    val res = db.ivfPqSearch(q, 5).collect()
+    assert(res.length === 5)
+    // refined sims must equal the exact operator's for the same ids
+    val exact = db.bruteForceSearch(q, 150).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("sim"))).toMap
+    res.foreach(r => assert(r.getDouble(1) === exact(r.getLong(0))))
+    // incremental maintenance: a deleted id never returns, an inserted
+    // near-exact match is found without a rebuild
+    val victim = res.head.getLong(0)
+    db.delete(victim)
+    assert(!db.ivfPqSearch(q, 5).collect().map(_.getLong(0)).contains(victim))
+    val newId = db.insert(q.map(_ + 1e-4), Map("text" -> "near exact"))
+    assert(db.ivfPqSearch(q, 3).collect().map(_.getLong(0)).contains(newId))
+    // save/load round-trip serves identically
+    val dir = java.nio.file.Files.createTempDirectory("vdb_ivfpq").toString
+    db.save(dir)
+    val re = VectorDb.load(spark, dir, 8)
+    val before = db.ivfPqSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = re.ivfPqSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(before === after)
+  }
+
+  test("keywordRank extension: BM25 over metadata text ranks matching docs") {
+    val db = freshDb(80)
+    val res = db.keywordRank(Seq("science"), 10).collect()
+    assert(res.length === 10)
+    val ids = res.map(_.getLong(0))
+    ids.foreach { id =>
+      assert(db.getById(id).exists(_._2("text").contains("science")))
+    }
+    val scores = res.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+
   test("hnsw serves incrementally through writes (insert/delete/update)") {
     val db = freshDb(60)
     db.buildHnswIndex(numPartitions = 4)
