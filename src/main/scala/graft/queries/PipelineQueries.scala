@@ -79,18 +79,27 @@ object PipelineQueries {
     * Scale: keeper set = one banded-dedup pass + O(diameter) label rounds;
     * quality/sampling are pure expressions (no shuffle); the semi-join on
     * doc_id is the only remaining exchange. */
+  /** The STATELESS curation stages — quality floor + per-language
+    * deterministic stratified sampling — as one pure-expression predicate.
+    * Shared by the batch query and the streaming twin
+    * ([[graft.streaming.StreamingIngest.curateDocStream]]): stateless
+    * expressions run identically in either mode. */
+  def curationFilter: org.apache.spark.sql.Column = {
+    val bucket = SampleBuckets.foldRight(lit(DefaultBucket): org.apache.spark.sql.Column) {
+      case ((lang, b), acc) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    (TextAnalysis.qualityScore(col("text")) >= QualityFloor) &&
+      (Dedup.hash60(concat_ws(":", col("lang"), col("doc_id"))) % 1000 < bucket)
+  }
+
   def curatedMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
     val pairs = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 3, 0.5, numHashes = 32)
     val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
     val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
-    val bucket = SampleBuckets.foldRight(lit(DefaultBucket): org.apache.spark.sql.Column) {
-      case ((lang, b), acc) => when(col("lang") === lang, lit(b)).otherwise(acc)
-    }
     docs
       .join(keepers, Seq("doc_id"), "left_semi")
-      .where(TextAnalysis.qualityScore(col("text")) >= QualityFloor)
-      .where(Dedup.hash60(concat_ws(":", col("lang"), col("doc_id"))) % 1000 < bucket)
+      .where(curationFilter)
       .select(
         col("doc_id"), col("lang"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))

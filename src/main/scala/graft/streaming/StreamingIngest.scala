@@ -160,6 +160,32 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** documents schema as stored. */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of a documents parquet directory. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentsSchema).parquet(dir)
+
+  /** Streaming twin of the curated-mix pipeline's STATELESS stages
+    * ([[graft.queries.PipelineQueries.curationFilter]]): quality floor +
+    * per-language deterministic stratified sampling over a document
+    * stream. Pure expressions — no state, no watermark, identical output
+    * to the batch filter on the same rows (StreamingSpec). The stateful
+    * keeper-selection stage (exact/near-dup dedup) composes upstream via
+    * [[dedupStreamWithinWatermark]]-style dedup in-stream, or runs in the
+    * batch/compaction layer where the full pair graph is available. */
+  def curateDocStream(docs: DataFrame): DataFrame =
+    docs
+      .where(graft.queries.PipelineQueries.curationFilter)
+      .select(col("doc_id"), col("lang"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

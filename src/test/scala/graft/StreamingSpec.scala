@@ -198,6 +198,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filter equals the batch filter on the same docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val q = StreamingIngest.curateDocStream(
+      StreamingIngest.readDocuments(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("curate_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, lang, quality FROM curate_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+      val batch = graft.model.VectorModel.documents(spark, Sf0001)
+        .where(graft.queries.PipelineQueries.curationFilter)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"),
+          org.apache.spark.sql.functions.round(
+            graft.text.TextAnalysis.qualityScore(
+              org.apache.spark.sql.functions.col("text")), 6).as("quality"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
