@@ -99,6 +99,29 @@ object PureProps extends Properties("graft.pure") {
       }
     }
 
+  // fixed IVF model for the probe/assignment properties
+  private val ivfCentroids: Array[Array[Double]] = {
+    val rng = new java.util.Random(7)
+    Array.fill(8)(Array.fill(dim)(rng.nextDouble() * 4 - 2))
+  }
+  private val ivfModel = graft.index.Ivf.IvfModel(ivfCentroids)
+
+  property("ivf probeClusters: distinct, in range, min(n, k) of them") =
+    forAll(vecGen, Gen.choose(1, 12)) { (q, n) =>
+      val p = ivfModel.probeClusters(q.toSeq, n)
+      p.distinct.size == p.size &&
+        p.forall(i => i >= 0 && i < ivfCentroids.length) &&
+        p.size == math.min(n, ivfCentroids.length)
+    }
+
+  property("ivf nearestCentroid minimizes squared L2 over all centroids") =
+    forAll(vecGen) { v =>
+      def d2(a: Array[Double]) =
+        a.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum
+      val dc = d2(ivfCentroids(ivfModel.nearestCentroid(v.toSeq)))
+      ivfCentroids.forall(o => dc <= d2(o) + 1e-12)
+    }
+
   property("range banding: bands cover an interval exactly (membership <=> band match)") =
     forAll(Gen.choose(1L, 1000L), Gen.choose(0L, 100000L), Gen.choose(0L, 5000L),
       Gen.choose(0L, 100000L)) { (w, lo, span, p) =>
