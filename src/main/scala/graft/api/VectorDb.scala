@@ -258,6 +258,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     method match {
       case "ivf" => ivfSearch(query, topK, pred)
       case "hnsw" => hnswSearch(query, topK, filter = pred)
+      case "ivfpq" => ivfPqSearch(query, topK, filter = pred)
       case _ => bruteForceSearch(query, topK, pred)
     }
   }
@@ -297,12 +298,17 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     ivfPq = Some(IvfPq.build(data, dim, k = k, m = m, nBits = nBits, seed = seed))
 
   /** Extension: ADC search over the IVF-PQ codes with exact re-rank
-    * against live vectors; requires [[buildIvfPqIndex]]. */
-  def ivfPqSearch(query: Seq[Double], topK: Int = 5): DataFrame = {
+    * against live vectors; requires [[buildIvfPqIndex]]. `filter` applies
+    * at the refine stage (overfetch-then-filter — can return fewer than
+    * topK under a selective predicate, like the reference's own
+    * post-filtered approximate searches). */
+  def ivfPqSearch(query: Seq[Double], topK: Int = 5,
+      filter: Option[Column] = None): DataFrame = {
     checkDim(query)
     val (encoded, model) = ivfPq.getOrElse(
       throw new IllegalStateException("IVF-PQ index not built"))
-    IvfPq.search(encoded, model, query, topK, refineFrom = Some(data))
+    IvfPq.search(encoded, model, query, topK, refineFrom = Some(data),
+      filter = filter)
   }
 
   /** Extension (graft.text.Bm25): BM25 keyword-relevance ranking over a

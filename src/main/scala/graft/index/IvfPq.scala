@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -88,9 +88,18 @@ object IvfPq {
     * refined output is (id, sim) — the same ranking contract as
     * [[graft.search.VectorSearch.bruteForceTopK]] restricted to the
     * candidate set. */
+  /** `filter` (S5 semantics over the refine stage): applied to the raw
+    * rows during re-rank — every returned row satisfies it exactly, but
+    * because ADC candidates are selected before filtering, a selective
+    * predicate can return fewer than topK rows (the reference's own
+    * overfetch-then-filter behavior, vervectordb/__init__.py:470-485;
+    * raise `refineFactor` to compensate). Requires `refineFrom`. */
   def search(encoded: DataFrame, model: IvfPqModel, query: Seq[Double], topK: Int,
       refineFrom: Option[DataFrame] = None, refineFactor: Int = 4,
-      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+      vecCol: String = "vector", idCol: String = "id",
+      filter: Option[Column] = None): DataFrame = {
+    require(filter.isEmpty || refineFrom.nonEmpty,
+      "filtered IVF-PQ search needs refineFrom (the filter applies to raw rows)")
     val nProbes = math.max(model.ivf.k / 2, 8)
     val probes = model.ivf.probeClusters(query, nProbes)
     val q = query.toArray
@@ -125,7 +134,8 @@ object IvfPq {
       case None =>
         cand.limit(topK).select(col(idCol), round(col("adc_score"), 6).as("adc_score"))
       case Some(raw) =>
-        raw.join(broadcast(cand.select(col(idCol))), idCol)
+        filter.foldLeft(raw)((d, f) => d.where(f))
+          .join(broadcast(cand.select(col(idCol))), idCol)
           .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
           .orderBy(col("sim").desc, col(idCol).asc)
           .limit(topK)

@@ -251,6 +251,23 @@ class VectorDbSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("filtered search dispatches to ivfpq; every hit satisfies the predicate") {
+    val db = freshDb(150)
+    db.buildIvfPqIndex()
+    val q = Seq.fill(8)(5.0)
+    val pred = element_at(col("metadata"), "category") === "0"
+    val res = db.filteredSearch(q, 5, metadataFilter = Some(pred), method = "ivfpq")
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(db.getById(r.getLong(0)).exists(_._2("category") == "0"))
+    }
+    // refined sims equal the exact operator's for the same ids
+    val exact = db.bruteForceSearch(q, 150).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("sim"))).toMap
+    res.foreach(r => assert(r.getDouble(1) === exact(r.getLong(0))))
+  }
+
   test("keywordRank extension: BM25 over metadata text ranks matching docs") {
     val db = freshDb(80)
     val res = db.keywordRank(Seq("science"), 10).collect()
