@@ -268,25 +268,35 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * distributed job for the whole query set and returns the same
     * (query_id, id, sim, rn) shape — brute = broadcast join + k-bounded
     * aggregator; hnsw = per-partition graphs built once for the batch;
-    * ivf = probe-cluster equi-join ([[Ivf.batchSearch]]). */
+    * ivf = probe-cluster equi-join ([[Ivf.batchSearch]]).
+    *
+    * `filter` (reference `filter_func`, shared by every query in the
+    * batch): applied FILTER-FIRST — brute/hnsw operate on the qualifying
+    * rows only (the graphs are built over them), ivf filters the assigned
+    * table before the probe join — so every method returns exactly the
+    * qualifying top-k, unlike the reference's lossy overfetch-then-filter
+    * (SURVEY.md §2 overfetch note). */
   def batchSearch(queries: Seq[Seq[Double]], topK: Int = 5,
-      method: String = "brute_force", efSearch: Int = 128): DataFrame = {
+      method: String = "brute_force", efSearch: Int = 128,
+      filter: Option[Column] = None): DataFrame = {
     queries.foreach(checkDim)
     lazy val indexed = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    val live = filter.foldLeft(data)((d, f) => d.where(f))
     method match {
       case "hnsw" =>
-        Hnsw.hnswBatchTopK(data, indexed, topK, efSearch = efSearch)
+        Hnsw.hnswBatchTopK(live, indexed, topK, efSearch = efSearch)
       case "ivf" =>
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))
-        Ivf.batchSearch(assigned, model, indexed, topK)
+        Ivf.batchSearch(filter.foldLeft(assigned)((d, f) => d.where(f)),
+          model, indexed, topK)
       case _ =>
         val qdf = spark.createDataFrame(
           spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
           StructType(Seq(
             StructField("query_id", LongType, nullable = false),
             StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
-        VectorSearch.batchTopK(data, qdf, dim, topK)
+        VectorSearch.batchTopK(live, qdf, dim, topK)
     }
   }
 

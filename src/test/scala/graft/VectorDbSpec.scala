@@ -251,6 +251,23 @@ class VectorDbSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("batch search filter: every method returns only qualifying rows for every query") {
+    val db = freshDb(150)
+    db.buildIvfIndex()
+    val queries = Seq(Seq.fill(8)(3.0), Seq.fill(8)(7.0))
+    val pred = element_at(col("metadata"), "category") === "1"
+    for (method <- Seq("brute_force", "hnsw", "ivf")) {
+      val rows = db.batchSearch(queries, 4, method = method, filter = Some(pred))
+        .collect()
+      assert(rows.nonEmpty, method)
+      assert(rows.map(_.getAs[Long]("query_id")).toSet === Set(0L, 1L), method)
+      rows.foreach { r =>
+        assert(db.getById(r.getAs[Long]("id")).exists(_._2("category") == "1"),
+          s"$method returned a non-qualifying row")
+      }
+    }
+  }
+
   test("filtered search dispatches to ivfpq; every hit satisfies the predicate") {
     val db = freshDb(150)
     db.buildIvfPqIndex()
