@@ -25,8 +25,16 @@ import graft.store.VectorStore
   *
   * Ids are deterministic sequence numbers rather than uuid4 (`:251`) —
   * reproducible and oracle-testable (SURVEY.md §7).
+  *
+  * Index hyperparameters are constructor state like the reference's
+  * (`hnsw_M`/`hnsw_ef_construction`/`pq_n_subquantizers`/`pq_n_bits`,
+  * `:222-240`). Defaults stay this engine's recall-gated 16/64 (the
+  * documented deviation from the reference's 32/200 — SURVEY.md §6);
+  * passing 32/200 reproduces the reference's parameters exactly.
   */
-final class VectorDb(val spark: SparkSession, val dim: Int) {
+final class VectorDb(val spark: SparkSession, val dim: Int,
+    val hnswM: Int = 16, val hnswEfConstruction: Int = 64,
+    val pqM: Int = 8, val pqNBits: Int = 8) {
 
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -160,7 +168,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
   def buildHnswIndex(numPartitions: Int = 8): Unit = {
     dropOwnedHnsw()
     val p = java.nio.file.Files.createTempDirectory("vectordb_hnsw").toString + "/g"
-    graft.index.HnswStore.save(data, p, numPartitions = numPartitions)
+    graft.index.HnswStore.save(data, p, m = hnswM,
+      efConstruction = hnswEfConstruction, numPartitions = numPartitions)
     hnswPath = Some(p)
     hnswOwned = true
     hnswCoveredUpTo = nextId
@@ -214,7 +223,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
       case Some(p) =>
         hnswMergeSearch(p, query, topK, efSearch, filter)
       case None =>
-        Hnsw.hnswTopK(data, query, topK, efSearch = efSearch,
+        Hnsw.hnswTopK(data, query, topK, m = hnswM,
+          efConstruction = hnswEfConstruction, efSearch = efSearch,
           numPartitions = numPartitions, filter = filter)
     }
   }
@@ -284,7 +294,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     val live = filter.foldLeft(data)((d, f) => d.where(f))
     method match {
       case "hnsw" =>
-        Hnsw.hnswBatchTopK(live, indexed, topK, efSearch = efSearch)
+        Hnsw.hnswBatchTopK(live, indexed, topK, m = hnswM,
+          efConstruction = hnswEfConstruction, efSearch = efSearch)
       case "ivf" =>
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))
@@ -304,7 +315,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
     * cluster assignment + residual PQ codes, the scan-m-bytes-from-probed-
     * partitions scale path. Maintained incrementally on writes like IVF
     * (the encoded view is a pure function of live rows and the model). */
-  def buildIvfPqIndex(k: Int = 16, m: Int = 8, nBits: Int = 8, seed: Long = 42L): Unit =
+  def buildIvfPqIndex(k: Int = 16, m: Int = pqM, nBits: Int = pqNBits,
+      seed: Long = 42L): Unit =
     ivfPq = Some(IvfPq.build(data, dim, k = k, m = m, nBits = nBits, seed = seed))
 
   /** Extension: ADC search over the IVF-PQ codes with exact re-rank
@@ -331,8 +343,9 @@ final class VectorDb(val spark: SparkSession, val dim: Int) {
         .where(col("text").isNotNull),
       terms, topK, idCol = "id", textCol = "text")
 
-  /** W7 `train_pq`. */
-  def trainPq(m: Int = 8, nBits: Int = 8): Unit =
+  /** W7 `train_pq` (subquantizer count/bits default to the constructor's,
+    * reference `:238-239`). */
+  def trainPq(m: Int = pqM, nBits: Int = pqNBits): Unit =
     pq = Some(ProductQuantizer.train(data, "vector", "id", dim, m, nBits))
 
   /** W8 `compress`: adds `pq_code` (BINARY, m bytes). */

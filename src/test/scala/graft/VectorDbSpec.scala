@@ -251,6 +251,25 @@ class VectorDbSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("constructor hyperparameters thread through (reference 32/200 + pq m=4)") {
+    val rng = new java.util.Random(11)
+    val db = new VectorDb(spark, 8, hnswM = 32, hnswEfConstruction = 200, pqM = 4)
+    db.batchInsert((0 until 100).map { i =>
+      (Seq.fill(8)(rng.nextDouble() * 10), Map("text" -> s"doc $i"))
+    })
+    val q = Seq.fill(8)(5.0)
+    db.buildHnswIndex()
+    // reference-parameter graph must agree with the exact top-1
+    val exactTop = db.bruteForceSearch(q, 1).collect()(0).getLong(0)
+    val hnswTop = db.hnswSearch(q, 1).collect()(0).getLong(0)
+    assert(hnswTop === exactTop)
+    db.trainPq()
+    val codeLen = db.compress().select(
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.length(col("pq_code")))).head.getInt(0)
+    assert(codeLen === 4, "pq codes must use the constructor's subquantizer count")
+  }
+
   test("batch search filter: every method returns only qualifying rows for every query") {
     val db = freshDb(150)
     db.buildIvfIndex()
