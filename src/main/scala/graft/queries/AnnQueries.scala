@@ -101,13 +101,65 @@ object AnnQueries {
       .orderBy("vec_id", "rn")
   }
 
+  /** List length each retriever contributes to the fusion. */
+  private val RrfN = 50
+  private val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
+    * (over `documents`) and the exact cosine top-50 (over the aligned
+    * `embeddings` rows) — the standard two-tower retrieval shape
+    * (Cormack et al., SIGIR 2009: rrf = Σ 1/(60 + rank)). Both input
+    * ranks order by the ROUNDED scores with id tie-breaks, so ranks —
+    * and therefore the fused scores — are engine-exact. The rank windows
+    * are unpartitioned but BOUNDED: they run over the two top-N lists
+    * (N=50), never the corpus. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.text.Bm25.topK(
+      VectorModel.documents(spark, dir), TextQueries.Bm25Terms, RrfN)
+      .withColumn("lr", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lr"))
+    val vec = VectorSearch.bruteForceTopK(
+      VectorModel.embeddings(spark, dir), VectorModel.AnnQuery, RrfN,
+      vecCol = "embedding", idCol = "vec_id")
+      .withColumn("vr", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      .select(col("vec_id"), col("vr"))
+    lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vr")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
+  lazy val hybridRrfSql: String = {
+    val one = OracleSql.lit(1.0)
+    val zero = OracleSql.lit(0.0)
+    val sim = OracleSql.cosineConst(OracleSql.listElem("embedding"), VectorModel.AnnQuery)
+    s"""WITH lex AS (${TextQueries.bm25Sql(RrfN)}),
+       |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lr FROM lex),
+       |vec AS (SELECT vec_id, round($sim, 6) AS sim
+       |        FROM embeddings ORDER BY sim DESC, vec_id ASC LIMIT $RrfN),
+       |vecr AS (SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vr FROM vec)
+       |SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+       |  round(COALESCE($one/($RrfK + lr), $zero) + COALESCE($one/($RrfK + vr), $zero), 6) AS rrf
+       |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.vec_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_keyword_topk" -> (keywordAnn _),
     "ann_ivf_knn_join" -> (ivfKnnJoin _),
     "ann_knn_join" -> (knnJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_keyword_topk" -> keywordAnnSql,
     "ann_knn_join" -> knnJoinSql)

@@ -119,7 +119,11 @@ object TextQueries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bm25.topK(VectorModel.documents(spark, dir), Bm25Terms, 15)
 
-  val bm25TopKSql: String = {
+  val bm25TopKSql: String = bm25Sql(15)
+
+  /** BM25 oracle at an arbitrary list length (reused by the hybrid-RRF
+    * oracle with its own limit). */
+  def bm25Sql(limit: Int): String = {
     import graft.text.Bm25.{B, K1}
     val lit = OracleSql.lit _
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -136,7 +140,7 @@ object TextQueries {
        |scored AS (SELECT doc, $idf * (CAST(tf AS DOUBLE) * ${lit(K1 + 1.0)}) / $norm AS w
        |           FROM tf JOIN dfs USING (term) CROSS JOIN stats)
        |SELECT doc AS doc_id, round(sum(w), 6) AS bm25
-       |FROM scored GROUP BY doc ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+       |FROM scored GROUP BY doc ORDER BY bm25 DESC, doc_id ASC LIMIT $limit""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
