@@ -72,10 +72,16 @@ object ApproxQueries {
     * timed build step — serving queries then time serving only. */
   private[graft] def ivfLayout(spark: SparkSession, dir: String): (String, Ivf.IvfModel) =
     ivfLayoutCache.computeIfAbsent(dir, _ => {
-      val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, dir))
+      val vecs = VectorModel.lineitemVectors(spark, dir)
+      val (_, model) = Ivf.fit(vecs)
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_layout").toString
-      Ivf.saveClustered(assigned, path)
+      // assign WITHOUT the round-robin widen: the nearest-centroid map is
+      // cheap enough for scan-task parallelism, and saveClustered's own
+      // cluster repartition provides the write parallelism — skipping the
+      // widen removes a full extra exchange of the table (measured 2x on
+      // the write leg, DevIvfProfile)
+      Ivf.saveClustered(Ivf.assign(vecs, model), path)
       (path, model)
     })
 
@@ -165,11 +171,14 @@ object ApproxQueries {
       : (String, graft.index.IvfPq.IvfPqModel) =
     ivfPqLayoutCache.computeIfAbsent(dir, _ => {
       val emb = VectorModel.embeddings(spark, dir)
-      val (encoded, model) = graft.index.IvfPq.build(emb, VectorModel.EmbDim,
+      val (_, model) = graft.index.IvfPq.build(emb, VectorModel.EmbDim,
         vecCol = "embedding", idCol = "vec_id")
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_layout").toString
-      Ivf.saveClustered(encoded, path)
+      // re-encode without the widen exchange — see ivfLayout
+      Ivf.saveClustered(
+        graft.index.IvfPq.encode(emb, model, vecCol = "embedding", idCol = "vec_id"),
+        path)
       (path, model)
     })
 
