@@ -84,6 +84,29 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Decontamination: training docs that share at least one distinct
+    * k-gram with an evaluation corpus, with the overlap count — the
+    * test-set-leakage check a training pipeline runs before every data
+    * release.
+    *
+    * Scale shape: eval sets are small (10²–10⁵ docs) so their distinct
+    * k-gram set is broadcast; the training corpus is scanned ONCE —
+    * explode distinct k-grams, broadcast-hash-join, per-doc count with
+    * map-side partial aggregation. The only shuffle is the final
+    * per-doc agg over matching rows (≪ corpus). If the eval side ever
+    * outgrows the broadcast limit, dropping the hint degrades to a
+    * hash-shuffle join on the gram — same semantics. */
+  def contaminatedDocs(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 4): DataFrame = {
+    def grams(df: DataFrame) = Par.widen(df)
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), explode(shingles(col(textCol), k)).as("sg"))
+    grams(train)
+      .join(broadcast(grams(eval).select(col("sg")).distinct()), "sg")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * similarity over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -133,11 +133,48 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Decontamination parameters: docs from [[EvalSource]] stand in for the
+    * benchmark/eval set; everything else is the training corpus. k = 4 word
+    * grams — long enough that overlap means shared phrasing, short enough
+    * to produce hits on this corpus. */
+  val EvalSource = "src0"
+  val DecontamK = 4
+
+  /** Test-set leakage check: training docs sharing any distinct 4-gram
+    * with the eval slice, with the overlap count
+    * ([[Dedup.contaminatedDocs]] — broadcast eval grams, one corpus
+    * scan). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    Dedup.contaminatedDocs(
+        docs.where(col("source") =!= EvalSource),
+        docs.where(col("source") === EvalSource),
+        "doc_id", "text", DecontamK)
+      .select(col("doc").as("doc_id"), col("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = {
+    val k = DecontamK
+    s"""WITH sgl AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks)-${k - 2})])) AS sg
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $k),
+       |ev AS (SELECT DISTINCT sg FROM sgl WHERE source = '$EvalSource')
+       |SELECT t.doc_id, count(*) AS n_overlap
+       |FROM sgl t JOIN ev ON t.sg = ev.sg
+       |WHERE t.source <> '$EvalSource'
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
+    "pipe_decontaminate" -> (decontaminate _),
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_clean_corpus" -> cleanCorpusSql,
+    "pipe_decontaminate" -> decontaminateSql,
     "pipe_curated_mix" -> curatedMixSql)
 }

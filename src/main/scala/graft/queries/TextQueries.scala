@@ -113,6 +113,38 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Within-document repetition metrics (Gopher-style quality filters):
+    * duplicate 2-gram / 3-gram fractions and the top-word frequency ratio.
+    * Pure per-row expressions — no shuffle, no explode. Docs shorter than
+    * 3 tokens are excluded (both engines) so every n-gram list is
+    * non-empty. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir)
+      .where(TextAnalysis.tokenCount(col("text")) >= 3)
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.dupNgramFrac(col("text"), 2), 6).as("dup_2gram_frac"),
+        round(TextAnalysis.dupNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"),
+        round(TextAnalysis.topWordFrac(col("text")), 6).as("top_word_frac"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String = {
+    val one = OracleSql.lit(1.0)
+    def grams(n: Int) =
+      s"[array_to_string(toks[i:i+${n - 1}], ' ') for i in range(1, len(toks)-${n - 2})]"
+    def dupFrac(n: Int) =
+      s"$one - CAST(len(list_distinct(${grams(n)})) AS DOUBLE) / CAST(len(${grams(n)}) AS DOUBLE)"
+    val topFrac =
+      "CAST(list_max([len(list_filter(toks, t -> t = w)) for w in list_distinct(toks)]) AS DOUBLE)" +
+        " / CAST(len(toks) AS DOUBLE)"
+    s"""SELECT doc_id,
+       |  round(${dupFrac(2)}, 6) AS dup_2gram_frac,
+       |  round(${dupFrac(3)}, 6) AS dup_3gram_frac,
+       |  round($topFrac, 6) AS top_word_frac
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin
+  }
+
   /** BM25 keyword relevance: fixed query-term bag, top 15 docs. */
   val Bm25Terms = Seq("vector", "spark", "join")
 
@@ -149,6 +181,7 @@ object TextQueries {
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
     "tx_rolling_fp" -> (rollingFp _),
+    "tx_repetition" -> (repetition _),
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
@@ -157,5 +190,6 @@ object TextQueries {
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
     "tx_rolling_fp" -> rollingFpSql,
+    "tx_repetition" -> repetitionSql,
     "tx_langid" -> langIdSql)
 }

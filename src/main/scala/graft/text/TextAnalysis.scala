@@ -73,6 +73,34 @@ object TextAnalysis {
     when(allZero, lit("und")).otherwise(cases)
   }
 
+  /** Raw word n-grams WITH multiplicity (unlike [[graft.dedup.Dedup.shingles]],
+    * which deduplicates for set-similarity). Repetition metrics need the
+    * duplicates — they ARE the signal. Callers filter docs with < n tokens
+    * (Spark `sequence(0, negative)` would count downward, not yield empty). */
+  def rawNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Duplicate n-gram fraction (Gopher-style repetition filter): 1 −
+    * distinct/total over the doc's raw n-grams. High values flag boilerplate
+    * and degenerate repetition that survives dedup (repetition is WITHIN a
+    * document, not across documents). */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = rawNgrams(text, n)
+    lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double")
+  }
+
+  /** Top-word frequency ratio: occurrences of the most frequent token over
+    * total tokens. O(distinct · total) comparisons per doc as a pure
+    * codegen'd expression — no explode, no shuffle; doc token counts are
+    * bounded, so the quadratic term is a constant, not a scale risk. */
+  def topWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = transform(array_distinct(toks), w => size(filter(toks, t => t === w)))
+    array_max(counts).cast("double") / size(toks).cast("double")
+  }
+
   /** Exact content fingerprint (md5 of raw text). */
   def fingerprint(text: Column): Column = md5(text)
 
