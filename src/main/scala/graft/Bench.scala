@@ -24,7 +24,9 @@ object Bench {
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk"),
-      (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }))
+      (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
+    ("build_pair_layout", Set("dd_ngram_capped", "dd_components", "pipe_curated_mix"),
+      (s, d) => { queries.DedupQueries.pairLayout(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

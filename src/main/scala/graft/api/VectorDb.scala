@@ -30,11 +30,18 @@ import graft.store.VectorStore
   * (`hnsw_M`/`hnsw_ef_construction`/`pq_n_subquantizers`/`pq_n_bits`,
   * `:222-240`). Defaults stay this engine's recall-gated 16/64 (the
   * documented deviation from the reference's 32/200 — SURVEY.md §6);
-  * passing 32/200 reproduces the reference's parameters exactly.
+  * passing 32/200 reproduces the reference's parameters exactly. They
+  * survive [[save]]/[[VectorDb.load]] via the meta sidecar.
+  *
+  * `strict = true` reproduces the reference's error semantics on absent
+  * ids: `get_by_id`/`update`/`delete` raise `KeyError` (`:302-303`,
+  * `:311-335`) — here `NoSuchElementException`. The default keeps this
+  * engine's Option/no-op semantics (each existence check is a driver
+  * round-trip a distributed engine shouldn't pay per write unless asked).
   */
 final class VectorDb(val spark: SparkSession, val dim: Int,
     val hnswM: Int = 16, val hnswEfConstruction: Int = 64,
-    val pqM: Int = 8, val pqNBits: Int = 8) {
+    val pqM: Int = 8, val pqNBits: Int = 8, val strict: Boolean = false) {
 
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -87,6 +94,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ivfPq = ivfPq.map { case (_, model) => (IvfPq.encode(data, model), model) }
     ivfSnap.foreach(_.unpersist())
     ivfSnap = None
+    ivfPqSnap.foreach(_.unpersist())
+    ivfPqSnap = None
     if (mutated) hnswMutated = true
   }
 
@@ -116,17 +125,34 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ids
   }
 
-  /** S6 `get_by_id`. */
-  def getById(id: Long): Option[(Seq[Double], Map[String, String])] =
-    VectorSearch.getById(data, id).collect().headOption.map { r =>
+  /** S6 `get_by_id`. In strict mode an absent id throws (reference
+    * KeyError, `:302-303`); otherwise None. */
+  def getById(id: Long): Option[(Seq[Double], Map[String, String])] = {
+    val r = VectorSearch.getById(data, id).collect().headOption.map { r =>
       (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
     }
+    if (strict && r.isEmpty) throw new NoSuchElementException(s"id $id not found")
+    r
+  }
 
-  /** W3 `update` — vector and/or metadata; no-op on absent id (the
-    * reference raises; callers can check getById first). */
+  /** S6 with the reference's raise-on-absent semantics regardless of
+    * [[strict]]. */
+  def getByIdOrThrow(id: Long): (Seq[Double], Map[String, String]) =
+    VectorSearch.getById(data, id).collect().headOption.map { r =>
+      (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+    }.getOrElse(throw new NoSuchElementException(s"id $id not found"))
+
+  private def requireExists(id: Long, op: String): Unit =
+    if (strict && VectorSearch.getById(data, id).isEmpty)
+      throw new NoSuchElementException(s"$op: id $id not found")
+
+  /** W3 `update` — vector and/or metadata. Strict mode throws on an
+    * absent id (reference KeyError, `:311-322`); otherwise a no-op
+    * (callers can check getById first). */
   def update(id: Long, vector: Option[Seq[Double]] = None,
       metadata: Option[Map[String, String]] = None): Unit = {
     vector.foreach(checkDim)
+    requireExists(id, "update")
     val assignments =
       vector.map(v => "vector" -> array(v.map(lit): _*).cast("array<double>")).toMap ++
         metadata.map(m => "metadata" ->
@@ -135,8 +161,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     refreshIndexesOnWrite(mutated = true)
   }
 
-  /** W4 `delete`. */
+  /** W4 `delete`. Strict mode throws on an absent id (reference KeyError,
+    * `:324-335`); otherwise a no-op. */
   def delete(id: Long): Unit = {
+    requireExists(id, "delete")
     data = VectorStore.delete(data, col("id") === id)
     refreshIndexesOnWrite(mutated = true)
   }
@@ -269,7 +297,9 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       case "ivf" => ivfSearch(query, topK, pred)
       case "hnsw" => hnswSearch(query, topK, filter = pred)
       case "ivfpq" => ivfPqSearch(query, topK, filter = pred)
-      case _ => bruteForceSearch(query, topK, pred)
+      case "brute_force" => bruteForceSearch(query, topK, pred)
+      case other => throw new IllegalArgumentException(
+        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq)")
     }
   }
 
@@ -301,13 +331,22 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           throw new IllegalStateException("IVF index not built"))
         Ivf.batchSearch(filter.foldLeft(assigned)((d, f) => d.where(f)),
           model, indexed, topK)
-      case _ =>
+      case "ivfpq" =>
+        // filter applies at the exact refine stage (the same
+        // overfetch-then-filter semantics as single-query ivfPqSearch)
+        val (encoded, model) = ivfPq.getOrElse(
+          throw new IllegalStateException("IVF-PQ index not built"))
+        IvfPq.batchSearch(encoded, model, indexed, topK,
+          refineFrom = data, filter = filter)
+      case "brute_force" =>
         val qdf = spark.createDataFrame(
           spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
           StructType(Seq(
             StructField("query_id", LongType, nullable = false),
             StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
         VectorSearch.batchTopK(live, qdf, dim, topK)
+      case other => throw new IllegalArgumentException(
+        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq)")
     }
   }
 
@@ -386,8 +425,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     snap.count()
     data = snap
     VectorStore.save(data, s"$path/data")
-    spark.createDataFrame(Seq((nextId, hnswCoveredUpTo, hnswMutated)))
-      .toDF("next_id", "hnsw_covered_up_to", "hnsw_mutated")
+    // constructor hyperparameters persist with the instance — the
+    // reference pickles the whole object so its load restores them
+    // (vervectordb/__init__.py:575-594); without these a db built with
+    // non-default parameters would silently rebuild/merge with defaults
+    // after load
+    spark.createDataFrame(Seq(
+        (nextId, hnswCoveredUpTo, hnswMutated, hnswM, hnswEfConstruction, pqM, pqNBits)))
+      .toDF("next_id", "hnsw_covered_up_to", "hnsw_mutated",
+        "hnsw_m", "hnsw_ef_construction", "pq_m", "pq_nbits")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     ivf match {
       case Some((assigned, model)) =>
@@ -448,10 +494,14 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     hnswPath match {
       case Some(p) if p != s"$path/hnsw" =>
         // cluster by the partition column first (one file per graph shard,
-        // not tasks × shards — same fix as Ivf.saveClustered)
+        // not tasks × shards — same fix as Ivf.saveClustered); the
+        // DataFrame rewrite drops the hyperparameter sidecar, so copy it
+        // explicitly — without it a loaded db would serve/merge with
+        // defaults instead of the build-time m/efConstruction
         spark.read.parquet(p).repartition(col("part"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("part").parquet(s"$path/hnsw")
+        graft.index.HnswStore.copyMeta(spark, p, s"$path/hnsw")
       case Some(_) => // already persisted in place
       case None =>
         rmTree(new java.io.File(s"$path/hnsw"))
@@ -463,11 +513,35 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
 
 object VectorDb {
 
-  /** W11 `load` (classmethod in the reference, `:575-594`). */
+  /** Rebuild a quantizer from its persisted codebook rows
+    * (subspace, centroid_id, centroid): every hyperparameter is inferred
+    * STRUCTURALLY — m from the subspace count, k (and so nBits) from the
+    * per-subspace centroid count — so a quantizer trained with any
+    * (m, nBits), constructor-default or not, round-trips exactly. (With
+    * the old fixed `nBits=8`, a pqNBits≠8 db would load with `pq.k=256`
+    * over 2^nBits codebook entries and throw AIOOBE on the first
+    * encode/LUT build.) */
+  private def quantizerFromRows(rows: Array[Row], dim: Int): ProductQuantizer = {
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    require(Integer.bitCount(k) == 1, s"codebook size $k is not a power of two")
+    val q = new ProductQuantizer(dim, m, nBits = Integer.numberOfTrailingZeros(k))
+    q.codebooks = Array.tabulate(m) { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+    q
+  }
+
+  /** W11 `load` (classmethod in the reference, `:575-594`). Restores the
+    * constructor hyperparameters from the meta sidecar, so post-load
+    * writes/rebuilds use the build-time parameters — the reference gets
+    * this for free by pickling the whole object. */
   def load(spark: SparkSession, path: String, dim: Int): VectorDb = {
-    val db = new VectorDb(spark, dim)
-    db.data = VectorStore.load(spark, s"$path/data")
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val db = new VectorDb(spark, dim,
+      hnswM = meta.getInt(3), hnswEfConstruction = meta.getInt(4),
+      pqM = meta.getInt(5), pqNBits = meta.getInt(6))
+    db.data = VectorStore.load(spark, s"$path/data")
     db.nextId = meta.getLong(0)
     db.hnswCoveredUpTo = meta.getLong(1)
     db.hnswMutated = meta.getBoolean(2)
@@ -482,24 +556,15 @@ object VectorDb {
     if (hf.exists()) { db.hnswPath = Some(s"$path/hnsw"); db.hnswOwned = false }
     val pqf = new java.io.File(s"$path/pq_codebooks")
     if (pqf.exists()) {
-      val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
-      val m = rows.map(_.getInt(0)).max + 1
-      val q = new ProductQuantizer(dim, m)
-      q.codebooks = Array.tabulate(m) { s =>
-        rows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
-      }
-      db.pq = Some(q)
+      db.pq = Some(quantizerFromRows(
+        spark.read.parquet(s"$path/pq_codebooks").collect(), dim))
     }
     val ipf = new java.io.File(s"$path/ivfpq_centroids")
     if (ipf.exists()) {
       val centroids = spark.read.parquet(s"$path/ivfpq_centroids")
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-      val cbRows = spark.read.parquet(s"$path/ivfpq_codebooks").collect()
-      val m = cbRows.map(_.getInt(0)).max + 1
-      val q = new ProductQuantizer(dim, m)
-      q.codebooks = Array.tabulate(m) { s =>
-        cbRows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
-      }
+      val q = quantizerFromRows(
+        spark.read.parquet(s"$path/ivfpq_codebooks").collect(), dim)
       val encoded = spark.read.parquet(s"$path/ivfpq_data")
       db.ivfPq = Some((encoded, IvfPq.IvfPqModel(Ivf.IvfModel(centroids), q)))
     }

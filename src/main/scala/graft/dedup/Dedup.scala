@@ -191,18 +191,41 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any band (band hash = md5 of the
     * band's signature slice), with estimated Jaccard = matching-hash
-    * fraction of the two signatures. */
+    * fraction of the two signatures.
+    *
+    * The signature columns RIDE THROUGH the band join (packed as one
+    * array, ~numHashes longs per band row) and `est_jaccard` is computed
+    * in place, so the pair never re-joins back to `sig` — one exchange +
+    * one join + one distinct, instead of the join → distinct → two
+    * signature re-joins shape (which the round-3 driver bench measured at
+    * 3× the round-2 time of this exact query). A (da, db) pair surfacing
+    * from several bands yields identical (est) rows, so the distinct on
+    * the projected output keeps pair semantics. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val cand = bandedCandidatePairs(sig, numHashes, bands)
+    val rpb = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
+    }
+    val sigArr = array((0 until numHashes).map(j => col(s"h$j")): _*)
+    // sig is post-shuffle (groupBy output): spread unconditionally — AQE
+    // would otherwise coalesce it to one partition by bytes and serialize
+    // the band self-join (see bandedCandidatePairs).
+    val bl = Par.spread(
+      sig.select(col("doc"), sigArr.as("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
+      col("band"), col("bh"))
     val est = (0 until numHashes)
-      .map(j => when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0))
+      .map(j => when(col("a.sig")(j) === col("b.sig")(j), 1).otherwise(0))
       .reduceLeft[Column](_ + _)
       .cast("double") / lit(numHashes.toDouble)
-    cand.join(sig.as("a"), col("da") === col("a.doc"))
-      .join(sig.as("b"), col("db") === col("b.doc"))
-      .select(col("da"), col("db"), round(est, 6).as("est_jaccard"))
+    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** 60-bit SimHash over distinct shingles: bit b is the sign of the sum of
@@ -279,6 +302,13 @@ object Dedup {
     * rather than returning a partial labeling. */
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
+    // the previous invocation's final-round cache is dead by now (its
+    // output was consumed) — release it so repeated calls (bench harness,
+    // curatedMix) hold at most one cached labeling
+    synchronized {
+      lastLabelsCache.foreach(_.unpersist())
+      lastLabelsCache = None
+    }
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
       .union(pairs.select(col("db").cast("long").as("src"), col("da").cast("long").as("dst")))
       .cache()
@@ -320,11 +350,20 @@ object Dedup {
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    // the fixed-point labels are materialized in prevRound's cache; the
+    // edge cache only served the iteration and is released now (a cache
+    // eviction would recompute labels from lineage — correct, just slower)
+    edges.unpersist()
+    synchronized { lastLabelsCache = Some(prevRound) }
     vertices.select(col(idCol).cast("long").as("doc"))
       .join(labels.withColumnRenamed("label", "component"), Seq("doc"), "left")
       .select(col("doc").as(idCol),
         coalesce(col("component"), col("doc")).as("component"))
   }
+
+  /** Final-round cache of the most recent [[connectedComponents]] call —
+    * the returned frame reads through it; the NEXT call unpersists it. */
+  private var lastLabelsCache: Option[DataFrame] = None
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale, an LSH or IVF bucket).

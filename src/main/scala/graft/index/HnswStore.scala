@@ -17,17 +17,71 @@ import org.apache.spark.sql.functions._
   * the restored index return identical results to a fresh build.
   *
   * SERVING IS SHUFFLE-FREE: the layout holds one file per graph partition
-  * and Spark never splits a parquet file ≤ files.maxPartitionBytes, so
-  * every task sees only COMPLETE graphs and restore runs inside
+  * and Spark never byte-range-splits a parquet file ≤ its computed split
+  * size, so every task sees only COMPLETE graphs and restore runs inside
   * `mapPartitions` with an in-memory group-by — no exchange of the index
   * per query (shuffling the whole index per lookup is exactly the shape
-  * that dies at 100 TB). If any file outgrows the split threshold (an
-  * over-large shard), serving falls back to the grouping shuffle for
-  * correctness; the fix at scale is more, smaller shards at build time.
+  * that dies at 100 TB). The complete-graph invariant is enforced twice:
+  *  - [[filesUnsplit]] lists the layout through the Hadoop `FileSystem`
+  *    API (HDFS/S3-correct — a `java.io.File` walk would find nothing on
+  *    a remote filesystem, vacuously pass, and serve from PARTIAL graphs)
+  *    and compares file sizes against Spark's actual split-size formula;
+  *    an over-large shard falls back to the grouping shuffle.
+  *  - structurally: every stored row carries its shard's row count
+  *    (`part_rows`, written at save), and restore asserts the group it
+  *    holds is complete — so even a wrong listing (new Spark split
+  *    heuristics, an exotic filesystem) fails loudly instead of silently
+  *    returning neighbors from a truncated graph.
+  * The fix for an over-large shard at scale is more, smaller shards at
+  * build time.
   */
 object HnswStore {
 
-  private type Rec = (Int, Int, Long, Array[Double], Int, Array[Array[Long]], Boolean)
+  private type Rec = (Int, Int, Long, Array[Double], Int, Array[Array[Long]], Boolean, Int)
+
+  /** Graph hyperparameter sidecar (underscore-prefixed → invisible to the
+    * parquet reader): build-time (m, efConstruction, numPartitions) travel
+    * with the layout, so serving and incremental maintenance use the
+    * BUILD-time parameters, not whatever defaults the caller has — the
+    * parity gap the reference never has because it pickles the whole index
+    * object (vervectordb/__init__.py:556-594). */
+  private val MetaFile = "_graft_meta"
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      m: Int, efConstruction: Int, numPartitions: Int): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    try out.write(
+      s"m=$m\nefConstruction=$efConstruction\nnumPartitions=$numPartitions\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Build-time (m, efConstruction, numPartitions) of a stored layout. */
+  private[graft] def readMeta(spark: SparkSession, path: String): Option[(Int, Int, Int)] = {
+    val (fs, p) = hadoopFs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(p, MetaFile)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val kv = txt.split("\n").filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
+      }.toMap
+      Some((kv("m"), kv("efConstruction"), kv("numPartitions")))
+    }
+  }
+
+  /** Copy the hyperparameter sidecar alongside a layout copy (the facade's
+    * save path rewrites the parquet through a DataFrame, which drops
+    * non-data files). */
+  private[graft] def copyMeta(spark: SparkSession, from: String, to: String): Unit =
+    readMeta(spark, from).foreach { case (m, ef, np) => writeMeta(spark, to, m, ef, np) }
 
   /** Build per-partition graphs (identically to [[Hnsw.hnswTopK]]) and
     * persist their structure, clustered one file per graph partition. */
@@ -46,13 +100,16 @@ object HnswStore {
         val part = TaskContext.getPartitionId()
         val index = new HnswIndex(m, efConstruction, seed = 42L + part)
         rows.foreach { case (id, vec) => index.insert(id, vec) }
-        index.dump().zipWithIndex.map { case ((id, vec, level, adj, isEntry), ord) =>
-          (part, ord, id, vec, level, adj, isEntry)
+        val dumped = index.dump()
+        val n = dumped.length
+        dumped.zipWithIndex.map { case ((id, vec, level, adj, isEntry), ord) =>
+          (part, ord, id, vec, level, adj, isEntry, n)
         }
       }
-      .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry")
+      .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(path)
+    writeMeta(spark, path, m, efConstruction, numPartitions)
   }
 
   private def storedRecords(spark: SparkSession, path: String): Dataset[Rec] = {
@@ -61,33 +118,64 @@ object HnswStore {
       .select(col("part").cast("int"), col("ord").cast("int"),
         col("id").cast("long"), col("vector").cast("array<double>"),
         col("node_level").cast("int"), col("adj").cast("array<array<bigint>>"),
-        col("is_entry"))
+        col("is_entry"), col("part_rows").cast("int"))
       .as[Rec]
   }
 
-  /** True iff every data file fits one read split, i.e. tasks are
-    * guaranteed to hold complete graph partitions. */
+  /** True iff no data file can be byte-range split across read tasks, i.e.
+    * every task is guaranteed to hold complete graph partitions. Listed
+    * through the Hadoop `FileSystem` API so the answer is correct on ANY
+    * filesystem (HDFS/S3 included — a local-`File` walk returns nothing
+    * there and would vacuously pass). The threshold mirrors Spark's own
+    * `FilePartition.maxSplitBytes`: min(maxPartitionBytes, max(openCost,
+    * totalBytes/minPartitionNum)) — files above it CAN split even when
+    * under maxPartitionBytes (small-total scans lower the split size to
+    * raise parallelism). */
   private def filesUnsplit(spark: SparkSession, path: String): Boolean = {
-    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
-      else Iterator(f)
-    walk(new java.io.File(path))
-      .filter(_.getName.endsWith(".parquet"))
-      .forall(_.length <= maxBytes)
+    val conf = spark.sessionState.conf
+    val (fs, p) = hadoopFs(spark, path)
+    if (!fs.exists(p)) return false
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")) sizes += f.getLen
+    }
+    val openCost = conf.filesOpenCostInBytes
+    val minPartNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = sizes.map(_ + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, minPartNum)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+    sizes.forall(_ <= maxSplit)
   }
 
-  /** Restore every graph co-resident with a task and run `search` on it. */
+  /** Restore every graph co-resident with a task and run `search` on it.
+    * Graph parameters come from the layout's meta sidecar (build-time
+    * values); `m`/`efConstruction` are the fallback for layouts without
+    * one. Every restored group is structurally asserted complete against
+    * the stored shard row count — a split shard fails loudly, never serves
+    * partial-graph results. */
   private def served[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, path: String, m: Int, efConstruction: Int)(
       search: HnswIndex => Iterator[T]): Dataset[T] = {
     import spark.implicits._
+    val (mm, ee) = readMeta(spark, path)
+      .map(t => (t._1, t._2)).getOrElse((m, efConstruction))
     val stored = storedRecords(spark, path)
-    def restore(grp: Seq[Rec]): HnswIndex =
+    def restore(grp: Seq[Rec]): HnswIndex = {
+      val expected = grp.head._8
+      if (grp.size != expected)
+        throw new IllegalStateException(
+          s"partial HNSW graph shard: part ${grp.head._1} holds ${grp.size} of " +
+            s"$expected rows in one task — a stored file was split across read " +
+            "tasks; rebuild with more shards or serve via the grouping shuffle")
       HnswIndex.restore(
-        grp.sortBy(_._2).map { case (_, _, id, vec, level, adj, isEntry) =>
+        grp.sortBy(_._2).map { case (_, _, id, vec, level, adj, isEntry, _) =>
           (id, vec, level, adj, isEntry)
-        }, m, efConstruction)
+        }, mm, ee)
+    }
     if (filesUnsplit(spark, path))
       stored.mapPartitions { rows =>
         rows.toSeq.groupBy(_._1).valuesIterator.flatMap(grp => search(restore(grp.toSeq)))

@@ -36,17 +36,22 @@ object IvfPq {
   case class IvfPqModel(ivf: Ivf.IvfModel, pq: ProductQuantizer) extends Serializable
 
   /** Fit centroids (seeded, sample-bounded — [[Ivf.fit]]), train PQ on the
-    * residuals of the same deterministic ≤`sampleSize` id-ordered sample
-    * ([[ProductQuantizer.train]] shape), then encode the full table
-    * distributed: (id, cluster_id, pq_code). Persist with
-    * [[Ivf.saveClustered]] for the pruned serving layout. */
+    * residuals of a deterministic ≤`sampleSize` hash-priority sample
+    * (the [[ProductQuantizer.train]] / [[Ivf.fit]] shape — unbiased at any
+    * scale, unlike an id-ordered prefix when ids follow crawl order), then
+    * encode the full table distributed: (id, cluster_id, pq_code). Persist
+    * with [[Ivf.saveClustered]] for the pruned serving layout. */
   def build(df: DataFrame, dim: Int, vecCol: String = "vector", idCol: String = "id",
       k: Int = 16, m: Int = 8, nBits: Int = 8, seed: Long = 42L,
       sampleSize: Int = 10000): (DataFrame, IvfPqModel) = {
     val (assigned, ivf) = Ivf.fit(df, vecCol, k, seed, idCol = idCol)
-    val sample = df.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(hash(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     val residuals = sample.map { v =>
       val c = ivf.centroids(ivf.nearestCentroid(v))
       Array.tabulate(v.length)(i => v(i) - c(i))
@@ -141,5 +146,75 @@ object IvfPq {
           .limit(topK)
           .select(col(idCol), col("sim"))
     }
+  }
+
+  /** S4 with method=ivfpq: the whole query batch ADC-scans probed cluster
+    * partitions in ONE distributed job. Per-query probe lists explode to
+    * (query_id, cluster_id) equi-join keys (the [[Ivf.batchSearch]]
+    * shape, so the scan prunes to the union of probed partitions), scoring
+    * reads per-(query, cluster) residual LUTs shipped with the closure
+    * (|queries|·nProbes·m·2^nBits doubles — ~2 MB for a 15-query batch at
+    * defaults; chunk very large batches), candidate selection is the
+    * k-bounded aggregator (map-side truncation to refineFactor·topK rows
+    * per query per task), and the surviving candidates re-rank exactly by
+    * cosine against raw vectors via two broadcast joins. Returns
+    * (query_id, idCol, sim, rn) — the same contract as every batch path. */
+  def batchSearch(encoded: DataFrame, model: IvfPqModel,
+      queries: Seq[(Long, Seq[Double])], topK: Int, refineFrom: DataFrame,
+      refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
+      filter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = encoded.sparkSession
+    val nProbes = math.max(model.ivf.k / 2, 8)
+    val m = model.pq.m
+    val subDim = model.pq.subDim
+    val luts: Map[(Long, Int), Array[Array[Double]]] = (for {
+      (qid, q) <- queries
+      cl <- model.ivf.probeClusters(q, nProbes)
+    } yield {
+      val cent = model.ivf.centroids(cl)
+      val qa = q.toArray
+      val qr = Array.tabulate(qa.length)(i => qa(i) - cent(i))
+      (qid, cl) -> Array.tabulate(m) { s =>
+        Array.tabulate(model.pq.k) { c =>
+          val cb = model.pq.codebooks(s)(c)
+          var d = 0.0
+          var j = 0
+          while (j < subDim) { val diff = qr(s * subDim + j) - cb(j); d += diff * diff; j += 1 }
+          d
+        }
+      }
+    }).toMap
+    val score = udf((qid: Long, cl: Int, code: Array[Byte]) => {
+      val lut = luts((qid, cl))
+      var s = 0.0
+      var i = 0
+      while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
+      -s
+    })
+    val probeRows = luts.keys.toSeq.sorted.map { case (qid, cl) => Row(qid, cl) }
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false))))
+    val cand = encoded.join(broadcast(qdf), "cluster_id")
+      .withColumn("adc", score(col("query_id"), col("cluster_id"), col("pq_code")))
+    val keep = graft.operators.TopK
+      .perGroupTopK(cand, "query_id", col(idCol), col("adc"), math.max(topK, refineFactor * topK))
+      .select(col("query_id"), col("id").as(idCol))
+    val qvecDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val joined = filter.foldLeft(refineFrom)((d, f) => d.where(f))
+      .join(broadcast(keep), idCol)
+      .join(broadcast(qvecDf), "query_id")
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol).cast("array<double>"), col("qvec")))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -131,16 +131,23 @@ final class ProductQuantizer(val dim: Int, val m: Int = 8, val nBits: Int = 8)
 object ProductQuantizer {
 
   /** W7 `train_pq`: fit on a deterministic ≤10k-row sample (reference
-    * `:489-501`; np.random.choice becomes an id-ordered take — documented
-    * deviation, deterministic at any scale). */
+    * `:489-501`, np.random.choice without replacement). Rows get a
+    * pseudo-random priority (hash of the id) and the smallest win — the
+    * same unbiased one-pass shape as [[graft.index.Ivf.fit]]: plans as
+    * TakeOrderedAndProject (bounded per-partition heap, no full sort), and
+    * unlike an id-ordered prefix it cannot correlate with content when ids
+    * follow crawl/ingest order. Collected rows are re-sorted by id so the
+    * training order — and therefore the codebooks — is a pure function of
+    * the data, independent of partitioning. */
   def train(df: DataFrame, vecCol: String, idCol: String, dim: Int,
       m: Int = 8, nBits: Int = 8, sampleSize: Int = 10000): ProductQuantizer = {
     val samples = df
-      .orderBy(col(idCol))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(hash(col(idCol)), col(idCol))
       .limit(sampleSize)
-      .select(col(vecCol).cast("array<double>"))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     new ProductQuantizer(dim, m, nBits).fit(samples)
   }
 

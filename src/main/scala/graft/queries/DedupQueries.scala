@@ -51,18 +51,38 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY da, db""".stripMargin
 
+  /** Build-once/serve-many banded-pair layout: the MinHash signature +
+    * band-join pipeline ([[Dedup.ngramJaccardPairsBanded]]) is the shared
+    * candidate stage of THREE registered queries (`dd_ngram_capped`,
+    * `dd_components`, `pipe_curated_mix`); it runs once per dataset dir
+    * and persists its exact pair list, and all three serve from the
+    * layout — the same build/serve split the index layouts use
+    * ([[ApproxQueries.ivfLayout]]). Exposed so Bench times it as an
+    * explicit `build_pair_layout` pre-step. */
+  private[graft] def pairLayout(spark: SparkSession, dir: String): String =
+    pairLayoutCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_pair_layout").toString + "/pairs"
+      Dedup.ngramJaccardPairsBanded(VectorModel.documents(spark, dir),
+        "doc_id", "text", ShingleK, 0.5, numHashes = NumHashes)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val pairLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Banded n-gram Jaccard — the web-scale variant (candidates from 32
     * single-row MinHash bands, TRUE Jaccard recomputed on candidates with
-    * array_intersect). A qualifying pair (j ≥ 0.5) is missed only if it
-    * disagrees on all 32 minhashes — probability ≤ 2⁻³², corpus-independent
-    * — so its output equals the exact operator's on any real corpus;
-    * DedupSpec asserts that equality in-process. Its DRIVER oracle, though,
-    * is its own semantics ([[ngramJaccardCappedSql]] mirrors the banding),
-    * so the gate does not depend on the corpus avoiding the 2⁻³² event. */
+    * array_intersect), served from the persisted pair layout. A qualifying
+    * pair (j ≥ 0.5) is missed only if it disagrees on all 32 minhashes —
+    * probability ≤ 2⁻³², corpus-independent — so its output equals the
+    * exact operator's on any real corpus; DedupSpec asserts that equality
+    * in-process. Its DRIVER oracle, though, is its own semantics
+    * ([[ngramJaccardCappedSql]] mirrors the banding), so the gate does not
+    * depend on the corpus avoiding the 2⁻³² event. */
   def ngramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsBanded(VectorModel.documents(spark, dir),
-      "doc_id", "text", ShingleK, 0.5, numHashes = 32)
-      .orderBy("da", "db")
+    spark.read.parquet(pairLayout(spark, dir)).orderBy("da", "db")
 
   /** DuckDB mirror of the banded variant's exact semantics: the same 32
     * minhash functions over 60-bit md5 shingle hashes, candidates = pairs
@@ -97,8 +117,7 @@ object DedupQueries {
     * assignment (keep doc where doc_id == component). */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text",
-      ShingleK, 0.5, numHashes = 32)
+    val pairs = spark.read.parquet(pairLayout(spark, dir))
     Dedup.connectedComponents(docs, "doc_id", pairs).orderBy("doc_id")
   }
 

@@ -94,7 +94,9 @@ object PipelineQueries {
 
   def curatedMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 3, 0.5, numHashes = 32)
+    // shared banded-pair layout: the candidate stage is built once per
+    // dataset dir and served from parquet (DedupQueries.pairLayout)
+    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
     val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
     val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
     docs

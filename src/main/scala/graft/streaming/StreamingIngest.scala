@@ -160,6 +160,47 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming HNSW delta ingest — the streaming twin of the facade's
+    * delta-merge serving ([[graft.api.VectorDb]]'s incremental path; the
+    * cited reference behavior is insert-maintains-the-index,
+    * vervectordb/__init__.py:264-265). The persisted graph
+    * ([[graft.index.HnswStore]]) covers rows up to its build watermark;
+    * each micro-batch APPENDS its rows to a delta directory — no graph
+    * rebuild, per-batch cost O(batch) — and serving merges graph
+    * candidates with an exact pass over the delta
+    * ([[hnswDeltaSearch]]). A deployment compacts (rebuilds the graph
+    * over base + delta) when the delta fraction makes merge serving
+    * slower than a rebuild — the same compaction decision, made on the
+    * same signal, as the facade's batch path. */
+  def ingestWithHnswDelta(stream: DataFrame, deltaPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(deltaPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Top-k over graph ∪ streamed delta: the persisted graph's candidates
+    * (k-bounded, shuffle-free restore) union an exact brute-force pass
+    * over the delta rows, merged k-bounded — inserted rows are found the
+    * moment their micro-batch commits, without touching the graph. */
+  def hnswDeltaSearch(spark: SparkSession, graphPath: String, deltaPath: String,
+      query: Seq[Double], k: Int, efSearch: Int = 128,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+    val graphCand = graft.index.HnswStore.topK(
+      spark, graphPath, query, k, efSearch = efSearch, idCol = idCol)
+    val deltaScored = spark.read.parquet(deltaPath)
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.cosineConst(
+          col(vecCol).cast("array<double>"), query), 6))
+      .select(col(idCol), col("sim"))
+    graphCand.union(deltaScored)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** documents schema as stored. */
   val DocumentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

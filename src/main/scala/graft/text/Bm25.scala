@@ -15,10 +15,13 @@ import graft.operators.Par
   *               tf · (k1+1) / (tf + k1 · (1 − b + b · dl/avgdl))
   *
   * Scale shape (100 TB):
-  *  - tokens are filtered to the query's terms BEFORE the tf groupBy, so
-  *    the only shuffles carry O(matching doc-term) rows, not the corpus;
-  *  - corpus stats (N, Σdl) and per-term df are tiny aggregates,
-  *    broadcast back — no skew, no wide join;
+  *  - the corpus TEXT is scanned exactly ONCE: one narrow projection maps
+  *    each doc to scalar stats (dl + per-term tf via codegen'd array
+  *    filters — no explode of the token stream, no tf shuffle at all) and
+  *    is cached (≈ 8·|terms| bytes/row, not the text);
+  *  - corpus stats (N, Σdl) and per-term df come from a single tiny
+  *    aggregate over that cache, collected and inlined as literals — no
+  *    stats join in the serving plan;
   *  - final ranking is `TakeOrderedAndProject` on the rounded score.
   *
   * Determinism: everything is integer counts and IEEE double arithmetic
@@ -31,30 +34,47 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Per-(doc, term) BM25 weights for `queryTerms`, plus the corpus stats
-    * the score needs. Exposed for reuse; [[topK]] sums and ranks. */
+  /** Previous call's cached per-doc stats projection; unpersisted when the
+    * next call replaces it, so repeated invocations (bench, hybrid
+    * retrieval) hold at most one cached copy. */
+  private var lastBase: Option[DataFrame] = None
+
+  /** Per-(doc, term) BM25 weights for `queryTerms`. Exposed for reuse;
+    * [[topK]] sums and ranks. */
   def termWeights(docs: DataFrame, queryTerms: Seq[String],
       idCol: String, textCol: String): DataFrame = {
+    val terms = queryTerms.distinct
+    val toks = split(lower(col(textCol)), " ")
     val base = Par.widen(docs)
-      .select(col(idCol).as("doc"), split(lower(col(textCol)), " ").as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = base
-      .select(col("doc"), col("dl"), explode(col("toks")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
-      .groupBy("doc", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nD = col("n_docs").cast("double")
-    val dfD = col("df").cast("double")
+      .select(col(idCol).as("doc"), size(toks).cast("long").as("dl"),
+        array(terms.map(t => size(filter(toks, x => x === lit(t)))): _*).as("tfs"))
+      .cache()
+    synchronized {
+      lastBase.foreach(_.unpersist())
+      lastBase = Some(base)
+    }
+    // one aggregate job over the cache: N, Σdl, df_t for every term
+    val statRow = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col("tfs")(i) > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .collect()(0)
+    val nDocs = statRow.getLong(0).toDouble
+    val avgdl = statRow.getLong(1).toDouble / nDocs
+    // same arithmetic as before (and as the oracle): ln(1 + (N−df+½)/(df+½))
+    val idfs = terms.indices.map { i =>
+      val dfT = statRow.getLong(2 + i).toDouble
+      math.log((nDocs - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }
     val tfD = col("tf").cast("double")
-    val avgdl = col("sum_dl").cast("double") / nD
-    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
-    val norm = tfD + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / avgdl)
-    tf.join(broadcast(dfs), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("w", idf * (tfD * lit(K1 + 1.0)) / norm)
+    val norm = tfD + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / lit(avgdl))
+    base
+      .select(col("doc"), col("dl"), posexplode(col("tfs")).as(Seq("ti", "tf")))
+      .where(col("tf") > 0)
+      .select(col("doc"), col("dl"), col("tf"),
+        element_at(typedLit(terms), col("ti") + 1).as("term"),
+        (element_at(typedLit(idfs), col("ti") + 1) * (tfD * lit(K1 + 1.0)) / norm).as("w"))
   }
 
   /** Top-k documents by BM25 score for a bag of query terms. */

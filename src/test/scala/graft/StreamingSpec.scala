@@ -236,4 +236,36 @@ class StreamingSpec extends SparkSpec {
     val expected = spark.read.parquet(s"$Sf0001/events.parquet").count()
     assert(n === expected)
   }
+
+  test("streaming HNSW delta ingest serves like the facade's post-insert search") {
+    val dim = 8
+    val rng = new java.util.Random(7)
+    val base = (0 until 120).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 10)))
+    val delta = (120 until 140).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 10)))
+    // facade: insert base, build the graph, insert delta -> merge serving
+    val db = new graft.api.VectorDb(spark, dim)
+    db.batchInsert(base.map { case (_, v) => (v, Map.empty[String, String]) })
+    db.buildHnswIndex(numPartitions = 4)
+    db.batchInsert(delta.map { case (_, v) => (v, Map.empty[String, String]) })
+    // streaming twin: identical graph over the base rows; the delta rows
+    // arrive as a micro-batch append above the build watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_delta").toString
+    val baseDf = spark.createDataFrame(base).toDF("id", "vector")
+    graft.index.HnswStore.save(baseDf, s"$dir/g", numPartitions = 4)
+    spark.createDataFrame(delta).toDF("id", "vector")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = StreamingIngest.ingestWithHnswDelta(stream, s"$dir/delta", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val query = Seq.fill(dim)(5.0)
+    val streamed = StreamingIngest
+      .hnswDeltaSearch(spark, s"$dir/g", s"$dir/delta", query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val facade = db.hnswSearch(query, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === facade)
+    assert(streamed.nonEmpty)
+  }
 }

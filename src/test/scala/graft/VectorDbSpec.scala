@@ -341,4 +341,78 @@ class VectorDbSpec extends SparkSpec {
     db.update(5L, vector = Some(ortho.map(_ * 10)))
     assert(db.hnswSearch(v5, 1).collect().head.getLong(0) !== 5L)
   }
+
+  test("hyperparameters survive save/load; post-load writes serve like a never-persisted twin") {
+    val dim = 8
+    val rng = new java.util.Random(23)
+    val rows = (0 until 90).map { i =>
+      (Seq.fill(dim)(rng.nextDouble() * 10), Map("text" -> s"doc $i"))
+    }
+    def mk(): VectorDb = new VectorDb(spark, dim,
+      hnswM = 32, hnswEfConstruction = 200, pqM = 4, pqNBits = 4)
+    val twin = mk()
+    twin.batchInsert(rows)
+    twin.buildHnswIndex(numPartitions = 4)
+    twin.trainPq()
+    val persisted = mk()
+    persisted.batchInsert(rows)
+    persisted.buildHnswIndex(numPartitions = 4)
+    persisted.trainPq()
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_hp").toString
+    persisted.save(dir)
+    val loaded = VectorDb.load(spark, dir, dim)
+    assert(loaded.hnswM === 32 && loaded.hnswEfConstruction === 200)
+    assert(loaded.pqM === 4 && loaded.pqNBits === 4)
+    // pqNBits != 8 used to break after load (pq.k=256 over 2^4 codebook
+    // entries -> AIOOBE on encode); compress must work on the loaded db
+    assert(loaded.compress().select("pq_code").count() === 90)
+    // post-load write then search behaves exactly like the twin that was
+    // never persisted (same build-time graph params drive the merge)
+    val extra = Seq.fill(dim)(2.0)
+    twin.insert(extra, Map("text" -> "extra"))
+    loaded.insert(extra, Map("text" -> "extra"))
+    val q = Seq.fill(dim)(2.0)
+    def hits(db: VectorDb) = db.hnswSearch(q, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(loaded) === hits(twin))
+  }
+
+  test("strict mode reproduces reference KeyError semantics; default stays Option/no-op") {
+    val strictDb = new VectorDb(spark, 4, strict = true)
+    strictDb.batchInsert(Seq((Seq(1.0, 2.0, 3.0, 4.0), Map.empty[String, String])))
+    intercept[NoSuchElementException] { strictDb.getById(99L) }
+    intercept[NoSuchElementException] { strictDb.update(99L, vector = Some(Seq(1.0, 1.0, 1.0, 1.0))) }
+    intercept[NoSuchElementException] { strictDb.delete(99L) }
+    assert(strictDb.getById(0L).nonEmpty)
+    strictDb.update(0L, vector = Some(Seq(2.0, 2.0, 2.0, 2.0)))
+    strictDb.delete(0L)
+    assert(strictDb.count() === 0)
+    val lax = new VectorDb(spark, 4)
+    lax.batchInsert(Seq((Seq(1.0, 2.0, 3.0, 4.0), Map.empty[String, String])))
+    assert(lax.getById(99L).isEmpty)
+    lax.update(99L, vector = Some(Seq(1.0, 1.0, 1.0, 1.0))) // no-op
+    lax.delete(99L) // no-op
+    assert(lax.count() === 1)
+    intercept[NoSuchElementException] { lax.getByIdOrThrow(99L) }
+    assert(lax.getByIdOrThrow(0L)._1 === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("batch search dispatches ivfpq (exact refined sims) and rejects unknown methods") {
+    val db = freshDb(150)
+    db.buildIvfPqIndex()
+    val queries = Seq(Seq.fill(8)(5.0), Seq.fill(8)(1.0))
+    val res = db.batchSearch(queries, topK = 4, method = "ivfpq").collect()
+    assert(res.map(_.getLong(0)).distinct.sorted === Array(0L, 1L))
+    assert(res.length === 8)
+    // refined sims are exact cosines: where a hit also appears in the
+    // brute-force batch, the similarity must agree
+    val brute = db.batchSearch(queries, topK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    res.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+    intercept[IllegalArgumentException] { db.batchSearch(queries, topK = 2, method = "bogus") }
+    intercept[IllegalArgumentException] { db.filteredSearch(Seq.fill(8)(5.0), 3, method = "bogus") }
+  }
 }
