@@ -12,8 +12,32 @@ import org.apache.spark.sql.SparkSession
   * Query failures are NOT swallowed: a failing query logs its stack trace
   * to stderr, contributes its elapsed time, and is surfaced in the JSON
   * as `failures`/`failed` — a broken query can't masquerade as a fast one.
+  *
+  * The JSON also carries environment evidence (`env`): system load average
+  * and count of co-resident JVMs at start and end, plus the core count —
+  * so a CONTENDED run (load ≫ cores claimed by this JVM, or extra JVMs
+  * competing for them) is self-identifying from the artifact alone, and a
+  * clean run proves its own cleanliness.
   */
 object Bench {
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Running JVMs on this host (the jps snapshot, via /proc — a second
+    * sbt/Spark JVM is the usual source of bench contention). -1 if /proc
+    * is unavailable. */
+  private def javaProcs: Int =
+    try {
+      Option(new java.io.File("/proc").listFiles()).map(_.count { f =>
+        f.getName.forall(_.isDigit) && {
+          try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline"))).contains("java")
+          catch { case _: Throwable => false }
+        }
+      }).getOrElse(-1)
+    } catch { case _: Throwable => -1 }
 
   /** Pre-build steps, keyed by the serving queries that depend on them. */
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
@@ -23,7 +47,7 @@ object Bench {
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
-    ("build_ivfpq_layout", Set("ann_ivfpq_topk"),
+    ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
     ("build_pair_layout", Set("dd_ngram_capped", "dd_components", "pipe_curated_mix"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }))
@@ -31,6 +55,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (load0, jvm0) = (loadAvg, javaProcs)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,7 +102,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    val env = s"""{"cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load_avg_start":$load0,"load_avg_end":$loadAvg,""" +
+      s""""java_procs_start":$jvm0,"java_procs_end":$javaProcs}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,13 +99,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     if (mutated) hnswMutated = true
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete()
-  }
+  private def deletePath(path: String): Unit = VectorDb.deletePath(spark, path)
 
   private def dropOwnedHnsw(): Unit =
-    if (hnswOwned) hnswPath.foreach(p => rmTree(new java.io.File(p).getParentFile))
+    if (hnswOwned) hnswPath.foreach { p =>
+      val (fs, hp) = VectorDb.fsPath(spark, p)
+      fs.delete(hp.getParent, true)
+    }
 
   /** W1 `insert` — returns the new id. */
   def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
@@ -448,8 +448,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         ivfSnap.filter(_ ne isnap).foreach(_.unpersist())
         ivfSnap = Some(isnap)
       case None =>
-        rmTree(new java.io.File(s"$path/ivf_data"))
-        rmTree(new java.io.File(s"$path/ivf_centroids"))
+        deletePath(s"$path/ivf_data")
+        deletePath(s"$path/ivf_centroids")
         ivfSnap.foreach(_.unpersist())
         ivfSnap = None
     }
@@ -462,7 +462,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         spark.createDataFrame(rows).toDF("subspace", "centroid_id", "centroid")
           .write.mode(SaveMode.Overwrite).parquet(s"$path/pq_codebooks")
       case None =>
-        rmTree(new java.io.File(s"$path/pq_codebooks"))
+        deletePath(s"$path/pq_codebooks")
     }
     ivfPq match {
       case Some((encoded, model)) =>
@@ -485,9 +485,9 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         ivfPqSnap.filter(_ ne esnap).foreach(_.unpersist())
         ivfPqSnap = Some(esnap)
       case None =>
-        rmTree(new java.io.File(s"$path/ivfpq_data"))
-        rmTree(new java.io.File(s"$path/ivfpq_centroids"))
-        rmTree(new java.io.File(s"$path/ivfpq_codebooks"))
+        deletePath(s"$path/ivfpq_data")
+        deletePath(s"$path/ivfpq_centroids")
+        deletePath(s"$path/ivfpq_codebooks")
         ivfPqSnap.foreach(_.unpersist())
         ivfPqSnap = None
     }
@@ -504,7 +504,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         graft.index.HnswStore.copyMeta(spark, p, s"$path/hnsw")
       case Some(_) => // already persisted in place
       case None =>
-        rmTree(new java.io.File(s"$path/hnsw"))
+        deletePath(s"$path/hnsw")
     }
     dataSnap.filter(_ ne snap).foreach(_.unpersist())
     dataSnap = Some(snap)
@@ -512,6 +512,27 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
 }
 
 object VectorDb {
+
+  /** All sidecar existence/deletion goes through the Hadoop FileSystem
+    * API: `java.io.File` silently no-ops on HDFS/S3 — exists() false,
+    * delete() false — which would resurrect stale index sidecars on the
+    * next load (the staleness bug [[VectorDb.save]]'s deletion exists to
+    * prevent) and skip index restoration entirely on a remote store. */
+  private[api] def fsPath(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private[api] def deletePath(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsPath(spark, path)
+    fs.delete(p, true)
+    ()
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsPath(spark, path)
+    fs.exists(p)
+  }
 
   /** Rebuild a quantizer from its persisted codebook rows
     * (subspace, centroid_id, centroid): every hyperparameter is inferred
@@ -545,22 +566,18 @@ object VectorDb {
     db.nextId = meta.getLong(0)
     db.hnswCoveredUpTo = meta.getLong(1)
     db.hnswMutated = meta.getBoolean(2)
-    val fs = new java.io.File(s"$path/ivf_centroids")
-    if (fs.exists()) {
+    if (pathExists(spark, s"$path/ivf_centroids")) {
       val centroids = spark.read.parquet(s"$path/ivf_centroids")
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
       val assigned = spark.read.parquet(s"$path/ivf_data")
       db.ivf = Some((assigned, Ivf.IvfModel(centroids)))
     }
-    val hf = new java.io.File(s"$path/hnsw")
-    if (hf.exists()) { db.hnswPath = Some(s"$path/hnsw"); db.hnswOwned = false }
-    val pqf = new java.io.File(s"$path/pq_codebooks")
-    if (pqf.exists()) {
+    if (pathExists(spark, s"$path/hnsw")) { db.hnswPath = Some(s"$path/hnsw"); db.hnswOwned = false }
+    if (pathExists(spark, s"$path/pq_codebooks")) {
       db.pq = Some(quantizerFromRows(
         spark.read.parquet(s"$path/pq_codebooks").collect(), dim))
     }
-    val ipf = new java.io.File(s"$path/ivfpq_centroids")
-    if (ipf.exists()) {
+    if (pathExists(spark, s"$path/ivfpq_centroids")) {
       val centroids = spark.read.parquet(s"$path/ivfpq_centroids")
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
       val q = quantizerFromRows(

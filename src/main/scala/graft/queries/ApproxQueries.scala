@@ -185,6 +185,27 @@ object ApproxQueries {
   private val ivfPqLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, graft.index.IvfPq.IvfPqModel)]()
 
+  /** Deterministic EmbDim query batch for the embeddings table (the
+    * RecallSpec fixture shape — pure function of the index). */
+  private[graft] def annBatchQueries(n: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map(s =>
+      (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)))
+
+  /** S4 with method=ivfpq over the PERSISTED code layout — the composed
+    * batch scale path: every query's probed clusters union into one
+    * pruned ADC scan of m-byte codes, candidates truncate map-side via
+    * the k-bounded aggregator, and refine re-ranks exactly against raw
+    * vectors ([[graft.index.IvfPq.batchSearch]]). */
+  def annIvfPqBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfPqLayout(spark, dir)
+    val encoded = spark.read.parquet(path)
+    val emb = VectorModel.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    graft.index.IvfPq.batchSearch(encoded, model, annBatchQueries(3), 5,
+      refineFrom = emb, vecCol = "embedding", idCol = "vec_id")
+      .orderBy("query_id", "rn")
+  }
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path). */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
@@ -218,6 +239,7 @@ object ApproxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
+    "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
     "vq_ivf_batch_topk" -> (ivfBatchTopK _),

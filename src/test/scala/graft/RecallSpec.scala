@@ -200,6 +200,29 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ batch equals per-query IVF-PQ search result") {
+    import graft.index.IvfPq
+    val (encoded, model) = IvfPq.build(embeddings, VectorModel.EmbDim,
+      vecCol = "embedding", idCol = "vec_id")
+    val queries = graft.queries.ApproxQueries.annBatchQueries(3)
+    // identical candidate ordering (adc desc, id asc) and identical exact
+    // refine -> the batch rows must match the single-query operator row
+    // for row, not just in recall
+    val batch = IvfPq.batchSearch(encoded, model, queries, 5,
+      refineFrom = embeddings, vecCol = "embedding", idCol = "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val single = queries.flatMap { case (qid, q) =>
+      IvfPq.search(encoded, model, q, 5,
+        refineFrom = Some(embeddings), vecCol = "embedding", idCol = "vec_id")
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(batch === single)
+    assert(batch.nonEmpty)
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
