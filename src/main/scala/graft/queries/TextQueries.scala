@@ -145,6 +145,31 @@ object TextQueries {
        |WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** RAG chunking parameters: 32-token windows, stride 16 (50% overlap). */
+  val ChunkSize = 32
+  val ChunkStride = 16
+
+  /** Sliding-window token chunks per doc ([[TextAnalysis.chunks]]):
+    * (doc_id, chunk_ix, chunk, n_chunk_tokens) — the retrieval-unit
+    * explosion a RAG pipeline feeds to embedding + indexing. */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), ChunkSize, ChunkStride))
+          .as(Seq("chunk_ix", "chunk")))
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk"),
+        TextAnalysis.tokenCount(col("chunk")).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_ix")
+
+  val chunksSql: String =
+    s"""SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_ix,
+       |  array_to_string(toks[s+1 : s+$ChunkSize], ' ') AS chunk,
+       |  CAST(len(string_split(array_to_string(toks[s+1 : s+$ChunkSize], ' '), ' ')) AS BIGINT) AS n_chunk_tokens
+       |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS s
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** BM25 keyword relevance: fixed query-term bag, top 15 docs. */
   val Bm25Terms = Seq("vector", "spark", "join")
 
@@ -177,6 +202,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK _),
+    "tx_chunks" -> (chunks _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -186,6 +212,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_bm25_topk" -> bm25TopKSql,
+    "tx_chunks" -> chunksSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,

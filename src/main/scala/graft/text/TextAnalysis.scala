@@ -19,6 +19,27 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sliding-window token chunks — the RAG chunking stage of the text
+    * pipeline the reference evidences but never wrote (its declared deps
+    * embed sentence chunks; SURVEY.md intro): window `size` tokens
+    * stepping by `stride`, so consecutive chunks overlap by
+    * `size − stride` tokens and every token belongs to at least one chunk
+    * (trailing windows shorter than `size` are kept). Returns an array of
+    * chunk strings; callers posexplode for (chunk_ix, chunk) rows.
+    *
+    * Pure expressions over the token array — one narrow pass, no shuffle:
+    * at 100 TB chunking is a map stage that must never exchange the
+    * corpus, and downstream embedding/indexing consumes the exploded rows
+    * with whatever partitioning IT needs. */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 1, lit(stride)),
+      s => concat_ws(" ", slice(toks, s + 1, lit(size))))
+  }
+
   /** BPE-ish lexer token count: alpha runs, digit runs, or single
     * non-alphanumeric marks. */
   val LexPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"

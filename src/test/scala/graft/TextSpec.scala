@@ -41,4 +41,39 @@ class TextSpec extends SparkSpec {
     assert(res.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(res(0).getDouble(1) > res(1).getDouble(1))
   }
+
+  test("chunks: sliding windows match the token slices, cover every token, overlap by size-stride") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val text = (1 to 11).map(i => s"w$i").mkString(" ")
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(posexplode(TextAnalysis.chunks(col("text"), 5, 3)).as(Seq("ix", "chunk")))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val toks = text.split(" ")
+    // starts 0,3,6,9 -> four windows, trailing ones shorter than size
+    val expected = Seq(0, 3, 6, 9).zipWithIndex.map { case (s, i) =>
+      (i, toks.slice(s, s + 5).mkString(" "))
+    }
+    assert(out.toSeq === expected)
+    // every token appears in at least one chunk; consecutive windows share
+    // size-stride tokens while both are full
+    assert(toks.forall(t => out.exists(_._2.split(" ").contains(t))))
+    assert(out(0)._2.split(" ").drop(3).toSeq === out(1)._2.split(" ").take(2).toSeq)
+  }
+
+  test("chunks on the corpus: groups are contiguous from 0 and reconstruct the doc") {
+    import graft.text.TextAnalysis
+    val rows = docs.limit(20)
+      .select(col("doc_id"), col("text"),
+        posexplode(TextAnalysis.chunks(col("text"), 7, 7)).as(Seq("ix", "chunk")))
+      .collect()
+    assert(rows.nonEmpty)
+    // stride == size: zero overlap, so concatenating a doc's chunks in
+    // chunk_ix order must reproduce the doc exactly
+    rows.groupBy(_.getLong(0)).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === sorted.indices.toSeq)
+      assert(sorted.map(_.getString(3)).mkString(" ") === sorted.head.getString(1))
+    }
+  }
 }
