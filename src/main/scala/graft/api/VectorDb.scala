@@ -324,8 +324,20 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     val live = filter.foldLeft(data)((d, f) => d.where(f))
     method match {
       case "hnsw" =>
-        Hnsw.hnswBatchTopK(live, indexed, topK, m = hnswM,
-          efConstruction = hnswEfConstruction, efSearch = efSearch)
+        hnswPath match {
+          case Some(p) if filter.isEmpty && !hnswMutated && hnswCoveredUpTo == nextId =>
+            // clean persisted index covering every row, no filter: serve
+            // the whole batch from the stored graphs — restore amortized
+            // across the query set, no per-call graph rebuild (the same
+            // build-once dispatch hnswSearch uses)
+            graft.index.HnswStore.batchTopK(spark, p, indexed, topK,
+              efSearch = efSearch)
+          case _ =>
+            // filter-first (graphs over qualifying rows only) or
+            // post-write: fresh per-partition build over the live rows
+            Hnsw.hnswBatchTopK(live, indexed, topK, m = hnswM,
+              efConstruction = hnswEfConstruction, efSearch = efSearch)
+        }
       case "ivf" =>
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))

@@ -112,6 +112,27 @@ class VectorDbSpec extends SparkSpec {
     assert(again.contains(newId), "inserted row must be index-visible")
   }
 
+  test("batch hnsw serves from the persisted graph when clean, falls back after writes") {
+    val db = freshDb(150)
+    db.buildHnswIndex(numPartitions = 4)
+    val qs = (0 until 3).map(s => Seq.tabulate(8)(i => (i + s + 1).toDouble))
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = db.batchSearch(qs, 5).collect()
+    val stored = db.batchSearch(qs, 5, method = "hnsw").collect()
+    assert(stored.groupBy(_.getLong(0)).keySet === qs.indices.map(_.toLong).toSet)
+    stored.groupBy(_.getLong(0)).values.foreach(rows => assert(rows.length === 5))
+    assert(keys(stored).intersect(keys(brute)).size >= (keys(brute).size * 0.8).toInt,
+      "stored-graph batch recall vs brute")
+    // a write invalidates clean serving; the fresh-build fallback still
+    // covers every query and sees the new row
+    val newId = db.insert(Seq.tabulate(8)(i => (i + 1).toDouble))
+    val after = db.batchSearch(qs, 5, method = "hnsw").collect()
+    assert(after.groupBy(_.getLong(0)).keySet === qs.indices.map(_.toLong).toSet)
+    assert(after.exists(r => r.getLong(1) == newId),
+      "post-write batch must see the inserted exact-match row")
+  }
+
   test("batch search covers every query with k rows each") {
     val db = freshDb(100)
     val queries = (0 until 4).map(i => Seq.fill(8)(i + 1.0))
