@@ -25,14 +25,19 @@ import graft.operators.Par
   */
 object Dedup {
 
-  /** Word k-shingles (distinct) of a whitespace-tokenized text column.
-    * Requires ≥ k tokens (callers filter shorter docs in both engines). */
-  def shingles(text: Column, k: Int = 3): Column = {
+  /** Word k-grams in document order (with repeats) of a
+    * whitespace-tokenized text column. Requires ≥ k tokens (callers
+    * filter shorter docs in both engines). */
+  def ngrams(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
+    transform(
       sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
+
+  /** Word k-shingles (distinct) — the set view of [[ngrams]]. */
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(ngrams(text, k))
 
   /** Exact-duplicate groups by content hash: one row per distinct content,
     * keeper = min id. A single hash-shuffle; the canonical first pass. */
@@ -106,6 +111,30 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_overlap"))
   }
+
+  /** Cross-document repeated n-gram spans — the memorization/span-dedup
+    * audit (the signal behind substring-level training-data dedup): every
+    * k-gram appearing in at least `minDocs` distinct documents, with its
+    * document count and total occurrence count, most-shared first.
+    *
+    * Scale shape: one exploded gram pass (O(tokens)), a two-level
+    * aggregate on the gram key (partial map-side combine; countDistinct
+    * plans as the expand + two-phase agg), and a bounded
+    * TakeOrderedAndProject for the top spans. The gram shuffle is the
+    * intrinsic cost of the audit — it is the same single pass a
+    * suffix-array build would also have to read, with none of its global
+    * sort. A production budget raises k (longer spans → fewer grams) or
+    * pre-hashes grams to 60-bit keys exactly like the Jaccard pipeline. */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2, topN: Int = 100): DataFrame =
+    Par.widen(df)
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"), explode(ngrams(col(textCol), k)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc")).as("n_docs"), count(lit(1)).as("n_total"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
+      .limit(topN)
 
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * similarity over distinct shingle sets. */

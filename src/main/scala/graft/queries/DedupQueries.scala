@@ -135,6 +135,26 @@ object DedupQueries {
        |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
        |SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  /** Cross-doc repeated 8-gram spans (memorization / span-dedup audit):
+    * grams shared by ≥ 2 documents, most-shared first
+    * ([[Dedup.repeatedNgrams]]). */
+  val RepeatK = 8
+  val RepeatTopN = 100
+
+  def repeatedNgrams(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedNgrams(VectorModel.documents(spark, dir), "doc_id", "text",
+      RepeatK, minDocs = 2, topN = RepeatTopN)
+
+  val repeatedNgramsSql: String =
+    s"""SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM (SELECT doc_id, unnest(
+       |        [array_to_string(toks[i:i+${RepeatK - 1}], ' ') for i in range(1, len(toks)-${RepeatK - 2})]) AS gram
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |      WHERE len(toks) >= $RepeatK)
+       |GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_total DESC, gram ASC LIMIT $RepeatTopN""".stripMargin
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.minhashSignatures(VectorModel.documents(spark, dir),
@@ -221,6 +241,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_mllib_lsh" -> (mllibLshJoin _),
+    "dd_repeated_ngrams" -> (repeatedNgrams _),
     "dd_components" -> (components _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
@@ -231,6 +252,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dd_ngram_capped" -> ngramJaccardCappedSql,
+    "dd_repeated_ngrams" -> repeatedNgramsSql,
     "dd_components" -> componentsSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,

@@ -145,6 +145,28 @@ object TextQueries {
        |WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus vocabulary top-N: total occurrences + document frequency per
+    * lowercased whitespace token — the frequency table a
+    * tokenizer-training / vocab-pruning / idf stage consumes. Classic
+    * wordcount shape: map-side partial aggregation, one shuffle on the
+    * token key, bounded TakeOrderedAndProject — the 100 TB-safe way to
+    * build a vocab (never collects the full type table). */
+  val VocabTopN = 200
+
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token").asc)
+      .limit(VocabTopN)
+
+  val vocabSql: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+       |GROUP BY token ORDER BY n_total DESC, token ASC LIMIT $VocabTopN""".stripMargin
+
   /** RAG chunking parameters: 32-token windows, stride 16 (50% overlap). */
   val ChunkSize = 32
   val ChunkStride = 16
@@ -203,6 +225,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK _),
     "tx_chunks" -> (chunks _),
+    "tx_vocab_topk" -> (vocab _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -213,6 +236,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "tx_bm25_topk" -> bm25TopKSql,
     "tx_chunks" -> chunksSql,
+    "tx_vocab_topk" -> vocabSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
