@@ -202,14 +202,20 @@ object TextQueries {
 
   /** BM25 oracle at an arbitrary list length (reused by the hybrid-RRF
     * oracle with its own limit). */
-  def bm25Sql(limit: Int): String = {
+  def bm25Sql(limit: Int): String =
+    bm25SqlOver("SELECT doc_id, text FROM documents", "doc_id", limit)
+
+  /** BM25 oracle over an arbitrary `(idCol, text)` source subquery — the
+    * same term-for-term arithmetic as [[graft.text.Bm25]], reusable for
+    * doc- and chunk-granularity retrieval. */
+  def bm25SqlOver(sourceSql: String, idCol: String, limit: Int): String = {
     import graft.text.Bm25.{B, K1}
     val lit = OracleSql.lit _
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val idf = s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + ${lit(0.5)})/(CAST(df AS DOUBLE) + ${lit(0.5)}) + ${lit(1.0)})"
     val avgdl = "(CAST(sum_dl AS DOUBLE)/CAST(n_docs AS DOUBLE))"
     val norm = s"(CAST(tf AS DOUBLE) + ${lit(K1)} * (${lit(1.0)} - ${lit(B)} + ${lit(B)} * CAST(dl AS DOUBLE)/$avgdl))"
-    s"""WITH base AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS toks FROM documents),
+    s"""WITH base AS (SELECT $idCol AS doc, string_split(lower(text), ' ') AS toks FROM ($sourceSql)),
        |dls AS (SELECT doc, CAST(len(toks) AS BIGINT) AS dl FROM base),
        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dls),
        |tf AS (SELECT doc, dl, term, count(*) AS tf
@@ -218,12 +224,39 @@ object TextQueries {
        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |scored AS (SELECT doc, $idf * (CAST(tf AS DOUBLE) * ${lit(K1 + 1.0)}) / $norm AS w
        |           FROM tf JOIN dfs USING (term) CROSS JOIN stats)
-       |SELECT doc AS doc_id, round(sum(w), 6) AS bm25
-       |FROM scored GROUP BY doc ORDER BY bm25 DESC, doc_id ASC LIMIT $limit""".stripMargin
+       |SELECT doc AS $idCol, round(sum(w), 6) AS bm25
+       |FROM scored GROUP BY doc ORDER BY bm25 DESC, $idCol ASC LIMIT $limit""".stripMargin
+  }
+
+  /** Chunk-granularity BM25 — the composed RAG retrieval shape (chunk the
+    * corpus, rank the CHUNKS): retrieval returns the exact window to feed
+    * a context assembly step, not a whole document. chunk_id =
+    * doc_id·10⁴ + chunk_ix (chunk_ix < 10⁴ at any realistic doc length),
+    * so provenance is recoverable arithmetically. Chunking is a pure
+    * expression stage feeding the same one-scan BM25 — no extra corpus
+    * pass vs doc-level ranking. */
+  def chunkBm25(spark: SparkSession, dir: String): DataFrame = {
+    val chunked = VectorModel.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), ChunkSize, ChunkStride))
+          .as(Seq("chunk_ix", "chunk")))
+      .select((col("doc_id") * 10000 + col("chunk_ix")).as("chunk_id"),
+        col("chunk").as("text"))
+    graft.text.Bm25.topK(chunked, Bm25Terms, 15, idCol = "chunk_id", textCol = "text")
+  }
+
+  val chunkBm25Sql: String = {
+    val chunkSource =
+      s"""SELECT CAST(doc_id * 10000 + s // $ChunkStride AS BIGINT) AS chunk_id,
+         |  array_to_string(toks[s+1 : s+$ChunkSize], ' ') AS text
+         |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS s
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+    bm25SqlOver(chunkSource, "chunk_id", 15)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK _),
+    "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_chunks" -> (chunks _),
     "tx_vocab_topk" -> (vocab _),
     "tx_token_stats" -> (tokenStats _),
@@ -235,6 +268,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_bm25_topk" -> bm25TopKSql,
+    "tx_chunk_bm25" -> chunkBm25Sql,
     "tx_chunks" -> chunksSql,
     "tx_vocab_topk" -> vocabSql,
     "tx_token_stats" -> tokenStatsSql,

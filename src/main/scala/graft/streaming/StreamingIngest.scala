@@ -227,6 +227,17 @@ object StreamingIngest {
       .select(col("doc_id"), col("lang"),
         round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
 
+  /** Streaming twin of the RAG chunking stage
+    * ([[graft.queries.TextQueries.chunks]]): pure expressions per
+    * micro-batch — stateless, no watermark, identical output to the batch
+    * operator on the same rows (StreamingSpec). The natural upstream of a
+    * streaming embed + incremental-index ingest
+    * ([[ingestWithIvfAssign]]). */
+  def chunkDocStream(docs: DataFrame, size: Int = 32, stride: Int = 16): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(graft.text.TextAnalysis.chunks(col("text"), size, stride))
+        .as(Seq("chunk_ix", "chunk")))
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

@@ -237,6 +237,27 @@ class StreamingSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("streaming chunking equals the batch chunk operator on the same docs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
+    val src = java.nio.file.Paths.get(s"$Sf0001/documents.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = StreamingIngest.chunkDocStream(
+      StreamingIngest.readDocuments(spark, dir))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_test").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, chunk_ix, chunk FROM chunk_stream_test")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val batch = graft.queries.TextQueries.chunks(spark, Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2))).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming HNSW delta ingest serves like the facade's post-insert search") {
     val dim = 8
     val rng = new java.util.Random(7)
