@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), "top-k must not global-sort")
   }
 
+  test("vocab and repeated-span audits rank via TakeOrderedAndProject, no global sort") {
+    val pv = plan(graft.queries.TextQueries.vocab(spark, Sf0001))
+    assert(pv.contains("TakeOrderedAndProject"), pv.take(2000))
+    assert(!pv.contains("Exchange rangepartitioning"), "vocab top-k must not global-sort")
+    val pr = plan(graft.queries.DedupQueries.repeatedNgrams(spark, Sf0001))
+    assert(pr.contains("TakeOrderedAndProject"), pr.take(2000))
+    assert(!pr.contains("Exchange rangepartitioning"), "span audit must not global-sort")
+  }
+
   test("whole-stage codegen covers the similarity expression") {
     val df = VectorSearch.bruteForceTopK(
       VectorModel.lineitemVectors(spark, Sf0001), VectorModel.Query, 10)
