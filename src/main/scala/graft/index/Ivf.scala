@@ -180,6 +180,25 @@ object Ivf {
     else centers
   }
 
+  /** Drift signal for the refit decision: mean L2 distance between rows
+    * and their assigned centroid — one distributed aggregate over the
+    * assigned view, no collect. A deployment tracks this per ingest
+    * window ([[graft.streaming.StreamingIngest.ingestWithIvfAssign]]
+    * keeps appending with the existing centroids) and refits + rewrites
+    * the clustered layout when the signal trends up; assignment stays
+    * valid meanwhile, so serving never blocks on the refit. */
+  def meanAssignmentDistance(assigned: DataFrame, model: IvfModel,
+      vecCol: String = "vector"): Double = {
+    val dist = udf((v: Seq[Double], cl: Int) => {
+      val c = model.centroids(cl)
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    })
+    assigned.agg(avg(dist(col(vecCol), col("cluster_id")))).head.getDouble(0)
+  }
+
   /** Persist the clustered table partitioned by cluster_id — the on-disk
     * inverted-list layout that makes probe filters prune files. Rows are
     * clustered by the partition column first: otherwise every write task

@@ -200,6 +200,20 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF drift signal rises on distribution shift, guiding the refit decision") {
+    val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
+    val base = Ivf.meanAssignmentDistance(assigned, model, "embedding")
+    // same model over shifted data = the ingest-drift scenario: assignment
+    // still works but distances grow, which is the refit trigger
+    val shifted = embeddings.withColumn("embedding",
+      transform(col("embedding"), x => x * 3.0 + 1.0))
+    val drifted = Ivf.meanAssignmentDistance(
+      Ivf.assign(shifted, model, "embedding"), model, "embedding")
+    info(s"mean assignment distance: fitted=$base drifted=$drifted")
+    assert(base > 0.0)
+    assert(drifted > base * 1.5, "shifted data must score clearly higher")
+  }
+
   test("IVF-PQ batch equals per-query IVF-PQ search result") {
     import graft.index.IvfPq
     val (encoded, model) = IvfPq.build(embeddings, VectorModel.EmbDim,
