@@ -99,11 +99,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     if (mutated) hnswMutated = true
   }
 
-  private def deletePath(path: String): Unit = VectorDb.deletePath(spark, path)
+  private def deletePath(path: String): Unit = graft.store.Fs.delete(spark, path)
 
   private def dropOwnedHnsw(): Unit =
     if (hnswOwned) hnswPath.foreach { p =>
-      val (fs, hp) = VectorDb.fsPath(spark, p)
+      val (fs, hp) = graft.store.Fs.pathFs(spark, p)
       fs.delete(hp.getParent, true)
     }
 
@@ -125,12 +125,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ids
   }
 
+  private def fetchById(id: Long): Option[(Seq[Double], Map[String, String])] =
+    VectorSearch.getById(data, id).collect().headOption.map { r =>
+      (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+    }
+
   /** S6 `get_by_id`. In strict mode an absent id throws (reference
     * KeyError, `:302-303`); otherwise None. */
   def getById(id: Long): Option[(Seq[Double], Map[String, String])] = {
-    val r = VectorSearch.getById(data, id).collect().headOption.map { r =>
-      (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
-    }
+    val r = fetchById(id)
     if (strict && r.isEmpty) throw new NoSuchElementException(s"id $id not found")
     r
   }
@@ -138,9 +141,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   /** S6 with the reference's raise-on-absent semantics regardless of
     * [[strict]]. */
   def getByIdOrThrow(id: Long): (Seq[Double], Map[String, String]) =
-    VectorSearch.getById(data, id).collect().headOption.map { r =>
-      (r.getSeq[Double](1), Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
-    }.getOrElse(throw new NoSuchElementException(s"id $id not found"))
+    fetchById(id).getOrElse(throw new NoSuchElementException(s"id $id not found"))
 
   private def requireExists(id: Long, op: String): Unit =
     if (strict && VectorSearch.getById(data, id).isEmpty)
@@ -525,26 +526,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
 
 object VectorDb {
 
-  /** All sidecar existence/deletion goes through the Hadoop FileSystem
-    * API: `java.io.File` silently no-ops on HDFS/S3 — exists() false,
-    * delete() false — which would resurrect stale index sidecars on the
-    * next load (the staleness bug [[VectorDb.save]]'s deletion exists to
-    * prevent) and skip index restoration entirely on a remote store. */
-  private[api] def fsPath(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private[api] def deletePath(spark: SparkSession, path: String): Unit = {
-    val (fs, p) = fsPath(spark, path)
-    fs.delete(p, true)
-    ()
-  }
-
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
-    val (fs, p) = fsPath(spark, path)
-    fs.exists(p)
-  }
+  /** Sidecar existence/deletion resolves through [[graft.store.Fs]]
+    * (Hadoop API — `java.io.File` silently no-ops on HDFS/S3, which would
+    * resurrect stale index sidecars on the next load, the staleness bug
+    * [[VectorDb.save]]'s deletion exists to prevent). */
+  private def pathExists(spark: SparkSession, path: String): Boolean =
+    graft.store.Fs.exists(spark, path)
 
   /** Rebuild a quantizer from its persisted codebook rows
     * (subspace, centroid_id, centroid): every hyperparameter is inferred
@@ -571,9 +558,16 @@ object VectorDb {
     * this for free by pickling the whole object. */
   def load(spark: SparkSession, path: String, dim: Int): VectorDb = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    // saves from before the hyperparameter sidecar carry only the first
+    // three meta columns — fall back to constructor defaults for those
+    // (the quantizers still restore exactly: their params are inferred
+    // structurally from the codebook tables)
+    val hasHp = meta.length >= 7
     val db = new VectorDb(spark, dim,
-      hnswM = meta.getInt(3), hnswEfConstruction = meta.getInt(4),
-      pqM = meta.getInt(5), pqNBits = meta.getInt(6))
+      hnswM = if (hasHp) meta.getInt(3) else 16,
+      hnswEfConstruction = if (hasHp) meta.getInt(4) else 64,
+      pqM = if (hasHp) meta.getInt(5) else 8,
+      pqNBits = if (hasHp) meta.getInt(6) else 8)
     db.data = VectorStore.load(spark, s"$path/data")
     db.nextId = meta.getLong(0)
     db.hnswCoveredUpTo = meta.getLong(1)

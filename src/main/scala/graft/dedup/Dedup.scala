@@ -195,28 +195,40 @@ object Dedup {
     ex.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  /** Distinct candidate pairs sharing at least one signature band (band
-    * key = md5 of the band's signature slice, so bucket keys are uniform —
-    * no skew salting needed). `sig` must carry columns h0..h{numHashes-1};
-    * fan-out is exactly `bands` bucket rows per doc. */
-  private[graft] def bandedCandidatePairs(sig: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+  /** Band-exploded signature rows (doc, carried…, band, bh), spread on
+    * the join keys — the shared candidate-generation input of
+    * [[bandedCandidatePairs]] and [[lshCandidatePairs]]. `sig` must carry
+    * columns h0..h{numHashes-1}; fan-out is exactly `bands` bucket rows
+    * per doc, and band keys are md5-uniform (no skew salting needed).
+    * Spread unconditionally: sig is post-shuffle (groupBy output), and
+    * AQE would otherwise coalesce it to one partition by bytes and
+    * serialize the band self-join. */
+  private def bandedExploded(sig: DataFrame, numHashes: Int, bands: Int,
+      carry: Seq[Column]): DataFrame = {
     val rpb = numHashes / bands
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
     }
-    // sig is post-shuffle (groupBy output): spread unconditionally — AQE
-    // would otherwise coalesce it to one partition by bytes and serialize
-    // the band self-join.
-    val bl = Par.spread(
-      sig.select(col("doc"), posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
+    Par.spread(
+      sig.select(col("doc") +: carry :+
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*),
       col("band"), col("bh"))
+  }
+
+  /** Self-join of band-exploded rows on (band, bh) with doc < doc —
+    * shuffle-hash, bucket-parallel, never a broadcast nested loop. */
+  private def bandJoin(bl: DataFrame): DataFrame =
     bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc") < col("b.doc"))
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc") < col("b.doc"))
+
+  /** Distinct candidate pairs sharing at least one signature band. */
+  private[graft] def bandedCandidatePairs(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    bandJoin(bandedExploded(sig, numHashes, bands, Nil))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
-  }
 
   /** LSH candidate pairs: docs sharing any band (band hash = md5 of the
     * band's signature slice), with estimated Jaccard = matching-hash
@@ -232,25 +244,13 @@ object Dedup {
     * the projected output keeps pair semantics. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rpb = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rpb).map(r => col(s"h${b * rpb + r}").cast("string")): _*))
-    }
     val sigArr = array((0 until numHashes).map(j => col(s"h$j")): _*)
-    // sig is post-shuffle (groupBy output): spread unconditionally — AQE
-    // would otherwise coalesce it to one partition by bytes and serialize
-    // the band self-join (see bandedCandidatePairs).
-    val bl = Par.spread(
-      sig.select(col("doc"), sigArr.as("sig"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh"))),
-      col("band"), col("bh"))
+    val bl = bandedExploded(sig, numHashes, bands, Seq(sigArr.as("sig")))
     val est = (0 until numHashes)
       .map(j => when(col("a.sig")(j) === col("b.sig")(j), 1).otherwise(0))
       .reduceLeft[Column](_ + _)
       .cast("double") / lit(numHashes.toDouble)
-    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc") < col("b.doc"))
+    bandJoin(bl)
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
         round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)

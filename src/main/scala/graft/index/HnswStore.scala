@@ -47,10 +47,8 @@ object HnswStore {
     * object (vervectordb/__init__.py:556-594). */
   private val MetaFile = "_graft_meta"
 
-  private def hadoopFs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  private def hadoopFs(spark: SparkSession, path: String) =
+    graft.store.Fs.pathFs(spark, path)
 
   private def writeMeta(spark: SparkSession, path: String,
       m: Int, efConstruction: Int, numPartitions: Int): Unit = {

@@ -196,7 +196,10 @@ object Ivf {
       while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
       math.sqrt(s)
     })
-    assigned.agg(avg(dist(col(vecCol), col("cluster_id")))).head.getDouble(0)
+    // coalesce: an empty assigned view (fresh deployment, all rows
+    // deleted) reports 0 drift rather than NPE-ing the monitoring loop
+    assigned.agg(coalesce(avg(dist(col(vecCol), col("cluster_id"))), lit(0.0)))
+      .head.getDouble(0)
   }
 
   /** Persist the clustered table partitioned by cluster_id — the on-disk

@@ -199,7 +199,10 @@ object IvfPq {
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("cluster_id", IntegerType, nullable = false))))
-    val cand = encoded.join(broadcast(qdf), "cluster_id")
+    // widen before the probe join: it multiplies work by |queries|·nProbes
+    // and must not run at a narrow layout scan's parallelism (the same
+    // guard Ivf.batchSearch applies to the identical shape)
+    val cand = graft.operators.Par.widen(encoded).join(broadcast(qdf), "cluster_id")
       .withColumn("adc", score(col("query_id"), col("cluster_id"), col("pq_code")))
     val keep = graft.operators.TopK
       .perGroupTopK(cand, "query_id", col(idCol), col("adc"), math.max(topK, refineFactor * topK))
@@ -214,7 +217,12 @@ object IvfPq {
       .join(broadcast(qvecDf), "query_id")
       .withColumn("sim_raw",
         graft.GraftExtensions.cosineSim(col(vecCol).cast("array<double>"), col("qvec")))
-    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
+    // rank on the ROUNDED similarity like single-query search (which
+    // orders by round(sim,6) with id tiebreak) — ranking raw would let a
+    // last-ulp difference reorder rounding ties and break batch/single
+    // row-for-row equality
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol),
+      round(col("sim_raw"), 6), topK)
       .withColumnRenamed("id", idCol)
   }
 }

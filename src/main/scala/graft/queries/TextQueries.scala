@@ -228,26 +228,36 @@ object TextQueries {
        |FROM scored GROUP BY doc ORDER BY bm25 DESC, $idCol ASC LIMIT $limit""".stripMargin
   }
 
+  /** chunk_id encoding base: supports chunk_ix < 10⁶, i.e. docs up to
+    * ~16M tokens at stride 16 — far past any real document; the encoding
+    * raises rather than silently colliding beyond it. */
+  val ChunkIdBase = 1000000L
+
   /** Chunk-granularity BM25 — the composed RAG retrieval shape (chunk the
     * corpus, rank the CHUNKS): retrieval returns the exact window to feed
     * a context assembly step, not a whole document. chunk_id =
-    * doc_id·10⁴ + chunk_ix (chunk_ix < 10⁴ at any realistic doc length),
-    * so provenance is recoverable arithmetically. Chunking is a pure
-    * expression stage feeding the same one-scan BM25 — no extra corpus
-    * pass vs doc-level ranking. */
+    * doc_id·[[ChunkIdBase]] + chunk_ix, so provenance is recoverable
+    * arithmetically; an out-of-range chunk_ix fails the job instead of
+    * colliding with the next doc's chunks. Chunking is a pure expression
+    * stage feeding the same one-scan BM25 — no extra corpus pass vs
+    * doc-level ranking. */
   def chunkBm25(spark: SparkSession, dir: String): DataFrame = {
+    val guardedIx = when(col("chunk_ix") < ChunkIdBase, col("chunk_ix"))
+      .otherwise(raise_error(concat(
+        lit(s"chunk_ix overflows the chunk_id encoding (>= $ChunkIdBase): "),
+        col("chunk_ix"))))
     val chunked = VectorModel.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.chunks(col("text"), ChunkSize, ChunkStride))
           .as(Seq("chunk_ix", "chunk")))
-      .select((col("doc_id") * 10000 + col("chunk_ix")).as("chunk_id"),
+      .select((col("doc_id") * ChunkIdBase + guardedIx).as("chunk_id"),
         col("chunk").as("text"))
     graft.text.Bm25.topK(chunked, Bm25Terms, 15, idCol = "chunk_id", textCol = "text")
   }
 
   val chunkBm25Sql: String = {
     val chunkSource =
-      s"""SELECT CAST(doc_id * 10000 + s // $ChunkStride AS BIGINT) AS chunk_id,
+      s"""SELECT CAST(doc_id * $ChunkIdBase + s // $ChunkStride AS BIGINT) AS chunk_id,
          |  array_to_string(toks[s+1 : s+$ChunkSize], ' ') AS text
          |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS s
          |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin

@@ -185,12 +185,15 @@ object StreamingIngest {
   /** Top-k over graph ∪ streamed delta: the persisted graph's candidates
     * (k-bounded, shuffle-free restore) union an exact brute-force pass
     * over the delta rows, merged k-bounded — inserted rows are found the
-    * moment their micro-batch commits, without touching the graph. */
+    * moment their micro-batch commits, without touching the graph. Before
+    * the first micro-batch commits the delta directory does not exist
+    * yet; serving then answers from the graph alone rather than failing. */
   def hnswDeltaSearch(spark: SparkSession, graphPath: String, deltaPath: String,
       query: Seq[Double], k: Int, efSearch: Int = 128,
       vecCol: String = "vector", idCol: String = "id"): DataFrame = {
     val graphCand = graft.index.HnswStore.topK(
       spark, graphPath, query, k, efSearch = efSearch, idCol = idCol)
+    if (!graft.store.Fs.exists(spark, deltaPath)) return graphCand
     val deltaScored = spark.read.parquet(deltaPath)
       .withColumn("sim", round(
         graft.functions.VectorFunctions.cosineConst(

@@ -60,6 +60,11 @@ object Bm25 {
         terms.indices.map(i =>
           sum(when(col("tfs")(i) > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
       .collect()(0)
+    // empty corpus: no weights (the lazy-join formulation returned empty
+    // here too; sum_dl is null so the literals below would NPE)
+    if (statRow.getLong(0) == 0L)
+      return base.select(col("doc"), col("dl"), lit(0L).as("tf"),
+        lit("").as("term"), lit(0.0).as("w"))
     val nDocs = statRow.getLong(0).toDouble
     val avgdl = statRow.getLong(1).toDouble / nDocs
     // same arithmetic as before (and as the oracle): ln(1 + (N−df+½)/(df+½))
