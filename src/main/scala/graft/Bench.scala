@@ -49,7 +49,8 @@ object Bench {
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
-    ("build_pair_layout", Set("dd_ngram_capped", "dd_components", "pipe_curated_mix"),
+    ("build_pair_layout",
+      Set("dd_ngram_capped", "dd_components", "pipe_curated_mix", "pipe_train_corpus"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }))
 
   def main(args: Array[String]): Unit = {

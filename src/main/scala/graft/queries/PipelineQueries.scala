@@ -170,13 +170,98 @@ object PipelineQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** THE full training-corpus pipeline, end to end — every cleaning stage
+    * composed in the order a 100 TB run would schedule them, emitting the
+    * training units (chunks), not documents:
+    *
+    *  1. near-dup component keepers (shared banded-pair layout → connected
+    *     components; exact copies and fuzzy rewrites collapse to one doc);
+    *  2. quality floor + language filter (pure expressions, no shuffle);
+    *  3. decontamination (drop training docs sharing any 4-gram with the
+    *     eval slice — broadcast eval grams, anti-join);
+    *  4. deterministic per-language stratified sampling (md5 hash mod);
+    *  5. RAG chunking of the survivors (pure expression explode).
+    *
+    * Stage order is the scale argument: the cheapest/most-reducing
+    * shuffles run first, every pure-expression stage runs shuffle-free,
+    * and chunk explosion (the only row-multiplying stage) runs LAST on
+    * the smallest surviving set. The only exchanges are the pair layout
+    * read, one keeper semi-join, and one decontamination anti-join. */
+  def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
+    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
+    val contaminated = Dedup.contaminatedDocs(
+        docs.where(col("source") =!= EvalSource),
+        docs.where(col("source") === EvalSource),
+        "doc_id", "text", DecontamK)
+      .select(col("doc").as("doc_id"))
+    docs
+      .where(col("source") =!= EvalSource)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .where(curationFilter)
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextAnalysis.chunks(col("text"),
+          TextQueries.ChunkSize, TextQueries.ChunkStride))
+          .as(Seq("chunk_ix", "chunk")))
+      .select(col("doc_id"), col("lang"), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_ix")
+  }
+
+  lazy val trainCorpusSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    def markerCount(markers: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+    val stopRatio = s"CAST(${markerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
+    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    val quality = s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
+    val bucket = "CASE " +
+      SampleBuckets.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ") +
+      s" ELSE $DefaultBucket END"
+    val sampleHash = "('0x'||substr(md5(lang||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000"
+    val k = DecontamK
+    s"""WITH RECURSIVE pairs AS (${DedupQueries.ngramJaccardCappedSql}),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc),
+       |dgl AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks)-${k - 2})])) AS sg
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $k),
+       |ev AS (SELECT DISTINCT sg FROM dgl WHERE source = '$EvalSource'),
+       |contaminated AS (SELECT DISTINCT t.doc_id FROM dgl t JOIN ev ON t.sg = ev.sg
+       |                 WHERE t.source <> '$EvalSource'),
+       |kept AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE source <> '$EvalSource'
+       |    AND doc_id IN (SELECT doc FROM comp WHERE doc = component)
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND $quality >= CAST('$QualityFloor' AS DOUBLE)
+       |    AND $sampleHash < $bucket)
+       |SELECT doc_id, lang, CAST(s // ${TextQueries.ChunkStride} AS BIGINT) AS chunk_ix,
+       |  array_to_string(toks[s+1 : s+${TextQueries.ChunkSize}], ' ') AS chunk
+       |FROM (SELECT doc_id, lang, toks, unnest(range(0, len(toks), ${TextQueries.ChunkStride})) AS s
+       |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept))
+       |ORDER BY doc_id, chunk_ix""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
+    "pipe_train_corpus" -> (trainCorpus _),
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
+    "pipe_train_corpus" -> trainCorpusSql,
     "pipe_curated_mix" -> curatedMixSql)
 }
