@@ -211,6 +211,28 @@ object Ivf {
     assigned.repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Offline compaction of a cluster-partitioned layout — the other half
+    * of the streaming-ingest contract
+    * ([[graft.streaming.StreamingIngest.ingestWithIvfAssign]] appends one
+    * small file per (micro-batch, cluster); this folds them back to one
+    * file per cluster). Write-to-temp-and-swap: the compacted copy is
+    * fully written BESIDE the live layout, then swapped in with two
+    * renames — readers never observe a half-written layout, and a crash
+    * mid-compaction leaves either the old or the new layout intact, never
+    * neither. Run it on a cadence or on a small-file-count signal. */
+  def compactClustered(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    saveClustered(spark.read.parquet(path), tmp.toString)
+    require(fs.rename(p, old), s"compaction swap failed: cannot move $p aside")
+    require(fs.rename(tmp, p), s"compaction swap failed: cannot move $tmp into place")
+    fs.delete(old, true)
+    ()
+  }
+
   /** S3: probe-pruned approximate top-k. `max(k/2, 8)` probes per the
     * reference; filter-first exact semantics within the probed subset. */
   def search(assigned: DataFrame, model: IvfModel, query: Seq[Double], topK: Int,

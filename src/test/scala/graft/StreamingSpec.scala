@@ -237,6 +237,34 @@ class StreamingSpec extends SparkSpec {
     assert(n === expected)
   }
 
+  test("clustered-layout compaction preserves rows and folds small files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val rng = new java.util.Random(3)
+    val rows = (0 until 60).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble())))
+    val df = spark.createDataFrame(rows).toDF("id", "vector")
+    val (_, model) = graft.index.Ivf.fit(df, k = 4)
+    // five tiny appends = the streaming sink's small-file accumulation
+    (0 until 5).foreach { b =>
+      graft.index.Ivf.assign(df.where(col("id") % 5 === b), model)
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/idx")
+    }
+    def parquetFiles: Int = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatten.flatMap(walk)
+        else Iterator(f)
+      walk(new java.io.File(s"$dir/idx")).count(_.getName.endsWith(".parquet"))
+    }
+    def contents: Set[(Long, Int)] = spark.read.parquet(s"$dir/idx")
+      .select(col("id"), col("cluster_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (filesBefore, rowsBefore) = (parquetFiles, contents)
+    graft.index.Ivf.compactClustered(spark, s"$dir/idx")
+    assert(parquetFiles < filesBefore, s"expected fewer files than $filesBefore")
+    assert(contents === rowsBefore)
+    assert(rowsBefore.size === 60)
+  }
+
   test("streaming chunking equals the batch chunk operator on the same docs") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk_stream").toString
