@@ -217,18 +217,49 @@ object Ivf {
     * small file per (micro-batch, cluster); this folds them back to one
     * file per cluster). Write-to-temp-and-swap: the compacted copy is
     * fully written BESIDE the live layout, then swapped in with two
-    * renames — readers never observe a half-written layout, and a crash
-    * mid-compaction leaves either the old or the new layout intact, never
-    * neither. Run it on a cadence or on a small-file-count signal. */
+    * renames; a failed swap rolls back, and recovery never deletes
+    * anything that might be the only surviving copy — a crash at any
+    * point leaves a state the next invocation repairs (die before the
+    * swap: live layout untouched; die between the renames: the original
+    * is restored from the `_old` name first; die before the final
+    * cleanup: the stale copy is dropped).
+    *
+    * OPERATIONAL CONTRACT (this is a plain directory layout, not a
+    * transactional table format): run with WRITERS QUIESCED — a
+    * micro-batch committing between the snapshot read and the swap would
+    * be swept away with the old layout — and expect a brief
+    * no-layout-at-`path` window during the swap, so schedule it as the
+    * maintenance step between ingest cycles, not concurrently with
+    * serving SLAs. The rename-based swap is atomic per rename on
+    * HDFS/local file systems; object stores emulate rename as
+    * copy+delete, where a transactional table format (or a
+    * pointer-file indirection) is the right tool instead.
+    *
+    * Cost: one read + one hash-shuffle + one write of the layout. The
+    * shuffle re-derives a grouping the directory structure already
+    * encodes, but folding per-cluster without it means one Spark job per
+    * cluster — fine at k=16, pathological at warehouse cluster counts;
+    * one shuffled pass is the shape that survives both. */
   def compactClustered(spark: SparkSession, path: String): Unit = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_tmp")
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_old")
+    // crash recovery first, destroying nothing that could be the only
+    // copy: a missing live path with `_old` present means a previous run
+    // died mid-swap — restore the original before anything else
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"compaction recovery failed: cannot restore $old to $p")
+    require(fs.exists(p), s"no clustered layout at $p")
+    // with the live layout confirmed present, leftovers are disposable:
+    // `tmp` is an unfinished compacted copy, `old` a fully-swapped stale one
     fs.delete(tmp, true)
     fs.delete(old, true)
     saveClustered(spark.read.parquet(path), tmp.toString)
     require(fs.rename(p, old), s"compaction swap failed: cannot move $p aside")
-    require(fs.rename(tmp, p), s"compaction swap failed: cannot move $tmp into place")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; leaves the pre-compaction layout live
+      throw new IllegalStateException(s"compaction swap failed: cannot move $tmp into place")
+    }
     fs.delete(old, true)
     ()
   }

@@ -263,6 +263,14 @@ class StreamingSpec extends SparkSpec {
     assert(parquetFiles < filesBefore, s"expected fewer files than $filesBefore")
     assert(contents === rowsBefore)
     assert(rowsBefore.size === 60)
+    // crash recovery: simulate dying between the two swap renames (live
+    // path gone, original parked at _old, half-baked tmp left behind) —
+    // the next invocation must restore and recompact, losing nothing
+    val fs = new java.io.File(s"$dir/idx")
+    assert(fs.renameTo(new java.io.File(s"$dir/idx._compact_old")))
+    new java.io.File(s"$dir/idx._compact_tmp").mkdirs()
+    graft.index.Ivf.compactClustered(spark, s"$dir/idx")
+    assert(contents === rowsBefore)
   }
 
   test("streaming chunking equals the batch chunk operator on the same docs") {
