@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
 
 /** Engine extensions, registered via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
@@ -14,6 +14,10 @@ import graft.functions.CosineSimilarity
   *
   *  - `cosine_sim(a, b)`: fused single-pass cosine similarity
   *    ([[CosineSimilarity]]) — the hot-path form for wide embedding columns.
+  *  - `dot_product(a, b)` / `l2_distance(a, b)`: the other two metrics the
+  *    engine's index math uses ([[graft.functions.DotProduct]],
+  *    [[graft.functions.L2Distance]]) — exposed so a pure-SQL user can
+  *    express any of the engine's scoring shapes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -23,12 +27,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2Distance(exprs(0), exprs(1))))
   }
 }
 
 object GraftExtensions {
-  /** Column API for the registered function (session must carry
+  /** Column API for the registered functions (session must carry
     * [[GraftExtensions]]). Casts inputs to ARRAY<DOUBLE>. */
   def cosineSim(a: Column, b: Column): Column =
     call_function("cosine_sim", a.cast("array<double>"), b.cast("array<double>"))
+
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a.cast("array<double>"), b.cast("array<double>"))
+
+  def l2Distance(a: Column, b: Column): Column =
+    call_function("l2_distance", a.cast("array<double>"), b.cast("array<double>"))
 }

@@ -38,6 +38,30 @@ class CosineSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getDouble(1) === 0.0))
   }
 
+  test("dot_product and l2_distance agree with their built-in formulations and serve from SQL") {
+    val df = VectorModel.lineitemVectors(spark, Sf0001).limit(500)
+    val q = VectorModel.Query
+    val qc = array(q.map(lit): _*)
+    // reference formulations from built-in higher-order functions
+    val dotRef = aggregate(zip_with(col("vector"), qc, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val l2Ref = sqrt(aggregate(zip_with(col("vector"), qc, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+    val both = df.select(
+      dotRef.as("dot_ref"),
+      graft.GraftExtensions.dotProduct(col("vector"), qc).as("dot_fused"),
+      l2Ref.as("l2_ref"),
+      graft.GraftExtensions.l2Distance(col("vector"), qc).as("l2_fused"))
+    assert(both.where(col("dot_ref") =!= col("dot_fused")).count() === 0)
+    // l2: sqrt-of-sum is the same accumulation order in both forms
+    assert(both.where(abs(col("l2_ref") - col("l2_fused")) > 1e-12).count() === 0)
+    df.limit(5).createOrReplaceTempView("vd_v")
+    val sql = spark.sql(
+      "SELECT dot_product(vector, vector) AS d, l2_distance(vector, vector) AS z FROM vd_v")
+      .collect()
+    assert(sql.forall(r => r.getDouble(0) > 0.0 && r.getDouble(1) === 0.0))
+  }
+
   test("cosine is bounded in [-1, 1]") {
     val df = VectorModel.lineitemVectors(spark, Sf0001)
     val out = df.select(VectorFunctions.cosineConst(col("vector"), VectorModel.Query).as("s"))
