@@ -39,6 +39,33 @@ object VectorQueries {
        |FROM v WHERE category = 'R' AND status = 'F'
        |ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
 
+  /** The vector-metric SQL surface: pure `spark.sql` text using all three
+    * registered native functions (cosine_sim / dot_product / l2_distance,
+    * [[graft.GraftExtensions]]) over the canonical vector view — the
+    * query a SQL-only user of the engine writes, oracle-gated like every
+    * other exact operator. */
+  def sqlVectorFuncs(spark: SparkSession, dir: String): DataFrame = {
+    VectorModel.lineitemVectors(spark, dir).createOrReplaceTempView("vec_sql")
+    val q = VectorModel.Query.map(x => s"${x}D").mkString("array(", ", ", ")")
+    spark.sql(
+      s"""SELECT id, round(cosine_sim(vector, $q), 6) AS sim,
+         |  round(dot_product(vector, $q), 6) AS dot,
+         |  round(l2_distance(vector, $q), 6) AS l2
+         |FROM vec_sql ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin)
+  }
+
+  val sqlVectorFuncsSql: String = {
+    val qv = VectorModel.Query
+    val d = qv.length
+    val dotS = dot(v, i => dlit(qv(i)), d)
+    val l2 = s"sqrt(${(0 until d).map(i =>
+      s"(${v(i)} - ${dlit(qv(i))})*(${v(i)} - ${dlit(qv(i))})").mkString(" + ")})"
+    s"""WITH $vectorCte
+       |SELECT id, round(${cosineConst(v, qv)}, 6) AS sim,
+       |  round($dotS, 6) AS dot, round($l2, 6) AS l2
+       |FROM v ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+  }
+
   /** S4: batch multi-query search — top-3 per part-derived query vector. */
   def batchTopK(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.batchTopK(
@@ -157,6 +184,7 @@ object VectorQueries {
     "vq_brute_topk" -> (bruteTopK _),
     "vq_filtered_topk" -> (filteredTopK _),
     "vq_batch_topk" -> (batchTopK _),
+    "vq_sql_vector_funcs" -> (sqlVectorFuncs _),
     "vq_get_by_id" -> (getById _),
     "vq_insert_agg" -> (insertAgg _),
     "vq_delete_agg" -> (deleteAgg _),
@@ -166,6 +194,7 @@ object VectorQueries {
     "vq_brute_topk" -> bruteTopKSql,
     "vq_filtered_topk" -> filteredTopKSql,
     "vq_batch_topk" -> batchTopKSql,
+    "vq_sql_vector_funcs" -> sqlVectorFuncsSql,
     "vq_get_by_id" -> getByIdSql,
     "vq_insert_agg" -> insertAggSql,
     "vq_delete_agg" -> deleteAggSql,
