@@ -145,6 +145,32 @@ object TextQueries {
        |WHERE len(toks) >= 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** JSONL ingest/egress gated by the driver oracle: the documents table
+    * round-trips through JSONL (write once per dataset dir, memoized —
+    * the build/serve split every layout uses) and the aggregate over the
+    * RE-READ JSONL must hash-match DuckDB's aggregate over the original
+    * parquet — any type drift or row loss in the source shows up as a
+    * value mismatch. */
+  def jsonlAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = jsonlLayoutCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_layout").toString + "/docs"
+      graft.sources.JsonlSource.write(VectorModel.documents(spark, dir), p)
+      p
+    })
+    graft.sources.JsonlSource.readDocuments(spark, path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val jsonlLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val jsonlAggSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Corpus vocabulary top-N: total occurrences + document frequency per
     * lowercased whitespace token — the frequency table a
     * tokenizer-training / vocab-pruning / idf stage consumes. Classic
@@ -269,6 +295,7 @@ object TextQueries {
     "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_chunks" -> (chunks _),
     "tx_vocab_topk" -> (vocab _),
+    "src_jsonl_agg" -> (jsonlAgg _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -281,6 +308,7 @@ object TextQueries {
     "tx_chunk_bm25" -> chunkBm25Sql,
     "tx_chunks" -> chunksSql,
     "tx_vocab_topk" -> vocabSql,
+    "src_jsonl_agg" -> jsonlAggSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
