@@ -21,22 +21,34 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def binary(name: String,
+      make: (org.apache.spark.sql.catalyst.expressions.Expression,
+             org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+    make(exprs(0), exprs(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
+      binary("cosine_sim", CosineSimilarity(_, _)) _))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      binary("dot_product", DotProduct(_, _)) _))
     ext.injectFunction((
       FunctionIdentifier("l2_distance"),
       new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2Distance(exprs(0), exprs(1))))
+      binary("l2_distance", L2Distance(_, _)) _))
   }
 }
 

@@ -1,10 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: cosine similarity of two ARRAY<DOUBLE>
   * columns in a single fused loop (dot product and both norms accumulated
@@ -15,24 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (vervectordb/__init__.py:31-36), so the DuckDB oracle mirror stays
   * valid. Compared to the expanded built-in formulation this reads each
   * element once instead of four times — the hot-path form for wide
-  * embedding columns. Null if either side is null; mismatched lengths use
-  * the shorter prefix (callers enforce the schema dim invariant).
+  * embedding columns. Input/null contract lives on [[VectorBinaryMetric]]
+  * (shared with dot_product/l2_distance).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<DOUBLE> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
-
-  override def dataType: DataType = DoubleType
+    extends VectorBinaryMetric {
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ([[graft.index.Ivf]], [[graft.pq.ProductQuantizer]]), dot product for
   * normalized-embedding scoring. Same contract as cosine_sim: fused
   * single-pass loops, full whole-stage codegen, null if either side is
-  * null, shorter-prefix semantics on mismatched lengths (callers enforce
-  * the schema dim invariant). */
+  * null, shorter-prefix semantics on mismatched lengths, and NULL ARRAY
+  * ELEMENTS READ AS 0.0 (the canonical vector schema is
+  * `containsNull = false` — element nulls are outside the contract, and
+  * all three metrics treat them identically rather than matching the
+  * built-in zip_with formulation's null-propagation). */
 trait VectorBinaryMetric extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {

@@ -34,14 +34,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared DuckDB oracle fragments — the quality formula, sampling
+    * decision, near-dup component CTEs, and distinct-gram CTE each exist
+    * ONCE here, so the composed pipeline oracles cannot drift from the
+    * single-stage ones they nest. */
+  private val DuckNTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+
+  private def duckMarkerCount(markers: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  private lazy val duckQuality: String = {
+    val stopRatio = s"CAST(${duckMarkerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $DuckNTok"
+    val lenFactor = s"least($DuckNTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
+  }
+
+  private lazy val duckBucket: String =
+    "CASE " + SampleBuckets.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ") +
+      s" ELSE $DefaultBucket END"
+
+  private val DuckSampleHash =
+    "('0x'||substr(md5(lang||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000"
+
+  private lazy val duckComponentCtes: String =
+    s"""pairs AS (${DedupQueries.ngramJaccardCappedSql}),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
+
+  private def duckGramCte(name: String, k: Int): String =
+    s"""$name AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    [array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks)-${k - 2})])) AS sg
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= $k)""".stripMargin
+
   val cleanCorpusSql: String = {
-    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    def markerCount(markers: Seq[String]): String =
-      s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
-    val stopRatio = s"CAST(${markerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
-    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
-    val quality = s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
-    val scores = TextAnalysis.LangMarkers.map { case (lang, markers) => lang -> markerCount(markers) }
+    val quality = duckQuality
+    val scores = TextAnalysis.LangMarkers.map { case (lang, markers) => lang -> duckMarkerCount(markers) }
     val allZero = scores.map { case (_, s) => s"$s = 0" }.mkString(" AND ")
     val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
       scores.drop(i + 1).map(_._2) match {
@@ -108,32 +142,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  lazy val curatedMixSql: String = {
-    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    def markerCount(markers: Seq[String]): String =
-      s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
-    val stopRatio = s"CAST(${markerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
-    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
-    val quality = s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
-    val bucket = "CASE " +
-      SampleBuckets.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ") +
-      s" ELSE $DefaultBucket END"
-    val sampleHash = "('0x'||substr(md5(lang||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000"
-    s"""WITH RECURSIVE pairs AS (${DedupQueries.ngramJaccardCappedSql}),
-       |edges AS (SELECT da AS src, db AS dst FROM pairs
-       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
-       |reach(doc, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-       |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc)
-       |SELECT doc_id, lang, round($quality, 6) AS quality
+  lazy val curatedMixSql: String =
+    s"""WITH RECURSIVE $duckComponentCtes
+       |SELECT doc_id, lang, round($duckQuality, 6) AS quality
        |FROM documents
        |WHERE doc_id IN (SELECT doc FROM comp WHERE doc = component)
-       |  AND $quality >= CAST('$QualityFloor' AS DOUBLE)
-       |  AND $sampleHash < $bucket
+       |  AND $duckQuality >= CAST('$QualityFloor' AS DOUBLE)
+       |  AND $DuckSampleHash < $duckBucket
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Decontamination parameters: docs from [[EvalSource]] stand in for the
     * benchmark/eval set; everything else is the training corpus. k = 4 word
@@ -157,12 +173,7 @@ object PipelineQueries {
   }
 
   val decontaminateSql: String = {
-    val k = DecontamK
-    s"""WITH sgl AS (
-       |  SELECT doc_id, source, unnest(list_distinct(
-       |    [array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks)-${k - 2})])) AS sg
-       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
-       |  WHERE len(toks) >= $k),
+    s"""WITH ${duckGramCte("sgl", DecontamK)},
        |ev AS (SELECT DISTINCT sg FROM sgl WHERE source = '$EvalSource')
        |SELECT t.doc_id, count(*) AS n_overlap
        |FROM sgl t JOIN ev ON t.sg = ev.sg
@@ -176,17 +187,22 @@ object PipelineQueries {
     *
     *  1. near-dup component keepers (shared banded-pair layout → connected
     *     components; exact copies and fuzzy rewrites collapse to one doc);
-    *  2. quality floor + language filter (pure expressions, no shuffle);
+    *  2. quality floor (pure expression, no shuffle);
     *  3. decontamination (drop training docs sharing any 4-gram with the
     *     eval slice — broadcast eval grams, anti-join);
-    *  4. deterministic per-language stratified sampling (md5 hash mod);
+    *  4. deterministic per-language stratified sampling — downsampling by
+    *     language bucket, not a language filter (md5 hash mod, pure
+    *     expression);
     *  5. RAG chunking of the survivors (pure expression explode).
     *
-    * Stage order is the scale argument: the cheapest/most-reducing
-    * shuffles run first, every pure-expression stage runs shuffle-free,
-    * and chunk explosion (the only row-multiplying stage) runs LAST on
-    * the smallest surviving set. The only exchanges are the pair layout
-    * read, one keeper semi-join, and one decontamination anti-join. */
+    * Stage order is the scale argument: the most-reducing stages run
+    * first, every pure-expression stage runs shuffle-free, and chunk
+    * explosion (the only row-multiplying stage) runs LAST on the smallest
+    * surviving set. Beyond the shuffles inside the nested operators
+    * (the label-propagation rounds of connectedComponents, the gram
+    * explode + per-doc agg of contaminatedDocs), the composition itself
+    * adds only the pair-layout read, one keeper semi-join, and one
+    * decontamination anti-join. */
   def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
     val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
@@ -211,31 +227,9 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_ix")
   }
 
-  lazy val trainCorpusSql: String = {
-    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    def markerCount(markers: Seq[String]): String =
-      s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
-    val stopRatio = s"CAST(${markerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
-    val lenFactor = s"least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
-    val quality = s"(CAST('1.0' AS DOUBLE) - $stopRatio) * $lenFactor"
-    val bucket = "CASE " +
-      SampleBuckets.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ") +
-      s" ELSE $DefaultBucket END"
-    val sampleHash = "('0x'||substr(md5(lang||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000"
-    val k = DecontamK
-    s"""WITH RECURSIVE pairs AS (${DedupQueries.ngramJaccardCappedSql}),
-       |edges AS (SELECT da AS src, db AS dst FROM pairs
-       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
-       |reach(doc, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-       |comp AS (SELECT doc, min(r) AS component FROM reach GROUP BY doc),
-       |dgl AS (
-       |  SELECT doc_id, source, unnest(list_distinct(
-       |    [array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks)-${k - 2})])) AS sg
-       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
-       |  WHERE len(toks) >= $k),
+  lazy val trainCorpusSql: String =
+    s"""WITH RECURSIVE $duckComponentCtes,
+       |${duckGramCte("dgl", DecontamK)},
        |ev AS (SELECT DISTINCT sg FROM dgl WHERE source = '$EvalSource'),
        |contaminated AS (SELECT DISTINCT t.doc_id FROM dgl t JOIN ev ON t.sg = ev.sg
        |                 WHERE t.source <> '$EvalSource'),
@@ -244,14 +238,13 @@ object PipelineQueries {
        |  WHERE source <> '$EvalSource'
        |    AND doc_id IN (SELECT doc FROM comp WHERE doc = component)
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-       |    AND $quality >= CAST('$QualityFloor' AS DOUBLE)
-       |    AND $sampleHash < $bucket)
+       |    AND $duckQuality >= CAST('$QualityFloor' AS DOUBLE)
+       |    AND $DuckSampleHash < $duckBucket)
        |SELECT doc_id, lang, CAST(s // ${TextQueries.ChunkStride} AS BIGINT) AS chunk_ix,
        |  array_to_string(toks[s+1 : s+${TextQueries.ChunkSize}], ' ') AS chunk
        |FROM (SELECT doc_id, lang, toks, unnest(range(0, len(toks), ${TextQueries.ChunkStride})) AS s
        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept))
        |ORDER BY doc_id, chunk_ix""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_clean_corpus" -> (cleanCorpus _),

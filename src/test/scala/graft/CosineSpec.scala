@@ -52,6 +52,10 @@ class CosineSpec extends SparkSpec {
       graft.GraftExtensions.dotProduct(col("vector"), qc).as("dot_fused"),
       l2Ref.as("l2_ref"),
       graft.GraftExtensions.l2Distance(col("vector"), qc).as("l2_fused"))
+    // =!= is null-blind (NULL comparisons filter out), so also pin the
+    // row count and non-nullness — a null-producing regression can't hide
+    assert(both.count() === 500)
+    assert(both.where(col("dot_fused").isNull || col("l2_fused").isNull).count() === 0)
     assert(both.where(col("dot_ref") =!= col("dot_fused")).count() === 0)
     // l2: sqrt-of-sum is the same accumulation order in both forms
     assert(both.where(abs(col("l2_ref") - col("l2_fused")) > 1e-12).count() === 0)
