@@ -132,4 +132,29 @@ object PureProps extends Properties("graft.pure") {
       // membership implies band match (no false negatives — the lossless side)
       !member || inBand
     }
+
+  // the exact band layout Dedup.simhashPairs uses (maxHamming+1 contiguous
+  // bit bands over 60 bits), replicated as pure arithmetic
+  private def simhashBands(fp: Long, maxHamming: Int, bits: Int): Seq[Long] = {
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(b => (fp >>> starts(b)) & ((1L << widths(b)) - 1))
+  }
+
+  property("simhash pigeonhole banding: hamming <= maxHamming implies some band matches exactly") =
+    forAll(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(1, 12),
+      Gen.containerOf[Set, Int](Gen.choose(0, 59))) { (raw, maxHamming, flipBits) =>
+      val bits = 60
+      val a = raw & ((1L << bits) - 1)
+      // construct b at a KNOWN hamming distance by flipping a chosen bit set
+      val flips = flipBits.take(maxHamming)
+      val b = flips.foldLeft(a)((v, i) => v ^ (1L << i))
+      val ba = simhashBands(a, maxHamming, bits)
+      val bb = simhashBands(b, maxHamming, bits)
+      // maxHamming differing bits cannot touch all maxHamming+1 bands
+      ba.zip(bb).exists { case (x, y) => x == y }
+    }
 }
