@@ -556,18 +556,21 @@ object VectorDb {
     * constructor hyperparameters from the meta sidecar, so post-load
     * writes/rebuilds use the build-time parameters — the reference gets
     * this for free by pickling the whole object. */
-  def load(spark: SparkSession, path: String, dim: Int): VectorDb = {
+  def load(spark: SparkSession, path: String, dim: Int,
+      strict: Boolean = false): VectorDb = {
     val meta = spark.read.parquet(s"$path/meta").collect()(0)
     // saves from before the hyperparameter sidecar carry only the first
     // three meta columns — fall back to constructor defaults for those
     // (the quantizers still restore exactly: their params are inferred
-    // structurally from the codebook tables)
+    // structurally from the codebook tables). `strict` is an API-behavior
+    // flag, not index state, so the caller chooses it per instance.
     val hasHp = meta.length >= 7
     val db = new VectorDb(spark, dim,
       hnswM = if (hasHp) meta.getInt(3) else 16,
       hnswEfConstruction = if (hasHp) meta.getInt(4) else 64,
       pqM = if (hasHp) meta.getInt(5) else 8,
-      pqNBits = if (hasHp) meta.getInt(6) else 8)
+      pqNBits = if (hasHp) meta.getInt(6) else 8,
+      strict = strict)
     db.data = VectorStore.load(spark, s"$path/data")
     db.nextId = meta.getLong(0)
     db.hnswCoveredUpTo = meta.getLong(1)

@@ -416,6 +416,13 @@ class VectorDbSpec extends SparkSpec {
     assert(lax.count() === 1)
     intercept[NoSuchElementException] { lax.getByIdOrThrow(99L) }
     assert(lax.getByIdOrThrow(0L)._1 === Seq(1.0, 2.0, 3.0, 4.0))
+    // strict mode is choosable at load time (reference instances always
+    // raise, so a ported caller loads with strict = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_strict").toString
+    lax.save(dir)
+    val strictLoaded = VectorDb.load(spark, dir, 4, strict = true)
+    intercept[NoSuchElementException] { strictLoaded.getById(99L) }
+    assert(VectorDb.load(spark, dir, 4).getById(99L).isEmpty)
   }
 
   test("batch search dispatches ivfpq (exact refined sims) and rejects unknown methods") {
