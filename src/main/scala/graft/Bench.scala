@@ -26,15 +26,21 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Running JVMs on this host (the jps snapshot, via /proc — a second
-    * sbt/Spark JVM is the usual source of bench contention). -1 if /proc
-    * is unavailable. */
+    * sbt/Spark JVM is the usual source of bench contention). Matches the
+    * EXECUTABLE token only (first NUL-separated cmdline field equals
+    * "java" or ends with "/java"), so a non-JVM process whose arguments
+    * merely mention java (a script path, .js tooling) doesn't inflate the
+    * count. -1 if /proc is unavailable. */
   private def javaProcs: Int =
     try {
       Option(new java.io.File("/proc").listFiles()).map(_.count { f =>
         f.getName.forall(_.isDigit) && {
-          try new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline"))).contains("java")
-          catch { case _: Throwable => false }
+          try {
+            val exe = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"/proc/${f.getName}/cmdline")))
+              .takeWhile(_ != '\u0000')
+            exe == "java" || exe.endsWith("/java")
+          } catch { case _: Throwable => false }
         }
       }).getOrElse(-1)
     } catch { case _: Throwable => -1 }
@@ -49,9 +55,15 @@ object Bench {
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
+    ("build_sig_layout",
+      Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
+        "pipe_curated_mix", "pipe_train_corpus"),
+      (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
       Set("dd_ngram_capped", "dd_components", "pipe_curated_mix", "pipe_train_corpus"),
-      (s, d) => { queries.DedupQueries.pairLayout(s, d); () }))
+      (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
+    ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
+      (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,11 +28,11 @@ object DevIvfProfile {
     val (assigned, model) = timed("Ivf.fit (sample + Lloyd, lazy assign)") {
       graft.index.Ivf.fit(vecs)
     }
-    val path = java.nio.file.Files.createTempDirectory("ivf_prof").toString
+    val path = graft.store.Fs.scratchDir(spark, "ivf_prof")
     timed("assign + saveClustered (shuffle + partitioned write)") {
       graft.index.Ivf.saveClustered(assigned, path)
     }
-    val path2 = java.nio.file.Files.createTempDirectory("ivf_prof2").toString
+    val path2 = graft.store.Fs.scratchDir(spark, "ivf_prof2")
     timed("assign (no widen) + saveClustered") {
       graft.index.Ivf.saveClustered(graft.index.Ivf.assign(vecs, model), path2)
     }

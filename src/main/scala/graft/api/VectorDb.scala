@@ -75,6 +75,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     require(v.length == dim,
       s"vector dimension mismatch: expected $dim, got ${v.length}") // reference :243-245
 
+  /** Empty-database guard on index builds — the reference raises
+    * ValueError("数据库中无向量数据") before building/training on an empty
+    * store (`:369` HNSW, `:414` IVF, `:491` PQ). One driver round-trip per
+    * BUILD (not per write/search), so the parity costs nothing on the
+    * serving path. */
+  private def requireNonEmpty(op: String): Unit =
+    if (data.isEmpty)
+      throw new IllegalStateException(s"$op: no vector data in the database")
+
   /** Incremental index maintenance on write — the reference's
     * `insert`-maintains-HNSW semantics (vervectordb/__init__.py:264-265)
     * without its staleness bugs (stale IVF row indices silently return
@@ -177,9 +186,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     VectorSearch.bruteForceTopK(data, query, topK, filter)
   }
 
-  /** W6 `build_ivf_index`. */
-  def buildIvfIndex(k: Int = 16, seed: Long = 42L): Unit =
+  /** W6 `build_ivf_index` (empty-db guard per reference `:414`). */
+  def buildIvfIndex(k: Int = 16, seed: Long = 42L): Unit = {
+    requireNonEmpty("build_ivf_index")
     ivf = Some(Ivf.fit(data, "vector", k, seed))
+  }
 
   /** S3 `ivf_search`; requires buildIvfIndex (reference raises too, :428). */
   def ivfSearch(query: Seq[Double], topK: Int = 5,
@@ -190,13 +201,37 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     Ivf.search(assigned, model, query, topK, filter)
   }
 
+  /** Save/load path of this instance, when known — the default parent for
+    * owned index scratch layouts, so build-then-save keeps everything under
+    * one caller-visible directory. */
+  private var homePath: Option[String] = None
+
   /** W5 `build_hnsw_index` (`:367-377`): build the per-partition graphs
     * once and persist their structure ([[graft.index.HnswStore]]), so
     * subsequent [[hnswSearch]] calls restore instead of rebuilding —
-    * the reference's build-once semantics. */
-  def buildHnswIndex(numPartitions: Int = 8): Unit = {
+    * the reference's build-once semantics.
+    *
+    * The layout lands at `scratch` when given, else under `_scratch` in
+    * this instance's save/load directory, else a session scratch dir —
+    * always created through [[graft.store.Fs]] on the cluster-visible
+    * filesystem. (A `java.nio.file` temp dir here would be driver-local:
+    * executors on a real cluster can neither write the build nor read the
+    * serve, so the facade's index would only ever work in local mode.) */
+  def buildHnswIndex(numPartitions: Int = 8,
+      scratch: Option[String] = None): Unit = {
+    requireNonEmpty("build_hnsw_index") // reference :369
     dropOwnedHnsw()
-    val p = java.nio.file.Files.createTempDirectory("vectordb_hnsw").toString + "/g"
+    val base = scratch.getOrElse {
+      homePath match {
+        case Some(h) =>
+          val p = s"$h/_scratch/hnsw-${System.nanoTime()}"
+          val (fs, hp) = graft.store.Fs.pathFs(spark, p)
+          require(fs.mkdirs(hp), s"cannot create scratch dir $hp")
+          p
+        case None => graft.store.Fs.scratchDir(spark, "vectordb_hnsw")
+      }
+    }
+    val p = s"$base/g"
     graft.index.HnswStore.save(data, p, m = hnswM,
       efConstruction = hnswEfConstruction, numPartitions = numPartitions)
     hnswPath = Some(p)
@@ -234,6 +269,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   def hnswSearch(query: Seq[Double], topK: Int = 5, efSearch: Int = 128,
       numPartitions: Int = 8, filter: Option[Column] = None): DataFrame = {
     checkDim(query)
+    // strict mode reproduces the reference's search-before-build error
+    // (ValueError, `:381`); the default keeps this engine's documented
+    // improvement — a fresh filter-first per-partition build
+    if (strict && hnswPath.isEmpty)
+      throw new IllegalStateException("HNSW index not built")
     hnswPath match {
       case Some(p) if !hnswMutated && hnswCoveredUpTo == nextId =>
         // clean index covering every row: serve straight from the graph
@@ -325,6 +365,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     val live = filter.foldLeft(data)((d, f) => d.where(f))
     method match {
       case "hnsw" =>
+        if (strict && hnswPath.isEmpty) // reference :381 via batch dispatch
+          throw new IllegalStateException("HNSW index not built")
         hnswPath match {
           case Some(p) if filter.isEmpty && !hnswMutated && hnswCoveredUpTo == nextId =>
             // clean persisted index covering every row, no filter: serve
@@ -368,8 +410,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * partitions scale path. Maintained incrementally on writes like IVF
     * (the encoded view is a pure function of live rows and the model). */
   def buildIvfPqIndex(k: Int = 16, m: Int = pqM, nBits: Int = pqNBits,
-      seed: Long = 42L): Unit =
+      seed: Long = 42L): Unit = {
+    requireNonEmpty("build_ivfpq_index")
     ivfPq = Some(IvfPq.build(data, dim, k = k, m = m, nBits = nBits, seed = seed))
+  }
 
   /** Extension: ADC search over the IVF-PQ codes with exact re-rank
     * against live vectors; requires [[buildIvfPqIndex]]. `filter` applies
@@ -396,9 +440,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       terms, topK, idCol = "id", textCol = "text")
 
   /** W7 `train_pq` (subquantizer count/bits default to the constructor's,
-    * reference `:238-239`). */
-  def trainPq(m: Int = pqM, nBits: Int = pqNBits): Unit =
+    * reference `:238-239`; empty-db guard per `:491`). */
+  def trainPq(m: Int = pqM, nBits: Int = pqNBits): Unit = {
+    requireNonEmpty("train_pq")
     pq = Some(ProductQuantizer.train(data, "vector", "id", dim, m, nBits))
+  }
 
   /** W8 `compress`: adds `pq_code` (BINARY, m bytes). */
   def compress(): DataFrame = {
@@ -434,6 +480,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * resurrected by the next load and silently serve deleted or stale
     * rows — the exact W3/W4 staleness bug this class exists to fix. */
   def save(path: String): Unit = {
+    homePath = Some(path)
     val snap = data.cache()
     snap.count()
     data = snap
@@ -571,6 +618,7 @@ object VectorDb {
       pqM = if (hasHp) meta.getInt(5) else 8,
       pqNBits = if (hasHp) meta.getInt(6) else 8,
       strict = strict)
+    db.homePath = Some(path)
     db.data = VectorStore.load(spark, s"$path/data")
     db.nextId = meta.getLong(0)
     db.hnswCoveredUpTo = meta.getLong(1)

@@ -60,25 +60,47 @@ object Dedup {
     * operator on the test corpus. */
   def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, numHashes: Int = 32): DataFrame = {
-    // Widen the raw scan FIRST: tokenize/shingle expressions are the
-    // dominant per-row cost and must not run in a single pre-exchange map
-    // task over a one-file scan. Shingles are 60-bit-hashed ONCE up front:
-    // the verification join then shuffles long arrays instead of string
-    // arrays (~8x lighter) and intersects integers. Collisions within a
-    // doc pair's ~10^2 shingles are a 2^-60-scale event — the DuckDB
-    // value-equality gate would catch one.
-    val sh = Par.widen(df)
-      .where(size(split(col(textCol), " ")) >= k)
-      .select(col(idCol).as("doc"),
-        array_distinct(transform(shingles(col(textCol), k), s => hash60(s))).as("shh"))
-      .cache()
+    val sh = hashedShingleSets(df, idCol, textCol, k).cache()
     val hm = sh.select(col("doc"), explode(col("shh")).as("h"))
       .select(col("doc"), (col("h") % MinhashP).as("hm"))
     val hashCols = (0 until numHashes).map(j =>
       min((lit(minhashA(j)) * col("hm") + minhashB(j)) % MinhashP).as(s"h$j"))
     val sig = hm.groupBy("doc").agg(hashCols.head, hashCols.tail: _*)
-    val cand = bandedCandidatePairs(sig, numHashes, bands = numHashes)
-    cand
+    bandedVerifiedPairs(sh, sig, threshold, numHashes)
+  }
+
+  /** [[ngramJaccardPairsBanded]] with a PRECOMPUTED signature table
+    * (columns doc, h0..h{numHashes-1} — [[minhashSignatures]] output):
+    * the build-once/serve-many split — one persisted signature layout
+    * feeds both this exact-verify path and [[lshCandidatePairs]], so the
+    * signature aggregation (the dominant build cost) runs once per
+    * corpus, not once per consumer. */
+  def ngramJaccardPairsBandedFromSig(df: DataFrame, sig: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 32): DataFrame =
+    bandedVerifiedPairs(hashedShingleSets(df, idCol, textCol, k).cache(),
+      sig, threshold, numHashes)
+
+  /** (doc, shh): distinct 60-bit-hashed shingle sets. Widen the raw scan
+    * FIRST: tokenize/shingle expressions are the dominant per-row cost and
+    * must not run in a single pre-exchange map task over a one-file scan.
+    * Shingles are 60-bit-hashed ONCE up front: the verification join then
+    * shuffles long arrays instead of string arrays (~8x lighter) and
+    * intersects integers. Collisions within a doc pair's ~10^2 shingles
+    * are a 2^-60-scale event — the DuckDB value-equality gate would catch
+    * one. */
+  private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    Par.widen(df)
+      .where(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("doc"),
+        array_distinct(transform(shingles(col(textCol), k), s => hash60(s))).as("shh"))
+
+  /** Single-row-band candidates from `sig`, exact Jaccard recomputed over
+    * the hashed shingle sets `sh`, thresholded. */
+  private def bandedVerifiedPairs(sh: DataFrame, sig: DataFrame,
+      threshold: Double, numHashes: Int): DataFrame =
+    bandedCandidatePairs(sig, numHashes, bands = numHashes)
       .join(sh.select(col("doc").as("da"), col("shh").as("sha")), "da")
       .join(sh.select(col("doc").as("db"), col("shh").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -87,7 +109,6 @@ object Dedup {
           (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Decontamination: training docs that share at least one distinct
     * k-gram with an evaluation corpus, with the overlap count — the
@@ -331,13 +352,6 @@ object Dedup {
     * rather than returning a partial labeling. */
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
-    // the previous invocation's final-round cache is dead by now (its
-    // output was consumed) — release it so repeated calls (bench harness,
-    // curatedMix) hold at most one cached labeling
-    synchronized {
-      lastLabelsCache.foreach(_.unpersist())
-      lastLabelsCache = None
-    }
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
       .union(pairs.select(col("db").cast("long").as("src"), col("da").cast("long").as("dst")))
       .cache()
@@ -381,18 +395,17 @@ object Dedup {
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     // the fixed-point labels are materialized in prevRound's cache; the
     // edge cache only served the iteration and is released now (a cache
-    // eviction would recompute labels from lineage — correct, just slower)
+    // eviction would recompute labels from lineage — correct, just slower).
+    // The labels cache is adopted by the bounded CacheRegistry: its
+    // lifetime ends on LRU eviction, not on the next call — so concurrent
+    // invocations can't unpersist each other's still-unconsumed labels.
     edges.unpersist()
-    synchronized { lastLabelsCache = Some(prevRound) }
+    graft.store.CacheRegistry.register(prevRound)
     vertices.select(col(idCol).cast("long").as("doc"))
       .join(labels.withColumnRenamed("label", "component"), Seq("doc"), "left")
       .select(col("doc").as(idCol),
         coalesce(col("component"), col("doc")).as("component"))
   }
-
-  /** Final-round cache of the most recent [[connectedComponents]] call —
-    * the returned frame reads through it; the NEXT call unpersists it. */
-  private var lastLabelsCache: Option[DataFrame] = None
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale, an LSH or IVF bucket).

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, MinHashLSHModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,15 +34,21 @@ object MllibLsh {
       .transform(sh)
   }
 
-  /** Near-dup pairs with estimated Jaccard ≥ threshold via MLlib
-    * MinHashLSH (seeded). Output: (da, db, est_jaccard), da < db. */
-  def approxJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, numHashTables: Int = 8, k: Int = 3): DataFrame = {
-    val feat = shingleFeatures(df, idCol, textCol, k)
-    val model = new MinHashLSH()
+  /** Seeded MinHashLSH model fit — a build-once artifact (the model is a
+    * handful of hash coefficients; the fit's cost is scanning `feat` for
+    * the input-dimension check), reused across every serving join exactly
+    * like the layout builds ([[graft.queries.DedupQueries]] memoizes it as
+    * a `build_*` step). */
+  def fit(feat: DataFrame, numHashTables: Int = 8): MinHashLSHModel =
+    new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
       .fit(feat)
+
+  /** Serving half: the approximate similarity self-join with a FITTED
+    * model over a PRECOMPUTED feature table. */
+  def joinPairs(model: MinHashLSHModel, feat: DataFrame,
+      threshold: Double = 0.5): DataFrame =
     // approxSimilarityJoin filters dist STRICTLY below the bound, which
     // would drop pairs at exactly the threshold; widen the bound by an
     // epsilon and re-apply the inclusive contract on the similarity.
@@ -54,5 +60,14 @@ object MllibLsh {
         round(lit(1.0) - col("jaccard_dist"), 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .orderBy("da", "db")
+
+  /** Near-dup pairs with estimated Jaccard ≥ threshold via MLlib
+    * MinHashLSH (seeded). Output: (da, db, est_jaccard), da < db.
+    * One-shot convenience composing [[shingleFeatures]] → [[fit]] →
+    * [[joinPairs]]; repeated serving should memoize the first two. */
+  def approxJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, numHashTables: Int = 8, k: Int = 3): DataFrame = {
+    val feat = shingleFeatures(df, idCol, textCol, k)
+    joinPairs(fit(feat, numHashTables), feat, threshold)
   }
 }

@@ -110,14 +110,21 @@ object HnswStore {
     writeMeta(spark, path, m, efConstruction, numPartitions)
   }
 
-  private def storedRecords(spark: SparkSession, path: String): Dataset[Rec] = {
+  /** Stored rows plus whether the layout carries per-shard row counts.
+    * Layouts persisted before `part_rows` existed read with a −1 sentinel:
+    * the structural completeness assertion can't run for them, so serving
+    * takes the grouping-shuffle path (always complete groups) instead of
+    * failing on the missing column. */
+  private def storedRecords(spark: SparkSession, path: String): (Dataset[Rec], Boolean) = {
     import spark.implicits._
-    spark.read.parquet(path)
-      .select(col("part").cast("int"), col("ord").cast("int"),
+    val raw = spark.read.parquet(path)
+    val hasPartRows = raw.columns.contains("part_rows")
+    val partRows = if (hasPartRows) col("part_rows").cast("int") else lit(-1)
+    (raw.select(col("part").cast("int"), col("ord").cast("int"),
         col("id").cast("long"), col("vector").cast("array<double>"),
         col("node_level").cast("int"), col("adj").cast("array<array<bigint>>"),
-        col("is_entry"), col("part_rows").cast("int"))
-      .as[Rec]
+        col("is_entry"), partRows.as("part_rows"))
+      .as[Rec], hasPartRows)
   }
 
   /** True iff no data file can be byte-range split across read tasks, i.e.
@@ -141,8 +148,13 @@ object HnswStore {
       if (f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")) sizes += f.getLen
     }
     val openCost = conf.filesOpenCostInBytes
-    val minPartNum = conf.filesMinPartitionNum
-      .getOrElse(spark.sparkContext.defaultParallelism)
+    // Spark's formula falls back to leafNodeDefaultParallelism (when set)
+    // before sparkContext.defaultParallelism; mirror that exactly — though
+    // the part_rows assertion in `served` remains the authoritative guard
+    // if this heuristic ever disagrees with Spark's actual splitting.
+    val minPartNum = conf.filesMinPartitionNum.getOrElse(
+      spark.conf.getOption("spark.sql.leafNodeDefaultParallelism").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism))
     val totalBytes = sizes.map(_ + openCost).sum
     val bytesPerCore = totalBytes / math.max(1, minPartNum)
     val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
@@ -161,10 +173,10 @@ object HnswStore {
     import spark.implicits._
     val (mm, ee) = readMeta(spark, path)
       .map(t => (t._1, t._2)).getOrElse((m, efConstruction))
-    val stored = storedRecords(spark, path)
+    val (stored, hasPartRows) = storedRecords(spark, path)
     def restore(grp: Seq[Rec]): HnswIndex = {
       val expected = grp.head._8
-      if (grp.size != expected)
+      if (expected >= 0 && grp.size != expected)
         throw new IllegalStateException(
           s"partial HNSW graph shard: part ${grp.head._1} holds ${grp.size} of " +
             s"$expected rows in one task — a stored file was split across read " +
@@ -174,7 +186,10 @@ object HnswStore {
           (id, vec, level, adj, isEntry)
         }, mm, ee)
     }
-    if (filesUnsplit(spark, path))
+    // legacy layouts (no part_rows) lack the structural guard, so they
+    // always serve via the grouping shuffle — complete groups by
+    // construction — rather than trusting the listing heuristic alone
+    if (hasPartRows && filesUnsplit(spark, path))
       stored.mapPartitions { rows =>
         rows.toSeq.groupBy(_._1).valuesIterator.flatMap(grp => search(restore(grp.toSeq)))
       }

@@ -100,10 +100,9 @@ object Ivf {
     * path: micro-batches of new rows are assigned with the current
     * centroids and appended to the clustered layout; refit is a separate,
     * infrequent decision (on measured drift), not a per-write cost. */
-  def assign(df: DataFrame, model: IvfModel, vecCol: String = "vector"): DataFrame = {
-    val assignUdf = udf((v: Seq[Double]) => model.nearestCentroid(v))
-    df.withColumn("cluster_id", assignUdf(col(vecCol)))
-  }
+  def assign(df: DataFrame, model: IvfModel, vecCol: String = "vector"): DataFrame =
+    df.withColumn("cluster_id",
+      graft.functions.ModelExpressions.nearestCentroid(col(vecCol), model.centroids))
 
   /** Seeded k-means++ init + Lloyd's iterations, driver-local. Empty
     * clusters keep their previous centroid. Pure function of (sample order,
@@ -189,16 +188,11 @@ object Ivf {
     * valid meanwhile, so serving never blocks on the refit. */
   def meanAssignmentDistance(assigned: DataFrame, model: IvfModel,
       vecCol: String = "vector"): Double = {
-    val dist = udf((v: Seq[Double], cl: Int) => {
-      val c = model.centroids(cl)
-      var s = 0.0
-      var i = 0
-      while (i < c.length) { val d = c(i) - v(i); s += d * d; i += 1 }
-      math.sqrt(s)
-    })
+    val dist = graft.functions.ModelExpressions
+      .centroidDistance(col(vecCol), col("cluster_id"), model.centroids)
     // coalesce: an empty assigned view (fresh deployment, all rows
     // deleted) reports 0 drift rather than NPE-ing the monitoring loop
-    assigned.agg(coalesce(avg(dist(col(vecCol), col("cluster_id"))), lit(0.0)))
+    assigned.agg(coalesce(avg(dist), lit(0.0)))
       .head.getDouble(0)
   }
 
@@ -318,10 +312,10 @@ object Ivf {
     * (query_id, id, sim, rn); recall vs the exact join is spec-gated. */
   def knnJoin(df: DataFrame, model: IvfModel, k: Int, nProbes: Int = 2,
       vecCol: String = "vector", idCol: String = "id"): DataFrame = {
-    val probesUdf = udf((v: Seq[Double]) => model.probeClusters(v, nProbes))
     val left = graft.operators.Par.widen(df)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probesUdf(col(vecCol))).as("cluster_id"))
+        explode(graft.functions.ModelExpressions
+          .probeClusters(col(vecCol), model.centroids, nProbes)).as("cluster_id"))
     val right = assign(df, model, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("dv"), col("cluster_id"))
     val joined = left.join(right.hint("shuffle_hash"), Seq("cluster_id"))

@@ -63,19 +63,10 @@ object IvfPq {
 
   /** Residual-encode an ALREADY-ASSIGNED table (has `cluster_id`). */
   private def encodeAssigned(assigned: DataFrame, model: IvfPqModel,
-      vecCol: String, idCol: String): DataFrame = {
-    val centroids = model.ivf.centroids
-    val pq = model.pq
-    val enc = udf((v: Seq[Double], cl: Int) => {
-      val c = centroids(cl)
-      val r = v.toArray
-      var i = 0
-      while (i < r.length) { r(i) -= c(i); i += 1 }
-      pq.encode(r)
-    })
+      vecCol: String, idCol: String): DataFrame =
     assigned.select(col(idCol), col("cluster_id"),
-      enc(col(vecCol).cast("array<double>"), col("cluster_id")).as("pq_code"))
-  }
+      graft.functions.ModelExpressions.pqEncodeResidual(
+        col(vecCol), col("cluster_id"), model.pq, model.ivf.centroids).as("pq_code"))
 
   /** Assign + residual-encode with an EXISTING model — a pure function of
     * (row, model), one lazy narrow map. This is the incremental-maintenance
@@ -111,10 +102,13 @@ object IvfPq {
     val m = model.pq.m
     val subDim = model.pq.subDim
     // lut(cluster)(s)(code) = ||(q − centroid_cluster) slice s − codebook(s)(code)||²
-    val luts: Map[Int, Array[Array[Double]]] = probes.map { cl =>
+    // — dense-indexed by cluster_id (unprobed entries null; the scan is
+    // pruned to probed partitions before the scoring projection)
+    val luts = new Array[Array[Array[Double]]](model.ivf.k)
+    probes.foreach { cl =>
       val cent = model.ivf.centroids(cl)
       val qr = Array.tabulate(q.length)(i => q(i) - cent(i))
-      cl -> Array.tabulate(m) { s =>
+      luts(cl) = Array.tabulate(m) { s =>
         Array.tabulate(model.pq.k) { c =>
           val cb = model.pq.codebooks(s)(c)
           var d = 0.0
@@ -123,16 +117,10 @@ object IvfPq {
           d
         }
       }
-    }.toMap
-    val score = udf((cl: Int, code: Array[Byte]) => {
-      val lut = luts(cl)
-      var s = 0.0
-      var i = 0
-      while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
-      -s
-    })
+    }
     val cand = encoded.where(col("cluster_id").isin(probes: _*))
-      .withColumn("adc_score", score(col("cluster_id"), col("pq_code")))
+      .withColumn("adc_score", graft.functions.ModelExpressions
+        .adcScoreClustered(col("cluster_id"), col("pq_code"), luts))
       .orderBy(col("adc_score").desc, col(idCol).asc)
       .limit(math.max(topK, refineFactor * topK))
     refineFrom match {
@@ -186,13 +174,7 @@ object IvfPq {
         }
       }
     }).toMap
-    val score = udf((qid: Long, cl: Int, code: Array[Byte]) => {
-      val lut = luts((qid, cl))
-      var s = 0.0
-      var i = 0
-      while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
-      -s
-    })
+    val kernel = new graft.functions.BatchAdcKernel(luts)
     val probeRows = luts.keys.toSeq.sorted.map { case (qid, cl) => Row(qid, cl) }
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows),
@@ -203,7 +185,8 @@ object IvfPq {
     // and must not run at a narrow layout scan's parallelism (the same
     // guard Ivf.batchSearch applies to the identical shape)
     val cand = graft.operators.Par.widen(encoded).join(broadcast(qdf), "cluster_id")
-      .withColumn("adc", score(col("query_id"), col("cluster_id"), col("pq_code")))
+      .withColumn("adc", graft.functions.ModelExpressions
+        .adcScoreBatch(col("query_id"), col("cluster_id"), col("pq_code"), kernel))
     val keep = graft.operators.TopK
       .perGroupTopK(cand, "query_id", col(idCol), col("adc"), math.max(topK, refineFactor * topK))
       .select(col("query_id"), col("id").as(idCol))

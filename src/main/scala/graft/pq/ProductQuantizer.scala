@@ -148,22 +148,23 @@ object ProductQuantizer {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // reference :491 raises on an empty store; a clean error beats the
+    // modulo-by-zero the seeded sampler would otherwise hit
+    require(samples.nonEmpty, "train_pq: no vector data to train on")
     new ProductQuantizer(dim, m, nBits).fit(samples)
   }
 
-  /** W8 `compress`: add a `pq_code ARRAY<TINYINT>` column (broadcast
-    * codebooks inside the closure; ~KBs). */
-  def encodeDf(df: DataFrame, pq: ProductQuantizer, vecCol: String): DataFrame = {
-    val enc = udf((v: Seq[Double]) => pq.encode(v.toArray))
-    df.withColumn("pq_code", enc(col(vecCol).cast("array<double>")))
-  }
+  /** W8 `compress`: add a `pq_code BINARY` column, m bytes per row (the
+    * codebooks ride as an expression reference object; ~KBs). */
+  def encodeDf(df: DataFrame, pq: ProductQuantizer, vecCol: String): DataFrame =
+    df.withColumn("pq_code",
+      graft.functions.ModelExpressions.pqEncode(col(vecCol), pq))
 
   /** W9 `decompress`: reconstruct `vector_approx` from codes (stored as
     * BINARY — m bytes per row, the 32–64× compressed form). */
-  def decodeDf(df: DataFrame, pq: ProductQuantizer): DataFrame = {
-    val dec = udf((c: Array[Byte]) => pq.decode(c))
-    df.withColumn("vector_approx", dec(col("pq_code")))
-  }
+  def decodeDf(df: DataFrame, pq: ProductQuantizer): DataFrame =
+    df.withColumn("vector_approx",
+      graft.functions.ModelExpressions.pqDecode(col("pq_code"), pq))
 
   /** ADC (asymmetric distance computation) search over PQ codes — an
     * extension past the reference, whose codes are storage-only
@@ -192,14 +193,9 @@ object ProductQuantizer {
         d
       }
     }
-    val score = udf((code: Array[Byte]) => {
-      var s = 0.0
-      var i = 0
-      while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
-      -s
-    })
     encoded
-      .withColumn("adc_score", round(score(col("pq_code")), 6))
+      .withColumn("adc_score",
+        round(graft.functions.ModelExpressions.adcScore(col("pq_code"), lut), 6))
       .orderBy(col("adc_score").desc, col(idCol).asc)
       .limit(k)
   }

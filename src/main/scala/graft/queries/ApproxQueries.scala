@@ -74,8 +74,7 @@ object ApproxQueries {
     ivfLayoutCache.computeIfAbsent(dir, _ => {
       val vecs = VectorModel.lineitemVectors(spark, dir)
       val (_, model) = Ivf.fit(vecs)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_layout").toString
+      val path = graft.store.Fs.scratchDir(spark, "graft_ivf_layout")
       // assign WITHOUT the round-robin widen: the nearest-centroid map is
       // cheap enough for scan-task parallelism, and saveClustered's own
       // cluster repartition provides the write parallelism — skipping the
@@ -114,7 +113,7 @@ object ApproxQueries {
     * exposed as a Bench build step (see [[ivfLayout]]). */
   private[graft] def hnswLayout(spark: SparkSession, dir: String): String =
     hnswLayoutCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_hnsw_layout").toString
+      val p = graft.store.Fs.scratchDir(spark, "graft_hnsw_layout")
       graft.index.HnswStore.save(VectorModel.lineitemVectors(spark, dir), s"$p/g")
       s"$p/g"
     })
@@ -173,8 +172,7 @@ object ApproxQueries {
       val emb = VectorModel.embeddings(spark, dir)
       val (_, model) = graft.index.IvfPq.build(emb, VectorModel.EmbDim,
         vecCol = "embedding", idCol = "vec_id")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_layout").toString
+      val path = graft.store.Fs.scratchDir(spark, "graft_ivfpq_layout")
       // re-encode without the widen exchange — see ivfLayout
       Ivf.saveClustered(
         graft.index.IvfPq.encode(emb, model, vecCol = "embedding", idCol = "vec_id"),

@@ -153,8 +153,7 @@ object TextQueries {
     * value mismatch. */
   def jsonlAgg(spark: SparkSession, dir: String): DataFrame = {
     val path = jsonlLayoutCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_layout").toString + "/docs"
+      val p = graft.store.Fs.scratchDir(spark, "graft_jsonl_layout") + "/docs"
       graft.sources.JsonlSource.write(VectorModel.documents(spark, dir), p)
       p
     })

@@ -108,8 +108,7 @@ object VectorQueries {
     * dataset dir; exposed as a Bench build step. */
   private[graft] def pointLayout(spark: SparkSession, dir: String): (String, Long) =
     pointLayoutCache.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_point_layout").toString + "/v"
+      val p = graft.store.Fs.scratchDir(spark, "graft_point_layout") + "/v"
       VectorModel.lineitemVectors(spark, dir)
         .repartitionByRange(8, col("id"))
         .sortWithinPartitions("id")

@@ -28,4 +28,27 @@ private[graft] object Fs {
     fs.delete(p, true)
     ()
   }
+
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A fresh scratch directory on the CLUSTER-VISIBLE filesystem — the
+    * layout/spill location every build-once/serve-many path uses.
+    *
+    * `java.nio.file.Files.createTempDirectory` would hand back a
+    * driver-local path: executors on a real cluster can neither read nor
+    * write it, so an index "persisted" there serves only in local mode.
+    * Here the base resolves through the Hadoop API against the session's
+    * default filesystem (override with `spark.graft.scratch.dir`, e.g. an
+    * HDFS/S3A staging area), so the same code path works on a cluster.
+    * Uniqueness is per-JVM (session start time + counter): scratch layouts
+    * are owned by the session that created them, not shared state. */
+  def scratchDir(spark: SparkSession, prefix: String): String = {
+    val base = spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse("/tmp/graft-scratch")
+    val (fs, bp) = pathFs(spark, base)
+    val p = new org.apache.hadoop.fs.Path(fs.makeQualified(bp),
+      s"$prefix-${spark.sparkContext.startTime}-${scratchSeq.incrementAndGet()}")
+    require(fs.mkdirs(p), s"cannot create scratch dir $p")
+    p.toString
+  }
 }

@@ -34,25 +34,19 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Previous call's cached per-doc stats projection; unpersisted when the
-    * next call replaces it, so repeated invocations (bench, hybrid
-    * retrieval) hold at most one cached copy. */
-  private var lastBase: Option[DataFrame] = None
-
   /** Per-(doc, term) BM25 weights for `queryTerms`. Exposed for reuse;
-    * [[topK]] sums and ranks. */
+    * [[topK]] sums and ranks. The per-doc stats projection is cached
+    * through [[graft.store.CacheRegistry]] — concurrency-safe (a second
+    * concurrent invocation occupies its own registry slot instead of
+    * unpersisting this one's cache mid-query), and repeated identical
+    * invocations reuse one entry. */
   def termWeights(docs: DataFrame, queryTerms: Seq[String],
       idCol: String, textCol: String): DataFrame = {
     val terms = queryTerms.distinct
     val toks = split(lower(col(textCol)), " ")
-    val base = Par.widen(docs)
+    val base = graft.store.CacheRegistry.cached(Par.widen(docs)
       .select(col(idCol).as("doc"), size(toks).cast("long").as("dl"),
-        array(terms.map(t => size(filter(toks, x => x === lit(t)))): _*).as("tfs"))
-      .cache()
-    synchronized {
-      lastBase.foreach(_.unpersist())
-      lastBase = Some(base)
-    }
+        array(terms.map(t => size(filter(toks, x => x === lit(t)))): _*).as("tfs")))
     // one aggregate job over the cache: N, Σdl, df_t for every term
     val statRow = base.agg(
       count(lit(1)).as("n_docs"),

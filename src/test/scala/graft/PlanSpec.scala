@@ -122,6 +122,34 @@ class PlanSpec extends SparkSpec {
     val scan = served.queryExecution.executedPlan.collectLeaves().head.toString
     assert(scan.contains("PartitionFilters") && scan.contains("cluster_id"),
       "ADC scan must prune cluster partitions:\n" + scan.take(2000))
+    // the ADC scorer is the per-row inner loop of the serving path: it must
+    // be a native expression inside whole-stage codegen, not a ScalaUDF
+    val full = served.queryExecution.executedPlan.toString
+    assert(!full.contains("UDF"),
+      "IVF-PQ serving plan must not contain a UDF node:\n" + full.take(3000))
+  }
+
+  test("IVF assign / probe / PQ encode-decode plans are UDF-free and codegen'd") {
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val (assigned, model) = Ivf.fit(vecs)
+    assigned.collect() // finalize THIS dataset's AQE plan so codegen spans are visible
+    val pa = assigned.queryExecution.executedPlan.toString
+    assert(!pa.contains("UDF"),
+      "nearest-centroid assignment must be a native expression:\n" + pa.take(3000))
+    assert(pa.contains("*("), "assignment projection must be codegen'd:\n" + pa.take(2000))
+    val pk = plan(Ivf.knnJoin(vecs, model, k = 3))
+    assert(!pk.contains("UDF"),
+      "knn-join probe explosion must be a native expression:\n" + pk.take(3000))
+    val pq = graft.pq.ProductQuantizer.train(
+      VectorModel.embeddings(spark, Sf0001), "embedding", "vec_id", VectorModel.EmbDim)
+    val enc = graft.pq.ProductQuantizer.encodeDf(
+      VectorModel.embeddings(spark, Sf0001), pq, "embedding")
+    val pe = plan(graft.pq.ProductQuantizer.decodeDf(enc, pq))
+    assert(!pe.contains("UDF"),
+      "PQ encode/decode must be native expressions:\n" + pe.take(3000))
+    val pd = plan(graft.pq.ProductQuantizer.adcTopK(enc, pq, VectorModel.AnnQuery, 10, "vec_id"))
+    assert(!pd.contains("UDF"),
+      "ADC top-k must be a native expression:\n" + pd.take(3000))
   }
 
   test("BM25 ranks via TakeOrderedAndProject, no global sort") {

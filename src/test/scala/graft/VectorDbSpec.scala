@@ -425,6 +425,61 @@ class VectorDbSpec extends SparkSpec {
     assert(VectorDb.load(spark, dir, 4).getById(99L).isEmpty)
   }
 
+  test("buildHnswIndex lands its owned layout at a caller-visible scratch dir through Fs") {
+    val db = freshDb(60)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_db_scratch").toString + "/s"
+    db.buildHnswIndex(scratch = Some(scratch))
+    assert(graft.store.Fs.exists(spark, s"$scratch/g"),
+      "explicit scratch must hold the layout")
+    assert(db.hnswSearch(Seq.fill(8)(2.0), 3).count() === 3)
+    // with a save/load home, the default scratch is _scratch under it —
+    // everything the instance owns stays in one caller-visible directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_db_home").toString
+    db.save(dir)
+    db.buildHnswIndex()
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/_scratch")
+    assert(fs.exists(p) && fs.listStatus(p).nonEmpty,
+      "save-homed rebuild must land under <save path>/_scratch")
+    assert(db.hnswSearch(Seq.fill(8)(2.0), 3).count() === 3)
+  }
+
+  test("reference error-semantics parity table") {
+    // | reference site | semantics | here |
+    // | :245 dim check        | ValueError on every vector entry point | IllegalArgumentException, always |
+    // | :369/:414/:491 builds | ValueError on an empty database        | IllegalStateException, always |
+    // | :429/:505 IVF/PQ use  | ValueError before build/train          | IllegalStateException, always |
+    // | :381 hnsw_search      | ValueError before build                | IllegalStateException in strict mode; default = fresh filter-first build (documented improvement) |
+    // | :303/:313/:326 absent | KeyError on get/update/delete          | NoSuchElementException in strict mode (covered by the strict-mode test) |
+    val empty = new VectorDb(spark, 4)
+    intercept[IllegalStateException] { empty.buildHnswIndex() }
+    intercept[IllegalStateException] { empty.buildIvfIndex() }
+    intercept[IllegalStateException] { empty.buildIvfPqIndex() }
+    intercept[IllegalStateException] { empty.trainPq() }
+
+    val db = freshDb(40)
+    intercept[IllegalArgumentException] { db.bruteForceSearch(Seq(1.0)) }
+    intercept[IllegalArgumentException] { db.hnswSearch(Seq(1.0)) }
+    intercept[IllegalArgumentException] { db.ivfPqSearch(Seq(1.0)) }
+    intercept[IllegalArgumentException] { db.batchSearch(Seq(Seq(1.0))) }
+    intercept[IllegalArgumentException] { db.update(0L, vector = Some(Seq(1.0))) }
+    intercept[IllegalStateException] { db.ivfSearch(Seq.fill(8)(1.0)) }
+    intercept[IllegalStateException] { db.ivfPqSearch(Seq.fill(8)(1.0)) }
+    intercept[IllegalStateException] { db.compress() }
+    intercept[IllegalStateException] { db.decompress(db.toDf) }
+    // default hnswSearch without a built index: fresh build, real results
+    assert(db.hnswSearch(Seq.fill(8)(1.0), 3).count() === 3)
+
+    val strictDb = new VectorDb(spark, 4, strict = true)
+    strictDb.batchInsert(Seq((Seq(1.0, 2.0, 3.0, 4.0), Map.empty[String, String])))
+    intercept[IllegalStateException] { strictDb.hnswSearch(Seq(1.0, 2.0, 3.0, 4.0)) }
+    intercept[IllegalStateException] {
+      strictDb.batchSearch(Seq(Seq(1.0, 2.0, 3.0, 4.0)), method = "hnsw")
+    }
+    // once built, strict searches serve normally
+    strictDb.buildHnswIndex()
+    assert(strictDb.hnswSearch(Seq(1.0, 2.0, 3.0, 4.0), 1).count() === 1)
+  }
+
   test("batch search dispatches ivfpq (exact refined sims) and rejects unknown methods") {
     val db = freshDb(150)
     db.buildIvfPqIndex()
