@@ -232,11 +232,12 @@ object TextQueries {
 
   /** BM25 oracle over an arbitrary `(idCol, text)` source subquery — the
     * same term-for-term arithmetic as [[graft.text.Bm25]], reusable for
-    * doc- and chunk-granularity retrieval. */
-  def bm25SqlOver(sourceSql: String, idCol: String, limit: Int): String = {
+    * doc- and chunk-granularity retrieval and arbitrary term bags. */
+  def bm25SqlOver(sourceSql: String, idCol: String, limit: Int,
+      queryTerms: Seq[String] = Bm25Terms): String = {
     import graft.text.Bm25.{B, K1}
     val lit = OracleSql.lit _
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val terms = queryTerms.map(t => s"'$t'").mkString(", ")
     val idf = s"ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + ${lit(0.5)})/(CAST(df AS DOUBLE) + ${lit(0.5)}) + ${lit(1.0)})"
     val avgdl = "(CAST(sum_dl AS DOUBLE)/CAST(n_docs AS DOUBLE))"
     val norm = s"(CAST(tf AS DOUBLE) + ${lit(K1)} * (${lit(1.0)} - ${lit(B)} + ${lit(B)} * CAST(dl AS DOUBLE)/$avgdl))"
@@ -289,7 +290,69 @@ object TextQueries {
     bm25SqlOver(chunkSource, "chunk_id", 15)
   }
 
+  /** CJK fixture sentences (written for this test — generic data-systems
+    * phrases, NOT the reference's corpus): Chinese prose has no spaces, so
+    * these exercise the character-bigram fallback; two are near-duplicates
+    * and one mixes Latin tokens. Joined against `documents` on
+    * `doc_id % N` so the corpus — and the gate — scales with the dataset
+    * (disjoint doc_ids per SF; nothing is tuned to one scale factor). */
+  val CjkFixture: Seq[(Int, String)] = Seq(
+    0 -> "向量数据库支持高效的相似度搜索",
+    1 -> "向量数据库支持高效的相似搜索",
+    2 -> "分布式计算引擎处理大规模数据",
+    3 -> "机器学习模型需要大量训练数据",
+    4 -> "数据去重是训练管道的关键步骤",
+    5 -> "倒排索引加速关键词检索",
+    6 -> "Spark 处理 超大规模 数据集")
+
+  /** Query string for the CJK retrieval gate; terms are its character
+    * bigrams — the same tokenization the corpus side gets. */
+  val CjkQuery = "向量数据库搜索"
+  def cjkQueryTerms: Seq[String] = CjkQuery.sliding(2).toSeq.distinct
+
+  /** The CJK corpus: every document row draws a fixture sentence by
+    * `doc_id % N` plus a deterministic pad suffix (varies document length,
+    * so BM25's length normalization differentiates rows sharing a
+    * sentence). */
+  private def cjkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.createDataFrame(CjkFixture).toDF("fid", "cjk")
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % CjkFixture.size).cast("int").as("fid"))
+      .join(broadcast(fixture), "fid")
+      .select(col("doc_id"),
+        concat(TextAnalysis.cjkNormalize(col("cjk")),
+          expr("repeat(' pad', cast(doc_id % 3 as int))")).as("text"))
+  }
+
+  private def cjkCorpusSql: String = {
+    val values = CjkFixture.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    // term-for-term mirror of TextAnalysis.cjkTokens / cjkNormalize:
+    // whitespace split, CJK-bearing tokens of length >= 2 expand to
+    // overlapping character bigrams (substr is character-based in both
+    // engines), everything else passes through
+    val bigrams =
+      """array_to_string(flatten(list_transform(string_split(cjk, ' '), t ->
+        |  CASE WHEN regexp_matches(t, '[一-鿿]') AND length(t) >= 2
+        |       THEN [substr(t, i, 2) for i in range(1, length(t))]
+        |       ELSE [t] END)), ' ')""".stripMargin
+    s"""SELECT doc_id, $bigrams || repeat(' pad', CAST(doc_id % 3 AS INT)) AS text
+       |FROM (SELECT d.doc_id AS doc_id, f.cjk AS cjk
+       |      FROM documents d
+       |      JOIN (VALUES $values) f(fid, cjk) ON f.fid = d.doc_id % ${CjkFixture.size})""".stripMargin
+  }
+
+  /** CJK BM25 retrieval gate: rank the bigram-normalized Chinese corpus
+    * for the bigram query bag. On raw whitespace tokens every sentence is
+    * ONE token and this query returns nothing — the gate fails unless the
+    * fallback actually tokenizes. */
+  def cjkBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(cjkCorpus(spark, dir), cjkQueryTerms, 15)
+
+  lazy val cjkBm25Sql: String =
+    bm25SqlOver(cjkCorpusSql, "doc_id", 15, cjkQueryTerms)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_cjk_bm25" -> (cjkBm25 _),
     "tx_bm25_topk" -> (bm25TopK _),
     "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_chunks" -> (chunks _),
@@ -303,6 +366,7 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_cjk_bm25" -> cjkBm25Sql,
     "tx_bm25_topk" -> bm25TopKSql,
     "tx_chunk_bm25" -> chunkBm25Sql,
     "tx_chunks" -> chunksSql,

@@ -19,6 +19,38 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CJK unified-ideograph detector (the BMP block — the range jieba-class
+    * tokenizers treat as Chinese text). */
+  val CjkPattern = "[一-鿿]"
+
+  /** Tokenizer with a CJK character-bigram fallback — the seam that makes
+    * the text/dedup surface honest on Chinese corpora (the reference's own
+    * evidenced pipeline: it declares jieba and ships a Chinese corpus,
+    * /root/reference/pyproject.toml:7-13, data/datawhale.txt). Chinese
+    * prose has no spaces, so whitespace tokenization degrades every
+    * downstream operator to one-token-per-sentence no-ops; character
+    * bigrams are the standard dictionary-free fallback (the CJK analyzer
+    * approach in full-text search engines).
+    *
+    * Whitespace-split first; any token containing a CJK char expands to
+    * its overlapping character bigrams (single-char tokens pass through),
+    * other tokens pass through unchanged — so mixed Latin/CJK text keeps
+    * exact word tokens for the Latin runs. Pure codegen'd expressions
+    * (split / transform / substr / flatten), mirrored term-for-term in
+    * DuckDB ([[graft.queries.TextQueries.cjkNormalizedSql]]). */
+  def cjkTokens(text: Column): Column =
+    flatten(transform(tokens(text), t =>
+      when(t.rlike(CjkPattern) && length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array(t))))
+
+  /** CJK-normalized text: [[cjkTokens]] re-joined on single spaces, so
+    * EVERY whitespace-tokenizing operator (BM25, n-gram dedup, vocab,
+    * chunking, fingerprints) runs unchanged over the bigram token stream —
+    * the fallback is one narrow normalization pass, not a fork of each
+    * operator. */
+  def cjkNormalize(text: Column): Column = array_join(cjkTokens(text), " ")
+
   /** Sliding-window token chunks — the RAG chunking stage of the text
     * pipeline the reference evidences but never wrote (its declared deps
     * embed sentence chunks; SURVEY.md intro): window `size` tokens

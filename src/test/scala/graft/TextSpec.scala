@@ -61,6 +61,36 @@ class TextSpec extends SparkSpec {
     assert(out(0)._2.split(" ").drop(3).toSeq === out(1)._2.split(" ").take(2).toSeq)
   }
 
+  test("cjkTokens: character bigrams for CJK runs, word tokens for Latin, singles pass through") {
+    import graft.text.TextAnalysis
+    val rows = spark.createDataFrame(Seq(
+      (1, "向量数据库"),            // pure CJK: overlapping bigrams
+      (2, "Spark 处理 数据"),       // mixed: Latin word + CJK bigrams
+      (3, "hello world"),           // pure Latin: unchanged
+      (4, "中 x")                   // single CJK char: passes through
+    )).toDF("id", "t")
+      .select(col("id"), TextAnalysis.cjkTokens(col("t")).as("toks"),
+        TextAnalysis.cjkNormalize(col("t")).as("norm"))
+      .collect().map(r => r.getInt(0) -> (r.getSeq[String](1), r.getString(2))).toMap
+    assert(rows(1)._1 === Seq("向量", "量数", "数据", "据库"))
+    assert(rows(2)._1 === Seq("Spark", "处理", "数据"))
+    assert(rows(3)._1 === Seq("hello", "world"))
+    assert(rows(4)._1 === Seq("中", "x"))
+    assert(rows(1)._2 === "向量 量数 数据 据库")
+    // downstream operators see real tokens: n-gram dedup over two CJK
+    // near-duplicates now shares most shingles instead of zero
+    val docs = spark.createDataFrame(Seq(
+      (10L, "向量数据库支持高效的相似度搜索"),
+      (11L, "向量数据库支持高效的相似搜索"),
+      (12L, "完全不同的另一句话内容")))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), TextAnalysis.cjkNormalize(col("raw")).as("text"))
+    val pairs = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 11L)))
+  }
+
   test("chunks on the corpus: groups are contiguous from 0 and reconstruct the doc") {
     import graft.text.TextAnalysis
     val rows = docs.limit(20)
