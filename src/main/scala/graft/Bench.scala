@@ -57,10 +57,11 @@ object Bench {
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
-        "pipe_curated_mix", "pipe_train_corpus"),
+        "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e"),
       (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
-      Set("dd_ngram_capped", "dd_components", "pipe_curated_mix", "pipe_train_corpus"),
+      Set("dd_ngram_capped", "dd_components", "pipe_curated_mix",
+        "pipe_train_corpus", "pipe_rag_e2e"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.index.Ivf
 import graft.model.VectorModel
 import graft.text.TextAnalysis
 
@@ -246,7 +247,42 @@ object PipelineQueries {
        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept))
        |ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** Retrieval query for the RAG capstone (English, like the corpus). */
+  val RagQuery = "vector database similarity search"
+
+  /** THE RAG capstone, end to end in one registered query: the cleaned
+    * training chunks ([[trainCorpus]] — keepers → quality → decontaminate
+    * → sample → chunk) flow through the deterministic embedder
+    * ([[graft.text.HashEmbedder]], value-gated by `tx_embed`) into an IVF
+    * index (seeded fit over the chunk embeddings), and the query string
+    * embeds through the SAME seam and searches it — text in, ranked
+    * chunk_ids out. This is the reference's intended pipeline (embed →
+    * insert → search; it ships the model download but no code) composed
+    * Spark-first. K-means makes it rows-only in the driver contract, like
+    * every IVF path; TextSpec gates retrieval (planted near-dup chunk
+    * comes back first).
+    *
+    * Scale shape: chunking/embedding are narrow expression stages over the
+    * cleaned corpus, the fit samples ≤100k rows driver-side, assignment is
+    * one broadcast-centroid map, and serving scans only probed clusters —
+    * each stage is the one already argued safe in isolation. */
+  def ragEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    val chunks = trainCorpus(spark, dir)
+    val embedded = chunks.select(
+      (col("doc_id") * TextQueries.ChunkIdBase + col("chunk_ix")).as("chunk_id"),
+      embedder.embed(col("chunk")).as("vector"))
+    val (assigned, model) = Ivf.fit(embedded, vecCol = "vector", idCol = "chunk_id")
+    // the query embeds through the same expression seam (one 1-row job)
+    val qv = spark.range(1)
+      .select(embedder.embed(lit(RagQuery)).as("v"))
+      .head.getSeq[Double](0)
+    Ivf.search(assigned, model, qv, 10, vecCol = "vector", idCol = "chunk_id")
+      .select("chunk_id", "sim", "cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_train_corpus" -> (trainCorpus _),

@@ -351,7 +351,44 @@ object TextQueries {
   lazy val cjkBm25Sql: String =
     bm25SqlOver(cjkCorpusSql, "doc_id", 15, cjkQueryTerms)
 
+  /** Hash-projection embedding dimension (the [[graft.text.HashEmbedder]]
+    * default; small enough that the flat-column oracle stays readable). */
+  val EmbedDim = 16
+
+  /** VALUE-gated embedding stage: every document's deterministic
+    * hash-projection embedding as flat columns e0..e{dim-1}. This is the
+    * oracle leg of the RAG capstone (`pipe_rag_e2e` composes the same
+    * embedder with IVF indexing, rows-only like every k-means path) — the
+    * embedding math itself is exact-checked against DuckDB. */
+  def embedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = new graft.text.HashEmbedder(EmbedDim)
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), emb.embed(col("text")).as("emb"))
+      .select(col("doc_id") +:
+        (0 until EmbedDim).map(i => col("emb")(i).as(s"e$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  val embedDocsSql: String = {
+    val one = OracleSql.lit(1.0)
+    val negOne = OracleSql.lit(-1.0)
+    val zero = OracleSql.lit(0.0)
+    val comps = (0 until EmbedDim).map { i =>
+      s"""list_sum(list_transform(hs, h -> CASE WHEN h % $EmbedDim = $i
+         |    THEN CASE WHEN (h >> 8) & 1 = 1 THEN $one ELSE $negOne END
+         |    ELSE $zero END)) AS e$i""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $comps
+       |FROM (SELECT doc_id,
+       |        list_transform(string_split(lower(text), ' '),
+       |          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_embed" -> (embedDocs _),
     "tx_cjk_bm25" -> (cjkBm25 _),
     "tx_bm25_topk" -> (bm25TopK _),
     "tx_chunk_bm25" -> (chunkBm25 _),
@@ -366,6 +403,7 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_embed" -> embedDocsSql,
     "tx_cjk_bm25" -> cjkBm25Sql,
     "tx_bm25_topk" -> bm25TopKSql,
     "tx_chunk_bm25" -> chunkBm25Sql,

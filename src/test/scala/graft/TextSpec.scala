@@ -91,6 +91,32 @@ class TextSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 11L)))
   }
 
+  test("RAG e2e: hash embedder → IVF index → search returns the planted near-dup first") {
+    import graft.text.HashEmbedder
+    val embedder = new HashEmbedder(16)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about distributed query engines and shuffles"),
+      (3L, "tokenizers and embeddings for retrieval augmented generation pipelines"),
+      (4L, "weather patterns in the northern hemisphere during winter months"))).toDF("id", "text")
+    val embedded = docs.select(col("id"), embedder.embed(col("text")).as("vector"))
+    // same text → identical embedding (deterministic hash projection)
+    val e1 = embedded.where(col("id") === 1L).head.getSeq[Double](1)
+    val e1b = spark.range(1).select(embedder.embed(
+      lit("the quick brown fox jumps over the lazy dog near the river bank")).as("v"))
+      .head.getSeq[Double](0)
+    assert(e1 === e1b)
+    val (assigned, model) = graft.index.Ivf.fit(embedded, vecCol = "vector", idCol = "id", k = 2)
+    val qv = spark.range(1).select(embedder.embed(
+      lit("quick brown fox jumps over a lazy dog by the river")).as("v"))
+      .head.getSeq[Double](0)
+    val top = graft.index.Ivf
+      .search(assigned, model, qv, 1, vecCol = "vector", idCol = "id")
+      .collect()
+    assert(top.length === 1 && top.head.getLong(0) === 1L,
+      "the planted near-dup must rank first")
+  }
+
   test("chunks on the corpus: groups are contiguous from 0 and reconstruct the doc") {
     import graft.text.TextAnalysis
     val rows = docs.limit(20)
