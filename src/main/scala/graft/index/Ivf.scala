@@ -234,7 +234,19 @@ object Ivf {
     * encodes, but folding per-cluster without it means one Spark job per
     * cluster — fine at k=16, pathological at warehouse cluster counts;
     * one shuffled pass is the shape that survives both. */
-  def compactClustered(spark: SparkSession, path: String): Unit = {
+  def compactClustered(spark: SparkSession, path: String): Unit =
+    rewriteSwapped(spark, path)(tmp =>
+      saveClustered(spark.read.parquet(path), tmp))
+
+  /** Write-beside-and-swap rewrite of the layout at `path` — the shared
+    * machinery of [[compactClustered]] and [[maintainClustered]]:
+    * `write(tmp)` produces the complete replacement at `tmp` (it may read
+    * the live layout), then two renames swap it in. Crash at any point
+    * leaves a state the next invocation repairs; the operational contract
+    * (writers quiesced, brief no-layout window, rename-atomicity caveats
+    * on object stores) is documented on [[compactClustered]]. */
+  private def rewriteSwapped(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_tmp")
     val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_old")
@@ -245,17 +257,52 @@ object Ivf {
       require(fs.rename(old, p), s"compaction recovery failed: cannot restore $old to $p")
     require(fs.exists(p), s"no clustered layout at $p")
     // with the live layout confirmed present, leftovers are disposable:
-    // `tmp` is an unfinished compacted copy, `old` a fully-swapped stale one
+    // `tmp` is an unfinished rewrite, `old` a fully-swapped stale one
     fs.delete(tmp, true)
     fs.delete(old, true)
-    saveClustered(spark.read.parquet(path), tmp.toString)
+    write(tmp.toString)
     require(fs.rename(p, old), s"compaction swap failed: cannot move $p aside")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll back; leaves the pre-compaction layout live
+      fs.rename(old, p) // roll back; leaves the pre-rewrite layout live
       throw new IllegalStateException(s"compaction swap failed: cannot move $tmp into place")
     }
     fs.delete(old, true)
     ()
+  }
+
+  /** Automated index maintenance — the refit loop closing the streaming
+    * lifecycle ([[graft.streaming.StreamingIngest.ingestWithIvfAssign]]
+    * appends micro-batches under the EXISTING centroids; this is the
+    * scheduled step that decides when those centroids have gone stale):
+    *
+    *  1. measure [[meanAssignmentDistance]] over the live layout (one
+    *     distributed aggregate);
+    *  2. below `driftThreshold` → no-op (serving keeps the current model,
+    *     layout untouched — the common case costs one scan);
+    *  3. above it → refit centroids on the layout's rows (seeded,
+    *     sample-bounded [[fit]]), re-assign, and REWRITE the layout via
+    *     the same write-beside-and-swap as [[compactClustered]] — one
+    *     maintenance pass both refreshes the centroids and folds the
+    *     accumulated per-batch small files to one file per cluster.
+    *
+    * Returns (serving model, whether a refit happened); the caller swaps
+    * its driver-side model for the returned one. Same operational
+    * contract as compaction: run with writers quiesced. */
+  def maintainClustered(spark: SparkSession, path: String, model: IvfModel,
+      driftThreshold: Double, vecCol: String = "vector", idCol: String = "id",
+      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) = {
+    val assigned = spark.read.parquet(path)
+    val drift = meanAssignmentDistance(assigned, model, vecCol)
+    if (drift <= driftThreshold) (model, false)
+    else {
+      val live = assigned.drop("cluster_id")
+      val (_, refitted) = fit(live, vecCol, k, seed, idCol = idCol)
+      // re-assign WITHOUT the widen exchange (saveClustered's cluster
+      // repartition provides the write parallelism — the ivfLayout shape)
+      rewriteSwapped(spark, path)(tmp =>
+        saveClustered(assign(live, refitted, vecCol), tmp))
+      (refitted, true)
+    }
   }
 
   /** S3: probe-pruned approximate top-k. `max(k/2, 8)` probes per the

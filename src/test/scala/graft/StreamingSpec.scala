@@ -98,6 +98,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("automated IVF maintenance: stream drifts past the threshold -> refit + compacted rewrite, results equal a fresh build") {
+    import org.apache.spark.sql.functions._
+    import graft.index.Ivf
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfmaint").toString
+    val dim = 4
+    def mk(ids: Range, center: Double) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Seq.tabulate(dim)(d => center + (i % 7) * 0.1 + d * 0.01))))
+      .toDF("id", "vector")
+    // deployed model fit on the historical distribution around 1.0
+    val historical = mk(0 until 200, 1.0)
+    val (_, model0) = Ivf.fit(historical, k = 4)
+    Ivf.saveClustered(Ivf.assign(historical, model0), s"$base/index")
+    // stream in a DRIFTED batch (around 9.0) under the existing centroids
+    // — the ingestWithIvfAssign contract (assign-only, append)
+    val drifted = mk(200 until 400, 9.0)
+    val q = StreamingIngest.ingestWithIvfAssign(
+      spark.readStream.schema(drifted.schema)
+        .option("recursiveFileLookup", "true").parquet({
+          drifted.coalesce(1).write.parquet(s"$base/in/b0"); s"$base/in"
+        }),
+      s"$base/index", s"$base/ckpt", "vector", model0)
+    try q.awaitTermination(120000) finally q.stop()
+    val layout = spark.read.parquet(s"$base/index")
+    assert(layout.count() === 400)
+    val driftBefore = Ivf.meanAssignmentDistance(layout, model0)
+    // below threshold: no-op, same model, layout untouched
+    val files0 = layout.inputFiles.toSet
+    val (same, refitted0) = Ivf.maintainClustered(spark, s"$base/index", model0,
+      driftThreshold = driftBefore + 1.0, k = 4)
+    assert(!refitted0 && (same eq model0))
+    assert(spark.read.parquet(s"$base/index").inputFiles.toSet === files0)
+    // above threshold: refit + swap; drift drops, small files fold away
+    val (model1, refitted1) = Ivf.maintainClustered(spark, s"$base/index", model0,
+      driftThreshold = driftBefore / 2, k = 4)
+    assert(refitted1)
+    val maintained = spark.read.parquet(s"$base/index")
+    assert(maintained.count() === 400, "maintenance must not lose rows")
+    assert(Ivf.meanAssignmentDistance(maintained, model1) < driftBefore,
+      "refit must reduce the drift signal")
+    // the maintained index equals a FRESH seeded build over the same rows:
+    // same centroids, same assignments, identical search results
+    val (freshAssigned, freshModel) = Ivf.fit(historical.union(drifted), k = 4)
+    assert(model1.centroids.map(_.toSeq).toSeq === freshModel.centroids.map(_.toSeq).toSeq)
+    val query = Seq.fill(dim)(9.0)
+    val served = Ivf.search(maintained, model1, query, 10)
+      .select("id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Ivf.search(freshAssigned, freshModel, query, 10)
+      .select("id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === fresh, "maintained index must serve identically to a fresh build")
+  }
+
   test("incremental IVF ingest: assign-only batches equal a batch assignment") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_ivfassign").toString
