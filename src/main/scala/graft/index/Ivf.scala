@@ -305,6 +305,43 @@ object Ivf {
     }
   }
 
+  /** Versioned twins of the clustered-layout lifecycle, over a
+    * [[graft.store.VersionedLayout]] root (`<root>/vNNNNN` + commit
+    * markers): publishes leave NO no-layout window — serving resolves the
+    * live version once per query and keeps that snapshot while the next
+    * version writes — and a crashed rewrite never touches the live copy.
+    * This is the shape that lets scheduled maintenance run NEXT TO
+    * serving; the plain-path variants ([[saveClustered]]/
+    * [[compactClustered]]/[[maintainClustered]]) remain for
+    * fixed-location layouts under full writer quiescence. */
+  def saveClusteredVersioned(assigned: DataFrame, root: String): String =
+    graft.store.VersionedLayout.publish(assigned.sparkSession, root)(
+      dir => saveClustered(assigned, dir))
+
+  /** The live version's rows (read snapshot — stable across publishes). */
+  def currentClustered(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(graft.store.VersionedLayout.currentDir(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed layout under $root")))
+
+  /** [[maintainClustered]] over a versioned root: drift check on the live
+    * version; on refit, the re-assigned rewrite publishes as the NEXT
+    * version (readers of the old one are undisturbed; it remains as the
+    * grace version until the following publish). */
+  def maintainClusteredVersioned(spark: SparkSession, root: String, model: IvfModel,
+      driftThreshold: Double, vecCol: String = "vector", idCol: String = "id",
+      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) = {
+    val assigned = currentClustered(spark, root)
+    val drift = meanAssignmentDistance(assigned, model, vecCol)
+    if (drift <= driftThreshold) (model, false)
+    else {
+      val live = assigned.drop("cluster_id")
+      val (_, refitted) = fit(live, vecCol, k, seed, idCol = idCol)
+      graft.store.VersionedLayout.publish(spark, root)(
+        dir => saveClustered(assign(live, refitted, vecCol), dir))
+      (refitted, true)
+    }
+  }
+
   /** S3: probe-pruned approximate top-k. `max(k/2, 8)` probes per the
     * reference; filter-first exact semantics within the probed subset. */
   def search(assigned: DataFrame, model: IvfModel, query: Seq[Double], topK: Int,

@@ -1,0 +1,82 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+
+/** Versioned directory layout with commit markers — the pointer-file
+  * indirection that makes layout rewrites (compaction, index refit) safe
+  * to run NEXT TO serving, closing the gap the plain rename-swap leaves
+  * ([[graft.index.Ivf.compactClustered]]'s documented "brief
+  * no-layout-at-path window" and its object-store rename caveat).
+  *
+  * Scheme: `<root>/v<NNNNN>/…` version directories, each committed by an
+  * empty marker file created only after its contents are fully written.
+  * The live version is simply the HIGHEST committed one — no pointer file
+  * to atomically replace (a marker `create` is atomic on HDFS and
+  * object stores alike, unlike directory renames, which S3-class stores
+  * emulate as copy+delete). Consequences:
+  *
+  *  - readers resolve the live dir once per query and keep reading that
+  *    snapshot even while a new version publishes — no window, no
+  *    partial state, no read-after-overwrite;
+  *  - a publish that crashes mid-write leaves an UNCOMMITTED directory
+  *    the next publish deletes; the live version is untouched;
+  *  - pruning keeps the last [[Keep]] committed versions, so a reader
+  *    resolving just before a publish has a full grace version to finish.
+  *
+  * Contract: ONE writer at a time (maintenance is a scheduled singleton;
+  * two concurrent publishes could race the same version number — full
+  * multi-writer transactions are a table format's job, out of scope).
+  * Readers need no coordination at all. */
+private[graft] object VersionedLayout {
+
+  private val MarkerName = "_graft_committed"
+
+  /** Committed versions retained after a publish (live + one grace). */
+  val Keep = 2
+
+  /** Root resolved AND qualified, so returned version paths carry the
+    * filesystem scheme exactly like `listStatus` results do — callers can
+    * compare/equate paths from `publish` and `currentDir` directly. */
+  private def fsRoot(spark: SparkSession, root: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val (fs, p) = Fs.pathFs(spark, root)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def versionsOf(fs: org.apache.hadoop.fs.FileSystem,
+      rp: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path, Boolean)] =
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d{5,}"))
+      .map { s =>
+        val p = s.getPath
+        (p.getName.drop(1).toInt, p,
+          fs.exists(new org.apache.hadoop.fs.Path(p, MarkerName)))
+      }
+      .sortBy(_._1)
+
+  /** The live (highest committed) version directory, if any. */
+  def currentDir(spark: SparkSession, root: String): Option[String] = {
+    val (fs, rp) = fsRoot(spark, root)
+    versionsOf(fs, rp).filter(_._3).lastOption.map(_._2.toString)
+  }
+
+  /** Write the next version via `write(dir)`, commit it with the marker,
+    * prune stale versions. Returns the committed directory. */
+  def publish(spark: SparkSession, root: String)(write: String => Unit): String = {
+    val (fs, rp) = fsRoot(spark, root)
+    fs.mkdirs(rp)
+    val existing = versionsOf(fs, rp)
+    // drop uncommitted leftovers (a crashed publish) before numbering
+    existing.filterNot(_._3).foreach { case (_, p, _) => fs.delete(p, true) }
+    val next = existing.lastOption.map(_._1 + 1).getOrElse(0)
+    val dir = new org.apache.hadoop.fs.Path(rp, f"v$next%05d")
+    write(dir.toString)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, MarkerName), true)
+    out.close()
+    // prune: keep the newest `Keep` committed versions (live + grace)
+    val committed = versionsOf(fs, rp).filter(_._3)
+    committed.dropRight(Keep).foreach { case (_, p, _) => fs.delete(p, true) }
+    dir.toString
+  }
+}

@@ -149,6 +149,55 @@ class StreamingSpec extends SparkSpec {
     assert(served === fresh, "maintained index must serve identically to a fresh build")
   }
 
+  test("versioned layout: publish keeps readers' snapshot live, prunes to last 2, survives a crashed write") {
+    import org.apache.spark.sql.functions._
+    import graft.index.Ivf
+    import graft.store.VersionedLayout
+    val root = java.nio.file.Files.createTempDirectory("graft_vlayout").toString + "/idx"
+    val dim = 4
+    def mk(ids: Range, center: Double) = spark.createDataFrame(
+      ids.map(i => (i.toLong, Seq.tabulate(dim)(d => center + (i % 7) * 0.1 + d * 0.01))))
+      .toDF("id", "vector")
+    val gen0 = mk(0 until 150, 1.0)
+    val (_, model0) = Ivf.fit(gen0, k = 4)
+    val v0 = Ivf.saveClusteredVersioned(Ivf.assign(gen0, model0), root)
+    assert(VersionedLayout.currentDir(spark, root) === Some(v0))
+    // a reader resolves v0, then a publish lands v1: the reader's snapshot
+    // still collects (grace version retained), new readers see v1
+    val readerOnV0 = Ivf.currentClustered(spark, root)
+    val gen1 = mk(0 until 300, 1.0)
+    val v1 = Ivf.saveClusteredVersioned(Ivf.assign(gen1, model0), root)
+    assert(v1 != v0 && VersionedLayout.currentDir(spark, root) === Some(v1))
+    assert(readerOnV0.count() === 150, "in-flight reader keeps its snapshot")
+    assert(Ivf.currentClustered(spark, root).count() === 300)
+    // a crashed publish (partial dir, no marker) never becomes live and is
+    // cleaned by the next publish
+    val (fs, rp) = graft.store.Fs.pathFs(spark, s"$root/v99999")
+    fs.mkdirs(rp)
+    assert(VersionedLayout.currentDir(spark, root) === Some(v1))
+    val gen2 = mk(0 until 300, 9.0)
+    val v2 = Ivf.saveClusteredVersioned(Ivf.assign(gen2, model0), root)
+    assert(!fs.exists(rp), "uncommitted leftover must be swept by the next publish")
+    // keep-2 pruning: v0 is gone, v1 (grace) + v2 (live) remain
+    val (fs2, rootP) = graft.store.Fs.pathFs(spark, root)
+    val dirs = fs2.listStatus(rootP).map(_.getPath.getName).filter(_.startsWith("v")).sorted
+    assert(!dirs.contains(v0.split("/").last) && dirs.length === 2, dirs.mkString(","))
+    // versioned maintenance: drift on the shifted live version -> refit
+    // publishes a NEW version; search over it equals a fresh seeded build
+    val drift = Ivf.meanAssignmentDistance(Ivf.currentClustered(spark, root), model0)
+    val (model1, refitted) = Ivf.maintainClusteredVersioned(spark, root, model0,
+      driftThreshold = drift / 2, k = 4)
+    assert(refitted)
+    val (freshAssigned, freshModel) = Ivf.fit(gen2, k = 4)
+    assert(model1.centroids.map(_.toSeq).toSeq === freshModel.centroids.map(_.toSeq).toSeq)
+    val query = Seq.fill(dim)(9.0)
+    val served = Ivf.search(Ivf.currentClustered(spark, root), model1, query, 10)
+      .select("id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = Ivf.search(freshAssigned, freshModel, query, 10)
+      .select("id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === fresh)
+  }
+
   test("incremental IVF ingest: assign-only batches equal a batch assignment") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_ivfassign").toString
