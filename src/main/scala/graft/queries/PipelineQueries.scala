@@ -269,9 +269,13 @@ object PipelineQueries {
   def ragEndToEnd(spark: SparkSession, dir: String): DataFrame = {
     val embedder = new graft.text.HashEmbedder(TextQueries.EmbedDim)
     val chunks = trainCorpus(spark, dir)
-    val embedded = chunks.select(
+    // registry-cache the embedded chunks: the fit's sample collect, the
+    // assignment pass, and the probe-pruned search all read this frame —
+    // without the cache each one re-runs the full cleaning pipeline +
+    // embedding from lineage (measured 3× the corpus work)
+    val embedded = graft.store.CacheRegistry.cached(chunks.select(
       (col("doc_id") * TextQueries.ChunkIdBase + col("chunk_ix")).as("chunk_id"),
-      embedder.embed(col("chunk")).as("vector"))
+      embedder.embed(col("chunk")).as("vector")))
     val (assigned, model) = Ivf.fit(embedded, vecCol = "vector", idCol = "chunk_id")
     // the query embeds through the same expression seam (one 1-row job)
     val qv = spark.range(1)
