@@ -110,11 +110,18 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
 
   private def deletePath(path: String): Unit = graft.store.Fs.delete(spark, path)
 
-  private def dropOwnedHnsw(): Unit =
-    if (hnswOwned) hnswPath.foreach { p =>
-      val (fs, hp) = graft.store.Fs.pathFs(spark, p)
-      fs.delete(hp.getParent, true)
-    }
+  /** The exact directory this instance created for its owned HNSW layout
+    * and may therefore delete recursively. For a caller-supplied scratch
+    * this is the layout subdir ONLY (`<scratch>/g`) — deleting the
+    * scratch's parent would destroy whatever else the caller keeps
+    * there; for scratch dirs this instance created itself, it is that
+    * whole directory. */
+  private var hnswOwnedRoot: Option[String] = None
+
+  private def dropOwnedHnsw(): Unit = {
+    if (hnswOwned) hnswOwnedRoot.foreach(deletePath)
+    hnswOwnedRoot = None
+  }
 
   /** W1 `insert` — returns the new id. */
   def insert(vector: Seq[Double], metadata: Map[String, String] = Map.empty): Long =
@@ -221,21 +228,28 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       scratch: Option[String] = None): Unit = {
     requireNonEmpty("build_hnsw_index") // reference :369
     dropOwnedHnsw()
-    val base = scratch.getOrElse {
-      homePath match {
-        case Some(h) =>
-          val p = s"$h/_scratch/hnsw-${System.nanoTime()}"
-          val (fs, hp) = graft.store.Fs.pathFs(spark, p)
-          require(fs.mkdirs(hp), s"cannot create scratch dir $hp")
-          p
-        case None => graft.store.Fs.scratchDir(spark, "vectordb_hnsw")
-      }
+    // ownedRoot = what a rebuild may recursively delete: for a CALLER'S
+    // scratch dir, only the layout subdir this build creates; for
+    // directories this instance creates itself, the whole directory
+    val (base, ownedRoot) = scratch match {
+      case Some(s) => (s, s"$s/g")
+      case None =>
+        val b = homePath match {
+          case Some(h) =>
+            val p = s"$h/_scratch/hnsw-${System.nanoTime()}"
+            val (fs, hp) = graft.store.Fs.pathFs(spark, p)
+            require(fs.mkdirs(hp), s"cannot create scratch dir $hp")
+            p
+          case None => graft.store.Fs.scratchDir(spark, "vectordb_hnsw")
+        }
+        (b, b)
     }
     val p = s"$base/g"
     graft.index.HnswStore.save(data, p, m = hnswM,
       efConstruction = hnswEfConstruction, numPartitions = numPartitions)
     hnswPath = Some(p)
     hnswOwned = true
+    hnswOwnedRoot = Some(ownedRoot)
     hnswCoveredUpTo = nextId
     hnswMutated = false
   }

@@ -60,7 +60,8 @@ object Dedup {
     * operator on the test corpus. */
   def ngramJaccardPairsBanded(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, numHashes: Int = 32): DataFrame = {
-    val sh = hashedShingleSets(df, idCol, textCol, k).cache()
+    val sh = graft.store.CacheRegistry.cached(
+      hashedShingleSets(df, idCol, textCol, k))
     val hm = sh.select(col("doc"), explode(col("shh")).as("h"))
       .select(col("doc"), (col("h") % MinhashP).as("hm"))
     val hashCols = (0 until numHashes).map(j =>
@@ -78,7 +79,8 @@ object Dedup {
   def ngramJaccardPairsBandedFromSig(df: DataFrame, sig: DataFrame,
       idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 32): DataFrame =
-    bandedVerifiedPairs(hashedShingleSets(df, idCol, textCol, k).cache(),
+    bandedVerifiedPairs(
+      graft.store.CacheRegistry.cached(hashedShingleSets(df, idCol, textCol, k)),
       sig, threshold, numHashes)
 
   /** (doc, shh): distinct 60-bit-hashed shingle sets. Widen the raw scan

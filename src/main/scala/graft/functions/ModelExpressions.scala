@@ -106,10 +106,25 @@ object ModelExpressions {
 }
 
 /** Centroid math over Tungsten `ArrayData` — no per-row boxing. Arithmetic
-  * mirrors [[graft.index.Ivf.IvfModel]] exactly (ties to lower index). */
+  * mirrors [[graft.index.Ivf.IvfModel]] exactly (ties to lower index).
+  * Every entry point validates the row's array length against the model
+  * dimension FIRST: `UnsafeArrayData.getDouble` past `numElements` reads
+  * arbitrary memory in production (its bounds assert is compiled out), so
+  * a corrupt/short vector must fail the job loudly, not assign a garbage
+  * cluster — the fail-loud behavior the boxed UDFs these replaced had for
+  * free. Element nulls read as 0.0, the repo-wide vector contract
+  * ([[VectorBinaryMetric]]; canonical schema is `containsNull = false`). */
 final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable {
 
+  private val dim = centroids(0).length
+
+  private def checkLen(v: ArrayData): Unit =
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"vector of ${v.numElements()} elements is shorter than the model dimension $dim")
+
   def nearest(v: ArrayData): Int = {
+    checkLen(v)
     var best = 0; var bestD = Double.MaxValue; var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
@@ -122,6 +137,7 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
   }
 
   def dist(v: ArrayData, cl: Int): Double = {
+    checkLen(v)
     val c = centroids(cl)
     var s = 0.0; var i = 0
     while (i < c.length) { val d = c(i) - v.getDouble(i); s += d * d; i += 1 }
@@ -132,6 +148,7 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
     * the [[graft.index.Ivf.IvfModel.probeClusters]] ordering (sort by
     * (-sim, index)), computed with an O(k·n) selection instead of a sort. */
   def probes(v: ArrayData, n: Int): ArrayData = {
+    checkLen(v)
     val k = centroids.length
     val sims = new Array[Double](k)
     var j = 0
@@ -155,6 +172,14 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
         if (!taken(c) && sims(c) > bestS) { bestS = sims(c); best = c }
         c += 1
       }
+      // all remaining sims NaN (an Inf vector component makes every
+      // cosine NaN): fall back to the lowest unclaimed index — the
+      // deterministic total-order the sortBy-based model path had
+      if (best < 0) {
+        var c2 = 0
+        while (taken(c2)) c2 += 1
+        best = c2
+      }
       taken(best) = true
       out(o) = best
       o += 1
@@ -163,11 +188,19 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
   }
 }
 
-/** PQ encode/decode over `ArrayData`; `centroids == null` ⇒ no residual. */
+/** PQ encode/decode over `ArrayData`; `centroids == null` ⇒ no residual.
+  * Length-validated like [[IvfKernel]] (fail loud, never read past the
+  * row's array). */
 final class PqKernel(val pq: ProductQuantizer,
     val centroids: Array[Array[Double]]) extends Serializable {
 
+  private def checkLen(v: ArrayData): Unit =
+    if (v.numElements() < pq.dim)
+      throw new IllegalArgumentException(
+        s"vector of ${v.numElements()} elements is shorter than the PQ dimension ${pq.dim}")
+
   def encode(v: ArrayData): Array[Byte] = {
+    checkLen(v)
     val r = new Array[Double](pq.dim)
     var i = 0
     while (i < r.length) { r(i) = v.getDouble(i); i += 1 }
@@ -175,6 +208,7 @@ final class PqKernel(val pq: ProductQuantizer,
   }
 
   def encodeResidual(v: ArrayData, cl: Int): Array[Byte] = {
+    checkLen(v)
     val c = centroids(cl)
     val r = new Array[Double](pq.dim)
     var i = 0
@@ -192,6 +226,9 @@ final class AdcKernel(val luts: Array[Array[Array[Double]]]) extends Serializabl
 
   def score(cl: Int, code: Array[Byte]): Double = {
     val lut = luts(cl)
+    if (code.length != lut.length)
+      throw new IllegalArgumentException(
+        s"pq_code of ${code.length} bytes does not match the model's m=${lut.length}")
     var s = 0.0; var i = 0
     while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
     -s
@@ -214,6 +251,9 @@ final class BatchAdcKernel(luts: Map[(Long, Int), Array[Array[Double]]])
 
   def score(qid: Long, cl: Int, code: Array[Byte]): Double = {
     val lut = table.get(java.lang.Long.valueOf((qid << 20) | cl.toLong))
+    if (code.length != lut.length)
+      throw new IllegalArgumentException(
+        s"pq_code of ${code.length} bytes does not match the model's m=${lut.length}")
     var s = 0.0; var i = 0
     while (i < code.length) { s += lut(i)(code(i) & 0xff); i += 1 }
     -s

@@ -290,8 +290,17 @@ object Ivf {
     * contract as compaction: run with writers quiesced. */
   def maintainClustered(spark: SparkSession, path: String, model: IvfModel,
       driftThreshold: Double, vecCol: String = "vector", idCol: String = "id",
-      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) = {
-    val assigned = spark.read.parquet(path)
+      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) =
+    maintain(spark.read.parquet(path), model, driftThreshold, vecCol, idCol,
+      k, seed)(rewriteSwapped(spark, path))
+
+  /** Shared drift-check → refit → re-assign → rewrite body of
+    * [[maintainClustered]] and [[maintainClusteredVersioned]] — the two
+    * differ only in how the live layout reads and how the rewrite lands
+    * (in-place swap vs versioned publish). */
+  private def maintain(assigned: DataFrame, model: IvfModel,
+      driftThreshold: Double, vecCol: String, idCol: String, k: Int,
+      seed: Long)(rewrite: (String => Unit) => Unit): (IvfModel, Boolean) = {
     val drift = meanAssignmentDistance(assigned, model, vecCol)
     if (drift <= driftThreshold) (model, false)
     else {
@@ -299,8 +308,7 @@ object Ivf {
       val (_, refitted) = fit(live, vecCol, k, seed, idCol = idCol)
       // re-assign WITHOUT the widen exchange (saveClustered's cluster
       // repartition provides the write parallelism — the ivfLayout shape)
-      rewriteSwapped(spark, path)(tmp =>
-        saveClustered(assign(live, refitted, vecCol), tmp))
+      rewrite(dir => saveClustered(assign(live, refitted, vecCol), dir))
       (refitted, true)
     }
   }
@@ -329,18 +337,9 @@ object Ivf {
     * grace version until the following publish). */
   def maintainClusteredVersioned(spark: SparkSession, root: String, model: IvfModel,
       driftThreshold: Double, vecCol: String = "vector", idCol: String = "id",
-      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) = {
-    val assigned = currentClustered(spark, root)
-    val drift = meanAssignmentDistance(assigned, model, vecCol)
-    if (drift <= driftThreshold) (model, false)
-    else {
-      val live = assigned.drop("cluster_id")
-      val (_, refitted) = fit(live, vecCol, k, seed, idCol = idCol)
-      graft.store.VersionedLayout.publish(spark, root)(
-        dir => saveClustered(assign(live, refitted, vecCol), dir))
-      (refitted, true)
-    }
-  }
+      k: Int = 16, seed: Long = 42L): (IvfModel, Boolean) =
+    maintain(currentClustered(spark, root), model, driftThreshold, vecCol,
+      idCol, k, seed)(w => { graft.store.VersionedLayout.publish(spark, root)(w); () })
 
   /** S3: probe-pruned approximate top-k. `max(k/2, 8)` probes per the
     * reference; filter-first exact semantics within the probed subset. */

@@ -259,16 +259,19 @@ object DedupQueries {
     * `build_mllib_lsh_model`; serving then times the similarity join
     * only. */
   private[graft] def mllibLshModel(spark: SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.ml.feature.MinHashLSHModel) =
-    mllibModelCache.computeIfAbsent(dir, _ => {
-      val feat = MllibLsh.shingleFeatures(
-        VectorModel.documents(spark, dir), "doc_id", "text").cache()
-      feat.count()
-      (feat, MllibLsh.fit(feat))
-    })
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.ml.feature.MinHashLSHModel) = {
+    // features ride the bounded CacheRegistry (evictable, re-derivable
+    // from lineage); only the fitted model — a handful of coefficients —
+    // memoizes unconditionally. Pinning the 2^18-dim feature frames per
+    // dataset dir forever would squeeze every other operator's storage.
+    val feat = graft.store.CacheRegistry.cached(MllibLsh.shingleFeatures(
+      VectorModel.documents(spark, dir), "doc_id", "text"))
+    val model = mllibModelCache.computeIfAbsent(dir, _ => MllibLsh.fit(feat))
+    (feat, model)
+  }
 
   private val mllibModelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.DataFrame, org.apache.spark.ml.feature.MinHashLSHModel)]()
+    String, org.apache.spark.ml.feature.MinHashLSHModel]()
 
   /** MLlib MinHashLSH approximate similarity join (seeded; rows-only check
     * — recall-gated in DedupSpec against the exact operator), served with

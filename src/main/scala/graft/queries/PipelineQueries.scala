@@ -274,7 +274,7 @@ object PipelineQueries {
     // without the cache each one re-runs the full cleaning pipeline +
     // embedding from lineage (measured 3× the corpus work)
     val embedded = graft.store.CacheRegistry.cached(chunks.select(
-      (col("doc_id") * TextQueries.ChunkIdBase + col("chunk_ix")).as("chunk_id"),
+      TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
       embedder.embed(col("chunk")).as("vector")))
     val (assigned, model) = Ivf.fit(embedded, vecCol = "vector", idCol = "chunk_id")
     // the query embeds through the same expression seam (one 1-row job)

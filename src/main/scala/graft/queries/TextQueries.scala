@@ -259,6 +259,21 @@ object TextQueries {
     * raises rather than silently colliding beyond it. */
   val ChunkIdBase = 1000000L
 
+  /** THE chunk_id encoding — `doc_id · ChunkIdBase + chunk_ix` with the
+    * overflow guard built in (an out-of-range chunk_ix fails the job via
+    * raise_error instead of silently colliding with the next doc's
+    * chunks). Every consumer ([[chunkBm25]],
+    * [[PipelineQueries.ragEndToEnd]]) must encode through this one
+    * expression so the guard can't be forgotten. */
+  def chunkId(docId: org.apache.spark.sql.Column,
+      chunkIx: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val guardedIx = when(chunkIx < ChunkIdBase, chunkIx)
+      .otherwise(raise_error(concat(
+        lit(s"chunk_ix overflows the chunk_id encoding (>= $ChunkIdBase): "),
+        chunkIx)))
+    docId * ChunkIdBase + guardedIx
+  }
+
   /** Chunk-granularity BM25 — the composed RAG retrieval shape (chunk the
     * corpus, rank the CHUNKS): retrieval returns the exact window to feed
     * a context assembly step, not a whole document. chunk_id =
@@ -268,15 +283,11 @@ object TextQueries {
     * stage feeding the same one-scan BM25 — no extra corpus pass vs
     * doc-level ranking. */
   def chunkBm25(spark: SparkSession, dir: String): DataFrame = {
-    val guardedIx = when(col("chunk_ix") < ChunkIdBase, col("chunk_ix"))
-      .otherwise(raise_error(concat(
-        lit(s"chunk_ix overflows the chunk_id encoding (>= $ChunkIdBase): "),
-        col("chunk_ix"))))
     val chunked = VectorModel.documents(spark, dir)
       .select(col("doc_id"),
         posexplode(TextAnalysis.chunks(col("text"), ChunkSize, ChunkStride))
           .as(Seq("chunk_ix", "chunk")))
-      .select((col("doc_id") * ChunkIdBase + guardedIx).as("chunk_id"),
+      .select(chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
         col("chunk").as("text"))
     graft.text.Bm25.topK(chunked, Bm25Terms, 15, idCol = "chunk_id", textCol = "text")
   }

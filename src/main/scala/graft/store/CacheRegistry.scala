@@ -44,19 +44,30 @@ private[graft] object CacheRegistry {
 
   /** A cached frame semantically equal to `df`: the registry's existing
     * entry if one is live, else `df` itself, newly cached (lazily — the
-    * caller's first action materializes it). */
-  def cached(df: DataFrame): DataFrame = synchronized {
-    val hit = entries.get(keyOf(df))
-    if (hit != null) hit
-    else { df.cache(); entries.put(keyOf(df), df); df }
+    * caller's first action materializes it).
+    *
+    * The key (analysis + canonicalization — arbitrarily expensive for
+    * deep iterated lineages) is computed OUTSIDE the monitor; only the
+    * map access is locked, so one operator's huge plan can't stall every
+    * concurrent registry user. */
+  def cached(df: DataFrame): DataFrame = {
+    val key = keyOf(df)
+    synchronized {
+      val hit = entries.get(key)
+      if (hit != null) hit
+      else { df.cache(); entries.put(key, df); df }
+    }
   }
 
   /** Adopt an ALREADY-CACHED frame (e.g. materialized inside an iterative
     * loop) into the registry so eviction, not the next call, bounds its
     * lifetime. Replacing an entry unpersists the replaced frame. */
-  def register(df: DataFrame): DataFrame = synchronized {
-    val prev = entries.put(keyOf(df), df)
-    if (prev != null && (prev ne df)) prev.unpersist()
-    df
+  def register(df: DataFrame): DataFrame = {
+    val key = keyOf(df)
+    synchronized {
+      val prev = entries.put(key, df)
+      if (prev != null && (prev ne df)) prev.unpersist()
+      df
+    }
   }
 }

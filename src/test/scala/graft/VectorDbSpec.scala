@@ -432,6 +432,14 @@ class VectorDbSpec extends SparkSpec {
     assert(graft.store.Fs.exists(spark, s"$scratch/g"),
       "explicit scratch must hold the layout")
     assert(db.hnswSearch(Seq.fill(8)(2.0), 3).count() === 3)
+    // a rebuild may drop ONLY the layout it created — never the caller's
+    // other contents in the same scratch directory
+    val (sfs, sibling) = graft.store.Fs.pathFs(spark, s"$scratch/keep.txt")
+    sfs.create(sibling, true).close()
+    db.buildHnswIndex(scratch = Some(scratch))
+    assert(graft.store.Fs.exists(spark, s"$scratch/keep.txt"),
+      "rebuild must not delete unrelated files in a caller-supplied scratch dir")
+    assert(db.hnswSearch(Seq.fill(8)(2.0), 3).count() === 3)
     // with a save/load home, the default scratch is _scratch under it —
     // everything the instance owns stays in one caller-visible directory
     val dir = java.nio.file.Files.createTempDirectory("graft_db_home").toString
