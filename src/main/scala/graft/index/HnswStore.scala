@@ -197,6 +197,67 @@ object HnswStore {
       stored.groupByKey(_._1).flatMapGroups((_, rows) => search(restore(rows.toSeq)))
   }
 
+  /** First publish of a graph layout under a [[graft.store.VersionedLayout]]
+    * root — the serving-safe lifecycle twin of [[save]] (rebuilds land as
+    * the next version; readers keep their snapshot). Returns the committed
+    * version directory. */
+  def saveVersioned(df: DataFrame, root: String,
+      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 32,
+      vecCol: String = "vector", idCol: String = "id"): String =
+    graft.store.VersionedLayout.publish(df.sparkSession, root)(dir =>
+      save(df, dir, m, efConstruction, numPartitions, vecCol, idCol))
+
+  /** The live graph version under a versioned root. */
+  def currentGraph(spark: SparkSession, root: String): String =
+    graft.store.VersionedLayout.currentDir(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed graph under $root"))
+
+  /** Automated delta compaction — the graph-index analog of
+    * [[Ivf.maintainClustered]], closing the lifecycle that
+    * [[graft.streaming.StreamingIngest.ingestWithHnswDelta]] opens (each
+    * micro-batch appends rows to `deltaPath`; merge serving re-scores
+    * them exactly per query, so its cost grows with the delta):
+    *
+    *  1. measure the delta fraction (delta rows / graph nodes — two
+    *     cheap counts);
+    *  2. at or below `maxDeltaFraction` → no-op (merge serving is still
+    *     cheaper than a rebuild);
+    *  3. above it → rebuild the graphs over base ∪ delta with the
+    *     layout's OWN build-time hyperparameters (meta sidecar) as the
+    *     next version of `graphRoot`, then clear the consumed delta.
+    *
+    * The rebuild is deterministic ([[save]] repartitions by id and sorts
+    * within partitions), so the maintained graph is IDENTICAL to a fresh
+    * build over the same rows. Readers of the previous version are
+    * undisturbed (versioned publish); a crash between publish and delta
+    * clear leaves rows present in both graph and delta — serving stays
+    * correct because [[graft.streaming.StreamingIngest.hnswDeltaSearch]]
+    * deduplicates candidates by id, and the next maintenance run clears
+    * the delta. Single-writer contract like every maintenance pass.
+    * Returns (live graph dir, whether a rebuild happened). */
+  def maintainDelta(spark: SparkSession, graphRoot: String, deltaPath: String,
+      maxDeltaFraction: Double = 0.2,
+      vecCol: String = "vector", idCol: String = "id"): (String, Boolean) = {
+    val current = currentGraph(spark, graphRoot)
+    val base = spark.read.parquet(current).select(col("id"), col("vector"))
+    val nGraph = base.count()
+    val nDelta =
+      if (!graft.store.Fs.exists(spark, deltaPath)) 0L
+      else spark.read.parquet(deltaPath).count()
+    if (nDelta == 0 || nDelta.toDouble <= maxDeltaFraction * math.max(1L, nGraph))
+      (current, false)
+    else {
+      val (m, ef, np) = readMeta(spark, current).getOrElse((16, 64, 32))
+      val delta = spark.read.parquet(deltaPath)
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vector"))
+      val next = graft.store.VersionedLayout.publish(spark, graphRoot)(dir =>
+        save(base.union(delta), dir, m, ef, np))
+      graft.store.Fs.delete(spark, deltaPath)
+      (next, true)
+    }
+  }
+
   /** Approximate top-k over the persisted graphs: restore each partition's
     * graph IN PLACE (no shuffle — see object doc), search, merge globally. */
   def topK(spark: SparkSession, path: String, query: Seq[Double], k: Int,

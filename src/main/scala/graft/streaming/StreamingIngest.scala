@@ -199,7 +199,16 @@ object StreamingIngest {
         graft.functions.VectorFunctions.cosineConst(
           col(vecCol).cast("array<double>"), query), 6))
       .select(col(idCol), col("sim"))
+    // dedup by id before ranking: a row can legitimately appear on both
+    // sides in the window between a delta compaction's publish and its
+    // delta clear ([[graft.index.HnswStore.maintainDelta]] crash
+    // contract) — both sides score it identically (same vector, same
+    // rounded cosine), so max() keeps the one true similarity and the
+    // top-k never seats the same id twice. Aggregation input is k graph
+    // candidates + the delta rows (small by the compaction policy).
     graphCand.union(deltaScored)
+      .groupBy(col(idCol))
+      .agg(max(col("sim")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

@@ -394,6 +394,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HNSW delta maintenance: past the fraction threshold -> versioned rebuild identical to a fresh build") {
+    import org.apache.spark.sql.functions._
+    import graft.index.HnswStore
+    val dim = 8
+    val rng = new java.util.Random(13)
+    val base = (0 until 100).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 10)))
+    val delta = (100 until 140).map(i => (i.toLong, Seq.fill(dim)(rng.nextDouble() * 10)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_maint").toString
+    val baseDf = spark.createDataFrame(base).toDF("id", "vector")
+    val v0 = HnswStore.saveVersioned(baseDf, s"$dir/g", numPartitions = 4)
+    assert(HnswStore.currentGraph(spark, s"$dir/g") === v0)
+    // below threshold (no delta yet): no-op
+    assert(HnswStore.maintainDelta(spark, s"$dir/g", s"$dir/delta") === (v0, false))
+    // stream the delta in, then 40/100 > 0.2 -> rebuild as the next version
+    spark.createDataFrame(delta).toDF("id", "vector")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val q = StreamingIngest.ingestWithHnswDelta(
+      spark.readStream.schema(baseDf.schema).parquet(s"$dir/in"),
+      s"$dir/delta", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val query = Seq.fill(dim)(5.0)
+    val mergedBefore = StreamingIngest.hnswDeltaSearch(
+      spark, HnswStore.currentGraph(spark, s"$dir/g"), s"$dir/delta", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (v1, rebuilt) = HnswStore.maintainDelta(spark, s"$dir/g", s"$dir/delta")
+    assert(rebuilt && v1 != v0)
+    assert(!graft.store.Fs.exists(spark, s"$dir/delta"), "consumed delta must be cleared")
+    // the rebuilt graph equals a FRESH build over the same rows (save is
+    // deterministic: repartition by id + sort within partitions)
+    val allDf = spark.createDataFrame(base ++ delta).toDF("id", "vector")
+    HnswStore.save(allDf, s"$dir/fresh", numPartitions = 4)
+    val served = HnswStore.topK(spark, v1, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = HnswStore.topK(spark, s"$dir/fresh", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === fresh, "maintained graph must serve identically to a fresh build")
+    // post-maintenance merge serving (empty delta) equals the graph alone,
+    // and the pre-maintenance merge results are preserved for shared ids
+    val mergedAfter = StreamingIngest.hnswDeltaSearch(spark, v1, s"$dir/delta", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mergedAfter === served)
+    assert(mergedBefore.nonEmpty, "pre-maintenance merge serving must return results")
+    // crash window: delta cleared only after publish — simulate rows in
+    // BOTH graph and delta; dedup-by-id keeps each id once in the top-k
+    spark.createDataFrame(delta.take(10)).toDF("id", "vector")
+      .coalesce(1).write.parquet(s"$dir/delta")
+    val dupWindow = StreamingIngest.hnswDeltaSearch(spark, v1, s"$dir/delta", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dupWindow.distinct.length === dupWindow.length,
+      "no id may be seated twice during the publish/clear crash window")
+    assert(dupWindow === served.map(_._1),
+      "crash-window serving must equal the deduplicated graph results")
+  }
+
   test("streaming HNSW delta ingest serves like the facade's post-insert search") {
     val dim = 8
     val rng = new java.util.Random(7)
