@@ -250,6 +250,28 @@ object StreamingIngest {
       posexplode(graft.text.TextAnalysis.chunks(col("text"), size, stride))
         .as(Seq("chunk_ix", "chunk")))
 
+  /** Streaming RAG ingest — text stream in, searchable ANN index out: the
+    * streaming twin of [[graft.queries.PipelineQueries.ragEndToEnd]]'s
+    * index-build stage, composed entirely from pieces already gated
+    * individually. Each micro-batch chunks its documents
+    * ([[chunkDocStream]] — pure expressions), embeds the chunks through
+    * the deterministic seam ([[graft.text.TextEmbedder]] — value-gated by
+    * `tx_embed`), and appends assign-only rows into the cluster-
+    * partitioned layout under the EXISTING centroids
+    * ([[ingestWithIvfAssign]]'s contract — per-batch cost O(batch)).
+    * Refit stays the scheduled [[graft.index.Ivf.maintainClustered]]
+    * decision, exactly like every other streaming index. Every stage is
+    * stateless expressions, so streamed output is row-identical to the
+    * batch pipeline on the same documents (StreamingSpec). */
+  def ragIngest(docs: DataFrame, indexPath: String, checkpoint: String,
+      model: graft.index.Ivf.IvfModel, embedder: graft.text.TextEmbedder,
+      size: Int = 32, stride: Int = 16): StreamingQuery =
+    ingestWithIvfAssign(
+      chunkDocStream(docs, size, stride).select(
+        graft.queries.TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
+        embedder.embed(col("chunk")).as("vector")),
+      indexPath, checkpoint, "vector", model)
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

@@ -448,6 +448,38 @@ class StreamingSpec extends SparkSpec {
       "crash-window serving must equal the deduplicated graph results")
   }
 
+  test("streaming RAG ingest equals the batch chunk->embed->assign pipeline on the same docs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rag_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val embedder = new graft.text.HashEmbedder(16)
+    // batch ground truth: chunk -> embed -> assign under a fixed model
+    val batchChunks = graft.queries.TextQueries.chunks(spark, Sf0001)
+      .select(graft.queries.TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
+        embedder.embed(col("chunk")).as("vector"))
+    val (_, model) = graft.index.Ivf.fit(batchChunks, vecCol = "vector",
+      k = 4, idCol = "chunk_id")
+    val q = StreamingIngest.ragIngest(
+      StreamingIngest.readDocuments(spark, dir),
+      s"$dir/index", s"$dir/ckpt", model, embedder)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/index")
+      .select(col("chunk_id"), col("cluster_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = graft.index.Ivf.assign(batchChunks, model, "vector")
+      .select(col("chunk_id"), col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed === batch, "streamed index must equal the batch assignment")
+    assert(streamed.nonEmpty)
+    // the streamed layout is immediately searchable with the model
+    val qv = spark.range(1).select(embedder.embed(lit("vector database search")).as("v"))
+      .head.getSeq[Double](0)
+    assert(graft.index.Ivf.search(spark.read.parquet(s"$dir/index"), model, qv, 5,
+      vecCol = "vector", idCol = "chunk_id").count() === 5)
+  }
+
   test("streaming HNSW delta ingest serves like the facade's post-insert search") {
     val dim = 8
     val rng = new java.util.Random(7)
