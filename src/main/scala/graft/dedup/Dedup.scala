@@ -418,6 +418,39 @@ object Dedup {
     * stream partition probes independently — parallelism without skew. At
     * scale the block column is a high-cardinality bucket id and this join
     * becomes a co-partitioned shuffle join on it instead. */
+  /** IVF-bucketed embedding near-dup pairs — the SELF-BLOCKING scale twin
+    * of [[embeddingNearDupPairs]] for corpora with no usable block column:
+    * the blocking key is learned (k-means clusters over the embeddings
+    * themselves), each row probes its `nProbes` nearest clusters (so
+    * near-dups straddling a cluster boundary still meet — the exact
+    * failure mode single-assignment blocking has), and candidates join
+    * co-partitioned on cluster_id with the exact cosine threshold applied
+    * in place. Candidate volume is Σ_c |probers(c)|·|members(c)| instead
+    * of n² — the [[graft.index.Ivf.knnJoin]] shape with a threshold
+    * filter instead of a top-k, sharing its codegen'd probe/assign
+    * kernels. Approximate in RECALL only (a pair probing disjoint
+    * clusters is missed; reported sims are exact cosines) → spec-gated
+    * against the blocked-exact operator like every IVF path. */
+  def embeddingNearDupPairsBucketed(df: DataFrame, model: graft.index.Ivf.IvfModel,
+      idCol: String, vecCol: String, threshold: Double,
+      nProbes: Int = 2): DataFrame = {
+    val probed = Par.widen(df)
+      .select(col(idCol).as("da"), col(vecCol).cast("array<double>").as("va"),
+        explode(graft.functions.ModelExpressions
+          .probeClusters(col(vecCol), model.centroids, nProbes)).as("cluster_id"))
+    val members = graft.index.Ivf.assign(df, model, vecCol)
+      .select(col(idCol).as("db"), col(vecCol).cast("array<double>").as("vb"),
+        col("cluster_id"))
+    probed.join(members.hint("shuffle_hash"), Seq("cluster_id"))
+      .where(col("da") < col("db"))
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col("va"), col("vb")))
+      .where(col("sim_raw") >= threshold)
+      // a pair can meet in several probed clusters; one row per pair
+      .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
+      .distinct()
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, dim: Int, threshold: Double,
       broadcastBuild: Boolean = true): DataFrame = {

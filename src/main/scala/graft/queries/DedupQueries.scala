@@ -281,7 +281,22 @@ object DedupQueries {
     MllibLsh.joinPairs(model, feat, 0.5)
   }
 
+  /** IVF-bucketed embedding near-dup pairs — the label-free scale twin of
+    * `dd_embedding_cosine` (learned blocking, 2-probe boundary handling,
+    * exact cosines on candidates). K-means makes it rows-only in the
+    * driver contract; DedupSpec gates recall against the all-pairs ground
+    * truth and exactness of every reported similarity. */
+  def embeddingIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    Dedup.embeddingNearDupPairsBucketed(emb, model, "vec_id", "embedding", 0.4,
+      nProbes = 4)
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_embedding_ivf" -> (embeddingIvf _),
     "dd_mllib_lsh" -> (mllibLshJoin _),
     "dd_repeated_ngrams" -> (repeatedNgrams _),
     "dd_components" -> (components _),

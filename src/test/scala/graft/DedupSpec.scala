@@ -109,6 +109,43 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("IVF-bucketed embedding near-dup: exact sims, high recall vs all-pairs ground truth") {
+    import org.apache.spark.sql.functions._
+    val emb = VectorModel.embeddings(spark, Sf0001)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val threshold = 0.4
+    // all-pairs ground truth (label-free — the semantics the bucketed
+    // twin targets), computed exactly driver-side on the tiny SF
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cos(rows(i)._2, rows(j)._2) >= threshold
+    } yield {
+      val (a, b) = (rows(i)._1, rows(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    val got = Dedup.embeddingNearDupPairsBucketed(emb, model, "vec_id", "embedding", threshold,
+        nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact: every reported pair is a true pair with the true cosine
+    val byPair = rows.toMap
+    got.foreach { case (da, db, sim) =>
+      assert(truth.contains((da, db)), s"($da,$db) not a true pair")
+      assert(math.abs(sim - cos(byPair(da), byPair(db))) < 1e-6)
+    }
+    // recall: 2-probe learned blocking must recover most true pairs
+    val recall = got.map(t => (t._1, t._2)).toSet.size.toDouble / truth.size
+    assert(recall >= 0.7, s"bucketed recall $recall below 0.7 (${got.length}/${truth.size})")
+  }
+
   test("embedding near-dup: shuffle-join scale path equals the broadcast path") {
     // broadcastBuild=false is what runs past the broadcast/driver limit —
     // it must produce the identical pair set (values included)
