@@ -118,6 +118,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * whole directory. */
   private var hnswOwnedRoot: Option[String] = None
 
+  /** Build-time partition count of the current graph — maintenance
+    * rebuilds must reuse it (like every other persisted hyperparameter),
+    * or the rebuilt graph answers differently than the one it replaces. */
+  private var hnswNumPartitions: Int = 8
+
   private def dropOwnedHnsw(): Unit = {
     if (hnswOwned) hnswOwnedRoot.foreach(deletePath)
     hnswOwnedRoot = None
@@ -250,8 +255,61 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     hnswPath = Some(p)
     hnswOwned = true
     hnswOwnedRoot = Some(ownedRoot)
+    hnswNumPartitions = numPartitions
     hnswCoveredUpTo = nextId
     hnswMutated = false
+  }
+
+  /** Scheduled index maintenance — the compaction decision the
+    * incremental-serving paths defer ([[refreshIndexesOnWrite]] keeps
+    * serving correct after writes; THIS is the operator a deployment
+    * schedules to decide when incremental serving should fold back into
+    * fresh artifacts, mirroring the engine-level loops
+    * [[graft.index.Ivf.maintainClustered]] /
+    * [[graft.index.HnswStore.maintainDelta]] on the facade's own state):
+    *
+    *  - HNSW: rebuilt when the persisted graph serves through the merge
+    *    path (update/delete invalidation) or when the delta region above
+    *    the build watermark exceeds `maxDeltaFraction` of the graph —
+    *    merge serving re-scores the delta exactly per query, so its cost
+    *    grows with the delta while a rebuild amortizes it away. No-op
+    *    when no graph was ever built (nothing to compact — fresh-build
+    *    serving has no delta).
+    *  - IVF / IVF-PQ: centroids refit when the mean assignment distance
+    *    over live rows exceeds `ivfDriftThreshold` (assignment stays a
+    *    pure function of live rows meanwhile, so this is a quality
+    *    decision, not a correctness one). Off unless a threshold is
+    *    given — drift scale is data-dependent.
+    *
+    * Returns the actions taken ("hnsw_rebuilt", "ivf_refit",
+    * "ivfpq_refit"), empty when everything was within bounds. */
+  def maintainIndexes(maxDeltaFraction: Double = 0.2,
+      ivfDriftThreshold: Option[Double] = None): Seq[String] = {
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (hnswPath.isDefined) {
+      val deltaRows = data.where(col("id") >= hnswCoveredUpTo).count()
+      val graphRows = math.max(1L, data.count() - deltaRows)
+      if (hnswMutated || deltaRows.toDouble > maxDeltaFraction * graphRows) {
+        buildHnswIndex(numPartitions = hnswNumPartitions)
+        actions += "hnsw_rebuilt"
+      }
+    }
+    ivfDriftThreshold.foreach { threshold =>
+      ivf.foreach { case (assigned, model) =>
+        if (Ivf.meanAssignmentDistance(assigned, model) > threshold) {
+          buildIvfIndex(k = model.k)
+          actions += "ivf_refit"
+        }
+      }
+      ivfPq.foreach { case (_, model) =>
+        val assigned = Ivf.assign(data, model.ivf)
+        if (Ivf.meanAssignmentDistance(assigned, model.ivf) > threshold) {
+          buildIvfPqIndex(k = model.ivf.k, m = model.pq.m, nBits = model.pq.nBits)
+          actions += "ivfpq_refit"
+        }
+      }
+    }
+    actions.toSeq
   }
 
   /** Candidate overfetch factor for post-filtered search over a persisted

@@ -451,6 +451,35 @@ class VectorDbSpec extends SparkSpec {
     assert(db.hnswSearch(Seq.fill(8)(2.0), 3).count() === 3)
   }
 
+  test("maintainIndexes: rebuilds HNSW past the delta fraction / after mutation; refits IVF on drift") {
+    val db = freshDb(100)
+    db.buildHnswIndex(numPartitions = 4)
+    // small delta (10/100): within bounds, no action
+    db.batchInsert((0 until 10).map(_ => (Seq.fill(8)(1.0), Map.empty[String, String])))
+    assert(db.maintainIndexes(maxDeltaFraction = 0.2) === Seq.empty)
+    // grow the delta past 20%: rebuild, after which serving is the clean
+    // graph path (covered watermark catches up) and results match a
+    // freshly-built twin
+    db.batchInsert((0 until 30).map(i => (Seq.fill(8)(i * 0.1), Map.empty[String, String])))
+    assert(db.maintainIndexes(maxDeltaFraction = 0.2) === Seq("hnsw_rebuilt"))
+    assert(db.maintainIndexes(maxDeltaFraction = 0.2) === Seq.empty, "rebuild resets the delta")
+    val twin = new VectorDb(spark, 8)
+    db.toDf.collect().sortBy(_.getLong(0)).foreach { r =>
+      twin.batchInsert(Seq((r.getSeq[Double](1), Map.empty[String, String])))
+    }
+    twin.buildHnswIndex(numPartitions = 4)
+    val q = Seq.fill(8)(2.0)
+    assert(db.hnswSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      twin.hnswSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // mutation (delete) forces the merge path; maintenance folds it back
+    db.delete(0L)
+    assert(db.maintainIndexes() === Seq("hnsw_rebuilt"))
+    // IVF drift: a refit is reported only past the threshold
+    db.buildIvfIndex(k = 4)
+    assert(db.maintainIndexes(ivfDriftThreshold = Some(1e9)) === Seq.empty)
+    assert(db.maintainIndexes(ivfDriftThreshold = Some(0.0)) === Seq("ivf_refit"))
+  }
+
   test("reference error-semantics parity table") {
     // | reference site | semantics | here |
     // | :245 dim check        | ValueError on every vector entry point | IllegalArgumentException, always |
