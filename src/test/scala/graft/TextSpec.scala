@@ -91,6 +91,65 @@ class TextSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 11L)))
   }
 
+  test("cjkTokens invariants over generated mixed corpora") {
+    import graft.text.TextAnalysis
+    // deterministic generator mixing latin words, CJK runs, digits
+    val latin = Vector("alpha", "beta", "gamma", "delta", "x1", "42")
+    val cjk = Vector("向量", "数据库", "分布式计算", "检索", "模型")
+    val rng = new scala.util.Random(99)
+    val texts = (0 until 60).map { _ =>
+      (0 until (1 + rng.nextInt(8))).map { _ =>
+        if (rng.nextBoolean()) latin(rng.nextInt(latin.size)) else cjk(rng.nextInt(cjk.size))
+      }.mkString(" ")
+    }
+    val rows = spark.createDataFrame(texts.zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("i", "t")
+      .select(col("i"), col("t"), TextAnalysis.cjkTokens(col("t")).as("toks"))
+      .collect().map(r => (r.getString(1), r.getSeq[String](2))).toSeq
+    rows.foreach { case (t, toks) =>
+      val words = t.split(" ").toSeq
+      // 1. latin-only text tokenizes exactly like whitespace split
+      if (!t.exists(c => c >= '一' && c <= '鿿')) assert(toks === words)
+      // 2. token count: each CJK word of length L >= 2 contributes L-1
+      //    bigrams, everything else contributes itself
+      val expectedCount = words.map { w =>
+        if (w.exists(c => c >= '一' && c <= '鿿') && w.length >= 2) w.length - 1 else 1
+      }.sum
+      assert(toks.size === expectedCount, s"'$t' -> $toks")
+      // 3. every emitted CJK bigram is a substring of the source text
+      toks.filter(_.exists(c => c >= '一' && c <= '鿿')).foreach(b => assert(t.contains(b)))
+      // 4. no empty tokens
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
+  test("hash embedder properties: bag-of-tokens invariance, dim, integer-valued votes") {
+    import graft.text.HashEmbedder
+    val embedder = new HashEmbedder(16)
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("spark", "vector", "join", "index", "query", "shuffle", "42")
+    val bags = (0 until 40).map(_ => (0 until (1 + rng.nextInt(10)))
+      .map(_ => vocab(rng.nextInt(vocab.size))))
+    val df = spark.createDataFrame(bags.zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.mkString(" "), rng.shuffle(b).mkString(" "))
+    }).toDF("i", "t", "shuffled")
+      .select(col("i"), embedder.embed(col("t")).as("e"),
+        embedder.embed(col("shuffled")).as("es"))
+      .collect()
+    df.foreach { r =>
+      val e = r.getSeq[Double](1); val es = r.getSeq[Double](2)
+      assert(e.length === 16)
+      // permutation invariance: a bag of tokens embeds identically in any order
+      assert(e === es)
+      // votes are exact integers (sums of ±1 in doubles)
+      assert(e.forall(x => x == math.rint(x)))
+    }
+    // sensitivity: different bags embed differently (collision would need
+    // every per-bucket vote sum to coincide)
+    val distinct = df.map(_.getSeq[Double](1)).distinct
+    assert(distinct.length > 1)
+  }
+
   test("RAG e2e: hash embedder → IVF index → search returns the planted near-dup first") {
     import graft.text.HashEmbedder
     val embedder = new HashEmbedder(16)
