@@ -701,7 +701,16 @@ object VectorDb {
       val assigned = spark.read.parquet(s"$path/ivf_data")
       db.ivf = Some((assigned, Ivf.IvfModel(centroids)))
     }
-    if (pathExists(spark, s"$path/hnsw")) { db.hnswPath = Some(s"$path/hnsw"); db.hnswOwned = false }
+    if (pathExists(spark, s"$path/hnsw")) {
+      db.hnswPath = Some(s"$path/hnsw")
+      db.hnswOwned = false
+      // maintenance rebuilds must reuse the loaded graph's build-time
+      // partition count (its _graft_meta sidecar), not the constructor
+      // default — a rebuild with different partitioning would answer
+      // differently than the index it replaces
+      graft.index.HnswStore.readMeta(spark, s"$path/hnsw")
+        .foreach { case (_, _, np) => db.hnswNumPartitions = np }
+    }
     if (pathExists(spark, s"$path/pq_codebooks")) {
       db.pq = Some(quantizerFromRows(
         spark.read.parquet(s"$path/pq_codebooks").collect(), dim))

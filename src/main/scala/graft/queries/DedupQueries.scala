@@ -281,6 +281,45 @@ object DedupQueries {
     MllibLsh.joinPairs(model, feat, 0.5)
   }
 
+  /** Sampling modulus for the CJK dedup gate: keeps the quadratic
+    * identical-text classes bench-sized at sf0.1 while every SF still
+    * yields pairs (doc_id % 23 covers all (sentence, pad) classes). */
+  val CjkDedupModulus = 23
+
+  /** CJK n-gram dedup gate — the dedup leg of the CJK tokenization
+    * fallback (tx_cjk_bm25 is the retrieval leg): exact 3-gram Jaccard
+    * pairs over the bigram-normalized CJK fixture corpus
+    * ([[TextQueries.cjkCorpus]], subsampled). On raw whitespace tokens
+    * every sentence is ONE token, no doc reaches the ≥3-token floor, and
+    * this returns nothing — the gate fails unless the fallback actually
+    * tokenizes. Near-dup sentence pairs and identical-text classes both
+    * surface, with the same md5-free exact arithmetic as
+    * `dd_ngram_jaccard`. */
+  def cjkNgramDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      TextQueries.cjkCorpus(spark, dir).where(col("doc_id") % CjkDedupModulus === 0),
+      "doc_id", "text", ShingleK, 0.5)
+      .orderBy("da", "db")
+
+  lazy val cjkNgramDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM (${TextQueries.cjkCorpusSql})
+       |  WHERE doc_id % $CjkDedupModulus = 0),
+       |sgl AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [toks[i]||' '||toks[i+1]||' '||toks[i+2] for i in range(1, len(toks)-1)])) AS sg
+       |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM corpus)
+       |  WHERE len(toks) >= $ShingleK),
+       |pairs AS (
+       |  SELECT a.doc_id da, b.doc_id db, count(*) inter
+       |  FROM sgl a JOIN sgl b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) n FROM sgl GROUP BY doc_id)
+       |SELECT da, db, round(CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM pairs JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |ORDER BY da, db""".stripMargin
+
   /** IVF-bucketed embedding near-dup pairs — the label-free scale twin of
     * `dd_embedding_cosine` (learned blocking, 2-probe boundary handling,
     * exact cosines on candidates). K-means makes it rows-only in the
@@ -296,6 +335,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cjk_ngram" -> (cjkNgramDedup _),
     "dd_embedding_ivf" -> (embeddingIvf _),
     "dd_mllib_lsh" -> (mllibLshJoin _),
     "dd_repeated_ngrams" -> (repeatedNgrams _),
@@ -308,6 +348,7 @@ object DedupQueries {
     "dd_embedding_cosine" -> (embeddingCosine _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_cjk_ngram" -> cjkNgramDedupSql,
     "dd_ngram_capped" -> ngramJaccardCappedSql,
     "dd_repeated_ngrams" -> repeatedNgramsSql,
     "dd_components" -> componentsSql,

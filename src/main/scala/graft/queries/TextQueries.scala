@@ -325,7 +325,7 @@ object TextQueries {
     * `doc_id % N` plus a deterministic pad suffix (varies document length,
     * so BM25's length normalization differentiates rows sharing a
     * sentence). */
-  private def cjkCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def cjkCorpus(spark: SparkSession, dir: String): DataFrame = {
     val fixture = spark.createDataFrame(CjkFixture).toDF("fid", "cjk")
     VectorModel.documents(spark, dir)
       .select(col("doc_id"), (col("doc_id") % CjkFixture.size).cast("int").as("fid"))
@@ -335,7 +335,7 @@ object TextQueries {
           expr("repeat(' pad', cast(doc_id % 3 as int))")).as("text"))
   }
 
-  private def cjkCorpusSql: String = {
+  private[queries] def cjkCorpusSql: String = {
     val values = CjkFixture.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
     // term-for-term mirror of TextAnalysis.cjkTokens / cjkNormalize:
     // whitespace split, CJK-bearing tokens of length >= 2 expand to
