@@ -287,9 +287,23 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       ivfDriftThreshold: Option[Double] = None): Seq[String] = {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (hnswPath.isDefined) {
-      val deltaRows = data.where(col("id") >= hnswCoveredUpTo).count()
-      val graphRows = math.max(1L, data.count() - deltaRows)
-      if (hnswMutated || deltaRows.toDouble > maxDeltaFraction * graphRows) {
+      // one aggregate scan for both counts (not two jobs over `data`)
+      val counts = data.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(col("id") >= hnswCoveredUpTo, 1))).head
+      val totalRows = counts.getLong(0)
+      val deltaRows = counts.getLong(1)
+      val graphRows = math.max(1L, totalRows - deltaRows)
+      if (totalRows == 0L) {
+        // every row deleted: there is nothing to rebuild over — drop the
+        // index instead of crashing the scheduled job on the empty-db
+        // build guard; searches fall back to the (empty) fresh path
+        dropOwnedHnsw()
+        hnswPath = None
+        hnswOwned = false
+        hnswMutated = false
+        actions += "hnsw_dropped"
+      } else if (hnswMutated || deltaRows.toDouble > maxDeltaFraction * graphRows) {
         buildHnswIndex(numPartitions = hnswNumPartitions)
         actions += "hnsw_rebuilt"
       }

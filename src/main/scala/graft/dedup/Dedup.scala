@@ -442,12 +442,19 @@ object Dedup {
       .select(col(idCol).as("db"), col(vecCol).cast("array<double>").as("vb"),
         col("cluster_id"))
     probed.join(members.hint("shuffle_hash"), Seq("cluster_id"))
-      .where(col("da") < col("db"))
+      // keep BOTH orientations and canonicalize afterward: a pair can
+      // surface only as (high-id probes low-id's cluster) when the
+      // reverse probe list misses — filtering da < db here would throw
+      // away candidates the join already paid for
+      .where(col("da") =!= col("db"))
       .withColumn("sim_raw",
         graft.GraftExtensions.cosineSim(col("va"), col("vb")))
       .where(col("sim_raw") >= threshold)
-      // a pair can meet in several probed clusters; one row per pair
-      .select(col("da"), col("db"), round(col("sim_raw"), 6).as("sim"))
+      // canonical orientation + one row per pair (several probed
+      // clusters / both orientations collapse here)
+      .select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db"),
+        round(col("sim_raw"), 6).as("sim"))
       .distinct()
   }
 

@@ -240,19 +240,29 @@ object HnswStore {
       vecCol: String = "vector", idCol: String = "id"): (String, Boolean) = {
     val current = currentGraph(spark, graphRoot)
     val base = spark.read.parquet(current).select(col("id"), col("vector"))
-    val nGraph = base.count()
-    val nDelta =
-      if (!graft.store.Fs.exists(spark, deltaPath)) 0L
-      else spark.read.parquet(deltaPath).count()
-    if (nDelta == 0 || nDelta.toDouble <= maxDeltaFraction * math.max(1L, nGraph))
+    if (!graft.store.Fs.exists(spark, deltaPath)) return (current, false)
+    // only rows the graph does NOT already cover count toward the rebuild
+    // decision — after a crash between publish and delta clear, the
+    // leftover delta is fully covered, and counting it would (a) inflate
+    // the signal with rows a rebuild can't improve and (b) leave the
+    // stale delta in place forever (the documented recovery: it is
+    // cleared HERE, on the first maintenance pass that sees it covered)
+    val delta = spark.read.parquet(deltaPath)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vector"))
+    val newDelta = delta.join(base.select("id"), Seq("id"), "left_anti")
+    val nNew = newDelta.count()
+    if (nNew == 0) {
+      // nothing uncovered: drop the (possibly crash-leftover) delta so
+      // merge serving stops paying for rows the graph already answers
+      graft.store.Fs.delete(spark, deltaPath)
+      (current, false)
+    } else if (nNew.toDouble <= maxDeltaFraction * math.max(1L, base.count()))
       (current, false)
     else {
       val (m, ef, np) = readMeta(spark, current).getOrElse((16, 64, 32))
-      val delta = spark.read.parquet(deltaPath)
-        .select(col(idCol).cast("long").as("id"),
-          col(vecCol).cast("array<double>").as("vector"))
       val next = graft.store.VersionedLayout.publish(spark, graphRoot)(dir =>
-        save(base.union(delta), dir, m, ef, np))
+        save(base.union(newDelta), dir, m, ef, np))
       graft.store.Fs.delete(spark, deltaPath)
       (next, true)
     }

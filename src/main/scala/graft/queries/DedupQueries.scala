@@ -321,7 +321,7 @@ object DedupQueries {
        |ORDER BY da, db""".stripMargin
 
   /** IVF-bucketed embedding near-dup pairs — the label-free scale twin of
-    * `dd_embedding_cosine` (learned blocking, 2-probe boundary handling,
+    * `dd_embedding_cosine` (learned blocking, 4-probe boundary handling,
     * exact cosines on candidates). K-means makes it rows-only in the
     * driver contract; DedupSpec gates recall against the all-pairs ground
     * truth and exactness of every reported similarity. */

@@ -141,7 +141,7 @@ class DedupSpec extends SparkSpec {
       assert(truth.contains((da, db)), s"($da,$db) not a true pair")
       assert(math.abs(sim - cos(byPair(da), byPair(db))) < 1e-6)
     }
-    // recall: 2-probe learned blocking must recover most true pairs
+    // recall: 4-probe learned blocking must recover most true pairs
     val recall = got.map(t => (t._1, t._2)).toSet.size.toDouble / truth.size
     assert(recall >= 0.7, s"bucketed recall $recall below 0.7 (${got.length}/${truth.size})")
   }

@@ -446,6 +446,11 @@ class StreamingSpec extends SparkSpec {
       "no id may be seated twice during the publish/clear crash window")
     assert(dupWindow === served.map(_._1),
       "crash-window serving must equal the deduplicated graph results")
+    // recovery: the next maintenance pass sees the leftover fully covered
+    // by the live graph and clears it WITHOUT a rebuild
+    assert(HnswStore.maintainDelta(spark, s"$dir/g", s"$dir/delta") === (v1, false))
+    assert(!graft.store.Fs.exists(spark, s"$dir/delta"),
+      "crash-leftover covered delta must be cleared by the next maintenance pass")
   }
 
   test("streaming RAG ingest equals the batch chunk->embed->assign pipeline on the same docs") {

@@ -478,6 +478,13 @@ class VectorDbSpec extends SparkSpec {
     db.buildIvfIndex(k = 4)
     assert(db.maintainIndexes(ivfDriftThreshold = Some(1e9)) === Seq.empty)
     assert(db.maintainIndexes(ivfDriftThreshold = Some(0.0)) === Seq("ivf_refit"))
+    // emptied db: maintenance drops the index (nothing to rebuild over)
+    // instead of crashing the scheduled job on the empty-db build guard
+    val emptied = freshDb(3)
+    emptied.buildHnswIndex(numPartitions = 2)
+    (0L until 3L).foreach(emptied.delete)
+    assert(emptied.maintainIndexes() === Seq("hnsw_dropped"))
+    assert(emptied.maintainIndexes() === Seq.empty)
   }
 
   test("reference error-semantics parity table") {
