@@ -95,13 +95,21 @@ object Bench {
     var failed = List.empty[String]
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
+      var ok = true
       try body catch {
         case e: Throwable =>
+          ok = false
           failed ::= name
           Console.err.println(s"FAIL $name: $e")
           e.printStackTrace(Console.err)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // one progress line per completed entry, to stderr: the final summary
+      // line on stdout is a single long JSON whose tail captures have
+      // repeatedly truncated — these lines make any partial capture
+      // reconstructable entry-by-entry without parsing the summary
+      Console.err.println(s"""BENCH_ENTRY {"name":"$name","sec":$sec,"ok":$ok}""")
+      name -> sec
     }
     val builds = buildSteps
       .filter { case (_, deps, _) => deps.exists(selected.contains) }

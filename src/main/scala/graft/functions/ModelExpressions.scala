@@ -103,6 +103,16 @@ object ModelExpressions {
     ColumnBridge.column(AdcScoreBatch(
       ColumnBridge.expression(queryId), ColumnBridge.expression(clusterId),
       ColumnBridge.expression(code), kernel))
+
+  /** One-pass hashing-trick accumulator ([[graft.text.HashEmbedder]]):
+    * each token hash votes ±1 (sign = bit 8) into component `h mod dim` of
+    * a dim-length array — O(tokens + dim) per row, replacing the
+    * per-dimension `aggregate` chain that re-scanned the hash array `dim`
+    * times. Arithmetic is IDENTICAL to that chain (and to the `tx_embed`
+    * DuckDB oracle): a null or negative hash contributes nothing. */
+  def hashEmbed(tokenHashes: Column, dim: Int): Column =
+    ColumnBridge.column(HashEmbed(
+      ColumnBridge.expression(tokenHashes), new HashEmbedKernel(dim)))
 }
 
 /** Centroid math over Tungsten `ArrayData` — no per-row boxing. Arithmetic
@@ -244,6 +254,10 @@ final class BatchAdcKernel(luts: Map[(Long, Int), Array[Array[Double]]])
     val m = new java.util.HashMap[java.lang.Long, Array[Array[Double]]](luts.size * 2)
     luts.foreach { case ((qid, cl), lut) =>
       require(cl >= 0 && cl < (1 << 20), s"cluster id $cl out of key range")
+      // the packed key has 44 bits for qid; a qid outside [0, 2^43) would
+      // silently collide two (qid, cluster) keys and score with the wrong
+      // LUT — fail at construction, where the caller can see it
+      require(qid >= 0 && qid < (1L << 43), s"query id $qid out of key range [0, 2^43)")
       m.put(java.lang.Long.valueOf((qid << 20) | cl.toLong), lut)
     }
     m
@@ -251,6 +265,10 @@ final class BatchAdcKernel(luts: Map[(Long, Int), Array[Array[Double]]])
 
   def score(qid: Long, cl: Int, code: Array[Byte]): Double = {
     val lut = table.get(java.lang.Long.valueOf((qid << 20) | cl.toLong))
+    if (lut == null)
+      throw new IllegalArgumentException(
+        s"no ADC LUT for (query_id=$qid, cluster_id=$cl) — the scanned row's " +
+          "cluster was not among this query's probes")
     if (code.length != lut.length)
       throw new IllegalArgumentException(
         s"pq_code of ${code.length} bytes does not match the model's m=${lut.length}")
@@ -412,4 +430,42 @@ case class AdcScoreBatch(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
   override def prettyName: String = "adc_score_batch"
+}
+
+/** Hashing-trick embed accumulator over Tungsten `ArrayData` — one pass
+  * over the token hashes into a primitive accumulator. Per-element
+  * semantics mirror the aggregate chain this replaced exactly: a null
+  * element or one whose `h mod dim` falls outside [0, dim) (negative h —
+  * impossible for md5-derived hash60, but the old `=== i` comparison
+  * matched nothing for it) contributes 0. */
+final class HashEmbedKernel(val dim: Int) extends Serializable {
+  require(dim > 0, s"embedding dim must be positive, got $dim")
+
+  def embed(hs: ArrayData): ArrayData = {
+    val acc = new Array[Double](dim)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        val b = (h % dim).toInt
+        if (b >= 0) acc(b) += (if (((h >> 8) & 1L) == 1L) 1.0 else -1.0)
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+}
+
+case class HashEmbed(child: Expression, kernel: HashEmbedKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Some(ArrayType(LongType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(hs: Any): Any = kernel.embed(hs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("embedKernel", kernel, classOf[HashEmbedKernel].getName)
+    nullSafeCodeGen(ctx, ev, hs => s"${ev.value} = $k.embed($hs);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "hash_embed"
 }

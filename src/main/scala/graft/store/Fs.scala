@@ -40,8 +40,14 @@ private[graft] object Fs {
     * Here the base resolves through the Hadoop API against the session's
     * default filesystem (override with `spark.graft.scratch.dir`, e.g. an
     * HDFS/S3A staging area), so the same code path works on a cluster.
-    * Uniqueness is per-JVM (session start time + counter): scratch layouts
-    * are owned by the session that created them, not shared state. */
+    * Uniqueness is per-JVM (session start time + counter) and ENFORCED:
+    * `mkdirs` returns true for a pre-existing directory, so a collision
+    * (two driver JVMs starting the same millisecond against a shared
+    * scratch base) would otherwise be silently absorbed and both sessions
+    * would write into the same "owned" dir. An ownership marker created
+    * with overwrite=false — the one atomic create-fail-if-exists the
+    * Hadoop API offers on HDFS and object stores alike — makes the second
+    * claimant fail loudly instead. */
   def scratchDir(spark: SparkSession, prefix: String): String = {
     val base = spark.conf.getOption("spark.graft.scratch.dir")
       .getOrElse("/tmp/graft-scratch")
@@ -49,6 +55,14 @@ private[graft] object Fs {
     val p = new org.apache.hadoop.fs.Path(fs.makeQualified(bp),
       s"$prefix-${spark.sparkContext.startTime}-${scratchSeq.incrementAndGet()}")
     require(fs.mkdirs(p), s"cannot create scratch dir $p")
+    try fs.create(new org.apache.hadoop.fs.Path(p, "_graft_scratch_owner"),
+      /* overwrite = */ false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"scratch dir $p is already claimed by another session — " +
+            "set spark.graft.scratch.dir to a session-private base", e)
+    }
     p.toString
   }
 }

@@ -23,13 +23,24 @@ import org.apache.spark.sql.SparkSession
   *  - pruning keeps the last [[Keep]] committed versions, so a reader
   *    resolving just before a publish has a full grace version to finish.
   *
-  * Contract: ONE writer at a time (maintenance is a scheduled singleton;
-  * two concurrent publishes could race the same version number — full
-  * multi-writer transactions are a table format's job, out of scope).
-  * Readers need no coordination at all. */
+  * Contract: ONE writer at a time (maintenance is a scheduled singleton) —
+  * and the contract is ENFORCED, not just documented: publish takes a
+  * root-level writer lock via the one atomic create-fail-if-exists the
+  * Hadoop API offers, so a second concurrent publish FAILS LOUDLY instead
+  * of silently interleaving version numbers with the first (both computing
+  * the same `next` and writing into the same directory). This is mutual
+  * exclusion for a scheduled singleton, not multi-writer transactions —
+  * concurrent writers that should all succeed (conflict detection, retry,
+  * snapshot isolation) are a table format's job, out of scope. A publish
+  * that dies without releasing the lock (JVM kill between create and the
+  * finally) leaves it behind; the next publish names the lock path in its
+  * error so the operator's recovery — verify no writer is alive, delete
+  * the lock — is one obvious step. Readers need no coordination at all. */
 private[graft] object VersionedLayout {
 
   private val MarkerName = "_graft_committed"
+
+  private val LockName = "_graft_publish_lock"
 
   /** Committed versions retained after a publish (live + one grace). */
   val Keep = 2
@@ -62,21 +73,37 @@ private[graft] object VersionedLayout {
   }
 
   /** Write the next version via `write(dir)`, commit it with the marker,
-    * prune stale versions. Returns the committed directory. */
+    * prune stale versions. Returns the committed directory. Holds the
+    * root's writer lock throughout; a concurrent publish throws
+    * [[IllegalStateException]] (see object doc). */
   def publish(spark: SparkSession, root: String)(write: String => Unit): String = {
     val (fs, rp) = fsRoot(spark, root)
     fs.mkdirs(rp)
-    val existing = versionsOf(fs, rp)
-    // drop uncommitted leftovers (a crashed publish) before numbering
-    existing.filterNot(_._3).foreach { case (_, p, _) => fs.delete(p, true) }
-    val next = existing.lastOption.map(_._1 + 1).getOrElse(0)
-    val dir = new org.apache.hadoop.fs.Path(rp, f"v$next%05d")
-    write(dir.toString)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, MarkerName), true)
-    out.close()
-    // prune: keep the newest `Keep` committed versions (live + grace)
-    val committed = versionsOf(fs, rp).filter(_._3)
-    committed.dropRight(Keep).foreach { case (_, p, _) => fs.delete(p, true) }
-    dir.toString
+    val lock = new org.apache.hadoop.fs.Path(rp, LockName)
+    try fs.create(lock, /* overwrite = */ false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"concurrent publish under $root: writer lock $lock already exists — " +
+            "another publish is in flight, or a previous one died holding it " +
+            "(verify no writer is alive, then delete the lock to recover)", e)
+    }
+    try {
+      val existing = versionsOf(fs, rp)
+      // drop uncommitted leftovers (a crashed publish) before numbering
+      existing.filterNot(_._3).foreach { case (_, p, _) => fs.delete(p, true) }
+      val next = existing.lastOption.map(_._1 + 1).getOrElse(0)
+      val dir = new org.apache.hadoop.fs.Path(rp, f"v$next%05d")
+      write(dir.toString)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, MarkerName), true)
+      out.close()
+      // prune: keep the newest `Keep` committed versions (live + grace)
+      val committed = versionsOf(fs, rp).filter(_._3)
+      committed.dropRight(Keep).foreach { case (_, p, _) => fs.delete(p, true) }
+      dir.toString
+    } finally {
+      fs.delete(lock, false)
+      ()
+    }
   }
 }

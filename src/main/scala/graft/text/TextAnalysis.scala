@@ -37,7 +37,7 @@ object TextAnalysis {
     * other tokens pass through unchanged — so mixed Latin/CJK text keeps
     * exact word tokens for the Latin runs. Pure codegen'd expressions
     * (split / transform / substr / flatten), mirrored term-for-term in
-    * DuckDB ([[graft.queries.TextQueries.cjkNormalizedSql]]). */
+    * DuckDB ([[graft.queries.TextQueries.cjkCorpusSql]]). */
   def cjkTokens(text: Column): Column =
     flatten(transform(tokens(text), t =>
       when(t.rlike(CjkPattern) && length(t) >= 2,

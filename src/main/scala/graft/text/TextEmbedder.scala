@@ -30,13 +30,11 @@ trait TextEmbedder {
 final class HashEmbedder(val dim: Int = 16) extends TextEmbedder {
 
   def embed(text: Column): Column = {
-    // hash each token ONCE; every component aggregates over the hashes
+    // hash each token ONCE; a single codegen kernel pass accumulates all
+    // dim components at once — O(tokens + dim) per row, where the previous
+    // per-component `aggregate` chain re-scanned the hash array dim times
+    // (invisible at dim=16, the embed stage's hot loop at model dims)
     val hs = transform(split(lower(text), " "), t => graft.dedup.Dedup.hash60(t))
-    array((0 until dim).map { i =>
-      aggregate(hs, lit(0.0), (acc, h) =>
-        acc + when(h % dim === i,
-          when(shiftright(h, 8).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
-          .otherwise(lit(0.0)))
-    }: _*)
+    graft.functions.ModelExpressions.hashEmbed(hs, dim)
   }
 }

@@ -198,6 +198,44 @@ class StreamingSpec extends SparkSpec {
     assert(served === fresh)
   }
 
+  test("versioned layout: concurrent publish fails loudly; winner commits; lock releases") {
+    import graft.store.VersionedLayout
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val root = java.nio.file.Files.createTempDirectory("graft_vlock").toString + "/idx"
+    def writeDir(dir: String): Unit = {
+      val (fs, p) = graft.store.Fs.pathFs(spark, dir); fs.mkdirs(p); ()
+    }
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val winner = new java.util.concurrent.atomic.AtomicReference[String]()
+    val holder = new Thread(() =>
+      winner.set(VersionedLayout.publish(spark, root) { dir =>
+        entered.countDown()
+        // hold the writer lock mid-write while the rival publish arrives
+        assert(release.await(30, TimeUnit.SECONDS))
+        writeDir(dir)
+      }))
+    holder.start()
+    assert(entered.await(30, TimeUnit.SECONDS))
+    // the rival must fail LOUDLY before its write function ever runs —
+    // never interleave version numbering with the in-flight publish
+    val e = intercept[IllegalStateException] {
+      VersionedLayout.publish(spark, root)(_ =>
+        fail("rival write ran while another publish held the lock"))
+    }
+    assert(e.getMessage.contains("writer lock"))
+    // currentDir never dangles: nothing is committed while the first
+    // publish is still writing
+    assert(VersionedLayout.currentDir(spark, root).isEmpty)
+    release.countDown()
+    holder.join(30000)
+    assert(VersionedLayout.currentDir(spark, root) === Some(winner.get),
+      "the in-flight publish must commit untouched by the failed rival")
+    // lock released on completion: the next publish proceeds as v+1
+    val v1 = VersionedLayout.publish(spark, root)(writeDir)
+    assert(v1 != winner.get && VersionedLayout.currentDir(spark, root) === Some(v1))
+  }
+
   test("incremental IVF ingest: assign-only batches equal a batch assignment") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_ivfassign").toString

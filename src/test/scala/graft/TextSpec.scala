@@ -150,6 +150,31 @@ class TextSpec extends SparkSpec {
     assert(distinct.length > 1)
   }
 
+  test("hash embedder: one-pass kernel matches the per-dimension aggregate formula at dim=64, plan UDF-free") {
+    // the kernel replaced a chain of dim `aggregate` calls (one full pass
+    // over the token hashes PER COMPONENT — O(dim·tokens) a row); this
+    // pins value-identity against that original formula at a model-sized
+    // dim, over the real corpus including its CJK/punctuation rows
+    val dim = 64
+    val embedder = new graft.text.HashEmbedder(dim)
+    val hs = transform(split(lower(col("text")), " "),
+      t => graft.dedup.Dedup.hash60(t))
+    val perDimension = array((0 until dim).map { i =>
+      aggregate(hs, lit(0.0), (acc, h) =>
+        acc + when(h % dim === i,
+          when(shiftright(h, 8).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
+          .otherwise(lit(0.0)))
+    }: _*)
+    val mismatches = docs.limit(200)
+      .select(embedder.embed(col("text")).as("fast"), perDimension.as("slow"))
+      .where(not(col("fast") <=> col("slow")))
+      .count()
+    assert(mismatches === 0)
+    val plan = docs.select(embedder.embed(col("text")).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "embed stage must stay codegen-native")
+  }
+
   test("RAG e2e: hash embedder → IVF index → search returns the planted near-dup first") {
     import graft.text.HashEmbedder
     val embedder = new HashEmbedder(16)
