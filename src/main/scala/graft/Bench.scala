@@ -51,6 +51,8 @@ object Bench {
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d); () }),
     ("build_hnsw_layout", Set("vq_hnsw_stored_topk", "vq_hnsw_stored_batch"),
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),
+    ("build_hnsw_routed_layout", Set("vq_hnsw_routed_topk", "vq_hnsw_routed_batch"),
+      (s, d) => { queries.ApproxQueries.hnswRoutedLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),

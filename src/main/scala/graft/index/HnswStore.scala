@@ -47,6 +47,12 @@ object HnswStore {
     * object (vervectordb/__init__.py:556-594). */
   private val MetaFile = "_graft_meta"
 
+  /** Shard-routing sidecar (underscore-prefixed → invisible to the parquet
+    * reader): one line of comma-joined doubles per shard, line index =
+    * shard id. Written by [[saveRouted]], consumed by [[topKRouted]] /
+    * [[batchTopKRouted]]. */
+  private val RoutingFile = "_graft_routing"
+
   private def hadoopFs(spark: SparkSession, path: String) =
     graft.store.Fs.pathFs(spark, path)
 
@@ -81,6 +87,29 @@ object HnswStore {
   private[graft] def copyMeta(spark: SparkSession, from: String, to: String): Unit =
     readMeta(spark, from).foreach { case (m, ef, np) => writeMeta(spark, to, m, ef, np) }
 
+  private def writeRouting(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val (fs, p) = hadoopFs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, RoutingFile), true)
+    try out.write(
+      centroids.map(_.mkString(",")).mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Shard centroids of a routed layout (row index = shard id), if the
+    * layout was built with [[saveRouted]]. */
+  private[graft] def readRouting(spark: SparkSession, path: String)
+      : Option[Array[Array[Double]]] = {
+    val (fs, p) = hadoopFs(spark, path)
+    val rp = new org.apache.hadoop.fs.Path(p, RoutingFile)
+    if (!fs.exists(rp)) None
+    else {
+      val in = fs.open(rp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(txt.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble)))
+    }
+  }
+
   /** Build per-partition graphs (identically to [[Hnsw.hnswTopK]]) and
     * persist their structure, clustered one file per graph partition. */
   def save(df: DataFrame, path: String,
@@ -108,6 +137,60 @@ object HnswStore {
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(path)
     writeMeta(spark, path, m, efConstruction, numPartitions)
+  }
+
+  /** CLUSTER-COHERENT twin of [[save]] — the routed layout that kills the
+    * all-shards fan-out at query time. [[save]] shards by id hash, so every
+    * shard is a RANDOM sample of the corpus: any query's true neighbors are
+    * spread uniformly across shards, every shard centroid sits at the
+    * global mean, and no routing signal can exist — serving MUST search
+    * every graph. Here shard membership is spatial instead: k-means
+    * centroids ([[Ivf.fit]]'s seeded, sample-bounded fit) assign each
+    * vector to its nearest of `numShards` centers, each cluster becomes
+    * one HNSW graph, and the centroids persist as a routing sidecar. A
+    * query then probes only the `probes` shards whose centroids it is most
+    * similar to ([[topKRouted]]) — the distributed analog of HNSW's own
+    * entry-point descent (the upper levels route the query to the right
+    * region of ONE graph, vervectordb/__init__.py:116-122; the centroid
+    * sidecar routes it to the right GRAPHS), and the same probe-pruning
+    * the IVF inverted-list layout proves.
+    *
+    * Graphs build per CLUSTER, not per task (a task may hold several
+    * clusters after the hash repartition; each builds its own seeded graph
+    * with `part` = shard id, so the layout's partition dirs ARE the
+    * routing targets and the probe filter prunes at the file level).
+    * K-means balance keeps shard sizes within a small factor; the build
+    * stays deterministic (seeded fit, per-shard seed, id-sorted inserts). */
+  def saveRouted(df: DataFrame, path: String, numShards: Int = 16,
+      m: Int = 16, efConstruction: Int = 64,
+      vecCol: String = "vector", idCol: String = "id"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vector"))
+    val (_, model) = Ivf.fit(base, "vector", k = numShards)
+    // assign WITHOUT Ivf.fit's widen exchange (the cluster repartition
+    // below provides the build parallelism — the ivfLayout shape)
+    Ivf.assign(base, model, "vector")
+      .select(col("id"), col("vector"), col("cluster_id"))
+      .repartition(numShards, col("cluster_id"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_._3).iterator.flatMap { case (shard, grp) =>
+          val index = new HnswIndex(m, efConstruction, seed = 42L + shard)
+          grp.sortBy(_._1).foreach { case (id, vec, _) => index.insert(id, vec) }
+          val dumped = index.dump().toSeq
+          val n = dumped.length
+          dumped.iterator.zipWithIndex.map { case ((id, vec, level, adj, isEntry), ord) =>
+            (shard, ord, id, vec, level, adj, isEntry, n)
+          }
+        }
+      }
+      .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
+      .repartition(col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    writeMeta(spark, path, m, efConstruction, numShards)
+    writeRouting(spark, path, model.centroids)
   }
 
   /** Stored rows plus whether the layout carries per-shard row counts.
@@ -168,12 +251,17 @@ object HnswStore {
     * the stored shard row count — a split shard fails loudly, never serves
     * partial-graph results. */
   private def served[T: org.apache.spark.sql.Encoder](
-      spark: SparkSession, path: String, m: Int, efConstruction: Int)(
-      search: HnswIndex => Iterator[T]): Dataset[T] = {
+      spark: SparkSession, path: String, m: Int, efConstruction: Int,
+      parts: Option[Seq[Int]] = None)(
+      search: (Int, HnswIndex) => Iterator[T]): Dataset[T] = {
     import spark.implicits._
     val (mm, ee) = readMeta(spark, path)
       .map(t => (t._1, t._2)).getOrElse((m, efConstruction))
-    val (stored, hasPartRows) = storedRecords(spark, path)
+    val (all, hasPartRows) = storedRecords(spark, path)
+    // shard routing: the probe filter is on the layout's PARTITION column,
+    // so Catalyst prunes unprobed shard files from the scan entirely
+    // (PartitionFilters — the inverted-list shape, plan-asserted in spec)
+    val stored = parts.fold(all)(ps => all.filter(col("part").isin(ps: _*)))
     def restore(grp: Seq[Rec]): HnswIndex = {
       val expected = grp.head._8
       if (expected >= 0 && grp.size != expected)
@@ -191,10 +279,12 @@ object HnswStore {
     // construction — rather than trusting the listing heuristic alone
     if (hasPartRows && filesUnsplit(spark, path))
       stored.mapPartitions { rows =>
-        rows.toSeq.groupBy(_._1).valuesIterator.flatMap(grp => search(restore(grp.toSeq)))
+        rows.toSeq.groupBy(_._1).iterator.flatMap { case (part, grp) =>
+          search(part, restore(grp.toSeq))
+        }
       }
     else
-      stored.groupByKey(_._1).flatMapGroups((_, rows) => search(restore(rows.toSeq)))
+      stored.groupByKey(_._1).flatMapGroups((part, rows) => search(part, restore(rows.toSeq)))
   }
 
   /** First publish of a graph layout under a [[graft.store.VersionedLayout]]
@@ -275,12 +365,39 @@ object HnswStore {
       idCol: String = "id"): DataFrame = {
     import spark.implicits._
     val q = query.toArray
-    served(spark, path, m, efConstruction)(idx => idx.search(q, k, efSearch).iterator)
+    served(spark, path, m, efConstruction)((_, idx) => idx.search(q, k, efSearch).iterator)
       .toDF(idCol, "sim")
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Centroid-routed top-k over a [[saveRouted]] layout: score the query
+    * against the routing sidecar's shard centroids DRIVER-SIDE (a tiny
+    * model, exactly like IVF probe selection), then restore and search only
+    * the top-`probes` shards — the scan's partition filter prunes every
+    * other shard's files. At thousands of shards this is the difference
+    * between an all-shards broadcast per lookup and touching a constant
+    * number of graph files; recall vs the all-shards path is spec-gated
+    * (boundary losses bounded by multi-probing, same trade as IVF). */
+  def topKRouted(spark: SparkSession, path: String, query: Seq[Double], k: Int,
+      probes: Int = 4, m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val model = routingModel(spark, path)
+    val parts = model.probeClusters(query, probes)
+    val q = query.toArray
+    served(spark, path, m, efConstruction, parts = Some(parts))((_, idx) =>
+      idx.search(q, k, efSearch).iterator)
+      .toDF(idCol, "sim")
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private def routingModel(spark: SparkSession, path: String): Ivf.IvfModel =
+    Ivf.IvfModel(readRouting(spark, path).getOrElse(throw new IllegalStateException(
+      s"no routing sidecar at $path — routed serving needs a saveRouted layout")))
 
   /** Batch search over the persisted graphs: each graph restores ONCE for
     * the whole query set (the amortization [[Hnsw.hnswBatchTopK]] gets
@@ -291,8 +408,35 @@ object HnswStore {
       idCol: String = "id"): DataFrame = {
     import spark.implicits._
     val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
-    val perPartition = served(spark, path, m, efConstruction) { idx =>
+    val perPartition = served(spark, path, m, efConstruction) { (_, idx) =>
       qArr.iterator.flatMap { case (qid, q) =>
+        idx.search(q, k, efSearch).map { case (id, sim) => (qid, id, sim) }
+      }
+    }.toDF("query_id", idCol, "sim_raw")
+    graft.operators.TopK.perGroupTopK(perPartition, "query_id", col(idCol), col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Centroid-routed batch search over a [[saveRouted]] layout: ONE job for
+    * the query set. The scan is pruned to the UNION of every query's probed
+    * shards, each restored graph serves only the queries that probed it
+    * (driver-side probe map — per-query work stays `probes` graphs, not the
+    * union), and ranking is the k-bounded per-group aggregator. Returns
+    * (query_id, idCol, sim, rn) like the other batch paths. */
+  def batchTopKRouted(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[Double])], k: Int, probes: Int = 4,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val model = routingModel(spark, path)
+    val probed: Map[Long, Set[Int]] = queries.map { case (qid, q) =>
+      qid -> model.probeClusters(q, probes).toSet
+    }.toMap
+    val union = probed.valuesIterator.flatten.toSeq.distinct.sorted
+    val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
+    val perPartition = served(spark, path, m, efConstruction,
+      parts = Some(union)) { (part, idx) =>
+      qArr.iterator.filter(t => probed(t._1)(part)).flatMap { case (qid, q) =>
         idx.search(q, k, efSearch).map { case (id, sim) => (qid, id, sim) }
       }
     }.toDF("query_id", idCol, "sim_raw")

@@ -121,6 +121,43 @@ object ApproxQueries {
   private val hnswLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** S2 over the CENTROID-ROUTED persisted graphs — the serving shape that
+    * survives thousands of shards: the routing sidecar picks the top-4 of
+    * 16 cluster-coherent shards driver-side, the scan's partition filter
+    * prunes every other shard's files, and only 4 graphs restore
+    * ([[graft.index.HnswStore.topKRouted]]; recall vs the all-shards
+    * fan-out is spec-gated). */
+  def hnswRoutedTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.index.HnswStore.topKRouted(spark, hnswRoutedLayout(spark, dir),
+      VectorModel.Query, 10, probes = 4)
+
+  /** S4 with method=hnsw over the routed layout: the whole query batch in
+    * one job, scan pruned to the union of the queries' probed shards, each
+    * graph serving only the queries that probed it. */
+  def hnswRoutedBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val path = hnswRoutedLayout(spark, dir)
+    val queries = VectorModel.partQueries(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+      .toSeq
+    graft.index.HnswStore.batchTopKRouted(spark, path, queries, 3, probes = 4)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Build-once/serve-many routed graph persistence (k-means shards +
+    * routing sidecar), memoized per dataset dir; a Bench build step. */
+  private[graft] def hnswRoutedLayout(spark: SparkSession, dir: String): String =
+    hnswRoutedLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_hnsw_routed_layout")
+      graft.index.HnswStore.saveRouted(
+        VectorModel.lineitemVectors(spark, dir), s"$p/g", numShards = 16)
+      s"$p/g"
+    })
+
+  private val hnswRoutedLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** S4 with method=ivf over the persisted clustered layout: the whole
     * query batch in one job, each query scanning only its probed cluster
     * partitions ([[Ivf.batchSearch]]). */
@@ -244,6 +281,8 @@ object ApproxQueries {
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
     "vq_hnsw_stored_batch" -> (hnswStoredBatchTopK _),
     "vq_hnsw_stored_topk" -> (hnswStoredTopK _),
+    "vq_hnsw_routed_topk" -> (hnswRoutedTopK _),
+    "vq_hnsw_routed_batch" -> (hnswRoutedBatchTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_topk" -> (annLshTopK _),

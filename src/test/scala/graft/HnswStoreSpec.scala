@@ -34,6 +34,61 @@ class HnswStoreSpec extends SparkSpec {
     }
   }
 
+  test("routed layout: probe filter prunes shard files; results survive deleting every unprobed shard") {
+    import org.apache.spark.sql.functions.col
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_routed").toString
+    HnswStore.saveRouted(vecs, s"$dir/g", numShards = 8)
+    val routedDf = HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = 2)
+    val routed = topKPairs(routedDf)
+    assert(routed.nonEmpty)
+    // the probe filter must land on the layout's PARTITION column — file
+    // pruning, not a post-scan filter over all shards
+    val plan = routedDf.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*part""".r.findFirstIn(plan).isDefined,
+      "probe filter must appear as a partition filter:\n" + plan.take(3000))
+    // all-shards fan-out on the same layout, for contrast below
+    val allShards = topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10))
+    // file-level proof that routed serving READS only the probed shards:
+    // delete every unprobed shard directory; routed results are unchanged
+    val model = graft.index.Ivf.IvfModel(
+      HnswStore.readRouting(spark, s"$dir/g").get)
+    val probed = model.probeClusters(VectorModel.Query, 2).toSet
+    assert(probed.size === 2)
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/g")
+    val removed = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part="))
+      .filterNot(s => probed.contains(s.getPath.getName.stripPrefix("part=").toInt))
+    assert(removed.nonEmpty, "some shards must be unprobed at probes=2/8")
+    removed.foreach(s => fs.delete(s.getPath, true))
+    val routedAfter = topKPairs(
+      HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = 2))
+    assert(routedAfter === routed,
+      "routed serving must not depend on any unprobed shard's files")
+    // sanity: the all-shards path DID depend on them (the deleted shards
+    // held at least one of its top-k), so the invariance above is not vacuous
+    assert(topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10)) !== allShards)
+  }
+
+  test("routed batch equals per-query routed search") {
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_routed_b").toString
+    HnswStore.saveRouted(vecs, s"$dir/g", numShards = 8)
+    val queries = (0 until 3).map(s =>
+      (s.toLong, Seq(25.0 + s, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s)))
+    val batch = HnswStore.batchTopKRouted(spark, s"$dir/g", queries, 5, probes = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val single = queries.flatMap { case (qid, q) =>
+      HnswStore.topKRouted(spark, s"$dir/g", q, 5, probes = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(batch === single)
+    assert(batch.nonEmpty)
+  }
+
   test("hyperparameter sidecar round-trips and governs serving over caller defaults") {
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_meta").toString

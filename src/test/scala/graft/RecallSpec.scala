@@ -237,6 +237,44 @@ class RecallSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("routed stored-HNSW: recall vs the all-shards path at half the shards probed") {
+    import graft.index.HnswStore
+    // the baseline in both halves is the ALL-shards fan-out over the SAME
+    // layout (topK ignores the routing sidecar and restores every graph) —
+    // isolating exactly what routing costs: neighbors whose shard the
+    // centroid scoring did not probe.
+    // (a) structured vectors (the lineitem view, where clustering carries
+    // real signal — IVF clears 1.0 here): routing must be near-lossless
+    val dirL = java.nio.file.Files.createTempDirectory("graft_hnsw_routed_l").toString
+    HnswStore.saveRouted(lineVecs, s"$dirL/g", numShards = 8)
+    val lineQueries = (0 until 6).map(s =>
+      Seq(25.0 + s, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s))
+    val linePairs = lineQueries.map { q =>
+      (HnswStore.topK(spark, s"$dirL/g", q, 10),
+        HnswStore.topKRouted(spark, s"$dirL/g", q, 10, probes = 4))
+    }
+    val rl = Recall.meanRecall(linePairs, "id")
+    info(s"routed HNSW (structured) recall@10 vs all-shards at probes=4/8 = $rl")
+    assert(rl >= 0.9)
+    // (b) near-uniform random embeddings: no clustering can carry more
+    // signal than the scanned fraction baseline (the same bound the IVF
+    // 0.45 and LSH 0.35 gates state) — routing must clearly beat the 0.5
+    // fraction it scans to show centroids correlate with cosine at all
+    val dirE = java.nio.file.Files.createTempDirectory("graft_hnsw_routed_e").toString
+    HnswStore.saveRouted(embeddings, s"$dirE/g", numShards = 8,
+      vecCol = "embedding", idCol = "vec_id")
+    val embQueries = (0 until 8).map { s =>
+      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+    }
+    val embPairs = embQueries.map { q =>
+      (HnswStore.topK(spark, s"$dirE/g", q, 10, idCol = "vec_id"),
+        HnswStore.topKRouted(spark, s"$dirE/g", q, 10, probes = 4, idCol = "vec_id"))
+    }
+    val re = Recall.meanRecall(embPairs, "vec_id")
+    info(s"routed HNSW (uniform) recall@10 vs all-shards at probes=4/8 = $re")
+    assert(re >= 0.55)
+  }
+
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
       (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
