@@ -74,6 +74,28 @@ object RecallBench {
     val (lshMs, lshRes) = timeAll(q =>
       LshAnn.search(lshBucketed, planes, q, k, vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
+    // multi-table sign-LSH — the measured operating point (mean-centered
+    // tables, query-directed multi-probe); scanned fraction beside recall
+    val mtTables = LshAnn.tables(LshAnn.DefaultTables, LshAnn.DefaultBits,
+      dim = dim, center = LshAnn.meanVector(data, "embedding", dim))
+    val mtBucketed = LshAnn.withTableBuckets(data, "embedding", mtTables).cache()
+    mtBucketed.count()
+    val (lshMtMs, lshMtRes) = timeAll(q =>
+      LshAnn.searchMulti(mtBucketed, mtTables, q, k, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id"))
+    val lshMtScanned = queries.map(q =>
+      LshAnn.scannedFraction(mtBucketed, mtTables, q)).sum / numQueries
+    // centroid-routed stored-HNSW: probes=4 of 8 shards vs the all-shards
+    // fan-out over the SAME layout (isolates the routing loss)
+    val routedDir = graft.store.Fs.scratchDir(spark, "graft_recall_routed") + "/g"
+    graft.index.HnswStore.saveRouted(data, routedDir, numShards = 8,
+      vecCol = "embedding", idCol = "vec_id")
+    val (hnswAllMs, hnswAllRes) = timeAll(q =>
+      graft.index.HnswStore.topK(spark, routedDir, q, k, idCol = "vec_id")
+        .select("vec_id"))
+    val (hnswRoutedMs, hnswRoutedRes) = timeAll(q =>
+      graft.index.HnswStore.topKRouted(spark, routedDir, q, k, probes = 4, idCol = "vec_id")
+        .select("vec_id"))
     // IVF-PQ: residual codes + ADC + exact refine (build amortized)
     val (ivfPqEncoded, ivfPqModel) = IvfPq.build(data, dim,
       vecCol = "embedding", idCol = "vec_id")
@@ -83,10 +105,56 @@ object RecallBench {
         refineFrom = Some(data), vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
 
-    def recall(approx: Seq[Set[Long]]): Double =
-      exact.zip(approx).map { case (e, a) =>
+    def recallVs(truth: Seq[Set[Long]], approx: Seq[Set[Long]]): Double =
+      truth.zip(approx).map { case (e, a) =>
         if (e.isEmpty) 1.0 else e.intersect(a).size.toDouble / e.size
-      }.sum / exact.size
+      }.sum / truth.size
+    def recall(approx: Seq[Set[Long]]): Double = recallVs(exact, approx)
+
+    // round-5 approximate operators, recall-published like the rest:
+    // (a) IVF-bucketed embedding near-dup vs the all-pairs ground truth
+    // (label-free semantics, computed exactly driver-side)
+    val threshold = 0.4
+    val rows = data.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truthPairs = (for {
+      i <- rows.indices.iterator; j <- ((i + 1) until rows.length).iterator
+      if cos(rows(i)._2, rows(j)._2) >= threshold
+    } yield (rows(i)._1 min rows(j)._1, rows(i)._1 max rows(j)._1)).toSet
+    val nearDupRecall = if (truthPairs.isEmpty) 1.0 else {
+      val got = graft.dedup.Dedup.embeddingNearDupPairsBucketed(
+        data, ivfModel, "vec_id", "embedding", threshold, nProbes = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truthPairs).size.toDouble / truthPairs.size
+    }
+    // (b) the RAG capstone's retrieval leg: IVF-probed top-k over the
+    // embedded training chunks vs the exact operator on the same frame
+    val ragRecall = {
+      val embedder = new graft.text.HashEmbedder(graft.queries.TextQueries.EmbedDim)
+      val chunks = graft.queries.PipelineQueries.trainCorpus(spark, sfDir)
+      val embedded = chunks.select(
+        graft.queries.TextQueries.chunkId(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("chunk_ix")).as("chunk_id"),
+        embedder.embed(org.apache.spark.sql.functions.col("chunk")).as("vector"))
+        .cache()
+      embedded.count()
+      val (ragAssigned, ragModel) = Ivf.fit(embedded, vecCol = "vector", idCol = "chunk_id")
+      val qv = spark.range(1)
+        .select(embedder.embed(org.apache.spark.sql.functions.lit(
+          graft.queries.PipelineQueries.RagQuery)).as("v"))
+        .head.getSeq[Double](0)
+      val ex = VectorSearch.bruteForceTopK(embedded, qv, k, vecCol = "vector", idCol = "chunk_id")
+        .select("chunk_id").collect().map(_.getLong(0)).toSet
+      val ap = Ivf.search(ragAssigned, ragModel, qv, k, vecCol = "vector", idCol = "chunk_id")
+        .select("chunk_id").collect().map(_.getLong(0)).toSet
+      if (ex.isEmpty) 1.0 else ex.intersect(ap).size.toDouble / ex.size
+    }
 
     val json =
       f"""{"queries":$numQueries,"k":$k,"sf":"$sfDir",""" +
@@ -94,6 +162,13 @@ object RecallBench {
         f""""ivf_ms":$ivfMs%.2f,"ivf_recall":${recall(ivfRes)}%.4f,""" +
         f""""hnsw_ms":$hnswMs%.2f,"hnsw_recall":${recall(hnswRes)}%.4f,""" +
         f""""lsh_ms":$lshMs%.2f,"lsh_recall":${recall(lshRes)}%.4f,""" +
+        f""""lsh_mt_ms":$lshMtMs%.2f,"lsh_mt_recall":${recall(lshMtRes)}%.4f,""" +
+        f""""lsh_mt_scanned":$lshMtScanned%.4f,""" +
+        f""""hnsw_stored_all_ms":$hnswAllMs%.2f,"hnsw_stored_all_recall":${recall(hnswAllRes)}%.4f,""" +
+        f""""hnsw_routed_ms":$hnswRoutedMs%.2f,"hnsw_routed_recall":${recall(hnswRoutedRes)}%.4f,""" +
+        f""""hnsw_routed_vs_allshards":${recallVs(hnswAllRes, hnswRoutedRes)}%.4f,""" +
+        f""""embedding_ivf_neardup_recall":$nearDupRecall%.4f,""" +
+        f""""rag_retrieval_recall":$ragRecall%.4f,""" +
         f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f}"""
     println(json)
     spark.stop()

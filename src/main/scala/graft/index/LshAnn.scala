@@ -67,4 +67,157 @@ object LshAnn {
     val pruned = bucketed.where(col("lsh_bucket").isin(probes: _*))
     VectorSearch.bruteForceTopK(pruned, query, topK, None, vecCol, idCol)
   }
+
+  // ---- multi-table centered LSH: the real operating point ------------------
+  //
+  // Two compounding fixes over the single table above:
+  //
+  //  1. CENTERED bits. Raw corpora often concentrate in a cone (these
+  //     embeddings live in the positive orthant), where origin hyperplanes
+  //     put nearly everyone on the same side: bits come out imbalanced,
+  //     buckets are huge, and bit agreement says little about similarity.
+  //     Hashing v − μ (μ = corpus mean, ONE aggregate pass — a statistic,
+  //     not a training loop) balances every bit: random-pair agreement
+  //     drops to ~0.5 while near-neighbor agreement stays high, which is
+  //     the whole discriminative gap. Implemented without materializing
+  //     centered vectors: sign((v−μ)·p) = (v·p > μ·p), i.e. the same
+  //     planes with a per-bit BIAS.
+  //  2. L INDEPENDENT tables + Hamming-radius multi-probe. A neighbor is a
+  //     candidate if ANY table catches it (miss probability compounds as
+  //     missᴸ) while candidate unions overlap, so the scanned fraction
+  //     grows sub-additively; probing the flip neighborhood recovers
+  //     near-hyperplane sign flips without more tables.
+  //
+  // RecallSpec gates the operating point (recall AND scanned fraction);
+  // the H2 harness publishes both.
+
+  /** Multi-table LSH model: per-table hyperplanes + per-bit biases.
+    * `biases = 0` is the uncentered special case. Derivable from a seed +
+    * one mean vector — nothing to broadcast but ~L·bits doubles. */
+  final case class LshTables(planes: Array[Array[Array[Double]]],
+      biases: Array[Array[Double]]) {
+    def numTables: Int = planes.length
+    def numBits: Int = planes.head.length
+  }
+
+  /** Corpus mean vector — the centering statistic, one aggregate pass.
+    * (At 100 TB this is a single narrow scan, amortized over every query
+    * against the layout; empty input centers at the origin.) */
+  def meanVector(df: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    val row = df.select(
+      (0 until dim).map(i => avg(element_at(col(vecCol), i + 1).cast("double"))): _*).head
+    Array.tabulate(dim)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
+
+  /** L independent hyperplane tables — table t's planes are globally
+    * indexed (t·numBits + p), so the same splitmix64 derivation yields
+    * uncorrelated tables from one seed. Centered on `center` (pass the
+    * [[meanVector]]; `Array.empty` for uncentered). */
+  def tables(numTables: Int, numBits: Int, dim: Int,
+      center: Array[Double], seed: Long = 42L): LshTables = {
+    val planes = Array.tabulate(numTables)(t =>
+      Array.tabulate(numBits)(p =>
+        Array.tabulate(dim)(d => mixedUnit(seed, t * numBits + p, d))))
+    val biases = planes.map(_.map(p =>
+      if (center.isEmpty) 0.0
+      else {
+        var s = 0.0; var i = 0
+        while (i < p.length) { s += p(i) * center(i); i += 1 }
+        s
+      }))
+    LshTables(planes, biases)
+  }
+
+  /** One bucket column per table (`lsh_b0` … `lsh_b{L-1}`) — ingest-time
+    * cost is L narrow projections over the same scan. Bit b of table t is
+    * `v·p > bias` via the loop-codegen'd dot expression (the unrolled
+    * per-dim sum blows janino's method limit at these widths — the
+    * [[bucketCol]] lesson). */
+  def withTableBuckets(df: DataFrame, vecCol: String, model: LshTables): DataFrame =
+    model.planes.zipWithIndex.foldLeft(df) { case (acc, (planes, t)) =>
+      val bucket = planes.zipWithIndex.map { case (p, b) =>
+        when(graft.GraftExtensions.dotProduct(col(vecCol),
+          array(p.map(lit).toSeq: _*)) > model.biases(t)(b), lit(1 << b))
+          .otherwise(lit(0))
+      }.reduceLeft[Column](_ + _)
+      acc.withColumn(s"lsh_b$t", bucket)
+    }
+
+  /** QUERY-DIRECTED multi-probe set for one table (the multi-probe LSH
+    * idea): a neighbor lands in a different bucket when bits whose
+    * hyperplane the query sits CLOSE to flip sign — so rank every flip
+    * mask by the sum of |margin| over its flipped bits and probe the
+    * `probes` most likely buckets, instead of treating all Hamming-r
+    * flips as equally likely. At the same scanned budget this recovers
+    * strictly more near-neighbors than blind radius probing (a tiny-margin
+    * triple flip is likelier than a wide-margin double). Masks enumerate
+    * the ≤`MaxFlips`-bit neighborhood of the 2^bits space — bucket widths
+    * stay ≤ ~16 bits by construction, driver-side. */
+  private val MaxFlips = 4
+
+  private[graft] def probeSet(query: Seq[Double], planes: Array[Array[Double]],
+      biases: Array[Double], probes: Int): Seq[Int] = {
+    val margins = planes.zipWithIndex.map { case (p, b) =>
+      var dot = 0.0; var i = 0
+      while (i < p.length) { dot += p(i) * query(i); i += 1 }
+      dot - biases(b)
+    }
+    val qb = margins.zipWithIndex.map { case (mg, b) => if (mg > 0) 1 << b else 0 }.sum
+    (0 until (1 << planes.length))
+      .filter(m => Integer.bitCount(m) <= MaxFlips)
+      .map { m =>
+        var cost = 0.0
+        var b = 0
+        while (b < planes.length) {
+          if ((m & (1 << b)) != 0) cost += math.abs(margins(b))
+          b += 1
+        }
+        (cost, m)
+      }
+      .sortBy { case (cost, m) => (cost, m) }
+      .take(probes)
+      .map { case (_, m) => qb ^ m }
+  }
+
+  /** Union-of-tables candidate predicate: bucket-of-table-t ∈ probes-of-
+    * table-t for ANY t. A disjunction of integer `isin`s over precomputed
+    * columns — codegen'd comparisons, no similarity math until the exact
+    * re-rank inside the candidate set. */
+  private def candidateFilter(query: Seq[Double], model: LshTables,
+      probes: Int): Column =
+    model.planes.indices.map { t =>
+      col(s"lsh_b$t").isin(
+        probeSet(query, model.planes(t), model.biases(t), probes): _*)
+    }.reduceLeft(_ || _)
+
+  /** Default operating point — MEASURED on the DevLshTune grid (isotropic
+    * unit embeddings, the hardest case: no cluster structure to exploit):
+    * 4 tables × 10 bits at 96 directed probes/table lands recall ≈ 0.78–0.8
+    * scanning ≈ 0.35 of the data at both test SFs; blind Hamming-2 probing
+    * at the same budget managed only ≈ 0.64. RecallSpec gates recall ≥ 0.7
+    * AND scanned ≤ 0.4; the H2 harness publishes both. */
+  val DefaultTables = 4
+  val DefaultBits = 10
+  val DefaultProbes = 96
+
+  /** Approximate top-k over L tables: union candidates, exact re-rank.
+    * `probes` = query-directed buckets probed per table. */
+  def searchMulti(bucketed: DataFrame, model: LshTables,
+      query: Seq[Double], topK: Int, probes: Int = DefaultProbes,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    VectorSearch.bruteForceTopK(
+      bucketed.where(candidateFilter(query, model, probes)),
+      query, topK, None, vecCol, idCol)
+
+  /** Fraction of rows the multi-table probe admits for `query` — the
+    * scanned-fraction denominator of the recall/cost trade (H2 harness
+    * reports it beside recall). */
+  def scannedFraction(bucketed: DataFrame, model: LshTables,
+      query: Seq[Double], probes: Int = DefaultProbes): Double = {
+    val agg = bucketed.select(
+      count(lit(1)).as("n"),
+      count(when(candidateFilter(query, model, probes), 1)).as("c")).head
+    val n = agg.getLong(0)
+    if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
+  }
 }

@@ -53,6 +53,37 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.35)
   }
 
+  test("multi-table sign-LSH: mean recall@10 >= 0.7 at scanned fraction <= 0.4") {
+    import graft.index.LshAnn
+    val center = LshAnn.meanVector(embeddings, "embedding", VectorModel.EmbDim)
+    val tables = LshAnn.tables(LshAnn.DefaultTables, LshAnn.DefaultBits,
+      dim = VectorModel.EmbDim, center = center)
+    val bucketed = LshAnn.withTableBuckets(embeddings, "embedding", tables).cache()
+    val queries = (0 until 6).map { s =>
+      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+    }
+    val pairs = queries.map { q =>
+      (VectorSearch.bruteForceTopK(embeddings, q, 10,
+        vecCol = "embedding", idCol = "vec_id"),
+        LshAnn.searchMulti(bucketed, tables, q, 10,
+          vecCol = "embedding", idCol = "vec_id"))
+    }
+    val r = Recall.meanRecall(pairs, "vec_id")
+    val fracs = queries.map(q => LshAnn.scannedFraction(bucketed, tables, q))
+    val frac = fracs.sum / fracs.size
+    info(s"multi-table LSH mean recall@10 = $r at mean scanned fraction = $frac")
+    // the single 4-bit table caps at ~0.55 recall for ~0.31 scanned; L
+    // independent tables compound the miss probability (miss^L) while
+    // query-directed probing spends the scan budget on the likeliest
+    // flips — a real operating point, not a baseline
+    assert(frac <= 0.4, s"scanned fraction $frac must stay under 0.4")
+    assert(r >= 0.7)
+    // the candidate filter is codegen'd comparisons over precomputed bucket
+    // columns — no similarity math outside the candidate set, no NLJ
+    val p = pairs.head._2.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop"), p.take(2000))
+  }
+
   test("HNSW recall@10 on lineitem vectors >= 0.8") {
     val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
     val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10, numPartitions = 8)
