@@ -47,7 +47,8 @@ object Bench {
 
   /** Pre-build steps, keyed by the serving queries that depend on them. */
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
-    ("build_ivf_layout", Set("vq_ivf_stored_topk", "vq_ivf_batch_topk"),
+    ("build_ivf_layout",
+      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_adaptive_topk"),
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d); () }),
     ("build_hnsw_layout", Set("vq_hnsw_stored_topk", "vq_hnsw_stored_batch"),
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),

@@ -111,6 +111,36 @@ object RecallBench {
       }.sum / truth.size
     def recall(approx: Seq[Set[Long]]): Double = recallVs(exact, approx)
 
+    // adaptive IVF probing vs the fixed max(k/2, 8), on the STRUCTURED
+    // vector view (where clustering carries signal — the regime the
+    // candidate-mass stop is for; on isotropic embeddings recall simply
+    // tracks scanned volume and fixed-vs-adaptive is a wash): recall per
+    // method plus the adaptive probe count, fixed is always 8
+    val (ivfFixedStructRecall, ivfAdaptStructRecall, ivfAdaptStructProbes) = {
+      val vecs = VectorModel.lineitemVectors(spark, sfDir).cache()
+      vecs.count()
+      val (sAssigned, sModel) = Ivf.fit(vecs)
+      sAssigned.cache().count()
+      val sizes = Ivf.clusterSizes(sAssigned)
+      val sQueries = (0 until numQueries).map(s =>
+        Seq(25.0 + (s % 10), 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s))
+      val triples = sQueries.map { q =>
+        val ex = VectorSearch.bruteForceTopK(vecs, q, k)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val fx = Ivf.search(sAssigned, sModel, q, k)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val ad = Ivf.searchAdaptive(sAssigned, sModel, q, k, sizes)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val probes = sModel.probeClustersAdaptive(q, sizes, 16L * k).size
+        (if (ex.isEmpty) 1.0 else ex.intersect(fx).size.toDouble / ex.size,
+          if (ex.isEmpty) 1.0 else ex.intersect(ad).size.toDouble / ex.size,
+          probes.toDouble)
+      }
+      (triples.map(_._1).sum / triples.size,
+        triples.map(_._2).sum / triples.size,
+        triples.map(_._3).sum / triples.size)
+    }
+
     // round-5 approximate operators, recall-published like the rest:
     // (a) IVF-bucketed embedding near-dup vs the all-pairs ground truth
     // (label-free semantics, computed exactly driver-side)
@@ -167,6 +197,9 @@ object RecallBench {
         f""""hnsw_stored_all_ms":$hnswAllMs%.2f,"hnsw_stored_all_recall":${recall(hnswAllRes)}%.4f,""" +
         f""""hnsw_routed_ms":$hnswRoutedMs%.2f,"hnsw_routed_recall":${recall(hnswRoutedRes)}%.4f,""" +
         f""""hnsw_routed_vs_allshards":${recallVs(hnswAllRes, hnswRoutedRes)}%.4f,""" +
+        f""""ivf_fixed_struct_recall":$ivfFixedStructRecall%.4f,""" +
+        f""""ivf_adapt_struct_recall":$ivfAdaptStructRecall%.4f,""" +
+        f""""ivf_adapt_struct_probes":$ivfAdaptStructProbes%.1f,""" +
         f""""embedding_ivf_neardup_recall":$nearDupRecall%.4f,""" +
         f""""rag_retrieval_recall":$ragRecall%.4f,""" +
         f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f}"""

@@ -340,10 +340,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     *
     * `filter` (reference `filter_func`, `:379-409`): a fresh build filters
     * FIRST (graphs over exactly the qualifying rows — exact filter
-    * semantics); a persisted graph can't pre-filter, so its candidates are
-    * overfetched topK×3 and post-filtered via a join back to the data —
-    * the reference's own semantics, which can return fewer than topK rows
-    * under a selective filter.
+    * semantics); a persisted CLEAN graph threads the predicate INTO the
+    * beam search ([[graft.index.HnswStore.topKFiltered]] — one pushed-down
+    * id scan resolves the qualifying set, the beam expands until it holds
+    * k MATCHING rows), a documented improvement over the reference's
+    * overfetch-topK×3-then-post-filter (`:386`), which starves under a
+    * selective filter. Only the written-to incremental path retains the
+    * overfetch shape (its candidates re-score against live rows anyway).
     *
     * After writes the index serves INCREMENTALLY (see
     * [[refreshIndexesOnWrite]]): graph candidates are re-scored against
@@ -363,17 +366,20 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     hnswPath match {
       case Some(p) if !hnswMutated && hnswCoveredUpTo == nextId =>
         // clean index covering every row: serve straight from the graph
-        val fetchK = filter.fold(topK)(_ => topK * FilterOverfetch)
-        val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,
-          efSearch = math.max(efSearch, 2 * fetchK))
         filter match {
-          case None => cand
+          case None =>
+            graft.index.HnswStore.topK(spark, p, query, topK,
+              efSearch = math.max(efSearch, 2 * topK))
           case Some(f) =>
-            data.join(broadcast(cand), "id")
-              .where(f)
-              .orderBy(col("sim").desc, col("id").asc)
-              .limit(topK)
-              .select("id", "sim")
+            // resolve the qualifying ids with ONE pushed-down scan (id
+            // projection only), then thread the set into the traversal —
+            // selective filters are exactly the case where this set is
+            // small (see HnswStore.topKFiltered for the Bloom variant at
+            // warehouse scale)
+            val accept = data.where(f).select("id")
+              .collect().map(_.getLong(0)).toSet
+            graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
+              efSearch = math.max(efSearch, 2 * topK))
         }
       case Some(p) =>
         hnswMergeSearch(p, query, topK, efSearch, filter)

@@ -136,20 +136,31 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   }
 
   /** Beam search at one level. On return, resultHeap holds ≤ ef entries
-    * (min-first). Overwrites both scratch heaps. */
+    * (min-first). Overwrites both scratch heaps.
+    *
+    * `accept` (null = accept all): FILTERED traversal, the hnswlib-style
+    * alternative to overfetch-and-post-filter. Non-matching nodes are
+    * still TRAVERSED (their edges navigate the beam — skipping them
+    * entirely would disconnect the graph under selective filters) but
+    * only accepted nodes enter the result set, so `ef` counts accepted
+    * results and the beam keeps expanding until it has ef MATCHING
+    * candidates — the property that lets a 1%-selective filter still
+    * return a full k where a 3k overfetch starves. The cost is more
+    * traversal under selective filters (worst case the connected
+    * component), bounded by the per-shard graph size. */
   private def searchLayer(q: Array[Double], qNorm: Double, entryNode: Int,
-      ef: Int, level: Int): Unit = {
+      ef: Int, level: Int, accept: Int => Boolean = null): Unit = {
     stamp += 1
     candHeap.clear(); resultHeap.clear()
     val eSim = simTo(entryNode, q, qNorm)
     visitedStamp(entryNode) = stamp
     candHeap.push(eSim, entryNode)
-    resultHeap.push(eSim, entryNode)
+    if (accept == null || accept(entryNode)) resultHeap.push(eSim, entryNode)
     while (candHeap.size > 0) {
       val cSim = candHeap.headSim
       val cNode = candHeap.headNode
       candHeap.pop()
-      if (cSim < resultHeap.headSim && resultHeap.size >= ef) {
+      if (resultHeap.size >= ef && cSim < resultHeap.headSim) {
         candHeap.clear() // no remaining candidate can improve the results
       } else if (level <= nodeLevels(cNode)) {
         val edges = adj(cNode)(level)
@@ -159,13 +170,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
           if (visitedStamp(nb) != stamp) {
             visitedStamp(nb) = stamp
             val s = simTo(nb, q, qNorm)
-            if (resultHeap.size < ef) {
+            if (resultHeap.size < ef || s > resultHeap.headSim) {
               candHeap.push(s, nb)
-              resultHeap.push(s, nb)
-            } else if (s > resultHeap.headSim) {
-              candHeap.push(s, nb)
-              resultHeap.push(s, nb)
-              resultHeap.pop()
+              if (accept == null || accept(nb)) {
+                resultHeap.push(s, nb)
+                if (resultHeap.size > ef) resultHeap.pop()
+              }
             }
           }
           i += 1
@@ -309,8 +319,23 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   /** Top-k search: greedy descent from the entry point, then a level-0 beam
     * with ef = max(efSearch, 2k) (reference `:146`). */
-  def search(q: Array[Double], k: Int, efSearch: Int = 128): Seq[(Long, Double)] = {
+  def search(q: Array[Double], k: Int, efSearch: Int = 128): Seq[(Long, Double)] =
+    searchFiltered(q, k, efSearch, null)
+
+  /** Top-k search with a predicate threaded INTO the level-0 beam (the
+    * upper-level descent stays unfiltered — it is pure navigation). The
+    * reference post-filters a 3k overfetch instead
+    * (vervectordb/__init__.py:386), which under a selective filter returns
+    * fewer than k rows; this DEVIATION (documented like filter-first on
+    * fresh builds) keeps expanding the beam until it holds ef MATCHING
+    * results, so k qualifying rows come back whenever the graph's
+    * connected component holds them. `acceptId` must be pure and cheap
+    * (a set lookup); null = unfiltered. */
+  def searchFiltered(q: Array[Double], k: Int, efSearch: Int,
+      acceptId: Long => Boolean): Seq[(Long, Double)] = {
     if (entry < 0) return Seq.empty
+    val accept: Int => Boolean =
+      if (acceptId == null) null else node => acceptId(extIds(node))
     val qNorm = vecNorm(q)
     var ep = entry
     var l = maxLevel
@@ -319,7 +344,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
       if (resultHeap.size > 0) ep = resultHeap.headNode
       l -= 1
     }
-    searchLayer(q, qNorm, ep, math.max(efSearch, 2 * k), 0)
+    searchLayer(q, qNorm, ep, math.max(efSearch, 2 * k), 0, accept)
     val cnt = drainSorted()
     (0 until math.min(k, cnt)).map(i => (extIds(scratchIdx(i)), scratchSims(i)))
   }

@@ -399,6 +399,32 @@ object HnswStore {
     Ivf.IvfModel(readRouting(spark, path).getOrElse(throw new IllegalStateException(
       s"no routing sidecar at $path — routed serving needs a saveRouted layout")))
 
+  /** Filter-aware top-k over the persisted graphs: `acceptIds` is threaded
+    * into each graph's beam search ([[HnswIndex.searchFiltered]]), so the
+    * beam keeps expanding until it holds k MATCHING results — a selective
+    * filter returns a full k where the reference's 3k-overfetch-then-
+    * post-filter starves. The id set ships once per task via the closure
+    * (Spark broadcasts task binaries); it is the SELECTIVE-filter path —
+    * the set is small exactly when this path is needed, and a
+    * non-selective filter is better served unfiltered + post-filter. At
+    * warehouse scale the same traversal accepts a Bloom filter of
+    * qualifying ids (false positives only admit a few non-matching
+    * candidates, removed by the final exact re-check the caller does). */
+  def topKFiltered(spark: SparkSession, path: String, query: Seq[Double], k: Int,
+      acceptIds: scala.collection.Set[Long],
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    val accept = acceptIds // stable local capture for the task closure
+    served(spark, path, m, efConstruction)((_, idx) =>
+      idx.searchFiltered(q, k, efSearch, accept.contains).iterator)
+      .toDF(idCol, "sim")
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch search over the persisted graphs: each graph restores ONCE for
     * the whole query set (the amortization [[Hnsw.hnswBatchTopK]] gets
     * from building once — here even the restore is amortized). Returns

@@ -87,6 +87,29 @@ object ApproxQueries {
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
 
+  /** S3 with ADAPTIVE probing over the persisted clustered layout: probe
+    * centroids in similarity order until they hold 16·k candidate rows
+    * ([[Ivf.searchAdaptive]]) — on this corpus that is 1–2 partitions
+    * instead of the fixed 8, recall-neutral (RecallSpec gates), and the
+    * probe filter still prunes cluster partitions at the file level. */
+  def ivfAdaptiveTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfLayout(spark, dir)
+    val clustered = spark.read.parquet(path)
+    Ivf.searchAdaptive(clustered, model, VectorModel.Query, 10, ivfSizes(spark, dir))
+      .select("id", "sim", "cluster_id")
+  }
+
+  /** Per-cluster row counts of the stored layout — the adaptive-probing
+    * statistic, memoized beside the layout (one aggregate per dataset). */
+  private[graft] def ivfSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    ivfSizesCache.computeIfAbsent(dir, _ => {
+      val (path, _) = ivfLayout(spark, dir)
+      Ivf.clusterSizes(spark.read.parquet(path))
+    })
+
+  private val ivfSizesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
   /** S4 with method=hnsw (vervectordb/__init__.py:527-531): per-partition
     * graphs built ONCE for the whole query batch, searched per query,
     * k-bounded global merge — amortizing construction across queries,
@@ -283,6 +306,7 @@ object ApproxQueries {
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
+    "vq_ivf_adaptive_topk" -> (ivfAdaptiveTopK _),
     "vq_ivf_batch_topk" -> (ivfBatchTopK _),
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
     "vq_hnsw_stored_batch" -> (hnswStoredBatchTopK _),

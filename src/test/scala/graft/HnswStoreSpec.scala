@@ -70,6 +70,31 @@ class HnswStoreSpec extends SparkSpec {
     assert(topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10)) !== allShards)
   }
 
+  test("filtered traversal: 1%-selective accept set returns full k where 3k-overfetch starves") {
+    import org.apache.spark.sql.functions.col
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_filt").toString
+    HnswStore.save(vecs, s"$dir/g", numPartitions = 4)
+    val accept = vecs.where(col("id") % 100 === 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(accept.size >= 20, s"fixture needs enough qualifying rows, got ${accept.size}")
+    val filtered = HnswStore.topKFiltered(spark, s"$dir/g", VectorModel.Query, 10, accept)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(filtered.length === 10, s"beam-threaded filter must fill k, got ${filtered.length}")
+    assert(filtered.forall(t => accept(t._1)))
+    // the overfetch shape on the same layout (reference :386): 3k global
+    // candidates post-filtered — at 1% selectivity it starves
+    val overfetch = HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 30)
+      .collect().map(_.getLong(0)).count(accept)
+    assert(overfetch < 10, s"overfetch should starve, kept $overfetch of 30")
+    // quality: the filtered traversal recovers most of the exact filtered top-k
+    val exact = graft.search.VectorSearch.bruteForceTopK(
+      vecs.where(col("id") % 100 === 0), VectorModel.Query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val rec = filtered.map(_._1).count(exact).toDouble / exact.size
+    assert(rec >= 0.7, s"filtered recall $rec")
+  }
+
   test("routed batch equals per-query routed search") {
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_routed_b").toString

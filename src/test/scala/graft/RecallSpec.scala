@@ -24,6 +24,44 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.6)
   }
 
+  test("adaptive IVF probing: recall-neutral at fewer probed partitions; probe list adapts to skew") {
+    val (assigned, model) = Ivf.fit(lineVecs)
+    val sizes = Ivf.clusterSizes(assigned)
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
+    val fixed = Ivf.search(assigned, model, VectorModel.Query, 10)
+    val adaptive = Ivf.searchAdaptive(assigned, model, VectorModel.Query, 10, sizes)
+    val rFixed = Recall.recallAtK(exact, fixed, "id")
+    val rAdaptive = Recall.recallAtK(exact, adaptive, "id")
+    val probed = model.probeClustersAdaptive(VectorModel.Query, sizes, 16L * 10)
+    info(s"adaptive: recall $rAdaptive over ${probed.size} probes (fixed: $rFixed over 8)")
+    // candidate-mass stop scans a fraction of the fixed budget on this
+    // corpus (avg cluster ~n/16, 160 candidates ≈ 1-2 clusters) with no
+    // recall loss — structure concentrates the answer in the top clusters
+    assert(probed.size < 8, s"adaptive should probe fewer partitions, got ${probed.size}")
+    assert(rAdaptive >= rFixed - 0.1)
+    assert(rAdaptive >= 0.9)
+    // the probe filter is still the pruning predicate over cluster_id
+    val plan = adaptive.queryExecution.executedPlan.toString
+    assert(plan.contains("cluster_id"), plan.take(2000))
+    // skew adaptation is a pure function of the size map: when the
+    // most-similar clusters are TINY the walk keeps probing until the
+    // candidate mass target is met; when they are HUGE it stops early —
+    // the two failure modes a fixed count cannot see
+    val ranked = model.probeClusters(VectorModel.Query, model.k)
+    val tinyNearest = ranked.zipWithIndex.map { case (cl, i) =>
+      cl -> (if (i < 3) 1L else 1000L)
+    }.toMap
+    val hugeNearest = ranked.zipWithIndex.map { case (cl, i) =>
+      cl -> (if (i == 0) 1000L else 1L)
+    }.toMap
+    assert(model.probeClustersAdaptive(VectorModel.Query, tinyNearest, 160).size === 4)
+    // huge nearest cluster meets the mass target alone, but the boundary
+    // floor still consults the runners-up
+    assert(model.probeClustersAdaptive(VectorModel.Query, hugeNearest, 160).size === 3)
+    // degenerate guard: empty/absent sizes still probe at least one cluster
+    assert(model.probeClustersAdaptive(VectorModel.Query, Map.empty, 160).size === model.k)
+  }
+
   // On near-uniform random embeddings, probing 8/16 clusters bounds recall
   // near the scanned fraction (~0.5); the gate checks clustering does not
   // hurt. Structured data (lineitem test above) clears 0.6.

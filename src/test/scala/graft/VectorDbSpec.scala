@@ -65,9 +65,27 @@ class VectorDbSpec extends SparkSpec {
     val pred = Some(element_at(col("metadata"), "category") === "0")
     // fresh build: filter-first, exact semantics
     assertFiltered(db.filteredSearch(q, 10, metadataFilter = pred, method = "hnsw").collect())
-    // persisted graph: overfetch + post-filter
+    // persisted graph: predicate threaded into the beam search
     db.buildHnswIndex(numPartitions = 4)
     assertFiltered(db.filteredSearch(q, 10, metadataFilter = pred, method = "hnsw").collect())
+  }
+
+  test("persisted-graph filtered search: 2%-selective filter returns full k where overfetch starves") {
+    val db = freshDb(300)
+    db.buildHnswIndex(numPartitions = 4)
+    val q = Seq.fill(8)(5.0)
+    val pred = col("id") % 50 === 0 // 6 of 300 rows qualify
+    val res = db.hnswSearch(q, 5, filter = Some(pred)).collect()
+    assert(res.length === 5, s"filtered traversal must return full k, got ${res.length}")
+    assert(res.forall(_.getLong(0) % 50 == 0))
+    // the reference's overfetch-3k shape on the same index: top-15 graph
+    // candidates post-filtered — starves (this is what the clean path did
+    // before the beam-threaded predicate)
+    val overfetch = db.hnswSearch(q, 15).collect().map(_.getLong(0)).count(_ % 50 == 0)
+    assert(overfetch < 5, s"overfetch should starve under this filter, kept $overfetch")
+    // and the returned ids match the exact filtered operator's top-5
+    val exact = db.bruteForceSearch(q, 5, Some(pred)).collect().map(_.getLong(0)).toSeq
+    assert(res.map(_.getLong(0)).toSeq === exact)
   }
 
   test("batch search dispatches per method; every method covers every query") {
