@@ -31,15 +31,11 @@ object DevLshTune {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val queries = (0 until numQueries).map { s =>
-      (0 until dim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0).toArray
-    }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      graft.model.VectorModel.syntheticQuery(s).toArray
     }
     val exact = queries.map(q =>
-      rows.sortBy { case (id, v) => (-cos(q, v), id) }.take(k).map(_._1).toSet)
+      rows.sortBy { case (id, v) => (-graft.harness.Recall.cosine(q, v), id) }
+        .take(k).map(_._1).toSet)
     val center = {
       val c = new Array[Double](dim)
       rows.foreach { case (_, v) => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }

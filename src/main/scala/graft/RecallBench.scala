@@ -37,7 +37,7 @@ object RecallBench {
     data.count()
     val dim = VectorModel.EmbDim
     val queries = (0 until numQueries).map { s =>
-      (0 until dim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+      VectorModel.syntheticQuery(s)
     }
 
     // one-time index builds (amortized across the query set, as the
@@ -147,14 +147,9 @@ object RecallBench {
     val threshold = 0.4
     val rows = data.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val truthPairs = (for {
       i <- rows.indices.iterator; j <- ((i + 1) until rows.length).iterator
-      if cos(rows(i)._2, rows(j)._2) >= threshold
+      if Recall.cosine(rows(i)._2, rows(j)._2) >= threshold
     } yield (rows(i)._1 min rows(j)._1, rows(i)._1 max rows(j)._1)).toSet
     val nearDupRecall = if (truthPairs.isEmpty) 1.0 else {
       val got = graft.dedup.Dedup.embeddingNearDupPairsBucketed(

@@ -330,6 +330,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * graph (the reference's `top_k*3`, vervectordb/__init__.py:386). */
   private val FilterOverfetch = 3
 
+  /** Largest qualifying-id set the filtered clean-index path will collect
+    * to the driver for beam-threaded traversal; a filter matching more
+    * rows is non-selective and serves via overfetch + post-filter, which
+    * cannot starve at that match density. */
+  private val MaxAcceptIds = 100000
+
   /** S2 `hnsw_search`: over the persisted graphs when [[buildHnswIndex]]
     * was called (and no write invalidated it), else a fresh per-partition
     * build. With a persisted index, its build-time partitioning and graph
@@ -371,15 +377,33 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             graft.index.HnswStore.topK(spark, p, query, topK,
               efSearch = math.max(efSearch, 2 * topK))
           case Some(f) =>
-            // resolve the qualifying ids with ONE pushed-down scan (id
-            // projection only), then thread the set into the traversal —
-            // selective filters are exactly the case where this set is
-            // small (see HnswStore.topKFiltered for the Bloom variant at
-            // warehouse scale)
-            val accept = data.where(f).select("id")
-              .collect().map(_.getLong(0)).toSet
-            graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
-              efSearch = math.max(efSearch, 2 * topK))
+            // resolve qualifying ids with ONE pushed-down scan (id
+            // projection only) — but BOUNDED: beam-threading wants the
+            // id set on the driver, which is only sane for the selective
+            // filters that actually starve the overfetch path. The
+            // limit-probe collects at most MaxAcceptIds+1 rows; past the
+            // bound the filter is non-selective, the overfetch path
+            // cannot starve (≥ topK matches in any 3·topK candidate
+            // neighborhood is near-certain at that density), and it
+            // avoids materializing half the corpus on the driver. (A
+            // Bloom filter over qualifying ids is the warehouse-scale
+            // middle ground — see HnswStore.topKFiltered.)
+            val probe = data.where(f).select("id")
+              .limit(MaxAcceptIds + 1).collect()
+            if (probe.length <= MaxAcceptIds) {
+              val accept = probe.map(_.getLong(0)).toSet
+              graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
+                efSearch = math.max(efSearch, 2 * topK))
+            } else {
+              val fetchK = topK * FilterOverfetch
+              val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,
+                efSearch = math.max(efSearch, 2 * fetchK))
+              data.join(broadcast(cand), "id")
+                .where(f)
+                .orderBy(col("sim").desc, col("id").asc)
+                .limit(topK)
+                .select("id", "sim")
+            }
         }
       case Some(p) =>
         hnswMergeSearch(p, query, topK, efSearch, filter)

@@ -437,7 +437,12 @@ case class AdcScoreBatch(first: Expression, second: Expression, third: Expressio
   * semantics mirror the aggregate chain this replaced exactly: a null
   * element or one whose `h mod dim` falls outside [0, dim) (negative h —
   * impossible for md5-derived hash60, but the old `=== i` comparison
-  * matched nothing for it) contributes 0. */
+  * matched nothing for it) contributes 0. ONE deliberate whole-row
+  * deviation: a NULL hash array (null input text) embeds as SQL NULL —
+  * the chain produced a non-null array of `dim` null elements, a shape
+  * no consumer can use and the declared `containsNull = false` element
+  * type forbids; null-in/null-out is the honest contract (the corpus
+  * text column is non-null, so the `tx_embed` oracle sees no change). */
 final class HashEmbedKernel(val dim: Int) extends Serializable {
   require(dim > 0, s"embedding dim must be positive, got $dim")
 

@@ -174,17 +174,38 @@ object HnswStore {
     Ivf.assign(base, model, "vector")
       .select(col("id"), col("vector"), col("cluster_id"))
       .repartition(numShards, col("cluster_id"))
+      .sortWithinPartitions(col("cluster_id"), col("id"))
       .as[(Long, Array[Double], Int)]
       .mapPartitions { rows =>
-        rows.toSeq.groupBy(_._3).iterator.flatMap { case (shard, grp) =>
-          val index = new HnswIndex(m, efConstruction, seed = 42L + shard)
-          grp.sortBy(_._1).foreach { case (id, vec, _) => index.insert(id, vec) }
-          val dumped = index.dump().toSeq
-          val n = dumped.length
-          dumped.iterator.zipWithIndex.map { case ((id, vec, level, adj, isEntry), ord) =>
-            (shard, ord, id, vec, level, adj, isEntry, n)
+        // rows arrive sorted by (cluster, id): stream each cluster run
+        // straight into its graph — one insert per row, never a second
+        // copy of the task's vectors (a groupBy would hold the whole
+        // task's rows AND the graphs; at build scale that doubles peak
+        // memory). A task may hold several clusters (hash collisions are
+        // certain at numShards ~ partitions); each run builds its own
+        // seeded graph with part = SHARD id, so the layout's partition
+        // dirs are the routing targets.
+        // NOT named `buffered`: inside the anonymous Iterator subclass
+        // below, that name would resolve to the INHERITED Iterator.buffered
+        // method (this.buffered), silently shadowing this val
+        val runs = rows.buffered
+        new Iterator[Iterator[Rec]] {
+          def hasNext: Boolean = runs.hasNext
+          def next(): Iterator[Rec] = {
+            val shard = runs.head._3
+            val index = new HnswIndex(m, efConstruction, seed = 42L + shard)
+            while (runs.hasNext && runs.head._3 == shard) {
+              val (id, vec, _) = runs.next()
+              index.insert(id, vec)
+            }
+            val dumped = index.dump().toSeq
+            val n = dumped.length
+            dumped.iterator.zipWithIndex.map {
+              case ((id, vec, level, adj, isEntry), ord) =>
+                (shard, ord, id, vec, level, adj, isEntry, n)
+            }
           }
-        }
+        }.flatten
       }
       .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
       .repartition(col("part"))
@@ -219,16 +240,29 @@ object HnswStore {
     * totalBytes/minPartitionNum)) — files above it CAN split even when
     * under maxPartitionBytes (small-total scans lower the split size to
     * raise parallelism). */
-  private def filesUnsplit(spark: SparkSession, path: String): Boolean = {
+  private def filesUnsplit(spark: SparkSession, path: String,
+      parts: Option[Seq[Int]] = None): Boolean = {
     val conf = spark.sessionState.conf
     val (fs, p) = hadoopFs(spark, path)
     if (!fs.exists(p)) return false
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")) sizes += f.getLen
+    // when the scan is partition-pruned, Spark computes its split size
+    // from the SELECTED files only — a smaller total lowers bytesPerCore
+    // and can split a file the all-files computation says is safe. Mirror
+    // the pruning here: list only the probed shard directories, so the
+    // answer matches the scan this serving call actually runs.
+    val roots = parts match {
+      case None => Seq(p)
+      case Some(ps) => ps.map(n => new org.apache.hadoop.fs.Path(p, s"part=$n"))
+        .filter(fs.exists(_))
+    }
+    roots.foreach { root =>
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")) sizes += f.getLen
+      }
     }
     val openCost = conf.filesOpenCostInBytes
     // Spark's formula falls back to leafNodeDefaultParallelism (when set)
@@ -277,7 +311,7 @@ object HnswStore {
     // legacy layouts (no part_rows) lack the structural guard, so they
     // always serve via the grouping shuffle — complete groups by
     // construction — rather than trusting the listing heuristic alone
-    if (hasPartRows && filesUnsplit(spark, path))
+    if (hasPartRows && filesUnsplit(spark, path, parts))
       stored.mapPartitions { rows =>
         rows.toSeq.groupBy(_._1).iterator.flatMap { case (part, grp) =>
           search(part, restore(grp.toSeq))
@@ -415,6 +449,11 @@ object HnswStore {
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
       idCol: String = "id"): DataFrame = {
     import spark.implicits._
+    // nothing qualifies → nothing to search: without this guard the beam
+    // never fills and traverses every shard's whole connected component
+    // just to return zero rows
+    if (acceptIds.isEmpty)
+      return Seq.empty[(Long, Double)].toDF(idCol, "sim")
     val q = query.toArray
     val accept = acceptIds // stable local capture for the task closure
     served(spark, path, m, efConstruction)((_, idx) =>
@@ -455,14 +494,18 @@ object HnswStore {
       idCol: String = "id"): DataFrame = {
     import spark.implicits._
     val model = routingModel(spark, path)
-    val probed: Map[Long, Set[Int]] = queries.map { case (qid, q) =>
-      qid -> model.probeClusters(q, probes).toSet
-    }.toMap
-    val union = probed.valuesIterator.flatten.toSeq.distinct.sorted
-    val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
+    // probes resolve PER ENTRY, not per qid: a duplicated query id with
+    // two different vectors must route each vector by its own centroids
+    // (a qid-keyed map would search the first vector in the second's
+    // shards); duplicate entries then simply merge under the shared qid
+    // in the aggregator, like the non-routed batch paths
+    val entries = queries.map { case (qid, q) =>
+      (qid, q.toArray, model.probeClusters(q, probes).toSet)
+    }
+    val union = entries.flatMap(_._3).distinct.sorted
     val perPartition = served(spark, path, m, efConstruction,
       parts = Some(union)) { (part, idx) =>
-      qArr.iterator.filter(t => probed(t._1)(part)).flatMap { case (qid, q) =>
+      entries.iterator.filter(_._3(part)).flatMap { case (qid, q, _) =>
         idx.search(q, k, efSearch).map { case (id, sim) => (qid, id, sim) }
       }
     }.toDF("query_id", idCol, "sim_raw")

@@ -80,4 +80,12 @@ object VectorModel {
   /** Fixed 64-d query vector for ANN over `embeddings`; deterministic
     * closed-form components. */
   val AnnQuery: Seq[Double] = (0 until EmbDim).map(i => ((i * 37 + 11) % 101) / 101.0)
+
+  /** The s-th synthetic [[EmbDim]]-d query of the deterministic family
+    * every recall measurement draws from — ONE definition, so RecallSpec
+    * gates, the H2 harness artifact, and the DevLshTune grid measure the
+    * SAME workload (a drifted copy would silently gate one distribution
+    * and publish another). */
+  def syntheticQuery(s: Int): Seq[Double] =
+    (0 until EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
 }

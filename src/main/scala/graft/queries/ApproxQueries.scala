@@ -247,7 +247,7 @@ object ApproxQueries {
     * RecallSpec fixture shape — pure function of the index). */
   private[graft] def annBatchQueries(n: Int): Seq[(Long, Seq[Double])] =
     (0 until n).map(s =>
-      (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)))
+      (s.toLong, VectorModel.syntheticQuery(s)))
 
   /** S4 with method=ivfpq over the PERSISTED code layout — the composed
     * batch scale path: every query's probed clusters union into one

@@ -72,6 +72,17 @@ private[graft] object VersionedLayout {
     versionsOf(fs, rp).filter(_._3).lastOption.map(_._2.toString)
   }
 
+  /** Operator recovery for a lock orphaned by a killed publish (the error
+    * message names the holder pid/host/time): removes the writer lock so
+    * the next publish can proceed. The caller is asserting no writer is
+    * alive — which is why this is a separate explicit call and not a
+    * staleness heuristic inside [[publish]]. Returns true if a lock was
+    * removed. */
+  def forceUnlock(spark: SparkSession, root: String): Boolean = {
+    val (fs, rp) = fsRoot(spark, root)
+    fs.delete(new org.apache.hadoop.fs.Path(rp, LockName), false)
+  }
+
   /** Write the next version via `write(dir)`, commit it with the marker,
     * prune stale versions. Returns the committed directory. Holds the
     * root's writer lock throughout; a concurrent publish throws
@@ -80,13 +91,29 @@ private[graft] object VersionedLayout {
     val (fs, rp) = fsRoot(spark, root)
     fs.mkdirs(rp)
     val lock = new org.apache.hadoop.fs.Path(rp, LockName)
-    try fs.create(lock, /* overwrite = */ false).close()
-    catch {
+    try {
+      val out = fs.create(lock, /* overwrite = */ false)
+      // owner evidence INSIDE the lock, so the operator deciding whether a
+      // holder is alive (the one manual step a kill-9'd publish leaves —
+      // an automatic staleness bound would break a legitimately long
+      // write) sees who took it and when, not just that it exists
+      try out.write(
+        (s"pid=${ProcessHandle.current().pid()}\n" +
+          s"host=${java.net.InetAddress.getLocalHost.getHostName}\n" +
+          s"epochMs=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch {
       case e: java.io.IOException =>
+        val holder = try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.replace("\n", " ")
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
         throw new IllegalStateException(
-          s"concurrent publish under $root: writer lock $lock already exists — " +
-            "another publish is in flight, or a previous one died holding it " +
-            "(verify no writer is alive, then delete the lock to recover)", e)
+          s"concurrent publish under $root: writer lock $lock already exists " +
+            s"(holder: $holder) — another publish is in flight, or a previous " +
+            "one died holding it (verify that process is gone, then use " +
+            "VersionedLayout.forceUnlock to recover)", e)
     }
     try {
       val existing = versionsOf(fs, rp)

@@ -98,7 +98,7 @@ class RecallSpec extends SparkSpec {
       dim = VectorModel.EmbDim, center = center)
     val bucketed = LshAnn.withTableBuckets(embeddings, "embedding", tables).cache()
     val queries = (0 until 6).map { s =>
-      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+      VectorModel.syntheticQuery(s)
     }
     val pairs = queries.map { q =>
       (VectorSearch.bruteForceTopK(embeddings, q, 10,
@@ -164,7 +164,7 @@ class RecallSpec extends SparkSpec {
 
   test("batch HNSW equals per-query HNSW result for result") {
     val queries = (0 until 3).map { s =>
-      (s.toLong, (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0))
+      (s.toLong, VectorModel.syntheticQuery(s))
     }
     val batch = Hnsw.hnswBatchTopK(embeddings, queries, 10, numPartitions = 4,
       vecCol = "embedding", idCol = "vec_id")
@@ -333,7 +333,7 @@ class RecallSpec extends SparkSpec {
     HnswStore.saveRouted(embeddings, s"$dirE/g", numShards = 8,
       vecCol = "embedding", idCol = "vec_id")
     val embQueries = (0 until 8).map { s =>
-      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+      VectorModel.syntheticQuery(s)
     }
     val embPairs = embQueries.map { q =>
       (HnswStore.topK(spark, s"$dirE/g", q, 10, idCol = "vec_id"),
@@ -346,7 +346,7 @@ class RecallSpec extends SparkSpec {
 
   test("HNSW recall@10 on embeddings over multiple queries >= 0.8 mean") {
     val queries = (0 until 5).map { s =>
-      (0 until VectorModel.EmbDim).map(i => ((i * 31 + s * 17 + 7) % 97) / 97.0)
+      VectorModel.syntheticQuery(s)
     }
     val pairs = queries.map { q =>
       (VectorSearch.bruteForceTopK(embeddings, q, 10, vecCol = "embedding", idCol = "vec_id"),
