@@ -55,6 +55,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   private var ivfPq: Option[(DataFrame, IvfPq.IvfPqModel)] = None
   private var pq: Option[ProductQuantizer] = None
   private var hnswPath: Option[String] = None
+  /** True when the persisted layout is cluster-coherent with a routing
+    * sidecar ([[buildHnswIndex]] routed=true, or detected on load):
+    * clean serving probes top-p shards instead of every graph. */
+  private var hnswRouted: Boolean = false
   /** True when hnswPath is a temp dir this instance created (deletable);
     * false when it points into a loaded save directory. */
   private var hnswOwned: Boolean = false
@@ -230,7 +234,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * executors on a real cluster can neither write the build nor read the
     * serve, so the facade's index would only ever work in local mode.) */
   def buildHnswIndex(numPartitions: Int = 8,
-      scratch: Option[String] = None): Unit = {
+      scratch: Option[String] = None, routed: Boolean = false): Unit = {
     requireNonEmpty("build_hnsw_index") // reference :369
     dropOwnedHnsw()
     // ownedRoot = what a rebuild may recursively delete: for a CALLER'S
@@ -250,15 +254,33 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         (b, b)
     }
     val p = s"$base/g"
-    graft.index.HnswStore.save(data, p, m = hnswM,
-      efConstruction = hnswEfConstruction, numPartitions = numPartitions)
+    // routed = the extension past reference W5: cluster-coherent shards +
+    // centroid routing sidecar, so clean serving probes top-p shards
+    // instead of restoring every graph (the 100×-shard-count path;
+    // [[graft.index.HnswStore.saveRouted]])
+    if (routed)
+      graft.index.HnswStore.saveRouted(data, p, numShards = numPartitions,
+        m = hnswM, efConstruction = hnswEfConstruction)
+    else
+      graft.index.HnswStore.save(data, p, m = hnswM,
+        efConstruction = hnswEfConstruction, numPartitions = numPartitions)
     hnswPath = Some(p)
+    hnswRouted = routed
     hnswOwned = true
     hnswOwnedRoot = Some(ownedRoot)
     hnswNumPartitions = numPartitions
     hnswCoveredUpTo = nextId
     hnswMutated = false
   }
+
+  /** Shards probed by routed clean serving: half the shards, the same
+    * scanned-fraction default as the reference's IVF probe count
+    * (max(k/2, …)); recall vs all-shards is spec-gated at this point. */
+  private def hnswRoutedProbes: Int = math.max(2, hnswNumPartitions / 2)
+
+  /** The persisted graph layout currently serving, if any (test/inspection
+    * seam — e.g. asserting the routing sidecar survives maintenance). */
+  private[graft] def hnswIndexPath: Option[String] = hnswPath
 
   /** Scheduled index maintenance — the compaction decision the
     * incremental-serving paths defer ([[refreshIndexesOnWrite]] keeps
@@ -300,11 +322,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         // build guard; searches fall back to the (empty) fresh path
         dropOwnedHnsw()
         hnswPath = None
+        hnswRouted = false
         hnswOwned = false
         hnswMutated = false
         actions += "hnsw_dropped"
       } else if (hnswMutated || deltaRows.toDouble > maxDeltaFraction * graphRows) {
-        buildHnswIndex(numPartitions = hnswNumPartitions)
+        // rebuild preserves the layout KIND: a routed index stays routed
+        // (fresh k-means + sidecar over the live rows), an id-hash one
+        // stays id-hash
+        buildHnswIndex(numPartitions = hnswNumPartitions, routed = hnswRouted)
         actions += "hnsw_rebuilt"
       }
     }
@@ -373,6 +399,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       case Some(p) if !hnswMutated && hnswCoveredUpTo == nextId =>
         // clean index covering every row: serve straight from the graph
         filter match {
+          case None if hnswRouted =>
+            // routed layout: score the routing sidecar driver-side, probe
+            // the top half of the shards — the other shards' files are
+            // pruned from the scan, their graphs never restored
+            graft.index.HnswStore.topKRouted(spark, p, query, topK,
+              probes = hnswRoutedProbes, efSearch = math.max(efSearch, 2 * topK))
           case None =>
             graft.index.HnswStore.topK(spark, p, query, topK,
               efSearch = math.max(efSearch, 2 * topK))
@@ -488,9 +520,14 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             // clean persisted index covering every row, no filter: serve
             // the whole batch from the stored graphs — restore amortized
             // across the query set, no per-call graph rebuild (the same
-            // build-once dispatch hnswSearch uses)
-            graft.index.HnswStore.batchTopK(spark, p, indexed, topK,
-              efSearch = efSearch)
+            // build-once dispatch hnswSearch uses); routed layouts prune
+            // the scan to the union of the batch's probed shards
+            if (hnswRouted)
+              graft.index.HnswStore.batchTopKRouted(spark, p, indexed, topK,
+                probes = hnswRoutedProbes, efSearch = efSearch)
+            else
+              graft.index.HnswStore.batchTopK(spark, p, indexed, topK,
+                efSearch = efSearch)
           case _ =>
             // filter-first (graphs over qualifying rows only) or
             // post-write: fresh per-partition build over the live rows
@@ -678,6 +715,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           .write.mode(SaveMode.Overwrite)
           .partitionBy("part").parquet(s"$path/hnsw")
         graft.index.HnswStore.copyMeta(spark, p, s"$path/hnsw")
+        graft.index.HnswStore.copyRouting(spark, p, s"$path/hnsw")
       case Some(_) => // already persisted in place
       case None =>
         deletePath(s"$path/hnsw")
@@ -754,6 +792,9 @@ object VectorDb {
       // differently than the index it replaces
       graft.index.HnswStore.readMeta(spark, s"$path/hnsw")
         .foreach { case (_, _, np) => db.hnswNumPartitions = np }
+      // routedness is a property of the layout, detected from its sidecar
+      db.hnswRouted =
+        graft.index.HnswStore.readRouting(spark, s"$path/hnsw").isDefined
     }
     if (pathExists(spark, s"$path/pq_codebooks")) {
       db.pq = Some(quantizerFromRows(

@@ -87,6 +87,13 @@ object HnswStore {
   private[graft] def copyMeta(spark: SparkSession, from: String, to: String): Unit =
     readMeta(spark, from).foreach { case (m, ef, np) => writeMeta(spark, to, m, ef, np) }
 
+  /** Copy the routing sidecar alongside a layout copy (same reason as
+    * [[copyMeta]]) — without it a saved-then-loaded routed index would
+    * silently degrade to the all-shards fan-out. No-op for unrouted
+    * layouts. */
+  private[graft] def copyRouting(spark: SparkSession, from: String, to: String): Unit =
+    readRouting(spark, from).foreach(writeRouting(spark, to, _))
+
   private def writeRouting(spark: SparkSession, path: String,
       centroids: Array[Array[Double]]): Unit = {
     val (fs, p) = hadoopFs(spark, path)

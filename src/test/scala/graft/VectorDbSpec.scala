@@ -70,6 +70,36 @@ class VectorDbSpec extends SparkSpec {
     assertFiltered(db.filteredSearch(q, 10, metadataFilter = pred, method = "hnsw").collect())
   }
 
+  test("routed facade index: builds, serves, survives save/load and maintenance rebuild") {
+    val db = freshDb(400)
+    val q = Seq.fill(8)(5.0)
+    db.buildHnswIndex(numPartitions = 8, routed = true)
+    val routed = db.hnswSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(routed.length === 5)
+    // quality: routed top-5 recovers most of the exact answer
+    val exact = db.bruteForceSearch(q, 5).collect().map(_.getLong(0)).toSet
+    assert(routed.map(_._1).count(exact) >= 4, s"routed ${routed.map(_._1)} vs exact $exact")
+    // batch path routes too and covers every query
+    val batch = db.batchSearch(Seq(q, q.map(_ + 1.0)), 5, method = "hnsw").collect()
+    assert(batch.groupBy(_.getLong(0)).keySet === Set(0L, 1L))
+    // save/load: the routing sidecar travels with the layout (without the
+    // copy a loaded routed index silently degrades to all-shards fan-out)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdb_routed").toString + "/db"
+    db.save(dir)
+    val back = graft.api.VectorDb.load(spark, dir, 8)
+    assert(back.hnswSearch(q, 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === routed, "loaded routed index must serve identically")
+    // a write then maintenance: the rebuild keeps the layout routed
+    back.insert(Seq.fill(8)(9.9), Map("text" -> "new"))
+    back.update(0L, vector = Some(Seq.fill(8)(0.1)))
+    assert(back.maintainIndexes().contains("hnsw_rebuilt"))
+    val after = back.hnswSearch(q, 5).collect()
+    assert(after.length === 5)
+    assert(graft.index.HnswStore.readRouting(spark,
+      back.hnswIndexPath.get).isDefined,
+      "maintenance rebuild must preserve routedness")
+  }
+
   test("persisted-graph filtered search: 2%-selective filter returns full k where overfetch starves") {
     val db = freshDb(300)
     db.buildHnswIndex(numPartitions = 4)
