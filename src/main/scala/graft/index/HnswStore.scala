@@ -338,6 +338,15 @@ object HnswStore {
     graft.store.VersionedLayout.publish(df.sparkSession, root)(dir =>
       save(df, dir, m, efConstruction, numPartitions, vecCol, idCol))
 
+  /** [[saveVersioned]] for the ROUTED layout ([[saveRouted]] under a
+    * versioned root); [[maintainDelta]] detects the sidecar and keeps
+    * rebuilds routed. */
+  def saveRoutedVersioned(df: DataFrame, root: String, numShards: Int = 16,
+      m: Int = 16, efConstruction: Int = 64,
+      vecCol: String = "vector", idCol: String = "id"): String =
+    graft.store.VersionedLayout.publish(df.sparkSession, root)(dir =>
+      saveRouted(df, dir, numShards, m, efConstruction, vecCol, idCol))
+
   /** The live graph version under a versioned root. */
   def currentGraph(spark: SparkSession, root: String): String =
     graft.store.VersionedLayout.currentDir(spark, root)
@@ -392,8 +401,15 @@ object HnswStore {
       (current, false)
     else {
       val (m, ef, np) = readMeta(spark, current).getOrElse((16, 64, 32))
+      // the rebuild preserves the layout KIND: a routed live version
+      // (routing sidecar present) rebuilds routed — fresh k-means +
+      // sidecar over base ∪ delta — else compaction would silently strip
+      // routing and downgrade serving to the all-shards fan-out
+      val routed = readRouting(spark, current).isDefined
       val next = graft.store.VersionedLayout.publish(spark, graphRoot)(dir =>
-        save(base.union(newDelta), dir, m, ef, np))
+        if (routed) saveRouted(base.union(newDelta), dir, numShards = np,
+          m = m, efConstruction = ef)
+        else save(base.union(newDelta), dir, m, ef, np))
       graft.store.Fs.delete(spark, deltaPath)
       (next, true)
     }

@@ -114,6 +114,27 @@ class HnswStoreSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("maintainDelta on a routed root rebuilds ROUTED (sidecar travels through compaction)") {
+    import org.apache.spark.sql.functions.col
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_rmd").toString
+    val root = s"$dir/groot"
+    val base = vecs.where(col("id") % 3 =!= 0)
+    HnswStore.saveRoutedVersioned(base, root, numShards = 4)
+    // a delta big enough to trip the 20% rebuild threshold
+    val deltaPath = s"$dir/delta"
+    vecs.where(col("id") % 3 === 0).select("id", "vector")
+      .write.parquet(deltaPath)
+    val (next, rebuilt) = HnswStore.maintainDelta(spark, root, deltaPath)
+    assert(rebuilt)
+    assert(HnswStore.readRouting(spark, next).isDefined,
+      "compaction must not strip the routing sidecar")
+    // the maintained layout serves routed over base ∪ delta
+    val res = HnswStore.topKRouted(spark, next, VectorModel.Query, 10, probes = 2)
+      .collect()
+    assert(res.length === 10)
+  }
+
   test("hyperparameter sidecar round-trips and governs serving over caller defaults") {
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_meta").toString
