@@ -424,8 +424,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
               .limit(MaxAcceptIds + 1).collect()
             if (probe.length <= MaxAcceptIds) {
               val accept = probe.map(_.getLong(0)).toSet
-              graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
-                efSearch = math.max(efSearch, 2 * topK))
+              if (hnswRouted)
+                graft.index.HnswStore.topKRoutedFiltered(spark, p, query, topK,
+                  accept, probes = hnswRoutedProbes,
+                  efSearch = math.max(efSearch, 2 * topK))
+              else
+                graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
+                  efSearch = math.max(efSearch, 2 * topK))
             } else {
               val fetchK = topK * FilterOverfetch
               val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,

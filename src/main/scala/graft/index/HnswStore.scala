@@ -505,6 +505,31 @@ object HnswStore {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The full serving composition: centroid routing AND beam-threaded
+    * filtering — probe the top-`probes` shards, thread the accept set into
+    * each probed graph's traversal. The two approximations compose their
+    * contracts: results are exactly-filtered (every row accepted), and
+    * recall is bounded by routing (an accepted neighbor in an unprobed
+    * shard is missed — the same trade as unfiltered routing, spec-gated). */
+  def topKRoutedFiltered(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int, acceptIds: scala.collection.Set[Long], probes: Int = 4,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    if (acceptIds.isEmpty)
+      return Seq.empty[(Long, Double)].toDF(idCol, "sim")
+    val model = routingModel(spark, path)
+    val parts = model.probeClusters(query, probes)
+    val q = query.toArray
+    val accept = acceptIds
+    served(spark, path, m, efConstruction, parts = Some(parts))((_, idx) =>
+      idx.searchFiltered(q, k, efSearch, accept.contains).iterator)
+      .toDF(idCol, "sim")
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Centroid-routed batch search over a [[saveRouted]] layout: ONE job for
     * the query set. The scan is pruned to the UNION of every query's probed
     * shards, each restored graph serves only the queries that probed it

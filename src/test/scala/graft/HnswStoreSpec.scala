@@ -114,6 +114,33 @@ class HnswStoreSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("routed + filtered composition: exactly-filtered results from only the probed shards") {
+    import org.apache.spark.sql.functions.col
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_rf").toString
+    HnswStore.saveRouted(vecs, s"$dir/g", numShards = 8)
+    // a ~10%-dense filter: probed shards certainly hold >= k matches
+    val accept = vecs.where(col("id") % 10 === 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val res = HnswStore.topKRoutedFiltered(spark, s"$dir/g", VectorModel.Query, 10,
+      accept, probes = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.length === 10)
+    assert(res.forall(t => accept(t._1)), "every result must satisfy the filter")
+    // composition contract: the routed+filtered result equals filtering the
+    // probed shards exhaustively — i.e. routing decides WHICH graphs, the
+    // threaded predicate is exact within them (compare vs the unrouted
+    // filtered search on a layout holding only the probed shards)
+    val model = graft.index.Ivf.IvfModel(HnswStore.readRouting(spark, s"$dir/g").get)
+    val probed = model.probeClusters(VectorModel.Query, 4).toSet
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/g")
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("part="))
+      .filterNot(s => probed(s.getPath.getName.stripPrefix("part=").toInt))
+      .foreach(s => fs.delete(s.getPath, true))
+    val onProbedOnly = HnswStore.topKFiltered(spark, s"$dir/g", VectorModel.Query, 10,
+      accept).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(res.toSeq === onProbedOnly.toSeq)
+  }
+
   test("maintainDelta on a routed root rebuilds ROUTED (sidecar travels through compaction)") {
     import org.apache.spark.sql.functions.col
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
