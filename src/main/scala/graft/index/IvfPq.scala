@@ -93,11 +93,18 @@ object IvfPq {
   def search(encoded: DataFrame, model: IvfPqModel, query: Seq[Double], topK: Int,
       refineFrom: Option[DataFrame] = None, refineFactor: Int = 4,
       vecCol: String = "vector", idCol: String = "id",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
     require(filter.isEmpty || refineFrom.nonEmpty,
       "filtered IVF-PQ search needs refineFrom (the filter applies to raw rows)")
-    val nProbes = math.max(model.ivf.k / 2, 8)
-    val probes = model.ivf.probeClusters(query, nProbes)
+    // `sizes` switches probing to the ADAPTIVE candidate-mass walk
+    // ([[Ivf.IvfModel.probeClustersAdaptive]]) — the composed path then
+    // prunes BOTH ways: fewer probed partitions AND m-byte codes per row;
+    // default stays the reference's fixed max(k/2, 8)
+    val probes = sizes match {
+      case Some(sz) => model.ivf.probeClustersAdaptive(query, sz, overscan.toLong * topK)
+      case None => model.ivf.probeClusters(query, math.max(model.ivf.k / 2, 8))
+    }
     val q = query.toArray
     val m = model.pq.m
     val subDim = model.pq.subDim

@@ -269,6 +269,28 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ adaptive probing: near-fixed recall at a fraction of the probed partitions") {
+    import graft.index.IvfPq
+    val (encoded, model) = IvfPq.build(lineVecs, 8)
+    val sizes = Ivf.clusterSizes(encoded)
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
+    val fixed = IvfPq.search(encoded, model, VectorModel.Query, 10,
+      refineFrom = Some(lineVecs))
+    val adaptive = IvfPq.search(encoded, model, VectorModel.Query, 10,
+      refineFrom = Some(lineVecs), sizes = Some(sizes))
+    val rFixed = Recall.recallAtK(exact, fixed, "id")
+    val rAdaptive = Recall.recallAtK(exact, adaptive, "id")
+    val probed = model.ivf.probeClustersAdaptive(VectorModel.Query, sizes, 16L * 10)
+    info(s"IVF-PQ adaptive recall $rAdaptive over ${probed.size} probes (fixed $rFixed over 8)")
+    // the subject is the PROBING knob composing into the IVFADC path —
+    // adaptive must not lose recall vs fixed while probing a fraction of
+    // the partitions. (Absolute PQ recall on this degenerate 8-dim
+    // fixture is poor for BOTH paths; quantization quality gates are the
+    // embeddings-based IVF-PQ tests above.)
+    assert(probed.size < 8)
+    assert(rAdaptive >= rFixed - 0.1)
+  }
+
   test("IVF drift signal rises on distribution shift, guiding the refit decision") {
     val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
     val base = Ivf.meanAssignmentDistance(assigned, model, "embedding")
