@@ -191,8 +191,18 @@ object StreamingIngest {
   def hnswDeltaSearch(spark: SparkSession, graphPath: String, deltaPath: String,
       query: Seq[Double], k: Int, efSearch: Int = 128,
       vecCol: String = "vector", idCol: String = "id"): DataFrame = {
-    val graphCand = graft.index.HnswStore.topK(
-      spark, graphPath, query, k, efSearch = efSearch, idCol = idCol)
+    // a routed layout serves its graph leg routed (top half of the shards
+    // probed, rest pruned — [[graft.index.HnswStore.topKRouted]]); the
+    // delta leg is an exact scan either way
+    val graphCand = graft.index.HnswStore.readRouting(spark, graphPath) match {
+      case Some(centroids) =>
+        graft.index.HnswStore.topKRouted(spark, graphPath, query, k,
+          probes = math.max(2, centroids.length / 2), efSearch = efSearch,
+          idCol = idCol)
+      case None =>
+        graft.index.HnswStore.topK(
+          spark, graphPath, query, k, efSearch = efSearch, idCol = idCol)
+    }
     if (!graft.store.Fs.exists(spark, deltaPath)) return graphCand
     val deltaScored = spark.read.parquet(deltaPath)
       .withColumn("sim", round(

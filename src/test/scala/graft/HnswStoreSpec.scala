@@ -162,6 +162,25 @@ class HnswStoreSpec extends SparkSpec {
     assert(res.length === 10)
   }
 
+  test("streamed delta over a routed root: graph leg routes, delta winner still surfaces") {
+    import org.apache.spark.sql.functions._
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_sdr").toString
+    val root = s"$dir/groot"
+    HnswStore.saveRoutedVersioned(vecs, root, numShards = 4)
+    val current = HnswStore.currentGraph(spark, root)
+    // plant a delta row that is the exact query vector: it must win rank 1
+    // through the merge even though no graph holds it
+    val planted = 999999999L
+    spark.range(1).select(lit(planted).as("id"),
+      array(VectorModel.Query.map(lit): _*).as("vector"))
+      .write.parquet(s"$dir/delta")
+    val res = graft.streaming.StreamingIngest.hnswDeltaSearch(
+      spark, current, s"$dir/delta", VectorModel.Query, 5).collect()
+    assert(res.length === 5)
+    assert(res.head.getLong(0) === planted, "delta row identical to the query must rank first")
+  }
+
   test("hyperparameter sidecar round-trips and governs serving over caller defaults") {
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_meta").toString
