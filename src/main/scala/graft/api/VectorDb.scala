@@ -357,10 +357,18 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   private val FilterOverfetch = 3
 
   /** Largest qualifying-id set the filtered clean-index path will collect
-    * to the driver for beam-threaded traversal; a filter matching more
-    * rows is non-selective and serves via overfetch + post-filter, which
-    * cannot starve at that match density. */
-  private val MaxAcceptIds = 100000
+    * to the driver for beam-threaded traversal (overridable via
+    * `spark.graft.hnsw.maxAcceptIds` — tests exercise the Bloom tier by
+    * lowering it); past this, a still-selective filter serves via a Bloom
+    * filter of the qualifying ids, and a non-selective one via
+    * overfetch + post-filter, which cannot starve at that density. */
+  private def MaxAcceptIds: Int =
+    spark.conf.getOption("spark.graft.hnsw.maxAcceptIds")
+      .map(_.toInt).getOrElse(100000)
+
+  /** Match fraction at or below which a too-big-for-the-driver filter
+    * still counts as selective (Bloom tier); above it overfetch wins. */
+  private val BloomSelectivity = 0.1
 
   /** S2 `hnsw_search`: over the persisted graphs when [[buildHnswIndex]]
     * was called (and no write invalidated it), else a fresh per-partition
@@ -409,28 +417,51 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             graft.index.HnswStore.topK(spark, p, query, topK,
               efSearch = math.max(efSearch, 2 * topK))
           case Some(f) =>
-            // resolve qualifying ids with ONE pushed-down scan (id
-            // projection only) — but BOUNDED: beam-threading wants the
-            // id set on the driver, which is only sane for the selective
-            // filters that actually starve the overfetch path. The
-            // limit-probe collects at most MaxAcceptIds+1 rows; past the
-            // bound the filter is non-selective, the overfetch path
-            // cannot starve (≥ topK matches in any 3·topK candidate
-            // neighborhood is near-certain at that density), and it
-            // avoids materializing half the corpus on the driver. (A
-            // Bloom filter over qualifying ids is the warehouse-scale
-            // middle ground — see HnswStore.topKFiltered.)
-            val probe = data.where(f).select("id")
-              .limit(MaxAcceptIds + 1).collect()
-            if (probe.length <= MaxAcceptIds) {
-              val accept = probe.map(_.getLong(0)).toSet
+            // three-tier dispatch by filter selectivity (one aggregate
+            // resolves both counts):
+            //  - ≤ maxAcceptIds matches → EXACT id set threaded into the
+            //    beam (the starvation-proof path; the set is small exactly
+            //    when it is needed);
+            //  - selective but too many ids for the driver → a BLOOM
+            //    filter of the qualifying ids (one distributed pass,
+            //    megabytes at any corpus size) threads into the beam; its
+            //    rare false positives are removed by an exact re-check of
+            //    the 2·topK fetched candidates;
+            //  - non-selective → the reference's overfetch-then-filter,
+            //    which cannot starve at that match density and costs no
+            //    extra pass.
+            val counts = data.agg(
+              org.apache.spark.sql.functions.count(lit(1)),
+              org.apache.spark.sql.functions.count(when(f, 1))).head
+            val n = math.max(1L, counts.getLong(0))
+            val c = counts.getLong(1)
+            val ef2k = math.max(efSearch, 2 * topK)
+            if (c == 0L) {
+              import spark.implicits._
+              Seq.empty[(Long, Double)].toDF("id", "sim")
+            } else if (c <= MaxAcceptIds) {
+              val accept = data.where(f).select("id")
+                .collect().map(_.getLong(0)).toSet
               if (hnswRouted)
                 graft.index.HnswStore.topKRoutedFiltered(spark, p, query, topK,
-                  accept, probes = hnswRoutedProbes,
-                  efSearch = math.max(efSearch, 2 * topK))
+                  accept, probes = hnswRoutedProbes, efSearch = ef2k)
               else
                 graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
-                  efSearch = math.max(efSearch, 2 * topK))
+                  efSearch = ef2k)
+            } else if (c.toDouble / n <= BloomSelectivity) {
+              val bloom = data.where(f).stat.bloomFilter("id", c, 0.01)
+              val parts = if (hnswRouted)
+                Some(graft.index.Ivf.IvfModel(
+                  graft.index.HnswStore.readRouting(spark, p).get)
+                  .probeClusters(query, hnswRoutedProbes))
+              else None
+              val cand = graft.index.HnswStore.topKFilteredApprox(spark, p, query,
+                2 * topK, bloom.mightContain(_: Long), parts, efSearch = ef2k)
+              data.join(broadcast(cand), "id")
+                .where(f)
+                .orderBy(col("sim").desc, col("id").asc)
+                .limit(topK)
+                .select("id", "sim")
             } else {
               val fetchK = topK * FilterOverfetch
               val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,

@@ -477,14 +477,33 @@ object HnswStore {
     // just to return zero rows
     if (acceptIds.isEmpty)
       return Seq.empty[(Long, Double)].toDF(idCol, "sim")
-    val q = query.toArray
     val accept = acceptIds // stable local capture for the task closure
-    served(spark, path, m, efConstruction)((_, idx) =>
-      idx.searchFiltered(q, k, efSearch, accept.contains).iterator)
+    topKFilteredApprox(spark, path, query, k, accept.contains, parts = None,
+      m = m, efConstruction = efConstruction, efSearch = efSearch, idCol = idCol)
+  }
+
+  /** Beam-threaded search behind an APPROXIMATE membership test — the
+    * warehouse-scale middle ground between an exact driver-side id set
+    * (collapses past ~10⁵ qualifying rows) and blind overfetch (starves
+    * under selective filters): pass a Bloom filter's `mightContain` built
+    * from ONE distributed pass over the qualifying ids (`df.stat
+    * .bloomFilter` — megabytes for hundreds of millions of ids at 1% fpp,
+    * shipped once per task). False positives admit a few non-matching
+    * candidates into the result, so the CALLER re-checks exactly and
+    * should fetch a small multiple of k (fpp·ef extra rows expected).
+    * `parts` composes shard routing like the other filtered paths. */
+  def topKFilteredApprox(spark: SparkSession, path: String, query: Seq[Double],
+      fetchK: Int, accept: Long => Boolean, parts: Option[Seq[Int]] = None,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    served(spark, path, m, efConstruction, parts = parts)((_, idx) =>
+      idx.searchFiltered(q, fetchK, efSearch, accept).iterator)
       .toDF(idCol, "sim")
       .withColumn("sim", round(col("sim"), 6))
       .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
+      .limit(fetchK)
   }
 
   /** Batch search over the persisted graphs: each graph restores ONCE for
@@ -520,14 +539,9 @@ object HnswStore {
       return Seq.empty[(Long, Double)].toDF(idCol, "sim")
     val model = routingModel(spark, path)
     val parts = model.probeClusters(query, probes)
-    val q = query.toArray
     val accept = acceptIds
-    served(spark, path, m, efConstruction, parts = Some(parts))((_, idx) =>
-      idx.searchFiltered(q, k, efSearch, accept.contains).iterator)
-      .toDF(idCol, "sim")
-      .withColumn("sim", round(col("sim"), 6))
-      .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
+    topKFilteredApprox(spark, path, query, k, accept.contains, Some(parts),
+      m = m, efConstruction = efConstruction, efSearch = efSearch, idCol = idCol)
   }
 
   /** Centroid-routed batch search over a [[saveRouted]] layout: ONE job for

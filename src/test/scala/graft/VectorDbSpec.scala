@@ -100,6 +100,24 @@ class VectorDbSpec extends SparkSpec {
       "maintenance rebuild must preserve routedness")
   }
 
+  test("bloom tier: selective filter past the driver-set bound serves beam-threaded via a Bloom filter") {
+    val db = freshDb(300)
+    db.buildHnswIndex(numPartitions = 4)
+    val q = Seq.fill(8)(5.0)
+    val pred = col("id") % 15 === 0 // 20 of 300 rows: selective (6.7%)
+    try {
+      // force the exact-set tier off: 20 qualifying ids > maxAcceptIds=3,
+      // and 6.7% <= the 10% Bloom selectivity bound -> the Bloom tier
+      spark.conf.set("spark.graft.hnsw.maxAcceptIds", "3")
+      val res = db.hnswSearch(q, 5, filter = Some(pred)).collect()
+      assert(res.length === 5, s"bloom tier must fill k, got ${res.length}")
+      assert(res.forall(_.getLong(0) % 15 == 0),
+        "false positives must be removed by the exact re-check")
+      val exact = db.bruteForceSearch(q, 5, Some(pred)).collect().map(_.getLong(0)).toSet
+      assert(res.map(_.getLong(0)).count(exact) >= 4, "bloom-tier recall")
+    } finally spark.conf.unset("spark.graft.hnsw.maxAcceptIds")
+  }
+
   test("persisted-graph filtered search: 2%-selective filter returns full k where overfetch starves") {
     val db = freshDb(300)
     db.buildHnswIndex(numPartitions = 4)
