@@ -417,8 +417,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             graft.index.HnswStore.topK(spark, p, query, topK,
               efSearch = math.max(efSearch, 2 * topK))
           case Some(f) =>
-            // three-tier dispatch by filter selectivity (one aggregate
-            // resolves both counts):
+            // three-tier dispatch by filter selectivity. The common
+            // selective case pays ONE pushed-down id scan (the limit-probe
+            // doubles as the accept set, as before the tiers existed);
+            // only the overflow cases pay a counting aggregate to split
+            // Bloom vs overfetch:
             //  - ≤ maxAcceptIds matches → EXACT id set threaded into the
             //    beam (the starvation-proof path; the set is small exactly
             //    when it is needed);
@@ -427,50 +430,57 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             //    megabytes at any corpus size) threads into the beam; its
             //    rare false positives are removed by an exact re-check of
             //    the 2·topK fetched candidates;
-            //  - non-selective → the reference's overfetch-then-filter,
-            //    which cannot starve at that match density and costs no
-            //    extra pass.
-            val counts = data.agg(
-              org.apache.spark.sql.functions.count(lit(1)),
-              org.apache.spark.sql.functions.count(when(f, 1))).head
-            val n = math.max(1L, counts.getLong(0))
-            val c = counts.getLong(1)
+            //  - non-selective → overfetch-then-filter with the fetch
+            //    scaled by the measured match density (a FIXED 3k fetch
+            //    starves just above the Bloom cutoff: at 11% density it
+            //    yields ~0.33·topK matches), bounded by density > 10% to
+            //    ≤ 30·topK candidates.
             val ef2k = math.max(efSearch, 2 * topK)
-            if (c == 0L) {
+            def routedParts: Option[Seq[Int]] = if (hnswRouted)
+              Some(graft.index.HnswStore.probedShards(spark, p, query, hnswRoutedProbes))
+            else None
+            def rerank(cand: DataFrame): DataFrame =
+              data.join(broadcast(cand), "id")
+                .where(f)
+                .orderBy(col("sim").desc, col("id").asc)
+                .limit(topK)
+                .select("id", "sim")
+            val probe = data.where(f).select("id")
+              .limit(MaxAcceptIds + 1).collect()
+            if (probe.isEmpty) {
               import spark.implicits._
               Seq.empty[(Long, Double)].toDF("id", "sim")
-            } else if (c <= MaxAcceptIds) {
-              val accept = data.where(f).select("id")
-                .collect().map(_.getLong(0)).toSet
+            } else if (probe.length <= MaxAcceptIds) {
+              val accept = probe.map(_.getLong(0)).toSet
               if (hnswRouted)
                 graft.index.HnswStore.topKRoutedFiltered(spark, p, query, topK,
                   accept, probes = hnswRoutedProbes, efSearch = ef2k)
               else
                 graft.index.HnswStore.topKFiltered(spark, p, query, topK, accept,
                   efSearch = ef2k)
-            } else if (c.toDouble / n <= BloomSelectivity) {
-              val bloom = data.where(f).stat.bloomFilter("id", c, 0.01)
-              val parts = if (hnswRouted)
-                Some(graft.index.Ivf.IvfModel(
-                  graft.index.HnswStore.readRouting(spark, p).get)
-                  .probeClusters(query, hnswRoutedProbes))
-              else None
-              val cand = graft.index.HnswStore.topKFilteredApprox(spark, p, query,
-                2 * topK, bloom.mightContain(_: Long), parts, efSearch = ef2k)
-              data.join(broadcast(cand), "id")
-                .where(f)
-                .orderBy(col("sim").desc, col("id").asc)
-                .limit(topK)
-                .select("id", "sim")
             } else {
-              val fetchK = topK * FilterOverfetch
-              val cand = graft.index.HnswStore.topK(spark, p, query, fetchK,
-                efSearch = math.max(efSearch, 2 * fetchK))
-              data.join(broadcast(cand), "id")
-                .where(f)
-                .orderBy(col("sim").desc, col("id").asc)
-                .limit(topK)
-                .select("id", "sim")
+              val counts = data.agg(
+                org.apache.spark.sql.functions.count(lit(1)),
+                org.apache.spark.sql.functions.count(when(f, 1))).head
+              val n = math.max(1L, counts.getLong(0))
+              val c = math.max(1L, counts.getLong(1))
+              if (c.toDouble / n <= BloomSelectivity) {
+                val bloom = data.where(f).stat.bloomFilter("id", c, 0.01)
+                rerank(graft.index.HnswStore.topKFilteredApprox(spark, p, query,
+                  2 * topK, bloom.mightContain(_: Long), routedParts,
+                  efSearch = ef2k))
+              } else {
+                val fetchK = (topK.toLong * FilterOverfetch * n / c).toInt
+                val cand =
+                  if (hnswRouted)
+                    graft.index.HnswStore.topKRouted(spark, p, query, fetchK,
+                      probes = hnswRoutedProbes,
+                      efSearch = math.max(efSearch, 2 * fetchK))
+                  else
+                    graft.index.HnswStore.topK(spark, p, query, fetchK,
+                      efSearch = math.max(efSearch, 2 * fetchK))
+                rerank(cand)
+              }
             }
         }
       case Some(p) =>

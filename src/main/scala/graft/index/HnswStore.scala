@@ -456,6 +456,14 @@ object HnswStore {
     Ivf.IvfModel(readRouting(spark, path).getOrElse(throw new IllegalStateException(
       s"no routing sidecar at $path — routed serving needs a saveRouted layout")))
 
+  /** The top-`probes` shard ids for `query` on a routed layout — the probe
+    * resolution every routed serving path uses, exposed so callers
+    * composing their own filtered variants (e.g. the facade's Bloom tier
+    * over [[topKFilteredApprox]]) don't reach into the sidecar format. */
+  private[graft] def probedShards(spark: SparkSession, path: String,
+      query: Seq[Double], probes: Int): Seq[Int] =
+    routingModel(spark, path).probeClusters(query, probes)
+
   /** Filter-aware top-k over the persisted graphs: `acceptIds` is threaded
     * into each graph's beam search ([[HnswIndex.searchFiltered]]), so the
     * beam keeps expanding until it holds k MATCHING results — a selective

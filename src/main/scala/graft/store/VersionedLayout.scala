@@ -91,18 +91,21 @@ private[graft] object VersionedLayout {
     val (fs, rp) = fsRoot(spark, root)
     fs.mkdirs(rp)
     val lock = new org.apache.hadoop.fs.Path(rp, LockName)
-    try {
-      val out = fs.create(lock, /* overwrite = */ false)
-      // owner evidence INSIDE the lock, so the operator deciding whether a
-      // holder is alive (the one manual step a kill-9'd publish leaves —
-      // an automatic staleness bound would break a legitimately long
-      // write) sees who took it and when, not just that it exists
-      try out.write(
-        (s"pid=${ProcessHandle.current().pid()}\n" +
-          s"host=${java.net.InetAddress.getLocalHost.getHostName}\n" +
-          s"epochMs=${System.currentTimeMillis()}\n").getBytes("UTF-8"))
-      finally out.close()
-    } catch {
+    // owner evidence INSIDE the lock, so the operator deciding whether a
+    // holder is alive (the one manual step a kill-9'd publish leaves — an
+    // automatic staleness bound would break a legitimately long write)
+    // sees who took it and when. Built BEFORE the create, and written
+    // under a separate failure domain: only the CREATE failing means
+    // contention — a failed evidence write (disk full, host resolution)
+    // must release the lock we just took and report itself, not masquerade
+    // as a concurrent writer and wedge the root.
+    val evidence =
+      s"pid=${ProcessHandle.current().pid()}\n" +
+        s"host=${try java.net.InetAddress.getLocalHost.getHostName
+          catch { case _: java.io.IOException => "<unknown>" }}\n" +
+        s"epochMs=${System.currentTimeMillis()}\n"
+    val out = try fs.create(lock, /* overwrite = */ false)
+    catch {
       case e: java.io.IOException =>
         val holder = try {
           val in = fs.open(lock)
@@ -114,6 +117,13 @@ private[graft] object VersionedLayout {
             s"(holder: $holder) — another publish is in flight, or a previous " +
             "one died holding it (verify that process is gone, then use " +
             "VersionedLayout.forceUnlock to recover)", e)
+    }
+    try { out.write(evidence.getBytes("UTF-8")); out.close() }
+    catch {
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        fs.delete(lock, false)
+        throw e
     }
     try {
       val existing = versionsOf(fs, rp)
