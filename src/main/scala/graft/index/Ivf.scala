@@ -419,13 +419,21 @@ object Ivf {
     * aggregator, shuffling at most k rows per (query, task). */
   def batchSearch(assigned: DataFrame, model: IvfModel,
       queries: Seq[(Long, Seq[Double])], topK: Int,
-      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+      vecCol: String = "vector", idCol: String = "id",
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
     val nProbes = math.max(model.k / 2, 8)
+    // `sizes` switches every query's probe list to the adaptive
+    // candidate-mass walk — the join volume then scales with each
+    // query's actual candidate need instead of |queries|·nProbes
+    def probesOf(q: Seq[Double]): Seq[Int] = sizes match {
+      case Some(sz) => model.probeClustersAdaptive(q, sz, overscan.toLong * topK)
+      case None => model.probeClusters(q, nProbes)
+    }
     val probeRows = queries.flatMap { case (qid, q) =>
-      model.probeClusters(q, nProbes).map(c => Row(qid, c, q))
+      probesOf(q).map(c => Row(qid, c, q))
     }
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows),

@@ -157,16 +157,24 @@ object IvfPq {
   def batchSearch(encoded: DataFrame, model: IvfPqModel,
       queries: Seq[(Long, Seq[Double])], topK: Int, refineFrom: DataFrame,
       refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = encoded.sparkSession
     val nProbes = math.max(model.ivf.k / 2, 8)
     val m = model.pq.m
     val subDim = model.pq.subDim
+    // `sizes` = per-query adaptive probing (see [[search]]) — fewer probed
+    // (query, cluster) pairs means fewer LUTs shipped AND a smaller
+    // probe join, the batch path's two per-query costs
+    def probesOf(q: Seq[Double]): Seq[Int] = sizes match {
+      case Some(sz) => model.ivf.probeClustersAdaptive(q, sz, overscan.toLong * topK)
+      case None => model.ivf.probeClusters(q, nProbes)
+    }
     val luts: Map[(Long, Int), Array[Array[Double]]] = (for {
       (qid, q) <- queries
-      cl <- model.ivf.probeClusters(q, nProbes)
+      cl <- probesOf(q)
     } yield {
       val cent = model.ivf.centroids(cl)
       val qa = q.toArray

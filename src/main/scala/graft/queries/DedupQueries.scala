@@ -253,6 +253,41 @@ object DedupQueries {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** SEMANTIC dedup keepers (the SemDeDup-style pruning stage a training
+    * pipeline runs over embeddings, composing two gated operators): the
+    * exact embedding-cosine near-dup pairs become an undirected graph,
+    * every vector is labeled with its connected component (min reachable
+    * id — [[Dedup.connectedComponents]], the same min-label propagation
+    * as the text-side keepers), and `kept = 1` marks the component
+    * representative — the rows a semantic prune retains. Unlike
+    * text-level dedup this removes MEANING-level duplicates (paraphrases,
+    * re-encodings) that share no n-grams. */
+  def semanticKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      "label", VectorModel.EmbDim, 0.4, broadcastBuild = false)
+      .select(col("da"), col("db"))
+    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+      .withColumn("kept", (col("vec_id") === col("component")).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  /** Recursive-CTE mirror over the embedding-pair oracle nested verbatim
+    * (the [[componentsSql]] pattern) — the gate covers the whole
+    * composition: exact cosines, thresholding, reachability closure,
+    * min-label components, keeper flags. */
+  lazy val semanticKeepersSql: String =
+    s"""WITH RECURSIVE pairs AS ($embeddingCosineSql),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT v AS vec_id, min(r) AS component,
+       |  CAST(CASE WHEN v = min(r) THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
+
   /** Build-once/serve-many MLlib MinHashLSH artifact: the shingle-feature
     * projection (cached — ML `VectorUDT` features, the model-registry
     * shape) plus the fitted model. Exposed so Bench times it as
@@ -345,7 +380,8 @@ object DedupQueries {
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhashPairs _),
-    "dd_embedding_cosine" -> (embeddingCosine _))
+    "dd_embedding_cosine" -> (embeddingCosine _),
+    "dd_semantic_keepers" -> (semanticKeepers _))
 
   val oracleSql: Map[String, String] = Map(
     "dd_cjk_ngram" -> cjkNgramDedupSql,
@@ -356,5 +392,6 @@ object DedupQueries {
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
     "dd_simhash" -> simhashPairsSql,
-    "dd_embedding_cosine" -> embeddingCosineSql)
+    "dd_embedding_cosine" -> embeddingCosineSql,
+    "dd_semantic_keepers" -> semanticKeepersSql)
 }

@@ -291,6 +291,36 @@ class RecallSpec extends SparkSpec {
     assert(rAdaptive >= rFixed - 0.1)
   }
 
+  test("adaptive batch equals per-query adaptive search (IVF and IVF-PQ)") {
+    import graft.index.IvfPq
+    val (assigned, model) = Ivf.fit(lineVecs)
+    val sizes = Ivf.clusterSizes(assigned)
+    val queries = (0 until 3).map(s =>
+      (s.toLong, Seq(25.0 + s, 30.0, 0.5, 0.5, 0.5, 0.5, 0.5, 1.0 + s)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val batch = rows(Ivf.batchSearch(assigned, model, queries, 5, sizes = Some(sizes)))
+    val single = queries.flatMap { case (qid, q) =>
+      Ivf.searchAdaptive(assigned, model, q, 5, sizes)
+        .select("id", "sim").collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(batch === single)
+    assert(batch.nonEmpty)
+    val (encoded, pqModel) = IvfPq.build(lineVecs, 8)
+    val pqSizes = Ivf.clusterSizes(encoded)
+    val pqBatch = rows(IvfPq.batchSearch(encoded, pqModel, queries, 5,
+      refineFrom = lineVecs, sizes = Some(pqSizes)))
+    val pqSingle = queries.flatMap { case (qid, q) =>
+      IvfPq.search(encoded, pqModel, q, 5,
+        refineFrom = Some(lineVecs), sizes = Some(pqSizes))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1)) }
+    }.sorted.toSeq
+    assert(pqBatch === pqSingle)
+    assert(pqBatch.nonEmpty)
+  }
+
   test("IVF drift signal rises on distribution shift, guiding the refit decision") {
     val (assigned, model) = Ivf.fit(embeddings, vecCol = "embedding", idCol = "vec_id")
     val base = Ivf.meanAssignmentDistance(assigned, model, "embedding")
