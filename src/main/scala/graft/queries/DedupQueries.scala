@@ -272,6 +272,27 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** The LABEL-FREE scale twin of [[semanticKeepers]]: pair discovery via
+    * the IVF-bucketed self-join ([[Dedup.embeddingNearDupPairsBucketed]] —
+    * learned blocking, multi-probe boundary handling, no all-pairs join,
+    * no block column required) feeding the same components → keepers
+    * composition. This is the variant a 100 TB corpus actually runs: the
+    * exact stage's label blocking assumes a partition key that usually
+    * doesn't exist, and without one the exact pair join is quadratic.
+    * Approximate in PAIR RECALL only (reported keepers are exact given
+    * the discovered pairs) → rows-only in the driver contract; DedupSpec
+    * gates keeper agreement against the exact stage. */
+  def semanticKeepersBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = VectorModel.embeddings(spark, dir)
+    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    val pairs = Dedup.embeddingNearDupPairsBucketed(emb, model,
+      "vec_id", "embedding", 0.4, nProbes = 4)
+      .select(col("da"), col("db"))
+    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+      .withColumn("kept", (col("vec_id") === col("component")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Recursive-CTE mirror over the embedding-pair oracle nested verbatim
     * (the [[componentsSql]] pattern) — the gate covers the whole
     * composition: exact cosines, thresholding, reachability closure,
@@ -381,7 +402,8 @@ object DedupQueries {
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_simhash" -> (simhashPairs _),
     "dd_embedding_cosine" -> (embeddingCosine _),
-    "dd_semantic_keepers" -> (semanticKeepers _))
+    "dd_semantic_keepers" -> (semanticKeepers _),
+    "dd_semantic_ivf" -> (semanticKeepersBucketed _))
 
   val oracleSql: Map[String, String] = Map(
     "dd_cjk_ngram" -> cjkNgramDedupSql,

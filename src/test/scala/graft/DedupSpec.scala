@@ -146,6 +146,48 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"bucketed recall $recall below 0.7 (${got.length}/${truth.size})")
   }
 
+  test("semantic keepers: both stages judged against all-pairs ground-truth keepers") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupQueries
+    // ground truth: all-pairs components at the same threshold, driver-side
+    // union-find — NEITHER registered stage sees every pair (the oracle
+    // stage is label-blocked, the scale twin IVF-blocked), so truth is the
+    // only fair judge; notably the label-free twin can DISCOVER cross-label
+    // pairs the label-blocked stage structurally cannot
+    val rows = graft.model.VectorModel.embeddings(spark, Sf0001)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if graft.harness.Recall.cosine(rows(i)._2, rows(j)._2) >= 0.4
+    } {
+      val (ra, rb) = (find(rows(i)._1), find(rows(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truthKept = rows.map(r => r._1 -> (if (find(r._1) == r._1) 1 else 0)).toMap
+    assert(truthKept.valuesIterator.sum < truthKept.size,
+      "fixture must contain semantic duplicates to prune")
+    def keepers(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def agreement(got: Map[Long, Int]): Double =
+      truthKept.count { case (id, k) => got(id) == k }.toDouble / truthKept.size
+    val exactAgree = agreement(keepers(DedupQueries.semanticKeepers(spark, Sf0001)))
+    val bucketedAgree = agreement(keepers(DedupQueries.semanticKeepersBucketed(spark, Sf0001)))
+    info(s"keeper agreement vs all-pairs truth: label-blocked=$exactAgree ivf-bucketed=$bucketedAgree")
+    // measured: the LEARNED blocking nearly matches truth (0.986) while
+    // the label-blocked stage caps at 0.878 — label blocking structurally
+    // misses every cross-label duplicate, which is exactly why the
+    // label-free twin is the deployable one; the blocked stage's value is
+    // being DuckDB-oracle-expressible (exact values for its pair set)
+    assert(bucketedAgree >= 0.95, "learned blocking should nearly match truth")
+    assert(exactAgree >= 0.85)
+    assert(bucketedAgree > exactAgree,
+      "the scale path should not be worse than the label-blocked stage here")
+  }
+
   test("embedding near-dup: shuffle-join scale path equals the broadcast path") {
     // broadcastBuild=false is what runs past the broadcast/driver limit —
     // it must produce the identical pair set (values included)
