@@ -339,21 +339,41 @@ object Dedup {
     * keeper assignment a dedup pipeline needs after pair generation
     * (keep rows where id == component, drop the rest).
     *
-    * Iterative min-label propagation to a fixed point: each round joins
-    * the (symmetrized) edge list to the current labels and takes the
-    * elementwise min with the neighbors' labels. Rounds = component
-    * diameter; near-dup components are star-/clique-shaped (a cluster of
-    * copies of one document), so this converges in a handful of rounds —
-    * the regime where plain propagation beats the O(log n)
-    * alternating-star algorithms that pay extra shuffles per round. Each
-    * round is one shuffle join + one aggregation on (vertex, label) pairs
-    * — never materializes anything larger than V + E. Deterministic:
-    * integer min over a fixed edge set.
+    * Iterative min-label propagation to a fixed point, with POINTER
+    * JUMPING: each round (a) joins the (symmetrized) edge list to the
+    * current labels and takes the elementwise min with the neighbors'
+    * labels, then (b) follows the resulting label one more hop to ITS
+    * current label — so label information moves two levels per round and
+    * convergence is O(log diameter) instead of O(diameter). Near-dup
+    * components are usually star-/clique-shaped (2–3 rounds either way),
+    * but chain-shaped graphs — the semantic-dedup pair graph measured
+    * ~15+ plain rounds at sf0.1 — collapse to a handful. Each round is
+    * two shuffle joins + one aggregation on (vertex, label) pairs —
+    * never materializes anything larger than V + E. Deterministic:
+    * integer min over a fixed edge set; the fixed point (min id of the
+    * component) is unchanged by jumping.
     *
     * `maxIter` bounds pathological chain-shaped graphs; hitting it throws
-    * rather than returning a partial labeling. */
+    * rather than returning a partial labeling.
+    *
+    * PLAN growth is bounded independently of DATA growth: each round's
+    * logical plan references the previous round's twice (labels feeds
+    * both the neighbor-min join and the update join), so the plan tree
+    * DOUBLES per iteration — caching materializes the data but not the
+    * plan, and on a chain-shaped graph needing ~15+ rounds the driver
+    * dies formatting a 2^15-node plan string (measured: OOM at sf0.1 on
+    * the semantic-dedup graph) before any executor breaks a sweat. Every
+    * [[TruncateEvery]] rounds the labels are written to scratch parquet
+    * and re-read, resetting the lineage to a flat scan — the standard
+    * checkpoint trick of iterative graph algorithms, on the cluster-
+    * visible filesystem (recomputable-from-disk, unlike localCheckpoint
+    * whose blocks die with an executor). */
+  private val TruncateEvery = 3
+
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    lazy val ccScratch = graft.store.Fs.scratchDir(spark, "graft_cc")
     val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
       .union(pairs.select(col("db").cast("long").as("src"), col("da").cast("long").as("dst")))
       .cache()
@@ -379,10 +399,21 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels
+      val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "doc2"), col("doc") === col("doc2"))
         .select(col("doc"), col("label"),
-          least(col("label"), col("nbr_label")).as("new_label"))
+          least(col("label"), col("nbr_label")).as("prop_label"))
+      // pointer jump on the PROPAGATED labels (label-of-label within this
+      // round — composing with the pre-round labels would lag a step and
+      // jump nowhere): reachable-min distance then DOUBLES per round.
+      // Left join, since the minimum vertex of a component labels itself
+      // and has no strictly-smaller parent to follow.
+      val updated = propagated
+        .join(propagated.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
+          col("prop_label") === col("p_doc"), "left")
+        .select(col("doc"), col("label"),
+          least(col("prop_label"),
+            coalesce(col("p_label"), col("prop_label"))).as("new_label"))
         .cache()
       // ONE driver action per round: materializes `updated` and reads the
       // change count off it; the next round's labels read the same cache
@@ -390,8 +421,20 @@ object Dedup {
         .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
         .head.getLong(0)
       prevRound.unpersist()
-      prevRound = updated
-      labels = updated.select(col("doc"), col("new_label").as("label"))
+      if (changed > 0 && iter % TruncateEvery == TruncateEvery - 1) {
+        // lineage truncation round: flatten the plan through parquet (see
+        // scaladoc) — the read-back frame needs no cache, the files ARE
+        // the materialization
+        val p = s"$ccScratch/labels-$iter"
+        updated.select(col("doc"), col("new_label").as("label"))
+          .write.mode("overwrite").parquet(p)
+        updated.unpersist()
+        labels = spark.read.parquet(p)
+        prevRound = labels
+      } else {
+        prevRound = updated
+        labels = updated.select(col("doc"), col("new_label").as("label"))
+      }
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")

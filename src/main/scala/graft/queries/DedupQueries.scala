@@ -267,7 +267,22 @@ object DedupQueries {
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
       "label", VectorModel.EmbDim, 0.4, broadcastBuild = false)
       .select(col("da"), col("db"))
-    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
+    semanticCc(spark, emb, pairs)
+  }
+
+  /** components → keepers over a MATERIALIZED pair set. The pair pipeline
+    * is written to scratch parquet first (the [[pairLayout]] lesson): the
+    * label-propagation loop references its edge input every iteration,
+    * and nesting a deep self-join lineage ~diameter times blows the
+    * driver's plan bookkeeping (measured: OOM at sf0.1 for the bucketed
+    * pipeline) — a parquet-backed edge list keeps every iteration's plan
+    * flat. */
+  private def semanticCc(spark: SparkSession,
+      emb: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = graft.store.Fs.scratchDir(spark, "graft_semantic_pairs") + "/pairs"
+    pairs.write.mode("overwrite").parquet(p)
+    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id",
+      spark.read.parquet(p))
       .withColumn("kept", (col("vec_id") === col("component")).cast("int"))
       .orderBy("vec_id")
   }
@@ -284,14 +299,23 @@ object DedupQueries {
     * gates keeper agreement against the exact stage. */
   def semanticKeepersBucketed(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
-    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
-    val pairs = Dedup.embeddingNearDupPairsBucketed(emb, model,
+    val pairs = Dedup.embeddingNearDupPairsBucketed(emb, embIvfModel(spark, dir),
       "vec_id", "embedding", 0.4, nProbes = 4)
       .select(col("da"), col("db"))
-    Dedup.connectedComponents(emb.select(col("vec_id")), "vec_id", pairs)
-      .withColumn("kept", (col("vec_id") === col("component")).cast("int"))
-      .orderBy("vec_id")
+    semanticCc(spark, emb, pairs)
   }
+
+  /** The embeddings table's IVF blocking model — a deterministic pure
+    * function of (dir, seed), memoized so the two bucketed consumers
+    * (`dd_embedding_ivf`, `dd_semantic_ivf`) fit once per dataset — the
+    * model-registry shape every other trained artifact here uses. */
+  private[graft] def embIvfModel(spark: SparkSession, dir: String): graft.index.Ivf.IvfModel =
+    embIvfModelCache.computeIfAbsent(dir, _ =>
+      graft.index.Ivf.fit(VectorModel.embeddings(spark, dir),
+        vecCol = "embedding", idCol = "vec_id")._2)
+
+  private val embIvfModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Ivf.IvfModel]()
 
   /** Recursive-CTE mirror over the embedding-pair oracle nested verbatim
     * (the [[componentsSql]] pattern) — the gate covers the whole
@@ -384,9 +408,8 @@ object DedupQueries {
   def embeddingIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
-    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
-    Dedup.embeddingNearDupPairsBucketed(emb, model, "vec_id", "embedding", 0.4,
-      nProbes = 4)
+    Dedup.embeddingNearDupPairsBucketed(emb, embIvfModel(spark, dir),
+      "vec_id", "embedding", 0.4, nProbes = 4)
       .orderBy("da", "db")
   }
 
