@@ -405,15 +405,21 @@ object Dedup {
           least(col("label"), col("nbr_label")).as("prop_label"))
       // pointer jump on the PROPAGATED labels (label-of-label within this
       // round — composing with the pre-round labels would lag a step and
-      // jump nowhere): reachable-min distance then DOUBLES per round.
+      // jump nowhere): reachable-min distance then compounds per round.
       // Left join, since the minimum vertex of a component labels itself
-      // and has no strictly-smaller parent to follow.
-      val updated = propagated
-        .join(propagated.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
-          col("prop_label") === col("p_doc"), "left")
-        .select(col("doc"), col("label"),
-          least(col("prop_label"),
-            coalesce(col("p_label"), col("prop_label"))).as("new_label"))
+      // and has no strictly-smaller parent to follow. Skipped in ROUND 1:
+      // star/clique components (the common near-dup shape) reach their
+      // fixpoint in one plain round, so the jump join there is pure
+      // overhead — chain graphs pay one extra round and keep the
+      // compounding from round 2 on.
+      val updated = (if (iter == 0) propagated.withColumn("new_label", col("prop_label"))
+        else propagated
+          .join(propagated.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
+            col("prop_label") === col("p_doc"), "left")
+          .select(col("doc"), col("label"),
+            least(col("prop_label"),
+              coalesce(col("p_label"), col("prop_label"))).as("new_label")))
+        .select(col("doc"), col("label"), col("new_label"))
         .cache()
       // ONE driver action per round: materializes `updated` and reads the
       // change count off it; the next round's labels read the same cache
