@@ -70,7 +70,9 @@ object Bench {
         "pipe_train_corpus", "pipe_rag_e2e"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
-      (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }))
+      (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
+    ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),
+      (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

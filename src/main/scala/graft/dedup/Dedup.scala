@@ -347,9 +347,9 @@ object Dedup {
     * convergence is O(log diameter) instead of O(diameter). Near-dup
     * components are usually star-/clique-shaped (2–3 rounds either way),
     * but chain-shaped graphs — the semantic-dedup pair graph measured
-    * ~15+ plain rounds at sf0.1 — collapse to a handful. Each round is
-    * two shuffle joins + one aggregation on (vertex, label) pairs —
-    * never materializes anything larger than V + E. Deterministic:
+    * ~15+ plain rounds at sf0.1 — collapse to a handful. Each jump round
+    * is one aggregation + two joins over a cached one-round propagation
+    * frame — never materializes anything larger than V + E. Deterministic:
     * integer min over a fixed edge set; the fixed point (min id of the
     * component) is unchanged by jumping.
     *
@@ -412,9 +412,14 @@ object Dedup {
       // fixpoint in one plain round, so the jump join there is pure
       // overhead — chain graphs pay one extra round and keep the
       // compounding from round 2 on.
-      val updated = (if (iter == 0) propagated.withColumn("new_label", col("prop_label"))
-        else propagated
-          .join(propagated.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
+      // jump rounds cache `propagated` first: the self-join references it
+      // on both sides, and without the cache the whole edges⋈labels
+      // neighbor-min stage above would EXECUTE twice per round (exchange
+      // reuse dedups the shuffle, not the post-shuffle work)
+      val propCached = if (iter == 0) propagated else propagated.cache()
+      val updated = (if (iter == 0) propCached.withColumn("new_label", col("prop_label"))
+        else propCached
+          .join(propCached.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
             col("prop_label") === col("p_doc"), "left")
           .select(col("doc"), col("label"),
             least(col("prop_label"),
@@ -426,6 +431,9 @@ object Dedup {
       changed = updated
         .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
         .head.getLong(0)
+      // updated is materialized now; the intra-round propagation cache
+      // has served both sides of the self-join and is released
+      if (propCached ne propagated) propCached.unpersist()
       prevRound.unpersist()
       if (changed > 0 && iter % TruncateEvery == TruncateEvery - 1) {
         // lineage truncation round: flatten the plan through parquet (see

@@ -420,7 +420,8 @@ object Ivf {
   def batchSearch(assigned: DataFrame, model: IvfModel,
       queries: Seq[(Long, Seq[Double])], topK: Int,
       vecCol: String = "vector", idCol: String = "id",
-      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
+      minProbes: Int = 3): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
@@ -428,8 +429,10 @@ object Ivf {
     // `sizes` switches every query's probe list to the adaptive
     // candidate-mass walk — the join volume then scales with each
     // query's actual candidate need instead of |queries|·nProbes
+    // (minProbes mirrors [[searchAdaptive]], keeping batch==single parity
+    // at ANY boundary-floor setting, not just the default)
     def probesOf(q: Seq[Double]): Seq[Int] = sizes match {
-      case Some(sz) => model.probeClustersAdaptive(q, sz, overscan.toLong * topK)
+      case Some(sz) => model.probeClustersAdaptive(q, sz, overscan.toLong * topK, minProbes)
       case None => model.probeClusters(q, nProbes)
     }
     val probeRows = queries.flatMap { case (qid, q) =>

@@ -94,7 +94,8 @@ object IvfPq {
       refineFrom: Option[DataFrame] = None, refineFactor: Int = 4,
       vecCol: String = "vector", idCol: String = "id",
       filter: Option[Column] = None,
-      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
+      minProbes: Int = 3): DataFrame = {
     require(filter.isEmpty || refineFrom.nonEmpty,
       "filtered IVF-PQ search needs refineFrom (the filter applies to raw rows)")
     // `sizes` switches probing to the ADAPTIVE candidate-mass walk
@@ -102,7 +103,7 @@ object IvfPq {
     // prunes BOTH ways: fewer probed partitions AND m-byte codes per row;
     // default stays the reference's fixed max(k/2, 8)
     val probes = sizes match {
-      case Some(sz) => model.ivf.probeClustersAdaptive(query, sz, overscan.toLong * topK)
+      case Some(sz) => model.ivf.probeClustersAdaptive(query, sz, overscan.toLong * topK, minProbes)
       case None => model.ivf.probeClusters(query, math.max(model.ivf.k / 2, 8))
     }
     val q = query.toArray
@@ -158,7 +159,8 @@ object IvfPq {
       queries: Seq[(Long, Seq[Double])], topK: Int, refineFrom: DataFrame,
       refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
       filter: Option[Column] = None,
-      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16): DataFrame = {
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
+      minProbes: Int = 3): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = encoded.sparkSession
@@ -167,9 +169,10 @@ object IvfPq {
     val subDim = model.pq.subDim
     // `sizes` = per-query adaptive probing (see [[search]]) — fewer probed
     // (query, cluster) pairs means fewer LUTs shipped AND a smaller
-    // probe join, the batch path's two per-query costs
+    // probe join, the batch path's two per-query costs (minProbes mirrors
+    // the single-query path for parity at any boundary-floor setting)
     def probesOf(q: Seq[Double]): Seq[Int] = sizes match {
-      case Some(sz) => model.ivf.probeClustersAdaptive(q, sz, overscan.toLong * topK)
+      case Some(sz) => model.ivf.probeClustersAdaptive(q, sz, overscan.toLong * topK, minProbes)
       case None => model.ivf.probeClusters(q, nProbes)
     }
     val luts: Map[(Long, Int), Array[Array[Double]]] = (for {

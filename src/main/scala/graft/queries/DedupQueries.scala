@@ -299,23 +299,30 @@ object DedupQueries {
     * gates keeper agreement against the exact stage. */
   def semanticKeepersBucketed(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
-    val pairs = Dedup.embeddingNearDupPairsBucketed(emb, embIvfModel(spark, dir),
-      "vec_id", "embedding", 0.4, nProbes = 4)
+    val pairs = spark.read.parquet(embPairLayout(spark, dir))
       .select(col("da"), col("db"))
     semanticCc(spark, emb, pairs)
   }
 
-  /** The embeddings table's IVF blocking model — a deterministic pure
-    * function of (dir, seed), memoized so the two bucketed consumers
-    * (`dd_embedding_ivf`, `dd_semantic_ivf`) fit once per dataset — the
-    * model-registry shape every other trained artifact here uses. */
-  private[graft] def embIvfModel(spark: SparkSession, dir: String): graft.index.Ivf.IvfModel =
-    embIvfModelCache.computeIfAbsent(dir, _ =>
-      graft.index.Ivf.fit(VectorModel.embeddings(spark, dir),
-        vecCol = "embedding", idCol = "vec_id")._2)
+  /** Persisted IVF-bucketed embedding pair set (fit + candidate join +
+    * exact threshold, written once per dataset) — the build-once/serve-
+    * many split the text side already has ([[pairLayout]]): BOTH bucketed
+    * consumers (`dd_embedding_ivf`, `dd_semantic_ivf`) serve from it, so
+    * the corpus-wide similarity join runs once, not once per query.
+    * Exposed as the Bench build step `build_emb_pair_layout`. */
+  private[graft] def embPairLayout(spark: SparkSession, dir: String): String =
+    embPairLayoutCache.computeIfAbsent(dir, _ => {
+      val emb = VectorModel.embeddings(spark, dir)
+      val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+      val p = graft.store.Fs.scratchDir(spark, "graft_emb_pairs") + "/pairs"
+      Dedup.embeddingNearDupPairsBucketed(emb, model,
+        "vec_id", "embedding", 0.4, nProbes = 4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
-  private val embIvfModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Ivf.IvfModel]()
+  private val embPairLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Recursive-CTE mirror over the embedding-pair oracle nested verbatim
     * (the [[componentsSql]] pattern) — the gate covers the whole
@@ -405,13 +412,9 @@ object DedupQueries {
     * exact cosines on candidates). K-means makes it rows-only in the
     * driver contract; DedupSpec gates recall against the all-pairs ground
     * truth and exactness of every reported similarity. */
-  def embeddingIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = VectorModel.embeddings(spark, dir)
-      .withColumn("embedding", col("embedding").cast("array<double>"))
-    Dedup.embeddingNearDupPairsBucketed(emb, embIvfModel(spark, dir),
-      "vec_id", "embedding", 0.4, nProbes = 4)
+  def embeddingIvf(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(embPairLayout(spark, dir))
       .orderBy("da", "db")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cjk_ngram" -> (cjkNgramDedup _),
