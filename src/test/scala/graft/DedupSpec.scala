@@ -132,8 +132,15 @@ class DedupSpec extends SparkSpec {
     }).toSet
     assert(truth.nonEmpty, "fixture must contain near-dup pairs")
     val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
-    val got = Dedup.embeddingNearDupPairsBucketed(emb, model, "vec_id", "embedding", threshold,
-        nProbes = 4)
+    val bucketedDf = Dedup.embeddingNearDupPairsBucketed(emb, model, "vec_id", "embedding",
+      threshold, nProbes = 4)
+    // the scale shape of the BUILDING pipeline (dd_embedding_ivf now
+    // serves its persisted output): candidates come from the
+    // co-partitioned probe equi-join, never an all-pairs nested loop
+    val plan = bucketedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketed pair discovery must stay equi-join shaped:\n" + plan.take(2000))
+    val got = bucketedDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // precision is exact: every reported pair is a true pair with the true cosine
     val byPair = rows.toMap
