@@ -157,6 +157,27 @@ object RecallBench {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got.intersect(truthPairs).size.toDouble / truthPairs.size
     }
+    // (a2) semantic-dedup keepers: BOTH registered stages judged against
+    // all-pairs union-find truth (neither sees every pair — the oracle
+    // stage is label-blocked, the scale twin IVF-blocked; publishing both
+    // agreements makes the label-blocking cost visible in the artifact)
+    val (semBlockedAgree, semIvfAgree) = {
+      val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      truthPairs.toSeq.sorted.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truthKept = rows.map(r => r._1 -> (if (find(r._1) == r._1) 1 else 0)).toMap
+      def agreement(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+        truthKept.count { case (id, k) => got(id) == k }.toDouble / truthKept.size
+      }
+      (agreement(graft.queries.DedupQueries.semanticKeepers(spark, sfDir)),
+        agreement(graft.queries.DedupQueries.semanticKeepersBucketed(spark, sfDir)))
+    }
+
     // (b) the RAG capstone's retrieval leg: IVF-probed top-k over the
     // embedded training chunks vs the exact operator on the same frame
     val ragRecall = {
@@ -196,6 +217,8 @@ object RecallBench {
         f""""ivf_adapt_struct_recall":$ivfAdaptStructRecall%.4f,""" +
         f""""ivf_adapt_struct_probes":$ivfAdaptStructProbes%.1f,""" +
         f""""embedding_ivf_neardup_recall":$nearDupRecall%.4f,""" +
+        f""""semantic_keepers_blocked_agree":$semBlockedAgree%.4f,""" +
+        f""""semantic_keepers_ivf_agree":$semIvfAgree%.4f,""" +
         f""""rag_retrieval_recall":$ragRecall%.4f,""" +
         f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f}"""
     println(json)
