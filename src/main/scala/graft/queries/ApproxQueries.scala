@@ -265,20 +265,34 @@ object ApproxQueries {
   }
 
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path):
-    * independent mean-centered tables with query-directed multi-probe —
-    * the measured operating point RecallSpec gates at recall ≥ 0.7 for
-    * ≤ 0.4 of the data scanned (the single-table variant remains the
-    * pedagogical baseline in [[LshAnn.search]]). */
+    * independent mean-centered tables with query-directed multi-probe,
+    * served from the PERSISTED inverted-list layout — the probe disjunction
+    * is a pure partition-column predicate, so unprobed bucket dirs prune at
+    * the file level (PartitionFilters, like the routed-HNSW plan) instead
+    * of re-bucketing the corpus per query. RecallSpec gates the operating
+    * point (recall ≥ 0.7 at ≤ 0.4 scanned) and stored==in-memory parity. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = VectorModel.embeddings(spark, dir)
-    val center = LshAnn.meanVector(emb, "embedding", VectorModel.EmbDim)
-    val tables = LshAnn.tables(LshAnn.DefaultTables, LshAnn.DefaultBits,
-      dim = VectorModel.EmbDim, center = center)
-    val bucketed = LshAnn.withTableBuckets(emb, "embedding", tables)
-    LshAnn.searchMulti(bucketed, tables, VectorModel.AnnQuery, 20,
+    val (layout, model) = lshLayout(spark, dir)
+    LshAnn.searchStored(layout, model, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
-      .select("vec_id", "sim", "lsh_b0")
+      .select("vec_id", "sim")
   }
+
+  /** Build-once/serve-many LSH inverted-list layout (bucket + explode +
+    * partitioned write + model sidecar), memoized per dataset dir with the
+    * READ frame cached too (reusing the file index across serves); a Bench
+    * build step. */
+  private[graft] def lshLayout(spark: SparkSession, dir: String)
+      : (DataFrame, LshAnn.LshTables) =
+    lshLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_lsh_layout")
+      val model = LshAnn.saveBucketed(VectorModel.embeddings(spark, dir),
+        "embedding", "vec_id", s"$p/t", VectorModel.EmbDim)
+      (spark.read.parquet(s"$p/t"), model)
+    })
+
+  private val lshLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, LshAnn.LshTables)]()
 
   /** Deterministic trained-model memo: the quantizer for a dataset is a
     * pure function of (dir, params), so reusing it across queries is

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.LshAnn
+import graft.model.VectorModel
+
+/** The persisted sign-LSH inverted-list layout: stored serving must equal
+  * the in-memory multi-table search (identical candidate semantics), the
+  * probe disjunction must land on the layout's PARTITION columns (file
+  * pruning, not a post-scan filter), and results must not depend on any
+  * unprobed bucket's files — the same evidence ladder as the routed-HNSW
+  * layout (HnswStoreSpec). */
+class LshStoreSpec extends SparkSpec {
+
+  lazy val embeddings = VectorModel.embeddings(spark, Sf0001)
+    .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+
+  private val Bits = 6 // small bucket space keeps the test layout's dir count sane
+  private val Probes = 12
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("stored serving equals in-memory multi-table search; probe filter prunes partitions; unprobed dirs are dead") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_store").toString
+    val model = LshAnn.saveBucketed(embeddings, "embedding", "vec_id",
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+
+    // parity: the stored candidate set is the same union-over-tables set
+    val bucketed = LshAnn.withTableBuckets(embeddings, "embedding", model)
+    val mem = pairs(LshAnn.searchMulti(bucketed, model, VectorModel.AnnQuery, 10,
+      probes = Probes, vecCol = "embedding", idCol = "vec_id"))
+    val storedDf = LshAnn.searchStored(spark.read.parquet(s"$dir/t"), model,
+      VectorModel.AnnQuery, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id")
+    val stored = pairs(storedDf)
+    assert(stored === mem)
+    assert(stored.nonEmpty)
+
+    // the probe disjunction must appear as a partition filter over the
+    // layout's bucket column — file pruning at planning time
+    val plan = storedDf.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
+      "probe filter must appear as a partition filter:\n" + plan.take(3000))
+
+    // sidecar round-trip: the model re-derives from (seed, mean)
+    val reloaded = LshAnn.loadTables(spark, s"$dir/t")
+    assert(reloaded.planes.flatten.flatten.toSeq === model.planes.flatten.flatten.toSeq)
+    assert(reloaded.biases.flatten.toSeq === model.biases.flatten.toSeq)
+
+    // file-level proof: delete every unprobed (table, bucket) dir; stored
+    // results are unchanged — serving reads only the probed buckets
+    val probed = model.planes.indices.flatMap { t =>
+      LshAnn.probeSet(VectorModel.AnnQuery, model.planes(t), model.biases(t), Probes)
+        .map(b => (t, b))
+    }.toSet
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/t")
+    val removed = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("lsh_table="))
+      .flatMap { td =>
+        val t = td.getPath.getName.stripPrefix("lsh_table=").toInt
+        fs.listStatus(td.getPath)
+          .filter(_.getPath.getName.startsWith("lsh_bucket="))
+          .filterNot(bd =>
+            probed((t, bd.getPath.getName.stripPrefix("lsh_bucket=").toInt)))
+      }
+    assert(removed.nonEmpty, "some buckets must be unprobed at this operating point")
+    removed.foreach(s => fs.delete(s.getPath, true))
+    val after = pairs(LshAnn.searchStored(spark.read.parquet(s"$dir/t"), model,
+      VectorModel.AnnQuery, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id"))
+    assert(after === stored,
+      "stored serving must not depend on any unprobed bucket's files")
+  }
+
+  test("oversized bucket width fails loudly (driver-side mask enumeration bound)") {
+    intercept[IllegalArgumentException] {
+      LshAnn.tables(2, LshAnn.MaxBits + 1, dim = 8, center = Array.empty)
+    }
+  }
+}
