@@ -63,6 +63,8 @@ object Bench {
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
     ("build_lsh_layout", Set("ann_lsh_topk"),
       (s, d) => { queries.ApproxQueries.lshLayout(s, d); () }),
+    ("build_pq_codes", Set("ann_pq_adc_topk"),
+      (s, d) => { queries.ApproxQueries.pqCodesLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e"),

@@ -305,14 +305,32 @@ object ApproxQueries {
       ProductQuantizer.train(VectorModel.embeddings(spark, dir),
         "embedding", "vec_id", VectorModel.EmbDim))
 
-  /** PQ-ADC top-k over embeddings: scan m-byte codes instead of vectors. */
+  /** PQ-ADC top-k over embeddings, served from the PERSISTED code table:
+    * the scan reads m-byte stored codes — the whole point of PQ at scale —
+    * instead of re-reading and re-encoding the full vector table per query
+    * (the IVF-PQ path's lesson applied to plain ADC). */
   def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = VectorModel.embeddings(spark, dir)
     val pq = trainedPq(spark, dir)
-    val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
-    ProductQuantizer.adcTopK(encoded, pq, VectorModel.AnnQuery, 20, "vec_id")
+    val codes = spark.read.parquet(pqCodesLayout(spark, dir))
+    ProductQuantizer.adcTopK(codes, pq, VectorModel.AnnQuery, 20, "vec_id")
       .select("vec_id", "adc_score")
   }
+
+  /** Build-once/serve-many plain-PQ code layout: train (memoized) + encode +
+    * write the (id, m-byte code) table once, memoized per dataset dir; a
+    * Bench build step. */
+  private[graft] def pqCodesLayout(spark: SparkSession, dir: String): String =
+    pqCodesLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_pq_codes")
+      ProductQuantizer.encodeDf(
+          VectorModel.embeddings(spark, dir), trainedPq(spark, dir), "embedding")
+        .select("vec_id", "pq_code")
+        .write.mode("overwrite").parquet(s"$p/codes")
+      s"$p/codes"
+    })
+
+  private val pqCodesLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc_topk" -> (annPqAdcTopK _),

@@ -62,6 +62,22 @@ class PqSpec extends SparkSpec {
     assert(r >= 0.5)
   }
 
+  test("stored-codes ADC serving equals fresh-encode ADC; serve scan reads codes, not vectors") {
+    val served = queries.ApproxQueries.queries("ann_pq_adc_topk")(spark, Sf0001)
+    val fresh = ProductQuantizer.adcTopK(
+        ProductQuantizer.encodeDf(emb, pq, "embedding"), pq,
+        VectorModel.AnnQuery, 20, "vec_id")
+      .select("vec_id", "adc_score")
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      fresh.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the serving plan must scan the persisted code table (m-byte codes),
+    // never the raw vector column — the 32x byte reduction is the point
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"),
+      "serve path must not touch the vector table:\n" + plan.take(3000))
+    assert(plan.contains("pq_code"), plan.take(3000))
+  }
+
   test("encode/decode are deterministic for a fixed seed") {
     val pq2 = ProductQuantizer.train(emb, "embedding", "vec_id", VectorModel.EmbDim)
     val v = emb.limit(1).collect()(0).getSeq[Float](1).map(_.toDouble).toArray
