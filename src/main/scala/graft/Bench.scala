@@ -48,7 +48,7 @@ object Bench {
   /** Pre-build steps, keyed by the serving queries that depend on them. */
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
     ("build_ivf_layout",
-      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_adaptive_topk"),
+      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_parity_topk"),
       // sizes warm here too: the adaptive query's probing statistic is
       // build-time state, not serving work to be timed
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d)

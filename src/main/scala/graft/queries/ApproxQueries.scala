@@ -55,15 +55,16 @@ object ApproxQueries {
   }
 
   /** S3 over the PERSISTED cluster-partitioned layout — the deployment
-    * shape: build once ([[Ivf.saveClustered]]), serve many. The probe
-    * filter prunes cluster partitions at the file level (the plan shows
-    * PartitionFilters), so each query reads ~half the files — the
-    * Spark-native inverted list. Layout is memoized per dataset dir, like
-    * a real index lifecycle. */
+    * shape: build once ([[Ivf.saveClustered]]), serve many. Serving
+    * defaults to ADAPTIVE probing (centroids in similarity order until the
+    * candidate-mass target — recall-neutral at a fraction of the fixed
+    * probe count, RecallSpec-gated); the probe filter still prunes cluster
+    * partitions at the file level. The reference's fixed probe rule stays
+    * available as [[ivfParityTopK]]. */
   def ivfStoredTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
     val clustered = spark.read.parquet(path)
-    Ivf.search(clustered, model, VectorModel.Query, 10)
+    Ivf.searchAdaptive(clustered, model, VectorModel.Query, 10, ivfSizes(spark, dir))
       .select("id", "sim", "cluster_id")
   }
 
@@ -87,15 +88,15 @@ object ApproxQueries {
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
 
-  /** S3 with ADAPTIVE probing over the persisted clustered layout: probe
-    * centroids in similarity order until they hold 16·k candidate rows
-    * ([[Ivf.searchAdaptive]]) — on this corpus that is 1–2 partitions
-    * instead of the fixed 8, recall-neutral (RecallSpec gates), and the
-    * probe filter still prunes cluster partitions at the file level. */
-  def ivfAdaptiveTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** S3 reference-parity serving over the persisted clustered layout: the
+    * reference's FIXED probe rule (max(k/2, 8) nearest clusters,
+    * vervectordb/__init__.py:430-434) kept as an explicit option now that
+    * adaptive probing is the serving default — the probe-count knob a
+    * migrating user can pin for bit-for-bit probe parity. */
+  def ivfParityTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
     val clustered = spark.read.parquet(path)
-    Ivf.searchAdaptive(clustered, model, VectorModel.Query, 10, ivfSizes(spark, dir))
+    Ivf.search(clustered, model, VectorModel.Query, 10)
       .select("id", "sim", "cluster_id")
   }
 
@@ -183,7 +184,9 @@ object ApproxQueries {
 
   /** S4 with method=ivf over the persisted clustered layout: the whole
     * query batch in one job, each query scanning only its probed cluster
-    * partitions ([[Ivf.batchSearch]]). */
+    * partitions ([[Ivf.batchSearch]]) — adaptive per-query probe lists
+    * (the serving default), so join volume scales with each query's
+    * candidate need instead of |queries|·nProbes. */
   def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
     val clustered = spark.read.parquet(path)
@@ -192,7 +195,8 @@ object ApproxQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
-    Ivf.batchSearch(clustered, model, queries, 3)
+    Ivf.batchSearch(clustered, model, queries, 3,
+      sizes = Some(ivfSizes(spark, dir)))
       .orderBy("query_id", "rn")
   }
 
@@ -338,7 +342,7 @@ object ApproxQueries {
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
     "vq_ivf_stored_topk" -> (ivfStoredTopK _),
-    "vq_ivf_adaptive_topk" -> (ivfAdaptiveTopK _),
+    "vq_ivf_parity_topk" -> (ivfParityTopK _),
     "vq_ivf_batch_topk" -> (ivfBatchTopK _),
     "vq_hnsw_batch_topk" -> (hnswBatchTopK _),
     "vq_hnsw_stored_batch" -> (hnswStoredBatchTopK _),

@@ -62,6 +62,31 @@ class RecallSpec extends SparkSpec {
     assert(model.probeClustersAdaptive(VectorModel.Query, Map.empty, 160).size === model.k)
   }
 
+  test("stored-IVF serving default is adaptive; reference-parity fixed mode stays pinned") {
+    import graft.queries.ApproxQueries
+    val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
+    val stored = ApproxQueries.queries("vq_ivf_stored_topk")(spark, Sf0001)
+    val parity = ApproxQueries.queries("vq_ivf_parity_topk")(spark, Sf0001)
+    val rStored = Recall.recallAtK(exact, stored, "id")
+    val rParity = Recall.recallAtK(exact, parity, "id")
+    val (path, model) = ApproxQueries.ivfLayout(spark, Sf0001)
+    val sizes = ApproxQueries.ivfSizes(spark, Sf0001)
+    val adaptiveProbes = model.probeClustersAdaptive(VectorModel.Query, sizes, 16L * 10)
+    info(s"stored default: recall $rStored over ${adaptiveProbes.size} probes " +
+      s"(parity: $rParity over ${math.max(model.k / 2, 8)})")
+    // the default probes FEWER partitions than the reference rule at no
+    // recall cost — the measured case for flipping the default
+    assert(adaptiveProbes.size < math.max(model.k / 2, 8))
+    assert(rStored >= rParity - 0.1)
+    assert(rStored >= 0.9)
+    // parity mode is bit-for-bit the reference probe rule over the same
+    // stored layout — the explicit escape hatch a migrating user pins
+    val clustered = spark.read.parquet(path)
+    val pin = Ivf.search(clustered, model, VectorModel.Query, 10)
+      .select("id", "sim", "cluster_id")
+    assert(parity.collect().map(_.toSeq).toSeq === pin.collect().map(_.toSeq).toSeq)
+  }
+
   // On near-uniform random embeddings, probing 8/16 clusters bounds recall
   // near the scanned fraction (~0.5); the gate checks clustering does not
   // hurt. Structured data (lineitem test above) clears 0.6.
