@@ -139,7 +139,17 @@ object Bench {
     val env = s"""{"cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_avg_start":$load0,"load_avg_end":$loadAvg,""" +
       s""""java_procs_start":$jvm0,"java_procs_end":$javaProcs}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"env":$env,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"env":$env,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line is the driver contract, but its capture window has
+    // repeatedly truncated (a 2000-char tail holds ~59 of 88 entries) —
+    // also write the complete summary beside the repo artifacts so every
+    // entry survives regardless of how stdout was captured. Env override
+    // for dev runs that shouldn't touch the repo copy.
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => Console.err.println(s"WARN: BENCH_SELF write failed: $e") }
     spark.stop()
   }
 }

@@ -339,132 +339,191 @@ object Dedup {
     * keeper assignment a dedup pipeline needs after pair generation
     * (keep rows where id == component, drop the rest).
     *
-    * Iterative min-label propagation to a fixed point, with POINTER
-    * JUMPING: each round (a) joins the (symmetrized) edge list to the
-    * current labels and takes the elementwise min with the neighbors'
-    * labels, then (b) follows the resulting label one more hop to ITS
-    * current label — so label information moves two levels per round and
-    * convergence is O(log diameter) instead of O(diameter). Near-dup
-    * components are usually star-/clique-shaped (2–3 rounds either way),
-    * but chain-shaped graphs — the semantic-dedup pair graph measured
-    * ~15+ plain rounds at sf0.1 — collapse to a handful. Each jump round
-    * is one aggregation + two joins over a cached one-round propagation
-    * frame — never materializes anything larger than V + E. Deterministic:
-    * integer min over a fixed edge set; the fixed point (min id of the
-    * component) is unchanged by jumping.
+    * Algorithm: alternating min-label PROPAGATION and edge CONTRACTION
+    * (the star-contraction family the large-star/small-star MapReduce
+    * algorithm belongs to). Each cycle (1) computes, for every current
+    * super-vertex, the minimum over itself and its neighbors in the
+    * CONTRACTED meta-edge list, (2) composes that relabeling into the
+    * per-vertex labels, and (3) rewrites the meta-edges through the same
+    * relabeling, dropping self-loops and duplicates. Groups merge into
+    * their minimum neighbor every cycle, so the effective diameter at
+    * least halves per cycle: convergence in O(log diameter) cycles over a
+    * meta-graph that SHRINKS geometrically (most near-dup edges collapse
+    * to self-loops within 1–2 cycles — later cycles run over tens of
+    * rows whatever the corpus size).
     *
-    * `maxIter` bounds pathological chain-shaped graphs; hitting it throws
-    * rather than returning a partial labeling.
+    * Why not plain propagation with pointer jumping (rounds 2–6 of this
+    * engine's history): min-label pointers are their own fixed points —
+    * label(v) names the smallest id v has SEEN, and that vertex almost
+    * always still labels itself, so the "jump" label(label(v)) goes
+    * nowhere and the global minimum crawls outward ONE edge hop per
+    * round (O(eccentricity of the min vertex) rounds — measured 14 on
+    * the sf0.1 semantic graph, diameter 15). Jumping only compounds when
+    * ids happen to be ordered along paths (the chain fixture), which no
+    * real id assignment guarantees. Contraction compounds REGARDLESS of
+    * id placement because it rewrites the graph, not just the labels —
+    * the same semantic graph converges in 3 cycles (15.8 s → 6.1 s for
+    * `dd_semantic_ivf` at sf0.1), and DevCcChain's 2000-vertex chain in
+    * ONE cycle (the closure below does the log-depth work).
     *
-    * PLAN growth is bounded independently of DATA growth: each round's
-    * logical plan references the previous round's twice (labels feeds
-    * both the neighbor-min join and the update join), so the plan tree
-    * DOUBLES per iteration — caching materializes the data but not the
-    * plan, and on a chain-shaped graph needing ~15+ rounds the driver
-    * dies formatting a 2^15-node plan string (measured: OOM at sf0.1 on
-    * the semantic-dedup graph) before any executor breaks a sweat. Every
-    * [[TruncateEvery]] rounds the labels are written to scratch parquet
-    * and re-read, resetting the lineage to a flat scan — the standard
-    * checkpoint trick of iterative graph algorithms, on the cluster-
-    * visible filesystem (recomputable-from-disk, unlike localCheckpoint
-    * whose blocks die with an executor). */
+    * Deterministic: integer min over a fixed edge set; the fixed point
+    * (min id of the component) is the same as exhaustive propagation.
+    * `maxIter` bounds the cycle count; hitting it throws rather than
+    * returning a partial labeling.
+    *
+    * PLAN growth: the meta-edge plan references the cycle relabeling
+    * twice (both endpoints), so its logical plan would triple per cycle;
+    * every [[TruncateEvery]] cycles the (tiny, shrinking) meta-edges are
+    * flattened through scratch parquet — the checkpoint trick of
+    * iterative graph algorithms, on the cluster-visible filesystem.
+    * Per-vertex labels accumulate only ONE left join per cycle (a
+    * O(log diameter)-deep plan) and materialize once, at the end. */
   private val TruncateEvery = 3
 
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 30): DataFrame = {
     val spark = vertices.sparkSession
     lazy val ccScratch = graft.store.Fs.scratchDir(spark, "graft_cc")
-    val edges = pairs.select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
-      .union(pairs.select(col("db").cast("long").as("src"), col("da").cast("long").as("dst")))
+    var truncatePaths: List[String] = Nil
+    // the initial meta-edge list IS the pair list (labels start as ids);
+    // self-pairs contract immediately
+    var medges = pairs
+      .select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
       .cache()
-    // Materialize the (expensive) pair pipeline exactly once: the first
-    // round's plan references `edges` through two subtrees (labels lineage
-    // + the join), and an unpopulated cache would compute the pipeline
-    // twice within that single job.
-    edges.count()
-    // Propagate only over the edge-touched subgraph: isolated vertices are
-    // their own component by definition and never change — joining them
-    // through every round would make each iteration O(V) instead of
-    // O(V_touched); on a near-dup graph V_touched ≪ V.
-    var labels = edges.select(col("src").as("doc")).distinct()
+    // Touched-vertex labels: isolated vertices are their own component by
+    // definition and never change — they join back at the end.
+    var labels = medges.select(col("src").as("doc"))
+      .union(medges.select(col("dst").as("doc")))
+      .distinct()
       .select(col("doc"), col("doc").as("label"))
-      .cache()
+    var remaining = medges.count()
     var iter = 0
-    var changed = 1L
-    var prevRound: DataFrame = labels
-    while (changed > 0 && iter < maxIter) {
-      // every doc in `labels` has ≥1 edge (it came from the edge list), so
-      // the neighbor-min join is inner and covers all of them
-      val nbrMin = edges.join(labels.withColumnRenamed("doc", "dst2"),
-          col("dst") === col("dst2"))
+    // caches that later frames' LINEAGE still references (every cycle's
+    // relabeling feeds the final labels plan); released after the final
+    // materialization
+    var lineageCaches: List[DataFrame] = List(medges)
+    while (remaining > 0 && iter < maxIter) {
+      // (1) min over self and meta-neighbors, per super-vertex
+      var relabel = medges
+        .union(medges.select(col("dst").as("src"), col("src").as("dst")))
         .groupBy(col("src"))
-        .agg(min(col("label")).as("nbr_label"))
-      val propagated = labels
-        .join(nbrMin.withColumnRenamed("src", "doc2"), col("doc") === col("doc2"))
-        .select(col("doc"), col("label"),
-          least(col("label"), col("nbr_label")).as("prop_label"))
-      // pointer jump on the PROPAGATED labels (label-of-label within this
-      // round — composing with the pre-round labels would lag a step and
-      // jump nowhere): reachable-min distance then compounds per round.
-      // Left join, since the minimum vertex of a component labels itself
-      // and has no strictly-smaller parent to follow. Skipped in ROUND 1:
-      // star/clique components (the common near-dup shape) reach their
-      // fixpoint in one plain round, so the jump join there is pure
-      // overhead — chain graphs pay one extra round and keep the
-      // compounding from round 2 on.
-      // jump rounds cache `propagated` first: the self-join references it
-      // on both sides, and without the cache the whole edges⋈labels
-      // neighbor-min stage above would EXECUTE twice per round (exchange
-      // reuse dedups the shuffle, not the post-shuffle work)
-      val propCached = if (iter == 0) propagated else propagated.cache()
-      val updated = (if (iter == 0) propCached.withColumn("new_label", col("prop_label"))
-        else propCached
-          .join(propCached.select(col("doc").as("p_doc"), col("prop_label").as("p_label")),
-            col("prop_label") === col("p_doc"), "left")
-          .select(col("doc"), col("label"),
-            least(col("prop_label"),
-              coalesce(col("p_label"), col("prop_label"))).as("new_label")))
-        .select(col("doc"), col("label"), col("new_label"))
+        .agg(least(col("src"), min(col("dst"))).as("new_l"))
         .cache()
-      // ONE driver action per round: materializes `updated` and reads the
-      // change count off it; the next round's labels read the same cache
-      changed = updated
-        .agg(coalesce(sum(when(col("new_label") =!= col("label"), 1L).otherwise(0L)), lit(0L)))
-        .head.getLong(0)
-      // updated is materialized now; the intra-round propagation cache
-      // has served both sides of the self-join and is released
-      if (propCached ne propagated) propCached.unpersist()
-      prevRound.unpersist()
-      if (changed > 0 && iter % TruncateEvery == TruncateEvery - 1) {
-        // lineage truncation round: flatten the plan through parquet (see
-        // scaladoc) — the read-back frame needs no cache, the files ARE
-        // the materialization
-        val p = s"$ccScratch/labels-$iter"
-        updated.select(col("doc"), col("new_label").as("label"))
-          .write.mode("overwrite").parquet(p)
-        updated.unpersist()
-        labels = spark.read.parquet(p)
-        prevRound = labels
-      } else {
-        prevRound = updated
-        labels = updated.select(col("doc"), col("new_label").as("label"))
+      lineageCaches ::= relabel
+      // (1b) CLOSE the relabeling to idempotence by pointer doubling.
+      // The map is functional and strictly descending (new_l ≤ src), so
+      // it is a forest pointing at local minima; squaring doubles the
+      // depth covered per pass and the loop runs ⌈log2(map depth)⌉
+      // times. Without this, merges happen only at id-local-minima and a
+      // path with ids ordered along it — the adversarial shape for any
+      // min-based contraction, and exactly what monotone ingest ids
+      // produce — contracts by ONE per cycle instead of collapsing
+      // (measured: DevCcChain). Real near-dup maps are 1–2 deep, so this
+      // costs one confirming pass; each pass is a self-join of the
+      // SHRINKING group map, far smaller than the vertex set.
+      // Each pass's plan references the previous pass's TWICE (the self-
+      // join), so the doubling lineage is itself exponential in passes —
+      // caching materializes data, not plans, and a deep closure (the
+      // chain fixture needs ⌈log2 n⌉ passes) OOMs the driver in ANALYSIS
+      // before an executor runs (measured: DevCcChain at n=2000). The
+      // same parquet-flatten bound as the meta-edges, every
+      // [[TruncateEvery]] passes and once more after a multi-pass
+      // closure, keeps every downstream plan referencing a flat scan.
+      var mapChanged = 1L
+      var passes = 0
+      while (mapChanged > 0) {
+        val squared = relabel
+          .join(relabel.select(col("src").as("y_s"), col("new_l").as("y_l")),
+            col("new_l") === col("y_s"), "left")
+          .select(col("src"), col("new_l").as("old_l"),
+            least(col("new_l"), coalesce(col("y_l"), col("new_l"))).as("new_l"))
+          .cache()
+        lineageCaches ::= squared
+        mapChanged = squared.where(col("new_l") =!= col("old_l")).count()
+        relabel = squared.select(col("src"), col("new_l"))
+        passes += 1
+        if (mapChanged > 0 && passes % TruncateEvery == 0) {
+          val p = s"$ccScratch/relabel-$iter-$passes"
+          relabel.write.mode("overwrite").parquet(p)
+          truncatePaths ::= p
+          relabel = spark.read.parquet(p)
+        }
       }
+      if (passes > 1) {
+        // flatten the closed map: the compose and contraction below each
+        // reference it (labels once, meta-edges twice per cycle), and a
+        // 2^passes-deep closure plan would multiply through both
+        val p = s"$ccScratch/relabel-$iter-closed"
+        relabel.write.mode("overwrite").parquet(p)
+        truncatePaths ::= p
+        relabel = spark.read.parquet(p)
+      }
+      // (2) compose into the per-vertex labels (left: groups with no
+      // remaining meta-edges keep their label)
+      labels = labels
+        .join(relabel.select(col("src").as("l_s"), col("new_l")),
+          col("label") === col("l_s"), "left")
+        .select(col("doc"), coalesce(col("new_l"), col("label")).as("label"))
+      // (3) rewrite the meta-edges through the relabeling (both endpoints
+      // have meta-edges, so they appear in `relabel` — inner joins),
+      // dropping resolved (self-loop) and duplicate edges
+      val contracted = medges
+        .join(relabel.select(col("src").as("a_s"), col("new_l").as("a_l")),
+          col("src") === col("a_s"))
+        .join(relabel.select(col("src").as("b_s"), col("new_l").as("b_l")),
+          col("dst") === col("b_s"))
+        .select(col("a_l").as("src"), col("b_l").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      val next =
+        if (iter % TruncateEvery == TruncateEvery - 1) {
+          // lineage truncation cycle: flatten the (shrinking) meta-edge
+          // plan through parquet — the files ARE the materialization
+          val p = s"$ccScratch/medges-$iter"
+          contracted.write.mode("overwrite").parquet(p)
+          truncatePaths ::= p
+          spark.read.parquet(p)
+        } else contracted.cache()
+      // ONE driver action per cycle: materializes the new meta-edges (and
+      // the relabeling they pass through) and reads the remaining count
+      remaining = next.count()
+      if (iter % TruncateEvery != TruncateEvery - 1) lineageCaches ::= next
+      medges = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        Console.err.println(
+          s"CC_CYCLE iter=$iter remaining=$remaining t=${System.nanoTime() / 1e9}")
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
-    // the fixed-point labels are materialized in prevRound's cache; the
-    // edge cache only served the iteration and is released now (a cache
-    // eviction would recompute labels from lineage — correct, just slower).
+    require(remaining == 0, s"connectedComponents did not converge in $maxIter cycles")
+    // Materialize the fixed-point labels ONCE, through parquet: the
+    // compose chain is O(cycles) joins deep over the per-cycle
+    // relabelings, and backing the returned frame by a FLAT SCAN (not
+    // that chain) means a cache eviction recomputes with one file read —
+    // so every intermediate cache AND every truncation dir below is
+    // safely deletable. The labels table is the touched-vertex set (one
+    // row per vertex with ≥1 pair — the algorithm's output size), written
+    // exactly once.
+    val labelsPath = s"$ccScratch/labels-final"
+    labels.write.mode("overwrite").parquet(labelsPath)
+    lineageCaches.foreach(_.unpersist())
+    // Truncation scratch is now all dead — no live lineage walks through
+    // it. The labels-final dir must outlive the returned frame and is
+    // left to the scratch-dir session contract
+    // ([[graft.store.Fs.scratchDir]]): one touched-vertex label table per
+    // CC invocation, not O(cycles) scratch tables.
+    truncatePaths.foreach(graft.store.Fs.delete(spark, _))
     // The labels cache is adopted by the bounded CacheRegistry: its
     // lifetime ends on LRU eviction, not on the next call — so concurrent
     // invocations can't unpersist each other's still-unconsumed labels.
-    edges.unpersist()
-    graft.store.CacheRegistry.register(prevRound)
+    labels = spark.read.parquet(labelsPath).cache()
+    graft.store.CacheRegistry.register(labels)
     vertices.select(col(idCol).cast("long").as("doc"))
       .join(labels.withColumnRenamed("label", "component"), Seq("doc"), "left")
       .select(col("doc").as(idCol),
         coalesce(col("component"), col("doc")).as("component"))
   }
+
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale, an LSH or IVF bucket).
