@@ -45,9 +45,10 @@ private[graft] object Fs {
     * (two driver JVMs starting the same millisecond against a shared
     * scratch base) would otherwise be silently absorbed and both sessions
     * would write into the same "owned" dir. An ownership marker created
-    * with overwrite=false — the one atomic create-fail-if-exists the
-    * Hadoop API offers on HDFS and object stores alike — makes the second
-    * claimant fail loudly instead. */
+    * with overwrite=false makes the second claimant fail loudly instead —
+    * atomically on HDFS/local filesystems; best-effort on S3-class stores,
+    * whose non-overwrite create is HEAD-then-PUT (see the
+    * [[VersionedLayout]] lock doc for the full caveat). */
   def scratchDir(spark: SparkSession, prefix: String): String = {
     val base = spark.conf.getOption("spark.graft.scratch.dir")
       .getOrElse("/tmp/graft-scratch")

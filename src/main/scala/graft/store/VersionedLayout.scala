@@ -11,9 +11,9 @@ import org.apache.spark.sql.SparkSession
   * Scheme: `<root>/v<NNNNN>/…` version directories, each committed by an
   * empty marker file created only after its contents are fully written.
   * The live version is simply the HIGHEST committed one — no pointer file
-  * to atomically replace (a marker `create` is atomic on HDFS and
-  * object stores alike, unlike directory renames, which S3-class stores
-  * emulate as copy+delete). Consequences:
+  * to atomically replace (a marker `create` is a single-file PUT, cheaper
+  * and safer than directory renames, which S3-class stores emulate as
+  * copy+delete). Consequences:
   *
   *  - readers resolve the live dir once per query and keep reading that
   *    snapshot even while a new version publishes — no window, no
@@ -25,11 +25,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Contract: ONE writer at a time (maintenance is a scheduled singleton) —
   * and the contract is ENFORCED, not just documented: publish takes a
-  * root-level writer lock via the one atomic create-fail-if-exists the
-  * Hadoop API offers, so a second concurrent publish FAILS LOUDLY instead
-  * of silently interleaving version numbers with the first (both computing
-  * the same `next` and writing into the same directory). This is mutual
-  * exclusion for a scheduled singleton, not multi-writer transactions —
+  * root-level writer lock via create-fail-if-exists, so a second
+  * concurrent publish FAILS LOUDLY instead of silently interleaving
+  * version numbers with the first (both computing the same `next` and
+  * writing into the same directory). The exclusion is only as strong as
+  * the filesystem's non-overwrite create: ATOMIC on HDFS and local/POSIX
+  * filesystems; BEST-EFFORT on S3-class object stores, where S3A
+  * implements overwrite=false as HEAD-then-PUT and two publishes racing
+  * within that window can both acquire the lock — real mutual exclusion
+  * there needs a store-conditional write (S3 conditional PUT / If-None-
+  * Match), which the Hadoop FileSystem API does not expose. This is
+  * mutual exclusion for a scheduled singleton, not multi-writer
+  * transactions —
   * concurrent writers that should all succeed (conflict detection, retry,
   * snapshot isolation) are a table format's job, out of scope. A publish
   * that dies without releasing the lock (JVM kill between create and the
