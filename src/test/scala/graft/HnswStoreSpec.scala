@@ -35,39 +35,58 @@ class HnswStoreSpec extends SparkSpec {
   }
 
   test("routed layout: probe filter prunes shard files; results survive deleting every unprobed shard") {
-    import org.apache.spark.sql.functions.col
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_routed").toString
-    HnswStore.saveRouted(vecs, s"$dir/g", numShards = 8)
-    val routedDf = HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = 2)
-    val routed = topKPairs(routedDf)
-    assert(routed.nonEmpty)
-    // the probe filter must land on the layout's PARTITION column — file
-    // pruning, not a post-scan filter over all shards
-    val plan = routedDf.queryExecution.executedPlan.toString
-    assert("""PartitionFilters: \[[^\]]*part""".r.findFirstIn(plan).isDefined,
-      "probe filter must appear as a partition filter:\n" + plan.take(3000))
-    // all-shards fan-out on the same layout, for contrast below
-    val allShards = topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10))
-    // file-level proof that routed serving READS only the probed shards:
-    // delete every unprobed shard directory; routed results are unchanged
-    val model = graft.index.Ivf.IvfModel(
-      HnswStore.readRouting(spark, s"$dir/g").get)
-    val probed = model.probeClusters(VectorModel.Query, 2).toSet
-    assert(probed.size === 2)
-    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/g")
-    val removed = fs.listStatus(p)
-      .filter(_.getPath.getName.startsWith("part="))
-      .filterNot(s => probed.contains(s.getPath.getName.stripPrefix("part=").toInt))
-    assert(removed.nonEmpty, "some shards must be unprobed at probes=2/8")
-    removed.foreach(s => fs.delete(s.getPath, true))
-    val routedAfter = topKPairs(
-      HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = 2))
-    assert(routedAfter === routed,
-      "routed serving must not depend on any unprobed shard's files")
-    // sanity: the all-shards path DID depend on them (the deleted shards
-    // held at least one of its top-k), so the invariance above is not vacuous
-    assert(topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10)) !== allShards)
+    // both the serving operating point's shard range and the scaled-up
+    // count the DevRoutedSweep measures — the invariance must hold at any
+    // shard count, not just the toy one
+    for ((numShards, probes) <- Seq((8, 2), (64, 4))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_hnsw_routed_$numShards").toString
+      HnswStore.saveRouted(vecs, s"$dir/g", numShards = numShards)
+      val routedDf = HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = probes)
+      val routed = topKPairs(routedDf)
+      assert(routed.nonEmpty)
+      // shard of every stored id, captured BEFORE any files are deleted —
+      // drives the non-vacuousness check at the bottom
+      val shardOf = spark.read.parquet(s"$dir/g")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("part"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the probe filter must land on the layout's PARTITION column — file
+      // pruning, not a post-scan filter over all shards
+      val plan = routedDf.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*part""".r.findFirstIn(plan).isDefined,
+        "probe filter must appear as a partition filter:\n" + plan.take(3000))
+      // all-shards fan-out on the same layout, for contrast below
+      val allShards = topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10))
+      // file-level proof that routed serving READS only the probed shards:
+      // delete every unprobed shard directory; routed results are unchanged
+      val model = graft.index.Ivf.IvfModel(
+        HnswStore.readRouting(spark, s"$dir/g").get)
+      val probed = model.probeClusters(VectorModel.Query, probes).toSet
+      assert(probed.size === probes)
+      val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/g")
+      val removed = fs.listStatus(p)
+        .filter(_.getPath.getName.startsWith("part="))
+        .filterNot(s => probed.contains(s.getPath.getName.stripPrefix("part=").toInt))
+      assert(removed.nonEmpty, s"some shards must be unprobed at probes=$probes/$numShards")
+      removed.foreach(s => fs.delete(s.getPath, true))
+      val routedAfter = topKPairs(
+        HnswStore.topKRouted(spark, s"$dir/g", VectorModel.Query, 10, probes = probes))
+      assert(routedAfter === routed,
+        "routed serving must not depend on any unprobed shard's files")
+      // sanity: when a deleted shard held one of the all-shards top-k, the
+      // all-shards path must now CHANGE (proving the invariance above is
+      // not vacuous); with perfect routing (every top-k id lives in a
+      // probed shard — the 64-shard config on this structured corpus) the
+      // all-shards result legitimately survives too, and the meaningful
+      // assertion flips to equality
+      val removedParts = removed.map(_.getPath.getName.stripPrefix("part=").toInt).toSet
+      val allAfter = topKPairs(HnswStore.topK(spark, s"$dir/g", VectorModel.Query, 10))
+      if (allShards.exists(t => removedParts.contains(shardOf(t._1))))
+        assert(allAfter !== allShards,
+          "deleting a shard holding a top-k id must change the all-shards result")
+      else assert(allAfter === allShards)
+    }
   }
 
   test("filtered traversal: 1%-selective accept set returns full k where 3k-overfetch starves") {

@@ -402,6 +402,19 @@ class RecallSpec extends SparkSpec {
     val rl = Recall.meanRecall(linePairs, "id")
     info(s"routed HNSW (structured) recall@10 vs all-shards at probes=4/8 = $rl")
     assert(rl >= 0.9)
+    // (a2) shard growth: the 100× knob. A FIXED probe fraction must keep
+    // recall as shards multiply (DevRoutedSweep measures 0.985 at 8/64 on
+    // the 600k-row corpus; this is the same gate at test scale, ~94
+    // rows/shard).
+    val dir64 = java.nio.file.Files.createTempDirectory("graft_hnsw_routed_64").toString
+    HnswStore.saveRouted(lineVecs, s"$dir64/g", numShards = 64)
+    val pairs64 = lineQueries.map { q =>
+      (HnswStore.topK(spark, s"$dir64/g", q, 10),
+        HnswStore.topKRouted(spark, s"$dir64/g", q, 10, probes = 8))
+    }
+    val r64 = Recall.meanRecall(pairs64, "id")
+    info(s"routed HNSW (structured) recall@10 vs all-shards at probes=8/64 = $r64")
+    assert(r64 >= 0.9)
     // (b) near-uniform random embeddings: no clustering can carry more
     // signal than the scanned fraction baseline (the same bound the IVF
     // 0.45 and LSH 0.35 gates state) — routing must clearly beat the 0.5
