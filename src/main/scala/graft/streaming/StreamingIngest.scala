@@ -282,6 +282,136 @@ object StreamingIngest {
         embedder.embed(col("chunk")).as("vector")),
       indexPath, checkpoint, "vector", model)
 
+  /** embeddings schema as stored. */
+  val EmbeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming read of an embeddings parquet directory. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EmbeddingsSchema).parquet(dir)
+
+  /** Streaming SEMANTIC DEDUP — the streaming twin of
+    * [[graft.queries.DedupQueries.semanticKeepersBucketed]]
+    * (`dd_semantic_ivf`), completing the dedup-family streaming coverage.
+    * Per micro-batch, three O(batch) stages against persisted state under
+    * `statePath`:
+    *
+    *  1. ASSIGN-ONLY INGEST: batch rows land in a cluster-partitioned
+    *     corpus layout under the existing centroids (the
+    *     [[ingestWithIvfAssign]] contract), PLUS a multi-probe inverted
+    *     list (`probed/` — each row stored under its `nProbes` closest
+    *     clusters). Storing probe rows costs nProbes× the ingest bytes;
+    *     the alternative — recomputing old rows' probe lists every batch —
+    *     is O(corpus) per batch, which is the wrong trade at scale.
+    *  2. DELTA PAIR DISCOVERY, BOTH DIRECTIONS: new pairs have ≥1 endpoint
+    *     in the batch, but the batch twin admits a pair when EITHER
+    *     endpoint probes the other's assigned cluster — so the delta join
+    *     must check batch-probes⋈corpus-assigned AND
+    *     batch-assigned⋈corpus-probed (corpus includes the batch, covering
+    *     batch-internal pairs). The union over batches is then EXACTLY the
+    *     batch operator's pair set — StreamingSpec asserts set equality,
+    *     not approximation.
+    *  3. CC DELTA MERGE: connected components over star edges
+    *     (vertex → its previous component label) ∪ the fresh pairs —
+    *     previous components enter as depth-1 stars, so the merge
+    *     converges in ~1 contraction cycle unless fresh pairs bridge
+    *     components. Labels publish through [[graft.store.VersionedLayout]]
+    *     (readers keep their snapshot; a crashed batch leaves the previous
+    *     version live).
+    *
+    * At-least-once caveat (standard foreachBatch): a replayed batch
+    * re-appends its rows and pairs; CC and keeper flags are insensitive to
+    * duplicate edges/rows, and serving distincts ids. */
+  def semanticDedupIngest(stream: DataFrame, statePath: String, checkpoint: String,
+      model: graft.index.Ivf.IvfModel, threshold: Double = 0.4, nProbes: Int = 4,
+      vecCol: String = "embedding", idCol: String = "vec_id"): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticIngestBatch(batch, statePath, batchId, model, threshold,
+          nProbes, vecCol, idCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def semanticIngestBatch(batch: DataFrame, statePath: String,
+      batchId: Long, model: graft.index.Ivf.IvfModel, threshold: Double,
+      nProbes: Int, vecCol: String, idCol: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vector")).cache()
+    b.count()
+    val assignedPath = s"$statePath/assigned"
+    val probedPath = s"$statePath/probed"
+    val batchAssigned = graft.index.Ivf.assign(b, model, "vector")
+      .select(col("id"), col("vector"), col("cluster_id"))
+    val batchProbed = b.select(col("id"), col("vector"),
+      explode(graft.functions.ModelExpressions.probeClusters(
+        col("vector"), model.centroids, nProbes)).as("cluster_id"))
+    batchAssigned.write.mode("append").partitionBy("cluster_id").parquet(assignedPath)
+    batchProbed.write.mode("append").partitionBy("cluster_id").parquet(probedPath)
+    // corpus-so-far INCLUDING this batch (read back after the appends):
+    // covers old↔new pairs in both probe directions and new↔new pairs
+    def candidates(left: DataFrame, right: DataFrame): DataFrame =
+      left.select(col("id").as("da"), col("vector").as("va"), col("cluster_id"))
+        .join(right.select(col("id").as("db"),
+          col("vector").cast("array<double>").as("vb"),
+          col("cluster_id")).hint("shuffle_hash"), Seq("cluster_id"))
+        .where(col("da") =!= col("db"))
+        .withColumn("sim_raw",
+          graft.GraftExtensions.cosineSim(col("va"), col("vb")))
+        .where(col("sim_raw") >= threshold)
+        .select(least(col("da"), col("db")).as("da"),
+          greatest(col("da"), col("db")).as("db"))
+    val newPairs = candidates(batchProbed, spark.read.parquet(assignedPath))
+      .union(candidates(batchAssigned, spark.read.parquet(probedPath)))
+      .distinct()
+    val pairsPath = s"$statePath/pairs"
+    newPairs.withColumn("batch", lit(batchId))
+      .write.mode("append").partitionBy("batch").parquet(pairsPath)
+    // fresh pairs re-read from the partition just written (pruned scan),
+    // so the CC below runs over a flat plan, not the discovery join
+    val freshPairs = spark.read.parquet(pairsPath)
+      .where(col("batch") === batchId).select(col("da"), col("db"))
+    val labelsRoot = s"$statePath/labels"
+    val star = graft.store.VersionedLayout.currentDir(spark, labelsRoot) match {
+      case Some(dir) => spark.read.parquet(dir)
+        .select(col("vec_id").as("da"), col("component").as("db"))
+      case None => freshPairs.limit(0)
+    }
+    val edges = star.union(freshPairs)
+    // labels cover only TOUCHED vertices (every component has ≥2 members,
+    // so all prior labeled vertices reappear as star-edge endpoints);
+    // untouched rows resolve to kept=1 at serve time
+    val touched = edges.select(col("da").as("vec_id"))
+      .union(edges.select(col("db").as("vec_id"))).distinct()
+    val labels = graft.dedup.Dedup.connectedComponents(touched, "vec_id", edges)
+    graft.store.VersionedLayout.publish(spark, labelsRoot)(dir =>
+      labels.write.mode("overwrite").parquet(dir))
+    b.unpersist()
+    ()
+  }
+
+  /** Keeper view over the streamed state — same schema and semantics as
+    * the batch twin's output (vec_id, component, kept): ingested ids left-
+    * joined to the latest published labels; ids untouched by any pair are
+    * their own component. */
+  def semanticKeepersStreamed(spark: SparkSession, statePath: String): DataFrame = {
+    val ids = spark.read.parquet(s"$statePath/assigned")
+      .select(col("id").cast("long").as("vec_id")).distinct()
+    val labels = graft.store.VersionedLayout.currentDir(spark, s"$statePath/labels") match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => ids.select(col("vec_id"), col("vec_id").as("component")).limit(0)
+    }
+    ids.join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("kept", (col("vec_id") === col("component")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

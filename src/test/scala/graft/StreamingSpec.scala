@@ -554,4 +554,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === facade)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming semantic dedup: stream-ingested keepers equal the batch scale twin") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.model.VectorModel.embeddings(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_semstream").toString
+    // three micro-batches, interleaved by id so near-dup pairs straddle
+    // batch boundaries in both directions (old↔new each way)
+    (0 until 3).foreach(i =>
+      emb.where(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    // the deployed model: build-time state, fit exactly as the batch twin's
+    // pair layout fits it — equality below requires the same centroids
+    val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    val stream = spark.readStream
+      .schema(StreamingIngest.EmbeddingsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.semanticDedupIngest(
+      stream, s"$base/state", s"$base/ckpt", model)
+    try q.awaitTermination(240000) finally q.stop()
+    // keeper-for-keeper equality with dd_semantic_ivf on the same rows
+    val streamed = StreamingIngest.semanticKeepersStreamed(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val batch = graft.queries.DedupQueries.semanticKeepersBucketed(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(_._3 == 0), "fixture must contain semantic duplicates")
+    // the accumulated delta-discovered pair log is the batch operator's
+    // pair SET — the two-direction join loses nothing at batch boundaries
+    val streamedPairs = spark.read.parquet(s"$base/state/pairs")
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = spark.read
+      .parquet(graft.queries.DedupQueries.embPairLayout(spark, Sf0001))
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs === batchPairs)
+  }
 }
