@@ -76,7 +76,9 @@ object Bench {
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
     ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),
-      (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }))
+      (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
+    ("build_embed_model", Set("tx_embed_local"),
+      (s, d) => { queries.TextQueries.localModelPath(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

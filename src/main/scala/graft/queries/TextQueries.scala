@@ -380,26 +380,90 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val embedDocsSql: String = {
+  /** The hash-feature components e0..e{EmbedDim-1} as SQL select items
+    * over a token-hash list `hs` — shared by the [[embedDocsSql]] oracle
+    * and the learned-projection oracle ([[embedDocsLocalSql]]). */
+  private def hashFeatureComps: String = {
     val one = OracleSql.lit(1.0)
     val negOne = OracleSql.lit(-1.0)
     val zero = OracleSql.lit(0.0)
-    val comps = (0 until EmbedDim).map { i =>
+    (0 until EmbedDim).map { i =>
       s"""list_sum(list_transform(hs, h -> CASE WHEN h % $EmbedDim = $i
          |    THEN CASE WHEN (h >> 8) & 1 = 1 THEN $one ELSE $negOne END
          |    ELSE $zero END)) AS e$i""".stripMargin
     }.mkString(",\n  ")
+  }
+
+  private def hashedDocsSql: String =
     s"""SELECT doc_id,
-       |  $comps
-       |FROM (SELECT doc_id,
        |        list_transform(string_split(lower(text), ' '),
        |          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
-       |      FROM documents)
+       |      FROM documents""".stripMargin
+
+  val embedDocsSql: String =
+    s"""SELECT doc_id,
+       |  $hashFeatureComps
+       |FROM ($hashedDocsSql)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Output dimension of the local linear model (flat-column oracle). */
+  val LocalDim = 8
+
+  /** Seed of the deterministic "trained" weights — one definition shared
+    * by the serving path and the oracle literal generator. */
+  val LocalModelSeed = 7L
+
+  /** The persisted local-model sidecar for a dataset dir, written ONCE
+    * (the model-registry shape: an offline job saves weights; serving only
+    * loads). Memoized like every other layout build. */
+  private[graft] def localModelPath(spark: SparkSession, dir: String): String =
+    localModelCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_embed_model") + "/weights.csv"
+      graft.text.LocalModelEmbedder.save(spark, p,
+        graft.text.LocalModelEmbedder.seeded(LocalDim, EmbedDim, LocalModelSeed))
+      p
+    })
+
+  private val localModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** VALUE-gated LOCAL-MODEL embedding: weights load from the persisted
+    * sidecar ([[graft.text.LocalModelEmbedder]] — the ONNX-style
+    * lifecycle) and every document's learned projection is exact-checked
+    * against DuckDB recomputing the same linear model from literal
+    * weights. Dyadic-rational weights × integer count features keep the
+    * arithmetic exactly representable, so a LEARNED model is hash-gated
+    * end-to-end — not just rows-counted. */
+  def embedDocsLocal(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.text.LocalModelEmbedder.load(spark, localModelPath(spark, dir))
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), emb.embed(col("text")).as("emb"))
+      .select(col("doc_id") +:
+        (0 until LocalDim).map(i => col("emb")(i).as(s"m$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  val embedDocsLocalSql: String = {
+    val projs = (0 until LocalDim).map { i =>
+      val terms = (0 until EmbedDim).map { j =>
+        val k = graft.text.LocalModelEmbedder.quantStep(LocalModelSeed, i, j)
+        s"(CAST($k AS DOUBLE)/256.0) * e$j"
+      }.mkString(" + ")
+      s"($terms) AS m$i"
+    }.mkString(",\n  ")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |  $hashFeatureComps
+       |  FROM ($hashedDocsSql))
+       |SELECT doc_id,
+       |  $projs
+       |FROM feats
        |ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_embed" -> (embedDocs _),
+    "tx_embed_local" -> (embedDocsLocal _),
     "tx_cjk_bm25" -> (cjkBm25 _),
     "tx_bm25_topk" -> (bm25TopK _),
     "tx_chunk_bm25" -> (chunkBm25 _),
@@ -415,6 +479,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_embed" -> embedDocsSql,
+    "tx_embed_local" -> embedDocsLocalSql,
     "tx_cjk_bm25" -> cjkBm25Sql,
     "tx_bm25_topk" -> bm25TopKSql,
     "tx_chunk_bm25" -> chunkBm25Sql,

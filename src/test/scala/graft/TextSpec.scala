@@ -201,6 +201,44 @@ class TextSpec extends SparkSpec {
       "the planted near-dup must rank first")
   }
 
+  test("local-model embedder: save/load round-trips weights and embed equals the driver-side projection exactly") {
+    import graft.text.LocalModelEmbedder
+    val dim = 4; val feat = 16
+    val w = LocalModelEmbedder.seeded(dim, feat, seed = 7L)
+    val path = graft.store.Fs.scratchDir(spark, "graft_test_model") + "/w.csv"
+    LocalModelEmbedder.save(spark, path, w)
+    val loaded = LocalModelEmbedder.load(spark, path)
+    assert(loaded.dim === dim && loaded.featBuckets === feat)
+    (0 until dim).foreach(i => assert(loaded.weights(i).toSeq === w(i).toSeq))
+    // value identity: out = W · hashEmbed(text), computed driver-side from
+    // the hash embedder's own output — dyadic weights × integer votes means
+    // EXACT equality is the right assertion, not a tolerance
+    val hashed = docs.limit(100)
+      .select(col("doc_id"), new graft.text.HashEmbedder(feat).embed(col("text")).as("f"),
+        loaded.embed(col("text")).as("m"))
+      .collect()
+    hashed.foreach { r =>
+      val f = r.getSeq[Double](1); val m = r.getSeq[Double](2)
+      assert(m.length === dim)
+      (0 until dim).foreach { i =>
+        val expect = (0 until feat).map(j => w(i)(j) * f(j)).sum
+        assert(m(i) === expect, s"component $i of doc ${r.getLong(0)}")
+      }
+    }
+    // the serving plan stays codegen-native: weights ride the plan as
+    // literals, no UDF stage
+    val plan = docs.select(loaded.embed(col("text")).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), "local-model embed must stay codegen-native")
+  }
+
+  test("local-model embedder: malformed weight matrix fails loudly") {
+    import graft.text.LocalModelEmbedder
+    intercept[IllegalArgumentException] {
+      new LocalModelEmbedder(Array(Array(1.0, 2.0), Array(1.0)), 2)
+    }
+  }
+
   test("chunks on the corpus: groups are contiguous from 0 and reconstruct the doc") {
     import graft.text.TextAnalysis
     val rows = docs.limit(20)
