@@ -145,15 +145,27 @@ object ApproxQueries {
   private val hnswLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The routed serving operating point — MEASURED on the DevRoutedSweep
+    * grid (RECALL.md round 7): 8 probes of 64 shards dominates the earlier
+    * 4-of-16 on every axis at sf0.1 — recall 0.985 vs 0.965 (finer shards
+    * let the centroid scoring skip more irrelevant data), build 5.8 s vs
+    * 16.7 s (per-shard graph construction is superlinear, so more smaller
+    * graphs win), serving ~2× faster, scanned fraction 12.5% vs 25%. The
+    * 100× path is MORE shards at a sublinear probe budget, not bigger
+    * graphs. */
+  val RoutedShards = 64
+  val RoutedProbes = 8
+
   /** S2 over the CENTROID-ROUTED persisted graphs — the serving shape that
-    * survives thousands of shards: the routing sidecar picks the top-4 of
-    * 16 cluster-coherent shards driver-side, the scan's partition filter
-    * prunes every other shard's files, and only 4 graphs restore
+    * survives thousands of shards: the routing sidecar picks the top
+    * [[RoutedProbes]] of [[RoutedShards]] cluster-coherent shards
+    * driver-side, the scan's partition filter prunes every other shard's
+    * files, and only the probed graphs restore
     * ([[graft.index.HnswStore.topKRouted]]; recall vs the all-shards
-    * fan-out is spec-gated). */
+    * fan-out is spec-gated at this shard count). */
   def hnswRoutedTopK(spark: SparkSession, dir: String): DataFrame =
     graft.index.HnswStore.topKRouted(spark, hnswRoutedLayout(spark, dir),
-      VectorModel.Query, 10, probes = 4)
+      VectorModel.Query, 10, probes = RoutedProbes)
 
   /** S4 with method=hnsw over the routed layout: the whole query batch in
     * one job, scan pruned to the union of the queries' probed shards, each
@@ -165,7 +177,7 @@ object ApproxQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
-    graft.index.HnswStore.batchTopKRouted(spark, path, queries, 3, probes = 4)
+    graft.index.HnswStore.batchTopKRouted(spark, path, queries, 3, probes = RoutedProbes)
       .orderBy("query_id", "rn")
   }
 
@@ -175,7 +187,7 @@ object ApproxQueries {
     hnswRoutedLayoutCache.computeIfAbsent(dir, _ => {
       val p = graft.store.Fs.scratchDir(spark, "graft_hnsw_routed_layout")
       graft.index.HnswStore.saveRouted(
-        VectorModel.lineitemVectors(spark, dir), s"$p/g", numShards = 16)
+        VectorModel.lineitemVectors(spark, dir), s"$p/g", numShards = RoutedShards)
       s"$p/g"
     })
 
