@@ -223,30 +223,36 @@ object LshAnn {
   // ---- persisted inverted-list layout: build once, serve bucket-pruned ----
   //
   // The serving shape that survives 100 TB: each table's buckets become an
-  // INVERTED LIST on storage — the exploded layout holds one copy of every
-  // row per table, dir-partitioned by (lsh_table, lsh_bucket), so the
-  // query-time candidate predicate ("bucket-of-table-t ∈ probes-of-table-t
-  // for ANY t") is a pure partition-column expression and Spark prunes
-  // every unprobed bucket's FILES at planning time (PartitionFilters, the
-  // same mechanism as the routed-HNSW layout). Without this, serving
-  // re-evaluates L·bits dot products over the whole corpus per query — a
-  // full scan regardless of the candidate fraction.
+  // INVERTED LIST on storage, dir-partitioned by (lsh_table, lsh_bucket),
+  // so the query-time candidate predicate ("bucket-of-table-t ∈
+  // probes-of-table-t for ANY t") is a pure partition-column expression and
+  // Spark prunes every unprobed bucket's FILES at planning time
+  // (PartitionFilters, the same mechanism as the routed-HNSW layout).
+  // Without this, serving re-evaluates L·bits dot products over the whole
+  // corpus per query — a full scan regardless of the candidate fraction.
   //
-  // The payload (id + vector) is replicated L×: the classic multi-table
-  // trade (each table is its own index, reference's inverted-list idea,
-  // vervectordb/__init__.py:420-424). At extreme scale one would store the
-  // vector only in table 0 and ids elsewhere, re-fetching by join — we keep
-  // full replication so serving is scan → union-dedup → re-rank with no
-  // join, and document the L× storage cost here. Bucketing is one narrow
-  // L·bits projection over a single scan at build time; the model itself
-  // re-derives from (seed, mean) persisted in a tiny text sidecar.
+  // The PAYLOAD (vector) is stored ONCE, in table 0 — the reference's
+  // inverted lists store row INDICES, not rows
+  // (vervectordb/__init__.py:420-424), and this layout is that shape on
+  // storage: tables ≥ 1 hold (id, home-bucket) pointer rows only, where
+  // `home` is the row's TABLE-0 bucket — the "row index" that names the
+  // exact payload partition to fetch from. Serving scans the probed dirs of
+  // every table, and candidates surfaced only by a pointer table fetch
+  // their vectors with one join against the home-bucket-pruned table-0
+  // dirs (the home set is collected from the pointer rows — a tiny
+  // int-column job over already-pruned files). Layout bytes are ~1× corpus
+  // + (L−1)·12 bytes/row instead of the L× full replication this replaced;
+  // the build shuffles one corpus copy plus narrow pointer rows. The model
+  // itself re-derives from (seed, mean) persisted in a tiny text sidecar.
 
   val TableCol = "lsh_table"
   val BucketCol = "lsh_bucket"
+  /** Pointer-row column: the row's table-0 bucket (payload partition). */
+  val HomeCol = "lsh_home"
   private val SidecarFile = "_graft_lsh"
 
-  /** Build + persist the exploded inverted-list layout at `path` and the
-    * model sidecar beside it; returns the model. One pass computes the mean
+  /** Build + persist the inverted-list layout at `path` and the model
+    * sidecar beside it; returns the model. One pass computes the mean
     * (centering statistic), one pass buckets and writes — the entire
     * serve-time construction cost moves here, amortized over every query. */
   def saveBucketed(df: DataFrame, vecCol: String, idCol: String, path: String,
@@ -255,13 +261,21 @@ object LshAnn {
     val center = meanVector(df, vecCol, dim)
     val model = tables(numTables, numBits, dim, center, seed)
     val bucketed = withTableBuckets(df, vecCol, model)
-    val exploded = (0 until numTables).map { t =>
-      bucketed.select(col(idCol), col(vecCol),
+    val vecType = df.schema(df.schema.fieldIndex(vecCol)).dataType
+    // table 0 carries the single payload copy; tables ≥ 1 carry pointer
+    // rows (id, home) — 12 bytes instead of the full vector
+    val payload = bucketed.select(col(idCol), col(vecCol),
+      lit(null).cast("int").as(HomeCol),
+      lit(0).as(TableCol), col("lsh_b0").as(BucketCol))
+    val pointers = (1 until numTables).map { t =>
+      bucketed.select(col(idCol), lit(null).cast(vecType).as(vecCol),
+        col("lsh_b0").as(HomeCol),
         lit(t).as(TableCol), col(s"lsh_b$t").as(BucketCol))
-    }.reduceLeft(_ unionByName _)
+    }
     // hash-repartition on the partition columns → exactly one file per
     // non-empty (table, bucket) dir, whatever the task count
-    exploded.repartition(col(TableCol), col(BucketCol))
+    (payload +: pointers).reduceLeft(_ unionByName _)
+      .repartition(col(TableCol), col(BucketCol))
       .write.mode("overwrite").partitionBy(TableCol, BucketCol).parquet(path)
     writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center)
     model
@@ -280,7 +294,11 @@ object LshAnn {
 
   /** Re-derive the model of a stored layout from its sidecar — tables are a
     * pure function of (seed, mean), so the sidecar is ~dim doubles, not
-    * L·bits·dim planes. */
+    * L·bits·dim planes. The sidecar is VALIDATED against the layout it
+    * sits in (required keys present and numeric; the `lsh_table=` dirs
+    * actually on disk within [0, numTables); bucket dirs within
+    * [0, 2^numBits)) — a truncated or hand-edited sidecar must fail
+    * loudly here, not silently probe the wrong buckets. */
   def loadTables(spark: org.apache.spark.sql.SparkSession, path: String): LshTables = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val sp = new org.apache.hadoop.fs.Path(p, SidecarFile)
@@ -290,11 +308,47 @@ object LshAnn {
     val kv = txt.split("\n").filter(_.contains("=")).map { l =>
       val Array(k, v) = l.split("=", 2); k -> v.trim
     }.toMap
+    val required = Seq("numTables", "numBits", "dim", "seed", "center")
+    val missing = required.filterNot(kv.contains)
+    require(missing.isEmpty,
+      s"LSH sidecar at $path is missing keys ${missing.mkString(",")} — " +
+        "truncated or hand-edited; rebuild the layout")
+    val (numTables, numBits, dim, seed) =
+      try (kv("numTables").toInt, kv("numBits").toInt, kv("dim").toInt,
+        kv("seed").toLong)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"LSH sidecar at $path has non-numeric values — corrupt; rebuild the layout", e)
+      }
     val center =
       if (kv("center").isEmpty) Array.empty[Double]
-      else kv("center").split(",").map(_.toDouble)
-    tables(kv("numTables").toInt, kv("numBits").toInt, kv("dim").toInt,
-      center, kv("seed").toLong)
+      else try kv("center").split(",").map(_.toDouble)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"LSH sidecar at $path has a non-numeric center — corrupt; rebuild the layout", e)
+      }
+    require(center.isEmpty || center.length == dim,
+      s"LSH sidecar at $path: center has ${center.length} components, dim=$dim")
+    // cross-check the sidecar against the partition dirs actually present —
+    // a sidecar pasted from a different layout would otherwise silently
+    // probe buckets that never match the stored dirs
+    val tableDirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$TableCol="))
+      .map(_.getPath)
+    tableDirs.foreach { td =>
+      val t = td.getName.stripPrefix(s"$TableCol=").toInt
+      require(t >= 0 && t < numTables,
+        s"LSH layout at $path has dir ${td.getName} outside sidecar numTables=$numTables")
+      fs.listStatus(td).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        .foreach { bd =>
+          val b = bd.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+          require(b >= 0 && b < (1 << numBits),
+            s"LSH layout at $path has dir ${td.getName}/${bd.getPath.getName} " +
+              s"outside sidecar numBits=$numBits")
+        }
+    }
+    tables(numTables, numBits, dim, center, seed)
   }
 
   /** Candidate predicate over the STORED layout: a disjunction of
