@@ -71,6 +71,27 @@ object VectorModel {
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** `events.parquet` with `ts` normalized to nanos-since-epoch LONG — the
+    * internal convention every events query buckets integrally on. The
+    * driver's testdata has stored ts as parquet TIMESTAMP(NANOS) (which
+    * Spark 4 reads as LONG only under `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); this seam absorbs both so
+    * queries and their DuckDB oracles (`epoch_ns(ts)`) agree either way.
+    * Session TZ is UTC everywhere here, so the NTZ→timestamp cast is a
+    * pure reinterpretation. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventsTs(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** See [[events]] — applied by every events entry point (batch AND the
+    * streaming reader, which must agree on the convention or the
+    * batch-twin equality specs compare different clocks). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema(df.schema.fieldIndex("ts")).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 

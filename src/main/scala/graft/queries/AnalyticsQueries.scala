@@ -68,7 +68,7 @@ object AnalyticsQueries {
     * stream table). */
   def eventsWindowTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select(col("user_id"), col("event_id"), col("value"), col("rn"))
@@ -84,10 +84,10 @@ object AnalyticsQueries {
 
   /** Per-type event rate stats over hourly buckets — the batch shape of the
     * streaming windowed aggregation in graft.streaming. `ts` arrives as
-    * nanos-since-epoch LONG (nanosAsLong), so the hour bucket is exact
-    * integer division in both engines. */
+    * nanos-since-epoch LONG ([[graft.model.VectorModel.events]]), so the
+    * hour bucket is exact integer division in both engines. */
   def eventsHourlyAgg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .groupBy(col("event_type"),
         (expr("ts div 3600000000000") * 3600).as("hour_epoch"))
       .agg(count(lit(1)).as("n"),
@@ -112,7 +112,7 @@ object AnalyticsQueries {
     * over one shuffle-by-user partitioning. */
   def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .withColumn("tsu", expr("ts div 1000"))
       .withColumn("prev_ts", lag("tsu", 1).over(byUser))
       .withColumn("is_start",
@@ -153,7 +153,7 @@ object AnalyticsQueries {
     * implementation of the semantics. */
   def eventsAsOfOrders(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.AsOfJoin
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.model.VectorModel.events(spark, dir)
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
     val dedupe = Window.partitionBy("user_id", "odus")
       .orderBy(col("o_orderkey").desc)
@@ -292,7 +292,7 @@ object AnalyticsQueries {
   /** Window frames: per-user running total and 3-row moving sum in cents. */
   def eventsRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .withColumn("cents", round(col("value") * 100.0).cast("long"))
       .select(
         col("user_id"), col("event_id"),
@@ -322,10 +322,10 @@ object AnalyticsQueries {
     * recomputes it as a plain BETWEEN join. */
   def eventsRangeJoinIncidents(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RangeJoin
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.model.VectorModel.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("tsu"), col("value"))
-    val incidents = spark.read.parquet(s"$dir/events.parquet")
+    val incidents = graft.model.VectorModel.events(spark, dir)
       .where(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
         expr("ts div 1000").as("lo"))
@@ -352,7 +352,7 @@ object AnalyticsQueries {
     * (hash-based, order-independent) but not cross-engine exact → rows-only
     * check; SketchSpec bounds the relative error vs the exact distinct. */
   def approxUsers(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         count(lit(1)).as("n"))
@@ -361,7 +361,7 @@ object AnalyticsQueries {
   /** Exact interpolated percentiles of event value per type (oracle:
     * DuckDB quantile_cont uses the same linear-interpolation definition). */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    graft.model.VectorModel.events(spark, dir)
       .groupBy("event_type")
       .agg(
         round(expr("percentile(value, 0.5)"), 6).as("p50"),

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** events schema as stored (ts read as nanos LONG via nanosAsLong). */
+  /** events schema with ts as nanos LONG — the normalized internal
+    * convention (see [[graft.model.VectorModel.events]]). */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -29,11 +30,18 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(EventsSchema)
-      .parquet(dir)
+  /** Streaming read of a directory of events parquet files, with `ts`
+    * normalized to nanos LONG. readStream needs an explicit schema, and
+    * pinning ts to LONG over a TIMESTAMP(MICROS) file would silently
+    * REINTERPRET µs as ns (a 1000× clock skew vs the batch twin) — so the
+    * stored type is sniffed from the files' footers (one batch-read schema
+    * resolution, no data scan) and the same normalization seam as the
+    * batch reader applies on top. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(dir).schema
+    graft.model.VectorModel.normalizeEventsTs(
+      spark.readStream.schema(stored).parquet(dir))
+  }
 
   /** Watermarked hourly windowed aggregation per event type. */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -399,6 +407,13 @@ object StreamingIngest {
     * joined to the latest published labels; ids untouched by any pair are
     * their own component. */
   def semanticKeepersStreamed(spark: SparkSession, statePath: String): DataFrame = {
+    // before any micro-batch has committed there is no assigned/ dir —
+    // return the empty frame (same graceful no-state handling as the
+    // labels branch below) instead of a path-not-found AnalysisException
+    val (fs, assignedPath) = graft.store.Fs.pathFs(spark, s"$statePath/assigned")
+    if (!fs.exists(assignedPath))
+      return spark.range(0).select(col("id").as("vec_id"),
+        col("id").as("component"), lit(1).as("kept"))
     val ids = spark.read.parquet(s"$statePath/assigned")
       .select(col("id").cast("long").as("vec_id")).distinct()
     val labels = graft.store.VersionedLayout.currentDir(spark, s"$statePath/labels") match {

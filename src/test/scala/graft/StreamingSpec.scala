@@ -7,16 +7,26 @@ import graft.streaming.StreamingIngest
   * its batch twin, and foreachBatch append must land all rows. */
 class StreamingSpec extends SparkSpec {
 
-  private def eventsDir: String = {
-    // file-stream sources want a directory; stage the single parquet file
+  /** Stage the events table for the file-stream source, with `ts` already
+    * normalized to the internal nanos-LONG convention (the testdata's
+    * stored timestamp encoding varies — see
+    * [[graft.model.VectorModel.events]]); `copies` > 1 duplicates every
+    * row across that many files/micro-batches. */
+  private def eventsDir(copies: Int = 1): String = {
+    import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
-    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
-    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    dir
+    graft.model.VectorModel.events(spark, Sf0001)
+      .coalesce(1).write.parquet(s"$dir/in")
+    val in = java.nio.file.Paths.get(s"$dir/in")
+    val part = java.nio.file.Files.list(in).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    (1 until copies).foreach(i =>
+      java.nio.file.Files.copy(part, in.resolve(s"copy$i.parquet")))
+    s"$dir/in"
   }
 
   test("streaming hourly aggregation equals the batch aggregation") {
-    val dir = eventsDir
+    val dir = eventsDir()
     val agg = StreamingIngest.hourlyCounts(StreamingIngest.readEvents(spark, dir))
     val q = StreamingIngest.runToMemorySink(agg, "hourly_test")
     try {
@@ -37,7 +47,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // two time-ordered files => two micro-batches; per-user order preserved
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
-    val all = spark.read.parquet(s"$Sf0001/events.parquet").orderBy("ts")
+    val all = graft.model.VectorModel.events(spark, Sf0001).orderBy("ts")
     val n = all.count()
     all.limit((n / 2).toInt).coalesce(1).write.parquet(s"$dir/in/b0")
     all.orderBy(col("ts").desc).limit((n - n / 2).toInt)
@@ -268,10 +278,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("dropDuplicatesWithinWatermark dedups ids across micro-batches") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ddww").toString
-    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
-    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/a.parquet"))
-    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
+    // the same rows twice => every event is duplicated across two batches
+    val dir = eventsDir(copies = 2)
     val stream = spark.readStream.schema(StreamingIngest.EventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
@@ -291,7 +299,7 @@ class StreamingSpec extends SparkSpec {
   test("stream-stream incident join matches the batch range join pairs") {
     import org.apache.spark.sql.functions._
     val windowUs = graft.queries.AnalyticsQueries.IncidentWindowUs
-    val dir = eventsDir
+    val dir = eventsDir()
     val stream = spark.readStream.schema(StreamingIngest.EventsSchema).parquet(dir)
     val q = StreamingIngest.incidentJoinStream(stream, windowUs)
       .writeStream.outputMode("append").format("memory").queryName("incident_join")
@@ -300,9 +308,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.sql("SELECT error_id, event_id FROM incident_join")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val events = spark.read.parquet(s"$Sf0001/events.parquet")
+      val base = graft.model.VectorModel.events(spark, Sf0001)
+      val events = base
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
-      val incidents = spark.read.parquet(s"$Sf0001/events.parquet")
+      val incidents = base
         .where(col("event_type") === "error")
         .select(col("event_id").as("error_id"), col("user_id").as("err_user"),
           expr("ts div 1000").as("lo"))
@@ -317,11 +326,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup drops exact duplicate events across micro-batches") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
-    // the same file twice => every event is duplicated across two batches
-    val src = java.nio.file.Paths.get(s"$Sf0001/events.parquet")
-    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/a.parquet"))
-    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
+    // the same rows twice => every event is duplicated across two batches
+    val dir = eventsDir(copies = 2)
     val stream = spark.readStream.schema(StreamingIngest.EventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
@@ -364,7 +370,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatch append ingest lands every row") {
-    val dir = eventsDir
+    val dir = eventsDir()
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val q = StreamingIngest.ingestAppend(
       StreamingIngest.readEvents(spark, dir),
