@@ -411,6 +411,11 @@ object Dedup {
         .agg(least(col("src"), min(col("dst"))).as("new_l"))
         .cache()
       lineageCaches ::= relabel
+      // populate the cache with one cheap action BEFORE the closure's
+      // self-join references the frame twice in one job — otherwise the
+      // neighbor-min aggregation (the cycle's largest stage) can compute
+      // twice while the cache is still cold
+      relabel.count()
       // (1b) CLOSE the relabeling to idempotence by pointer doubling.
       // The map is functional and strictly descending (new_l ≤ src), so
       // it is a forest pointing at local minima; squaring doubles the
