@@ -72,6 +72,23 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * deleted ids drop out, updated vectors re-score). */
   private var hnswMutated: Boolean = false
 
+  // ---- sign-LSH layout lifecycle state (mirrors the HNSW fields above:
+  // a persisted, versioned layout + watermark/mutation flags that route
+  // serving between the clean stored path and the merge path) ----
+  private var lshRoot: Option[String] = None
+  private var lshModel: Option[graft.index.LshAnn.LshTables] = None
+  private var lshNumTables: Int = graft.index.LshAnn.DefaultTables
+  private var lshNumBits: Int = graft.index.LshAnn.DefaultBits
+  private var lshOwned: Boolean = false
+  private var lshOwnedRoot: Option[String] = None
+  private var lshCoveredUpTo: Long = 0L
+  private var lshMutated: Boolean = false
+
+  private def dropOwnedLsh(): Unit = {
+    if (lshOwned) lshOwnedRoot.foreach(deletePath)
+    lshOwnedRoot = None
+  }
+
   def count(): Long = data.count()
   def toDf: DataFrame = data
 
@@ -109,7 +126,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ivfSnap = None
     ivfPqSnap.foreach(_.unpersist())
     ivfPqSnap = None
-    if (mutated) hnswMutated = true
+    if (mutated) { hnswMutated = true; lshMutated = true }
   }
 
   private def deletePath(path: String): Unit = graft.store.Fs.delete(spark, path)
@@ -273,6 +290,79 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     hnswMutated = false
   }
 
+  /** Build the persisted sign-LSH inverted-list layout
+    * ([[graft.index.LshAnn.saveBucketed]]) under a VERSIONED root — the
+    * training-free ANN path joins the facade lifecycle the other indexes
+    * have: build → stored bucket-pruned serving ([[lshSearch]]); rebuilds
+    * land as the next version under the SAME root, so readers keep their
+    * snapshot and a crash mid-rebuild leaves the previous version live
+    * ([[graft.store.VersionedLayout]]); [[maintainIndexes]] schedules
+    * rebuilds on the same delta/mutation thresholds as HNSW. */
+  def buildLshIndex(numTables: Int = graft.index.LshAnn.DefaultTables,
+      numBits: Int = graft.index.LshAnn.DefaultBits,
+      scratch: Option[String] = None): Unit = {
+    requireNonEmpty("build_lsh_index")
+    val root = lshRoot match {
+      case Some(r) => r // rebuild: next version under the same root
+      case None =>
+        val (base, ownedRoot) = scratch match {
+          case Some(s) => (s"$s/lsh", s"$s/lsh")
+          case None =>
+            val b = homePath match {
+              case Some(h) =>
+                val p = s"$h/_scratch/lsh-${System.nanoTime()}"
+                val (fs, hp) = graft.store.Fs.pathFs(spark, p)
+                require(fs.mkdirs(hp), s"cannot create scratch dir $hp")
+                p
+              case None => graft.store.Fs.scratchDir(spark, "vectordb_lsh")
+            }
+            (b, b)
+        }
+        lshOwned = true
+        lshOwnedRoot = Some(ownedRoot)
+        base
+    }
+    val (_, model) = graft.index.LshAnn.saveVersioned(data, "vector", "id",
+      root, dim, numTables, numBits)
+    lshRoot = Some(root)
+    lshModel = Some(model)
+    lshNumTables = numTables
+    lshNumBits = numBits
+    lshCoveredUpTo = nextId
+    lshMutated = false
+  }
+
+  /** The versioned LSH root currently serving, if any (test/inspection
+    * seam — e.g. asserting rebuilds land as new versions). */
+  private[graft] def lshIndexRoot: Option[String] = lshRoot
+
+  /** Approximate top-k via the persisted LSH layout. Clean (no writes
+    * since build, no filter) → stored bucket-pruned serving
+    * ([[graft.index.LshAnn.searchStored]]). Otherwise the merge path keeps
+    * results correct the same way [[hnswSearch]]'s does: stored candidates
+    * (overfetched ×[[FilterOverfetch]]) re-score against LIVE rows —
+    * deleted ids drop out, updated vectors re-score — and the delta region
+    * above the build watermark is searched exactly and unioned in before
+    * the final top-k; a metadata filter applies over the live rows. */
+  def lshSearch(query: Seq[Double], topK: Int = 5,
+      probes: Int = graft.index.LshAnn.DefaultProbes,
+      filter: Option[Column] = None): DataFrame = {
+    checkDim(query)
+    val root = lshRoot.getOrElse(
+      throw new IllegalStateException("LSH index not built"))
+    val model = lshModel.get
+    val layout = spark.read.parquet(graft.index.LshAnn.currentLayout(spark, root))
+    if (!lshMutated && lshCoveredUpTo == nextId && filter.isEmpty)
+      graft.index.LshAnn.searchStored(layout, model, query, topK, probes)
+    else {
+      val candIds = graft.index.LshAnn.searchStored(layout, model, query,
+        topK * FilterOverfetch, probes).select(col("id"))
+      val deltaIds = data.where(col("id") >= lshCoveredUpTo).select(col("id"))
+      val subset = data.join(candIds.union(deltaIds).distinct(), Seq("id"))
+      VectorSearch.bruteForceTopK(subset, query, topK, filter)
+    }
+  }
+
   /** Shards probed by routed clean serving: half the shards, the same
     * scanned-fraction default as the reference's IVF probe count
     * (max(k/2, …)); recall vs all-shards is spec-gated at this point. */
@@ -332,6 +422,27 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         // stays id-hash
         buildHnswIndex(numPartitions = hnswNumPartitions, routed = hnswRouted)
         actions += "hnsw_rebuilt"
+      }
+    }
+    if (lshRoot.isDefined) {
+      val counts = data.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(col("id") >= lshCoveredUpTo, 1))).head
+      val totalRows = counts.getLong(0)
+      val deltaRows = counts.getLong(1)
+      val baseRows = math.max(1L, totalRows - deltaRows)
+      if (totalRows == 0L) {
+        dropOwnedLsh()
+        lshRoot = None
+        lshModel = None
+        lshOwned = false
+        lshMutated = false
+        actions += "lsh_dropped"
+      } else if (lshMutated || deltaRows.toDouble > maxDeltaFraction * baseRows) {
+        // rebuild with the layout's own hyperparameters as the NEXT
+        // version under the same root — readers keep their snapshot
+        buildLshIndex(lshNumTables, lshNumBits)
+        actions += "lsh_rebuilt"
       }
     }
     ivfDriftThreshold.foreach { threshold =>
@@ -532,9 +643,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       case "ivf" => ivfSearch(query, topK, pred)
       case "hnsw" => hnswSearch(query, topK, filter = pred)
       case "ivfpq" => ivfPqSearch(query, topK, filter = pred)
+      case "lsh" => lshSearch(query, topK, filter = pred)
       case "brute_force" => bruteForceSearch(query, topK, pred)
       case other => throw new IllegalArgumentException(
-        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq)")
+        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq|lsh)")
     }
   }
 
@@ -592,6 +704,27 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           throw new IllegalStateException("IVF-PQ index not built"))
         IvfPq.batchSearch(encoded, model, indexed, topK,
           refineFrom = data, filter = filter)
+      case "lsh" =>
+        val root = lshRoot.getOrElse(
+          throw new IllegalStateException("LSH index not built"))
+        if (filter.isEmpty && !lshMutated && lshCoveredUpTo == nextId)
+          // clean layout covering every row: the whole batch in one
+          // union-pruned scan of the stored inverted lists
+          graft.index.LshAnn.batchSearchStored(
+            spark.read.parquet(graft.index.LshAnn.currentLayout(spark, root)),
+            lshModel.get, indexed, topK)
+        else {
+          // post-write/filtered: per-query merge path (correctness over
+          // batching, like the fresh-HNSW fallback); maintenance folds
+          // the delta back into the batched clean path
+          indexed.map { case (qid, q) =>
+            lshSearch(q, topK, filter = filter)
+              .select(lit(qid).as("query_id"), col("id"), col("sim"),
+                row_number().over(org.apache.spark.sql.expressions.Window
+                  .partitionBy(lit(1)).orderBy(col("sim").desc, col("id").asc))
+                  .cast("long").as("rn"))
+          }.reduceLeft(_ unionByName _)
+        }
       case "brute_force" =>
         val qdf = spark.createDataFrame(
           spark.sparkContext.parallelize(queries.zipWithIndex.map { case (q, i) => Row(i.toLong, q) }),
@@ -600,7 +733,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
         VectorSearch.batchTopK(live, qdf, dim, topK)
       case other => throw new IllegalArgumentException(
-        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq)")
+        s"unknown search method '$other' (expected brute_force|hnsw|ivf|ivfpq|lsh)")
     }
   }
 
@@ -690,9 +823,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     // non-default parameters would silently rebuild/merge with defaults
     // after load
     spark.createDataFrame(Seq(
-        (nextId, hnswCoveredUpTo, hnswMutated, hnswM, hnswEfConstruction, pqM, pqNBits)))
+        (nextId, hnswCoveredUpTo, hnswMutated, hnswM, hnswEfConstruction, pqM, pqNBits,
+          lshCoveredUpTo, lshMutated)))
       .toDF("next_id", "hnsw_covered_up_to", "hnsw_mutated",
-        "hnsw_m", "hnsw_ef_construction", "pq_m", "pq_nbits")
+        "hnsw_m", "hnsw_ef_construction", "pq_m", "pq_nbits",
+        "lsh_covered_up_to", "lsh_mutated")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     ivf match {
       case Some((assigned, model)) =>
@@ -765,6 +900,25 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       case Some(_) => // already persisted in place
       case None =>
         deletePath(s"$path/hnsw")
+    }
+    lshRoot match {
+      case Some(r) if r != s"$path/lsh" =>
+        // relocate the LIVE layout version under the save dir as its own
+        // versioned root; the DataFrame rewrite drops the model sidecar,
+        // so copy it explicitly (same pattern as the HNSW meta copy)
+        val cur = graft.index.LshAnn.currentLayout(spark, r)
+        graft.store.VersionedLayout.publish(spark, s"$path/lsh") { dir =>
+          spark.read.parquet(cur)
+            .repartition(col(graft.index.LshAnn.TableCol),
+              col(graft.index.LshAnn.BucketCol))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(graft.index.LshAnn.TableCol, graft.index.LshAnn.BucketCol)
+            .parquet(dir)
+          graft.index.LshAnn.copySidecar(spark, cur, dir)
+        }
+      case Some(_) => // already versioned in place
+      case None =>
+        deletePath(s"$path/lsh")
     }
     dataSnap.filter(_ ne snap).foreach(_.unpersist())
     dataSnap = Some(snap)
@@ -841,6 +995,21 @@ object VectorDb {
       // routedness is a property of the layout, detected from its sidecar
       db.hnswRouted =
         graft.index.HnswStore.readRouting(spark, s"$path/hnsw").isDefined
+    }
+    if (pathExists(spark, s"$path/lsh")) {
+      val root = s"$path/lsh"
+      val cur = graft.index.LshAnn.currentLayout(spark, root)
+      val model = graft.index.LshAnn.loadTables(spark, cur)
+      db.lshRoot = Some(root)
+      db.lshModel = Some(model)
+      db.lshNumTables = model.numTables
+      db.lshNumBits = model.numBits
+      db.lshOwned = false
+      // saves from before the LSH lifecycle carry 7 meta columns; a layout
+      // dir without the watermark columns cannot exist, but fall back
+      // conservatively to covered-at-save semantics
+      db.lshCoveredUpTo = if (meta.length >= 9) meta.getLong(7) else db.nextId
+      db.lshMutated = if (meta.length >= 9) meta.getBoolean(8) else false
     }
     if (pathExists(spark, s"$path/pq_codebooks")) {
       db.pq = Some(quantizerFromRows(

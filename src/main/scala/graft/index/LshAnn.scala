@@ -300,6 +300,16 @@ object LshAnn {
     * [0, 2^numBits)) — a truncated or hand-edited sidecar must fail
     * loudly here, not silently probe the wrong buckets. */
   def loadTables(spark: org.apache.spark.sql.SparkSession, path: String): LshTables = {
+    val (numTables, numBits, dim, seed, center) = sidecarParams(spark, path)
+    tables(numTables, numBits, dim, center, seed)
+  }
+
+  /** Parsed + validated sidecar of a stored layout —
+    * (numTables, numBits, dim, seed, center). Maintenance rebuilds read
+    * the hyperparameters from here so a rebuilt layout answers with the
+    * same tables as the one it replaces. */
+  private[graft] def sidecarParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Long, Array[Double]) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val sp = new org.apache.hadoop.fs.Path(p, SidecarFile)
     require(fs.exists(sp), s"no LSH sidecar at $path — need a saveBucketed layout")
@@ -348,8 +358,38 @@ object LshAnn {
               s"outside sidecar numBits=$numBits")
         }
     }
-    tables(numTables, numBits, dim, center, seed)
+    (numTables, numBits, dim, seed, center)
   }
+
+  /** Copy a layout's model sidecar to a relocated layout dir (save-dir
+    * moves rewrite the parquet through a DataFrame, which drops it). */
+  private[graft] def copySidecar(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    val (fs, fp) = graft.store.Fs.pathFs(spark, from)
+    val (_, tp) = graft.store.Fs.pathFs(spark, to)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(fp, SidecarFile),
+      fs, new org.apache.hadoop.fs.Path(tp, SidecarFile), false, spark.sparkContext.hadoopConfiguration)
+    ()
+  }
+
+  /** First/next publish of an inverted-list layout under a
+    * [[graft.store.VersionedLayout]] root — the serving-safe lifecycle the
+    * other persisted indexes have (rebuilds land as the next version;
+    * readers keep their snapshot; a crash mid-write leaves the previous
+    * version live). Returns (committed dir, model). */
+  def saveVersioned(df: DataFrame, vecCol: String, idCol: String, root: String,
+      dim: Int, numTables: Int = DefaultTables, numBits: Int = DefaultBits,
+      seed: Long = 42L): (String, LshTables) = {
+    var model: LshTables = null
+    val dir = graft.store.VersionedLayout.publish(df.sparkSession, root)(d =>
+      model = saveBucketed(df, vecCol, idCol, d, dim, numTables, numBits, seed))
+    (dir, model)
+  }
+
+  /** The live layout version under a versioned root. */
+  def currentLayout(spark: org.apache.spark.sql.SparkSession, root: String): String =
+    graft.store.VersionedLayout.currentDir(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed LSH layout under $root"))
 
   /** Candidate predicate over the STORED layout: a disjunction of
     * (table, bucket-isin) conjunctions — every column a partition column,
@@ -362,19 +402,121 @@ object LshAnn {
     }.reduceLeft(_ || _)
 
   /** Approximate top-k over the stored layout: pruned scan of the probed
-    * bucket dirs, union-dedup of per-table candidate copies (one shuffle of
-    * the ~candidate-fraction rows — the standard re-rank cost), exact
-    * re-rank. Candidate-set semantics are IDENTICAL to [[searchMulti]]
+    * bucket dirs; table-0 candidates carry their payload directly, pointer
+    * candidates (tables ≥ 1) fetch theirs with one join against the
+    * home-bucket-pruned table-0 dirs — the home set is collected from the
+    * pointer rows first (a tiny int-column job over already-pruned files)
+    * so the payload fetch is ALSO a PartitionFilters scan, not a full
+    * table-0 read. Candidate-set semantics are IDENTICAL to [[searchMulti]]
     * (row admitted iff any table probes its bucket), so recall and scanned
     * fraction carry over unchanged — spec-gated. */
   def searchStored(layout: DataFrame, model: LshTables,
       query: Seq[Double], topK: Int, probes: Int = DefaultProbes,
-      vecCol: String = "vector", idCol: String = "id"): DataFrame =
-    VectorSearch.bruteForceTopK(
-      layout.where(storedCandidateFilter(query, model, probes))
-        .select(col(idCol), col(vecCol))
-        .dropDuplicates(idCol),
+      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+    val cand = layout.where(storedCandidateFilter(query, model, probes))
+    val direct = cand.where(col(TableCol) === 0).select(col(idCol), col(vecCol))
+    // renamed pointer columns — the payload fetch below is a self-join on
+    // the layout's lineage, and distinct names sidestep ambiguous-attribute
+    // resolution entirely
+    val ptr = cand.where(col(TableCol) > 0)
+      .select(col(idCol).as("__lsh_ptr_id"), col(HomeCol).as("__lsh_ptr_home"))
+      .dropDuplicates("__lsh_ptr_id")
+    val homes = ptr.select("__lsh_ptr_home").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val candidates =
+      if (homes.isEmpty) direct
+      else {
+        val fetched = layout.where(
+          col(TableCol) === 0 && col(BucketCol).isin(homes: _*))
+          .join(ptr, col(idCol) === col("__lsh_ptr_id") &&
+            col(BucketCol) === col("__lsh_ptr_home"))
+          .select(col(idCol), col(vecCol))
+        direct.unionByName(fetched)
+      }
+    VectorSearch.bruteForceTopK(candidates.dropDuplicates(idCol),
       query, topK, None, vecCol, idCol)
+  }
+
+  /** The (table, bucket) dirs a stored serve of `query` may read: the
+    * probed dirs of every table PLUS the table-0 home dirs the pointer
+    * candidates fetch their payload from. LshStoreSpec deletes everything
+    * outside this set and proves results unchanged. */
+  private[graft] def dependencyDirs(layout: DataFrame, model: LshTables,
+      query: Seq[Double], probes: Int): Set[(Int, Int)] = {
+    val probed = model.planes.indices.flatMap { t =>
+      probeSet(query, model.planes(t), model.biases(t), probes).map(b => (t, b))
+    }.toSet
+    val homes = layout.where(storedCandidateFilter(query, model, probes))
+      .where(col(TableCol) > 0)
+      .select(HomeCol).distinct().collect().map(r => (0, r.getInt(0))).toSet
+    probed ++ homes
+  }
+
+  /** S4 for the stored layout: ONE distributed job for the whole query
+    * set (the [[Ivf.batchSearch]] shape applied to LSH). Each query's
+    * probed (table, bucket) dirs are computed driver-side; the scan
+    * predicate is the UNION of every query's probed dirs — still a pure
+    * partition-column predicate, so every unprobed bucket dir prunes at
+    * planning time — per-query admission is a broadcast equi-join on
+    * (table, bucket), pointer candidates fetch their payload ONCE for all
+    * queries via the home-bucket join, and ranking is the k-bounded
+    * aggregator after a per-(query, id) dedup. Per-query candidate
+    * semantics are IDENTICAL to [[searchStored]] — spec-gated
+    * (LshStoreSpec batch==single parity). */
+  def batchSearchStored(layout: DataFrame, model: LshTables,
+      queries: Seq[(Long, Seq[Double])], topK: Int, probes: Int = DefaultProbes,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = layout.sparkSession
+    val probed: Seq[(Long, Int, Int)] = queries.flatMap { case (qid, q) =>
+      model.planes.indices.flatMap { t =>
+        probeSet(q, model.planes(t), model.biases(t), probes).map(b => (qid, t, b))
+      }
+    }
+    val byTable = probed.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    val unionPred = byTable.toSeq.sortBy(_._1).map { case (t, bs) =>
+      col(TableCol) === t && col(BucketCol).isin(bs: _*)
+    }.reduceLeft(_ || _)
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        probed.map { case (qid, t, b) => Row(qid, t, b) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField(TableCol, IntegerType, nullable = false),
+        StructField(BucketCol, IntegerType, nullable = false))))
+    val admitted = graft.operators.Par.widen(layout.where(unionPred))
+      .join(broadcast(qdf), Seq(TableCol, BucketCol))
+    val direct = admitted.where(col(TableCol) === 0)
+      .select(col("query_id"), col(idCol), col(vecCol))
+    val ptr = admitted.where(col(TableCol) > 0)
+      .select(col("query_id").as("__lsh_ptr_qid"), col(idCol).as("__lsh_ptr_id"),
+        col(HomeCol).as("__lsh_ptr_home"))
+      .dropDuplicates("__lsh_ptr_qid", "__lsh_ptr_id")
+    val homes = ptr.select("__lsh_ptr_home").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val candidates =
+      if (homes.isEmpty) direct
+      else {
+        val fetched = layout.where(
+          col(TableCol) === 0 && col(BucketCol).isin(homes: _*))
+          .join(ptr, col(idCol) === col("__lsh_ptr_id") &&
+            col(BucketCol) === col("__lsh_ptr_home"))
+          .select(col("__lsh_ptr_qid").as("query_id"), col(idCol), col(vecCol))
+        direct.unionByName(fetched)
+      }
+    val qv = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
+    val scored = candidates.dropDuplicates("query_id", idCol)
+      .join(broadcast(qv), "query_id")
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")))
+    graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol), col("sim_raw"), topK)
+      .withColumnRenamed("id", idCol)
+  }
 
   /** Fraction of rows the multi-table probe admits for `query` — the
     * scanned-fraction denominator of the recall/cost trade (H2 harness

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.VectorDb
+import graft.index.LshAnn
+
+/** The sign-LSH layout's full facade lifecycle — the same story the other
+  * persisted indexes have: build → stored serving, writes route through the
+  * merge path (correct immediately, no rebuild), maintenance rebuilds land
+  * as the NEXT version under the same root, a crash mid-rebuild leaves the
+  * previous version live, and save/load round-trips the layout. */
+class LshLifecycleSpec extends SparkSpec {
+
+  private val Dim = 8
+  private val Bits = 6
+  private val Probes = 12
+
+  private def mkDb(n: Int = 300): VectorDb = {
+    val rng = new java.util.Random(7)
+    val db = new VectorDb(spark, Dim)
+    db.batchInsert((0 until n).map { i =>
+      (Seq.fill(Dim)(rng.nextDouble() * 10), Map("category" -> (i % 3).toString))
+    })
+    db
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private val Q = Seq.fill(Dim)(5.0)
+
+  test("facade build/search equals engine-level stored search; save/load round-trips the layout") {
+    val db = mkDb()
+    intercept[IllegalStateException] { db.lshSearch(Q, 5) }
+    db.buildLshIndex(numBits = Bits)
+    val got = pairs(db.lshSearch(Q, 10, probes = Probes))
+    assert(got.nonEmpty)
+    // parity vs the engine-level stored search on the live version
+    val cur = LshAnn.currentLayout(spark, db.lshIndexRoot.get)
+    val model = LshAnn.loadTables(spark, cur)
+    val eng = pairs(LshAnn.searchStored(spark.read.parquet(cur), model, Q, 10,
+      probes = Probes))
+    assert(got === eng)
+    // save relocates the live version under the save dir as its own
+    // versioned root; load serves the same answers from it
+    val saveDir =
+      java.nio.file.Files.createTempDirectory("graft_lsh_life").toString + "/db"
+    db.save(saveDir)
+    val db2 = VectorDb.load(spark, saveDir, Dim)
+    assert(pairs(db2.lshSearch(Q, 10, probes = Probes)) === got)
+  }
+
+  test("writes serve through the merge path immediately; maintenance rebuilds as the next version") {
+    val db = mkDb(250)
+    db.buildLshIndex(numBits = Bits)
+    val before = pairs(db.lshSearch(Q, 5, probes = Probes))
+    // delete the current top hit: it must drop out with no rebuild
+    val topId = before.head._1
+    db.delete(topId)
+    assert(!pairs(db.lshSearch(Q, 5, probes = Probes)).exists(_._1 == topId))
+    // an inserted exact-match vector must appear with no rebuild
+    val nid = db.insert(Q)
+    assert(pairs(db.lshSearch(Q, 5, probes = Probes)).head._1 === nid)
+    // a metadata filter applies on the merge path
+    val filtered = db.lshSearch(Q, 5, probes = Probes,
+      filter = Some(element_at(col("metadata"), "category") === "1")).collect()
+    assert(filtered.nonEmpty)
+    // maintenance folds the mutations into the NEXT version (same root)
+    val v0 = LshAnn.currentLayout(spark, db.lshIndexRoot.get)
+    val actions = db.maintainIndexes()
+    assert(actions.contains("lsh_rebuilt"))
+    val v1 = LshAnn.currentLayout(spark, db.lshIndexRoot.get)
+    assert(v1 !== v0)
+    // clean stored serving now covers the post-build insert
+    assert(pairs(db.lshSearch(Q, 5, probes = Probes)).head._1 === nid)
+  }
+
+  test("facade batch dispatch equals per-query serving on the clean and merge paths") {
+    val db = mkDb(200)
+    db.buildLshIndex(numBits = Bits)
+    val qs = Seq(Q, Seq.fill(Dim)(1.0))
+    def batchSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def singleSet() = qs.zipWithIndex.flatMap { case (q, i) =>
+      pairs(db.lshSearch(q, 5)).map(p => (i.toLong, p._1, p._2))
+    }.toSet
+    val clean = batchSet(db.batchSearch(qs, 5, method = "lsh"))
+    assert(clean === singleSet())
+    assert(clean.nonEmpty)
+    // a post-build write routes the batch through the merge fallback —
+    // same answers as the per-query merge path
+    db.insert(Seq.fill(Dim)(2.0))
+    assert(batchSet(db.batchSearch(qs, 5, method = "lsh")) === singleSet())
+  }
+
+  test("a crash mid-rebuild leaves the previous version live (publish crash window)") {
+    val db = mkDb(200)
+    db.buildLshIndex(numBits = Bits)
+    val root = db.lshIndexRoot.get
+    val v0 = LshAnn.currentLayout(spark, root)
+    val before = pairs(db.lshSearch(Q, 10, probes = Probes))
+    // a writer that dies mid-write: partial files land in the uncommitted
+    // next-version dir, no commit marker — readers stay on v0
+    intercept[RuntimeException] {
+      graft.store.VersionedLayout.publish(spark, root) { dir =>
+        spark.range(5).write.parquet(s"$dir/partial")
+        throw new RuntimeException("simulated crash mid-rebuild")
+      }
+    }
+    assert(LshAnn.currentLayout(spark, root) === v0)
+    assert(pairs(db.lshSearch(Q, 10, probes = Probes)) === before)
+    // the next real rebuild proceeds (lock released, leftovers pruned)
+    db.insert(Seq.fill(Dim)(1.0))
+    val actions = db.maintainIndexes(maxDeltaFraction = 0.0)
+    assert(actions.contains("lsh_rebuilt"))
+    assert(LshAnn.currentLayout(spark, root) !== v0)
+  }
+}

@@ -44,17 +44,24 @@ class LshStoreSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
       "probe filter must appear as a partition filter:\n" + plan.take(3000))
 
+    // the payload is stored ONCE (table 0); tables ≥ 1 are id+home pointers
+    val layoutDf = spark.read.parquet(s"$dir/t")
+    assert(layoutDf.where(col("lsh_table") > 0 && col("embedding").isNotNull)
+      .count() === 0L)
+    assert(layoutDf.where(col("lsh_table") === 0 && col("embedding").isNotNull)
+      .count() === embeddings.count())
+
     // sidecar round-trip: the model re-derives from (seed, mean)
     val reloaded = LshAnn.loadTables(spark, s"$dir/t")
     assert(reloaded.planes.flatten.flatten.toSeq === model.planes.flatten.flatten.toSeq)
     assert(reloaded.biases.flatten.toSeq === model.biases.flatten.toSeq)
 
-    // file-level proof: delete every unprobed (table, bucket) dir; stored
-    // results are unchanged — serving reads only the probed buckets
-    val probed = model.planes.indices.flatMap { t =>
-      LshAnn.probeSet(VectorModel.AnnQuery, model.planes(t), model.biases(t), Probes)
-        .map(b => (t, b))
-    }.toSet
+    // file-level proof: delete every (table, bucket) dir outside the
+    // serve's dependency set — the probed dirs plus the table-0 home dirs
+    // pointer candidates fetch their payload from; stored results are
+    // unchanged, so serving reads nothing else
+    val probed = LshAnn.dependencyDirs(spark.read.parquet(s"$dir/t"), model,
+      VectorModel.AnnQuery, Probes)
     val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/t")
     val removed = fs.listStatus(p)
       .filter(_.getPath.getName.startsWith("lsh_table="))
@@ -71,6 +78,31 @@ class LshStoreSpec extends SparkSpec {
       VectorModel.AnnQuery, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id"))
     assert(after === stored,
       "stored serving must not depend on any unprobed bucket's files")
+  }
+
+  test("batch stored serving equals per-query stored serving; union probe filter prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_batch").toString
+    val model = LshAnn.saveBucketed(embeddings, "embedding", "vec_id",
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+    val layout = spark.read.parquet(s"$dir/t")
+    val queries = (0 until 4).map(s => (s.toLong, VectorModel.syntheticQuery(s)))
+    val batchDf = LshAnn.batchSearchStored(layout, model, queries, 10,
+      probes = Probes, vecCol = "embedding", idCol = "vec_id")
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = queries.flatMap { case (qid, q) =>
+      LshAnn.searchStored(spark.read.parquet(s"$dir/t"), model, q, 10,
+        probes = Probes, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id", "sim")
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === single)
+    assert(batch.nonEmpty)
+    // the union-of-queries probe disjunction must still be a partition
+    // filter — one pruned scan for the whole batch
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
+      "union probe filter must appear as a partition filter:\n" + plan.take(3000))
   }
 
   test("oversized bucket width fails loudly (driver-side mask enumeration bound)") {
