@@ -157,19 +157,31 @@ object ApproxQueries {
   val RoutedProbes = 8
 
   /** S2 over the CENTROID-ROUTED persisted graphs — the serving shape that
-    * survives thousands of shards: the routing sidecar picks the top
-    * [[RoutedProbes]] of [[RoutedShards]] cluster-coherent shards
-    * driver-side, the scan's partition filter prunes every other shard's
-    * files, and only the probed graphs restore
-    * ([[graft.index.HnswStore.topKRouted]]; recall vs the all-shards
-    * fan-out is spec-gated at this shard count). */
+    * survives thousands of shards: the routing sidecar scores shard
+    * centroids driver-side and the scan's partition filter prunes every
+    * unprobed shard's files; only the probed graphs restore. The probe
+    * LIST is ADAPTIVE by default ([[graft.index.HnswStore
+    * .topKRoutedAdaptive]] over the memoized per-shard node counts) — the
+    * same candidate-mass rule as stored-IVF serving, so at 1000+ shards
+    * the probed count tracks each query's need instead of a fixed
+    * [[RoutedProbes]]; recall at fewer mean probed shards is spec-gated
+    * (RecallSpec, RECALL.md round 8). */
   def hnswRoutedTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.index.HnswStore.topKRoutedAdaptive(spark, hnswRoutedLayout(spark, dir),
+      VectorModel.Query, 10, stats = routedStats(spark, dir))
+
+  /** The FIXED-probe routed path ([[RoutedProbes]] of [[RoutedShards]]) —
+    * kept registered as the parity knob beside the adaptive default,
+    * exactly like `vq_ivf_parity_topk`: a migrating user can pin the
+    * constant-probe rule for bit-for-bit reproducibility. */
+  def hnswRoutedParityTopK(spark: SparkSession, dir: String): DataFrame =
     graft.index.HnswStore.topKRouted(spark, hnswRoutedLayout(spark, dir),
       VectorModel.Query, 10, probes = RoutedProbes)
 
   /** S4 with method=hnsw over the routed layout: the whole query batch in
     * one job, scan pruned to the union of the queries' probed shards, each
-    * graph serving only the queries that probed it. */
+    * graph serving only the queries that probed it — per-query ADAPTIVE
+    * probe lists like the single path. */
   def hnswRoutedBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val path = hnswRoutedLayout(spark, dir)
     val queries = VectorModel.partQueries(spark, dir)
@@ -177,9 +189,21 @@ object ApproxQueries {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
       .toSeq
-    graft.index.HnswStore.batchTopKRouted(spark, path, queries, 3, probes = RoutedProbes)
+    graft.index.HnswStore.batchTopKRouted(spark, path, queries, 3,
+      stats = Some(routedStats(spark, dir)))
       .orderBy("query_id", "rn")
   }
+
+  /** Per-shard node counts + mean shard radius of the routed layout — the
+    * adaptive-probing statistics, memoized beside the layout (two
+    * aggregates per dataset, like [[ivfSizes]]). */
+  private[graft] def routedStats(spark: SparkSession, dir: String)
+      : graft.index.HnswStore.RoutedStats =
+    routedStatsCache.computeIfAbsent(dir, _ =>
+      graft.index.HnswStore.routedStats(spark, hnswRoutedLayout(spark, dir)))
+
+  private val routedStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.HnswStore.RoutedStats]()
 
   /** Build-once/serve-many routed graph persistence (k-means shards +
     * routing sidecar), memoized per dataset dir; a Bench build step. */
@@ -289,7 +313,7 @@ object ApproxQueries {
     * point (recall ≥ 0.7 at ≤ 0.4 scanned) and stored==in-memory parity. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
-    LshAnn.searchStored(spark.read.parquet(path), model, VectorModel.AnnQuery, 20,
+    LshAnn.searchStored(lshFrame(spark, path), model, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim")
   }
@@ -300,7 +324,7 @@ object ApproxQueries {
     * candidate semantics equal the single-query stored path (spec-gated). */
   def annLshBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
-    graft.index.LshAnn.batchSearchStored(spark.read.parquet(path), model,
+    graft.index.LshAnn.batchSearchStored(lshFrame(spark, path), model,
       annBatchQueries(3), 5, vecCol = "embedding", idCol = "vec_id")
       .orderBy("query_id", "rn")
   }
@@ -321,6 +345,21 @@ object ApproxQueries {
 
   private val lshLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshAnn.LshTables)]()
+
+  /** Memoized READ FRAME of an LSH layout. The layout's ~L·2^bits
+    * partition dirs make a fresh `spark.read.parquet` re-list thousands of
+    * dirs per serve (measured ~5 s at sf0.1 — 5× the query itself), so the
+    * frame is reused across serves; it is REBUILT whenever the memoized
+    * frame's session is not the caller's live session, which is the
+    * session-restart failure the sibling path-only caches avoid. */
+  private def lshFrame(spark: SparkSession, path: String): DataFrame =
+    lshFrameCache.compute(path, (_, cached) =>
+      if (cached != null && (cached.sparkSession eq spark) &&
+          !spark.sparkContext.isStopped) cached
+      else spark.read.parquet(path))
+
+  private val lshFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Deterministic trained-model memo: the quantizer for a dataset is a
     * pure function of (dir, params), so reusing it across queries is
@@ -372,6 +411,7 @@ object ApproxQueries {
     "vq_hnsw_stored_batch" -> (hnswStoredBatchTopK _),
     "vq_hnsw_stored_topk" -> (hnswStoredTopK _),
     "vq_hnsw_routed_topk" -> (hnswRoutedTopK _),
+    "vq_hnsw_routed_parity" -> (hnswRoutedParityTopK _),
     "vq_hnsw_routed_batch" -> (hnswRoutedBatchTopK _),
     "vq_hnsw_topk" -> (hnswTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
