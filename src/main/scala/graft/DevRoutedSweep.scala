@@ -79,8 +79,38 @@ object DevRoutedSweep {
         cell
       }
     }
+    // ---- round 8: ADAPTIVE probing grid at the 64-shard operating point.
+    // The margin walk (probeClustersByMargin) must hold the fixed-8 recall
+    // at FEWER mean probed shards for some alpha — that alpha becomes
+    // HnswStore.MarginAlpha, and RecallSpec gates it at test scale.
+    val dir64 = graft.store.Fs.scratchDir(spark, "graft_sweep_adapt") + "/g"
+    HnswStore.saveRouted(vecs, dir64, numShards = 64)
+    val stats64 = HnswStore.routedStats(spark, dir64)
+    Console.err.println(f"SWEEP_RADIUS ${stats64.radius}%.5f")
+    val all64 = queries.map(q => ids(HnswStore.topK(spark, dir64, q, k)))
+    val adaptCells = for (beta <- Seq(0.5, 1.0, 1.5, 2.0)) yield {
+      val t1 = System.nanoTime()
+      val routed = queries.map(q =>
+        ids(HnswStore.topKRoutedAdaptive(spark, dir64, q, k, stats = stats64,
+          marginBeta = beta)))
+      val msPerQuery = (System.nanoTime() - t1) / 1e6 / numQueries
+      val meanProbes = queries.map(q =>
+        HnswStore.probedShardsAdaptive(spark, dir64, q, k, stats64,
+          marginBeta = beta).size).sum.toDouble / numQueries
+      val cell =
+        f"""{"num_shards":64,"margin_beta":$beta%.2f,""" +
+          f""""shard_radius":${stats64.radius}%.5f,""" +
+          f""""mean_probes":$meanProbes%.2f,""" +
+          f""""scanned_fraction":${meanProbes / 64}%.4f,""" +
+          f""""recall_vs_exact":${recallVs(exact, routed)}%.4f,""" +
+          f""""recall_vs_allshards":${recallVs(all64, routed)}%.4f,""" +
+          f""""routed_ms_per_query":$msPerQuery%.1f}"""
+      Console.err.println(s"SWEEP_ADAPTIVE $cell")
+      cell
+    }
     println(s"""{"sf":"$sfDir","rows":$n,"queries":$numQueries,"k":$k,""" +
-      s""""cells":[${cells.flatten.mkString(",")}]}""")
+      s""""cells":[${cells.flatten.mkString(",")}],""" +
+      s""""adaptive_cells":[${adaptCells.mkString(",")}]}""")
     spark.stop()
   }
 }

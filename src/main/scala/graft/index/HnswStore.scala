@@ -456,6 +456,91 @@ object HnswStore {
     Ivf.IvfModel(readRouting(spark, path).getOrElse(throw new IllegalStateException(
       s"no routing sidecar at $path — routed serving needs a saveRouted layout")))
 
+  /** Per-shard node counts of a stored layout — the adaptive walk's mass
+    * input ([[topKRoutedAdaptive]]): one cheap aggregate (≤ shards rows
+    * back), computed once per layout and memoized by callers beside the
+    * routing sidecar, exactly like [[Ivf.clusterSizes]]. */
+  def shardSizes(spark: SparkSession, path: String): Map[Int, Long] =
+    spark.read.parquet(path).groupBy("part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Mean member-to-centroid cosine distance of a routed layout — the
+    * shard-geometry scale the adaptive margin is expressed in (a true
+    * top-k neighbor's shard centroid sits within about best-distance +
+    * radius of the query, so the probe slack is β·radius — dimensionless
+    * in the data's own units, unlike any absolute constant). One
+    * aggregate over the layout against the broadcast routing sidecar;
+    * computed once per layout and memoized by callers beside the sizes. */
+  def meanShardRadius(spark: SparkSession, path: String): Double = {
+    val cents = readRouting(spark, path).getOrElse(throw new IllegalStateException(
+      s"no routing sidecar at $path — routed serving needs a saveRouted layout"))
+    val centDf = spark.createDataFrame(
+      cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("part", "_cent")
+    val row = spark.read.parquet(path).select(col("part"), col("vector"))
+      .join(broadcast(centDf), "part")
+      .agg(avg(lit(1.0) - graft.GraftExtensions.cosineSim(col("vector"), col("_cent"))))
+      .head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** The adaptive walk's per-layout statistics, bundled so serving paths
+    * thread one memoized value: per-shard node counts (the mass guard) and
+    * the mean shard radius (the margin scale). */
+  final case class RoutedStats(sizes: Map[Int, Long], radius: Double)
+
+  /** One-pass-each collection of [[RoutedStats]] for a stored layout. */
+  def routedStats(spark: SparkSession, path: String): RoutedStats =
+    RoutedStats(shardSizes(spark, path), meanShardRadius(spark, path))
+
+  /** Shard-radius multiplier of the adaptive walk's margin term — probe
+    * every shard whose centroid cosine-distance is within
+    * `best + MarginBeta · meanShardRadius`. MEASURED on the DevRoutedSweep
+    * adaptive grid at sf0.1/64 shards (RECALL.md round 8): β=2 probes a
+    * mean 5.5 shards (8.6% scanned) at recall 0.995 — ABOVE the fixed-8
+    * rule's 0.985 at 12.5% scanned — because the margin spends probes on
+    * the flat-curve (dense-region) queries whose neighbors scatter and
+    * stops at 3 for sharp-curve queries whose neighbors concentrate. */
+  val MarginBeta = 2.0
+
+  /** Cap on the adaptive probe list — at thousands of shards a pathological
+    * near-tie (e.g. a query at the corpus centroid) must not fan out
+    * unboundedly; twice the fixed operating point bounds the worst case at
+    * a constant. */
+  val MaxAdaptiveProbes = 16
+
+  /** [[topKRouted]] with the probe LIST chosen ADAPTIVELY per query
+    * ([[Ivf.IvfModel.probeClustersByMargin]] over the routing sidecar +
+    * per-shard node counts) instead of a fixed count — the
+    * adaptive-default/fixed-parity split the stored-IVF path serves with.
+    * The walk keeps probing while the candidate mass is below
+    * `overscan · k` (the skew guard) OR the shard's centroid distance is
+    * within (1+`marginAlpha`)× the best shard's (boundary coverage — the
+    * actual recall driver for routed graphs: a query deep inside one
+    * cluster probes [[Ivf.IvfModel.probeClustersByMargin minProbes]]
+    * shards, a boundary query with near-tied centroids extends to all of
+    * them). At 1000+ shards a fixed probe count is either wasteful or
+    * starving; this tracks each query's need. Recall vs the fixed-probe
+    * path is spec-gated at fewer mean probed shards (RecallSpec /
+    * RECALL.md round 8). */
+  def topKRoutedAdaptive(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int, stats: RoutedStats, overscan: Int = 16, minProbes: Int = 3,
+      marginBeta: Double = MarginBeta, maxProbes: Int = MaxAdaptiveProbes,
+      m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
+      idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val model = routingModel(spark, path)
+    val parts = model.probeClustersByMargin(query, stats.sizes, overscan.toLong * k,
+      marginBeta * stats.radius, minProbes, maxProbes)
+    val q = query.toArray
+    served(spark, path, m, efConstruction, parts = Some(parts))((_, idx) =>
+      idx.search(q, k, efSearch).iterator)
+      .toDF(idCol, "sim")
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The top-`probes` shard ids for `query` on a routed layout — the probe
     * resolution every routed serving path uses, exposed so callers
     * composing their own filtered variants (e.g. the facade's Bloom tier
@@ -463,6 +548,16 @@ object HnswStore {
   private[graft] def probedShards(spark: SparkSession, path: String,
       query: Seq[Double], probes: Int): Seq[Int] =
     routingModel(spark, path).probeClusters(query, probes)
+
+  /** The adaptive probe list [[topKRoutedAdaptive]] serves with — exposed
+    * so the gates/harness can assert the probed-shard count, not just the
+    * result quality. */
+  private[graft] def probedShardsAdaptive(spark: SparkSession, path: String,
+      query: Seq[Double], k: Int, stats: RoutedStats,
+      overscan: Int = 16, minProbes: Int = 3,
+      marginBeta: Double = MarginBeta, maxProbes: Int = MaxAdaptiveProbes): Seq[Int] =
+    routingModel(spark, path).probeClustersByMargin(query, stats.sizes,
+      overscan.toLong * k, marginBeta * stats.radius, minProbes, maxProbes)
 
   /** Filter-aware top-k over the persisted graphs: `acceptIds` is threaded
     * into each graph's beam search ([[HnswIndex.searchFiltered]]), so the
@@ -561,16 +656,26 @@ object HnswStore {
   def batchTopKRouted(spark: SparkSession, path: String,
       queries: Seq[(Long, Seq[Double])], k: Int, probes: Int = 4,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", stats: Option[RoutedStats] = None,
+      overscan: Int = 16, minProbes: Int = 3): DataFrame = {
     import spark.implicits._
     val model = routingModel(spark, path)
-    // probes resolve PER ENTRY, not per qid: a duplicated query id with
+    // `sizes` switches every query's probe list to the adaptive
+    // candidate-mass walk ([[topKRoutedAdaptive]]) — the restored-graph
+    // volume then scales with each query's candidate need instead of
+    // |queries|·probes, keeping batch==single parity on either mode.
+    // Probes resolve PER ENTRY, not per qid: a duplicated query id with
     // two different vectors must route each vector by its own centroids
     // (a qid-keyed map would search the first vector in the second's
     // shards); duplicate entries then simply merge under the shared qid
     // in the aggregator, like the non-routed batch paths
+    def probesOf(q: Seq[Double]): Seq[Int] = stats match {
+      case Some(st) => model.probeClustersByMargin(q, st.sizes, overscan.toLong * k,
+        MarginBeta * st.radius, minProbes, MaxAdaptiveProbes)
+      case None => model.probeClusters(q, probes)
+    }
     val entries = queries.map { case (qid, q) =>
-      (qid, q.toArray, model.probeClusters(q, probes).toSet)
+      (qid, q.toArray, probesOf(q).toSet)
     }
     val union = entries.flatMap(_._3).distinct.sorted
     val perPartition = served(spark, path, m, efConstruction,

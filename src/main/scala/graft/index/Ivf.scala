@@ -89,6 +89,53 @@ object Ivf {
       }
       out.result()
     }
+
+    /** MARGIN-extended adaptive probe list — the routed-graph variant of
+      * [[probeClustersAdaptive]]. The pure candidate-mass stop works for
+      * IVF (scanned rows ARE the recall driver: probed clusters re-rank
+      * exactly), but on balanced shards it degenerates to a near-constant
+      * probe count, and for routed GRAPHS the recall driver is boundary
+      * COVERAGE — how many shards plausibly hold true neighbors — not row
+      * mass. A true top-k neighbor sits within ~epsilon of the query, so
+      * its shard's CENTROID sits within about (best-shard distance +
+      * shard radius): the walk keeps probing while EITHER condition
+      * holds — cumulative mass below `minCandidates` (the skew guard), or
+      * the shard's centroid cosine distance within `margin` (an absolute
+      * slack the CALLER derives from the layout's measured mean shard
+      * radius — the geometry that makes the constant transfer across
+      * datasets) of the best shard's. Measured on the routed layout
+      * (DevRouteMargins): dense-region queries have flat distance curves
+      * and neighbors scattered to rank ~9 — the margin extends to cover
+      * them — while isolated queries have sharp curves and neighbors in
+      * the top 2 — the margin stops early. Floored at `minProbes`, capped
+      * at `maxProbes`; calibrated on the DevRoutedSweep grid (RECALL.md
+      * round 8). */
+    def probeClustersByMargin(query: Seq[Double], sizes: Map[Int, Long],
+        minCandidates: Long, margin: Double, minProbes: Int = 3,
+        maxProbes: Int = Int.MaxValue): Seq[Int] = {
+      def cos(c: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < c.length) { dot += c(i) * query(i); na += c(i) * c(i); nb += query(i) * query(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val ranked = centroids.zipWithIndex
+        .map { case (c, i) => (cos(c), i) }
+        .sortBy { case (s, i) => (-s, i) }
+      val bestDist = 1.0 - ranked.head._1
+      val out = Seq.newBuilder[Int]
+      var cum = 0L
+      var i = 0
+      while (i < ranked.length && i < maxProbes &&
+          (cum < minCandidates || i < minProbes ||
+            (1.0 - ranked(i)._1) <= bestDist + margin)) {
+        val cl = ranked(i)._2
+        out += cl
+        cum += sizes.getOrElse(cl, 0L)
+        i += 1
+      }
+      out.result()
+    }
   }
 
   /** Rows used to fit the centroids. 16 centroids converge on a bounded
