@@ -273,9 +273,27 @@ object PipelineQueries {
     // assignment pass, and the probe-pruned search all read this frame —
     // without the cache each one re-runs the full cleaning pipeline +
     // embedding from lineage (measured 3× the corpus work)
-    val embedded = graft.store.CacheRegistry.cached(chunks.select(
-      TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
-      embedder.embed(col("chunk")).as("vector")))
+    //
+    // `spark.graft.rag.batchEmbed=true` routes the chunk-embedding stage
+    // through the BATCH-INFERENCE pattern ([[graft.text.BatchEmbedder]]:
+    // per-executor weights-file load + batched matmuls — the execution
+    // shape a real transformer swap needs) with IDENTITY weights over the
+    // hash features, so the flag changes ONLY the execution pattern:
+    // results are value-identical to the codegen seam (BatchEmbedSpec
+    // gates equality of the full capstone output on both paths).
+    val useBatch = spark.conf.getOption("spark.graft.rag.batchEmbed")
+      .exists(_.toBoolean)
+    val embedded = graft.store.CacheRegistry.cached(
+      if (useBatch)
+        graft.text.BatchEmbedder.embedPartitions(
+          chunks.select(
+            TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
+            col("chunk")),
+          "chunk", identityWeightsPath(spark), outCol = "vector")
+          .select("chunk_id", "vector")
+      else chunks.select(
+        TextQueries.chunkId(col("doc_id"), col("chunk_ix")).as("chunk_id"),
+        embedder.embed(col("chunk")).as("vector")))
     val (assigned, model) = Ivf.fit(embedded, vecCol = "vector", idCol = "chunk_id")
     // the query embeds through the same expression seam (one 1-row job)
     val qv = spark.range(1)
@@ -284,6 +302,23 @@ object PipelineQueries {
     Ivf.search(assigned, model, qv, 10, vecCol = "vector", idCol = "chunk_id")
       .select("chunk_id", "sim", "cluster_id")
   }
+
+  /** Identity weight matrix ([[TextQueries.EmbedDim]] square) persisted
+    * once per JVM — the model file the batch-embed flag serves from:
+    * identity over hash features reproduces [[graft.text.HashEmbedder]]
+    * values exactly, isolating the execution-pattern swap from any model
+    * change. */
+  private def identityWeightsPath(spark: SparkSession): String =
+    identityWeightsCache.computeIfAbsent("id", _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_rag_idweights") + "/w"
+      val d = TextQueries.EmbedDim
+      graft.text.LocalModelEmbedder.save(spark, p,
+        Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0))
+      p
+    })
+
+  private val identityWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_rag_e2e" -> (ragEndToEnd _),

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** The BATCH-INFERENCE twin of [[LocalModelEmbedder]] — the execution
+  * pattern a real transformer swap needs, in code rather than scaladoc:
+  *
+  *  - each TASK resolves the weights from a per-JVM cache keyed by path,
+  *    so the model FILE is read once per executor (not per task, never
+  *    per row) — exactly how ONNX/torch weights load in a cluster job;
+  *  - rows stream through `mapPartitions` in BATCHES: featurize the
+  *    batch, then one dense `W · Fᵀ` matmul for the whole batch — the
+  *    batched-matmul shape a GPU/BLAS inference stage wants, where the
+  *    codegen path ([[LocalModelEmbedder.embed]]) inlines per-row dot
+  *    products into the plan and cannot batch;
+  *  - the surface is a DataFrame transform (schema in → schema + vector
+  *    out), so swapping a transformer changes ONLY the two hot lambdas
+  *    (featurize → tokenize, matmul → forward pass).
+  *
+  * Featurization replicates the codegen path's semantics EXACTLY
+  * (lowercase → split on single spaces keeping empties → md5-based 60-bit
+  * token hash → signed votes into `featBuckets`), and the dyadic-rational
+  * weights make every product and partial sum exactly representable, so
+  * the spec gates VALUE-IDENTITY with the plan-inlined path on the same
+  * weights file (BatchEmbedSpec) — not approximate agreement. */
+object BatchEmbedder {
+
+  /** Per-JVM weights cache — one file read per executor per model path.
+    * (A transformer swap would cache the loaded runtime session here.) */
+  private val weightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def weightsAt(path: String): Array[Array[Double]] =
+    weightsCache.computeIfAbsent(path, p => {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val in = fs.open(hp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
+    })
+
+  /** JVM mirror of `conv(substring(md5(s), 1, 15), 16, 10)` — the token
+    * hash the codegen featurizer uses ([[graft.dedup.Dedup.hash60]]). */
+  private[graft] def hash60(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    // first 15 hex chars = the high 60 bits = 7.5 bytes
+    while (i < 7) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    (h << 4) | ((md(7) & 0xf0L) >> 4)
+  }
+
+  /** JVM mirror of the [[graft.functions.ModelExpressions.hashEmbed]]
+    * kernel: signed unit votes into `h mod buckets`, sign from bit 8. */
+  private[graft] def features(text: String, buckets: Int): Array[Double] = {
+    val acc = new Array[Double](buckets)
+    // -1 keeps trailing empty tokens — Spark's split(str, " ") semantics
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(toks(i))
+      val b = (h % buckets).toInt
+      if (b >= 0) acc(b) += (if (((h >> 8) & 1L) == 1L) 1.0 else -1.0)
+      i += 1
+    }
+    acc
+  }
+
+  /** Embed `textCol` through the weights file at `weightsPath`, appending
+    * `outCol` (ARRAY<DOUBLE>, length = the weight matrix's row count).
+    * The batch size bounds the featurized block a single matmul covers —
+    * the knob a real accelerator stage tunes. */
+  def embedPartitions(df: DataFrame, textCol: String, weightsPath: String,
+      outCol: String = "model_embedding", batchSize: Int = 256): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType, containsNull = false),
+      nullable = false)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val w = weightsAt(weightsPath) // per-JVM cached file read
+      val dim = w.length
+      val buckets = w.head.length
+      rows.grouped(batchSize).flatMap { batch =>
+        // featurize the whole batch, then one dense W · Fᵀ block-matmul
+        val feats = batch.map(r => features(r.getString(tIdx), buckets))
+        batch.zip(feats).map { case (r, f) =>
+          val out = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            val wi = w(i)
+            var s = 0.0
+            var j = 0
+            while (j < buckets) { s += wi(j) * f(j); j += 1 }
+            out(i) = s
+            i += 1
+          }
+          Row.fromSeq(r.toSeq :+ (out.toSeq: Seq[Double]))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}
