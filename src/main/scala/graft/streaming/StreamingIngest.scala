@@ -427,6 +427,46 @@ object StreamingIngest {
       .orderBy("vec_id")
   }
 
+  /** File-count-triggered compaction of the streaming semantic state —
+    * the maintenance loop that closes what [[semanticDedupIngest]] opens:
+    * every micro-batch APPENDS one file per touched cluster partition to
+    * `assigned/` and `probed/` (the probed dir at nProbes× the byte
+    * rate), so file counts grow linearly with batches until scan planning
+    * drowns in file metadata — the first operational pain at real ingest
+    * rates. Both dirs are cluster-partitioned layouts, so
+    * [[graft.index.Ivf.compactClustered]] applies verbatim: one read +
+    * one cluster repartition + one write-beside-and-swap folds every
+    * partition back to one file. Content-preserving (same rows, same
+    * layout contract), so pair discovery and keeper serving are unchanged
+    * — StreamingSpec proves both across a compaction, plus the file-count
+    * bound and the below-threshold no-op. Run between micro-batches
+    * (writer quiescence), single-writer like every maintenance pass.
+    * Returns the dirs compacted. */
+  def compactSemanticState(spark: SparkSession, statePath: String,
+      maxFilesPerDir: Int = 64): Seq[String] =
+    Seq("assigned", "probed").filter { sub =>
+      val p = s"$statePath/$sub"
+      graft.store.Fs.exists(spark, p) &&
+        dataFileCount(spark, p) > maxFilesPerDir && {
+          graft.index.Ivf.compactClustered(spark, p)
+          true
+        }
+    }
+
+  /** Parquet data files under a layout, recursively (commit markers and
+    * other underscore/dot-prefixed entries excluded) — the compaction
+    * trigger statistic. */
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Int = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)
 

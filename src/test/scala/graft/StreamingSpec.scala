@@ -597,5 +597,40 @@ class StreamingSpec extends SparkSpec {
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamedPairs === batchPairs)
+    // ---- maintenance: the per-batch appends leave one file per touched
+    // cluster per batch; compaction folds each dir back to one file per
+    // cluster, provably changing NOTHING the serving paths read
+    val beforeAssigned = StreamingIngest.dataFileCount(spark, s"$base/state/assigned")
+    val beforeProbed = StreamingIngest.dataFileCount(spark, s"$base/state/probed")
+    assert(beforeAssigned > 16 && beforeProbed > 16,
+      s"3 appending batches must leave >16 files ($beforeAssigned/$beforeProbed)")
+    val acts = StreamingIngest.compactSemanticState(spark, s"$base/state",
+      maxFilesPerDir = 16)
+    assert(acts === Seq("assigned", "probed"))
+    val afterAssigned = StreamingIngest.dataFileCount(spark, s"$base/state/assigned")
+    val afterProbed = StreamingIngest.dataFileCount(spark, s"$base/state/probed")
+    assert(afterAssigned <= 16 && afterAssigned < beforeAssigned)
+    assert(afterProbed <= 16 && afterProbed < beforeProbed)
+    // keepers and the pair log are untouched by compaction
+    val keptAfter = StreamingIngest.semanticKeepersStreamed(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(keptAfter === streamed)
+    val pairsAfter = spark.read.parquet(s"$base/state/pairs")
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter === streamedPairs)
+    // a further ingested batch discovers pairs against the COMPACTED state
+    // exactly as before (the layout contract survived the rewrite)
+    StreamingIngest.semanticIngestBatch(
+      emb.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding")), s"$base/state", 99L,
+      model, 0.4, 4, "embedding", "vec_id")
+    val keptReplay = StreamingIngest.semanticKeepersStreamed(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(keptReplay === streamed,
+      "re-ingesting already-seen rows after compaction must not change keepers")
+    // below the threshold now: the maintenance pass is a no-op
+    assert(StreamingIngest.compactSemanticState(spark, s"$base/state",
+      maxFilesPerDir = 64) === Seq.empty)
   }
 }
