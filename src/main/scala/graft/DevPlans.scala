@@ -32,9 +32,10 @@ object DevPlans {
     "tx_embed" -> "hash-projection embedding: one md5 per token then ONE hash_embed kernel pass accumulating all dims (O(tokens+dim)/row), inside whole-stage codegen — the value-gated embed stage",
     "dd_embedding_ivf" -> "serves the persisted IVF-bucketed pair layout (pairs discovered once in build_emb_pair_layout: codegen'd probe-list explode, shuffle-hash equi-join on cluster_id, exact cosine threshold in place — NLJ-free, DedupSpec plan-asserts the building pipeline)",
     "pipe_rag_e2e" -> "RAG serving leg: probe-pruned scan over the registry-cached embedded chunks (InMemoryTableScan), TakeOrderedAndProject on the rounded cosine",
-    "vq_hnsw_routed_topk" -> "centroid-routed stored-HNSW: probe filter lands as PartitionFilters over the shard layout — only top-p shard files scanned, graphs restore in place (no index exchange)",
+    "vq_hnsw_routed_topk" -> "centroid-routed stored-HNSW, ADAPTIVE probing: the radius-margin probe list lands as PartitionFilters over the shard layout — only the per-query probed shard files scan, graphs restore in place (no index exchange)",
     "vq_ivf_stored_topk" -> "stored-IVF serving default: ADAPTIVE candidate-mass probe list (3 partitions here vs parity 8) still arriving as the cluster_id partition filter — pruning shape unchanged, budget adaptive",
-    "ann_lsh_topk" -> "multi-table LSH: per-table bucket isin disjunction over precomputed int columns (codegen'd comparisons), exact re-rank only inside the candidate set")
+    "ann_lsh_topk" -> "stored multi-table LSH: probe disjunction entirely in PartitionFilters over (lsh_table, lsh_bucket) dirs; pointer candidates fetch the single payload copy via the home-bucket-pruned table-0 join",
+    "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -212,6 +212,11 @@ object ApproxQueries {
       val p = graft.store.Fs.scratchDir(spark, "graft_hnsw_routed_layout")
       graft.index.HnswStore.saveRouted(
         VectorModel.lineitemVectors(spark, dir), s"$p/g", numShards = RoutedShards)
+      // collect the adaptive-probing statistics HERE (two aggregates over
+      // the fresh layout) — build-time work, not first-serve work; written
+      // into the sibling cache directly (routedStats() would re-enter this
+      // computeIfAbsent)
+      routedStatsCache.put(dir, graft.index.HnswStore.routedStats(spark, s"$p/g"))
       s"$p/g"
     })
 
@@ -340,6 +345,10 @@ object ApproxQueries {
       val p = graft.store.Fs.scratchDir(spark, "graft_lsh_layout")
       val model = LshAnn.saveBucketed(VectorModel.embeddings(spark, dir),
         "embedding", "vec_id", s"$p/t", VectorModel.EmbDim)
+      // open the layout for serving HERE: creating the read frame lists
+      // the ~L·2^bits partition dirs (~5 s at sf0.1) — amortized build
+      // work, not per-query serving work
+      lshFrame(spark, s"$p/t")
       (s"$p/t", model)
     })
 
