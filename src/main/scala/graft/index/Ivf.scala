@@ -327,7 +327,7 @@ object Ivf {
     * leaves a state the next invocation repairs; the operational contract
     * (writers quiesced, brief no-layout window, rename-atomicity caveats
     * on object stores) is documented on [[compactClustered]]. */
-  private def rewriteSwapped(spark: SparkSession, path: String)(
+  private[graft] def rewriteSwapped(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "._compact_tmp")

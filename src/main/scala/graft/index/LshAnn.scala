@@ -260,16 +260,34 @@ object LshAnn {
       seed: Long = 42L): LshTables = {
     val center = meanVector(df, vecCol, dim)
     val model = tables(numTables, numBits, dim, center, seed)
+    layoutRows(df, vecCol, idCol, model)
+      .write.mode("overwrite")
+      .partitionBy(TableCol, BucketCol).parquet(path)
+    writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center)
+    model
+  }
+
+  /** The layout rows of `df` under `model`, write-ready: ONE pass over one
+    * scan — every table's bucket expression evaluates once per row, then a
+    * generate fans each row out to its L layout entries — table 0 carrying
+    * the single payload copy, tables ≥ 1 a (home, bucket) pointer (12
+    * bytes instead of the vector). A union-of-branches here would
+    * re-evaluate the L·bits dot products per branch (and pointer branches
+    * need TWO bucket columns each) — measured ~1.6× the whole build.
+    *
+    * The output is hash-repartitioned on the partition columns → exactly
+    * one file per non-empty (table, bucket) dir per write (same key →
+    * same task, whatever the task count), with the count PINNED to the
+    * cluster's parallelism: left unsized, AQE coalesces this small
+    * shuffle to ~one task, and that task then creates all ~L·2^bits
+    * dir/file pairs SEQUENTIALLY — measured as ~90% of the whole build at
+    * sf0.1. The cost is per-file writer setup × dir count, so it
+    * parallelizes perfectly. */
+  private def layoutRows(df: DataFrame, vecCol: String, idCol: String,
+      model: LshTables): DataFrame = {
     val bucketed = withTableBuckets(df, vecCol, model)
     val vecType = df.schema(df.schema.fieldIndex(vecCol)).dataType
-    // ONE pass over one scan: every table's bucket expression evaluates
-    // once per row, then a generate fans each row out to its L layout
-    // entries — table 0 carrying the single payload copy, tables ≥ 1 a
-    // (home, bucket) pointer (12 bytes instead of the vector). A
-    // union-of-branches here would re-evaluate the L·bits dot products
-    // per branch (and pointer branches need TWO bucket columns each) —
-    // measured ~1.6× the whole build.
-    val entries = array((0 until numTables).map { t =>
+    val entries = array((0 until model.numTables).map { t =>
       struct(lit(t).as(TableCol), col(s"lsh_b$t").as(BucketCol),
         (if (t == 0) lit(null).cast("int") else col("lsh_b0")).as(HomeCol))
     }: _*)
@@ -280,19 +298,61 @@ object LshAnn {
           .otherwise(lit(null).cast(vecType)).as(vecCol),
         col(s"e.$HomeCol").as(HomeCol),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
-    // hash-repartition on the partition columns → exactly one file per
-    // non-empty (table, bucket) dir (same key → same task, whatever the
-    // task count). The count is PINNED to the cluster's parallelism:
-    // left unsized, AQE coalesces this small shuffle to ~one task, and
-    // that task then creates all ~L·2^bits dir/file pairs SEQUENTIALLY —
-    // measured as ~90% of the whole build at sf0.1. The cost is
-    // per-file writer setup × dir count, so it parallelizes perfectly.
     val writeTasks = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     exploded.repartition(writeTasks, col(TableCol), col(BucketCol))
-      .write.mode("overwrite")
+  }
+
+  /** APPEND a micro-batch to a stored layout under the layout's OWN model
+    * — the assign-only ingest contract every persisted index family here
+    * follows ([[Ivf]] assign, [[HnswStore]] delta): new rows bucket with
+    * the DEPLOYED (seed, mean) from the sidecar, so the candidate
+    * predicate stays a pure function of the model and serving's partition
+    * pruning picks the appended files up unchanged. Mean drift is a
+    * maintenance decision (rebuild via [[saveVersioned]]), not a per-batch
+    * cost. Each append leaves ≤ 1 new file per touched dir —
+    * [[compactBucketed]] folds them on a file-count threshold. */
+  def appendBucketed(batch: DataFrame, path: String, model: LshTables,
+      vecCol: String = "vector", idCol: String = "id"): Unit =
+    layoutRows(batch, vecCol, idCol, model)
+      .write.mode("append")
       .partitionBy(TableCol, BucketCol).parquet(path)
-    writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center)
-    model
+
+  /** Parquet data files under `path`, recursively (underscore/dot-prefixed
+    * entries excluded) — the compaction trigger statistic. */
+  private[graft] def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** File-count-triggered compaction of a stored layout: folds every
+    * (table, bucket) dir back to one file via a full read + the
+    * [[layoutRows]] repartition, landing through the same
+    * write-beside-and-swap as the clustered-IVF compaction
+    * ([[Ivf.compactClustered]]'s machinery) with the model sidecar copied
+    * into the replacement before the swap. Content-preserving — same
+    * rows, same partition dirs — so serving and the delete-unprobed-dirs
+    * invariance are unchanged (StreamingSpec proves it). Writers
+    * quiesced, single-writer, like every maintenance pass. Returns
+    * whether a rewrite happened. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxDataFiles: Int): Boolean = {
+    if (dataFileCount(spark, path) <= maxDataFiles) return false
+    Ivf.rewriteSwapped(spark, path) { tmp =>
+      // already layout-shaped rows: re-bucket nothing, just fold files
+      val writeTasks = math.max(spark.sparkContext.defaultParallelism, 1)
+      spark.read.parquet(path)
+        .repartition(writeTasks, col(TableCol), col(BucketCol))
+        .write.mode("overwrite").partitionBy(TableCol, BucketCol).parquet(tmp)
+      copySidecar(spark, path, tmp)
+    }
+    true
   }
 
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,

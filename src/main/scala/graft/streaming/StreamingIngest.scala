@@ -427,6 +427,33 @@ object StreamingIngest {
       .orderBy("vec_id")
   }
 
+  /** Streaming LSH ingest — the assign-only micro-batch twin for the
+    * sign-LSH inverted-list layout, completing the per-family streaming
+    * coverage (IVF has [[ingestWithIvfAssign]], HNSW has
+    * [[ingestWithHnswDelta]]): each batch buckets under the layout's OWN
+    * sidecar model ((seed, mean) — loaded once, driver-side) and APPENDS
+    * its layout rows to the same (table, bucket) dirs
+    * ([[graft.index.LshAnn.appendBucketed]]), so stored serving picks new
+    * rows up with no rebuild and UNCHANGED candidate semantics (the probe
+    * predicate is a pure function of the model). Mean drift is a
+    * maintenance decision (versioned rebuild), not a per-batch cost;
+    * appended small files fold via [[graft.index.LshAnn.compactBucketed]]
+    * — both proven content-preserving in StreamingSpec. */
+  def ingestWithLshAssign(stream: DataFrame, layoutPath: String,
+      checkpoint: String, vecCol: String = "vector", idCol: String = "id")
+      : StreamingQuery = {
+    val spark = stream.sparkSession
+    val model = graft.index.LshAnn.loadTables(spark, layoutPath)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.index.LshAnn.appendBucketed(batch, layoutPath, model,
+          vecCol, idCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-count-triggered compaction of the streaming semantic state —
     * the maintenance loop that closes what [[semanticDedupIngest]] opens:
     * every micro-batch APPENDS one file per touched cluster partition to

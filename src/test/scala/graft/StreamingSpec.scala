@@ -561,6 +561,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming LSH ingest: appended layout serves identically to the in-memory model; compaction preserves it") {
+    import org.apache.spark.sql.functions._
+    import graft.index.LshAnn
+    val emb = graft.model.VectorModel.embeddings(spark, Sf0001)
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft_lshstream").toString
+    // deployed layout: built over the historical half; its sidecar model
+    // is the assign-only contract every later batch buckets under
+    val first = emb.where(col("vec_id") % 2 === 0)
+    val model = LshAnn.saveBucketed(first, "embedding", "vec_id",
+      s"$base/t", graft.model.VectorModel.EmbDim, numBits = 6)
+    // stream in the second half as two micro-batches
+    val rest = emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+    rest.where(col("vec_id") % 4 === 1).coalesce(1).write.parquet(s"$base/in/b0")
+    rest.where(col("vec_id") % 4 === 3).coalesce(1).write.parquet(s"$base/in/b1")
+    // staged batches carry the layout's own double vectors (the cached
+    // frame above casts), so the stream schema is double, not the float
+    // source schema
+    val stream = spark.readStream.schema(rest.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.ingestWithLshAssign(stream, s"$base/t",
+      s"$base/ckpt", vecCol = "embedding", idCol = "vec_id")
+    try q.awaitTermination(120000) finally q.stop()
+    // the grown layout answers EXACTLY like the in-memory multi-table
+    // search over all rows under the same model — candidate semantics are
+    // a pure function of (model, rows), ingest path irrelevant
+    val bucketed = LshAnn.withTableBuckets(emb, "embedding", model)
+    val queries = (0 until 3).map(s => graft.model.VectorModel.syntheticQuery(s))
+    def served(): Seq[Seq[(Long, Double)]] = queries.map(q =>
+      LshAnn.searchStored(spark.read.parquet(s"$base/t"), model, q, 10,
+        probes = 12, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val grown = served()
+    val mem = queries.map(q =>
+      LshAnn.searchMulti(bucketed, model, q, 10, probes = 12,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(grown === mem)
+    assert(grown.exists(_.nonEmpty))
+    // streamed rows actually landed (not answered by the initial build)
+    val streamedIds = rest.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(grown.flatten.map(_._1).exists(streamedIds),
+      "some served neighbors must come from streamed batches")
+    // compaction folds the per-batch appended files, provably changing
+    // nothing: fewer data files, same serving results, sidecar intact
+    val before = LshAnn.dataFileCount(spark, s"$base/t")
+    assert(LshAnn.compactBucketed(spark, s"$base/t", maxDataFiles = before - 1))
+    val after = LshAnn.dataFileCount(spark, s"$base/t")
+    assert(after < before)
+    assert(served() === grown)
+    assert(LshAnn.loadTables(spark, s"$base/t").planes.flatten.flatten.toSeq ===
+      model.planes.flatten.flatten.toSeq)
+    // below threshold: no-op
+    assert(!LshAnn.compactBucketed(spark, s"$base/t", maxDataFiles = after))
+  }
+
   test("streaming semantic dedup: stream-ingested keepers equal the batch scale twin") {
     import org.apache.spark.sql.functions._
     val emb = graft.model.VectorModel.embeddings(spark, Sf0001)
