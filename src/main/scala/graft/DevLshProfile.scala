@@ -48,6 +48,12 @@ object DevLshProfile {
       f"bucket_count2=$bucketSec2%.1f flat_write=$flatWriteSec%.1f full_build=$buildSec%.1f")
 
     val (readSec, layout) = t { val df = spark.read.parquet(p); df.schema; df }
+    // is the fresh-read cost schema inference (footer read) or the
+    // partition-dir listing? an explicit schema skips only the former
+    val (readSchemaSec, _) = t {
+      val df = spark.read.schema(layout.schema).parquet(p); df.rdd.partitions.length
+    }
+    Console.err.println(f"READ_DECOMP discover=$readSec%.1f explicit_schema=$readSchemaSec%.1f")
     val (serve1Sec, n1) = t(LshAnn.searchStored(layout, model,
       VectorModel.AnnQuery, 20, vecCol = "embedding", idCol = "vec_id").count())
     // second serve on a FRESH read — isolates listing/plan cost from data

@@ -89,6 +89,24 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     lshOwnedRoot = None
   }
 
+  /** Read frame of the LIVE layout version, memoized per version dir — a
+    * fresh `spark.read.parquet` re-lists the layout's ~L·2^bits partition
+    * dirs (~5 s at sf0.1, several times the query itself), so serving
+    * reuses the frame until a rebuild publishes a new version (the key is
+    * the version dir, so invalidation is automatic). */
+  private var lshFrameMemo: Option[(String, DataFrame)] = None
+
+  private def lshLayoutFrame(root: String): DataFrame = {
+    val cur = graft.index.LshAnn.currentLayout(spark, root)
+    lshFrameMemo match {
+      case Some((dir, df)) if dir == cur => df
+      case _ =>
+        val df = spark.read.parquet(cur)
+        lshFrameMemo = Some((cur, df))
+        df
+    }
+  }
+
   def count(): Long = data.count()
   def toDf: DataFrame = data
 
@@ -351,7 +369,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     val root = lshRoot.getOrElse(
       throw new IllegalStateException("LSH index not built"))
     val model = lshModel.get
-    val layout = spark.read.parquet(graft.index.LshAnn.currentLayout(spark, root))
+    val layout = lshLayoutFrame(root)
     if (!lshMutated && lshCoveredUpTo == nextId && filter.isEmpty)
       graft.index.LshAnn.searchStored(layout, model, query, topK, probes)
     else {
@@ -707,11 +725,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       case "lsh" =>
         val root = lshRoot.getOrElse(
           throw new IllegalStateException("LSH index not built"))
-        if (filter.isEmpty && !lshMutated && lshCoveredUpTo == nextId)
-          // clean layout covering every row: the whole batch in one
-          // union-pruned scan of the stored inverted lists
-          graft.index.LshAnn.batchSearchStored(
-            spark.read.parquet(graft.index.LshAnn.currentLayout(spark, root)),
+        if (filter.isEmpty && !lshMutated && lshCoveredUpTo == nextId || queries.isEmpty)
+          // clean layout covering every row (or an empty query set, which
+          // the engine path answers with the canonical empty batch frame
+          // instead of the merge fold crashing on an empty reduce): the
+          // whole batch in one union-pruned scan of the stored lists
+          graft.index.LshAnn.batchSearchStored(lshLayoutFrame(root),
             lshModel.get, indexed, topK)
         else {
           // post-write/filtered: per-query merge path (correctness over
@@ -908,8 +927,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         // so copy it explicitly (same pattern as the HNSW meta copy)
         val cur = graft.index.LshAnn.currentLayout(spark, r)
         graft.store.VersionedLayout.publish(spark, s"$path/lsh") { dir =>
+          // partition count PINNED like every layout write: unsized, AQE
+          // coalesces this small shuffle to ~one task which then creates
+          // all ~L·2^bits dir/file pairs sequentially (the measured
+          // build pathology)
           spark.read.parquet(cur)
-            .repartition(col(graft.index.LshAnn.TableCol),
+            .repartition(math.max(spark.sparkContext.defaultParallelism, 1),
+              col(graft.index.LshAnn.TableCol),
               col(graft.index.LshAnn.BucketCol))
             .write.mode(SaveMode.Overwrite)
             .partitionBy(graft.index.LshAnn.TableCol, graft.index.LshAnn.BucketCol)

@@ -39,9 +39,11 @@ object Ivf {
       best
     }
 
-    /** Probe cluster ids: top-n centroids by cosine similarity to the query
-      * (the reference scores centroids by cosine, `:438`). */
-    def probeClusters(query: Seq[Double], nProbes: Int): Seq[Int] = {
+    /** Every centroid scored by cosine similarity to the query, best
+      * first (ties to the lower index) — the one ranking both the fixed
+      * and adaptive probe walks consume, so the scoring convention
+      * (zero-norm → 0, tie-break) cannot silently diverge between them. */
+    private def rankedCentroids(query: Seq[Double]): Array[(Double, Int)] = {
       def cos(c: Array[Double]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0
         var i = 0
@@ -51,9 +53,12 @@ object Ivf {
       centroids.zipWithIndex
         .map { case (c, i) => (cos(c), i) }
         .sortBy { case (s, i) => (-s, i) }
-        .take(nProbes)
-        .map(_._2)
     }
+
+    /** Probe cluster ids: top-n centroids by cosine similarity to the query
+      * (the reference scores centroids by cosine, `:438`). */
+    def probeClusters(query: Seq[Double], nProbes: Int): Seq[Int] =
+      rankedCentroids(query).take(nProbes).map(_._2).toSeq
 
     /** ADAPTIVE probe list: walk the centroids in similarity order and stop
       * once the probed clusters hold at least `minCandidates` rows — the
@@ -113,15 +118,7 @@ object Ivf {
     def probeClustersByMargin(query: Seq[Double], sizes: Map[Int, Long],
         minCandidates: Long, margin: Double, minProbes: Int = 3,
         maxProbes: Int = Int.MaxValue): Seq[Int] = {
-      def cos(c: Array[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < c.length) { dot += c(i) * query(i); na += c(i) * c(i); nb += query(i) * query(i); i += 1 }
-        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val ranked = centroids.zipWithIndex
-        .map { case (c, i) => (cos(c), i) }
-        .sortBy { case (s, i) => (-s, i) }
+      val ranked = rankedCentroids(query)
       val bestDist = 1.0 - ranked.head._1
       val out = Seq.newBuilder[Int]
       var cum = 0L

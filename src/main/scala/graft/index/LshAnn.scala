@@ -317,19 +317,10 @@ object LshAnn {
       .write.mode("append")
       .partitionBy(TableCol, BucketCol).parquet(path)
 
-  /** Parquet data files under `path`, recursively (underscore/dot-prefixed
-    * entries excluded) — the compaction trigger statistic. */
+  /** Parquet data files under `path` ([[graft.store.Fs.dataFileCount]]) —
+    * the compaction trigger statistic. */
   private[graft] def dataFileCount(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, path)
-    val it = fs.listFiles(p, true)
-    var n = 0
-    while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
-  }
+      path: String): Int = graft.store.Fs.dataFileCount(spark, path)
 
   /** File-count-triggered compaction of a stored layout: folds every
     * (table, bucket) dir back to one file via a full read + the
@@ -439,10 +430,13 @@ object LshAnn {
     * moves rewrite the parquet through a DataFrame, which drops it). */
   private[graft] def copySidecar(spark: org.apache.spark.sql.SparkSession,
       from: String, to: String): Unit = {
-    val (fs, fp) = graft.store.Fs.pathFs(spark, from)
-    val (_, tp) = graft.store.Fs.pathFs(spark, to)
-    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(fp, SidecarFile),
-      fs, new org.apache.hadoop.fs.Path(tp, SidecarFile), false, spark.sparkContext.hadoopConfiguration)
+    val (srcFs, fp) = graft.store.Fs.pathFs(spark, from)
+    // the DESTINATION's filesystem, resolved from the destination path —
+    // passing the source fs for both sides breaks cross-FS saves
+    // (e.g. hdfs scratch -> s3a save dir) with a "Wrong FS" error
+    val (dstFs, tp) = graft.store.Fs.pathFs(spark, to)
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, new org.apache.hadoop.fs.Path(fp, SidecarFile),
+      dstFs, new org.apache.hadoop.fs.Path(tp, SidecarFile), false, spark.sparkContext.hadoopConfiguration)
     ()
   }
 
@@ -543,6 +537,16 @@ object LshAnn {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = layout.sparkSession
+    // empty query set -> empty result frame (the other batch paths'
+    // contract), not a reduceLeft crash on the empty probe union
+    if (queries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.LongType))))
     val probed: Seq[(Long, Int, Int)] = queries.flatMap { case (qid, q) =>
       model.planes.indices.flatMap { t =>
         probeSet(q, model.planes(t), model.biases(t), probes).map(b => (qid, t, b))

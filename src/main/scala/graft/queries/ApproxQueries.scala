@@ -198,9 +198,15 @@ object ApproxQueries {
     * adaptive-probing statistics, memoized beside the layout (two
     * aggregates per dataset, like [[ivfSizes]]). */
   private[graft] def routedStats(spark: SparkSession, dir: String)
-      : graft.index.HnswStore.RoutedStats =
+      : graft.index.HnswStore.RoutedStats = {
+    // resolve the layout FIRST, outside the cache lambda: the layout
+    // builder itself populates routedStatsCache (build-time stats), and a
+    // computeIfAbsent whose mapping function re-enters the same key is a
+    // ConcurrentHashMap "recursive update" error
+    val path = hnswRoutedLayout(spark, dir)
     routedStatsCache.computeIfAbsent(dir, _ =>
-      graft.index.HnswStore.routedStats(spark, hnswRoutedLayout(spark, dir)))
+      graft.index.HnswStore.routedStats(spark, path))
+  }
 
   private val routedStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.HnswStore.RoutedStats]()

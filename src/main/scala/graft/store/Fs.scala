@@ -29,6 +29,20 @@ private[graft] object Fs {
     ()
   }
 
+  /** Data files under a layout, recursively (underscore/dot-prefixed
+    * entries — commit markers, sidecars, CRCs — excluded): the compaction
+    * trigger statistic of every file-count-bounded maintenance pass. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val (fs, p) = pathFs(spark, path)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A fresh scratch directory on the CLUSTER-VISIBLE filesystem — the

@@ -38,7 +38,16 @@ object StreamingIngest {
     * resolution, no data scan) and the same normalization seam as the
     * batch reader applies on top. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val stored = spark.read.parquet(dir).schema
+    // an EMPTY source dir (stream started before the producer's first
+    // file) has no footers to sniff — fall back to the canonical
+    // nanos-LONG schema so startup succeeds, as the explicit-schema
+    // reader always did. Caveat: if the first files then arrive with a
+    // TIMESTAMP-typed ts, restart the stream (or pass the schema) —
+    // a pinned LONG read of µs physical values would be the silent
+    // 1000x clock skew the sniff exists to prevent.
+    val stored =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => EventsSchema }
     graft.model.VectorModel.normalizeEventsTs(
       spark.readStream.schema(stored).parquet(dir))
   }
@@ -480,19 +489,10 @@ object StreamingIngest {
         }
     }
 
-  /** Parquet data files under a layout, recursively (commit markers and
-    * other underscore/dot-prefixed entries excluded) — the compaction
-    * trigger statistic. */
-  private[graft] def dataFileCount(spark: SparkSession, path: String): Int = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, path)
-    val it = fs.listFiles(p, true)
-    var n = 0
-    while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
-    }
-    n
-  }
+  /** Parquet data files under a layout ([[graft.store.Fs.dataFileCount]])
+    * — the compaction trigger statistic. */
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Int =
+    graft.store.Fs.dataFileCount(spark, path)
 
   /** Per-user open-session state for [[sessionize]]. */
   case class SessionState(start: Long, last: Long, n: Long, cents: Long)

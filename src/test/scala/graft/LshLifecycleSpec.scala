@@ -94,6 +94,9 @@ class LshLifecycleSpec extends SparkSpec {
     // same answers as the per-query merge path
     db.insert(Seq.fill(Dim)(2.0))
     assert(batchSet(db.batchSearch(qs, 5, method = "lsh")) === singleSet())
+    // the empty query set returns the empty frame (every method's
+    // contract), on the merge path too
+    assert(db.batchSearch(Seq.empty, 5, method = "lsh").collect().isEmpty)
   }
 
   test("a crash mid-rebuild leaves the previous version live (publish crash window)") {
