@@ -459,6 +459,64 @@ object LshAnn {
     graft.store.VersionedLayout.currentDir(spark, root)
       .getOrElse(throw new IllegalStateException(s"no committed LSH layout under $root"))
 
+  /** Drift statistic of a stored layout: L2 distance between the sidecar's
+    * center (the model every append bucketed under) and the CURRENT
+    * payload mean. One narrow aggregate over the table-0 dirs. */
+  def centerDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val (_, _, dim, _, center) = sidecarParams(spark, path)
+    val (_, vecCol) = payloadColumns(spark, path)
+    val cur = meanVector(
+      spark.read.parquet(path).where(col(TableCol) === 0).select(col(vecCol)),
+      vecCol, dim)
+    val c = if (center.isEmpty) new Array[Double](dim) else center
+    math.sqrt(c.zip(cur).map { case (a, b) => (a - b) * (a - b) }.sum)
+  }
+
+  /** Drift-triggered maintenance of a stored layout — the sign-LSH analog
+    * of [[Ivf.maintainClustered]] (drift → refit → rewrite) closing the
+    * lifecycle [[appendBucketed]] opens: appended batches bucket under the
+    * DEPLOYED (seed, mean), and as the corpus mean drifts the centered
+    * bits lose balance — recall and scanned fraction degrade together
+    * (the centering argument in the module doc). When [[centerDrift]]
+    * exceeds `driftThreshold` (absolute L2 in the data's units — the
+    * caller knows its embedding scale), the layout rebuilds from its own
+    * table-0 payload rows with the same (numTables, numBits, seed) and
+    * the FRESH mean, landing through the same write-beside-and-swap as
+    * the clustered-IVF maintenance; the rebuilt layout is IDENTICAL to a
+    * fresh [[saveBucketed]] over the same rows (spec-gated). Below the
+    * threshold it is a no-op. Writers quiesced, single-writer. Returns
+    * (live model, whether a rebuild happened). */
+  def maintainBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      driftThreshold: Double): (LshTables, Boolean) = {
+    val (numTables, numBits, dim, seed, _) = sidecarParams(spark, path)
+    if (centerDrift(spark, path) <= driftThreshold)
+      (loadTables(spark, path), false)
+    else {
+      val (idCol, vecCol) = payloadColumns(spark, path)
+      var model: LshTables = null
+      Ivf.rewriteSwapped(spark, path) { tmp =>
+        model = saveBucketed(
+          spark.read.parquet(path).where(col(TableCol) === 0)
+            .select(col(idCol), col(vecCol)),
+          vecCol, idCol, tmp, dim, numTables, numBits, seed)
+      }
+      (model, true)
+    }
+  }
+
+  /** The (idCol, vecCol) names of a stored layout — its schema is
+    * [id, vector, home | table, bucket] by construction ([[layoutRows]]
+    * column order; partition columns resolve last on read). */
+  private def payloadColumns(spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, String) = {
+    val fields = spark.read.parquet(path).schema.fieldNames
+    val reserved = Set(HomeCol, TableCol, BucketCol)
+    val data = fields.filterNot(reserved)
+    require(data.length == 2,
+      s"layout at $path has unexpected columns ${fields.mkString(",")}")
+    (data(0), data(1))
+  }
+
   /** Candidate predicate over the STORED layout: a disjunction of
     * (table, bucket-isin) conjunctions — every column a partition column,
     * so the whole predicate lands in PartitionFilters and prunes files. */

@@ -445,7 +445,8 @@ object StreamingIngest {
     * ([[graft.index.LshAnn.appendBucketed]]), so stored serving picks new
     * rows up with no rebuild and UNCHANGED candidate semantics (the probe
     * predicate is a pure function of the model). Mean drift is a
-    * maintenance decision (versioned rebuild), not a per-batch cost;
+    * maintenance decision ([[graft.index.LshAnn.maintainBucketed]]:
+    * drift → recentered rebuild), not a per-batch cost;
     * appended small files fold via [[graft.index.LshAnn.compactBucketed]]
     * — both proven content-preserving in StreamingSpec. */
   def ingestWithLshAssign(stream: DataFrame, layoutPath: String,

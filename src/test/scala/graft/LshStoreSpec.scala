@@ -105,6 +105,51 @@ class LshStoreSpec extends SparkSpec {
       "union probe filter must appear as a partition filter:\n" + plan.take(3000))
   }
 
+  test("drift maintenance: appended drifted rows trigger a recentered rebuild identical to a fresh build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_maint").toString
+    // deploy on the historical half; its mean is the frozen sidecar center
+    val first = embeddings.where(col("vec_id") % 2 === 0)
+    val model0 = LshAnn.saveBucketed(first, "embedding", "vec_id",
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+    // the ingest contract: a DRIFTED batch (constant offset moves the
+    // corpus mean) appends under the deployed model
+    val drifted = embeddings.where(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(5.0)))
+    LshAnn.appendBucketed(drifted, s"$dir/t", model0,
+      vecCol = "embedding", idCol = "vec_id")
+    val drift = LshAnn.centerDrift(spark, s"$dir/t")
+    assert(drift > 0.0)
+    // below threshold: no-op, same model, layout untouched
+    val files0 = spark.read.parquet(s"$dir/t").inputFiles.toSet
+    val (same, refitted0) = LshAnn.maintainBucketed(spark, s"$dir/t", drift + 1.0)
+    assert(!refitted0)
+    assert(same.biases.flatten.toSeq === model0.biases.flatten.toSeq)
+    assert(spark.read.parquet(s"$dir/t").inputFiles.toSet === files0)
+    // above threshold: recentered rebuild from the layout's own payload —
+    // IDENTICAL to a fresh build over the same rows (same seed, fresh mean)
+    val (model1, refitted1) = LshAnn.maintainBucketed(spark, s"$dir/t", drift / 2)
+    assert(refitted1)
+    assert(model1.biases.flatten.toSeq !== model0.biases.flatten.toSeq)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_lsh_fresh").toString
+    val allRows = first.select(col("vec_id"), col("embedding"))
+      .unionByName(drifted.select(col("vec_id"), col("embedding")))
+    val freshModel = LshAnn.saveBucketed(allRows, "embedding", "vec_id",
+      s"$freshDir/t", VectorModel.EmbDim, numBits = Bits)
+    assert(model1.biases.flatten.toSeq === freshModel.biases.flatten.toSeq)
+    val q = VectorModel.syntheticQuery(1)
+    val maintained = LshAnn.searchStored(spark.read.parquet(s"$dir/t"), model1,
+      q, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = LshAnn.searchStored(spark.read.parquet(s"$freshDir/t"), freshModel,
+      q, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(maintained === fresh)
+    assert(maintained.nonEmpty)
+    // the rebuild recentered: drift against the new sidecar is ~0
+    assert(LshAnn.centerDrift(spark, s"$dir/t") < 1e-9)
+  }
+
   test("oversized bucket width fails loudly (driver-side mask enumeration bound)") {
     intercept[IllegalArgumentException] {
       LshAnn.tables(2, LshAnn.MaxBits + 1, dim = 8, center = Array.empty)
