@@ -99,6 +99,16 @@ class LshLifecycleSpec extends SparkSpec {
     assert(db.batchSearch(Seq.empty, 5, method = "lsh").collect().isEmpty)
   }
 
+  test("deleting every row drops the index instead of crashing scheduled maintenance") {
+    val db = mkDb(30)
+    db.buildLshIndex(numBits = Bits)
+    (0L until 30L).foreach(db.delete)
+    val actions = db.maintainIndexes()
+    assert(actions.contains("lsh_dropped"))
+    assert(db.lshIndexRoot.isEmpty)
+    intercept[IllegalStateException] { db.lshSearch(Q, 5) }
+  }
+
   test("a crash mid-rebuild leaves the previous version live (publish crash window)") {
     val db = mkDb(200)
     db.buildLshIndex(numBits = Bits)
