@@ -103,6 +103,29 @@ class LshStoreSpec extends SparkSpec {
     val plan = batchDf.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
       "union probe filter must appear as a partition filter:\n" + plan.take(3000))
+    // file-level proof for the batch: delete every dir outside the UNION
+    // of the queries' dependency sets (probed dirs + table-0 home dirs);
+    // batch results unchanged — one pruned scan, nothing else read
+    val dep = queries.flatMap { case (_, q) =>
+      LshAnn.dependencyDirs(spark.read.parquet(s"$dir/t"), model, q, Probes)
+    }.toSet
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/t")
+    val removed = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("lsh_table="))
+      .flatMap { td =>
+        val t = td.getPath.getName.stripPrefix("lsh_table=").toInt
+        fs.listStatus(td.getPath)
+          .filter(_.getPath.getName.startsWith("lsh_bucket="))
+          .filterNot(bd =>
+            dep((t, bd.getPath.getName.stripPrefix("lsh_bucket=").toInt)))
+      }
+    assert(removed.nonEmpty, "some buckets must be outside the batch's dependency set")
+    removed.foreach(s => fs.delete(s.getPath, true))
+    val after = LshAnn.batchSearchStored(spark.read.parquet(s"$dir/t"), model,
+      queries, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === batch,
+      "batch serving must not depend on any dir outside the union dependency set")
   }
 
   test("drift maintenance: appended drifted rows trigger a recentered rebuild identical to a fresh build") {
