@@ -559,8 +559,17 @@ object LshAnn {
           .select(col(idCol), col(vecCol))
         direct.unionByName(fetched)
       }
-    VectorSearch.bruteForceTopK(candidates.dropDuplicates(idCol),
-      query, topK, None, vecCol, idCol)
+    // score BEFORE deduplicating: duplicate candidate copies (a row
+    // admitted by several tables) carry the same vector, so their sims
+    // are identical and max-per-id is the dedup — and the shuffle then
+    // moves (id, sim) pairs, not d-dimensional vectors (the re-rank's
+    // dominant bytes at scale)
+    candidates
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6))
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(topK)
   }
 
   /** The (table, bucket) dirs a stored serve of `query` may read: the
@@ -646,10 +655,16 @@ object LshAnn {
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
-    val scored = candidates.dropDuplicates("query_id", idCol)
+    // score FIRST, dedup the narrow (query_id, id, sim) rows after —
+    // duplicate per-table candidate copies score identically, and the
+    // dedup shuffle then carries pairs, not vectors (the searchStored
+    // rationale, per query)
+    val scored = candidates
       .join(broadcast(qv), "query_id")
       .withColumn("sim_raw",
         graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")))
+      .select(col("query_id"), col(idCol), col("sim_raw"))
+      .dropDuplicates("query_id", idCol)
     graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol), col("sim_raw"), topK)
       .withColumnRenamed("id", idCol)
   }
