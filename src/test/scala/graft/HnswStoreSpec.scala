@@ -89,6 +89,30 @@ class HnswStoreSpec extends SparkSpec {
     }
   }
 
+  test("adaptive routed serving survives deleting every shard outside its own probe set") {
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_adapt_inv").toString
+    HnswStore.saveRouted(vecs, s"$dir/g", numShards = 64)
+    // stats collect from the COMPLETE layout (they are build-time
+    // artifacts); serving then depends only on the probed shard files
+    val stats = HnswStore.routedStats(spark, s"$dir/g")
+    val before = topKPairs(HnswStore.topKRoutedAdaptive(
+      spark, s"$dir/g", VectorModel.Query, 10, stats = stats))
+    assert(before.nonEmpty)
+    val probed = HnswStore.probedShardsAdaptive(
+      spark, s"$dir/g", VectorModel.Query, 10, stats).toSet
+    assert(probed.size < 64)
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/g")
+    val removed = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part="))
+      .filterNot(s => probed.contains(s.getPath.getName.stripPrefix("part=").toInt))
+    assert(removed.nonEmpty)
+    removed.foreach(s => fs.delete(s.getPath, true))
+    assert(topKPairs(HnswStore.topKRoutedAdaptive(
+      spark, s"$dir/g", VectorModel.Query, 10, stats = stats)) === before,
+      "adaptive routed serving must not depend on any unprobed shard's files")
+  }
+
   test("filtered traversal: 1%-selective accept set returns full k where 3k-overfetch starves") {
     import org.apache.spark.sql.functions.col
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)

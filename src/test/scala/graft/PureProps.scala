@@ -114,6 +114,36 @@ object PureProps extends Properties("graft.pure") {
         p.size == math.min(n, ivfCentroids.length)
     }
 
+  private val uniformSizes: Map[Int, Long] =
+    ivfCentroids.indices.map(_ -> 100L).toMap
+
+  property("margin walk: probe list is a prefix of the similarity ranking, floored and capped") =
+    forAll(vecGen, Gen.choose(0.0, 0.5), Gen.choose(1, 8)) { (q, margin, cap) =>
+      val p = ivfModel.probeClustersByMargin(q.toSeq, uniformSizes,
+        minCandidates = 1L, margin = margin, minProbes = 2, maxProbes = cap)
+      val ranking = ivfModel.probeClusters(q.toSeq, ivfCentroids.length)
+      p == ranking.take(p.size) &&
+        p.size >= math.min(2, cap) && p.size <= cap
+    }
+
+  property("margin walk: widening the margin never shrinks the probe set (monotone)") =
+    forAll(vecGen, Gen.choose(0.0, 0.3), Gen.choose(0.0, 0.3)) { (q, a, b) =>
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      val pl = ivfModel.probeClustersByMargin(q.toSeq, uniformSizes, 1L, lo)
+      val ph = ivfModel.probeClustersByMargin(q.toSeq, uniformSizes, 1L, hi)
+      ph.size >= pl.size && pl == ph.take(pl.size)
+    }
+
+  property("margin walk: the mass guard extends past the margin when nearest clusters are tiny") =
+    forAll(vecGen) { q =>
+      val ranking = ivfModel.probeClusters(q.toSeq, ivfCentroids.length)
+      // every cluster tiny -> the 350-candidate target needs 4 clusters of
+      // 100 even with a zero margin (the skew guard the mass term exists for)
+      val p = ivfModel.probeClustersByMargin(q.toSeq, uniformSizes,
+        minCandidates = 350L, margin = 0.0, minProbes = 1)
+      p.size >= 4 && p == ranking.take(p.size)
+    }
+
   property("ivf nearestCentroid minimizes squared L2 over all centroids") =
     forAll(vecGen) { v =>
       def d2(a: Array[Double]) =
