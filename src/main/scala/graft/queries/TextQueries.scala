@@ -170,6 +170,29 @@ object TextQueries {
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** CSV round-trip twin of [[jsonlAgg]] — the corpus egresses to
+    * RFC-4180 CSV ([[graft.sources.CsvSource]]) and re-ingests through
+    * the explicit-schema reader; the aggregation over the round-tripped
+    * rows must hash-match the oracle over the parquet source, proving
+    * quoting/escaping loses nothing (free text with commas, quotes, and
+    * newlines included). */
+  def csvAgg(spark: SparkSession, dir: String): DataFrame = {
+    val path = csvLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_csv_layout") + "/docs"
+      graft.sources.CsvSource.write(VectorModel.documents(spark, dir), p)
+      p
+    })
+    graft.sources.CsvSource.readDocuments(spark, path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val csvLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val csvAggSql: String = jsonlAggSql
+
   /** Corpus vocabulary top-N: total occurrences + document frequency per
     * lowercased whitespace token — the frequency table a
     * tokenizer-training / vocab-pruning / idf stage consumes. Classic
@@ -470,6 +493,7 @@ object TextQueries {
     "tx_chunks" -> (chunks _),
     "tx_vocab_topk" -> (vocab _),
     "src_jsonl_agg" -> (jsonlAgg _),
+    "src_csv_agg" -> (csvAgg _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -486,6 +510,7 @@ object TextQueries {
     "tx_chunks" -> chunksSql,
     "tx_vocab_topk" -> vocabSql,
     "src_jsonl_agg" -> jsonlAggSql,
+    "src_csv_agg" -> csvAggSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
