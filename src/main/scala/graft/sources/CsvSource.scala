@@ -45,16 +45,13 @@ object CsvSource {
     * `partitionCol` clusters rows first so each partition value gets one
     * file, not one per task (the dynamic-partition-write rule). */
   def write(df: DataFrame, path: String, partitionCol: Option[String] = None): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    def opts(d: DataFrame) = d.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("quote", "\"")
       .option("escape", "\"")
     partitionCol match {
-      case Some(c) =>
-        df.repartition(col(c)).write.mode(SaveMode.Overwrite)
-          .option("header", "true").option("quote", "\"").option("escape", "\"")
-          .partitionBy(c).csv(path)
-      case None => w.csv(path)
+      case Some(c) => opts(df.repartition(col(c))).partitionBy(c).csv(path)
+      case None => opts(df).csv(path)
     }
   }
 }
