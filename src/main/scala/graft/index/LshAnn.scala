@@ -310,7 +310,14 @@ object LshAnn {
     * pruning picks the appended files up unchanged. Mean drift is a
     * maintenance decision (rebuild via [[saveVersioned]]), not a per-batch
     * cost. Each append leaves ≤ 1 new file per touched dir —
-    * [[compactBucketed]] folds them on a file-count threshold. */
+    * [[compactBucketed]] folds them on a file-count threshold.
+    *
+    * CONTRACT: appended ids are NEW — layout ids stay unique. The serving
+    * dedup (max-sim per id) assumes every copy of an id carries the same
+    * vector; re-appending an id with a CHANGED vector would leave both
+    * versions serving, with the one more similar to each query winning.
+    * Vector updates go through a rebuild ([[saveVersioned]] /
+    * [[maintainBucketed]]), exactly like the facade's update path. */
   def appendBucketed(batch: DataFrame, path: String, model: LshTables,
       vecCol: String = "vector", idCol: String = "id"): Unit =
     layoutRows(batch, vecCol, idCol, model)
@@ -488,11 +495,21 @@ object LshAnn {
     * (live model, whether a rebuild happened). */
   def maintainBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       driftThreshold: Double): (LshTables, Boolean) = {
-    val (numTables, numBits, dim, seed, _) = sidecarParams(spark, path)
-    if (centerDrift(spark, path) <= driftThreshold)
-      (loadTables(spark, path), false)
+    // parse + validate the sidecar and resolve the payload columns ONCE —
+    // the sidecar validation lists every partition dir, so re-running it
+    // per sub-step (as calling centerDrift/loadTables here would) costs
+    // thousands of redundant LIST calls per maintenance tick on an
+    // object store
+    val (numTables, numBits, dim, seed, center) = sidecarParams(spark, path)
+    val (idCol, vecCol) = payloadColumns(spark, path)
+    val cur = meanVector(
+      spark.read.parquet(path).where(col(TableCol) === 0).select(col(vecCol)),
+      vecCol, dim)
+    val c = if (center.isEmpty) new Array[Double](dim) else center
+    val drift = math.sqrt(c.zip(cur).map { case (a, b) => (a - b) * (a - b) }.sum)
+    if (drift <= driftThreshold)
+      (tables(numTables, numBits, dim, center, seed), false)
     else {
-      val (idCol, vecCol) = payloadColumns(spark, path)
       var model: LshTables = null
       Ivf.rewriteSwapped(spark, path) { tmp =>
         model = saveBucketed(

@@ -151,20 +151,32 @@ object TextQueries {
     * RE-READ JSONL must hash-match DuckDB's aggregate over the original
     * parquet — any type drift or row loss in the source shows up as a
     * value mismatch. */
-  def jsonlAgg(spark: SparkSession, dir: String): DataFrame = {
-    val path = jsonlLayoutCache.computeIfAbsent(dir, _ => {
-      val p = graft.store.Fs.scratchDir(spark, "graft_jsonl_layout") + "/docs"
-      graft.sources.JsonlSource.write(VectorModel.documents(spark, dir), p)
+  def jsonlAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, jsonlLayoutCache, "graft_jsonl_layout",
+      graft.sources.JsonlSource.write(_, _),
+      graft.sources.JsonlSource.readDocuments(_, _))
+
+  private val jsonlLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared write-once/read-back/aggregate body of the source round-trip
+    * oracle queries — one aggregation definition, so the JSONL and CSV
+    * gates cannot silently diverge. */
+  private def sourceRoundTripAgg(spark: SparkSession, dir: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      scratchPrefix: String,
+      write: (DataFrame, String) => Unit,
+      read: (SparkSession, String) => DataFrame): DataFrame = {
+    val path = cache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, scratchPrefix) + "/docs"
+      write(VectorModel.documents(spark, dir), p)
       p
     })
-    graft.sources.JsonlSource.readDocuments(spark, path)
+    read(spark, path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
   }
-
-  private val jsonlLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val jsonlAggSql: String =
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -176,17 +188,10 @@ object TextQueries {
     * rows must hash-match the oracle over the parquet source, proving
     * quoting/escaping loses nothing (free text with commas, quotes, and
     * newlines included). */
-  def csvAgg(spark: SparkSession, dir: String): DataFrame = {
-    val path = csvLayoutCache.computeIfAbsent(dir, _ => {
-      val p = graft.store.Fs.scratchDir(spark, "graft_csv_layout") + "/docs"
-      graft.sources.CsvSource.write(VectorModel.documents(spark, dir), p)
-      p
-    })
-    graft.sources.CsvSource.readDocuments(spark, path)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy("lang")
-  }
+  def csvAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, csvLayoutCache, "graft_csv_layout",
+      graft.sources.CsvSource.write(_, _),
+      graft.sources.CsvSource.readDocuments(_, _))
 
   private val csvLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -38,6 +38,8 @@ object CsvSource {
       .option("multiLine", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .option("mode", if (dropMalformed) "DROPMALFORMED" else "PERMISSIVE")
       .csv(path)
 
@@ -45,10 +47,15 @@ object CsvSource {
     * `partitionCol` clusters rows first so each partition value gets one
     * file, not one per task (the dynamic-partition-write rule). */
   def write(df: DataFrame, path: String, partitionCol: Option[String] = None): Unit = {
+    // the WRITE side's whitespace-trim options default to TRUE (unlike
+    // reads) — left at defaults they silently strip leading/trailing
+    // field whitespace and break the exact round-trip contract
     def opts(d: DataFrame) = d.write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("quote", "\"")
       .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
     partitionCol match {
       case Some(c) => opts(df.repartition(col(c))).partitionBy(c).csv(path)
       case None => opts(df).csv(path)

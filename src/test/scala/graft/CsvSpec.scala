@@ -27,7 +27,8 @@ class CsvSpec extends SparkSpec {
       (2L, "comma, separated, values", "en", "s", 24L),
       (3L, "a \"quoted\" word", "en", "s", 15L),
       (4L, "line one\nline two\nline three", "en", "s", 28L),
-      (5L, "all, of \"it\",\ntogether", "en", "s", 22L))
+      (5L, "all, of \"it\",\ntogether", "en", "s", 22L),
+      (6L, "  padded with spaces  ", "en", "s", 22L))
     val df = spark.createDataFrame(nasty)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_nasty").toString

@@ -159,7 +159,13 @@ class LshStoreSpec extends SparkSpec {
       .unionByName(drifted.select(col("vec_id"), col("embedding")))
     val freshModel = LshAnn.saveBucketed(allRows, "embedding", "vec_id",
       s"$freshDir/t", VectorModel.EmbDim, numBits = Bits)
-    assert(model1.biases.flatten.toSeq === freshModel.biases.flatten.toSeq)
+    // the two means come from avg() over DIFFERENT physical plans (stored
+    // layout vs in-memory union), whose partial sums can differ in the
+    // last ulp — compare with tolerance, not bit equality
+    model1.biases.flatten.toSeq.zip(freshModel.biases.flatten.toSeq)
+      .foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"$a vs $b")
+      }
     val q = VectorModel.syntheticQuery(1)
     val maintained = LshAnn.searchStored(spark.read.parquet(s"$dir/t"), model1,
       q, 10, probes = Probes, vecCol = "embedding", idCol = "vec_id")
