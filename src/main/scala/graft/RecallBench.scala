@@ -85,6 +85,17 @@ object RecallBench {
         .select("vec_id"))
     val lshMtScanned = queries.map(q =>
       LshAnn.scannedFraction(mtBucketed, mtTables, q)).sum / numQueries
+    // STORED multi-table LSH — the single-copy inverted-list layout the
+    // ann_lsh_* queries actually serve from (pointer-fetch join included);
+    // candidate semantics equal searchMulti, so recall must match it
+    val lshStoreDir = graft.store.Fs.scratchDir(spark, "graft_recall_lsh") + "/t"
+    val lshStoredModel = LshAnn.saveBucketed(data, "embedding", "vec_id",
+      lshStoreDir, dim)
+    val lshStoredFrame = spark.read.parquet(lshStoreDir)
+    val (lshStoredMs, lshStoredRes) = timeAll(q =>
+      LshAnn.searchStored(lshStoredFrame, lshStoredModel, q, k,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id"))
     // centroid-routed stored-HNSW: probes=4 of 8 shards vs the all-shards
     // fan-out over the SAME layout (isolates the routing loss)
     val routedDir = graft.store.Fs.scratchDir(spark, "graft_recall_routed") + "/g"
@@ -96,6 +107,17 @@ object RecallBench {
     val (hnswRoutedMs, hnswRoutedRes) = timeAll(q =>
       graft.index.HnswStore.topKRouted(spark, routedDir, q, k, probes = 4, idCol = "vec_id")
         .select("vec_id"))
+    // ADAPTIVE routed probing — the serving default since round 8 (the
+    // radius-margin walk over build-time stats); mean probed shards
+    // published beside recall
+    val routedStats = graft.index.HnswStore.routedStats(spark, routedDir)
+    val (hnswAdaptMs, hnswAdaptRes) = timeAll(q =>
+      graft.index.HnswStore.topKRoutedAdaptive(spark, routedDir, q, k,
+        stats = routedStats, idCol = "vec_id")
+        .select("vec_id"))
+    val adaptMeanProbes = queries.map(q =>
+      graft.index.HnswStore.probedShardsAdaptive(spark, routedDir, q, k,
+        routedStats).size).sum.toDouble / numQueries
     // IVF-PQ: residual codes + ADC + exact refine (build amortized)
     val (ivfPqEncoded, ivfPqModel) = IvfPq.build(data, dim,
       vecCol = "embedding", idCol = "vec_id")
@@ -210,9 +232,14 @@ object RecallBench {
         f""""lsh_ms":$lshMs%.2f,"lsh_recall":${recall(lshRes)}%.4f,""" +
         f""""lsh_mt_ms":$lshMtMs%.2f,"lsh_mt_recall":${recall(lshMtRes)}%.4f,""" +
         f""""lsh_mt_scanned":$lshMtScanned%.4f,""" +
+        f""""lsh_stored_ms":$lshStoredMs%.2f,"lsh_stored_recall":${recall(lshStoredRes)}%.4f,""" +
         f""""hnsw_stored_all_ms":$hnswAllMs%.2f,"hnsw_stored_all_recall":${recall(hnswAllRes)}%.4f,""" +
         f""""hnsw_routed_ms":$hnswRoutedMs%.2f,"hnsw_routed_recall":${recall(hnswRoutedRes)}%.4f,""" +
         f""""hnsw_routed_vs_allshards":${recallVs(hnswAllRes, hnswRoutedRes)}%.4f,""" +
+        f""""hnsw_routed_adaptive_ms":$hnswAdaptMs%.2f,""" +
+        f""""hnsw_routed_adaptive_recall":${recall(hnswAdaptRes)}%.4f,""" +
+        f""""hnsw_routed_adaptive_vs_allshards":${recallVs(hnswAllRes, hnswAdaptRes)}%.4f,""" +
+        f""""hnsw_routed_adaptive_mean_probes":$adaptMeanProbes%.1f,""" +
         f""""ivf_fixed_struct_recall":$ivfFixedStructRecall%.4f,""" +
         f""""ivf_adapt_struct_recall":$ivfAdaptStructRecall%.4f,""" +
         f""""ivf_adapt_struct_probes":$ivfAdaptStructProbes%.1f,""" +
