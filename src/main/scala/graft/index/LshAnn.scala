@@ -237,10 +237,10 @@ object LshAnn {
   // storage: tables ≥ 1 hold (id, home-bucket) pointer rows only, where
   // `home` is the row's TABLE-0 bucket — the "row index" that names the
   // exact payload partition to fetch from. Serving scans the probed dirs of
-  // every table, and candidates surfaced only by a pointer table fetch
-  // their vectors with one join against the home-bucket-pruned table-0
-  // dirs (the home set is collected from the pointer rows — a tiny
-  // int-column job over already-pruned files). Layout bytes are ~1× corpus
+  // every table NARROWLY (id + home ints, no vector bytes), then fetches
+  // every candidate's vector once with one broadcast join against the
+  // home-bucket-pruned table-0 dirs (dynamic partition pruning off the
+  // pointer broadcast — no driver-side home collect). Layout bytes are ~1× corpus
   // + (L−1)·12 bytes/row instead of the L× full replication this replaced;
   // the build shuffles one corpus copy plus narrow pointer rows. The model
   // itself re-derives from (seed, mean) persisted in a tiny text sidecar.
@@ -544,47 +544,57 @@ object LshAnn {
         probeSet(query, model.planes(t), model.biases(t), probes): _*)
     }.reduceLeft(_ || _)
 
-  /** Approximate top-k over the stored layout: pruned scan of the probed
-    * bucket dirs; table-0 candidates carry their payload directly, pointer
-    * candidates (tables ≥ 1) fetch theirs with one join against the
-    * home-bucket-pruned table-0 dirs — the home set is collected from the
-    * pointer rows first (a tiny int-column job over already-pruned files)
-    * so the payload fetch is ALSO a PartitionFilters scan, not a full
-    * table-0 read. Candidate-set semantics are IDENTICAL to [[searchMulti]]
-    * (row admitted iff any table probes its bucket), so recall and scanned
-    * fraction carry over unchanged — spec-gated. */
+  /** Approximate top-k over the stored layout, in ONE pass over the
+    * probed dirs + ONE payload fetch:
+    *
+    *  1. CANDIDATE POINTERS — a narrow scan of the probed bucket dirs of
+    *     every table emitting (id, home), where a table-0 row's home IS
+    *     its bucket (`coalesce(home, bucket)`). The vector column is not
+    *     referenced, so column pruning keeps this scan to two ints per
+    *     row — no vector bytes move until the fetch.
+    *  2. PAYLOAD FETCH — every candidate's vector is read ONCE with one
+    *     LEFT SEMI broadcast join against table-0 on (id, home-bucket):
+    *     semi-join semantics dedup multi-table admissions for free (no
+    *     aggregate in the plan). The home-bucket equi-key lands on the
+    *     layout's PARTITION column, so Spark's dynamic partition pruning
+    *     reuses the pointer broadcast to prune the fetch scan to exactly
+    *     the home dirs at execution time (`dynamicpruningexpression` on
+    *     the scan — spec-asserted).
+    *
+    * This replaced a direct∪fetch union whose home set was
+    * distinct-collected driver-side into a static `isin`: same pruned
+    * file set, but one fewer Spark job per serve, no union (home dirs
+    * overlapping probed table-0 dirs were scanned by BOTH branches), and
+    * no post-score dedup (ids are unique after the pointer dedup) —
+    * the collect+union constant had doubled serve latency
+    * (BENCH_CLEAN_r8 `ann_lsh_topk` 2.05 s vs the ≤ 1 s target).
+    *
+    * The broadcast is bounded by the candidate set, which the probe
+    * budget bounds by construction (and [[probeSetAdaptive]] anchors to
+    * overscan·k) — the same small-side contract as the IVF batch path.
+    * Candidate-set semantics are IDENTICAL to [[searchMulti]] (row
+    * admitted iff any table probes its bucket), so recall and scanned
+    * fraction carry over unchanged — spec-gated, including the
+    * file-deletion invariance proving nothing outside probed ∪ home dirs
+    * is read. */
   def searchStored(layout: DataFrame, model: LshTables,
       query: Seq[Double], topK: Int, probes: Int = DefaultProbes,
       vecCol: String = "vector", idCol: String = "id"): DataFrame = {
-    val cand = layout.where(storedCandidateFilter(query, model, probes))
-    val direct = cand.where(col(TableCol) === 0).select(col(idCol), col(vecCol))
-    // renamed pointer columns — the payload fetch below is a self-join on
-    // the layout's lineage, and distinct names sidestep ambiguous-attribute
-    // resolution entirely
-    val ptr = cand.where(col(TableCol) > 0)
-      .select(col(idCol).as("__lsh_ptr_id"), col(HomeCol).as("__lsh_ptr_home"))
-      .dropDuplicates("__lsh_ptr_id")
-    val homes = ptr.select("__lsh_ptr_home").distinct().collect()
-      .map(_.getInt(0)).toSeq
-    val candidates =
-      if (homes.isEmpty) direct
-      else {
-        val fetched = layout.where(
-          col(TableCol) === 0 && col(BucketCol).isin(homes: _*))
-          .join(ptr, col(idCol) === col("__lsh_ptr_id") &&
-            col(BucketCol) === col("__lsh_ptr_home"))
-          .select(col(idCol), col(vecCol))
-        direct.unionByName(fetched)
-      }
-    // score BEFORE deduplicating: duplicate candidate copies (a row
-    // admitted by several tables) carry the same vector, so their sims
-    // are identical and max-per-id is the dedup — and the shuffle then
-    // moves (id, sim) pairs, not d-dimensional vectors (the re-rank's
-    // dominant bytes at scale)
-    candidates
+    // renamed pointer columns — the payload fetch is a self-join on the
+    // layout's lineage, and distinct names sidestep ambiguous-attribute
+    // resolution entirely. LEFT SEMI: a table-0 row is fetched iff ANY
+    // pointer names it, which dedups multi-table admissions for free —
+    // no dropDuplicates aggregate pair in the plan at all
+    val ptr = layout.where(storedCandidateFilter(query, model, probes))
+      .select(col(idCol).as("__lsh_ptr_id"),
+        coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
+    layout.where(col(TableCol) === 0)
+      .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
+        col(BucketCol) === col("__lsh_ptr_home"), "leftsemi")
+      .select(col(idCol), col(vecCol))
       .withColumn("sim",
         round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6))
-      .groupBy(col(idCol)).agg(max(col("sim")).as("sim"))
+      .select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(topK)
   }
@@ -610,9 +620,9 @@ object LshAnn {
     * predicate is the UNION of every query's probed dirs — still a pure
     * partition-column predicate, so every unprobed bucket dir prunes at
     * planning time — per-query admission is a broadcast equi-join on
-    * (table, bucket), pointer candidates fetch their payload ONCE for all
-    * queries via the home-bucket join, and ranking is the k-bounded
-    * aggregator after a per-(query, id) dedup. Per-query candidate
+    * (table, bucket), every candidate fetches its payload ONCE for all
+    * queries via the DPP-pruned home-bucket join, and ranking is the
+    * k-bounded aggregator after the per-(query, id) pointer dedup. Per-query candidate
     * semantics are IDENTICAL to [[searchStored]] — spec-gated
     * (LshStoreSpec batch==single parity). */
   def batchSearchStored(layout: DataFrame, model: LshTables,
@@ -647,41 +657,39 @@ object LshAnn {
         StructField("query_id", LongType, nullable = false),
         StructField(TableCol, IntegerType, nullable = false),
         StructField(BucketCol, IntegerType, nullable = false))))
+    // the [[searchStored]] one-pass shape, per query: a NARROW admission
+    // scan (id + home — a table-0 row's home IS its bucket; no vector
+    // read), per-(query, id) pointer dedup, then ONE payload fetch for
+    // all queries via a broadcast join whose home-bucket key is the
+    // layout's partition column — dynamic partition pruning reuses the
+    // pointer broadcast to prune the fetch scan to the union of home
+    // dirs at execution time, no driver-side collect job
     val admitted = graft.operators.Par.widen(layout.where(unionPred))
       .join(broadcast(qdf), Seq(TableCol, BucketCol))
-    val direct = admitted.where(col(TableCol) === 0)
-      .select(col("query_id"), col(idCol), col(vecCol))
-    val ptr = admitted.where(col(TableCol) > 0)
+    val ptr = admitted
       .select(col("query_id").as("__lsh_ptr_qid"), col(idCol).as("__lsh_ptr_id"),
-        col(HomeCol).as("__lsh_ptr_home"))
+        coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
       .dropDuplicates("__lsh_ptr_qid", "__lsh_ptr_id")
-    val homes = ptr.select("__lsh_ptr_home").distinct().collect()
-      .map(_.getInt(0)).toSeq
-    val candidates =
-      if (homes.isEmpty) direct
-      else {
-        val fetched = layout.where(
-          col(TableCol) === 0 && col(BucketCol).isin(homes: _*))
-          .join(ptr, col(idCol) === col("__lsh_ptr_id") &&
-            col(BucketCol) === col("__lsh_ptr_home"))
-          .select(col("__lsh_ptr_qid").as("query_id"), col(idCol), col(vecCol))
-        direct.unionByName(fetched)
-      }
+    val candidates = layout.where(col(TableCol) === 0)
+      .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
+        col(BucketCol) === col("__lsh_ptr_home"))
+      .select(col("__lsh_ptr_qid").as("query_id"), col(idCol), col(vecCol))
     val qv = spark.createDataFrame(
       spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
-    // score FIRST, dedup the narrow (query_id, id, sim) rows after —
-    // duplicate per-table candidate copies score identically, and the
-    // dedup shuffle then carries pairs, not vectors (the searchStored
-    // rationale, per query)
+    // ids are unique per query after the pointer dedup — no second dedup.
+    // Sims are ROUNDED to the output precision BEFORE the k-selection so
+    // the aggregator ranks on exactly the (round(sim,6) desc, id asc)
+    // order [[searchStored]] sorts by — selecting on raw sims could pick
+    // a different candidate on <1e-6 near-ties and flake the
+    // batch==single parity gate
     val scored = candidates
       .join(broadcast(qv), "query_id")
       .withColumn("sim_raw",
-        graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")))
+        round(graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")), 6))
       .select(col("query_id"), col(idCol), col("sim_raw"))
-      .dropDuplicates("query_id", idCol)
     graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol), col("sim_raw"), topK)
       .withColumnRenamed("id", idCol)
   }

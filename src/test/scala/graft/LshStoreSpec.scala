@@ -43,6 +43,12 @@ class LshStoreSpec extends SparkSpec {
     val plan = storedDf.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
       "probe filter must appear as a partition filter:\n" + plan.take(3000))
+    // the payload fetch must be pruned DYNAMICALLY: the home-bucket join
+    // key is a partition column and the pointer side is broadcast, so the
+    // plan carries a dynamic pruning expression on the fetch scan — the
+    // mechanism that replaced the driver-side home-set collect
+    assert(plan.contains("dynamicpruning"),
+      "payload fetch must be pruned via dynamic partition pruning:\n" + plan.take(3000))
 
     // the payload is stored ONCE (table 0); tables ≥ 1 are id+home pointers
     val layoutDf = spark.read.parquet(s"$dir/t")
