@@ -61,8 +61,11 @@ object Bench {
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
-    ("build_lsh_layout", Set("ann_lsh_topk"),
-      (s, d) => { queries.ApproxQueries.lshLayout(s, d); () }),
+    ("build_lsh_layout", Set("ann_lsh_topk", "ann_lsh_batch_topk"),
+      // bucket sizes warm here too: the adaptive probe walk's mass
+      // statistic is build-time state, like the IVF sizes above
+      (s, d) => { queries.ApproxQueries.lshLayout(s, d)
+        queries.ApproxQueries.lshSizes(s, d); () }),
     ("build_pq_codes", Set("ann_pq_adc_topk"),
       (s, d) => { queries.ApproxQueries.pqCodesLayout(s, d); () }),
     ("build_sig_layout",

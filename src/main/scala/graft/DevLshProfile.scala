@@ -65,11 +65,22 @@ object DevLshProfile {
     val queries = (0 until 3).map(s => (s.toLong, VectorModel.syntheticQuery(s)))
     val (batchSec, nb) = t(LshAnn.batchSearchStored(layout, model, queries, 5,
       vecCol = "embedding", idCol = "vec_id").count())
+    // the ADAPTIVE serving default (ann_lsh_topk shape): sizes memo warm
+    // (build-time state), then first + steady-state serve
+    val (sizesSec, sizes) = t(LshAnn.bucketSizes(layout))
+    val (adapt1Sec, na) = t(LshAnn.searchStoredAdaptive(layout, model,
+      VectorModel.AnnQuery, 20, sizes, vecCol = "embedding", idCol = "vec_id").count())
+    val (adapt2Sec, _) = t(LshAnn.searchStoredAdaptive(layout, model,
+      VectorModel.AnnQuery, 20, sizes, vecCol = "embedding", idCol = "vec_id").count())
+    val (adaptBatchSec, nab) = t(LshAnn.batchSearchStoredAdaptive(layout, model,
+      queries, 5, sizes, overscan = 140, vecCol = "embedding", idCol = "vec_id").count())
 
     println(s"""{"sf":"$sfDir","build_sec":$buildSec,"read_sec":$readSec,""" +
       s""""serve1_sec":$serve1Sec,"serve2_fresh_read_sec":$serve2Sec,""" +
       s""""serve3_reused_sec":$serve3Sec,"batch_sec":$batchSec,""" +
-      s""""rows1":$n1,"rows_batch":$nb}""")
+      s""""sizes_sec":$sizesSec,"adapt1_sec":$adapt1Sec,"adapt2_sec":$adapt2Sec,""" +
+      s""""adapt_batch_sec":$adaptBatchSec,""" +
+      s""""rows1":$n1,"rows_batch":$nb,"rows_adapt":$na,"rows_adapt_batch":$nab}""")
     spark.stop()
   }
 }

@@ -41,6 +41,45 @@ object DevLshTune {
       rows.foreach { case (_, v) => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
       c.map(_ / rows.length)
     }
+    // ---- adaptive sweep at the committed operating point ----------------
+    // The probe walk stops at overscan·k candidate mass
+    // (LshAnn.probeSetsAdaptive): sweep overscan and report recall /
+    // scanned / mean probes-per-table, against the fixed-probe rows below
+    // — the calibration behind LshAnn.DefaultOverscan.
+    {
+      val model = LshAnn.tables(LshAnn.DefaultTables, LshAnn.DefaultBits, dim, center)
+      val l = LshAnn.DefaultTables
+      val buckets = Array.tabulate(l) { t =>
+        rows.map { case (_, v) =>
+          model.planes(t).zipWithIndex.map { case (p, b) =>
+            var d = 0.0; var i = 0
+            while (i < dim) { d += p(i) * v(i); i += 1 }
+            if (d > model.biases(t)(b)) 1 << b else 0
+          }.sum
+        }
+      }
+      val sizes: Map[(Int, Int), Long] = (0 until l).flatMap { t =>
+        buckets(t).groupBy(identity).map { case (b, xs) => ((t, b), xs.length.toLong) }
+      }.toMap
+      for (overscan <- Seq(13, 20, 25, 28, 30, 33, 35, 40, 45, 50)) {
+        val (recalls, fracs, nprobes) = queries.zipWithIndex.map { case (q, qi) =>
+          val sets = LshAnn.probeSetsAdaptive(q.toSeq, model, sizes,
+            overscan.toLong * k)
+          val probeSets = sets.map(_.toSet)
+          val cand = rows.indices.filter(ri =>
+            (0 until l).exists(t => probeSets(t)(buckets(t)(ri))))
+          val candIds = cand.map(ri => rows(ri)._1).toSet
+          val r = exact(qi).intersect(candIds).size.toDouble / exact(qi).size
+          (r, cand.size.toDouble / rows.length, sets.map(_.size).sum.toDouble / l)
+        }.unzip3
+        val mr = recalls.sum / recalls.size
+        val mf = fracs.sum / fracs.size
+        val mp = nprobes.sum / nprobes.size
+        println(f"ADAPTIVE overscan=$overscan%4d (mass=${overscan * k}%6d) " +
+          f"recall=$mr%.3f scanned=$mf%.3f mean_probes_per_table=$mp%.1f")
+      }
+    }
+
     for {
       l <- Seq(2, 3, 4, 6)
       bits <- Seq(8, 10, 12)

@@ -34,7 +34,7 @@ object DevPlans {
     "pipe_rag_e2e" -> "RAG serving leg: probe-pruned scan over the registry-cached embedded chunks (InMemoryTableScan), TakeOrderedAndProject on the rounded cosine",
     "vq_hnsw_routed_topk" -> "centroid-routed stored-HNSW, ADAPTIVE probing: the radius-margin probe list lands as PartitionFilters over the shard layout — only the per-query probed shard files scan, graphs restore in place (no index exchange)",
     "vq_ivf_stored_topk" -> "stored-IVF serving default: ADAPTIVE candidate-mass probe list (3 partitions here vs parity 8) still arriving as the cluster_id partition filter — pruning shape unchanged, budget adaptive",
-    "ann_lsh_topk" -> "stored multi-table LSH: probe disjunction entirely in PartitionFilters over (lsh_table, lsh_bucket) dirs; pointer candidates fetch the single payload copy via the home-bucket-pruned table-0 join",
+    "ann_lsh_topk" -> "stored multi-table LSH, adaptive probe budget: group conjunct in PartitionFilters over (lsh_table, lsh_bgroup) dirs, exact-bucket conjunct in PushedFilters (row-group pruning); every candidate fetches the single payload copy via one DPP-pruned left-semi broadcast join against table-0",
     "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator")
 
   def main(args: Array[String]): Unit = {

@@ -96,6 +96,23 @@ object RecallBench {
       LshAnn.searchStored(lshStoredFrame, lshStoredModel, q, k,
         vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
+    // ADAPTIVE stored serving — the ann_lsh_topk default: the probe walk
+    // stops at the serving mass target (DefaultOverscan·20 rows); at this
+    // harness's k the equivalent overscan is mass/k, since LSH recall
+    // tracks candidate MASS, not k (DevLshTune k=10/k=20 grids coincide
+    // at equal mass)
+    val lshStoredSizes = LshAnn.bucketSizes(lshStoredFrame)
+    val lshServingMass = LshAnn.DefaultOverscan * 20L
+    val (lshAdaptMs, lshAdaptRes) = timeAll(q =>
+      LshAnn.searchStoredAdaptive(lshStoredFrame, lshStoredModel, q, k,
+        lshStoredSizes, overscan = (lshServingMass / k).toInt,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id"))
+    val lshAdaptBucketed = LshAnn.withTableBuckets(data, "embedding", lshStoredModel)
+    val lshAdaptScanned = queries.map { q =>
+      LshAnn.scannedFractionForSets(lshAdaptBucketed,
+        LshAnn.probeSetsAdaptive(q, lshStoredModel, lshStoredSizes, lshServingMass))
+    }.sum / numQueries
     // centroid-routed stored-HNSW: probes=4 of 8 shards vs the all-shards
     // fan-out over the SAME layout (isolates the routing loss)
     val routedDir = graft.store.Fs.scratchDir(spark, "graft_recall_routed") + "/g"
@@ -233,6 +250,9 @@ object RecallBench {
         f""""lsh_mt_ms":$lshMtMs%.2f,"lsh_mt_recall":${recall(lshMtRes)}%.4f,""" +
         f""""lsh_mt_scanned":$lshMtScanned%.4f,""" +
         f""""lsh_stored_ms":$lshStoredMs%.2f,"lsh_stored_recall":${recall(lshStoredRes)}%.4f,""" +
+        f""""lsh_stored_adaptive_ms":$lshAdaptMs%.2f,""" +
+        f""""lsh_stored_adaptive_recall":${recall(lshAdaptRes)}%.4f,""" +
+        f""""lsh_stored_adaptive_scanned":$lshAdaptScanned%.4f,""" +
         f""""hnsw_stored_all_ms":$hnswAllMs%.2f,"hnsw_stored_all_recall":${recall(hnswAllRes)}%.4f,""" +
         f""""hnsw_routed_ms":$hnswRoutedMs%.2f,"hnsw_routed_recall":${recall(hnswRoutedRes)}%.4f,""" +
         f""""hnsw_routed_vs_allshards":${recallVs(hnswAllRes, hnswRoutedRes)}%.4f,""" +

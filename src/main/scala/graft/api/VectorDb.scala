@@ -927,18 +927,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         // so copy it explicitly (same pattern as the HNSW meta copy)
         val cur = graft.index.LshAnn.currentLayout(spark, r)
         graft.store.VersionedLayout.publish(spark, s"$path/lsh") { dir =>
-          // partition count PINNED like every layout write: unsized, AQE
-          // coalesces this small shuffle to ~one task which then creates
-          // all ~L·2^bits dir/file pairs sequentially (the measured
-          // build pathology)
-          spark.read.parquet(cur)
-            .repartition(math.max(spark.sparkContext.defaultParallelism, 1),
-              col(graft.index.LshAnn.TableCol),
-              col(graft.index.LshAnn.BucketCol))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy(graft.index.LshAnn.TableCol, graft.index.LshAnn.BucketCol)
-            .parquet(dir)
-          graft.index.LshAnn.copySidecar(spark, cur, dir)
+          graft.index.LshAnn.rewriteLayoutTo(spark, cur, dir)
         }
       case Some(_) => // already versioned in place
       case None =>

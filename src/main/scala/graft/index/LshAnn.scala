@@ -101,12 +101,46 @@ object LshAnn {
   }
 
   /** Corpus mean vector — the centering statistic, one aggregate pass.
-    * (At 100 TB this is a single narrow scan, amortized over every query
-    * against the layout; empty input centers at the origin.) */
+    * (Exact; the layout paths use [[sampleMeanVector]] instead — a full
+    * scan per build/maintenance tick doesn't survive 100 TB, and a
+    * bounded-sample mean is statistically indistinguishable for
+    * centering. Empty input centers at the origin.) */
   def meanVector(df: DataFrame, vecCol: String, dim: Int): Array[Double] = {
     val row = df.select(
       (0 until dim).map(i => avg(element_at(col(vecCol), i + 1).cast("double"))): _*).head
     Array.tabulate(dim)(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+  }
+
+  /** Rows bounding the centering sample. A mean over 100k rows has
+    * standard error ~σ/316 per component — far below what moves a sign
+    * bit — while keeping the statistic pass O(sample), not O(corpus). */
+  val MeanSampleRows = 100000
+
+  /** Centering statistic on a bounded deterministic sample — the
+    * [[Ivf.FitSampleRows]] pattern: rows get a pseudo-random priority
+    * (xxhash64 of the id — a pure function of the id, so the sample and
+    * therefore the model are independent of partitioning and executor
+    * count) and the ≤ [[MeanSampleRows]] smallest are averaged
+    * driver-side. orderBy+limit plans as TakeOrderedAndProject (bounded
+    * per-partition heap, no full sort). Below the cap this is the exact
+    * mean up to summation order. */
+  private[graft] def sampleMeanVector(df: DataFrame, vecCol: String,
+      idCol: String, dim: Int): Array[Double] = {
+    val rows = df
+      .orderBy(xxhash64(col(idCol)))
+      .limit(MeanSampleRows)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+    val c = new Array[Double](dim)
+    if (rows.isEmpty) return c
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      var i = 0
+      while (i < dim) { c(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { c(i) /= rows.length; i += 1 }
+    c
   }
 
   /** L independent hyperplane tables — table t's planes are globally
@@ -164,8 +198,13 @@ object LshAnn {
     * stay ≤ ~16 bits by construction, driver-side. */
   private val MaxFlips = 4
 
-  private[graft] def probeSet(query: Seq[Double], planes: Array[Array[Double]],
-      biases: Array[Double], probes: Int): Seq[Int] = {
+  /** The full cost-ranked bucket stream of one table: every ≤[[MaxFlips]]
+    * flip mask of the query's bucket, ascending by the summed |margin| of
+    * its flipped bits — [[probeSet]] takes a fixed prefix,
+    * [[probeSetsAdaptive]] walks it until a candidate-mass budget is met.
+    * The first entry is always the query's own bucket (mask 0, cost 0). */
+  private def rankedBuckets(query: Seq[Double], planes: Array[Array[Double]],
+      biases: Array[Double]): IndexedSeq[(Double, Int)] = {
     require(planes.length <= MaxBits,
       s"numBits=${planes.length} exceeds MaxBits=$MaxBits — mask enumeration is 2^numBits")
     val margins = planes.zipWithIndex.map { case (p, b) =>
@@ -186,14 +225,72 @@ object LshAnn {
         (cost, m)
       }
       .sortBy { case (cost, m) => (cost, m) }
-      .take(probes)
-      .map { case (_, m) => qb ^ m }
+      .map { case (cost, m) => (cost, qb ^ m) }
   }
+
+  private[graft] def probeSet(query: Seq[Double], planes: Array[Array[Double]],
+      biases: Array[Double], probes: Int): Seq[Int] =
+    rankedBuckets(query, planes, biases).take(probes).map(_._2)
+
+  /** ADAPTIVE multi-table probe sets — the sign-LSH analog of
+    * [[Ivf.IvfModel.probeClustersAdaptive]], closing the last fixed probe
+    * budget in the ANN families: instead of burning [[DefaultProbes]]
+    * query-directed flips per table regardless of what they hold, walk
+    * ALL tables' cost-ranked bucket streams in one merged ascending-cost
+    * order and STOP once the probed buckets' cumulative row count (from
+    * the layout's per-dir sizes — [[bucketSizes]], memoized beside the
+    * layout like the IVF sizes) reaches `minCandidates` (= overscan · k).
+    * Dense queries — whose low-cost flips land on full buckets — stop
+    * after a few probes; sparse ones keep flipping up to
+    * `maxProbesPerTable` per table. Anchoring the stop to CANDIDATE MASS
+    * makes the scanned volume track what the re-rank needs per query,
+    * not a worst-case constant (the [[Ivf]] adaptive rationale; measured
+    * on the DevLshTune grid — RECALL.md round 9).
+    *
+    * Every table always probes its own bucket (cost-0 head of its
+    * stream), so each table contributes its strongest signal even when
+    * the first table's buckets satisfy the budget alone. Returns one
+    * bucket list per table (possibly beyond the budget by one bucket —
+    * the walk is inclusive). */
+  private[graft] def probeSetsAdaptive(query: Seq[Double], model: LshTables,
+      sizes: Map[(Int, Int), Long], minCandidates: Long,
+      maxProbesPerTable: Int = DefaultProbes): IndexedSeq[Seq[Int]] = {
+    val streams = model.planes.indices.map { t =>
+      rankedBuckets(query, model.planes(t), model.biases(t))
+        .take(maxProbesPerTable)
+    }
+    val merged = streams.zipWithIndex.flatMap { case (s, t) =>
+      s.zipWithIndex.map { case ((c, b), r) => (c, r, t, b) }
+    }.sortBy { case (c, _, t, b) => (c, t, b) }
+    val out = Array.fill(model.numTables)(Vector.newBuilder[Int])
+    var cum = 0L
+    merged.foreach { case (_, r, t, b) =>
+      if (r == 0 || cum < minCandidates) {
+        out(t) += b
+        cum += sizes.getOrElse((t, b), 0L)
+      }
+    }
+    out.map(_.result()).toIndexedSeq
+  }
+
+  /** Per-(table, bucket) row counts of a stored layout — the adaptive
+    * probe walk's mass statistic. ~L·2^bits longs from one
+    * count-pushdown aggregate over the layout (parquet row-group counts,
+    * no data columns read); memoize beside the layout like the IVF
+    * cluster sizes. */
+  def bucketSizes(layout: DataFrame): Map[(Int, Int), Long] =
+    layout.groupBy(col(TableCol), col(BucketCol)).count().collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
 
   /** Union-of-tables candidate predicate: bucket-of-table-t ∈ probes-of-
     * table-t for ANY t. A disjunction of integer `isin`s over precomputed
     * columns — codegen'd comparisons, no similarity math until the exact
     * re-rank inside the candidate set. */
+  private def candidateFilterForSets(sets: IndexedSeq[Seq[Int]]): Column =
+    sets.indices.map { t =>
+      col(s"lsh_b$t").isin(sets(t): _*)
+    }.reduceLeft(_ || _)
+
   private def candidateFilter(query: Seq[Double], model: LshTables,
       probes: Int): Column =
     model.planes.indices.map { t =>
@@ -210,6 +307,21 @@ object LshAnn {
   val DefaultTables = 4
   val DefaultBits = 10
   val DefaultProbes = 96
+
+  /** Adaptive serving's candidate-mass factor: the probe walk stops at
+    * overscan·k candidate rows. Calibrated on the DevLshTune adaptive
+    * grid at the SERVING regime (k=20, sf0.1 — RECALL.md round 9):
+    * recall@20 0.718 at mean scanned 0.298 / 77 probes per table, vs the
+    * fixed-[[DefaultProbes]] budget's 0.793 at 0.352 — the recall gate
+    * (≥ 0.7) held at 15% less data scanned, with per-query spread (27–96
+    * probes) instead of a worst-case constant. The grids show recall is
+    * driven by candidate MASS, not k: the k=10 and k=20 curves coincide
+    * at equal mass, so the overscan·k anchor is calibrated per serving-k
+    * regime (the [[Ivf.IvfModel.probeClustersByMargin]] caller-derived-
+    * constant precedent). On a corpus so small the ≤4-flip neighborhood
+    * can't reach the mass target, the walk degenerates to the fixed
+    * budget — adaptivity only ever SHRINKS the probe list. */
+  val DefaultOverscan = 35
 
   /** Approximate top-k over L tables: union candidates, exact re-rank.
     * `probes` = query-directed buckets probed per table. */
@@ -249,20 +361,33 @@ object LshAnn {
   val BucketCol = "lsh_bucket"
   /** Pointer-row column: the row's table-0 bucket (payload partition). */
   val HomeCol = "lsh_home"
+  /** Partition-dir column: the bucket's GROUP (bucket >> [[BucketGroupShift]]).
+    * Storage partitions on (table, group) — 4× fewer dirs than per-bucket
+    * partitioning — while the EXACT bucket stays a data column, sorted
+    * within each file so parquet row-group stats prune it (PushedFilters).
+    * Dynamic-partition dir/file creation and dir listing are the dominant
+    * build costs of a many-dir layout (measured ~6.5 s write + ~4.4 s
+    * list at ~2.5k dirs vs ~8 s total build); dir count must stay bounded
+    * as bits grow with corpus size, so fine-grained pruning belongs to
+    * row groups, not directories — the lakehouse layout rule. */
+  val GroupCol = "lsh_bgroup"
+  val BucketGroupShift = 2
+  private def groupOf(bucket: Int): Int = bucket >>> BucketGroupShift
   private val SidecarFile = "_graft_lsh"
 
   /** Build + persist the inverted-list layout at `path` and the model
-    * sidecar beside it; returns the model. One pass computes the mean
-    * (centering statistic), one pass buckets and writes — the entire
-    * serve-time construction cost moves here, amortized over every query. */
+    * sidecar beside it; returns the model. One bounded-sample pass
+    * computes the centering statistic ([[sampleMeanVector]]), one full
+    * pass buckets and writes — the entire serve-time construction cost
+    * moves here, amortized over every query. */
   def saveBucketed(df: DataFrame, vecCol: String, idCol: String, path: String,
       dim: Int, numTables: Int = DefaultTables, numBits: Int = DefaultBits,
       seed: Long = 42L): LshTables = {
-    val center = meanVector(df, vecCol, dim)
+    val center = sampleMeanVector(df, vecCol, idCol, dim)
     val model = tables(numTables, numBits, dim, center, seed)
     layoutRows(df, vecCol, idCol, model)
       .write.mode("overwrite")
-      .partitionBy(TableCol, BucketCol).parquet(path)
+      .partitionBy(TableCol, GroupCol).parquet(path)
     writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center)
     model
   }
@@ -276,13 +401,14 @@ object LshAnn {
     * need TWO bucket columns each) — measured ~1.6× the whole build.
     *
     * The output is hash-repartitioned on the partition columns → exactly
-    * one file per non-empty (table, bucket) dir per write (same key →
+    * one file per non-empty (table, group) dir per write (same key →
     * same task, whatever the task count), with the count PINNED to the
     * cluster's parallelism: left unsized, AQE coalesces this small
-    * shuffle to ~one task, and that task then creates all ~L·2^bits
-    * dir/file pairs SEQUENTIALLY — measured as ~90% of the whole build at
+    * shuffle to ~one task, and that task then creates every dir/file
+    * pair SEQUENTIALLY — measured as ~90% of the whole build at
     * sf0.1. The cost is per-file writer setup × dir count, so it
-    * parallelizes perfectly. */
+    * parallelizes perfectly — and the [[GroupCol]] granularity keeps the
+    * dir count itself 2^[[BucketGroupShift]]× down. */
   private def layoutRows(df: DataFrame, vecCol: String, idCol: String,
       model: LshTables): DataFrame = {
     val bucketed = withTableBuckets(df, vecCol, model)
@@ -298,8 +424,12 @@ object LshAnn {
           .otherwise(lit(null).cast(vecType)).as(vecCol),
         col(s"e.$HomeCol").as(HomeCol),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
+      .withColumn(GroupCol, shiftright(col(BucketCol), BucketGroupShift))
     val writeTasks = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    exploded.repartition(writeTasks, col(TableCol), col(BucketCol))
+    // rows SORTED by exact bucket inside each (table, group) file, so the
+    // serve-time bucket In-filter prunes at parquet row-group granularity
+    exploded.repartition(writeTasks, col(TableCol), col(GroupCol))
+      .sortWithinPartitions(col(TableCol), col(GroupCol), col(BucketCol))
   }
 
   /** APPEND a micro-batch to a stored layout under the layout's OWN model
@@ -322,7 +452,7 @@ object LshAnn {
       vecCol: String = "vector", idCol: String = "id"): Unit =
     layoutRows(batch, vecCol, idCol, model)
       .write.mode("append")
-      .partitionBy(TableCol, BucketCol).parquet(path)
+      .partitionBy(TableCol, GroupCol).parquet(path)
 
   /** Parquet data files under `path` ([[graft.store.Fs.dataFileCount]]) —
     * the compaction trigger statistic. */
@@ -330,7 +460,7 @@ object LshAnn {
       path: String): Int = graft.store.Fs.dataFileCount(spark, path)
 
   /** File-count-triggered compaction of a stored layout: folds every
-    * (table, bucket) dir back to one file via a full read + the
+    * (table, group) dir back to one file via a full read + the
     * [[layoutRows]] repartition, landing through the same
     * write-beside-and-swap as the clustered-IVF compaction
     * ([[Ivf.compactClustered]]'s machinery) with the model sidecar copied
@@ -344,13 +474,28 @@ object LshAnn {
     if (dataFileCount(spark, path) <= maxDataFiles) return false
     Ivf.rewriteSwapped(spark, path) { tmp =>
       // already layout-shaped rows: re-bucket nothing, just fold files
-      val writeTasks = math.max(spark.sparkContext.defaultParallelism, 1)
-      spark.read.parquet(path)
-        .repartition(writeTasks, col(TableCol), col(BucketCol))
-        .write.mode("overwrite").partitionBy(TableCol, BucketCol).parquet(tmp)
-      copySidecar(spark, path, tmp)
+      rewriteLayoutTo(spark, path, tmp)
     }
     true
+  }
+
+  /** Layout-shaped rewrite of a stored layout into `to`: same rows, same
+    * dir scheme, in-file bucket sort restored (the row-group pruning
+    * contract), sidecar copied. The single write path behind compaction
+    * and save-dir relocation — one partitioning scheme, no copies to
+    * drift. */
+  private[graft] def rewriteLayoutTo(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String): Unit = {
+    // partition count PINNED like every layout write: unsized, AQE
+    // coalesces this small shuffle to ~one task which then creates all
+    // the dir/file pairs sequentially (the measured build pathology)
+    val writeTasks = math.max(spark.sparkContext.defaultParallelism, 1)
+    spark.read.parquet(from)
+      .repartition(writeTasks, col(TableCol), col(GroupCol))
+      .sortWithinPartitions(col(TableCol), col(GroupCol), col(BucketCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(TableCol, GroupCol).parquet(to)
+    copySidecar(spark, from, to)
   }
 
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -414,6 +559,7 @@ object LshAnn {
     // cross-check the sidecar against the partition dirs actually present —
     // a sidecar pasted from a different layout would otherwise silently
     // probe buckets that never match the stored dirs
+    val maxGroup = groupOf((1 << numBits) - 1)
     val tableDirs = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$TableCol="))
       .map(_.getPath)
@@ -422,10 +568,10 @@ object LshAnn {
       require(t >= 0 && t < numTables,
         s"LSH layout at $path has dir ${td.getName} outside sidecar numTables=$numTables")
       fs.listStatus(td).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$GroupCol="))
         .foreach { bd =>
-          val b = bd.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-          require(b >= 0 && b < (1 << numBits),
+          val g = bd.getPath.getName.stripPrefix(s"$GroupCol=").toInt
+          require(g >= 0 && g <= maxGroup,
             s"LSH layout at $path has dir ${td.getName}/${bd.getPath.getName} " +
               s"outside sidecar numBits=$numBits")
         }
@@ -468,13 +614,15 @@ object LshAnn {
 
   /** Drift statistic of a stored layout: L2 distance between the sidecar's
     * center (the model every append bucketed under) and the CURRENT
-    * payload mean. One narrow aggregate over the table-0 dirs. */
+    * payload sample mean ([[sampleMeanVector]] over the table-0 dirs —
+    * bounded per tick, like the build-side statistic it is compared to). */
   def centerDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
     val (_, _, dim, _, center) = sidecarParams(spark, path)
-    val (_, vecCol) = payloadColumns(spark, path)
-    val cur = meanVector(
-      spark.read.parquet(path).where(col(TableCol) === 0).select(col(vecCol)),
-      vecCol, dim)
+    val (idCol, vecCol) = payloadColumns(spark, path)
+    val cur = sampleMeanVector(
+      spark.read.parquet(path).where(col(TableCol) === 0)
+        .select(col(idCol), col(vecCol)),
+      vecCol, idCol, dim)
     val c = if (center.isEmpty) new Array[Double](dim) else center
     math.sqrt(c.zip(cur).map { case (a, b) => (a - b) * (a - b) }.sum)
   }
@@ -502,9 +650,10 @@ object LshAnn {
     // object store
     val (numTables, numBits, dim, seed, center) = sidecarParams(spark, path)
     val (idCol, vecCol) = payloadColumns(spark, path)
-    val cur = meanVector(
-      spark.read.parquet(path).where(col(TableCol) === 0).select(col(vecCol)),
-      vecCol, dim)
+    val cur = sampleMeanVector(
+      spark.read.parquet(path).where(col(TableCol) === 0)
+        .select(col(idCol), col(vecCol)),
+      vecCol, idCol, dim)
     val c = if (center.isEmpty) new Array[Double](dim) else center
     val drift = math.sqrt(c.zip(cur).map { case (a, b) => (a - b) * (a - b) }.sum)
     if (drift <= driftThreshold)
@@ -522,27 +671,54 @@ object LshAnn {
   }
 
   /** The (idCol, vecCol) names of a stored layout — its schema is
-    * [id, vector, home | table, bucket] by construction ([[layoutRows]]
-    * column order; partition columns resolve last on read). */
+    * [id, vector, home, bucket | table, group] by construction
+    * ([[layoutRows]] column order; partition columns resolve last on
+    * read). */
   private def payloadColumns(spark: org.apache.spark.sql.SparkSession,
       path: String): (String, String) = {
     val fields = spark.read.parquet(path).schema.fieldNames
-    val reserved = Set(HomeCol, TableCol, BucketCol)
+    val reserved = Set(HomeCol, TableCol, BucketCol, GroupCol)
     val data = fields.filterNot(reserved)
     require(data.length == 2,
       s"layout at $path has unexpected columns ${fields.mkString(",")}")
     (data(0), data(1))
   }
 
-  /** Candidate predicate over the STORED layout: a disjunction of
-    * (table, bucket-isin) conjunctions — every column a partition column,
-    * so the whole predicate lands in PartitionFilters and prunes files. */
+  /** Fixed-budget probe sets: the [[DefaultProbes]]-style prefix of every
+    * table's cost-ranked stream. */
+  private def probeSetsFixed(query: Seq[Double], model: LshTables,
+      probes: Int): IndexedSeq[Seq[Int]] =
+    model.planes.indices.map(t =>
+      probeSet(query, model.planes(t), model.biases(t), probes))
+
+  /** Candidate predicate over the STORED layout for explicit per-table
+    * probe sets, as a conjunction of two disjunctions:
+    *
+    *  - (table, GROUP-isin) — references only PARTITION columns, so it
+    *    lands whole in PartitionFilters and prunes dirs/files at planning
+    *    time;
+    *  - (table, exact-BUCKET-isin) — a data-column predicate, pushed to
+    *    the parquet reader (PushedFilters) where the in-file bucket sort
+    *    prunes row groups.
+    *
+    * The group conjunct is implied by the bucket conjunct (a probed
+    * bucket's group is probed), so the AND has exactly the per-bucket
+    * candidate semantics — the split exists because a single OR mixing
+    * partition and data columns would qualify as neither a partition
+    * filter nor a pushable data filter. */
+  private[graft] def storedFilterForSets(sets: IndexedSeq[Seq[Int]]): Column = {
+    val groupPred = sets.indices.map { t =>
+      col(TableCol) === t && col(GroupCol).isin(sets(t).map(groupOf).distinct: _*)
+    }.reduceLeft(_ || _)
+    val bucketPred = sets.indices.map { t =>
+      col(TableCol) === t && col(BucketCol).isin(sets(t): _*)
+    }.reduceLeft(_ || _)
+    groupPred && bucketPred
+  }
+
   private[graft] def storedCandidateFilter(query: Seq[Double], model: LshTables,
       probes: Int): Column =
-    model.planes.indices.map { t =>
-      col(TableCol) === t && col(BucketCol).isin(
-        probeSet(query, model.planes(t), model.biases(t), probes): _*)
-    }.reduceLeft(_ || _)
+    storedFilterForSets(probeSetsFixed(query, model, probes))
 
   /** Approximate top-k over the stored layout, in ONE pass over the
     * probed dirs + ONE payload fetch:
@@ -579,18 +755,41 @@ object LshAnn {
     * is read. */
   def searchStored(layout: DataFrame, model: LshTables,
       query: Seq[Double], topK: Int, probes: Int = DefaultProbes,
-      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    serveStored(layout, probeSetsFixed(query, model, probes), query, topK,
+      vecCol, idCol)
+
+  /** [[searchStored]] with the ADAPTIVE probe budget: probe sets from
+    * [[probeSetsAdaptive]] — the walk stops when the probed buckets hold
+    * ≥ `overscan`·topK rows (`sizes` = [[bucketSizes]], memoized beside
+    * the layout). The serving default ([[DefaultOverscan]]) is calibrated
+    * on the DevLshTune grid: same recall gate as fixed-[[DefaultProbes]]
+    * at a lower mean scanned fraction (RECALL.md round 9). */
+  def searchStoredAdaptive(layout: DataFrame, model: LshTables,
+      query: Seq[Double], topK: Int, sizes: Map[(Int, Int), Long],
+      overscan: Int = DefaultOverscan, maxProbesPerTable: Int = DefaultProbes,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    serveStored(layout,
+      probeSetsAdaptive(query, model, sizes, overscan.toLong * topK,
+        maxProbesPerTable),
+      query, topK, vecCol, idCol)
+
+  private def serveStored(layout: DataFrame, sets: IndexedSeq[Seq[Int]],
+      query: Seq[Double], topK: Int, vecCol: String, idCol: String): DataFrame = {
     // renamed pointer columns — the payload fetch is a self-join on the
     // layout's lineage, and distinct names sidestep ambiguous-attribute
     // resolution entirely. LEFT SEMI: a table-0 row is fetched iff ANY
     // pointer names it, which dedups multi-table admissions for free —
     // no dropDuplicates aggregate pair in the plan at all
-    val ptr = layout.where(storedCandidateFilter(query, model, probes))
+    val ptr = layout.where(storedFilterForSets(sets))
       .select(col(idCol).as("__lsh_ptr_id"),
         coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
+      .withColumn("__lsh_ptr_hgroup",
+        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
     layout.where(col(TableCol) === 0)
       .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
-        col(BucketCol) === col("__lsh_ptr_home"), "leftsemi")
+        col(BucketCol) === col("__lsh_ptr_home") &&
+        col(GroupCol) === col("__lsh_ptr_hgroup"), "leftsemi")
       .select(col(idCol), col(vecCol))
       .withColumn("sim",
         round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6))
@@ -599,18 +798,24 @@ object LshAnn {
       .limit(topK)
   }
 
-  /** The (table, bucket) dirs a stored serve of `query` may read: the
-    * probed dirs of every table PLUS the table-0 home dirs the pointer
-    * candidates fetch their payload from. LshStoreSpec deletes everything
-    * outside this set and proves results unchanged. */
+  /** The (table, GROUP) dirs a stored serve of `query` may read: the
+    * probed buckets' group dirs of every table PLUS the table-0 home
+    * group dirs the pointer candidates fetch their payload from.
+    * LshStoreSpec deletes everything outside this set and proves results
+    * unchanged. */
   private[graft] def dependencyDirs(layout: DataFrame, model: LshTables,
-      query: Seq[Double], probes: Int): Set[(Int, Int)] = {
-    val probed = model.planes.indices.flatMap { t =>
-      probeSet(query, model.planes(t), model.biases(t), probes).map(b => (t, b))
+      query: Seq[Double], probes: Int): Set[(Int, Int)] =
+    dependencyDirsForSets(layout, probeSetsFixed(query, model, probes))
+
+  private[graft] def dependencyDirsForSets(layout: DataFrame,
+      sets: IndexedSeq[Seq[Int]]): Set[(Int, Int)] = {
+    val probed = sets.zipWithIndex.flatMap { case (bs, t) =>
+      bs.map(b => (t, groupOf(b)))
     }.toSet
-    val homes = layout.where(storedCandidateFilter(query, model, probes))
+    val homes = layout.where(storedFilterForSets(sets))
       .where(col(TableCol) > 0)
-      .select(HomeCol).distinct().collect().map(r => (0, r.getInt(0))).toSet
+      .select(HomeCol).distinct().collect()
+      .map(r => (0, groupOf(r.getInt(0)))).toSet
     probed ++ homes
   }
 
@@ -627,7 +832,28 @@ object LshAnn {
     * (LshStoreSpec batch==single parity). */
   def batchSearchStored(layout: DataFrame, model: LshTables,
       queries: Seq[(Long, Seq[Double])], topK: Int, probes: Int = DefaultProbes,
-      vecCol: String = "vector", idCol: String = "id"): DataFrame = {
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    batchServeStored(layout, queries,
+      q => probeSetsFixed(q, model, probes), topK, vecCol, idCol)
+
+  /** [[batchSearchStored]] with the ADAPTIVE probe budget — each query's
+    * probe sets stop at overscan·topK candidate mass
+    * ([[probeSetsAdaptive]]); the scan predicate is still the union of
+    * every query's probed dirs, so per-query adaptivity composes with the
+    * one-job batch shape unchanged. */
+  def batchSearchStoredAdaptive(layout: DataFrame, model: LshTables,
+      queries: Seq[(Long, Seq[Double])], topK: Int, sizes: Map[(Int, Int), Long],
+      overscan: Int = DefaultOverscan, maxProbesPerTable: Int = DefaultProbes,
+      vecCol: String = "vector", idCol: String = "id"): DataFrame =
+    batchServeStored(layout, queries,
+      q => probeSetsAdaptive(q, model, sizes, overscan.toLong * topK,
+        maxProbesPerTable),
+      topK, vecCol, idCol)
+
+  private def batchServeStored(layout: DataFrame,
+      queries: Seq[(Long, Seq[Double])],
+      setsOf: Seq[Double] => IndexedSeq[Seq[Int]], topK: Int,
+      vecCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = layout.sparkSession
@@ -642,8 +868,8 @@ object LshAnn {
           org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("rn", org.apache.spark.sql.types.LongType))))
     val probed: Seq[(Long, Int, Int)] = queries.flatMap { case (qid, q) =>
-      model.planes.indices.flatMap { t =>
-        probeSet(q, model.planes(t), model.biases(t), probes).map(b => (qid, t, b))
+      setsOf(q).zipWithIndex.flatMap { case (bs, t) =>
+        bs.map(b => (qid, t, b))
       }
     }
     val byTable = probed.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
@@ -670,9 +896,12 @@ object LshAnn {
       .select(col("query_id").as("__lsh_ptr_qid"), col(idCol).as("__lsh_ptr_id"),
         coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
       .dropDuplicates("__lsh_ptr_qid", "__lsh_ptr_id")
+      .withColumn("__lsh_ptr_hgroup",
+        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
     val candidates = layout.where(col(TableCol) === 0)
       .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
-        col(BucketCol) === col("__lsh_ptr_home"))
+        col(BucketCol) === col("__lsh_ptr_home") &&
+        col(GroupCol) === col("__lsh_ptr_hgroup"))
       .select(col("__lsh_ptr_qid").as("query_id"), col(idCol), col(vecCol))
     val qv = spark.createDataFrame(
       spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
@@ -702,6 +931,17 @@ object LshAnn {
     val agg = bucketed.select(
       count(lit(1)).as("n"),
       count(when(candidateFilter(query, model, probes), 1)).as("c")).head
+    val n = agg.getLong(0)
+    if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
+  }
+
+  /** [[scannedFraction]] for explicit per-table probe sets (the adaptive
+    * walk's H2 denominator). */
+  private[graft] def scannedFractionForSets(bucketed: DataFrame,
+      sets: IndexedSeq[Seq[Int]]): Double = {
+    val agg = bucketed.select(
+      count(lit(1)).as("n"),
+      count(when(candidateFilterForSets(sets), 1)).as("c")).head
     val n = agg.getLong(0)
     if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
   }

@@ -324,7 +324,8 @@ object ApproxQueries {
     * point (recall ≥ 0.7 at ≤ 0.4 scanned) and stored==in-memory parity. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
-    LshAnn.searchStored(lshFrame(spark, path), model, VectorModel.AnnQuery, 20,
+    LshAnn.searchStoredAdaptive(lshFrame(spark, path), model,
+      VectorModel.AnnQuery, 20, lshSizes(spark, dir),
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim")
   }
@@ -335,8 +336,13 @@ object ApproxQueries {
     * candidate semantics equal the single-query stored path (spec-gated). */
   def annLshBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
-    graft.index.LshAnn.batchSearchStored(lshFrame(spark, path), model,
-      annBatchQueries(3), 5, vecCol = "embedding", idCol = "vec_id")
+    // overscan 140 at k=5 = the same 700-row candidate-mass target as the
+    // single-query default (35·20): LSH recall tracks MASS, not k (the
+    // DevLshTune k=10/k=20 curves coincide at equal mass — RECALL.md
+    // round 9), so the budget is held constant across the k regimes
+    graft.index.LshAnn.batchSearchStoredAdaptive(lshFrame(spark, path), model,
+      annBatchQueries(3), 5, lshSizes(spark, dir), overscan = 140,
+      vecCol = "embedding", idCol = "vec_id")
       .orderBy("query_id", "rn")
   }
 
@@ -360,6 +366,19 @@ object ApproxQueries {
 
   private val lshLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshAnn.LshTables)]()
+
+  /** Per-(table, bucket) row counts of the stored LSH layout — the
+    * adaptive probe walk's mass statistic ([[graft.index.LshAnn.bucketSizes]]),
+    * memoized beside the layout like [[ivfSizes]] (one count-pushdown
+    * aggregate per dataset, warmed in the Bench build pre-phase). */
+  private[graft] def lshSizes(spark: SparkSession, dir: String): Map[(Int, Int), Long] =
+    lshSizesCache.computeIfAbsent(dir, _ => {
+      val (path, _) = lshLayout(spark, dir)
+      LshAnn.bucketSizes(lshFrame(spark, path))
+    })
+
+  private val lshSizesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(Int, Int), Long]]()
 
   /** Memoized READ FRAME of an LSH layout. The layout's ~L·2^bits
     * partition dirs make a fresh `spark.read.parquet` re-list thousands of

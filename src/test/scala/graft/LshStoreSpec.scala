@@ -38,12 +38,16 @@ class LshStoreSpec extends SparkSpec {
     assert(stored === mem)
     assert(stored.nonEmpty)
 
-    // the probe disjunction must appear as a partition filter over the
-    // layout's bucket column — file pruning at planning time
+    // the probe disjunction's GROUP conjunct must appear as a partition
+    // filter (dir/file pruning at planning time), and the exact-bucket
+    // conjunct must be PUSHED to the parquet reader (row-group pruning
+    // over the in-file bucket sort)
     val plan = storedDf.queryExecution.executedPlan.toString
-    assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
-      "probe filter must appear as a partition filter:\n" + plan.take(3000))
-    // the payload fetch must be pruned DYNAMICALLY: the home-bucket join
+    assert("""PartitionFilters: \[[^\]]*lsh_bgroup""".r.findFirstIn(plan).isDefined,
+      "probe group filter must appear as a partition filter:\n" + plan.take(3000))
+    assert("""PushedFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
+      "exact bucket filter must be pushed to the reader:\n" + plan.take(3000))
+    // the payload fetch must be pruned DYNAMICALLY: the home-group join
     // key is a partition column and the pointer side is broadcast, so the
     // plan carries a dynamic pruning expression on the fetch scan — the
     // mechanism that replaced the driver-side home-set collect
@@ -62,10 +66,10 @@ class LshStoreSpec extends SparkSpec {
     assert(reloaded.planes.flatten.flatten.toSeq === model.planes.flatten.flatten.toSeq)
     assert(reloaded.biases.flatten.toSeq === model.biases.flatten.toSeq)
 
-    // file-level proof: delete every (table, bucket) dir outside the
-    // serve's dependency set — the probed dirs plus the table-0 home dirs
-    // pointer candidates fetch their payload from; stored results are
-    // unchanged, so serving reads nothing else
+    // file-level proof: delete every (table, group) dir outside the
+    // serve's dependency set — the probed buckets' group dirs plus the
+    // table-0 home group dirs pointer candidates fetch their payload
+    // from; stored results are unchanged, so serving reads nothing else
     val probed = LshAnn.dependencyDirs(spark.read.parquet(s"$dir/t"), model,
       VectorModel.AnnQuery, Probes)
     val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/t")
@@ -74,9 +78,9 @@ class LshStoreSpec extends SparkSpec {
       .flatMap { td =>
         val t = td.getPath.getName.stripPrefix("lsh_table=").toInt
         fs.listStatus(td.getPath)
-          .filter(_.getPath.getName.startsWith("lsh_bucket="))
+          .filter(_.getPath.getName.startsWith("lsh_bgroup="))
           .filterNot(bd =>
-            probed((t, bd.getPath.getName.stripPrefix("lsh_bucket=").toInt)))
+            probed((t, bd.getPath.getName.stripPrefix("lsh_bgroup=").toInt)))
       }
     assert(removed.nonEmpty, "some buckets must be unprobed at this operating point")
     removed.foreach(s => fs.delete(s.getPath, true))
@@ -104,14 +108,18 @@ class LshStoreSpec extends SparkSpec {
     }.toSet
     assert(batch === single)
     assert(batch.nonEmpty)
-    // the union-of-queries probe disjunction must still be a partition
-    // filter — one pruned scan for the whole batch
+    // the union-of-queries probe group disjunction must still be a
+    // partition filter — one pruned scan for the whole batch — with the
+    // exact-bucket conjunct pushed to the reader
     val plan = batchDf.queryExecution.executedPlan.toString
-    assert("""PartitionFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
-      "union probe filter must appear as a partition filter:\n" + plan.take(3000))
+    assert("""PartitionFilters: \[[^\]]*lsh_bgroup""".r.findFirstIn(plan).isDefined,
+      "union probe group filter must appear as a partition filter:\n" + plan.take(3000))
+    assert("""PushedFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
+      "exact bucket filter must be pushed to the reader:\n" + plan.take(3000))
     // file-level proof for the batch: delete every dir outside the UNION
-    // of the queries' dependency sets (probed dirs + table-0 home dirs);
-    // batch results unchanged — one pruned scan, nothing else read
+    // of the queries' dependency sets (probed group dirs + table-0 home
+    // group dirs); batch results unchanged — one pruned scan, nothing
+    // else read
     val dep = queries.flatMap { case (_, q) =>
       LshAnn.dependencyDirs(spark.read.parquet(s"$dir/t"), model, q, Probes)
     }.toSet
@@ -121,9 +129,9 @@ class LshStoreSpec extends SparkSpec {
       .flatMap { td =>
         val t = td.getPath.getName.stripPrefix("lsh_table=").toInt
         fs.listStatus(td.getPath)
-          .filter(_.getPath.getName.startsWith("lsh_bucket="))
+          .filter(_.getPath.getName.startsWith("lsh_bgroup="))
           .filterNot(bd =>
-            dep((t, bd.getPath.getName.stripPrefix("lsh_bucket=").toInt)))
+            dep((t, bd.getPath.getName.stripPrefix("lsh_bgroup=").toInt)))
       }
     assert(removed.nonEmpty, "some buckets must be outside the batch's dependency set")
     removed.foreach(s => fs.delete(s.getPath, true))
@@ -183,6 +191,90 @@ class LshStoreSpec extends SparkSpec {
     assert(maintained.nonEmpty)
     // the rebuild recentered: drift against the new sidecar is ~0
     assert(LshAnn.centerDrift(spark, s"$dir/t") < 1e-9)
+  }
+
+  test("adaptive probe budget: own bucket always probed, sets monotone in budget, saturating budget degenerates to fixed, small budget serves its own candidate top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_adapt").toString
+    val model = LshAnn.saveBucketed(embeddings, "embedding", "vec_id",
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+    val layout = spark.read.parquet(s"$dir/t")
+    val sizes = LshAnn.bucketSizes(layout)
+    assert(sizes.values.sum === embeddings.count() * model.numTables)
+    val q = VectorModel.AnnQuery
+
+    // every table's own (cost-0) bucket survives even a 1-row budget
+    val tiny = LshAnn.probeSetsAdaptive(q, model, sizes, 1L,
+      maxProbesPerTable = Probes)
+    (0 until model.numTables).foreach { t =>
+      assert(tiny(t).head ===
+        LshAnn.probeSet(q, model.planes(t), model.biases(t), 1).head)
+    }
+    // a larger budget never drops a probed bucket (monotone walk)
+    val budgets = Seq(1L, 5L, 20L, 100L, 1000000L)
+    budgets.map(b => LshAnn.probeSetsAdaptive(q, model, sizes, b,
+        maxProbesPerTable = Probes))
+      .sliding(2).foreach { case Seq(a, b) =>
+        (0 until model.numTables).foreach(t =>
+          assert(a(t).toSet.subsetOf(b(t).toSet)))
+      case _ => ()
+    }
+    // a budget beyond the corpus degenerates to exactly the fixed sets —
+    // adaptivity only ever SHRINKS the probe list
+    val sat = LshAnn.probeSetsAdaptive(q, model, sizes, Long.MaxValue / 2,
+      maxProbesPerTable = Probes)
+    (0 until model.numTables).foreach { t =>
+      assert(sat(t) ===
+        LshAnn.probeSet(q, model.planes(t), model.biases(t), Probes))
+    }
+    // end-to-end: saturating adaptive serving == fixed stored serving
+    val fixed = pairs(LshAnn.searchStored(layout, model, q, 10,
+      probes = Probes, vecCol = "embedding", idCol = "vec_id"))
+    val adaptSat = pairs(LshAnn.searchStoredAdaptive(layout, model, q, 10,
+      sizes, overscan = 1000000, maxProbesPerTable = Probes,
+      vecCol = "embedding", idCol = "vec_id"))
+    assert(adaptSat === fixed)
+
+    // a SMALL budget serves exactly the cosine top-k of its own candidate
+    // union — computed independently driver-side from the bucketed rows
+    val overscan = 2
+    val topK = 5
+    val smallSets = LshAnn.probeSetsAdaptive(q, model, sizes,
+      overscan.toLong * topK, maxProbesPerTable = Probes)
+    val small = pairs(LshAnn.searchStoredAdaptive(layout, model, q, topK,
+      sizes, overscan = overscan, maxProbesPerTable = Probes,
+      vecCol = "embedding", idCol = "vec_id"))
+    val bucketed = LshAnn.withTableBuckets(embeddings, "embedding", model)
+      .select((Seq(col("vec_id"), col("embedding")) ++
+        (0 until model.numTables).map(t => col(s"lsh_b$t"))): _*)
+      .collect()
+    val expected = bucketed
+      .filter(r => (0 until model.numTables).exists(t =>
+        smallSets(t).contains(r.getInt(2 + t))))
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val sim = graft.harness.Recall.cosine(q.toArray, v.toArray)
+        (r.getLong(0), BigDecimal(sim).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(topK).toSeq
+    assert(small === expected)
+    assert(small.nonEmpty)
+
+    // batch == single parity on the adaptive path
+    val queries = (0 until 3).map(s => (s.toLong, VectorModel.syntheticQuery(s)))
+    val batch = LshAnn.batchSearchStoredAdaptive(layout, model, queries, topK,
+      sizes, overscan = overscan, maxProbesPerTable = Probes,
+      vecCol = "embedding", idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = queries.flatMap { case (qid, qq) =>
+      LshAnn.searchStoredAdaptive(layout, model, qq, topK, sizes,
+        overscan = overscan, maxProbesPerTable = Probes,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id", "sim")
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === single)
   }
 
   test("oversized bucket width fails loudly (driver-side mask enumeration bound)") {
