@@ -89,6 +89,22 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     lshOwnedRoot = None
   }
 
+  /** Streaming semantic-dedup state root registered for scheduled
+    * compaction ([[attachSemanticState]] / [[maintainIndexes]]). */
+  private var semanticStatePath: Option[String] = None
+
+  /** Register a streaming semantic-dedup state root
+    * ([[graft.streaming.StreamingIngest.semanticDedupIngest]]'s
+    * `statePath`) with this facade's maintenance tick: every
+    * [[maintainIndexes]] call then folds the state's `assigned/`/`probed/`
+    * dirs when their file counts exceed the tick's threshold. The state is
+    * created and written by the streaming job, not this facade — this is a
+    * registration seam, so ONE scheduled invocation covers every
+    * file-count-bounded layout the deployment owns. Call between
+    * micro-batches only (writer quiescence — the compaction contract). */
+  def attachSemanticState(statePath: String): Unit =
+    semanticStatePath = Some(statePath)
+
   /** Read frame of the LIVE layout version, memoized per version dir — a
     * fresh `spark.read.parquet` re-lists the layout's ~L·2^bits partition
     * dirs (~5 s at sf0.1, several times the query itself), so serving
@@ -410,11 +426,28 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     *    pure function of live rows meanwhile, so this is a quality
     *    decision, not a correctness one). Off unless a threshold is
     *    given — drift scale is data-dependent.
+    *  - LSH small files: when the live layout was NOT rebuilt this tick
+    *    and its data-file count exceeds `maxDataFiles` (streaming appends
+    *    leave ≤ 1 file per touched dir per batch), the folded copy
+    *    publishes as the NEXT version
+    *    ([[graft.index.LshAnn.compactVersioned]] — content-preserving;
+    *    readers keep their snapshot, the dir-keyed serving memo
+    *    invalidates itself).
+    *  - Streaming semantic-dedup state: when a state root was registered
+    *    ([[attachSemanticState]]), its `assigned/`/`probed/` dirs fold on
+    *    the same `maxDataFiles` threshold
+    *    ([[graft.streaming.StreamingIngest.compactSemanticState]]) — the
+    *    operator that is NOT on the scheduler is the one that rots at
+    *    real ingest rates, so the facade tick covers every
+    *    file-count-bounded layout the deployment owns.
     *
     * Returns the actions taken ("hnsw_rebuilt", "ivf_refit",
-    * "ivfpq_refit"), empty when everything was within bounds. */
+    * "ivfpq_refit", "lsh_rebuilt", "lsh_compacted",
+    * "semantic_compacted:<dir>"), empty when everything was within
+    * bounds. */
   def maintainIndexes(maxDeltaFraction: Double = 0.2,
-      ivfDriftThreshold: Option[Double] = None): Seq[String] = {
+      ivfDriftThreshold: Option[Double] = None,
+      maxDataFiles: Int = 64): Seq[String] = {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (hnswPath.isDefined) {
       // one aggregate scan for both counts (not two jobs over `data`)
@@ -461,7 +494,18 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         // version under the same root — readers keep their snapshot
         buildLshIndex(lshNumTables, lshNumBits)
         actions += "lsh_rebuilt"
+      } else {
+        // no rebuild this tick: fold streaming-append small files. The
+        // folded copy lands as the NEXT version (readers keep their
+        // snapshot; the dir-keyed serving memo invalidates itself)
+        if (graft.index.LshAnn.compactVersioned(spark, lshRoot.get, maxDataFiles))
+          actions += "lsh_compacted"
       }
+    }
+    semanticStatePath.foreach { statePath =>
+      graft.streaming.StreamingIngest
+        .compactSemanticState(spark, statePath, maxDataFiles)
+        .foreach(d => actions += s"semantic_compacted:$d")
     }
     ivfDriftThreshold.foreach { threshold =>
       ivf.foreach { case (assigned, model) =>

@@ -447,12 +447,32 @@ object LshAnn {
     * vector; re-appending an id with a CHANGED vector would leave both
     * versions serving, with the one more similar to each query winning.
     * Vector updates go through a rebuild ([[saveVersioned]] /
-    * [[maintainBucketed]]), exactly like the facade's update path. */
+    * [[maintainBucketed]]), exactly like the facade's update path.
+    * The contract is ENFORCEABLE, not just documented: with
+    * `spark.graft.lsh.validateAppendIds=true` each append anti-checks the
+    * batch's ids against the layout's table-0 id column (a narrow
+    * id-only scan) and fails loudly on the first collision — a debug/CI
+    * mode, off by default because the scan cost is per batch. */
   def appendBucketed(batch: DataFrame, path: String, model: LshTables,
-      vecCol: String = "vector", idCol: String = "id"): Unit =
+      vecCol: String = "vector", idCol: String = "id"): Unit = {
+    val spark = batch.sparkSession
+    if (spark.conf.getOption("spark.graft.lsh.validateAppendIds")
+        .exists(_.toBoolean)) {
+      val (layoutId, _) = payloadColumns(spark, path)
+      val dup = batch.select(col(idCol))
+        .join(spark.read.parquet(path).where(col(TableCol) === 0)
+          .select(col(layoutId).as("__lsh_existing_id")),
+          col(idCol) === col("__lsh_existing_id"), "leftsemi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"appendBucketed: id ${dup.headOption.map(_.get(0)).orNull} already " +
+          s"in the layout at $path — appended ids must be NEW; vector " +
+          "updates go through a rebuild (saveVersioned/maintainBucketed)")
+    }
     layoutRows(batch, vecCol, idCol, model)
       .write.mode("append")
       .partitionBy(TableCol, GroupCol).parquet(path)
+  }
 
   /** Parquet data files under `path` ([[graft.store.Fs.dataFileCount]]) —
     * the compaction trigger statistic. */
@@ -468,7 +488,12 @@ object LshAnn {
     * rows, same partition dirs — so serving and the delete-unprobed-dirs
     * invariance are unchanged (StreamingSpec proves it). Writers
     * quiesced, single-writer, like every maintenance pass. Returns
-    * whether a rewrite happened. */
+    * whether a rewrite happened.
+    *
+    * FIXED-LOCATION layouts only: a [[graft.store.VersionedLayout]]
+    * version dir must compact via [[compactVersioned]] instead — its
+    * commit marker is not part of the layout rewrite, so an in-place swap
+    * would leave the folded copy uncommitted (invisible to readers). */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       maxDataFiles: Int): Boolean = {
     if (dataFileCount(spark, path) <= maxDataFiles) return false
@@ -476,6 +501,21 @@ object LshAnn {
       // already layout-shaped rows: re-bucket nothing, just fold files
       rewriteLayoutTo(spark, path, tmp)
     }
+    true
+  }
+
+  /** [[compactBucketed]] for a VERSIONED root: the folded copy publishes
+    * as the NEXT version (readers keep their snapshot; the marker commits
+    * only after the rewrite completes — the same serving-safe landing as
+    * [[saveVersioned]] rebuilds), so no writer quiescence is needed for
+    * READERS, only the single-writer publish contract. Returns whether a
+    * new version was published. */
+  def compactVersioned(spark: org.apache.spark.sql.SparkSession, root: String,
+      maxDataFiles: Int): Boolean = {
+    val cur = currentLayout(spark, root)
+    if (dataFileCount(spark, cur) <= maxDataFiles) return false
+    graft.store.VersionedLayout.publish(spark, root)(tmp =>
+      rewriteLayoutTo(spark, cur, tmp))
     true
   }
 

@@ -31,14 +31,28 @@ private[graft] object Fs {
 
   /** Data files under a layout, recursively (underscore/dot-prefixed
     * entries — commit markers, sidecars, CRCs — excluded): the compaction
-    * trigger statistic of every file-count-bounded maintenance pass. */
+    * trigger statistic of every file-count-bounded maintenance pass.
+    *
+    * Hidden-ness is judged on every path component BELOW the layout root,
+    * not just the leaf name: a streaming sink's `_spark_metadata/0` log
+    * files have plain-digit leaves, so a leaf-only filter would count them
+    * as data and inflate the compaction trigger. (Components ABOVE the
+    * root stay exempt — a layout legitimately lives under a `_scratch`
+    * staging dir.) */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val (fs, p) = pathFs(spark, path)
-    val it = fs.listFiles(p, true)
+    val base = fs.makeQualified(p)
+    val it = fs.listFiles(base, true)
     var n = 0
     while (it.hasNext) {
-      val name = it.next().getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      var cur: org.apache.hadoop.fs.Path = it.next().getPath
+      var hidden = false
+      while (cur != null && cur != base) {
+        val name = cur.getName
+        if (name.startsWith("_") || name.startsWith(".")) hidden = true
+        cur = cur.getParent
+      }
+      if (!hidden) n += 1
     }
     n
   }

@@ -448,7 +448,16 @@ object StreamingIngest {
     * maintenance decision ([[graft.index.LshAnn.maintainBucketed]]:
     * drift → recentered rebuild), not a per-batch cost;
     * appended small files fold via [[graft.index.LshAnn.compactBucketed]]
-    * — both proven content-preserving in StreamingSpec. */
+    * — both proven content-preserving in StreamingSpec.
+    *
+    * STREAM-AUTHOR CONTRACT (inherited from
+    * [[graft.index.LshAnn.appendBucketed]]): every id the stream emits
+    * must be NEW to the layout. Re-emitting an id with a changed vector
+    * leaves both versions serving (max-sim winner per query) — updates
+    * are a rebuild, not an append. A stream that cannot guarantee
+    * exactly-once ids (e.g. a source replaying without checkpoints)
+    * should run with `spark.graft.lsh.validateAppendIds=true` in
+    * staging, which fail-louds the first collision per batch. */
   def ingestWithLshAssign(stream: DataFrame, layoutPath: String,
       checkpoint: String, vecCol: String = "vector", idCol: String = "id")
       : StreamingQuery = {

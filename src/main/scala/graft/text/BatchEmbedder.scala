@@ -26,21 +26,29 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * weights file (BatchEmbedSpec) — not approximate agreement. */
 object BatchEmbedder {
 
-  /** Per-JVM weights cache — one file read per executor per model path.
-    * (A transformer swap would cache the loaded runtime session here.) */
+  /** Per-JVM weights cache — one file read per executor per model
+    * VERSION: the key carries the file's (modification time, length)
+    * beside the path, so re-saving a model at the same path during a long
+    * JVM session loads the fresh matrix instead of silently serving the
+    * stale one (the stat is one cheap NameNode/HEAD call per partition,
+    * the read it guards is the whole matrix). (A transformer swap would
+    * cache the loaded runtime session here.) */
   private val weightsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  private def weightsAt(path: String): Array[Array[Double]] =
-    weightsCache.computeIfAbsent(path, p => {
-      val conf = new org.apache.hadoop.conf.Configuration()
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(conf)
+  private def weightsAt(path: String): Array[Array[Double]] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val st = fs.getFileStatus(hp)
+    val key = s"$path@${st.getModificationTime}:${st.getLen}"
+    weightsCache.computeIfAbsent(key, _ => {
       val in = fs.open(hp)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       txt.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
     })
+  }
 
   /** JVM mirror of `conv(substring(md5(s), 1, 15), 16, 10)` — the token
     * hash the codegen featurizer uses ([[graft.dedup.Dedup.hash60]]). */

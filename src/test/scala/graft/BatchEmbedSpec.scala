@@ -36,6 +36,30 @@ class BatchEmbedSpec extends SparkSpec {
     batch.foreach { case (id, v) => assert(v === codegen(id), s"doc $id") }
   }
 
+  test("re-saving a model at the same path invalidates the per-JVM weights cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_batch_embed_inv").toString
+    val docs = VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text").limit(20)
+    val w1 = LocalModelEmbedder.seeded(Dim, Buckets, seed = 1L)
+    LocalModelEmbedder.save(spark, s"$dir/w", w1)
+    val e1 = BatchEmbedder.embedPartitions(docs, "text", s"$dir/w", outCol = "e")
+      .select("doc_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // overwrite IN PLACE with different weights — the cache key carries
+    // (mtime, length), so the stale matrix must not serve
+    val w2 = LocalModelEmbedder.seeded(Dim, Buckets, seed = 2L)
+    LocalModelEmbedder.save(spark, s"$dir/w", w2)
+    val e2 = BatchEmbedder.embedPartitions(docs, "text", s"$dir/w", outCol = "e")
+      .select("doc_id", "e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expect2 = docs
+      .select(col("doc_id"),
+        new LocalModelEmbedder(w2, Buckets).embed(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e2 === expect2)
+    assert(e1 !== e2)
+  }
+
   test("the RAG capstone returns identical results on the batch-inference path (the flag)") {
     import graft.queries.PipelineQueries
     def run() = PipelineQueries.ragEndToEnd(spark, Sf0001)

@@ -131,4 +131,65 @@ class LshLifecycleSpec extends SparkSpec {
     assert(actions.contains("lsh_rebuilt"))
     assert(LshAnn.currentLayout(spark, root) !== v0)
   }
+
+  test("maintenance tick compacts appended layout files and registered semantic state; no-op below threshold") {
+    val db = mkDb(200)
+    db.buildLshIndex(numBits = Bits)
+    val cur = LshAnn.currentLayout(spark, db.lshIndexRoot.get)
+    val model = LshAnn.loadTables(spark, cur)
+    // stream-style appends: NEW ids, one file per touched dir per batch
+    val rng = new java.util.Random(11)
+    def appendBatch(b: Int): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      (0 until 40).map(i =>
+        (10000L + b * 100 + i, Seq.fill(Dim)(rng.nextDouble() * 10)))
+        .toDF("id", "vector")
+    }
+    (0 until 3).foreach(b => LshAnn.appendBucketed(appendBatch(b), cur, model))
+    // the append-id contract guard (debug mode): re-appending existing ids
+    // fails loudly instead of silently double-serving them
+    spark.conf.set("spark.graft.lsh.validateAppendIds", "true")
+    try intercept[IllegalArgumentException] {
+      LshAnn.appendBucketed(appendBatch(0), cur, model)
+    } finally spark.conf.unset("spark.graft.lsh.validateAppendIds")
+    val files = graft.store.Fs.dataFileCount(spark, cur)
+    // a registered streaming semantic state: two cluster-partitioned dirs
+    // with per-batch appended small files (the dirs semanticDedupIngest
+    // maintains — fabricated here; the real job is StreamingSpec's)
+    val stateBase =
+      java.nio.file.Files.createTempDirectory("graft_sem_state").toString
+    val st = spark.range(40).selectExpr(
+      "id AS vec_id", "CAST(id % 4 AS INT) AS cluster_id")
+    Seq("assigned", "probed").foreach { sub =>
+      graft.index.Ivf.saveClustered(st, s"$stateBase/$sub")
+      (0 until 3).foreach(_ =>
+        st.repartition(col("cluster_id")).write.mode("append")
+          .partitionBy("cluster_id").parquet(s"$stateBase/$sub"))
+    }
+    db.attachSemanticState(stateBase)
+    // serving snapshot AFTER the appends (fresh facade read sees them)
+    val before = pairs(db.lshSearch(Q, 10, probes = Probes))
+    // tick 1: threshold between the LSH layout's appended file count and
+    // the semantic dirs' — only the layout compacts
+    val acts = db.maintainIndexes(maxDataFiles = files - 1)
+    assert(acts === Seq("lsh_compacted"))
+    // compaction folded the files and preserved content: the folded copy
+    // is the NEXT version, fewer files, identical serving answers
+    // (appended rows included)
+    val cur2 = LshAnn.currentLayout(spark, db.lshIndexRoot.get)
+    assert(cur2 !== cur)
+    assert(graft.store.Fs.dataFileCount(spark, cur2) < files)
+    assert(pairs(db.lshSearch(Q, 10, probes = Probes)) === before)
+    // tick 2: threshold below the semantic dirs' 16 appended files — the
+    // registered state compacts through the SAME facade invocation
+    val acts2 = db.maintainIndexes(maxDataFiles = 15)
+    assert(acts2.contains("semantic_compacted:assigned"))
+    assert(acts2.contains("semantic_compacted:probed"))
+    Seq("assigned", "probed").foreach { sub =>
+      assert(graft.store.Fs.dataFileCount(spark, s"$stateBase/$sub") <= 15)
+      assert(spark.read.parquet(s"$stateBase/$sub").count() === 4 * 40L)
+    }
+    // everything below threshold now: the next tick is a no-op
+    assert(db.maintainIndexes(maxDataFiles = files - 1) === Seq.empty)
+  }
 }

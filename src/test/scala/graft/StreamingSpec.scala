@@ -693,4 +693,29 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.compactSemanticState(spark, s"$base/state",
       maxFilesPerDir = 64) === Seq.empty)
   }
+
+  test("dataFileCount ignores files NESTED under hidden dirs (a sink's _spark_metadata logs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_count").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-0.parquet"), Array[Byte](1))
+    // a file-sink's commit log: plain-digit leaf names inside a hidden dir
+    // — a leaf-only filter would count them as data and inflate the
+    // compaction trigger
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_spark_metadata"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_spark_metadata/0"), Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_spark_metadata/1"), Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array[Byte]())
+    assert(graft.store.Fs.dataFileCount(spark, dir) === 1)
+    // components ABOVE the queried root stay exempt: a layout under a
+    // _scratch staging dir still counts its own data files
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/_scratch/layout"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_scratch/layout/part-0.parquet"), Array[Byte](1))
+    assert(graft.store.Fs.dataFileCount(spark, s"$dir/_scratch/layout") === 1)
+  }
 }
