@@ -489,7 +489,104 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- the pure-SQL pipeline surface ([[graft.sql.SqlSurface]]) ----------
+  //
+  // The same operators, entered as SQL TEXT through the registered SQL
+  // functions — what a data engineer writing `spark.sql(...)` composes.
+  // Each query binds the corpus view, registers the functions, and runs
+  // one SQL string; the oracles are the SAME DuckDB mirrors the Column-API
+  // twins are gated by (or term-for-term expansions of the function
+  // bodies), so the SQL surface earns the identical hash gate.
+
+  /** Bind [[graft.sql.SqlSurface.DocsView]] + register the SQL functions —
+    * the session setup a pure-SQL consumer performs once. */
+  private def sqlSurfaceSession(spark: SparkSession, dir: String): Unit = {
+    VectorModel.documents(spark, dir)
+      .createOrReplaceTempView(graft.sql.SqlSurface.DocsView)
+    graft.sql.SqlSurface.registerAll(spark)
+  }
+
+  /** A cleaning stage composed in ONE SQL statement: quality gate →
+    * token-count floor → exact-dedup (first doc per content fingerprint)
+    * → language breakdown. Every operator in the text is a registered SQL
+    * function; the plan is the same codegen'd expressions as the Column
+    * API (SQL UDF bodies inline at resolution). */
+  def sqlClean(spark: SparkSession, dir: String): DataFrame = {
+    sqlSurfaceSession(spark, dir)
+    spark.sql(
+      s"""SELECT lang_pred, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM (
+         |  SELECT tx_lang_id(text) AS lang_pred,
+         |         tx_token_count(text) AS n_tokens,
+         |         row_number() OVER (PARTITION BY tx_fingerprint(text)
+         |                            ORDER BY doc_id) AS rn
+         |  FROM ${graft.sql.SqlSurface.DocsView}
+         |  WHERE tx_quality_score(text) > CAST('0.3' AS DOUBLE)
+         |    AND tx_token_count(text) >= 10)
+         |WHERE rn = 1
+         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)
+  }
+
+  val sqlCleanSql: String = {
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val stopRatio = s"CAST(${duckMarkerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $nTok"
+    val qualityExpr =
+      s"(CAST('1.0' AS DOUBLE) - $stopRatio) * least($nTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"
+    val scores = TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      lang -> duckMarkerCount(markers)
+    }
+    val allZero = scores.map { case (_, s) => s"$s = 0" }.mkString(" AND ")
+    val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      rest match {
+        case Seq() => s"ELSE '$lang'"
+        case Seq(only) => s"WHEN $s >= $only THEN '$lang'"
+        case many => s"WHEN $s >= greatest(${many.mkString(", ")}) THEN '$lang'"
+      }
+    }
+    val langPred =
+      s"CASE WHEN $allZero THEN 'und' ${chain.init.mkString(" ")} ${chain.last} END"
+    s"""SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM (
+       |  SELECT $langPred AS lang_pred,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents
+       |  WHERE $qualityExpr > CAST('0.3' AS DOUBLE)
+       |    AND len(string_split(text, ' ')) >= 10)
+       |WHERE rn = 1
+       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
+  /** [[bm25TopK]] through the `tx_bm25` SQL TABLE function — corpus
+    * stats and ranking inside one SQL invocation; same oracle. */
+  def sqlBm25(spark: SparkSession, dir: String): DataFrame = {
+    sqlSurfaceSession(spark, dir)
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    spark.sql(
+      s"""SELECT doc_id, bm25 FROM tx_bm25(array($terms), 15)
+         |ORDER BY bm25 DESC, doc_id ASC""".stripMargin)
+  }
+
+  /** [[chunks]] through the `tx_chunks` SQL TABLE function with a
+    * correlated LATERAL join — the SQL form of posexplode-per-doc; same
+    * oracle. */
+  def sqlChunks(spark: SparkSession, dir: String): DataFrame = {
+    sqlSurfaceSession(spark, dir)
+    spark.sql(
+      s"""SELECT d.doc_id, c.chunk_ix, c.chunk,
+         |  tx_token_count(c.chunk) AS n_chunk_tokens
+         |FROM ${graft.sql.SqlSurface.DocsView} d,
+         |  LATERAL tx_chunks(d.text, $ChunkSize, $ChunkStride) c
+         |ORDER BY doc_id, chunk_ix""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_sql_clean" -> (sqlClean _),
+    "tx_sql_bm25" -> (sqlBm25 _),
+    "tx_sql_chunks" -> (sqlChunks _),
     "tx_embed" -> (embedDocs _),
     "tx_embed_local" -> (embedDocsLocal _),
     "tx_cjk_bm25" -> (cjkBm25 _),
@@ -507,6 +604,9 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_sql_clean" -> sqlCleanSql,
+    "tx_sql_bm25" -> bm25TopKSql,
+    "tx_sql_chunks" -> chunksSql,
     "tx_embed" -> embedDocsSql,
     "tx_embed_local" -> embedDocsLocalSql,
     "tx_cjk_bm25" -> cjkBm25Sql,

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *    so the model FILE is read once per executor (not per task, never
   *    per row) — exactly how ONNX/torch weights load in a cluster job;
   *  - rows stream through `mapPartitions` in BATCHES: featurize the
-  *    batch, then one dense `W · Fᵀ` matmul for the whole batch — the
-  *    batched-matmul shape a GPU/BLAS inference stage wants, where the
-  *    codegen path ([[LocalModelEmbedder.embed]]) inlines per-row dot
-  *    products into the plan and cannot batch;
+  *    batch, then apply `W` to the whole featurized block — the batched
+  *    execution shape a GPU/BLAS inference stage wants (the codegen path,
+  *    [[LocalModelEmbedder.embed]], inlines per-row dot products into the
+  *    plan and cannot batch). The inner product here is a scalar loop per
+  *    (row, output-dim) — numerically identical to a BLAS `W · Fᵀ` GEMM
+  *    over the batch, which is the one-line swap when a BLAS/accelerator
+  *    runtime is available;
   *  - the surface is a DataFrame transform (schema in → schema + vector
   *    out), so swapping a transformer changes ONLY the two hot lambdas
   *    (featurize → tokenize, matmul → forward pass).
@@ -92,7 +95,9 @@ object BatchEmbedder {
       val dim = w.length
       val buckets = w.head.length
       rows.grouped(batchSize).flatMap { batch =>
-        // featurize the whole batch, then one dense W · Fᵀ block-matmul
+        // featurize the whole batch, then apply W to the block — a
+        // scalar-loop inner product per (row, out-dim), GEMM-identical;
+        // swap these two loops for the BLAS call when one is available
         val feats = batch.map(r => features(r.getString(tIdx), buckets))
         batch.zip(feats).map { case (r, f) =>
           val out = new Array[Double](dim)
