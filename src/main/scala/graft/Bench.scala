@@ -68,6 +68,8 @@ object Bench {
         queries.ApproxQueries.lshSizes(s, d); () }),
     ("build_pq_codes", Set("ann_pq_adc_topk"),
       (s, d) => { queries.ApproxQueries.pqCodesLayout(s, d); () }),
+    ("build_sq_codes", Set("ann_sq_topk"),
+      (s, d) => { queries.ApproxQueries.sqCodesLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e"),

@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       AnnQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      ApproxQueries.oracleSql ++ PipelineQueries.oracleSql
 }

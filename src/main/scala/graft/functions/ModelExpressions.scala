@@ -104,6 +104,21 @@ object ModelExpressions {
       ColumnBridge.expression(queryId), ColumnBridge.expression(clusterId),
       ColumnBridge.expression(code), kernel))
 
+  /** SQ8-encode a raw vector ([[graft.pq.ScalarQuantizer.encodeDf]]). */
+  def sqEncode(vec: Column, sq: graft.pq.ScalarQuantizer): Column =
+    ColumnBridge.column(SqEncode(dbl(vec), new SqKernel(sq, null)))
+
+  /** Reconstruct a vector from its SQ8 code. */
+  def sqDecode(code: Column, sq: graft.pq.ScalarQuantizer): Column =
+    ColumnBridge.column(SqDecode(
+      ColumnBridge.expression(code), new SqKernel(sq, null)))
+
+  /** Exact cosine of the SQ8 reconstruction vs a fixed query — the
+    * stored-codes serving score ([[graft.pq.ScalarQuantizer.adcTopK]]). */
+  def sqScore(code: Column, sq: graft.pq.ScalarQuantizer, query: Array[Double]): Column =
+    ColumnBridge.column(SqScore(
+      ColumnBridge.expression(code), new SqKernel(sq, query)))
+
   /** One-pass hashing-trick accumulator ([[graft.text.HashEmbedder]]):
     * each token hash votes ±1 (sign = bit 8) into component `h mod dim` of
     * a dim-length array — O(tokens + dim) per row, replacing the
@@ -473,4 +488,99 @@ case class HashEmbed(child: Expression, kernel: HashEmbedKernel)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hash_embed"
+}
+
+/** Scalar-quantization kernel ([[graft.pq.ScalarQuantizer]]): encode and
+  * reconstruct are the quantizer's own affine maps; `score` is the exact
+  * cosine of the reconstruction against a fixed query, written as the
+  * term-for-term JVM mirror of the oracle's SQL expansion
+  * ([[graft.queries.OracleSql.cosineCols]] — left-associated dot/norms,
+  * zero-norm guard), so the serving query stays hash-gated. */
+final class SqKernel(val sq: graft.pq.ScalarQuantizer,
+    val query: Array[Double]) extends Serializable {
+
+  // sqrt(Σ q_i², left-associated) — the oracle's nB term, precomputed once.
+  private val normQ: Double =
+    if (query == null) 0.0
+    else {
+      var s = 0.0; var i = 0
+      while (i < query.length) { s += query(i) * query(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  def encode(v: ArrayData): Array[Byte] = {
+    if (v.numElements() < sq.dim)
+      throw new IllegalArgumentException(
+        s"vector of ${v.numElements()} elements is shorter than the SQ dimension ${sq.dim}")
+    val r = new Array[Double](sq.dim)
+    var i = 0
+    while (i < r.length) { r(i) = v.getDouble(i); i += 1 }
+    sq.encode(r)
+  }
+
+  def decode(code: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(sq.decode(checked(code)))
+
+  private def checked(code: Array[Byte]): Array[Byte] = {
+    if (code.length != sq.dim)
+      throw new IllegalArgumentException(
+        s"sq_code of ${code.length} bytes does not match the model's dim=${sq.dim}")
+    code
+  }
+
+  def score(code: Array[Byte]): Double = {
+    checked(code)
+    val d = sq.dim
+    var dot = 0.0; var nr = 0.0
+    var i = 0
+    while (i < d) {
+      dot += (sq.mins(i) + (code(i) & 0xFF).toDouble * sq.steps(i)) * query(i); i += 1
+    }
+    i = 0
+    while (i < d) {
+      val r = sq.mins(i) + (code(i) & 0xFF).toDouble * sq.steps(i)
+      nr += r * r; i += 1
+    }
+    val sr = math.sqrt(nr)
+    if (sr == 0.0 || normQ == 0.0) 0.0 else dot / (sr * normQ)
+  }
+}
+
+case class SqEncode(child: Expression, kernel: SqKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Vec)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = kernel.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("sqKernel", kernel, classOf[SqKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.encode($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sq_encode"
+}
+
+case class SqDecode(child: Expression, kernel: SqKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Bin)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(c: Any): Any = kernel.decode(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("sqKernel", kernel, classOf[SqKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.decode($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sq_decode"
+}
+
+case class SqScore(child: Expression, kernel: SqKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Bin)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(c: Any): Any = kernel.score(c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("sqKernel", kernel, classOf[SqKernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $k.score($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "sq_score"
 }

@@ -72,4 +72,25 @@ object OracleSql {
 
   /** 1-indexed DuckDB list element cast to double, e.g. `a.embedding[3]`. */
   def listElem(col: String)(i: Int): String = s"CAST($col[${i + 1}] AS DOUBLE)"
+
+  /** Single-row CTE `m` carrying the exact per-dimension min/max of a list
+    * column — the SQL twin of [[graft.pq.ScalarQuantizer.fit]]. */
+  def sqMinMaxCte(col: String, table: String, d: Int): String =
+    s"""m AS (SELECT ${(0 until d).map(i =>
+      s"min(${listElem(col)(i)}) AS mn$i, max(${listElem(col)(i)}) AS mx$i").mkString(", ")}
+       |FROM $table)""".stripMargin
+
+  /** SQ8 encode-then-decode of one component, mirroring
+    * [[graft.pq.ScalarQuantizer]] term for term: step = (max−min)/255,
+    * code = clamp(floor((v−min)/step + 0.5), 0, 255) (floor(+0.5) on both
+    * sides pins rounding semantics), reconstruction = min + code·step.
+    * References the [[sqMinMaxCte]] alias `m`. */
+  def sqReconElem(col: String)(i: Int): String = {
+    val mn = s"m.mn$i"
+    val step = s"((m.mx$i - $mn)/CAST('255.0' AS DOUBLE))"
+    val x = s"floor((${listElem(col)(i)} - $mn)/$step + CAST('0.5' AS DOUBLE))"
+    val code = s"CASE WHEN $step = CAST('0.0' AS DOUBLE) THEN CAST('0.0' AS DOUBLE) " +
+      s"ELSE least(greatest($x, CAST('0.0' AS DOUBLE)), CAST('255.0' AS DOUBLE)) END"
+    s"($mn + $code * $step)"
+  }
 }

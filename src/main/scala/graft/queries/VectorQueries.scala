@@ -179,8 +179,82 @@ object VectorQueries {
        |  count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
        |FROM v GROUP BY 1 ORDER BY category""".stripMargin
 
+  /** Range (radius) search: every vector within cosine ≥ 0.9995 of the
+    * flagship query — the match-all-above-a-bar variant of S1 (threshold
+    * picked to select ~0.1% of rows at every SF, non-empty at sf0.001). */
+  def rangeTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.rangeSearch(
+      VectorModel.lineitemVectors(spark, dir), VectorModel.Query, 0.9995)
+      .select("id", "sim")
+
+  val rangeTopKSql: String =
+    s"""WITH $vectorCte
+       |SELECT id, round(${cosineConst(v, VectorModel.Query)}, 6) AS sim
+       |FROM v WHERE round(${cosineConst(v, VectorModel.Query)}, 6) >= CAST('0.9995' AS DOUBLE)
+       |ORDER BY sim DESC, id ASC""".stripMargin
+
+  /** Grouped top-k (the group-by search modern vector stores expose): the
+    * 3 best matches per category in ONE pass — ranking via the k-bounded
+    * [[graft.operators.TopK.TopKAggregator]], so partial aggregation
+    * truncates map-side and the shuffle carries ≤ k rows per (category,
+    * task) no matter the group sizes. */
+  def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val data = VectorModel.lineitemVectors(spark, dir)
+      .withColumn("sim_raw",
+        graft.functions.VectorFunctions.cosineConst(col("vector"), VectorModel.Query))
+    graft.operators.TopK.perGroupTopK(data, "category", col("id"), col("sim_raw"), 3)
+      .orderBy("category", "rn")
+  }
+
+  val groupedTopKSql: String =
+    s"""WITH $vectorCte
+       |SELECT category, id, round(sim_raw, 6) AS sim, rn FROM (
+       |  SELECT category, id, ${cosineConst(v, VectorModel.Query)} AS sim_raw,
+       |    row_number() OVER (PARTITION BY category ORDER BY ${cosineConst(v, VectorModel.Query)} DESC, id ASC) AS rn
+       |  FROM v)
+       |WHERE rn <= 3 ORDER BY category, rn""".stripMargin
+
+  /** MMR diversified top-5 over a 50-candidate exact pool (λ = 0.5). The
+    * oracle is the greedy unrolled as one chained CTE per selection step —
+    * every arithmetic term mirrors [[graft.search.VectorSearch.mmrTopK]]'s
+    * driver-side greedy, so even this iterative operator is hash-gated. */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.mmrTopK(
+      VectorModel.lineitemVectors(spark, dir), VectorModel.Query, k = 5, poolSize = 50)
+
+  val mmrTopKSql: String = {
+    val d = VectorModel.Dim
+    val lam = "CAST('0.5' AS DOUBLE)"
+    val cols = (0 until d).map(i => s"v$i").mkString(", ")
+    def stepCte(n: Int): String = {
+      val prior = (1 to n - 1).map(j => s"s$j")
+      val notSel = prior.map(j => s"p.id <> $j.id").mkString(" AND ")
+      val pcols = Seq("p.id", "p.sim") ++ (0 until d).map(i => s"p.v$i")
+      val pairs = prior.map(j => cosineCols(i => s"p.v$i", i => s"$j.v$i", d))
+      val maxPair = if (pairs.size == 1) pairs.head else s"greatest(${pairs.mkString(", ")})"
+      s"""s$n AS (SELECT ${pcols.mkString(", ")}
+         |  FROM pool p, ${prior.mkString(", ")} WHERE $notSel
+         |  ORDER BY $lam*p.sim - $lam*($maxPair) DESC, p.id ASC LIMIT 1)""".stripMargin
+    }
+    val steps = (2 to 5).map(stepCte).mkString(",\n")
+    val ranked = (1 to 5)
+      .map(n => s"SELECT CAST($n AS BIGINT) AS mmr_rank, id, sim FROM s$n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $vectorCte,
+       |pool AS (SELECT id, round(${cosineConst(v, VectorModel.Query)}, 6) AS sim, $cols
+       |         FROM v ORDER BY sim DESC, id ASC LIMIT 50),
+       |s1 AS (SELECT id, sim, $cols FROM pool ORDER BY sim DESC, id ASC LIMIT 1),
+       |$steps
+       |SELECT * FROM (
+       |  $ranked)
+       |ORDER BY mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vq_brute_topk" -> (bruteTopK _),
+    "vq_range_topk" -> (rangeTopK _),
+    "vq_grouped_topk" -> (groupedTopK _),
+    "vq_mmr_topk" -> (mmrTopK _),
     "vq_filtered_topk" -> (filteredTopK _),
     "vq_batch_topk" -> (batchTopK _),
     "vq_sql_vector_funcs" -> (sqlVectorFuncs _),
@@ -191,6 +265,9 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "vq_brute_topk" -> bruteTopKSql,
+    "vq_range_topk" -> rangeTopKSql,
+    "vq_grouped_topk" -> groupedTopKSql,
+    "vq_mmr_topk" -> mmrTopKSql,
     "vq_filtered_topk" -> filteredTopKSql,
     "vq_batch_topk" -> batchTopKSql,
     "vq_sql_vector_funcs" -> sqlVectorFuncsSql,

@@ -82,6 +82,101 @@ object VectorSearch {
       .select(col(queryIdCol), col(idCol), round(col("sim_raw"), 6).as("sim"), col("rn"))
   }
 
+  /** Range (radius) search — every row whose cosine similarity to the
+    * query clears `minSim`, ordered (sim DESC, id ASC). The similarity
+    * threshold is applied on the 6-dp-rounded similarity, the same value
+    * the row reports, so the cut is exactly reproducible from the output.
+    * An extension past the reference (whose API is top-k only): the
+    * match-everything-above-a-bar shape a dedup/recall audit runs.
+    *
+    * Scale: one scan, predicate evaluated inside whole-stage codegen; the
+    * sort touches only survivors (a threshold this shape selects a tiny
+    * fraction — the operator is for high bars, not table dumps). */
+  def rangeSearch(
+      data: DataFrame,
+      query: Seq[Double],
+      minSim: Double,
+      filter: Option[Column] = None,
+      vecCol: String = "vector",
+      idCol: String = "id"): DataFrame = {
+    val base = filter.foldLeft(data)((d, f) => d.where(f))
+    base
+      .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
+      .where(col("sim") >= minSim)
+      .orderBy(col("sim").desc, col(idCol).asc)
+  }
+
+  /** JVM mirrors of the oracle's cosine arithmetic
+    * ([[graft.queries.OracleSql.cosineCols]]): left-associated dot and
+    * norms, zero-norm → 0.0 guard — IEEE-identical to the SQL expansion,
+    * which is what lets the driver-side MMR greedy stay hash-gated. */
+  private[graft] def cosPair(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+
+  /** MMR (maximal marginal relevance) diversified top-k: greedily pick k
+    * results maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} cos(d,s)` over a
+    * `poolSize` exact-top candidate pool. The pool fetch is the
+    * distributed part (TakeOrderedAndProject over the full table); the
+    * greedy is inherently sequential over ≤ poolSize rows and runs on the
+    * driver — bounded small-side, like a query set. Deterministic: pool
+    * ranked on the 6-dp-rounded sim with id tie-break, greedy ties go to
+    * the smaller id. */
+  def mmrTopK(
+      data: DataFrame,
+      query: Seq[Double],
+      k: Int,
+      poolSize: Int = 50,
+      lambda: Double = 0.5,
+      vecCol: String = "vector",
+      idCol: String = "id"): DataFrame = {
+    val spark = data.sparkSession
+    val pool = data
+      .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(poolSize)
+      .select(col(idCol).cast("long"), col("sim"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      var bi = 0
+      var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.size) {
+        val (id, sim, vec) = remaining(i)
+        val score =
+          if (selected.isEmpty) sim
+          else {
+            var m = cosPair(vec, selected(0)._3)
+            var j = 1
+            while (j < selected.size) {
+              val c = cosPair(vec, selected(j)._3)
+              if (c > m) m = c
+              j += 1
+            }
+            lambda * sim - (1.0 - lambda) * m
+          }
+        if (score > bs || (score == bs && id < remaining(bi)._1)) { bs = score; bi = i }
+        i += 1
+      }
+      selected += remaining.remove(bi)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, sim, _), i) => ((i + 1).toLong, id, sim) }
+      .toDF("mmr_rank", idCol, "sim")
+  }
+
   /** S5 `filtered_search` keyword predicate (vervectordb/__init__.py:538-554):
     * case-insensitive substring match, OR across keywords. Returns a Column
     * usable as the `filter` of any search operator. */
