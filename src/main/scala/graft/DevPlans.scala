@@ -35,7 +35,10 @@ object DevPlans {
     "vq_hnsw_routed_topk" -> "centroid-routed stored-HNSW, ADAPTIVE probing: the radius-margin probe list lands as PartitionFilters over the shard layout — only the per-query probed shard files scan, graphs restore in place (no index exchange)",
     "vq_ivf_stored_topk" -> "stored-IVF serving default: ADAPTIVE candidate-mass probe list (3 partitions here vs parity 8) still arriving as the cluster_id partition filter — pruning shape unchanged, budget adaptive",
     "ann_lsh_topk" -> "stored multi-table LSH, adaptive probe budget: group conjunct in PartitionFilters over (lsh_table, lsh_bgroup) dirs, exact-bucket conjunct in PushedFilters (row-group pruning); every candidate fetches the single payload copy via one DPP-pruned left-semi broadcast join against table-0",
-    "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator")
+    "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator",
+    "ann_sq_topk" -> "SQ8 stored-codes serving: the scan reads (vec_id, 64-byte sq_code) only — ReadSchema has no vector column — one codegen'd sq_score projection, TakeOrderedAndProject",
+    "vq_range_topk" -> "range search: threshold predicate on the codegen'd cosine inside the scan stage, sort only over survivors",
+    "vq_grouped_topk" -> "grouped top-k: k-bounded ObjectHashAggregate keyed by category (partial_topk map-side — <= k rows per group per task on the shuffle)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
