@@ -1,0 +1,112 @@
+package graft.pq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 1-bit binary quantization (sign bits against a per-dimension midrange
+  * threshold) with Hamming-distance candidate generation and exact cosine
+  * re-ranking — the third point on the codec accuracy/ratio curve beside
+  * PQ (32–64×, trained) and SQ8 (4–8×, near-exact): 32× vs float32 at
+  * coarse accuracy, served as a two-stage scan.
+  *
+  * An extension past the reference (whose only codec is PQ,
+  * vervectordb/__init__.py:414-501). The serving shape is the modern
+  * binary-first pattern: a popcount scan over packed words picks `rerank`
+  * candidates, the exact metric runs only on those.
+  *
+  * Representation: bit i = 1 iff v_i > (min_i + max_i)/2. The threshold is
+  * the MIDRANGE, not the mean, deliberately: min/max are order-independent
+  * over doubles, so the fit — and therefore every bit — is bit-exact
+  * reproducible across engines and partitionings, which keeps the whole
+  * operator hash-gated against the DuckDB oracle (the same argument that
+  * makes [[ScalarQuantizer]] hash-gated where k-means PQ is recall-gated).
+  * A mean threshold would hang every bit near the mean on float summation
+  * order. Bits pack 32 per BIGINT word (`b0..b{W-1}`), shifts stay in
+  * [0, 31] and packed values in [0, 2^32), so no sign-bit arithmetic on
+  * either engine (DuckDB's list_sum promotes to HUGEINT; values this size
+  * cast back to BIGINT losslessly).
+  *
+  * Scale: encode is one pure expression per word (codegen'd, no UDF);
+  * the Hamming scan reads 2 longs/row instead of a 64-float array
+  * (a production layout would pack to dim/8-byte fixed binary); the
+  * re-rank joins a driver-bounded candidate set (broadcast) back to the
+  * vector table. At 100 TB the first stage is the only full scan and it
+  * reads ~3% of the vector bytes.
+  */
+final class BinaryQuantizer(val centers: Array[Double]) extends Serializable {
+  val dim: Int = centers.length
+  val numWords: Int = (dim + 31) / 32
+
+  /** Pack a query (or any vector) driver-side — the exact mirror of the
+    * [[BinaryQuantizer.wordExprs]] executor-side packing. */
+  def pack(v: Seq[Double]): Array[Long] = {
+    require(v.length == dim, s"pack: expected dim $dim, got ${v.length}")
+    val out = new Array[Long](numWords)
+    var i = 0
+    while (i < dim) {
+      if (v(i) > centers(i)) out(i / 32) |= (1L << (i % 32))
+      i += 1
+    }
+    out
+  }
+
+  /** One packed-word SQL expression per word over `vecCol` (array of
+    * float/double): word w = Σ_b 1<<b over bits whose element exceeds its
+    * midrange. Literal thresholds ride in as CAST('…' AS DOUBLE) so the
+    * text round-trips the exact double. */
+  def wordExprs(vecCol: String): Seq[Column] = (0 until numWords).map { w =>
+    val bits = math.min(32, dim - w * 32)
+    val cases = (0 until bits).map { b =>
+      val i = w * 32 + b
+      s"IF(CAST(element_at($vecCol, ${i + 1}) AS DOUBLE) > " +
+        s"CAST('${centers(i)}' AS DOUBLE), ${1L << b}L, 0L)"
+    }.mkString(" + ")
+    expr(s"CAST($cases AS BIGINT)").as(s"b$w")
+  }
+
+  /** Hamming distance of stored words `b0..b{W-1}` to the packed query —
+    * a popcount-XOR sum, codegen'd. */
+  def hammingExpr(qWords: Array[Long]): Column = {
+    require(qWords.length == numWords, "hamming: word-count mismatch")
+    val terms = qWords.zipWithIndex
+      .map { case (qw, i) => s"bit_count(b$i ^ ${qw}L)" }.mkString(" + ")
+    expr(s"CAST($terms AS BIGINT)")
+  }
+}
+
+object BinaryQuantizer {
+
+  /** Fit = the exact per-dim min/max aggregate [[ScalarQuantizer.fit]]
+    * already provides; the binary threshold is its midrange. */
+  def fit(df: DataFrame, vecCol: String, dim: Int): BinaryQuantizer = {
+    val sq = ScalarQuantizer.fit(df, vecCol, dim)
+    new BinaryQuantizer(
+      Array.tabulate(dim)(i => (sq.mins(i) + sq.maxs(i)) / 2.0))
+  }
+
+  /** (id, b0..b{W-1}) code table — the build-once layout the Hamming scan
+    * serves from. */
+  def encodeDf(df: DataFrame, bq: BinaryQuantizer, vecCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol) +: bq.wordExprs(vecCol): _*)
+
+  /** Two-stage top-k: Hamming top-`rerank` over the stored codes
+    * (deterministic (ham asc, id asc) cut), then exact rounded-cosine
+    * re-rank over just those ids against the vector table. Output
+    * (id, ham, sim) ordered (sim desc, id asc). */
+  def topK(codes: DataFrame, vecs: DataFrame, bq: BinaryQuantizer,
+      query: Seq[Double], k: Int, rerank: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val cand = codes
+      .select(col(idCol), bq.hammingExpr(bq.pack(query)).as("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(rerank)
+    vecs
+      .join(broadcast(cand), Seq(idCol))
+      .select(col(idCol), col("ham"),
+        round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -483,13 +483,96 @@ object ApproxQueries {
        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
-  /** The one hash-gated entry of this module (see the scaladoc above for
-    * why the rest are spec-gated): SQ8's closed-form codec. */
+  /** 1-bit binary-quantization model memo ([[graft.pq.BinaryQuantizer.fit]]
+    * — exact per-dim midrange, a pure function of the dataset). */
+  private val binCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pq.BinaryQuantizer]()
+
+  private def trainedBin(spark: SparkSession, dir: String): graft.pq.BinaryQuantizer =
+    binCache.computeIfAbsent(dir, _ =>
+      graft.pq.BinaryQuantizer.fit(
+        VectorModel.embeddings(spark, dir), "embedding", VectorModel.EmbDim))
+
+  /** Build-once/serve-many binary code layout: fit (memoized) + pack + write
+    * the (id, packed words) table, memoized per dataset dir; a Bench build
+    * step. */
+  private[graft] def binCodesLayout(spark: SparkSession, dir: String): String =
+    binCodesLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_bin_codes")
+      graft.pq.BinaryQuantizer.encodeDf(
+          VectorModel.embeddings(spark, dir), trainedBin(spark, dir),
+          "embedding", "vec_id")
+        .write.mode("overwrite").parquet(s"$p/codes")
+      s"$p/codes"
+    })
+
+  private val binCodesLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Hamming re-rank candidate budget — sized so the exact stage stays a
+    * broadcast while the popcount stage is the only full scan. */
+  val BinRerank = 100
+
+  /** Binary-quantized top-20: popcount-XOR Hamming scan over STORED packed
+    * codes (2 longs/row vs 64 floats — 32× fewer payload bits in stage 1),
+    * exact cosine re-rank of the top-[[BinRerank]]. Hash-gated like
+    * [[annSqTopK]]: the midrange sign codec is closed-form
+    * ([[annBinTopKSql]]). */
+  def annBinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bq = trainedBin(spark, dir)
+    val codes = spark.read.parquet(binCodesLayout(spark, dir))
+    graft.pq.BinaryQuantizer.topK(codes, VectorModel.embeddings(spark, dir),
+      bq, VectorModel.AnnQuery, 20, BinRerank, "vec_id", "embedding")
+  }
+
+  /** Term-for-term mirror of the two-stage binary path: pack corpus AND
+    * query bits against the midrange CTE, Hamming-cut to [[BinRerank]]
+    * with the same (ham asc, id asc) tie-break, exact-cosine re-rank. */
+  val annBinTopKSql: String = {
+    val dim = VectorModel.EmbDim
+    val words = (dim + 31) / 32
+    def thresh(i: Int) = s"((m.mn$i + m.mx$i)/CAST('2.0' AS DOUBLE))"
+    def wordSql(elem: Int => String, w: Int): String = {
+      val bits = math.min(32, dim - w * 32)
+      val sum = (0 until bits).map { b =>
+        val i = w * 32 + b
+        s"(CASE WHEN ${elem(i)} > ${thresh(i)} THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($sum AS BIGINT)"
+    }
+    val codeWords = (0 until words)
+      .map(w => s"${wordSql(OracleSql.listElem("embedding"), w)} AS b$w")
+      .mkString(",\n  ")
+    val queryWords = (0 until words)
+      .map(w => s"${wordSql(i => OracleSql.lit(VectorModel.AnnQuery(i)), w)} AS q$w")
+      .mkString(",\n  ")
+    val ham = (0 until words).map(w => s"bit_count(xor(b$w, q$w))").mkString(" + ")
+    val sim = OracleSql.cosineConst(
+      OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)
+    s"""WITH ${OracleSql.sqMinMaxCte("embedding", "embeddings", dim)},
+       |codes AS (
+       |  SELECT vec_id,
+       |  $codeWords,
+       |  $queryWords
+       |  FROM embeddings CROSS JOIN m),
+       |cand AS (
+       |  SELECT vec_id, CAST($ham AS BIGINT) AS ham
+       |  FROM codes ORDER BY ham ASC, vec_id ASC LIMIT $BinRerank)
+       |SELECT c.vec_id AS vec_id, c.ham AS ham, round($sim, 6) AS sim
+       |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** The two hash-gated entries of this module (see the scaladoc above for
+    * why the rest are spec-gated): SQ8's affine codec and the binary
+    * midrange-sign codec — both closed-form. */
   val oracleSql: Map[String, String] = Map(
-    "ann_sq_topk" -> annSqTopKSql)
+    "ann_sq_topk" -> annSqTopKSql,
+    "ann_bin_topk" -> annBinTopKSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
+    "ann_bin_topk" -> (annBinTopK _),
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
