@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed concat-and-chunk sequence packing — the training-export
+  * stage that lays a corpus end-to-end into fixed-capacity context windows
+  * (concat with separators, cut every `cap` tokens): each document gets its
+  * global token offset, first window id, offset within that window, and the
+  * number of windows it spans.
+  *
+  * An extension past the reference (no export stage there); the semantics
+  * are the standard GPT-style packing every public pretraining pipeline
+  * documents.
+  *
+  * The global token offset is a prefix sum over a DETERMINISTIC shuffled
+  * order — and the naive Spark spelling, `sum(n) over (ORDER BY …)` with no
+  * partitioning, collapses the whole corpus into ONE window task (Spark
+  * even warns). This implementation is the two-level distributed prefix
+  * sum instead:
+  *
+  *   1. order key: h = md5-derived 60-bit hash of the doc id (a seeded,
+  *      reproducible shuffle — packing order must decorrelate neighbors),
+  *      canonical global order (shard, h, id) where shard = h % S;
+  *   2. per-shard token totals — one S-row aggregate — prefix-summed on
+  *      the driver into shard base offsets (S is cluster-parallelism
+  *      sized, the collect is bounded);
+  *   3. per-shard window cumsum ordered (h, id), shifted by the shard's
+  *      base offset.
+  *
+  * Every stage is whole-stage-codegen'd expressions + one S-way window; at
+  * 1000 executors raise S — the only serial state is S longs. The integer
+  * arithmetic is exact, so the operator is hash-gated against a DuckDB
+  * mirror that computes the SAME offsets with a single global window
+  * (equal by the prefix-sum decomposition identity). */
+object SeqPack {
+
+  /** The packing hash — [[graft.dedup.Dedup.hash60]] over a tagged id, so
+    * the pack order is independent of every other hash order in the
+    * pipeline. */
+  def packHash(id: Column): Column =
+    graft.dedup.Dedup.hash60(concat(lit("pack:"), id.cast("string")))
+
+  /** Pack `df`'s rows into `cap`-token windows over the canonical order.
+    *
+    * Output per row: id, `start` (global token offset), `seq` (first
+    * window), `off` (offset inside it), `n_seqs` (windows spanned).
+    * Requires a positive token count per row (whitespace token counts are
+    * ≥ 1 even for empty text). */
+  def pack(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      shards: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol), packHash(col(idCol)).as("h"),
+        nTokensCol.cast("long").as("n"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    // stage 2: shard totals -> driver prefix sum -> broadcast base offsets
+    val totals = base.groupBy("shard").agg(sum("n").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = (0 until shards).map { s =>
+      val o = s -> acc; acc += totals.getOrElse(s, 0L); o
+    }
+    val offsetDf = spark.createDataFrame(offsets).toDF("shard", "base")
+    // stage 3: per-shard cumsum, shifted
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsetDf), "shard")
+      .select(col(idCol), col("n"),
+        (col("base") + coalesce(sum("n").over(w), lit(0L))).as("start"))
+      .select(col(idCol), col("start"),
+        expr(s"start div $cap").as("seq"),
+        (col("start") % cap).as("off"),
+        (expr(s"(start + n - 1) div $cap") - expr(s"start div $cap") + 1L)
+          .as("n_seqs"))
+  }
+}

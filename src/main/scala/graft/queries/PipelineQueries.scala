@@ -320,16 +320,51 @@ object PipelineQueries {
   private val identityWeightsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Context-window capacity and shard count for the packing export —
+    * [[graft.operators.SeqPack]] scaladoc for why shards, not a global
+    * window. */
+  val PackCap = 2048
+  val PackShards = 32
+
+  /** Training-export packing: every document's global token offset and
+    * window span under GPT-style concat-and-chunk at [[PackCap]] tokens,
+    * over the seeded shuffled order. */
+  def pack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqPack.pack(
+        VectorModel.documents(spark, dir), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), PackCap, PackShards)
+      .orderBy("doc_id")
+
+  /** The oracle computes the SAME offsets with one global window — equal
+    * to the two-level prefix sum by the decomposition identity (the order
+    * key (shard, h, doc_id) is the canonical order on both sides). */
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM t)
+       |SELECT doc_id, start, start // $PackCap AS seq, start % $PackCap AS off,
+       |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_train_corpus" -> (trainCorpus _),
+    "pipe_pack" -> (pack _),
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,
+    "pipe_pack" -> packSql,
     "pipe_curated_mix" -> curatedMixSql)
 }

@@ -329,6 +329,65 @@ object TextQueries {
     bm25SqlOver(chunkSource, "chunk_id", 15)
   }
 
+  /** PII fixture suffixes (written for this test — synthetic identifiers
+    * on reserved example domains/ranges, nothing real): the generated
+    * corpus contains no PII, so, exactly like the CJK fixture below, each
+    * document draws a suffix by `doc_id % N` — the operator is exercised
+    * with real matches at every SF, including multi-match rows, mixed
+    * types, and clean rows (the negative case). */
+  val PiiFixture: Seq[(Int, String)] = Seq(
+    0 -> " contact alice.smith@example.com for access",
+    1 -> " node at 10.0.0.1 and 192.168.1.254 responded",
+    2 -> " call +1-555-867-5309 before the deploy",
+    3 -> " forwarded to bob_jones+spam@mail.example.org from 172.16.254.3",
+    4 -> " plain suffix with no sensitive tokens",
+    5 -> " oncall +44-20-7946-0958 cc carol@corp.example",
+    6 -> "")
+
+  private[queries] def piiCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.createDataFrame(PiiFixture).toDF("fid", "suffix")
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % PiiFixture.size).cast("int").as("fid"))
+      .join(broadcast(fixture), "fid")
+      .select(col("doc_id"), concat(col("text"), col("suffix")).as("text"))
+  }
+
+  private def piiCorpusSql: String = {
+    val values = PiiFixture.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    s"""SELECT d.doc_id AS doc_id, d.text || f.suffix AS text
+       |      FROM documents d
+       |      JOIN (VALUES $values) f(fid, suffix) ON f.fid = d.doc_id % ${PiiFixture.size}""".stripMargin
+  }
+
+  /** PII scrub stage ([[graft.text.Pii]]): per-document typed match counts
+    * plus the redacted text's length and fingerprint (the narrow columns a
+    * 100 TB scrub would materialize — the masked text itself flows on to
+    * the next stage, not into a report). */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Pii
+    piiCorpus(spark, dir).select(
+      col("doc_id"),
+      Pii.emailCount(col("text")).as("emails"),
+      Pii.phoneCount(col("text")).as("phones"),
+      Pii.ipv4Count(col("text")).as("ips"),
+      length(Pii.redact(col("text"))).cast("long").as("clean_len"),
+      md5(Pii.redact(col("text"))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val piiSql: String = {
+    import graft.text.Pii
+    s"""SELECT doc_id,
+       |  ${Pii.countSql("text", Pii.EmailRe)} AS emails,
+       |  ${Pii.countSql("text", Pii.PhoneRe)} AS phones,
+       |  ${Pii.countSql("text", Pii.Ipv4Re)} AS ips,
+       |  length(${Pii.redactSql("text")}) AS clean_len,
+       |  md5(${Pii.redactSql("text")}) AS clean_fp
+       |FROM (${piiCorpusSql})
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** CJK fixture sentences (written for this test — generic data-systems
     * phrases, NOT the reference's corpus): Chinese prose has no spaces, so
     * these exercise the character-bigram fallback; two are near-duplicates
@@ -601,6 +660,7 @@ object TextQueries {
     "tx_fingerprints" -> (fingerprints _),
     "tx_rolling_fp" -> (rollingFp _),
     "tx_repetition" -> (repetition _),
+    "tx_pii" -> (pii _),
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
@@ -621,5 +681,6 @@ object TextQueries {
     "tx_fingerprints" -> fingerprintsSql,
     "tx_rolling_fp" -> rollingFpSql,
     "tx_repetition" -> repetitionSql,
+    "tx_pii" -> piiSql,
     "tx_langid" -> langIdSql)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.operators.SeqPack
+import graft.text.TextAnalysis
+
+/** Sequence packing ([[graft.operators.SeqPack]]): the two-level prefix sum
+  * equals the naive global cumsum, the layout is gapless, and the window
+  * exchange partitions by shard (no single-task global sort). The offsets
+  * themselves are hash-gated against DuckDB (`pipe_pack`). */
+class SeqPackSpec extends SparkSpec {
+
+  val Cap = 2048
+  val Shards = 32
+
+  lazy val docs = VectorModel.documents(spark, Sf001).cache()
+  lazy val packed = SeqPack.pack(docs, "doc_id",
+    TextAnalysis.tokenCount(col("text")), Cap, Shards).cache()
+
+  test("two-level prefix sum == single global window cumsum") {
+    // the decomposition identity, checked against the naive spelling the
+    // implementation exists to avoid (fine at spec scale)
+    val naive = docs.select(col("doc_id"),
+        SeqPack.packHash(col("doc_id")).as("h"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("start", coalesce(sum("n").over(
+        Window.orderBy((col("h") % Shards).asc, col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "start")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = packed.select("doc_id", "start")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
+  test("packing is gapless: sorted starts are the prefix sums of token counts") {
+    val rows = packed.join(
+        docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+      .select("start", "n").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var expect = 0L
+    rows.foreach { case (start, n) =>
+      assert(start == expect, s"gap at $start (expected $expect)")
+      expect = start + n
+    }
+  }
+
+  test("window math: off = start mod cap, n_seqs matches the span") {
+    val bad = packed.join(
+        docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+      .where(col("off") =!= col("start") % Cap ||
+        col("seq") =!= expr(s"start div $Cap") ||
+        col("n_seqs") =!= expr(s"((start + n - 1) div $Cap) - (start div $Cap) + 1") ||
+        col("n_seqs") < 1)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("the plan windows per shard — no single-partition global sort") {
+    val plan = SeqPack.pack(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), Cap, Shards)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected a shard-partitioned window exchange, got:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      "packing must not serialize into one partition")
+  }
+}
