@@ -151,7 +151,58 @@ object AnnQueries {
        |ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin
   }
 
+  /** MaxSim query facets — short keyword spans over the corpus vocabulary,
+    * one per aspect, embedded with the same hash embedder as the chunks. */
+  val MaxSimQueries: Seq[String] =
+    Seq("vector index search", "stream window merge", "sort join table")
+
+  /** Late-interaction retrieval ([[graft.search.MaxSim]]): chunk every
+    * document with the pipeline's chunker, hash-embed the chunks (the
+    * `tx_chunks`/`tx_embed` machinery), score docs by Σ_facet max-chunk
+    * cosine. Hash-gated: chunking, embedding, and the MaxSim arithmetic
+    * all have exact mirrors. */
+  def maxSimTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    val chunkVecs = VectorModel.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.chunks(col("text"),
+          TextQueries.ChunkSize, TextQueries.ChunkStride)).as("chunk"))
+      .select(col("doc_id"), embedder.embed(col("chunk")).as("cvec"))
+    val qvecs = MaxSimQueries.map(q =>
+      spark.range(1).select(embedder.embed(lit(q)).as("v"))
+        .head.getSeq[Double](0).toSeq)
+    graft.search.MaxSim.topK(chunkVecs, qvecs, 10, "doc_id", "cvec")
+  }
+
+  lazy val maxSimTopKSql: String = {
+    val d = TextQueries.EmbedDim
+    val qValues = MaxSimQueries.zipWithIndex
+      .map { case (q, i) => s"($i, '$q')" }.mkString(", ")
+    val facetMaxes = MaxSimQueries.indices
+      .map(i => s"max(CASE WHEN qid = $i THEN sim END) AS m$i").mkString(",\n  ")
+    val score = MaxSimQueries.indices.map(i => s"m$i").reduceLeft((a, b) => s"($a + $b)")
+    val sim = OracleSql.cosineCols(i => s"c.e$i", i => s"q.e$i", d)
+    s"""WITH ch AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[s+1 : s+${TextQueries.ChunkSize}], ' ') AS chunk
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, len(toks), ${TextQueries.ChunkStride})) AS s
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |chh AS (SELECT doc_id, ${TextQueries.hashListSql("chunk")} AS hs FROM ch),
+       |che AS (SELECT doc_id, ${TextQueries.hashFeatureComps} FROM chh),
+       |qs AS (SELECT * FROM (VALUES $qValues) v(qid, qtext)),
+       |qh AS (SELECT qid, ${TextQueries.hashListSql("qtext")} AS hs FROM qs),
+       |qe AS (SELECT qid, ${TextQueries.hashFeatureComps} FROM qh),
+       |sims AS (
+       |  SELECT c.doc_id AS doc_id, q.qid AS qid, $sim AS sim
+       |  FROM che c CROSS JOIN qe q),
+       |mx AS (SELECT doc_id, $facetMaxes FROM sims GROUP BY doc_id)
+       |SELECT doc_id, round($score, 6) AS maxsim
+       |FROM mx ORDER BY maxsim DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_maxsim_topk" -> (maxSimTopK _),
     "ann_hybrid_rrf" -> (hybridRrf _),
     "ann_brute_topk" -> (bruteTopK _),
     "ann_keyword_topk" -> (keywordAnn _),
@@ -159,6 +210,7 @@ object AnnQueries {
     "ann_knn_join" -> (knnJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "ann_maxsim_topk" -> maxSimTopKSql,
     "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_keyword_topk" -> keywordAnnSql,

@@ -470,7 +470,14 @@ object TextQueries {
   /** The hash-feature components e0..e{EmbedDim-1} as SQL select items
     * over a token-hash list `hs` — shared by the [[embedDocsSql]] oracle
     * and the learned-projection oracle ([[embedDocsLocalSql]]). */
-  private def hashFeatureComps: String = {
+  /** DuckDB md5-60-bit token-hash list over an arbitrary text expression —
+    * the front half of the [[graft.text.HashEmbedder]] mirror, shared with
+    * the MaxSim oracle ([[AnnQueries.maxSimTopKSql]]). */
+  private[queries] def hashListSql(textExpr: String): String =
+    s"list_transform(string_split(lower($textExpr), ' '), " +
+      "t -> ('0x'||substr(md5(t),1,15))::BIGINT)"
+
+  private[queries] def hashFeatureComps: String = {
     val one = OracleSql.lit(1.0)
     val negOne = OracleSql.lit(-1.0)
     val zero = OracleSql.lit(0.0)

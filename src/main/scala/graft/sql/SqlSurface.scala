@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 
 import graft.dedup.Dedup
-import graft.text.{Bm25, TextAnalysis}
+import graft.text.{Bm25, Pii, TextAnalysis}
 
 /** The pure-SQL surface of the text/dedup pipeline — SQL scalar and table
   * functions (`CREATE OR REPLACE TEMPORARY FUNCTION … RETURN …`, the SQL
@@ -46,6 +46,10 @@ object SqlSurface {
   /** A double literal that parses back to exactly the Scala value (string
     * round-trip, the OracleSql rule). */
   private def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** A regex for a Spark SQL string literal: the parser processes
+    * backslash escapes, so every backslash doubles. */
+  private def sqlRe(re: String): String = re.replace("\\", "\\\\")
 
   private def inList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
@@ -136,6 +140,26 @@ object SqlSurface {
         |FROM LATERAL posexplode(transform(
         |  sequence(0, size(split(t, ' ')) - 1, st),
         |  s -> concat_ws(' ', slice(split(t, ' '), s + 1, sz)))) pe""".stripMargin,
+    // PII scrubbing — [[graft.text.Pii]] as scalar functions. The regex
+    // literals ride through the SQL parser's escape processing, hence the
+    // doubled backslashes (sqlRe); bodies are otherwise the same
+    // regexp_count/regexp_replace chains as the Column twins.
+    "tx_pii_emails" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION tx_pii_emails(t STRING)
+         |RETURNS BIGINT RETURN CAST(regexp_count(t, '${sqlRe(Pii.EmailRe)}') AS BIGINT)""".stripMargin,
+    "tx_pii_phones" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION tx_pii_phones(t STRING)
+         |RETURNS BIGINT RETURN CAST(regexp_count(t, '${sqlRe(Pii.PhoneRe)}') AS BIGINT)""".stripMargin,
+    "tx_pii_ips" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION tx_pii_ips(t STRING)
+         |RETURNS BIGINT RETURN CAST(regexp_count(t, '${sqlRe(Pii.Ipv4Re)}') AS BIGINT)""".stripMargin,
+    "tx_pii_redact" ->
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION tx_pii_redact(t STRING)
+         |RETURNS STRING RETURN
+         |regexp_replace(regexp_replace(regexp_replace(t,
+         |  '${sqlRe(Pii.EmailRe)}', '<EMAIL>'),
+         |  '${sqlRe(Pii.PhoneRe)}', '<PHONE>'),
+         |  '${sqlRe(Pii.Ipv4Re)}', '<IP>')""".stripMargin,
     // Okapi BM25 top-k over the session's corpus view — [[Bm25.topK]] as a
     // TABLE function, stats and all (N, Σdl, df as CTE aggregates instead
     // of collected literals; identical arithmetic, ranking on the rounded

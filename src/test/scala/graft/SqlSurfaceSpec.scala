@@ -93,6 +93,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.nonEmpty)
   }
 
+  test("tx_pii_* functions equal their Column twins on planted PII") {
+    docs // force registration
+    import graft.text.Pii
+    val planted = spark.createDataFrame(Seq(
+        (0L, "mail ops@example.com or +1-555-867-5309 from 10.0.0.1"),
+        (1L, "a@b.co c@d.io twice"),
+        (2L, "nothing sensitive here"))).toDF("id", "t")
+    planted.createOrReplaceTempView("pii_probe")
+    val viaSql = spark.sql(
+      """SELECT id, tx_pii_emails(t), tx_pii_phones(t), tx_pii_ips(t),
+        |       tx_pii_redact(t) FROM pii_probe""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaCols = planted.select(col("id"),
+      Pii.emailCount(col("t")), Pii.phoneCount(col("t")),
+      Pii.ipv4Count(col("t")), Pii.redact(col("t")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaSql === viaCols)
+    assert(viaSql(0L).last === "mail <EMAIL> or <PHONE> from <IP>")
+  }
+
   test("registration is idempotent and covers the declared surface") {
     SqlSurface.registerAll(spark) // second call: OR REPLACE, no throw
     val names = SqlSurface.definitions.map(_._1)
