@@ -266,6 +266,21 @@ object StreamingIngest {
       .select(col("doc_id"), col("lang"),
         round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
 
+  /** Streaming twin of the PII scrub ([[graft.queries.TextQueries]]'s
+    * `tx_pii` stage): typed match counts + the redacted text, per
+    * micro-batch. Pure regexp expressions — stateless, no watermark,
+    * row-identical to the batch operator on the same rows
+    * (StreamingSpec); the shape of scrubbing an ingest firehose before it
+    * ever lands. */
+  def piiScrubStream(docs: DataFrame): DataFrame = {
+    import graft.text.Pii
+    docs.select(col("doc_id"),
+      Pii.emailCount(col("text")).as("emails"),
+      Pii.phoneCount(col("text")).as("phones"),
+      Pii.ipv4Count(col("text")).as("ips"),
+      Pii.redact(col("text")).as("clean_text"))
+  }
+
   /** Streaming twin of the RAG chunking stage
     * ([[graft.queries.TextQueries.chunks]]): pure expressions per
     * micro-batch — stateless, no watermark, identical output to the batch

@@ -369,6 +369,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII scrub equals the batch scrubber on the same docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_pii").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val q = StreamingIngest.piiScrubStream(
+      StreamingIngest.readDocuments(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("pii_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT doc_id, emails, phones, ips, clean_text FROM pii_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sorted.toSeq
+      val batch = StreamingIngest.piiScrubStream(
+          graft.model.VectorModel.documents(spark, Sf0001))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sorted.toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir()
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
