@@ -38,7 +38,11 @@ object DevPlans {
     "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator",
     "ann_sq_topk" -> "SQ8 stored-codes serving: the scan reads (vec_id, 64-byte sq_code) only — ReadSchema has no vector column — one codegen'd sq_score projection, TakeOrderedAndProject",
     "vq_range_topk" -> "range search: threshold predicate on the codegen'd cosine inside the scan stage, sort only over survivors",
-    "vq_grouped_topk" -> "grouped top-k: k-bounded ObjectHashAggregate keyed by category (partial_topk map-side — <= k rows per group per task on the shuffle)")
+    "vq_grouped_topk" -> "grouped top-k: k-bounded ObjectHashAggregate keyed by category (partial_topk map-side — <= k rows per group per task on the shuffle)",
+    "ann_bin_topk" -> "binary stored-codes serving: the stage-1 scan reads (vec_id, two packed BIGINT words) only — popcount-XOR Hamming in codegen, TakeOrderedAndProject cut — then the bounded candidate set broadcast-joins back to the vector table for the exact re-rank",
+    "ann_maxsim_topk" -> "late interaction: chunk explode + hash_embed + one fused cosine per facet in a single codegen stage, ONE map-side-combined max aggregate keyed by doc (no join — query vectors ride as literals), TakeOrderedAndProject on the left-associated facet sum",
+    "tx_pii" -> "PII scrub: the regexp count/redact chain is pure per-row expressions inside whole-stage codegen — no shuffle before the report sort",
+    "pipe_pack" -> "packing offsets: two-level distributed prefix sum — S-row totals aggregate, broadcast shard bases, per-shard window exchange (hashpartitioning(shard)) — no single-partition global sort anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
