@@ -37,7 +37,7 @@ object DevPlans {
     "ann_lsh_topk" -> "stored multi-table LSH, adaptive probe budget: group conjunct in PartitionFilters over (lsh_table, lsh_bgroup) dirs, exact-bucket conjunct in PushedFilters (row-group pruning); every candidate fetches the single payload copy via one DPP-pruned left-semi broadcast join against table-0",
     "ann_lsh_batch_topk" -> "batch LSH: ONE scan pruned by the union of every query's probed dirs (PartitionFilters), per-query admission by broadcast equi-join, k-bounded per-query aggregator",
     "ann_sq_topk" -> "SQ8 stored-codes serving: the scan reads (vec_id, 64-byte sq_code) only — ReadSchema has no vector column — one codegen'd sq_score projection, TakeOrderedAndProject",
-    "vq_range_topk" -> "range search: threshold predicate on the codegen'd cosine inside the scan stage, sort only over survivors",
+    "vq_range_topk" -> "range search: threshold predicate on the FUSED cosine_sim kernel (Catalyst copies the sim expression into the pushed-down filter — the expanded spelling landed twice and fell out of JIT; the kernel is one loop however often it is duplicated), sort only over survivors",
     "vq_grouped_topk" -> "grouped top-k: k-bounded ObjectHashAggregate keyed by category (partial_topk map-side — <= k rows per group per task on the shuffle)",
     "ann_bin_topk" -> "binary stored-codes serving: the stage-1 scan reads (vec_id, two packed BIGINT words) only — popcount-XOR Hamming in codegen, TakeOrderedAndProject cut — then the bounded candidate set broadcast-joins back to the vector table for the exact re-rank",
     "ann_maxsim_topk" -> "late interaction: chunk explode + hash_embed + one fused cosine per facet in a single codegen stage, ONE map-side-combined max aggregate keyed by doc (no join — query vectors ride as literals), TakeOrderedAndProject on the left-associated facet sum",

@@ -91,7 +91,16 @@ object VectorSearch {
     *
     * Scale: one scan, predicate evaluated inside whole-stage codegen; the
     * sort touches only survivors (a threshold this shape selects a tiny
-    * fraction — the operator is for high bars, not table dumps). */
+    * fraction — the operator is for high bars, not table dumps).
+    *
+    * The similarity runs through the FUSED [[CosineSimilarity]] kernel
+    * (bit-identical to the expanded form), not
+    * [[VectorFunctions.cosineConst]]: the filter-above-projection shape
+    * makes Catalyst substitute the sim expression into the predicate, so
+    * the expanded spelling lands TWICE in one generated method — past the
+    * JIT's compilation limit, and the stage drops to the interpreter
+    * (measured 0.17 s → 18 s on the sf0.1 scan). The kernel is one loop
+    * regardless of duplication. */
   def rangeSearch(
       data: DataFrame,
       query: Seq[Double],
@@ -100,8 +109,10 @@ object VectorSearch {
       vecCol: String = "vector",
       idCol: String = "id"): DataFrame = {
     val base = filter.foldLeft(data)((d, f) => d.where(f))
+    val q = array(query.map(lit): _*)
     base
-      .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
+      .withColumn("sim",
+        round(graft.GraftExtensions.cosineSim(col(vecCol), q), 6))
       .where(col("sim") >= minSim)
       .orderBy(col("sim").desc, col(idCol).asc)
   }
