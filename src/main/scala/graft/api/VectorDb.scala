@@ -89,6 +89,19 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     lshOwnedRoot = None
   }
 
+  // ---- binary (1-bit) code layout lifecycle state (the codec analog of
+  // the HNSW fields: persisted codes + watermark/mutation flags; encode
+  // is closed-form, so rebuilds are one fit aggregate + one write) ----
+  private var bin: Option[(graft.pq.BinaryQuantizer, String)] = None
+  private var binOwnedRoot: Option[String] = None
+  private var binCoveredUpTo: Long = 0L
+  private var binMutated: Boolean = false
+
+  private def dropOwnedBin(): Unit = {
+    binOwnedRoot.foreach(deletePath)
+    binOwnedRoot = None
+  }
+
   /** Streaming semantic-dedup state root registered for scheduled
     * compaction ([[attachSemanticState]] / [[maintainIndexes]]). */
   private var semanticStatePath: Option[String] = None
@@ -160,7 +173,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ivfSnap = None
     ivfPqSnap.foreach(_.unpersist())
     ivfPqSnap = None
-    if (mutated) { hnswMutated = true; lshMutated = true }
+    if (mutated) { hnswMutated = true; lshMutated = true; binMutated = true }
   }
 
   private def deletePath(path: String): Unit = graft.store.Fs.delete(spark, path)
@@ -266,6 +279,56 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     val (assigned, model) = ivf.getOrElse(
       throw new IllegalStateException("IVF index not built"))
     Ivf.search(assigned, model, query, topK, filter)
+  }
+
+  /** Build the 1-bit code layout ([[graft.pq.BinaryQuantizer]]): fit the
+    * midrange thresholds over live rows (one aggregate) and persist the
+    * packed-word code table — stage 1 of [[binSearch]] scans THIS instead
+    * of the vector column (32× fewer payload bits). In-session index:
+    * [[save]] does not persist it (encode is closed-form — a loaded
+    * instance rebuilds in one aggregate + one write). */
+  def buildBinIndex(scratch: Option[String] = None): Unit = {
+    requireNonEmpty("build_bin_index")
+    dropOwnedBin()
+    val bq = graft.pq.BinaryQuantizer.fit(data, "vector", dim)
+    val (base, ownedRoot) = scratch match {
+      case Some(s) => (s, s"$s/codes")
+      case None =>
+        val b = graft.store.Fs.scratchDir(spark, "graft_db_bin")
+        (b, b)
+    }
+    val p = s"$base/codes"
+    graft.pq.BinaryQuantizer.encodeDf(data, bq, "vector", "id")
+      .write.mode("overwrite").parquet(p)
+    binOwnedRoot = Some(ownedRoot)
+    bin = Some((bq, p))
+    binCoveredUpTo = nextId
+    binMutated = false
+  }
+
+  /** Two-stage binary serving over the persisted codes ([[buildBinIndex]]
+    * required, matching [[ivfSearch]]'s strictness): Hamming top-`rerank`
+    * candidates from the code table, merged with the EXACT delta region
+    * (ids at/above the build watermark — the [[hnswSearch]] delta
+    * contract), then every candidate re-scored against LIVE rows, so
+    * deletes drop out and updates re-score; update/delete also flips the
+    * mutation flag that [[maintainIndexes]] folds into a rebuild. */
+  def binSearch(query: Seq[Double], topK: Int = 5, rerank: Int = 100): DataFrame = {
+    checkDim(query)
+    val (bq, path) = bin.getOrElse(
+      throw new IllegalStateException("binary index not built"))
+    val cand = spark.read.parquet(path)
+      .select(col("id"), bq.hammingExpr(bq.pack(query)).as("ham"))
+      .orderBy(col("ham").asc, col("id").asc)
+      .limit(rerank)
+    val sim = round(graft.GraftExtensions.cosineSim(col("vector"),
+      array(query.map(lit): _*)), 6)
+    // legs are disjoint: codes cover only ids below the build watermark
+    data.join(broadcast(cand.select("id")), "id")
+      .union(data.where(col("id") >= binCoveredUpTo))
+      .select(col("id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(topK)
   }
 
   /** Save/load path of this instance, when known — the default parent for
@@ -441,10 +504,14 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     *    real ingest rates, so the facade tick covers every
     *    file-count-bounded layout the deployment owns.
     *
+    *  - Binary codes: rebuilt on mutation or past-threshold delta like
+    *    HNSW, but the codec is closed-form, so the rebuild is one fit
+    *    aggregate + one write (no graph/k-means cost).
+    *
     * Returns the actions taken ("hnsw_rebuilt", "ivf_refit",
-    * "ivfpq_refit", "lsh_rebuilt", "lsh_compacted",
-    * "semantic_compacted:<dir>"), empty when everything was within
-    * bounds. */
+    * "ivfpq_refit", "lsh_rebuilt", "lsh_compacted", "bin_rebuilt",
+    * "bin_dropped", "semantic_compacted:<dir>"), empty when everything
+    * was within bounds. */
   def maintainIndexes(maxDeltaFraction: Double = 0.2,
       ivfDriftThreshold: Option[Double] = None,
       maxDataFiles: Int = 64): Seq[String] = {
@@ -502,6 +569,24 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           actions += "lsh_compacted"
       }
     }
+    if (bin.isDefined) {
+      val counts = data.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(col("id") >= binCoveredUpTo, 1))).head
+      val totalRows = counts.getLong(0)
+      val deltaRows = counts.getLong(1)
+      val baseRows = math.max(1L, totalRows - deltaRows)
+      if (totalRows == 0L) {
+        dropOwnedBin()
+        bin = None
+        binMutated = false
+        actions += "bin_dropped"
+      } else if (binMutated || deltaRows.toDouble > maxDeltaFraction * baseRows) {
+        // closed-form codec: the rebuild is one fit aggregate + one write
+        buildBinIndex()
+        actions += "bin_rebuilt"
+      }
+    }
     semanticStatePath.foreach { statePath =>
       graft.streaming.StreamingIngest
         .compactSemanticState(spark, statePath, maxDataFiles)
@@ -523,6 +608,45 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       }
     }
     actions.toSeq
+  }
+
+  /** Operational introspection: one row per index family with its live
+    * serving state — what a deployment's dashboard or a maintenance
+    * runbook reads before/after a [[maintainIndexes]] tick. Pure facade
+    * state plus one bounded file count per PERSISTED layout (the
+    * compaction trigger statistic); no data scans.
+    *
+    * Columns: family, built, path (null for in-memory families),
+    * mutated (serving on the merge/re-score path), covered_up_to (ids
+    * below this are in the persisted artifact; -1 where the concept
+    * doesn't apply), files (data files in the layout; -1 for in-memory),
+    * params (human-readable hyperparameters). */
+  def describeIndexes(): DataFrame = {
+    def fileCount(p: Option[String]): Long =
+      p.map(graft.store.Fs.dataFileCount(spark, _).toLong).getOrElse(-1L)
+    val rows = Seq(
+      ("ivf", ivf.isDefined, null: String, false, -1L, -1L,
+        ivf.map(m => s"k=${m._2.k}").getOrElse("")),
+      ("ivfpq", ivfPq.isDefined, null: String, false, -1L, -1L,
+        ivfPq.map(m => s"k=${m._2.ivf.k} m=${m._2.pq.m}").getOrElse("")),
+      ("pq", pq.isDefined, null: String, false, -1L, -1L,
+        pq.map(p => s"m=${p.m} nbits=${p.nBits}").getOrElse("")),
+      ("hnsw", hnswPath.isDefined, hnswPath.orNull, hnswMutated,
+        if (hnswPath.isDefined) hnswCoveredUpTo else -1L,
+        fileCount(hnswPath),
+        if (hnswPath.isDefined)
+          s"partitions=$hnswNumPartitions routed=$hnswRouted" else ""),
+      ("lsh", lshRoot.isDefined, lshRoot.orNull, lshMutated,
+        if (lshRoot.isDefined) lshCoveredUpTo else -1L,
+        fileCount(lshRoot),
+        if (lshRoot.isDefined)
+          s"tables=$lshNumTables bits=$lshNumBits" else ""),
+      ("bin", bin.isDefined, bin.map(_._2).orNull, binMutated,
+        if (bin.isDefined) binCoveredUpTo else -1L,
+        fileCount(bin.map(_._2)),
+        bin.map(b => s"words=${b._1.numWords}").getOrElse("")))
+    spark.createDataFrame(rows).toDF(
+      "family", "built", "path", "mutated", "covered_up_to", "files", "params")
   }
 
   /** Candidate overfetch factor for post-filtered search over a persisted
