@@ -13,6 +13,57 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Conversion funnel over the event stream: per user, the earliest
+    * `view`, the earliest `click` strictly after it, the earliest
+    * `purchase` strictly after that — the ordered-sequence-within-history
+    * query every product-analytics engine ships. Stage times are nested
+    * per-user window minima (each stage's predicate references the
+    * previous stage's column), so the whole funnel costs ONE shuffle on
+    * user_id + three window passes over the same partitions — no
+    * self-joins, no per-stage scans. The summary is the per-user distinct
+    * (150 rows here; |users| rows at scale) counted into one row. */
+  /** Stage times per user over a (user_id, event_type, tsu) frame — the
+    * funnel core, factored so FunnelSpec can drive constructed event
+    * sequences through the exact serving logic. */
+  private[graft] def funnelStages(events: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val pred =
+        if (i == 0) col("event_type") === stage
+        else col("event_type") === stage && col("tsu") > col(s"t$i")
+      df.withColumn(s"t${i + 1}", min(when(pred, col("tsu"))).over(w))
+    }
+    staged.select(col("user_id") +:
+      stages.indices.map(i => col(s"t${i + 1}")): _*).distinct()
+  }
+
+  val FunnelStages = Seq("view", "click", "purchase")
+
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(
+      graft.model.VectorModel.events(spark, dir)
+        .withColumn("tsu", expr("ts div 1000"))
+        .select("user_id", "event_type", "tsu"),
+      FunnelStages)
+      .agg(
+        count(col("t1")).as("viewed"),
+        count(col("t2")).as("clicked_after_view"),
+        count(col("t3")).as("purchased_after_click"))
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tsu > t1 THEN tsu END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tsu > t2 THEN tsu END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s3)
+      |SELECT count(t1) AS viewed, count(t2) AS clicked_after_view,
+      |  count(t3) AS purchased_after_click
+      |FROM u""".stripMargin
+
   /** Pricing-summary aggregation (TPC-H Q1 shape): map-side partial
     * aggregation + one shuffle on the tiny group key. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -413,6 +464,7 @@ object AnalyticsQueries {
     "q_sql_surface" -> (sqlSurface _),
     "q_count_distinct" -> (countDistinct_ _),
     "q_join_types" -> (joinTypes _),
+    "ev_funnel" -> (eventsFunnel _),
     "ev_running" -> (eventsRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_set_ops" -> (setOps _),
@@ -431,6 +483,7 @@ object AnalyticsQueries {
     "q_sql_surface" -> sqlSurfaceSql,
     "q_count_distinct" -> countDistinctSql,
     "q_join_types" -> joinTypesSql,
+    "ev_funnel" -> eventsFunnelSql,
     "ev_running" -> eventsRunningSql,
     "q_rollup" -> rollupAggSql,
     "q_set_ops" -> setOpsSql,

@@ -388,6 +388,72 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-rule bounds (the published repetition/quality filter suite's
+    * structural rules; the repetition rules themselves are `tx_repetition`).
+    * One definition feeds the Column op and the oracle text. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2
+
+  /** Gopher structural quality rules, per document: the five published
+    * structural checks as individual flags plus the conjunction — the
+    * rule-table shape a curation pipeline materializes so each drop is
+    * attributable to a rule. Pure expressions (one scan, no shuffle before
+    * the report sort); thresholds compare the RAW doubles on both engines,
+    * outputs round to 6dp. */
+  def gopher(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWords = TextAnalysis.tokenCount(t).cast("long")
+    val meanLen = TextAnalysis.avgTokenLen(t)
+    val symR = TextAnalysis.symbolRatio(t)
+    val alphaF = TextAnalysis.alphaTokenFraction(t)
+    val stopHits = TextAnalysis.markerCount(t, TextAnalysis.Stopwords).cast("long")
+    val pw = nWords >= GopherMinWords && nWords <= GopherMaxWords
+    val pl = meanLen >= GopherMinMeanLen && meanLen <= GopherMaxMeanLen
+    val ps = symR < GopherMaxSymbolRatio
+    val pa = alphaF > GopherMinAlphaFrac
+    val ph = stopHits >= GopherMinStopHits
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_len"),
+      round(symR, 6).as("symbol_ratio"),
+      round(alphaF, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      pw.as("pass_words"), pl.as("pass_len"), ps.as("pass_symbols"),
+      pa.as("pass_alpha"), ph.as("pass_stops"),
+      (pw && pl && ps && pa && ph).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val gopherSql: String = {
+    val n = "len(string_split(text, ' '))"
+    val meanLen = s"(CAST(length(text) - $n + 1 AS DOUBLE)/CAST($n AS DOUBLE))"
+    val symR = s"(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)/CAST($n AS DOUBLE))"
+    val alphaF = s"(CAST(len(list_filter(string_split(text, ' '), " +
+      s"t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)/CAST($n AS DOUBLE))"
+    val stopHits = s"len(list_filter(string_split(text, ' '), " +
+      s"t -> t IN (${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")})))"
+    val d = OracleSql.lit _
+    val pw = s"($n >= $GopherMinWords AND $n <= $GopherMaxWords)"
+    val pl = s"($meanLen >= ${d(GopherMinMeanLen)} AND $meanLen <= ${d(GopherMaxMeanLen)})"
+    val ps = s"($symR < ${d(GopherMaxSymbolRatio)})"
+    val pa = s"($alphaF > ${d(GopherMinAlphaFrac)})"
+    val ph = s"($stopHits >= $GopherMinStopHits)"
+    s"""SELECT doc_id, CAST($n AS BIGINT) AS n_words,
+       |  round($meanLen, 6) AS mean_len,
+       |  round($symR, 6) AS symbol_ratio,
+       |  round($alphaF, 6) AS alpha_frac,
+       |  CAST($stopHits AS BIGINT) AS stop_hits,
+       |  $pw AS pass_words, $pl AS pass_len, $ps AS pass_symbols,
+       |  $pa AS pass_alpha, $ph AS pass_stops,
+       |  ($pw AND $pl AND $ps AND $pa AND $ph) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** CJK fixture sentences (written for this test — generic data-systems
     * phrases, NOT the reference's corpus): Chinese prose has no spaces, so
     * these exercise the character-bigram fallback; two are near-duplicates
@@ -668,6 +734,7 @@ object TextQueries {
     "tx_rolling_fp" -> (rollingFp _),
     "tx_repetition" -> (repetition _),
     "tx_pii" -> (pii _),
+    "tx_gopher" -> (gopher _),
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
@@ -689,5 +756,6 @@ object TextQueries {
     "tx_rolling_fp" -> rollingFpSql,
     "tx_repetition" -> repetitionSql,
     "tx_pii" -> piiSql,
+    "tx_gopher" -> gopherSql,
     "tx_langid" -> langIdSql)
 }

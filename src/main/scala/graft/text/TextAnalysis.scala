@@ -93,6 +93,19 @@ object TextAnalysis {
   def avgTokenLen(text: Column): Column =
     (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text).cast("double")
 
+  /** Fraction of tokens containing at least one ASCII letter — the
+    * published "80% of words contain an alphabetic character" Gopher
+    * rule's statistic. */
+  def alphaTokenFraction(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Symbol-to-token ratio over the Gopher symbol set (# and …/...):
+    * occurrences counted as non-overlapping regex matches. */
+  def symbolRatio(text: Column): Column =
+    regexp_count(text, lit("#|\\.\\.\\.")).cast("double") /
+      tokenCount(text).cast("double")
+
   /** Composite quality score in [0,1]: favors mid-length docs with a sane
     * stopword rate. Deterministic arithmetic only. */
   def qualityScore(text: Column): Column = {
