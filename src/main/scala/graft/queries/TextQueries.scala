@@ -198,6 +198,19 @@ object TextQueries {
 
   val csvAggSql: String = jsonlAggSql
 
+  /** ORC round-trip twin of [[jsonlAgg]]/[[csvAgg]] — egress to ORC,
+    * re-ingest through the schema-verifying reader, aggregate; columnar
+    * fidelity gated the same way as the text formats. */
+  def orcAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, orcLayoutCache, "graft_orc_layout",
+      graft.sources.OrcSource.write(_, _),
+      graft.sources.OrcSource.readDocuments(_, _))
+
+  private val orcLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val orcAggSql: String = jsonlAggSql
+
   /** Corpus vocabulary top-N: total occurrences + document frequency per
     * lowercased whitespace token — the frequency table a
     * tokenizer-training / vocab-pruning / idf stage consumes. Classic
@@ -728,6 +741,7 @@ object TextQueries {
     "tx_vocab_topk" -> (vocab _),
     "src_jsonl_agg" -> (jsonlAgg _),
     "src_csv_agg" -> (csvAgg _),
+    "src_orc_agg" -> (orcAgg _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -750,6 +764,7 @@ object TextQueries {
     "tx_vocab_topk" -> vocabSql,
     "src_jsonl_agg" -> jsonlAggSql,
     "src_csv_agg" -> csvAggSql,
+    "src_orc_agg" -> orcAggSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
