@@ -144,6 +144,18 @@ object RecallBench {
         refineFrom = Some(data), vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
 
+    // 1-bit binary codes: Hamming top-100 candidates + exact re-rank (the
+    // ann_bin_topk serving shape) — recall here measures how well sign-bit
+    // Hamming ORDERS true neighbors on isotropic embeddings, the codec's
+    // hard case (no cluster structure for the bits to capture)
+    val bq = graft.pq.BinaryQuantizer.fit(data, "embedding", dim)
+    val binCodes = graft.pq.BinaryQuantizer
+      .encodeDf(data, bq, "embedding", "vec_id").cache()
+    binCodes.count()
+    val (binMs, binRes) = timeAll(q =>
+      graft.pq.BinaryQuantizer.topK(binCodes, data, bq, q, k, rerank = 100,
+        "vec_id", "embedding").select("vec_id"))
+
     def recallVs(truth: Seq[Set[Long]], approx: Seq[Set[Long]]): Double =
       truth.zip(approx).map { case (e, a) =>
         if (e.isEmpty) 1.0 else e.intersect(a).size.toDouble / e.size
@@ -267,7 +279,8 @@ object RecallBench {
         f""""semantic_keepers_blocked_agree":$semBlockedAgree%.4f,""" +
         f""""semantic_keepers_ivf_agree":$semIvfAgree%.4f,""" +
         f""""rag_retrieval_recall":$ragRecall%.4f,""" +
-        f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f}"""
+        f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f,""" +
+        f""""bin_ms":$binMs%.2f,"bin_recall":${recall(binRes)}%.4f}"""
     println(json)
     spark.stop()
   }
