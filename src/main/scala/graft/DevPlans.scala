@@ -42,7 +42,8 @@ object DevPlans {
     "ann_bin_topk" -> "binary stored-codes serving: the stage-1 scan reads (vec_id, two packed BIGINT words) only — popcount-XOR Hamming in codegen, TakeOrderedAndProject cut — then the bounded candidate set broadcast-joins back to the vector table for the exact re-rank",
     "ann_maxsim_topk" -> "late interaction: chunk explode + hash_embed + one fused cosine per facet in a single codegen stage, ONE map-side-combined max aggregate keyed by doc (no join — query vectors ride as literals), TakeOrderedAndProject on the left-associated facet sum",
     "tx_pii" -> "PII scrub: the regexp count/redact chain is pure per-row expressions inside whole-stage codegen — no shuffle before the report sort",
-    "pipe_pack" -> "packing offsets: two-level distributed prefix sum — S-row totals aggregate, broadcast shard bases, per-shard window exchange (hashpartitioning(shard)) — no single-partition global sort anywhere")
+    "pipe_pack" -> "packing offsets: two-level distributed prefix sum — S-row totals aggregate, broadcast shard bases, per-shard window exchange (hashpartitioning(shard)) — no single-partition global sort anywhere",
+    "ev_funnel" -> "conversion funnel: three nested per-user window minima over ONE user_id exchange (each stage's predicate references the previous stage's column) — no self-joins, no per-stage scans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
