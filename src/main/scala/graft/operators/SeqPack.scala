@@ -42,14 +42,10 @@ object SeqPack {
   def packHash(id: Column): Column =
     graft.dedup.Dedup.hash60(concat(lit("pack:"), id.cast("string")))
 
-  /** Pack `df`'s rows into `cap`-token windows over the canonical order.
-    *
-    * Output per row: id, `start` (global token offset), `seq` (first
-    * window), `off` (offset inside it), `n_seqs` (windows spanned).
-    * Requires a positive token count per row (whitespace token counts are
-    * ≥ 1 even for empty text). */
-  def pack(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
-      shards: Int = 32): DataFrame = {
+  /** (id, n, start) — the two-level prefix sum itself, shared by [[pack]]
+    * and [[spans]]. */
+  private def offsets(df: DataFrame, idCol: String, nTokensCol: Column,
+      shards: Int): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(col(idCol), packHash(col(idCol)).as("h"),
         nTokensCol.cast("long").as("n"))
@@ -58,20 +54,51 @@ object SeqPack {
     val totals = base.groupBy("shard").agg(sum("n").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L
-    val offsets = (0 until shards).map { s =>
+    val bases = (0 until shards).map { s =>
       val o = s -> acc; acc += totals.getOrElse(s, 0L); o
     }
-    val offsetDf = spark.createDataFrame(offsets).toDF("shard", "base")
+    val offsetDf = spark.createDataFrame(bases).toDF("shard", "base")
     // stage 3: per-shard cumsum, shifted
     val w = Window.partitionBy("shard").orderBy(col("h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(offsetDf), "shard")
       .select(col(idCol), col("n"),
         (col("base") + coalesce(sum("n").over(w), lit(0L))).as("start"))
+  }
+
+  /** Pack `df`'s rows into `cap`-token windows over the canonical order.
+    *
+    * Output per row: id, `start` (global token offset), `seq` (first
+    * window), `off` (offset inside it), `n_seqs` (windows spanned).
+    * Requires a positive token count per row (whitespace token counts are
+    * ≥ 1 even for empty text). */
+  def pack(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      shards: Int = 32): DataFrame =
+    offsets(df, idCol, nTokensCol, shards)
       .select(col(idCol), col("start"),
         expr(s"start div $cap").as("seq"),
         (col("start") % cap).as("off"),
         (expr(s"(start + n - 1) div $cap") - expr(s"start div $cap") + 1L)
           .as("n_seqs"))
-  }
+
+  /** The exploded window-placement map — one row per (doc, window) pair
+    * with the token range `[a, b]` the doc occupies inside that window:
+    * the export manifest a sharded training writer consumes (each writer
+    * takes a window range and joins its slice of this map). Row count is
+    * Σ n_seqs = rows + ⌈tokens/cap⌉-ish, i.e. linear; the explode is
+    * per-row `sequence(first, last)`, no shuffle beyond [[offsets]]'s. */
+  def spans(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      shards: Int = 32): DataFrame =
+    offsets(df, idCol, nTokensCol, shards)
+      .select(col(idCol), col("start"), col("n"),
+        expr(s"start div $cap").as("first_seq"),
+        expr(s"(start + n - 1) div $cap").as("last_seq"))
+      .select(col(idCol), col("start"), col("n"),
+        col("first_seq"), col("last_seq"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq"))
+      .select(col(idCol), col("seq"),
+        when(col("seq") === col("first_seq"), col("start") % cap)
+          .otherwise(lit(0L)).as("a"),
+        when(col("seq") === col("last_seq"), (col("start") + col("n") - 1) % cap)
+          .otherwise(lit(cap - 1L)).as("b"))
 }

@@ -353,7 +353,42 @@ object PipelineQueries {
        |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The window-placement manifest ([[graft.operators.SeqPack.spans]]):
+    * one row per (doc, window) with the occupied token range — what a
+    * sharded export writer joins against its window slice. */
+  def packSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqPack.spans(
+        VectorModel.documents(spark, dir), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), PackCap, PackShards)
+      .orderBy("doc_id", "seq")
+
+  val packSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, start, n, start // $PackCap AS first_seq,
+       |    (start + n - 1) // $PackCap AS last_seq
+       |  FROM c),
+       |s AS (
+       |  SELECT doc_id, start, n, first_seq, last_seq,
+       |    unnest(generate_series(first_seq, last_seq)) AS seq
+       |  FROM x)
+       |SELECT doc_id, seq,
+       |  CASE WHEN seq = first_seq THEN start % $PackCap ELSE CAST(0 AS BIGINT) END AS a,
+       |  CASE WHEN seq = last_seq THEN (start + n - 1) % $PackCap
+       |       ELSE CAST(${PackCap - 1} AS BIGINT) END AS b
+       |FROM s ORDER BY doc_id, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_pack_spans" -> (packSpans _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
@@ -362,6 +397,7 @@ object PipelineQueries {
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_pack_spans" -> packSpansSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,

@@ -61,6 +61,34 @@ class SeqPackSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("spans tile exactly: per doc they sum to n, per window they abut") {
+    val spans = SeqPack.spans(docs, "doc_id",
+      TextAnalysis.tokenCount(col("text")), Cap, Shards).cache()
+    // per doc: the covered ranges sum to its token count
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(col("b") - col("a") + 1).as("covered"))
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n")), "doc_id")
+    assert(perDoc.where(col("covered") =!= col("n")).count() == 0L)
+    // per window: sorted doc ranges abut with no gap or overlap, starting
+    // at 0 and ending at cap-1 for every window except the last
+    val byWindow = spans.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lastSeq = byWindow.keys.max
+    byWindow.foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"window $seq starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, b1), (_, _, a2, _)) =>
+          assert(a2 == b1 + 1, s"window $seq: gap/overlap at $b1 -> $a2")
+        case _ =>
+      }
+      if (seq != lastSeq)
+        assert(sorted.last._4 == Cap - 1L, s"window $seq ends at ${sorted.last._4}")
+    }
+  }
+
   test("the plan windows per shard — no single-partition global sort") {
     val plan = SeqPack.pack(docs, "doc_id",
       TextAnalysis.tokenCount(col("text")), Cap, Shards)
