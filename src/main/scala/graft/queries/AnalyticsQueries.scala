@@ -442,6 +442,73 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  /** Time-series densify + gap-fill: per user, EVERY hour between their
+    * first and last event — missing hours appear with n = 0 and the last
+    * observed hourly revenue carried forward (`last … ignoreNulls`, the
+    * gauge-style fill a feature pipeline wants before it windows over a
+    * regular grid). The hour grid is a per-row `sequence()` explode off
+    * the per-user min/max (no driver state, no cross join); the fill is
+    * one per-user ordered window. Money through the cents cast. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.model.VectorModel.events(spark, dir)
+      .withColumn("hour", expr("ts div 3600000000000")) // ns per hour
+      .groupBy("user_id", "hour")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(round(col("value") * 100.0).cast("long")).as("cents_raw"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        last(col("cents_raw"), ignoreNulls = true).over(w).as("cents_ffill"))
+      .orderBy("user_id", "hour")
+  }
+
+  val eventsGapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+      |    count(*) AS n_raw,
+      |    CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents_raw
+      |  FROM events GROUP BY user_id, hour),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(hour), max(hour))) AS hour
+      |  FROM hourly GROUP BY user_id)
+      |SELECT g.user_id AS user_id, g.hour AS hour,
+      |  CAST(coalesce(h.n_raw, 0) AS BIGINT) AS n,
+      |  last_value(h.cents_raw IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ffill
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+      |ORDER BY user_id, hour""".stripMargin
+
+  /** Pivot (long → wide): revenue cents by return flag, one column per
+    * line status — the DataFrame `pivot` API with EXPLICIT pivot values
+    * (the scale rule: value discovery is an extra full scan + a driver
+    * collect; a 100 TB pivot declares its columns). Money through the
+    * cents-as-BIGINT cast, so every cell is exact integer arithmetic. */
+  val PivotStatuses = Seq("F", "O")
+
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("cents",
+        round(col("l_extendedprice") * 100.0).cast("long"))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", PivotStatuses)
+      .agg(sum(col("cents")))
+      .orderBy("l_returnflag")
+
+  val pivotAggSql: String = {
+    val cells = PivotStatuses.map(s =>
+      s"""CAST(sum(CASE WHEN l_linestatus = '$s'
+         |    THEN CAST(round(l_extendedprice*CAST('100.0' AS DOUBLE)) AS BIGINT) END)
+         |  AS BIGINT) AS "$s"""".stripMargin).mkString(",\n  ")
+    s"""SELECT l_returnflag, $cells
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** SQL entry surface: the engine accepts SQL text over registered views
     * (with graft extensions available, e.g. cosine_sim). Same relational
     * result as a DataFrame plan — the point is the spark.sql path. */
@@ -465,6 +532,8 @@ object AnalyticsQueries {
     "q_count_distinct" -> (countDistinct_ _),
     "q_join_types" -> (joinTypes _),
     "ev_funnel" -> (eventsFunnel _),
+    "ev_gapfill" -> (eventsGapfill _),
+    "q_pivot" -> (pivotAgg _),
     "ev_running" -> (eventsRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_set_ops" -> (setOps _),
@@ -484,6 +553,8 @@ object AnalyticsQueries {
     "q_count_distinct" -> countDistinctSql,
     "q_join_types" -> joinTypesSql,
     "ev_funnel" -> eventsFunnelSql,
+    "ev_gapfill" -> eventsGapfillSql,
+    "q_pivot" -> pivotAggSql,
     "ev_running" -> eventsRunningSql,
     "q_rollup" -> rollupAggSql,
     "q_set_ops" -> setOpsSql,
