@@ -72,6 +72,8 @@ object Bench {
       (s, d) => { queries.ApproxQueries.sqCodesLayout(s, d); () }),
     ("build_bin_codes", Set("ann_bin_topk"),
       (s, d) => { queries.ApproxQueries.binCodesLayout(s, d); () }),
+    ("build_zorder_layout", Set("q_zorder_box"),
+      (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e"),

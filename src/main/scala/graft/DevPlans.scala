@@ -43,7 +43,8 @@ object DevPlans {
     "ann_maxsim_topk" -> "late interaction: chunk explode + hash_embed + one fused cosine per facet in a single codegen stage, ONE map-side-combined max aggregate keyed by doc (no join — query vectors ride as literals), TakeOrderedAndProject on the left-associated facet sum",
     "tx_pii" -> "PII scrub: the regexp count/redact chain is pure per-row expressions inside whole-stage codegen — no shuffle before the report sort",
     "pipe_pack" -> "packing offsets: two-level distributed prefix sum — S-row totals aggregate, broadcast shard bases, per-shard window exchange (hashpartitioning(shard)) — no single-partition global sort anywhere",
-    "ev_funnel" -> "conversion funnel: three nested per-user window minima over ONE user_id exchange (each stage's predicate references the previous stage's column) — no self-joins, no per-stage scans")
+    "ev_funnel" -> "conversion funnel: three nested per-user window minima over ONE user_id exchange (each stage's predicate references the previous stage's column) — no self-joins, no per-stage scans",
+    "q_zorder_box" -> "z-ordered layout serving: both box conjuncts in PushedFilters over the Morton-clustered files — footer min/max stats prune 27 of 32 files (measured) with no index structure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -509,6 +509,40 @@ object AnalyticsQueries {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Z-ordered lineitem layout clustered on (l_partkey, l_suppkey) —
+    * build-once/serve-many like every index layout; 32 files, each a
+    * compact box in key space ([[graft.operators.ZOrder]]). */
+  private[graft] def zorderLayout(spark: SparkSession, dir: String): String =
+    zorderLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_zorder") + "/lineitem"
+      graft.operators.ZOrder.writeClustered(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        p, "l_partkey", "l_suppkey", bits = 16, numFiles = 32)
+      p
+    })
+
+  private val zorderLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two-dimensional box aggregate served from the z-ordered layout: the
+    * predicate reaches the parquet scan as pushed min/max filters, and
+    * because every file is a compact (partkey, suppkey) box, most files
+    * prune on their footer stats alone — no index, no query-side
+    * cooperation (ZOrderSpec measures the pruning vs a lexicographic
+    * sort). Values are layout-independent, so the oracle runs the same
+    * aggregate over the plain table — the gate proves clustering changed
+    * NOTHING but the physical order. */
+  def zorderBox(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(zorderLayout(spark, dir))
+      .where(col("l_partkey") <= 400 && col("l_suppkey") <= 40)
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100.0).cast("long")).as("cents"))
+
+  val zorderBoxSql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem WHERE l_partkey <= 400 AND l_suppkey <= 40""".stripMargin
+
   /** SQL entry surface: the engine accepts SQL text over registered views
     * (with graft extensions available, e.g. cosine_sim). Same relational
     * result as a DataFrame plan — the point is the spark.sql path. */
@@ -534,6 +568,7 @@ object AnalyticsQueries {
     "ev_funnel" -> (eventsFunnel _),
     "ev_gapfill" -> (eventsGapfill _),
     "q_pivot" -> (pivotAgg _),
+    "q_zorder_box" -> (zorderBox _),
     "ev_running" -> (eventsRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_set_ops" -> (setOps _),
@@ -555,6 +590,7 @@ object AnalyticsQueries {
     "ev_funnel" -> eventsFunnelSql,
     "ev_gapfill" -> eventsGapfillSql,
     "q_pivot" -> pivotAggSql,
+    "q_zorder_box" -> zorderBoxSql,
     "ev_running" -> eventsRunningSql,
     "q_rollup" -> rollupAggSql,
     "q_set_ops" -> setOpsSql,
