@@ -638,7 +638,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           s"partitions=$hnswNumPartitions routed=$hnswRouted" else ""),
       ("lsh", lshRoot.isDefined, lshRoot.orNull, lshMutated,
         if (lshRoot.isDefined) lshCoveredUpTo else -1L,
-        fileCount(lshRoot),
+        // count the CURRENT layout version, not the whole versioned root
+        // (which also holds retained grace versions) — this column must
+        // agree with the maintainIndexes compaction trigger
+        fileCount(lshRoot.map(r => graft.index.LshAnn.currentLayout(spark, r))),
         if (lshRoot.isDefined)
           s"tables=$lshNumTables bits=$lshNumBits" else ""),
       ("bin", bin.isDefined, bin.map(_._2).orNull, binMutated,

@@ -133,13 +133,21 @@ object LshAnn {
       .collect()
     val c = new Array[Double](dim)
     if (rows.isEmpty) return c
+    // per-component counts: null vectors are skipped and short vectors
+    // contribute only the components they have — the avg() semantics of
+    // the column-aggregate meanVector this sampler replaced, so a corpus
+    // with a stray null row still builds instead of NPE-ing the driver
+    val counts = new Array[Long](dim)
     rows.foreach { r =>
-      val v = r.getSeq[Double](0)
-      var i = 0
-      while (i < dim) { c(i) += v(i); i += 1 }
+      if (!r.isNullAt(0)) {
+        val v = r.getSeq[Double](0)
+        val n = math.min(dim, v.length)
+        var i = 0
+        while (i < n) { c(i) += v(i); counts(i) += 1; i += 1 }
+      }
     }
     var i = 0
-    while (i < dim) { c(i) /= rows.length; i += 1 }
+    while (i < dim) { if (counts(i) > 0) c(i) /= counts(i); i += 1 }
     c
   }
 
@@ -607,14 +615,25 @@ object LshAnn {
       val t = td.getName.stripPrefix(s"$TableCol=").toInt
       require(t >= 0 && t < numTables,
         s"LSH layout at $path has dir ${td.getName} outside sidecar numTables=$numTables")
-      fs.listStatus(td).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$GroupCol="))
-        .foreach { bd =>
-          val g = bd.getPath.getName.stripPrefix(s"$GroupCol=").toInt
+      fs.listStatus(td).toSeq.filter(_.isDirectory).foreach { bd =>
+        val name = bd.getPath.getName
+        if (name.startsWith(s"$GroupCol=")) {
+          val g = name.stripPrefix(s"$GroupCol=").toInt
           require(g >= 0 && g <= maxGroup,
-            s"LSH layout at $path has dir ${td.getName}/${bd.getPath.getName} " +
+            s"LSH layout at $path has dir ${td.getName}/$name " +
               s"outside sidecar numBits=$numBits")
+        } else if (!name.startsWith("_") && !name.startsWith(".")) {
+          // fail LOUDLY on a pre-bucket-group layout (or any foreign
+          // partitioning): silently accepting it would crash at query
+          // time on the missing group column — or worse, an append would
+          // interleave two partition schemes under one root
+          throw new IllegalArgumentException(
+            s"LSH layout at $path has dir ${td.getName}/$name — not the " +
+              s"current ($TableCol=, $GroupCol=) bucket-group format " +
+              "(a layout from an older build partitions by exact bucket); " +
+              "rebuild the layout with saveBucketed/saveVersioned")
         }
+      }
     }
     (numTables, numBits, dim, seed, center)
   }
@@ -913,9 +932,15 @@ object LshAnn {
       }
     }
     val byTable = probed.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
-    val unionPred = byTable.toSeq.sortBy(_._1).map { case (t, bs) =>
-      col(TableCol) === t && col(BucketCol).isin(bs: _*)
-    }.reduceLeft(_ || _)
+    // the union of every query's probe sets through the SAME
+    // group-conjunct/bucket-conjunct split as the single-query path
+    // ([[storedFilterForSets]]): a single OR mixing the lsh_table
+    // partition column with the lsh_bucket DATA column qualifies as
+    // neither a partition filter nor a pushable parquet filter, so the
+    // admission scan would read every (table, group) dir post-filter
+    val unionPred = storedFilterForSets(
+      IndexedSeq.tabulate(byTable.keys.max + 1)(t =>
+        byTable.getOrElse(t, Seq.empty)))
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         probed.map { case (qid, t, b) => Row(qid, t, b) }),

@@ -95,7 +95,14 @@ object SeqPack {
         expr(s"(start + n - 1) div $cap").as("last_seq"))
       .select(col(idCol), col("start"), col("n"),
         col("first_seq"), col("last_seq"),
-        explode(expr("sequence(first_seq, last_seq)")).as("seq"))
+        // guard the documented n ≥ 1 contract: for a zero-token row
+        // last_seq < first_seq and Spark's sequence() would generate a
+        // DESCENDING range — phantom manifest rows with inverted spans
+        // (and a divergence from the oracle, whose generate_series is
+        // empty on a descending range). when() nulls the array and
+        // explode drops the row: zero windows for zero tokens.
+        explode(expr(
+          "CASE WHEN n >= 1 THEN sequence(first_seq, last_seq) END")).as("seq"))
       .select(col(idCol), col("seq"),
         when(col("seq") === col("first_seq"), col("start") % cap)
           .otherwise(lit(0L)).as("a"),

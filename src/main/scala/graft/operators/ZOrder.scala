@@ -48,6 +48,10 @@ object ZOrder {
     * div (max−min), exact in BIGINT for bits ≤ 20 and 32-bit key spans. */
   def interleaveNormalized(a: String, b: String, bits: Int,
       minA: Long, maxA: Long, minB: Long, maxB: Long): Column = {
+    // bits ≤ 20: positions stay ≤ 41 and (span ≤ 2^32)·(2^bits−1) stays
+    // well inside positive BIGINT — larger values would silently wrap
+    // into the sign bit and destroy the clustering order
+    require(bits >= 1 && bits <= 20, s"zorder: bits must be in [1,20], got $bits")
     val top = (1L << bits) - 1
     def norm(c: String, mn: Long, mx: Long): String =
       if (mx <= mn) "CAST(0 AS BIGINT)"
@@ -69,6 +73,7 @@ object ZOrder {
       bits: Int, numFiles: Int): Unit = {
     val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
+    require(!r.isNullAt(0), s"zorder: no rows to cluster (empty input for $path)")
     df.withColumn("__z", interleaveNormalized(colA, colB, bits,
         r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .repartitionByRange(numFiles, col("__z"))

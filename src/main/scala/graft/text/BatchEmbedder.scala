@@ -45,6 +45,14 @@ object BatchEmbedder {
     val fs = hp.getFileSystem(conf)
     val st = fs.getFileStatus(hp)
     val key = s"$path@${st.getModificationTime}:${st.getLen}"
+    val cached = weightsCache.get(key)
+    if (cached != null) return cached
+    // evict superseded versions of the SAME path before inserting: the
+    // version-stamped key fixes staleness, but without eviction every
+    // re-save would leak a full matrix per executor JVM for the life of
+    // a long session (streaming jobs re-train in place)
+    val it = weightsCache.keySet.iterator()
+    while (it.hasNext) { if (it.next().startsWith(s"$path@")) it.remove() }
     weightsCache.computeIfAbsent(key, _ => {
       val in = fs.open(hp)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
