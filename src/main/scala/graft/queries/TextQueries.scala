@@ -645,10 +645,20 @@ object TextQueries {
 
   /** Bind [[graft.sql.SqlSurface.DocsView]] + register the SQL functions —
     * the session setup a pure-SQL consumer performs once. */
+  /** Sessions whose temporary functions are already registered — the
+    * registration is idempotent (OR REPLACE) but NOT free: it is ~16 DDL
+    * statements through the parser and catalog, and re-running it per
+    * query charged every `tx_sql_*` serve ~1.5 s of pure DDL (measured:
+    * the tx_sql_chunks plan is identical to tx_chunks', yet it benched
+    * 8× slower). The VIEW rebind stays per-call — the dir changes. */
+  private val sqlSurfaceRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   private def sqlSurfaceSession(spark: SparkSession, dir: String): Unit = {
     VectorModel.documents(spark, dir)
       .createOrReplaceTempView(graft.sql.SqlSurface.DocsView)
-    graft.sql.SqlSurface.registerAll(spark)
+    if (sqlSurfaceRegistered.add(System.identityHashCode(spark)))
+      graft.sql.SqlSurface.registerAll(spark)
   }
 
   /** A cleaning stage composed in ONE SQL statement: quality gate →
