@@ -114,6 +114,19 @@ class LshStoreSpec extends SparkSpec {
     val plan = batchDf.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*lsh_bgroup""".r.findFirstIn(plan).isDefined,
       "union probe group filter must appear as a partition filter:\n" + plan.take(3000))
+    // the STATIC group INSET must appear — that is the ADMISSION scan's
+    // partition filter specifically. The payload-fetch scan also carries a
+    // bgroup entry, but as a dynamicpruning expression, so the weaker
+    // regex above passes even if the admission scan loses its pruning (a
+    // mixed table∧bucket OR qualifies as neither filter kind — the exact
+    // regression a round-9 review found here)
+    // static set prints as `INSET …` (large sets) or `IN (…)` (small);
+    // the fetch scan's dynamic entry prints `IN dynamicpruning#N` — no
+    // paren — so this regex cannot be satisfied by the fetch scan alone
+    assert("""PartitionFilters: \[[^\]]*lsh_bgroup#\d+ (INSET|IN \()""".r
+        .findFirstIn(plan).isDefined,
+      "admission scan must carry the static union-group partition filter:\n" +
+        plan.take(3000))
     assert("""PushedFilters: \[[^\]]*lsh_bucket""".r.findFirstIn(plan).isDefined,
       "exact bucket filter must be pushed to the reader:\n" + plan.take(3000))
     // file-level proof for the batch: delete every dir outside the UNION
