@@ -484,6 +484,28 @@ object AnalyticsQueries {
       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
       |ORDER BY user_id, hour""".stripMargin
 
+  /** Semi-structured extraction: the events table's `props` column is a
+    * JSON string; pull a typed field out per row and aggregate on it —
+    * the get_json_object/schema-on-read shape every log pipeline runs.
+    * Extraction is a codegen'd path expression (no UDF, no full JSON
+    * parse into a struct column the query doesn't need); the aggregate
+    * buckets k to keep the output bounded at any SF. */
+  def eventsJsonProps(spark: SparkSession, dir: String): DataFrame =
+    graft.model.VectorModel.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type", "k_mod")
+
+  val eventsJsonPropsSql: String =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin
+
   /** Pivot (long → wide): revenue cents by return flag, one column per
     * line status — the DataFrame `pivot` API with EXPLICIT pivot values
     * (the scale rule: value discovery is an extra full scan + a driver
@@ -569,6 +591,7 @@ object AnalyticsQueries {
     "ev_gapfill" -> (eventsGapfill _),
     "q_pivot" -> (pivotAgg _),
     "q_zorder_box" -> (zorderBox _),
+    "ev_props_json" -> (eventsJsonProps _),
     "ev_running" -> (eventsRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_set_ops" -> (setOps _),
@@ -591,6 +614,7 @@ object AnalyticsQueries {
     "ev_gapfill" -> eventsGapfillSql,
     "q_pivot" -> pivotAggSql,
     "q_zorder_box" -> zorderBoxSql,
+    "ev_props_json" -> eventsJsonPropsSql,
     "ev_running" -> eventsRunningSql,
     "q_rollup" -> rollupAggSql,
     "q_set_ops" -> setOpsSql,
