@@ -491,7 +491,9 @@ object AnalyticsQueries {
     * parse into a struct column the query doesn't need); the aggregate
     * buckets k to keep the output bounded at any SF. */
   def eventsJsonProps(spark: SparkSession, dir: String): DataFrame =
-    graft.model.VectorModel.events(spark, dir)
+    // Par-widened: the small events file scans as one split, and the
+    // per-row work here is a full JSON parse — the serial-stage shape
+    graft.operators.Par.widen(graft.model.VectorModel.events(spark, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
