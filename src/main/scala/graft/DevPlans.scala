@@ -46,7 +46,7 @@ object DevPlans {
     "ev_funnel" -> "conversion funnel: three nested per-user window minima over ONE user_id exchange (each stage's predicate references the previous stage's column) — no self-joins, no per-stage scans",
     "q_zorder_box" -> "z-ordered layout serving: both box conjuncts in PushedFilters over the Morton-clustered files — footer min/max stats prune 27 of 32 files (measured) with no index structure",
     "ev_props_json" -> "semi-structured extraction: get_json_object path expression in the scan projection (no struct materialization), Par-widened past the single-split scan, one partial-aggregated shuffle",
-    "dd_fuzzy_parts" -> "edit-distance fuzzy match: brand-blocked broadcast self-join, native levenshtein in codegen (one call, no expanded formula), Par-widened probe side — |block|^2 work spread across the cluster")
+    "dd_fuzzy_parts" -> "edit-distance fuzzy match: (brand, length-band) blocked SHUFFLED merge self-join (lossless banding: lev<=3 implies |len diff|<=3; no build-side broadcast, survives 100TB), native levenshtein in codegen — |block|^2 bounded per (brand,band), widened on the blocking keys")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

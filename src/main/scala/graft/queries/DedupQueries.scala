@@ -417,28 +417,54 @@ object DedupQueries {
       .orderBy("da", "db")
 
   /** Edit-distance fuzzy matching (entity-resolution shape): part-name
-    * pairs within a brand block at Levenshtein ≤ [[FuzzyMaxDist]] —
-    * blocking bounds the candidate join (|block|² per brand, never
-    * corpus²) and the distance is a NATIVE expression on both engines
-    * (one function call, codegen'd — not an expanded per-char formula,
-    * so no JIT-size hazard), with identical classic-DP semantics, which
+    * pairs at Levenshtein ≤ [[FuzzyMaxDist]], blocked on
+    * `(p_brand, name-length band)`. Levenshtein(a,b) ≥ |len(a)−len(b)|,
+    * so a band of width `FuzzyMaxDist+1` with the probe side exploded to
+    * its three adjacent bands is LOSSLESS blocking — every qualifying
+    * pair lands in exactly one `(brand, band)` block. Both blocking keys
+    * are equi-join keys, so the join SHUFFLES (no build-side broadcast:
+    * at 100 TB the table is millions of rows and a broadcast build side
+    * would blow the driver/executor ceiling), and the per-block quadratic
+    * is |brand ∩ band|², not |brand|² — critical because TPC-H has only
+    * 25 brands. The distance itself is a NATIVE expression on both
+    * engines (one codegen'd call, identical classic-DP semantics), which
     * keeps the operator hash-gated. */
   val FuzzyMaxDist = 3
 
-  def fuzzyParts(spark: SparkSession, dir: String): DataFrame = {
-    val p = spark.read.parquet(s"$dir/part.parquet")
-      .select("p_partkey", "p_brand", "p_name")
-    // the probe side inherits ONE split from the small parquet file while
-    // the per-row work is |block| levenshteins — exactly Par's case
-    // (measured serial: 14.3 s at sf0.1; widened: the 8M pair distances
-    // spread across the cluster)
-    graft.operators.Par.widen(p).as("a").join(broadcast(p).as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+  def fuzzyParts(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(
+      spark.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_brand", "p_name"),
+      "p_partkey", "p_brand", "p_name")
+
+  /** The blocked fuzzy-pair join over any (key, block, name) table —
+    * shared by the query entry and the skew fixtures in DedupSpec. */
+  def fuzzyPairs(rows: DataFrame, keyCol: String, blockCol: String,
+      nameCol: String): DataFrame = {
+    val bandW = FuzzyMaxDist + 1
+    val p = rows.withColumn("p_len", length(col(nameCol)))
+    val build = p.withColumn("band", floor(col("p_len") / bandW))
+    val probe = p.withColumn("band", explode(array(
+      floor(col("p_len") / bandW) - 1,
+      floor(col("p_len") / bandW),
+      floor(col("p_len") / bandW) + 1)))
+    // widenBy pins the shuffle width on the blocking keys (the join
+    // shuffles on them anyway, so no extra exchange) and stays exempt
+    // from AQE's byte-based coalescing — the per-partition work here is
+    // quadratic in rows, not linear in bytes.
+    // the merge hint pins the shuffled equi-join at every scale — the
+    // build side is the full table, so the planner's small-SF broadcast
+    // choice is exactly the plan that dies at 100 TB
+    graft.operators.Par.widenBy(probe, col(blockCol), col("band")).as("a")
+      .join(build.hint("merge").as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.band") === col("b.band") &&
+          col(s"a.$keyCol") < col(s"b.$keyCol") &&
+          abs(col("a.p_len") - col("b.p_len")) <= FuzzyMaxDist)
       .withColumn("dist",
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+        levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")).cast("long"))
       .where(col("dist") <= FuzzyMaxDist)
-      .select(col("a.p_partkey").as("da"), col("b.p_partkey").as("db"),
+      .select(col(s"a.$keyCol").as("da"), col(s"b.$keyCol").as("db"),
         col("dist"))
       .orderBy("da", "db")
   }

@@ -207,4 +207,68 @@ class DedupSpec extends SparkSpec {
         .toSet
     assert(collectPairs(broadcastBuild = false) === collectPairs(broadcastBuild = true))
   }
+
+  test("fuzzy parts: banded shuffle join equals the unblocked brute force") {
+    import org.apache.spark.sql.functions._
+    val p = spark.read.parquet(s"$Sf0001/part.parquet")
+      .select("p_partkey", "p_brand", "p_name")
+    def triple(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = triple(graft.queries.DedupQueries.fuzzyParts(spark, Sf0001))
+    val brute = triple(p.as("a")
+      .join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist",
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+      .where(col("dist") <= graft.queries.DedupQueries.FuzzyMaxDist)
+      .select(col("a.p_partkey"), col("b.p_partkey"), col("dist")))
+    assert(brute.nonEmpty, "fixture must contain fuzzy matches")
+    assert(got === brute)
+  }
+
+  test("fuzzy parts: no full-table broadcast; the blocked join shuffles") {
+    val plan = graft.queries.DedupQueries.fuzzyParts(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the pair join must be a shuffled equi-join on the blocking keys,
+    // never a broadcast of the whole part table as the build side
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+  }
+
+  test("fuzzy parts: a hot brand is split across band blocks (skew fixture)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one brand holding EVERY row — brand-only blocking would put the
+    // whole quadratic in one task. Names of varied length so length-band
+    // blocking actually partitions the work.
+    val n = 3000
+    val rows = (0 until n).map { i =>
+      val word = ('a' + i % 17).toChar.toString
+      (i.toLong, "HOT", word * (5 + (i % 40)))
+    }.toDF("p_partkey", "p_brand", "p_name")
+    val pairs = graft.queries.DedupQueries.fuzzyPairs(
+      rows, "p_partkey", "p_brand", "p_name")
+    // correctness on the skewed fixture vs brute force
+    def triple(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = triple(rows.as("a")
+      .join(rows.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist",
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+      .where(col("dist") <= graft.queries.DedupQueries.FuzzyMaxDist)
+      .select(col("a.p_partkey"), col("b.p_partkey"), col("dist")))
+    assert(triple(pairs) === brute)
+    // the hot brand spans 44 length bands (lengths 5..44, band width 4),
+    // so the largest (brand, band) block carries a bounded share of rows —
+    // the per-task quadratic is |block|², not n²
+    val blockSizes = rows
+      .withColumn("band", floor(length(col("p_name")) /
+        (graft.queries.DedupQueries.FuzzyMaxDist + 1)))
+      .groupBy("p_brand", "band").count()
+      .collect().map(_.getLong(2))
+    assert(blockSizes.max <= n / 5,
+      s"hot-brand rows must spread over bands, got max block ${blockSizes.max}")
+  }
 }
