@@ -78,10 +78,10 @@ object Dedup {
     * corpus, not once per consumer. */
   def ngramJaccardPairsBandedFromSig(df: DataFrame, sig: DataFrame,
       idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 32): DataFrame =
+      numHashes: Int = 32, skewSalt: Int = 1): DataFrame =
     bandedVerifiedPairs(
       graft.store.CacheRegistry.cached(hashedShingleSets(df, idCol, textCol, k)),
-      sig, threshold, numHashes)
+      sig, threshold, numHashes, skewSalt)
 
   /** (doc, shh): distinct 60-bit-hashed shingle sets. Widen the raw scan
     * FIRST: tokenize/shingle expressions are the dominant per-row cost and
@@ -101,8 +101,8 @@ object Dedup {
   /** Single-row-band candidates from `sig`, exact Jaccard recomputed over
     * the hashed shingle sets `sh`, thresholded. */
   private def bandedVerifiedPairs(sh: DataFrame, sig: DataFrame,
-      threshold: Double, numHashes: Int): DataFrame =
-    bandedCandidatePairs(sig, numHashes, bands = numHashes)
+      threshold: Double, numHashes: Int, skewSalt: Int = 1): DataFrame =
+    bandedCandidatePairs(sig, numHashes, bands = numHashes, skewSalt)
       .join(sh.select(col("doc").as("da"), col("shh").as("sha")), "da")
       .join(sh.select(col("doc").as("db"), col("shh").as("shb")), "db")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -240,16 +240,41 @@ object Dedup {
   }
 
   /** Self-join of band-exploded rows on (band, bh) with doc < doc —
-    * shuffle-hash, bucket-parallel, never a broadcast nested loop. */
-  private def bandJoin(bl: DataFrame): DataFrame =
-    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc") < col("b.doc"))
+    * shuffle-hash, bucket-parallel, never a broadcast nested loop.
+    *
+    * `skewSalt` > 1 engages deterministic pair-join salting for corpora
+    * with a HOT bucket (mass-duplicated docs → one (band, bh) value holds
+    * m rows → m² pair work in one task). The probe side gets
+    * `salt = hash(doc) mod S`; the build side is replicated across all S
+    * salts; the join adds salt equality — every qualifying pair still
+    * matches exactly once (the build replica carrying the probe row's
+    * salt), but the per-task pair work drops S×. Cost: S× build-side
+    * shuffle bytes and no self-join exchange reuse, which is why it is
+    * opt-in — md5-uniform band keys (this file's default pipelines) don't
+    * need it. NOTE this is OUR skew guard, not AQE's: the width-pinning
+    * repartitions (REPARTITION_BY_NUM) that protect these quadratic
+    * stages from byte-based coalescing also exempt them from AQE's
+    * skew-join splitting, so skew handling must be explicit. */
+  private def bandJoin(bl: DataFrame, skewSalt: Int = 1): DataFrame =
+    if (skewSalt <= 1)
+      bl.as("a").join(bl.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+    else {
+      val probe = Par.spread(
+        bl.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
+        col("band"), col("bh"), col("salt"))
+      val build = bl.withColumn("salt",
+        explode(array((0 until skewSalt).map(lit(_)): _*)))
+      probe.as("a").join(build.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
+    }
 
   /** Distinct candidate pairs sharing at least one signature band. */
   private[graft] def bandedCandidatePairs(sig: DataFrame, numHashes: Int,
-      bands: Int): DataFrame =
-    bandJoin(bandedExploded(sig, numHashes, bands, Nil))
+      bands: Int, skewSalt: Int = 1): DataFrame =
+    bandJoin(bandedExploded(sig, numHashes, bands, Nil), skewSalt)
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
 
@@ -266,14 +291,14 @@ object Dedup {
     * from several bands yields identical (est) rows, so the distinct on
     * the projected output keeps pair semantics. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, skewSalt: Int = 1): DataFrame = {
     val sigArr = array((0 until numHashes).map(j => col(s"h$j")): _*)
     val bl = bandedExploded(sig, numHashes, bands, Seq(sigArr.as("sig")))
     val est = (0 until numHashes)
       .map(j => when(col("a.sig")(j) === col("b.sig")(j), 1).otherwise(0))
       .reduceLeft[Column](_ + _)
       .cast("double") / lit(numHashes.toDouble)
-    bandJoin(bl)
+    bandJoin(bl, skewSalt)
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
         round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)

@@ -438,16 +438,42 @@ object DedupQueries {
       "p_partkey", "p_brand", "p_name")
 
   /** The blocked fuzzy-pair join over any (key, block, name) table —
-    * shared by the query entry and the skew fixtures in DedupSpec. */
+    * shared by the query entry and the skew fixtures in DedupSpec.
+    *
+    * Skew: natural blocking keys are NOT uniform (a hot brand at a hot
+    * name length is a real corpus shape), and the width-pinning
+    * REPARTITION_BY_NUM that protects this quadratic stage from AQE's
+    * byte-based coalescing also exempts it from AQE's skew-join
+    * splitting — so the skew guard is explicit, deterministic salting:
+    * the max block size is measured first (one cheap count aggregate vs
+    * the |block|² join it protects), and when it exceeds
+    * `targetBlockRows`, the probe side is salted by `hash(key) mod S`
+    * and the build side replicated S ways, bounding per-task pair work
+    * at ~|block|²/S while every qualifying pair still matches exactly
+    * once. S=1 (the common balanced case) keeps the unsalted plan. */
   def fuzzyPairs(rows: DataFrame, keyCol: String, blockCol: String,
-      nameCol: String): DataFrame = {
+      nameCol: String, targetBlockRows: Int = 4096): DataFrame = {
     val bandW = FuzzyMaxDist + 1
     val p = rows.withColumn("p_len", length(col(nameCol)))
-    val build = p.withColumn("band", floor(col("p_len") / bandW))
-    val probe = p.withColumn("band", explode(array(
-      floor(col("p_len") / bandW) - 1,
-      floor(col("p_len") / bandW),
-      floor(col("p_len") / bandW) + 1)))
+    val band = floor(col("p_len") / bandW)
+    val build0 = p.withColumn("band", band)
+    val probe0 = p.withColumn("band",
+      explode(array(band - 1, band, band + 1)))
+    val maxBlock = build0.groupBy(col(blockCol), col("band")).count()
+      .agg(max("count")).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val salts = math.min(64,
+      math.max(1, math.ceil(maxBlock.toDouble / targetBlockRows).toInt))
+    val (probe, build, keys) =
+      if (salts == 1) (probe0, build0, Seq(col(blockCol), col("band")))
+      else (
+        probe0.withColumn("salt", pmod(hash(col(keyCol)), lit(salts))),
+        build0.withColumn("salt",
+          explode(array((0 until salts).map(lit(_)): _*))),
+        Seq(col(blockCol), col("band"), col("salt")))
+    val saltEq =
+      if (salts == 1) lit(true) else col("a.salt") === col("b.salt")
     // widenBy pins the shuffle width on the blocking keys (the join
     // shuffles on them anyway, so no extra exchange) and stays exempt
     // from AQE's byte-based coalescing — the per-partition work here is
@@ -455,10 +481,10 @@ object DedupQueries {
     // the merge hint pins the shuffled equi-join at every scale — the
     // build side is the full table, so the planner's small-SF broadcast
     // choice is exactly the plan that dies at 100 TB
-    graft.operators.Par.widenBy(probe, col(blockCol), col("band")).as("a")
+    graft.operators.Par.widenBy(probe, keys: _*).as("a")
       .join(build.hint("merge").as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col("a.band") === col("b.band") &&
+          col("a.band") === col("b.band") && saltEq &&
           col(s"a.$keyCol") < col(s"b.$keyCol") &&
           abs(col("a.p_len") - col("b.p_len")) <= FuzzyMaxDist)
       .withColumn("dist",
