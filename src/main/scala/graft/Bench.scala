@@ -48,20 +48,20 @@ object Bench {
   /** Pre-build steps, keyed by the serving queries that depend on them. */
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
     ("build_ivf_layout",
-      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_parity_topk"),
+      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_parity_topk", "vq_ivf_bigbatch"),
       // sizes warm here too: the adaptive query's probing statistic is
       // build-time state, not serving work to be timed
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d)
         queries.ApproxQueries.ivfSizes(s, d); () }),
     ("build_hnsw_layout", Set("vq_hnsw_stored_topk", "vq_hnsw_stored_batch"),
       (s, d) => { queries.ApproxQueries.hnswLayout(s, d); () }),
-    ("build_hnsw_routed_layout", Set("vq_hnsw_routed_topk", "vq_hnsw_routed_batch"),
+    ("build_hnsw_routed_layout", Set("vq_hnsw_routed_topk", "vq_hnsw_routed_batch", "vq_hnsw_routed_bigbatch"),
       (s, d) => { queries.ApproxQueries.hnswRoutedLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
-    ("build_lsh_layout", Set("ann_lsh_topk", "ann_lsh_batch_topk"),
+    ("build_lsh_layout", Set("ann_lsh_topk", "ann_lsh_batch_topk", "ann_lsh_bigbatch"),
       // bucket sizes warm here too: the adaptive probe walk's mass
       // statistic is build-time state, like the IVF sizes above
       (s, d) => { queries.ApproxQueries.lshLayout(s, d)

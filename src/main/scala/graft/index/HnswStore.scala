@@ -291,6 +291,26 @@ object HnswStore {
     * one. Every restored group is structurally asserted complete against
     * the stored shard row count — a split shard fails loudly, never serves
     * partial-graph results. */
+  /** Rebuild one shard's graph from its stored rows, asserting the group
+    * is structurally complete against the stored shard row count — a split
+    * shard fails loudly, never serves partial-graph results. Lives in its
+    * own Serializable object so executor-side closures capture IT rather
+    * than the (cache-holding, non-serializable) HnswStore module. */
+  private object RestoreGroup extends Serializable {
+    def apply(grp: Seq[Rec], mm: Int, ee: Int): HnswIndex = {
+      val expected = grp.head._8
+      if (expected >= 0 && grp.size != expected)
+        throw new IllegalStateException(
+          s"partial HNSW graph shard: part ${grp.head._1} holds ${grp.size} of " +
+            s"$expected rows in one task — a stored file was split across read " +
+            "tasks; rebuild with more shards or serve via the grouping shuffle")
+      HnswIndex.restore(
+        grp.sortBy(_._2).map { case (_, _, id, vec, level, adj, isEntry, _) =>
+          (id, vec, level, adj, isEntry)
+        }, mm, ee)
+    }
+  }
+
   private def served[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, path: String, m: Int, efConstruction: Int,
       parts: Option[Seq[Int]] = None)(
@@ -303,18 +323,7 @@ object HnswStore {
     // so Catalyst prunes unprobed shard files from the scan entirely
     // (PartitionFilters — the inverted-list shape, plan-asserted in spec)
     val stored = parts.fold(all)(ps => all.filter(col("part").isin(ps: _*)))
-    def restore(grp: Seq[Rec]): HnswIndex = {
-      val expected = grp.head._8
-      if (expected >= 0 && grp.size != expected)
-        throw new IllegalStateException(
-          s"partial HNSW graph shard: part ${grp.head._1} holds ${grp.size} of " +
-            s"$expected rows in one task — a stored file was split across read " +
-            "tasks; rebuild with more shards or serve via the grouping shuffle")
-      HnswIndex.restore(
-        grp.sortBy(_._2).map { case (_, _, id, vec, level, adj, isEntry, _) =>
-          (id, vec, level, adj, isEntry)
-        }, mm, ee)
-    }
+    def restore(grp: Seq[Rec]): HnswIndex = RestoreGroup(grp, mm, ee)
     // legacy layouts (no part_rows) lack the structural guard, so they
     // always serve via the grouping shuffle — complete groups by
     // construction — rather than trusting the listing heuristic alone
@@ -685,6 +694,56 @@ object HnswStore {
       }
     }.toDF("query_id", idCol, "sim_raw")
     graft.operators.TopK.perGroupTopK(perPartition, "query_id", col(idCol), col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[batchTopKRouted]] for query sets too large to collect: the queries
+    * stay a DataFrame end-to-end. Each query row routes to its `probes`
+    * nearest shards via the codegen'd
+    * [[graft.functions.ModelExpressions.probeClusters]] expression over
+    * the routing centroids (the same ranking the driver-side probe list
+    * uses — BigBatchSpec gates exact result parity), then a COGROUP on the
+    * shard id pairs every shard's stored graph rows with exactly the
+    * queries that probed it: one grouping shuffle of (query, shard)
+    * entries against the graph rows, graph restored once per shard, no
+    * driver or broadcast materialization of anything query-sized.
+    *
+    * There is deliberately no partition-filter pruning here: a big batch's
+    * probed-shard union approaches all shards, so the scan reads the
+    * layout once — the pruning that matters is per-shard (each graph
+    * serves only its own queries via the cogroup). */
+  def bigBatchTopKRouted(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, probes: Int = 4, m: Int = 16, efConstruction: Int = 64,
+      efSearch: Int = 128, idCol: String = "id",
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+    import spark.implicits._
+    val model = routingModel(spark, path)
+    val (mm, ee) = readMeta(spark, path)
+      .map(t => (t._1, t._2)).getOrElse((m, efConstruction))
+    val probed = graft.operators.Par.widen(queries)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(graft.functions.ModelExpressions
+          .probeClusters(col("qvec"), model.centroids, probes)).as("part"))
+      .as[(Long, Seq[Double], Int)]
+    val (all, _) = storedRecords(spark, path)
+    val perShard = all.groupByKey(_._1).cogroup(probed.groupByKey(_._3)) {
+      (part, recs, qs) =>
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val grp = recs.toSeq
+          if (grp.isEmpty) Iterator.empty
+          else {
+            val idx = RestoreGroup(grp, mm, ee)
+            qs.flatMap { case (qid, q, _) =>
+              idx.search(q.toArray, k, efSearch)
+                .map { case (id, sim) => (qid, id, sim) }
+            }
+          }
+        }
+    }.toDF("query_id", idCol, "sim_raw")
+    graft.operators.TopK.perGroupTopK(perShard, "query_id", col(idCol), col("sim_raw"), k)
       .withColumnRenamed("id", idCol)
   }
 }

@@ -496,6 +496,45 @@ object Ivf {
       .withColumnRenamed("id", idCol)
   }
 
+  /** [[batchSearch]] for query sets too large to collect: the queries stay
+    * a DataFrame end-to-end — probe clusters are assigned per query row by
+    * the codegen'd [[graft.functions.ModelExpressions.probeClusters]]
+    * expression (the [[knnJoin]] kernel), and the probe rows equi-join the
+    * cluster-assigned table on cluster_id. NOTHING query-sized touches the
+    * driver or a broadcast: both join inputs shuffle, so the path survives
+    * query sets far past the broadcast/driver ceiling the collected path
+    * hits.
+    *
+    * cluster_id alone has only `model.k` values — too few join keys for a
+    * cluster — so the data side is salted by `hash(id) mod S` and the
+    * (small) probe rows are replicated S ways, giving k·S join granules
+    * with each (query, candidate) pair matched exactly once. Same probe
+    * rule as the collected fixed path (`nProbes` defaults to max(k/2, 8)),
+    * so BigBatchSpec gates exact result parity against [[batchSearch]]. */
+  def bigBatchSearch(assigned: DataFrame, model: IvfModel, queries: DataFrame,
+      topK: Int, queryIdCol: String = "query_id", queryVecCol: String = "qvec",
+      vecCol: String = "vector", idCol: String = "id",
+      nProbes: Option[Int] = None): DataFrame = {
+    val np = nProbes.getOrElse(math.max(model.k / 2, 8))
+    val spark = assigned.sparkSession
+    val salts = math.max(1, spark.sparkContext.defaultParallelism)
+    val probed = graft.operators.Par.widen(queries)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(graft.functions.ModelExpressions
+          .probeClusters(col("qvec"), model.centroids, np)).as("cluster_id"))
+      .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val data = assigned
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+    val joined = probed.hint("shuffle_hash")
+      .join(data, Seq("cluster_id", "__salt"))
+      .select(col("query_id"), col(idCol),
+        graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")).as("sim_raw"))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Distributed approximate k-NN SELF-join — the similarity-join shape
     * that survives past the broadcast/driver limit (the exact blocked
     * join broadcasts a whole table as build side): every row probes its

@@ -988,6 +988,67 @@ object LshAnn {
       .withColumnRenamed("id", idCol)
   }
 
+  /** [[batchSearchStored]] for query sets too large to collect: the
+    * queries stay a DataFrame end-to-end. Each query's bucket per table is
+    * computed by the SAME ingest-side expression ([[withTableBuckets]] —
+    * double-precision dots against the plane literals, bit-identical to
+    * the driver-side probe math), exploded to (query_id, table, bucket)
+    * probe rows, and every join in the one-pass admission → pointer-dedup
+    * → payload-fetch → score shape becomes a SHUFFLE equi-join instead of
+    * a broadcast: nothing query-sized touches the driver.
+    *
+    * The probe budget is each table's OWN bucket (probes = 1, the cost-0
+    * head of the multi-probe stream — the only prefix that is closed-form
+    * in expressions; multi-probe flip ranking is per-query margin
+    * arithmetic that belongs driver-side). That is the high-throughput
+    * operating point: T tables each contribute their strongest signal,
+    * recall comes from table count rather than per-table flips.
+    * BigBatchSpec gates exact parity against `batchSearchStored(probes=1)`
+    * on a 10k-query set. There is deliberately no static scan predicate:
+    * a big batch's probed-bucket union approaches every dir, so the
+    * admission scan reads the (narrow) pointer columns once. */
+  def bigBatchSearchStored(layout: DataFrame, model: LshTables,
+      queries: DataFrame, topK: Int,
+      vecCol: String = "vector", idCol: String = "id",
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+    val q0 = graft.operators.Par.widen(queries)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qvec"))
+    val qb = withTableBuckets(q0, "qvec", model)
+    val probeEntries = array((0 until model.numTables).map { t =>
+      struct(lit(t).as(TableCol), col(s"lsh_b$t").as(BucketCol))
+    }: _*)
+    val qdf = qb
+      .select(col("query_id"), explode(probeEntries).as("e"))
+      .select(col("query_id"),
+        col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
+    // narrow admission scan (id + home, no vector bytes), shuffle-joined
+    // against the probe rows on (table, bucket)
+    val admitted = graft.operators.Par.widen(layout)
+      .join(qdf.hint("shuffle_hash"), Seq(TableCol, BucketCol))
+    val ptr = admitted
+      .select(col("query_id"), col(idCol).as("__lsh_ptr_id"),
+        coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
+      .dropDuplicates("query_id", "__lsh_ptr_id")
+      .withColumn("__lsh_ptr_hgroup",
+        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
+    // payload fetch: one shuffle join against table-0 on (id, home-bucket)
+    val candidates = layout.where(col(TableCol) === 0)
+      .join(ptr.hint("shuffle_hash"),
+        col(idCol) === col("__lsh_ptr_id") &&
+          col(BucketCol) === col("__lsh_ptr_home") &&
+          col(GroupCol) === col("__lsh_ptr_hgroup"))
+      .select(col("query_id"), col(idCol), col(vecCol))
+    // same pre-rank rounding as the collected path (ranking order parity)
+    val scored = candidates
+      .join(q0.hint("shuffle_hash"), "query_id")
+      .withColumn("sim_raw",
+        round(graft.GraftExtensions.cosineSim(col(vecCol), col("qvec")), 6))
+      .select(col("query_id"), col(idCol), col("sim_raw"))
+    graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol), col("sim_raw"), topK)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Fraction of rows the multi-table probe admits for `query` — the
     * scanned-fraction denominator of the recall/cost trade (H2 harness
     * reports it beside recall). */

@@ -68,6 +68,25 @@ object VectorModel {
           lit(1.0), lit(2.0), lit(3.0)
         ).as("qvec"))
 
+  /** Deterministic LARGE query batch for the big-batch serving paths: one
+    * query per sampled part row (1/16 of the table — grows with SF:
+    * ~12 at sf0.001, ~1.2k at sf0.1), same vector formula as
+    * [[partQueries]]. Stays a DataFrame: the big-batch paths never
+    * collect it. */
+  def partQueriesBig(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/part.parquet")
+      .where(pmod(col("p_partkey"), lit(16)) === 0)
+      .select(
+        col("p_partkey").as("query_id"),
+        array(
+          col("p_size").cast("double"),
+          col("p_retailprice") / 100.0,
+          (col("p_partkey") % 97).cast("double") / 97.0,
+          (col("p_partkey") % 89).cast("double") / 89.0,
+          (col("p_partkey") % 83).cast("double") / 83.0,
+          lit(1.0), lit(2.0), lit(3.0)
+        ).as("qvec"))
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 

@@ -563,6 +563,42 @@ object ApproxQueries {
        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
+  /** S4 at QUERY-SET scale — the DataFrame-native big-batch paths: the
+    * query set is a DataFrame end-to-end (here ~1/16 of the part table,
+    * growing with SF), probe assignment happens in codegen'd expressions,
+    * and every join shuffles — nothing query-sized is collected or
+    * broadcast, so these are the entries that survive query sets past the
+    * driver/broadcast ceiling. Exact parity with the collected batch
+    * paths is gated by BigBatchSpec on a 10k-query set. nProbes=2 is the
+    * throughput operating point ([[graft.index.Ivf.knnJoin]]'s default);
+    * the collected entries keep the reference's probe-half rule. */
+  def ivfBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfLayout(spark, dir)
+    graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
+      VectorModel.partQueriesBig(spark, dir), 3, nProbes = Some(2))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. */
+  def hnswRoutedBigBatchTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.index.HnswStore.bigBatchTopKRouted(spark,
+      hnswRoutedLayout(spark, dir),
+      VectorModel.partQueriesBig(spark, dir), 3, probes = 4)
+      .orderBy("query_id", "rn")
+
+  /** LSH big batch over the embeddings layout (own-bucket probe per
+    * table — the expression-closed-form budget) — see [[ivfBigBatchTopK]].
+    * Queries are the sampled embeddings themselves (a DataFrame). */
+  def lshBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = lshLayout(spark, dir)
+    val qdf = VectorModel.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(16)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    graft.index.LshAnn.bigBatchSearchStored(lshFrame(spark, path), model,
+      qdf, 3, vecCol = "embedding", idCol = "vec_id")
+      .orderBy("query_id", "rn")
+  }
+
   /** The two hash-gated entries of this module (see the scaladoc above for
     * why the rest are spec-gated): SQ8's affine codec and the binary
     * midrange-sign codec — both closed-form. */
@@ -590,5 +626,8 @@ object ApproxQueries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_batch_topk" -> (annLshBatchTopK _),
+    "vq_ivf_bigbatch" -> (ivfBigBatchTopK _),
+    "vq_hnsw_routed_bigbatch" -> (hnswRoutedBigBatchTopK _),
+    "ann_lsh_bigbatch" -> (lshBigBatchTopK _),
     "pq_roundtrip" -> (pqRoundtrip _))
 }
