@@ -102,6 +102,76 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     binOwnedRoot = None
   }
 
+  // ---- z-order clustered data layout lifecycle state (mirrors the HNSW
+  // fields: a persisted, versioned layout + watermark/mutation flags —
+  // appends land in the live DELTA and decay pruning until the
+  // maintenance tick re-clusters) ----
+  private var zorderRoot: Option[String] = None
+  private var zorderKeys: Seq[String] = Nil
+  private var zorderBits: Int = 16
+  private var zorderFiles: Int = 32
+  private var zorderOwnedRoot: Option[String] = None
+  private var zorderCoveredUpTo: Long = 0L
+  private var zorderMutated: Boolean = false
+
+  private def dropOwnedZOrder(): Unit = {
+    zorderOwnedRoot.foreach(deletePath)
+    zorderOwnedRoot = None
+  }
+
+  /** Materialize the z-key metadata entries as typed TOP-LEVEL columns
+    * (`zk_<key>`): map-value extractions carry no parquet footer stats,
+    * so data skipping needs real leaf columns in the layout. */
+  private def withZKeyCols(df: DataFrame): DataFrame =
+    zorderKeys.foldLeft(df)((acc, k) =>
+      acc.withColumn(s"zk_$k", element_at(col("metadata"), k).cast("long")))
+
+  /** Z-cluster the table by N numeric metadata keys
+    * ([[graft.operators.ZOrder]]): the analytics-side data layout — a box
+    * predicate over the materialized `zk_<key>` columns prunes most files
+    * on footer min/max stats alone. Published as a versioned layout so
+    * re-clustering runs next to serving; appends after the build live in
+    * the delta region ([[zorderScan]] unions them, unpruned) until
+    * [[maintainIndexes]] re-clusters past the delta threshold — the
+    * append-decay lifecycle ZOrderSpec measures. Keys must be present and
+    * numeric on every row (the non-null-key precondition
+    * [[graft.operators.ZOrder.writeClustered]] enforces). */
+  def buildZOrderLayout(keys: Seq[String], bits: Int = 16,
+      numFiles: Int = 32): Unit = {
+    require(keys.nonEmpty, "buildZOrderLayout: need at least one key")
+    zorderKeys = keys
+    zorderBits = bits
+    zorderFiles = numFiles
+    val root = zorderRoot.getOrElse {
+      val r = graft.store.Fs.scratchDir(spark, "graft_zorder_db")
+      zorderOwnedRoot = Some(r)
+      r
+    }
+    graft.store.VersionedLayout.publish(spark, root)(dir =>
+      graft.operators.ZOrder.writeClustered(
+        withZKeyCols(data), dir, keys.map("zk_" + _), bits, numFiles))
+    zorderRoot = Some(root)
+    zorderCoveredUpTo = nextId
+    zorderMutated = false
+  }
+
+  /** The z-clustered scan: the pruned layout plus the live delta (rows
+    * inserted since the last cluster — scanned unpruned, which is the
+    * decay the maintenance tick bounds). After an update/delete of
+    * covered rows the layout is stale, so the scan falls back to the live
+    * table entirely until the next re-cluster. */
+  def zorderScan(): DataFrame = {
+    val root = zorderRoot.getOrElse(
+      throw new IllegalStateException("z-order layout not built"))
+    if (zorderMutated) withZKeyCols(data)
+    else {
+      val cur = graft.store.VersionedLayout.currentDir(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed z-order version under $root"))
+      spark.read.parquet(cur)
+        .unionByName(withZKeyCols(data.where(col("id") >= zorderCoveredUpTo)))
+    }
+  }
+
   /** Streaming semantic-dedup state root registered for scheduled
     * compaction ([[attachSemanticState]] / [[maintainIndexes]]). */
   private var semanticStatePath: Option[String] = None
@@ -173,7 +243,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ivfSnap = None
     ivfPqSnap.foreach(_.unpersist())
     ivfPqSnap = None
-    if (mutated) { hnswMutated = true; lshMutated = true; binMutated = true }
+    if (mutated) {
+      hnswMutated = true; lshMutated = true; binMutated = true
+      zorderMutated = true
+    }
   }
 
   private def deletePath(path: String): Unit = graft.store.Fs.delete(spark, path)
@@ -587,6 +660,26 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         actions += "bin_rebuilt"
       }
     }
+    if (zorderRoot.isDefined) {
+      val counts = data.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(col("id") >= zorderCoveredUpTo, 1))).head
+      val totalRows = counts.getLong(0)
+      val deltaRows = counts.getLong(1)
+      val baseRows = math.max(1L, totalRows - deltaRows)
+      if (totalRows == 0L) {
+        dropOwnedZOrder()
+        zorderRoot = None
+        zorderMutated = false
+        actions += "zorder_dropped"
+      } else if (zorderMutated || deltaRows.toDouble > maxDeltaFraction * baseRows) {
+        // re-cluster with the layout's own keys/bits/files as the NEXT
+        // version — readers keep their snapshot; pruning is restored for
+        // the whole table including the former delta
+        buildZOrderLayout(zorderKeys, zorderBits, zorderFiles)
+        actions += "zorder_reclustered"
+      }
+    }
     semanticStatePath.foreach { statePath =>
       graft.streaming.StreamingIngest
         .compactSemanticState(spark, statePath, maxDataFiles)
@@ -647,7 +740,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       ("bin", bin.isDefined, bin.map(_._2).orNull, binMutated,
         if (bin.isDefined) binCoveredUpTo else -1L,
         fileCount(bin.map(_._2)),
-        bin.map(b => s"words=${b._1.numWords}").getOrElse("")))
+        bin.map(b => s"words=${b._1.numWords}").getOrElse("")),
+      ("zorder", zorderRoot.isDefined, zorderRoot.orNull, zorderMutated,
+        if (zorderRoot.isDefined) zorderCoveredUpTo else -1L,
+        fileCount(zorderRoot.flatMap(r =>
+          graft.store.VersionedLayout.currentDir(spark, r))),
+        if (zorderRoot.isDefined)
+          s"keys=${zorderKeys.mkString("+")} bits=$zorderBits" else ""))
     spark.createDataFrame(rows).toDF(
       "family", "built", "path", "mutated", "covered_up_to", "files", "params")
   }

@@ -37,50 +37,90 @@ object ZOrder {
     expr(terms.mkString(" + "))
   }
 
-  /** Min/max-normalized Morton key: each column rescales to the FULL
-    * `bits`-wide range before interleaving. Raw interleaving of
-    * unequal-width domains degenerates — the wider key's high bits occupy
-    * all the top z positions, so the curve sorts by that key alone and
-    * the narrow key never localizes (ZOrderSpec's pruning test CAUGHT
-    * exactly this with partkey's 11 bits vs suppkey's 7: every file
-    * spanned the whole suppkey domain). Normalization is the standard
-    * production fix. Integer arithmetic throughout: (v−min)·(2^bits−1)
-    * div (max−min), exact in BIGINT for bits ≤ 20 and 32-bit key spans. */
-  def interleaveNormalized(a: String, b: String, bits: Int,
-      minA: Long, maxA: Long, minB: Long, maxB: Long): Column = {
-    // bits ≤ 20: positions stay ≤ 41 and (span ≤ 2^32)·(2^bits−1) stays
-    // well inside positive BIGINT — larger values would silently wrap
-    // into the sign bit and destroy the clustering order
-    require(bits >= 1 && bits <= 20, s"zorder: bits must be in [1,20], got $bits")
+  /** Min/max-normalized N-column Morton key: each column rescales to the
+    * FULL `bits`-wide range before interleaving (bit i of column j lands
+    * at position n·i + j). Raw interleaving of unequal-width domains
+    * degenerates — the widest key's high bits occupy all the top z
+    * positions, so the curve sorts by that key alone and the narrow keys
+    * never localize (ZOrderSpec's pruning test CAUGHT exactly this with
+    * partkey's 11 bits vs suppkey's 7: every file spanned the whole
+    * suppkey domain). Normalization is the standard production fix.
+    * Integer arithmetic throughout: (v−min)·(2^bits−1) div (max−min) —
+    * the span guard below makes an overflowing domain fail LOUDLY instead
+    * of silently wrapping into the sign bit and destroying the clustering
+    * order. Key columns must be non-null ([[writeClustered]] enforces). */
+  def interleaveNormalized(cols: Seq[String], bits: Int,
+      mins: Seq[Long], maxs: Seq[Long]): Column = {
+    val n = cols.length
+    require(n >= 2, s"zorder: need at least 2 key columns, got $n")
+    require(mins.length == n && maxs.length == n,
+      "zorder: mins/maxs must align with cols")
+    // every interleaved position n·i + j must stay inside a positive BIGINT
+    require(bits >= 1 && n * bits <= 62,
+      s"zorder: $n columns x $bits bits = ${n * bits} positions > 62")
     val top = (1L << bits) - 1
-    def norm(c: String, mn: Long, mx: Long): String =
-      if (mx <= mn) "CAST(0 AS BIGINT)"
-      else s"((CAST(`$c` AS BIGINT) - ${mn}L) * ${top}L div ${mx - mn}L)"
+    cols.indices.foreach { j =>
+      val span = maxs(j) - mins(j)
+      require(span <= Long.MaxValue / top,
+        s"zorder: key span of ${cols(j)} ($span) overflows the " +
+          s"normalization product at bits=$bits — reduce bits or " +
+          "pre-bucket the column")
+    }
+    def norm(j: Int): String =
+      if (maxs(j) <= mins(j)) "CAST(0 AS BIGINT)"
+      else s"((CAST(`${cols(j)}` AS BIGINT) - ${mins(j)}L) * ${top}L div ${maxs(j) - mins(j)}L)"
     val terms = (0 until bits).flatMap { i =>
-      Seq(
-        s"(shiftleft(shiftright(${norm(a, minA, maxA)}, $i) & 1, ${2 * i}))",
-        s"(shiftleft(shiftright(${norm(b, minB, maxB)}, $i) & 1, ${2 * i + 1}))")
+      cols.indices.map(j =>
+        s"(shiftleft(shiftright(${norm(j)}, $i) & 1, ${n * i + j}))")
     }
     expr(terms.mkString(" + "))
   }
 
-  /** Write `df` z-clustered by (`colA`, `colB`): one min/max aggregate to
-    * normalize the key domains, range-partition on the interleaved key
-    * into `numFiles` tasks, sort within each, write parquet. Range
-    * partitioning samples the key distribution, so files get contiguous z
-    * ranges — compact (a, b) boxes — regardless of skew. */
-  def writeClustered(df: DataFrame, path: String, colA: String, colB: String,
+  /** Two-column [[interleaveNormalized]] (bit i of `a` → position 2i, of
+    * `b` → 2i+1 — the N=2 case, byte-identical key to the original
+    * two-column operator). */
+  def interleaveNormalized(a: String, b: String, bits: Int,
+      minA: Long, maxA: Long, minB: Long, maxB: Long): Column =
+    interleaveNormalized(Seq(a, b), bits, Seq(minA, minB), Seq(maxA, maxB))
+
+  /** Write `df` z-clustered by `cols`: one aggregate for the key domains
+    * AND the null-key guard, range-partition on the interleaved key into
+    * `numFiles` tasks, sort within each, write parquet. Range partitioning
+    * samples the key distribution, so files get contiguous z ranges —
+    * compact N-dimensional boxes — regardless of skew. */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int, numFiles: Int): Unit = {
-    val r = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).collect()(0)
-    require(!r.isNullAt(0), s"zorder: no rows to cluster (empty input for $path)")
-    df.withColumn("__z", interleaveNormalized(colA, colB, bits,
-        r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")), max(col(c).cast("long")),
+      sum(when(col(c).isNull, 1L).otherwise(0L))))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.indices.foreach { j =>
+      // a null min/max means an empty input or an all-null key column; a
+      // positive null count means null-key rows that would get a null __z
+      // and cluster arbitrarily — both violate the non-null-key
+      // precondition, fail loudly instead
+      require(!r.isNullAt(3 * j) && !r.isNullAt(3 * j + 1),
+        s"zorder: cannot cluster $path — key column ${cols(j)} has no " +
+          "non-null values (empty input or all-null key); z-order key " +
+          "columns must be non-null")
+      require(r.getLong(3 * j + 2) == 0L,
+        s"zorder: key column ${cols(j)} has ${r.getLong(3 * j + 2)} null " +
+          s"rows — z-order key columns must be non-null; filter or " +
+          "default them before clustering")
+    }
+    val mins = cols.indices.map(j => r.getLong(3 * j))
+    val maxs = cols.indices.map(j => r.getLong(3 * j + 1))
+    df.withColumn("__z", interleaveNormalized(cols, bits, mins, maxs))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-column [[writeClustered]]. */
+  def writeClustered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int, numFiles: Int): Unit =
+    writeClustered(df, path, Seq(colA, colB), bits, numFiles)
 
   /** Per-file (min, max) stats of a column over a written layout — the
     * statistics a stats-pruning reader consults, surfaced for
