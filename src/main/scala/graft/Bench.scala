@@ -70,7 +70,7 @@ object Bench {
       (s, d) => { queries.ApproxQueries.pqCodesLayout(s, d); () }),
     ("build_sq_codes", Set("ann_sq_topk"),
       (s, d) => { queries.ApproxQueries.sqCodesLayout(s, d); () }),
-    ("build_bin_codes", Set("ann_bin_topk"),
+    ("build_bin_codes", Set("ann_bin_topk", "ann_bin_batch_topk"),
       (s, d) => { queries.ApproxQueries.binCodesLayout(s, d); () }),
     ("build_zorder_layout", Set("q_zorder_box"),
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),

@@ -109,4 +109,55 @@ object BinaryQuantizer {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** S4 twin of [[topK]]: ONE Hamming scan serves the whole query set —
+    * every query's popcount-XOR sum evaluates in the same projection over
+    * the packed words (an array of (query_id, ham) structs, exploded), so
+    * the code table is read once per batch instead of once per query, the
+    * ADC-batch argument ([[graft.index.IvfPq.batchSearch]]). Per-query
+    * candidate cuts use the k-bounded aggregator on (-ham, id) — the same
+    * (ham asc, id asc) deterministic cut as the single path — and the
+    * re-rank joins the bounded candidate set back to the vector table
+    * with each query's vector attached. Output (query_id, id, sim, rn);
+    * batch==single parity is BinSpec-gated. */
+  def batchTopK(codes: DataFrame, vecs: DataFrame, bq: BinaryQuantizer,
+      queries: Seq[(Long, Seq[Double])], k: Int, rerank: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = codes.sparkSession
+    if (queries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("query_id", LongType),
+          StructField(idCol, LongType),
+          StructField("sim", DoubleType),
+          StructField("rn", LongType))))
+    val hamStructs = array(queries.map { case (qid, q) =>
+      struct(lit(qid).as("query_id"), bq.hammingExpr(bq.pack(q)).as("ham"))
+    }: _*)
+    val scanned = codes
+      .select(col(idCol), explode(hamStructs).as("qh"))
+      .select(col("qh.query_id").as("query_id"), col(idCol),
+        col("qh.ham").as("ham"))
+    val cand = graft.operators.TopK.perGroupTopK(
+      scanned, "query_id", col(idCol), -col("ham").cast("double"), rerank)
+      .select(col("query_id"), col("id").as(idCol))
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+    val scored = vecs
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(graft.GraftExtensions.cosineSim(
+          col(vecCol).cast("array<double>"), col("qvec")), 6).as("sim_raw"))
+    graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol),
+      col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+  }
 }

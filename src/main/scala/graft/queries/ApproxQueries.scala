@@ -563,6 +563,28 @@ object ApproxQueries {
        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
+  /** Deterministic batch of embedding-space queries (the [[VectorModel
+    * .AnnQuery]] formula family, one shifted variant per query id) — the
+    * reference's query-list API shape for the embeddings-backed entries. */
+  private[graft] def annQueryBatch(n: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map(s => (s.toLong,
+      (0 until VectorModel.EmbDim).map(i => ((i * 37 + 11 + s * 13) % 101) / 101.0)))
+
+  /** S4 with method=binary over the persisted code layout: ONE Hamming
+    * scan for the whole query set ([[graft.pq.BinaryQuantizer.batchTopK]])
+    * — the codes are read once per batch, like the IVF-PQ ADC batch.
+    * Batch==single parity is BinSpec-gated (so this entry is rows-only
+    * at the driver, per the module contract above — the single-query
+    * twin `ann_bin_topk` carries the hash gate for the codec). */
+  def annBinBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val bq = trainedBin(spark, dir)
+    val codes = spark.read.parquet(binCodesLayout(spark, dir))
+    graft.pq.BinaryQuantizer.batchTopK(codes,
+      VectorModel.embeddings(spark, dir), bq, annQueryBatch(8),
+      20, BinRerank, "vec_id", "embedding")
+      .orderBy("query_id", "rn")
+  }
+
   /** S4 at QUERY-SET scale — the DataFrame-native big-batch paths: the
     * query set is a DataFrame end-to-end (here ~1/16 of the part table,
     * growing with SF), probe assignment happens in codegen'd expressions,
@@ -609,6 +631,7 @@ object ApproxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
     "ann_bin_topk" -> (annBinTopK _),
+    "ann_bin_batch_topk" -> (annBinBatchTopK _),
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),

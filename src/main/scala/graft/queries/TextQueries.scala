@@ -651,13 +651,19 @@ object TextQueries {
     * query charged every `tx_sql_*` serve ~1.5 s of pure DDL (measured:
     * the tx_sql_chunks plan is identical to tx_chunks', yet it benched
     * 8× slower). The VIEW rebind stays per-call — the dir changes. */
+  // Keyed on the SESSION OBJECT (synchronized weak-identity map), not
+  // System.identityHashCode: identity hashes are not unique across
+  // distinct sessions, so a collision would silently skip registerAll
+  // and every tx_sql_* query would fail with 'undefined function'. The
+  // weak keys also let closed sessions be collected.
   private val sqlSurfaceRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   private def sqlSurfaceSession(spark: SparkSession, dir: String): Unit = {
     VectorModel.documents(spark, dir)
       .createOrReplaceTempView(graft.sql.SqlSurface.DocsView)
-    if (sqlSurfaceRegistered.add(System.identityHashCode(spark)))
+    if (sqlSurfaceRegistered.put(spark, java.lang.Boolean.TRUE) == null)
       graft.sql.SqlSurface.registerAll(spark)
   }
 

@@ -47,18 +47,26 @@ object BatchEmbedder {
     val key = s"$path@${st.getModificationTime}:${st.getLen}"
     val cached = weightsCache.get(key)
     if (cached != null) return cached
-    // evict superseded versions of the SAME path before inserting: the
-    // version-stamped key fixes staleness, but without eviction every
-    // re-save would leak a full matrix per executor JVM for the life of
-    // a long session (streaming jobs re-train in place)
-    val it = weightsCache.keySet.iterator()
-    while (it.hasNext) { if (it.next().startsWith(s"$path@")) it.remove() }
-    weightsCache.computeIfAbsent(key, _ => {
+    val loaded = weightsCache.computeIfAbsent(key, _ => {
       val in = fs.open(hp)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       txt.split("\n").filter(_.nonEmpty).map(_.split(",").map(_.toDouble))
     })
+    // evict superseded versions of the SAME path AFTER the insert: the
+    // version-stamped key fixes staleness, but without eviction every
+    // re-save would leak a full matrix per executor JVM for the life of
+    // a long session (streaming jobs re-train in place). Evicting after
+    // (not before) the insert means the last-completing thread's sweep
+    // removes any stale key a concurrent older-stat thread re-inserted
+    // mid-race; the worst residue is ONE superseded matrix for the window
+    // of an in-flight load, and the next miss on that path sweeps it.
+    val it = weightsCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && k.startsWith(s"$path@")) it.remove()
+    }
+    loaded
   }
 
   /** JVM mirror of `conv(substring(md5(s), 1, 15), 16, 10)` — the token

@@ -75,4 +75,22 @@ class BinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     served.foreach { case (id, s) => assert(s == exact(id), s"id $id") }
   }
+
+  test("batch Hamming scan equals the single-query path for every query") {
+    val codes = BinaryQuantizer.encodeDf(emb, bq, "embedding", "vec_id")
+    val qs = graft.queries.ApproxQueries.annQueryBatch(8)
+    val batch = BinaryQuantizer.batchTopK(codes, emb, bq, qs, 20,
+      rerank = 100, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qs.foreach { case (qid, q) =>
+      val single = BinaryQuantizer.topK(codes, emb, bq, q, 20,
+        rerank = 100, "vec_id", "embedding")
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), r.getDouble(2), (i + 1).toLong) }
+        .toSet
+      assert(batch(qid) === single, s"query $qid")
+    }
+  }
 }
