@@ -43,9 +43,10 @@ object SeqPack {
     graft.dedup.Dedup.hash60(concat(lit("pack:"), id.cast("string")))
 
   /** (id, n, start) — the two-level prefix sum itself, shared by [[pack]]
-    * and [[spans]]. */
+    * and [[spans]]. `baseTokens` shifts the whole pack (the incremental
+    * epoch's base — tokens already packed by earlier epochs). */
   private def offsets(df: DataFrame, idCol: String, nTokensCol: Column,
-      shards: Int): DataFrame = {
+      shards: Int, baseTokens: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val base = df.select(col(idCol), packHash(col(idCol)).as("h"),
         nTokensCol.cast("long").as("n"))
@@ -53,7 +54,7 @@ object SeqPack {
     // stage 2: shard totals -> driver prefix sum -> broadcast base offsets
     val totals = base.groupBy("shard").agg(sum("n").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
+    var acc = baseTokens
     val bases = (0 until shards).map { s =>
       val o = s -> acc; acc += totals.getOrElse(s, 0L); o
     }
@@ -64,6 +65,63 @@ object SeqPack {
     base.join(broadcast(offsetDf), "shard")
       .select(col(idCol), col("n"),
         (col("base") + coalesce(sum("n").over(w), lit(0L))).as("start"))
+  }
+
+  /** The window-placement projection shared by [[pack]]/[[packFrom]]/
+    * [[packEpochs]]. */
+  private def placed(off: DataFrame, idCol: String, cap: Int,
+      carryN: Boolean): DataFrame =
+    off.select(
+      (col(idCol) +: (if (carryN) Seq(col("n")) else Nil)) ++ Seq(
+        col("start"),
+        expr(s"start div $cap").as("seq"),
+        (col("start") % cap).as("off"),
+        (expr(s"(start + n - 1) div $cap") - expr(s"start div $cap") + 1L)
+          .as("n_seqs")): _*)
+
+  /** [[pack]] shifted to start at `baseTokens` — one incremental EPOCH of
+    * the streaming pack ([[graft.streaming.StreamingIngest.packIngest]]):
+    * the epoch packs in the same canonical (shard, h, id) order as a
+    * batch pack of its rows, placed after everything already packed, so
+    * earlier epochs' window ids are never touched. Output carries `n`
+    * (the grown layout is self-describing: next base = max(start + n)). */
+  def packFrom(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      baseTokens: Long, shards: Int = 32): DataFrame =
+    placed(offsets(df, idCol, nTokensCol, shards, baseTokens), idCol, cap,
+      carryN = true)
+
+  /** The BATCH TWIN of the streaming pack over an epoch-tagged union:
+    * canonical order (epoch, shard, h, id) — epochs pack in arrival
+    * order, each after the previous epochs' tokens — so this equals the
+    * layout [[graft.streaming.StreamingIngest.packIngest]] grows one
+    * micro-batch at a time (StreamingSpec-gated). Same two-level prefix
+    * sum with the composite (epoch, shard) first level; driver state is
+    * epochs·shards longs here, while the streaming path itself carries
+    * only the single running total. */
+  def packEpochs(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      epochCol: Column, shards: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(epochCol.cast("long").as("__ep"), col(idCol),
+        packHash(col(idCol)).as("h"), nTokensCol.cast("long").as("n"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val totals = base.groupBy("__ep", "shard").agg(sum("n").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val eps = totals.keys.map(_._1).toSeq.distinct.sorted
+    var acc = 0L
+    val bases = eps.flatMap { e =>
+      (0 until shards).map { s =>
+        val o = (e, s, acc); acc += totals.getOrElse((e, s), 0L); o
+      }
+    }
+    val offsetDf = spark.createDataFrame(bases).toDF("__ep", "shard", "base")
+    val w = Window.partitionBy("__ep", "shard")
+      .orderBy(col("h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    placed(
+      base.join(broadcast(offsetDf), Seq("__ep", "shard"))
+        .select(col(idCol), col("n"),
+          (col("base") + coalesce(sum("n").over(w), lit(0L))).as("start")),
+      idCol, cap, carryN = true)
   }
 
   /** Pack `df`'s rows into `cap`-token windows over the canonical order.

@@ -488,6 +488,73 @@ object StreamingIngest {
       .start()
   }
 
+  /** Append-time sequence packing — the streaming twin of the export
+    * stage ([[graft.operators.SeqPack]]): each micro-batch packs in the
+    * canonical per-epoch (shard, h, id) order and lands AFTER the tokens
+    * already packed, so previously assigned window ids are STABLE (the
+    * layout only appends, never rewrites — an incremental corpus keeps
+    * its training manifest valid across arrivals). The grown layout
+    * equals [[graft.operators.SeqPack.packEpochs]] over the epoch-tagged
+    * union (StreamingSpec-gated).
+    *
+    * The only cross-batch state is ONE long (the running token total),
+    * kept in a `_graft_pack_total` sidecar beside the layout and
+    * re-derivable from the layout itself (max(start + n)) if the sidecar
+    * is lost — so the path has no driver-resident state at all between
+    * restarts. */
+  def packIngest(stream: DataFrame, layoutPath: String, checkpoint: String,
+      cap: Int, idCol: String = "doc_id", nTokensCol: String = "n_tokens",
+      shards: Int = 32): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        packAppendBatch(batch, layoutPath, cap, idCol, nTokensCol, shards)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private val PackTotalFile = "_graft_pack_total"
+
+  private[graft] def packAppendBatch(batch: DataFrame, layoutPath: String,
+      cap: Int, idCol: String, nTokensCol: String, shards: Int): Unit = {
+    val spark = batch.sparkSession
+    val base = readPackTotal(spark, layoutPath)
+    val packed = graft.operators.SeqPack.packFrom(
+      batch, idCol, org.apache.spark.sql.functions.col(nTokensCol), cap,
+      base, shards)
+    packed.write.mode("append").parquet(layoutPath)
+    val batchTokens = batch.agg(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col(nTokensCol).cast("long")),
+        org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+    writePackTotal(spark, layoutPath, base + batchTokens)
+  }
+
+  /** Running token total of a pack layout: the sidecar when present,
+    * else re-derived from the layout (self-healing), else 0 (fresh). */
+  private[graft] def readPackTotal(spark: SparkSession, layoutPath: String): Long = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
+    val sp = new org.apache.hadoop.fs.Path(p, PackTotalFile)
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else if (graft.store.Fs.exists(spark, layoutPath) &&
+        graft.store.Fs.dataFileCount(spark, layoutPath) > 0) {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(layoutPath)
+        .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)
+    } else 0L
+  }
+
+  private def writePackTotal(spark: SparkSession, layoutPath: String,
+      total: Long): Unit = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, PackTotalFile), true)
+    try out.write(s"$total\n".getBytes("UTF-8")) finally out.close()
+  }
+
   /** File-count-triggered compaction of the streaming semantic state —
     * the maintenance loop that closes what [[semanticDedupIngest]] opens:
     * every micro-batch APPENDS one file per touched cluster partition to

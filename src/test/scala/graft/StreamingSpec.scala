@@ -743,4 +743,46 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/_scratch/layout/part-0.parquet"), Array[Byte](1))
     assert(graft.store.Fs.dataFileCount(spark, s"$dir/_scratch/layout") === 1)
   }
+  test("streaming sequence packing: grown layout equals the batch pack over the union") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .cache()
+    val base = java.nio.file.Files.createTempDirectory("graft_packstream").toString
+    // three arrival epochs, staged as one file each (maxFilesPerTrigger=1
+    // -> one micro-batch per epoch, in write order)
+    val epochOf = pmod(col("doc_id"), lit(3))
+    (0 until 3).foreach { e =>
+      docs.where(epochOf === e).coalesce(1).write.parquet(f"$base/in/b$e")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val cap = 256
+    val q = StreamingIngest.packIngest(stream, s"$base/pack", s"$base/ckpt",
+      cap, idCol = "doc_id", nTokensCol = "n_tokens", shards = 8)
+    try q.awaitTermination(120000) finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n", "start", "seq", "off", "n_seqs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val grown = rows(spark.read.parquet(s"$base/pack"))
+    val union = rows(graft.operators.SeqPack.packEpochs(
+      docs, "doc_id", col("n_tokens"), cap, epochOf, shards = 8))
+    assert(grown.nonEmpty)
+    assert(grown === union)
+    // stability: re-packing ONLY the first two epochs yields placements
+    // that are a subset of the grown layout — later arrivals never moved
+    // earlier windows
+    val firstTwo = rows(graft.operators.SeqPack.packEpochs(
+      docs.where(epochOf < 2), "doc_id", col("n_tokens"), cap, epochOf,
+      shards = 8))
+    assert(firstTwo.subsetOf(grown))
+    // the sidecar equals the re-derivable running total (self-healing)
+    val total = StreamingIngest.readPackTotal(spark, s"$base/pack")
+    val expected = docs.agg(sum("n_tokens")).head.getLong(0)
+    assert(total === expected)
+  }
 }
