@@ -528,6 +528,75 @@ object TextQueries {
   lazy val cjkBm25Sql: String =
     bm25SqlOver(cjkCorpusSql, "doc_id", 15, cjkQueryTerms)
 
+  /** Query terms under the DICTIONARY segmenter: real words, not bigrams. */
+  def cjkDictQueryTerms: Seq[String] = TextAnalysis.fmmSegment(CjkQuery)
+
+  /** The CJK corpus under the FMM dictionary segmenter
+    * ([[graft.text.TextAnalysis.cjkTokensDict]]): the fixture sentences
+    * segment ONCE (7 rows — segmentation is a function of fid alone) and
+    * every document draws its segmented text by `doc_id % N`, exactly
+    * like [[cjkCorpus]]. */
+  private[queries] def cjkCorpusDict(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = spark.createDataFrame(CjkFixture).toDF("fid", "cjk")
+      .select(col("fid"), TextAnalysis.cjkNormalizeDict(col("cjk")).as("ntext"))
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % CjkFixture.size).cast("int").as("fid"))
+      .join(broadcast(fixture), "fid")
+      .select(col("doc_id"),
+        concat(col("ntext"),
+          expr("repeat(' pad', cast(doc_id % 3 as int))")).as("text"))
+  }
+
+  /** DuckDB mirror of the FMM segmenter: a RECURSIVE CTE advances each
+    * CJK token's (pos, out) state by the identical longest-match rule
+    * (substr(t, pos, 4) ∈ dict → 4, else 3, else 2, else one char —
+    * clamped substrings included), finished states carry pos > length.
+    * Segmentation runs over the 7 fixture sentences only, then joins
+    * documents by fid — the same fid-level factoring as the Spark side. */
+  private[queries] def cjkCorpusDictSql: String = {
+    val values = CjkFixture.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    val dlist = TextAnalysis.CjkDict.map(w => s"'$w'").mkString(", ")
+    def cand(l: Int) = s"substr(t, pos, $l) IN ($dlist)"
+    val stepCase =
+      s"CASE WHEN ${cand(4)} THEN 4 WHEN ${cand(3)} THEN 3 WHEN ${cand(2)} THEN 2 ELSE 1 END"
+    val tokCase =
+      s"""CASE WHEN ${cand(4)} THEN substr(t, pos, 4)
+         |     WHEN ${cand(3)} THEN substr(t, pos, 3)
+         |     WHEN ${cand(2)} THEN substr(t, pos, 2)
+         |     ELSE substr(t, pos, 1) END""".stripMargin
+    s"""WITH RECURSIVE ftoks AS (
+       |  SELECT fid, unnest(string_split(cjk, ' ')) AS t,
+       |         generate_subscripts(string_split(cjk, ' '), 1) AS ti
+       |  FROM (VALUES $values) f(fid, cjk)),
+       |fseg(fid, ti, t, pos, out) AS (
+       |  SELECT fid, ti, t, 1, '' FROM ftoks WHERE regexp_matches(t, '[一-鿿]')
+       |  UNION ALL
+       |  SELECT fid, ti, t, pos + $stepCase, out || ' ' || $tokCase
+       |  FROM fseg WHERE pos <= length(t)),
+       |fdone AS (
+       |  SELECT fid, ti, ltrim(out) AS seg_t FROM fseg WHERE pos > length(t)),
+       |fjoined AS (
+       |  SELECT a.fid, a.ti, coalesce(d.seg_t, a.t) AS piece
+       |  FROM ftoks a LEFT JOIN fdone d ON a.fid = d.fid AND a.ti = d.ti),
+       |fsegged AS (
+       |  SELECT fid, string_agg(piece, ' ' ORDER BY ti) AS ntext
+       |  FROM fjoined GROUP BY fid)
+       |SELECT d.doc_id AS doc_id,
+       |  s.ntext || repeat(' pad', CAST(d.doc_id % 3 AS INT)) AS text
+       |FROM documents d
+       |JOIN fsegged s ON s.fid = d.doc_id % ${CjkFixture.size}""".stripMargin
+  }
+
+  /** CJK BM25 under the DICTIONARY segmenter — the jieba-grade upgrade
+    * over the bigram fallback at the same seam, carrying the same hash
+    * gate: real-word tokens (no cross-word-boundary bigrams), real-word
+    * query terms. TextSpec measures the token-quality delta. */
+  def cjkBm25Dict(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(cjkCorpusDict(spark, dir), cjkDictQueryTerms, 15)
+
+  lazy val cjkBm25DictSql: String =
+    bm25SqlOver(cjkCorpusDictSql, "doc_id", 15, cjkDictQueryTerms)
+
   /** Hash-projection embedding dimension (the [[graft.text.HashEmbedder]]
     * default; small enough that the flat-column oracle stays readable). */
   val EmbedDim = 16
@@ -751,6 +820,7 @@ object TextQueries {
     "tx_embed" -> (embedDocs _),
     "tx_embed_local" -> (embedDocsLocal _),
     "tx_cjk_bm25" -> (cjkBm25 _),
+    "tx_cjk_bm25_dict" -> (cjkBm25Dict _),
     "tx_bm25_topk" -> (bm25TopK _),
     "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_chunks" -> (chunks _),
@@ -774,6 +844,7 @@ object TextQueries {
     "tx_embed" -> embedDocsSql,
     "tx_embed_local" -> embedDocsLocalSql,
     "tx_cjk_bm25" -> cjkBm25Sql,
+    "tx_cjk_bm25_dict" -> cjkBm25DictSql,
     "tx_bm25_topk" -> bm25TopKSql,
     "tx_chunk_bm25" -> chunkBm25Sql,
     "tx_chunks" -> chunksSql,

@@ -51,6 +51,88 @@ object TextAnalysis {
     * operator. */
   def cjkNormalize(text: Column): Column = array_join(cjkTokens(text), " ")
 
+  /** Longest dictionary word considered by the FMM segmenter. */
+  val CjkDictMaxLen = 4
+
+  /** Small public-vocabulary dictionary fixture for the FMM segmenter —
+    * common Chinese data-systems words (written for this repo; a
+    * deployment swaps in a full wordlist at the same seam, which is the
+    * jieba-grade upgrade the reference's declared dependency evidences,
+    * /root/reference/pyproject.toml:13). */
+  val CjkDict: Seq[String] = Seq(
+    "向量", "数据库", "数据", "支持", "高效", "相似度", "相似", "搜索",
+    "分布式", "计算", "引擎", "处理", "大规模", "机器学习", "模型",
+    "需要", "大量", "训练", "去重", "管道", "关键", "步骤", "倒排",
+    "索引", "加速", "关键词", "检索", "数据集", "超大规模")
+
+  /** Dictionary-based CJK segmentation — forward maximum matching (the
+    * classic greedy dictionary segmenter): at each position consume the
+    * longest dictionary word (≤ [[CjkDictMaxLen]] chars), else one
+    * character. Strictly better tokens than the bigram fallback where the
+    * dictionary covers the text (real words, no cross-word-boundary
+    * bigrams polluting n-gram matching — TextSpec measures both), same
+    * honest degradation to single characters where it doesn't.
+    *
+    * The sequential scan is ONE `aggregate()` fold per token over its
+    * character positions with a (pos, out) struct accumulator — pure
+    * codegen'd expressions, no UDF — and is mirrored exactly by a
+    * recursive CTE in DuckDB
+    * ([[graft.queries.TextQueries.cjkCorpusDictSql]]), so the dictionary
+    * path carries the same hash gate as the bigram one. Non-CJK tokens
+    * pass through unchanged, like [[cjkTokens]]. */
+  def cjkTokensDict(text: Column, dict: Seq[String] = CjkDict): Column = {
+    val dictArr = array(dict.map(lit): _*)
+    def isWord(w: Column) = array_contains(dictArr, w)
+    def fmm(t: Column): Column =
+      aggregate(
+        sequence(lit(1), length(t)),
+        struct(lit(1).as("pos"), lit("").as("out")),
+        (acc, i) => {
+          val pos = acc.getField("pos")
+          val out = acc.getField("out")
+          // longest match first; substr clamps at the token end, and a
+          // clamped candidate that IS a (shorter) dictionary word still
+          // counts at this length — the rule the DuckDB CTE and
+          // [[fmmSegment]] mirror verbatim
+          val stepExpr = (CjkDictMaxLen to 2 by -1).foldRight(lit(1)) {
+            (l, els) => when(isWord(t.substr(i, lit(l))), lit(l)).otherwise(els)
+          }
+          val tokExpr = (CjkDictMaxLen to 2 by -1)
+            .foldRight(t.substr(i, lit(1))) { (l, els) =>
+              val w = t.substr(i, lit(l))
+              when(isWord(w), w).otherwise(els)
+            }
+          when(i =!= pos, acc).otherwise(struct(
+            (pos + stepExpr).as("pos"),
+            concat(out, lit(" "), tokExpr).as("out")))
+        },
+        acc => acc.getField("out"))
+    flatten(transform(tokens(text), t =>
+      when(t.rlike(CjkPattern), split(ltrim(fmm(t)), " "))
+        .otherwise(array(t))))
+  }
+
+  /** [[cjkNormalize]] over the dictionary segmenter. */
+  def cjkNormalizeDict(text: Column): Column =
+    array_join(cjkTokensDict(text), " ")
+
+  /** Driver-side mirror of [[cjkTokensDict]]'s FMM over one CJK string —
+    * query-term segmentation and the spec's reference implementation. */
+  def fmmSegment(s: String, dict: Set[String] = CjkDict.toSet): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val hit = (CjkDictMaxLen to 2 by -1).iterator
+        .map(l => (l, s.slice(i, math.min(i + l, s.length))))
+        .find { case (_, w) => dict.contains(w) }
+      hit match {
+        case Some((l, w)) => out += w; i += l
+        case None => out += s.substring(i, i + 1); i += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Sliding-window token chunks — the RAG chunking stage of the text
     * pipeline the reference evidences but never wrote (its declared deps
     * embed sentence chunks; SURVEY.md intro): window `size` tokens

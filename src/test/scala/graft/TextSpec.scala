@@ -91,6 +91,45 @@ class TextSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((10L, 11L)))
   }
 
+  test("cjkTokensDict: FMM segments real words; measurably better than bigrams") {
+    import graft.text.TextAnalysis
+    val fixture = graft.queries.TextQueries.CjkFixture
+    val df = spark.createDataFrame(fixture).toDF("fid", "t")
+      .select(col("fid"),
+        TextAnalysis.cjkTokensDict(col("t")).as("dict_toks"),
+        TextAnalysis.cjkTokens(col("t")).as("bi_toks"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1), r.getSeq[String](2)))
+    val dict = TextAnalysis.CjkDict.toSet
+    df.foreach { case (fid, dictToks, biToks) =>
+      val original = fixture.find(_._1 == fid).get._2
+      // reconstruction: the segmentation is a partition of each token
+      assert(dictToks.mkString("") === original.replace(" ", ""), s"fid $fid")
+      // every multi-char CJK token is a REAL dictionary word
+      val cjkMulti = dictToks.filter(t =>
+        t.length >= 2 && t.exists(c => c >= 0x4E00 && c <= 0x9FFF))
+      assert(cjkMulti.forall(dict), s"fid $fid: $cjkMulti")
+      // the driver-side mirror agrees with the expression exactly
+      val mirrored = original.split(" ").toSeq.flatMap { tok =>
+        if (tok.exists(c => c >= 0x4E00 && c <= 0x9FFF))
+          TextAnalysis.fmmSegment(tok)
+        else Seq(tok)
+      }
+      assert(dictToks === mirrored, s"fid $fid")
+      // measurably better tokens: bigrams manufacture cross-word strings
+      // that are NOT words (false n-gram match surface); FMM does not
+      val biJunk = biToks.filter(t => t.length == 2 &&
+        t.exists(c => c >= 0x4E00 && c <= 0x9FFF) && !dict(t))
+      if (fid < 6) assert(biJunk.nonEmpty, s"fid $fid bigram junk expected")
+    }
+    // mean CJK token length: dictionary tokens are longer (real words)
+    val dictLens = df.flatMap(_._2).filter(_.exists(c => c >= 0x4E00 && c <= 0x9FFF)).map(_.length)
+    val biLens = df.flatMap(_._3).filter(_.exists(c => c >= 0x4E00 && c <= 0x9FFF)).map(_.length)
+    assert(dictLens.sum.toDouble / dictLens.size > biLens.sum.toDouble / biLens.size)
+    // query segmentation: real words, not bigrams
+    assert(graft.queries.TextQueries.cjkDictQueryTerms === Seq("向量", "数据库", "搜索"))
+  }
+
   test("cjkTokens invariants over generated mixed corpora") {
     import graft.text.TextAnalysis
     // deterministic generator mixing latin words, CJK runs, digits
