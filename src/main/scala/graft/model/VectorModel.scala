@@ -73,9 +73,10 @@ object VectorModel {
     * ~12 at sf0.001, ~1.2k at sf0.1), same vector formula as
     * [[partQueries]]. Stays a DataFrame: the big-batch paths never
     * collect it. */
-  def partQueriesBig(spark: SparkSession, sfDir: String): DataFrame =
+  def partQueriesBig(spark: SparkSession, sfDir: String,
+      modulus: Int = 16): DataFrame =
     spark.read.parquet(s"$sfDir/part.parquet")
-      .where(pmod(col("p_partkey"), lit(16)) === 0)
+      .where(pmod(col("p_partkey"), lit(modulus)) === 0)
       .select(
         col("p_partkey").as("query_id"),
         array(

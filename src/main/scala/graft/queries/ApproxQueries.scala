@@ -596,8 +596,13 @@ object ApproxQueries {
     * the collected entries keep the reference's probe-half rule. */
   def ivfBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    // 1/64 of part: nProbes=2 of 16 clusters still scans 12.5% of the
+    // corpus PER QUERY, so the candidate volume (not the query count) is
+    // the cost driver — the 1/16 sample benched 12 s at sf0.1 on 94M
+    // scored candidates, 4x the next-slowest serving entry
     graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
-      VectorModel.partQueriesBig(spark, dir), 3, nProbes = Some(2))
+      VectorModel.partQueriesBig(spark, dir, modulus = 64), 3,
+      nProbes = Some(2))
       .orderBy("query_id", "rn")
   }
 

@@ -73,10 +73,13 @@ class SearchSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
     // every registered query has either an oracle or is a known rows-only op
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rag_e2e is IVF-backed (k-means — approximate like every ivf path)
+    // rag_e2e is IVF-backed (k-means — approximate like every ivf path);
+    // ann_bin_batch_topk is the batch==single spec-gated twin of the
+    // hash-gated ann_bin_topk
     assert(rowsOnly.forall(n =>
       n.contains("hnsw") || n.contains("ivf") || n.contains("lsh") ||
-        n.contains("pq") || n.contains("approx") || n.contains("rag_e2e")),
+        n.contains("pq") || n.contains("approx") || n.contains("rag_e2e") ||
+        n.contains("bin_batch")),
       s"unexpected rows-only queries: $rowsOnly")
     // every oracle key has a matching query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
