@@ -46,7 +46,12 @@ object DevPlans {
     "ev_funnel" -> "conversion funnel: three nested per-user window minima over ONE user_id exchange (each stage's predicate references the previous stage's column) — no self-joins, no per-stage scans",
     "q_zorder_box" -> "z-ordered layout serving: both box conjuncts in PushedFilters over the Morton-clustered files — footer min/max stats prune 27 of 32 files (measured) with no index structure",
     "ev_props_json" -> "semi-structured extraction: get_json_object path expression in the scan projection (no struct materialization), Par-widened past the single-split scan, one partial-aggregated shuffle",
-    "dd_fuzzy_parts" -> "edit-distance fuzzy match: (brand, length-band) blocked SHUFFLED merge self-join (lossless banding: lev<=3 implies |len diff|<=3; no build-side broadcast, survives 100TB), native levenshtein in codegen — |block|^2 bounded per (brand,band), widened on the blocking keys")
+    "dd_fuzzy_parts" -> "edit-distance fuzzy match: (brand, length-band) blocked SHUFFLED merge self-join (lossless banding: lev<=3 implies |len diff|<=3; no build-side broadcast, survives 100TB), native levenshtein in codegen — |block|^2 bounded per (brand,band), widened on the blocking keys",
+    "vq_ivf_bigbatch" -> "DataFrame-native big-batch IVF: queries NEVER collected — codegen'd probe_clusters explode, then a SHUFFLED hash join on (cluster_id, salt) with the data side salted (k*S join granules past the 16-value key bottleneck); no BroadcastExchange of anything query-sized",
+    "vq_hnsw_routed_bigbatch" -> "DataFrame-native big-batch routed HNSW: probe-shard explode over the routing centroids, then ONE cogroup (two grouping exchanges) pairing each shard's graph rows with exactly its queries — graph restored once per shard, nothing on the driver",
+    "ann_lsh_bigbatch" -> "DataFrame-native big-batch LSH: per-table bucket expressions on the query DataFrame, admission/pointer-dedup/payload-fetch/score all as SHUFFLED equi-joins — the collected path's broadcasts replaced end-to-end",
+    "ann_bin_batch_topk" -> "batch binary serving: ONE Hamming scan evaluates every query's popcount-XOR sum in the same projection (struct-array explode), per-query k-bounded aggregator cut, bounded-candidate broadcast re-rank",
+    "tx_cjk_bm25_dict" -> "dictionary CJK segmentation: the FMM fold is ONE aggregate() expression per token (struct accumulator) inside the corpus projection — no UDF, no extra pass; the segmented fixture broadcast-joins documents like the bigram twin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
