@@ -1010,13 +1010,29 @@ object LshAnn {
   def bigBatchSearchStored(layout: DataFrame, model: LshTables,
       queries: DataFrame, topK: Int,
       vecCol: String = "vector", idCol: String = "id",
-      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec",
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"bigBatch probe radius must be 0 (own bucket) or 1 (all single-bit " +
+        s"flips — the closed-form neighborhoods), got $probeRadius")
     val q0 = graft.operators.Par.widen(queries)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(queryVecCol).cast("array<double>").as("qvec"))
     val qb = withTableBuckets(q0, "qvec", model)
-    val probeEntries = array((0 until model.numTables).map { t =>
-      struct(lit(t).as(TableCol), col(s"lsh_b$t").as(BucketCol))
+    // per-table probe buckets: the own bucket, plus — at radius 1 —
+    // every single-bit flip (qb XOR (1<<b)); XOR over non-negative ints
+    // is expressible as conditional add/subtract, keeping the whole probe
+    // set closed-form expressions (the margin-RANKED multi-probe stream
+    // stays a driver-side algorithm — the collected paths own it)
+    def flips(b: Column): Seq[Column] =
+      if (probeRadius == 0) Seq(b)
+      else b +: (0 until model.numBits).map { bit =>
+        val m = 1 << bit
+        when(b.bitwiseAND(lit(m)) =!= 0, b - m).otherwise(b + m)
+      }
+    val probeEntries = array((0 until model.numTables).flatMap { t =>
+      flips(col(s"lsh_b$t")).map(bk =>
+        struct(lit(t).as(TableCol), bk.cast("int").as(BucketCol)))
     }: _*)
     val qdf = qb
       .select(col("query_id"), explode(probeEntries).as("e"))

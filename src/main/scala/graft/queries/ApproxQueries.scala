@@ -621,8 +621,13 @@ object ApproxQueries {
     val qdf = VectorModel.embeddings(spark, dir)
       .where(pmod(col("vec_id"), lit(16)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // radius 1 (own bucket + every single-bit flip, still closed-form
+    // expressions) is the recall-bearing operating point — radius 0
+    // measures near zero recall at 10 bits (RecallSpec); the radius-0
+    // path stays the parity twin BigBatchSpec gates against the
+    // collected probes=1 path
     graft.index.LshAnn.bigBatchSearchStored(lshFrame(spark, path), model,
-      qdf, 3, vecCol = "embedding", idCol = "vec_id")
+      qdf, 3, vecCol = "embedding", idCol = "vec_id", probeRadius = 1)
       .orderBy("query_id", "rn")
   }
 

@@ -147,6 +147,60 @@ class RecallSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"), p.take(2000))
   }
 
+  test("big-batch LSH operating points: recall far above scanned fraction at both radii") {
+    import graft.index.LshAnn
+    import org.apache.spark.sql.functions._
+    // the bigbatch probe budgets are closed-form expressions: radius 0 =
+    // each table's own bucket, radius 1 = plus every single-bit flip.
+    // Measured at sf0.01 (10k embeddings), where the 10-bit buckets carry
+    // realistic mass (~10 rows) instead of sf0.001's singletons.
+    val (path, model) = graft.queries.ApproxQueries.lshLayout(spark, Sf001)
+    val layout = spark.read.parquet(path)
+    val emb01 = VectorModel.embeddings(spark, Sf001)
+    val n = emb01.count().toDouble
+    val bucketed = LshAnn.withTableBuckets(emb01, "embedding", model).cache()
+    val nQ = 6
+    val qdf = spark.createDataFrame(
+      (0 until nQ).map(s => (s.toLong, VectorModel.syntheticQuery(s))))
+      .toDF("query_id", "qvec")
+    val exact = (0 until nQ).map(s =>
+      s.toLong -> VectorSearch.bruteForceTopK(emb01,
+        VectorModel.syntheticQuery(s), 10, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet).toMap
+    def measure(radius: Int): (Double, Double) = {
+      val byQ = LshAnn.bigBatchSearchStored(layout, model, qdf, 10,
+        vecCol = "embedding", idCol = "vec_id", probeRadius = radius)
+        .collect().groupBy(_.getLong(0))
+      val r = (0 until nQ).map { s =>
+        val got = byQ.getOrElse(s.toLong, Array.empty).map(_.getLong(1)).toSet
+        exact(s.toLong).intersect(got).size.toDouble / 10
+      }.sum / nQ
+      val frac = (0 until nQ).map { s =>
+        val q = VectorModel.syntheticQuery(s)
+        val pred = (0 until model.numTables).map { t =>
+          val qb = LshAnn.probeSet(q, model.planes(t), model.biases(t), 1).head
+          val buckets = if (radius == 0) Seq(qb)
+            else qb +: (0 until model.numBits).map(b => qb ^ (1 << b))
+          col(s"lsh_b$t").isin(buckets: _*)
+        }.reduce(_ || _)
+        bucketed.where(pred).count().toDouble / n
+      }.sum / nQ
+      (r, frac)
+    }
+    val (r0, f0) = measure(0)
+    val (r1, f1) = measure(1)
+    info(s"bigbatch LSH radius0: recall@10 = $r0 at scanned $f0")
+    info(s"bigbatch LSH radius1: recall@10 = $r1 at scanned $f1")
+    // radius 0 is the throughput/near-dup point: ~0.5% scanned, recall
+    // near zero at 10 bits (P[an exact neighbor shares all 10 signs] is
+    // tiny — the reason multi-probe exists). Radius 1 is the registered
+    // entry's operating point: it must beat a random scan of the same
+    // fraction by a wide margin and strictly improve on radius 0.
+    assert(f0 <= 0.05 && f1 <= 0.2, s"scan fractions: $f0 / $f1")
+    assert(r1 >= 3 * f1, s"radius1 recall $r1 vs baseline $f1")
+    assert(r1 > r0, s"radius 1 must improve recall: $r0 -> $r1")
+  }
+
   test("HNSW recall@10 on lineitem vectors >= 0.8") {
     val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
     val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10, numPartitions = 8)
