@@ -64,6 +64,14 @@ object ModelExpressions {
     ColumnBridge.column(ProbeClusters(
       dbl(vec), new IvfKernel(centroids), nProbes))
 
+  /** ADAPTIVE probe list by candidate mass
+    * ([[graft.index.Ivf.IvfModel.probeClustersAdaptive]] per row —
+    * `sizes` is the per-cluster row-count array, index = cluster id). */
+  def probeClustersAdaptive(vec: Column, centroids: Array[Array[Double]],
+      sizes: Array[Long], minCandidates: Long, minProbes: Int): Column =
+    ColumnBridge.column(ProbeClustersAdaptive(
+      dbl(vec), new IvfKernel(centroids), sizes, minCandidates, minProbes))
+
   /** PQ-encode a raw vector (W8 compress). */
   def pqEncode(vec: Column, pq: ProductQuantizer): Column =
     ColumnBridge.column(PqEncode(
@@ -210,6 +218,53 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
       o += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADAPTIVE probe list — the executor-side mirror of
+    * [[graft.index.Ivf.IvfModel.probeClustersAdaptive]]: walk the
+    * centroids in the SAME (cosine desc, index asc) ranked order as
+    * [[probes]] and stop once the probed clusters' cumulative row count
+    * (`sizes`, indexed by cluster id) reaches `minCandidates`, floored at
+    * `minProbes`. Same candidate-mass contract, evaluated per query ROW —
+    * the piece that makes the DataFrame-native big-batch path adaptive. */
+  def probesAdaptive(v: ArrayData, sizes: Array[Long], minCandidates: Long,
+      minProbes: Int): ArrayData = {
+    checkLen(v)
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        val x = c(i); val y = v.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      sims(j) = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      j += 1
+    }
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](k)
+    var cum = 0L
+    var o = 0
+    while (o < k && (cum < minCandidates || o < minProbes)) {
+      var best = -1; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        if (!taken(c) && sims(c) > bestS) { bestS = sims(c); best = c }
+        c += 1
+      }
+      if (best < 0) {
+        var c2 = 0
+        while (taken(c2)) c2 += 1
+        best = c2
+      }
+      taken(best) = true
+      out(o) = best
+      cum += (if (best < sizes.length) sizes(best) else 0L)
+      o += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, o))
   }
 }
 
@@ -360,6 +415,23 @@ case class ProbeClusters(child: Expression, kernel: IvfKernel, nProbes: Int)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "probe_clusters"
+}
+
+case class ProbeClustersAdaptive(child: Expression, kernel: IvfKernel,
+    sizes: Array[Long], minCandidates: Long, minProbes: Int)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Vec)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    kernel.probesAdaptive(v.asInstanceOf[ArrayData], sizes, minCandidates, minProbes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfKernel", kernel, classOf[IvfKernel].getName)
+    val sz = ctx.addReferenceObj("ivfSizes", sizes, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $k.probesAdaptive($v, $sz, ${minCandidates}L, $minProbes);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "probe_clusters_adaptive"
 }
 
 case class PqEncode(child: Expression, kernel: PqKernel)

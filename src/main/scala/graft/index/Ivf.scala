@@ -508,22 +508,34 @@ object Ivf {
     * cluster_id alone has only `model.k` values — too few join keys for a
     * cluster — so the data side is salted by `hash(id) mod S` and the
     * (small) probe rows are replicated S ways, giving k·S join granules
-    * with each (query, candidate) pair matched exactly once. Same probe
-    * rule as the collected fixed path (`nProbes` defaults to max(k/2, 8)),
-    * so BigBatchSpec gates exact result parity against [[batchSearch]]. */
+    * with each (query, candidate) pair matched exactly once. Probe rules
+    * mirror the collected path exactly: fixed max(k/2, 8) by default, or
+    * — with `sizes` — the ADAPTIVE candidate-mass walk evaluated PER
+    * QUERY ROW by the codegen'd ProbeClustersAdaptive kernel (identical
+    * ranking and stop rule, so join volume scales with each query's
+    * candidate need). BigBatchSpec gates exact result parity against
+    * [[batchSearch]] on both modes. */
   def bigBatchSearch(assigned: DataFrame, model: IvfModel, queries: DataFrame,
       topK: Int, queryIdCol: String = "query_id", queryVecCol: String = "qvec",
       vecCol: String = "vector", idCol: String = "id",
-      nProbes: Option[Int] = None): DataFrame = {
+      nProbes: Option[Int] = None, sizes: Option[Map[Int, Long]] = None,
+      overscan: Int = 16, minProbes: Int = 3): DataFrame = {
     val np = nProbes.getOrElse(math.max(model.k / 2, 8))
     val spark = assigned.sparkSession
     val salts = math.max(1, spark.sparkContext.defaultParallelism)
+    val probeList = sizes match {
+      case Some(sz) =>
+        val arr = Array.tabulate(model.k)(c => sz.getOrElse(c, 0L))
+        graft.functions.ModelExpressions.probeClustersAdaptive(
+          col("qvec"), model.centroids, arr, overscan.toLong * topK, minProbes)
+      case None =>
+        graft.functions.ModelExpressions.probeClusters(
+          col("qvec"), model.centroids, np)
+    }
     val probed = graft.operators.Par.widen(queries)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(queryVecCol).cast("array<double>").as("qvec"))
-      .select(col("query_id"), col("qvec"),
-        explode(graft.functions.ModelExpressions
-          .probeClusters(col("qvec"), model.centroids, np)).as("cluster_id"))
+      .select(col("query_id"), col("qvec"), explode(probeList).as("cluster_id"))
       .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
     val data = assigned
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
