@@ -335,7 +335,8 @@ object Dedup {
     * natural corpora concentrates near-dup clusters (the pairs we want
     * anyway); a production budget tighter than 12/60 bits sharpens the
     * prune exponentially. */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 12, bits: Int = 60): DataFrame = {
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12, bits: Int = 60,
+      skewSalt: Int = 1): DataFrame = {
     val nBands = maxHamming + 1
     val widths = Array.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
@@ -348,9 +349,25 @@ object Dedup {
       sh.select(col("doc"), col("simhash"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bv"))),
       col("band"), col("bv"))
-    bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc") < col("b.doc"))
+    // same opt-in salting as the MinHash band join (see [[bandJoin]]):
+    // a mass-duplicated fingerprint makes one (band, bv) bucket carry
+    // m²/2 indivisible pair work per band — salt subdivides it S ways
+    val joined =
+      if (skewSalt <= 1)
+        bl.as("a").join(bl.hint("shuffle_hash").as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc") < col("b.doc"))
+      else {
+        val probe = Par.spread(
+          bl.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
+          col("band"), col("bv"), col("salt"))
+        val build = bl.withColumn("salt",
+          explode(array((0 until skewSalt).map(lit(_)): _*)))
+        probe.as("a").join(build.hint("shuffle_hash").as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
+      }
+    joined
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()

@@ -153,6 +153,15 @@ class SkewSpec extends SparkSpec {
       s"salted tasks near-even: max=$max8 total=$total8")
   }
 
+  test("SimHash band join: skew salt preserves the exact pair set") {
+    val sh = Dedup.simhash(hotDocs, "doc_id", "text")
+    def pairs(salt: Int) = Dedup.simhashPairs(sh, 12, skewSalt = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p1 = pairs(1)
+    assert(p1.size >= 300 * 299 / 2, "hot fingerprint cluster pairs expected")
+    assert(pairs(8) === p1)
+  }
+
   test("banded n-gram Jaccard: skew salt preserves the exact pair set") {
     val sig = Dedup.minhashSignatures(hotDocs, "doc_id", "text",
       numHashes = 32)
