@@ -1026,6 +1026,56 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     }
   }
 
+  /** Extension — [[batchSearch]] for QUERY SETS TOO LARGE TO COLLECT:
+    * `queries` is a DataFrame (query_id LONG, qvec ARRAY<DOUBLE>). The
+    * index-backed methods serve it end-to-end without driver or broadcast
+    * materialization (probe assignment in codegen expressions, shuffled
+    * joins / cogroup — the `bigBatch*` engine paths, 10k-query parity
+    * spec-gated against the collected dispatch); `brute_force` is the
+    * exact all-pairs scorer, which keeps the broadcast cross-join shape —
+    * its cost is |queries|·|corpus| similarity math, so the broadcast is
+    * never its bottleneck.
+    *
+    * Big-batch is a BULK serving path, so unlike [[batchSearch]] it does
+    * not fall back to per-query merge serving: `hnsw` and `lsh` require a
+    * CLEAN persisted layout covering every row (run [[maintainIndexes]]
+    * after writes), and `hnsw` requires the routed layout (shard routing
+    * is what gives each graph only its own queries). `ivf` re-assigns
+    * live rows on write like the collected path, so it is always
+    * servable. */
+  def batchSearchDf(queries: DataFrame, topK: Int = 5,
+      method: String = "brute_force", efSearch: Int = 128): DataFrame =
+    method match {
+      case "brute_force" =>
+        VectorSearch.batchTopK(data, queries.select(
+          col("query_id").cast("long").as("query_id"),
+          col("qvec").cast("array<double>").as("qvec")), dim, topK)
+      case "ivf" =>
+        val (assigned, model) = ivf.getOrElse(
+          throw new IllegalStateException("IVF index not built"))
+        Ivf.bigBatchSearch(assigned, model, queries, topK)
+      case "hnsw" =>
+        val p = hnswPath.getOrElse(
+          throw new IllegalStateException("HNSW index not built"))
+        if (!hnswRouted || hnswMutated || hnswCoveredUpTo != nextId)
+          throw new IllegalStateException(
+            "big-batch HNSW serves from a CLEAN routed layout: build with " +
+              "routed=true and run maintainIndexes() after writes")
+        graft.index.HnswStore.bigBatchTopKRouted(spark, p, queries, topK,
+          probes = hnswRoutedProbes, efSearch = efSearch)
+      case "lsh" =>
+        val root = lshRoot.getOrElse(
+          throw new IllegalStateException("LSH index not built"))
+        if (lshMutated || lshCoveredUpTo != nextId)
+          throw new IllegalStateException(
+            "big-batch LSH serves from a CLEAN layout: run " +
+              "maintainIndexes() after writes")
+        graft.index.LshAnn.bigBatchSearchStored(lshLayoutFrame(root),
+          lshModel.get, queries, topK, probeRadius = 1)
+      case other => throw new IllegalArgumentException(
+        s"unknown big-batch method '$other' (expected brute_force|hnsw|ivf|lsh)")
+    }
+
   /** Extension (graft.index.IvfPq): build the composed IVF-PQ index —
     * cluster assignment + residual PQ codes, the scan-m-bytes-from-probed-
     * partitions scale path. Maintained incrementally on writes like IVF

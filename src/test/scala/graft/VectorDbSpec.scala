@@ -608,4 +608,40 @@ class VectorDbSpec extends SparkSpec {
     intercept[IllegalArgumentException] { db.batchSearch(queries, topK = 2, method = "bogus") }
     intercept[IllegalArgumentException] { db.filteredSearch(Seq.fill(8)(5.0), 3, method = "bogus") }
   }
+
+  test("batchSearchDf (DataFrame queries) equals the collected dispatch; guards dirty layouts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val db = new graft.api.VectorDb(spark, dim = 4)
+    val rows = (0 until 300).map { i =>
+      (Seq(1.0 + i % 7, 2.0 + i % 5, 3.0 + i % 3, (i % 11).toDouble),
+        Map("i" -> i.toString))
+    }
+    db.batchInsert(rows)
+    db.buildIvfIndex(k = 4)
+    val queries = (0 until 40).map(s =>
+      Seq(1.0 + s % 7, 2.0 + s % 5, 3.0 + s % 3, (s % 11).toDouble))
+    val qdf = queries.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("query_id", "qvec")
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // ivf: the DataFrame path must equal the collected dispatch exactly
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivf")) ===
+      sets(db.batchSearch(queries, topK = 3, method = "ivf")))
+    // brute force: same exact scorer, same results
+    assert(sets(db.batchSearchDf(qdf, topK = 3)) ===
+      sets(db.batchSearch(queries, topK = 3)))
+    // big-batch is a bulk path: no merge fallback — dirty layouts throw
+    db.buildLshIndex()
+    db.insert(Seq(9.0, 9.0, 9.0, 9.0))
+    intercept[IllegalStateException] {
+      db.batchSearchDf(qdf, topK = 3, method = "lsh")
+    }
+    assert(db.maintainIndexes(maxDeltaFraction = 0.0).nonEmpty)
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "lsh")).nonEmpty)
+    intercept[IllegalArgumentException] {
+      db.batchSearchDf(qdf, topK = 3, method = "bogus")
+    }
+  }
 }
