@@ -256,20 +256,34 @@ object Dedup {
     * stages from byte-based coalescing also exempt them from AQE's
     * skew-join splitting, so skew handling must be explicit. */
   private def bandJoin(bl: DataFrame, skewSalt: Int = 1): DataFrame =
+    saltedSelfJoin(bl, Seq("band", "bh"), "doc", skewSalt)
+
+  /** The shared salted self-join core of every banded pair generator
+    * ([[bandJoin]], [[simhashPairs]]): equi-join `bl` with itself on
+    * `keys` with `docCol` ordering; `skewSalt` > 1 salts the probe side
+    * by `hash(doc) mod S` and replicates the build side S ways with salt
+    * equality as an extra key — every qualifying pair still matches
+    * exactly once, per-task pair work drops ~S×. One definition so the
+    * salting contract (hash choice, replication shape, width pinning)
+    * cannot drift between the shapes that share it. */
+  private def saltedSelfJoin(bl: DataFrame, keys: Seq[String],
+      docCol: String, skewSalt: Int): DataFrame = {
+    def eq(a: String, b: String) =
+      keys.map(k => col(s"$a.$k") === col(s"$b.$k")).reduce(_ && _)
     if (skewSalt <= 1)
       bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc") < col("b.doc"))
+        eq("a", "b") && col(s"a.$docCol") < col(s"b.$docCol"))
     else {
       val probe = Par.spread(
-        bl.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
-        col("band"), col("bh"), col("salt"))
+        bl.withColumn("salt", pmod(hash(col(docCol)), lit(skewSalt))),
+        (keys :+ "salt").map(col): _*)
       val build = bl.withColumn("salt",
         explode(array((0 until skewSalt).map(lit(_)): _*)))
       probe.as("a").join(build.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
+        eq("a", "b") && col("a.salt") === col("b.salt") &&
+          col(s"a.$docCol") < col(s"b.$docCol"))
     }
+  }
 
   /** Distinct candidate pairs sharing at least one signature band. */
   private[graft] def bandedCandidatePairs(sig: DataFrame, numHashes: Int,
@@ -349,25 +363,11 @@ object Dedup {
       sh.select(col("doc"), col("simhash"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bv"))),
       col("band"), col("bv"))
-    // same opt-in salting as the MinHash band join (see [[bandJoin]]):
-    // a mass-duplicated fingerprint makes one (band, bv) bucket carry
-    // m²/2 indivisible pair work per band — salt subdivides it S ways
-    val joined =
-      if (skewSalt <= 1)
-        bl.as("a").join(bl.hint("shuffle_hash").as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc") < col("b.doc"))
-      else {
-        val probe = Par.spread(
-          bl.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
-          col("band"), col("bv"), col("salt"))
-        val build = bl.withColumn("salt",
-          explode(array((0 until skewSalt).map(lit(_)): _*)))
-        probe.as("a").join(build.hint("shuffle_hash").as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.salt") === col("b.salt") && col("a.doc") < col("b.doc"))
-      }
-    joined
+    // same opt-in salting as the MinHash band join — one shared
+    // implementation ([[saltedSelfJoin]]): a mass-duplicated fingerprint
+    // makes one (band, bv) bucket carry m²/2 indivisible pair work per
+    // band, salt subdivides it S ways
+    saltedSelfJoin(bl, Seq("band", "bv"), "doc", skewSalt)
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()

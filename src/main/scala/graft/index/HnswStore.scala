@@ -285,12 +285,6 @@ object HnswStore {
     sizes.forall(_ <= maxSplit)
   }
 
-  /** Restore every graph co-resident with a task and run `search` on it.
-    * Graph parameters come from the layout's meta sidecar (build-time
-    * values); `m`/`efConstruction` are the fallback for layouts without
-    * one. Every restored group is structurally asserted complete against
-    * the stored shard row count — a split shard fails loudly, never serves
-    * partial-graph results. */
   /** Rebuild one shard's graph from its stored rows, asserting the group
     * is structurally complete against the stored shard row count — a split
     * shard fails loudly, never serves partial-graph results. Lives in its
@@ -311,6 +305,11 @@ object HnswStore {
     }
   }
 
+  /** Restore every graph co-resident with a task and run `search` on it.
+    * Graph parameters come from the layout's meta sidecar (build-time
+    * values); `m`/`efConstruction` are the fallback for layouts without
+    * one. Restoration goes through [[RestoreGroup]]'s structural
+    * completeness assertion. */
   private def served[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, path: String, m: Int, efConstruction: Int,
       parts: Option[Seq[Int]] = None)(

@@ -522,7 +522,13 @@ object Ivf {
       overscan: Int = 16, minProbes: Int = 3): DataFrame = {
     val np = nProbes.getOrElse(math.max(model.k / 2, 8))
     val spark = assigned.sparkSession
-    val salts = math.max(1, spark.sparkContext.defaultParallelism)
+    // k*S join granules should cover the cluster's parallelism — S scaled
+    // by k and CAPPED: the salt replicates the PROBE rows (which grow
+    // with |queries|), so an unbounded S = defaultParallelism would blow
+    // the probe-side shuffle up by cluster width on exactly the path
+    // built for huge query sets
+    val salts = math.min(64, math.max(1,
+      math.ceil(spark.sparkContext.defaultParallelism.toDouble / model.k).toInt))
     val probeList = sizes match {
       case Some(sz) =>
         val arr = Array.tabulate(model.k)(c => sz.getOrElse(c, 0L))

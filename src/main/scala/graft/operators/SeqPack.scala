@@ -132,12 +132,7 @@ object SeqPack {
     * ≥ 1 even for empty text). */
   def pack(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
       shards: Int = 32): DataFrame =
-    offsets(df, idCol, nTokensCol, shards)
-      .select(col(idCol), col("start"),
-        expr(s"start div $cap").as("seq"),
-        (col("start") % cap).as("off"),
-        (expr(s"(start + n - 1) div $cap") - expr(s"start div $cap") + 1L)
-          .as("n_seqs"))
+    placed(offsets(df, idCol, nTokensCol, shards), idCol, cap, carryN = false)
 
   /** The exploded window-placement map — one row per (doc, window) pair
     * with the token range `[a, b]` the doc occupies inside that window:

@@ -61,6 +61,11 @@ object ZOrder {
     val top = (1L << bits) - 1
     cols.indices.foreach { j =>
       val span = maxs(j) - mins(j)
+      // a full-64-bit domain wraps the span negative — fail loudly
+      // instead of normalizing by a negative divisor
+      require(span >= 0,
+        s"zorder: key domain of ${cols(j)} spans more than a signed " +
+          "BIGINT (max - min overflows) — pre-bucket the column")
       require(span <= Long.MaxValue / top,
         s"zorder: key span of ${cols(j)} ($span) overflows the " +
           s"normalization product at bits=$bits — reduce bits or " +
@@ -90,9 +95,12 @@ object ZOrder {
     * compact N-dimensional boxes — regardless of skew. */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
       bits: Int, numFiles: Int): Unit = {
+    // null count over the CAST value (the space the Morton key is built
+    // in): a non-numeric string casts to NULL without being null itself
+    // and would otherwise slip past the guard into an arbitrary cluster
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")), max(col(c).cast("long")),
-      sum(when(col(c).isNull, 1L).otherwise(0L))))
+      sum(when(col(c).cast("long").isNull, 1L).otherwise(0L))))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     cols.indices.foreach { j =>
       // a null min/max means an empty input or an all-null key column; a

@@ -506,8 +506,9 @@ object StreamingIngest {
       cap: Int, idCol: String = "doc_id", nTokensCol: String = "n_tokens",
       shards: Int = 32): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        packAppendBatch(batch, layoutPath, cap, idCol, nTokensCol, shards)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packAppendBatch(batch, layoutPath, cap, idCol, nTokensCol, shards,
+          batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -515,44 +516,72 @@ object StreamingIngest {
 
   private val PackTotalFile = "_graft_pack_total"
 
+  /** One micro-batch of the pack — IDEMPOTENT under foreachBatch's
+    * at-least-once replay contract:
+    *
+    *  - each batch lands in its own `batch=<id>` partition dir with
+    *    OVERWRITE semantics, so a replayed batch rewrites the same dir
+    *    with the identical (deterministic) rows instead of appending
+    *    duplicates at shifted bases;
+    *  - the sidecar records (lastBatchId, total); a replay whose id is
+    *    already recorded skips entirely, and a replay after a crash
+    *    between the data write and the sidecar write recomputes from the
+    *    PRE-batch total (the sidecar still holds it) and overwrites the
+    *    partial dir — same rows, then the sidecar commit. */
   private[graft] def packAppendBatch(batch: DataFrame, layoutPath: String,
-      cap: Int, idCol: String, nTokensCol: String, shards: Int): Unit = {
+      cap: Int, idCol: String, nTokensCol: String, shards: Int,
+      batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = readPackTotal(spark, layoutPath)
+    val (lastId, base) = readPackState(spark, layoutPath)
+    if (batchId <= lastId) return // replay of an already-committed batch
     val packed = graft.operators.SeqPack.packFrom(
       batch, idCol, org.apache.spark.sql.functions.col(nTokensCol), cap,
       base, shards)
-    packed.write.mode("append").parquet(layoutPath)
+    packed.write.mode("overwrite").parquet(s"$layoutPath/batch=$batchId")
     val batchTokens = batch.agg(
       org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col(nTokensCol).cast("long")),
         org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
-    writePackTotal(spark, layoutPath, base + batchTokens)
+    writePackState(spark, layoutPath, batchId, base + batchTokens)
   }
 
-  /** Running token total of a pack layout: the sidecar when present,
-    * else re-derived from the layout (self-healing), else 0 (fresh). */
-  private[graft] def readPackTotal(spark: SparkSession, layoutPath: String): Long = {
+  /** (lastBatchId, running token total) of a pack layout: the sidecar
+    * when present, else re-derived from the layout (self-healing after a
+    * lost sidecar — max over COMMITTED rows; correct because every
+    * committed batch dir is complete by the overwrite contract), else
+    * (-1, 0) for a fresh layout. */
+  private[graft] def readPackState(spark: SparkSession, layoutPath: String)
+      : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
     val sp = new org.apache.hadoop.fs.Path(p, PackTotalFile)
     if (fs.exists(sp)) {
       val in = fs.open(sp)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.split(" ") match {
+        case Array(id, tot) => (id.toLong, tot.toLong)
+        case Array(tot) => (-1L, tot.toLong) // pre-idempotency sidecar
+      }
     } else if (graft.store.Fs.exists(spark, layoutPath) &&
         graft.store.Fs.dataFileCount(spark, layoutPath) > 0) {
       import org.apache.spark.sql.functions._
-      spark.read.parquet(layoutPath)
-        .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)
-    } else 0L
+      val r = spark.read.parquet(layoutPath)
+        .agg(coalesce(max(col("start") + col("n")), lit(0L)),
+          coalesce(max(col("batch").cast("long")), lit(-1L))).head
+      (r.getLong(1), r.getLong(0))
+    } else (-1L, 0L)
   }
 
-  private def writePackTotal(spark: SparkSession, layoutPath: String,
-      total: Long): Unit = {
+  /** Running token total (compatibility accessor — see [[readPackState]]). */
+  private[graft] def readPackTotal(spark: SparkSession, layoutPath: String): Long =
+    readPackState(spark, layoutPath)._2
+
+  private def writePackState(spark: SparkSession, layoutPath: String,
+      batchId: Long, total: Long): Unit = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
     val out = fs.create(new org.apache.hadoop.fs.Path(p, PackTotalFile), true)
-    try out.write(s"$total\n".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$batchId $total\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** File-count-triggered compaction of the streaming semantic state —

@@ -784,5 +784,11 @@ class StreamingSpec extends SparkSpec {
     val total = StreamingIngest.readPackTotal(spark, s"$base/pack")
     val expected = docs.agg(sum("n_tokens")).head.getLong(0)
     assert(total === expected)
+    // foreachBatch is at-least-once: a REPLAYED batch id must be a no-op
+    // (the committed-id guard), never duplicate rows or shift bases
+    StreamingIngest.packAppendBatch(docs.where(epochOf === 2), s"$base/pack",
+      cap, "doc_id", "n_tokens", 8, batchId = 2L)
+    assert(rows(spark.read.parquet(s"$base/pack")) === grown)
+    assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
   }
 }
