@@ -59,7 +59,7 @@ object Bench {
       (s, d) => { queries.ApproxQueries.hnswRoutedLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
-    ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
+    ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk", "ann_ivfpq_bigbatch"),
       (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
     ("build_lsh_layout", Set("ann_lsh_topk", "ann_lsh_batch_topk", "ann_lsh_bigbatch"),
       // bucket sizes warm here too: the adaptive probe walk's mass

@@ -104,6 +104,14 @@ object ModelExpressions {
       ColumnBridge.expression(clusterId), ColumnBridge.expression(code),
       new AdcKernel(luts)))
 
+  /** Direct (LUT-free) residual ADC score from the query vector itself —
+    * the big-batch scorer ([[graft.index.IvfPq.bigBatchSearch]]). */
+  def adcScoreDirect(qvec: Column, clusterId: Column, code: Column,
+      pq: ProductQuantizer, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(AdcScoreDirect(
+      dbl(qvec), ColumnBridge.expression(clusterId),
+      ColumnBridge.expression(code), new PqKernel(pq, centroids)))
+
   /** ADC score with per-(query, cluster) LUTs
     * ([[graft.index.IvfPq.batchSearch]]). */
   def adcScoreBatch(queryId: Column, clusterId: Column, code: Column,
@@ -298,6 +306,41 @@ final class PqKernel(val pq: ProductQuantizer,
 
   def decode(code: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(pq.decode(code))
+
+  /** Direct residual ADC score — the LUT-free spelling for the
+    * DataFrame-native big batch ([[graft.index.IvfPq.bigBatchSearch]]):
+    * -sum_s ||(v - centroid(cl))_s - codebook_s(code_s)||^2 computed per
+    * row with the SAME per-subspace accumulation order (and the same
+    * final negation) as the [[BatchAdcKernel]] LUT construction + lookup,
+    * so scores are bit-identical to the collected batch path. Costs
+    * O(dim) per row instead of the LUT's O(m) lookups — the LUT
+    * amortization needs per-(query, cluster) driver state, which is
+    * exactly what the big-batch path refuses to hold. */
+  def adcDirect(v: ArrayData, cl: Int, code: Array[Byte]): Double = {
+    checkLen(v)
+    val m = pq.m
+    val subDim = pq.subDim
+    if (code.length != m)
+      throw new IllegalArgumentException(
+        s"pq_code of ${code.length} bytes does not match the model's m=$m")
+    val cent = centroids(cl)
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val cb = pq.codebooks(i)(code(i) & 0xff)
+      var d = 0.0
+      var j = 0
+      while (j < subDim) {
+        val x = i * subDim + j
+        val diff = (v.getDouble(x) - cent(x)) - cb(j)
+        d += diff * diff
+        j += 1
+      }
+      s += d
+      i += 1
+    }
+    -s
+  }
 }
 
 /** ADC lookup-table scorer: luts indexed by cluster_id (one entry for the
@@ -502,6 +545,22 @@ case class AdcScoreClustered(left: Expression, right: Expression, kernel: AdcKer
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "adc_score_clustered"
+}
+
+case class AdcScoreDirect(first: Expression, second: Expression, third: Expression,
+    kernel: PqKernel) extends TernaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Vec, Int32, Bin)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(q: Any, cl: Any, c: Any): Any =
+    kernel.adcDirect(q.asInstanceOf[ArrayData], cl.asInstanceOf[Int],
+      c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+    nullSafeCodeGen(ctx, ev, (q, cl, c) => s"${ev.value} = $k.adcDirect($q, $cl, $c);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+  override def prettyName: String = "adc_score_direct"
 }
 
 case class AdcScoreBatch(first: Expression, second: Expression, third: Expression,

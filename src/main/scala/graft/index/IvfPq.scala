@@ -226,4 +226,63 @@ object IvfPq {
       round(col("sim_raw"), 6), topK)
       .withColumnRenamed("id", idCol)
   }
+
+  /** [[batchSearch]] for query sets too large to collect: the queries
+    * stay a DataFrame end-to-end. Probe lists come from the codegen'd
+    * ProbeClusters / ProbeClustersAdaptive kernels per query row; ADC
+    * scores come from the LUT-free [[graft.functions.ModelExpressions
+    * .adcScoreDirect]] kernel (bit-identical arithmetic to the collected
+    * path's per-(query, cluster) LUTs — the LUT is pure precomputation,
+    * which is exactly the driver state this path refuses to hold); the
+    * probe join salts the k-valued cluster_id key like
+    * [[Ivf.bigBatchSearch]]; the exact refine joins candidates, raw
+    * vectors, and query vectors with SHUFFLE joins. BigBatchSpec gates
+    * exact 10k-query parity against [[batchSearch]]. */
+  def bigBatchSearch(encoded: DataFrame, model: IvfPqModel,
+      queries: DataFrame, topK: Int, refineFrom: DataFrame,
+      refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec",
+      sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
+      minProbes: Int = 3): DataFrame = {
+    val spark = encoded.sparkSession
+    val nProbes = math.max(model.ivf.k / 2, 8)
+    val probeList = sizes match {
+      case Some(sz) =>
+        val arr = Array.tabulate(model.ivf.k)(c => sz.getOrElse(c, 0L))
+        graft.functions.ModelExpressions.probeClustersAdaptive(
+          col("qvec"), model.ivf.centroids, arr, overscan.toLong * topK, minProbes)
+      case None =>
+        graft.functions.ModelExpressions.probeClusters(
+          col("qvec"), model.ivf.centroids, nProbes)
+    }
+    val salts = math.min(64, math.max(1,
+      math.ceil(spark.sparkContext.defaultParallelism.toDouble / model.ivf.k).toInt))
+    val q0 = graft.operators.Par.widen(queries)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qvec"))
+    val probed = q0
+      .select(col("query_id"), col("qvec"), explode(probeList).as("cluster_id"))
+      .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val data = encoded.withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+    val cand = probed.hint("shuffle_hash")
+      .join(data, Seq("cluster_id", "__salt"))
+      .withColumn("adc", graft.functions.ModelExpressions.adcScoreDirect(
+        col("qvec"), col("cluster_id"), col("pq_code"),
+        model.pq, model.ivf.centroids))
+      .select(col("query_id"), col(idCol), col("adc"))
+    val keep = graft.operators.TopK
+      .perGroupTopK(cand, "query_id", col(idCol), col("adc"),
+        math.max(topK, refineFactor * topK))
+      .select(col("query_id"), col("id").as(idCol))
+    // rank on the ROUNDED similarity like the collected path (see
+    // batchSearch) — raw ranking could reorder rounding ties
+    val joined = refineFrom
+      .join(keep.hint("shuffle_hash"), idCol)
+      .join(q0.hint("shuffle_hash"), "query_id")
+      .withColumn("sim_raw",
+        graft.GraftExtensions.cosineSim(col(vecCol).cast("array<double>"), col("qvec")))
+    graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol),
+      round(col("sim_raw"), 6), topK)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -317,6 +317,35 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF-PQ big batch — see [[ivfBigBatchTopK]]: queries stay a
+    * DataFrame (1/256 of the embeddings), probe lists from the adaptive
+    * per-row kernel over the code layout's cluster sizes, ADC scores
+    * from the LUT-free direct kernel, exact shuffle-join refine.
+    * Parity with the collected LUT path is BigBatchSpec-gated. */
+  def annIvfPqBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfPqLayout(spark, dir)
+    val encoded = spark.read.parquet(path)
+    val emb = VectorModel.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val qdf = emb.where(pmod(col("vec_id"), lit(256)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    graft.index.IvfPq.bigBatchSearch(encoded, model, qdf, 5,
+      refineFrom = emb, vecCol = "embedding", idCol = "vec_id",
+      sizes = Some(ivfPqSizes(spark, dir)))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-cluster row counts of the code layout (the adaptive-probing
+    * statistic, memoized beside it — see [[ivfSizes]]). */
+  private[graft] def ivfPqSizes(spark: SparkSession, dir: String): Map[Int, Long] =
+    ivfPqSizesCache.computeIfAbsent(dir, _ => {
+      val (path, _) = ivfPqLayout(spark, dir)
+      graft.index.Ivf.clusterSizes(spark.read.parquet(path))
+    })
+
+  private val ivfPqSizesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
   /** Sign-LSH bucketed ANN over embeddings (training-free scale path):
     * independent mean-centered tables with query-directed multi-probe,
     * served from the PERSISTED inverted-list layout — the probe disjunction
@@ -662,5 +691,6 @@ object ApproxQueries {
     "vq_ivf_bigbatch" -> (ivfBigBatchTopK _),
     "vq_hnsw_routed_bigbatch" -> (hnswRoutedBigBatchTopK _),
     "ann_lsh_bigbatch" -> (lshBigBatchTopK _),
+    "ann_ivfpq_bigbatch" -> (annIvfPqBigBatchTopK _),
     "pq_roundtrip" -> (pqRoundtrip _))
 }
