@@ -1054,6 +1054,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))
         Ivf.bigBatchSearch(assigned, model, queries, topK)
+      case "ivfpq" =>
+        val (encoded, model) = ivfPq.getOrElse(
+          throw new IllegalStateException("IVF-PQ index not built"))
+        IvfPq.bigBatchSearch(encoded, model, queries, topK, refineFrom = data)
       case "hnsw" =>
         val p = hnswPath.getOrElse(
           throw new IllegalStateException("HNSW index not built"))
@@ -1073,7 +1077,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         graft.index.LshAnn.bigBatchSearchStored(lshLayoutFrame(root),
           lshModel.get, queries, topK, probeRadius = 1)
       case other => throw new IllegalArgumentException(
-        s"unknown big-batch method '$other' (expected brute_force|hnsw|ivf|lsh)")
+        s"unknown big-batch method '$other' (expected brute_force|hnsw|ivf|ivfpq|lsh)")
     }
 
   /** Extension (graft.index.IvfPq): build the composed IVF-PQ index —

@@ -51,6 +51,7 @@ object DevPlans {
     "vq_hnsw_routed_bigbatch" -> "DataFrame-native big-batch routed HNSW: probe-shard explode over the routing centroids, then ONE cogroup (two grouping exchanges) pairing each shard's graph rows with exactly its queries — graph restored once per shard, nothing on the driver",
     "ann_lsh_bigbatch" -> "DataFrame-native big-batch LSH: per-table bucket expressions on the query DataFrame, admission/pointer-dedup/payload-fetch/score all as SHUFFLED equi-joins — the collected path's broadcasts replaced end-to-end",
     "ann_bin_batch_topk" -> "batch binary serving: ONE Hamming scan evaluates every query's popcount-XOR sum in the same projection (struct-array explode), per-query k-bounded aggregator cut, bounded-candidate broadcast re-rank",
+    "ann_ivfpq_bigbatch" -> "DataFrame-native big-batch IVF-PQ: adaptive probe explode over the code layout, salted shuffled cluster join, LUT-FREE direct-ADC kernel in the scoring projection (bit-identical to the collected LUT path), shuffle-join exact refine — no per-query driver state anywhere",
     "tx_cjk_bm25_dict" -> "dictionary CJK segmentation: the FMM fold is ONE aggregate() expression per token (struct accumulator) inside the corpus projection — no UDF, no extra pass; the segmented fixture broadcast-joins documents like the bigram twin")
 
   def main(args: Array[String]): Unit = {

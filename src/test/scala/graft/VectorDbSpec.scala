@@ -629,6 +629,10 @@ class VectorDbSpec extends SparkSpec {
     // ivf: the DataFrame path must equal the collected dispatch exactly
     assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivf")) ===
       sets(db.batchSearch(queries, topK = 3, method = "ivf")))
+    // ivfpq: same property through the LUT-free direct-ADC path
+    db.buildIvfPqIndex(k = 4, m = 2)
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivfpq")) ===
+      sets(db.batchSearch(queries, topK = 3, method = "ivfpq")))
     // brute force: same exact scorer, same results
     assert(sets(db.batchSearchDf(qdf, topK = 3)) ===
       sets(db.batchSearch(queries, topK = 3)))
