@@ -60,7 +60,10 @@ object Bench {
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk", "ann_ivfpq_bigbatch"),
-      (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d); () }),
+      // sizes warm here too (the adaptive bigbatch entry's probing
+      // statistic is build-time state, like the IVF/LSH sizes)
+      (s, d) => { queries.ApproxQueries.ivfPqLayout(s, d)
+        queries.ApproxQueries.ivfPqSizes(s, d); () }),
     ("build_lsh_layout", Set("ann_lsh_topk", "ann_lsh_batch_topk", "ann_lsh_bigbatch"),
       // bucket sizes warm here too: the adaptive probe walk's mass
       // statistic is build-time state, like the IVF sizes above

@@ -520,24 +520,11 @@ object Ivf {
       vecCol: String = "vector", idCol: String = "id",
       nProbes: Option[Int] = None, sizes: Option[Map[Int, Long]] = None,
       overscan: Int = 16, minProbes: Int = 3): DataFrame = {
-    val np = nProbes.getOrElse(math.max(model.k / 2, 8))
     val spark = assigned.sparkSession
-    // k*S join granules should cover the cluster's parallelism — S scaled
-    // by k and CAPPED: the salt replicates the PROBE rows (which grow
-    // with |queries|), so an unbounded S = defaultParallelism would blow
-    // the probe-side shuffle up by cluster width on exactly the path
-    // built for huge query sets
-    val salts = math.min(64, math.max(1,
-      math.ceil(spark.sparkContext.defaultParallelism.toDouble / model.k).toInt))
-    val probeList = sizes match {
-      case Some(sz) =>
-        val arr = Array.tabulate(model.k)(c => sz.getOrElse(c, 0L))
-        graft.functions.ModelExpressions.probeClustersAdaptive(
-          col("qvec"), model.centroids, arr, overscan.toLong * topK, minProbes)
-      case None =>
-        graft.functions.ModelExpressions.probeClusters(
-          col("qvec"), model.centroids, np)
-    }
+    val salts = bigBatchSalts(spark, model.k)
+    val probeList = bigBatchProbeList(model.centroids,
+      nProbes.getOrElse(math.max(model.k / 2, 8)), topK, sizes, overscan,
+      minProbes)
     val probed = graft.operators.Par.widen(queries)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(queryVecCol).cast("array<double>").as("qvec"))
@@ -552,6 +539,32 @@ object Ivf {
     graft.operators.TopK.perGroupTopK(joined, "query_id", col(idCol), col("sim_raw"), topK)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Per-query-ROW probe-list expression of the big-batch paths (shared
+    * by [[bigBatchSearch]] and [[IvfPq.bigBatchSearch]] so the probe
+    * contract cannot drift): the fixed top-`nProbes` kernel, or — with
+    * `sizes` — the adaptive candidate-mass walk. Reads the `qvec`
+    * column. */
+  private[index] def bigBatchProbeList(centroids: Array[Array[Double]],
+      nProbes: Int, topK: Int, sizes: Option[Map[Int, Long]],
+      overscan: Int, minProbes: Int): Column = sizes match {
+    case Some(sz) =>
+      val arr = Array.tabulate(centroids.length)(c => sz.getOrElse(c, 0L))
+      graft.functions.ModelExpressions.probeClustersAdaptive(
+        col("qvec"), centroids, arr, overscan.toLong * topK, minProbes)
+    case None =>
+      graft.functions.ModelExpressions.probeClusters(
+        col("qvec"), centroids, nProbes)
+  }
+
+  /** Salt factor of the big-batch cluster joins: k·S join granules should
+    * cover the cluster's parallelism, CAPPED — the salt replicates the
+    * PROBE rows (which grow with |queries|), so an unbounded
+    * S = defaultParallelism would blow the probe-side shuffle up by
+    * cluster width on exactly the path built for huge query sets. */
+  private[index] def bigBatchSalts(spark: SparkSession, k: Int): Int =
+    math.min(64, math.max(1,
+      math.ceil(spark.sparkContext.defaultParallelism.toDouble / k).toInt))
 
   /** Distributed approximate k-NN SELF-join — the similarity-join shape
     * that survives past the broadcast/driver limit (the exact blocked

@@ -237,7 +237,8 @@ object IvfPq {
     * probe join salts the k-valued cluster_id key like
     * [[Ivf.bigBatchSearch]]; the exact refine joins candidates, raw
     * vectors, and query vectors with SHUFFLE joins. BigBatchSpec gates
-    * exact 10k-query parity against [[batchSearch]]. */
+    * exact multi-thousand-query parity against [[batchSearch]] on both
+    * probe modes. */
   def bigBatchSearch(encoded: DataFrame, model: IvfPqModel,
       queries: DataFrame, topK: Int, refineFrom: DataFrame,
       refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
@@ -245,18 +246,9 @@ object IvfPq {
       sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
       minProbes: Int = 3): DataFrame = {
     val spark = encoded.sparkSession
-    val nProbes = math.max(model.ivf.k / 2, 8)
-    val probeList = sizes match {
-      case Some(sz) =>
-        val arr = Array.tabulate(model.ivf.k)(c => sz.getOrElse(c, 0L))
-        graft.functions.ModelExpressions.probeClustersAdaptive(
-          col("qvec"), model.ivf.centroids, arr, overscan.toLong * topK, minProbes)
-      case None =>
-        graft.functions.ModelExpressions.probeClusters(
-          col("qvec"), model.ivf.centroids, nProbes)
-    }
-    val salts = math.min(64, math.max(1,
-      math.ceil(spark.sparkContext.defaultParallelism.toDouble / model.ivf.k).toInt))
+    val probeList = Ivf.bigBatchProbeList(model.ivf.centroids,
+      math.max(model.ivf.k / 2, 8), topK, sizes, overscan, minProbes)
+    val salts = Ivf.bigBatchSalts(spark, model.ivf.k)
     val q0 = graft.operators.Par.widen(queries)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(queryVecCol).cast("array<double>").as("qvec"))
