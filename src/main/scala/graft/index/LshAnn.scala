@@ -204,7 +204,7 @@ object LshAnn {
     * triple flip is likelier than a wide-margin double). Masks enumerate
     * the ≤`MaxFlips`-bit neighborhood of the 2^bits space — bucket widths
     * stay ≤ ~16 bits by construction, driver-side. */
-  private val MaxFlips = 4
+  private[graft] val MaxFlips = 4
 
   /** The full cost-ranked bucket stream of one table: every ≤[[MaxFlips]]
     * flip mask of the query's bucket, ascending by the summed |margin| of
@@ -1038,6 +1038,56 @@ object LshAnn {
       .select(col("query_id"), explode(probeEntries).as("e"))
       .select(col("query_id"),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol)
+  }
+
+  /** [[bigBatchSearchStored]] with the margin-ranked ADAPTIVE probe
+    * budget — the DataFrame-native twin of [[batchSearchStoredAdaptive]]
+    * and the recall-bearing big-batch operating point: each query row's
+    * probe list is the SAME merged cost-ranked walk the collected paths
+    * use ([[probeSetsAdaptive]] — rank every ≤[[MaxFlips]]-bit sign-flip
+    * by summed |margin|, stop at `overscan·topK` candidate mass),
+    * evaluated per row by the codegen'd
+    * [[graft.functions.LshProbeKernel]] (identical ranking and stop rule
+    * ⇒ identical probe sets — BigBatchSpec gates exact result parity).
+    * The radius-≤1 closed-form budget of [[bigBatchSearchStored]] stays
+    * as the throughput/near-dup point; this path replaces it as the
+    * DEFAULT because radius-1 measures recall@10 0.233 vs the directed
+    * walk's ≥0.7 gate (RECALL.md round 10 → 11). Everything after probe
+    * assignment is the same shuffled admission → pointer-dedup → fetch →
+    * score shape: nothing query-sized touches the driver. */
+  def bigBatchSearchStoredAdaptive(layout: DataFrame, model: LshTables,
+      queries: DataFrame, topK: Int, sizes: Map[(Int, Int), Long],
+      overscan: Int = DefaultOverscan, maxProbesPerTable: Int = DefaultProbes,
+      vecCol: String = "vector", idCol: String = "id",
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+    val szArr = Array.tabulate(model.numTables)(t =>
+      Array.tabulate(1 << model.numBits)(b => sizes.getOrElse((t, b), 0L)))
+    val kernel = new graft.functions.LshProbeKernel(model.planes, model.biases,
+      szArr, overscan.toLong * topK, maxProbesPerTable, MaxFlips)
+    val q0 = graft.operators.Par.widen(queries)
+      .select(col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).cast("array<double>").as("qvec"))
+    val qdf = q0
+      .select(col("query_id"),
+        explode(graft.functions.LshProbeExpressions.probeSets(col("qvec"), kernel))
+          .as("__lsh_probe"))
+      .select(col("query_id"),
+        shiftright(col("__lsh_probe"), graft.functions.LshProbeKernel.PackShift)
+          .cast("int").as(TableCol),
+        col("__lsh_probe")
+          .bitwiseAND(lit((1 << graft.functions.LshProbeKernel.PackShift) - 1))
+          .cast("int").as(BucketCol))
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol)
+  }
+
+  /** The shared big-batch serve shape: shuffled admission → per-(query,
+    * id) pointer dedup → one payload fetch → exact re-rank. `q0` is the
+    * normalized (query_id, qvec) frame, `qdf` its exploded
+    * (query_id, table, bucket) probe rows — only probe ASSIGNMENT differs
+    * between the closed-form and adaptive entry points. */
+  private def bigBatchServe(layout: DataFrame, q0: DataFrame, qdf: DataFrame,
+      topK: Int, vecCol: String, idCol: String): DataFrame = {
     // narrow admission scan (id + home, no vector bytes), shuffle-joined
     // against the probe rows on (table, bucket)
     val admitted = graft.operators.Par.widen(layout)

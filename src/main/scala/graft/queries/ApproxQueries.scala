@@ -642,21 +642,25 @@ object ApproxQueries {
       VectorModel.partQueriesBig(spark, dir), 3, probes = 4)
       .orderBy("query_id", "rn")
 
-  /** LSH big batch over the embeddings layout (own-bucket probe per
-    * table — the expression-closed-form budget) — see [[ivfBigBatchTopK]].
-    * Queries are the sampled embeddings themselves (a DataFrame). */
+  /** LSH big batch over the embeddings layout — see [[ivfBigBatchTopK]].
+    * Queries are the sampled embeddings themselves (a DataFrame). Serves
+    * the margin-ranked ADAPTIVE probe walk per query row (the codegen
+    * [[graft.functions.LshProbeKernel]]): the round-10 radius-1
+    * closed-form budget measured recall@10 0.233 — far under the ≥0.7
+    * gate the collected paths hold — so the directed walk is now the
+    * registered operating point (RecallSpec gates it directly; the
+    * radius-≤1 paths remain as BigBatchSpec parity twins). `overscan` is
+    * chosen so overscan·topK lands on the calibrated serving MASS
+    * (≈700 candidate rows — [[graft.index.LshAnn.DefaultOverscan]]·k=20,
+    * the recall driver the DevLshTune grids showed is mass, not k). */
   def lshBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
     val qdf = VectorModel.embeddings(spark, dir)
       .where(pmod(col("vec_id"), lit(16)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    // radius 1 (own bucket + every single-bit flip, still closed-form
-    // expressions) is the recall-bearing operating point — radius 0
-    // measures near zero recall at 10 bits (RecallSpec); the radius-0
-    // path stays the parity twin BigBatchSpec gates against the
-    // collected probes=1 path
-    graft.index.LshAnn.bigBatchSearchStored(lshFrame(spark, path), model,
-      qdf, 3, vecCol = "embedding", idCol = "vec_id", probeRadius = 1)
+    graft.index.LshAnn.bigBatchSearchStoredAdaptive(lshFrame(spark, path),
+      model, qdf, 3, lshSizes(spark, dir), overscan = 234,
+      vecCol = "embedding", idCol = "vec_id")
       .orderBy("query_id", "rn")
   }
 

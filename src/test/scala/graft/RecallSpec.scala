@@ -201,6 +201,50 @@ class RecallSpec extends SparkSpec {
     assert(r1 > r0, s"radius 1 must improve recall: $r0 -> $r1")
   }
 
+  test("ADAPTIVE big-batch LSH holds the collected path's recall gate: >= 0.7 at <= 0.4 scanned") {
+    import graft.index.LshAnn
+    // the registered ann_lsh_bigbatch operating point — the per-row
+    // margin-ranked kernel walk — must hold the SAME gate the collected
+    // multi-probe path is held to (recall >= 0.7, scanned <= 0.4), closing
+    // round 10's one `weak` finding (radius-1 closed-form probing measured
+    // recall@10 0.233). Measured at sf0.01 like the closed-form points
+    // above; the candidate-mass budget is the registered entry's
+    // (overscan·topK ≈ 700 rows, the calibrated serving mass).
+    val (path, model) = graft.queries.ApproxQueries.lshLayout(spark, Sf001)
+    val sizes = graft.queries.ApproxQueries.lshSizes(spark, Sf001)
+    val layout = spark.read.parquet(path)
+    val emb01 = VectorModel.embeddings(spark, Sf001)
+    val n = emb01.count().toDouble
+    val bucketed = LshAnn.withTableBuckets(emb01, "embedding", model).cache()
+    val nQ = 6
+    val qdf = spark.createDataFrame(
+      (0 until nQ).map(s => (s.toLong, VectorModel.syntheticQuery(s))))
+      .toDF("query_id", "qvec")
+    val exact = (0 until nQ).map(s =>
+      s.toLong -> VectorSearch.bruteForceTopK(emb01,
+        VectorModel.syntheticQuery(s), 10, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").collect().map(_.getLong(0)).toSet).toMap
+    val overscan = 70 // overscan·k = 700 at the gate's k=10
+    val byQ = LshAnn.bigBatchSearchStoredAdaptive(layout, model, qdf, 10,
+      sizes, overscan = overscan, vecCol = "embedding", idCol = "vec_id")
+      .collect().groupBy(_.getLong(0))
+    val r = (0 until nQ).map { s =>
+      val got = byQ.getOrElse(s.toLong, Array.empty).map(_.getLong(1)).toSet
+      exact(s.toLong).intersect(got).size.toDouble / 10
+    }.sum / nQ
+    // scanned fraction from the SAME walk the kernel runs (parity is
+    // BigBatchSpec-gated, so the driver-side sets are the kernel's sets)
+    val frac = (0 until nQ).map { s =>
+      val q = VectorModel.syntheticQuery(s)
+      val sets = LshAnn.probeSetsAdaptive(q, model, sizes, overscan.toLong * 10)
+      bucketed.where((0 until model.numTables).map(t =>
+        col(s"lsh_b$t").isin(sets(t): _*)).reduce(_ || _)).count().toDouble / n
+    }.sum / nQ
+    info(s"adaptive big-batch LSH recall@10 = $r at mean scanned $frac")
+    assert(r >= 0.7, s"adaptive big-batch recall $r must hold the collected gate")
+    assert(frac <= 0.4, s"scanned fraction $frac must stay under 0.4")
+  }
+
   test("HNSW recall@10 on lineitem vectors >= 0.8") {
     val exact = VectorSearch.bruteForceTopK(lineVecs, VectorModel.Query, 10)
     val approx = Hnsw.hnswTopK(lineVecs, VectorModel.Query, 10, numPartitions = 8)
