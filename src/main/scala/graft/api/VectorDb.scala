@@ -1043,21 +1043,56 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * is what gives each graph only its own queries). `ivf` re-assigns
     * live rows on write like the collected path, so it is always
     * servable. */
+  /** [[batchSearchDf]] probe budgets: `adaptive = true` (default) serves
+    * every index-backed family at its ADAPTIVE operating point — the
+    * per-row candidate-mass/margin walks the engine paths are
+    * BigBatchSpec-parity-gated on — so the probed volume tracks each
+    * query's need instead of a fixed constant:
+    *
+    *  - ivf / ivfpq: [[graft.index.Ivf.IvfModel.probeClustersAdaptive]]
+    *    per row (stop at overscan·topK candidate rows);
+    *  - hnsw (routed): [[graft.index.Ivf.IvfModel.probeClustersByMargin]]
+    *    per row over the routing sidecar + per-shard stats;
+    *  - lsh: the margin-ranked flip walk
+    *    ([[graft.index.LshAnn.bigBatchSearchStoredAdaptive]]) at
+    *    [[graft.index.LshAnn.DefaultOverscan]]·topK candidate mass —
+    *    NOTE this is a different (higher-recall) operating point than the
+    *    closed-form radius-1 budget earlier rounds served; `adaptive =
+    *    false` restores radius-1, and the collected [[batchSearch]]
+    *    dispatch serves the fixed [[graft.index.LshAnn.DefaultProbes]]
+    *    multi-probe budget — the knob that aligns the two modes.
+    *
+    * `adaptive = false` pins the fixed budgets (ivf max(k/2,8) probes,
+    * hnsw [[hnswRoutedProbes]], lsh radius-1). The per-layout statistics
+    * the walks need (cluster/bucket sizes, shard stats) are computed once
+    * and memoized until the next write/rebuild. */
   def batchSearchDf(queries: DataFrame, topK: Int = 5,
-      method: String = "brute_force", efSearch: Int = 128): DataFrame =
+      method: String = "brute_force", efSearch: Int = 128,
+      adaptive: Boolean = true, overscan: Int = 16): DataFrame = {
+    // front-door dimension guard (the collected batchSearch calls
+    // checkDim per query): a wrong-dim qvec row fails loudly here instead
+    // of surfacing as a deep executor-side kernel error
+    val q0 = queries.select(
+      col("query_id").cast("long").as("query_id"),
+      when(size(col("qvec")) === dim, col("qvec").cast("array<double>"))
+        .otherwise(raise_error(concat(
+          lit(s"vector dimension mismatch: expected $dim, got "),
+          size(col("qvec")).cast("string")))).as("qvec"))
     method match {
       case "brute_force" =>
-        VectorSearch.batchTopK(data, queries.select(
-          col("query_id").cast("long").as("query_id"),
-          col("qvec").cast("array<double>").as("qvec")), dim, topK)
+        VectorSearch.batchTopK(data, q0, dim, topK)
       case "ivf" =>
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))
-        Ivf.bigBatchSearch(assigned, model, queries, topK)
+        Ivf.bigBatchSearch(assigned, model, q0, topK,
+          sizes = if (adaptive) Some(ivfSizesOf(assigned)) else None,
+          overscan = overscan)
       case "ivfpq" =>
         val (encoded, model) = ivfPq.getOrElse(
           throw new IllegalStateException("IVF-PQ index not built"))
-        IvfPq.bigBatchSearch(encoded, model, queries, topK, refineFrom = data)
+        IvfPq.bigBatchSearch(encoded, model, q0, topK, refineFrom = data,
+          sizes = if (adaptive) Some(ivfPqSizesOf(encoded)) else None,
+          overscan = overscan)
       case "hnsw" =>
         val p = hnswPath.getOrElse(
           throw new IllegalStateException("HNSW index not built"))
@@ -1065,8 +1100,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           throw new IllegalStateException(
             "big-batch HNSW serves from a CLEAN routed layout: build with " +
               "routed=true and run maintainIndexes() after writes")
-        graft.index.HnswStore.bigBatchTopKRouted(spark, p, queries, topK,
-          probes = hnswRoutedProbes, efSearch = efSearch)
+        graft.index.HnswStore.bigBatchTopKRouted(spark, p, q0, topK,
+          probes = hnswRoutedProbes, efSearch = efSearch,
+          stats = if (adaptive) Some(hnswStatsOf(p)) else None,
+          overscan = overscan)
       case "lsh" =>
         val root = lshRoot.getOrElse(
           throw new IllegalStateException("LSH index not built"))
@@ -1074,11 +1111,60 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           throw new IllegalStateException(
             "big-batch LSH serves from a CLEAN layout: run " +
               "maintainIndexes() after writes")
-        graft.index.LshAnn.bigBatchSearchStored(lshLayoutFrame(root),
-          lshModel.get, queries, topK, probeRadius = 1)
+        val layout = lshLayoutFrame(root)
+        if (adaptive)
+          graft.index.LshAnn.bigBatchSearchStoredAdaptive(layout,
+            lshModel.get, q0, topK, lshSizesOf(root),
+            overscan = graft.index.LshAnn.DefaultOverscan)
+        else
+          graft.index.LshAnn.bigBatchSearchStored(layout,
+            lshModel.get, q0, topK, probeRadius = 1)
       case other => throw new IllegalArgumentException(
         s"unknown big-batch method '$other' (expected brute_force|hnsw|ivf|ivfpq|lsh)")
     }
+  }
+
+  // ---- memoized per-layout statistics for the adaptive big-batch walks.
+  // The in-session ivf/ivfpq frames are REPLACED on every write (the
+  // incremental maintenance reassigns the var), so reference identity is
+  // the exact invalidation key; the hnsw/lsh stored layouts key on the
+  // path + covered watermark the serving guard already requires.
+  private var ivfSizesMemo: Option[(DataFrame, Map[Int, Long])] = None
+  private def ivfSizesOf(assigned: DataFrame): Map[Int, Long] =
+    ivfSizesMemo match {
+      case Some((df, sz)) if df eq assigned => sz
+      case _ =>
+        val sz = Ivf.clusterSizes(assigned)
+        ivfSizesMemo = Some((assigned, sz)); sz
+    }
+  private var ivfPqSizesMemo: Option[(DataFrame, Map[Int, Long])] = None
+  private def ivfPqSizesOf(encoded: DataFrame): Map[Int, Long] =
+    ivfPqSizesMemo match {
+      case Some((df, sz)) if df eq encoded => sz
+      case _ =>
+        val sz = Ivf.clusterSizes(encoded)
+        ivfPqSizesMemo = Some((encoded, sz)); sz
+    }
+  private var hnswStatsMemo: Option[((String, Long), graft.index.HnswStore.RoutedStats)] = None
+  private def hnswStatsOf(path: String): graft.index.HnswStore.RoutedStats = {
+    val key = (path, hnswCoveredUpTo)
+    hnswStatsMemo match {
+      case Some((k, st)) if k == key => st
+      case _ =>
+        val st = graft.index.HnswStore.routedStats(spark, path)
+        hnswStatsMemo = Some((key, st)); st
+    }
+  }
+  private var lshSizesMemo: Option[(String, Map[(Int, Int), Long])] = None
+  private def lshSizesOf(root: String): Map[(Int, Int), Long] = {
+    val cur = graft.index.LshAnn.currentLayout(spark, root)
+    lshSizesMemo match {
+      case Some((dir, sz)) if dir == cur => sz
+      case _ =>
+        val sz = graft.index.LshAnn.bucketSizes(lshLayoutFrame(root))
+        lshSizesMemo = Some((cur, sz)); sz
+    }
+  }
 
   /** Extension (graft.index.IvfPq): build the composed IVF-PQ index —
     * cluster assignment + residual PQ codes, the scan-m-bytes-from-probed-

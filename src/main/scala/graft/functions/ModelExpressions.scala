@@ -72,6 +72,16 @@ object ModelExpressions {
     ColumnBridge.column(ProbeClustersAdaptive(
       dbl(vec), new IvfKernel(centroids), sizes, minCandidates, minProbes))
 
+  /** MARGIN-extended adaptive probe list
+    * ([[graft.index.Ivf.IvfModel.probeClustersByMargin]] per row — the
+    * routed-HNSW big-batch walk over the routing sidecar + shard sizes). */
+  def probeClustersByMargin(vec: Column, centroids: Array[Array[Double]],
+      sizes: Array[Long], minCandidates: Long, margin: Double,
+      minProbes: Int, maxProbes: Int): Column =
+    ColumnBridge.column(ProbeClustersByMargin(
+      dbl(vec), new IvfKernel(centroids), sizes, minCandidates, margin,
+      minProbes, maxProbes))
+
   /** PQ-encode a raw vector (W8 compress). */
   def pqEncode(vec: Column, pq: ProductQuantizer): Column =
     ColumnBridge.column(PqEncode(
@@ -271,6 +281,62 @@ final class IvfKernel(val centroids: Array[Array[Double]]) extends Serializable 
       out(o) = best
       cum += (if (best < sizes.length) sizes(best) else 0L)
       o += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** MARGIN-extended adaptive probe list — the executor-side mirror of
+    * [[graft.index.Ivf.IvfModel.probeClustersByMargin]] (the routed-graph
+    * walk: keep probing while cumulative mass is below `minCandidates` OR
+    * the shard's centroid cosine distance is within `margin` of the best
+    * shard's), evaluated per query ROW — the piece that makes the routed
+    * big-batch path adaptive. Same (cosine desc, index asc) ranking as
+    * [[probes]]; the stop condition is tested against each rank BEFORE
+    * admitting it, exactly like the driver-side walk, so probe sets are
+    * identical (BigBatchSpec parity). */
+  def probesByMargin(v: ArrayData, sizes: Array[Long], minCandidates: Long,
+      margin: Double, minProbes: Int, maxProbes: Int): ArrayData = {
+    checkLen(v)
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = centroids(j)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        val x = c(i); val y = v.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      sims(j) = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      j += 1
+    }
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](math.min(k, maxProbes))
+    var bestDist = 0.0
+    var cum = 0L
+    var o = 0
+    var continue = true
+    while (continue && o < k && o < maxProbes) {
+      var best = -1; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < k) {
+        if (!taken(c) && sims(c) > bestS) { bestS = sims(c); best = c }
+        c += 1
+      }
+      if (best < 0) {
+        var c2 = 0
+        while (taken(c2)) c2 += 1
+        best = c2
+        bestS = sims(best)
+      }
+      if (o == 0) bestDist = 1.0 - bestS
+      if (cum < minCandidates || o < minProbes ||
+          (1.0 - bestS) <= bestDist + margin) {
+        taken(best) = true
+        out(o) = best
+        cum += (if (best < sizes.length) sizes(best) else 0L)
+        o += 1
+      } else continue = false
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, o))
   }
@@ -475,6 +541,26 @@ case class ProbeClustersAdaptive(child: Expression, kernel: IvfKernel,
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "probe_clusters_adaptive"
+}
+
+case class ProbeClustersByMargin(child: Expression, kernel: IvfKernel,
+    sizes: Array[Long], minCandidates: Long, margin: Double,
+    minProbes: Int, maxProbes: Int)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Vec)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    kernel.probesByMargin(v.asInstanceOf[ArrayData], sizes, minCandidates,
+      margin, minProbes, maxProbes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfKernel", kernel, classOf[IvfKernel].getName)
+    val sz = ctx.addReferenceObj("shardSizes", sizes, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $k.probesByMargin($v, $sz, ${minCandidates}L, " +
+        s"$margin, $minProbes, $maxProbes);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "probe_clusters_by_margin"
 }
 
 case class PqEncode(child: Expression, kernel: PqKernel)

@@ -714,17 +714,36 @@ object HnswStore {
   def bigBatchTopKRouted(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, probes: Int = 4, m: Int = 16, efConstruction: Int = 64,
       efSearch: Int = 128, idCol: String = "id",
-      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec",
+      stats: Option[RoutedStats] = None, overscan: Int = 16,
+      minProbes: Int = 3): DataFrame = {
     import spark.implicits._
     val model = routingModel(spark, path)
     val (mm, ee) = readMeta(spark, path)
       .map(t => (t._1, t._2)).getOrElse((m, efConstruction))
+    // `stats` switches every query ROW's probe list to the margin-extended
+    // adaptive walk ([[topKRoutedAdaptive]]'s rule, evaluated per row by
+    // the codegen'd ProbeClustersByMargin kernel — identical ranking and
+    // stop rule to the driver-side walk, so probe sets match the collected
+    // adaptive path exactly; BigBatchSpec-gated). The walk spends probes
+    // on boundary queries and stops early on concentrated ones, so the
+    // cogroup volume tracks per-query need instead of |queries|·probes.
+    val probeList = stats match {
+      case Some(st) =>
+        val sizesArr = Array.tabulate(model.centroids.length)(c =>
+          st.sizes.getOrElse(c, 0L))
+        graft.functions.ModelExpressions.probeClustersByMargin(
+          col("qvec"), model.centroids, sizesArr, overscan.toLong * k,
+          MarginBeta * st.radius, minProbes, MaxAdaptiveProbes)
+      case None =>
+        graft.functions.ModelExpressions.probeClusters(
+          col("qvec"), model.centroids, probes)
+    }
     val probed = graft.operators.Par.widen(queries)
       .select(col(queryIdCol).cast("long").as("query_id"),
         col(queryVecCol).cast("array<double>").as("qvec"))
       .select(col("query_id"), col("qvec"),
-        explode(graft.functions.ModelExpressions
-          .probeClusters(col("qvec"), model.centroids, probes)).as("part"))
+        explode(probeList).as("part"))
       .as[(Long, Seq[Double], Int)]
     val (all, _) = storedRecords(spark, path)
     val perShard = all.groupByKey(_._1).cogroup(probed.groupByKey(_._3)) {

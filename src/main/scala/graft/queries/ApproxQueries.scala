@@ -625,21 +625,30 @@ object ApproxQueries {
     * the collected entries keep the reference's probe-half rule. */
   def ivfBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
-    // 1/64 of part: nProbes=2 of 16 clusters still scans 12.5% of the
-    // corpus PER QUERY, so the candidate volume (not the query count) is
-    // the cost driver — the 1/16 sample benched 12 s at sf0.1 on 94M
-    // scored candidates, 4x the next-slowest serving entry
+    // 1/64 of part. The probe list is the ADAPTIVE per-row kernel
+    // (BigBatchSpec parity-gated): candidate volume is the cost driver —
+    // a fixed nProbes=2 of 16 clusters scans 12.5% of the corpus PER
+    // QUERY regardless of what the probed clusters hold. minProbes=2
+    // keeps the balanced-layout operating point at the same 2-probe
+    // boundary coverage as the old fixed budget (k-means-balanced
+    // clusters satisfy the 16·k mass target after probe 1); under skew
+    // the walk extends instead of starving.
     graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
       VectorModel.partQueriesBig(spark, dir, modulus = 64), 3,
-      nProbes = Some(2))
+      sizes = Some(ivfSizes(spark, dir)), minProbes = 2)
       .orderBy("query_id", "rn")
   }
 
-  /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. */
+  /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. The probe list is
+    * the margin-extended adaptive walk per query row (the calibrated
+    * serving default: β=2 spends probes on boundary queries — recall
+    * 0.995 at mean 5.5/64 shards on the round-8 grid — instead of the
+    * fixed probes=4 pin this entry served through round 10). */
   def hnswRoutedBigBatchTopK(spark: SparkSession, dir: String): DataFrame =
     graft.index.HnswStore.bigBatchTopKRouted(spark,
       hnswRoutedLayout(spark, dir),
-      VectorModel.partQueriesBig(spark, dir), 3, probes = 4)
+      VectorModel.partQueriesBig(spark, dir), 3,
+      stats = Some(routedStats(spark, dir)))
       .orderBy("query_id", "rn")
 
   /** LSH big batch over the embeddings layout — see [[ivfBigBatchTopK]].

@@ -626,16 +626,33 @@ class VectorDbSpec extends SparkSpec {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
-    // ivf: the DataFrame path must equal the collected dispatch exactly
-    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivf")) ===
+    // ivf: with adaptive=false the DataFrame path serves the collected
+    // dispatch's fixed budget — results must be identical
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivf",
+      adaptive = false)) ===
       sets(db.batchSearch(queries, topK = 3, method = "ivf")))
+    // the adaptive DEFAULT serves the candidate-mass walk: a different
+    // (calibrated) operating point, gated for engine-level parity in
+    // BigBatchSpec — here assert it serves and returns full rank sets
+    val adaptiveIvf = sets(db.batchSearchDf(qdf, topK = 3, method = "ivf"))
+    assert(adaptiveIvf.map(_._1) === (0 until 40).map(_.toLong).toSet)
     // ivfpq: same property through the LUT-free direct-ADC path
     db.buildIvfPqIndex(k = 4, m = 2)
-    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivfpq")) ===
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivfpq",
+      adaptive = false)) ===
       sets(db.batchSearch(queries, topK = 3, method = "ivfpq")))
+    assert(sets(db.batchSearchDf(qdf, topK = 3, method = "ivfpq"))
+      .map(_._1) === (0 until 40).map(_.toLong).toSet)
     // brute force: same exact scorer, same results
     assert(sets(db.batchSearchDf(qdf, topK = 3)) ===
       sets(db.batchSearch(queries, topK = 3)))
+    // front-door dimension guard: a wrong-dim query row fails loudly
+    // (the collected dispatch's checkDim semantics at query-set scale)
+    val badQdf = Seq((0L, Seq(1.0, 2.0))).toDF("query_id", "qvec")
+    val ex = intercept[Exception] {
+      db.batchSearchDf(badQdf, topK = 3, method = "ivf").collect()
+    }
+    assert(ex.getMessage != null)
     // big-batch is a bulk path: no merge fallback — dirty layouts throw
     db.buildLshIndex()
     db.insert(Seq(9.0, 9.0, 9.0, 9.0))
