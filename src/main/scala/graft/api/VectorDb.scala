@@ -1068,7 +1068,8 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * and memoized until the next write/rebuild. */
   def batchSearchDf(queries: DataFrame, topK: Int = 5,
       method: String = "brute_force", efSearch: Int = 128,
-      adaptive: Boolean = true, overscan: Int = 16): DataFrame = {
+      adaptive: Boolean = true, overscan: Int = 16,
+      filter: Option[Column] = None): DataFrame = {
     // front-door dimension guard (the collected batchSearch calls
     // checkDim per query): a wrong-dim qvec row fails loudly here instead
     // of surfacing as a deep executor-side kernel error
@@ -1078,21 +1079,34 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         .otherwise(raise_error(concat(
           lit(s"vector dimension mismatch: expected $dim, got "),
           size(col("qvec")).cast("string")))).as("qvec"))
+    // `filter` is S5 at query-set scale — a predicate over this db's rows
+    // (id / vector / metadata), served with each family's exact-filter
+    // contract: brute/ivf filter-FIRST on the candidate scan (exact,
+    // no starvation beyond probed∩accepted); ivfpq filters at the refine
+    // stage (the family's overfetch contract — a selective predicate can
+    // return fewer than topK); hnsw threads a Bloom of the accepted ids
+    // into each graph's beam + exact re-check; lsh semi-joins the
+    // accepted ids into the payload fetch (bucket admission is
+    // filter-independent — selective predicates can starve; widen
+    // overscan). The id frames below are BOUNDED by the predicate's
+    // selectivity, never by the query count.
+    def acceptFrame: Option[DataFrame] = filter.map(f => data.where(f).select("id"))
     method match {
       case "brute_force" =>
-        VectorSearch.batchTopK(data, q0, dim, topK)
+        VectorSearch.batchTopK(filter.foldLeft(data)((d, f) => d.where(f)),
+          q0, dim, topK)
       case "ivf" =>
         val (assigned, model) = ivf.getOrElse(
           throw new IllegalStateException("IVF index not built"))
         Ivf.bigBatchSearch(assigned, model, q0, topK,
           sizes = if (adaptive) Some(ivfSizesOf(assigned)) else None,
-          overscan = overscan)
+          overscan = overscan, filter = filter)
       case "ivfpq" =>
         val (encoded, model) = ivfPq.getOrElse(
           throw new IllegalStateException("IVF-PQ index not built"))
         IvfPq.bigBatchSearch(encoded, model, q0, topK, refineFrom = data,
           sizes = if (adaptive) Some(ivfPqSizesOf(encoded)) else None,
-          overscan = overscan)
+          overscan = overscan, filter = filter)
       case "hnsw" =>
         val p = hnswPath.getOrElse(
           throw new IllegalStateException("HNSW index not built"))
@@ -1103,7 +1117,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         graft.index.HnswStore.bigBatchTopKRouted(spark, p, q0, topK,
           probes = hnswRoutedProbes, efSearch = efSearch,
           stats = if (adaptive) Some(hnswStatsOf(p)) else None,
-          overscan = overscan)
+          overscan = overscan, acceptIds = acceptFrame)
       case "lsh" =>
         val root = lshRoot.getOrElse(
           throw new IllegalStateException("LSH index not built"))
@@ -1115,10 +1129,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         if (adaptive)
           graft.index.LshAnn.bigBatchSearchStoredAdaptive(layout,
             lshModel.get, q0, topK, lshSizesOf(root),
-            overscan = graft.index.LshAnn.DefaultOverscan)
+            overscan = graft.index.LshAnn.DefaultOverscan,
+            acceptIds = acceptFrame)
         else
           graft.index.LshAnn.bigBatchSearchStored(layout,
-            lshModel.get, q0, topK, probeRadius = 1)
+            lshModel.get, q0, topK, probeRadius = 1, acceptIds = acceptFrame)
       case other => throw new IllegalArgumentException(
         s"unknown big-batch method '$other' (expected brute_force|hnsw|ivf|ivfpq|lsh)")
     }

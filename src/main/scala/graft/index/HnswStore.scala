@@ -716,7 +716,8 @@ object HnswStore {
       efSearch: Int = 128, idCol: String = "id",
       queryIdCol: String = "query_id", queryVecCol: String = "qvec",
       stats: Option[RoutedStats] = None, overscan: Int = 16,
-      minProbes: Int = 3): DataFrame = {
+      minProbes: Int = 3, acceptIds: Option[DataFrame] = None,
+      bloomFpp: Double = 0.01): DataFrame = {
     import spark.implicits._
     val model = routingModel(spark, path)
     val (mm, ee) = readMeta(spark, path)
@@ -745,6 +746,25 @@ object HnswStore {
       .select(col("query_id"), col("qvec"),
         explode(probeList).as("part"))
       .as[(Long, Seq[Double], Int)]
+    // S5 at query-set scale for the GRAPH family: beam-THREADED filtering
+    // behind an approximate membership test — `acceptIds` (a one-column id
+    // frame, the caller's predicate applied to its metadata table) builds
+    // a Bloom filter in ONE bounded distributed pass (`df.stat
+    // .bloomFilter` — megabytes for hundreds of millions of ids, shipped
+    // once per task), each graph's beam keeps expanding until it holds k
+    // bloom-accepted results (no overfetch starvation — the
+    // [[topKFilteredApprox]] contract), and Bloom false positives are
+    // removed by an exact LEFT SEMI re-check afterwards. The re-check can
+    // leave a query with slightly fewer than k rows exactly when a false
+    // positive displaced a true match in the beam (probability ~fpp per
+    // result slot — tune `bloomFpp` down if k-exactness matters more than
+    // filter bytes). Recall remains bounded by shard routing like every
+    // routed path.
+    val bloom = acceptIds.map { ids =>
+      val idsOnly = ids.select(col(idCol))
+      val n = math.max(1L, idsOnly.count())
+      idsOnly.stat.bloomFilter(idCol, n, bloomFpp)
+    }
     val (all, _) = storedRecords(spark, path)
     val perShard = all.groupByKey(_._1).cogroup(probed.groupByKey(_._3)) {
       (part, recs, qs) =>
@@ -755,13 +775,19 @@ object HnswStore {
           else {
             val idx = RestoreGroup(grp, mm, ee)
             qs.flatMap { case (qid, q, _) =>
-              idx.search(q.toArray, k, efSearch)
-                .map { case (id, sim) => (qid, id, sim) }
+              (bloom match {
+                case Some(bf) =>
+                  idx.searchFiltered(q.toArray, k, efSearch, bf.mightContainLong)
+                case None => idx.search(q.toArray, k, efSearch)
+              }).map { case (id, sim) => (qid, id, sim) }
             }
           }
         }
     }.toDF("query_id", idCol, "sim_raw")
-    graft.operators.TopK.perGroupTopK(perShard, "query_id", col(idCol), col("sim_raw"), k)
+    val checked = acceptIds.foldLeft(perShard) { (d, ids) =>
+      d.join(ids.select(col(idCol)).hint("shuffle_hash"), Seq(idCol), "leftsemi")
+    }
+    graft.operators.TopK.perGroupTopK(checked, "query_id", col(idCol), col("sim_raw"), k)
       .withColumnRenamed("id", idCol)
   }
 }

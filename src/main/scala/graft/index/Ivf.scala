@@ -519,7 +519,8 @@ object Ivf {
       topK: Int, queryIdCol: String = "query_id", queryVecCol: String = "qvec",
       vecCol: String = "vector", idCol: String = "id",
       nProbes: Option[Int] = None, sizes: Option[Map[Int, Long]] = None,
-      overscan: Int = 16, minProbes: Int = 3): DataFrame = {
+      overscan: Int = 16, minProbes: Int = 3,
+      filter: Option[Column] = None): DataFrame = {
     val spark = assigned.sparkSession
     val salts = bigBatchSalts(spark, model.k)
     val probeList = bigBatchProbeList(model.centroids,
@@ -530,7 +531,14 @@ object Ivf {
         col(queryVecCol).cast("array<double>").as("qvec"))
       .select(col("query_id"), col("qvec"), explode(probeList).as("cluster_id"))
       .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
-    val data = assigned
+    // S5 semantics at query-set scale, same exact filter-first contract as
+    // [[search]]/[[searchAdaptive]]: the predicate lands on the candidate
+    // scan BEFORE any scoring (pushed into the layout's parquet read), so
+    // every returned row satisfies it and ranks against the full accepted
+    // candidate set — no overfetch starvation. Probe lists are
+    // filter-independent (the model ranks centroids, not rows), matching
+    // the collected paths.
+    val data = filter.foldLeft(assigned)((d, f) => d.where(f))
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
     val joined = probed.hint("shuffle_hash")
       .join(data, Seq("cluster_id", "__salt"))

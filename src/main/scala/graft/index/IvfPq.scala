@@ -244,7 +244,7 @@ object IvfPq {
       refineFactor: Int = 4, vecCol: String = "vector", idCol: String = "id",
       queryIdCol: String = "query_id", queryVecCol: String = "qvec",
       sizes: Option[Map[Int, Long]] = None, overscan: Int = 16,
-      minProbes: Int = 3): DataFrame = {
+      minProbes: Int = 3, filter: Option[Column] = None): DataFrame = {
     val spark = encoded.sparkSession
     val probeList = Ivf.bigBatchProbeList(model.ivf.centroids,
       math.max(model.ivf.k / 2, 8), topK, sizes, overscan, minProbes)
@@ -267,8 +267,12 @@ object IvfPq {
         math.max(topK, refineFactor * topK))
       .select(col("query_id"), col("id").as(idCol))
     // rank on the ROUNDED similarity like the collected path (see
-    // batchSearch) — raw ranking could reorder rounding ties
-    val joined = refineFrom
+    // batchSearch) — raw ranking could reorder rounding ties.
+    // `filter` applies at the REFINE stage, the family's S5 contract
+    // ([[search]]/[[batchSearch]] — reference overfetch-then-filter
+    // semantics: ADC candidates are selected before filtering, so a
+    // selective predicate can return fewer than topK rows).
+    val joined = filter.foldLeft(refineFrom)((d, f) => d.where(f))
       .join(keep.hint("shuffle_hash"), idCol)
       .join(q0.hint("shuffle_hash"), "query_id")
       .withColumn("sim_raw",

@@ -1011,7 +1011,7 @@ object LshAnn {
       queries: DataFrame, topK: Int,
       vecCol: String = "vector", idCol: String = "id",
       queryIdCol: String = "query_id", queryVecCol: String = "qvec",
-      probeRadius: Int = 0): DataFrame = {
+      probeRadius: Int = 0, acceptIds: Option[DataFrame] = None): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       s"bigBatch probe radius must be 0 (own bucket) or 1 (all single-bit " +
         s"flips — the closed-form neighborhoods), got $probeRadius")
@@ -1038,7 +1038,7 @@ object LshAnn {
       .select(col("query_id"), explode(probeEntries).as("e"))
       .select(col("query_id"),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
-    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol)
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, acceptIds)
   }
 
   /** [[bigBatchSearchStored]] with the margin-ranked ADAPTIVE probe
@@ -1060,7 +1060,8 @@ object LshAnn {
       queries: DataFrame, topK: Int, sizes: Map[(Int, Int), Long],
       overscan: Int = DefaultOverscan, maxProbesPerTable: Int = DefaultProbes,
       vecCol: String = "vector", idCol: String = "id",
-      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec",
+      acceptIds: Option[DataFrame] = None): DataFrame = {
     val szArr = Array.tabulate(model.numTables)(t =>
       Array.tabulate(1 << model.numBits)(b => sizes.getOrElse((t, b), 0L)))
     val kernel = new graft.functions.LshProbeKernel(model.planes, model.biases,
@@ -1078,16 +1079,27 @@ object LshAnn {
         col("__lsh_probe")
           .bitwiseAND(lit((1 << graft.functions.LshProbeKernel.PackShift) - 1))
           .cast("int").as(BucketCol))
-    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol)
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, acceptIds)
   }
 
   /** The shared big-batch serve shape: shuffled admission → per-(query,
     * id) pointer dedup → one payload fetch → exact re-rank. `q0` is the
     * normalized (query_id, qvec) frame, `qdf` its exploded
     * (query_id, table, bucket) probe rows — only probe ASSIGNMENT differs
-    * between the closed-form and adaptive entry points. */
+    * between the closed-form and adaptive entry points.
+    *
+    * `acceptIds` is the S5 filter at query-set scale: a one-column id
+    * frame (the caller's predicate applied to its metadata table) LEFT
+    * SEMI shuffle-joined into the payload fetch, so rejected rows never
+    * ship vector bytes and every result satisfies the predicate exactly.
+    * Bucket ADMISSION is filter-independent (like every LSH path), so a
+    * highly selective predicate can return fewer than topK rows when the
+    * probed buckets hold too few accepted candidates — the documented
+    * starvation trade of filtering a bucketed index; widen the probe
+    * budget (overscan) under selective filters. */
   private def bigBatchServe(layout: DataFrame, q0: DataFrame, qdf: DataFrame,
-      topK: Int, vecCol: String, idCol: String): DataFrame = {
+      topK: Int, vecCol: String, idCol: String,
+      acceptIds: Option[DataFrame] = None): DataFrame = {
     // narrow admission scan (id + home, no vector bytes), shuffle-joined
     // against the probe rows on (table, bucket)
     val admitted = graft.operators.Par.widen(layout)
@@ -1099,7 +1111,11 @@ object LshAnn {
       .withColumn("__lsh_ptr_hgroup",
         shiftright(col("__lsh_ptr_home"), BucketGroupShift))
     // payload fetch: one shuffle join against table-0 on (id, home-bucket)
-    val candidates = layout.where(col(TableCol) === 0)
+    val fetchSide = acceptIds.foldLeft(layout.where(col(TableCol) === 0)) {
+      (d, ids) => d.join(ids.select(col(idCol)).hint("shuffle_hash"),
+        Seq(idCol), "leftsemi")
+    }
+    val candidates = fetchSide
       .join(ptr.hint("shuffle_hash"),
         col(idCol) === col("__lsh_ptr_id") &&
           col(BucketCol) === col("__lsh_ptr_home") &&
