@@ -116,6 +116,42 @@ object TextAnalysis {
   def cjkNormalizeDict(text: Column): Column =
     array_join(cjkTokensDict(text), " ")
 
+  /** Largest dictionary the literal-array FMM ([[cjkTokensDict]]) should
+    * inline: past a few dozen words, every per-position candidate check
+    * carries the whole word array as expression literals — plan size,
+    * analysis cost, and generated code all grow with the dictionary, and
+    * a jieba-scale wordlist (~350k entries) would blow janino's limits
+    * outright. [[cjkTokensDictAuto]] switches to the broadcast kernel
+    * above this size. */
+  val CjkDictInlineMax = 64
+
+  /** [[cjkTokensDict]] for LARGE wordlists — the jieba-grade upgrade the
+    * seam advertises: the dictionary ships once per executor as a
+    * broadcast, the per-token walk is the codegen'd
+    * [[graft.functions.CjkFmmKernel]] (the same greedy longest-match rule
+    * [[fmmSegment]] specifies — CjkDictSpec gates token identity against
+    * the literal-array path on the shared fixture), and the PLAN is O(1)
+    * in dictionary size (also spec-asserted). The surrounding
+    * tokenize/passthrough shape is identical to [[cjkTokensDict]]. */
+  def cjkTokensDictBig(text: Column, dict: Seq[String],
+      maxLen: Int = CjkDictMaxLen): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val bc = spark.sparkContext.broadcast(dict.toSet)
+    val kernel = new graft.functions.CjkFmmKernel(bc, maxLen)
+    flatten(transform(tokens(text), t =>
+      when(t.rlike(CjkPattern),
+        graft.functions.CjkFmmExpressions.segment(t, kernel))
+        .otherwise(array(t))))
+  }
+
+  /** The dictionary seam's front door: inline-literal FMM for small
+    * curated dictionaries (hash-gated against the DuckDB CTE mirror),
+    * broadcast-kernel FMM past [[CjkDictInlineMax]] words. Both sides
+    * produce identical tokens for the same dictionary. */
+  def cjkTokensDictAuto(text: Column, dict: Seq[String] = CjkDict): Column =
+    if (dict.size <= CjkDictInlineMax) cjkTokensDict(text, dict)
+    else cjkTokensDictBig(text, dict)
+
   /** Driver-side mirror of [[cjkTokensDict]]'s FMM over one CJK string —
     * query-term segmentation and the spec's reference implementation. */
   def fmmSegment(s: String, dict: Set[String] = CjkDict.toSet): Seq[String] = {
