@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+import graft.multimodal.MediaCodec
+
+/** Codegen wrappers for the pure-JVM media codec
+  * ([[graft.multimodal.MediaCodec]]): deterministic fixture synthesis
+  * (id → a VALID container payload) and real header/raster-validating
+  * decode (payload → typed metadata struct), both per-row kernels in
+  * whole-stage codegen — the multimodal pipeline's plumbing with no UDF
+  * node and no stub left in the serving path. */
+final class MediaKernel extends Serializable {
+
+  /** Deterministic fixture payload for a row id — format rotates
+    * id mod 3 (BMP / P6 PPM / PCM WAV), parameters are closed forms of
+    * the id (the oracle mirrors them WITHOUT parsing — hash equality then
+    * proves [[MediaCodec.decode]] reads the bytes correctly). Every
+    * 150th id gets a LARGE BMP (dims past the 256 resize bound) so the
+    * resize stage exercises real downscales at every SF; 150 ≡ 0 mod 3
+    * keeps the large rows inside the BMP rotation. */
+  def fixture(id: Long): Array[Byte] = (id % 3) match {
+    case 0 =>
+      if (id % 150 == 0)
+        MediaCodec.encodeBmp((300 + id % 301).toInt, (200 + (id * 3) % 201).toInt, id)
+      else
+        MediaCodec.encodeBmp((4 + id % 13).toInt, (4 + (id * 3) % 11).toInt, id)
+    case 1 =>
+      MediaCodec.encodePpm((4 + id % 17).toInt, (4 + (id * 5) % 13).toInt, id)
+    case _ =>
+      MediaCodec.encodeWav((1 + id % 2).toInt, (100 + id % 900).toInt, 8000, id)
+  }
+
+  def decode(p: Array[Byte]): InternalRow = {
+    val m = MediaCodec.decode(p)
+    new GenericInternalRow(Array[Any](m.width, m.height, m.channels,
+      m.nFrames, m.sizeBytes))
+  }
+}
+
+case class MediaFixture(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any = kernel.fixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, id => s"${ev.value} = $k.fixture($id);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_fixture"
+}
+
+case class MediaDecode(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = MediaExpressions.MetaType
+  override def nullSafeEval(p: Any): Any =
+    kernel.decode(p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, p => s"${ev.value} = $k.decode($p);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_decode"
+}
+
+object MediaExpressions {
+  /** Catalyst type of the decoded metadata struct (field order matches
+    * [[graft.multimodal.Multimodal.MediaMeta]]). */
+  val MetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("nFrames", IntegerType, nullable = false),
+    StructField("sizeBytes", LongType, nullable = false)))
+
+  private val kernel = new MediaKernel
+
+  def fixture(id: Column): Column =
+    ColumnBridge.column(MediaFixture(
+      ColumnBridge.expression(id.cast("long")), kernel))
+
+  def decode(payload: Column): Column =
+    ColumnBridge.column(MediaDecode(ColumnBridge.expression(payload), kernel))
+}

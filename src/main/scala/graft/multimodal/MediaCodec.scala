@@ -1,0 +1,207 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Dependency-free pure-JVM media codecs for three trivial containers —
+  * BMP (24-bit uncompressed), binary PPM (P6), and PCM WAV — the first
+  * REAL `decode` behind the multimodal seam (this environment ships no
+  * image/audio libraries, so the containers are ones whose byte layout a
+  * few dozen lines parse exactly; a production deployment swaps in
+  * JNI/codecs at the same [[decode]] signature).
+  *
+  * Decode FAILS LOUDLY: an unrecognized magic, a truncated header, an
+  * out-of-range dimension, or a payload whose length contradicts its
+  * header throws `IllegalArgumentException` with the reason — a corrupt
+  * blob must fail the job, not emit garbage metadata (the same fail-loud
+  * contract as the vector kernels).
+  *
+  * [[MediaMeta]] semantics per container:
+  *  - BMP/PPM: (width, height, channels=3, nFrames=1, sizeBytes)
+  *  - WAV: width=height=0 (no raster), channels = channel count,
+  *    nFrames = PCM sample FRAMES in the data chunk, sizeBytes
+  *
+  * The encoders exist for fixture planting (valid files with closed-form
+  * sizes — the oracle computes the same values from the id without
+  * parsing) and for the round-trip specs; they write exactly the layout
+  * the decoders parse.
+  */
+object MediaCodec {
+
+  import Multimodal.MediaMeta
+
+  /** BMP: "BM" + 54-byte header, 24bpp, BI_RGB, rows bottom-up padded to
+    * 4 bytes. */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 1024 && height <= 1024)
+    val rowBytes = (3 * width + 3) / 4 * 4
+    val size = 54 + rowBytes * height
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)          // file size
+    b.putInt(0)             // reserved
+    b.putInt(54)            // pixel data offset
+    b.putInt(40)            // BITMAPINFOHEADER size
+    b.putInt(width)
+    b.putInt(height)
+    b.putShort(1)           // planes
+    b.putShort(24)          // bpp
+    b.putInt(0)             // BI_RGB
+    b.putInt(rowBytes * height)
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(0).putInt(0)   // palette
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y * width + x
+        b.put((v & 0xFF).toByte)
+        b.put(((v >> 3) & 0xFF).toByte)
+        b.put(((v >> 6) & 0xFF).toByte)
+        x += 1
+      }
+      var p = 3 * width
+      while (p < rowBytes) { b.put(0.toByte); p += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** Closed-form [[encodeBmp]] payload size — the oracle's mirror. */
+  def bmpSize(width: Int, height: Int): Long =
+    54L + (3L * width + 3) / 4 * 4 * height
+
+  /** Binary PPM: "P6\n{w} {h}\n255\n" + 3wh pixel bytes. */
+  def encodePpm(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 1024 && height <= 1024)
+    val header = s"P6\n$width $height\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * width * height)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < 3 * width * height) {
+      out(header.length + i) = ((seed + i * 31) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Closed-form [[encodePpm]] payload size: 9 header bytes + the
+    * dimension digits + 3wh. */
+  def ppmSize(width: Int, height: Int): Long =
+    9L + width.toString.length + height.toString.length + 3L * width * height
+
+  /** PCM WAV: canonical 44-byte RIFF/WAVE header + 16-bit samples. */
+  def encodeWav(channels: Int, nFrames: Int, sampleRate: Int,
+      seed: Long): Array[Byte] = {
+    require(channels > 0 && channels <= 8 && nFrames > 0 && sampleRate > 0)
+    val blockAlign = channels * 2
+    val dataBytes = nFrames * blockAlign
+    val b = ByteBuffer.allocate(44 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(36 + dataBytes)
+    b.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    b.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(16)            // fmt chunk size
+    b.putShort(1)           // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign)
+    b.putShort(blockAlign.toShort)
+    b.putShort(16)          // bits per sample
+    b.put("data".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(dataBytes)
+    var i = 0
+    while (i < nFrames * channels) {
+      b.putShort(((seed + i * 17) & 0xFFFF).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Closed-form [[encodeWav]] payload size. */
+  def wavSize(channels: Int, nFrames: Int): Long =
+    44L + nFrames.toLong * channels * 2
+
+  private def fail(reason: String): Nothing =
+    throw new IllegalArgumentException(s"media decode failed: $reason")
+
+  private def le32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+      ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+
+  private def le16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+
+  /** Sniff + parse. Throws on anything that is not a well-formed BMP /
+    * P6 PPM / PCM WAV. */
+  def decode(payload: Array[Byte]): MediaMeta = {
+    if (payload == null || payload.length < 2) fail("payload shorter than any magic")
+    if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else if (payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+      decodeWav(payload)
+    else fail(s"unrecognized container magic 0x${(payload(0) & 0xFF).toHexString}" +
+      s"${(payload(1) & 0xFF).toHexString}")
+  }
+
+  private def decodeBmp(p: Array[Byte]): MediaMeta = {
+    if (p.length < 54) fail(s"BMP header truncated at ${p.length} bytes")
+    val w = le32(p, 18)
+    val h = le32(p, 22)
+    val bpp = le16(p, 28)
+    val compression = le32(p, 30)
+    if (w <= 0 || h <= 0 || w > 65535 || h > 65535) fail(s"BMP dimensions out of range: ${w}x$h")
+    if (bpp != 24) fail(s"unsupported BMP bit depth $bpp (24-bit only)")
+    if (compression != 0) fail(s"unsupported BMP compression $compression")
+    val rowBytes = (3L * w + 3) / 4 * 4
+    val expected = le32(p, 10) + rowBytes * h
+    if (p.length < expected) fail(
+      s"BMP payload ${p.length} bytes shorter than header-implied $expected")
+    MediaMeta(w, h, channels = 3, nFrames = 1, sizeBytes = p.length.toLong)
+  }
+
+  private def decodePpm(p: Array[Byte]): MediaMeta = {
+    // header tokens separated by single whitespace: P6, width, height,
+    // maxval, one whitespace, then raster
+    var i = 2
+    def token(): Long = {
+      while (i < p.length && Character.isWhitespace(p(i))) i += 1
+      var v = -1L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (p(i) - '0'); i += 1
+      }
+      if (v < 0) fail("PPM header ended before a numeric token")
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    if (i >= p.length || !Character.isWhitespace(p(i))) fail("PPM raster separator missing")
+    i += 1
+    if (w <= 0 || h <= 0 || w > 65535 || h > 65535) fail(s"PPM dimensions out of range: ${w}x$h")
+    if (maxval != 255) fail(s"unsupported PPM maxval $maxval")
+    if (p.length - i < 3 * w * h) fail(
+      s"PPM raster ${p.length - i} bytes, header implies ${3 * w * h}")
+    MediaMeta(w.toInt, h.toInt, channels = 3, nFrames = 1, sizeBytes = p.length.toLong)
+  }
+
+  private def decodeWav(p: Array[Byte]): MediaMeta = {
+    if (p.length < 44) fail(s"WAV header truncated at ${p.length} bytes")
+    if (!(p(12) == 'f' && p(13) == 'm' && p(14) == 't' && p(15) == ' '))
+      fail("WAV fmt chunk not at canonical offset")
+    val audioFormat = le16(p, 20)
+    if (audioFormat != 1) fail(s"unsupported WAV format $audioFormat (PCM only)")
+    val channels = le16(p, 22)
+    val blockAlign = le16(p, 32)
+    if (channels <= 0 || channels > 8) fail(s"WAV channel count $channels out of range")
+    if (blockAlign != channels * 2) fail(
+      s"WAV block align $blockAlign inconsistent with $channels 16-bit channels")
+    if (!(p(36) == 'd' && p(37) == 'a' && p(38) == 't' && p(39) == 'a'))
+      fail("WAV data chunk not at canonical offset")
+    val dataBytes = le32(p, 40)
+    if (dataBytes < 0 || 44L + dataBytes > p.length) fail(
+      s"WAV data chunk $dataBytes bytes exceeds payload ${p.length}")
+    MediaMeta(0, 0, channels, nFrames = dataBytes / blockAlign,
+      sizeBytes = p.length.toLong)
+  }
+}

@@ -7,11 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
   * decode/feature-extract stages, and frame sampling.
   *
-  * The decode step is a STUB — real image/audio codecs are not available in
-  * this environment, so [[fakeDecode]] derives deterministic pseudo-metadata
-  * from the payload bytes. Everything around it (schema, batch iteration,
-  * partition-parallel execution, column pruning of the wide binary column)
-  * is real: swap `fakeDecode` for a JNI/codec call and the pipeline holds.
+  * Decode is REAL for three trivial containers — 24-bit BMP, binary PPM,
+  * PCM WAV — via the dependency-free [[MediaCodec]] (this environment
+  * ships no image/audio libraries; production swaps richer codecs in at
+  * the same `decode` signature). A payload that is not a well-formed
+  * supported container FAILS THE JOB loudly with the parse reason — no
+  * silent garbage metadata.
   *
   * Scale notes: binary payloads dominate row size, so (a) metadata-only
   * queries must never touch the payload column — Parquet column pruning
@@ -21,7 +22,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
+  /** Typed metadata produced by the decoder (raster containers:
+    * width/height/channels with nFrames=1; WAV: channels + PCM sample
+    * frames with width=height=0). */
   case class MediaMeta(
       width: Int, height: Int, channels: Int, nFrames: Int, sizeBytes: Long)
 
@@ -32,26 +35,25 @@ object Multimodal {
     StructField("nFrames", IntegerType, nullable = false),
     StructField("sizeBytes", LongType, nullable = false)))
 
-  /** STUB decoder: deterministic pseudo-metadata from payload length/bytes.
-    * Replace with a real codec at the same signature. */
-  def fakeDecode(payload: Array[Byte]): MediaMeta = {
-    val n = payload.length
-    MediaMeta(
-      width = 32 + (n % 609),
-      height = 32 + ((n * 7) % 449),
-      channels = 3,
-      nFrames = 1 + (n % 30),
-      sizeBytes = n.toLong)
-  }
-
-  /** Attach a binary payload column (here: utf8 text bytes as the stand-in
-    * payload; in production this is the stored media blob). */
+  /** Attach a binary payload column (utf8 text bytes — the opaque-blob
+    * stand-in for plumbing tests that never decode). */
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
 
+  /** Attach a REAL container payload per row — a valid BMP / PPM / WAV
+    * synthesized deterministically from the id
+    * ([[graft.functions.MediaKernel.fixture]]). This is the planted
+    * binary fixture at every SF: the ids are the dataset's own, so every
+    * scale factor carries decodable media rows with closed-form expected
+    * metadata. */
+  def withMediaPayload(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload",
+      graft.functions.MediaExpressions.fixture(col(idCol)))
+
   /** Partition-parallel decode: binary payload → typed metadata struct.
-    * Runs the decoder once per row inside mapPartitions — the shape a
-    * batched JNI decoder needs (amortized per-partition init). */
+    * Runs [[MediaCodec.decode]] once per row inside mapPartitions — the
+    * shape a batched JNI decoder needs (amortized per-partition init);
+    * equivalence with the expression-kernel decode is spec-gated. */
   def decodeMeta(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -62,7 +64,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       // per-partition decoder init would go here (e.g. codec context)
       rows.map { r =>
-        val m = fakeDecode(r.getAs[Array[Byte]](payloadIdx))
+        val m = MediaCodec.decode(r.getAs[Array[Byte]](payloadIdx))
         Row(r.getLong(idIdx), Row(m.width, m.height, m.channels, m.nFrames, m.sizeBytes))
       }
     }(encoder)

@@ -10,20 +10,60 @@ import graft.queries.MultimodalQueries
   * expression-level mirror, and frame sampling must be deterministic. */
 class MultimodalSpec extends SparkSpec {
 
-  test("mapPartitions decode agrees with the expression mirror") {
+  test("mapPartitions decode agrees with the expression kernel (real containers)") {
     val docs = VectorModel.documents(spark, Sf0001)
     val viaExpr = MultimodalQueries.mediaFeatures(spark, Sf0001)
       .select("doc_id", "width", "height", "n_frames", "size_bytes")
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     val viaMap = Multimodal.decodeMeta(
-      Multimodal.withPayload(docs, "text").select("doc_id", "payload"), "doc_id")
+      Multimodal.withMediaPayload(docs, "doc_id").select("doc_id", "payload"), "doc_id")
       .select(col("doc_id"), col("meta.width"), col("meta.height"),
         col("meta.nFrames"), col("meta.sizeBytes"))
       .collect()
       .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong, r.getLong(4))))
       .toMap
     assert(viaMap === viaExpr)
+    assert(viaMap.nonEmpty)
+  }
+
+  test("codec round-trip: encode then decode recovers the parameters for every container") {
+    import graft.multimodal.MediaCodec
+    for (w <- Seq(1, 4, 13, 300); h <- Seq(1, 7, 200)) {
+      val bmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, seed = w * 31 + h))
+      assert((bmp.width, bmp.height, bmp.channels, bmp.nFrames) === ((w, h, 3, 1)))
+      assert(bmp.sizeBytes === MediaCodec.bmpSize(w, h))
+      val ppm = MediaCodec.decode(MediaCodec.encodePpm(w, h, seed = h * 17 + w))
+      assert((ppm.width, ppm.height, ppm.channels, ppm.nFrames) === ((w, h, 3, 1)))
+      assert(ppm.sizeBytes === MediaCodec.ppmSize(w, h))
+    }
+    for (ch <- Seq(1, 2); n <- Seq(1, 100, 999)) {
+      val wav = MediaCodec.decode(MediaCodec.encodeWav(ch, n, 8000, seed = n))
+      assert((wav.width, wav.height, wav.channels, wav.nFrames) === ((0, 0, ch, n)))
+      assert(wav.sizeBytes === MediaCodec.wavSize(ch, n))
+    }
+  }
+
+  test("decode fails loudly on malformed payloads") {
+    import graft.multimodal.MediaCodec
+    def reject(p: Array[Byte], hint: String): Unit = {
+      val e = intercept[IllegalArgumentException](MediaCodec.decode(p))
+      assert(e.getMessage.contains("media decode failed"), s"$hint: ${e.getMessage}")
+    }
+    reject("not a container".getBytes, "text bytes")
+    reject(Array[Byte]('B', 'M'), "truncated BMP header")
+    reject(MediaCodec.encodeBmp(8, 8, 1).take(60).toArray, "BMP shorter than raster")
+    reject(MediaCodec.encodePpm(8, 8, 1).take(20).toArray, "PPM shorter than raster")
+    reject(MediaCodec.encodeWav(2, 10, 8000, 1).take(40).toArray, "truncated WAV")
+    // and through the distributed path: a corrupt payload fails the job,
+    // never emits a garbage row
+    import spark.implicits._
+    val bad = Seq((1L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val ex = intercept[Exception] {
+      bad.withColumn("meta", graft.functions.MediaExpressions.decode(col("payload")))
+        .select("meta.width").collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("payload is real binary and metadata-only plans do not decode") {
