@@ -450,30 +450,43 @@ object DedupQueries {
     * `targetBlockRows`, the probe side is salted by `hash(key) mod S`
     * and the build side replicated S ways, bounding per-task pair work
     * at ~|block|²/S while every qualifying pair still matches exactly
-    * once. S=1 (the common balanced case) keeps the unsalted plan. */
+    * once. S=1 (the common balanced case) keeps the unsalted plan.
+    * A caller that already knows its block distribution can pass
+    * `salts = Some(s)` to pin the factor and skip the measuring
+    * aggregate (one job less per serve); `None` keeps the
+    * measure-then-decide default. Helper columns are `__fz_`-prefixed so
+    * the generic (key, block, name) API cannot collide with caller
+    * schemas (guarded below). */
   def fuzzyPairs(rows: DataFrame, keyCol: String, blockCol: String,
-      nameCol: String, targetBlockRows: Int = 4096): DataFrame = {
+      nameCol: String, targetBlockRows: Int = 4096,
+      salts: Option[Int] = None): DataFrame = {
+    require(!rows.columns.exists(_.startsWith("__fz_")),
+      s"fuzzyPairs reserves the __fz_ column prefix; input has " +
+        rows.columns.filter(_.startsWith("__fz_")).mkString(", "))
     val bandW = FuzzyMaxDist + 1
-    val p = rows.withColumn("p_len", length(col(nameCol)))
-    val band = floor(col("p_len") / bandW)
-    val build0 = p.withColumn("band", band)
-    val probe0 = p.withColumn("band",
+    val p = rows.withColumn("__fz_len", length(col(nameCol)))
+    val band = floor(col("__fz_len") / bandW)
+    val build0 = p.withColumn("__fz_band", band)
+    val probe0 = p.withColumn("__fz_band",
       explode(array(band - 1, band, band + 1)))
-    val maxBlock = build0.groupBy(col(blockCol), col("band")).count()
-      .agg(max("count")).collect().headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
-    val salts = math.min(64,
-      math.max(1, math.ceil(maxBlock.toDouble / targetBlockRows).toInt))
+    val s = salts.getOrElse {
+      val maxBlock = build0.groupBy(col(blockCol), col("__fz_band")).count()
+        .agg(max("count")).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+        .getOrElse(0L)
+      math.min(64,
+        math.max(1, math.ceil(maxBlock.toDouble / targetBlockRows).toInt))
+    }
+    require(s >= 1 && s <= 1024, s"salt factor $s out of range")
     val (probe, build, keys) =
-      if (salts == 1) (probe0, build0, Seq(col(blockCol), col("band")))
+      if (s == 1) (probe0, build0, Seq(col(blockCol), col("__fz_band")))
       else (
-        probe0.withColumn("salt", pmod(hash(col(keyCol)), lit(salts))),
-        build0.withColumn("salt",
-          explode(array((0 until salts).map(lit(_)): _*))),
-        Seq(col(blockCol), col("band"), col("salt")))
+        probe0.withColumn("__fz_salt", pmod(hash(col(keyCol)), lit(s))),
+        build0.withColumn("__fz_salt",
+          explode(array((0 until s).map(lit(_)): _*))),
+        Seq(col(blockCol), col("__fz_band"), col("__fz_salt")))
     val saltEq =
-      if (salts == 1) lit(true) else col("a.salt") === col("b.salt")
+      if (s == 1) lit(true) else col("a.__fz_salt") === col("b.__fz_salt")
     // widenBy pins the shuffle width on the blocking keys (the join
     // shuffles on them anyway, so no extra exchange) and stays exempt
     // from AQE's byte-based coalescing — the per-partition work here is
@@ -484,9 +497,9 @@ object DedupQueries {
     graft.operators.Par.widenBy(probe, keys: _*).as("a")
       .join(build.hint("merge").as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col("a.band") === col("b.band") && saltEq &&
+          col("a.__fz_band") === col("b.__fz_band") && saltEq &&
           col(s"a.$keyCol") < col(s"b.$keyCol") &&
-          abs(col("a.p_len") - col("b.p_len")) <= FuzzyMaxDist)
+          abs(col("a.__fz_len") - col("b.__fz_len")) <= FuzzyMaxDist)
       .withColumn("dist",
         levenshtein(col(s"a.$nameCol"), col(s"b.$nameCol")).cast("long"))
       .where(col("dist") <= FuzzyMaxDist)

@@ -548,9 +548,17 @@ object StreamingIngest {
 
   /** (lastBatchId, running token total) of a pack layout: the sidecar
     * when present, else re-derived from the layout (self-healing after a
-    * lost sidecar — max over COMMITTED rows; correct because every
-    * committed batch dir is complete by the overwrite contract), else
-    * (-1, 0) for a fresh layout. */
+    * lost sidecar), else (-1, 0) for a fresh layout.
+    *
+    * The self-heal deliberately trusts only batches BELOW the maximum
+    * visible id: a crash can leave the newest `batch=N` dir visible but
+    * PARTIALLY committed (interrupted job commit, v2 committer), and with
+    * the sidecar also gone there is no record proving N completed — so
+    * the heal claims lastBatchId = N−1 with the total re-derived from the
+    * earlier batches only, and the foreachBatch replay of N rewrites its
+    * dir completely (the overwrite contract makes that idempotent: same
+    * deterministic rows whether N was whole or partial). Trusting N
+    * as-committed would make a partial epoch permanent. */
   private[graft] def readPackState(spark: SparkSession, layoutPath: String)
       : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
@@ -566,10 +574,12 @@ object StreamingIngest {
     } else if (graft.store.Fs.exists(spark, layoutPath) &&
         graft.store.Fs.dataFileCount(spark, layoutPath) > 0) {
       import org.apache.spark.sql.functions._
-      val r = spark.read.parquet(layoutPath)
-        .agg(coalesce(max(col("start") + col("n")), lit(0L)),
-          coalesce(max(col("batch").cast("long")), lit(-1L))).head
-      (r.getLong(1), r.getLong(0))
+      val layout = spark.read.parquet(layoutPath)
+      val maxB = layout.agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
+        .head.getLong(0)
+      val base = layout.where(col("batch").cast("long") < maxB)
+        .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)
+      (maxB - 1, base)
     } else (-1L, 0L)
   }
 
