@@ -458,6 +458,11 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     hnswNumPartitions = numPartitions
     hnswCoveredUpTo = nextId
     hnswMutated = false
+    // a rebuild into the SAME dir at the SAME watermark (e.g. after
+    // delete/update-only mutations into a caller-supplied scratch) runs a
+    // fresh k-means — shard ids denote different regions — so the memo
+    // key (path, watermark) alone cannot see it; drop eagerly
+    hnswStatsMemo = None
   }
 
   /** Build the persisted sign-LSH inverted-list layout
@@ -1068,8 +1073,18 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     * and memoized until the next write/rebuild. */
   def batchSearchDf(queries: DataFrame, topK: Int = 5,
       method: String = "brute_force", efSearch: Int = 128,
-      adaptive: Boolean = true, overscan: Int = 16,
+      adaptive: Boolean = true, overscan: Int = -1,
       filter: Option[Column] = None): DataFrame = {
+    // overscan = -1 → each family's calibrated default (ivf/ivfpq/hnsw 16,
+    // lsh [[graft.index.LshAnn.DefaultOverscan]]); an explicit value
+    // reaches EVERY family — it is the starvation knob the `filter`
+    // contract below tells callers to widen, so dropping it for any one
+    // family would silently under-serve exactly the documented remedy
+    require(overscan == -1 || overscan > 0,
+      s"overscan must be positive (or -1 for the family default), got $overscan")
+    val scan = if (overscan == -1) 16 else overscan
+    val lshScan = if (overscan == -1) graft.index.LshAnn.DefaultOverscan
+      else overscan
     // front-door dimension guard (the collected batchSearch calls
     // checkDim per query): a wrong-dim qvec row fails loudly here instead
     // of surfacing as a deep executor-side kernel error
@@ -1100,13 +1115,13 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
           throw new IllegalStateException("IVF index not built"))
         Ivf.bigBatchSearch(assigned, model, q0, topK,
           sizes = if (adaptive) Some(ivfSizesOf(assigned)) else None,
-          overscan = overscan, filter = filter)
+          overscan = scan, filter = filter)
       case "ivfpq" =>
         val (encoded, model) = ivfPq.getOrElse(
           throw new IllegalStateException("IVF-PQ index not built"))
         IvfPq.bigBatchSearch(encoded, model, q0, topK, refineFrom = data,
           sizes = if (adaptive) Some(ivfPqSizesOf(encoded)) else None,
-          overscan = overscan, filter = filter)
+          overscan = scan, filter = filter)
       case "hnsw" =>
         val p = hnswPath.getOrElse(
           throw new IllegalStateException("HNSW index not built"))
@@ -1117,7 +1132,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         graft.index.HnswStore.bigBatchTopKRouted(spark, p, q0, topK,
           probes = hnswRoutedProbes, efSearch = efSearch,
           stats = if (adaptive) Some(hnswStatsOf(p)) else None,
-          overscan = overscan, acceptIds = acceptFrame)
+          overscan = scan, acceptIds = acceptFrame)
       case "lsh" =>
         val root = lshRoot.getOrElse(
           throw new IllegalStateException("LSH index not built"))
@@ -1129,7 +1144,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         if (adaptive)
           graft.index.LshAnn.bigBatchSearchStoredAdaptive(layout,
             lshModel.get, q0, topK, lshSizesOf(root),
-            overscan = graft.index.LshAnn.DefaultOverscan,
+            overscan = lshScan,
             acceptIds = acceptFrame)
         else
           graft.index.LshAnn.bigBatchSearchStored(layout,

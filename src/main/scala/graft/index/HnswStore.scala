@@ -760,9 +760,17 @@ object HnswStore {
     // result slot — tune `bloomFpp` down if k-exactness matters more than
     // filter bytes). Recall remains bounded by shard routing like every
     // routed path.
-    val bloom = acceptIds.map { ids =>
-      val idsOnly = ids.select(col(idCol))
-      val n = math.max(1L, idsOnly.count())
+    // nothing qualifies → nothing to search (the [[topKFiltered]] guard
+    // at query-set scale): an empty Bloom rejects every id, and a beam
+    // that can never hold k accepted results walks each probed shard's
+    // whole connected component once PER QUERY ROW just to return zero
+    val acceptCounted = acceptIds.map { ids =>
+      val idsOnly = ids.select(col(idCol)); (idsOnly, idsOnly.count())
+    }
+    if (acceptCounted.exists(_._2 == 0L))
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", idCol, "sim", "rn")
+    val bloom = acceptCounted.map { case (idsOnly, n) =>
       idsOnly.stat.bloomFilter(idCol, n, bloomFpp)
     }
     val (all, _) = storedRecords(spark, path)

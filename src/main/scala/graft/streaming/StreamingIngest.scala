@@ -550,15 +550,19 @@ object StreamingIngest {
     * when present, else re-derived from the layout (self-healing after a
     * lost sidecar), else (-1, 0) for a fresh layout.
     *
-    * The self-heal deliberately trusts only batches BELOW the maximum
-    * visible id: a crash can leave the newest `batch=N` dir visible but
-    * PARTIALLY committed (interrupted job commit, v2 committer), and with
-    * the sidecar also gone there is no record proving N completed — so
-    * the heal claims lastBatchId = N−1 with the total re-derived from the
+    * The self-heal trusts the newest visible `batch=N` dir only when the
+    * dir is PROVABLY complete — it carries the `_SUCCESS` job-commit
+    * marker: a crash can leave `batch=N` visible but partially committed
+    * (interrupted job commit, v2 committer), and with the sidecar also
+    * gone there is no other record proving N completed. Incomplete → the
+    * heal claims lastBatchId = N−1 with the total re-derived from the
     * earlier batches only, and the foreachBatch replay of N rewrites its
     * dir completely (the overwrite contract makes that idempotent: same
-    * deterministic rows whether N was whole or partial). Trusting N
-    * as-committed would make a partial epoch permanent. */
+    * deterministic rows whether N was whole or partial). Complete → N
+    * counts as committed, which matters when the STREAMING CHECKPOINT
+    * survived the sidecar loss: the source will deliver N+1 next, never
+    * replaying N, so claiming N−1 would permanently drop N's tokens from
+    * the running base and pack N+1 over N's offsets. */
   private[graft] def readPackState(spark: SparkSession, layoutPath: String)
       : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
@@ -577,9 +581,12 @@ object StreamingIngest {
       val layout = spark.read.parquet(layoutPath)
       val maxB = layout.agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
         .head.getLong(0)
-      val base = layout.where(col("batch").cast("long") < maxB)
+      val newestComplete = fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS"))
+      val committedThrough = if (newestComplete) maxB else maxB - 1
+      val base = layout.where(col("batch").cast("long") <= committedThrough)
         .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)
-      (maxB - 1, base)
+      (committedThrough, base)
     } else (-1L, 0L)
   }
 

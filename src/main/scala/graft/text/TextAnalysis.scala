@@ -135,13 +135,33 @@ object TextAnalysis {
     * tokenize/passthrough shape is identical to [[cjkTokensDict]]. */
   def cjkTokensDictBig(text: Column, dict: Seq[String],
       maxLen: Int = CjkDictMaxLen): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val bc = spark.sparkContext.broadcast(dict.toSet)
-    val kernel = new graft.functions.CjkFmmKernel(bc, maxLen)
+    val kernel = fmmKernelFor(dict, maxLen)
     flatten(transform(tokens(text), t =>
       when(t.rlike(CjkPattern),
         graft.functions.CjkFmmExpressions.segment(t, kernel))
         .otherwise(array(t))))
+  }
+
+  /** Per-(dictionary, maxLen) kernel memo: [[cjkTokensDictBig]] returns a
+    * `Column`, so callers naturally re-invoke it per query — without the
+    * memo every call ships a fresh `sparkContext.broadcast` of the full
+    * wordlist that is never destroyed (TorrentBroadcast retains the
+    * blocks), leaking megabytes per call at jieba scale. Keyed on
+    * (content hash, size, maxLen) per SparkContext; bounded (few live
+    * dictionaries per app), evicted wholesale when the context changes
+    * (a stopped context's broadcasts are unusable). */
+  private val fmmKernelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), graft.functions.CjkFmmKernel]()
+  @volatile private var fmmKernelMemoCtx: String = ""
+  private def fmmKernelFor(dict: Seq[String], maxLen: Int)
+      : graft.functions.CjkFmmKernel = synchronized {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ctx = spark.sparkContext.applicationId
+    if (ctx != fmmKernelMemoCtx) { fmmKernelMemo.clear(); fmmKernelMemoCtx = ctx }
+    val key = (scala.util.hashing.MurmurHash3.orderedHash(dict), dict.size, maxLen)
+    fmmKernelMemo.computeIfAbsent(key, _ =>
+      new graft.functions.CjkFmmKernel(
+        spark.sparkContext.broadcast(dict.toSet), maxLen))
   }
 
   /** The dictionary seam's front door: inline-literal FMM for small

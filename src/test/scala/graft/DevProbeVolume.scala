@@ -49,7 +49,10 @@ object DevProbeVolume {
         .collect().map(r => r.getSeq[Double](1))
       val f = qs.map(q => model.probeClusters(q, 2))
       val a = qs.map(q => model.probeClustersAdaptive(q, sizes, 16L * 3, 2))
-      report("ivf", f.map(_.map(sizes).sum).toSeq, a.map(_.map(sizes).sum).toSeq,
+      // getOrElse: the size maps only hold non-empty clusters, and a
+      // fixed probe list can rank an empty one
+      report("ivf", f.map(_.map(sizes.getOrElse(_, 0L)).sum).toSeq,
+        a.map(_.map(sizes.getOrElse(_, 0L)).sum).toSeq,
         corpus, f.map(_.size).toSeq, a.map(_.size).toSeq)
     }
 
@@ -63,8 +66,8 @@ object DevProbeVolume {
       val f = qs.map(q => graft.index.HnswStore.probedShards(spark, path, q, 4))
       val a = qs.map(q =>
         graft.index.HnswStore.probedShardsAdaptive(spark, path, q, 3, stats))
-      report("hnsw_routed", f.map(_.map(stats.sizes).sum).toSeq,
-        a.map(_.map(stats.sizes).sum).toSeq,
+      report("hnsw_routed", f.map(_.map(stats.sizes.getOrElse(_, 0L)).sum).toSeq,
+        a.map(_.map(stats.sizes.getOrElse(_, 0L)).sum).toSeq,
         corpus, f.map(_.size).toSeq, a.map(_.size).toSeq)
     }
 

@@ -119,4 +119,19 @@ class FilteredBigBatchSpec extends SparkSpec {
         s"query $qid: big-batch ${byQ.getOrElse(qid, Set.empty)} vs collected $exp")
     }
   }
+
+  test("routed-HNSW big-batch with a zero-match filter returns empty fast (no component walk)") {
+    val path = queries.ApproxQueries.hnswRoutedLayout(spark, Sf0001)
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val qdf = bigQueries(500, 8, scale = 50.0)
+    // nothing qualifies: an empty Bloom would reject every id and each
+    // (shard, query) beam would traverse the shard's whole connected
+    // component before returning nothing — the guard must short-circuit
+    // to an empty frame with the batch schema instead
+    val none = vecs.where(col("id") < 0).select("id")
+    val out = HnswStore.bigBatchTopKRouted(spark, path, qdf, 3,
+      probes = 4, acceptIds = Some(none))
+    assert(out.columns.toSeq === Seq("query_id", "id", "sim", "rn"))
+    assert(out.count() === 0L)
+  }
 }

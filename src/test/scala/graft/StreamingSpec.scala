@@ -790,17 +790,26 @@ class StreamingSpec extends SparkSpec {
       cap, "doc_id", "n_tokens", 8, batchId = 2L)
     assert(rows(spark.read.parquet(s"$base/pack")) === grown)
     assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
-    // sidecar LOSS: the self-heal must not trust the newest visible batch
-    // dir (it may be a partial commit with no record proving otherwise) —
-    // it claims maxBatch-1 committed, and the replay of maxBatch rewrites
-    // the dir idempotently, restoring the exact pre-loss state
+    // sidecar LOSS, newest batch dir COMPLETE (_SUCCESS present): the
+    // self-heal must trust it as committed — the streaming checkpoint may
+    // have survived the sidecar loss, in which case the source delivers
+    // maxB+1 next and never replays maxB; claiming maxB-1 would drop
+    // maxB's tokens from the base and pack maxB+1 over its offsets
     val (fsH, pH) = graft.store.Fs.pathFs(spark, s"$base/pack")
     fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_pack_total"), false)
-    val (healedId, healedBase) = StreamingIngest.readPackState(spark, s"$base/pack")
     val maxB = spark.read.parquet(s"$base/pack")
       .agg(max(col("batch").cast("long"))).head.getLong(0)
-    assert(healedId === maxB - 1, "self-heal must re-open the newest batch")
-    assert(healedBase === docs.where(epochOf < maxB).agg(sum("n_tokens")).head.getLong(0))
+    val (healedId, healedBase) = StreamingIngest.readPackState(spark, s"$base/pack")
+    assert(healedId === maxB, "complete newest batch must count as committed")
+    assert(healedBase === expected)
+    // sidecar LOSS + newest dir NOT provably complete (_SUCCESS gone —
+    // the interrupted-job-commit shape): the heal re-opens maxB, and the
+    // foreachBatch replay of maxB rewrites the dir idempotently,
+    // restoring the exact pre-loss state
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, s"batch=$maxB/_SUCCESS"), false)
+    val (reopenId, reopenBase) = StreamingIngest.readPackState(spark, s"$base/pack")
+    assert(reopenId === maxB - 1, "unprovable newest batch must be re-opened")
+    assert(reopenBase === docs.where(epochOf < maxB).agg(sum("n_tokens")).head.getLong(0))
     StreamingIngest.packAppendBatch(docs.where(epochOf === maxB), s"$base/pack",
       cap, "doc_id", "n_tokens", 8, batchId = maxB)
     assert(rows(spark.read.parquet(s"$base/pack")) === grown)

@@ -661,8 +661,20 @@ class VectorDbSpec extends SparkSpec {
     }
     assert(db.maintainIndexes(maxDeltaFraction = 0.0).nonEmpty)
     assert(sets(db.batchSearchDf(qdf, topK = 3, method = "lsh")).nonEmpty)
+    // overscan REACHES the lsh family (the starvation knob the filter
+    // contract tells callers to widen): a wide explicit budget admits at
+    // least as many results as a starved mass target of overscan=1
+    val lshWide = sets(db.batchSearchDf(qdf, topK = 3, method = "lsh",
+      overscan = 256))
+    val lshNarrow = sets(db.batchSearchDf(qdf, topK = 3, method = "lsh",
+      overscan = 1))
+    assert(lshWide.size >= lshNarrow.size)
+    assert(lshWide.map(_._1).size >= lshNarrow.map(_._1).size)
     intercept[IllegalArgumentException] {
       db.batchSearchDf(qdf, topK = 3, method = "bogus")
+    }
+    intercept[IllegalArgumentException] {
+      db.batchSearchDf(qdf, topK = 3, overscan = 0)
     }
   }
 }
