@@ -90,7 +90,11 @@ object Bench {
     ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
-      (s, d) => { queries.TextQueries.localModelPath(s, d); () }))
+      (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
+    ("build_bpe_model", Set("tx_bpe_corpus_vocab"),
+      // one wordcount shuffle + driver-side merge learning; the serving
+      // entry times ENCODING under the learned model, not training
+      (s, d) => { queries.TextQueries.bpeModel(s, d); () }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

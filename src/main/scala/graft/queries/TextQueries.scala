@@ -813,7 +813,98 @@ object TextQueries {
          |ORDER BY doc_id, chunk_ix""".stripMargin)
   }
 
+  // ---- BPE subword tokenization --------------------------------------
+
+  /** Corpus-trained BPE model for a dataset dir — ONE map-side-combined
+    * wordcount shuffle + driver-side merge learning over the capped vocab
+    * ([[graft.text.Bpe.train]], the corpus-size-independent Sennrich
+    * shape) — memoized like every other layout build. 64 merges more
+    * than saturates this corpus's vocabulary (training stops early at
+    * the best-count<2 floor). */
+  private[graft] def bpeModel(spark: SparkSession, dir: String)
+      : graft.text.Bpe.BpeModel =
+    bpeModelCache.computeIfAbsent(dir, _ =>
+      graft.text.Bpe.train(VectorModel.documents(spark, dir), "text", 64))
+
+  private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.text.Bpe.BpeModel]()
+
+  /** HASH-GATED BPE encode over the documents table: per-doc word count,
+    * character mass, and BPE token count under the FIXTURE-trained
+    * constant model ([[graft.text.Bpe.FixtureModel]] — fixed merges are
+    * what lets the oracle embed the merge table as literals and replay
+    * the exact rank-order left-to-right merge walk as a recursive CTE
+    * over the corpus's distinct words). The corpus-TRAINED twin is
+    * `tx_bpe_corpus_vocab` (training is iterative argmax — spec-gated by
+    * the module contract, like k-means/PQ fits). */
+  def bpeStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+      graft.text.Bpe.bpeTokenCount(col("text"), graft.text.Bpe.FixtureModel)
+        .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Term-for-term DuckDB mirror of [[bpeStats]]: the merge table as
+    * literal VALUES (rendered from the SAME [[graft.text.Bpe.FixtureModel]]
+    * the Spark side serves — one source of truth), encode as a recursive
+    * CTE over DISTINCT words whose state is (word, token list, merge
+    * rank): each step merges the FIRST occurrence of the current rank's
+    * pair, else advances the rank — repeated-first-occurrence equals the
+    * engine's left-to-right non-overlapping pass (merging at i cannot
+    * create an earlier occurrence), and per-word encode joined back to
+    * the exploded docs reproduces the full-corpus counts. */
+  lazy val bpeStatsSql: String = {
+    val m = graft.text.Bpe.FixtureModel.merges
+    val vals = m.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b)),
+       |words0(w) AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+       |enc(w, toks, midx) AS (
+       |  SELECT w, [substr(w, i, 1) for i in range(1, length(w)+1)], 1 FROM words0
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN pos IS NULL THEN toks
+       |         ELSE toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:] END,
+       |    CASE WHEN pos IS NULL THEN midx + 1 ELSE midx END
+       |  FROM (
+       |    SELECT e.w AS w, e.toks AS toks, e.midx AS midx,
+       |      list_min([i for i in range(1, len(e.toks)) if e.toks[i] = m.a AND e.toks[i+1] = m.b]) AS pos
+       |    FROM enc e JOIN merges m ON m.rank = e.midx) s
+       |),
+       |final AS (SELECT w, len(toks) AS n FROM enc WHERE midx = ${m.size + 1}),
+       |docw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+       |agg AS (
+       |  SELECT d.doc_id AS doc_id, count(*) AS nw, sum(length(d.w)) AS nc, sum(f.n) AS nb
+       |  FROM docw d JOIN final f ON f.w = d.w GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bpe
+       |FROM documents LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus-TRAINED BPE vocabulary: top subword tokens of the corpus by
+    * frequency under [[bpeModel]] (rows-only at the driver — training is
+    * iterative argmax, outside SQL by the module contract; BpeSpec gates
+    * kernel==driver encode parity, training determinism, and the merge
+    * sanity properties). */
+  def bpeCorpusVocab(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir)
+      .select(explode(
+        graft.text.Bpe.bpeTokens(col("text"), bpeModel(spark, dir))).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token"))
+      .limit(25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_stats" -> (bpeStats _),
+    "tx_bpe_corpus_vocab" -> (bpeCorpusVocab _),
     "tx_sql_clean" -> (sqlClean _),
     "tx_sql_bm25" -> (sqlBm25 _),
     "tx_sql_chunks" -> (sqlChunks _),
@@ -838,6 +929,7 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_bpe_stats" -> bpeStatsSql,
     "tx_sql_clean" -> sqlCleanSql,
     "tx_sql_bm25" -> bm25TopKSql,
     "tx_sql_chunks" -> chunksSql,

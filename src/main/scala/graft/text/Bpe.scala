@@ -1,0 +1,213 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair encoding — the trainable tokenizer a training-data pipeline
+  * counts and packs with (the reference's declared-but-unshipped text
+  * stack evidences a tokenizer dependency the same way it evidences
+  * jieba; this is the standard subword algorithm, Sennrich et al. 2016,
+  * public knowledge).
+  *
+  * 100 TB design: BPE training needs only WORD COUNTS, not the corpus —
+  * so the distributed half is ONE wordcount aggregate (map-side combined,
+  * one shuffle) capped to a bounded vocabulary, and merge learning runs
+  * driver-side over that vocabulary, corpus-size-independent (the
+  * sample-bounded-fit shape PQ/IVF training already use). Encoding the
+  * full corpus is the distributed half: the learned merge list ships once
+  * per executor as a broadcast and each word is encoded by the codegen'd
+  * [[graft.functions.BpeKernel]] — plan size O(1) in the model, no UDF.
+  *
+  * Conventions (mirrored EXACTLY by the DuckDB recursive-CTE oracle of
+  * `tx_bpe_stats` and by [[encodeWordWith]], the single shared
+  * implementation):
+  *  - words are whitespace tokens ([[TextAnalysis.tokens]] semantics);
+  *    merges never cross word boundaries; no end-of-word marker;
+  *  - initial symbols are CODE POINTS (surrogate-safe, = DuckDB's
+  *    character semantics);
+  *  - pair counting is over ALL adjacent occurrences (overlapping
+  *    included), weighted by word count;
+  *  - the best pair is max count, ties broken by the lexicographically
+  *    SMALLEST (a, b) — fully deterministic;
+  *  - training stops at `numMerges` or when the best pair count < 2;
+  *  - encoding applies merges IN RANK ORDER, each as one left-to-right
+  *    non-overlapping replacement pass (for a self-consistent trained
+  *    merge list this equals the iterative lowest-rank-first loop: a
+  *    pair's components always form at strictly lower ranks). */
+object Bpe {
+
+  final case class BpeModel(merges: IndexedSeq[(String, String)]) {
+    require(merges == merges.distinct, "duplicate merge pairs")
+    /** Driver-side reference encode — the kernel delegates to the same
+      * [[encodeWordWith]], so driver and executor cannot drift. */
+    def encodeWord(w: String): IndexedSeq[String] = encodeWordWith(merges, w)
+    /** The token vocabulary the model can emit: merged strings (single
+      * code points are always emittable on top of these). */
+    def mergedVocab: Set[String] = merges.map { case (a, b) => a + b }.toSet
+  }
+
+  private def splitCodePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Encode one word with an explicit merge list — THE shared
+    * implementation behind the driver reference and the executor kernel.
+    * Applies merges in rank order; each application is one left-to-right
+    * non-overlapping replacement pass. The `contains` precheck skips
+    * merges whose concatenation cannot be a substring of the word
+    * (adjacent tokens are always substrings), making the common case
+    * O(merges · |w|) character scans with no allocation. */
+  def encodeWordWith(merges: IndexedSeq[(String, String)], w: String)
+      : IndexedSeq[String] = {
+    if (w.isEmpty) return Vector.empty
+    var toks: Array[String] = splitCodePoints(w)
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      if (toks.length >= 2 && w.contains(a + b)) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        if (out.length < toks.length) toks = out.toArray
+      }
+      m += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
+  }
+
+  /** Merge learning over a word-frequency table (Sennrich): the
+    * corpus-size-independent half. Deterministic — see the object
+    * scaladoc for the tie-break and stop rules. */
+  def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int)
+      : BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var words: Array[(Array[String], Long)] = wordCounts
+      .filter(_._1.nonEmpty)
+      .map { case (w, c) => (splitCodePoints(w), c) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (go && merges.size < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val (bestPair, bestCount) = counts.foldLeft((("", ""), -1L)) {
+          case (acc @ (bp, bc), (p, c)) =>
+            if (c > bc || (c == bc && pairLt(p, bp))) (p, c) else acc
+        }
+        if (bestCount < 2) go = false
+        else {
+          merges += bestPair
+          val (a, b) = bestPair
+          words = words.map { case (syms, c) =>
+            (applyOnce(syms, a, b), c)
+          }
+        }
+      }
+    }
+    BpeModel(merges.toIndexedSeq)
+  }
+
+  private def pairLt(x: (String, String), y: (String, String)): Boolean =
+    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  private def applyOnce(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Distributed training front door: ONE map-side-combined wordcount
+    * shuffle, vocabulary capped to the top `vocabCap` words by
+    * (count desc, word asc) — the driver never sees more than `vocabCap`
+    * rows regardless of corpus size — then [[trainFromCounts]]. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      vocabCap: Int = 65536): BpeModel = {
+    require(vocabCap > 0, s"vocabCap must be positive, got $vocabCap")
+    val wc = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wc, numMerges)
+  }
+
+  /** Fixed training fixture for the ORACLE-GATED encode entry: the
+    * oracle SQL must be static text, so its merge table has to be a
+    * compile-time constant — trained here from a self-written
+    * word-frequency fixture of generic data-systems English (the same
+    * fixed-fixture pattern as [[TextAnalysis.CjkDict]]). The
+    * corpus-trained path ([[train]]) is spec-gated instead. */
+  val FixtureCounts: Seq[(String, Long)] = Seq(
+    "table" -> 50L, "tables" -> 12L, "query" -> 45L, "queries" -> 9L,
+    "value" -> 40L, "values" -> 8L, "window" -> 35L, "scan" -> 33L,
+    "batch" -> 30L, "stream" -> 28L, "spark" -> 26L, "filter" -> 24L,
+    "column" -> 22L, "customer" -> 20L, "merge" -> 18L, "order" -> 17L,
+    "group" -> 16L, "vector" -> 15L, "data" -> 14L, "join" -> 13L,
+    "sort" -> 12L, "line" -> 11L, "hash" -> 10L, "part" -> 10L,
+    "key" -> 9L, "row" -> 9L, "agg" -> 8L, "slow" -> 7L, "fast" -> 7L,
+    "big" -> 6L, "small" -> 6L, "the" -> 20L, "a" -> 30L)
+
+  val FixtureMerges = 32
+
+  lazy val FixtureModel: BpeModel = trainFromCounts(FixtureCounts, FixtureMerges)
+
+  /** Per-(merge list, context) kernel memo — same leak argument as
+    * [[TextAnalysis.cjkTokensDictBig]]'s: Column-returning helpers get
+    * re-invoked per query, and each un-memoized call would ship a fresh
+    * undestroyed broadcast of the merge table. */
+  private val kernelMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), graft.functions.BpeKernel]()
+  @volatile private var kernelMemoCtx: String = ""
+  private def kernelFor(model: BpeModel): graft.functions.BpeKernel =
+    synchronized {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val ctx = spark.sparkContext.applicationId
+      if (ctx != kernelMemoCtx) { kernelMemo.clear(); kernelMemoCtx = ctx }
+      val key = (scala.util.hashing.MurmurHash3.orderedHash(model.merges),
+        model.merges.size)
+      kernelMemo.computeIfAbsent(key, _ =>
+        new graft.functions.BpeKernel(
+          spark.sparkContext.broadcast(model.merges)))
+    }
+
+  /** BPE token stream of `text` under `model`: whitespace words (empties
+    * dropped), each encoded by the broadcast kernel, flattened in word
+    * order. Pure codegen'd expressions around the kernel — no UDF. */
+  def bpeTokens(text: Column, model: BpeModel): Column = {
+    val kernel = kernelFor(model)
+    flatten(transform(
+      filter(TextAnalysis.tokens(text), w => length(w) > 0),
+      w => graft.functions.BpeExpressions.encode(w, kernel)))
+  }
+
+  def bpeTokenCount(text: Column, model: BpeModel): Column =
+    size(bpeTokens(text, model))
+}
