@@ -387,6 +387,48 @@ object PipelineQueries {
        |       ELSE CAST(${PackCap - 1} AS BIGINT) END AS b
        |FROM s ORDER BY doc_id, seq""".stripMargin
 
+  /** Split-assignment salt — versioned so a deliberate re-split is a
+    * one-line change that provably reassigns every bucket. */
+  val SplitSalt = ":graft-split:v1"
+  val TrainPct = 90
+  val ValPct = 5
+
+  /** LEAKAGE-SAFE train/val/test split: the assignment hashes the
+    * near-dup COMPONENT label, not the document — near-duplicates
+    * co-travel to one split, so the eval splits cannot hold near-copies
+    * of training documents (the split-level decontamination rule; a
+    * per-doc hash split leaks every split-straddling duplicate pair).
+    * Deterministic and engine-stable: bucket = first 60 bits of
+    * md5(component || salt) mod 100, mirrored digit-for-digit in DuckDB.
+    * 100 TB shape: reuses the persisted pair layout + star-contraction
+    * components (no new pairwise work), then one narrow hash projection. */
+  def leakproofSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = DedupQueries.components(spark, dir)
+    val bucket = pmod(
+      conv(substring(md5(concat(col("component").cast("string"),
+        lit(SplitSalt))), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    comp.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .select("doc_id", "component", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  lazy val leakproofSplitSql: String =
+    s"""WITH RECURSIVE $duckComponentCtes,
+       |b AS (
+       |  SELECT doc AS doc_id, component,
+       |    ('0x' || substr(md5(component::VARCHAR || '$SplitSalt'), 1, 15))::BIGINT % 100 AS bucket
+       |  FROM comp)
+       |SELECT doc_id, component, bucket,
+       |  CASE WHEN bucket < $TrainPct THEN 'train'
+       |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack_spans" -> (packSpans _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
@@ -394,6 +436,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_train_corpus" -> (trainCorpus _),
     "pipe_pack" -> (pack _),
+    "pipe_split_leakproof" -> (leakproofSplit _),
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
@@ -402,5 +445,6 @@ object PipelineQueries {
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,
     "pipe_pack" -> packSql,
+    "pipe_split_leakproof" -> leakproofSplitSql,
     "pipe_curated_mix" -> curatedMixSql)
 }

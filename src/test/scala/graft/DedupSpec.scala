@@ -271,4 +271,29 @@ class DedupSpec extends SparkSpec {
     assert(blockSizes.max <= n / 5,
       s"hot-brand rows must spread over bands, got max block ${blockSizes.max}")
   }
+
+  test("leakproof split: near-dup pairs co-travel, buckets are stable, all splits served") {
+    import graft.queries.{DedupQueries, PipelineQueries}
+    val out = PipelineQueries.leakproofSplit(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // THE leakage property: both ends of every candidate near-dup pair
+    // land in the same split (same component -> same bucket by
+    // construction; this asserts it end to end through the layout)
+    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, Sf0001))
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 === out(b)._2,
+        s"near-dup pair ($a, $b) split across ${out(a)._2}/${out(b)._2}")
+    }
+    // determinism + bucket range + every split non-empty at this corpus
+    val again = PipelineQueries.leakproofSplit(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(again === out)
+    assert(out.values.forall { case (b, _) => b >= 0 && b < 100 })
+    assert(out.values.map(_._2).toSet === Set("train", "val", "test"))
+    // proportions track the 90/5/5 design within a loose tolerance
+    val frac = out.values.count(_._2 == "train").toDouble / out.size
+    assert(frac > 0.8 && frac < 0.98, s"train fraction $frac")
+  }
 }
