@@ -159,6 +159,48 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
       .limit(topN)
 
+  /** Per-document duplicated-span coverage — the APPLY step of exact
+    * substring dedup ([[repeatedNgrams]] is the audit): a token position
+    * counts as duplicated when any cross-document k-gram (one appearing in
+    * ≥ `minDocs` distinct documents) covers it. One row per doc:
+    * `(doc, n_tokens, dup_tokens, dup_frac)` — the per-doc statistic a
+    * scrub/drop policy thresholds on.
+    *
+    * Scale shape: two passes over one exploded gram stream. (1) The
+    * dup-gram set is a two-level aggregate on the gram key (map-side
+    * partial combine). (2) Doc grams re-join that set with a shuffle-hash
+    * join, both sides widened on the gram key — the dup-gram table grows
+    * with the corpus, so it is never broadcast. Each hit expands to its k
+    * covered positions (bounded k-row fan-out, not quadratic), and the
+    * (doc, pos) distinct + per-doc count are one more keyed aggregate. No
+    * suffix array: the gram shuffle is the same single pass the
+    * suffix-array build would read, with none of its global sort. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = Par.widen(df)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val nTok = base.select(col("doc"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val grams = base
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc"), posexplode(ngrams(col("text"), k)).as(Seq("p", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("gram"))
+    val covered = Par.widenBy(grams, col("gram"))
+      .join(dup.hint("shuffle_hash"), "gram")
+      .select(col("doc"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("dup_tokens"))
+    nTok.join(covered, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * similarity over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
@@ -314,6 +356,35 @@ object Dedup {
       .cast("double") / lit(numHashes.toDouble)
     bandJoin(bl, skewSalt)
       .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        round(est, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Incremental LSH dedup — the daily-increment production shape: match a
+    * DELTA batch's signatures against an existing corpus signature layout
+    * without recomputing (or re-joining) the corpus. Returns
+    * `(new_doc, dup_of, est_jaccard ≥ threshold)` candidate matches.
+    *
+    * Scale shape: only the delta pays the shingle/minhash cost (its
+    * signature aggregation is upstream of this call); the corpus side is a
+    * SCAN of the persisted signature layout — signatures are written once
+    * per corpus and appended per increment, never rebuilt. The band join is
+    * the same shuffle-hash (band, bh) equi-join as the self-join path, but
+    * delta×corpus: per-bucket work is |delta_bucket|·|corpus_bucket|, not
+    * quadratic in the corpus. */
+  def lshIncrementalPairs(deltaSig: DataFrame, corpusSig: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sigArr = array((0 until numHashes).map(j => col(s"h$j")): _*)
+    val dl = bandedExploded(deltaSig, numHashes, bands, Seq(sigArr.as("sig")))
+    val cl = bandedExploded(corpusSig, numHashes, bands, Seq(sigArr.as("sig")))
+    val est = (0 until numHashes)
+      .map(j => when(col("a.sig")(j) === col("b.sig")(j), 1).otherwise(0))
+      .reduceLeft[Column](_ + _)
+      .cast("double") / lit(numHashes.toDouble)
+    dl.as("a").join(cl.hint("shuffle_hash").as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc").as("new_doc"), col("b.doc").as("dup_of"),
         round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()

@@ -152,6 +152,43 @@ object AnalyticsQueries {
       |  CAST(sum(CAST(round(value*CAST('100.0' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_epoch""".stripMargin
 
+  /** Epoch-anchored day length in ns (integer day bucketing is
+    * engine-stable, unlike date_trunc) and the retention horizon. */
+  val DayNs = 86400000000000L
+  val RetentionMaxOffset = 14
+
+  /** Daily cohort retention triangle: cohort = a user's first active day;
+    * n_users = distinct users of that cohort active again at each day
+    * offset (offset 0 row = cohort size).
+    *
+    * Scale shape: the first-day aggregate and the distinct active-days
+    * set both shuffle by user_id, so the cohort join is co-partitioned
+    * (no third corpus shuffle); the final (cohort, offset) aggregate is
+    * over user-days, already far smaller than the event stream. Bounded
+    * output: cohorts × offsets. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = graft.model.VectorModel.events(spark, dir)
+      .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .where(col("day_offset") <= RetentionMaxOffset)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH w AS (SELECT user_id, epoch_ns(ts) // $DayNs AS day FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM w GROUP BY user_id),
+       |a AS (SELECT DISTINCT user_id, day FROM w)
+       |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+       |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+       |FROM a JOIN f USING (user_id)
+       |WHERE a.day - f.cohort_day <= $RetentionMaxOffset
+       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
   /** Session gap: 1 hour in microseconds. Session time is µs in both
     * engines — DuckDB truncates parquet TIMESTAMP(NANOS) to its µs
     * TIMESTAMP, so Spark's nanos are floored to match (`ts div 1000`). */
@@ -606,6 +643,7 @@ object AnalyticsQueries {
     "q3_join_topk" -> (q3JoinTopK _),
     "ev_window_topk" -> (eventsWindowTopK _),
     "ev_hourly_agg" -> (eventsHourlyAgg _),
+    "ev_retention" -> (eventsRetention _),
     "ev_sessions" -> (eventsSessions _))
 
   val oracleSql: Map[String, String] = Map(
@@ -628,5 +666,6 @@ object AnalyticsQueries {
     "q3_join_topk" -> q3JoinTopKSql,
     "ev_window_topk" -> eventsWindowTopKSql,
     "ev_hourly_agg" -> eventsHourlyAggSql,
+    "ev_retention" -> eventsRetentionSql,
     "ev_sessions" -> eventsSessionsSql)
 }

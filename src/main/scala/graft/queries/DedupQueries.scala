@@ -174,6 +174,35 @@ object DedupQueries {
        |GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_total DESC, gram ASC LIMIT $RepeatTopN""".stripMargin
 
+  /** Per-doc duplicated-span coverage — the apply step of exact substring
+    * dedup ([[Dedup.spanCoverage]]): fraction of each doc's token positions
+    * covered by a cross-doc repeated 8-gram. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanCoverage(VectorModel.documents(spark, dir), "doc_id", "text",
+      RepeatK, minDocs = 2)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id")
+
+  val spanScrubSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+       |gi AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(toks) - ${RepeatK - 1})) AS i
+       |       FROM t WHERE len(toks) >= $RepeatK),
+       |g AS (SELECT doc_id, i - 1 AS p,
+       |        array_to_string(toks[i:i+${RepeatK - 1}], ' ') AS gram FROM gi),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |covraw AS (SELECT g.doc_id,
+       |             unnest(generate_series(g.p, g.p + ${RepeatK - 1})) AS pos
+       |           FROM g JOIN dup USING (gram)),
+       |cov AS (SELECT doc_id, count(DISTINCT pos) AS dup_tokens
+       |        FROM covraw GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_tokens,
+       |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE), 6) AS dup_frac
+       |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5, served
     * from the persisted signature layout — the band join + in-place
     * estimate only; the signature aggregation is the shared
@@ -207,6 +236,54 @@ object DedupQueries {
        |FROM cand JOIN sig a ON cand.da = a.doc_id JOIN sig b ON cand.db = b.doc_id
        |WHERE CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY da, db""".stripMargin
+  }
+
+  /** Delta modulus: docs with doc_id % 20 == 0 play the incoming batch. */
+  val DeltaMod = 20
+
+  /** Incremental LSH dedup — the daily-increment serving shape: the delta
+    * batch's signatures are computed fresh (only the delta pays the
+    * shingle/minhash cost); the existing corpus side is a SCAN of the
+    * persisted signature layout with the delta excluded
+    * ([[Dedup.lshIncrementalPairs]]). */
+  def incrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val deltaSig = Dedup.minhashSignatures(
+      docs.where(col("doc_id") % DeltaMod === 0), "doc_id", "text",
+      NumHashes, ShingleK)
+    val corpusSig = spark.read.parquet(sigLayout(spark, dir))
+      .where(col("doc") % DeltaMod =!= 0)
+    Dedup.lshIncrementalPairs(deltaSig, corpusSig, NumHashes, Bands, 0.5)
+      .orderBy("new_doc", "dup_of")
+  }
+
+  val incrementalLshSql: String = {
+    val rpb = NumHashes / Bands
+    val p = Dedup.MinhashP
+    val mins = (0 until NumHashes)
+      .map(j => s"min((${Dedup.minhashA(j)} * hm + ${Dedup.minhashB(j)}) % $p) AS h$j")
+      .mkString(", ")
+    val bandCols = (0 until Bands).map { b =>
+      "md5(" + (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
+        .mkString("||','||") + s") AS band$b"
+    }.mkString(", ")
+    val matches = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val bandList = (0 until Bands).map("band" + _).mkString(", ")
+    s"""WITH $shingleCte,
+       |hm AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT % $p AS hm FROM sgl),
+       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandCols FROM sig),
+       |bl AS (SELECT doc_id, b, bh FROM bands
+       |       UNPIVOT (bh FOR b IN ($bandList))),
+       |cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id dup_of
+       |         FROM bl a JOIN bl b ON a.b = b.b AND a.bh = b.bh
+       |         WHERE a.doc_id % $DeltaMod = 0 AND b.doc_id % $DeltaMod <> 0)
+       |SELECT cand.new_doc, cand.dup_of,
+       |  round(CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
+       |FROM cand JOIN sig a ON cand.new_doc = a.doc_id JOIN sig b ON cand.dup_of = b.doc_id
+       |WHERE CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |ORDER BY new_doc, dup_of""".stripMargin
   }
 
   /** SimHash near-dup pairs at hamming ≤ 12 over 60-bit fingerprints. */
@@ -522,11 +599,13 @@ object DedupQueries {
     "dd_embedding_ivf" -> (embeddingIvf _),
     "dd_mllib_lsh" -> (mllibLshJoin _),
     "dd_repeated_ngrams" -> (repeatedNgrams _),
+    "dd_span_scrub" -> (spanScrub _),
     "dd_components" -> (components _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
+    "dd_incremental_lsh" -> (incrementalLsh _),
     "dd_simhash" -> (simhashPairs _),
     "dd_embedding_cosine" -> (embeddingCosine _),
     "dd_semantic_keepers" -> (semanticKeepers _),
@@ -537,10 +616,12 @@ object DedupQueries {
     "dd_cjk_ngram" -> cjkNgramDedupSql,
     "dd_ngram_capped" -> ngramJaccardCappedSql,
     "dd_repeated_ngrams" -> repeatedNgramsSql,
+    "dd_span_scrub" -> spanScrubSql,
     "dd_components" -> componentsSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
+    "dd_incremental_lsh" -> incrementalLshSql,
     "dd_simhash" -> simhashPairsSql,
     "dd_embedding_cosine" -> embeddingCosineSql,
     "dd_semantic_keepers" -> semanticKeepersSql)

@@ -429,8 +429,104 @@ object PipelineQueries {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Shard-assignment salt (versioned like [[SplitSalt]]) and shard count.
+    * At 100 TB a shard is one training file, so the count is
+    * totalBytes / targetFileSize (thousands), not this test-scale 16 —
+    * the assignment hash is uniform in the count either way. */
+  val ShardSalt = ":graft-shard:v1"
+  val NumShards = 16
+
+  /** Deterministic global training shuffle: every doc gets a shard (md5
+    * bucket — stable under re-runs and engine-independent) and a dense
+    * within-shard position (rank of a second, independent md5 key). The
+    * physical shape IS the training-shard writer's: one hash shuffle on
+    * `shard`, one per-shard sort — a shard must fit one task's sort
+    * (that is what bounds targetFileSize), and there is no global sort or
+    * driver-side pass. Seeded-random order without a `rand()` call keeps
+    * the op replayable and oracle-able. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = VectorModel.documents(spark, dir).select("doc_id")
+    docs
+      .withColumn("shard", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(ShardSalt))),
+        lit(NumShards.toLong)))
+      .withColumn("skey",
+        md5(concat(lit("pos"), col("doc_id").cast("string"), lit(ShardSalt))))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))) - 1)
+          .cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  lazy val shuffleShardsSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || '$ShardSalt'), 1, 15))::BIGINT % $NumShards AS shard,
+       |    md5('pos' || doc_id::VARCHAR || '$ShardSalt') AS skey
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS pos
+       |FROM a ORDER BY shard, pos""".stripMargin
+
+  /** Mix salt + acceptance-bucket resolution for [[temperatureMix]]. */
+  val MixSalt = ":graft-mix:v1"
+  val MixBuckets = 1000000L
+
+  /** Temperature-balanced source sampling (the data-mixture shape of
+    * multi-corpus LM training): source s is downsampled at rate
+    * sqrt(mass_s / mass_max) — α = 0.5 temperature flattening relative to
+    * the heaviest source, so small sources keep proportionally more of
+    * their mass. Acceptance is a per-doc md5 bucket against the source's
+    * rate threshold: deterministic, replayable, and exactly mirrored by
+    * the oracle (divide / sqrt / multiply are each single correctly-rounded
+    * IEEE ops, so both engines compute the identical threshold).
+    *
+    * Scale shape: one narrow aggregate to the per-source masses (rows =
+    * #sources, bounded — THAT is why its broadcast back onto the doc scan
+    * is safe), then a pure-expression filter on the scan. No second
+    * shuffle of the corpus. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val mass = docs.groupBy("source").agg(sum("n_chars").as("mass"))
+    val rates = mass
+      .crossJoin(broadcast(mass.agg(max("mass").as("mmax"))))
+      .select(col("source"),
+        floor(sqrt(col("mass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        max("threshold").as("threshold"))
+      .orderBy("source")
+  }
+
+  lazy val temperatureMixSql: String =
+    s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+       |           FROM documents GROUP BY source),
+       |r AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(mass AS DOUBLE) / CAST((SELECT max(mass) FROM m) AS DOUBLE))
+       |          * ${MixBuckets}.0) AS BIGINT) AS threshold
+       |      FROM m),
+       |b AS (SELECT d.source, r.threshold,
+       |        ('0x' || substr(md5(d.doc_id::VARCHAR || '$MixSalt'), 1, 15))::BIGINT % $MixBuckets AS bucket
+       |      FROM documents d JOIN r USING (source))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  max(threshold) AS threshold
+       |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack_spans" -> (packSpans _),
+    "pipe_shuffle_shards" -> (shuffleShards _),
+    "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
@@ -441,6 +537,8 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipe_pack_spans" -> packSpansSql,
+    "pipe_shuffle_shards" -> shuffleShardsSql,
+    "pipe_temperature_mix" -> temperatureMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,

@@ -52,7 +52,12 @@ object DevPlans {
     "ann_lsh_bigbatch" -> "DataFrame-native big-batch LSH: per-table bucket expressions on the query DataFrame, admission/pointer-dedup/payload-fetch/score all as SHUFFLED equi-joins — the collected path's broadcasts replaced end-to-end",
     "ann_bin_batch_topk" -> "batch binary serving: ONE Hamming scan evaluates every query's popcount-XOR sum in the same projection (struct-array explode), per-query k-bounded aggregator cut, bounded-candidate broadcast re-rank",
     "ann_ivfpq_bigbatch" -> "DataFrame-native big-batch IVF-PQ: adaptive probe explode over the code layout, salted shuffled cluster join, LUT-FREE direct-ADC kernel in the scoring projection (bit-identical to the collected LUT path), shuffle-join exact refine — no per-query driver state anywhere",
-    "tx_cjk_bm25_dict" -> "dictionary CJK segmentation: the FMM fold is ONE aggregate() expression per token (struct accumulator) inside the corpus projection — no UDF, no extra pass; the segmented fixture broadcast-joins documents like the bigram twin")
+    "tx_cjk_bm25_dict" -> "dictionary CJK segmentation: the FMM fold is ONE aggregate() expression per token (struct accumulator) inside the corpus projection — no UDF, no extra pass; the segmented fixture broadcast-joins documents like the bigram twin",
+    "dd_span_scrub" -> "span-scrub apply step: dup-gram set via two-level gram aggregate, doc grams re-join it SHUFFLE-HASH on the widened gram key (never broadcast — the dup set grows with the corpus), bounded k-row interval expansion, one (doc,pos) distinct + per-doc count",
+    "pipe_shuffle_shards" -> "deterministic training shuffle: md5 shard + position keys as pure expressions on the scan, ONE hash exchange on shard, per-shard sort for row_number — no global sort, no rand(), replayable",
+    "pipe_temperature_mix" -> "temperature mixing: per-source mass aggregate (rows = #sources, bounded) broadcast back onto the scan, acceptance is a pure md5-bucket expression filter — the corpus is shuffled once for the final per-source report only",
+    "ev_retention" -> "cohort retention: first-week aggregate and distinct active set share the user_id exchange, co-partitioned join, then one bounded (cohort, offset) aggregate",
+    "dd_incremental_lsh" -> "incremental dedup: delta signatures computed fresh (only the delta pays minhash), corpus side is a persisted-layout SCAN, shuffle-hash delta×corpus band join — no corpus recompute, no self-join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

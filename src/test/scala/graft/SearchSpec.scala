@@ -75,11 +75,12 @@ class SearchSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rag_e2e is IVF-backed (k-means — approximate like every ivf path);
     // ann_bin_batch_topk is the batch==single spec-gated twin of the
-    // hash-gated ann_bin_topk
+    // hash-gated ann_bin_topk; bpe_corpus_vocab is the iterative-argmax
+    // BPE trainer (BpeSpec value-gates it; tx_bpe_stats carries the oracle)
     assert(rowsOnly.forall(n =>
       n.contains("hnsw") || n.contains("ivf") || n.contains("lsh") ||
         n.contains("pq") || n.contains("approx") || n.contains("rag_e2e") ||
-        n.contains("bin_batch")),
+        n.contains("bin_batch") || n.contains("bpe_corpus_vocab")),
       s"unexpected rows-only queries: $rowsOnly")
     // every oracle key has a matching query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.queries.{AnalyticsQueries, DedupQueries, PipelineQueries}
+
+/** Property gates for the round-11 tranche: span-coverage scrub,
+  * deterministic shard shuffle, temperature mixing, cohort retention.
+  * (Value-level parity vs DuckDB is the driver oracle's job; these pin the
+  * semantic invariants the oracle can't express.) */
+class TrancheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spanCoverage: full overlap = 1.0, unique doc = 0, bounds hold") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // exactly one 8-gram, shared with doc 2
+      (2L, "a b c d e f g h"),            // identical — both fully covered
+      (3L, "q w e r t y u i o p"),        // unique text, no shared grams
+      (4L, "x y")                         // shorter than k — zero grams
+    ).toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(docs, "doc_id", "text", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(1L) === ((8L, 8L, 1.0)))
+    assert(cov(2L) === ((8L, 8L, 1.0)))
+    assert(cov(3L)._2 === 0L && cov(3L)._3 === 0.0)
+    assert(cov(4L)._2 === 0L)
+    cov.values.foreach { case (n, d, f) =>
+      assert(d >= 0L && d <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("spanCoverage: partial overlap counts covered positions once") {
+    // docs share the 8-gram "a b c d e f g h"; doc 1 has 2 extra lead tokens
+    val docs = Seq(
+      (1L, "z z a b c d e f g h"),
+      (2L, "a b c d e f g h tail1 tail2")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(docs, "doc_id", "text", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov(1L) === ((10L, 8L)))
+    assert(cov(2L) === ((10L, 8L)))
+  }
+
+  test("shuffleShards: permutation, dense per-shard positions, deterministic") {
+    val a = PipelineQueries.shuffleShards(spark, Sf0001).collect()
+    val nDocs = graft.model.VectorModel.documents(spark, Sf0001).count()
+    assert(a.length === nDocs)
+    assert(a.map(_.getLong(0)).distinct.length === nDocs)
+    // positions are dense 0..n_s-1 within each shard
+    a.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.toSeq === (0L until ps.length).toSeq)
+    }
+    // replayable: identical assignment on a second run
+    val b = PipelineQueries.shuffleShards(spark, Sf0001).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("temperatureMix: heaviest source keeps all, thresholds monotone in mass") {
+    val mix = PipelineQueries.temperatureMix(spark, Sf0001)
+    val rows = mix.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_kept <= n_docs
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= PipelineQueries.MixBuckets)
+    }
+    // the max-mass source has rate 1.0 -> threshold == MixBuckets -> keeps all
+    val mass = graft.model.VectorModel.documents(spark, Sf0001)
+      .groupBy("source").agg(sum("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heaviest = mass.maxBy(_._2)._1
+    val hr = rows.find(_.getString(0) == heaviest).get
+    assert(hr.getLong(3) === PipelineQueries.MixBuckets)
+    assert(hr.getLong(2) === hr.getLong(1))
+    // monotone: more mass never means a lower threshold
+    val byMass = rows.sortBy(r => mass(r.getString(0)))
+    byMass.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo.getLong(3) <= hi.getLong(3))
+      case _ =>
+    }
+  }
+
+  test("lshIncrementalPairs: delta matches corpus dups only, never delta-delta") {
+    val docs = Seq(
+      // 0/1 identical (0 = delta, 1 = corpus) -> must match at est 1.0
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      // 20/40 identical but BOTH delta (ids % 20 == 0) -> must NOT pair
+      (20L, "pack my box with five dozen liquor jugs right now"),
+      (40L, "pack my box with five dozen liquor jugs right now"),
+      // corpus-only unique doc -> no pair
+      (3L, "sphinx of black quartz judge my vow again and again")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3)
+    val delta = sig.where(col("doc") % 20 === 0)
+    val corpus = sig.where(col("doc") % 20 =!= 0)
+    val got = Dedup.lshIncrementalPairs(delta, corpus, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((0L, 1L, 1.0)))
+    // consistency: the incremental match set equals the self-join pairs
+    // restricted to delta x corpus
+    val self = Dedup.lshCandidatePairs(sig, 32, 8, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 20 == 0) != (b % 20 == 0) }
+      .map { case (a, b) => if (a % 20 == 0) (a, b) else (b, a) }.toSet
+    assert(got.map(g => (g._1, g._2)).toSet === self)
+  }
+
+  test("eventsRetention: offset-0 rows are cohort sizes and bound later offsets") {
+    val ret = AnalyticsQueries.eventsRetention(spark, Sf0001).collect()
+    assert(ret.nonEmpty)
+    val cohortSize = ret.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every user appears in exactly one cohort, so offset-0 counts sum to
+    // the distinct-user total
+    val nUsers = graft.model.VectorModel.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(cohortSize.values.sum === nUsers)
+    ret.foreach { r =>
+      assert(r.getLong(2) <= cohortSize(r.getLong(0)))
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= AnalyticsQueries.RetentionMaxOffset)
+    }
+  }
+}
