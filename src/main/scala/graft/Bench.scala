@@ -79,11 +79,12 @@ object Bench {
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
-        "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e"),
+        "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e",
+        "pipe_split_leakproof", "dd_incremental_lsh"),
       (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
       Set("dd_ngram_capped", "dd_components", "pipe_curated_mix",
-        "pipe_train_corpus", "pipe_rag_e2e"),
+        "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
