@@ -372,18 +372,42 @@ object Dedup {
     * per corpus and appended per increment, never rebuilt. The band join is
     * the same shuffle-hash (band, bh) equi-join as the self-join path, but
     * delta×corpus: per-bucket work is |delta_bucket|·|corpus_bucket|, not
-    * quadratic in the corpus. */
+    * quadratic in the corpus. The shuffle-hash BUILD side is the DELTA
+    * (the bounded daily batch); the unbounded corpus side streams past it.
+    *
+    * `skewSalt` > 1 engages the same deterministic salting contract as
+    * [[bandJoin]] for a HOT (band, bh) bucket (mass-duplicated corpus
+    * docs): the corpus side gets `salt = hash(doc) mod S`, the delta side
+    * replicates across all S salts, salt equality joins — needed because
+    * the width-pinning REPARTITION_BY_NUM exchanges are exempt from AQE's
+    * skew-join splitting.
+    *
+    * Self-pairs are excluded: if the delta overlaps the layout (a re-run
+    * after its signatures were appended), a doc never reports itself as
+    * its own duplicate. */
   def lshIncrementalPairs(deltaSig: DataFrame, corpusSig: DataFrame,
-      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.5,
+      skewSalt: Int = 1): DataFrame = {
     val sigArr = array((0 until numHashes).map(j => col(s"h$j")): _*)
-    val dl = bandedExploded(deltaSig, numHashes, bands, Seq(sigArr.as("sig")))
-    val cl = bandedExploded(corpusSig, numHashes, bands, Seq(sigArr.as("sig")))
+    val dl0 = bandedExploded(deltaSig, numHashes, bands, Seq(sigArr.as("sig")))
+    val cl0 = bandedExploded(corpusSig, numHashes, bands, Seq(sigArr.as("sig")))
+    val (dl, cl, saltEq) =
+      if (skewSalt <= 1) (dl0, cl0, lit(true))
+      else {
+        val d = dl0.withColumn("salt",
+          explode(array((0 until skewSalt).map(lit(_)): _*)))
+        val c = Par.spread(
+          cl0.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
+          col("band"), col("bh"), col("salt"))
+        (d, c, col("a.salt") === col("b.salt"))
+      }
     val est = (0 until numHashes)
       .map(j => when(col("a.sig")(j) === col("b.sig")(j), 1).otherwise(0))
       .reduceLeft[Column](_ + _)
       .cast("double") / lit(numHashes.toDouble)
-    dl.as("a").join(cl.hint("shuffle_hash").as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+    dl.hint("shuffle_hash").as("a").join(cl.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") =!= col("b.doc") && saltEq)
       .select(col("a.doc").as("new_doc"), col("b.doc").as("dup_of"),
         round(est, 6).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)

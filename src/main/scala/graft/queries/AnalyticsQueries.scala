@@ -161,17 +161,17 @@ object AnalyticsQueries {
     * n_users = distinct users of that cohort active again at each day
     * offset (offset 0 row = cohort size).
     *
-    * Scale shape: the first-day aggregate and the distinct active-days
-    * set both shuffle by user_id, so the cohort join is co-partitioned
-    * (no third corpus shuffle); the final (cohort, offset) aggregate is
-    * over user-days, already far smaller than the event stream. Bounded
-    * output: cohorts × offsets. */
+    * Scale shape: the cohort day is a min-over-user WINDOW, so the whole
+    * operator is ONE corpus exchange on user_id (no cohort join to
+    * mis-plan as a broadcast of the per-user table, which grows with the
+    * corpus) followed by the bounded (cohort, offset) countDistinct
+    * aggregate — duplicate user-days need no pre-distinct, countDistinct
+    * absorbs them. Bounded output: cohorts × offsets. */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val days = graft.model.VectorModel.events(spark, dir)
+    val byUser = Window.partitionBy("user_id")
+    graft.model.VectorModel.events(spark, dir)
       .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
-    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    days.distinct()
-      .join(cohorts, "user_id")
+      .withColumn("cohort_day", min("day").over(byUser))
       .withColumn("day_offset", col("day") - col("cohort_day"))
       .where(col("day_offset") <= RetentionMaxOffset)
       .groupBy("cohort_day", "day_offset")

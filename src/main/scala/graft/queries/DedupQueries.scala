@@ -211,32 +211,48 @@ object DedupQueries {
     Dedup.lshCandidatePairs(spark.read.parquet(sigLayout(spark, dir)),
       NumHashes, Bands, 0.5).orderBy("da", "db")
 
-  val minhashLshSql: String = {
-    val rpb = NumHashes / Bands
+  /** Shared oracle builders for the MinHash signature family — ONE
+    * definition of the hash60 mirror, the per-hash min expressions, the
+    * band encodings, and the signature-match count, so the two consumers
+    * ([[minhashLshSql]], [[incrementalLshSql]]) cannot drift. */
+  private def sigMins: String = {
     val p = Dedup.MinhashP
-    val mins = (0 until NumHashes)
+    (0 until NumHashes)
       .map(j => s"min((${Dedup.minhashA(j)} * hm + ${Dedup.minhashB(j)}) % $p) AS h$j")
       .mkString(", ")
-    val bandCols = (0 until Bands).map { b =>
+  }
+
+  private def sigBandCols: String = {
+    val rpb = NumHashes / Bands
+    (0 until Bands).map { b =>
       "md5(" + (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
         .mkString("||','||") + s") AS band$b"
     }.mkString(", ")
-    val matches = (0 until NumHashes)
+  }
+
+  private def sigMatches: String =
+    (0 until NumHashes)
       .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $shingleCte,
-       |hm AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT % $p AS hm FROM sgl),
-       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
-       |bands AS (SELECT doc_id, $bandCols FROM sig),
+
+  /** CTE chain text→shingles→hash→signatures→band-exploded rows; the WITH
+    * prefix both signature-family oracles open with. */
+  private def sigBandCtePrefix: String =
+    s"""$shingleCte,
+       |hm AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT % ${Dedup.MinhashP} AS hm FROM sgl),
+       |sig AS (SELECT doc_id, $sigMins FROM hm GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $sigBandCols FROM sig),
        |bl AS (SELECT doc_id, b, bh FROM bands
-       |       UNPIVOT (bh FOR b IN (${(0 until Bands).map("band" + _).mkString(", ")}))),
+       |       UNPIVOT (bh FOR b IN (${(0 until Bands).map("band" + _).mkString(", ")})))""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $sigBandCtePrefix,
        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
        |         FROM bl a JOIN bl b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |SELECT cand.da, cand.db,
-       |  round(CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
+       |  round(CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
        |FROM cand JOIN sig a ON cand.da = a.doc_id JOIN sig b ON cand.db = b.doc_id
-       |WHERE CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |WHERE CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY da, db""".stripMargin
-  }
 
   /** Delta modulus: docs with doc_id % 20 == 0 play the incoming batch. */
   val DeltaMod = 20
@@ -257,34 +273,16 @@ object DedupQueries {
       .orderBy("new_doc", "dup_of")
   }
 
-  val incrementalLshSql: String = {
-    val rpb = NumHashes / Bands
-    val p = Dedup.MinhashP
-    val mins = (0 until NumHashes)
-      .map(j => s"min((${Dedup.minhashA(j)} * hm + ${Dedup.minhashB(j)}) % $p) AS h$j")
-      .mkString(", ")
-    val bandCols = (0 until Bands).map { b =>
-      "md5(" + (0 until rpb).map(r => s"CAST(h${b * rpb + r} AS VARCHAR)")
-        .mkString("||','||") + s") AS band$b"
-    }.mkString(", ")
-    val matches = (0 until NumHashes)
-      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-    val bandList = (0 until Bands).map("band" + _).mkString(", ")
-    s"""WITH $shingleCte,
-       |hm AS (SELECT doc_id, ('0x'||substr(md5(sg),1,15))::BIGINT % $p AS hm FROM sgl),
-       |sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
-       |bands AS (SELECT doc_id, $bandCols FROM sig),
-       |bl AS (SELECT doc_id, b, bh FROM bands
-       |       UNPIVOT (bh FOR b IN ($bandList))),
+  val incrementalLshSql: String =
+    s"""WITH $sigBandCtePrefix,
        |cand AS (SELECT DISTINCT a.doc_id new_doc, b.doc_id dup_of
        |         FROM bl a JOIN bl b ON a.b = b.b AND a.bh = b.bh
        |         WHERE a.doc_id % $DeltaMod = 0 AND b.doc_id % $DeltaMod <> 0)
        |SELECT cand.new_doc, cand.dup_of,
-       |  round(CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
+       |  round(CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est_jaccard
        |FROM cand JOIN sig a ON cand.new_doc = a.doc_id JOIN sig b ON cand.dup_of = b.doc_id
-       |WHERE CAST($matches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
+       |WHERE CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY new_doc, dup_of""".stripMargin
-  }
 
   /** SimHash near-dup pairs at hamming ≤ 12 over 60-bit fingerprints. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -484,15 +484,18 @@ object PipelineQueries {
     * the oracle (divide / sqrt / multiply are each single correctly-rounded
     * IEEE ops, so both engines compute the identical threshold).
     *
-    * Scale shape: one narrow aggregate to the per-source masses (rows =
+    * Scale shape: ONE narrow aggregate to the per-source masses (rows =
     * #sources, bounded — THAT is why its broadcast back onto the doc scan
-    * is safe), then a pure-expression filter on the scan. No second
-    * shuffle of the corpus. */
+    * is safe; the max-mass normalizer is a window over that bounded frame,
+    * not a second corpus aggregate), then a pure-expression filter on the
+    * scan. The corpus is read twice (mass pass + acceptance pass) and
+    * shuffled once, for the final per-source report only. */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = VectorModel.documents(spark, dir)
     val mass = docs.groupBy("source").agg(sum("n_chars").as("mass"))
     val rates = mass
-      .crossJoin(broadcast(mass.agg(max("mass").as("mmax"))))
+      .withColumn("mmax", max("mass").over(Window.partitionBy()))
       .select(col("source"),
         floor(sqrt(col("mass").cast("double") / col("mmax").cast("double"))
           * MixBuckets.toDouble).cast("long").as("threshold"))

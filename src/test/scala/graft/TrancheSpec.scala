@@ -107,6 +107,24 @@ class TrancheSpec extends SparkSpec {
     assert(got.map(g => (g._1, g._2)).toSet === self)
   }
 
+  test("lshIncrementalPairs: overlap never self-pairs; salted equals unsalted") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "sphinx of black quartz judge my vow again and again")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3)
+    // corpus = ALL docs (doc 0's signatures already appended — the re-run
+    // window); delta = doc 0. It must match 1 but never itself.
+    val delta = sig.where(col("doc") === 0L)
+    val plain = Dedup.lshIncrementalPairs(delta, sig, 32, 8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(plain.toSeq === Seq((0L, 1L, 1.0)))
+    val salted = Dedup.lshIncrementalPairs(delta, sig, 32, 8, 0.5, skewSalt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.sorted.toSeq === plain.sorted.toSeq)
+  }
+
   test("eventsRetention: offset-0 rows are cohort sizes and bound later offsets") {
     val ret = AnalyticsQueries.eventsRetention(spark, Sf0001).collect()
     assert(ret.nonEmpty)
