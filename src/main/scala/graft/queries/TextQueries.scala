@@ -233,6 +233,64 @@ object TextQueries {
        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
        |GROUP BY token ORDER BY n_total DESC, token ASC LIMIT $VocabTopN""".stripMargin
 
+  /** Rare-bigram threshold: a word bigram with fewer than this many
+    * corpus occurrences counts as rare. */
+  val RareBigramMin = 3L
+
+  /** LM-free perplexity proxy — rare-bigram fraction: the share of a
+    * doc's word bigrams whose corpus-wide occurrence count is below
+    * [[RareBigramMin]]. High fractions flag incoherent/garbled text the
+    * way high LM perplexity would, with no model and exact integer
+    * arithmetic (oracle-exact, unlike log-prob scoring whose libm `ln`
+    * is not bit-stable across engines).
+    *
+    * Scale shape: one exploded bigram pass feeding BOTH the count
+    * aggregate and the per-doc re-join, shuffled on the bigram key (the
+    * count table grows with the corpus — never broadcast); then one
+    * per-doc aggregate. Same key both stages, so the join reuses the
+    * aggregate's partitioning. */
+  def bigramRarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val grams = graft.operators.Par.widenBy(
+      docs.where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"),
+          explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram")),
+      col("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+    val perDoc = grams
+      .join(counts.hint("shuffle_hash"), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(round(col("n_rare").cast("double") /
+            col("n_bigrams").cast("double"), 6)))
+      .orderBy("doc_id")
+  }
+
+  val bigramRaritySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(
+       |        [toks[i]||' '||toks[i+1] for i in range(1, len(toks))]) AS gram
+       |      FROM t WHERE len(toks) >= 2),
+       |c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+       |pd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(CASE WHEN c.n < $RareBigramMin THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |       FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(pd.n_rare, 0) AS BIGINT) AS n_rare,
+       |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN CAST('0.0' AS DOUBLE)
+       |       ELSE round(CAST(pd.n_rare AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE), 6)
+       |  END AS rare_frac
+       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** RAG chunking parameters: 32-token windows, stride 16 (50% overlap). */
   val ChunkSize = 32
   val ChunkStride = 16
@@ -916,6 +974,7 @@ object TextQueries {
     "tx_chunk_bm25" -> (chunkBm25 _),
     "tx_chunks" -> (chunks _),
     "tx_vocab_topk" -> (vocab _),
+    "tx_bigram_rarity" -> (bigramRarity _),
     "src_jsonl_agg" -> (jsonlAgg _),
     "src_csv_agg" -> (csvAgg _),
     "src_orc_agg" -> (orcAgg _),
@@ -941,6 +1000,7 @@ object TextQueries {
     "tx_chunk_bm25" -> chunkBm25Sql,
     "tx_chunks" -> chunksSql,
     "tx_vocab_topk" -> vocabSql,
+    "tx_bigram_rarity" -> bigramRaritySql,
     "src_jsonl_agg" -> jsonlAggSql,
     "src_csv_agg" -> csvAggSql,
     "src_orc_agg" -> orcAggSql,

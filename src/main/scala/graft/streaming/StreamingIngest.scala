@@ -252,6 +252,51 @@ object StreamingIngest {
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(DocumentsSchema).parquet(dir)
 
+  /** Streaming twin of incremental MinHash dedup
+    * ([[graft.dedup.Dedup.lshIncrementalPairs]]): per micro-batch of
+    * documents, (1) signatures are computed for the BATCH ONLY (only the
+    * increment pays the shingle/minhash cost), (2) the batch signatures
+    * append to the signature state, (3) the batch band-joins the
+    * read-back state — corpus-so-far INCLUDING the batch, so old↔new and
+    * new↔new pairs are both covered — and the discovered pairs append
+    * (normalized da < db, distinct) to the pair log.
+    *
+    * Union-over-batches == the batch self-join pair set
+    * ([[graft.dedup.Dedup.lshCandidatePairs]]): every pair has a first
+    * batch where both endpoints exist, and that batch discovers it
+    * (its later endpoint is in the delta). StreamingSpec asserts set
+    * equality. At-least-once caveat: a replayed batch re-appends sig and
+    * pair rows — the self-pair guard ignores a doc's re-appended
+    * signature copy, duplicate pair rows are distinct'd at read. */
+  def minhashDedupIngest(docs: DataFrame, statePath: String,
+      checkpoint: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        minhashIngestBatch(batch, statePath, numHashes, bands, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def minhashIngestBatch(batch: DataFrame, statePath: String,
+      numHashes: Int, bands: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val sigPath = s"$statePath/sig"
+    val batchSig = graft.dedup.Dedup.minhashSignatures(
+      batch, "doc_id", "text", numHashes).cache()
+    batchSig.count()
+    batchSig.write.mode("append").parquet(sigPath)
+    val pairs = graft.dedup.Dedup.lshIncrementalPairs(
+        batchSig, spark.read.parquet(sigPath), numHashes, bands, threshold)
+      .select(least(col("new_doc"), col("dup_of")).as("da"),
+        greatest(col("new_doc"), col("dup_of")).as("db"),
+        col("est_jaccard"))
+      .distinct()
+    pairs.write.mode("append").parquet(s"$statePath/pairs")
+    batchSig.unpersist()
+  }
+
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
     * ([[graft.queries.PipelineQueries.curationFilter]]): quality floor +
     * per-language deterministic stratified sampling over a document

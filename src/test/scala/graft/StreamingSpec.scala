@@ -815,4 +815,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$base/pack")) === grown)
     assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
   }
+
+  test("streaming minhash dedup: accumulated pair log equals the batch self-join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_mhstream").toString
+    // three micro-batches interleaved by id so dup pairs straddle batch
+    // boundaries in both directions
+    (0 until 3).foreach(i =>
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.minhashDedupIngest(
+      stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    val streamed = spark.read.parquet(s"$base/state/pairs")
+      .select("da", "db", "est_jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.dedup.Dedup.lshCandidatePairs(
+        graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 32))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain near-duplicates")
+    // pairs straddle micro-batch boundaries (endpoints in different batches)
+    assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 })
+  }
 }

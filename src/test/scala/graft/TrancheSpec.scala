@@ -125,6 +125,20 @@ class TrancheSpec extends SparkSpec {
     assert(salted.sorted.toSeq === plain.sorted.toSeq)
   }
 
+  test("bigramRarity: bounds hold, zero-bigram docs score 0, deterministic") {
+    val r = graft.queries.TextQueries.bigramRarity(spark, Sf0001).collect()
+    val nDocs = graft.model.VectorModel.documents(spark, Sf0001).count()
+    assert(r.length === nDocs)
+    r.foreach { row =>
+      val (nb, nr, f) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(nr >= 0L && nr <= nb)
+      assert(f >= 0.0 && f <= 1.0)
+      if (nb == 0L) assert(f === 0.0)
+    }
+    val again = graft.queries.TextQueries.bigramRarity(spark, Sf0001).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("eventsRetention: offset-0 rows are cohort sizes and bound later offsets") {
     val ret = AnalyticsQueries.eventsRetention(spark, Sf0001).collect()
     assert(ret.nonEmpty)
