@@ -16,6 +16,8 @@ object DevTimeOne {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("DevTimeOne")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     val q = SparkEntry.queries(entry)
