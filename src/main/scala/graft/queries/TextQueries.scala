@@ -244,18 +244,20 @@ object TextQueries {
     * arithmetic (oracle-exact, unlike log-prob scoring whose libm `ln`
     * is not bit-stable across engines).
     *
-    * Scale shape: one exploded bigram pass feeding BOTH the count
-    * aggregate and the per-doc re-join, shuffled on the bigram key (the
-    * count table grows with the corpus — never broadcast); then one
-    * per-doc aggregate. Same key both stages, so the join reuses the
-    * aggregate's partitioning. */
+    * Scale shape: ONE exploded bigram pass, CACHED (CacheRegistry —
+    * column pruning otherwise forks the count and probe branches into two
+    * full scan+explode+shuffle subtrees that ReuseExchange cannot match),
+    * feeding both the count aggregate and the per-doc re-join, shuffled
+    * on the bigram key; neither the count table nor the per-doc aggregate
+    * is ever broadcast — both grow with the corpus. */
   def bigramRarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
-    val grams = graft.operators.Par.widenBy(
-      docs.where(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"),
-          explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram")),
-      col("gram"))
+    val grams = graft.store.CacheRegistry.cached(
+      graft.operators.Par.widenBy(
+        docs.where(size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"),
+            explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram")),
+        col("gram")))
     val counts = grams.groupBy("gram").agg(count(lit(1)).as("n"))
     val perDoc = grams
       .join(counts.hint("shuffle_hash"), "gram")
@@ -263,7 +265,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("n") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
     docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_rare"), lit(0L)).as("n_rare"))

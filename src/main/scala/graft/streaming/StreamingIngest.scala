@@ -283,9 +283,9 @@ object StreamingIngest {
       numHashes: Int, bands: Int, threshold: Double): Unit = {
     val spark = batch.sparkSession
     val sigPath = s"$statePath/sig"
+    // cache populates on the write action; the band join below re-reads it
     val batchSig = graft.dedup.Dedup.minhashSignatures(
       batch, "doc_id", "text", numHashes).cache()
-    batchSig.count()
     batchSig.write.mode("append").parquet(sigPath)
     val pairs = graft.dedup.Dedup.lshIncrementalPairs(
         batchSig, spark.read.parquet(sigPath), numHashes, bands, threshold)

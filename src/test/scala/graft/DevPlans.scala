@@ -58,7 +58,7 @@ object DevPlans {
     "pipe_temperature_mix" -> "temperature mixing: per-source mass aggregate (rows = #sources, bounded) broadcast back onto the scan, acceptance is a pure md5-bucket expression filter — the corpus is shuffled once for the final per-source report only",
     "ev_retention" -> "cohort retention: cohort day is a min-over-user WINDOW — ONE corpus exchange on user_id, NO cohort join (nothing user-sized to broadcast), then one bounded (cohort, offset) countDistinct aggregate",
     "dd_incremental_lsh" -> "incremental dedup: delta signatures computed fresh (only the delta pays minhash), corpus side is a persisted-layout SCAN, shuffle-hash band join with the bounded DELTA as the build side — no corpus recompute, no self-join",
-    "tx_bigram_rarity" -> "rare-bigram perplexity proxy: one exploded bigram pass widened on the gram key feeds BOTH the count aggregate and the shuffle-hash re-join (the count table grows with the corpus — never broadcast), then one per-doc aggregate")
+    "tx_bigram_rarity" -> "rare-bigram perplexity proxy: ONE cached exploded bigram pass (InMemoryTableScan on both branches — column pruning would otherwise fork two full scan+shuffle subtrees) feeds the count aggregate and the shuffle-hash re-join; per-doc aggregate joins back shuffle-hash too — nothing corpus-growing is broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
