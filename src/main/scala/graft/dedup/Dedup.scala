@@ -175,12 +175,10 @@ object Dedup {
     * (doc, pos) distinct + per-doc count are one more keyed aggregate. No
     * suffix array: the gram shuffle is the same single pass the
     * suffix-array build would read, with none of its global sort. */
-  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val base = Par.widen(df)
-      .select(col(idCol).as("doc"), col(textCol).as("text"))
-    val nTok = base.select(col("doc"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  /** Distinct (doc, pos) token positions covered by any cross-document
+    * repeated k-gram — the shared stage of [[spanCoverage]] (the report)
+    * and [[spanScrubbedText]] (the apply). */
+  private def coveredPositions(base: DataFrame, k: Int, minDocs: Int): DataFrame = {
     val grams = base
       .where(size(split(col("text"), " ")) >= k)
       .select(col("doc"), posexplode(ngrams(col("text"), k)).as(Seq("p", "gram")))
@@ -188,17 +186,57 @@ object Dedup {
       .agg(countDistinct(col("doc")).as("nd"))
       .where(col("nd") >= minDocs)
       .select(col("gram"))
-    val covered = Par.widenBy(grams, col("gram"))
+    Par.widenBy(grams, col("gram"))
       .join(dup.hint("shuffle_hash"), "gram")
       .select(col("doc"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
       .distinct()
+  }
+
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = Par.widen(df)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val nTok = base.select(col("doc"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val covered = coveredPositions(base, k, minDocs)
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("dup_tokens"))
-    nTok.join(covered, Seq("doc"), "left")
+    // per-doc aggregates grow with the corpus: shuffle join, not broadcast
+    nTok.join(covered.hint("shuffle_hash"), Seq("doc"), "left")
       .select(col("doc"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("dup_frac",
         round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** The scrubbed-TEXT apply step of exact substring dedup: rebuilds each
+    * doc with every token position covered by a cross-doc repeated k-gram
+    * REMOVED — `(doc, scrubbed, kept_tokens)`, fully-covered docs come
+    * back empty. The per-doc rebuild is a sorted-struct aggregation
+    * (collect positions+tokens, array_sort on the position field,
+    * concat) — one keyed aggregate, order restored deterministically
+    * without a window; a doc must fit one aggregation buffer, the same
+    * bound every per-doc text operator already has. */
+  def spanScrubbedText(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = Par.widen(df)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val covered = coveredPositions(base, k, minDocs)
+    val toks = base.select(col("doc"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // the covered set and the per-doc rebuild both grow with the corpus:
+    // shuffle joins, never broadcast
+    val rebuilt = toks.join(covered.hint("shuffle_hash"), Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("scrubbed"),
+        count(lit(1)).as("kept_tokens"))
+    base.select(col("doc")).join(rebuilt.hint("shuffle_hash"), Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
   /** Candidate pairs sharing at least one shingle, with exact Jaccard

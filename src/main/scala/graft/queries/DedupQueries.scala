@@ -183,9 +183,12 @@ object DedupQueries {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
-  val spanScrubSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+  /** Shared CTE prefix of the span-scrub oracles: tokenized docs → grams
+    * with positions → cross-doc dup-gram set → raw covered positions.
+    * ONE definition so the report ([[spanScrubSql]]) and the apply
+    * ([[spanScrubTextSql]]) mirrors cannot drift. */
+  private val spanCovCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |gi AS (SELECT doc_id, toks,
        |         unnest(generate_series(1, len(toks) - ${RepeatK - 1})) AS i
        |       FROM t WHERE len(toks) >= $RepeatK),
@@ -195,13 +198,38 @@ object DedupQueries {
        |        HAVING count(DISTINCT doc_id) >= 2),
        |covraw AS (SELECT g.doc_id,
        |             unnest(generate_series(g.p, g.p + ${RepeatK - 1})) AS pos
-       |           FROM g JOIN dup USING (gram)),
+       |           FROM g JOIN dup USING (gram))""".stripMargin
+
+  val spanScrubSql: String =
+    s"""WITH $spanCovCtes,
+       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
        |cov AS (SELECT doc_id, count(DISTINCT pos) AS dup_tokens
        |        FROM covraw GROUP BY doc_id)
        |SELECT n.doc_id, n.n_tokens,
        |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        |  round(CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE), 6) AS dup_frac
        |FROM n LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The scrubbed-TEXT apply step ([[Dedup.spanScrubbedText]]). */
+  def spanScrubText(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrubbedText(VectorModel.documents(spark, dir), "doc_id", "text",
+      RepeatK, minDocs = 2)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id")
+
+  val spanScrubTextSql: String =
+    s"""WITH $spanCovCtes,
+       |cov AS (SELECT DISTINCT doc_id, pos FROM covraw),
+       |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+       |kept AS (SELECT * FROM tok WHERE NOT EXISTS (
+       |           SELECT 1 FROM cov c WHERE c.doc_id = tok.doc_id AND c.pos = tok.pos)),
+       |sel AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+       |          count(*) AS kept_tokens
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(sel.scrubbed, '') AS scrubbed,
+       |  CAST(COALESCE(sel.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM documents d LEFT JOIN sel USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5, served
     * from the persisted signature layout — the band join + in-place
@@ -598,6 +626,7 @@ object DedupQueries {
     "dd_mllib_lsh" -> (mllibLshJoin _),
     "dd_repeated_ngrams" -> (repeatedNgrams _),
     "dd_span_scrub" -> (spanScrub _),
+    "dd_span_scrub_text" -> (spanScrubText _),
     "dd_components" -> (components _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
@@ -615,6 +644,7 @@ object DedupQueries {
     "dd_ngram_capped" -> ngramJaccardCappedSql,
     "dd_repeated_ngrams" -> repeatedNgramsSql,
     "dd_span_scrub" -> spanScrubSql,
+    "dd_span_scrub_text" -> spanScrubTextSql,
     "dd_components" -> componentsSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,

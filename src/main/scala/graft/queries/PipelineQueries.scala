@@ -353,6 +353,38 @@ object PipelineQueries {
        |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing by TOKENIZER counts: the same two-level
+    * distributed prefix sum as [[pack]], but each doc's length is its
+    * BPE token count under the fixture model ([[graft.text.Bpe]]) instead
+    * of the whitespace count — offsets in the units a training run
+    * actually consumes. Same scale shape as [[pack]] (the count is one
+    * more scan-side expression); the oracle composes the shared BPE
+    * encode CTE with the shared pack window. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqPack.pack(
+        VectorModel.documents(spark, dir), "doc_id",
+        graft.text.Bpe.bpeTokenCount(col("text"), graft.text.Bpe.FixtureModel)
+          .cast("long"),
+        PackCap, PackShards)
+      .orderBy("doc_id")
+
+  lazy val packBpeSql: String =
+    s"""WITH RECURSIVE
+       |${TextQueries.bpeDocCountCtes},
+       |bt AS (
+       |  SELECT d.doc_id,
+       |    ('0x'||substr(md5('pack:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+       |    CAST(coalesce(a.nb, 0) AS BIGINT) AS n
+       |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+       |bc AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM bt)
+       |SELECT doc_id, start, start // $PackCap AS seq, start % $PackCap AS off,
+       |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
+       |FROM bc ORDER BY doc_id""".stripMargin
+
   /** The window-placement manifest ([[graft.operators.SeqPack.spans]]):
     * one row per (doc, window) with the occupied token range — what a
     * sharded export writer joins against its window slice. */
@@ -528,6 +560,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack_spans" -> (packSpans _),
+    "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
     "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
@@ -540,6 +573,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipe_pack_spans" -> packSpansSql,
+    "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,
     "pipe_temperature_mix" -> temperatureMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,

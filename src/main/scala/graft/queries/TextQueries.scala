@@ -917,12 +917,17 @@ object TextQueries {
     * engine's left-to-right non-overlapping pass (merging at i cannot
     * create an earlier occurrence), and per-word encode joined back to
     * the exploded docs reproduces the full-corpus counts. */
-  lazy val bpeStatsSql: String = {
+  /** Shared recursive-CTE chain computing per-doc BPE stats under the
+    * fixture model (distinct-word encode → per-doc join/sum, ending in
+    * `agg(doc_id, nw, nc, nb)`) — ONE definition consumed by
+    * [[bpeStatsSql]] and `PipelineQueries.packBpeSql`, so the encode
+    * mirror cannot drift between the stats and packing oracles. Callers
+    * open with `WITH RECURSIVE`. */
+  lazy val bpeDocCountCtes: String = {
     val m = graft.text.Bpe.FixtureModel.merges
     val vals = m.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
-    s"""WITH RECURSIVE
-       |merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b)),
+    s"""merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b)),
        |words0(w) AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |enc(w, toks, midx) AS (
        |  SELECT w, [substr(w, i, 1) for i in range(1, length(w)+1)], 1 FROM words0
@@ -940,14 +945,18 @@ object TextQueries {
        |docw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |agg AS (
        |  SELECT d.doc_id AS doc_id, count(*) AS nw, sum(length(d.w)) AS nc, sum(f.n) AS nb
-       |  FROM docw d JOIN final f ON f.w = d.w GROUP BY 1)
+       |  FROM docw d JOIN final f ON f.w = d.w GROUP BY 1)""".stripMargin
+  }
+
+  lazy val bpeStatsSql: String =
+    s"""WITH RECURSIVE
+       |$bpeDocCountCtes
        |SELECT doc_id,
        |  CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bpe
        |FROM documents LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Corpus-TRAINED BPE vocabulary: top subword tokens of the corpus by
     * frequency under [[bpeModel]] (rows-only at the driver — training is

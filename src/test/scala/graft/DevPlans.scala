@@ -58,7 +58,9 @@ object DevPlans {
     "pipe_temperature_mix" -> "temperature mixing: per-source mass aggregate (rows = #sources, bounded) broadcast back onto the scan, acceptance is a pure md5-bucket expression filter — the corpus is shuffled once for the final per-source report only",
     "ev_retention" -> "cohort retention: cohort day is a min-over-user WINDOW — ONE corpus exchange on user_id, NO cohort join (nothing user-sized to broadcast), then one bounded (cohort, offset) countDistinct aggregate",
     "dd_incremental_lsh" -> "incremental dedup: delta signatures computed fresh (only the delta pays minhash), corpus side is a persisted-layout SCAN, shuffle-hash band join with the bounded DELTA as the build side — no corpus recompute, no self-join",
-    "tx_bigram_rarity" -> "rare-bigram perplexity proxy: ONE cached exploded bigram pass (InMemoryTableScan on both branches — column pruning would otherwise fork two full scan+shuffle subtrees) feeds the count aggregate and the shuffle-hash re-join; per-doc aggregate joins back shuffle-hash too — nothing corpus-growing is broadcast")
+    "tx_bigram_rarity" -> "rare-bigram perplexity proxy: ONE cached exploded bigram pass (InMemoryTableScan on both branches — column pruning would otherwise fork two full scan+shuffle subtrees) feeds the count aggregate and the shuffle-hash re-join; per-doc aggregate joins back shuffle-hash too — nothing corpus-growing is broadcast",
+    "dd_span_scrub_text" -> "scrubbed-text apply: the shared covered-positions stage (shuffle-hash dup-gram join, never broadcast) anti-joins the token stream, per-doc rebuild is ONE sorted-struct aggregate — no window, order restored by array_sort on the position field",
+    "pipe_pack_bpe" -> "tokenizer-unit packing: the BPE count is one more scan-side expression feeding the SAME two-level prefix-sum shape as pipe_pack — per-shard windows + broadcast shard bases, no single-partition global sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

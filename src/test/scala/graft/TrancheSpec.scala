@@ -42,6 +42,43 @@ class TrancheSpec extends SparkSpec {
     assert(cov(2L) === ((10L, 8L)))
   }
 
+  test("spanScrubbedText: removes exactly the covered tokens, preserves order") {
+    val docs = Seq(
+      (1L, "z z a b c d e f g h"),           // shared 8-gram at pos 2..9
+      (2L, "a b c d e f g h tail1 tail2"),   // shared 8-gram at pos 0..7
+      (3L, "u n i q u e words only here now") // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrubbedText(docs, "doc_id", "text", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) === (("z z", 2L)))
+    assert(got(2L) === (("tail1 tail2", 2L)))
+    assert(got(3L) === (("u n i q u e words only here now", 10L)))
+    // fully-covered doc comes back empty
+    val full = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.spanScrubbedText(full, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(g2(1L) === (("", 0L)) && g2(2L) === (("", 0L)))
+  }
+
+  test("packBpe: offsets tile gaplessly in BPE-token units") {
+    val r = graft.queries.PipelineQueries.packBpe(spark, Sf0001).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
+    assert(r.nonEmpty)
+    // total packed length equals the sum of per-doc BPE counts
+    val stats = graft.queries.TextQueries.bpeStats(spark, Sf0001)
+      .collect().map(row => row.getLong(0) -> row.getLong(3)).toMap
+    val byStart = r.sortBy(_._2)
+    // gapless: consecutive starts differ by exactly the doc's BPE count
+    byStart.sliding(2).foreach {
+      case Array((d1, s1, _, _, _), (_, s2, _, _, _)) =>
+        assert(s2 - s1 === stats(d1))
+      case _ =>
+    }
+    val (lastDoc, lastStart, _, _, _) = byStart.last
+    assert(lastStart + stats(lastDoc) === stats.values.sum)
+  }
+
   test("shuffleShards: permutation, dense per-shard positions, deterministic") {
     val a = PipelineQueries.shuffleShards(spark, Sf0001).collect()
     val nDocs = graft.model.VectorModel.documents(spark, Sf0001).count()
