@@ -338,17 +338,32 @@ object PipelineQueries {
   /** The oracle computes the SAME offsets with one global window — equal
     * to the two-level prefix sum by the decomposition identity (the order
     * key (shard, h, doc_id) is the canonical order on both sides). */
-  val packSql: String =
-    s"""WITH t AS (
+  /** The pack ORDER hash and cumulative-window SQL fragments — ONE
+    * definition consumed by [[packSql]], [[packSpansSql]], and
+    * [[packBpeSql]] so the pack order key cannot drift between the three
+    * oracles. */
+  private def packHashSql(idRef: String): String =
+    s"('0x'||substr(md5('pack:'||CAST($idRef AS VARCHAR)),1,15))::BIGINT"
+
+  private val packCumsumSql: String =
+    s"""CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start""".stripMargin
+
+  /** Whitespace-count pack prefix (`t` + `c` CTEs), shared by
+    * [[packSql]] and [[packSpansSql]]. */
+  private val packBaseCtes: String =
+    s"""t AS (
        |  SELECT doc_id,
-       |    ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+       |    ${packHashSql("doc_id")} AS h,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n,
-       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-       |  FROM t)
+       |    $packCumsumSql
+       |  FROM t)""".stripMargin
+
+  val packSql: String =
+    s"""WITH $packBaseCtes
        |SELECT doc_id, start, start // $PackCap AS seq, start % $PackCap AS off,
        |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
@@ -357,33 +372,40 @@ object PipelineQueries {
     * distributed prefix sum as [[pack]], but each doc's length is its
     * BPE token count under the fixture model ([[graft.text.Bpe]]) instead
     * of the whitespace count — offsets in the units a training run
-    * actually consumes. Same scale shape as [[pack]] (the count is one
-    * more scan-side expression); the oracle composes the shared BPE
-    * encode CTE with the shared pack window. */
-  def packBpe(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.SeqPack.pack(
-        VectorModel.documents(spark, dir), "doc_id",
-        graft.text.Bpe.bpeTokenCount(col("text"), graft.text.Bpe.FixtureModel)
-          .cast("long"),
+    * actually consumes. Same scale shape as [[pack]], but the encode is
+    * expensive, so the per-doc counts are computed ONCE and cached
+    * (CacheRegistry) before SeqPack's two passes (shard totals + window) —
+    * the corpus is BPE-encoded once, not twice. Blank/whitespace-only
+    * docs clamp to a 1-token pad slot (both engines), honoring pack's
+    * n ≥ 1 precondition with deterministic placement. The oracle composes
+    * the shared BPE encode CTE with the shared pack window fragments. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    val counted = graft.store.CacheRegistry.cached(
+      VectorModel.documents(spark, dir).select(col("doc_id"),
+        greatest(
+          graft.text.Bpe.bpeTokenCount(col("text"), graft.text.Bpe.FixtureModel)
+            .cast("long"),
+          lit(1L)).as("n_bpe")))
+    graft.operators.SeqPack.pack(counted, "doc_id", col("n_bpe"),
         PackCap, PackShards)
       .orderBy("doc_id")
+  }
 
   lazy val packBpeSql: String =
     s"""WITH RECURSIVE
        |${TextQueries.bpeDocCountCtes},
        |bt AS (
        |  SELECT d.doc_id,
-       |    ('0x'||substr(md5('pack:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS h,
-       |    CAST(coalesce(a.nb, 0) AS BIGINT) AS n
+       |    ${packHashSql("d.doc_id")} AS h,
+       |    greatest(CAST(coalesce(a.nb, 0) AS BIGINT), 1) AS n
        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
-       |bc AS (
+       |c AS (
        |  SELECT doc_id, n,
-       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |    $packCumsumSql
        |  FROM bt)
        |SELECT doc_id, start, start // $PackCap AS seq, start % $PackCap AS off,
        |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
-       |FROM bc ORDER BY doc_id""".stripMargin
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** The window-placement manifest ([[graft.operators.SeqPack.spans]]):
     * one row per (doc, window) with the occupied token range — what a
@@ -395,16 +417,7 @@ object PipelineQueries {
       .orderBy("doc_id", "seq")
 
   val packSpansSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    ('0x'||substr(md5('pack:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, n,
-       |    CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, doc_id ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-       |  FROM t),
+    s"""WITH $packBaseCtes,
        |x AS (
        |  SELECT doc_id, start, n, start // $PackCap AS first_seq,
        |    (start + n - 1) // $PackCap AS last_seq

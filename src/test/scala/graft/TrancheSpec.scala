@@ -70,13 +70,15 @@ class TrancheSpec extends SparkSpec {
       .collect().map(row => row.getLong(0) -> row.getLong(3)).toMap
     val byStart = r.sortBy(_._2)
     // gapless: consecutive starts differ by exactly the doc's BPE count
+    // (clamped to >= 1 — pack's positive-count precondition)
+    def n(doc: Long) = math.max(stats(doc), 1L)
     byStart.sliding(2).foreach {
       case Array((d1, s1, _, _, _), (_, s2, _, _, _)) =>
-        assert(s2 - s1 === stats(d1))
+        assert(s2 - s1 === n(d1))
       case _ =>
     }
     val (lastDoc, lastStart, _, _, _) = byStart.last
-    assert(lastStart + stats(lastDoc) === stats.values.sum)
+    assert(lastStart + n(lastDoc) === stats.keysIterator.map(n).sum)
   }
 
   test("shuffleShards: permutation, dense per-shard positions, deterministic") {
