@@ -18,19 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the plan is O(1) in the number of learned merges — the same
   * argument as [[CjkFmmKernel]]: a learned vocabulary inlined as
   * expression literals would grow the plan with the model. The per-word
-  * walk is EXACTLY [[graft.text.Bpe.encodeWordWith]] (the kernel
-  * delegates to it — one implementation, no drift risk), applying merges
-  * in rank order with left-to-right non-overlapping replacement.
+  * walk is [[graft.text.Bpe.Encoder]] (the SAME class the driver-side
+  * `BpeModel.encodeWord` uses — one implementation, no drift risk): a
+  * pair→rank map + lowest-rank-adjacent-pair heap merge, O(|w| log |w|)
+  * per word independent of merge count, token-identical to the
+  * rank-order reference walk for self-consistent trained lists and
+  * falling back to it otherwise.
   *
-  * Corpora repeat words heavily, so the kernel memoizes encodings per
-  * word in a bounded per-task map — the amortized cost per row is a hash
-  * lookup per word, not the O(merges · |word|) walk. */
+  * Corpora repeat words heavily, so the kernel additionally memoizes
+  * encodings per word in a bounded per-task map — the amortized cost per
+  * row is a hash lookup per word. */
 final class BpeKernel(merges: Broadcast[IndexedSeq[(String, String)]])
     extends Serializable {
 
   /** Materialized lazily per executor (not serialized with the task). */
-  @transient private lazy val mergeArr: IndexedSeq[(String, String)] =
-    merges.value
+  @transient private lazy val encoder: graft.text.Bpe.Encoder =
+    new graft.text.Bpe.Encoder(merges.value)
 
   /** Per-task encode memo (tasks are single-threaded; the reference
     * object is instantiated per generated class). Bounded: cleared
@@ -43,8 +46,7 @@ final class BpeKernel(merges: Broadcast[IndexedSeq[(String, String)]])
     val w = t.toString
     var hit = cache.get(w)
     if (hit == null) {
-      hit = graft.text.Bpe.encodeWordWith(mergeArr, w)
-        .map(UTF8String.fromString).toArray
+      hit = encoder.encode(w).map(UTF8String.fromString).toArray
       if (cache.size >= CacheCap) cache.clear()
       cache.put(w, hit)
     }

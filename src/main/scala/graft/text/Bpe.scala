@@ -38,9 +38,11 @@ object Bpe {
 
   final case class BpeModel(merges: IndexedSeq[(String, String)]) {
     require(merges == merges.distinct, "duplicate merge pairs")
-    /** Driver-side reference encode — the kernel delegates to the same
-      * [[encodeWordWith]], so driver and executor cannot drift. */
-    def encodeWord(w: String): IndexedSeq[String] = encodeWordWith(merges, w)
+    @transient private lazy val enc = new Encoder(merges)
+    /** Driver-side encode — the kernel builds an [[Encoder]] over the
+      * same merge list and both delegate to the same walk, so driver and
+      * executor cannot drift. */
+    def encodeWord(w: String): IndexedSeq[String] = enc.encode(w)
     /** The token vocabulary the model can emit: merged strings (single
       * code points are always emittable on top of these). */
     def mergedVocab: Set[String] = merges.map { case (a, b) => a + b }.toSet
@@ -58,13 +60,15 @@ object Bpe {
     out.toArray
   }
 
-  /** Encode one word with an explicit merge list — THE shared
-    * implementation behind the driver reference and the executor kernel.
-    * Applies merges in rank order; each application is one left-to-right
-    * non-overlapping replacement pass. The `contains` precheck skips
-    * merges whose concatenation cannot be a substring of the word
-    * (adjacent tokens are always substrings), making the common case
-    * O(merges · |w|) character scans with no allocation. */
+  /** REFERENCE encode (the semantic definition, mirrored by the DuckDB
+    * oracle CTE): applies merges in rank order; each application is one
+    * left-to-right non-overlapping replacement pass. O(merges · |w|) per
+    * word — correct at any scale but three orders of magnitude off a
+    * production tokenizer at a 50k-merge vocabulary, so the serving path
+    * is [[Encoder]] (lowest-rank-adjacent-pair heap walk, O(|w| log |w|)
+    * independent of merge count), which provably equals this for
+    * self-consistent trained merge lists and falls back to this
+    * otherwise. Kept as the spec-equality baseline and the fallback. */
   def encodeWordWith(merges: IndexedSeq[(String, String)], w: String)
       : IndexedSeq[String] = {
     if (w.isEmpty) return Vector.empty
@@ -85,6 +89,138 @@ object Bpe {
       m += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
+  }
+
+  private def isCodePoint(s: String): Boolean =
+    s.nonEmpty && s.codePointCount(0, s.length) == 1
+
+  /** A merge list is SELF-CONSISTENT when (a) every merge's components
+    * are single code points or concatenations of strictly earlier merges,
+    * and (b) no two merges concatenate to the same string. Under (a)+(b),
+    * merging the pair (a,b) at rank m can only create pairs whose merged
+    * component is m's own output — which, being multi-code-point and
+    * uniquely produced by m, cannot be a component of any merge of rank
+    * < m (it was unformable when that merge was learned) and cannot
+    * recreate (a,b) itself (a ≠ a+b, b ≠ a+b). So the rank-order
+    * single-pass walk ([[encodeWordWith]]) and the iterative
+    * lowest-rank-adjacent-pair walk ([[Encoder]]) produce identical
+    * tokens. Trained lists satisfy this by construction (BpeSpec asserts
+    * it); arbitrary hand-built lists may not — [[Encoder]] checks once
+    * and falls back to the reference walk when the proof doesn't hold. */
+  def selfConsistent(merges: IndexedSeq[(String, String)]): Boolean = {
+    val concats = merges.map { case (a, b) => a + b }
+    if (concats.toSet.size != merges.length) return false
+    val formed = scala.collection.mutable.HashSet.empty[String]
+    merges.forall { case (a, b) =>
+      val ok = (isCodePoint(a) || formed(a)) && (isCodePoint(b) || formed(b))
+      formed += a + b
+      ok
+    }
+  }
+
+  /** Array-backed long min-heap — keys are (rank << 32 | leftIndex), so
+    * ordering is lowest rank first, leftmost occurrence on ties; no
+    * boxing in the encode hot loop. */
+  private final class LongHeap(initCap: Int) {
+    private var a = new Array[Long](math.max(initCap, 8))
+    private var n = 0
+    def nonEmpty: Boolean = n > 0
+    def push(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+      var i = n - 1
+      while (i > 0 && a((i - 1) / 2) > a(i)) {
+        val p = (i - 1) / 2; val t = a(i); a(i) = a(p); a(p) = t; i = p
+      }
+    }
+    def pop(): Long = {
+      val r = a(0); n -= 1; a(0) = a(n)
+      var i = 0; var go = true
+      while (go) {
+        val l = 2 * i + 1; val rr = l + 1; var m = i
+        if (l < n && a(l) < a(m)) m = l
+        if (rr < n && a(rr) < a(m)) m = rr
+        if (m == i) go = false
+        else { val t = a(i); a(i) = a(m); a(m) = t; i = m }
+      }
+      r
+    }
+  }
+
+  /** PRODUCTION encode: pair→rank map + lowest-rank-adjacent-pair merge
+    * walk over a linked token list — O(|w| log |w|) per word, INDEPENDENT
+    * of merge count (the reference walk is O(merges · |w|): untenable at
+    * a real 50k-merge vocabulary). Token-identical to [[encodeWordWith]]
+    * for self-consistent merge lists (see [[selfConsistent]] for the
+    * argument); non-self-consistent lists take the reference walk so the
+    * oracle-mirrored semantics hold unconditionally.
+    *
+    * Staleness handling: the heap holds (rank, leftIndex) candidates; a
+    * popped candidate is applied iff its left node is alive and the pair
+    * it currently starts RE-DERIVES the popped rank — ranks identify
+    * pairs uniquely (merge pairs are distinct), so a rank-matching pair
+    * is exactly the merge to apply regardless of how the entry aged, and
+    * every live adjacent pair in the map always has a live heap entry
+    * (both affected adjacencies are re-pushed after each merge). */
+  final class Encoder(val merges: IndexedSeq[(String, String)])
+      extends Serializable {
+    @transient private lazy val ranks: java.util.HashMap[(String, String), Integer] = {
+      val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+      m
+    }
+    @transient private lazy val fast: Boolean = selfConsistent(merges)
+
+    def encode(w: String): IndexedSeq[String] = {
+      if (w.isEmpty) return Vector.empty
+      if (!fast) return encodeWordWith(merges, w)
+      val toks = splitCodePoints(w)
+      val n = toks.length
+      if (n < 2 || merges.isEmpty)
+        return scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
+      val next = Array.tabulate(n)(_ + 1)
+      val prev = Array.tabulate(n)(_ - 1)
+      val alive = Array.fill(n)(true)
+      @inline def rankOf(i: Int, j: Int): Int = {
+        val r = ranks.get((toks(i), toks(j)))
+        if (r eq null) -1 else r.intValue()
+      }
+      val heap = new LongHeap(n)
+      var i = 0
+      while (i < n - 1) {
+        val r = rankOf(i, i + 1)
+        if (r >= 0) heap.push(r.toLong << 32 | i.toLong)
+        i += 1
+      }
+      while (heap.nonEmpty) {
+        val v = heap.pop()
+        val r = (v >>> 32).toInt
+        val li = (v & 0xffffffffL).toInt
+        if (alive(li)) {
+          val ri = next(li)
+          if (ri < n && rankOf(li, ri) == r) {
+            toks(li) = toks(li) + toks(ri)
+            alive(ri) = false
+            next(li) = next(ri)
+            if (next(li) < n) prev(next(li)) = li
+            val p = prev(li)
+            if (p >= 0) {
+              val pr = rankOf(p, li)
+              if (pr >= 0) heap.push(pr.toLong << 32 | p.toLong)
+            }
+            val nx = next(li)
+            if (nx < n) {
+              val nr = rankOf(li, nx)
+              if (nr >= 0) heap.push(nr.toLong << 32 | li.toLong)
+            }
+          }
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[String](n)
+      i = 0
+      while (i < n) { if (alive(i)) out += toks(i); i += 1 }
+      out.toIndexedSeq
+    }
   }
 
   /** Merge learning over a word-frequency table (Sennrich): the
@@ -184,18 +320,19 @@ object Bpe {
     * re-invoked per query, and each un-memoized call would ship a fresh
     * undestroyed broadcast of the merge table. */
   private val kernelMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int), graft.functions.BpeKernel]()
+    IndexedSeq[(String, String)], graft.functions.BpeKernel]()
   @volatile private var kernelMemoCtx: String = ""
   private def kernelFor(model: BpeModel): graft.functions.BpeKernel =
     synchronized {
       val spark = org.apache.spark.sql.SparkSession.active
       val ctx = spark.sparkContext.applicationId
       if (ctx != kernelMemoCtx) { kernelMemo.clear(); kernelMemoCtx = ctx }
-      val key = (scala.util.hashing.MurmurHash3.orderedHash(model.merges),
-        model.merges.size)
-      kernelMemo.computeIfAbsent(key, _ =>
-        new graft.functions.BpeKernel(
-          spark.sparkContext.broadcast(model.merges)))
+      // keyed by the FULL merge list (already driver-resident), not a
+      // 32-bit content hash — a hash collision between two models would
+      // silently serve the wrong encodings. Few live models per app, so
+      // the key size is immaterial.
+      kernelMemo.computeIfAbsent(model.merges, ms =>
+        new graft.functions.BpeKernel(spark.sparkContext.broadcast(ms)))
     }
 
   /** BPE token stream of `text` under `model`: whitespace words (empties

@@ -146,22 +146,24 @@ object TextAnalysis {
     * `Column`, so callers naturally re-invoke it per query — without the
     * memo every call ships a fresh `sparkContext.broadcast` of the full
     * wordlist that is never destroyed (TorrentBroadcast retains the
-    * blocks), leaking megabytes per call at jieba scale. Keyed on
-    * (content hash, size, maxLen) per SparkContext; bounded (few live
-    * dictionaries per app), evicted wholesale when the context changes
-    * (a stopped context's broadcasts are unusable). */
+    * blocks), leaking megabytes per call at jieba scale. Keyed on the
+    * FULL (wordlist, maxLen) — not a 32-bit content hash, whose collision
+    * between two dictionaries would silently serve the wrong kernel — per
+    * SparkContext; bounded (few live dictionaries per app, each already
+    * driver-resident), evicted wholesale when the context changes (a
+    * stopped context's broadcasts are unusable). */
   private val fmmKernelMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), graft.functions.CjkFmmKernel]()
+    new java.util.concurrent.ConcurrentHashMap[(Seq[String], Int), graft.functions.CjkFmmKernel]()
   @volatile private var fmmKernelMemoCtx: String = ""
   private def fmmKernelFor(dict: Seq[String], maxLen: Int)
       : graft.functions.CjkFmmKernel = synchronized {
     val spark = org.apache.spark.sql.SparkSession.active
     val ctx = spark.sparkContext.applicationId
     if (ctx != fmmKernelMemoCtx) { fmmKernelMemo.clear(); fmmKernelMemoCtx = ctx }
-    val key = (scala.util.hashing.MurmurHash3.orderedHash(dict), dict.size, maxLen)
-    fmmKernelMemo.computeIfAbsent(key, _ =>
+    fmmKernelMemo.computeIfAbsent((dict, maxLen), { case (d, ml) =>
       new graft.functions.CjkFmmKernel(
-        spark.sparkContext.broadcast(dict.toSet), maxLen))
+        spark.sparkContext.broadcast(d.toSet), ml)
+    })
   }
 
   /** The dictionary seam's front door: inline-literal FMM for small

@@ -95,6 +95,112 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("bpe_encode"), s"expected the kernel expression:\n$plan")
   }
 
+  // ---- production heap encode (Bpe.Encoder) --------------------------
+
+  /** Deterministic synthetic model at production merge count: 128 "root
+    * words" of 255 lowercase code points each, merged bottom-up by a
+    * balanced binary tree (adjacent pairs at every level), concatenation-
+    * deduped — every merge's components form at strictly lower ranks and
+    * all concatenations are distinct, so the list is self-consistent by
+    * construction, like a trained list. Low tree levels dedup hard (only
+    * 676 possible 2-char merges); the sizing leaves >8k net merges. */
+  private lazy val syntheticBig: (Bpe.BpeModel, Seq[String]) = {
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 128).map { wi =>
+      // distinct leading tag pins span-uniqueness across words
+      val tag = f"w$wi%03d"
+      tag + (0 until 252).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    words.foreach { w =>
+      var level: Vector[String] = Bpe.encodeWordWith(Vector.empty, w).toVector
+      while (level.size > 1) {
+        level = level.grouped(2).map { g =>
+          if (g.size == 2) {
+            val cat = g(0) + g(1)
+            if (seen.add(cat)) merges += (g(0) -> g(1))
+            cat
+          } else g(0)
+        }.toVector
+      }
+    }
+    (Bpe.BpeModel(merges.toIndexedSeq), words)
+  }
+
+  test("heap encode == reference encode at >=8k merges, on full words and off-tree fragments") {
+    val (model, words) = syntheticBig
+    assert(model.merges.size >= 8000, s"want >=8k merges, got ${model.merges.size}")
+    assert(Bpe.selfConsistent(model.merges), "synthetic list must be self-consistent")
+    val rnd = new scala.util.Random(7)
+    val cases = words ++
+      words.map(w => w.substring(rnd.nextInt(40), 40 + rnd.nextInt(80))) ++ // substrings: partial tree coverage
+      words.sliding(2).map(p => p.head.take(64) + p.last.drop(64)).toSeq ++ // chimeras: cross-word adjacency
+      Seq("", "q", "zz", words.head * 2)
+    cases.foreach { w =>
+      assert(model.encodeWord(w) === Bpe.encodeWordWith(model.merges, w),
+        s"heap/reference divergence on '${w.take(32)}...'")
+    }
+    // merges must actually fire hard (shared low-rank merges legitimately
+    // break tree alignment, so full collapse isn't expected — compression is)
+    words.foreach { w =>
+      assert(model.encodeWord(w).size * 3 <= w.length * 2, s"model barely compressed '${w.take(16)}...'")
+    }
+  }
+
+  test("heap encode == reference encode on the corpus-trained and fixture models over corpus words") {
+    val words = VectorModel.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    val corpusModel = graft.queries.TextQueries.bpeModel(spark, Sf0001)
+    for (m <- Seq(Bpe.FixtureModel, corpusModel); w <- words)
+      assert(m.encodeWord(w) === Bpe.encodeWordWith(m.merges, w),
+        s"heap/reference divergence on corpus word '$w'")
+    // adversarial repeats + surrogate pairs (code-point splitting)
+    val tricky = Seq("aaaaaaa", "ababab", "😀a😀a", "tablestables")
+    for (m <- Seq(Bpe.FixtureModel, corpusModel); w <- tricky)
+      assert(m.encodeWord(w) === Bpe.encodeWordWith(m.merges, w), s"divergence on '$w'")
+  }
+
+  test("non-self-consistent merge lists fall back to reference semantics") {
+    // duplicate concatenation "abc" via two splits: rank-order pass and
+    // lowest-rank-first loop would genuinely diverge on "xaabc" shapes —
+    // the Encoder must detect this and serve the reference walk.
+    val m = Vector("a" -> "b", "x" -> "abc", "ab" -> "c", "a" -> "bc")
+    assert(!Bpe.selfConsistent(m))
+    val enc = new Bpe.Encoder(m)
+    for (w <- Seq("xabc", "xaabc", "abcabc", "ab"))
+      assert(enc.encode(w) === Bpe.encodeWordWith(m, w), s"fallback drift on '$w'")
+    // unformable component (never mergeable) is also non-self-consistent
+    assert(!Bpe.selfConsistent(Vector("qq" -> "z")))
+    assert(Bpe.selfConsistent(Bpe.FixtureModel.merges))
+  }
+
+  test("heap encode cost is independent of merge count (measured bound vs reference)") {
+    val (model, words) = syntheticBig
+    val enc = new Bpe.Encoder(model.merges)
+    val reps = 8
+    // warm both paths (JIT) before timing
+    words.take(8).foreach { w => enc.encode(w); Bpe.encodeWordWith(model.merges, w) }
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < reps) { words.foreach(w => enc.encode(w)); i += 1 }
+    val fastNs = System.nanoTime() - t0
+    val t1 = System.nanoTime()
+    i = 0
+    while (i < reps) { words.foreach(w => Bpe.encodeWordWith(model.merges, w)); i += 1 }
+    val refNs = System.nanoTime() - t1
+    val perWordUs = fastNs / 1000.0 / (reps * words.size)
+    info(f"heap: $perWordUs%.1f us/word (255 cp, ${model.merges.size} merges); reference: ${refNs / 1000.0 / (reps * words.size)}%.1f us/word; speedup ${refNs.toDouble / fastNs}%.0fx")
+    // the reference walk scans all 8128 merges per word; the heap walk is
+    // O(|w| log |w|). Expect ~100-1000x; assert a generous 5x so host
+    // noise can never flake the suite while a true regression still fails.
+    assert(fastNs * 5 < refNs,
+      f"heap encode must decisively beat the rank-order walk at 8k merges: fast=${fastNs / 1e6}%.1f ms ref=${refNs / 1e6}%.1f ms")
+    assert(perWordUs < 500.0, f"per-word heap encode too slow: $perWordUs%.1f us")
+  }
+
   test("fixture-model stats: counts are consistent and merges actually fire on the corpus") {
     val out = graft.queries.TextQueries.bpeStats(spark, Sf0001).collect()
     assert(out.nonEmpty)
