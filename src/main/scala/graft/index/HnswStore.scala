@@ -764,8 +764,12 @@ object HnswStore {
     // at query-set scale): an empty Bloom rejects every id, and a beam
     // that can never hold k accepted results walks each probed shard's
     // whole connected component once PER QUERY ROW just to return zero
+    // the id frame is consumed three times (count, Bloom build, exact
+    // re-check) — CacheRegistry.cached so an expensive filter predicate
+    // scans once, not thrice (registry eviction bounds the footprint)
     val acceptCounted = acceptIds.map { ids =>
-      val idsOnly = ids.select(col(idCol)); (idsOnly, idsOnly.count())
+      val idsOnly = graft.store.CacheRegistry.cached(ids.select(col(idCol)))
+      (idsOnly, idsOnly.count())
     }
     if (acceptCounted.exists(_._2 == 0L))
       return Seq.empty[(Long, Long, Double, Long)]
@@ -792,8 +796,8 @@ object HnswStore {
           }
         }
     }.toDF("query_id", idCol, "sim_raw")
-    val checked = acceptIds.foldLeft(perShard) { (d, ids) =>
-      d.join(ids.select(col(idCol)).hint("shuffle_hash"), Seq(idCol), "leftsemi")
+    val checked = acceptCounted.foldLeft(perShard) { case (d, (idsOnly, _)) =>
+      d.join(idsOnly.hint("shuffle_hash"), Seq(idCol), "leftsemi")
     }
     graft.operators.TopK.perGroupTopK(checked, "query_id", col(idCol), col("sim_raw"), k)
       .withColumnRenamed("id", idCol)

@@ -256,44 +256,51 @@ object StreamingIngest {
     * ([[graft.dedup.Dedup.lshIncrementalPairs]]): per micro-batch of
     * documents, (1) signatures are computed for the BATCH ONLY (only the
     * increment pays the shingle/minhash cost), (2) the batch signatures
-    * append to the signature state, (3) the batch band-joins the
-    * read-back state — corpus-so-far INCLUDING the batch, so old↔new and
-    * new↔new pairs are both covered — and the discovered pairs append
-    * (normalized da < db, distinct) to the pair log.
+    * land in their own `sig/batch=<id>` partition, (3) the batch
+    * band-joins the read-back state — corpus-so-far INCLUDING the batch,
+    * so old↔new and new↔new pairs are both covered — and the discovered
+    * pairs (normalized da < db, distinct) land in `pairs/batch=<id>`.
     *
     * Union-over-batches == the batch self-join pair set
     * ([[graft.dedup.Dedup.lshCandidatePairs]]): every pair has a first
     * batch where both endpoints exist, and that batch discovers it
     * (its later endpoint is in the delta). StreamingSpec asserts set
-    * equality. At-least-once caveat: a replayed batch re-appends sig and
-    * pair rows — the self-pair guard ignores a doc's re-appended
-    * signature copy, duplicate pair rows are distinct'd at read. */
+    * equality. At-least-once SAFETY: both state writes are idempotent
+    * per-batch overwrites into `sig/batch=<id>` and `pairs/batch=<id>`
+    * (the pack layout's idempotent-overwrite contract) — a foreachBatch
+    * replay after a crash between the two writes REWRITES its own
+    * partition instead of re-appending, so neither the signature state
+    * nor its band-join fan-out grows with replays. */
   def minhashDedupIngest(docs: DataFrame, statePath: String,
       checkpoint: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        minhashIngestBatch(batch, statePath, numHashes, bands, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minhashIngestBatch(batch, statePath, numHashes, bands, threshold,
+          batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
   private[graft] def minhashIngestBatch(batch: DataFrame, statePath: String,
-      numHashes: Int, bands: Int, threshold: Double): Unit = {
+      numHashes: Int, bands: Int, threshold: Double, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val sigPath = s"$statePath/sig"
     // cache populates on the write action; the band join below re-reads it
     val batchSig = graft.dedup.Dedup.minhashSignatures(
       batch, "doc_id", "text", numHashes).cache()
-    batchSig.write.mode("append").parquet(sigPath)
+    batchSig.write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+    // the read-back state gains a discovered `batch` partition column —
+    // dropped so the band join's schema matches the delta side's
     val pairs = graft.dedup.Dedup.lshIncrementalPairs(
-        batchSig, spark.read.parquet(sigPath), numHashes, bands, threshold)
+        batchSig, spark.read.parquet(sigPath).drop("batch"),
+        numHashes, bands, threshold)
       .select(least(col("new_doc"), col("dup_of")).as("da"),
         greatest(col("new_doc"), col("dup_of")).as("db"),
         col("est_jaccard"))
       .distinct()
-    pairs.write.mode("append").parquet(s"$statePath/pairs")
+    pairs.write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
     batchSig.unpersist()
   }
 
@@ -561,6 +568,20 @@ object StreamingIngest {
 
   private val PackTotalFile = "_graft_pack_total"
 
+  /** Per-batch commit record written INSIDE `batch=<id>` after its data
+    * job commits, carrying the batch's END token total. Two jobs: (1) a
+    * completeness proof that does not depend on the Hadoop committer's
+    * `_SUCCESS` marker (object-store deployments commonly run
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — without
+    * an engine-owned record a complete newest batch would be treated as
+    * uncommitted and, when the streaming checkpoint survived the sidecar
+    * loss, its tokens silently dropped from the running base); (2) a
+    * tail cross-check — the dir counts as complete only if its
+    * max(start+n) equals the recorded end, so a tail file lost from an
+    * interrupted commit can't masquerade as a shorter-but-complete
+    * batch. Underscore-prefixed, so parquet readers ignore it. */
+  private val PackBatchEndFile = "_graft_batch_end"
+
   /** One micro-batch of the pack — IDEMPOTENT under foreachBatch's
     * at-least-once replay contract:
     *
@@ -588,7 +609,29 @@ object StreamingIngest {
         org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col(nTokensCol).cast("long")),
         org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+    // engine-owned commit record (see [[PackBatchEndFile]]) — written
+    // after the data job commits, before the sidecar: a crash between the
+    // two leaves a provably-complete dir that the self-heal counts
+    writeLongFile(spark, s"$layoutPath/batch=$batchId/$PackBatchEndFile",
+      base + batchTokens)
     writePackState(spark, layoutPath, batchId, base + batchTokens)
+  }
+
+  private def writeLongFile(spark: SparkSession, path: String, v: Long): Unit = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val out = fs.create(p, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLongFile(spark: SparkSession, path: String): Option[Long] = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(txt.toLong)
+    }
   }
 
   /** (lastBatchId, running token total) of a pack layout: the sidecar
@@ -596,18 +639,22 @@ object StreamingIngest {
     * lost sidecar), else (-1, 0) for a fresh layout.
     *
     * The self-heal trusts the newest visible `batch=N` dir only when the
-    * dir is PROVABLY complete — it carries the `_SUCCESS` job-commit
-    * marker: a crash can leave `batch=N` visible but partially committed
-    * (interrupted job commit, v2 committer), and with the sidecar also
-    * gone there is no other record proving N completed. Incomplete → the
-    * heal claims lastBatchId = N−1 with the total re-derived from the
-    * earlier batches only, and the foreachBatch replay of N rewrites its
-    * dir completely (the overwrite contract makes that idempotent: same
-    * deterministic rows whether N was whole or partial). Complete → N
-    * counts as committed, which matters when the STREAMING CHECKPOINT
-    * survived the sidecar loss: the source will deliver N+1 next, never
-    * replaying N, so claiming N−1 would permanently drop N's tokens from
-    * the running base and pack N+1 over N's offsets. */
+    * dir is PROVABLY complete — either it carries the Hadoop `_SUCCESS`
+    * job-commit marker, or the engine's own [[PackBatchEndFile]] record
+    * is present AND the dir's max(start+n) equals the recorded end (the
+    * record survives `marksuccessfuljobs=false` deployments, where no
+    * `_SUCCESS` is ever written; the equality rejects a dir whose tail
+    * file was lost mid-commit). A crash can leave `batch=N` visible but
+    * partially committed (interrupted job commit, v2 committer); with
+    * the sidecar also gone and neither proof holding, the heal claims
+    * lastBatchId = N−1 with the total re-derived from the earlier batches
+    * only, and the foreachBatch replay of N rewrites its dir completely
+    * (the overwrite contract makes that idempotent: same deterministic
+    * rows whether N was whole or partial). Complete → N counts as
+    * committed, which matters when the STREAMING CHECKPOINT survived the
+    * sidecar loss: the source will deliver N+1 next, never replaying N,
+    * so claiming N−1 would permanently drop N's tokens from the running
+    * base and pack N+1 over N's offsets. */
   private[graft] def readPackState(spark: SparkSession, layoutPath: String)
       : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
@@ -626,8 +673,13 @@ object StreamingIngest {
       val layout = spark.read.parquet(layoutPath)
       val maxB = layout.agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
         .head.getLong(0)
+      def newestDataEnd: Long = layout
+        .where(col("batch").cast("long") === maxB)
+        .agg(coalesce(max(col("start") + col("n")), lit(-1L))).head.getLong(0)
       val newestComplete = fs.exists(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS"))
+        new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS")) ||
+        readLongFile(spark, s"$layoutPath/batch=$maxB/$PackBatchEndFile")
+          .exists(_ == newestDataEnd)
       val committedThrough = if (newestComplete) maxB else maxB - 1
       val base = layout.where(col("batch").cast("long") <= committedThrough)
         .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)

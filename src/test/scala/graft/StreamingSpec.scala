@@ -802,14 +802,38 @@ class StreamingSpec extends SparkSpec {
     val (healedId, healedBase) = StreamingIngest.readPackState(spark, s"$base/pack")
     assert(healedId === maxB, "complete newest batch must count as committed")
     assert(healedBase === expected)
-    // sidecar LOSS + newest dir NOT provably complete (_SUCCESS gone —
-    // the interrupted-job-commit shape): the heal re-opens maxB, and the
+    // sidecar LOSS + _SUCCESS gone but the engine's OWN commit record
+    // present (the marksuccessfuljobs=false object-store deployment,
+    // where no _SUCCESS is ever written): the record + its end-total
+    // cross-check still prove completeness — maxB counts as committed
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, s"batch=$maxB/_SUCCESS"), false)
+    val (mkId, mkBase) = StreamingIngest.readPackState(spark, s"$base/pack")
+    assert(mkId === maxB, "engine commit record must prove completeness without _SUCCESS")
+    assert(mkBase === expected)
+    // sidecar LOSS + NEITHER proof (record gone too — the
+    // interrupted-job-commit shape): the heal re-opens maxB, and the
     // foreachBatch replay of maxB rewrites the dir idempotently,
     // restoring the exact pre-loss state
-    fsH.delete(new org.apache.hadoop.fs.Path(pH, s"batch=$maxB/_SUCCESS"), false)
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, s"batch=$maxB/_graft_batch_end"), false)
     val (reopenId, reopenBase) = StreamingIngest.readPackState(spark, s"$base/pack")
     assert(reopenId === maxB - 1, "unprovable newest batch must be re-opened")
     assert(reopenBase === docs.where(epochOf < maxB).agg(sum("n_tokens")).head.getLong(0))
+    StreamingIngest.packAppendBatch(docs.where(epochOf === maxB), s"$base/pack",
+      cap, "doc_id", "n_tokens", 8, batchId = maxB)
+    assert(rows(spark.read.parquet(s"$base/pack")) === grown)
+    assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
+    // sidecar + _SUCCESS gone, record PRESENT but the dir's tail file
+    // lost mid-commit: the end-total cross-check must reject the dir
+    // (record existence alone is not proof the data survived)
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_pack_total"), false)
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, s"batch=$maxB/_SUCCESS"), false)
+    val tailFile = spark.read.parquet(s"$base/pack/batch=$maxB")
+      .select(input_file_name().as("f"), (col("start") + col("n")).as("e"))
+      .orderBy(desc("e")).head.getString(0)
+    fsH.delete(new org.apache.hadoop.fs.Path(new java.net.URI(tailFile)), false)
+    val (tailId, _) = StreamingIngest.readPackState(spark, s"$base/pack")
+    assert(tailId === maxB - 1, "truncated dir must fail the end-total cross-check")
+    // and the replay restores the layout exactly once more
     StreamingIngest.packAppendBatch(docs.where(epochOf === maxB), s"$base/pack",
       cap, "doc_id", "n_tokens", 8, batchId = maxB)
     assert(rows(spark.read.parquet(s"$base/pack")) === grown)
@@ -842,5 +866,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must contain near-duplicates")
     // pairs straddle micro-batch boundaries (endpoints in different batches)
     assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 })
+    // at-least-once replay: re-running a batch REWRITES its sig/pairs
+    // partitions (idempotent overwrite) — state row counts are unchanged,
+    // so the band-join fan-out cannot grow with foreachBatch retries.
+    // foreachBatch only ever replays the LAST uncommitted batch (later
+    // batches cannot have committed), so that is the scenario replayed.
+    val sigRows = spark.read.parquet(s"$base/state/sig").count()
+    val pairRows = spark.read.parquet(s"$base/state/pairs").count()
+    // replay with the exact rows the stream assigned to the final batch
+    // (file→batch order is the checkpoint's business, not the test's)
+    val sigState = spark.read.parquet(s"$base/state/sig")
+    val lastBatch = sigState.agg(max("batch")).head.getInt(0).toLong
+    val lastIds = sigState.where(col("batch") === lastBatch)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    StreamingIngest.minhashIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      32, 8, 0.5, batchId = lastBatch)
+    assert(spark.read.parquet(s"$base/state/sig").count() === sigRows,
+      "replayed batch must not grow the signature state")
+    assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows,
+      "replayed batch must not grow the pair log")
+    val replayed = spark.read.parquet(s"$base/state/pairs")
+      .select("da", "db", "est_jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(replayed === batch, "replay must leave the pair set intact")
   }
 }
