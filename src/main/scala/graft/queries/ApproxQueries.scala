@@ -12,9 +12,13 @@ import graft.pq.ProductQuantizer
   * records rows-only checks and ScalaTest gates recall/reconstruction
   * against the exact operators (SURVEY.md §5, the reference's own
   * methodology in examples/datawhale.py:142-207). Outputs are still
-  * deterministic (seeded). The single exception is SQ8 ([[annSqTopK]]):
-  * its affine codec is closed-form arithmetic with an exact DuckDB mirror,
-  * so that one quantized serving path IS hash-gated. */
+  * deterministic (seeded). The exceptions are the serving paths that are
+  * closed-form GIVEN a trained artifact: SQ8 and binary (affine/midrange
+  * codecs mirror exactly), and — via the [[OracleSidecars]] two-step
+  * oracle — PQ-ADC ([[annPqAdcTopK]]: published codebook, re-derived
+  * encode+LUT+score) and the filtered fixed-probe big-batch IVF
+  * ([[ivfBigBatchFilteredTopK]]: published centroids, re-derived
+  * assignment+probing+scoring); those four ARE hash-gated. */
 object ApproxQueries {
 
   /** S3 over lineitem-derived vectors: KMeans(16, seed 42) + 8-probe search. */
@@ -440,12 +444,63 @@ object ApproxQueries {
   /** PQ-ADC top-k over embeddings, served from the PERSISTED code table:
     * the scan reads m-byte stored codes — the whole point of PQ at scale —
     * instead of re-reading and re-encoding the full vector table per query
-    * (the IVF-PQ path's lesson applied to plain ADC). */
+    * (the IVF-PQ path's lesson applied to plain ADC).
+    *
+    * HASH-GATED via the two-step oracle: the codebooks come from seeded
+    * k-means (training legitimately spec-gated, PqSpec), but GIVEN the
+    * trained codebooks — published as an [[OracleSidecars]] sidecar —
+    * encode (per-subspace L2 argmin) and the ADC walk (query LUT,
+    * negative summed distance) are closed-form arithmetic that
+    * [[annPqAdcTopKSql]] mirrors term-for-term, the way SQ8/binary
+    * already are. */
   def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
     val pq = trainedPq(spark, dir)
+    OracleSidecars.publish(spark, "pq_codebook", dir) {
+      import spark.implicits._
+      (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
+        val v = pq.codebooks(s)(c)
+        (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+    }
     val codes = spark.read.parquet(pqCodesLayout(spark, dir))
     ProductQuantizer.adcTopK(codes, pq, VectorModel.AnnQuery, 20, "vec_id")
       .select("vec_id", "adc_score")
+  }
+
+  /** DuckDB mirror of [[annPqAdcTopK]] GIVEN the published codebook:
+    * re-encodes every embedding (per-subspace argmin of the left-assoc
+    * squared L2, ties to the lower code — [[ProductQuantizer.encode]]'s
+    * strict `<`), computes the query LUT entry of each chosen centroid
+    * the same way, and scores −(((l0+l1)+…)+l7) in subspace order
+    * ([[graft.functions.AdcKernel.score]]'s accumulation). */
+  lazy val annPqAdcTopKSql: String = {
+    val m = 8
+    val subDim = VectorModel.EmbDim / m
+    def emb(s: Int)(j: Int) = s"CAST(e.embedding[${s * subDim + j + 1}] AS DOUBLE)"
+    def cb(j: Int) = s"cb.v$j"
+    def q(s: Int)(j: Int) = OracleSql.lit(VectorModel.AnnQuery(s * subDim + j))
+    val encD = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cb, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val lutD = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(q(s), cb, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val lSum = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
+    s"""WITH cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
+       |    v0, v1, v2, v3, v4, v5, v6, v7
+       |  FROM ${OracleSidecars.sqlTable("pq_codebook")}),
+       |d AS (SELECT e.vec_id AS vec_id, cb.s AS s, cb.c AS c,
+       |    $encD AS enc_d,
+       |    $lutD AS lut_d
+       |  FROM embeddings e CROSS JOIN cb),
+       |sel AS (SELECT vec_id, s, lut_d,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
+       |  FROM d),
+       |piv AS (SELECT vec_id,
+       |    ${(0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")}
+       |  FROM sel WHERE rn = 1 GROUP BY vec_id)
+       |SELECT vec_id, round(-$lSum, 6) AS adc_score
+       |FROM piv ORDER BY adc_score DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
   /** Build-once/serve-many plain-PQ code layout: train (memoized) + encode +
@@ -639,6 +694,76 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** S5 × S4 at query-set scale, HASH-GATED — the FILTERED big-batch IVF
+    * path under the driver end to end (FilteredBigBatchSpec proves
+    * cross-family parity; this entry puts one such path under the DuckDB
+    * oracle). Probing uses the FIXED top-4 rule (`nProbes=Some(4)`) so
+    * the whole serve is closed-form GIVEN the stored layout: the
+    * [[OracleSidecars]] centroid sidecar lets the oracle re-derive
+    * cluster assignment (L2 argmin), the probe ranking (centroid cosine,
+    * ties to the lower id), the filter-first candidate set, and the
+    * exact-cosine top-3 — [[ivfBigBatchFilteredSql]] mirrors each step
+    * term-for-term. The adaptive-walk twin stays spec-gated
+    * (`vq_ivf_bigbatch`). */
+  def ivfBigBatchFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (path, model) = ivfLayout(spark, dir)
+    OracleSidecars.publish(spark, "ivf_centroids", dir) {
+      import spark.implicits._
+      model.centroids.zipWithIndex.map { case (c, i) =>
+        (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
+      }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+    }
+    graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
+      VectorModel.partQueriesBig(spark, dir, modulus = 64), 3,
+      nProbes = Some(4),
+      filter = Some(col("category") === "R" && col("status") === "F"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** DuckDB mirror of [[ivfBigBatchFilteredTopK]] GIVEN the published
+    * centroids — assignment, probe ranking, filter, scoring and the rank
+    * tie-breaks all re-derived in SQL (see the query scaladoc). */
+  lazy val ivfBigBatchFilteredSql: String = {
+    val dim = VectorModel.Dim
+    def vEl(i: Int) = s"a.v$i"
+    def cEl(i: Int) = s"cent.c$i"
+    def qEl(i: Int) = s"qb.q$i"
+    s"""WITH ${OracleSql.vectorCte},
+       |qb AS (SELECT
+       |  CAST(p_partkey AS BIGINT) AS query_id,
+       |  CAST(p_size AS DOUBLE) AS q0,
+       |  p_retailprice/CAST('100.0' AS DOUBLE) AS q1,
+       |  CAST(p_partkey % 97 AS DOUBLE)/CAST('97.0' AS DOUBLE) AS q2,
+       |  CAST(p_partkey % 89 AS DOUBLE)/CAST('89.0' AS DOUBLE) AS q3,
+       |  CAST(p_partkey % 83 AS DOUBLE)/CAST('83.0' AS DOUBLE) AS q4,
+       |  CAST('1.0' AS DOUBLE) AS q5, CAST('2.0' AS DOUBLE) AS q6, CAST('3.0' AS DOUBLE) AS q7
+       |FROM part WHERE p_partkey % 64 = 0),
+       |cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    c0, c1, c2, c3, c4, c5, c6, c7
+       |  FROM ${OracleSidecars.sqlTable("ivf_centroids")}),
+       |asg AS (SELECT id, cluster_id FROM (
+       |  SELECT a.id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY a.id
+       |      ORDER BY ${OracleSql.l2sq(cEl, vEl, dim)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM v a CROSS JOIN cent) WHERE arn = 1),
+       |pr AS (SELECT query_id, cluster_id FROM (
+       |  SELECT qb.query_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY qb.query_id
+       |      ORDER BY ${OracleSql.cosineCols(cEl, qEl, dim)} DESC, cent.cluster_id ASC) AS prn
+       |  FROM qb CROSS JOIN cent) WHERE prn <= 4),
+       |sc AS (SELECT pr.query_id AS query_id, a.id AS id,
+       |    ${OracleSql.cosineCols(vEl, qEl, dim)} AS sim_raw
+       |  FROM pr JOIN asg ON asg.cluster_id = pr.cluster_id
+       |    JOIN v a ON a.id = asg.id
+       |    JOIN qb ON qb.query_id = pr.query_id
+       |  WHERE a.category = 'R' AND a.status = 'F')
+       |SELECT query_id, id, round(sim_raw, 6) AS sim, rn FROM (
+       |  SELECT query_id, id, sim_raw,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. The probe list is
     * the margin-extended adaptive walk per query row (the calibrated
     * serving default: β=2 spends probes on boundary queries — recall
@@ -678,7 +803,9 @@ object ApproxQueries {
     * midrange-sign codec — both closed-form. */
   val oracleSql: Map[String, String] = Map(
     "ann_sq_topk" -> annSqTopKSql,
-    "ann_bin_topk" -> annBinTopKSql)
+    "ann_bin_topk" -> annBinTopKSql,
+    "ann_pq_adc_topk" -> annPqAdcTopKSql,
+    "vq_ivf_bigbatch_filtered" -> ivfBigBatchFilteredSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
@@ -702,6 +829,7 @@ object ApproxQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_batch_topk" -> (annLshBatchTopK _),
     "vq_ivf_bigbatch" -> (ivfBigBatchTopK _),
+    "vq_ivf_bigbatch_filtered" -> (ivfBigBatchFilteredTopK _),
     "vq_hnsw_routed_bigbatch" -> (hnswRoutedBigBatchTopK _),
     "ann_lsh_bigbatch" -> (lshBigBatchTopK _),
     "ann_ivfpq_bigbatch" -> (annIvfPqBigBatchTopK _),

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Two-step oracle support: a query whose semantics are exact GIVEN a
+  * trained artifact (BPE merge table, PQ codebook, IVF centroids)
+  * publishes that artifact as a small parquet sidecar at a FIXED path,
+  * and its DuckDB oracle reads the sidecar back with `read_parquet` —
+  * so the closed-form half (encode walks, ADC arithmetic, probe ranking,
+  * exact scoring) is hash-gated even though the training half is
+  * iterative argmax and stays spec-gated.
+  *
+  * The path must be fixed because oracle SQL is static text; that is
+  * sound under the Verify contract — the driver runs every query (which
+  * publishes the current dataset's artifacts), THEN the DuckDB compare,
+  * sequentially on one host — and each publish is keyed by dataset dir
+  * so repeated queries in one run write once. Artifacts are
+  * model-registry sized (KBs–MBs: merge lists, codebooks, centroid
+  * tables), never corpus-sized. */
+object OracleSidecars {
+
+  /** Spark-side write root == DuckDB-side read root (one host). */
+  val Root = "/tmp/graft_oracle_sidecar"
+
+  /** `read_parquet` fragment for oracle SQL. */
+  def sqlTable(name: String): String = s"read_parquet('$Root/$name/*.parquet')"
+
+  private val lastDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Publish `make` under `Root/name` unless this dataset dir's artifact
+    * is already there (keyed per name; re-published when the dataset
+    * changes or the sidecar vanished from disk). */
+  def publish(spark: SparkSession, name: String, dir: String)(make: => DataFrame): Unit =
+    lastDir.compute(name, (_, prev) => {
+      if (prev != dir || !graft.store.Fs.exists(spark, s"$Root/$name"))
+        make.coalesce(1).write.mode("overwrite").parquet(s"$Root/$name")
+      dir
+    })
+}

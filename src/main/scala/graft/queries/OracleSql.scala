@@ -52,6 +52,14 @@ object OracleSql {
 
   def normSq(a: Int => String, d: Int): String = dot(a, a, d)
 
+  /** Left-associated squared L2: (a0−b0)·(a0−b0) + … — the mirror of the
+    * kernels' accumulation loops ([[graft.functions.IvfKernel.nearest]],
+    * [[graft.pq.ProductQuantizer]]'s l2sq): the diff is one double and the
+    * square its exact product, added in index order. */
+  def l2sq(a: Int => String, b: Int => String, d: Int): String =
+    (0 until d).map(i => s"(${a(i)} - ${b(i)})*(${a(i)} - ${b(i)})")
+      .mkString(" + ")
+
   /** Cosine of flat component columns vs a constant query vector, with the
     * reference's zero-norm → 0.0 guard (vervectordb/__init__.py:31-36). */
   def cosineConst(a: Int => String, q: Seq[Double]): String = {

@@ -927,7 +927,17 @@ object TextQueries {
     val m = graft.text.Bpe.FixtureModel.merges
     val vals = m.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
-    s"""merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b)),
+    bpeDocCountCtesWith(
+      s"merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b))")
+  }
+
+  /** The encode-mirror CTE chain parameterized by its merge-table source —
+    * literal VALUES for the fixture model, a [[OracleSidecars]]
+    * `read_parquet` for the corpus-TRAINED model — so both oracles replay
+    * the identical walk. The stop rank is data-driven
+    * (`max(rank) + 1`), making the chain merge-count independent. */
+  def bpeDocCountCtesWith(mergesCte: String): String =
+    s"""$mergesCte,
        |words0(w) AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |enc(w, toks, midx) AS (
        |  SELECT w, [substr(w, i, 1) for i in range(1, length(w)+1)], 1 FROM words0
@@ -941,12 +951,12 @@ object TextQueries {
        |      list_min([i for i in range(1, len(e.toks)) if e.toks[i] = m.a AND e.toks[i+1] = m.b]) AS pos
        |    FROM enc e JOIN merges m ON m.rank = e.midx) s
        |),
-       |final AS (SELECT w, len(toks) AS n FROM enc WHERE midx = ${m.size + 1}),
+       |final AS (SELECT w, len(toks) AS n FROM enc
+       |  WHERE midx = (SELECT coalesce(max(rank), 0) + 1 FROM merges)),
        |docw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |agg AS (
        |  SELECT d.doc_id AS doc_id, count(*) AS nw, sum(length(d.w)) AS nc, sum(f.n) AS nb
        |  FROM docw d JOIN final f ON f.w = d.w GROUP BY 1)""".stripMargin
-  }
 
   lazy val bpeStatsSql: String =
     s"""WITH RECURSIVE
@@ -958,11 +968,49 @@ object TextQueries {
        |FROM documents LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** HASH-GATED per-doc BPE stats under the CORPUS-TRAINED model — the
+    * training→encode seam verified END-TO-END: training stays spec-gated
+    * (iterative argmax, outside SQL by the module contract), but its
+    * output merge table is published as an [[OracleSidecars]] parquet
+    * sidecar and the oracle replays the SAME recursive-CTE encode walk
+    * over it ([[bpeDocCountCtesWith]]) that gates the fixture model — so
+    * a wrong trained merge list, a drifted kernel, or a broken
+    * train→serve handoff all hash-mismatch. */
+  def bpeStatsTrained(spark: SparkSession, dir: String): DataFrame = {
+    val model = bpeModel(spark, dir)
+    OracleSidecars.publish(spark, "bpe_merges", dir) {
+      import spark.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+    }
+    val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
+    VectorModel.documents(spark, dir).select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+      graft.text.Bpe.bpeTokenCount(col("text"), model)
+        .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  lazy val bpeStatsTrainedSql: String =
+    s"""WITH RECURSIVE
+       |${bpeDocCountCtesWith(
+          s"merges AS (SELECT CAST(rank AS INTEGER) AS rank, a, b FROM ${OracleSidecars.sqlTable("bpe_merges")})")}
+       |SELECT doc_id,
+       |  CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bpe
+       |FROM documents LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus-TRAINED BPE vocabulary: top subword tokens of the corpus by
     * frequency under [[bpeModel]] (rows-only at the driver — training is
     * iterative argmax, outside SQL by the module contract; BpeSpec gates
     * kernel==driver encode parity, training determinism, and the merge
-    * sanity properties). */
+    * sanity properties; the trained ENCODE surface is hash-gated by
+    * [[bpeStatsTrained]]). */
   def bpeCorpusVocab(spark: SparkSession, dir: String): DataFrame =
     VectorModel.documents(spark, dir)
       .select(explode(
@@ -973,6 +1021,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe_stats" -> (bpeStats _),
+    "tx_bpe_stats_trained" -> (bpeStatsTrained _),
     "tx_bpe_corpus_vocab" -> (bpeCorpusVocab _),
     "tx_sql_clean" -> (sqlClean _),
     "tx_sql_bm25" -> (sqlBm25 _),
@@ -1000,6 +1049,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_bpe_stats" -> bpeStatsSql,
+    "tx_bpe_stats_trained" -> bpeStatsTrainedSql,
     "tx_sql_clean" -> sqlCleanSql,
     "tx_sql_bm25" -> bm25TopKSql,
     "tx_sql_chunks" -> chunksSql,
