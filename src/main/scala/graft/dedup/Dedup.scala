@@ -239,6 +239,67 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  /** Maximal duplicated-span INTERVALS at a minimum match length — the
+    * suffix-array-grade exact-substring report (the published bar for
+    * exact substring dedup: all matches of ≥ `minLen` tokens, merged to
+    * maximal intervals). A position sits in an interval iff some
+    * cross-document duplicated `minLen`-gram covers it, so every reported
+    * interval is a union of genuine ≥`minLen`-token repeats and every
+    * ≥`minLen`-token cross-doc repeat is reported — the same guarantee a
+    * suffix-array pass gives at `minLen` granularity. Returns one row per
+    * maximal interval: `(doc, start, len)`, token positions, len ≥
+    * minLen.
+    *
+    * Scale shape — the no-global-sort property: duplicated window STARTS
+    * come from the one exploded-gram shuffle [[spanCoverage]] already
+    * uses (dup-gram set re-joined shuffle-hash, never broadcast); the
+    * interval merge is PER-DOC — sorted starts folded left-to-right into
+    * maximal runs (two starts chain iff they are ≤ minLen apart) inside
+    * one keyed aggregate, the same per-doc-buffer bound every text
+    * operator has. Nothing corpus-wide is ever sorted: a suffix array
+    * sorts all corpus suffixes globally; this reads the identical gram
+    * stream and keeps the ordering work inside each document. */
+  def spanMaximalIntervals(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, minDocs: Int = 2): DataFrame = {
+    val base = Par.widen(df)
+      .select(col(idCol).as("doc"), col(textCol).as("text"))
+    val grams = base
+      .where(size(split(col("text"), " ")) >= minLen)
+      .select(col("doc"), posexplode(ngrams(col("text"), minLen)).as(Seq("p", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("gram"))
+    // duplicated window starts; (doc, p) is unique by construction
+    val wins = Par.widenBy(grams, col("gram"))
+      .join(dup.hint("shuffle_hash"), "gram")
+      .select(col("doc"), col("p"))
+    // per-doc fold of the sorted starts into maximal [s, e) chains: start
+    // p extends the open chain iff p ≤ chain.e (= previous start + L —
+    // overlap or exact adjacency); the sentinel head (e < 0 < any p)
+    // keeps the lambda total without an emptiness branch and is sliced
+    // off after the fold
+    val sentinel = struct(
+      lit(-2 * minLen).as("s"), lit(-2 * minLen).as("e"))
+    val folded = aggregate(
+      array_sort(collect_list(col("p"))),
+      array(sentinel),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        when(last.getField("e") >= x,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"), (x + minLen).as("e")))))
+          .otherwise(
+            concat(acc, array(struct(x.as("s"), (x + minLen).as("e")))))
+      })
+    wins.groupBy(col("doc"))
+      .agg(slice(folded, lit(2), size(folded) - 1).as("ivs"))
+      .select(col("doc"), explode(col("ivs")).as("iv"))
+      .select(col("doc"),
+        col("iv.s").cast("long").as("start"),
+        (col("iv.e") - col("iv.s")).cast("long").as("len"))
+  }
+
   /** Candidate pairs sharing at least one shingle, with exact Jaccard
     * similarity over distinct shingle sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -231,6 +231,49 @@ object DedupQueries {
        |  CAST(COALESCE(sel.kept_tokens, 0) AS BIGINT) AS kept_tokens
        |FROM documents d LEFT JOIN sel USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Minimum match length of the maximal-interval report — the published
+    * exact-substring-dedup shape uses ≥50 BPE tokens on web corpora; 16
+    * whitespace tokens is the same bar scaled to this corpus's doc
+    * lengths (and double the 8-gram coverage primitive's granularity). */
+  val MaxSpanL = 16
+
+  /** Maximal duplicated-span intervals at minimum match length
+    * [[MaxSpanL]] ([[Dedup.spanMaximalIntervals]]) — the suffix-array-
+    * grade exact-substring report over the coverage family's gram
+    * stream. */
+  def spanMaximal(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanMaximalIntervals(VectorModel.documents(spark, dir), "doc_id",
+      "text", MaxSpanL, minDocs = 2)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "start")
+
+  /** Interval mirror of [[spanMaximal]]: duplicated window starts via the
+    * same gram CTE shape as [[spanScrubSql]] (at L = [[MaxSpanL]]), then
+    * classic gaps-and-islands — a new island opens when the next start is
+    * > L after the previous one (greater-than-L gap = the fixed-length
+    * windows neither overlap nor touch), equivalently the engine's
+    * chain.e ≥ p rule. */
+  val spanMaximalSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |gi AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, len(toks) - ${MaxSpanL - 1})) AS i
+       |       FROM t WHERE len(toks) >= $MaxSpanL),
+       |g AS (SELECT doc_id, i - 1 AS p,
+       |        array_to_string(toks[i:i+${MaxSpanL - 1}], ' ') AS gram FROM gi),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |wins AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, p,
+       |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $MaxSpanL
+       |               THEN 0 ELSE 1 END AS b
+       |        FROM wins),
+       |isl AS (SELECT doc_id, p,
+       |          sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |        FROM brk)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS start,
+       |  CAST(max(p) + $MaxSpanL - min(p) AS BIGINT) AS len
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin
+
   /** MinHash+LSH candidate pairs with estimated Jaccard ≥ 0.5, served
     * from the persisted signature layout — the band join + in-place
     * estimate only; the signature aggregation is the shared
@@ -627,6 +670,7 @@ object DedupQueries {
     "dd_repeated_ngrams" -> (repeatedNgrams _),
     "dd_span_scrub" -> (spanScrub _),
     "dd_span_scrub_text" -> (spanScrubText _),
+    "dd_span_maximal" -> (spanMaximal _),
     "dd_components" -> (components _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
@@ -645,6 +689,7 @@ object DedupQueries {
     "dd_repeated_ngrams" -> repeatedNgramsSql,
     "dd_span_scrub" -> spanScrubSql,
     "dd_span_scrub_text" -> spanScrubTextSql,
+    "dd_span_maximal" -> spanMaximalSql,
     "dd_components" -> componentsSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,

@@ -61,6 +61,73 @@ class TrancheSpec extends SparkSpec {
     assert(g2(1L) === (("", 0L)) && g2(2L) === (("", 0L)))
   }
 
+  test("spanMaximalIntervals: overlapping windows merge to one maximal interval") {
+    // docs 1+2 share a 10-token span: its seven 4-gram windows all
+    // duplicate and must fuse into ONE interval of len 10, not seven
+    val docs = Seq(
+      (1L, "x1 x2 A B C D E F G H I J y1"),
+      (2L, "A B C D E F G H I J"),
+      (3L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanMaximalIntervals(docs, "doc_id", "text", minLen = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 10L), (2L, 0L, 10L)))
+  }
+
+  test("spanMaximalIntervals: nested shorter match stays inside the maximal interval") {
+    // docs 1+2 share the long span; doc 3 shares only the nested "C D E F"
+    // — the long interval must not split around the nested match, and doc
+    // 3 reports exactly the 4-token interval
+    val docs = Seq(
+      (1L, "A B C D E F G H I J"),
+      (2L, "A B C D E F G H I J"),
+      (3L, "lead C D E F trail1 trail2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanMaximalIntervals(docs, "doc_id", "text", minLen = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, 10L), (2L, 0L, 10L), (3L, 1L, 4L)))
+  }
+
+  test("spanMaximalIntervals: exactly-touching runs merge, wider gaps split") {
+    // doc 1 = "A B C D E F G H": both 4-gram halves duplicate against doc
+    // 2 but the straddling windows don't. In doc 1 the two runs touch
+    // (starts 0 and 4, gap == L) -> ONE interval of len 8; in doc 2 the
+    // same halves sit 5 apart -> TWO intervals of len 4
+    val docs = Seq(
+      (1L, "A B C D E F G H"),
+      (2L, "A B C D x E F G H")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanMaximalIntervals(docs, "doc_id", "text", minLen = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, 8L), (2L, 0L, 4L), (2L, 5L, 4L)))
+  }
+
+  test("spanMaximalIntervals: within-doc repeats don't count toward minDocs, len >= L always") {
+    val docs = Seq(
+      (1L, "A B C D z A B C D"),  // repeats only within itself
+      (2L, "unrelated text entirely here")
+    ).toDF("doc_id", "text")
+    assert(Dedup.spanMaximalIntervals(docs, "doc_id", "text", 4, 2).count() === 0L)
+    // and on the real corpus: intervals well-formed, len >= L, sorted &
+    // non-overlapping per doc
+    val corpus = graft.model.VectorModel.documents(spark, Sf0001)
+    val ivs = Dedup.spanMaximalIntervals(corpus, "doc_id", "text",
+      DedupQueries.MaxSpanL, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivs.nonEmpty, "fixture must contain >=L-token cross-doc repeats")
+    ivs.foreach { case (_, s, l) =>
+      assert(s >= 0 && l >= DedupQueries.MaxSpanL)
+    }
+    ivs.groupBy(_._1).values.foreach { ds =>
+      val sorted = ds.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s1 + l1 < s2, "intervals must be maximal (disjoint, non-touching)")
+        case _ =>
+      }
+    }
+  }
+
   test("packBpe: offsets tile gaplessly in BPE-token units") {
     val r = graft.queries.PipelineQueries.packBpe(spark, Sf0001).collect()
       .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
