@@ -570,6 +570,25 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Perceptual-hash image near-dup pairs over RASTER payloads: dHash
+    * every image with the real decode kernel
+    * ([[graft.functions.MediaExpressions.dhash]] —
+    * decode → grayscale → 9×8 difference hash), then find all pairs at
+    * Hamming distance ≤ `maxHamming` with the SAME pigeonhole bit-band
+    * join SimHash text dedup uses ([[simhashPairs]], bits = 64) — for
+    * Hamming ≤ maxHamming over maxHamming+1 bands at least one band
+    * matches exactly, so candidate generation is COMPLETE, not
+    * approximate, and the exact Hamming filter makes the pair set
+    * closed-form. Returns `(da, db, hamming)`. Candidate cost is
+    * O(n · bands) bucket rows; `skewSalt` subdivides a mass-duplicated
+    * image's bucket like every band join here. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, skewSalt: Int = 1): DataFrame =
+    simhashPairs(
+      df.select(col(idCol).as("doc"),
+        graft.functions.MediaExpressions.dhash(col(payloadCol)).as("simhash")),
+      maxHamming, bits = 64, skewSalt = skewSalt)
+
   /** Connected components over a near-dup pair list: every vertex labeled
     * with the MINIMUM id reachable through the pair graph — the canonical
     * keeper assignment a dedup pipeline needs after pair generation

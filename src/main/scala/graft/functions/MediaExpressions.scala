@@ -42,6 +42,14 @@ final class MediaKernel extends Serializable {
     new GenericInternalRow(Array[Any](m.width, m.height, m.channels,
       m.nFrames, m.sizeBytes))
   }
+
+  /** Decode → grayscale → 64-bit dHash, one per-row kernel call
+    * ([[MediaCodec.decodeGray]] + [[MediaCodec.dhash64]]). Rasters only —
+    * fails loudly on non-raster payloads like every decode path. */
+  def dhash(p: Array[Byte]): Long = {
+    val (w, h, gray) = MediaCodec.decodeGray(p)
+    MediaCodec.dhash64(w, h, gray)
+  }
 }
 
 case class MediaFixture(child: Expression, kernel: MediaKernel)
@@ -79,6 +87,27 @@ case class MediaDecode(child: Expression, kernel: MediaKernel)
   override def prettyName: String = "media_decode"
 }
 
+/** `media_dhash(payload)` — perceptual difference-hash of a raster
+  * payload; the image near-dup key ([[graft.dedup.Dedup]]'s
+  * imageNearDupPairs bands it for the Hamming pigeonhole join). */
+case class MediaDhash(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(p: Any): Any =
+    kernel.dhash(p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, p => s"${ev.value} = $k.dhash($p);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_dhash"
+}
+
 object MediaExpressions {
   /** Catalyst type of the decoded metadata struct (field order matches
     * [[graft.multimodal.Multimodal.MediaMeta]]). */
@@ -97,4 +126,7 @@ object MediaExpressions {
 
   def decode(payload: Column): Column =
     ColumnBridge.column(MediaDecode(ColumnBridge.expression(payload), kernel))
+
+  def dhash(payload: Column): Column =
+    ColumnBridge.column(MediaDhash(ColumnBridge.expression(payload), kernel))
 }

@@ -125,6 +125,81 @@ object MediaCodec {
   private def fail(reason: String): Nothing =
     throw new IllegalArgumentException(s"media decode failed: $reason")
 
+  /** Decoded grayscale raster: (width, height, row-major TOP-DOWN gray
+    * values). Integer luma `(299·r + 587·g + 114·b) / 1000` per pixel.
+    * Rasters only — BMP rows are stored bottom-up and get flipped here;
+    * a WAV (or any non-raster payload) fails loudly like [[decode]]. */
+  def decodeGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (payload == null || payload.length < 2) fail("payload shorter than any magic")
+    if (payload(0) == 'B' && payload(1) == 'M') {
+      val m = decodeBmp(payload) // header + length validation
+      val w = m.width; val h = m.height
+      val off = le32(payload, 10)
+      val rowBytes = ((3L * w + 3) / 4 * 4).toInt
+      val gray = new Array[Int](w * h)
+      var j = 0
+      while (j < h) {
+        val y = h - 1 - j // bottom-up storage → top-down raster
+        var x = 0
+        while (x < w) {
+          val p = off + j * rowBytes + 3 * x
+          val b = payload(p) & 0xFF
+          val g = payload(p + 1) & 0xFF
+          val r = payload(p + 2) & 0xFF
+          gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        j += 1
+      }
+      (w, h, gray)
+    } else if (payload(0) == 'P' && payload(1) == '6') {
+      val m = decodePpm(payload)
+      val w = m.width; val h = m.height
+      // re-walk the header to find the raster offset (decodePpm validated it)
+      var i = 2
+      var tokens = 0
+      while (tokens < 3) {
+        while (Character.isWhitespace(payload(i))) i += 1
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') i += 1
+        tokens += 1
+      }
+      i += 1 // the single raster separator
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        val r = payload(i + 3 * p) & 0xFF
+        val g = payload(i + 3 * p + 1) & 0xFF
+        val b = payload(i + 3 * p + 2) & 0xFF
+        gray(p) = (299 * r + 587 * g + 114 * b) / 1000
+        p += 1
+      }
+      (w, h, gray)
+    } else fail("grayscale decode requires a raster container (BMP or PPM)")
+  }
+
+  /** Difference hash (dHash — the standard perceptual-hash family member
+    * for near-duplicate images): point-sample the gray raster on a 9×8
+    * grid (sx = x·w/9, sy = y·h/8 — integer floors, valid in both up- and
+    * down-scale directions) and set bit y·8+x iff grid(x,y) > grid(x+1,y).
+    * Near-identical images differ in few bits; Hamming distance is the
+    * dissimilarity. */
+  def dhash64(width: Int, height: Int, gray: Array[Int]): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * height / 8
+      var x = 0
+      while (x < 8) {
+        val a = gray(sy * width + x * width / 9)
+        val b = gray(sy * width + (x + 1) * width / 9)
+        if (a > b) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
       ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)

@@ -121,13 +121,83 @@ object MultimodalQueries {
       |FROM ($fixtureFormsSql)
       |ORDER BY doc_id""".stripMargin
 
+  /** Perceptual difference-hash (dHash) of every RASTER document payload —
+    * the image-dedup key, HASH-GATED end to end: the serving path parses
+    * the real BMP/PPM bytes (decode → BGR/RGB → integer luma → 9×8 grid →
+    * 64 difference bits, [[graft.multimodal.MediaCodec.dhash64]]), while
+    * the oracle computes every sampled gray value from the fixture's id
+    * closed forms WITHOUT parsing — equality proves the raster decode,
+    * the row flip, the channel order, the luma, and the hash bit layout
+    * all at once. The 64-bit hash ships as two unsigned 32-bit halves so
+    * neither side plays sign games with bit 63. Near-dup PAIRING over
+    * these hashes is [[graft.dedup.Dedup.imageNearDupPairs]]
+    * (MultimodalSpec: planted perturbed pairs + brute-force parity). */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val withPayload =
+      Multimodal.withMediaPayload(VectorModel.documents(spark, dir), "doc_id")
+    withPayload
+      .where(pmod(col("doc_id"), lit(3)) =!= 2) // rasters only (WAV has none)
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions.dhash(col("payload")).as("dh"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("dh"), 32).as("dhash_hi"),
+        col("dh").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form mirror of [[imagePhash]]: the fixture rasters are pure
+    * functions of (doc_id, w, h) — BMP pixel v = id + y_file·w + x stored
+    * bottom-up in BGR byte order, PPM byte i = (id + 31·i) mod 256 stored
+    * top-down RGB — so each of the 72 grid samples, the luma, and every
+    * difference bit is SQL arithmetic. */
+  val imagePhashSql: String = {
+    // gray at image-raster point (sx, sy) per container, mirroring
+    // MediaCodec.decodeGray term for term (integer floors throughout)
+    def bmpGray(sx: String, sy: String): String = {
+      val v = s"(doc_id + (h - 1 - $sy) * w + $sx)"
+      val b = s"($v % 256)"
+      val g = s"(($v // 8) % 256)"
+      val r = s"(($v // 64) % 256)"
+      s"((299 * $r + 587 * $g + 114 * $b) // 1000)"
+    }
+    def ppmGray(sx: String, sy: String): String = {
+      val p = s"($sy * w + $sx)"
+      val r = s"((doc_id + (3 * $p) * 31) % 256)"
+      val g = s"((doc_id + (3 * $p + 1) * 31) % 256)"
+      val b = s"((doc_id + (3 * $p + 2) * 31) % 256)"
+      s"((299 * $r + 587 * $g + 114 * $b) // 1000)"
+    }
+    val grayCols = (for { y <- 0 until 8; x <- 0 until 9 } yield {
+      val sx = s"(($x * w) // 9)"
+      val sy = s"(($y * h) // 8)"
+      s"CASE WHEN doc_id % 3 = 0 THEN ${bmpGray(sx, sy)} ELSE ${ppmGray(sx, sy)} END AS g${x}_$y"
+    }).mkString(",\n  ")
+    def bit(k: Int): String = {
+      val y = k / 8; val x = k % 8
+      s"CASE WHEN g${x}_$y > g${x + 1}_$y THEN ${1L << (k % 32)} ELSE 0 END"
+    }
+    val lo = (0 until 32).map(bit).mkString(" + ")
+    val hi = (32 until 64).map(bit).mkString(" + ")
+    s"""WITH f AS ($fixtureFormsSql),
+       |r AS (SELECT doc_id, width AS w, height AS h FROM f WHERE doc_id % 3 <> 2),
+       |g AS (SELECT doc_id,
+       |  $grayCols
+       |FROM r)
+       |SELECT doc_id,
+       |  CAST($hi AS BIGINT) AS dhash_hi,
+       |  CAST($lo AS BIGINT) AS dhash_lo
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),
     "mm_frame_plan" -> (framePlan _),
-    "mm_resize_plan" -> (resizePlan _))
+    "mm_resize_plan" -> (resizePlan _),
+    "dd_image_phash" -> (imagePhash _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_media_features" -> mediaFeaturesSql,
     "mm_frame_plan" -> framePlanSql,
-    "mm_resize_plan" -> resizePlanSql)
+    "mm_resize_plan" -> resizePlanSql,
+    "dd_image_phash" -> imagePhashSql)
 }

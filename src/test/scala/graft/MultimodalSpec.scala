@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.model.VectorModel
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 import graft.queries.MultimodalQueries
 
 /** Multimodal plumbing: the mapPartitions decoder must agree with the
@@ -84,5 +84,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrameIndices(3, 4) === Seq(0, 1, 2))
     assert(Multimodal.sampleFrameIndices(30, 4) === Seq(0, 7, 15, 22))
     assert(Multimodal.sampleFrameIndices(30, 4) === Multimodal.sampleFrameIndices(30, 4))
+  }
+
+  test("dHash: identical rasters hash equal, small perturbations move few bits, formats differ") {
+    def dh(p: Array[Byte]): Long = {
+      val (w, h, g) = MediaCodec.decodeGray(p); MediaCodec.dhash64(w, h, g)
+    }
+    val a = MediaCodec.encodeBmp(64, 48, 7L)
+    assert(dh(a) === dh(MediaCodec.encodeBmp(64, 48, 7L)))
+    // perturb a handful of raster bytes: a NEAR duplicate, not an exact one
+    val b = a.clone()
+    var i = 0
+    while (i < 12) { b(54 + 97 * i) = (b(54 + 97 * i) ^ 0x7f).toByte; i += 1 }
+    val dist = java.lang.Long.bitCount(dh(a) ^ dh(b))
+    assert(dist > 0 || java.util.Arrays.equals(
+      a.slice(54, a.length), b.slice(54, b.length)) === false)
+    assert(dist <= 16, s"12 flipped bytes moved $dist/64 bits — not perceptual")
+    // same seed, different container → different bytes, unrelated hashes allowed;
+    // decode must handle both and WAV must fail loudly
+    dh(MediaCodec.encodePpm(64, 48, 7L))
+    intercept[IllegalArgumentException](dh(MediaCodec.encodeWav(1, 100, 8000, 7L)))
+  }
+
+  test("imageNearDupPairs: planted perturbed pairs found; banded == brute force") {
+    import spark.implicits._
+    // plant: 20 base images; each gets a near-dup twin (3 raster bytes
+    // flipped) and there are unrelated images in between
+    val rows = (0 until 20).flatMap { g =>
+      val base = MediaCodec.encodeBmp(32 + g % 5, 24 + g % 3, 1000L + g * 7)
+      val twin = base.clone()
+      Seq(0, 1, 2).foreach(j => twin(54 + 31 * j + g) = (twin(54 + 31 * j + g) ^ 0x11).toByte)
+      Seq((2L * g, base), (2L * g + 1, twin))
+    }
+    val df = rows.toDF("doc_id", "payload")
+    val banded = graft.dedup.Dedup
+      .imageNearDupPairs(df, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same hashes
+    val hashes: Seq[(Long, Long)] = rows.map { case (id, p) =>
+      val (w, h, g) = MediaCodec.decodeGray(p)
+      (id, MediaCodec.dhash64(w, h, g))
+    }
+    val brute = (for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(banded === brute, "pigeonhole banding must be exactly the brute-force pair set")
+    // at least some planted twins survive as near-dups at this budget
+    assert(banded.exists { case (a, b, _) => b == a + 1 && a % 2 == 0 },
+      "no planted twin pair found — perturbation too destructive for dHash")
+    // salted variant is pair-identical
+    val salted = graft.dedup.Dedup
+      .imageNearDupPairs(df, "doc_id", "payload", 3, skewSalt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === banded)
   }
 }
