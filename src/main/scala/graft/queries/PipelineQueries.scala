@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -516,6 +516,31 @@ object PipelineQueries {
        |  row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1 AS pos
        |FROM a ORDER BY shard, pos""".stripMargin
 
+  /** EPOCH-ordered batch twin of the incremental shard shuffle
+    * ([[graft.streaming.StreamingIngest.shardShuffleIngestBatch]]): docs
+    * arriving in epoch order get dense per-shard positions ranked by
+    * (epoch, skey, doc_id) — earlier epochs' positions are FROZEN (a
+    * later arrival can only append after them, the manifest-stability
+    * contract sequence packing already has), and within an epoch the
+    * order is the same seeded md5 key as [[shuffleShards]]. Single-epoch
+    * input degenerates to exactly [[shuffleShards]]. */
+  private[graft] def shuffleShardsEpochs(docs: DataFrame, epochCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), epochCol.cast("long").as("epoch"))
+      .withColumn("shard", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(ShardSalt))),
+        lit(NumShards.toLong)))
+      .withColumn("skey",
+        md5(concat(lit("pos"), col("doc_id").cast("string"), lit(ShardSalt))))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy("shard")
+            .orderBy(col("epoch"), col("skey"), col("doc_id"))) - 1)
+          .cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Mix salt + acceptance-bucket resolution for [[temperatureMix]]. */
   val MixSalt = ":graft-mix:v1"
   val MixBuckets = 1000000L
@@ -570,6 +595,38 @@ object PipelineQueries {
        |  CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  max(threshold) AS threshold
        |FROM b GROUP BY source ORDER BY source""".stripMargin
+
+  /** EPOCH-ordered batch twin of the incremental temperature mix
+    * ([[graft.streaming.StreamingIngest.temperatureMixIngestBatch]]):
+    * epoch e's docs are accepted against thresholds computed from the
+    * CUMULATIVE per-source masses through e — earlier epochs' decisions
+    * are FROZEN (no retroactive resampling when the mixture drifts), and
+    * a single-epoch input degenerates to exactly [[temperatureMix]]'s
+    * thresholds. Returns the per-doc decision rows
+    * `(doc_id, source, epoch, bucket, threshold, kept)`. */
+  private[graft] def temperatureMixEpochs(docs: DataFrame, epochCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.withColumn("epoch", epochCol.cast("long"))
+    val mass = d.groupBy("source", "epoch").agg(sum("n_chars").as("m"))
+    // full source × epoch grid: a source absent from epoch e still holds
+    // its prior cumulative mass and competes for the epoch's normalizer
+    val grid = mass.select("source").distinct()
+      .crossJoin(mass.select("epoch").distinct())
+    val thr = grid.join(mass, Seq("source", "epoch"), "left")
+      .withColumn("cmass", sum(coalesce(col("m"), lit(0L)))
+        .over(Window.partitionBy("source").orderBy("epoch")))
+      .withColumn("mmax", max("cmass").over(Window.partitionBy("epoch")))
+      .select(col("source"), col("epoch"),
+        floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    d.join(broadcast(thr), Seq("source", "epoch"))
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .select(col("doc_id"), col("source"), col("epoch"), col("bucket"),
+        col("threshold"), (col("bucket") < col("threshold")).as("kept"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack_spans" -> (packSpans _),

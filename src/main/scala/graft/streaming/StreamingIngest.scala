@@ -304,6 +304,116 @@ object StreamingIngest {
     batchSig.unpersist()
   }
 
+  /** Streaming twin of the deterministic shard shuffle
+    * ([[graft.queries.PipelineQueries.shuffleShards]]) — the
+    * daily-increment shape: each micro-batch's docs hash to their shards
+    * (md5 — epoch-independent) and APPEND after the shard's existing
+    * rows, ranked within the batch by the same seeded md5 position key.
+    * Prior epochs' positions are FROZEN — a grown layout never moves a
+    * previously assigned (shard, pos), so training manifests stay valid
+    * across arrivals — and the grown state equals the epoch-ordered batch
+    * twin ([[graft.queries.PipelineQueries.shuffleShardsEpochs]],
+    * StreamingSpec-gated).
+    *
+    * Scale shape: only the delta pays hashing and ranking (the rank
+    * window is per-(shard ∩ batch) — delta-sized); the base offsets are
+    * ONE count aggregate over the committed layout's shard column.
+    * Idempotent per-batch overwrite into `batch=<id>` like every state
+    * layout here; bases read only batches < id, so a replay recomputes
+    * identical positions. */
+  def shardShuffleIngest(docs: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shardShuffleIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def shardShuffleIngestBatch(batch: DataFrame,
+      statePath: String, batchId: Long): Unit = {
+    import graft.queries.PipelineQueries.{NumShards, ShardSalt}
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val keyed = batch.select(col("doc_id"))
+      .withColumn("shard", pmod(
+        graft.dedup.Dedup.hash60(
+          concat(col("doc_id").cast("string"), lit(ShardSalt))),
+        lit(NumShards.toLong)))
+      .withColumn("skey",
+        md5(concat(lit("pos"), col("doc_id").cast("string"), lit(ShardSalt))))
+    val bases =
+      if (graft.store.Fs.exists(spark, statePath) &&
+          graft.store.Fs.dataFileCount(spark, statePath) > 0)
+        spark.read.parquet(statePath)
+          .where(col("batch") < batchId)
+          .groupBy("shard").agg(count(lit(1)).as("base"))
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("shard", "base")
+      }
+    keyed.join(bases.hint("shuffle_hash"), Seq("shard"), "left")
+      .withColumn("pos",
+        (coalesce(col("base"), lit(0L)) +
+          row_number().over(
+            Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))) - 1)
+          .cast("long"))
+      .select("doc_id", "shard", "pos")
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
+  /** Streaming twin of the temperature mix
+    * ([[graft.queries.PipelineQueries.temperatureMix]]) — the
+    * daily-increment shape: each micro-batch (1) lands its per-source
+    * mass contribution in `mass/batch=<id>`, (2) recomputes thresholds
+    * from the CUMULATIVE masses through this batch (first batch ≡ the
+    * batch operator's thresholds), and (3) decides acceptance for the
+    * DELTA docs only — prior epochs' decisions are FROZEN (no retroactive
+    * resampling as the mixture drifts), landing in `kept/batch=<id>`.
+    * Grown decisions equal the epoch-ordered batch twin
+    * ([[graft.queries.PipelineQueries.temperatureMixEpochs]],
+    * StreamingSpec-gated).
+    *
+    * Scale shape: the mass state is rows = #sources × #batches (bounded);
+    * thresholds broadcast back onto the delta scan only. Both writes are
+    * idempotent per-batch overwrites; the cumulative read takes batches
+    * ≤ id, so a replay (whose own partition it first rewrites) computes
+    * identical thresholds. */
+  def temperatureMixIngest(docs: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        temperatureMixIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def temperatureMixIngestBatch(batch: DataFrame,
+      statePath: String, batchId: Long): Unit = {
+    import graft.queries.PipelineQueries.{MixBuckets, MixSalt}
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    batch.groupBy("source").agg(sum("n_chars").as("m"))
+      .write.mode("overwrite").parquet(s"$statePath/mass/batch=$batchId")
+    val thr = spark.read.parquet(s"$statePath/mass")
+      .where(col("batch") <= batchId)
+      .groupBy("source").agg(sum("m").as("cmass"))
+      .withColumn("mmax", max("cmass").over(Window.partitionBy()))
+      .select(col("source"),
+        floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    batch.join(broadcast(thr), "source")
+      .withColumn("bucket", pmod(
+        graft.dedup.Dedup.hash60(
+          concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
+        (col("bucket") < col("threshold")).as("kept"))
+      .write.mode("overwrite").parquet(s"$statePath/kept/batch=$batchId")
+  }
+
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
     * ([[graft.queries.PipelineQueries.curationFilter]]): quality floor +
     * per-language deterministic stratified sampling over a document

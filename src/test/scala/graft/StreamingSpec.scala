@@ -840,6 +840,101 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
   }
 
+  test("streaming shard shuffle: frozen prior positions, grown state equals the epoch twin") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_shufstream").toString
+    (0 until 3).foreach(i =>
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.shardShuffleIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    val state = spark.read.parquet(s"$base/state").cache()
+    // grown state == the epoch-ordered batch twin, with epoch = the batch
+    // the stream actually assigned each doc to
+    val epochOfDoc = state.select(col("doc_id"), col("batch").cast("long").as("e"))
+    val twin = graft.queries.PipelineQueries.shuffleShardsEpochs(
+        docs.join(epochOfDoc, "doc_id"), col("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grown = state.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grown === twin)
+    // positions dense per shard, and batch-0 positions are exactly the
+    // batch operator's positions over batch-0 docs alone (frozen prefix)
+    val b0 = state.where(col("batch") === 0)
+    val b0ids = b0.select("doc_id").collect().map(_.getLong(0)).toSet
+    val solo = graft.queries.PipelineQueries.shuffleShardsEpochs(
+        docs.where(col("doc_id").isInCollection(b0ids)), lit(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b0.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === solo,
+      "earlier epochs' positions must be frozen under later arrivals")
+    // replay of the last batch leaves the state byte-identical
+    val lastB = state.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = state.where(col("batch") === lastB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    state.unpersist()
+    StreamingIngest.shardShuffleIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state", lastB)
+    val replayed = spark.read.parquet(s"$base/state")
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed === grown, "replay must not move or duplicate positions")
+  }
+
+  test("streaming temperature mix: frozen prior decisions, grown state equals the epoch twin") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_mixstream").toString
+    (0 until 3).foreach(i =>
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.temperatureMixIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    val kept = spark.read.parquet(s"$base/state/kept").cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "bucket", "threshold", "kept")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    // grown decisions == the epoch-ordered batch twin on the same batches
+    val epochOfDoc = kept.select(col("doc_id"), col("batch").cast("long").as("e"))
+    val twin = graft.queries.PipelineQueries.temperatureMixEpochs(
+      docs.join(epochOfDoc, "doc_id"), col("e"))
+    assert(rows(kept) === rows(twin))
+    // the first batch's thresholds are exactly the batch operator's over
+    // those rows alone (a single-epoch run degenerates to the batch op)
+    val b0ids = kept.where(col("batch") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val soloReport = graft.queries.PipelineQueries.temperatureMixEpochs(
+        docs.where(col("doc_id").isInCollection(b0ids)), lit(0L))
+      .select("source", "threshold").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b0Report = kept.where(col("batch") === 0)
+      .select("source", "threshold").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(b0Report === soloReport,
+      "first-batch thresholds must equal the batch operator's")
+    // decisions are frozen: batch-0 rows never change once later batches land
+    // (the twin equality above implies it — also check replay idempotence)
+    val lastB = kept.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = kept.where(col("batch") === lastB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = rows(kept)
+    kept.unpersist()
+    StreamingIngest.temperatureMixIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state", lastB)
+    assert(rows(spark.read.parquet(s"$base/state/kept")) === before,
+      "replay must not change any decision")
+  }
+
   test("streaming minhash dedup: accumulated pair log equals the batch self-join") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.VectorModel.documents(spark, Sf0001)
