@@ -48,7 +48,8 @@ object Bench {
   /** Pre-build steps, keyed by the serving queries that depend on them. */
   private val buildSteps: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
     ("build_ivf_layout",
-      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_parity_topk", "vq_ivf_bigbatch"),
+      Set("vq_ivf_stored_topk", "vq_ivf_batch_topk", "vq_ivf_parity_topk",
+        "vq_ivf_bigbatch", "vq_ivf_bigbatch_filtered"),
       // sizes warm here too: the adaptive query's probing statistic is
       // build-time state, not serving work to be timed
       (s, d) => { queries.ApproxQueries.ivfLayout(s, d)
@@ -92,7 +93,7 @@ object Bench {
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
-    ("build_bpe_model", Set("tx_bpe_corpus_vocab"),
+    ("build_bpe_model", Set("tx_bpe_corpus_vocab", "tx_bpe_stats_trained"),
       // one wordcount shuffle + driver-side merge learning; the serving
       // entry times ENCODING under the learned model, not training
       (s, d) => { queries.TextQueries.bpeModel(s, d); () }))

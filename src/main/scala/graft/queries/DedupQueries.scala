@@ -183,19 +183,24 @@ object DedupQueries {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
-  /** Shared CTE prefix of the span-scrub oracles: tokenized docs → grams
-    * with positions → cross-doc dup-gram set → raw covered positions.
-    * ONE definition so the report ([[spanScrubSql]]) and the apply
-    * ([[spanScrubTextSql]]) mirrors cannot drift. */
-  private val spanCovCtes: String =
+  /** Tokenize → positioned k-grams → cross-doc dup-gram set → duplicated
+    * window starts: the CTE chain every span-family oracle opens with
+    * (ONE parameterized definition so the report, apply, and maximal
+    * mirrors cannot drift). */
+  private def spanGramCtes(k: Int): String =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |gi AS (SELECT doc_id, toks,
-       |         unnest(generate_series(1, len(toks) - ${RepeatK - 1})) AS i
-       |       FROM t WHERE len(toks) >= $RepeatK),
+       |         unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+       |       FROM t WHERE len(toks) >= $k),
        |g AS (SELECT doc_id, i - 1 AS p,
-       |        array_to_string(toks[i:i+${RepeatK - 1}], ' ') AS gram FROM gi),
+       |        array_to_string(toks[i:i+${k - 1}], ' ') AS gram FROM gi),
        |dup AS (SELECT gram FROM g GROUP BY gram
-       |        HAVING count(DISTINCT doc_id) >= 2),
+       |        HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+
+  /** Shared CTE prefix of the span-scrub oracles: [[spanGramCtes]] at
+    * [[RepeatK]] plus the raw covered positions. */
+  private val spanCovCtes: String =
+    s"""${spanGramCtes(RepeatK)},
        |covraw AS (SELECT g.doc_id,
        |             unnest(generate_series(g.p, g.p + ${RepeatK - 1})) AS pos
        |           FROM g JOIN dup USING (gram))""".stripMargin
@@ -254,14 +259,7 @@ object DedupQueries {
     * windows neither overlap nor touch), equivalently the engine's
     * chain.e ≥ p rule. */
   val spanMaximalSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |gi AS (SELECT doc_id, toks,
-       |         unnest(generate_series(1, len(toks) - ${MaxSpanL - 1})) AS i
-       |       FROM t WHERE len(toks) >= $MaxSpanL),
-       |g AS (SELECT doc_id, i - 1 AS p,
-       |        array_to_string(toks[i:i+${MaxSpanL - 1}], ' ') AS gram FROM gi),
-       |dup AS (SELECT gram FROM g GROUP BY gram
-       |        HAVING count(DISTINCT doc_id) >= 2),
+    s"""WITH ${spanGramCtes(MaxSpanL)},
        |wins AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
        |brk AS (SELECT doc_id, p,
        |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $MaxSpanL

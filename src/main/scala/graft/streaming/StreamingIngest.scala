@@ -353,7 +353,9 @@ object StreamingIngest {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("shard", "base")
       }
-    keyed.join(bases.hint("shuffle_hash"), Seq("shard"), "left")
+    // bases is BOUNDED (≤ NumShards rows) — broadcast, unlike the
+    // corpus-growing per-doc aggregates this module shuffle-hashes
+    keyed.join(broadcast(bases), Seq("shard"), "left")
       .withColumn("pos",
         (coalesce(col("base"), lit(0L)) +
           row_number().over(
