@@ -60,7 +60,11 @@ object DevPlans {
     "dd_incremental_lsh" -> "incremental dedup: delta signatures computed fresh (only the delta pays minhash), corpus side is a persisted-layout SCAN, shuffle-hash band join with the bounded DELTA as the build side — no corpus recompute, no self-join",
     "tx_bigram_rarity" -> "rare-bigram perplexity proxy: ONE cached exploded bigram pass (InMemoryTableScan on both branches — column pruning would otherwise fork two full scan+shuffle subtrees) feeds the count aggregate and the shuffle-hash re-join; per-doc aggregate joins back shuffle-hash too — nothing corpus-growing is broadcast",
     "dd_span_scrub_text" -> "scrubbed-text apply: the shared covered-positions stage (shuffle-hash dup-gram join, never broadcast) anti-joins the token stream, per-doc rebuild is ONE sorted-struct aggregate — no window, order restored by array_sort on the position field",
-    "pipe_pack_bpe" -> "tokenizer-unit packing: the BPE count is one more scan-side expression feeding the SAME two-level prefix-sum shape as pipe_pack — per-shard windows + broadcast shard bases, no single-partition global sort")
+    "pipe_pack_bpe" -> "tokenizer-unit packing: the BPE count is one more scan-side expression feeding the SAME two-level prefix-sum shape as pipe_pack — per-shard windows + broadcast shard bases, no single-partition global sort",
+    "tx_bpe_stats_trained" -> "corpus-trained BPE encode: identical plan shape to the fixture entry — the broadcast merge-table kernel (bpe_encode) runs scan-side with NO training work in the serve (the trained model is memoized build state); plan size O(1) in merge count",
+    "vq_ivf_bigbatch_filtered" -> "FILTERED big-batch IVF: the S5 predicate lands on the layout scan (PushedFilters) BEFORE scoring; probe assignment is the codegen probe_clusters kernel per query row; shuffled salted equi-join on (cluster_id, salt), k-bounded partial_topk aggregate — nothing query-sized broadcast",
+    "dd_span_maximal" -> "maximal span intervals: the SAME exploded-gram shuffle as the coverage family (dup-gram set re-joined SHUFFLE-HASH, never broadcast); the interval merge is a per-doc sorted-array fold inside ONE keyed aggregate — no window, no global sort",
+    "dd_image_phash" -> "image perceptual hash: fixture synthesis + raster decode + dHash all scan-side codegen kernels (media_fixture → media_dhash) — one projection, no shuffle before the final order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
