@@ -16,11 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sequentially on one host — and each publish is keyed by dataset dir
   * so repeated queries in one run write once. Artifacts are
   * model-registry sized (KBs–MBs: merge lists, codebooks, centroid
-  * tables), never corpus-sized. */
+  * tables), never corpus-sized.
+  *
+  * ONE ACTIVE VERIFIER PER ROOT: the root is host-global, so a second
+  * JVM running these queries concurrently against a DIFFERENT dataset
+  * would clobber the first's artifacts mid-compare. Sidecar-consuming
+  * SQL is only ever evaluated by the Verify→compare cycle; other JVMs
+  * (tests, bench) merely publish, but a concurrent publisher is enough
+  * to corrupt a running compare — set GRAFT_ORACLE_SIDECAR_DIR to give
+  * such a JVM its own root (the generated SQL embeds whatever root the
+  * generating JVM saw, so the pair stays consistent). */
 object OracleSidecars {
 
   /** Spark-side write root == DuckDB-side read root (one host). */
-  val Root = "/tmp/graft_oracle_sidecar"
+  val Root: String = sys.env.getOrElse(
+    "GRAFT_ORACLE_SIDECAR_DIR", "/tmp/graft_oracle_sidecar")
 
   /** `read_parquet` fragment for oracle SQL. */
   def sqlTable(name: String): String = s"read_parquet('$Root/$name/*.parquet')"

@@ -270,7 +270,13 @@ object StreamingIngest {
     * (the pack layout's idempotent-overwrite contract) — a foreachBatch
     * replay after a crash between the two writes REWRITES its own
     * partition instead of re-appending, so neither the signature state
-    * nor its band-join fan-out grows with replays. */
+    * nor its band-join fan-out grows with replays.
+    *
+    * STATE LAYOUT v2: earlier builds appended flat files directly under
+    * `sig/` and `pairs/`; the partitioned layout is NOT compatible with
+    * such a dir (Spark's partition discovery rejects mixed depths with
+    * "Conflicting directory structures"). Point new streams at a fresh
+    * statePath — the checkpoint and the state travel together. */
   def minhashDedupIngest(docs: DataFrame, statePath: String,
       checkpoint: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): StreamingQuery =
@@ -397,7 +403,10 @@ object StreamingIngest {
     import graft.queries.PipelineQueries.{MixBuckets, MixSalt}
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    batch.groupBy("source").agg(sum("n_chars").as("m"))
+    // two consumers (mass write + acceptance write) — cache the delta so
+    // the micro-batch source scans once, like minhashIngestBatch's sigs
+    val rows = batch.select("doc_id", "source", "n_chars").cache()
+    rows.groupBy("source").agg(sum("n_chars").as("m"))
       .write.mode("overwrite").parquet(s"$statePath/mass/batch=$batchId")
     val thr = spark.read.parquet(s"$statePath/mass")
       .where(col("batch") <= batchId)
@@ -406,7 +415,7 @@ object StreamingIngest {
       .select(col("source"),
         floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
           * MixBuckets.toDouble).cast("long").as("threshold"))
-    batch.join(broadcast(thr), "source")
+    rows.join(broadcast(thr), "source")
       .withColumn("bucket", pmod(
         graft.dedup.Dedup.hash60(
           concat(col("doc_id").cast("string"), lit(MixSalt))),
@@ -414,6 +423,7 @@ object StreamingIngest {
       .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
         (col("bucket") < col("threshold")).as("kept"))
       .write.mode("overwrite").parquet(s"$statePath/kept/batch=$batchId")
+    rows.unpersist()
   }
 
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
@@ -742,7 +752,11 @@ object StreamingIngest {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      Some(txt.toLong)
+      // a crash between create() and write() leaves a visible EMPTY (or
+      // truncated) record — that is an UNPROVEN batch, not a wedged
+      // stream: parse failures read as "no record" so the heal re-opens
+      // the batch instead of throwing on every restart
+      txt.toLongOption
     }
   }
 
