@@ -88,6 +88,14 @@ object ApproxQueries {
       // widen removes a full extra exchange of the table (measured 2x on
       // the write leg, DevIvfProfile)
       Ivf.saveClustered(Ivf.assign(vecs, model), path)
+      // the filtered-big-batch oracle's centroid sidecar is build-time
+      // state like the layout — published here, not in the serving entry
+      OracleSidecars.publish(spark, "ivf_centroids", dir) {
+        import spark.implicits._
+        model.centroids.zipWithIndex.map { case (c, i) =>
+          (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
+        }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+      }
       (path, model)
     })
 
@@ -455,13 +463,6 @@ object ApproxQueries {
     * already are. */
   def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
     val pq = trainedPq(spark, dir)
-    OracleSidecars.publish(spark, "pq_codebook", dir) {
-      import spark.implicits._
-      (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
-        val v = pq.codebooks(s)(c)
-        (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
-      }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
-    }
     val codes = spark.read.parquet(pqCodesLayout(spark, dir))
     ProductQuantizer.adcTopK(codes, pq, VectorModel.AnnQuery, 20, "vec_id")
       .select("vec_id", "adc_score")
@@ -509,10 +510,20 @@ object ApproxQueries {
   private[graft] def pqCodesLayout(spark: SparkSession, dir: String): String =
     pqCodesLayoutCache.computeIfAbsent(dir, _ => {
       val p = graft.store.Fs.scratchDir(spark, "graft_pq_codes")
+      val pq = trainedPq(spark, dir)
       ProductQuantizer.encodeDf(
-          VectorModel.embeddings(spark, dir), trainedPq(spark, dir), "embedding")
+          VectorModel.embeddings(spark, dir), pq, "embedding")
         .select("vec_id", "pq_code")
         .write.mode("overwrite").parquet(s"$p/codes")
+      // the oracle's codebook sidecar is build-time state like the layout
+      // itself — published here so the ADC serving entry times the scan
+      OracleSidecars.publish(spark, "pq_codebook", dir) {
+        import spark.implicits._
+        (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
+          val v = pq.codebooks(s)(c)
+          (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+        }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+      }
       s"$p/codes"
     })
 
@@ -707,12 +718,6 @@ object ApproxQueries {
     * (`vq_ivf_bigbatch`). */
   def ivfBigBatchFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
-    OracleSidecars.publish(spark, "ivf_centroids", dir) {
-      import spark.implicits._
-      model.centroids.zipWithIndex.map { case (c, i) =>
-        (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
-      }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
-    }
     graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
       VectorModel.partQueriesBig(spark, dir, modulus = 64), 3,
       nProbes = Some(4),

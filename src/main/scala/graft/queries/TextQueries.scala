@@ -883,8 +883,19 @@ object TextQueries {
     * the best-count<2 floor). */
   private[graft] def bpeModel(spark: SparkSession, dir: String)
       : graft.text.Bpe.BpeModel =
-    bpeModelCache.computeIfAbsent(dir, _ =>
-      graft.text.Bpe.train(VectorModel.documents(spark, dir), "text", 64))
+    bpeModelCache.computeIfAbsent(dir, _ => {
+      val model =
+        graft.text.Bpe.train(VectorModel.documents(spark, dir), "text", 64)
+      // the trained-encode oracle's merge-table sidecar is build-time
+      // state like the model — published here, not in the serving entry
+      OracleSidecars.publish(spark, "bpe_merges", dir) {
+        import spark.implicits._
+        model.merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b) }
+          .toDF("rank", "a", "b")
+      }
+      model
+    })
 
   private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.text.Bpe.BpeModel]()
@@ -977,13 +988,7 @@ object TextQueries {
     * a wrong trained merge list, a drifted kernel, or a broken
     * train→serve handoff all hash-mismatch. */
   def bpeStatsTrained(spark: SparkSession, dir: String): DataFrame = {
-    val model = bpeModel(spark, dir)
-    OracleSidecars.publish(spark, "bpe_merges", dir) {
-      import spark.implicits._
-      model.merges.zipWithIndex
-        .map { case ((a, b), i) => (i + 1, a, b) }
-        .toDF("rank", "a", "b")
-    }
+    val model = bpeModel(spark, dir) // publishes the merge-table sidecar
     val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
     VectorModel.documents(spark, dir).select(
       col("doc_id"),
