@@ -89,15 +89,21 @@ object ApproxQueries {
       // the write leg, DevIvfProfile)
       Ivf.saveClustered(Ivf.assign(vecs, model), path)
       // the filtered-big-batch oracle's centroid sidecar is build-time
-      // state like the layout — published here, not in the serving entry
-      OracleSidecars.publish(spark, "ivf_centroids", dir) {
-        import spark.implicits._
-        model.centroids.zipWithIndex.map { case (c, i) =>
-          (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
-        }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
-      }
+      // state like the layout — the WRITE lands here (the bench build
+      // step), while the serving entry re-calls publish as a cheap
+      // repair no-op (dataset switch / deleted root)
+      publishIvfCentroids(spark, dir, model)
       (path, model)
     })
+
+  private def publishIvfCentroids(spark: SparkSession, dir: String,
+      model: Ivf.IvfModel): Unit =
+    OracleSidecars.publish(spark, "ivf_centroids", dir) {
+      import spark.implicits._
+      model.centroids.zipWithIndex.map { case (c, i) =>
+        (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
+      }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+    }
 
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
@@ -464,6 +470,7 @@ object ApproxQueries {
   def annPqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
     val pq = trainedPq(spark, dir)
     val codes = spark.read.parquet(pqCodesLayout(spark, dir))
+    publishPqCodebook(spark, dir, pq) // repair no-op unless dir switched / root lost
     ProductQuantizer.adcTopK(codes, pq, VectorModel.AnnQuery, 20, "vec_id")
       .select("vec_id", "adc_score")
   }
@@ -516,16 +523,21 @@ object ApproxQueries {
         .select("vec_id", "pq_code")
         .write.mode("overwrite").parquet(s"$p/codes")
       // the oracle's codebook sidecar is build-time state like the layout
-      // itself — published here so the ADC serving entry times the scan
-      OracleSidecars.publish(spark, "pq_codebook", dir) {
-        import spark.implicits._
-        (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
-          val v = pq.codebooks(s)(c)
-          (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
-        }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
-      }
+      // itself — the write lands here; the serving entry re-calls publish
+      // as a cheap repair no-op
+      publishPqCodebook(spark, dir, pq)
       s"$p/codes"
     })
+
+  private def publishPqCodebook(spark: SparkSession, dir: String,
+      pq: ProductQuantizer): Unit =
+    OracleSidecars.publish(spark, "pq_codebook", dir) {
+      import spark.implicits._
+      (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
+        val v = pq.codebooks(s)(c)
+        (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+    }
 
   private val pqCodesLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -718,6 +730,7 @@ object ApproxQueries {
     * (`vq_ivf_bigbatch`). */
   def ivfBigBatchFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    publishIvfCentroids(spark, dir, model) // repair no-op unless dir switched / root lost
     graft.index.Ivf.bigBatchSearch(spark.read.parquet(path), model,
       VectorModel.partQueriesBig(spark, dir, modulus = 64), 3,
       nProbes = Some(4),

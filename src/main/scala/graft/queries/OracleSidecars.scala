@@ -28,9 +28,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * generating JVM saw, so the pair stays consistent). */
 object OracleSidecars {
 
-  /** Spark-side write root == DuckDB-side read root (one host). */
-  val Root: String = sys.env.getOrElse(
-    "GRAFT_ORACLE_SIDECAR_DIR", "/tmp/graft_oracle_sidecar")
+  /** Spark-side write root == DuckDB-side read root (one host). The
+    * root is interpolated into single-quoted SQL, so a metacharacter in
+    * the override would silently corrupt every sidecar oracle — fail at
+    * first use with the reason instead. */
+  val Root: String = {
+    val r = sys.env.getOrElse(
+      "GRAFT_ORACLE_SIDECAR_DIR", "/tmp/graft_oracle_sidecar")
+    require(r.matches("[A-Za-z0-9/_.:-]+"),
+      s"GRAFT_ORACLE_SIDECAR_DIR '$r' contains characters unsafe to embed in oracle SQL " +
+        "(allowed: letters, digits, / _ . : -)")
+    r
+  }
 
   /** `read_parquet` fragment for oracle SQL. */
   def sqlTable(name: String): String = s"read_parquet('$Root/$name/*.parquet')"

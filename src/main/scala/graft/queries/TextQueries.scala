@@ -887,15 +887,20 @@ object TextQueries {
       val model =
         graft.text.Bpe.train(VectorModel.documents(spark, dir), "text", 64)
       // the trained-encode oracle's merge-table sidecar is build-time
-      // state like the model — published here, not in the serving entry
-      OracleSidecars.publish(spark, "bpe_merges", dir) {
-        import spark.implicits._
-        model.merges.zipWithIndex
-          .map { case ((a, b), i) => (i + 1, a, b) }
-          .toDF("rank", "a", "b")
-      }
+      // state like the model — the write lands here; the serving entry
+      // re-calls publish as a cheap repair no-op
+      publishBpeMerges(spark, dir, model)
       model
     })
+
+  private def publishBpeMerges(spark: SparkSession, dir: String,
+      model: graft.text.Bpe.BpeModel): Unit =
+    OracleSidecars.publish(spark, "bpe_merges", dir) {
+      import spark.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+    }
 
   private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.text.Bpe.BpeModel]()
@@ -988,7 +993,8 @@ object TextQueries {
     * a wrong trained merge list, a drifted kernel, or a broken
     * train→serve handoff all hash-mismatch. */
   def bpeStatsTrained(spark: SparkSession, dir: String): DataFrame = {
-    val model = bpeModel(spark, dir) // publishes the merge-table sidecar
+    val model = bpeModel(spark, dir)
+    publishBpeMerges(spark, dir, model) // repair no-op unless dir switched / root lost
     val words = filter(TextAnalysis.tokens(col("text")), w => length(w) > 0)
     VectorModel.documents(spark, dir).select(
       col("doc_id"),

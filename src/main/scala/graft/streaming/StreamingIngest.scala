@@ -406,24 +406,25 @@ object StreamingIngest {
     // two consumers (mass write + acceptance write) — cache the delta so
     // the micro-batch source scans once, like minhashIngestBatch's sigs
     val rows = batch.select("doc_id", "source", "n_chars").cache()
-    rows.groupBy("source").agg(sum("n_chars").as("m"))
-      .write.mode("overwrite").parquet(s"$statePath/mass/batch=$batchId")
-    val thr = spark.read.parquet(s"$statePath/mass")
-      .where(col("batch") <= batchId)
-      .groupBy("source").agg(sum("m").as("cmass"))
-      .withColumn("mmax", max("cmass").over(Window.partitionBy()))
-      .select(col("source"),
-        floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
-          * MixBuckets.toDouble).cast("long").as("threshold"))
-    rows.join(broadcast(thr), "source")
-      .withColumn("bucket", pmod(
-        graft.dedup.Dedup.hash60(
-          concat(col("doc_id").cast("string"), lit(MixSalt))),
-        lit(MixBuckets)))
-      .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
-        (col("bucket") < col("threshold")).as("kept"))
-      .write.mode("overwrite").parquet(s"$statePath/kept/batch=$batchId")
-    rows.unpersist()
+    try {
+      rows.groupBy("source").agg(sum("n_chars").as("m"))
+        .write.mode("overwrite").parquet(s"$statePath/mass/batch=$batchId")
+      val thr = spark.read.parquet(s"$statePath/mass")
+        .where(col("batch") <= batchId)
+        .groupBy("source").agg(sum("m").as("cmass"))
+        .withColumn("mmax", max("cmass").over(Window.partitionBy()))
+        .select(col("source"),
+          floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
+            * MixBuckets.toDouble).cast("long").as("threshold"))
+      rows.join(broadcast(thr), "source")
+        .withColumn("bucket", pmod(
+          graft.dedup.Dedup.hash60(
+            concat(col("doc_id").cast("string"), lit(MixSalt))),
+          lit(MixBuckets)))
+        .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
+          (col("bucket") < col("threshold")).as("kept"))
+        .write.mode("overwrite").parquet(s"$statePath/kept/batch=$batchId")
+    } finally rows.unpersist() // a retried write must not leak cached blocks
   }
 
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
@@ -785,14 +786,25 @@ object StreamingIngest {
       : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
     val sp = new org.apache.hadoop.fs.Path(p, PackTotalFile)
-    if (fs.exists(sp)) {
-      val in = fs.open(sp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      txt.split(" ") match {
-        case Array(id, tot) => (id.toLong, tot.toLong)
-        case Array(tot) => (-1L, tot.toLong) // pre-idempotency sidecar
+    // a crash between writePackState's create() and write() leaves a
+    // visible EMPTY (or truncated) sidecar — anything that does not parse
+    // as exactly "<batchId> <total>" reads as NO sidecar, falling through
+    // to the data-derived self-heal instead of wedging every restart
+    // (a truncated "12" prefix of "12 34567" must NOT parse as a total)
+    val sidecar: Option[(Long, Long)] =
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.split(" ") match {
+          case Array(id, tot) =>
+            for (i <- id.toLongOption; t <- tot.toLongOption) yield (i, t)
+          case _ => None
+        }
       }
+    if (sidecar.isDefined) {
+      sidecar.get
     } else if (graft.store.Fs.exists(spark, layoutPath) &&
         graft.store.Fs.dataFileCount(spark, layoutPath) > 0) {
       import org.apache.spark.sql.functions._
