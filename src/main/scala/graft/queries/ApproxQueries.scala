@@ -16,23 +16,34 @@ import graft.pq.ProductQuantizer
   * closed-form GIVEN a trained artifact: SQ8 and binary (affine/midrange
   * codecs mirror exactly), and — via the [[OracleSidecars]] two-step
   * oracle — PQ-ADC ([[annPqAdcTopK]]: published codebook, re-derived
-  * encode+LUT+score) and the filtered fixed-probe big-batch IVF
-  * ([[ivfBigBatchFilteredTopK]]: published centroids, re-derived
-  * assignment+probing+scoring); those four ARE hash-gated. */
+  * encode+LUT+score) and the ENTIRE IVF serving family
+  * ([[IvfOracleSql]]: published centroids; assignment, probe ranking,
+  * BOTH the fixed and the adaptive candidate-mass probe rules, filters,
+  * scoring and every tie-break re-derived in SQL — `vq_ivf_topk`,
+  * `vq_ivf_parity_topk`, `vq_ivf_stored_topk`, `vq_ivf_batch_topk`,
+  * `vq_ivf_bigbatch`, `vq_ivf_bigbatch_filtered`, `ann_ivf_topk`).
+  * Those eleven ARE hash-gated; graph traversals (HNSW) and the LSH
+  * probe walks remain genuinely spec-gated. */
 object ApproxQueries {
 
-  /** S3 over lineitem-derived vectors: KMeans(16, seed 42) + 8-probe search. */
+  /** S3 over lineitem-derived vectors: KMeans(16, seed 42) + 8-probe
+    * search. HASH-GATED ([[ivfTopKSql]]): the seeded fit is identical to
+    * the one [[ivfLayout]] persists, so the published centroid sidecar
+    * makes probe ranking, assignment, and the brute rule closed-form. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (assigned, model) = Ivf.fit(VectorModel.lineitemVectors(spark, dir))
+    publishIvfCentroids(spark, dir, model)
     Ivf.search(assigned, model, VectorModel.Query, 10)
       .select("id", "sim", "cluster_id")
   }
 
-  /** S3 over the embeddings table. */
+  /** S3 over the embeddings table. HASH-GATED ([[annIvfTopKSql]]) via its
+    * own 64-d centroid sidecar. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (assigned, model) = Ivf.fit(
       VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),
       vecCol = "embedding", idCol = "vec_id")
+    publishCentroidsFlat(spark, "ivf_centroids_emb", dir, model.centroids)
     Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim", "cluster_id")
@@ -69,6 +80,7 @@ object ApproxQueries {
     * available as [[ivfParityTopK]]. */
   def ivfStoredTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    publishIvfCentroids(spark, dir, model) // repair no-op unless dir switched / root lost
     val clustered = spark.read.parquet(path)
     Ivf.searchAdaptive(clustered, model, VectorModel.Query, 10, ivfSizes(spark, dir))
       .select("id", "sim", "cluster_id")
@@ -96,14 +108,27 @@ object ApproxQueries {
       (path, model)
     })
 
+  /** Flat (cluster_id, c0..c{dim−1}) sidecar of a centroid table — the
+    * IVF-family oracle input at any dimensionality. */
+  private def publishCentroidsFlat(spark: SparkSession, name: String,
+      dir: String, centroids: Array[Array[Double]]): Unit =
+    OracleSidecars.publish(spark, name, dir) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val dim = centroids(0).length
+      val schema = StructType(
+        StructField("cluster_id", IntegerType, nullable = false) +:
+          (0 until dim).map(j => StructField(s"c$j", DoubleType, nullable = false)))
+      val rows = centroids.zipWithIndex.map { case (c, i) =>
+        Row.fromSeq(i +: c.toSeq)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    }
+
   private def publishIvfCentroids(spark: SparkSession, dir: String,
       model: Ivf.IvfModel): Unit =
-    OracleSidecars.publish(spark, "ivf_centroids", dir) {
-      import spark.implicits._
-      model.centroids.zipWithIndex.map { case (c, i) =>
-        (i, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7))
-      }.toSeq.toDF("cluster_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
-    }
+    publishCentroidsFlat(spark, "ivf_centroids", dir, model.centroids)
 
   private val ivfLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.IvfModel)]()
@@ -115,6 +140,7 @@ object ApproxQueries {
     * migrating user can pin for bit-for-bit probe parity. */
   def ivfParityTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    publishIvfCentroids(spark, dir, model) // repair no-op unless dir switched / root lost
     val clustered = spark.read.parquet(path)
     Ivf.search(clustered, model, VectorModel.Query, 10)
       .select("id", "sim", "cluster_id")
@@ -256,6 +282,7 @@ object ApproxQueries {
     * candidate need instead of |queries|·nProbes. */
   def ivfBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    publishIvfCentroids(spark, dir, model) // repair no-op unless dir switched / root lost
     val clustered = spark.read.parquet(path)
     val queries = VectorModel.partQueries(spark, dir)
       .collect()
@@ -703,6 +730,7 @@ object ApproxQueries {
     * the collected entries keep the reference's probe-half rule. */
   def ivfBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfLayout(spark, dir)
+    publishIvfCentroids(spark, dir, model) // repair no-op unless dir switched / root lost
     // 1/64 of part. The probe list is the ADAPTIVE per-row kernel
     // (BigBatchSpec parity-gated): candidate volume is the cost driver —
     // a fixed nProbes=2 of 16 clusters scans 12.5% of the corpus PER
@@ -738,48 +766,166 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** DuckDB mirror of [[ivfBigBatchFilteredTopK]] GIVEN the published
-    * centroids — assignment, probe ranking, filter, scoring and the rank
-    * tie-breaks all re-derived in SQL (see the query scaladoc). */
-  lazy val ivfBigBatchFilteredSql: String = {
-    val dim = VectorModel.Dim
-    def vEl(i: Int) = s"a.v$i"
-    def cEl(i: Int) = s"cent.c$i"
-    def qEl(i: Int) = s"qb.q$i"
-    s"""WITH ${OracleSql.vectorCte},
-       |qb AS (SELECT
-       |  CAST(p_partkey AS BIGINT) AS query_id,
-       |  CAST(p_size AS DOUBLE) AS q0,
-       |  p_retailprice/CAST('100.0' AS DOUBLE) AS q1,
-       |  CAST(p_partkey % 97 AS DOUBLE)/CAST('97.0' AS DOUBLE) AS q2,
-       |  CAST(p_partkey % 89 AS DOUBLE)/CAST('89.0' AS DOUBLE) AS q3,
-       |  CAST(p_partkey % 83 AS DOUBLE)/CAST('83.0' AS DOUBLE) AS q4,
-       |  CAST('1.0' AS DOUBLE) AS q5, CAST('2.0' AS DOUBLE) AS q6, CAST('3.0' AS DOUBLE) AS q7
-       |FROM part WHERE p_partkey % 64 = 0),
-       |cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
-       |    c0, c1, c2, c3, c4, c5, c6, c7
-       |  FROM ${OracleSidecars.sqlTable("ivf_centroids")}),
-       |asg AS (SELECT id, cluster_id FROM (
-       |  SELECT a.id, cent.cluster_id,
-       |    row_number() OVER (PARTITION BY a.id
-       |      ORDER BY ${OracleSql.l2sq(cEl, vEl, dim)} ASC, cent.cluster_id ASC) AS arn
-       |  FROM v a CROSS JOIN cent) WHERE arn = 1),
-       |pr AS (SELECT query_id, cluster_id FROM (
-       |  SELECT qb.query_id, cent.cluster_id,
-       |    row_number() OVER (PARTITION BY qb.query_id
-       |      ORDER BY ${OracleSql.cosineCols(cEl, qEl, dim)} DESC, cent.cluster_id ASC) AS prn
-       |  FROM qb CROSS JOIN cent) WHERE prn <= 4),
-       |sc AS (SELECT pr.query_id AS query_id, a.id AS id,
-       |    ${OracleSql.cosineCols(vEl, qEl, dim)} AS sim_raw
-       |  FROM pr JOIN asg ON asg.cluster_id = pr.cluster_id
-       |    JOIN v a ON a.id = asg.id
-       |    JOIN qb ON qb.query_id = pr.query_id
-       |  WHERE a.category = 'R' AND a.status = 'F')
-       |SELECT query_id, id, round(sim_raw, 6) AS sim, rn FROM (
-       |  SELECT query_id, id, sim_raw,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, id ASC) AS rn
-       |  FROM sc)
-       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  /** Shared SQL scaffolding of the IVF-family oracles: GIVEN the
+    * published centroid sidecar, every serving rule of the family is
+    * closed-form — cluster assignment (L2 argmin, ties to the lower id),
+    * probe ranking (centroid cosine, ties to the lower id), the FIXED
+    * top-n rule (`rnk <= n`) AND the ADAPTIVE candidate-mass walk
+    * (`cumb < minCandidates OR rnk <= minProbes`: probe i is taken iff
+    * the cumulative size of the probes BEFORE it is under the budget —
+    * exactly [[graft.index.Ivf.IvfModel.probeClustersAdaptive]]'s
+    * `while (cum < minCandidates || i < minProbes)` loop, with cluster
+    * sizes re-derived in SQL from the re-derived assignment), filtered
+    * or not, single-query or per-query-partitioned. ONE definition so
+    * the six mirrors cannot drift. */
+  private object IvfOracleSql {
+    private val d = VectorModel.Dim
+    private def vE(i: Int) = s"a.v$i"
+    private def cE(i: Int) = s"cent.c$i"
+    private def qE(i: Int) = s"qb.q$i"
+
+    val centCte: String =
+      s"""cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+         |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+         |  FROM ${OracleSidecars.sqlTable("ivf_centroids")})""".stripMargin
+
+    val asgCte: String =
+      s"""asg AS (SELECT id, cluster_id FROM (
+         |  SELECT a.id, cent.cluster_id,
+         |    row_number() OVER (PARTITION BY a.id
+         |      ORDER BY ${OracleSql.l2sq(cE, vE, d)} ASC, cent.cluster_id ASC) AS arn
+         |  FROM v a CROSS JOIN cent) WHERE arn = 1)""".stripMargin
+
+    val szCte: String =
+      "sz AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY cluster_id)"
+
+    def qbCte(where: String): String =
+      s"""qb AS (SELECT
+         |  CAST(p_partkey AS BIGINT) AS query_id,
+         |  CAST(p_size AS DOUBLE) AS q0,
+         |  p_retailprice/CAST('100.0' AS DOUBLE) AS q1,
+         |  CAST(p_partkey % 97 AS DOUBLE)/CAST('97.0' AS DOUBLE) AS q2,
+         |  CAST(p_partkey % 89 AS DOUBLE)/CAST('89.0' AS DOUBLE) AS q3,
+         |  CAST(p_partkey % 83 AS DOUBLE)/CAST('83.0' AS DOUBLE) AS q4,
+         |  CAST('1.0' AS DOUBLE) AS q5, CAST('2.0' AS DOUBLE) AS q6, CAST('3.0' AS DOUBLE) AS q7
+         |FROM part WHERE $where)""".stripMargin
+
+    /** Single-query mirror of [[graft.index.Ivf.search]]/searchAdaptive:
+      * one probe window, then the brute-force rule over probed clusters —
+      * ranked by the ROUNDED sim like [[VectorSearch.bruteForceTopK]]. */
+    def single(queryLits: Seq[Double], probeWhere: String, k: Int): String =
+      s"""WITH ${OracleSql.vectorCte},
+         |$centCte,
+         |$asgCte,
+         |$szCte,
+         |rankedc AS (SELECT cent.cluster_id AS cluster_id,
+         |    ${OracleSql.cosineCols(cE, i => OracleSql.lit(queryLits(i)), d)} AS csim,
+         |    coalesce(sz.sz, 0) AS csz
+         |  FROM cent LEFT JOIN sz USING (cluster_id)),
+         |probed AS (SELECT cluster_id FROM (
+         |  SELECT cluster_id,
+         |    row_number() OVER (ORDER BY csim DESC, cluster_id ASC) AS rnk,
+         |    coalesce(sum(csz) OVER (ORDER BY csim DESC, cluster_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM rankedc) WHERE $probeWhere)
+         |SELECT id, sim, cluster_id FROM (
+         |  SELECT a.id AS id,
+         |    round(${OracleSql.cosineConst(vE, queryLits)}, 6) AS sim,
+         |    asg.cluster_id AS cluster_id
+         |  FROM v a JOIN asg ON asg.id = a.id
+         |    JOIN probed p ON p.cluster_id = asg.cluster_id)
+         |ORDER BY sim DESC, id ASC LIMIT $k""".stripMargin
+
+    /** Batch mirror of [[graft.index.Ivf.batchSearch]]/bigBatchSearch:
+      * per-query probe windows, then the k-bounded aggregator rule —
+      * ranked by the RAW sim, rounded for output, (query_id, id, sim,
+      * rn) ordered by (query_id, rn). */
+    def batch(qbWhere: String, probeWhere: String, k: Int,
+        candWhere: String = ""): String = {
+      val filt = if (candWhere.isEmpty) "" else s"\n  WHERE $candWhere"
+      s"""WITH ${OracleSql.vectorCte},
+         |${qbCte(qbWhere)},
+         |$centCte,
+         |$asgCte,
+         |$szCte,
+         |rankedc AS (SELECT qb.query_id AS query_id, cent.cluster_id AS cluster_id,
+         |    ${OracleSql.cosineCols(cE, qE, d)} AS csim,
+         |    coalesce(sz.sz, 0) AS csz
+         |  FROM qb CROSS JOIN cent LEFT JOIN sz ON sz.cluster_id = cent.cluster_id),
+         |probed AS (SELECT query_id, cluster_id FROM (
+         |  SELECT query_id, cluster_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster_id ASC) AS rnk,
+         |    coalesce(sum(csz) OVER (PARTITION BY query_id ORDER BY csim DESC, cluster_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM rankedc) WHERE $probeWhere),
+         |sc AS (SELECT p.query_id AS query_id, a.id AS id,
+         |    ${OracleSql.cosineCols(vE, qE, d)} AS sim_raw
+         |  FROM probed p JOIN asg ON asg.cluster_id = p.cluster_id
+         |    JOIN v a ON a.id = asg.id
+         |    JOIN qb ON qb.query_id = p.query_id$filt)
+         |SELECT query_id, id, round(sim_raw, 6) AS sim, rn FROM (
+         |  SELECT query_id, id, sim_raw,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, id ASC) AS rn
+         |  FROM sc)
+         |WHERE rn <= $k ORDER BY query_id, rn""".stripMargin
+    }
+  }
+
+  /** DuckDB mirror of [[ivfBigBatchFilteredTopK]] — fixed 4 probes,
+    * filter-first ([[IvfOracleSql]]). */
+  lazy val ivfBigBatchFilteredSql: String = IvfOracleSql.batch(
+    "p_partkey % 64 = 0", "rnk <= 4", 3,
+    candWhere = "a.category = 'R' AND a.status = 'F'")
+
+  /** Mirror of the FIXED-probe single-query serves ([[ivfTopK]] fits the
+    * same seeded model [[ivfLayout]] persists, so both entries share the
+    * published centroids): top-8 probe window + the brute rule. */
+  lazy val ivfTopKSql: String =
+    IvfOracleSql.single(VectorModel.Query, "rnk <= 8", 10)
+
+  /** Mirror of the ADAPTIVE single-query serve ([[ivfStoredTopK]]):
+    * candidate-mass walk at overscan·k = 160, minProbes 3. */
+  lazy val ivfStoredTopKSql: String =
+    IvfOracleSql.single(VectorModel.Query, "cumb < 160 OR rnk <= 3", 10)
+
+  /** Mirror of the ADAPTIVE collected batch ([[ivfBatchTopK]]): per-query
+    * mass walk at 16·3 = 48, minProbes 3. */
+  lazy val ivfBatchTopKSql: String =
+    IvfOracleSql.batch("p_partkey <= 5", "cumb < 48 OR rnk <= 3", 3)
+
+  /** Mirror of the ADAPTIVE DataFrame-native big batch
+    * ([[ivfBigBatchTopK]]): per-query-row mass walk at 48, minProbes 2 —
+    * the codegen kernel's walk re-derived as a window. */
+  lazy val ivfBigBatchSql: String =
+    IvfOracleSql.batch("p_partkey % 64 = 0", "cumb < 48 OR rnk <= 2", 3)
+
+  /** Mirror of the embeddings-family fixed-probe serve ([[annIvfTopK]]):
+    * its own 64-d centroid sidecar, same closed-form pipeline. */
+  lazy val annIvfTopKSql: String = {
+    val d = VectorModel.EmbDim
+    def cE(i: Int) = s"cent.c$i"
+    def eE(i: Int) = OracleSql.listElem("a.embedding")(i)
+    s"""WITH cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+       |  FROM ${OracleSidecars.sqlTable("ivf_centroids_emb")}),
+       |asg AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT a.vec_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${OracleSql.l2sq(cE, eE, d)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM embeddings a CROSS JOIN cent) WHERE arn = 1),
+       |probed AS (SELECT cluster_id FROM (
+       |  SELECT cluster_id,
+       |    row_number() OVER (ORDER BY
+       |      ${OracleSql.cosineCols(cE, i => OracleSql.lit(VectorModel.AnnQuery(i)), d)} DESC,
+       |      cluster_id ASC) AS rnk
+       |  FROM cent) WHERE rnk <= 8)
+       |SELECT vec_id, sim, cluster_id FROM (
+       |  SELECT a.vec_id AS vec_id,
+       |    round(${OracleSql.cosineConst(eE, VectorModel.AnnQuery)}, 6) AS sim,
+       |    asg.cluster_id AS cluster_id
+       |  FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id
+       |    JOIN probed p ON p.cluster_id = asg.cluster_id)
+       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
   }
 
   /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. The probe list is
@@ -823,7 +969,13 @@ object ApproxQueries {
     "ann_sq_topk" -> annSqTopKSql,
     "ann_bin_topk" -> annBinTopKSql,
     "ann_pq_adc_topk" -> annPqAdcTopKSql,
-    "vq_ivf_bigbatch_filtered" -> ivfBigBatchFilteredSql)
+    "vq_ivf_bigbatch_filtered" -> ivfBigBatchFilteredSql,
+    "vq_ivf_topk" -> ivfTopKSql,
+    "vq_ivf_parity_topk" -> ivfTopKSql,
+    "vq_ivf_stored_topk" -> ivfStoredTopKSql,
+    "vq_ivf_batch_topk" -> ivfBatchTopKSql,
+    "vq_ivf_bigbatch" -> ivfBigBatchSql,
+    "ann_ivf_topk" -> annIvfTopKSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
