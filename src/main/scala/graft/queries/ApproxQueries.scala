@@ -13,17 +13,19 @@ import graft.pq.ProductQuantizer
   * against the exact operators (SURVEY.md §5, the reference's own
   * methodology in examples/datawhale.py:142-207). Outputs are still
   * deterministic (seeded). The exceptions are the serving paths that are
-  * closed-form GIVEN a trained artifact: SQ8 and binary (affine/midrange
-  * codecs mirror exactly), and — via the [[OracleSidecars]] two-step
-  * oracle — PQ-ADC ([[annPqAdcTopK]]: published codebook, re-derived
-  * encode+LUT+score) and the ENTIRE IVF serving family
-  * ([[IvfOracleSql]]: published centroids; assignment, probe ranking,
-  * BOTH the fixed and the adaptive candidate-mass probe rules, filters,
-  * scoring and every tie-break re-derived in SQL — `vq_ivf_topk`,
-  * `vq_ivf_parity_topk`, `vq_ivf_stored_topk`, `vq_ivf_batch_topk`,
-  * `vq_ivf_bigbatch`, `vq_ivf_bigbatch_filtered`, `ann_ivf_topk`).
-  * Those eleven ARE hash-gated; graph traversals (HNSW) and the LSH
-  * probe walks remain genuinely spec-gated. */
+  * closed-form GIVEN a trained artifact — all hash-gated: SQ8 and binary
+  * (affine/midrange codecs mirror exactly, single AND batch), and — via
+  * the [[OracleSidecars]] two-step oracle — PQ-ADC + the PQ roundtrip
+  * ([[annPqAdcTopK]]/[[pqRoundtrip]]: published codebook; re-derived
+  * encode, LUT, score, reconstruction MAE), the ENTIRE IVF serving
+  * family ([[IvfOracleSql]]: published centroids; assignment, probe
+  * ranking, BOTH the fixed and the adaptive candidate-mass probe rules,
+  * filters, scoring and every tie-break re-derived in SQL), and the
+  * ENTIRE IVF-PQ serving family ([[IvfPqOracleSql]]: both sidecars;
+  * residual encode, per-(query, cluster) residual LUTs, the adc cut,
+  * the exact re-rank — single, collected batch, and adaptive big
+  * batch). Only graph traversals (HNSW), the LSH probe walks, MLlib
+  * internals, and the HLL sketch remain genuinely spec-gated. */
 object ApproxQueries {
 
   /** S3 over lineitem-derived vectors: KMeans(16, seed 42) + 8-probe
@@ -58,6 +60,7 @@ object ApproxQueries {
   def pqRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val emb = VectorModel.embeddings(spark, dir)
     val pq = trainedPq(spark, dir)
+    publishPqCodebook(spark, dir, pq) // repair no-op unless dir switched / root lost
     val encoded = ProductQuantizer.encodeDf(emb, pq, "embedding")
     val decoded = ProductQuantizer.decodeDf(encoded, pq)
     decoded.select(
@@ -69,6 +72,45 @@ object ApproxQueries {
           lit(0.0), (acc, x) => acc + x) / VectorModel.EmbDim.toDouble,
         6).as("mae"))
       .orderBy("vec_id")
+  }
+
+  /** HASH-GATE of [[pqRoundtrip]] GIVEN the published codebook: the
+    * oracle re-encodes (per-subspace L2 argmin, ties to the lower code),
+    * reconstructs from the chosen centroid's components, and re-derives
+    * the per-row mean absolute error with the SAME left-associated
+    * index-order sum the zip_with/aggregate fold computes. */
+  lazy val pqRoundtripSql: String = {
+    val m = 8
+    val subDim = VectorModel.EmbDim / m
+    def emb(s: Int)(j: Int) = s"CAST(e.embedding[${s * subDim + j + 1}] AS DOUBLE)"
+    def cb(j: Int) = s"cb.v$j"
+    val encD = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cb, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val reconCols = (for { s <- 0 until m; j <- 0 until subDim } yield
+      s"max(CASE WHEN s = $s THEN v$j END) AS r${s * subDim + j}")
+      .mkString(",\n    ")
+    val absSum = (0 until VectorModel.EmbDim)
+      .map(i => s"abs(CAST(e.embedding[${i + 1}] AS DOUBLE) - p.r$i)")
+      .mkString(" + ")
+    s"""WITH cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
+       |    v0, v1, v2, v3, v4, v5, v6, v7
+       |  FROM ${OracleSidecars.sqlTable("pq_codebook")}),
+       |d AS (SELECT e.vec_id AS vec_id, cb.s AS s, cb.c AS c,
+       |    cb.v0 AS v0, cb.v1 AS v1, cb.v2 AS v2, cb.v3 AS v3,
+       |    cb.v4 AS v4, cb.v5 AS v5, cb.v6 AS v6, cb.v7 AS v7,
+       |    $encD AS enc_d
+       |  FROM embeddings e CROSS JOIN cb),
+       |sel AS (SELECT vec_id, s, v0, v1, v2, v3, v4, v5, v6, v7,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
+       |  FROM d),
+       |piv AS (SELECT vec_id,
+       |    $reconCols
+       |  FROM sel WHERE rn = 1 GROUP BY vec_id)
+       |SELECT e.vec_id AS vec_id,
+       |  round(($absSum) / CAST('${VectorModel.EmbDim.toDouble}' AS DOUBLE), 6) AS mae
+       |FROM embeddings e JOIN piv p ON p.vec_id = e.vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** S3 over the PERSISTED cluster-partitioned layout — the deployment
@@ -315,11 +357,212 @@ object ApproxQueries {
     * `4·k` candidates exactly against raw vectors. */
   def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfPqLayout(spark, dir)
+    publishIvfPqSidecars(spark, dir, model) // repair no-op unless dir switched / root lost
     val encoded = spark.read.parquet(path)
     val emb = VectorModel.embeddings(spark, dir)
     graft.index.IvfPq.search(encoded, model, VectorModel.AnnQuery, 20,
       refineFrom = Some(emb), vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim")
+  }
+
+  /** The IVF-PQ oracle's two sidecars: the model's own coarse centroids
+    * (64-d) and its RESIDUAL PQ codebooks. */
+  private def publishIvfPqSidecars(spark: SparkSession, dir: String,
+      model: graft.index.IvfPq.IvfPqModel): Unit = {
+    publishCentroidsFlat(spark, "ivfpq_centroids", dir, model.ivf.centroids)
+    OracleSidecars.publish(spark, "ivfpq_codebook", dir) {
+      import spark.implicits._
+      val pq = model.pq
+      (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
+        val v = pq.codebooks(s)(c)
+        (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+    }
+  }
+
+  /** Shared SQL scaffolding of the IVF-PQ oracles — GIVEN the published
+    * coarse centroids and residual codebooks, the COMPOSED pipeline is
+    * closed-form end to end: assignment (L2 argmin over the coarse
+    * centroids), fixed and adaptive probe rules, RESIDUAL encode per
+    * subspace (argmin of ‖(v−centroid) slice − code‖², ties to the lower
+    * code — query-independent, so `sel` is computed once per mirror),
+    * the per-(query, cluster) residual LUT, the −Σ ADC cut by (raw adc
+    * desc, id asc), and the exact-cosine re-rank (single: ordered by the
+    * rounded sim; batch: the aggregator also ranks the rounded sim). */
+  private object IvfPqOracleSql {
+    val d: Int = VectorModel.EmbDim
+    val m = 8
+    val subDim: Int = d / m
+    def qL(i: Int): String = OracleSql.lit(VectorModel.AnnQuery(i))
+    private def cbv(j: Int) = s"cb.v$j"
+
+    /** cent + cb + assignment + the query-independent residual encode
+      * (`sel`, keep `ern = 1` rows: per (vec, subspace) the chosen
+      * codeword's components and the vec's cluster). */
+    val commonCtes: String = {
+      def rE(s: Int)(j: Int) =
+        s"(${OracleSql.listElem("e.embedding")(s * subDim + j)} - ct.c${s * subDim + j})"
+      val encD = (0 until m)
+        .map(s => s"WHEN $s THEN ${OracleSql.l2sq(rE(s), cbv, subDim)}")
+        .mkString("CASE cb.s ", " ", " END")
+      s"""cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+         |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+         |  FROM ${OracleSidecars.sqlTable("ivfpq_centroids")}),
+         |cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
+         |    v0, v1, v2, v3, v4, v5, v6, v7
+         |  FROM ${OracleSidecars.sqlTable("ivfpq_codebook")}),
+         |asg AS (SELECT vec_id, cluster_id FROM (
+         |  SELECT a.vec_id, cent.cluster_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${OracleSql.l2sq(i => s"cent.c$i", i => OracleSql.listElem("a.embedding")(i), d)} ASC, cent.cluster_id ASC) AS arn
+         |  FROM embeddings a CROSS JOIN cent) WHERE arn = 1),
+         |dd AS (SELECT e.vec_id AS vec_id, asg.cluster_id AS cluster_id,
+         |    cb.s AS s, cb.c AS c,
+         |    cb.v0 AS v0, cb.v1 AS v1, cb.v2 AS v2, cb.v3 AS v3,
+         |    cb.v4 AS v4, cb.v5 AS v5, cb.v6 AS v6, cb.v7 AS v7,
+         |    $encD AS enc_d
+         |  FROM embeddings e
+         |    JOIN asg ON asg.vec_id = e.vec_id
+         |    JOIN cent ct ON ct.cluster_id = asg.cluster_id
+         |    CROSS JOIN cb),
+         |sel AS (SELECT vec_id, cluster_id, s,
+         |    v0, v1, v2, v3, v4, v5, v6, v7,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS ern
+         |  FROM dd)""".stripMargin
+    }
+
+    /** Residual-LUT value of a `sel` row for query elements `qe`:
+      * CASE over the subspace, ‖(q − ct) slice − chosen codeword‖². */
+    def lutCase(qe: Int => String): String = (0 until m).map { s =>
+      def qr(j: Int) = s"(${qe(s * subDim + j)} - ct.c${s * subDim + j})"
+      s"WHEN $s THEN ${OracleSql.l2sq(qr, j => s"sel.v$j", subDim)}"
+    }.mkString("CASE sel.s ", " ", " END")
+
+    val lSum: String = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
+    val lutPivot: String =
+      (0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")
+  }
+
+  /** HASH-GATE of [[annIvfPqTopK]] — fixed top-8 probes, single query
+    * ([[IvfPqOracleSql]]). */
+  lazy val annIvfPqTopKSql: String = {
+    import IvfPqOracleSql._
+    val refineCut = 4 * 20
+    s"""WITH $commonCtes,
+       |probed AS (SELECT cluster_id FROM (
+       |  SELECT cluster_id,
+       |    row_number() OVER (ORDER BY
+       |      ${OracleSql.cosineCols(i => s"cent.c$i", qL, d)} DESC,
+       |      cluster_id ASC) AS rnk
+       |  FROM cent) WHERE rnk <= 8),
+       |lutd AS (SELECT sel.vec_id AS vec_id, sel.cluster_id AS cluster_id,
+       |    sel.s AS s, ${lutCase(qL)} AS lut_d
+       |  FROM sel JOIN cent ct ON ct.cluster_id = sel.cluster_id
+       |  WHERE sel.ern = 1),
+       |piv AS (SELECT vec_id, max(cluster_id) AS cluster_id,
+       |    $lutPivot
+       |  FROM lutd GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM (
+       |  SELECT piv.vec_id, row_number() OVER (ORDER BY -$lSum DESC, piv.vec_id ASC) AS crn
+       |  FROM piv JOIN probed p ON p.cluster_id = piv.cluster_id) WHERE crn <= $refineCut)
+       |SELECT e.vec_id AS vec_id,
+       |  round(${OracleSql.cosineConst(OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)}, 6) AS sim
+       |FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** HASH-GATE of [[annIvfPqBatchTopK]] — the 3-query literal family
+    * ([[VectorModel.syntheticQuery]]), fixed top-8 probes per query,
+    * per-query LUT CASEs, the raw-adc cut, rounded-sim re-rank. */
+  lazy val annIvfPqBatchTopKSql: String = {
+    import IvfPqOracleSql._
+    val qs = annBatchQueries(3)
+    val refineCut = 4 * 5
+    def qLitOf(q: Seq[Double])(i: Int) = OracleSql.lit(q(i))
+    val probeCsim = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN ${OracleSql.cosineCols(i => s"cent.c$i", qLitOf(q), d)}"
+    }.mkString("CASE qs.query_id ", " ", " END")
+    val lutQCase = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN ${lutCase(qLitOf(q))}"
+    }.mkString("CASE q.query_id ", " ", " END")
+    val simCase = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN round(${OracleSql.cosineCols(i => OracleSql.listElem("e.embedding")(i), qLitOf(q), d)}, 6)"
+    }.mkString("CASE c.query_id ", " ", " END")
+    s"""WITH $commonCtes,
+       |qs AS (SELECT unnest(generate_series(0, ${qs.size - 1})) AS query_id),
+       |probedq AS (SELECT query_id, cluster_id FROM (
+       |  SELECT qs.query_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY qs.query_id
+       |      ORDER BY $probeCsim DESC, cent.cluster_id ASC) AS rnk
+       |  FROM cent CROSS JOIN qs) WHERE rnk <= 8),
+       |lutd AS (SELECT q.query_id AS query_id, sel.vec_id AS vec_id,
+       |    sel.s AS s, $lutQCase AS lut_d
+       |  FROM sel JOIN cent ct ON ct.cluster_id = sel.cluster_id
+       |    CROSS JOIN qs q
+       |    JOIN probedq pq ON pq.query_id = q.query_id AND pq.cluster_id = sel.cluster_id
+       |  WHERE sel.ern = 1),
+       |piv AS (SELECT query_id, vec_id,
+       |    $lutPivot
+       |  FROM lutd GROUP BY query_id, vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY -$lSum DESC, vec_id ASC) AS crn
+       |  FROM piv) WHERE crn <= $refineCut),
+       |sc AS (SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    $simCase AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** HASH-GATE of [[annIvfPqBigBatchTopK]] — the query set is DATA (every
+    * 256th embedding row), so the LUT terms are pure column references;
+    * probes come from the ADAPTIVE candidate-mass walk (budget 16·5 = 80,
+    * minProbes 3, sizes re-derived from the re-derived assignment);
+    * the direct residual ADC is bit-identical to the LUT form. */
+  lazy val annIvfPqBigBatchTopKSql: String = {
+    import IvfPqOracleSql._
+    val refineCut = 4 * 5
+    def qbE(i: Int) = s"CAST(qb.qemb[${i + 1}] AS DOUBLE)"
+    s"""WITH $commonCtes,
+       |qb AS (SELECT vec_id AS query_id, embedding AS qemb
+       |  FROM embeddings WHERE vec_id % 256 = 0),
+       |sz AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY cluster_id),
+       |rankedc AS (SELECT qb.query_id AS query_id, cent.cluster_id AS cluster_id,
+       |    ${OracleSql.cosineCols(i => s"cent.c$i", qbE, d)} AS csim,
+       |    coalesce(sz.sz, 0) AS csz
+       |  FROM qb CROSS JOIN cent LEFT JOIN sz ON sz.cluster_id = cent.cluster_id),
+       |probedb AS (SELECT query_id, cluster_id FROM (
+       |  SELECT query_id, cluster_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster_id ASC) AS rnk,
+       |    coalesce(sum(csz) OVER (PARTITION BY query_id ORDER BY csim DESC, cluster_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+       |  FROM rankedc) WHERE cumb < 80 OR rnk <= 3),
+       |lutd AS (SELECT qb.query_id AS query_id, sel.vec_id AS vec_id,
+       |    sel.s AS s, ${lutCase(qbE)} AS lut_d
+       |  FROM sel JOIN cent ct ON ct.cluster_id = sel.cluster_id
+       |    CROSS JOIN qb
+       |    JOIN probedb pb ON pb.query_id = qb.query_id AND pb.cluster_id = sel.cluster_id
+       |  WHERE sel.ern = 1),
+       |piv AS (SELECT query_id, vec_id,
+       |    $lutPivot
+       |  FROM lutd GROUP BY query_id, vec_id),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY -$lSum DESC, vec_id ASC) AS crn
+       |  FROM piv) WHERE crn <= $refineCut),
+       |sc AS (SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    round(${OracleSql.cosineCols(i => OracleSql.listElem("e.embedding")(i), qbE, d)}, 6) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN qb ON qb.query_id = c.query_id)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
   }
 
   /** Build-once/serve-many IVF-PQ layout (fit + encode + clustered write),
@@ -335,6 +578,8 @@ object ApproxQueries {
       Ivf.saveClustered(
         graft.index.IvfPq.encode(emb, model, vecCol = "embedding", idCol = "vec_id"),
         path)
+      // the oracle's sidecars are build-time state like the layout
+      publishIvfPqSidecars(spark, dir, model)
       (path, model)
     })
 
@@ -354,6 +599,7 @@ object ApproxQueries {
     * vectors ([[graft.index.IvfPq.batchSearch]]). */
   def annIvfPqBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfPqLayout(spark, dir)
+    publishIvfPqSidecars(spark, dir, model) // repair no-op unless dir switched / root lost
     val encoded = spark.read.parquet(path)
     val emb = VectorModel.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -369,6 +615,7 @@ object ApproxQueries {
     * Parity with the collected LUT path is BigBatchSpec-gated. */
   def annIvfPqBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = ivfPqLayout(spark, dir)
+    publishIvfPqSidecars(spark, dir, model) // repair no-op unless dir switched / root lost
     val encoded = spark.read.parquet(path)
     val emb = VectorModel.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -662,28 +909,32 @@ object ApproxQueries {
   /** Term-for-term mirror of the two-stage binary path: pack corpus AND
     * query bits against the midrange CTE, Hamming-cut to [[BinRerank]]
     * with the same (ham asc, id asc) tie-break, exact-cosine re-rank. */
-  val annBinTopKSql: String = {
+  /** Midrange threshold / packed-word fragments of the binary-codec
+    * mirrors — ONE definition shared by the single-query and batch
+    * oracles. */
+  private def binThresh(i: Int) = s"((m.mn$i + m.mx$i)/CAST('2.0' AS DOUBLE))"
+  private def binWordSql(elem: Int => String, w: Int): String = {
     val dim = VectorModel.EmbDim
-    val words = (dim + 31) / 32
-    def thresh(i: Int) = s"((m.mn$i + m.mx$i)/CAST('2.0' AS DOUBLE))"
-    def wordSql(elem: Int => String, w: Int): String = {
-      val bits = math.min(32, dim - w * 32)
-      val sum = (0 until bits).map { b =>
-        val i = w * 32 + b
-        s"(CASE WHEN ${elem(i)} > ${thresh(i)} THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"CAST($sum AS BIGINT)"
-    }
-    val codeWords = (0 until words)
-      .map(w => s"${wordSql(OracleSql.listElem("embedding"), w)} AS b$w")
+    val bits = math.min(32, dim - w * 32)
+    val sum = (0 until bits).map { b =>
+      val i = w * 32 + b
+      s"(CASE WHEN ${elem(i)} > ${binThresh(i)} THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($sum AS BIGINT)"
+  }
+  private val BinWords = (VectorModel.EmbDim + 31) / 32
+
+  val annBinTopKSql: String = {
+    val codeWords = (0 until BinWords)
+      .map(w => s"${binWordSql(OracleSql.listElem("embedding"), w)} AS b$w")
       .mkString(",\n  ")
-    val queryWords = (0 until words)
-      .map(w => s"${wordSql(i => OracleSql.lit(VectorModel.AnnQuery(i)), w)} AS q$w")
+    val queryWords = (0 until BinWords)
+      .map(w => s"${binWordSql(i => OracleSql.lit(VectorModel.AnnQuery(i)), w)} AS q$w")
       .mkString(",\n  ")
-    val ham = (0 until words).map(w => s"bit_count(xor(b$w, q$w))").mkString(" + ")
+    val ham = (0 until BinWords).map(w => s"bit_count(xor(b$w, q$w))").mkString(" + ")
     val sim = OracleSql.cosineConst(
       OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)
-    s"""WITH ${OracleSql.sqMinMaxCte("embedding", "embeddings", dim)},
+    s"""WITH ${OracleSql.sqMinMaxCte("embedding", "embeddings", VectorModel.EmbDim)},
        |codes AS (
        |  SELECT vec_id,
        |  $codeWords,
@@ -695,6 +946,56 @@ object ApproxQueries {
        |SELECT c.vec_id AS vec_id, c.ham AS ham, round($sim, 6) AS sim
        |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** HASH-GATE of [[annBinBatchTopK]] — the batch binary serve is the
+    * same closed-form codec per query of the DETERMINISTIC query family
+    * ([[annQueryBatch]]: literal vectors), so the mirror packs all 8
+    * query word sets against the midrange CTE, Hamming-cuts per query
+    * with the (ham asc, id asc) tie-break, and re-ranks by the rounded
+    * exact cosine like the k-bounded aggregator does. */
+  lazy val annBinBatchTopKSql: String = {
+    val nq = 8
+    val qs = annQueryBatch(nq)
+    def eE(i: Int) = OracleSql.listElem("e.embedding")(i)
+    val codeWords = (0 until BinWords)
+      .map(w => s"${binWordSql(OracleSql.listElem("embedding"), w)} AS b$w")
+      .mkString(",\n  ")
+    val queryWords = qs.map { case (qid, q) =>
+      (0 until BinWords)
+        .map(w => s"${binWordSql(i => OracleSql.lit(q(i)), w)} AS q${qid}_$w")
+        .mkString(",\n  ")
+    }.mkString(",\n  ")
+    val hamCase = qs.map { case (qid, _) =>
+      val h = (0 until BinWords)
+        .map(w => s"bit_count(xor(b$w, q${qid}_$w))").mkString(" + ")
+      s"WHEN $qid THEN CAST($h AS BIGINT)"
+    }.mkString("CASE qs.query_id ", " ", " END")
+    val simCase = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN round(${OracleSql.cosineCols(eE, i => OracleSql.lit(q(i)), VectorModel.EmbDim)}, 6)"
+    }.mkString("CASE c.query_id ", " ", " END")
+    s"""WITH ${OracleSql.sqMinMaxCte("embedding", "embeddings", VectorModel.EmbDim)},
+       |codes AS (
+       |  SELECT vec_id,
+       |  $codeWords,
+       |  $queryWords
+       |  FROM embeddings CROSS JOIN m),
+       |qs AS (SELECT unnest(generate_series(0, ${nq - 1})) AS query_id),
+       |hams AS (SELECT qs.query_id AS query_id, codes.vec_id AS vec_id,
+       |    $hamCase AS ham
+       |  FROM codes CROSS JOIN qs),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hrn
+       |  FROM hams) WHERE hrn <= $BinRerank),
+       |sc AS (SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    $simCase AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 20 ORDER BY query_id, rn""".stripMargin
   }
 
   /** Deterministic batch of embedding-space queries (the [[VectorModel
@@ -975,7 +1276,12 @@ object ApproxQueries {
     "vq_ivf_stored_topk" -> ivfStoredTopKSql,
     "vq_ivf_batch_topk" -> ivfBatchTopKSql,
     "vq_ivf_bigbatch" -> ivfBigBatchSql,
-    "ann_ivf_topk" -> annIvfTopKSql)
+    "ann_ivf_topk" -> annIvfTopKSql,
+    "ann_bin_batch_topk" -> annBinBatchTopKSql,
+    "pq_roundtrip" -> pqRoundtripSql,
+    "ann_ivfpq_topk" -> annIvfPqTopKSql,
+    "ann_ivfpq_batch_topk" -> annIvfPqBatchTopKSql,
+    "ann_ivfpq_bigbatch" -> annIvfPqBigBatchTopKSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),

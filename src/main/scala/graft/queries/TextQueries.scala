@@ -947,12 +947,14 @@ object TextQueries {
       s"merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b))")
   }
 
-  /** The encode-mirror CTE chain parameterized by its merge-table source —
+  /** The encode-walk CTE chain parameterized by its merge-table source —
     * literal VALUES for the fixture model, a [[OracleSidecars]]
-    * `read_parquet` for the corpus-TRAINED model — so both oracles replay
-    * the identical walk. The stop rank is data-driven
-    * (`max(rank) + 1`), making the chain merge-count independent. */
-  def bpeDocCountCtesWith(mergesCte: String): String =
+    * `read_parquet` for the corpus-TRAINED model — so every BPE oracle
+    * replays the identical walk. Ends in `final(w, toks, n)` (per
+    * DISTINCT word: its token list and count) and `docw(doc_id, w)` (the
+    * word occurrences). The stop rank is data-driven (`max(rank) + 1`),
+    * making the chain merge-count independent. */
+  def bpeEncodeCtes(mergesCte: String): String =
     s"""$mergesCte,
        |words0(w) AS (SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |enc(w, toks, midx) AS (
@@ -967,9 +969,14 @@ object TextQueries {
        |      list_min([i for i in range(1, len(e.toks)) if e.toks[i] = m.a AND e.toks[i+1] = m.b]) AS pos
        |    FROM enc e JOIN merges m ON m.rank = e.midx) s
        |),
-       |final AS (SELECT w, len(toks) AS n FROM enc
+       |final AS (SELECT w, toks, len(toks) AS n FROM enc
        |  WHERE midx = (SELECT coalesce(max(rank), 0) + 1 FROM merges)),
-       |docw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+       |docw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '')""".stripMargin
+
+  /** [[bpeEncodeCtes]] + the per-doc count aggregate the stats oracles
+    * share. */
+  def bpeDocCountCtesWith(mergesCte: String): String =
+    s"""${bpeEncodeCtes(mergesCte)},
        |agg AS (
        |  SELECT d.doc_id AS doc_id, count(*) AS nw, sum(length(d.w)) AS nc, sum(f.n) AS nb
        |  FROM docw d JOIN final f ON f.w = d.w GROUP BY 1)""".stripMargin
@@ -1017,18 +1024,30 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   /** Corpus-TRAINED BPE vocabulary: top subword tokens of the corpus by
-    * frequency under [[bpeModel]] (rows-only at the driver — training is
-    * iterative argmax, outside SQL by the module contract; BpeSpec gates
-    * kernel==driver encode parity, training determinism, and the merge
-    * sanity properties; the trained ENCODE surface is hash-gated by
-    * [[bpeStatsTrained]]). */
-  def bpeCorpusVocab(spark: SparkSession, dir: String): DataFrame =
+    * frequency under [[bpeModel]] — HASH-GATED like the stats entries:
+    * training stays spec-gated (iterative argmax), but given the
+    * published merge-table sidecar the oracle replays the encode walk,
+    * unnests every word occurrence's token list, and re-derives the
+    * same frequency top-25. */
+  def bpeCorpusVocab(spark: SparkSession, dir: String): DataFrame = {
+    val model = bpeModel(spark, dir)
+    publishBpeMerges(spark, dir, model) // repair no-op unless dir switched / root lost
     VectorModel.documents(spark, dir)
       .select(explode(
-        graft.text.Bpe.bpeTokens(col("text"), bpeModel(spark, dir))).as("token"))
+        graft.text.Bpe.bpeTokens(col("text"), model)).as("token"))
       .groupBy("token").count()
       .orderBy(col("count").desc, col("token"))
       .limit(25)
+  }
+
+  lazy val bpeCorpusVocabSql: String =
+    s"""WITH RECURSIVE
+       |${bpeEncodeCtes(
+          s"merges AS (SELECT CAST(rank AS INTEGER) AS rank, a, b FROM ${OracleSidecars.sqlTable("bpe_merges")})")}
+       |SELECT token, CAST(count(*) AS BIGINT) AS count FROM (
+       |  SELECT unnest(f.toks) AS token
+       |  FROM docw d JOIN final f ON f.w = d.w)
+       |GROUP BY token ORDER BY count DESC, token ASC LIMIT 25""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bpe_stats" -> (bpeStats _),
@@ -1061,6 +1080,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "tx_bpe_stats" -> bpeStatsSql,
     "tx_bpe_stats_trained" -> bpeStatsTrainedSql,
+    "tx_bpe_corpus_vocab" -> bpeCorpusVocabSql,
     "tx_sql_clean" -> sqlCleanSql,
     "tx_sql_bm25" -> bm25TopKSql,
     "tx_sql_chunks" -> chunksSql,
