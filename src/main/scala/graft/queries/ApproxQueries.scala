@@ -80,22 +80,14 @@ object ApproxQueries {
     * the per-row mean absolute error with the SAME left-associated
     * index-order sum the zip_with/aggregate fold computes. */
   lazy val pqRoundtripSql: String = {
-    val m = 8
-    val subDim = VectorModel.EmbDim / m
-    def emb(s: Int)(j: Int) = s"CAST(e.embedding[${s * subDim + j + 1}] AS DOUBLE)"
-    def cb(j: Int) = s"cb.v$j"
-    val encD = (0 until m)
-      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cb, subDim)}")
-      .mkString("CASE cb.s ", " ", " END")
+    import PqOracleSql.{cbCte, encD, m, subDim}
     val reconCols = (for { s <- 0 until m; j <- 0 until subDim } yield
       s"max(CASE WHEN s = $s THEN v$j END) AS r${s * subDim + j}")
       .mkString(",\n    ")
     val absSum = (0 until VectorModel.EmbDim)
       .map(i => s"abs(CAST(e.embedding[${i + 1}] AS DOUBLE) - p.r$i)")
       .mkString(" + ")
-    s"""WITH cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
-       |    v0, v1, v2, v3, v4, v5, v6, v7
-       |  FROM ${OracleSidecars.sqlTable("pq_codebook")}),
+    s"""WITH $cbCte,
        |d AS (SELECT e.vec_id AS vec_id, cb.s AS s, cb.c AS c,
        |    cb.v0 AS v0, cb.v1 AS v1, cb.v2 AS v2, cb.v3 AS v3,
        |    cb.v4 AS v4, cb.v5 AS v5, cb.v6 AS v6, cb.v7 AS v7,
@@ -755,22 +747,32 @@ object ApproxQueries {
     * strict `<`), computes the query LUT entry of each chosen centroid
     * the same way, and scores −(((l0+l1)+…)+l7) in subspace order
     * ([[graft.functions.AdcKernel.score]]'s accumulation). */
-  lazy val annPqAdcTopKSql: String = {
+  /** Shared scaffolding of the PLAIN-PQ oracles (the codebook sidecar
+    * schema, the per-(row, codeword) encode distance with its strict-<
+    * ties-to-lower-code argmin base, and the subspace-ordered sum) — ONE
+    * definition so the ADC and roundtrip mirrors cannot drift. */
+  private object PqOracleSql {
     val m = 8
-    val subDim = VectorModel.EmbDim / m
+    val subDim: Int = VectorModel.EmbDim / m
     def emb(s: Int)(j: Int) = s"CAST(e.embedding[${s * subDim + j + 1}] AS DOUBLE)"
-    def cb(j: Int) = s"cb.v$j"
+    def cbv(j: Int) = s"cb.v$j"
+    val cbCte: String =
+      s"""cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
+         |    v0, v1, v2, v3, v4, v5, v6, v7
+         |  FROM ${OracleSidecars.sqlTable("pq_codebook")})""".stripMargin
+    val encD: String = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cbv, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val lSum: String = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
+  }
+
+  lazy val annPqAdcTopKSql: String = {
+    import PqOracleSql._
     def q(s: Int)(j: Int) = OracleSql.lit(VectorModel.AnnQuery(s * subDim + j))
-    val encD = (0 until m)
-      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cb, subDim)}")
-      .mkString("CASE cb.s ", " ", " END")
     val lutD = (0 until m)
-      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(q(s), cb, subDim)}")
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(q(s), cbv, subDim)}")
       .mkString("CASE cb.s ", " ", " END")
-    val lSum = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
-    s"""WITH cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
-       |    v0, v1, v2, v3, v4, v5, v6, v7
-       |  FROM ${OracleSidecars.sqlTable("pq_codebook")}),
+    s"""WITH $cbCte,
        |d AS (SELECT e.vec_id AS vec_id, cb.s AS s, cb.c AS c,
        |    $encD AS enc_d,
        |    $lutD AS lut_d
@@ -906,9 +908,6 @@ object ApproxQueries {
       bq, VectorModel.AnnQuery, 20, BinRerank, "vec_id", "embedding")
   }
 
-  /** Term-for-term mirror of the two-stage binary path: pack corpus AND
-    * query bits against the midrange CTE, Hamming-cut to [[BinRerank]]
-    * with the same (ham asc, id asc) tie-break, exact-cosine re-rank. */
   /** Midrange threshold / packed-word fragments of the binary-codec
     * mirrors — ONE definition shared by the single-query and batch
     * oracles. */
@@ -924,6 +923,9 @@ object ApproxQueries {
   }
   private val BinWords = (VectorModel.EmbDim + 31) / 32
 
+  /** Term-for-term mirror of the two-stage binary path: pack corpus AND
+    * query bits against the midrange CTE, Hamming-cut to [[BinRerank]]
+    * with the same (ham asc, id asc) tie-break, exact-cosine re-rank. */
   val annBinTopKSql: String = {
     val codeWords = (0 until BinWords)
       .map(w => s"${binWordSql(OracleSql.listElem("embedding"), w)} AS b$w")
@@ -977,13 +979,16 @@ object ApproxQueries {
     s"""WITH ${OracleSql.sqMinMaxCte("embedding", "embeddings", VectorModel.EmbDim)},
        |codes AS (
        |  SELECT vec_id,
-       |  $codeWords,
-       |  $queryWords
+       |  $codeWords
        |  FROM embeddings CROSS JOIN m),
+       |qw AS (
+       |  SELECT
+       |  $queryWords
+       |  FROM m),
        |qs AS (SELECT unnest(generate_series(0, ${nq - 1})) AS query_id),
        |hams AS (SELECT qs.query_id AS query_id, codes.vec_id AS vec_id,
        |    $hamCase AS ham
-       |  FROM codes CROSS JOIN qs),
+       |  FROM codes CROSS JOIN qw CROSS JOIN qs),
        |cand AS (SELECT query_id, vec_id FROM (
        |  SELECT query_id, vec_id,
        |    row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, vec_id ASC) AS hrn
@@ -1078,7 +1083,14 @@ object ApproxQueries {
     * `while (cum < minCandidates || i < minProbes)` loop, with cluster
     * sizes re-derived in SQL from the re-derived assignment), filtered
     * or not, single-query or per-query-partitioned. ONE definition so
-    * the six mirrors cannot drift. */
+    * the six mirrors cannot drift.
+    *
+    * KNOWN near-copies: the embeddings-family mirrors ([[annIvfTopKSql]],
+    * [[IvfPqOracleSql]] and its big-batch probe window) re-instantiate
+    * the assignment/probe shapes at table=embeddings, dim=64. A
+    * (table, idCol, dim, sidecar) parameterization would fold them in;
+    * deferred deliberately — every instance is hash-gate verified at
+    * three SFs, which bounds the drift risk the folding would remove. */
   private object IvfOracleSql {
     private val d = VectorModel.Dim
     private def vE(i: Int) = s"a.v$i"
@@ -1263,9 +1275,10 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** The two hash-gated entries of this module (see the scaladoc above for
-    * why the rest are spec-gated): SQ8's affine codec and the binary
-    * midrange-sign codec — both closed-form. */
+  /** The hash-gated entries of this module (see the module scaladoc):
+    * the SQ8/binary codecs (single and batch), the plain-PQ ADC +
+    * roundtrip, and the full IVF and IVF-PQ serving families via the
+    * [[OracleSidecars]] two-step oracle. */
   val oracleSql: Map[String, String] = Map(
     "ann_sq_topk" -> annSqTopKSql,
     "ann_bin_topk" -> annBinTopKSql,
