@@ -94,11 +94,49 @@ object AnnQueries {
     val emb = VectorModel.embeddings(spark, dir)
       .withColumn("embedding", col("embedding").cast("array<double>"))
     val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+    // the SAME seeded fit ann_ivf_topk publishes — repair no-op usually
+    ApproxQueries.publishCentroidsFlat(spark, "ivf_centroids_emb", dir, model.centroids)
     graft.index.Ivf.knnJoin(emb, model, 3, nProbes = 2,
       vecCol = "embedding", idCol = "vec_id")
       .withColumnRenamed("query_id", "vec_id")
       .withColumnRenamed("id", "neighbor_id")
       .orderBy("vec_id", "rn")
+  }
+
+  /** HASH-GATE of [[ivfKnnJoin]] GIVEN the published embeddings-family
+    * centroids: every row's top-2 probe clusters (centroid cosine, ties
+    * to the lower id), candidates = the re-derived assignment of the
+    * probed clusters minus self, raw-cosine rank to k=3, rounded output
+    * — the approximate k-NN SELF-join re-derived end to end. */
+  lazy val ivfKnnJoinSql: String = {
+    val d = VectorModel.EmbDim
+    def cE(i: Int) = s"cent.c$i"
+    def qE(i: Int) = OracleSql.listElem("q.embedding")(i)
+    def dE(i: Int) = OracleSql.listElem("e.embedding")(i)
+    s"""WITH cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+       |  FROM ${OracleSidecars.sqlTable("ivf_centroids_emb")}),
+       |asg AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT a.vec_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${OracleSql.l2sq(cE, i => OracleSql.listElem("a.embedding")(i), d)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM embeddings a CROSS JOIN cent) WHERE arn = 1),
+       |pr AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT q.vec_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${OracleSql.cosineCols(cE, qE, d)} DESC, cent.cluster_id ASC) AS prn
+       |  FROM embeddings q CROSS JOIN cent) WHERE prn <= 2),
+       |sc AS (SELECT p.vec_id AS vec_id, a2.vec_id AS neighbor_id,
+       |    ${OracleSql.cosineCols(qE, dE, d)} AS sim_raw
+       |  FROM pr p
+       |    JOIN asg a2 ON a2.cluster_id = p.cluster_id AND a2.vec_id <> p.vec_id
+       |    JOIN embeddings q ON q.vec_id = p.vec_id
+       |    JOIN embeddings e ON e.vec_id = a2.vec_id)
+       |SELECT vec_id, neighbor_id, round(sim_raw, 6) AS sim, rn FROM (
+       |  SELECT vec_id, neighbor_id, sim_raw,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, neighbor_id ASC) AS rn
+       |  FROM sc)
+       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
   }
 
   /** List length each retriever contributes to the fusion. */
@@ -214,5 +252,6 @@ object AnnQueries {
     "ann_hybrid_rrf" -> hybridRrfSql,
     "ann_brute_topk" -> bruteTopKSql,
     "ann_keyword_topk" -> keywordAnnSql,
-    "ann_knn_join" -> knnJoinSql)
+    "ann_knn_join" -> knnJoinSql,
+    "ann_ivf_knn_join" -> ivfKnnJoinSql)
 }

@@ -144,7 +144,7 @@ object ApproxQueries {
 
   /** Flat (cluster_id, c0..c{dim−1}) sidecar of a centroid table — the
     * IVF-family oracle input at any dimensionality. */
-  private def publishCentroidsFlat(spark: SparkSession, name: String,
+  private[queries] def publishCentroidsFlat(spark: SparkSession, name: String,
       dir: String, centroids: Array[Array[Double]]): Unit =
     OracleSidecars.publish(spark, name, dir) {
       import org.apache.spark.sql.Row
@@ -639,18 +639,174 @@ object ApproxQueries {
     * point (recall ≥ 0.7 at ≤ 0.4 scanned) and stored==in-memory parity. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
+    publishLshPlanes(spark, dir, model) // repair no-op unless dir switched / root lost
     LshAnn.searchStoredAdaptive(lshFrame(spark, path), model,
       VectorModel.AnnQuery, 20, lshSizes(spark, dir),
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim")
   }
 
+  /** Shared SQL scaffolding of the sign-LSH oracles — GIVEN the published
+    * plane/bias sidecar, the collected serving paths are closed-form:
+    * per-row bucket bits (`v·p > bias` — an order-free INTEGER sum of
+    * 1<<b terms), query margins (`p·q − bias`: IEEE-commutative dot, so
+    * one mirror serves both sides), the ≤[[LshAnn.MaxFlips]]-bit mask
+    * enumeration ranked per table by (summed |margin| of flipped bits,
+    * mask) and truncated to maxProbesPerTable, the cross-table merge
+    * ordered by (cost, table, bucket) with the candidate-mass stop —
+    * taken iff per-table head OR the plain cumulative size of preceding
+    * stream entries is under the budget (equivalent to the engine's
+    * taken-only accumulation: before the budget crossing every entry IS
+    * taken, and after it the cumulative only grows) — the pointer-dedup
+    * candidate union, and the rounded-cosine re-rank. */
+  private object LshOracleSql {
+    val d: Int = VectorModel.EmbDim
+    val bits = 10 // LshAnn.DefaultBits — the layout's build parameter
+    val maxFlips: Int = LshAnn.MaxFlips
+    val maxProbesPerTable: Int = LshAnn.DefaultProbes
+    private def pE(i: Int) = s"pl.p$i"
+    private def eE(i: Int) = OracleSql.listElem("e.embedding")(i)
+
+    val plCte: String =
+      s"""pl AS (SELECT CAST(t AS INTEGER) AS t, CAST(b AS INTEGER) AS b, bias,
+         |    ${(0 until d).map(j => s"p$j").mkString(", ")}
+         |  FROM ${OracleSidecars.sqlTable("lsh_planes")})""".stripMargin
+
+    /** Per-(row, table) data bucket + per-(table, bucket) sizes — the
+      * re-derived layout state. */
+    val rbCtes: String =
+      s"""rb AS (SELECT e.vec_id AS vec_id, pl.t AS t,
+         |    CAST(sum(CASE WHEN ${OracleSql.dot(eE, pE, d)} > pl.bias
+         |      THEN (1 << pl.b) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.t),
+         |sz AS (SELECT t, bucket, count(*) AS sz FROM rb GROUP BY t, bucket)""".stripMargin
+
+    /** Margins of `qe` against every (table, bit) plane. Emits `(qkey, t,
+      * b, mg)` — `qkeySel` supplies the per-query key columns (empty for
+      * the single-query mirror). */
+    def qmgCte(qkeySel: String, from: String, mgExpr: String): String =
+      s"""qmg AS (SELECT $qkeySel pl.t AS t, pl.b AS b, $mgExpr AS mg
+         |  FROM $from)""".stripMargin
+
+    /** The walk from margins to probed (t, bucket): query bucket, margin
+      * pivot, mask enumeration, per-table (cost, mask) rank cut, merged
+      * (cost, t, bucket) cumulative-mass stop. `pby` partitions every
+      * window by the query key (empty string for single-query). */
+    def walkCtes(qkey: String, budget: Long): String = {
+      val pby = if (qkey.isEmpty) "" else s"PARTITION BY $qkey "
+      val qsel = if (qkey.isEmpty) "" else s"$qkey, "
+      val costExpr = (0 until bits)
+        .map(b => s"CASE WHEN (m >> $b) & 1 = 1 THEN abs(mg$b) ELSE 0 END")
+        .mkString(" + ")
+      val wqsel = if (qkey.isEmpty) "" else s"withb.$qkey AS $qkey, "
+      s"""qb AS (SELECT ${qsel}t,
+         |    CAST(sum(CASE WHEN mg > 0 THEN (1 << b) ELSE 0 END) AS INTEGER) AS qb
+         |  FROM qmg GROUP BY ${qsel}t),
+         |mgp AS (SELECT ${qsel}t,
+         |    ${(0 until bits).map(b => s"max(CASE WHEN b = $b THEN mg END) AS mg$b").mkString(", ")}
+         |  FROM qmg GROUP BY ${qsel}t),
+         |stream AS (SELECT ${if (qkey.isEmpty) "" else s"mgp.$qkey AS $qkey, "}mgp.t AS t, ms.m AS m,
+         |    ($costExpr) AS cost
+         |  FROM mgp CROSS JOIN (
+         |    SELECT CAST(unnest(generate_series(0, ${(1 << bits) - 1})) AS INTEGER) AS m) ms
+         |  WHERE bit_count(ms.m) <= $maxFlips),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (PARTITION BY ${qsel}t ORDER BY cost ASC, m ASC) AS rr
+         |  FROM stream),
+         |withb AS (SELECT ${if (qkey.isEmpty) "" else s"r.$qkey AS $qkey, "}r.t AS t,
+         |    xor(qb.qb, r.m) AS bucket, r.cost AS cost, r.rr AS rr
+         |  FROM (SELECT * FROM ranked WHERE rr <= $maxProbesPerTable) r
+         |    JOIN qb ON qb.t = r.t${if (qkey.isEmpty) "" else s" AND qb.$qkey = r.$qkey"}),
+         |merged AS (SELECT ${wqsel}withb.t AS t, withb.bucket AS bucket, withb.rr AS rr,
+         |    coalesce(sum(coalesce(sz.sz, 0)) OVER (${pby}ORDER BY withb.cost ASC, withb.t ASC, withb.bucket ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |  FROM withb LEFT JOIN sz ON sz.t = withb.t AND sz.bucket = withb.bucket),
+         |probed AS (SELECT ${qsel}t, bucket FROM merged WHERE rr = 1 OR cumb < $budget)""".stripMargin
+    }
+  }
+
+  /** HASH-GATE of [[annLshTopK]] — the single-query adaptive stored
+    * serve at budget 35·20 = 700 ([[LshOracleSql]]). */
+  lazy val annLshTopKSql: String = {
+    import LshOracleSql._
+    val mgExpr = s"(${OracleSql.dot(i => s"pl.p$i", i => OracleSql.lit(VectorModel.AnnQuery(i)), d)} - pl.bias)"
+    s"""WITH $plCte,
+       |$rbCtes,
+       |${qmgCte("", "pl", mgExpr)},
+       |${walkCtes("", 700L)},
+       |cand AS (SELECT DISTINCT rb.vec_id AS vec_id
+       |  FROM rb JOIN probed p ON p.t = rb.t AND p.bucket = rb.bucket)
+       |SELECT e.vec_id AS vec_id,
+       |  round(${OracleSql.cosineConst(OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)}, 6) AS sim
+       |FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id
+       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** HASH-GATE of [[annLshBatchTopK]] — the 3-query literal family at
+    * budget 140·5 = 700; per-query walks partitioned by query_id, the
+    * aggregator ranks the ROUNDED sim like the batch path. */
+  lazy val annLshBatchTopKSql: String = {
+    import LshOracleSql._
+    val qs = annBatchQueries(3)
+    val mgCase = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN (${OracleSql.dot(i => s"pl.p$i", i => OracleSql.lit(q(i)), d)} - pl.bias)"
+    }.mkString("CASE qs.query_id ", " ", " END")
+    val simCase = qs.map { case (qid, q) =>
+      s"WHEN $qid THEN round(${OracleSql.cosineCols(i => OracleSql.listElem("e.embedding")(i), i => OracleSql.lit(q(i)), d)}, 6)"
+    }.mkString("CASE c.query_id ", " ", " END")
+    s"""WITH $plCte,
+       |$rbCtes,
+       |qs AS (SELECT unnest(generate_series(0, ${qs.size - 1})) AS query_id),
+       |${qmgCte("qs.query_id AS query_id,", "pl CROSS JOIN qs", mgCase)},
+       |${walkCtes("query_id", 700L)},
+       |cand AS (SELECT DISTINCT p.query_id AS query_id, rb.vec_id AS vec_id
+       |  FROM rb JOIN probed p ON p.t = rb.t AND p.bucket = rb.bucket)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    $simCase AS sim,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY $simCase DESC, e.vec_id ASC) AS rn
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id)
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** HASH-GATE of [[lshBigBatchTopK]] — the margin-ranked ADAPTIVE
+    * big-batch walk at budget 234·3 = 702: the LshProbeKernel's walk is
+    * the collected walk verbatim (same per-table (cost, mask) rank cut,
+    * same merged (cost, table, bucket) order, same taken rule), and the
+    * query set is DATA rows (every 16th embedding), so the margin terms
+    * are pure column references; the serve's pointer-dedup candidates
+    * re-rank by the pre-rounded cosine. */
+  lazy val annLshBigBatchTopKSql: String = {
+    import LshOracleSql._
+    def qvE(i: Int) = s"CAST(qv.qemb[${i + 1}] AS DOUBLE)"
+    val mgExpr = s"(${OracleSql.dot(i => s"pl.p$i", qvE, d)} - pl.bias)"
+    s"""WITH $plCte,
+       |$rbCtes,
+       |qv AS (SELECT vec_id AS query_id, embedding AS qemb
+       |  FROM embeddings WHERE vec_id % 16 = 0),
+       |${qmgCte("qv.query_id AS query_id,", "pl CROSS JOIN qv", mgExpr)},
+       |${walkCtes("query_id", 702L)},
+       |cand AS (SELECT DISTINCT p.query_id AS query_id, rb.vec_id AS vec_id
+       |  FROM rb JOIN probed p ON p.t = rb.t AND p.bucket = rb.bucket)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    round(${OracleSql.cosineCols(i => OracleSql.listElem("e.embedding")(i), qvE, d)}, 6) AS sim,
+       |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |      round(${OracleSql.cosineCols(i => OracleSql.listElem("e.embedding")(i), qvE, d)}, 6) DESC,
+       |      e.vec_id ASC) AS rn
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |    JOIN qv ON qv.query_id = c.query_id)
+       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+  }
+
   /** S4 for sign-LSH over the persisted layout: the whole query set in ONE
     * job — the union of every query's probed (table, bucket) dirs prunes
     * the scan ([[graft.index.LshAnn.batchSearchStored]]); per-query
-    * candidate semantics equal the single-query stored path (spec-gated). */
+    * candidate semantics equal the single-query stored path. */
   def annLshBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
+    publishLshPlanes(spark, dir, model) // repair no-op unless dir switched / root lost
     // overscan 140 at k=5 = the same 700-row candidate-mass target as the
     // single-query default (35·20): LSH recall tracks MASS, not k (the
     // DevLshTune k=10/k=20 curves coincide at equal mass — RECALL.md
@@ -676,8 +832,31 @@ object ApproxQueries {
       // the ~L·2^bits partition dirs (~5 s at sf0.1) — amortized build
       // work, not per-query serving work
       lshFrame(spark, s"$p/t")
+      // the oracle's plane/bias sidecar is build-time state like the layout
+      publishLshPlanes(spark, dir, model)
       (s"$p/t", model)
     })
+
+  /** The LSH oracle's sidecar: every (table, bit) hyperplane with its
+    * bias — L·numBits rows of (t, b, bias, p0..p{dim−1}). */
+  private def publishLshPlanes(spark: SparkSession, dir: String,
+      model: LshAnn.LshTables): Unit =
+    OracleSidecars.publish(spark, "lsh_planes", dir) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val dim = VectorModel.EmbDim
+      val schema = StructType(
+        Seq(StructField("t", IntegerType, nullable = false),
+          StructField("b", IntegerType, nullable = false),
+          StructField("bias", DoubleType, nullable = false)) ++
+          (0 until dim).map(j => StructField(s"p$j", DoubleType, nullable = false)))
+      val rows = for {
+        t <- model.planes.indices
+        b <- model.planes(t).indices
+      } yield Row.fromSeq(t +: b +: model.biases(t)(b) +: model.planes(t)(b).toSeq)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    }
 
   private val lshLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, LshAnn.LshTables)]()
@@ -1266,6 +1445,7 @@ object ApproxQueries {
     * the recall driver the DevLshTune grids showed is mass, not k). */
   def lshBigBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val (path, model) = lshLayout(spark, dir)
+    publishLshPlanes(spark, dir, model) // repair no-op unless dir switched / root lost
     val qdf = VectorModel.embeddings(spark, dir)
       .where(pmod(col("vec_id"), lit(16)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -1294,7 +1474,10 @@ object ApproxQueries {
     "pq_roundtrip" -> pqRoundtripSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
     "ann_ivfpq_batch_topk" -> annIvfPqBatchTopKSql,
-    "ann_ivfpq_bigbatch" -> annIvfPqBigBatchTopKSql)
+    "ann_ivfpq_bigbatch" -> annIvfPqBigBatchTopKSql,
+    "ann_lsh_topk" -> annLshTopKSql,
+    "ann_lsh_batch_topk" -> annLshBatchTopKSql,
+    "ann_lsh_bigbatch" -> annLshBigBatchTopKSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),

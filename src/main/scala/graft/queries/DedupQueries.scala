@@ -458,6 +458,10 @@ object DedupQueries {
     embPairLayoutCache.computeIfAbsent(dir, _ => {
       val emb = VectorModel.embeddings(spark, dir)
       val (_, model) = graft.index.Ivf.fit(emb, vecCol = "embedding", idCol = "vec_id")
+      // the SAME seeded fit the ann entries publish — the bucketed-pair
+      // oracles read it back (build-time write, repair no-op at serves)
+      ApproxQueries.publishCentroidsFlat(spark, "ivf_centroids_emb", dir,
+        model.centroids)
       val p = graft.store.Fs.scratchDir(spark, "graft_emb_pairs") + "/pairs"
       Dedup.embeddingNearDupPairsBucketed(emb, model,
         "vec_id", "embedding", 0.4, nProbes = 4)
@@ -559,6 +563,67 @@ object DedupQueries {
   def embeddingIvf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(embPairLayout(spark, dir))
       .orderBy("da", "db")
+
+  /** Pair mirror of [[Dedup.embeddingNearDupPairsBucketed]] GIVEN the
+    * published embeddings-family centroids (the SAME seeded fit the
+    * layout build runs): per-row top-4 probe clusters (centroid cosine,
+    * ties to the lower id), members from the re-derived assignment,
+    * exact cosine ≥ 0.4 on the RAW sim, canonical (da < db) + distinct —
+    * cosine is exactly symmetric in IEEE, so both orientations collapse
+    * to identical rows. No ORDER BY: [[embeddingIvfSql]] adds it;
+    * [[semanticIvfSql]] nests this under the reachability closure. */
+  private lazy val embeddingIvfPairsSql: String = {
+    val d = VectorModel.EmbDim
+    def cE(i: Int) = s"cent.c$i"
+    def qaE(i: Int) = s"CAST(qa.embedding[${i + 1}] AS DOUBLE)"
+    def qbE(i: Int) = s"CAST(qb.embedding[${i + 1}] AS DOUBLE)"
+    def rowE(alias: String)(i: Int) = s"CAST($alias.embedding[${i + 1}] AS DOUBLE)"
+    s"""WITH cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+       |  FROM ${OracleSidecars.sqlTable("ivf_centroids_emb")}),
+       |asg AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT a.vec_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${OracleSql.l2sq(cE, rowE("a"), d)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM embeddings a CROSS JOIN cent) WHERE arn = 1),
+       |pr AS (SELECT vec_id, cluster_id FROM (
+       |  SELECT q.vec_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${OracleSql.cosineCols(cE, rowE("q"), d)} DESC, cent.cluster_id ASC) AS prn
+       |  FROM embeddings q CROSS JOIN cent) WHERE prn <= 4),
+       |cp AS (SELECT pa, pb, sim_raw FROM (
+       |  SELECT p.vec_id AS pa, m.vec_id AS pb,
+       |    ${OracleSql.cosineCols(qaE, qbE, d)} AS sim_raw
+       |  FROM pr p
+       |    JOIN asg m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.vec_id
+       |    JOIN embeddings qa ON qa.vec_id = p.vec_id
+       |    JOIN embeddings qb ON qb.vec_id = m.vec_id)
+       |  WHERE sim_raw >= ${OracleSql.lit(0.4)})
+       |SELECT DISTINCT least(pa, pb) AS da, greatest(pa, pb) AS db,
+       |  round(sim_raw, 6) AS sim
+       |FROM cp""".stripMargin
+  }
+
+  lazy val embeddingIvfSql: String =
+    s"""SELECT da, db, sim FROM ($embeddingIvfPairsSql)
+       |ORDER BY da, db""".stripMargin
+
+  /** HASH-GATE of [[semanticKeepersBucketed]]: the IVF-bucketed pair
+    * mirror nested under the same reachability closure as
+    * [[semanticKeepersSql]] — the whole label-free composition
+    * (learned blocking, exact cosines, components, keeper flags)
+    * value-compared. */
+  lazy val semanticIvfSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT da, db FROM ($embeddingIvfPairsSql)),
+       |edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT v AS vec_id, min(r) AS component,
+       |  CAST(CASE WHEN v = min(r) THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
 
   /** Edit-distance fuzzy matching (entity-resolution shape): part-name
     * pairs at Levenshtein ≤ [[FuzzyMaxDist]], blocked on
@@ -695,5 +760,7 @@ object DedupQueries {
     "dd_incremental_lsh" -> incrementalLshSql,
     "dd_simhash" -> simhashPairsSql,
     "dd_embedding_cosine" -> embeddingCosineSql,
-    "dd_semantic_keepers" -> semanticKeepersSql)
+    "dd_semantic_keepers" -> semanticKeepersSql,
+    "dd_embedding_ivf" -> embeddingIvfSql,
+    "dd_semantic_ivf" -> semanticIvfSql)
 }
