@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Arm sidecar publishing + dataset-keyed sidecar root BEFORE any
+    // query runs: the oracle SQL dumped below embeds that root, and the
+    // queries publish the artifacts it reads. Outside Verify, publishes
+    // are no-ops (see OracleSidecars).
+    graft.queries.OracleSidecars.enableFor(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

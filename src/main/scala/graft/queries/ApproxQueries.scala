@@ -1192,9 +1192,9 @@ object ApproxQueries {
   /** S4 with method=binary over the persisted code layout: ONE Hamming
     * scan for the whole query set ([[graft.pq.BinaryQuantizer.batchTopK]])
     * — the codes are read once per batch, like the IVF-PQ ADC batch.
-    * Batch==single parity is BinSpec-gated (so this entry is rows-only
-    * at the driver, per the module contract above — the single-query
-    * twin `ann_bin_topk` carries the hash gate for the codec). */
+    * Hash-gated itself via [[annBinBatchTopKSql]] (the whole-batch scan
+    * + rerank mirrored in SQL); batch==single parity additionally
+    * BinSpec-gated. */
   def annBinBatchTopK(spark: SparkSession, dir: String): DataFrame = {
     val bq = trainedBin(spark, dir)
     val codes = spark.read.parquet(binCodesLayout(spark, dir))

@@ -4,55 +4,108 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Two-step oracle support: a query whose semantics are exact GIVEN a
   * trained artifact (BPE merge table, PQ codebook, IVF centroids)
-  * publishes that artifact as a small parquet sidecar at a FIXED path,
+  * publishes that artifact as a small parquet sidecar at a KNOWN path,
   * and its DuckDB oracle reads the sidecar back with `read_parquet` —
   * so the closed-form half (encode walks, ADC arithmetic, probe ranking,
   * exact scoring) is hash-gated even though the training half is
   * iterative argmax and stays spec-gated.
   *
-  * The path must be fixed because oracle SQL is static text; that is
-  * sound under the Verify contract — the driver runs every query (which
-  * publishes the current dataset's artifacts), THEN the DuckDB compare,
-  * sequentially on one host — and each publish is keyed by dataset dir
-  * so repeated queries in one run write once. Artifacts are
+  * The path is resolved ONCE PER VERIFY RUN: [[enableFor]] (called by
+  * `graft.Verify.main` before any query runs) keys the root by a hash
+  * of the dataset dir and switches publishing on. Oracle SQL is
+  * generated AFTER the queries ran in the same JVM, so the embedded
+  * root always matches where that run's artifacts were published, and
+  * two concurrent Verify JVMs pointed at different datasets write to
+  * disjoint roots instead of clobbering each other. Artifacts are
   * model-registry sized (KBs–MBs: merge lists, codebooks, centroid
   * tables), never corpus-sized.
   *
-  * ONE ACTIVE VERIFIER PER ROOT: the root is host-global, so a second
-  * JVM running these queries concurrently against a DIFFERENT dataset
-  * would clobber the first's artifacts mid-compare. Sidecar-consuming
-  * SQL is only ever evaluated by the Verify→compare cycle; other JVMs
-  * (tests, bench) merely publish, but a concurrent publisher is enough
-  * to corrupt a running compare — set GRAFT_ORACLE_SIDECAR_DIR to give
-  * such a JVM its own root (the generated SQL embeds whatever root the
-  * generating JVM saw, so the pair stays consistent). */
+  * PUBLISHING IS OFF outside a Verify run (or an explicit
+  * `GRAFT_PUBLISH_SIDECARS=1`): bench and test JVMs call the same
+  * publish hooks as repair no-ops, but nothing is written — sidecars
+  * only matter to a Verify→DuckDB compare, and the write cost
+  * otherwise lands in build/serving bench entries where it does not
+  * belong. */
 object OracleSidecars {
 
-  /** Spark-side write root == DuckDB-side read root (one host). The
-    * root is interpolated into single-quoted SQL, so a metacharacter in
-    * the override would silently corrupt every sidecar oracle — fail at
-    * first use with the reason instead. */
-  val Root: String = {
-    val r = sys.env.getOrElse(
-      "GRAFT_ORACLE_SIDECAR_DIR", "/tmp/graft_oracle_sidecar")
+  @volatile private var publishOn: Boolean =
+    sys.env.get("GRAFT_PUBLISH_SIDECARS").exists(v => v != "0" && v.nonEmpty)
+  @volatile private var datasetKey: String = ""
+
+  /** Arm sidecar publishing for a Verify run over `sfDir`: publishes
+    * flow, and the root gains a dataset-keyed subpath so concurrent
+    * verifiers over different datasets cannot clobber each other. MUST
+    * be called before the first query runs (the publish memo and any
+    * cached SQL would otherwise see the un-keyed root). */
+  def enableFor(sfDir: String): Unit = {
+    publishOn = true
+    // stable content-free key: the absolute dataset path's hex hash
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    datasetKey = f"ds_${scala.util.hashing.MurmurHash3.stringHash(abs)}%08x"
+  }
+
+  private def user: String = sys.props.getOrElse("user.name", "unknown")
+    .replaceAll("[^A-Za-z0-9_.-]", "_")
+
+  /** Our namespace dir: everything at or under it must be owned by us. */
+  private def base: String = sys.env.getOrElse("GRAFT_ORACLE_SIDECAR_DIR",
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_oracle_sidecar_$user")
+
+  /** Spark-side write root == DuckDB-side read root (one host). Default
+    * is per-user (a shared-host stranger who pre-owns it is detected at
+    * publish time, not silently written through) and, once [[enableFor]]
+    * ran, dataset-keyed. The root is interpolated into single-quoted
+    * SQL, so a metacharacter would silently corrupt every sidecar
+    * oracle — fail at first use with the reason instead. */
+  def root: String = {
+    val r = if (datasetKey.isEmpty) base else s"$base/$datasetKey"
     require(r.matches("[A-Za-z0-9/_.:-]+"),
-      s"GRAFT_ORACLE_SIDECAR_DIR '$r' contains characters unsafe to embed in oracle SQL " +
+      s"oracle sidecar root '$r' contains characters unsafe to embed in oracle SQL " +
         "(allowed: letters, digits, / _ . : -)")
     r
   }
 
   /** `read_parquet` fragment for oracle SQL. */
-  def sqlTable(name: String): String = s"read_parquet('$Root/$name/*.parquet')"
+  def sqlTable(name: String): String = s"read_parquet('$root/$name/*.parquet')"
 
   private val lastDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Publish `make` under `Root/name` unless this dataset dir's artifact
-    * is already there (keyed per name; re-published when the dataset
-    * changes or the sidecar vanished from disk). */
-  def publish(spark: SparkSession, name: String, dir: String)(make: => DataFrame): Unit =
-    lastDir.compute(name, (_, prev) => {
-      if (prev != dir || !graft.store.Fs.exists(spark, s"$Root/$name"))
-        make.coalesce(1).write.mode("overwrite").parquet(s"$Root/$name")
+  /** Publish `make` under `root/name` unless publishing is disarmed (the
+    * non-Verify default) or this dataset dir's artifact is already there
+    * (keyed per (root, name); re-published when the dataset changes or
+    * the sidecar vanished from disk). Refuses a namespace pre-owned by
+    * another user: on a shared host that is an artifact-swap hazard, not
+    * a directory to reuse. */
+  def publish(spark: SparkSession, name: String, dir: String)(make: => DataFrame): Unit = {
+    if (!publishOn) return
+    val r = root
+    lastDir.compute(s"$r/$name", (_, prev) => {
+      if (prev != dir || !graft.store.Fs.exists(spark, s"$r/$name")) {
+        requireOwnedByUs()
+        make.coalesce(1).write.mode("overwrite").parquet(s"$r/$name")
+      }
       dir
     })
+  }
+
+  /** Fail loudly if any EXISTING path component at or under [[base]]
+    * belongs to someone else — a pre-owned path in a world-writable
+    * /tmp lets a stranger swap artifacts between publish and compare.
+    * Only local paths are checkable; non-local roots (hdfs:, s3a:) are
+    * the cluster admin's ACL problem and pass through. */
+  private def requireOwnedByUs(): Unit = {
+    val b = base
+    if (b.contains(":")) return // non-local filesystem URI
+    val me = sys.props.getOrElse("user.name", "")
+    // deepest existing path at-or-above base; ownership matters only if
+    // that survivor is base itself or below (ancestors like /tmp are
+    // legitimately world-owned)
+    var p = java.nio.file.Paths.get(root)
+    while (p != null && !java.nio.file.Files.exists(p)) p = p.getParent
+    if (p != null && p.toString.startsWith(b)) {
+      val owner = java.nio.file.Files.getOwner(p).getName
+      require(owner == me,
+        s"oracle sidecar path '$p' is owned by '$owner', not '$me' — refusing to publish into it")
+    }
+  }
 }
