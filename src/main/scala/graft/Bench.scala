@@ -93,6 +93,10 @@ object Bench {
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
+    ("build_quality_model", Set("tx_quality_model"),
+      // hashed-feature LR fit on the planted fixture sample; the serving
+      // entry times SCORING under the quantized weights, not training
+      (s, d) => { queries.TextQueries.qualityModel(s, d); () }),
     ("build_bpe_model", Set("tx_bpe_corpus_vocab", "tx_bpe_stats_trained"),
       // one wordcount shuffle + driver-side merge learning; the serving
       // entry times ENCODING under the learned model, not training

@@ -1049,7 +1049,73 @@ object TextQueries {
        |  FROM docw d JOIN final f ON f.w = d.w)
        |GROUP BY token ORDER BY count DESC, token ASC LIMIT 25""".stripMargin
 
+  // ---- learned quality classifier -------------------------------------
+
+  /** Trained-and-quantized quality model for a dataset dir
+    * ([[graft.text.QualityModel.train]] — hashed-unigram logistic
+    * regression on the planted reversed-text fixture), memoized like
+    * every other layout build; a Bench build step. The weight sidecar
+    * publish lands here (build-time state); the serving entry re-calls
+    * it as a cheap repair no-op. */
+  private[graft] def qualityModel(spark: SparkSession, dir: String)
+      : graft.text.QualityModel.Model =
+    qualityModelCache.computeIfAbsent(dir, _ => {
+      val m = graft.text.QualityModel.train(VectorModel.documents(spark, dir))
+      publishQualityWeights(spark, dir, m)
+      m
+    })
+
+  private def publishQualityWeights(spark: SparkSession, dir: String,
+      m: graft.text.QualityModel.Model): Unit =
+    OracleSidecars.publish(spark, "quality_weights", dir) {
+      import spark.implicits._
+      (m.wq.toSeq.zipWithIndex.map { case (wq, b) => (b, wq) } :+
+        (-1, m.bq)).toDF("bucket", "wq")
+    }
+
+  private val qualityModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.text.QualityModel.Model]()
+
+  /** HASH-GATED learned quality score over every document: the quantized
+    * logit `(bq + Σ_token wq[bucket(tok)] / n) / 1e6` and its 0/1 gate.
+    * Training is spec-gated (QualityModelSpec: held-out separation);
+    * GIVEN the published weight sidecar the serve is exact closed-form
+    * arithmetic that [[qualityModelSql]] mirrors term-for-term — the
+    * SQ8/PQ-ADC two-step oracle pattern applied to model-based corpus
+    * curation. */
+  def qualityModelScores(spark: SparkSession, dir: String): DataFrame = {
+    val m = qualityModel(spark, dir)
+    publishQualityWeights(spark, dir, m) // repair no-op unless dir switched / root lost
+    graft.text.QualityModel.score(
+      VectorModel.documents(spark, dir).select("doc_id", "text"), m)
+  }
+
+  /** DuckDB mirror of [[qualityModelScores]] GIVEN the published weights:
+    * same md5 bucket hash, integer weight sum (order-free), and the same
+    * three fixed-order double ops. Lazy so the sidecar root is resolved
+    * at dump time. */
+  lazy val qualityModelSql: String = {
+    val d = graft.text.QualityModel.D
+    val logit = "(CAST(b.bq AS DOUBLE) + CAST(d.dot AS DOUBLE)/CAST(d.n AS DOUBLE))" +
+      s" / ${OracleSql.lit(graft.text.QualityModel.Scale)}"
+    s"""WITH w AS (SELECT CAST(bucket AS INTEGER) AS bucket, CAST(wq AS BIGINT) AS wq
+       |  FROM ${OracleSidecars.sqlTable("quality_weights")}),
+       |t AS (SELECT doc_id, n,
+       |    ('0x'||substr(md5(tok),1,15))::BIGINT % $d AS bucket
+       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS n,
+       |      unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)),
+       |d AS (SELECT t.doc_id AS doc_id, t.n AS n, sum(w.wq) AS dot
+       |  FROM t JOIN w USING (bucket) GROUP BY t.doc_id, t.n),
+       |b AS (SELECT wq AS bq FROM w WHERE bucket = -1)
+       |SELECT d.doc_id AS doc_id,
+       |  $logit AS logit,
+       |  CAST(CASE WHEN $logit > CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+       |FROM d CROSS JOIN b ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_quality_model" -> (qualityModelScores _),
     "tx_bpe_stats" -> (bpeStats _),
     "tx_bpe_stats_trained" -> (bpeStatsTrained _),
     "tx_bpe_corpus_vocab" -> (bpeCorpusVocab _),
@@ -1078,6 +1144,7 @@ object TextQueries {
     "tx_langid" -> (langId _))
 
   val oracleSql: Map[String, String] = Map(
+    "tx_quality_model" -> qualityModelSql,
     "tx_bpe_stats" -> bpeStatsSql,
     "tx_bpe_stats_trained" -> bpeStatsTrainedSql,
     "tx_bpe_corpus_vocab" -> bpeCorpusVocabSql,
