@@ -407,6 +407,55 @@ object PipelineQueries {
        |  ((start + n - 1) // $PackCap) - (start // $PackCap) + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** FFD bin capacity — sized so a bin holds ~4–5 of this corpus's docs
+    * (10–100 tokens), i.e. the packing decisions are non-trivial. */
+  val FfdCap = 256
+
+  /** Document-boundary first-fit-decreasing packing
+    * ([[graft.operators.SeqPack.ffdPack]]): per doc its (shard, bin)
+    * context-window assignment under FFD at [[FfdCap]] tokens — the
+    * padding-cutting twin of [[pack]] for trainers that never split a
+    * document. HASH-GATED: the shard-local greedy walk is mirrored in
+    * DuckDB as a recursive CTE over each shard's count-descending doc
+    * list carrying the open-bin remainder list (the unrolled-greedy
+    * oracle pattern); padding ≤ sequential-greedy and capacity/integrity
+    * invariants are SeqPackSpec-gated. */
+  def packFfd(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SeqPack.ffdPack(
+        VectorModel.documents(spark, dir), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), FfdCap, PackShards)
+      .orderBy("doc_id")
+
+  val packFfdSql: String =
+    s"""WITH RECURSIVE
+       |t AS (
+       |  SELECT doc_id, shard, n,
+       |    row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id ASC) AS rnk
+       |  FROM (
+       |    SELECT doc_id, CAST(h % $PackShards AS INTEGER) AS shard,
+       |      least(CAST(len(string_split(text, ' ')) AS BIGINT),
+       |        CAST($FfdCap AS BIGINT)) AS n
+       |    FROM (SELECT doc_id, text, ${packHashSql("doc_id")} AS h
+       |          FROM documents))),
+       |r AS (
+       |  SELECT shard, rnk, doc_id, n, CAST(0 AS BIGINT) AS bin,
+       |    [CAST($FfdCap AS BIGINT) - n] AS bins
+       |  FROM t WHERE rnk = 1
+       |  UNION ALL
+       |  SELECT shard, rnk, doc_id, n,
+       |    CASE WHEN fit IS NULL OR fit = 0 THEN CAST(len(bins0) AS BIGINT)
+       |         ELSE CAST(fit AS BIGINT) - 1 END AS bin,
+       |    CASE WHEN fit IS NULL OR fit = 0
+       |         THEN list_append(bins0, CAST($FfdCap AS BIGINT) - n)
+       |         ELSE bins0[1:fit-1] || [bins0[fit] - n] || bins0[fit+1:]
+       |    END AS bins
+       |  FROM (
+       |    SELECT t.shard AS shard, t.rnk AS rnk, t.doc_id AS doc_id,
+       |      t.n AS n, r.bins AS bins0,
+       |      list_position(list_transform(r.bins, b -> b >= t.n), true) AS fit
+       |    FROM r JOIN t ON t.shard = r.shard AND t.rnk = r.rnk + 1))
+       |SELECT doc_id, n, shard, bin FROM r ORDER BY doc_id""".stripMargin
+
   /** The window-placement manifest ([[graft.operators.SeqPack.spans]]):
     * one row per (doc, window) with the occupied token range — what a
     * sharded export writer joins against its window slice. */
@@ -630,6 +679,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_pack_spans" -> (packSpans _),
+    "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
     "pipe_temperature_mix" -> (temperatureMix _),
@@ -643,6 +693,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "pipe_pack_spans" -> packSpansSql,
+    "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,
     "pipe_temperature_mix" -> temperatureMixSql,
