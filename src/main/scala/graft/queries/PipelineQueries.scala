@@ -645,6 +645,76 @@ object PipelineQueries {
        |  max(threshold) AS threshold
        |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  /** Repetition cap for [[epochMix]] — no source repeats more than this
+    * many epochs however light it is (the UniMax budget guard). */
+  val EpochCap = 4.0
+
+  /** UniMax-shape epoch mixing: where [[temperatureMix]] DOWNSAMPLES
+    * heavy sources, this UPSAMPLES light ones by repetition — source s
+    * gets rate_s = min([[EpochCap]], sqrt(mass_max / mass_s)) ≥ 1 epochs
+    * of its docs, so the heaviest source passes through exactly once and
+    * light sources repeat up to the cap. The scaled threshold
+    * T_s = floor(rate_s · [[MixBuckets]]) EXCEEDS the bucket range
+    * (threshold > 1 in rate units); doc copy r ∈ {0,1,…} is emitted iff
+    * r·MixBuckets + bucket < T_s, i.e. the doc's deterministic
+    * repetition count is ceil((T_s − bucket) / MixBuckets) — full epochs
+    * plus one fractional epoch admitted by the SAME md5 bucket the
+    * temperature mix uses. Everything is exact integer / single-rounded
+    * IEEE arithmetic, mirrored term-for-term by [[epochMixSql]].
+    *
+    * Scale shape: identical to [[temperatureMix]] — one bounded
+    * per-source aggregate broadcast back onto the scan, pure-expression
+    * repetition counts, one final bounded per-source report. The
+    * duplicate emission itself is a `sequence()` explode a training
+    * exporter would fuse with the shard write; the registered entry
+    * reports the per-source emission ledger. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = VectorModel.documents(spark, dir)
+    val mass = docs.groupBy("source").agg(sum("n_chars").as("mass"))
+    val rates = mass
+      .withColumn("mmax", max("mass").over(Window.partitionBy()))
+      .select(col("source"),
+        floor(least(
+            sqrt(col("mmax").cast("double") / col("mass").cast("double")),
+            lit(EpochCap))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .withColumn("n_copies", expr(
+        s"CASE WHEN threshold > bucket THEN (threshold - bucket + ${MixBuckets - 1}) DIV $MixBuckets ELSE 0 END"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_copies").as("n_emitted"),
+        max("n_copies").as("max_rep"),
+        max("threshold").as("threshold"))
+      .orderBy("source")
+  }
+
+  lazy val epochMixSql: String =
+    s"""WITH m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+       |           FROM documents GROUP BY source),
+       |r AS (SELECT source,
+       |        CAST(floor(least(sqrt(CAST((SELECT max(mass) FROM m) AS DOUBLE) / CAST(mass AS DOUBLE)),
+       |          CAST('$EpochCap' AS DOUBLE)) * ${MixBuckets}.0) AS BIGINT) AS threshold
+       |      FROM m),
+       |b AS (SELECT d.source, r.threshold,
+       |        ('0x' || substr(md5(d.doc_id::VARCHAR || '$MixSalt'), 1, 15))::BIGINT % $MixBuckets AS bucket
+       |      FROM documents d JOIN r USING (source)),
+       |c AS (SELECT source, threshold,
+       |        CASE WHEN threshold > bucket
+       |             THEN (threshold - bucket + ${MixBuckets - 1}) // $MixBuckets
+       |             ELSE 0 END AS n_copies
+       |      FROM b)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_copies) AS BIGINT) AS n_emitted,
+       |  CAST(max(n_copies) AS BIGINT) AS max_rep,
+       |  max(threshold) AS threshold
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** EPOCH-ordered batch twin of the incremental temperature mix
     * ([[graft.streaming.StreamingIngest.temperatureMixIngestBatch]]):
     * epoch e's docs are accepted against thresholds computed from the
@@ -683,6 +753,7 @@ object PipelineQueries {
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
     "pipe_temperature_mix" -> (temperatureMix _),
+    "pipe_epoch_mix" -> (epochMix _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
@@ -697,6 +768,7 @@ object PipelineQueries {
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,
     "pipe_temperature_mix" -> temperatureMixSql,
+    "pipe_epoch_mix" -> epochMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,

@@ -187,6 +187,40 @@ class TrancheSpec extends SparkSpec {
     }
   }
 
+  test("epochMix: heaviest passes once, cap holds, mass within fractional slack") {
+    val mix = PipelineQueries.epochMix(spark, Sf0001)
+    val rows = mix.collect() // (source, n_docs, n_emitted, max_rep, threshold)
+    val B = PipelineQueries.MixBuckets
+    val mass = graft.model.VectorModel.documents(spark, Sf0001)
+      .groupBy("source").agg(sum("n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heaviest = mass.maxBy(_._2)._1
+    rows.foreach { r =>
+      val (nDocs, nEmit, maxRep, thr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // repetition cap: no doc repeats past EpochCap epochs
+      assert(maxRep <= PipelineQueries.EpochCap.toLong,
+        s"${r.getString(0)}: max_rep $maxRep over cap")
+      assert(thr >= B, s"upsampling thresholds are >= one full epoch, got $thr")
+      // mass conservation: emitted count brackets rate*n_docs — every doc
+      // emits floor(thr/B) or ceil(thr/B) copies
+      assert(nEmit >= (thr / B) * nDocs && nEmit <= ((thr + B - 1) / B) * nDocs,
+        s"${r.getString(0)}: $nEmit outside [${(thr / B) * nDocs}, ${((thr + B - 1) / B) * nDocs}]")
+    }
+    // heaviest-source identity: rate exactly 1.0 -> exactly one copy of
+    // every doc, no repetition
+    val hr = rows.find(_.getString(0) == heaviest).get
+    assert(hr.getLong(4) === B)
+    assert(hr.getLong(2) === hr.getLong(1))
+    assert(hr.getLong(3) === 1L)
+    // lighter sources repeat at least as much: thresholds antitone in mass
+    val byMass = rows.sortBy(r => mass(r.getString(0)))
+    byMass.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo.getLong(4) >= hi.getLong(4))
+      case _ =>
+    }
+  }
+
   test("lshIncrementalPairs: delta matches corpus dups only, never delta-delta") {
     val docs = Seq(
       // 0/1 identical (0 = delta, 1 = corpus) -> must match at est 1.0
