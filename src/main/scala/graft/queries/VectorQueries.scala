@@ -162,6 +162,43 @@ object VectorQueries {
        |SELECT category, count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
        |FROM v WHERE NOT (category = 'N') GROUP BY category ORDER BY category""".stripMargin
 
+  /** Keyed bulk MERGE ([[VectorStore.merge]]): one delta batch carrying
+    * updates (category := 'M' for id % 5 = 0 excluding deletes), deletes
+    * (id % 7 = 0), and inserts (fresh ids −id−1 with category 'I' for
+    * id % 11 = 0), applied in a single anti-join + union pass; the merged
+    * table's per-category aggregate is mirrored from base + delta
+    * predicates in SQL. The commit-marker landing of the same merge is
+    * CrudSpec-gated ([[VectorStore.mergeVersioned]]: no torn version
+    * visible across a crashed publish). */
+  def mergeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val base = VectorModel.lineitemVectors(spark, dir)
+    val updates = base
+      .where(pmod(col("id"), lit(5L)) === 0 && pmod(col("id"), lit(7L)) =!= 0)
+      .select(col("id"), col("vector"), lit("M").as("category"),
+        col("status"), lit("U").as("op"))
+    val deletes = base.where(pmod(col("id"), lit(7L)) === 0)
+      .select(col("id"), col("vector"), col("category"), col("status"),
+        lit("D").as("op"))
+    val inserts = base.where(pmod(col("id"), lit(11L)) === 0)
+      .select((-col("id") - 1).as("id"), col("vector"),
+        lit("I").as("category"), col("status"), lit("U").as("op"))
+    VectorStore.merge(base, updates.unionByName(deletes).unionByName(inserts))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("vector"), 1)).cast("long").as("sum_v0"))
+      .orderBy("category")
+  }
+
+  val mergeAggSql: String =
+    s"""WITH $vectorCte,
+       |merged AS (
+       |  SELECT v0, category FROM v
+       |  WHERE NOT (id % 7 = 0 OR (id % 5 = 0 AND id % 7 <> 0))
+       |  UNION ALL SELECT v0, 'M' FROM v WHERE id % 5 = 0 AND id % 7 <> 0
+       |  UNION ALL SELECT v0, 'I' FROM v WHERE id % 11 = 0)
+       |SELECT category, count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
+       |FROM merged GROUP BY category ORDER BY category""".stripMargin
+
   /** W3: update metadata (category := 'X' where status = 'O'), aggregate. */
   def updateAgg(spark: SparkSession, dir: String): DataFrame =
     VectorStore.update(
@@ -261,7 +298,8 @@ object VectorQueries {
     "vq_get_by_id" -> (getById _),
     "vq_insert_agg" -> (insertAgg _),
     "vq_delete_agg" -> (deleteAgg _),
-    "vq_update_agg" -> (updateAgg _))
+    "vq_update_agg" -> (updateAgg _),
+    "vq_merge_agg" -> (mergeAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "vq_brute_topk" -> bruteTopKSql,
@@ -274,5 +312,6 @@ object VectorQueries {
     "vq_get_by_id" -> getByIdSql,
     "vq_insert_agg" -> insertAggSql,
     "vq_delete_agg" -> deleteAggSql,
-    "vq_update_agg" -> updateAggSql)
+    "vq_update_agg" -> updateAggSql,
+    "vq_merge_agg" -> mergeAggSql)
 }

@@ -43,6 +43,45 @@ object VectorStore {
   def delete(data: DataFrame, pred: Column): DataFrame =
     data.where(!pred)
 
+  /** Keyed bulk MERGE — the daily-pipeline batch W3/W4's per-predicate
+    * copy-on-write doesn't cover: one delta table of keyed upserts and
+    * deletes applied in a single pass. `delta` carries `idCol` plus the
+    * payload columns and `opCol` ∈ {"U" (update-or-insert), "D" (delete)};
+    * unknown ops fail loudly at evaluation. Contract: at most one delta
+    * row per id (the batch compacter's job, not a scan here).
+    *
+    * result = base ⟕̸ delta-keys (left anti) ∪ delta's U-rows — so an id
+    * present in base updates, an absent one inserts, and a D-row removes.
+    * Scale shape: ONE anti join on the id (a daily delta is bounded, so
+    * AQE broadcasts it; at worst it is one hash shuffle), plus a union —
+    * no per-row driver work, no second base scan. */
+  def merge(base: DataFrame, delta: DataFrame, idCol: String = "id",
+      opCol: String = "op"): DataFrame = {
+    val checked = delta.withColumn(opCol,
+      when(col(opCol).isin("U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("unknown merge op: "), col(opCol)))))
+    base.join(checked.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(checked.where(col(opCol) === "U").drop(opCol))
+  }
+
+  /** [[merge]] landed as one commit-marker version on a
+    * [[VersionedLayout]] root: reads the live snapshot, applies the
+    * delta, publishes the result as the next version — readers keep the
+    * old snapshot until the marker lands, a crash mid-write leaves an
+    * uncommitted directory the next publish deletes (no torn version is
+    * ever visible), and the writer lock rejects a concurrent merge
+    * loudly. First merge on an empty root bootstraps from the delta's
+    * U-rows. Returns the committed version dir. */
+  def mergeVersioned(spark: SparkSession, root: String, delta: DataFrame,
+      idCol: String = "id", opCol: String = "op"): String =
+    VersionedLayout.publish(spark, root) { dir =>
+      val merged = VersionedLayout.currentDir(spark, root) match {
+        case Some(cur) => merge(spark.read.parquet(cur), delta, idCol, opCol)
+        case None => delta.where(col(opCol) === "U").drop(opCol)
+      }
+      merged.write.parquet(dir)
+    }
+
   /** W10 `save` (vervectordb/__init__.py:556-573): data → columnar files;
     * small model state (centroids, codebooks) is the caller's sidecar.
     * Parquet is the default (columnar, predicate/column pushdown); json/csv

@@ -86,4 +86,60 @@ class CrudSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(salted === direct)
   }
+
+  // ---- keyed bulk MERGE ------------------------------------------------
+
+  private def deltaRow(id: Long, v0: Double, cat: String, op: String) =
+    spark.range(1).select(lit(id).as("id"),
+      array(lit(v0) +: (1 until VectorModel.Dim).map(i => lit(i * 1.0)): _*)
+        .as("vector"),
+      lit(cat).as("category"), lit("Z").as("status"), lit(op).as("op"))
+
+  test("merge: upsert updates present ids, inserts absent, delete removes") {
+    val base = data.limit(0) // schema only
+      .unionByName(Seq(10L, 11L, 12L).map(i =>
+        newRow(i, 8).withColumn("category", lit("A"))).reduce(_ unionByName _))
+    val delta = deltaRow(11L, 5.0, "U1", "U") // update
+      .unionByName(deltaRow(99L, 6.0, "NEW", "U")) // insert
+      .unionByName(deltaRow(12L, 0.0, "-", "D")) // delete
+    val out = VectorStore.merge(base, delta).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(10L -> "A", 11L -> "U1", 99L -> "NEW"))
+  }
+
+  test("merge: unknown op fails loudly") {
+    val e = intercept[Exception] {
+      VectorStore.merge(data.limit(3), deltaRow(1L, 1.0, "X", "Q")).collect()
+    }
+    assert(e.getMessage.contains("unknown merge op"))
+  }
+
+  test("mergeVersioned: commit-marker landing, crash leaves no torn version") {
+    import graft.store.VersionedLayout
+    val root = s"/tmp/graft_merge_${java.util.UUID.randomUUID()}"
+    try {
+      // bootstrap: first merge on an empty root takes the delta's U-rows
+      val v0 = VectorStore.mergeVersioned(spark, root,
+        deltaRow(1L, 1.0, "A", "U").unionByName(deltaRow(2L, 2.0, "B", "U")))
+      assert(VersionedLayout.currentDir(spark, root) === Some(v0))
+      // crashed publish: the write throws AFTER producing files — the root
+      // must keep serving v0, with no marker on the torn dir
+      intercept[Exception] {
+        VectorStore.mergeVersioned(spark, root, deltaRow(3L, 3.0, "C", "Q"))
+      }
+      assert(VersionedLayout.currentDir(spark, root) === Some(v0),
+        "a torn merge version became visible")
+      val before = spark.read.parquet(v0).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(before === Map(1L -> "A", 2L -> "B"))
+      // recovery: the next good merge publishes over the torn leftovers
+      val v1 = VectorStore.mergeVersioned(spark, root,
+        deltaRow(2L, 9.0, "B2", "U").unionByName(deltaRow(1L, 0.0, "-", "D")))
+      assert(v1 !== v0)
+      assert(VersionedLayout.currentDir(spark, root) === Some(v1))
+      val after = spark.read.parquet(v1).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(after === Map(2L -> "B2"))
+    } finally graft.store.Fs.delete(spark, root)
+  }
 }
