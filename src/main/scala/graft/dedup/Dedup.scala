@@ -543,19 +543,60 @@ object Dedup {
     * natural corpora concentrates near-dup clusters (the pairs we want
     * anyway); a production budget tighter than 12/60 bits sharpens the
     * prune exponentially. */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 12, bits: Int = 60,
-      skewSalt: Int = 1): DataFrame = {
+  /** (doc, simhash, band, bv) pigeonhole band rows of a (doc, simhash)
+    * frame — the shared banding of [[simhashPairs]] and
+    * [[simhashIncrementalPairs]], so the two cannot drift. */
+  private def simhashBandRows(sh: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
     val nBands = maxHamming + 1
     val widths = Array.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     }
+    sh.select(col("doc"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+  }
+
+  /** Incremental pigeonhole pairs — the DELTA's fingerprints band-joined
+    * against the corpus state (which must INCLUDE the delta, so old↔new
+    * and new↔new pairs are both covered; union-over-deltas equals the
+    * batch [[simhashPairs]] set because every pair is discovered at the
+    * batch where its later endpoint arrives). Same completeness guarantee
+    * (exact for Hamming ≤ maxHamming), same opt-in salting shape as
+    * [[lshIncrementalPairs]]; per-batch cost is delta×corpus bucket rows,
+    * never corpus². Returns normalized `(da, db, hamming)`. */
+  def simhashIncrementalPairs(deltaSh: DataFrame, corpusSh: DataFrame,
+      maxHamming: Int = 12, bits: Int = 60, skewSalt: Int = 1): DataFrame = {
+    val dl0 = simhashBandRows(deltaSh, maxHamming, bits)
+    val cl0 = Par.spread(simhashBandRows(corpusSh, maxHamming, bits),
+      col("band"), col("bv"))
+    val (dl, cl, saltEq) =
+      if (skewSalt <= 1) (dl0, cl0, lit(true))
+      else {
+        val d = dl0.withColumn("salt",
+          explode(array((0 until skewSalt).map(lit(_)): _*)))
+        val c = Par.spread(
+          cl0.withColumn("salt", pmod(hash(col("doc")), lit(skewSalt))),
+          col("band"), col("bv"), col("salt"))
+        (d, c, col("a.salt") === col("b.salt"))
+      }
+    dl.hint("shuffle_hash").as("a").join(cl.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") =!= col("b.doc") && saltEq)
+      .select(least(col("a.doc"), col("b.doc")).as("da"),
+        greatest(col("a.doc"), col("b.doc")).as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 12, bits: Int = 60,
+      skewSalt: Int = 1): DataFrame = {
     // sh is a groupBy output: spread on the join keys — AQE would otherwise
     // coalesce it to one partition by bytes and serialize the band join.
     val bl = Par.spread(
-      sh.select(col("doc"), col("simhash"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bv"))),
+      simhashBandRows(sh, maxHamming, bits),
       col("band"), col("bv"))
     // same opt-in salting as the MinHash band join — one shared
     // implementation ([[saltedSelfJoin]]): a mass-duplicated fingerprint

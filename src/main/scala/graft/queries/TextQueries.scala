@@ -293,6 +293,43 @@ object TextQueries {
        |  END AS rare_frac
        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** EPOCH-ordered batch twin of the incremental bigram-rarity scorer
+    * ([[graft.streaming.StreamingIngest.bigramRarityIngestBatch]]):
+    * epoch e's docs are scored against the CUMULATIVE corpus bigram
+    * counts through e — earlier epochs' scores are FROZEN (a doc is
+    * scored once, at arrival, the way a streaming curation gate scores
+    * it), and a single-epoch input degenerates to exactly
+    * [[bigramRarity]]. The cumulative counts are a per-gram window
+    * cumsum over the bounded per-(gram, epoch) aggregate; each doc's
+    * grams join the cum row of the doc's own epoch (which exists — the
+    * doc itself contributed to it). */
+  private[graft] def bigramRarityEpochs(docs: DataFrame,
+      epochCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.withColumn("epoch", epochCol.cast("long"))
+    val grams = graft.store.CacheRegistry.cached(
+      d.where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), col("epoch"),
+          explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram")))
+    val cum = grams.groupBy("gram", "epoch").agg(count(lit(1)).as("n"))
+      .withColumn("cn", sum("n").over(
+        Window.partitionBy("gram").orderBy("epoch")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = grams.join(cum.hint("shuffle_hash"), Seq("gram", "epoch"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cn") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
+    d.select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_frac",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(round(col("n_rare").cast("double") /
+            col("n_bigrams").cast("double"), 6)))
+  }
+
   /** RAG chunking parameters: 32-token windows, stride 16 (50% overlap). */
   val ChunkSize = 32
   val ChunkStride = 16

@@ -427,6 +427,109 @@ object StreamingIngest {
     } finally rows.unpersist() // a retried write must not leak cached blocks
   }
 
+  /** Streaming twin of the bigram-rarity scorer
+    * ([[graft.queries.TextQueries.bigramRarity]]) — the daily-increment
+    * shape: each micro-batch (1) lands its per-gram bigram counts in
+    * `grams/batch=<id>`, (2) re-derives the CUMULATIVE corpus counts
+    * through this batch, and (3) scores the DELTA docs only against
+    * them — prior batches' scores are FROZEN (a doc is scored once, at
+    * arrival, like a streaming curation gate scores it), landing in
+    * `scores/batch=<id>`. Grown scores equal the epoch-ordered batch
+    * twin ([[graft.queries.TextQueries.bigramRarityEpochs]],
+    * StreamingSpec-gated).
+    *
+    * Scale shape: only the delta pays the explode; the cumulative count
+    * re-aggregate shuffles the gram state (corpus-growing — never
+    * broadcast, exactly like the batch operator's count table; a
+    * production deployment compacts `grams/` periodically so the scan
+    * stays one merged table). Both writes are idempotent per-batch
+    * overwrites; the cumulative read takes batches ≤ id, so a replay
+    * computes identical scores. */
+  def bigramRarityIngest(docs: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bigramRarityIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def bigramRarityIngestBatch(batch: DataFrame,
+      statePath: String, batchId: Long): Unit = {
+    import graft.queries.TextQueries.RareBigramMin
+    val spark = batch.sparkSession
+    val rows = batch.select("doc_id", "text").cache()
+    // two consumers of the delta grams (count write + probe join): cache,
+    // and release both in finally so a retried write leaks no blocks
+    val grams = rows.where(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram"))
+      .cache()
+    try {
+      grams.groupBy("gram").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$statePath/grams/batch=$batchId")
+      val counts = spark.read.parquet(s"$statePath/grams")
+        .where(col("batch") <= batchId)
+        .groupBy("gram").agg(sum("n").as("cn"))
+      val perDoc = grams.join(counts.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cn") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
+      rows.select(col("doc_id"))
+        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+        .withColumn("rare_frac",
+          when(col("n_bigrams") === 0L, lit(0.0))
+            .otherwise(round(col("n_rare").cast("double") /
+              col("n_bigrams").cast("double"), 6)))
+        .write.mode("overwrite").parquet(s"$statePath/scores/batch=$batchId")
+    } finally { grams.unpersist(); rows.unpersist() }
+  }
+
+  /** Streaming twin of image perceptual-hash dedup
+    * ([[graft.dedup.Dedup.imageNearDupPairs]]) over a stream of
+    * `(doc_id, payload)` raster blobs — the arrival shape of an image
+    * firehose: per micro-batch (1) ONLY the delta pays the decode+dHash
+    * cost, its 64-bit hashes landing in `hash/batch=<id>` (hash bands
+    * append per batch exactly like the MinHash signature bands), and
+    * (2) the delta band-joins the read-back hash state — corpus-so-far
+    * INCLUDING the batch — via the complete Hamming-pigeonhole join
+    * ([[graft.dedup.Dedup.simhashIncrementalPairs]], bits = 64), pairs
+    * landing in `pairs/batch=<id>`. Union-over-batches equals the batch
+    * pair set (every pair is discovered when its later endpoint
+    * arrives; StreamingSpec-gated), and both writes are idempotent
+    * per-batch overwrites, so replays neither duplicate pairs nor
+    * re-hash history. */
+  def imagePhashIngest(images: DataFrame, statePath: String,
+      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    images.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imagePhashIngestBatch(batch, statePath, maxHamming, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def imagePhashIngestBatch(batch: DataFrame,
+      statePath: String, maxHamming: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hashPath = s"$statePath/hash"
+    // cache populates on the write action; the band join re-reads it
+    val batchHash = batch.select(col("doc_id").as("doc"),
+        graft.functions.MediaExpressions.dhash(col("payload")).as("simhash"))
+      .cache()
+    try {
+      batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
+      graft.dedup.Dedup.simhashIncrementalPairs(
+          batchHash, spark.read.parquet(hashPath).drop("batch"),
+          maxHamming, bits = 64)
+        .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
+    } finally batchHash.unpersist()
+  }
+
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
     * ([[graft.queries.PipelineQueries.curationFilter]]): quality floor +
     * per-language deterministic stratified sampling over a document

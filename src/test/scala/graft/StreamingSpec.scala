@@ -935,6 +935,116 @@ class StreamingSpec extends SparkSpec {
       "replay must not change any decision")
   }
 
+  test("streaming bigram rarity: frozen prior scores, grown state equals the epoch twin") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_bgstream").toString
+    (0 until 3).foreach(i =>
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.bigramRarityIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    val scores = spark.read.parquet(s"$base/state/scores").cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_bigrams", "n_rare", "rare_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(scores.count() === docs.count())
+    // grown scores == the epoch-ordered batch twin on the stream's batches
+    val epochOfDoc = scores.select(col("doc_id"), col("batch").cast("long").as("e"))
+    val twin = graft.queries.TextQueries.bigramRarityEpochs(
+      docs.join(epochOfDoc, "doc_id"), col("e"))
+    assert(rows(scores) === rows(twin))
+    // frozen prefix: batch-0 scores equal the batch operator over batch-0
+    // docs alone (counts-so-far = batch 0's own counts)
+    val b0ids = scores.where(col("batch") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val solo = graft.queries.TextQueries.bigramRarityEpochs(
+      docs.where(col("doc_id").isInCollection(b0ids)), lit(0L))
+    assert(rows(scores.where(col("batch") === 0)) === rows(solo),
+      "earlier batches' scores must be frozen under later arrivals")
+    // later docs see the grown counts: some doc scored in a later batch
+    // must differ from what a solo scoring of its batch would give
+    // (otherwise the cumulative read is not actually cumulative)
+    val lastB = scores.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = scores.where(col("batch") === lastB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lastSolo = graft.queries.TextQueries.bigramRarityEpochs(
+      docs.where(col("doc_id").isInCollection(lastIds)), lit(0L))
+    assert(rows(scores.where(col("batch") === lastB)) !== rows(lastSolo),
+      "last batch's scores should reflect the grown corpus counts")
+    // replay idempotence: re-running the last batch changes nothing
+    val before = rows(scores)
+    val gramRows = spark.read.parquet(s"$base/state/grams").count()
+    scores.unpersist()
+    StreamingIngest.bigramRarityIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state", lastB)
+    assert(rows(spark.read.parquet(s"$base/state/scores")) === before,
+      "replay must not change any score")
+    assert(spark.read.parquet(s"$base/state/grams").count() === gramRows,
+      "replay must not grow the gram state")
+  }
+
+  test("streaming image phash: accumulated pair log equals the batch pair join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the MultimodalSpec planted fixture: 20 base rasters, each with a
+    // 3-byte-perturbed near-dup twin; ids interleave across batches so
+    // pairs straddle batch boundaries
+    val planted = (0 until 20).flatMap { g =>
+      val b = graft.multimodal.MediaCodec.encodeBmp(32 + g % 5, 24 + g % 3, 1000L + g * 7)
+      val t = b.clone()
+      Seq(0, 1, 2).foreach(j => t(54 + 31 * j + g) = (t(54 + 31 * j + g) ^ 0x11).toByte)
+      Seq((2L * g, b), (2L * g + 1, t))
+    }
+    val images = planted.toDF("doc_id", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_phstream").toString
+    (0 until 3).foreach(i =>
+      images.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.imagePhashIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("da", "db", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = pairs(spark.read.parquet(s"$base/state/pairs"))
+    val batch = graft.dedup.Dedup
+      .imageNearDupPairs(images, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain image near-duplicates")
+    // pairs straddle micro-batch boundaries (endpoints in different batches)
+    assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 })
+    // only the delta is ever hashed: hash state has one row per image
+    assert(spark.read.parquet(s"$base/state/hash").count() === images.count())
+    // replay idempotence on the last batch
+    val hashState = spark.read.parquet(s"$base/state/hash")
+    val lastB = hashState.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = hashState.where(col("batch") === lastB)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val (hashRows, pairRows) = (hashState.count(),
+      spark.read.parquet(s"$base/state/pairs").count())
+    StreamingIngest.imagePhashIngestBatch(
+      images.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      maxHamming = 3, batchId = lastB)
+    assert(spark.read.parquet(s"$base/state/hash").count() === hashRows)
+    assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "replay must leave the pair set intact")
+  }
+
   test("streaming minhash dedup: accumulated pair log equals the batch self-join") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.VectorModel.documents(spark, Sf0001)
