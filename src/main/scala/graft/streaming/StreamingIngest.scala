@@ -279,7 +279,11 @@ object StreamingIngest {
     * statePath — the checkpoint and the state travel together. */
   def minhashDedupIngest(docs: DataFrame, statePath: String,
       checkpoint: String, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): StreamingQuery =
+      threshold: Double = 0.5): StreamingQuery = {
+    // upgrade guard: a pre-v2 flat state dir would otherwise surface as
+    // Spark's generic "Conflicting directory structures" at first read
+    requireNoFlatLegacyState(docs.sparkSession, s"$statePath/sig")
+    requireNoFlatLegacyState(docs.sparkSession, s"$statePath/pairs")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         minhashIngestBatch(batch, statePath, numHashes, bands, threshold,
@@ -288,6 +292,26 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Upgrade guard for batch-partitioned state dirs: pre-v2 builds wrote
+    * flat data files directly under the dir, which the v2 `batch=<id>`
+    * layout cannot coexist with (Spark partition discovery fails with the
+    * generic "Conflicting directory structures"). Detect the legacy shape
+    * at stream start and fail with the actionable message instead. */
+  private def requireNoFlatLegacyState(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, dir)
+    if (fs.exists(p)) {
+      val flat = fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      require(flat.isEmpty,
+        s"legacy flat (v1) state files found directly under $dir (e.g. " +
+          s"${flat.head.getPath.getName}): this build keeps batch-partitioned " +
+          "(v2) state. Either migrate the flat files into a batch=-1 " +
+          s"subdirectory of $dir, or point the stream AND its checkpoint at " +
+          "a fresh statePath.")
+    }
+  }
 
   private[graft] def minhashIngestBatch(batch: DataFrame, statePath: String,
       numHashes: Int, bands: Int, threshold: Double, batchId: Long): Unit = {
@@ -869,12 +893,15 @@ object StreamingIngest {
     * lost sidecar), else (-1, 0) for a fresh layout.
     *
     * The self-heal trusts the newest visible `batch=N` dir only when the
-    * dir is PROVABLY complete — either it carries the Hadoop `_SUCCESS`
-    * job-commit marker, or the engine's own [[PackBatchEndFile]] record
-    * is present AND the dir's max(start+n) equals the recorded end (the
-    * record survives `marksuccessfuljobs=false` deployments, where no
-    * `_SUCCESS` is ever written; the equality rejects a dir whose tail
-    * file was lost mid-commit). A crash can leave `batch=N` visible but
+    * dir is PROVABLY complete: its surviving rows must TILE the batch's
+    * token range — prior batches' end + sum(n) over the dir equals the
+    * batch end — AND either the Hadoop `_SUCCESS` job-commit marker or
+    * the engine's own [[PackBatchEndFile]] record (which survives
+    * `marksuccessfuljobs=false` deployments) attests the intended end.
+    * The record equality rejects a dir whose TAIL file was lost
+    * mid-commit; the sum identity rejects a lost MIDDLE file, which
+    * leaves max(start+n) intact and would otherwise read as complete
+    * even under `_SUCCESS` (post-commit loss). A crash can leave `batch=N` visible but
     * partially committed (interrupted job commit, v2 committer); with
     * the sidecar also gone and neither proof holding, the heal claims
     * lastBatchId = N−1 with the total re-derived from the earlier batches
@@ -914,17 +941,28 @@ object StreamingIngest {
       val layout = spark.read.parquet(layoutPath)
       val maxB = layout.agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
         .head.getLong(0)
-      def newestDataEnd: Long = layout
-        .where(col("batch").cast("long") === maxB)
-        .agg(coalesce(max(col("start") + col("n")), lit(-1L))).head.getLong(0)
-      val newestComplete = fs.exists(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS")) ||
+      // one pass: the newest batch's surviving end + token sum, and the
+      // prior batches' end (= the newest batch's pack base)
+      val isNew = col("batch").cast("long") === maxB
+      val st = layout.agg(
+        coalesce(max(when(isNew, col("start") + col("n"))), lit(-1L)),
+        coalesce(sum(when(isNew, col("n"))), lit(0L)),
+        coalesce(max(when(!isNew, col("start") + col("n"))), lit(0L))).head
+      val (dataEnd, sumN, prior) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val expectedEnd = if (dataEnd == -1L) prior else dataEnd // empty batch
+      // COMPLETENESS = the batch's surviving rows TILE its token range:
+      // prior + sum(n) must equal the end (a lost MIDDLE file shrinks the
+      // sum but not the max, a lost TAIL file shrinks both — the record
+      // equality catches the tail, the sum identity catches the middle;
+      // _SUCCESS alone does not survive post-commit file loss, so the sum
+      // identity guards that path too)
+      val tiles = expectedEnd == prior + sumN
+      val newestComplete = tiles && (
+        fs.exists(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS")) ||
         readLongFile(spark, s"$layoutPath/batch=$maxB/$PackBatchEndFile")
-          .exists(_ == newestDataEnd)
-      val committedThrough = if (newestComplete) maxB else maxB - 1
-      val base = layout.where(col("batch").cast("long") <= committedThrough)
-        .agg(coalesce(max(col("start") + col("n")), lit(0L))).head.getLong(0)
-      (committedThrough, base)
+          .exists(_ == expectedEnd))
+      if (newestComplete) (maxB, expectedEnd) else (maxB - 1, prior)
     } else (-1L, 0L)
   }
 

@@ -840,6 +840,47 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
   }
 
+  test("pack self-heal rejects a batch dir that lost a MIDDLE file post-commit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-built layout so the file split is deterministic: batch=0
+    // committed whole; batch=1 written as TWO files whose spans tile
+    // [100, 160), with the engine record present — then the EARLIER file
+    // is lost, so max(start+n) still equals the record (the tail
+    // survives) and only the sum-tiling identity can reject the dir
+    val base = java.nio.file.Files.createTempDirectory("graft_packmid").toString
+    val root = s"$base/pack"
+    Seq((0L, 0L, 100L)).toDF("doc_id", "start", "n")
+      .withColumn("seq", lit(0L)).withColumn("off", lit(0L))
+      .withColumn("n_seqs", lit(1L))
+      .coalesce(1).write.parquet(s"$root/batch=0")
+    Seq((1L, 100L, 30L)).toDF("doc_id", "start", "n")
+      .withColumn("seq", lit(0L)).withColumn("off", lit(100L))
+      .withColumn("n_seqs", lit(1L))
+      .coalesce(1).write.mode("append").parquet(s"$root/batch=1")
+    Seq((2L, 130L, 30L)).toDF("doc_id", "start", "n")
+      .withColumn("seq", lit(0L)).withColumn("off", lit(130L))
+      .withColumn("n_seqs", lit(1L))
+      .coalesce(1).write.mode("append").parquet(s"$root/batch=1")
+    val (fsH, pH) = graft.store.Fs.pathFs(spark, root)
+    val rec = fsH.create(new org.apache.hadoop.fs.Path(pH, "batch=1/_graft_batch_end"), true)
+    rec.write("160\n".getBytes("UTF-8")); rec.close()
+    // intact dir (no sidecar): provably complete through batch 1
+    assert(StreamingIngest.readPackState(spark, root) === ((1L, 160L)))
+    // lose the EARLIER file (rows with start=100): tail survives
+    val early = spark.read.parquet(s"$root/batch=1")
+      .select(input_file_name().as("f"), col("start"))
+      .where(col("start") === 100L).head.getString(0)
+    fsH.delete(new org.apache.hadoop.fs.Path(new java.net.URI(early)), false)
+    assert(spark.read.parquet(s"$root/batch=1")
+      .agg(max(col("start") + col("n"))).head.getLong(0) === 160L,
+      "fixture: the surviving tail must still reach the recorded end")
+    val (midId, midBase) = StreamingIngest.readPackState(spark, root)
+    assert(midId === 0L,
+      "a batch with a lost middle file must not read as provably complete")
+    assert(midBase === 100L, "the base must fall back to the prior batches' end")
+  }
+
   test("streaming shard shuffle: frozen prior positions, grown state equals the epoch twin") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.VectorModel.documents(spark, Sf0001)
@@ -1043,6 +1084,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows)
     assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
       "replay must leave the pair set intact")
+  }
+
+  test("minhash ingest refuses a legacy flat (v1) state dir with an actionable error") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mhlegacy").toString
+    // a v1 build's flat signature file directly under sig/
+    Seq((1L, 2L)).toDF("doc", "h0").coalesce(1)
+      .write.parquet(s"$base/state/sig")
+    graft.model.VectorModel.documents(spark, Sf0001).limit(1)
+      .write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .parquet(s"$base/in")
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.minhashDedupIngest(stream, s"$base/state", s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("legacy flat"), e.getMessage)
+    assert(e.getMessage.contains("batch=-1") && e.getMessage.contains("fresh statePath"),
+      "the error must name the migration options")
   }
 
   test("streaming minhash dedup: accumulated pair log equals the batch self-join") {
