@@ -51,19 +51,34 @@ object LshAnn {
   def withBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame =
     df.withColumn("lsh_bucket", bucketCol(col(vecCol), planes))
 
-  /** Query-side probe set: own bucket + Hamming-1 neighbors. */
-  def probeBuckets(query: Seq[Double], planes: Array[Array[Double]]): Seq[Int] = {
+  /** Query-side probe set: own bucket + every flip neighborhood up to
+    * Hamming `radius` (own, then 1-flips, then 2-flips). Radius 2 is the
+    * single-table serving default — at the table's few bits, Hamming-1
+    * leaves every double sign-flip near two hyperplanes unrecovered,
+    * which measured as base recall 0.50 on the embeddings corpus; the
+    * Hamming-2 ring recovers those at a measured scan-cost increase
+    * (RecallSpec gates recall AND logs the scanned fraction; production
+    * budgets use the multi-table adaptive walk instead). */
+  def probeBuckets(query: Seq[Double], planes: Array[Array[Double]],
+      radius: Int = 2): Seq[Int] = {
+    require(radius >= 1 && radius <= 2,
+      s"single-table probe radius is 1 or 2 (closed-form rings), got $radius")
+    val bits = planes.length
     val qb = planes.zipWithIndex.map { case (p, b) =>
       val dot = p.toSeq.zip(query).map { case (x, y) => x * y }.sum
       if (dot > 0.0) 1 << b else 0
     }.sum
-    qb +: planes.indices.map(b => qb ^ (1 << b))
+    val h1 = planes.indices.map(b => qb ^ (1 << b))
+    val h2 = for { a <- 0 until bits; b <- a + 1 until bits }
+      yield qb ^ (1 << a) ^ (1 << b)
+    if (radius == 1) qb +: h1 else (qb +: h1) ++ h2
   }
 
   /** Approximate top-k: probe buckets, exact search within. */
   def search(bucketed: DataFrame, planes: Array[Array[Double]], query: Seq[Double],
-      topK: Int, vecCol: String = "vector", idCol: String = "id"): DataFrame = {
-    val probes = probeBuckets(query, planes)
+      topK: Int, vecCol: String = "vector", idCol: String = "id",
+      radius: Int = 2): DataFrame = {
+    val probes = probeBuckets(query, planes, radius)
     val pruned = bucketed.where(col("lsh_bucket").isin(probes: _*))
     VectorSearch.bruteForceTopK(pruned, query, topK, None, vecCol, idCol)
   }

@@ -36,11 +36,12 @@ object PureProps extends Properties("graft.pure") {
       pq.decode(pq.encode(pqSample(i))).forall(x => x >= -2.5 && x <= 2.5)
     }
 
-  property("lsh probe set: own bucket + one flip each, all distinct, in range") =
-    forAll(vecGen, Gen.choose(2, 8)) { (q, bits) =>
+  property("lsh probe set: own bucket + flip rings, all distinct, in range") =
+    forAll(vecGen, Gen.choose(2, 8), Gen.choose(1, 2)) { (q, bits, radius) =>
       val planes = LshAnn.hyperplanes(bits, dim)
-      val probes = LshAnn.probeBuckets(q.toSeq, planes)
-      probes.size == bits + 1 && probes.distinct.size == probes.size &&
+      val probes = LshAnn.probeBuckets(q.toSeq, planes, radius)
+      val expected = 1 + bits + (if (radius == 2) bits * (bits - 1) / 2 else 0)
+      probes.size == expected && probes.distinct.size == probes.size &&
         probes.forall(b => b >= 0 && b < (1 << bits))
     }
 

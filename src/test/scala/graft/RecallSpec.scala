@@ -106,14 +106,27 @@ class RecallSpec extends SparkSpec {
     val exact = VectorSearch.bruteForceTopK(embeddings, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
-    val bucketed = LshAnn.withBuckets(embeddings, "embedding", planes)
+    val bucketed = LshAnn.withBuckets(embeddings, "embedding", planes).cache()
     val approx = LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
       vecCol = "embedding", idCol = "vec_id")
     val r = Recall.recallAtK(exact, approx, "vec_id")
-    info(s"LSH recall@20 = $r")
-    // probing 5/16 buckets scans ~31% of near-uniform data; LSH must beat
-    // that baseline to show the buckets correlate with cosine similarity
-    assert(r >= 0.35)
+    // the serving default (radius 2) must reach the ≥ 0.7 operating point
+    // — Hamming-1 measured 0.50 (DevLshBase: radius=1 recall 0.50 at 0.33
+    // scanned; radius=2 recall 0.78 at 0.68 scanned, sf0.01, 20 queries)
+    val probes = LshAnn.probeBuckets(VectorModel.AnnQuery, planes)
+    val scanned = bucketed.where(col("lsh_bucket").isin(probes: _*))
+      .count().toDouble / embeddings.count()
+    info(f"LSH recall@20 = $r (scanned fraction $scanned%.3f at radius 2)")
+    assert(r >= 0.7, s"single-table radius-2 recall $r below the operating point")
+    // and it must still beat its scanned fraction, or the buckets carry
+    // no signal beyond random subsampling
+    assert(r > scanned, s"recall $r does not beat scanned fraction $scanned")
+    // the radius-1 ring stays available for tight budgets
+    val r1 = Recall.recallAtK(exact,
+      LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
+        vecCol = "embedding", idCol = "vec_id", radius = 1), "vec_id")
+    info(s"LSH radius-1 recall@20 = $r1")
+    assert(r1 >= 0.35)
   }
 
   test("multi-table sign-LSH: mean recall@10 >= 0.7 at scanned fraction <= 0.4") {
