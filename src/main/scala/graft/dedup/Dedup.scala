@@ -568,10 +568,13 @@ object Dedup {
   def simhashIncrementalPairs(deltaSh: DataFrame, corpusSh: DataFrame,
       maxHamming: Int = 12, bits: Int = 60, skewSalt: Int = 1): DataFrame = {
     val dl0 = simhashBandRows(deltaSh, maxHamming, bits)
-    val cl0 = Par.spread(simhashBandRows(corpusSh, maxHamming, bits),
-      col("band"), col("bv"))
+    // spread the corpus side ONCE, on the branch's actual join keys — a
+    // spread-then-salt-then-respread would shuffle the corpus band rows
+    // twice (the salt Project blocks CollapseRepartition)
+    val cl0 = simhashBandRows(corpusSh, maxHamming, bits)
     val (dl, cl, saltEq) =
-      if (skewSalt <= 1) (dl0, cl0, lit(true))
+      if (skewSalt <= 1)
+        (dl0, Par.spread(cl0, col("band"), col("bv")), lit(true))
       else {
         val d = dl0.withColumn("salt",
           explode(array((0 until skewSalt).map(lit(_)): _*)))

@@ -16,10 +16,14 @@ import graft.search.VectorSearch
   * deterministic closed form, identical on any executor, nothing to
   * broadcast but the seed.
   *
-  * Search probes the query's bucket plus all buckets within Hamming
-  * distance 1 (sign flips near a hyperplane are the dominant error mode),
-  * then runs the exact operator inside the probed subset. Recall is gated
-  * in ScalaTest like the other approximate operators.
+  * Single-table search probes the query's bucket plus all buckets within
+  * Hamming distance 2 by default (sign flips near a hyperplane are the
+  * dominant error mode, and at few bits the double-flip ring is what
+  * lifts recall past 0.7 — see [[probeBuckets]]; radius 1 remains
+  * available for tight budgets), then runs the exact operator inside the
+  * probed subset. The production serving paths are the multi-table
+  * centered layouts below. Recall AND scanned fraction are gated in
+  * ScalaTest like the other approximate operators.
   */
 object LshAnn {
 

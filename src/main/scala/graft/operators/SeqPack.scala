@@ -145,50 +145,41 @@ object SeqPack {
     * Scale shape: FFD is inherently sequential, so the corpus is hash-
     * sharded first ([[packHash]] — the same seeded decorrelating order
     * the chunk pack uses) and FFD runs INDEPENDENTLY inside each shard as
-    * one keyed higher-order fold (`aggregate` over the shard's sorted
-    * (n, id) list — whole-stage-codegen, no UDF, one shuffle). Per-shard
-    * state is the open-bin remainder list (≤ shardTokens/cap longs), and
-    * `shards` is the boundedness knob: size it so a shard holds ~10⁵
-    * docs and a 100 TB corpus is thousands of independent folds, each
+    * one keyed imperative fold (`flatMapGroups` — genuine per-group
+    * sequential state is the documented case for dropping out of
+    * expressions; a Catalyst `aggregate` accumulator was tried first and
+    * copies the growing assignment array per element, O(docs²) per
+    * shard). Per-shard state is the shard's (n, id) list plus the
+    * open-bin remainders (≤ shardTokens/cap longs), and `shards` is the
+    * boundedness knob: size it so a shard holds ~10⁵ docs and a 100 TB
+    * corpus is thousands of independent linear folds, each
     * bin-quality-equivalent to global FFD up to the usual shard-boundary
-    * slack. Docs longer than `cap` are clamped to `cap` (truncation is
-    * the trainer's concern; placement stays deterministic). */
+    * slack. (The first-fit scan itself is O(open bins) per doc — the
+    * classical tree-over-remainders trick applies if a profile ever
+    * shows it.) Ids must be integral (the corpus key contract); docs
+    * longer than `cap` are clamped to `cap` (truncation is the trainer's
+    * concern; placement stays deterministic). */
   def ffdPack(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
       shards: Int = 32): DataFrame = {
-    val capL = lit(cap.toLong)
-    val base = df.select(col(idCol).as("doc"),
-        packHash(col(idCol)).as("h"),
-        least(nTokensCol.cast("long"), capL).as("n"))
-      .withColumn("shard", (col("h") % shards).cast("int"))
-    // (−n, doc, n): array_sort's lexicographic struct order = n desc, id asc
-    val items = array_sort(collect_list(struct(
-      (-col("n")).as("negn"), col("doc").as("doc"), col("n").as("n"))))
-    val folded = aggregate(
-      items,
-      struct(
-        array().cast("array<bigint>").as("bins"),
-        array().cast("array<struct<doc:bigint,n:bigint,bin:bigint>>").as("asg")),
-      (acc, x) => {
-        val n = x.getField("n")
-        val bins = acc.getField("bins")
-        // first-fit: 1-based index of the first bin with room, 0 if none
-        val fit = array_position(transform(bins, b => b >= n), lit(true))
-        val bin = when(fit === 0L, size(bins).cast("long"))
-          .otherwise(fit - 1L)
-        val newBins = when(fit === 0L, concat(bins, array(capL - n)))
-          .otherwise(concat(
-            slice(bins, lit(1), (fit - 1L).cast("int")),
-            array(element_at(bins, fit.cast("int")) - n),
-            slice(bins, (fit + 1L).cast("int"),
-              size(bins) - fit.cast("int"))))
-        struct(newBins.as("bins"),
-          concat(acc.getField("asg"), array(struct(
-            x.getField("doc").as("doc"), n.as("n"), bin.as("bin")))).as("asg"))
-      })
-    base.groupBy("shard").agg(folded.as("st"))
-      .select(col("shard"), explode(col("st.asg")).as("a"))
-      .select(col("a.doc").as(idCol), col("a.n").as("n"),
-        col("shard"), col("a.bin").as("bin"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capL = cap.toLong
+    df.select(col(idCol).cast("long").as("doc"),
+        (packHash(col(idCol)) % shards).cast("int").as("shard"),
+        least(nTokensCol.cast("long"), lit(capL)).as("n"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val items = it.toArray.sortBy { case (doc, _, n) => (-n, doc) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (doc, _, n) =>
+          val fit = bins.indexWhere(_ >= n)
+          val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
+            else { bins(fit) -= n; fit }
+          (doc, n, shard, bin.toLong)
+        }
+      }
+      .toDF(idCol, "n", "shard", "bin")
   }
 
   /** The exploded window-placement map — one row per (doc, window) pair

@@ -57,12 +57,18 @@ object VectorStore {
     * no per-row driver work, no second base scan. */
   def merge(base: DataFrame, delta: DataFrame, idCol: String = "id",
       opCol: String = "op"): DataFrame = {
-    val checked = delta.withColumn(opCol,
-      when(col(opCol).isin("U", "D"), col(opCol))
-        .otherwise(raise_error(concat(lit("unknown merge op: "), col(opCol)))))
+    val checked = checkedOps(delta, opCol)
     base.join(checked.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(checked.where(col(opCol) === "U").drop(opCol))
   }
+
+  /** The delta with its op column validated at evaluation — shared by
+    * [[merge]] and [[mergeVersioned]]'s bootstrap so an unknown op fails
+    * loudly on EVERY path, never silently drops. */
+  private def checkedOps(delta: DataFrame, opCol: String): DataFrame =
+    delta.withColumn(opCol,
+      when(col(opCol).isin("U", "D"), col(opCol))
+        .otherwise(raise_error(concat(lit("unknown merge op: "), col(opCol)))))
 
   /** [[merge]] landed as one commit-marker version on a
     * [[VersionedLayout]] root: reads the live snapshot, applies the
@@ -77,7 +83,8 @@ object VectorStore {
     VersionedLayout.publish(spark, root) { dir =>
       val merged = VersionedLayout.currentDir(spark, root) match {
         case Some(cur) => merge(spark.read.parquet(cur), delta, idCol, opCol)
-        case None => delta.where(col(opCol) === "U").drop(opCol)
+        case None =>
+          checkedOps(delta, opCol).where(col(opCol) === "U").drop(opCol)
       }
       merged.write.parquet(dir)
     }

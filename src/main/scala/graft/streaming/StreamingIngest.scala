@@ -322,9 +322,14 @@ object StreamingIngest {
       batch, "doc_id", "text", numHashes).cache()
     batchSig.write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
     // the read-back state gains a discovered `batch` partition column —
-    // dropped so the band join's schema matches the delta side's
+    // dropped so the band join's schema matches the delta side's; the
+    // ≤ batchId guard keeps a backfill replay of a NON-final batch from
+    // joining future batches' signatures (whose pairs would then land in
+    // this batch's dir too and double-count in the union)
     val pairs = graft.dedup.Dedup.lshIncrementalPairs(
-        batchSig, spark.read.parquet(sigPath).drop("batch"),
+        batchSig,
+        spark.read.parquet(sigPath)
+          .where(col("batch") <= batchId).drop("batch"),
         numHashes, bands, threshold)
       .select(least(col("new_doc"), col("dup_of")).as("da"),
         greatest(col("new_doc"), col("dup_of")).as("db"),
@@ -547,8 +552,13 @@ object StreamingIngest {
       .cache()
     try {
       batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
+      // ≤ batchId: a backfill replay of a NON-final batch must not see
+      // future batches' hashes, or their pairs land in this batch's dir
+      // too and the union double-counts them
       graft.dedup.Dedup.simhashIncrementalPairs(
-          batchHash, spark.read.parquet(hashPath).drop("batch"),
+          batchHash,
+          spark.read.parquet(hashPath)
+            .where(col("batch") <= batchId).drop("batch"),
           maxHamming, bits = 64)
         .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
     } finally batchHash.unpersist()
@@ -894,14 +904,18 @@ object StreamingIngest {
     *
     * The self-heal trusts the newest visible `batch=N` dir only when the
     * dir is PROVABLY complete: its surviving rows must TILE the batch's
-    * token range — prior batches' end + sum(n) over the dir equals the
-    * batch end — AND either the Hadoop `_SUCCESS` job-commit marker or
-    * the engine's own [[PackBatchEndFile]] record (which survives
-    * `marksuccessfuljobs=false` deployments) attests the intended end.
-    * The record equality rejects a dir whose TAIL file was lost
-    * mid-commit; the sum identity rejects a lost MIDDLE file, which
-    * leaves max(start+n) intact and would otherwise read as complete
-    * even under `_SUCCESS` (post-commit loss). A crash can leave `batch=N` visible but
+    * token range [base, end) — base + sum(n) over the dir equals the
+    * batch end, where base is batch N−1's OWN commit record when it
+    * survives (so a data-file loss inside an old batch cannot demote an
+    * intact newest batch), else the prior batches' surviving row end —
+    * AND the intended end is attested: by the engine's
+    * [[PackBatchEndFile]] record when present (REQUIRED to match even if
+    * `_SUCCESS` also exists — `_SUCCESS` says the job committed once,
+    * not that every file still exists), else by `_SUCCESS` with the
+    * tiling check alone (best effort; the record survives
+    * `marksuccessfuljobs=false` deployments). The record equality
+    * rejects a lost TAIL file; the sum identity rejects a lost MIDDLE
+    * file, which leaves max(start+n) intact. A crash can leave `batch=N` visible but
     * partially committed (interrupted job commit, v2 committer); with
     * the sidecar also gone and neither proof holding, the heal claims
     * lastBatchId = N−1 with the total re-derived from the earlier batches
@@ -942,27 +956,37 @@ object StreamingIngest {
       val maxB = layout.agg(coalesce(max(col("batch").cast("long")), lit(-1L)))
         .head.getLong(0)
       // one pass: the newest batch's surviving end + token sum, and the
-      // prior batches' end (= the newest batch's pack base)
+      // prior batches' surviving end
       val isNew = col("batch").cast("long") === maxB
       val st = layout.agg(
         coalesce(max(when(isNew, col("start") + col("n"))), lit(-1L)),
         coalesce(sum(when(isNew, col("n"))), lit(0L)),
         coalesce(max(when(!isNew, col("start") + col("n"))), lit(0L))).head
-      val (dataEnd, sumN, prior) = (st.getLong(0), st.getLong(1), st.getLong(2))
-      val expectedEnd = if (dataEnd == -1L) prior else dataEnd // empty batch
-      // COMPLETENESS = the batch's surviving rows TILE its token range:
-      // prior + sum(n) must equal the end (a lost MIDDLE file shrinks the
-      // sum but not the max, a lost TAIL file shrinks both — the record
-      // equality catches the tail, the sum identity catches the middle;
-      // _SUCCESS alone does not survive post-commit file loss, so the sum
-      // identity guards that path too)
-      val tiles = expectedEnd == prior + sumN
-      val newestComplete = tiles && (
-        fs.exists(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS")) ||
-        readLongFile(spark, s"$layoutPath/batch=$maxB/$PackBatchEndFile")
-          .exists(_ == expectedEnd))
-      if (newestComplete) (maxB, expectedEnd) else (maxB - 1, prior)
+      val (dataEnd, sumN, priorRows) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      // the newest batch's pack BASE: the previous batch's own commit
+      // record when it survives (so a data-file loss in an OLD batch —
+      // someone else's corruption — cannot demote a provably-intact
+      // newest batch), else the prior batches' surviving row end
+      val base = (if (maxB > 0)
+          readLongFile(spark, s"$layoutPath/batch=${maxB - 1}/$PackBatchEndFile")
+        else None).getOrElse(priorRows)
+      val expectedEnd = if (dataEnd == -1L) base else dataEnd // empty batch
+      // COMPLETENESS = the batch's surviving rows TILE [base, end): a lost
+      // MIDDLE file shrinks sum(n) but not max(start+n); a lost TAIL file
+      // shrinks both but then max ≠ the recorded end. The engine record,
+      // when present, is the STRONGER proof and is required to match even
+      // if _SUCCESS also exists (_SUCCESS says the job committed, not that
+      // every file still exists); _SUCCESS alone carries only the tiling
+      // check (best effort — tail loss is then indistinguishable from a
+      // shorter batch).
+      val tiles = expectedEnd == base + sumN
+      val newestComplete = readLongFile(
+          spark, s"$layoutPath/batch=$maxB/$PackBatchEndFile") match {
+        case Some(rec) => rec == expectedEnd && tiles
+        case None => tiles && fs.exists(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(p, s"batch=$maxB"), "_SUCCESS"))
+      }
+      if (newestComplete) (maxB, expectedEnd) else (maxB - 1, priorRows)
     } else (-1L, 0L)
   }
 

@@ -114,6 +114,19 @@ class CrudSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown merge op"))
   }
 
+  test("mergeVersioned: bootstrap on an empty root validates ops too") {
+    val root = s"/tmp/graft_mergeboot_${java.util.UUID.randomUUID()}"
+    try {
+      val e = intercept[Exception] {
+        VectorStore.mergeVersioned(spark, root, deltaRow(1L, 1.0, "A", "UPSERT"))
+      }
+      assert(e.getMessage.contains("unknown merge op"),
+        s"bootstrap must fail loudly on unknown ops, got: ${e.getMessage}")
+      assert(graft.store.VersionedLayout.currentDir(spark, root).isEmpty,
+        "no version may commit from a delta with invalid ops")
+    } finally graft.store.Fs.delete(spark, root)
+  }
+
   test("mergeVersioned: commit-marker landing, crash leaves no torn version") {
     import graft.store.VersionedLayout
     val root = s"/tmp/graft_merge_${java.util.UUID.randomUUID()}"

@@ -163,8 +163,9 @@ class SeqPackSpec extends SparkSpec {
     val plan = SeqPack.ffdPack(docs, "doc_id",
       TextAnalysis.tokenCount(col("text")), FfdCap, Shards)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(shard"),
-      s"expected a shard-partitioned aggregate exchange, got:\n$plan")
+    // groupByKey(shard) names its key `value`: one hash exchange on it
+    assert(plan.contains("Exchange hashpartitioning(value"),
+      s"expected a shard-keyed group exchange, got:\n$plan")
     assert(!plan.contains("SinglePartition"),
       "FFD must not serialize into one partition")
   }

@@ -840,45 +840,75 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.readPackTotal(spark, s"$base/pack") === expected)
   }
 
-  test("pack self-heal rejects a batch dir that lost a MIDDLE file post-commit") {
+  test("pack self-heal: middle loss, tail-under-_SUCCESS loss, prior-batch loss") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // hand-built layout so the file split is deterministic: batch=0
-    // committed whole; batch=1 written as TWO files whose spans tile
-    // [100, 160), with the engine record present — then the EARLIER file
-    // is lost, so max(start+n) still equals the record (the tail
-    // survives) and only the sum-tiling identity can reject the dir
-    val base = java.nio.file.Files.createTempDirectory("graft_packmid").toString
-    val root = s"$base/pack"
-    Seq((0L, 0L, 100L)).toDF("doc_id", "start", "n")
-      .withColumn("seq", lit(0L)).withColumn("off", lit(0L))
-      .withColumn("n_seqs", lit(1L))
-      .coalesce(1).write.parquet(s"$root/batch=0")
-    Seq((1L, 100L, 30L)).toDF("doc_id", "start", "n")
-      .withColumn("seq", lit(0L)).withColumn("off", lit(100L))
-      .withColumn("n_seqs", lit(1L))
-      .coalesce(1).write.mode("append").parquet(s"$root/batch=1")
-    Seq((2L, 130L, 30L)).toDF("doc_id", "start", "n")
-      .withColumn("seq", lit(0L)).withColumn("off", lit(130L))
-      .withColumn("n_seqs", lit(1L))
-      .coalesce(1).write.mode("append").parquet(s"$root/batch=1")
-    val (fsH, pH) = graft.store.Fs.pathFs(spark, root)
-    val rec = fsH.create(new org.apache.hadoop.fs.Path(pH, "batch=1/_graft_batch_end"), true)
-    rec.write("160\n".getBytes("UTF-8")); rec.close()
-    // intact dir (no sidecar): provably complete through batch 1
-    assert(StreamingIngest.readPackState(spark, root) === ((1L, 160L)))
-    // lose the EARLIER file (rows with start=100): tail survives
-    val early = spark.read.parquet(s"$root/batch=1")
-      .select(input_file_name().as("f"), col("start"))
-      .where(col("start") === 100L).head.getString(0)
-    fsH.delete(new org.apache.hadoop.fs.Path(new java.net.URI(early)), false)
-    assert(spark.read.parquet(s"$root/batch=1")
-      .agg(max(col("start") + col("n"))).head.getLong(0) === 160L,
-      "fixture: the surviving tail must still reach the recorded end")
-    val (midId, midBase) = StreamingIngest.readPackState(spark, root)
-    assert(midId === 0L,
-      "a batch with a lost middle file must not read as provably complete")
-    assert(midBase === 100L, "the base must fall back to the prior batches' end")
+    // hand-built layouts so the file split is deterministic: batch=0 is
+    // one file tiling [0, 100) with its record; batch=1 is TWO files
+    // tiling [100, 160) with its record
+    def build(tag: String): (String, org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+      val root = java.nio.file.Files.createTempDirectory(tag).toString + "/pack"
+      def part(b: Int, id: Long, start: Long, n: Long): Unit =
+        Seq((id, start, n)).toDF("doc_id", "start", "n")
+          .withColumn("seq", lit(0L)).withColumn("off", lit(start % 2048))
+          .withColumn("n_seqs", lit(1L))
+          .coalesce(1).write.mode("append").parquet(s"$root/batch=$b")
+      part(0, 0L, 0L, 100L)
+      part(1, 1L, 100L, 30L)
+      part(1, 2L, 130L, 30L)
+      val (fsH, pH) = graft.store.Fs.pathFs(spark, root)
+      def rec(b: Int, end: Long): Unit = {
+        val o = fsH.create(
+          new org.apache.hadoop.fs.Path(pH, s"batch=$b/_graft_batch_end"), true)
+        o.write(s"$end\n".getBytes("UTF-8")); o.close()
+      }
+      rec(0, 100L); rec(1, 160L)
+      (root, fsH, pH)
+    }
+    def fileOf(root: String, b: Int, start: Long): org.apache.hadoop.fs.Path = {
+      val f = spark.read.parquet(s"$root/batch=$b")
+        .select(input_file_name().as("f"), col("start"))
+        .where(col("start") === start).head.getString(0)
+      new org.apache.hadoop.fs.Path(new java.net.URI(f))
+    }
+    // intact: provably complete through batch 1
+    locally {
+      val (root, _, _) = build("graft_packok")
+      assert(StreamingIngest.readPackState(spark, root) === ((1L, 160L)))
+    }
+    // MIDDLE file of the newest batch lost: the tail survives, so
+    // max(start+n) still equals the record — only the sum-tiling identity
+    // can reject the dir
+    locally {
+      val (root, fsH, _) = build("graft_packmid")
+      fsH.delete(fileOf(root, 1, 100L), false)
+      assert(spark.read.parquet(s"$root/batch=1")
+        .agg(max(col("start") + col("n"))).head.getLong(0) === 160L,
+        "fixture: the surviving tail must still reach the recorded end")
+      assert(StreamingIngest.readPackState(spark, root) === ((0L, 100L)),
+        "a batch with a lost middle file must not read as provably complete")
+    }
+    // TAIL file lost post-commit WITH _SUCCESS present: the shrunken dir
+    // still tiles [100, 130), so only the record equality can reject it —
+    // the record must take precedence over _SUCCESS
+    locally {
+      val (root, fsH, pH) = build("graft_packtail")
+      val s = fsH.create(new org.apache.hadoop.fs.Path(pH, "batch=1/_SUCCESS"), true)
+      s.close()
+      fsH.delete(fileOf(root, 1, 130L), false)
+      assert(StreamingIngest.readPackState(spark, root) === ((0L, 100L)),
+        "_SUCCESS must not outrank a record that contradicts the surviving data")
+    }
+    // data-file loss in a PRIOR batch (its record survives): the intact
+    // newest batch must stay provably complete — its base comes from the
+    // prior batch's record, not the prior batch's surviving rows
+    locally {
+      val (root, fsH, _) = build("graft_packprior")
+      fsH.delete(fileOf(root, 0, 0L), false)
+      assert(StreamingIngest.readPackState(spark, root) === ((1L, 160L)),
+        "an old batch's corruption must not demote an intact newest batch")
+    }
   }
 
   test("streaming shard shuffle: frozen prior positions, grown state equals the epoch twin") {
