@@ -64,7 +64,11 @@ object DevPlans {
     "tx_bpe_stats_trained" -> "corpus-trained BPE encode: identical plan shape to the fixture entry — the broadcast merge-table kernel (bpe_encode) runs scan-side with NO training work in the serve (the trained model is memoized build state); plan size O(1) in merge count",
     "vq_ivf_bigbatch_filtered" -> "FILTERED big-batch IVF: the S5 predicate lands on the layout scan (PushedFilters) BEFORE scoring; probe assignment is the codegen probe_clusters kernel per query row; shuffled salted equi-join on (cluster_id, salt), k-bounded partial_topk aggregate — nothing query-sized broadcast",
     "dd_span_maximal" -> "maximal span intervals: the SAME exploded-gram shuffle as the coverage family (dup-gram set re-joined SHUFFLE-HASH, never broadcast); the interval merge is a per-doc sorted-array fold inside ONE keyed aggregate — no window, no global sort",
-    "dd_image_phash" -> "image perceptual hash: fixture synthesis + raster decode + dHash all scan-side codegen kernels (media_fixture → media_dhash) — one projection, no shuffle before the final order")
+    "dd_image_phash" -> "image perceptual hash: fixture synthesis + raster decode + dHash all scan-side codegen kernels (media_fixture → media_dhash) — one projection, no shuffle before the final order",
+    "tx_quality_model" -> "learned quality gate: token explode + BOUNDED 256-row weight BroadcastHashJoin + ONE map-side-combinable integer sum per doc — model state is fixed-size, nothing corpus-growing is broadcast, the logit is three scalar ops in the final projection",
+    "pipe_pack_ffd" -> "doc-boundary FFD packing: ONE hash exchange on the shard group key, per-shard sort + LINEAR imperative fold (MapGroups — genuine sequential per-group state), no global sort, no second corpus pass",
+    "pipe_epoch_mix" -> "epoch/repetition mixing: the same bounded per-source mass broadcast as the temperature mix, repetition count is a pure integer-ceil expression off the shared md5 bucket — one shuffle for the per-source report only",
+    "vq_merge_agg" -> "keyed bulk MERGE: ONE left-anti join on the id (bounded delta → AQE broadcasts the key side) + union of the delta's upsert rows — present ids update, absent insert, D-rows remove; no per-row driver work")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
