@@ -578,6 +578,31 @@ object StreamingIngest {
       .select(col("doc_id"), col("lang"),
         round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
 
+  /** Streaming twin of the LEARNED quality gate
+    * ([[graft.queries.TextQueries.qualityModelScores]]): score a document
+    * stream under a FROZEN published model — the deployment shape of a
+    * trained curation gate (train offline, serve the quantized weights on
+    * the firehose). PURE PER-ROW: the bounded 256-weight table rides as
+    * an array literal and the integer token-weight sum is one
+    * `aggregate(transform(...))` expression — no explode, no join, no
+    * streaming aggregation state, so the stream runs in plain append
+    * mode and output rows are identical to the batch scorer on the same
+    * docs (the integer sum is order-free; StreamingSpec). Model drift is
+    * a REDEPLOY, not stream state — scores stay frozen at their arrival
+    * model version like every incremental twin here. */
+  def qualityGateStream(docs: DataFrame,
+      model: graft.text.QualityModel.Model): DataFrame = {
+    val wq = typedLit(model.wq.toSeq)
+    val dot = aggregate(
+      transform(graft.text.TextAnalysis.tokens(col("text")),
+        t => element_at(wq, (graft.text.QualityModel.bucket(t) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val n = graft.text.TextAnalysis.tokenCount(col("text"))
+    val logit = graft.text.QualityModel.logitCol(model, dot, n)
+    docs.select(col("doc_id"), logit.as("logit"),
+      when(logit > 0.0, 1L).otherwise(0L).as("is_quality"))
+  }
+
   /** Streaming twin of the PII scrub ([[graft.queries.TextQueries]]'s
     * `tx_pii` stage): typed match counts + the redacted text, per
     * micro-batch. Pure regexp expressions — stateless, no watermark,
@@ -1026,6 +1051,69 @@ object StreamingIngest {
           true
         }
     }
+
+  /** Roll-up compaction of a `batch=<id>`-partitioned state dir — the
+    * maintenance pass the incremental twins' scaladocs promise ("a
+    * production deployment compacts `grams/` periodically"): every batch
+    * EXCEPT the newest folds into one partition via `fold` (per-gram
+    * count re-aggregation for count states, identity/coalesce for
+    * append-only hash/signature states), the newest batch partition is
+    * carried unchanged because it is foreachBatch's only possible replay
+    * target — a replay overwrites its own partition, which must
+    * therefore still exist under its own id. The folded rows land under
+    * the highest FOLDED id, so every future `batch <= id` cumulative
+    * read (ids only grow) sees identical contents over linearly fewer
+    * files/partitions.
+    *
+    * Crash safety rides [[graft.index.Ivf.rewriteSwapped]] (write the
+    * complete replacement beside, two renames, self-repairing leftovers);
+    * same operational contract as [[compactSemanticState]]: run between
+    * micro-batches, single writer. Returns false when there is nothing
+    * to fold (fewer than `minBatches` batch partitions). */
+  def compactBatchState(spark: SparkSession, path: String,
+      fold: DataFrame => DataFrame = _.coalesce(1),
+      minBatches: Int = 3): Boolean = {
+    if (!graft.store.Fs.exists(spark, path) ||
+        graft.store.Fs.dataFileCount(spark, path) == 0) return false
+    val st = spark.read.parquet(path)
+    val ids = st.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (ids.length < minBatches) return false
+    val maxB = ids.last
+    val foldedId = ids.init.last
+    graft.index.Ivf.rewriteSwapped(spark, path) { tmp =>
+      fold(st.where(col("batch").cast("long") < maxB).drop("batch"))
+        .write.parquet(s"$tmp/batch=$foldedId")
+      st.where(col("batch").cast("long") === maxB).drop("batch")
+        .write.parquet(s"$tmp/batch=$maxB")
+    }
+    true
+  }
+
+  /** [[compactBatchState]] over the bigram-rarity ingest's state: the
+    * gram counts re-aggregate (sum over the folded batches — the
+    * cumulative read is a sum anyway, so folding is exact), the frozen
+    * score log folds file-wise. The per-batch gram scan is the growing
+    * cost of [[bigramRarityIngest]]; after this pass it is one merged
+    * table plus the newest batch. */
+  def compactBigramState(spark: SparkSession, statePath: String): Seq[String] = {
+    val did = Seq(
+      s"$statePath/grams" -> compactBatchState(spark, s"$statePath/grams",
+        d => d.groupBy("gram").agg(sum("n").as("n"))),
+      s"$statePath/scores" -> compactBatchState(spark, s"$statePath/scores"))
+    did.collect { case (p, true) => p }
+  }
+
+  /** [[compactBatchState]] over the image-phash ingest's state: hashes
+    * and pairs are append-only logs, so both fold file-wise (identity
+    * rows, fewer files). The minhash dedup state (`sig/`, `pairs/`) has
+    * the same shape and composes the same way. */
+  def compactPhashState(spark: SparkSession, statePath: String): Seq[String] = {
+    val did = Seq(
+      s"$statePath/hash" -> compactBatchState(spark, s"$statePath/hash"),
+      s"$statePath/pairs" -> compactBatchState(spark, s"$statePath/pairs"))
+    did.collect { case (p, true) => p }
+  }
 
   /** Parquet data files under a layout ([[graft.store.Fs.dataFileCount]])
     * — the compaction trigger statistic. */

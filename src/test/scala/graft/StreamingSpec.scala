@@ -394,6 +394,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate equals the batch scorer under the frozen model") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_qg").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text")
+    val model = graft.text.QualityModel.train(docs)
+    val q = StreamingIngest.qualityGateStream(
+        StreamingIngest.readDocuments(spark, dir), model)
+      .writeStream.outputMode("append").format("memory").queryName("qg_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, logit, is_quality FROM qg_test")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      // batch scorer emits the rounded display column only through the
+      // registered entry; compare against the library scorer directly
+      val batch = graft.text.QualityModel.score(docs, model)
+        .select(col("doc_id"), col("logit"), col("is_quality"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir()
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
@@ -1058,6 +1088,26 @@ class StreamingSpec extends SparkSpec {
       "replay must not change any score")
     assert(spark.read.parquet(s"$base/state/grams").count() === gramRows,
       "replay must not grow the gram state")
+    // roll-up compaction: cumulative counts and the frozen score log are
+    // IDENTICAL over fewer partitions, and the newest batch stays its own
+    // replay target
+    def counts() = spark.read.parquet(s"$base/state/grams")
+      .groupBy("gram").agg(sum("n").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val preCounts = counts()
+    val compacted = StreamingIngest.compactBigramState(spark, s"$base/state")
+    assert(compacted.size === 2, s"expected both state dirs folded, got $compacted")
+    assert(counts() === preCounts, "compaction must preserve cumulative counts")
+    assert(rows(spark.read.parquet(s"$base/state/scores")) === before,
+      "compaction must preserve the frozen score log")
+    assert(spark.read.parquet(s"$base/state/grams")
+      .select("batch").distinct().count() === 2L,
+      "folded state must be one merged partition + the newest batch")
+    // and the newest batch's replay is still idempotent post-compaction
+    StreamingIngest.bigramRarityIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state", lastB)
+    assert(rows(spark.read.parquet(s"$base/state/scores")) === before,
+      "replay after compaction must not change any score")
   }
 
   test("streaming image phash: accumulated pair log equals the batch pair join") {
@@ -1114,6 +1164,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows)
     assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
       "replay must leave the pair set intact")
+    // roll-up compaction of the append-only hash/pair logs: identical
+    // rows over fewer partitions, replay still idempotent afterwards
+    val compacted = StreamingIngest.compactPhashState(spark, s"$base/state")
+    assert(compacted.size === 2, s"expected both state dirs folded, got $compacted")
+    assert(spark.read.parquet(s"$base/state/hash").count() === hashRows)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "compaction must preserve the pair log")
+    StreamingIngest.imagePhashIngestBatch(
+      images.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      maxHamming = 3, batchId = lastB)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "replay after compaction must leave the pair set intact")
   }
 
   test("minhash ingest refuses a legacy flat (v1) state dir with an actionable error") {
