@@ -72,6 +72,8 @@ object Bench {
         queries.ApproxQueries.lshSizes(s, d); () }),
     ("build_pq_codes", Set("ann_pq_adc_topk"),
       (s, d) => { queries.ApproxQueries.pqCodesLayout(s, d); () }),
+    ("build_opq_codes", Set("ann_opq_adc_topk"),
+      (s, d) => { queries.ApproxQueries.opqCodesLayout(s, d); () }),
     ("build_sq_codes", Set("ann_sq_topk"),
       (s, d) => { queries.ApproxQueries.sqCodesLayout(s, d); () }),
     ("build_bin_codes", Set("ann_bin_topk", "ann_bin_batch_topk"),

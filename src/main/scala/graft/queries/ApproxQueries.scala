@@ -997,6 +997,127 @@ object ApproxQueries {
   private val pqCodesLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ---- OPQ-P: variance-balanced dimension-permutation PQ ---------------
+
+  /** Trained OPQ-P model: the balanced permutation ([[graft.pq.Opq]] —
+    * greedy eigenvalue allocation over one variance aggregate) plus a PQ
+    * trained on the PERMUTED vectors. Memoized like [[trainedPq]]; the
+    * permutation application is an exact element reorder, so everything
+    * downstream reuses the plain-PQ machinery verbatim. */
+  private def trainedOpq(spark: SparkSession, dir: String)
+      : (Array[Int], ProductQuantizer) =
+    opqCache.computeIfAbsent(dir, _ => {
+      val emb = VectorModel.embeddings(spark, dir)
+      val perm = graft.pq.Opq.balancedPermutation(
+        graft.pq.Opq.dimVariances(emb, "embedding", VectorModel.EmbDim), 8)
+      val pdf = emb.withColumn("pemb",
+        graft.pq.Opq.permuteCol(col("embedding"), perm))
+      (perm, ProductQuantizer.train(pdf, "pemb", "vec_id", VectorModel.EmbDim))
+    })
+
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Int], ProductQuantizer)]()
+
+  /** Build-once/serve-many OPQ code layout (a Bench build step): permute,
+    * encode, persist (vec_id, m-byte code); sidecar publishes land here. */
+  private[graft] def opqCodesLayout(spark: SparkSession, dir: String): String =
+    opqCodesLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_opq_codes")
+      val (perm, pq) = trainedOpq(spark, dir)
+      ProductQuantizer.encodeDf(
+          VectorModel.embeddings(spark, dir).withColumn("pemb",
+            graft.pq.Opq.permuteCol(col("embedding"), perm)),
+          pq, "pemb")
+        .select("vec_id", "pq_code")
+        .write.mode("overwrite").parquet(s"$p/codes")
+      publishOpqSidecars(spark, dir, perm, pq)
+      s"$p/codes"
+    })
+
+  private val opqCodesLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def publishOpqSidecars(spark: SparkSession, dir: String,
+      perm: Array[Int], pq: ProductQuantizer): Unit = {
+    OracleSidecars.publish(spark, "opq_perm", dir) {
+      import spark.implicits._
+      perm.toSeq.zipWithIndex.map { case (j, p) => (p, j) }.toDF("p", "j")
+    }
+    OracleSidecars.publish(spark, "opq_codebook", dir) {
+      import spark.implicits._
+      (for { s <- 0 until pq.m; c <- 0 until pq.k } yield {
+        val v = pq.codebooks(s)(c)
+        (s, c, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      }).toDF("s", "c", "v0", "v1", "v2", "v3", "v4", "v5", "v6", "v7")
+    }
+  }
+
+  /** OPQ-P ADC top-k over embeddings, served from the persisted permuted
+    * code layout: the scan reads m-byte codes; the query permutes
+    * driver-side (exact reorder) and the ADC walk is [[annPqAdcTopK]]'s.
+    * HASH-GATED like the plain-PQ twin: GIVEN the published permutation
+    * and codebook sidecars, every downstream step — the permuted row
+    * vectors (pure element indexing), encode argmin, query LUT, the −Σ
+    * subspace walk — is closed-form arithmetic [[annOpqAdcTopKSql]]
+    * mirrors term-for-term. OpqSpec gates the training half (balanced
+    * allocation, distortion ≤ plain PQ, strict win on skewed variance). */
+  def annOpqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val (perm, pq) = trainedOpq(spark, dir)
+    val codes = spark.read.parquet(opqCodesLayout(spark, dir))
+    publishOpqSidecars(spark, dir, perm, pq) // repair no-op unless dir switched / root lost
+    ProductQuantizer.adcTopK(codes, pq,
+        graft.pq.Opq.permuteQuery(VectorModel.AnnQuery, perm), 20, "vec_id")
+      .select("vec_id", "adc_score")
+  }
+
+  /** DuckDB mirror of [[annOpqAdcTopK]] GIVEN the published sidecars: the
+    * permutation pivots to one row of 64 position columns, the permuted
+    * row vectors and permuted query are pure list indexing through it (no
+    * arithmetic — bit-identical by construction), and the encode/LUT/−Σ
+    * walk is the plain-PQ mirror over those columns. */
+  lazy val annOpqAdcTopKSql: String = {
+    val d = VectorModel.EmbDim
+    val m = 8
+    val subDim = d / m
+    val ppCols = (0 until d)
+      .map(p => s"max(CASE WHEN p = $p THEN j END) AS j$p").mkString(", ")
+    val qList = VectorModel.AnnQuery.map(OracleSql.lit).mkString("[", ", ", "]")
+    def pv(s: Int)(j: Int) = s"pv.v${s * subDim + j}"
+    def qvE(s: Int)(j: Int) = s"qv.q${s * subDim + j}"
+    def cbv(j: Int) = s"cb.v$j"
+    val encD = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(pv(s), cbv, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val lutD = (0 until m)
+      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(qvE(s), cbv, subDim)}")
+      .mkString("CASE cb.s ", " ", " END")
+    val lSum = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
+    s"""WITH perm AS (SELECT CAST(p AS INTEGER) AS p, CAST(j AS INTEGER) AS j
+       |  FROM ${OracleSidecars.sqlTable("opq_perm")}),
+       |pp AS (SELECT $ppCols FROM perm),
+       |cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
+       |    v0, v1, v2, v3, v4, v5, v6, v7
+       |  FROM ${OracleSidecars.sqlTable("opq_codebook")}),
+       |pv AS (SELECT e.vec_id AS vec_id,
+       |    ${(0 until d).map(p => s"CAST(e.embedding[pp.j$p + 1] AS DOUBLE) AS v$p").mkString(", ")}
+       |  FROM embeddings e CROSS JOIN pp),
+       |qv AS (SELECT
+       |    ${(0 until d).map(p => s"($qList)[pp.j$p + 1] AS q$p").mkString(", ")}
+       |  FROM pp),
+       |dd AS (SELECT pv.vec_id AS vec_id, cb.s AS s, cb.c AS c,
+       |    $encD AS enc_d,
+       |    $lutD AS lut_d
+       |  FROM pv CROSS JOIN cb CROSS JOIN qv),
+       |sel AS (SELECT vec_id, s, lut_d,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
+       |  FROM dd),
+       |piv AS (SELECT vec_id,
+       |    ${(0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")}
+       |  FROM sel WHERE rn = 1 GROUP BY vec_id)
+       |SELECT vec_id, round(-$lSum, 6) AS adc_score
+       |FROM piv ORDER BY adc_score DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
   /** SQ8 model memo ([[graft.pq.ScalarQuantizer.fit]] — exact per-dim
     * min/max, a pure function of the dataset). */
   private val sqCache =
@@ -1463,6 +1584,7 @@ object ApproxQueries {
     "ann_sq_topk" -> annSqTopKSql,
     "ann_bin_topk" -> annBinTopKSql,
     "ann_pq_adc_topk" -> annPqAdcTopKSql,
+    "ann_opq_adc_topk" -> annOpqAdcTopKSql,
     "vq_ivf_bigbatch_filtered" -> ivfBigBatchFilteredSql,
     "vq_ivf_topk" -> ivfTopKSql,
     "vq_ivf_parity_topk" -> ivfTopKSql,
@@ -1484,6 +1606,7 @@ object ApproxQueries {
     "ann_bin_topk" -> (annBinTopK _),
     "ann_bin_batch_topk" -> (annBinBatchTopK _),
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
+    "ann_opq_adc_topk" -> (annOpqAdcTopK _),
     "ann_ivfpq_topk" -> (annIvfPqTopK _),
     "ann_ivfpq_batch_topk" -> (annIvfPqBatchTopK _),
     "vq_ivf_topk" -> (ivfTopK _),
