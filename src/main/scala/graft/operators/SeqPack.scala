@@ -182,6 +182,41 @@ object SeqPack {
       .toDF(idCol, "n", "shard", "bin")
   }
 
+  /** EPOCH-ORDERED batch twin of the incremental FFD pack
+    * ([[graft.streaming.StreamingIngest.ffdIngest]]): epoch e's docs
+    * first-fit (count-descending WITHIN the epoch) into the bins as
+    * epoch e−1 left them — earlier epochs' assignments are FROZEN (a
+    * grown layout never moves a placed doc), new bins open past the
+    * existing ids. A single-epoch input degenerates to exactly
+    * [[ffdPack]]. Same shard-keyed linear fold; first-fit scans bins in
+    * creation order (ascending bin id), which is what makes the
+    * incremental state — per-shard remainders reconstructed from the
+    * assignment log — replay-identical. */
+  def ffdEpochs(df: DataFrame, idCol: String, nTokensCol: Column, cap: Int,
+      epochCol: Column, shards: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capL = cap.toLong
+    df.select(col(idCol).cast("long").as("doc"),
+        (packHash(col(idCol)) % shards).cast("int").as("shard"),
+        least(nTokensCol.cast("long"), lit(capL)).as("n"),
+        epochCol.cast("long").as("ep"))
+      .as[(Long, Int, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard, it) =>
+        val items = it.toArray
+          .sortBy { case (doc, _, n, ep) => (ep, -n, doc) }
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (doc, _, n, _) =>
+          val fit = bins.indexWhere(_ >= n)
+          val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
+            else { bins(fit) -= n; fit }
+          (doc, n, shard, bin.toLong)
+        }
+      }
+      .toDF(idCol, "n", "shard", "bin")
+  }
+
   /** The exploded window-placement map — one row per (doc, window) pair
     * with the token range `[a, b]` the doc occupies inside that window:
     * the export manifest a sharded training writer consumes (each writer

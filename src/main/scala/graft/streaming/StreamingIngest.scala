@@ -578,6 +578,74 @@ object StreamingIngest {
       .select(col("doc_id"), col("lang"),
         round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
 
+  /** Streaming twin of doc-boundary FFD packing
+    * ([[graft.operators.SeqPack.ffdPack]]) — the daily-increment shape:
+    * each micro-batch's docs first-fit (count-descending within the
+    * batch) into the bins earlier batches left open, per hash shard;
+    * prior assignments are FROZEN (a grown layout never moves a placed
+    * doc — training manifests stay valid) and new bins open past the
+    * existing ids. Grown assignments equal the epoch-ordered batch twin
+    * ([[graft.operators.SeqPack.ffdEpochs]], StreamingSpec-gated), and a
+    * single-batch run degenerates to exactly the batch [[graft.operators.
+    * SeqPack.ffdPack]].
+    *
+    * STATE = the assignment log itself: per-shard bin remainders are
+    * reconstructed each batch from `asg/batch<id` (one aggregate over the
+    * log — [[compactBatchState]] folds it when the partition count
+    * grows), so there is no second state table to keep consistent and a
+    * replay (which reads only batches < its id) recomputes identical
+    * placements into its own overwritten partition. Per-shard bin ids
+    * are contiguous from 0 (every bin holds ≥ 1 doc), so creation order
+    * — the first-fit scan order — survives the round-trip through the
+    * log. */
+  def ffdIngest(docs: DataFrame, statePath: String, checkpoint: String,
+      cap: Int, shards: Int = 32): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ffdIngestBatch(batch, statePath, cap, shards, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def ffdIngestBatch(batch: DataFrame, statePath: String,
+      cap: Int, shards: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val capL = cap.toLong
+    val items = batch.select(col("doc_id").cast("long").as("doc"),
+        (graft.operators.SeqPack.packHash(col("doc_id")) % shards)
+          .cast("int").as("shard"),
+        least(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(capL)).as("n"))
+      .as[(Long, Int, Long)]
+    val priorBins =
+      if (graft.store.Fs.exists(spark, statePath) &&
+          graft.store.Fs.dataFileCount(spark, statePath) > 0)
+        spark.read.parquet(statePath)
+          .where(col("batch").cast("long") < batchId)
+          .groupBy("shard", "bin").agg((lit(capL) - sum("n")).as("rem"))
+          .select(col("shard").cast("int"), col("bin").cast("long"),
+            col("rem").cast("long"))
+          .as[(Int, Long, Long)]
+      else spark.emptyDataset[(Int, Long, Long)]
+    priorBins.groupByKey(_._1)
+      .cogroup(items.groupByKey(_._2)) { (shard, binsIt, itemsIt) =>
+        val prior = binsIt.toArray.sortBy(_._2) // ascending bin id
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        prior.foreach { case (_, _, rem) => bins += rem }
+        itemsIt.toArray.sortBy { case (doc, _, n) => (-n, doc) }
+          .iterator.map { case (doc, _, n) =>
+            val fit = bins.indexWhere(_ >= n)
+            val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
+              else { bins(fit) -= n; fit }
+            (doc, n, shard, bin.toLong)
+          }
+      }
+      .toDF("doc_id", "n", "shard", "bin")
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
   /** Streaming twin of the LEARNED quality gate
     * ([[graft.queries.TextQueries.qualityModelScores]]): score a document
     * stream under a FROZEN published model — the deployment shape of a

@@ -394,6 +394,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming FFD pack: frozen prior assignments, grown state equals the epoch twin") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_ffdstream").toString
+    (0 until 3).foreach(i =>
+      docs.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.DocumentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val cap = 256
+    val q = StreamingIngest.ffdIngest(stream, s"$base/state", s"$base/ckpt", cap)
+    try q.awaitTermination(240000) finally q.stop()
+    val state = spark.read.parquet(s"$base/state").cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n", "shard", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(state.count() === docs.count())
+    // capacity holds CUMULATIVELY across batches — the frozen-bins
+    // invariant that matters
+    assert(state.groupBy("shard", "bin").agg(sum("n").as("fill"))
+      .where(col("fill") > cap).count() === 0L,
+      "a bin was filled past capacity across batches")
+    // grown assignments == the epoch-ordered batch twin
+    val epochOfDoc = state.select(col("doc_id"), col("batch").cast("long").as("e"))
+    val twin = graft.operators.SeqPack.ffdEpochs(
+      docs.join(epochOfDoc, "doc_id"), "doc_id",
+      graft.text.TextAnalysis.tokenCount(col("text")), cap, col("e"))
+    assert(rows(state) === rows(twin))
+    // frozen prefix: batch-0 assignments are exactly the batch FFD over
+    // batch-0 docs alone (the single-epoch degenerate)
+    val b0ids = state.where(col("batch") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val solo = graft.operators.SeqPack.ffdPack(
+      docs.where(col("doc_id").isInCollection(b0ids)), "doc_id",
+      graft.text.TextAnalysis.tokenCount(col("text")), cap)
+    assert(rows(state.where(col("batch") === 0)) === rows(solo),
+      "earlier batches' assignments must be frozen under later arrivals")
+    // replay idempotence
+    val lastB = state.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = state.where(col("batch") === lastB)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = rows(state)
+    state.unpersist()
+    StreamingIngest.ffdIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      cap, 32, lastB)
+    assert(rows(spark.read.parquet(s"$base/state")) === before,
+      "replay must not move or duplicate assignments")
+    // and roll-up compaction preserves everything incl. the next append
+    assert(StreamingIngest.compactBatchState(spark, s"$base/state"))
+    assert(rows(spark.read.parquet(s"$base/state")) === before,
+      "compaction must preserve the assignment log")
+    StreamingIngest.ffdIngestBatch(
+      docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      cap, 32, lastB)
+    assert(rows(spark.read.parquet(s"$base/state")) === before,
+      "replay after compaction must be identical")
+  }
+
   test("streaming quality gate equals the batch scorer under the frozen model") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_docs_qg").toString
