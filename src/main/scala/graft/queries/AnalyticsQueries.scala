@@ -439,6 +439,85 @@ object AnalyticsQueries {
     * merges; an exact distinct shuffles every key). Deterministic
     * (hash-based, order-independent) but not cross-engine exact → rows-only
     * check; SketchSpec bounds the relative error vs the exact distinct. */
+  /** HLL register count (p = 4): sized so this corpus's per-type
+    * cardinalities (~150 at sf0.01) sit in the RAW-estimate regime
+    * (n/m > 2.5 — no small-range linear counting, whose ln() is not
+    * bit-stable across engines). */
+  val HllM = 16
+
+  /** α·m² for m = 16 (Flajolet et al.'s published constant 0.673). */
+  private val HllAlphaM2 = 0.673 * HllM * HllM
+
+  /** Leading-zero rank of the 56-bit suffix: ρ = position of the highest
+    * set bit from the top (+1), 57 for an all-zero suffix — a generated
+    * descending-threshold CASE over exact integer literals, identical on
+    * both engines (no float log2 anywhere). */
+  private def rhoWhen: org.apache.spark.sql.Column =
+    (1 to 56).foldLeft(when(lit(false), 0)) { (acc, r) =>
+      acc.when(col("w") >= (1L << (56 - r)), r)
+    }.otherwise(57)
+
+  private def rhoCaseSql: String =
+    (1 to 56).map(r => s"WHEN w >= ${1L << (56 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 57 END")
+
+  /** Deterministic HLL distinct-user estimate per event type — the
+    * engine-owned, ORACLE-EXACT sketch twin of [[approxUsers]] (whose
+    * Spark-native HLL++ hashes are not reproducible outside the JVM):
+    * md5-derived 60-bit hash → 4 bucket bits + 56-bit suffix rank ρ
+    * (integer CASE, [[rhoWhen]]), per-(type, bucket) register = max ρ
+    * (integer, order-free), and the raw estimate α·m²/Σ2^(−M_j). EVERY
+    * float step is exact: 2^(−M) is one-bit dyadic (1/(1<<M), exact
+    * division), the register sum spans < 53 bits of exponent so every
+    * partial sum is exact IN ANY ORDER, and the final α·m²/S is a single
+    * correctly-rounded division — so the sketch is value-level
+    * hash-gated, unlike any libm-based estimator. `exact_users` rides
+    * along so the estimate's error is visible in the output; SketchSpec
+    * gates the accuracy. Scale shape: two narrow aggregates (register
+    * table = types × 16 rows). */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+    val regs = ev
+      .withColumn("h", graft.dedup.Dedup.hash60(
+        concat(lit("hll:"), col("user_id").cast("string"))))
+      .withColumn("bucket", col("h") % HllM)
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho", rhoWhen)
+      .groupBy("event_type", "bucket").agg(max("rho").as("m"))
+    val est = regs.groupBy("event_type").agg(
+      sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
+        .as("sp"),
+      count(lit(1)).as("np"))
+      .select(col("event_type"),
+        (lit(HllAlphaM2) /
+          (col("sp") + (lit(HllM) - col("np")).cast("double"))).as("e"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), round(col("e"), 6).as("hll_users"),
+        col("exact_users"))
+      .orderBy("event_type")
+  }
+
+  lazy val hllUsersSql: String =
+    s"""WITH h AS (SELECT event_type,
+       |    ('0x'||substr(md5('hll:'||CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+       |  FROM events),
+       |b AS (SELECT event_type, hv % $HllM AS bucket, hv // $HllM AS w FROM h),
+       |r AS (SELECT event_type, bucket, max($rhoCaseSql) AS m
+       |  FROM b GROUP BY event_type, bucket),
+       |s AS (SELECT event_type,
+       |    sum(CAST('1.0' AS DOUBLE) / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)) AS sp,
+       |    count(*) AS np
+       |  FROM r GROUP BY event_type),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY event_type)
+       |SELECT s.event_type AS event_type,
+       |  round(${OracleSql.lit(HllAlphaM2)}
+       |    / (s.sp + CAST($HllM - s.np AS DOUBLE)), 6) AS hll_users,
+       |  x.exact_users AS exact_users
+       |FROM s JOIN x USING (event_type) ORDER BY event_type""".stripMargin
+
   def approxUsers(spark: SparkSession, dir: String): DataFrame =
     graft.model.VectorModel.events(spark, dir)
       .groupBy("event_type")
@@ -638,6 +717,7 @@ object AnalyticsQueries {
     "ev_asof_orders" -> (eventsAsOfOrders _),
     "ev_range_join" -> (eventsRangeJoinIncidents _),
     "q_approx_users" -> (approxUsers _),
+    "q_hll_users" -> (hllUsers _),
     "q_percentiles" -> (valuePercentiles _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
@@ -661,6 +741,7 @@ object AnalyticsQueries {
     "q_scalar_funcs" -> scalarFuncsSql,
     "ev_asof_orders" -> eventsAsOfOrdersSql,
     "ev_range_join" -> eventsRangeJoinIncidentsSql,
+    "q_hll_users" -> hllUsersSql,
     "q_percentiles" -> valuePercentilesSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,
