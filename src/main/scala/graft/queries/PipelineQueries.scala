@@ -715,6 +715,71 @@ object PipelineQueries {
        |  max(threshold) AS threshold
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** QUALITY-GATED temperature mix — the composed curation stage a real
+    * pipeline runs: documents pass the LEARNED quality gate
+    * ([[TextQueries.qualityModelScores]]'s quantized logit > 0) first,
+    * per-source masses and sqrt-flattened thresholds are computed over
+    * the SURVIVORS (the mixture balances what actually ships, not raw
+    * mass), and acceptance is the same md5 bucket as
+    * [[temperatureMix]]. HASH-GATED end-to-end by composing the two
+    * mirrors: the weight-sidecar logit CTEs ([[TextQueries.
+    * qualityLogitCtes]]) feed the mix arithmetic verbatim. Same scale
+    * shape as the temperature mix plus one bounded-broadcast scoring
+    * join; report = (source, n_docs, n_quality, n_kept, threshold). */
+  def qualityMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = TextQueries.qualityModel(spark, dir)
+    TextQueries.publishQualityWeights(spark, dir, model) // repair no-op
+    val docs = VectorModel.documents(spark, dir)
+    val gatedIds = graft.text.QualityModel
+      .score(docs.select("doc_id", "text"), model)
+      .where(col("is_quality") === 1L).select("doc_id")
+    val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+    val rates = gated.groupBy("source").agg(sum("n_chars").as("mass"))
+      .withColumn("mmax", max("mass").over(Window.partitionBy()))
+      .select(col("source"),
+        floor(sqrt(col("mass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    val kept = gated
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_quality"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        max("threshold").as("threshold"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_quality"),
+        col("n_kept"), col("threshold"))
+      .orderBy("source")
+  }
+
+  lazy val qualityMixSql: String =
+    s"""WITH ${TextQueries.qualityLogitCtes},
+       |ql AS (SELECT d.doc_id AS doc_id
+       |  FROM d CROSS JOIN b
+       |  WHERE ${TextQueries.qualityLogitExpr} > CAST('0.0' AS DOUBLE)),
+       |g AS (SELECT doc.* FROM documents doc JOIN ql USING (doc_id)),
+       |m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+       |      FROM g GROUP BY source),
+       |r AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(mass AS DOUBLE) / CAST((SELECT max(mass) FROM m) AS DOUBLE))
+       |          * ${MixBuckets}.0) AS BIGINT) AS threshold
+       |      FROM m),
+       |k AS (SELECT g.source, r.threshold,
+       |        ('0x' || substr(md5(g.doc_id::VARCHAR || '$MixSalt'), 1, 15))::BIGINT % $MixBuckets AS bucket
+       |      FROM g JOIN r USING (source)),
+       |kk AS (SELECT source, count(*) AS n_quality,
+       |        CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |        max(threshold) AS threshold
+       |      FROM k GROUP BY source),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT nd.source AS source, nd.n_docs AS n_docs, kk.n_quality AS n_quality,
+       |  kk.n_kept AS n_kept, kk.threshold AS threshold
+       |FROM nd JOIN kk USING (source) ORDER BY source""".stripMargin
+
   /** EPOCH-ordered batch twin of the incremental temperature mix
     * ([[graft.streaming.StreamingIngest.temperatureMixIngestBatch]]):
     * epoch e's docs are accepted against thresholds computed from the
@@ -754,6 +819,7 @@ object PipelineQueries {
     "pipe_shuffle_shards" -> (shuffleShards _),
     "pipe_temperature_mix" -> (temperatureMix _),
     "pipe_epoch_mix" -> (epochMix _),
+    "pipe_quality_mix" -> (qualityMix _),
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
@@ -769,6 +835,7 @@ object PipelineQueries {
     "pipe_shuffle_shards" -> shuffleShardsSql,
     "pipe_temperature_mix" -> temperatureMixSql,
     "pipe_epoch_mix" -> epochMixSql,
+    "pipe_quality_mix" -> qualityMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_train_corpus" -> trainCorpusSql,

@@ -1102,7 +1102,7 @@ object TextQueries {
       m
     })
 
-  private def publishQualityWeights(spark: SparkSession, dir: String,
+  private[queries] def publishQualityWeights(spark: SparkSession, dir: String,
       m: graft.text.QualityModel.Model): Unit =
     OracleSidecars.publish(spark, "quality_weights", dir) {
       import spark.implicits._
@@ -1127,15 +1127,14 @@ object TextQueries {
       VectorModel.documents(spark, dir).select("doc_id", "text"), m)
   }
 
-  /** DuckDB mirror of [[qualityModelScores]] GIVEN the published weights:
-    * same md5 bucket hash, integer weight sum (order-free), and the same
-    * three fixed-order double ops. Lazy so the sidecar root is resolved
-    * at dump time. */
-  lazy val qualityModelSql: String = {
+  /** The quality-logit CTE chain (weights sidecar → token buckets →
+    * per-doc integer dot → intercept) and the fixed-order logit
+    * expression over its `d`/`b` CTEs — ONE definition composed by
+    * [[qualityModelSql]] and the quality-gated mix oracle
+    * ([[PipelineQueries.qualityMixSql]]) so the two cannot drift. */
+  private[queries] def qualityLogitCtes: String = {
     val d = graft.text.QualityModel.D
-    val logit = "(CAST(b.bq AS DOUBLE) + CAST(d.dot AS DOUBLE)/CAST(d.n AS DOUBLE))" +
-      s" / ${OracleSql.lit(graft.text.QualityModel.Scale)}"
-    s"""WITH w AS (SELECT CAST(bucket AS INTEGER) AS bucket, CAST(wq AS BIGINT) AS wq
+    s"""w AS (SELECT CAST(bucket AS INTEGER) AS bucket, CAST(wq AS BIGINT) AS wq
        |  FROM ${OracleSidecars.sqlTable("quality_weights")}),
        |t AS (SELECT doc_id, n,
        |    ('0x'||substr(md5(tok),1,15))::BIGINT % $d AS bucket
@@ -1144,12 +1143,26 @@ object TextQueries {
        |    FROM documents)),
        |d AS (SELECT t.doc_id AS doc_id, t.n AS n, sum(w.wq) AS dot
        |  FROM t JOIN w USING (bucket) GROUP BY t.doc_id, t.n),
-       |b AS (SELECT wq AS bq FROM w WHERE bucket = -1)
-       |SELECT d.doc_id AS doc_id,
-       |  $logit AS logit,
-       |  CAST(CASE WHEN $logit > CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS is_quality
-       |FROM d CROSS JOIN b ORDER BY doc_id""".stripMargin
+       |b AS (SELECT wq AS bq FROM w WHERE bucket = -1)""".stripMargin
   }
+
+  private[queries] val qualityLogitExpr: String =
+    "(CAST(b.bq AS DOUBLE) + CAST(d.dot AS DOUBLE)/CAST(d.n AS DOUBLE))" +
+      s" / ${OracleSql.lit(graft.text.QualityModel.Scale)}"
+
+  /** DuckDB mirror of [[qualityModelScores]] GIVEN the published weights:
+    * same md5 bucket hash, integer weight sum (order-free), and the same
+    * three fixed-order double ops. (Forced at TextQueries object init by
+    * the strict `oracleSql` val — sound because Verify.main arms the
+    * dataset-keyed sidecar root BEFORE anything touches the query
+    * registry, which is the ordering the whole sidecar-oracle family
+    * relies on.) */
+  lazy val qualityModelSql: String =
+    s"""WITH $qualityLogitCtes
+       |SELECT d.doc_id AS doc_id,
+       |  $qualityLogitExpr AS logit,
+       |  CAST(CASE WHEN $qualityLogitExpr > CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+       |FROM d CROSS JOIN b ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_quality_model" -> (qualityModelScores _),

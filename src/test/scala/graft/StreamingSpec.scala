@@ -1309,5 +1309,14 @@ class StreamingSpec extends SparkSpec {
       .select("da", "db", "est_jaccard").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(replayed === batch, "replay must leave the pair set intact")
+    // the sig/pairs state has the same batch-partitioned shape as the
+    // phash state, so the roll-up compaction composes verbatim
+    assert(StreamingIngest.compactBatchState(spark, s"$base/state/sig"))
+    assert(StreamingIngest.compactBatchState(spark, s"$base/state/pairs"))
+    assert(spark.read.parquet(s"$base/state/sig").count() === sigRows)
+    assert(spark.read.parquet(s"$base/state/pairs")
+      .select("da", "db", "est_jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === batch,
+      "compaction must preserve the pair log")
   }
 }

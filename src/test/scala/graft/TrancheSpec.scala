@@ -221,6 +221,42 @@ class TrancheSpec extends SparkSpec {
     }
   }
 
+  test("qualityMix: composition equals gate-then-mix, bounds hold") {
+    val rows = PipelineQueries.qualityMix(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nDocs, nQ, nKept, thr) =>
+      assert(nQ <= nDocs, s"$s: more quality docs than docs")
+      assert(nKept <= nQ, s"$s: kept more than passed the gate")
+      assert(thr >= 0L && thr <= PipelineQueries.MixBuckets)
+    }
+    // driver recompute: gate with the same trained model, then the mix
+    // arithmetic over the survivors
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val model = graft.queries.TextQueries.qualityModel(spark, Sf0001)
+    val gatedIds = graft.text.QualityModel
+      .score(docs.select("doc_id", "text"), model)
+      .where(col("is_quality") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    val gated = docs.collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .filter { case (id, _, _) => gatedIds(id) }
+    val mass = gated.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mmax = mass.values.max
+    val expThr = mass.map { case (s, m) =>
+      s -> math.floor(math.sqrt(m.toDouble / mmax.toDouble) *
+        PipelineQueries.MixBuckets.toDouble).toLong
+    }
+    rows.foreach { case (s, _, nQ, _, thr) =>
+      assert(thr === expThr(s), s"$s: threshold $thr vs ${expThr(s)}")
+      assert(nQ === gated.count(_._2 == s).toLong)
+    }
+    // the heaviest GATED source keeps all its survivors
+    val heaviest = mass.maxBy(_._2)._1
+    val hr = rows.find(_._1 == heaviest).get
+    assert(hr._5 === PipelineQueries.MixBuckets && hr._4 === hr._3)
+  }
+
   test("lshIncrementalPairs: delta matches corpus dups only, never delta-delta") {
     val docs = Seq(
       // 0/1 identical (0 = delta, 1 = corpus) -> must match at est 1.0
