@@ -171,15 +171,31 @@ object SeqPack {
       .groupByKey(_._2)
       .flatMapGroups { (shard, it) =>
         val items = it.toArray.sortBy { case (doc, _, n) => (-n, doc) }
-        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
-        items.iterator.map { case (doc, _, n) =>
-          val fit = bins.indexWhere(_ >= n)
-          val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
-            else { bins(fit) -= n; fit }
-          (doc, n, shard, bin.toLong)
-        }
+        firstFit(cap, scala.collection.mutable.ArrayBuffer.empty[Long],
+          items.iterator.map { case (doc, _, n) => (doc, n) })
+          .map { case (doc, n, bin) => (doc, n, shard, bin) }
       }
       .toDF(idCol, "n", "shard", "bin")
+  }
+
+  /** The first-fit walk itself — ONE definition shared by [[ffdPack]],
+    * [[ffdEpochs]], and the incremental ingest
+    * ([[graft.streaming.StreamingIngest.ffdIngestBatch]]), because their
+    * replay/twin-equality contracts require the three to stay
+    * bit-identical (tie order, cap arithmetic, bin-id assignment).
+    * `bins` holds the open-bin remainders in creation order (index = bin
+    * id) and MAY be pre-seeded with a prior state's remainders; `items`
+    * must already be in placement order. Emits (doc, n, bin). */
+  private[graft] def firstFit(cap: Int,
+      bins: scala.collection.mutable.ArrayBuffer[Long],
+      items: Iterator[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+    val capL = cap.toLong
+    items.map { case (doc, n) =>
+      val fit = bins.indexWhere(_ >= n)
+      val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
+        else { bins(fit) -= n; fit }
+      (doc, n, bin.toLong)
+    }
   }
 
   /** EPOCH-ORDERED batch twin of the incremental FFD pack
@@ -206,13 +222,9 @@ object SeqPack {
       .flatMapGroups { (shard, it) =>
         val items = it.toArray
           .sortBy { case (doc, _, n, ep) => (ep, -n, doc) }
-        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
-        items.iterator.map { case (doc, _, n, _) =>
-          val fit = bins.indexWhere(_ >= n)
-          val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
-            else { bins(fit) -= n; fit }
-          (doc, n, shard, bin.toLong)
-        }
+        firstFit(cap, scala.collection.mutable.ArrayBuffer.empty[Long],
+          items.iterator.map { case (doc, _, n, _) => (doc, n) })
+          .map { case (doc, n, bin) => (doc, n, shard, bin) }
       }
       .toDF(idCol, "n", "shard", "bin")
   }

@@ -448,28 +448,39 @@ object AnalyticsQueries {
   /** α·m² for m = 16 (Flajolet et al.'s published constant 0.673). */
   private val HllAlphaM2 = 0.673 * HllM * HllM
 
+  /** ρ cap: registers saturate at 48 so every 2^(−M) term is ≥ 2^(−48)
+    * while the partial sums stay < 2^3 (16 terms ≤ 1/2 each) — a 51-bit
+    * exponent span, inside the 53-bit significand, which is what makes
+    * the register sum EXACT in any order unconditionally (an uncapped ρ
+    * of 54+ — probability ~2^-53 per event, but possible — would let
+    * Spark's partition-order sum and DuckDB's scan-order sum round
+    * differently). Cardinality impact starts around 2^48 distincts. */
+  private val HllRhoCap = 48
+
   /** Leading-zero rank of the 56-bit suffix: ρ = position of the highest
-    * set bit from the top (+1), 57 for an all-zero suffix — a generated
+    * set bit from the top (+1), saturated at [[HllRhoCap]] — a generated
     * descending-threshold CASE over exact integer literals, identical on
     * both engines (no float log2 anywhere). */
   private def rhoWhen: org.apache.spark.sql.Column =
-    (1 to 56).foldLeft(when(lit(false), 0)) { (acc, r) =>
+    (1 until HllRhoCap).foldLeft(when(lit(false), 0)) { (acc, r) =>
       acc.when(col("w") >= (1L << (56 - r)), r)
-    }.otherwise(57)
+    }.otherwise(HllRhoCap)
 
   private def rhoCaseSql: String =
-    (1 to 56).map(r => s"WHEN w >= ${1L << (56 - r)} THEN $r")
-      .mkString("CASE ", " ", " ELSE 57 END")
+    (1 until HllRhoCap).map(r => s"WHEN w >= ${1L << (56 - r)} THEN $r")
+      .mkString("CASE ", " ", s" ELSE $HllRhoCap END")
 
   /** Deterministic HLL distinct-user estimate per event type — the
     * engine-owned, ORACLE-EXACT sketch twin of [[approxUsers]] (whose
     * Spark-native HLL++ hashes are not reproducible outside the JVM):
     * md5-derived 60-bit hash → 4 bucket bits + 56-bit suffix rank ρ
-    * (integer CASE, [[rhoWhen]]), per-(type, bucket) register = max ρ
-    * (integer, order-free), and the raw estimate α·m²/Σ2^(−M_j). EVERY
-    * float step is exact: 2^(−M) is one-bit dyadic (1/(1<<M), exact
-    * division), the register sum spans < 53 bits of exponent so every
-    * partial sum is exact IN ANY ORDER, and the final α·m²/S is a single
+    * (integer CASE saturated at [[HllRhoCap]], [[rhoWhen]]), per-(type,
+    * bucket) register = max ρ (integer, order-free), and the raw
+    * estimate α·m²/Σ2^(−M_j). EVERY float step is exact: 2^(−M) is
+    * one-bit dyadic (1/(1<<M), exact division), the ρ cap bounds the
+    * register sum's exponent span to 51 bits — inside the 53-bit
+    * significand, so every partial sum is exact IN ANY ORDER,
+    * unconditionally — and the final α·m²/S is a single
     * correctly-rounded division — so the sketch is value-level
     * hash-gated, unlike any libm-based estimator. `exact_users` rides
     * along so the estimate's error is visible in the output; SketchSpec

@@ -930,41 +930,56 @@ object ApproxQueries {
     * schema, the per-(row, codeword) encode distance with its strict-<
     * ties-to-lower-code argmin base, and the subspace-ordered sum) — ONE
     * definition so the ADC and roundtrip mirrors cannot drift. */
-  private object PqOracleSql {
+  /** ADC-oracle scaffold shared by the plain-PQ and OPQ mirrors — ONE
+    * definition of the codebook CTE shape, the per-(row, codeword) encode
+    * distance with its strict-< ties-to-lower-code argmin base, and the
+    * subspace-ordered sum, parameterized only over the codebook sidecar
+    * name and the row-vector accessor (plain: direct embedding indexing;
+    * OPQ: the permuted-position columns). */
+  private class AdcOracleSql(cbTable: String,
+      val emb: Int => Int => String) {
     val m = 8
     val subDim: Int = VectorModel.EmbDim / m
-    def emb(s: Int)(j: Int) = s"CAST(e.embedding[${s * subDim + j + 1}] AS DOUBLE)"
     def cbv(j: Int) = s"cb.v$j"
     val cbCte: String =
       s"""cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
          |    v0, v1, v2, v3, v4, v5, v6, v7
-         |  FROM ${OracleSidecars.sqlTable("pq_codebook")})""".stripMargin
+         |  FROM ${OracleSidecars.sqlTable(cbTable)})""".stripMargin
     val encD: String = (0 until m)
       .map(s => s"WHEN $s THEN ${OracleSql.l2sq(emb(s), cbv, subDim)}")
       .mkString("CASE cb.s ", " ", " END")
-    val lSum: String = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
-  }
-
-  lazy val annPqAdcTopKSql: String = {
-    import PqOracleSql._
-    def q(s: Int)(j: Int) = OracleSql.lit(VectorModel.AnnQuery(s * subDim + j))
-    val lutD = (0 until m)
+    def lutD(q: Int => Int => String): String = (0 until m)
       .map(s => s"WHEN $s THEN ${OracleSql.l2sq(q(s), cbv, subDim)}")
       .mkString("CASE cb.s ", " ", " END")
-    s"""WITH $cbCte,
-       |d AS (SELECT e.vec_id AS vec_id, cb.s AS s, cb.c AS c,
-       |    $encD AS enc_d,
-       |    $lutD AS lut_d
-       |  FROM embeddings e CROSS JOIN cb),
-       |sel AS (SELECT vec_id, s, lut_d,
-       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
-       |  FROM d),
-       |piv AS (SELECT vec_id,
-       |    ${(0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")}
-       |  FROM sel WHERE rn = 1 GROUP BY vec_id)
-       |SELECT vec_id, round(-$lSum, 6) AS adc_score
-       |FROM piv ORDER BY adc_score DESC, vec_id ASC LIMIT 20""".stripMargin
+    val lSum: String = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
+
+    /** The complete top-20 ADC mirror: per-(row, codeword) encode + LUT
+      * distances over `rowsFrom`, argmin by (enc_d, c), pivot, −Σ in
+      * subspace order. `prefixCtes` (possibly empty, trailing comma
+      * included) supplies whatever the row accessor needs. */
+    def adcQuery(prefixCtes: String, rowsFrom: String, rowId: String,
+        q: Int => Int => String): String =
+      s"""WITH $prefixCtes$cbCte,
+         |dd AS (SELECT $rowId AS vec_id, cb.s AS s, cb.c AS c,
+         |    $encD AS enc_d,
+         |    ${lutD(q)} AS lut_d
+         |  FROM $rowsFrom CROSS JOIN cb),
+         |sel AS (SELECT vec_id, s, lut_d,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
+         |  FROM dd),
+         |piv AS (SELECT vec_id,
+         |    ${(0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")}
+         |  FROM sel WHERE rn = 1 GROUP BY vec_id)
+         |SELECT vec_id, round(-$lSum, 6) AS adc_score
+         |FROM piv ORDER BY adc_score DESC, vec_id ASC LIMIT 20""".stripMargin
   }
+
+  private object PqOracleSql extends AdcOracleSql("pq_codebook",
+    s => j => s"CAST(e.embedding[${s * (VectorModel.EmbDim / 8) + j + 1}] AS DOUBLE)")
+
+  lazy val annPqAdcTopKSql: String =
+    PqOracleSql.adcQuery("", "embeddings e", "e.vec_id",
+      s => j => OracleSql.lit(VectorModel.AnnQuery(s * PqOracleSql.subDim + j)))
 
   /** Build-once/serve-many plain-PQ code layout: train (memoized) + encode +
     * write the (id, m-byte code) table once, memoized per dataset dir; a
@@ -1074,48 +1089,29 @@ object ApproxQueries {
     * permutation pivots to one row of 64 position columns, the permuted
     * row vectors and permuted query are pure list indexing through it (no
     * arithmetic — bit-identical by construction), and the encode/LUT/−Σ
-    * walk is the plain-PQ mirror over those columns. */
+    * walk is the SHARED [[AdcOracleSql]] scaffold over those columns, so
+    * the argmin/tie-break/sum conventions cannot drift from the plain-PQ
+    * mirror. */
   lazy val annOpqAdcTopKSql: String = {
     val d = VectorModel.EmbDim
-    val m = 8
-    val subDim = d / m
+    val opq = new AdcOracleSql("opq_codebook",
+      s => j => s"pv.v${s * (d / 8) + j}")
     val ppCols = (0 until d)
       .map(p => s"max(CASE WHEN p = $p THEN j END) AS j$p").mkString(", ")
     val qList = VectorModel.AnnQuery.map(OracleSql.lit).mkString("[", ", ", "]")
-    def pv(s: Int)(j: Int) = s"pv.v${s * subDim + j}"
-    def qvE(s: Int)(j: Int) = s"qv.q${s * subDim + j}"
-    def cbv(j: Int) = s"cb.v$j"
-    val encD = (0 until m)
-      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(pv(s), cbv, subDim)}")
-      .mkString("CASE cb.s ", " ", " END")
-    val lutD = (0 until m)
-      .map(s => s"WHEN $s THEN ${OracleSql.l2sq(qvE(s), cbv, subDim)}")
-      .mkString("CASE cb.s ", " ", " END")
-    val lSum = (1 until m).foldLeft("l0")((acc, s) => s"($acc + l$s)")
-    s"""WITH perm AS (SELECT CAST(p AS INTEGER) AS p, CAST(j AS INTEGER) AS j
-       |  FROM ${OracleSidecars.sqlTable("opq_perm")}),
-       |pp AS (SELECT $ppCols FROM perm),
-       |cb AS (SELECT CAST(s AS INTEGER) AS s, CAST(c AS INTEGER) AS c,
-       |    v0, v1, v2, v3, v4, v5, v6, v7
-       |  FROM ${OracleSidecars.sqlTable("opq_codebook")}),
-       |pv AS (SELECT e.vec_id AS vec_id,
-       |    ${(0 until d).map(p => s"CAST(e.embedding[pp.j$p + 1] AS DOUBLE) AS v$p").mkString(", ")}
-       |  FROM embeddings e CROSS JOIN pp),
-       |qv AS (SELECT
-       |    ${(0 until d).map(p => s"($qList)[pp.j$p + 1] AS q$p").mkString(", ")}
-       |  FROM pp),
-       |dd AS (SELECT pv.vec_id AS vec_id, cb.s AS s, cb.c AS c,
-       |    $encD AS enc_d,
-       |    $lutD AS lut_d
-       |  FROM pv CROSS JOIN cb CROSS JOIN qv),
-       |sel AS (SELECT vec_id, s, lut_d,
-       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY enc_d ASC, c ASC) AS rn
-       |  FROM dd),
-       |piv AS (SELECT vec_id,
-       |    ${(0 until m).map(s => s"max(CASE WHEN s = $s THEN lut_d END) AS l$s").mkString(", ")}
-       |  FROM sel WHERE rn = 1 GROUP BY vec_id)
-       |SELECT vec_id, round(-$lSum, 6) AS adc_score
-       |FROM piv ORDER BY adc_score DESC, vec_id ASC LIMIT 20""".stripMargin
+    val prefix =
+      s"""perm AS (SELECT CAST(p AS INTEGER) AS p, CAST(j AS INTEGER) AS j
+         |  FROM ${OracleSidecars.sqlTable("opq_perm")}),
+         |pp AS (SELECT $ppCols FROM perm),
+         |pv AS (SELECT e.vec_id AS vec_id,
+         |    ${(0 until d).map(p => s"CAST(e.embedding[pp.j$p + 1] AS DOUBLE) AS v$p").mkString(", ")}
+         |  FROM embeddings e CROSS JOIN pp),
+         |qv AS (SELECT
+         |    ${(0 until d).map(p => s"($qList)[pp.j$p + 1] AS q$p").mkString(", ")}
+         |  FROM pp),
+         |""".stripMargin
+    opq.adcQuery(prefix, "pv CROSS JOIN qv", "pv.vec_id",
+      s => j => s"qv.q${s * opq.subDim + j}")
   }
 
   /** SQ8 model memo ([[graft.pq.ScalarQuantizer.fit]] — exact per-dim

@@ -731,9 +731,12 @@ object PipelineQueries {
     val model = TextQueries.qualityModel(spark, dir)
     TextQueries.publishQualityWeights(spark, dir, model) // repair no-op
     val docs = VectorModel.documents(spark, dir)
-    val gatedIds = graft.text.QualityModel
-      .score(docs.select("doc_id", "text"), model)
-      .where(col("is_quality") === 1L).select("doc_id")
+    // the gate scoring subtree (explode + weight join + per-doc aggregate)
+    // feeds BOTH the mass branch and the acceptance branch — cache the
+    // tiny id set or the corpus is scored twice
+    val gatedIds = graft.store.CacheRegistry.cached(
+      graft.text.QualityModel.score(docs.select("doc_id", "text"), model)
+        .where(col("is_quality") === 1L).select("doc_id"))
     val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
     val rates = gated.groupBy("source").agg(sum("n_chars").as("mass"))
       .withColumn("mmax", max("mass").over(Window.partitionBy()))
@@ -749,10 +752,15 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_quality"),
         sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
         max("threshold").as("threshold"))
+    // LEFT join: a source whose every doc fails the gate must still report
+    // (n_quality = 0), or "fully gated out" is indistinguishable from
+    // "absent from the corpus"
     docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .join(kept, "source")
-      .select(col("source"), col("n_docs"), col("n_quality"),
-        col("n_kept"), col("threshold"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("threshold"), lit(0L)).as("threshold"))
       .orderBy("source")
   }
 
@@ -776,9 +784,11 @@ object PipelineQueries {
        |        max(threshold) AS threshold
        |      FROM k GROUP BY source),
        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
-       |SELECT nd.source AS source, nd.n_docs AS n_docs, kk.n_quality AS n_quality,
-       |  kk.n_kept AS n_kept, kk.threshold AS threshold
-       |FROM nd JOIN kk USING (source) ORDER BY source""".stripMargin
+       |SELECT nd.source AS source, nd.n_docs AS n_docs,
+       |  CAST(COALESCE(kk.n_quality, 0) AS BIGINT) AS n_quality,
+       |  CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(kk.threshold, 0) AS BIGINT) AS threshold
+       |FROM nd LEFT JOIN kk USING (source) ORDER BY source""".stripMargin
 
   /** EPOCH-ordered batch twin of the incremental temperature mix
     * ([[graft.streaming.StreamingIngest.temperatureMixIngestBatch]]):

@@ -634,13 +634,10 @@ object StreamingIngest {
         val prior = binsIt.toArray.sortBy(_._2) // ascending bin id
         val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
         prior.foreach { case (_, _, rem) => bins += rem }
-        itemsIt.toArray.sortBy { case (doc, _, n) => (-n, doc) }
-          .iterator.map { case (doc, _, n) =>
-            val fit = bins.indexWhere(_ >= n)
-            val bin = if (fit < 0) { bins += capL - n; bins.length - 1 }
-              else { bins(fit) -= n; fit }
-            (doc, n, shard, bin.toLong)
-          }
+        graft.operators.SeqPack.firstFit(cap, bins,
+            itemsIt.toArray.sortBy { case (doc, _, n) => (-n, doc) }
+              .iterator.map { case (doc, _, n) => (doc, n) })
+          .map { case (doc, n, bin) => (doc, n, shard, bin) }
       }
       .toDF("doc_id", "n", "shard", "bin")
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
@@ -1146,7 +1143,8 @@ object StreamingIngest {
     val st = spark.read.parquet(path)
     val ids = st.select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    if (ids.length < minBatches) return false
+    // floor of 2: one batch has nothing to fold, whatever the caller asked
+    if (ids.length < math.max(minBatches, 2)) return false
     val maxB = ids.last
     val foldedId = ids.init.last
     graft.index.Ivf.rewriteSwapped(spark, path) { tmp =>

@@ -107,10 +107,10 @@ class OpqSpec extends SparkSpec {
           val diff = q(s * opq.subDim + j) - cent(j); diff * diff
         }.sum
       }.sum
-      (id, -d)
+      // round BEFORE ranking — adcTopK orders by the 6-decimal rounded
+      // score, and a raw-order rank can disagree at rounding collisions
+      (id, BigDecimal(-d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.sortBy { case (id, sc) => (-sc, id) }.take(5)
-      .map { case (id, sc) =>
-        (id, BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     assert(got.map(_._1).toSeq === expect.map(_._1).toSeq,
       s"ADC ranking mismatch: ${got.toSeq} vs ${expect.toSeq}")
     emb.unpersist()
