@@ -68,7 +68,10 @@ object DevPlans {
     "tx_quality_model" -> "learned quality gate: token explode + BOUNDED 256-row weight BroadcastHashJoin + ONE map-side-combinable integer sum per doc — model state is fixed-size, nothing corpus-growing is broadcast, the logit is three scalar ops in the final projection",
     "pipe_pack_ffd" -> "doc-boundary FFD packing: ONE hash exchange on the shard group key, per-shard sort + LINEAR imperative fold (MapGroups — genuine sequential per-group state), no global sort, no second corpus pass",
     "pipe_epoch_mix" -> "epoch/repetition mixing: the same bounded per-source mass broadcast as the temperature mix, repetition count is a pure integer-ceil expression off the shared md5 bucket — one shuffle for the per-source report only",
-    "vq_merge_agg" -> "keyed bulk MERGE: ONE left-anti join on the id (bounded delta → AQE broadcasts the key side) + union of the delta's upsert rows — present ids update, absent insert, D-rows remove; no per-row driver work")
+    "vq_merge_agg" -> "keyed bulk MERGE: ONE left-anti join on the id (bounded delta → AQE broadcasts the key side) + union of the delta's upsert rows — present ids update, absent insert, D-rows remove; no per-row driver work",
+    "ann_opq_adc_topk" -> "OPQ-P serving: identical shape to ann_pq_adc_topk — the scan reads m-byte codes from the PERMUTED layout, the query permutes driver-side (exact reorder, zero arithmetic), one codegen ADC projection, TakeOrderedAndProject",
+    "q_hll_users" -> "deterministic HLL: md5 hash + integer-CASE rho as scan-side expressions, register table = types x 16 rows via one map-side-combined aggregate, dyadic-exact register sum — a sketch with no libm anywhere",
+    "pipe_quality_mix" -> "quality-gated mix: ONE cached gate-scoring pass (InMemoryTableScan feeds both branches), survivors' bounded per-source mass broadcast, md5-bucket acceptance as pure expressions — the composed curation stage in two shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
