@@ -144,6 +144,31 @@ object RecallBench {
         refineFrom = Some(data), vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
 
+    // plain PQ-ADC vs OPQ-P (variance-balanced dimension permutation):
+    // same codebook budget, same ADC walk — the pair isolates what the
+    // permutation buys/costs on these embeddings (near-uniform per-dim
+    // variance, so parity is the expected reading; the skewed-variance
+    // win is OpqSpec's fixture)
+    val pqModel = graft.pq.ProductQuantizer.train(data, "embedding", "vec_id", dim)
+    val pqCodes = graft.pq.ProductQuantizer
+      .encodeDf(data, pqModel, "embedding").select("vec_id", "pq_code").cache()
+    pqCodes.count()
+    val (pqMs, pqRes) = timeAll(q =>
+      graft.pq.ProductQuantizer.adcTopK(pqCodes, pqModel, q, k, "vec_id")
+        .select("vec_id"))
+    val opqPerm = graft.pq.Opq.balancedPermutation(
+      graft.pq.Opq.dimVariances(data, "embedding", dim), 8)
+    val opqData = data.withColumn("pemb",
+      graft.pq.Opq.permuteCol(org.apache.spark.sql.functions.col("embedding"), opqPerm))
+    val opqModel = graft.pq.ProductQuantizer.train(opqData, "pemb", "vec_id", dim)
+    val opqCodes = graft.pq.ProductQuantizer
+      .encodeDf(opqData, opqModel, "pemb").select("vec_id", "pq_code").cache()
+    opqCodes.count()
+    val (opqMs, opqRes) = timeAll(q =>
+      graft.pq.ProductQuantizer.adcTopK(opqCodes, opqModel,
+          graft.pq.Opq.permuteQuery(q, opqPerm), k, "vec_id")
+        .select("vec_id"))
+
     // 1-bit binary codes: Hamming top-100 candidates + exact re-rank (the
     // ann_bin_topk serving shape) — recall here measures how well sign-bit
     // Hamming ORDERS true neighbors on isotropic embeddings, the codec's
@@ -280,6 +305,8 @@ object RecallBench {
         f""""semantic_keepers_ivf_agree":$semIvfAgree%.4f,""" +
         f""""rag_retrieval_recall":$ragRecall%.4f,""" +
         f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f,""" +
+        f""""pq_ms":$pqMs%.2f,"pq_recall":${recall(pqRes)}%.4f,""" +
+        f""""opq_ms":$opqMs%.2f,"opq_recall":${recall(opqRes)}%.4f,""" +
         f""""bin_ms":$binMs%.2f,"bin_recall":${recall(binRes)}%.4f}"""
     println(json)
     spark.stop()
