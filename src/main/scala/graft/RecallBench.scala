@@ -71,8 +71,11 @@ object RecallBench {
       val res = (0 until numQueries).map(i => byQ.getOrElse(i.toLong, Set.empty[Long]))
       (((System.nanoTime() - t0) / 1e6) / numQueries, res)
     }
+    // single-table base published at its recall operating point (EXPLICIT
+    // radius 2 — the library default stays radius 1, see LshAnn.probeBuckets)
     val (lshMs, lshRes) = timeAll(q =>
-      LshAnn.search(lshBucketed, planes, q, k, vecCol = "embedding", idCol = "vec_id")
+      LshAnn.search(lshBucketed, planes, q, k, vecCol = "embedding", idCol = "vec_id",
+        radius = 2)
         .select("vec_id"))
     // multi-table sign-LSH — the measured operating point (mean-centered
     // tables, query-directed multi-probe); scanned fraction beside recall

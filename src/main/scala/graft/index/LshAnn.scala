@@ -17,13 +17,15 @@ import graft.search.VectorSearch
   * broadcast but the seed.
   *
   * Single-table search probes the query's bucket plus all buckets within
-  * Hamming distance 2 by default (sign flips near a hyperplane are the
-  * dominant error mode, and at few bits the double-flip ring is what
-  * lifts recall past 0.7 — see [[probeBuckets]]; radius 1 remains
-  * available for tight budgets), then runs the exact operator inside the
-  * probed subset. The production serving paths are the multi-table
-  * centered layouts below. Recall AND scanned fraction are gated in
-  * ScalaTest like the other approximate operators.
+  * Hamming `radius` (default 1 — the cheap ring; callers' scan budgets
+  * must not silently grow under a library upgrade, so the default stays
+  * put). The recall-gated operating point is radius 2: sign flips near a
+  * hyperplane are the dominant error mode, and at few bits the
+  * double-flip ring is what lifts recall past 0.7 (measured 0.775 at
+  * 0.68 scanned vs 0.50 at 0.33 — see [[probeBuckets]]); recall-gated
+  * callers opt in EXPLICITLY. The production serving paths are the
+  * multi-table centered layouts below. Recall AND scanned fraction are
+  * gated in ScalaTest like the other approximate operators.
   */
 object LshAnn {
 
@@ -56,15 +58,18 @@ object LshAnn {
     df.withColumn("lsh_bucket", bucketCol(col(vecCol), planes))
 
   /** Query-side probe set: own bucket + every flip neighborhood up to
-    * Hamming `radius` (own, then 1-flips, then 2-flips). Radius 2 is the
-    * single-table serving default — at the table's few bits, Hamming-1
-    * leaves every double sign-flip near two hyperplanes unrecovered,
-    * which measured as base recall 0.50 on the embeddings corpus; the
-    * Hamming-2 ring recovers those at a measured scan-cost increase
-    * (RecallSpec gates recall AND logs the scanned fraction; production
-    * budgets use the multi-table adaptive walk instead). */
+    * Hamming `radius` (own, then 1-flips, then 2-flips). The DEFAULT is
+    * radius 1 — at the table's few bits, radius 2 probes most of the
+    * bucket space (11/16 at 4 bits, ~68% of this corpus scanned), and a
+    * default that costly would silently multiply existing callers' scan
+    * budgets. Radius 2 is the single-table ≥0.7-recall operating point
+    * (Hamming-1 leaves double sign-flips near two hyperplanes
+    * unrecovered — measured 0.50 vs 0.775 on the embeddings corpus) and
+    * the recall-gated callers (RecallSpec, RecallBench) pass it
+    * explicitly; production budgets use the multi-table adaptive walk
+    * instead. */
   def probeBuckets(query: Seq[Double], planes: Array[Array[Double]],
-      radius: Int = 2): Seq[Int] = {
+      radius: Int = 1): Seq[Int] = {
     require(radius >= 1 && radius <= 2,
       s"single-table probe radius is 1 or 2 (closed-form rings), got $radius")
     val bits = planes.length
@@ -78,10 +83,12 @@ object LshAnn {
     if (radius == 1) qb +: h1 else (qb +: h1) ++ h2
   }
 
-  /** Approximate top-k: probe buckets, exact search within. */
+  /** Approximate top-k: probe buckets, exact search within. Default
+    * radius 1 — see [[probeBuckets]] for why the recall operating point
+    * (radius 2) is opt-in rather than the default. */
   def search(bucketed: DataFrame, planes: Array[Array[Double]], query: Seq[Double],
       topK: Int, vecCol: String = "vector", idCol: String = "id",
-      radius: Int = 2): DataFrame = {
+      radius: Int = 1): DataFrame = {
     val probes = probeBuckets(query, planes, radius)
     val pruned = bucketed.where(col("lsh_bucket").isin(probes: _*))
     VectorSearch.bruteForceTopK(pruned, query, topK, None, vecCol, idCol)

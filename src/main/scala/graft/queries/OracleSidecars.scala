@@ -42,6 +42,8 @@ object OracleSidecars {
     // stable content-free key: the absolute dataset path's hex hash
     val abs = new java.io.File(sfDir).getAbsolutePath
     datasetKey = f"ds_${scala.util.hashing.MurmurHash3.stringHash(abs)}%08x"
+    // claim the namespace NOW, not at first publish — see ensureOwnedRoot
+    ensureOwnedRoot()
   }
 
   private def user: String = sys.props.getOrElse("user.name", "unknown")
@@ -81,31 +83,41 @@ object OracleSidecars {
     val r = root
     lastDir.compute(s"$r/$name", (_, prev) => {
       if (prev != dir || !graft.store.Fs.exists(spark, s"$r/$name")) {
-        requireOwnedByUs()
+        ensureOwnedRoot()
         make.coalesce(1).write.mode("overwrite").parquet(s"$r/$name")
       }
       dir
     })
   }
 
-  /** Fail loudly if any EXISTING path component at or under [[base]]
-    * belongs to someone else — a pre-owned path in a world-writable
-    * /tmp lets a stranger swap artifacts between publish and compare.
-    * Only local paths are checkable; non-local roots (hdfs:, s3a:) are
-    * the cluster admin's ACL problem and pass through. */
-  private def requireOwnedByUs(): Unit = {
+  /** Create [[root]] eagerly and verify — AFTER creation — that every
+    * component from [[base]] down is owned by us and closed to others
+    * (mode 0700). A check-then-write (the pre-round-14 shape: inspect
+    * the deepest EXISTING component, then let the parquet write create
+    * the rest) has a TOCTOU window on a world-writable /tmp: a local
+    * attacker who creates the per-user base or the guessable `ds_<hash>`
+    * subdir between the check and the write owns the sidecars the later
+    * DuckDB compare reads. `createDirectories` happily reuses a
+    * pre-existing foreign dir, so the post-creation ownership walk is
+    * the authoritative check (create-or-reuse, THEN verify — no window),
+    * and the 0700 chmod on our own components means nothing below them
+    * can be claimed by anyone else afterwards. Only local paths are
+    * checkable; non-local roots (hdfs:, s3a:) are the cluster admin's
+    * ACL problem and pass through. */
+  private def ensureOwnedRoot(): Unit = {
     val b = base
     if (b.contains(":")) return // non-local filesystem URI
+    import java.nio.file.{Files, Paths}
     val me = sys.props.getOrElse("user.name", "")
-    // deepest existing path at-or-above base; ownership matters only if
-    // that survivor is base itself or below (ancestors like /tmp are
-    // legitimately world-owned)
-    var p = java.nio.file.Paths.get(root)
-    while (p != null && !java.nio.file.Files.exists(p)) p = p.getParent
-    if (p != null && p.toString.startsWith(b)) {
-      val owner = java.nio.file.Files.getOwner(p).getName
+    Files.createDirectories(Paths.get(root))
+    var p = Paths.get(root)
+    while (p != null && p.toString.startsWith(b)) {
+      val owner = Files.getOwner(p).getName
       require(owner == me,
         s"oracle sidecar path '$p' is owned by '$owner', not '$me' — refusing to publish into it")
+      Files.setPosixFilePermissions(p,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      p = p.getParent
     }
   }
 }

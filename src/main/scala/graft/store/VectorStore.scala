@@ -57,18 +57,28 @@ object VectorStore {
     * no per-row driver work, no second base scan. */
   def merge(base: DataFrame, delta: DataFrame, idCol: String = "id",
       opCol: String = "op"): DataFrame = {
-    val checked = checkedOps(delta, opCol)
-    base.join(checked.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(checked.where(col(opCol) === "U").drop(opCol))
+    requireValidOps(delta, opCol)
+    base.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(delta.where(col(opCol) === "U").drop(opCol))
   }
 
-  /** The delta with its op column validated at evaluation — shared by
-    * [[merge]] and [[mergeVersioned]]'s bootstrap so an unknown op fails
-    * loudly on EVERY path, never silently drops. */
-  private def checkedOps(delta: DataFrame, opCol: String): DataFrame =
-    delta.withColumn(opCol,
-      when(col(opCol).isin("U", "D"), col(opCol))
-        .otherwise(raise_error(concat(lit("unknown merge op: "), col(opCol)))))
+  /** Eager op validation, shared by [[merge]] and [[mergeVersioned]]'s
+    * bootstrap so an unknown op fails loudly on EVERY path, never
+    * silently drops. Eager (one bounded scan of the delta — bounded by
+    * [[merge]]'s contract) rather than a `raise_error` CASE inside the
+    * plan: the lazy check only survived through the `op = 'U'` branch —
+    * column pruning strips it from the anti-join side, so whether an
+    * unknown op failed or silently dropped its base row rested on
+    * Catalyst never simplifying `CASE…raise_error END = 'U'` in the
+    * filter. An eagerly-evaluated emptiness assertion cannot be
+    * optimized away by any future rule. NULL ops are invalid too (a
+    * `NOT isin` filter alone would pass them through to a silent drop). */
+  private def requireValidOps(delta: DataFrame, opCol: String): Unit = {
+    val bad = delta
+      .where(col(opCol).isNull || !col(opCol).isin("U", "D"))
+      .select(col(opCol)).limit(1).collect()
+    require(bad.isEmpty, s"unknown merge op: ${bad.headOption.map(_.get(0)).orNull}")
+  }
 
   /** [[merge]] landed as one commit-marker version on a
     * [[VersionedLayout]] root: reads the live snapshot, applies the
@@ -84,7 +94,8 @@ object VectorStore {
       val merged = VersionedLayout.currentDir(spark, root) match {
         case Some(cur) => merge(spark.read.parquet(cur), delta, idCol, opCol)
         case None =>
-          checkedOps(delta, opCol).where(col(opCol) === "U").drop(opCol)
+          requireValidOps(delta, opCol)
+          delta.where(col(opCol) === "U").drop(opCol)
       }
       merged.write.parquet(dir)
     }

@@ -1134,7 +1134,16 @@ object StreamingIngest {
     * complete replacement beside, two renames, self-repairing leftovers);
     * same operational contract as [[compactSemanticState]]: run between
     * micro-batches, single writer. Returns false when there is nothing
-    * to fold (fewer than `minBatches` batch partitions). */
+    * to fold (fewer than `minBatches` batch partitions).
+    *
+    * CONTRACT: after the first compaction `batch` is a REPLAY/cumulative
+    * key, not arrival provenance — folded rows land under the highest
+    * folded id, so "which micro-batch did this row arrive in" is
+    * unanswerable for compacted history (only `batch <= id` cumulative
+    * reads, which is all the ingest twins do, are preserved). A consumer
+    * that needs arrival attribution must carry the arrival batch as a
+    * DATA column before ever compacting; none of the shipped states do,
+    * by design. */
   def compactBatchState(spark: SparkSession, path: String,
       fold: DataFrame => DataFrame = _.coalesce(1),
       minBatches: Int = 3): Boolean = {

@@ -108,12 +108,14 @@ class RecallSpec extends SparkSpec {
     val planes = LshAnn.hyperplanes(numBits = 4, dim = VectorModel.EmbDim)
     val bucketed = LshAnn.withBuckets(embeddings, "embedding", planes).cache()
     val approx = LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
-      vecCol = "embedding", idCol = "vec_id")
+      vecCol = "embedding", idCol = "vec_id", radius = 2)
     val r = Recall.recallAtK(exact, approx, "vec_id")
-    // the serving default (radius 2) must reach the ≥ 0.7 operating point
-    // — Hamming-1 measured 0.50 (DevLshBase: radius=1 recall 0.50 at 0.33
-    // scanned; radius=2 recall 0.78 at 0.68 scanned, sf0.01, 20 queries)
-    val probes = LshAnn.probeBuckets(VectorModel.AnnQuery, planes)
+    // the recall-gated operating point (EXPLICIT radius 2; the library
+    // default stays radius 1 so callers' scan budgets don't move under
+    // them) must reach ≥ 0.7 — Hamming-1 measured 0.50 (DevLshBase:
+    // radius=1 recall 0.50 at 0.33 scanned; radius=2 recall 0.78 at 0.68
+    // scanned, sf0.01, 20 queries)
+    val probes = LshAnn.probeBuckets(VectorModel.AnnQuery, planes, radius = 2)
     val scanned = bucketed.where(col("lsh_bucket").isin(probes: _*))
       .count().toDouble / embeddings.count()
     info(f"LSH recall@20 = $r (scanned fraction $scanned%.3f at radius 2)")
@@ -121,7 +123,7 @@ class RecallSpec extends SparkSpec {
     // and it must still beat its scanned fraction, or the buckets carry
     // no signal beyond random subsampling
     assert(r > scanned, s"recall $r does not beat scanned fraction $scanned")
-    // the radius-1 ring stays available for tight budgets
+    // the radius-1 ring (the library default) keeps its tight budget
     val r1 = Recall.recallAtK(exact,
       LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
         vecCol = "embedding", idCol = "vec_id", radius = 1), "vec_id")
