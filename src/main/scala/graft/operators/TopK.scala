@@ -42,6 +42,47 @@ object TopK {
     override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
   }
 
+  /** A (priority, payload) pair for [[BottomSAggregator]]. */
+  case class Prioritized(pri: Long, value: Double)
+
+  /** Keeps the s smallest rows by (pri ASC, value ASC) — the bounded
+    * per-group sampling primitive behind the deterministic quantile
+    * sketch: with pri an md5-derived 60-bit integer, "bottom s by
+    * priority" IS a uniform s-sample of the group, order-free and
+    * exactly reproducible in any engine by mirroring the hash (the
+    * window formulation — row_number over a per-group sort — shuffles
+    * and sorts every row; this buffer truncates to s map-side, so the
+    * shuffle carries at most s rows per (group, partition)). Priorities
+    * stay LONG throughout: 60-bit values do not survive a double
+    * round-trip (2^53 mantissa), which is why [[TopKAggregator]] is not
+    * reused with negated-priority scores. */
+  class BottomSAggregator(s: Int) extends Aggregator[Prioritized, Seq[Prioritized], Seq[Prioritized]] {
+    private def best(xs: Seq[Prioritized]): Seq[Prioritized] =
+      xs.sortBy(x => (x.pri, x.value)).take(s)
+    override def zero: Seq[Prioritized] = Seq.empty
+    override def reduce(b: Seq[Prioritized], a: Prioritized): Seq[Prioritized] =
+      if (s <= 0) b
+      else if (b.size < s) best(b :+ a)
+      else if (a.pri < b.last.pri || (a.pri == b.last.pri && a.value < b.last.value)) best(b :+ a)
+      else b
+    override def merge(b1: Seq[Prioritized], b2: Seq[Prioritized]): Seq[Prioritized] =
+      best(b1 ++ b2)
+    override def finish(r: Seq[Prioritized]): Seq[Prioritized] = r
+    override def bufferEncoder: Encoder[Seq[Prioritized]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Prioritized]] = ExpressionEncoder()
+  }
+
+  /** Per-group bottom-s sample: one row per kept (group, value), at most
+    * `s` per group — see [[BottomSAggregator]] for the scale shape. */
+  def perGroupBottomS(df: DataFrame, groupCol: String, priCol: Column,
+      valueCol: Column, s: Int): DataFrame = {
+    val bottoms = udaf(new BottomSAggregator(s), ExpressionEncoder[Prioritized]())
+    df.groupBy(col(groupCol))
+      .agg(bottoms(priCol, valueCol).as("_keep"))
+      .select(col(groupCol), explode(col("_keep")).as("_s"))
+      .select(col(groupCol), col("_s.value").as("value"))
+  }
+
   /** Per-group top-k: returns (groupCols..., id, sim(rounded 6), rn). Same
     * output contract as the window formulation. */
   def perGroupTopK(df: DataFrame, groupCol: String, idCol: Column, simCol: Column,

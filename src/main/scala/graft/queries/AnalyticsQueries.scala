@@ -552,6 +552,124 @@ object AnalyticsQueries {
       |  round(quantile_cont(value, CAST('0.95' AS DOUBLE)), 6) AS p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- deterministic frequency sketch: Count-Min heavy hitters ----------
+
+  /** Count-Min depth (independent hash rows) and width (cells per row).
+    * Width 64 gives the classic ε = e/w ≈ 0.0425 per-row overcount bound
+    * (≤ εn with probability 1−1/e per row, 1−e^−3 over the min of 3);
+    * deliberately small so the sketch's overcounts are VISIBLE in the
+    * output next to the exact counts rather than vacuously zero. */
+  val CmDepth = 3
+  val CmWidth = 64
+
+  /** Cell of `key` under hash row `r`: md5-derived 60-bit integer mod
+    * width — the same engine-mirrorable hash family as [[hllUsers]],
+    * salted per row by the literal prefix. */
+  private def cmCell(r: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.dedup.Dedup.hash60(concat(lit(s"cm$r:"), key)) % CmWidth
+
+  /** Count-Min estimates for EVERY key (exact count alongside) — the
+    * sketch the top-k query and SketchSpec's εn/no-undercount gates read.
+    * Scale shape: the counter table is depth×width rows whatever the
+    * corpus (one explode-by-depth pass with map-side partial
+    * aggregation), the per-key exact counts are one hash aggregate
+    * bounded by key cardinality, and the estimate join broadcasts the
+    * 192-row counter table — nothing corpus-sized moves. Every step is
+    * integer, so estimates are value-level exact cross-engine. */
+  private[graft] def cmUserEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+      .select(col("user_id").cast("string").as("k"))
+    val counters = ev
+      .select(explode(array((0 until CmDepth).map(r =>
+        struct(lit(r).as("r"), cmCell(r, col("k")).as("cell"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val users = ev.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+    (0 until CmDepth).foldLeft(users) { (df, r) =>
+      df.join(
+        broadcast(counters.where(col("r") === r)
+          .select(col("cell").as(s"_cell$r"), col("c").as(s"_c$r"))),
+        cmCell(r, df("k")) === col(s"_cell$r"))
+    }
+      .withColumn("est_cnt", least((0 until CmDepth).map(r => col(s"_c$r")): _*))
+      .select(col("k").cast("long").as("user_id"), col("est_cnt"), col("exact_cnt"))
+  }
+
+  /** Heavy hitters via the Count-Min sketch: top 20 users by ESTIMATED
+    * event count, exact count alongside so the overcount is visible.
+    * Deterministic total order (est DESC, user_id ASC) → the LIMIT is
+    * stable; every arithmetic step integer → hash-gated, unlike any
+    * randomized-seed sketch. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmUserEstimates(spark, dir)
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(20)
+
+  lazy val heavyHittersSql: String = {
+    def cell(r: String, k: String): String =
+      s"('0x'||substr(md5('cm'||$r||':'||$k),1,15))::BIGINT % $CmWidth"
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+       |rs AS (SELECT CAST(unnest(generate_series(0, ${CmDepth - 1})) AS INTEGER) AS r),
+       |counters AS (SELECT rs.r AS r, ${cell("CAST(rs.r AS VARCHAR)", "ev.k")} AS cell,
+       |    count(*) AS c
+       |  FROM ev CROSS JOIN rs GROUP BY 1, 2),
+       |users AS (SELECT k, count(*) AS exact_cnt FROM ev GROUP BY k),
+       |est AS (SELECT u.k AS k, u.exact_cnt AS exact_cnt, min(ct.c) AS est_cnt
+       |  FROM users u CROSS JOIN rs
+       |  JOIN counters ct ON ct.r = rs.r
+       |    AND ct.cell = ${cell("CAST(rs.r AS VARCHAR)", "u.k")}
+       |  GROUP BY u.k, u.exact_cnt)
+       |SELECT CAST(k AS BIGINT) AS user_id, est_cnt, exact_cnt
+       |FROM est ORDER BY est_cnt DESC, user_id LIMIT 20""".stripMargin
+  }
+
+  // ---- deterministic quantile sketch: md5-priority bottom-s sample ------
+
+  /** Sample size per group. 256 of a ~2500-row group bounds the rank
+    * error of the sampled quantile to ~3/√s ≈ 0.19 at 3σ-equivalent
+    * (gated empirically in SketchSpec against the exact CDF). */
+  val QsSampleSize = 256
+
+  /** Deterministic quantile sketch: per event type, interpolated p50/p95
+    * over the md5-priority bottom-[[QsSampleSize]] sample — the
+    * fixed-memory quantile estimator a 100 TB dashboard runs instead of
+    * an exact per-group sort. "Bottom s by an md5 priority" is a uniform
+    * sample that is ORDER-FREE (any scan order keeps the same s rows)
+    * and exactly mirrorable in SQL by the same hash — unlike reservoir
+    * sampling, whose kept set depends on arrival order. Scale shape:
+    * [[graft.operators.TopK.perGroupBottomS]] truncates to s map-side,
+    * so the shuffle carries ≤ s rows per (group, partition); the
+    * interpolation then runs on s rows per group. The sampled quantile
+    * definition (linear interpolation) matches DuckDB's quantile_cont,
+    * the [[valuePercentiles]] precedent. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+      .select(col("event_type"),
+        graft.dedup.Dedup.hash60(
+          concat(lit("qs:"), col("event_id").cast("string"))).as("pri"),
+        col("value"))
+    graft.operators.TopK.perGroupBottomS(ev, "event_type",
+        col("pri"), col("value"), QsSampleSize)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy("event_type")
+  }
+
+  lazy val quantileSketchSql: String =
+    s"""WITH pri AS (SELECT event_type, value,
+       |    ('0x'||substr(md5('qs:'||CAST(event_id AS VARCHAR)),1,15))::BIGINT AS pri
+       |  FROM events),
+       |keep AS (SELECT event_type, value FROM (
+       |    SELECT event_type, value,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY pri, value) AS rn
+       |    FROM pri) WHERE rn <= $QsSampleSize)
+       |SELECT event_type, count(*) AS n_sampled,
+       |  round(quantile_cont(value, CAST('0.5' AS DOUBLE)), 6) AS p50,
+       |  round(quantile_cont(value, CAST('0.95' AS DOUBLE)), 6) AS p95
+       |FROM keep GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** ROLLUP hierarchy totals (null group keys coalesced to 'ALL'). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
@@ -729,6 +847,8 @@ object AnalyticsQueries {
     "ev_range_join" -> (eventsRangeJoinIncidents _),
     "q_approx_users" -> (approxUsers _),
     "q_hll_users" -> (hllUsers _),
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_percentiles" -> (valuePercentiles _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
@@ -753,6 +873,8 @@ object AnalyticsQueries {
     "ev_asof_orders" -> eventsAsOfOrdersSql,
     "ev_range_join" -> eventsRangeJoinIncidentsSql,
     "q_hll_users" -> hllUsersSql,
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_percentiles" -> valuePercentilesSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,

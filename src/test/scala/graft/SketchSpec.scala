@@ -37,6 +37,55 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Count-Min: zero undercount, εn overcount bound at sketch confidence") {
+    // the classic CM contract: est >= exact ALWAYS (counters only add),
+    // and est <= exact + εn with ε = e/w, each key independently with
+    // probability >= 1 - e^-depth (~95% at depth 3) — gate the violating
+    // fraction at the contract's failure budget, not per key
+    val est = AnalyticsQueries.cmUserEstimates(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$Sf001/events.parquet").count()
+    val epsN = math.E / AnalyticsQueries.CmWidth * n
+    est.foreach { case (u, e, x) =>
+      assert(e >= x, s"user $u: UNDERCOUNT est $e < exact $x — structurally impossible")
+    }
+    val over = est.count { case (_, e, x) => e - x > epsN }
+    val budget = math.exp(-AnalyticsQueries.CmDepth) * est.length
+    assert(over <= math.ceil(budget * 2).toInt,
+      s"$over of ${est.length} keys exceed the εn=$epsN overcount bound " +
+        s"(contract budget ~${budget.round})")
+    info(s"CM overcount: $over/${est.length} keys past εn=${epsN.round} " +
+      s"(max over ${est.map { case (_, e, x) => e - x }.max})")
+    // the top-20 query is a deterministic cut of the same estimates
+    val top = AnalyticsQueries.heavyHitters(spark, Sf001).collect()
+    assert(top.length == 20)
+    val expected = est.sortBy { case (u, e, _) => (-e, u) }.take(20).map(_._1).toSeq
+    assert(top.map(_.getLong(0)).toSeq === expected)
+  }
+
+  test("quantile sketch: sampled p50/p95 land near the exact ranks") {
+    // rank check: the exact CDF evaluated at the sampled quantile must sit
+    // within the binomial sampling error of the target rank (s = 256 →
+    // sd ≈ 0.031 at p50; gate at ~3σ)
+    val sk = AnalyticsQueries.quantileSketch(spark, Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(sk.nonEmpty)
+    val ev = spark.read.parquet(s"$Sf001/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    sk.foreach { case (t, ns, p50, p95) =>
+      val vals = ev(t)
+      assert(ns == math.min(AnalyticsQueries.QsSampleSize, vals.length).toLong)
+      def cdf(x: Double): Double = vals.count(_ <= x).toDouble / vals.length
+      assert(math.abs(cdf(p50) - 0.5) <= 0.10,
+        s"$t: sampled p50=$p50 sits at exact rank ${cdf(p50)}")
+      assert(math.abs(cdf(p95) - 0.95) <= 0.05,
+        s"$t: sampled p95=$p95 sits at exact rank ${cdf(p95)}")
+      info(f"$t: p50 rank ${cdf(p50)}%.3f, p95 rank ${cdf(p95)}%.3f (n_sampled $ns)")
+    }
+  }
+
   test("deterministic HLL: raw-regime accuracy and run-to-run identity") {
     // m = 16 registers -> standard error 1.04/sqrt(16) = 26%; at ~150
     // distinct users per type gate each estimate at 2 sigma and the mean
