@@ -822,7 +822,88 @@ object PipelineQueries {
         col("threshold"), (col("bucket") < col("threshold")).as("kept"))
   }
 
+  // ---- DSIR domain-matching importance resampling -----------------------
+
+  /** The registered entry's target-domain sample: source `src0`'s
+    * documents — the "I have a small sample of the domain I want more
+    * of" input DSIR takes (TrancheSpec proves the upsampling semantics
+    * on a planted two-domain fixture where the separation is by
+    * construction; the registered entry gates the ARITHMETIC on the real
+    * corpus). */
+  val DsirTargetSource = "src0"
+
+  /** Fitted-and-quantized DSIR model for a dataset dir, memoized like
+    * [[TextQueries.qualityModel]]; a Bench build step. Fit cost = two
+    * bounded 256-row aggregates + driver quantization. */
+  private[graft] def dsirModel(spark: SparkSession, dir: String): graft.text.Dsir.Model =
+    dsirModelCache.computeIfAbsent(dir, _ => {
+      val docs = VectorModel.documents(spark, dir)
+      val m = graft.text.Dsir.fit(docs,
+        docs.where(col("source") === DsirTargetSource))
+      publishDsirSidecars(spark, dir, m)
+      m
+    })
+
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.Dsir.Model]()
+
+  private def publishDsirSidecars(spark: SparkSession, dir: String,
+      m: graft.text.Dsir.Model): Unit = {
+    import spark.implicits._
+    OracleSidecars.publish(spark, "dsir_weights", dir) {
+      m.wq.toSeq.zipWithIndex.map { case (wq, b) => (b, wq) }.toDF("bucket", "wq")
+    }
+    OracleSidecars.publish(spark, "dsir_accept", dir) {
+      m.thr.toSeq.zipWithIndex.map { case (t, l) => (l.toLong, t) }.toDF("level", "thr")
+    }
+  }
+
+  /** DSIR importance resampling toward [[DsirTargetSource]]'s domain —
+    * see [[graft.text.Dsir]] for the semantics and the integer-exactness
+    * contract. Reports the per-source resampling ledger (docs, kept,
+    * fixed-point score range): the target-like mass survives, off-domain
+    * mass is kept at its importance ratio. HASH-GATED: given the two
+    * published sidecars (weights, acceptance thresholds) every serving
+    * step is integer, mirrored term-for-term by [[dsirSampleSql]]. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val m = dsirModel(spark, dir)
+    publishDsirSidecars(spark, dir, m) // repair no-op unless dir switched / root lost
+    val docs = VectorModel.documents(spark, dir)
+    docs.select("doc_id", "source")
+      .join(graft.text.Dsir.decisions(docs, m), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("n_kept"),
+        min("z").as("min_z"),
+        max("z").as("max_z"))
+      .orderBy("source")
+  }
+
+  lazy val dsirSampleSql: String = {
+    import graft.text.Dsir.{B, LevelQ, Levels, AcceptSalt}
+    s"""WITH w AS (SELECT CAST(bucket AS INTEGER) AS b, CAST(wq AS BIGINT) AS wq
+       |  FROM ${OracleSidecars.sqlTable("dsir_weights")}),
+       |a AS (SELECT CAST(level AS BIGINT) AS level, CAST(thr AS BIGINT) AS thr
+       |  FROM ${OracleSidecars.sqlTable("dsir_accept")}),
+       |t AS (SELECT doc_id, ('0x'||substr(md5('dsir:'||tok),1,15))::BIGINT % $B AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |z AS (SELECT d.doc_id AS doc_id, d.source AS source,
+       |    COALESCE(s.z, 0) AS z
+       |  FROM documents d LEFT JOIN (
+       |    SELECT t.doc_id AS doc_id, CAST(sum(w.wq) AS BIGINT) AS z
+       |    FROM t JOIN w USING (b) GROUP BY t.doc_id) s USING (doc_id)),
+       |dec AS (SELECT z.source, z.z,
+       |    CASE WHEN ('0x'||substr(md5(z.doc_id::VARCHAR||'$AcceptSalt'),1,15))::BIGINT < a.thr
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM z JOIN a ON a.level = least(greatest(0, -z.z) // $LevelQ, $Levels))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  min(z) AS min_z, max(z) AS max_z
+       |FROM dec GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dsir_sample" -> (dsirSample _),
     "pipe_pack_spans" -> (packSpans _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
@@ -839,6 +920,7 @@ object PipelineQueries {
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_dsir_sample" -> dsirSampleSql,
     "pipe_pack_spans" -> packSpansSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,

@@ -257,6 +257,79 @@ class TrancheSpec extends SparkSpec {
     assert(hr._5 === PipelineQueries.MixBuckets && hr._4 === hr._3)
   }
 
+  test("dsirSample: planted two-domain fixture — target domain upsampled, off-domain rejected") {
+    import graft.text.Dsir
+    val aVocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val bVocab = Array("omega", "sigma", "lambda", "kappa", "mu", "nu", "xi", "rho")
+    def mk(id: Long, v: Array[String]): (Long, String) =
+      (id, (0 until 30).map(i => v(((id + i) % v.length).toInt)).mkString(" "))
+    val aDocs = (0L until 120L).map(mk(_, aVocab))
+    val bDocs = (1000L until 1120L).map(mk(_, bVocab))
+    val corpus = (aDocs ++ bDocs).toDF("doc_id", "text")
+    val target = aDocs.take(30).toDF("doc_id", "text") // a small sample of domain A
+    val m = Dsir.fit(corpus, target)
+    val dec = Dsir.decisions(corpus, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dec.length === 240)
+    val (a, b) = dec.partition(_._1 < 1000L)
+    // domain A (what the target samples): every doc scores positive →
+    // level 0 → kept with probability 1; domain B: the smoothed target
+    // probability of its vocabulary is ~1/|target tokens|, so scores sit
+    // far past the acceptance table's floor — rejected outright
+    assert(a.forall(_._2 > 0L), s"A-domain scores must be positive, min ${a.map(_._2).min}")
+    assert(a.forall(_._4 == 1L), "every target-domain doc must be kept")
+    assert(b.forall(_._2 < -(Dsir.Levels.toLong * Dsir.LevelQ)),
+      s"B-domain scores must fall past the table floor, max ${b.map(_._2).max}")
+    assert(b.forall(_._4 == 0L), "every off-domain doc must be rejected")
+    // acceptance-mass bound: P(keep) = thr[level]/2^60 <= exp(min(0, z/1e6))
+    // by construction of the table — check the published thresholds
+    m.thr.zipWithIndex.foreach { case (t, l) =>
+      val bound = math.exp(-l * Dsir.LevelNats) * (1L << 60).toDouble
+      assert(t.toDouble <= bound && t >= 0L, s"level $l threshold $t above its mass bound")
+    }
+    assert(m.thr(0) === (1L << 60), "level 0 must accept always")
+    assert(m.thr(Dsir.Levels) === 0L, "the table floor must reject always")
+  }
+
+  test("dsirSample: acceptance is per-doc pure — composes with any upstream gate") {
+    import graft.text.Dsir
+    val vocab = Array("alpha", "beta", "omega", "sigma", "mu", "nu")
+    val docs = (0L until 100L).map(id =>
+      (id, (0 until 20).map(i => vocab(((id * 7 + i) % vocab.length).toInt)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dsir.fit(docs, docs.where(col("doc_id") < 20L))
+    // gate-then-sample == sample-then-gate under the SAME fitted model:
+    // the decision depends only on the doc and the model (the coin is the
+    // doc's own salted hash), which is what lets DSIR stack after the
+    // quality gate / dedup keepers without re-flipping anyone's coin
+    val gated = docs.where(col("doc_id") % 2 === 0)
+    val composed = Dsir.decisions(gated, m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    val filtered = Dsir.decisions(docs, m)
+      .where(col("doc_id") % 2 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(composed.toSeq === filtered.toSeq)
+  }
+
+  test("dsirSample: registered ledger — bounds hold, deterministic") {
+    // the corpus sources share one synthetic vocabulary and the sf0.001
+    // target sample is a handful of docs, so add-one smoothing dominates
+    // the per-source score differences — DOMAIN separation is what the
+    // planted-fixture test above proves; here the claims are the ledger
+    // invariants and exact replayability of the registered entry
+    val rows = PipelineQueries.dsirSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nDocs, nKept, minZ, maxZ) =>
+      assert(nKept >= 0L && nKept <= nDocs, s"$s: kept $nKept of $nDocs")
+      assert(minZ <= maxZ)
+    }
+    // deterministic: a second evaluation is value-identical
+    val again = PipelineQueries.dsirSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("lshIncrementalPairs: delta matches corpus dups only, never delta-delta") {
     val docs = Seq(
       // 0/1 identical (0 = delta, 1 = corpus) -> must match at est 1.0
