@@ -633,6 +633,20 @@ object Dedup {
         graft.functions.MediaExpressions.dhash(col(payloadCol)).as("simhash")),
       maxHamming, bits = 64, skewSalt = skewSalt)
 
+  /** Audio near-dup pairs over PCM WAV payloads — the audio sibling of
+    * [[imageNearDupPairs]]: fingerprint every clip with the real decode
+    * kernel ([[graft.functions.MediaExpressions.audioFp]] — PCM decode →
+    * 65-window integer energy envelope → 64 difference bits), then the
+    * SAME complete Hamming-pigeonhole band join. Returns
+    * `(da, db, hamming)`; same cost/salting contract as every band join
+    * here. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, skewSalt: Int = 1): DataFrame =
+    simhashPairs(
+      df.select(col(idCol).as("doc"),
+        graft.functions.MediaExpressions.audioFp(col(payloadCol)).as("simhash")),
+      maxHamming, bits = 64, skewSalt = skewSalt)
+
   /** Connected components over a near-dup pair list: every vertex labeled
     * with the MINIMUM id reachable through the pair graph — the canonical
     * keeper assignment a dedup pipeline needs after pair generation

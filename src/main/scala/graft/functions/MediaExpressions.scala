@@ -50,6 +50,12 @@ final class MediaKernel extends Serializable {
     val (w, h, gray) = MediaCodec.decodeGray(p)
     MediaCodec.dhash64(w, h, gray)
   }
+
+  /** Decode → PCM → 64-bit band-energy fingerprint, one per-row kernel
+    * call ([[MediaCodec.decodePcm]] + [[MediaCodec.audioFp64]]). WAV
+    * only — fails loudly on raster payloads like every decode path. */
+  def audioFp(p: Array[Byte]): Long =
+    MediaCodec.audioFp64(MediaCodec.decodePcm(p))
 }
 
 case class MediaFixture(child: Expression, kernel: MediaKernel)
@@ -108,6 +114,28 @@ case class MediaDhash(child: Expression, kernel: MediaKernel)
   override def prettyName: String = "media_dhash"
 }
 
+/** `media_audio_fp(payload)` — time-energy fingerprint of a PCM WAV
+  * payload; the audio near-dup key ([[graft.dedup.Dedup]]'s
+  * audioNearDupPairs bands it for the Hamming pigeonhole join exactly
+  * like the image dHash). */
+case class MediaAudioFp(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(p: Any): Any =
+    kernel.audioFp(p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, p => s"${ev.value} = $k.audioFp($p);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_audio_fp"
+}
+
 object MediaExpressions {
   /** Catalyst type of the decoded metadata struct (field order matches
     * [[graft.multimodal.Multimodal.MediaMeta]]). */
@@ -129,4 +157,7 @@ object MediaExpressions {
 
   def dhash(payload: Column): Column =
     ColumnBridge.column(MediaDhash(ColumnBridge.expression(payload), kernel))
+
+  def audioFp(payload: Column): Column =
+    ColumnBridge.column(MediaAudioFp(ColumnBridge.expression(payload), kernel))
 }

@@ -200,6 +200,58 @@ object MediaCodec {
     hash
   }
 
+  /** Interleaved signed 16-bit PCM samples of a WAV payload — the audio
+    * twin of [[decodeGray]]. Validates the container like [[decode]] and
+    * fails loudly on anything that is not a canonical PCM WAV. */
+  def decodePcm(payload: Array[Byte]): Array[Int] = {
+    val m = decode(payload)
+    if (m.width != 0 || m.height != 0)
+      fail("audio decode on a raster payload (BMP/PPM)")
+    val n = m.nFrames * m.channels
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // little-endian signed short
+      out(i) = ((payload(44 + 2 * i) & 0xFF) |
+        (payload(44 + 2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Number of energy windows behind [[audioFp64]]'s 64 bits. */
+  val AudioFpWindows = 65
+
+  /** Audio fingerprint (64-bit): split the interleaved sample stream into
+    * [[AudioFpWindows]] equal time windows — sample i belongs to window
+    * i·65/n (integer floor; for n ≥ 65 every window is non-empty) — take
+    * each window's ENERGY Σ v² (exact integer: |v| ≤ 2^15, windows ≤ 2^20
+    * samples keep the sum far inside Long), and set bit w iff
+    * E_w > E_{w+1} — the dHash comparison rule transplanted from the
+    * pixel grid to the time-energy envelope. Integer DSP end to end (no
+    * FFT, no floats), so the fingerprint is exactly mirrorable in SQL;
+    * near-identical audio (small amplitude perturbations) moves few
+    * bits, and Hamming distance is the dissimilarity — same contract as
+    * [[dhash64]]. */
+  def audioFp64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](AudioFpWindows)
+    var i = 0
+    while (i < n) {
+      val w = ((i.toLong * AudioFpWindows) / n).toInt
+      val v = samples(i).toLong
+      e(w) += v * v
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (e(w) > e(w + 1)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
       ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)

@@ -189,15 +189,69 @@ object MultimodalQueries {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  /** Band-energy audio fingerprint of every PCM-WAV document payload —
+    * the audio-dedup key, HASH-GATED end to end like [[imagePhash]]: the
+    * serving path parses the real RIFF/WAVE bytes (header validation →
+    * signed 16-bit PCM → 65-window integer energy envelope → 64
+    * difference bits, [[graft.multimodal.MediaCodec.audioFp64]]), while
+    * the oracle computes every sample from the fixture's id closed form
+    * WITHOUT parsing — equality proves the chunk layout, the
+    * little-endian signed decode, the window assignment, and the bit
+    * layout all at once. Ships as unsigned 32-bit halves like the image
+    * hash. Near-dup PAIRING over these fingerprints is
+    * [[graft.dedup.Dedup.audioNearDupPairs]] (MultimodalSpec: planted
+    * perturbed pairs + brute-force parity). */
+  def audioFp(spark: SparkSession, dir: String): DataFrame = {
+    val withPayload =
+      Multimodal.withMediaPayload(VectorModel.documents(spark, dir), "doc_id")
+    withPayload
+      .where(pmod(col("doc_id"), lit(3)) === 2) // WAV rows only
+      .select(col("doc_id"),
+        graft.functions.MediaExpressions.audioFp(col("payload")).as("fp"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("fp"), 32).as("afp_hi"),
+        col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("afp_lo"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form mirror of [[audioFp]]: the fixture WAV's interleaved
+    * sample i is (id + 17·i) mod 2^16 ([[graft.multimodal.MediaCodec.
+    * encodeWav]] with seed = id), reinterpreted signed; window = i·65/n,
+    * energies exact BIGINT sums, difference bits via a lead() over the
+    * 65 per-doc energy rows. */
+  val audioFpSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    (100 + doc_id % 900) * (1 + doc_id % 2) AS n
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM f),
+       |v AS (SELECT doc_id, CAST((i * 65) // n AS INTEGER) AS w,
+       |    (CASE WHEN (doc_id + 17 * i) % 65536 >= 32768
+       |          THEN (doc_id + 17 * i) % 65536 - 65536
+       |          ELSE (doc_id + 17 * i) % 65536 END) AS x
+       |  FROM s),
+       |e AS (SELECT doc_id, w, CAST(sum(x * x) AS BIGINT) AS e
+       |  FROM v GROUP BY doc_id, w),
+       |b AS (SELECT doc_id, w, e,
+       |    lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en
+       |  FROM e)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN w >= 32 AND w < 64 AND e > en
+       |    THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+       |  CAST(sum(CASE WHEN w < 32 AND e > en
+       |    THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS afp_lo
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),
     "mm_frame_plan" -> (framePlan _),
     "mm_resize_plan" -> (resizePlan _),
-    "dd_image_phash" -> (imagePhash _))
+    "dd_image_phash" -> (imagePhash _),
+    "dd_audio_fp" -> (audioFp _))
 
   val oracleSql: Map[String, String] = Map(
     "mm_media_features" -> mediaFeaturesSql,
     "mm_frame_plan" -> framePlanSql,
     "mm_resize_plan" -> resizePlanSql,
-    "dd_image_phash" -> imagePhashSql)
+    "dd_image_phash" -> imagePhashSql,
+    "dd_audio_fp" -> audioFpSql)
 }

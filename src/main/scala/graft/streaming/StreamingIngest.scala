@@ -564,6 +564,43 @@ object StreamingIngest {
     } finally batchHash.unpersist()
   }
 
+  /** Streaming twin of audio fingerprint dedup
+    * ([[graft.dedup.Dedup.audioNearDupPairs]]) over a stream of
+    * `(doc_id, payload)` PCM-WAV blobs — the same shape, state layout
+    * (`hash/batch=<id>`, `pairs/batch=<id>`), replay/idempotence and
+    * union-equals-batch contract as [[imagePhashIngest]], with the
+    * band-energy fingerprint as the 64-bit key; only the delta pays the
+    * PCM decode. [[compactPhashState]] applies verbatim (same two
+    * append-only dirs). */
+  def audioFpIngest(clips: DataFrame, statePath: String,
+      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    clips.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioFpIngestBatch(batch, statePath, maxHamming, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def audioFpIngestBatch(batch: DataFrame,
+      statePath: String, maxHamming: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hashPath = s"$statePath/hash"
+    val batchHash = batch.select(col("doc_id").as("doc"),
+        graft.functions.MediaExpressions.audioFp(col("payload")).as("simhash"))
+      .cache()
+    try {
+      batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
+      // ≤ batchId: same backfill-replay containment as imagePhashIngestBatch
+      graft.dedup.Dedup.simhashIncrementalPairs(
+          batchHash,
+          spark.read.parquet(hashPath)
+            .where(col("batch") <= batchId).drop("batch"),
+          maxHamming, bits = 64)
+        .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
+    } finally batchHash.unpersist()
+  }
+
   /** Streaming twin of the curated-mix pipeline's STATELESS stages
     * ([[graft.queries.PipelineQueries.curationFilter]]): quality floor +
     * per-language deterministic stratified sampling over a document

@@ -106,6 +106,57 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](dh(MediaCodec.encodeWav(1, 100, 8000, 7L)))
   }
 
+  test("audioFp64: identical clips hash equal, small perturbations move few bits, rasters fail") {
+    def fp(p: Array[Byte]): Long = MediaCodec.audioFp64(MediaCodec.decodePcm(p))
+    val a = MediaCodec.encodeWav(2, 700, 8000, 7L)
+    assert(fp(a) === fp(MediaCodec.encodeWav(2, 700, 8000, 7L)))
+    // nudge a handful of samples by ±1 in the low byte: a NEAR duplicate
+    // (re-encode, say, or dithering) — the energy envelope barely moves
+    val b = a.clone()
+    var i = 0
+    while (i < 20) { b(44 + 2 * (i * 61)) = (b(44 + 2 * (i * 61)) ^ 0x01).toByte; i += 1 }
+    val dist = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(dist <= 8, s"20 nudged samples moved $dist/64 bits — not perceptual")
+    // a different clip is far away
+    val other = MediaCodec.encodeWav(2, 700, 8000, 999999L)
+    assert(java.lang.Long.bitCount(fp(a) ^ fp(other)) > 8,
+      "unrelated clips must not collide at near-dup distance")
+    // audio decode on a raster payload fails loudly, like WAV under dHash
+    intercept[IllegalArgumentException](fp(MediaCodec.encodeBmp(8, 8, 7L)))
+  }
+
+  test("audioNearDupPairs: planted perturbed pairs found; banded == brute force") {
+    import spark.implicits._
+    // plant: 20 base clips; each gets a near-dup twin (a few samples
+    // nudged by one quantization step), unrelated clips in between
+    val rows = (0 until 20).flatMap { g =>
+      val base = MediaCodec.encodeWav(1 + g % 2, 300 + g * 13, 8000, 5000L + g * 7919)
+      val twin = base.clone()
+      (0 until 6).foreach(j =>
+        twin(44 + 2 * (j * 37 + g)) = (twin(44 + 2 * (j * 37 + g)) ^ 0x01).toByte)
+      Seq((2L * g, base), (2L * g + 1, twin))
+    }
+    val df = rows.toDF("doc_id", "payload")
+    val banded = graft.dedup.Dedup
+      .audioNearDupPairs(df, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps: Seq[(Long, Long)] = rows.map { case (id, p) =>
+      (id, MediaCodec.audioFp64(MediaCodec.decodePcm(p)))
+    }
+    val brute = (for {
+      (ia, ha) <- fps
+      (ib, hb) <- fps
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(banded === brute, "pigeonhole banding must be exactly the brute-force pair set")
+    assert(banded.exists { case (a, b, _) => b == a + 1 && a % 2 == 0 },
+      "no planted twin pair found — perturbation too destructive for the energy envelope")
+    val salted = graft.dedup.Dedup
+      .audioNearDupPairs(df, "doc_id", "payload", 3, skewSalt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === banded)
+  }
+
   test("imageNearDupPairs: planted perturbed pairs found; banded == brute force") {
     import spark.implicits._
     // plant: 20 base images; each gets a near-dup twin (3 raster bytes

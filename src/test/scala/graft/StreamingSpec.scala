@@ -1172,6 +1172,63 @@ class StreamingSpec extends SparkSpec {
       "replay after compaction must not change any score")
   }
 
+  test("streaming audio fingerprint: accumulated pair log equals the batch pair join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the MultimodalSpec planted fixture: 20 base clips, each with a
+    // sample-nudged near-dup twin; ids interleave across batches so
+    // pairs straddle batch boundaries
+    val planted = (0 until 20).flatMap { g =>
+      val b = graft.multimodal.MediaCodec.encodeWav(1 + g % 2, 300 + g * 13, 8000, 5000L + g * 7919)
+      val t = b.clone()
+      (0 until 6).foreach(j =>
+        t(44 + 2 * (j * 37 + g)) = (t(44 + 2 * (j * 37 + g)) ^ 0x01).toByte)
+      Seq((2L * g, b), (2L * g + 1, t))
+    }
+    val clips = planted.toDF("doc_id", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_afpstream").toString
+    (0 until 3).foreach(i =>
+      clips.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.audioFpIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("da", "db", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = pairs(spark.read.parquet(s"$base/state/pairs"))
+    val batch = graft.dedup.Dedup
+      .audioNearDupPairs(clips, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain audio near-duplicates")
+    assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 },
+      "no pair straddles a micro-batch boundary")
+    // only the delta is ever decoded: hash state has one row per clip
+    assert(spark.read.parquet(s"$base/state/hash").count() === clips.count())
+    // replay idempotence on the last batch
+    val hashState = spark.read.parquet(s"$base/state/hash")
+    val lastB = hashState.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = hashState.where(col("batch") === lastB)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val (hashRows, pairRows) = (hashState.count(),
+      spark.read.parquet(s"$base/state/pairs").count())
+    StreamingIngest.audioFpIngestBatch(
+      clips.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      maxHamming = 3, batchId = lastB)
+    assert(spark.read.parquet(s"$base/state/hash").count() === hashRows)
+    assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "replay must leave the pair set intact")
+  }
+
   test("streaming image phash: accumulated pair log equals the batch pair join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
