@@ -564,6 +564,59 @@ object StreamingIngest {
     } finally batchHash.unpersist()
   }
 
+  /** Streaming twin of the keyed bulk MERGE
+    * ([[graft.store.VectorStore.mergeVersioned]]) — the CDC shape: a
+    * stream of `(id, payload…, op ∈ {U, D}, seq)` change events applied
+    * per micro-batch as one commit-marker version on a
+    * [[graft.store.VersionedLayout]] root. Each batch is first COMPACTED
+    * to its last event per id (max `seq`; a CDC window naturally carries
+    * several events per key — merge's at-most-one-row-per-id contract is
+    * this stage's job), then lands through the same crash-safe publish
+    * the batch entry (`vq_merge_agg`) uses: readers keep the prior
+    * snapshot until the marker, a torn write is invisible and the next
+    * batch publishes over its leftovers, an invalid op fails the batch
+    * loudly BEFORE anything lands (eager op validation), and the writer
+    * lock rejects a concurrent publisher.
+    *
+    * Replay idempotence is SEMANTIC here rather than partition-overwrite:
+    * re-applying a batch's compacted delta to the state it already
+    * produced is a no-op by the merge algebra (upserting the same rows,
+    * deleting already-absent ids), so a foreachBatch replay lands an
+    * extra version with IDENTICAL content (StreamingSpec-gated). Grown
+    * state equals the one-shot batch merge of the globally-compacted
+    * event log — sequential keyed merges are associative under
+    * last-writer-wins compaction — which is the parity StreamingSpec
+    * proves. Empty micro-batches publish nothing. */
+  def mergeIngest(deltas: DataFrame, root: String, checkpoint: String,
+      idCol: String = "id", opCol: String = "op",
+      seqCol: String = "seq"): StreamingQuery =
+    deltas.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeIngestBatch(batch, root, idCol, opCol, seqCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One CDC micro-batch: compact to the last event per id, drop the
+    * sequence column, land through the commit-marker merge. Ties on
+    * `seq` break toward the later op alphabetically descending ("U" over
+    * "D") — deterministic, though unique seqs per id are the stream's
+    * contract. */
+  private[graft] def mergeIngestBatch(batch: DataFrame, root: String,
+      idCol: String, opCol: String, seqCol: String): Unit = {
+    if (batch.isEmpty) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(seqCol).desc, col(opCol).desc)
+    val compacted = batch
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", seqCol)
+    graft.store.VectorStore.mergeVersioned(
+      batch.sparkSession, root, compacted, idCol, opCol)
+    ()
+  }
+
   /** Streaming twin of audio fingerprint dedup
     * ([[graft.dedup.Dedup.audioNearDupPairs]]) over a stream of
     * `(doc_id, payload)` PCM-WAV blobs — the same shape, state layout

@@ -1172,6 +1172,80 @@ class StreamingSpec extends SparkSpec {
       "replay after compaction must not change any score")
   }
 
+  test("streaming keyed merge: grown state == one-shot merge of the compacted log, replay is content-idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.store.{VectorStore, VersionedLayout}
+    // three CDC micro-batches; within-batch multi-event keys exercise the
+    // per-batch last-writer-wins compaction, cross-batch deletes/reinserts
+    // exercise the sequential merge algebra
+    val batches: Seq[Seq[(Long, String, Double, String, Long)]] = Seq(
+      Seq((1L, "A1", 1.0, "U", 1L), (2L, "A2", 2.0, "U", 2L),
+        (3L, "A3-old", 0.0, "U", 3L), (3L, "A3", 3.0, "U", 4L), // same key, later seq wins
+        (99L, "-", 0.0, "D", 5L)), // delete of an absent id: no-op
+      Seq((6L, "B6", 6.0, "U", 1L), (2L, "-", 0.0, "D", 2L),
+        (1L, "B1", 1.5, "U", 3L)),
+      Seq((3L, "-", 0.0, "D", 1L), (2L, "C2", 2.5, "U", 2L))) // reinsert after delete
+    val base = java.nio.file.Files.createTempDirectory("graft_mergestream").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("id", "category", "value", "op", "seq")
+        .coalesce(1).write.parquet(f"$base/in/b$i")
+    }
+    val schema = batches.head.toDF("id", "category", "value", "op", "seq").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val root = s"$base/state"
+    val q = StreamingIngest.mergeIngest(stream, root, s"$base/ckpt")
+    try q.awaitTermination(120000) finally q.stop()
+    def state(): Map[Long, (String, Double)] =
+      spark.read.parquet(VersionedLayout.currentDir(spark, root).get)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val grown = state()
+    assert(grown === Map(1L -> ("B1", 1.5), 2L -> ("C2", 2.5), 6L -> ("B6", 6.0)))
+    // parity: one-shot merge of the GLOBALLY compacted event log (last
+    // event per id by (batch, seq)) equals the sequentially grown state
+    val all = batches.zipWithIndex.flatMap { case (b, i) =>
+      b.map { case (id, c, v, op, seq) => (id, c, v, op, i.toLong * 100 + seq) }
+    }
+    val lastPerId = all.groupBy(_._1).values.map(_.maxBy(_._5)).toSeq
+    val oneShotRoot = s"$base/oneshot"
+    VectorStore.mergeVersioned(spark, oneShotRoot,
+      lastPerId.map { case (id, c, v, op, _) => (id, c, v, op) }
+        .toDF("id", "category", "value", "op"))
+    val oneShot = spark.read
+      .parquet(VersionedLayout.currentDir(spark, oneShotRoot).get)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(oneShot === grown,
+      "sequential keyed merges must equal the one-shot merge of the compacted log")
+    // a torn publish's leftovers are invisible and cleaned by the next
+    // good publish: plant an uncommitted version dir with junk inside
+    val torn = s"$root/v99999999"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(torn))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$torn/junk"), "torn")
+    assert(state() === grown, "an uncommitted dir must never serve")
+    // replay the last batch verbatim: content-idempotent by the merge
+    // algebra (a new version lands, values identical)
+    StreamingIngest.mergeIngestBatch(
+      batches(2).toDF("id", "category", "value", "op", "seq"),
+      root, "id", "op", "seq")
+    assert(state() === grown, "replaying a batch must not change the state")
+    assert(!graft.store.Fs.exists(spark, torn),
+      "the next publish must clean torn leftovers")
+    // an invalid op fails the batch loudly and commits nothing
+    val curBefore = VersionedLayout.currentDir(spark, root)
+    val e = intercept[Exception] {
+      StreamingIngest.mergeIngestBatch(
+        Seq((7L, "X7", 7.0, "UPSERT", 1L)).toDF("id", "category", "value", "op", "seq"),
+        root, "id", "op", "seq")
+    }
+    assert(e.getMessage.contains("unknown merge op"))
+    assert(VersionedLayout.currentDir(spark, root) === curBefore,
+      "no version may commit from a delta with invalid ops")
+    assert(state() === grown)
+  }
+
   test("streaming audio fingerprint: accumulated pair log equals the batch pair join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
