@@ -61,6 +61,24 @@ object RecallBench {
     val (ivfMs, ivfRes) = timeAll(q =>
       Ivf.search(ivfAssigned, ivfModel, q, k, vecCol = "embedding", idCol = "vec_id")
         .select("vec_id"))
+    // ADAPTIVE candidate-mass walk at ann_ivf_topk's registered budget —
+    // the serving default since round 14 (the fixed rule above stays as
+    // the reference-parity series base); mean probes + scanned published
+    // beside recall like the LSH adaptive entries
+    val ivfSizes = Ivf.clusterSizes(ivfAssigned)
+    val ivfAdaptOverscan = graft.queries.ApproxQueries.AnnIvfOverscan
+    val (ivfAdaptMs, ivfAdaptRes) = timeAll(q =>
+      Ivf.searchAdaptive(ivfAssigned, ivfModel, q, k, ivfSizes,
+        overscan = ivfAdaptOverscan, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id"))
+    val ivfAdaptProbeLists = queries.map(q =>
+      ivfModel.probeClustersAdaptive(q, ivfSizes, ivfAdaptOverscan.toLong * k))
+    val ivfAdaptMeanProbes =
+      ivfAdaptProbeLists.map(_.size).sum.toDouble / queries.size
+    val ivfTotal = ivfSizes.values.sum.toDouble
+    val ivfAdaptScanned = ivfAdaptProbeLists
+      .map(_.map(c => ivfSizes.getOrElse(c, 0L)).sum / ivfTotal)
+      .sum / queries.size
     // batch HNSW: per-partition graphs built once for the whole query set
     val (hnswMs, hnswRes) = {
       val t0 = System.nanoTime()
@@ -285,6 +303,10 @@ object RecallBench {
       f"""{"queries":$numQueries,"k":$k,"sf":"$sfDir",""" +
         f""""brute_ms":$bruteMs%.2f,""" +
         f""""ivf_ms":$ivfMs%.2f,"ivf_recall":${recall(ivfRes)}%.4f,""" +
+        f""""ivf_adaptive_ms":$ivfAdaptMs%.2f,""" +
+        f""""ivf_adaptive_recall":${recall(ivfAdaptRes)}%.4f,""" +
+        f""""ivf_adaptive_scanned":$ivfAdaptScanned%.4f,""" +
+        f""""ivf_adaptive_mean_probes":$ivfAdaptMeanProbes%.2f,""" +
         f""""hnsw_ms":$hnswMs%.2f,"hnsw_recall":${recall(hnswRes)}%.4f,""" +
         f""""lsh_ms":$lshMs%.2f,"lsh_recall":${recall(lshRes)}%.4f,""" +
         f""""lsh_mt_ms":$lshMtMs%.2f,"lsh_mt_recall":${recall(lshMtRes)}%.4f,""" +

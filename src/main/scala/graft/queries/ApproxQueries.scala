@@ -39,14 +39,42 @@ object ApproxQueries {
       .select("id", "sim", "cluster_id")
   }
 
-  /** S3 over the embeddings table. HASH-GATED ([[annIvfTopKSql]]) via its
-    * own 64-d centroid sidecar. */
+  /** S3 over the embeddings table — served by the ADAPTIVE candidate-mass
+    * walk ([[Ivf.searchAdaptive]]) since round 14: probe centroids in
+    * similarity order until the probed clusters hold overscan·topK rows
+    * (floor [[AnnIvfMinProbes]]), instead of the oblivious fixed count
+    * (which stays pinned as the reference-parity mode in the struct
+    * family's `vq_ivf_parity_topk`). HASH-GATED ([[annIvfTopKSql]]) via
+    * its own 64-d centroid sidecar: the oracle re-derives cluster sizes
+    * from the re-derived assignment and mirrors the walk as a cumulative
+    * window stop, the `vq_ivf_bigbatch` pattern. */
+  /** ann_ivf_topk's adaptive candidate-mass budget (overscan·topK rows —
+    * 240 candidates at the entry's k=20). Chosen on the measured
+    * embeddings frontier (DevIvfEmbSweep, sf0.01, 20 queries): a 240-row
+    * budget probes the SAME mass as the fixed max(k/2,8) rule on the
+    * recall corpus (scanned 0.508 vs 0.504) at slightly better recall
+    * (0.825 vs 0.815) while adapting to cluster-size skew — and unlike
+    * the fixed rule, whose cost is a constant FRACTION of the corpus
+    * (50% of 100 TB is not a query plan), the candidate mass stays
+    * 240 rows however large the layout grows. ≥0.95 recall on this
+    * near-uniform corpus is only reachable at ~full scan (a 480-row
+    * budget already scans 0.998 of the 500-row corpus), so the
+    * high-recall ≥0.95 gates live with the STRUCTURED family
+    * (RecallSpec), not this entry. */
+  val AnnIvfOverscan = 12
+
+  /** Probe floor of the adaptive walk — [[Ivf.searchAdaptive]]'s
+    * default, named here because the oracle mirrors it. */
+  val AnnIvfMinProbes = 3
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (assigned, model) = Ivf.fit(
       VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),
       vecCol = "embedding", idCol = "vec_id")
     publishCentroidsFlat(spark, "ivf_centroids_emb", dir, model.centroids)
-    Ivf.search(assigned, model, VectorModel.AnnQuery, 20,
+    Ivf.searchAdaptive(assigned, model, VectorModel.AnnQuery, 20,
+      Ivf.clusterSizes(assigned), overscan = AnnIvfOverscan,
+      minProbes = AnnIvfMinProbes,
       vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim", "cluster_id")
   }
@@ -1510,10 +1538,18 @@ object ApproxQueries {
 
   /** Mirror of the embeddings-family fixed-probe serve ([[annIvfTopK]]):
     * its own 64-d centroid sidecar, same closed-form pipeline. */
+  /** Mirror of the ADAPTIVE serve: re-derived assignment → per-cluster
+    * sizes, centroids ranked by (query cosine DESC, id ASC), and the
+    * candidate-mass walk as a cumulative window — probe i is taken iff
+    * rank ≤ minProbes OR the plain cumulative size of the PRECEDING
+    * ranked clusters is under the budget (equivalent to the engine's
+    * taken-only accumulation: the walk never skips, so before the budget
+    * crossing every entry IS taken — the `vq_ivf_bigbatch` argument). */
   lazy val annIvfTopKSql: String = {
     val d = VectorModel.EmbDim
     def cE(i: Int) = s"cent.c$i"
     def eE(i: Int) = OracleSql.listElem("a.embedding")(i)
+    val budget = AnnIvfOverscan * 20L
     s"""WITH cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
        |    ${(0 until d).map(j => s"c$j").mkString(", ")}
        |  FROM ${OracleSidecars.sqlTable("ivf_centroids_emb")}),
@@ -1522,12 +1558,18 @@ object ApproxQueries {
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY ${OracleSql.l2sq(cE, eE, d)} ASC, cent.cluster_id ASC) AS arn
        |  FROM embeddings a CROSS JOIN cent) WHERE arn = 1),
-       |probed AS (SELECT cluster_id FROM (
-       |  SELECT cluster_id,
+       |sz AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY cluster_id),
+       |rk AS (SELECT cluster_id,
        |    row_number() OVER (ORDER BY
        |      ${OracleSql.cosineCols(cE, i => OracleSql.lit(VectorModel.AnnQuery(i)), d)} DESC,
        |      cluster_id ASC) AS rnk
-       |  FROM cent) WHERE rnk <= 8)
+       |  FROM cent),
+       |wk AS (SELECT rk.cluster_id AS cluster_id, rk.rnk AS rnk,
+       |    coalesce(sum(coalesce(sz.sz, 0)) OVER (ORDER BY rk.rnk ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM rk LEFT JOIN sz USING (cluster_id)),
+       |probed AS (SELECT cluster_id FROM wk
+       |  WHERE rnk <= $AnnIvfMinProbes OR cum < $budget)
        |SELECT vec_id, sim, cluster_id FROM (
        |  SELECT a.vec_id AS vec_id,
        |    round(${OracleSql.cosineConst(eE, VectorModel.AnnQuery)}, 6) AS sim,

@@ -39,7 +39,7 @@ class RecallSpec extends SparkSpec {
     // recall loss — structure concentrates the answer in the top clusters
     assert(probed.size < 8, s"adaptive should probe fewer partitions, got ${probed.size}")
     assert(rAdaptive >= rFixed - 0.1)
-    assert(rAdaptive >= 0.9)
+    assert(rAdaptive >= 0.95, s"struct-family adaptive recall $rAdaptive under 0.95")
     // the probe filter is still the pruning predicate over cluster_id
     val plan = adaptive.queryExecution.executedPlan.toString
     assert(plan.contains("cluster_id"), plan.take(2000))
@@ -78,7 +78,7 @@ class RecallSpec extends SparkSpec {
     // recall cost — the measured case for flipping the default
     assert(adaptiveProbes.size < math.max(model.k / 2, 8))
     assert(rStored >= rParity - 0.1)
-    assert(rStored >= 0.9)
+    assert(rStored >= 0.95, s"struct-family adaptive default recall $rStored under 0.95")
     // parity mode is bit-for-bit the reference probe rule over the same
     // stored layout — the explicit escape hatch a migrating user pins
     val clustered = spark.read.parquet(path)
@@ -99,6 +99,63 @@ class RecallSpec extends SparkSpec {
     val r = Recall.recallAtK(exact, approx, "vec_id")
     info(s"IVF embeddings recall@20 = $r")
     assert(r >= 0.45)
+  }
+
+  test("ann_ivf_topk adaptive default: at least the fixed rule's recall at no more scan") {
+    // the round-14 flip: the registered embeddings entry serves the
+    // candidate-mass walk at overscan 24, the budget the DevIvfEmbSweep
+    // frontier showed matches the fixed max(k/2,8) rule's scanned mass
+    // (0.508 vs 0.504 at k=10) at equal-or-better recall. ≥0.95 on THIS
+    // near-uniform corpus is only reachable at ~full scan (overscan 48 →
+    // 0.998 scanned — brute force in disguise), so the high-recall ≥0.95
+    // gates live with the structured family above; here the claim is
+    // dominance over the fixed rule at the same budget.
+    import graft.queries.ApproxQueries
+    // sf0.01 throughout: the budget is sized for a real corpus — at
+    // sf0.001 overscan·topK covers every row and the walk degenerates to
+    // the (correct, but uninformative) full scan. MEAN over the
+    // RecallBench query set: single-query recall differences at matched
+    // mass are coin flips (the sweep's dominance is a distributional
+    // claim, like every operating-point gate here).
+    val emb01 = graft.model.VectorModel.embeddings(spark, Sf001)
+      .withColumn("embedding", col("embedding").cast("array<double>")).cache()
+    val (assigned, model) = Ivf.fit(emb01, vecCol = "embedding", idCol = "vec_id")
+    assigned.cache().count()
+    val sizes = Ivf.clusterSizes(assigned)
+    val total = sizes.values.sum.toDouble
+    val budget = ApproxQueries.AnnIvfOverscan.toLong * 20
+    val queries = (0 until 20).map(graft.model.VectorModel.syntheticQuery)
+    val nFixed = math.max(model.k / 2, 8)
+    val (rF, rA, sF, sA) = queries.map { q =>
+      val exact = VectorSearch.bruteForceTopK(emb01, q, 20,
+        vecCol = "embedding", idCol = "vec_id")
+      val fixed = Recall.recallAtK(exact,
+        Ivf.search(assigned, model, q, 20,
+          vecCol = "embedding", idCol = "vec_id"), "vec_id")
+      val adapt = Recall.recallAtK(exact,
+        Ivf.searchAdaptive(assigned, model, q, 20, sizes,
+          overscan = ApproxQueries.AnnIvfOverscan,
+          vecCol = "embedding", idCol = "vec_id"), "vec_id")
+      val scF = model.probeClusters(q, nFixed).map(c => sizes.getOrElse(c, 0L)).sum / total
+      val scA = model.probeClustersAdaptive(q, sizes, budget)
+        .map(c => sizes.getOrElse(c, 0L)).sum / total
+      (fixed, adapt, scF, scA)
+    }.foldLeft((0.0, 0.0, 0.0, 0.0)) { case ((a, b, c, d), (w, x, y, z)) =>
+      (a + w / 20, b + x / 20, c + y / 20, d + z / 20)
+    }
+    info(f"ann_ivf_topk adaptive default: mean recall $rA%.3f at $sA%.3f scanned " +
+      f"vs fixed $rF%.3f at $sF%.3f")
+    assert(rA >= rF - 0.02,
+      s"the adaptive default (mean $rA) must hold the fixed rule's recall ($rF)")
+    assert(sA <= sF + 0.01,
+      s"the adaptive default must match the fixed rule's mean scan ($sA vs $sF)")
+    // and the registered entry serves exactly this operating point
+    val registered = ApproxQueries.queries("ann_ivf_topk")(spark, Sf001)
+    val pin = Ivf.searchAdaptive(assigned, model, graft.model.VectorModel.AnnQuery, 20,
+      sizes, overscan = ApproxQueries.AnnIvfOverscan,
+      vecCol = "embedding", idCol = "vec_id")
+      .select("vec_id", "sim", "cluster_id")
+    assert(registered.collect().map(_.toSeq).toSeq === pin.collect().map(_.toSeq).toSeq)
   }
 
   test("sign-LSH recall@20 on embeddings beats its scanned fraction") {
