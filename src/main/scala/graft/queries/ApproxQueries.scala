@@ -241,6 +241,40 @@ object ApproxQueries {
   def hnswStoredTopK(spark: SparkSession, dir: String): DataFrame =
     graft.index.HnswStore.topK(spark, hnswLayout(spark, dir), VectorModel.Query, 10)
 
+  /** HASH-GATE of [[hnswStoredTopK]] — an EXACTNESS gate, not a
+    * structural mirror, converting the first of the `vq_hnsw_*` family
+    * out of the spec-only set (round-14 task 8):
+    *
+    * Why no structural mirror exists: the graph walk itself
+    * ([[graft.index.HnswIndex]].searchLayer) is a candidate max-heap +
+    * result min-heap whose pop order among EQUAL-similarity nodes is
+    * heap-internal (insertion-order dependent) — no SQL total order can
+    * reproduce it, and this corpus has duplicate lineitem-derived
+    * vectors, so equal similarities are real, and the beam's visited
+    * set, ef-boundary cut, and therefore its RESULT can depend on those
+    * tie pops. A recursive-CTE re-derivation (one heap pop per
+    * iteration, state in LIST columns) is expressible only for a
+    * total-ordered walk; making the JVM heaps (sim, id)-total-ordered is
+    * an engine change left un-made because the weaker gate below already
+    * pins the serving value.
+    *
+    * What IS gated: on this corpus the stored-graph serve returns
+    * EXACTLY the brute-force top-10 — verified at sf0.001/0.01/0.1
+    * (DevHnswExact; recall 1.0 has held every round since round 5 on
+    * frozen testdata) — so the oracle is the exact top-k mirror. The
+    * gate is deliberately STRONGER than the operator's ≥0.8-recall
+    * contract: if a future graph change breaks exactness here, a
+    * hash mismatch flagging the recall regression is the correct
+    * signal. The batch twin (`vq_hnsw_stored_batch`) stays spec-gated
+    * precisely because it is NOT exact — at sf0.1 its query 5 beam
+    * misses the rank-2 neighbor (id 5266966342476, sim 0.99891) — which
+    * is also the concrete counterexample showing this family cannot be
+    * blanket-converted. */
+  lazy val hnswStoredTopKSql: String =
+    s"""WITH ${OracleSql.vectorCte}
+       |SELECT id, round(${OracleSql.cosineConst((i: Int) => s"v$i", VectorModel.Query)}, 6) AS sim
+       |FROM v ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
+
   /** Build-once/serve-many graph persistence, memoized per dataset dir;
     * exposed as a Bench build step (see [[ivfLayout]]). */
   private[graft] def hnswLayout(spark: SparkSession, dir: String): String =
@@ -1630,6 +1664,7 @@ object ApproxQueries {
     "vq_ivf_batch_topk" -> ivfBatchTopKSql,
     "vq_ivf_bigbatch" -> ivfBigBatchSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    "vq_hnsw_stored_topk" -> hnswStoredTopKSql,
     "ann_bin_batch_topk" -> annBinBatchTopKSql,
     "pq_roundtrip" -> pqRoundtripSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,
