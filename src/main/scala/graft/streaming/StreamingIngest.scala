@@ -543,26 +543,9 @@ object StreamingIngest {
       .start()
 
   private[graft] def imagePhashIngestBatch(batch: DataFrame,
-      statePath: String, maxHamming: Int, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val hashPath = s"$statePath/hash"
-    // cache populates on the write action; the band join re-reads it
-    val batchHash = batch.select(col("doc_id").as("doc"),
-        graft.functions.MediaExpressions.dhash(col("payload")).as("simhash"))
-      .cache()
-    try {
-      batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
-      // ≤ batchId: a backfill replay of a NON-final batch must not see
-      // future batches' hashes, or their pairs land in this batch's dir
-      // too and the union double-counts them
-      graft.dedup.Dedup.simhashIncrementalPairs(
-          batchHash,
-          spark.read.parquet(hashPath)
-            .where(col("batch") <= batchId).drop("batch"),
-          maxHamming, bits = 64)
-        .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
-    } finally batchHash.unpersist()
-  }
+      statePath: String, maxHamming: Int, batchId: Long): Unit =
+    fingerprintIngestBatch(batch, statePath, maxHamming, batchId,
+      graft.functions.MediaExpressions.dhash)
 
   /** Streaming twin of the keyed bulk MERGE
     * ([[graft.store.VectorStore.mergeVersioned]]) — the CDC shape: a
@@ -606,6 +589,11 @@ object StreamingIngest {
   private[graft] def mergeIngestBatch(batch: DataFrame, root: String,
       idCol: String, opCol: String, seqCol: String): Unit = {
     if (batch.isEmpty) return
+    // validate the RAW batch before compaction: last-writer-wins would
+    // otherwise silently discard an invalid op shadowed by a later event
+    // for the same key, and a malformed feed must fail loudly whether or
+    // not its bad events happen to be superseded
+    graft.store.VectorStore.requireValidOps(batch, opCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(seqCol).desc, col(opCol).desc)
     val compacted = batch
@@ -636,15 +624,30 @@ object StreamingIngest {
       .start()
 
   private[graft] def audioFpIngestBatch(batch: DataFrame,
-      statePath: String, maxHamming: Int, batchId: Long): Unit = {
+      statePath: String, maxHamming: Int, batchId: Long): Unit =
+    fingerprintIngestBatch(batch, statePath, maxHamming, batchId,
+      graft.functions.MediaExpressions.audioFp)
+
+  /** The shared per-batch body of the 64-bit-fingerprint dedup twins
+    * ([[imagePhashIngestBatch]], [[audioFpIngestBatch]]): delta-only
+    * fingerprinting via `fp`, hashes landing in `hash/batch=<id>`, the
+    * delta band-joined against the read-back state — corpus-so-far
+    * INCLUDING the batch, and ≤ batchId because a backfill replay of a
+    * NON-final batch must not see future batches' hashes, or their pairs
+    * land in this batch's dir too and the union double-counts them —
+    * pairs landing in `pairs/batch=<id>`. Both writes are idempotent
+    * per-batch overwrites. One body so the replay-containment and
+    * cache/unpersist discipline cannot drift between the media twins. */
+  private def fingerprintIngestBatch(batch: DataFrame, statePath: String,
+      maxHamming: Int, batchId: Long,
+      fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
     val spark = batch.sparkSession
     val hashPath = s"$statePath/hash"
     val batchHash = batch.select(col("doc_id").as("doc"),
-        graft.functions.MediaExpressions.audioFp(col("payload")).as("simhash"))
+        fp(col("payload")).as("simhash"))
       .cache()
     try {
       batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
-      // ≤ batchId: same backfill-replay containment as imagePhashIngestBatch
       graft.dedup.Dedup.simhashIncrementalPairs(
           batchHash,
           spark.read.parquet(hashPath)

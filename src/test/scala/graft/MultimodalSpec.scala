@@ -128,14 +128,9 @@ class MultimodalSpec extends SparkSpec {
   test("audioNearDupPairs: planted perturbed pairs found; banded == brute force") {
     import spark.implicits._
     // plant: 20 base clips; each gets a near-dup twin (a few samples
-    // nudged by one quantization step), unrelated clips in between
-    val rows = (0 until 20).flatMap { g =>
-      val base = MediaCodec.encodeWav(1 + g % 2, 300 + g * 13, 8000, 5000L + g * 7919)
-      val twin = base.clone()
-      (0 until 6).foreach(j =>
-        twin(44 + 2 * (j * 37 + g)) = (twin(44 + 2 * (j * 37 + g)) ^ 0x01).toByte)
-      Seq((2L * g, base), (2L * g + 1, twin))
-    }
+    // nudged by one quantization step) — the SHARED fixture the streaming
+    // parity test replays (MediaFixtures: one definition, not copies)
+    val rows = MediaFixtures.plantedClips
     val df = rows.toDF("doc_id", "payload")
     val banded = graft.dedup.Dedup
       .audioNearDupPairs(df, "doc_id", "payload", maxHamming = 3)
@@ -160,13 +155,8 @@ class MultimodalSpec extends SparkSpec {
   test("imageNearDupPairs: planted perturbed pairs found; banded == brute force") {
     import spark.implicits._
     // plant: 20 base images; each gets a near-dup twin (3 raster bytes
-    // flipped) and there are unrelated images in between
-    val rows = (0 until 20).flatMap { g =>
-      val base = MediaCodec.encodeBmp(32 + g % 5, 24 + g % 3, 1000L + g * 7)
-      val twin = base.clone()
-      Seq(0, 1, 2).foreach(j => twin(54 + 31 * j + g) = (twin(54 + 31 * j + g) ^ 0x11).toByte)
-      Seq((2L * g, base), (2L * g + 1, twin))
-    }
+    // flipped) — the SHARED fixture the streaming parity test replays
+    val rows = MediaFixtures.plantedRasters
     val df = rows.toDF("doc_id", "payload")
     val banded = graft.dedup.Dedup
       .imageNearDupPairs(df, "doc_id", "payload", maxHamming = 3)

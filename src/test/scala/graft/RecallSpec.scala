@@ -103,9 +103,10 @@ class RecallSpec extends SparkSpec {
 
   test("ann_ivf_topk adaptive default: at least the fixed rule's recall at no more scan") {
     // the round-14 flip: the registered embeddings entry serves the
-    // candidate-mass walk at overscan 24, the budget the DevIvfEmbSweep
-    // frontier showed matches the fixed max(k/2,8) rule's scanned mass
-    // (0.508 vs 0.504 at k=10) at equal-or-better recall. ≥0.95 on THIS
+    // candidate-mass walk at AnnIvfOverscan = 12 — a 240-row budget at
+    // the entry's k=20, the mass the DevIvfEmbSweep frontier showed
+    // matches the fixed max(k/2,8) rule's scan on this corpus at
+    // equal-or-better recall. ≥0.95 on THIS
     // near-uniform corpus is only reachable at ~full scan (overscan 48 →
     // 0.998 scanned — brute force in disguise), so the high-recall ≥0.95
     // gates live with the structured family above; here the claim is

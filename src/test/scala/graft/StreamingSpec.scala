@@ -1244,22 +1244,28 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLayout.currentDir(spark, root) === curBefore,
       "no version may commit from a delta with invalid ops")
     assert(state() === grown)
+    // ...even when the invalid op is SHADOWED by a later event for the
+    // same key: validation runs on the raw batch, before last-writer-wins
+    // compaction can discard the corrupted event
+    val e2 = intercept[Exception] {
+      StreamingIngest.mergeIngestBatch(
+        Seq((8L, "X8", 8.0, "Q", 1L), (8L, "G8", 8.0, "U", 2L))
+          .toDF("id", "category", "value", "op", "seq"),
+        root, "id", "op", "seq")
+    }
+    assert(e2.getMessage.contains("unknown merge op"),
+      s"a shadowed invalid op must still fail the batch, got: ${e2.getMessage}")
+    assert(VersionedLayout.currentDir(spark, root) === curBefore)
+    assert(state() === grown)
   }
 
   test("streaming audio fingerprint: accumulated pair log equals the batch pair join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the MultimodalSpec planted fixture: 20 base clips, each with a
-    // sample-nudged near-dup twin; ids interleave across batches so
-    // pairs straddle batch boundaries
-    val planted = (0 until 20).flatMap { g =>
-      val b = graft.multimodal.MediaCodec.encodeWav(1 + g % 2, 300 + g * 13, 8000, 5000L + g * 7919)
-      val t = b.clone()
-      (0 until 6).foreach(j =>
-        t(44 + 2 * (j * 37 + g)) = (t(44 + 2 * (j * 37 + g)) ^ 0x01).toByte)
-      Seq((2L * g, b), (2L * g + 1, t))
-    }
-    val clips = planted.toDF("doc_id", "payload")
+    // the SHARED MultimodalSpec planted fixture (MediaFixtures): 20 base
+    // clips, each with a sample-nudged near-dup twin; ids interleave
+    // across batches so pairs straddle batch boundaries
+    val clips = MediaFixtures.plantedClips.toDF("doc_id", "payload")
     val base = java.nio.file.Files.createTempDirectory("graft_afpstream").toString
     (0 until 3).foreach(i =>
       clips.where(col("doc_id") % 3 === i).coalesce(1)
@@ -1306,16 +1312,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming image phash: accumulated pair log equals the batch pair join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // the MultimodalSpec planted fixture: 20 base rasters, each with a
-    // 3-byte-perturbed near-dup twin; ids interleave across batches so
-    // pairs straddle batch boundaries
-    val planted = (0 until 20).flatMap { g =>
-      val b = graft.multimodal.MediaCodec.encodeBmp(32 + g % 5, 24 + g % 3, 1000L + g * 7)
-      val t = b.clone()
-      Seq(0, 1, 2).foreach(j => t(54 + 31 * j + g) = (t(54 + 31 * j + g) ^ 0x11).toByte)
-      Seq((2L * g, b), (2L * g + 1, t))
-    }
-    val images = planted.toDF("doc_id", "payload")
+    // the SHARED MultimodalSpec planted fixture (MediaFixtures): 20 base
+    // rasters, each with a 3-byte-perturbed near-dup twin; ids interleave
+    // across batches so pairs straddle batch boundaries
+    val images = MediaFixtures.plantedRasters.toDF("doc_id", "payload")
     val base = java.nio.file.Files.createTempDirectory("graft_phstream").toString
     (0 until 3).foreach(i =>
       images.where(col("doc_id") % 3 === i).coalesce(1)
