@@ -66,7 +66,11 @@ object RecallBench {
     // the reference-parity series base); mean probes + scanned published
     // beside recall like the LSH adaptive entries
     val ivfSizes = Ivf.clusterSizes(ivfAssigned)
-    val ivfAdaptOverscan = graft.queries.ApproxQueries.AnnIvfOverscan
+    // the registered entry's candidate budget is 240 ROWS (overscan 12 ×
+    // its k=20) — a k-independent mass; express it in this bench's k so
+    // the published point is the serving default's actual budget
+    val ivfAdaptBudget = graft.queries.ApproxQueries.AnnIvfOverscan.toLong * 20
+    val ivfAdaptOverscan = (ivfAdaptBudget / k).toInt
     val (ivfAdaptMs, ivfAdaptRes) = timeAll(q =>
       Ivf.searchAdaptive(ivfAssigned, ivfModel, q, k, ivfSizes,
         overscan = ivfAdaptOverscan, vecCol = "embedding", idCol = "vec_id")

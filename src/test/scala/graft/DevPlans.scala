@@ -71,7 +71,12 @@ object DevPlans {
     "vq_merge_agg" -> "keyed bulk MERGE: ONE left-anti join on the id (bounded delta → AQE broadcasts the key side) + union of the delta's upsert rows — present ids update, absent insert, D-rows remove; no per-row driver work",
     "ann_opq_adc_topk" -> "OPQ-P serving: identical shape to ann_pq_adc_topk — the scan reads m-byte codes from the PERMUTED layout, the query permutes driver-side (exact reorder, zero arithmetic), one codegen ADC projection, TakeOrderedAndProject",
     "q_hll_users" -> "deterministic HLL: md5 hash + integer-CASE rho as scan-side expressions, register table = types x 16 rows via one map-side-combined aggregate, dyadic-exact register sum — a sketch with no libm anywhere",
-    "pipe_quality_mix" -> "quality-gated mix: ONE cached gate-scoring pass (InMemoryTableScan feeds both branches), survivors' bounded per-source mass broadcast, md5-bucket acceptance as pure expressions — the composed curation stage in two shuffles")
+    "pipe_quality_mix" -> "quality-gated mix: ONE cached gate-scoring pass (InMemoryTableScan feeds both branches), survivors' bounded per-source mass broadcast, md5-bucket acceptance as pure expressions — the composed curation stage in two shuffles",
+    "pipe_dsir_sample" -> "DSIR resampling: token explode + BOUNDED 256-row weight BroadcastHashJoin + one map-side-combinable integer sum per doc (the quality-gate shape), then a 257-row threshold BroadcastHashJoin and a pure md5-compare accept — model state fixed-size, one doc-keyed shuffle",
+    "q_heavy_hitters" -> "Count-Min heavy hitters: explode-by-depth with map-side partial aggregation down to the 192-row counter table, per-key exact counts one hash aggregate, estimates via three BOUNDED counter BroadcastHashJoins, TakeOrderedAndProject cut — nothing corpus-sized moves",
+    "q_quantile_sketch" -> "quantile sketch: the BottomS ObjectHashAggregate truncates to s rows per (group, partition) map-side — the shuffle carries <= s rows per group per task, no per-group window sort anywhere",
+    "dd_audio_fp" -> "audio fingerprint: fixture synthesis + PCM decode + 65-window energy dHash all scan-side codegen kernels (media_fixture -> media_audio_fp) — one projection, no shuffle before the final order",
+    "ann_ivf_topk" -> "adaptive-default embeddings IVF: the candidate-mass probe walk runs driver-side over the 16-centroid model + size map; the plan is the same pruned cluster_id filter scan as the fixed rule — budget adaptive, pruning shape unchanged")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
