@@ -242,9 +242,11 @@ object ApproxQueries {
   def hnswStoredTopK(spark: SparkSession, dir: String): DataFrame =
     graft.index.HnswStore.topK(spark, hnswLayout(spark, dir), VectorModel.Query, 10)
 
-  /** HASH-GATE of [[hnswStoredTopK]] — an EXACTNESS gate, not a
-    * structural mirror, converting the first of the `vq_hnsw_*` family
-    * out of the spec-only set (round-14 task 8):
+  /** HASH-GATE of the single-query HNSW family (`vq_hnsw_topk`,
+    * `vq_hnsw_stored_topk`, `vq_hnsw_routed_topk`,
+    * `vq_hnsw_routed_parity`) — an EXACTNESS gate, not a structural
+    * mirror, converting four of the eight `vq_hnsw_*` entries out of
+    * the spec-only set (round-14 task 8 + follow-through):
     *
     * Why no structural mirror exists: the graph walk itself
     * ([[graft.index.HnswIndex]].searchLayer) is a candidate max-heap +
@@ -259,19 +261,23 @@ object ApproxQueries {
     * an engine change left un-made because the weaker gate below already
     * pins the serving value.
     *
-    * What IS gated: on this corpus the stored-graph serve returns
-    * EXACTLY the brute-force top-10 — verified at sf0.001/0.01/0.1
-    * (DevHnswExact; recall 1.0 has held every round since round 5 on
-    * frozen testdata) — so the oracle is the exact top-k mirror. The
-    * gate is deliberately STRONGER than the operator's ≥0.8-recall
-    * contract: if a future graph change breaks exactness here, a
-    * hash mismatch flagging the recall regression is the correct
-    * signal. The batch twin (`vq_hnsw_stored_batch`) stays spec-gated
-    * precisely because it is NOT exact — at sf0.1 its query 5 beam
-    * misses the rank-2 neighbor (id 5266966342476, sim 0.99891) — which
-    * is also the concrete counterexample showing this family cannot be
+    * What IS gated: on this corpus each of the four single-query serves
+    * — fresh per-partition build, stored-graph restore, adaptive routed,
+    * fixed-probe routed parity — returns EXACTLY the brute-force top-10,
+    * verified independently at sf0.001/0.01/0.1 (DevHnswExact; recall
+    * 1.0 has held every round since round 5 on frozen testdata), so the
+    * shared oracle is the exact top-k mirror. The gate is deliberately
+    * STRONGER than the operators' ≥0.8-recall contract: if a future
+    * graph/routing change breaks exactness on any of the four, a hash
+    * mismatch flagging the recall regression is the correct signal. The
+    * BATCH twins stay spec-gated on concrete measured counterexamples —
+    * `vq_hnsw_stored_batch`'s sf0.1 query-5 beam misses the rank-2
+    * neighbor (id 5266966342476, sim 0.99891), `vq_hnsw_batch_topk`
+    * diverges at sf0.1 too, and `vq_hnsw_routed_batch` (k=3 over the
+    * part queries) loses boundary neighbors to unprobed shards at every
+    * SF — which is also the evidence this family cannot be
     * blanket-converted. */
-  lazy val hnswStoredTopKSql: String =
+  lazy val hnswExactnessOracleSql: String =
     s"""WITH ${OracleSql.vectorCte}
        |SELECT id, round(${OracleSql.cosineConst((i: Int) => s"v$i", VectorModel.Query)}, 6) AS sim
        |FROM v ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin
@@ -1665,7 +1671,10 @@ object ApproxQueries {
     "vq_ivf_batch_topk" -> ivfBatchTopKSql,
     "vq_ivf_bigbatch" -> ivfBigBatchSql,
     "ann_ivf_topk" -> annIvfTopKSql,
-    "vq_hnsw_stored_topk" -> hnswStoredTopKSql,
+    "vq_hnsw_topk" -> hnswExactnessOracleSql,
+    "vq_hnsw_stored_topk" -> hnswExactnessOracleSql,
+    "vq_hnsw_routed_topk" -> hnswExactnessOracleSql,
+    "vq_hnsw_routed_parity" -> hnswExactnessOracleSql,
     "ann_bin_batch_topk" -> annBinBatchTopKSql,
     "pq_roundtrip" -> pqRoundtripSql,
     "ann_ivfpq_topk" -> annIvfPqTopKSql,

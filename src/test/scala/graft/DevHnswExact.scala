@@ -50,6 +50,23 @@ object DevHnswExact {
         println(s"  storedB=$storedB")
         println(s"  bruteB =$bruteB")
       }
+      // every other spec-gated single-query family member vs the same
+      // brute mirror, and the batch twins vs per-query brute
+      def top10(name: String): Seq[(Long, Double)] =
+        graft.queries.ApproxQueries.queries(name)(spark, sf)
+          .select("id", "sim")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      Seq("vq_hnsw_topk", "vq_hnsw_routed_topk", "vq_hnsw_routed_parity").foreach { n =>
+        val eq = top10(n) == brute
+        println(s"DEVHNSW $sf $n equal=$eq")
+        if (!eq) println(s"  got=${top10(n)}")
+      }
+      Seq("vq_hnsw_batch_topk", "vq_hnsw_routed_batch").foreach { n =>
+        val got = graft.queries.ApproxQueries.queries(n)(spark, sf)
+          .select("query_id", "id", "sim", "rn")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        println(s"DEVHNSW $sf $n batchEqual=${got == bruteB}")
+      }
     }
     spark.stop()
   }
