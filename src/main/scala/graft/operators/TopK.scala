@@ -72,15 +72,19 @@ object TopK {
     override def outputEncoder: Encoder[Seq[Prioritized]] = ExpressionEncoder()
   }
 
-  /** Per-group bottom-s sample: one row per kept (group, value), at most
-    * `s` per group — see [[BottomSAggregator]] for the scale shape. */
+  /** Per-group bottom-s sample: one row per kept (group, pri, value), at
+    * most `s` per group — see [[BottomSAggregator]] for the scale shape.
+    * The PRIORITY rides along because the kept set is MERGEABLE by it:
+    * bottom-s of a union of per-partial bottom-s sets equals bottom-s of
+    * the union (every globally-kept row is kept in its own partial), so
+    * streaming partials re-truncate through this same function. */
   def perGroupBottomS(df: DataFrame, groupCol: String, priCol: Column,
       valueCol: Column, s: Int): DataFrame = {
     val bottoms = udaf(new BottomSAggregator(s), ExpressionEncoder[Prioritized]())
     df.groupBy(col(groupCol))
       .agg(bottoms(priCol, valueCol).as("_keep"))
       .select(col(groupCol), explode(col("_keep")).as("_s"))
-      .select(col(groupCol), col("_s.value").as("value"))
+      .select(col(groupCol), col("_s.pri").as("pri"), col("_s.value").as("value"))
   }
 
   /** Per-group top-k: returns (groupCols..., id, sim(rounded 6), rn). Same

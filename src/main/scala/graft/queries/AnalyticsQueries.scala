@@ -486,15 +486,22 @@ object AnalyticsQueries {
     * along so the estimate's error is visible in the output; SketchSpec
     * gates the accuracy. Scale shape: two narrow aggregates (register
     * table = types × 16 rows). */
-  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.model.VectorModel.events(spark, dir)
-    val regs = ev
+  /** HLL register table of an events frame: (event_type, bucket, m) —
+    * types×[[HllM]] rows. ONE shared definition for the batch sketch and
+    * the streaming partials: registers merge by MAX, so per-batch
+    * partials maxed per (type, bucket) equal this over the union. */
+  private[graft] def hllRegisters(ev: DataFrame): DataFrame =
+    ev
       .withColumn("h", graft.dedup.Dedup.hash60(
         concat(lit("hll:"), col("user_id").cast("string"))))
       .withColumn("bucket", col("h") % HllM)
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rho", rhoWhen)
       .groupBy("event_type", "bucket").agg(max("rho").as("m"))
+
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+    val regs = hllRegisters(ev)
     val est = regs.groupBy("event_type").agg(
       sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
         .as("sp"),
@@ -576,14 +583,23 @@ object AnalyticsQueries {
     * bounded by key cardinality, and the estimate join broadcasts the
     * 192-row counter table — nothing corpus-sized moves. Every step is
     * integer, so estimates are value-level exact cross-engine. */
-  private[graft] def cmUserEstimates(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.model.VectorModel.events(spark, dir)
-      .select(col("user_id").cast("string").as("k"))
-    val counters = ev
+  /** Count-Min counter table of a key frame (one column `k`): (r, cell,
+    * c) — depth×width rows. ONE shared definition for the batch sketch
+    * and the streaming partials ([[graft.streaming.StreamingIngest.
+    * sketchIngestBatch]]): counters merge by ADDITION, so per-batch
+    * partials summed per (r, cell) equal this over the union — the
+    * mergeability that makes the sketch a streaming-native structure. */
+  private[graft] def cmCounters(keys: DataFrame): DataFrame =
+    keys
       .select(explode(array((0 until CmDepth).map(r =>
         struct(lit(r).as("r"), cmCell(r, col("k")).as("cell"))): _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("c"))
+
+  private[graft] def cmUserEstimates(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+      .select(col("user_id").cast("string").as("k"))
+    val counters = cmCounters(ev)
     val users = ev.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
     (0 until CmDepth).foldLeft(users) { (df, r) =>
       df.join(
@@ -642,20 +658,28 @@ object AnalyticsQueries {
     * interpolation then runs on s rows per group. The sampled quantile
     * definition (linear interpolation) matches DuckDB's quantile_cont,
     * the [[valuePercentiles]] precedent. */
-  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.model.VectorModel.events(spark, dir)
-      .select(col("event_type"),
-        graft.dedup.Dedup.hash60(
-          concat(lit("qs:"), col("event_id").cast("string"))).as("pri"),
-        col("value"))
-    graft.operators.TopK.perGroupBottomS(ev, "event_type",
-        col("pri"), col("value"), QsSampleSize)
-      .groupBy("event_type")
+  /** (event_type, pri, value) with the md5 sampling priority — the shared
+    * input shape of the batch sketch and the streaming partials. */
+  private[graft] def qsPrioritized(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      graft.dedup.Dedup.hash60(
+        concat(lit("qs:"), col("event_id").cast("string"))).as("pri"),
+      col("value"))
+
+  /** Interpolated p50/p95 over a kept (event_type, pri, value) sample —
+    * the serving tail shared by the batch sketch and the grown-state
+    * reader. */
+  private[graft] def qsQuantiles(keep: DataFrame): DataFrame =
+    keep.groupBy("event_type")
       .agg(count(lit(1)).as("n_sampled"),
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))
       .orderBy("event_type")
-  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    qsQuantiles(graft.operators.TopK.perGroupBottomS(
+      qsPrioritized(graft.model.VectorModel.events(spark, dir)),
+      "event_type", col("pri"), col("value"), QsSampleSize))
 
   lazy val quantileSketchSql: String =
     s"""WITH pri AS (SELECT event_type, value,

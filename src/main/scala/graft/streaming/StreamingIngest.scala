@@ -547,6 +547,94 @@ object StreamingIngest {
     fingerprintIngestBatch(batch, statePath, maxHamming, batchId,
       graft.functions.MediaExpressions.dhash)
 
+  /** Streaming twin of the deterministic sketch family (`q_heavy_hitters`
+    * Count-Min counters, `q_hll_users` HLL registers, `q_quantile_sketch`
+    * bottom-s samples) over an events stream — the demonstration of WHY a
+    * 100 TB dashboard runs sketches: every per-batch partial is tiny and
+    * the states merge ASSOCIATIVELY, so ingest appends bounded partials
+    * and serving folds them without ever touching raw history.
+    *
+    *  - Count-Min partials (`cm/batch=<id>`: depth×width counter rows of
+    *    the batch) merge by ADDITION;
+    *  - HLL register partials (`hll/batch=<id>`: per-(type, bucket) max ρ
+    *    of the batch) merge by MAX;
+    *  - quantile-sample partials (`qs/batch=<id>`: per-type bottom-s by
+    *    md5 priority within the batch) merge by RE-TRUNCATION — every
+    *    globally-kept row is kept in its own batch's partial, so bottom-s
+    *    over the union of partials equals bottom-s over the raw union.
+    *
+    * Each partial is computed by the SAME kernel the batch sketch uses
+    * ([[graft.queries.AnalyticsQueries.cmCounters]]/[[graft.queries.
+    * AnalyticsQueries.hllRegisters]]/[[graft.operators.TopK.
+    * perGroupBottomS]] — one definition, twins cannot drift), writes are
+    * idempotent per-batch overwrites, and [[compactBatchState]] folds the
+    * logs with each state's own merge (sum / max / re-truncate) via
+    * [[compactSketchState]]. Grown-state reads
+    * ([[cmCountersFrom]]/[[hllRegistersFrom]]/[[qsSampleFrom]]) equal the
+    * batch kernels over the full history (StreamingSpec). */
+  def sketchIngest(events: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def sketchIngestBatch(batch: DataFrame, statePath: String,
+      batchId: Long): Unit = {
+    import graft.queries.AnalyticsQueries
+    val cached = batch.cache()
+    try {
+      AnalyticsQueries.cmCounters(
+          cached.select(col("user_id").cast("string").as("k")))
+        .write.mode("overwrite").parquet(s"$statePath/cm/batch=$batchId")
+      AnalyticsQueries.hllRegisters(cached)
+        .write.mode("overwrite").parquet(s"$statePath/hll/batch=$batchId")
+      graft.operators.TopK.perGroupBottomS(
+          AnalyticsQueries.qsPrioritized(cached),
+          "event_type", col("pri"), col("value"), AnalyticsQueries.QsSampleSize)
+        .write.mode("overwrite").parquet(s"$statePath/qs/batch=$batchId")
+    } finally cached.unpersist()
+  }
+
+  /** Cumulative Count-Min counters from the grown state: partials summed
+    * per (r, cell) — equals [[graft.queries.AnalyticsQueries.cmCounters]]
+    * over the full history. */
+  def cmCountersFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/cm")
+      .groupBy("r", "cell").agg(sum("c").as("c"))
+
+  /** Cumulative HLL registers: partials maxed per (type, bucket). */
+  def hllRegistersFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/hll")
+      .groupBy("event_type", "bucket").agg(max("m").as("m"))
+
+  /** Cumulative quantile sample: bottom-s re-truncation over the union of
+    * partials. */
+  def qsSampleFrom(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.TopK.perGroupBottomS(
+      spark.read.parquet(s"$statePath/qs"),
+      "event_type", col("pri"), col("value"),
+      graft.queries.AnalyticsQueries.QsSampleSize)
+
+  /** [[compactBatchState]] over the three sketch logs, each folded with
+    * its own merge: counters re-SUM, registers re-MAX, samples
+    * re-TRUNCATE — the same associative merges serving uses, so a
+    * compacted state reads identically. */
+  def compactSketchState(spark: SparkSession, statePath: String): Seq[String] = {
+    val did = Seq(
+      s"$statePath/cm" -> compactBatchState(spark, s"$statePath/cm",
+        fold = _.groupBy("r", "cell").agg(sum("c").as("c"))),
+      s"$statePath/hll" -> compactBatchState(spark, s"$statePath/hll",
+        fold = _.groupBy("event_type", "bucket").agg(max("m").as("m"))),
+      s"$statePath/qs" -> compactBatchState(spark, s"$statePath/qs",
+        fold = df => graft.operators.TopK.perGroupBottomS(df, "event_type",
+          col("pri"), col("value"), graft.queries.AnalyticsQueries.QsSampleSize)))
+    did.collect { case (p, true) => p }
+  }
+
   /** Streaming twin of the keyed bulk MERGE
     * ([[graft.store.VectorStore.mergeVersioned]]) — the CDC shape: a
     * stream of `(id, payload…, op ∈ {U, D}, seq)` change events applied

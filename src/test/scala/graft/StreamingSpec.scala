@@ -1172,6 +1172,65 @@ class StreamingSpec extends SparkSpec {
       "replay after compaction must not change any score")
   }
 
+  test("streaming sketches: grown partials fold to the batch sketch states, compaction preserves them") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.AnalyticsQueries
+    val ev = graft.model.VectorModel.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "value").cache()
+    val base = java.nio.file.Files.createTempDirectory("graft_skstream").toString
+    (0 until 3).foreach(i =>
+      ev.where(col("event_id") % 3 === i).coalesce(1)
+        .write.parquet(f"$base/in/b$i"))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val st = s"$base/state"
+    val q = StreamingIngest.sketchIngest(stream, st, s"$base/ckpt")
+    try q.awaitTermination(120000) finally q.stop()
+    def cmSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def hllSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    def qsSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // each grown state folds to exactly the batch kernel over full history
+    val cmBatch = cmSet(AnalyticsQueries.cmCounters(
+      ev.select(col("user_id").cast("string").as("k"))))
+    val hllBatch = hllSet(AnalyticsQueries.hllRegisters(ev))
+    val qsBatch = qsSet(graft.operators.TopK.perGroupBottomS(
+      AnalyticsQueries.qsPrioritized(ev), "event_type",
+      col("pri"), col("value"), AnalyticsQueries.QsSampleSize))
+    assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
+    assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
+    assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    // end-to-end: the registered quantile entry re-derives from grown state
+    val servedQ = AnalyticsQueries.qsQuantiles(StreamingIngest.qsSampleFrom(spark, st))
+      .collect().map(_.toSeq).toSeq
+    val batchQ = AnalyticsQueries.quantileSketch(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(servedQ === batchQ)
+    // replay idempotence: re-running the last batch changes nothing
+    val lastB = spark.read.parquet(s"$st/cm")
+      .agg(max(col("batch").cast("long"))).head.getLong(0)
+    StreamingIngest.sketchIngestBatch(
+      ev.where(col("event_id") % 3 === lastB % 3), st, lastB)
+    assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
+    assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
+    assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    // roll-up compaction folds each log with its OWN merge; reads identical
+    val compacted = StreamingIngest.compactSketchState(spark, st)
+    assert(compacted.size === 3, s"expected all three sketch logs folded, got $compacted")
+    assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
+    assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
+    assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    // post-compaction replay of the newest batch is still idempotent
+    StreamingIngest.sketchIngestBatch(
+      ev.where(col("event_id") % 3 === lastB % 3), st, lastB)
+    assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
+    ev.unpersist()
+  }
+
   test("streaming keyed merge: grown state == one-shot merge of the compacted log, replay is content-idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
