@@ -849,6 +849,37 @@ object StreamingIngest {
       when(logit > 0.0, 1L).otherwise(0L).as("is_quality"))
   }
 
+  /** Streaming twin of the DSIR resampler ([[graft.text.Dsir]]) under a
+    * FROZEN fitted model — the deployment shape: fit once on a corpus +
+    * target sample (a build step), then gate the doc firehose. Pure
+    * per-row like [[qualityGateStream]]: the 256 quantized LLR weights
+    * and the 257 acceptance thresholds ride as array literals, the score
+    * is one integer `aggregate(transform(tokens))`, the level clamp and
+    * the salted md5 coin are scalar expressions — no state, no
+    * watermark, plain append mode, and the decision for a doc is
+    * IDENTICAL to [[graft.text.Dsir.decisions]] on the same row
+    * (StreamingSpec), which is exactly the per-doc purity TrancheSpec's
+    * composition case proves. Model drift is a redeploy, not stream
+    * state. */
+  def dsirGateStream(docs: DataFrame, model: graft.text.Dsir.Model): DataFrame = {
+    import graft.text.Dsir
+    val wq = typedLit(model.wq.toSeq)
+    val thr = typedLit(model.thr.toSeq)
+    val z = aggregate(
+      transform(graft.text.TextAnalysis.tokens(col("text")),
+        t => element_at(wq, (Dsir.bucket(t) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val level = least(expr(s"greatest(0L, -z) DIV ${Dsir.LevelQ}"),
+      lit(Dsir.Levels.toLong))
+    val u = graft.dedup.Dedup.hash60(
+      concat(col("doc_id").cast("string"), lit(Dsir.AcceptSalt)))
+    docs.select(col("doc_id"), z.as("z"))
+      .withColumn("level", level)
+      .select(col("doc_id"), col("z"), col("level"),
+        when(u < element_at(thr, (col("level") + 1).cast("int")), 1L)
+          .otherwise(0L).as("kept"))
+  }
+
   /** Streaming twin of the PII scrub ([[graft.queries.TextQueries]]'s
     * `tx_pii` stage): typed match counts + the redacted text, per
     * micro-batch. Pure regexp expressions — stateless, no watermark,

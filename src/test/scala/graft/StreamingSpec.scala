@@ -486,6 +486,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate equals the batch decisions under the frozen model") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_dg").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val model = graft.text.Dsir.fit(docs,
+      docs.where(col("source") === graft.queries.PipelineQueries.DsirTargetSource))
+    val q = StreamingIngest.dsirGateStream(
+        StreamingIngest.readDocuments(spark, dir), model)
+      .writeStream.outputMode("append").format("memory").queryName("dg_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, z, level, kept FROM dg_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = graft.text.Dsir.decisions(docs, model)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir()
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString
