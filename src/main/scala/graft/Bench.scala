@@ -95,11 +95,11 @@ object Bench {
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
-    ("build_dsir_model", Set("pipe_dsir_sample"),
+    ("build_dsir_model", Set("pipe_dsir_sample", "pipe_dsir_mix"),
       // two bounded bucket-count aggregates + driver quantization; the
       // serving entry times SCORING + acceptance, not the fit
       (s, d) => { queries.PipelineQueries.dsirModel(s, d); () }),
-    ("build_quality_model", Set("tx_quality_model", "pipe_quality_mix"),
+    ("build_quality_model", Set("tx_quality_model", "pipe_quality_mix", "pipe_dsir_mix"),
       // hashed-feature LR fit on the planted fixture sample; the serving
       // entry times SCORING under the quantized weights, not training
       (s, d) => { queries.TextQueries.qualityModel(s, d); () }),

@@ -879,30 +879,131 @@ object PipelineQueries {
       .orderBy("source")
   }
 
-  lazy val dsirSampleSql: String = {
+  /** The DSIR decision CTE chain over `src` (any table/CTE with doc_id,
+    * text): weight/threshold sidecars → token buckets → per-doc integer
+    * score → kept flag, as CTEs `dw, da, dt, dz, dk` with
+    * `dk = (doc_id, z, kept)`. ONE definition composed by
+    * [[dsirSampleSql]] and the curation-capstone oracle
+    * ([[dsirMixSql]]) so the two cannot drift — the
+    * [[TextQueries.qualityLogitCtes]] pattern. */
+  private[queries] def dsirKeptCtes(src: String): String = {
     import graft.text.Dsir.{B, LevelQ, Levels, AcceptSalt}
-    s"""WITH w AS (SELECT CAST(bucket AS INTEGER) AS b, CAST(wq AS BIGINT) AS wq
+    s"""dw AS (SELECT CAST(bucket AS INTEGER) AS b, CAST(wq AS BIGINT) AS wq
        |  FROM ${OracleSidecars.sqlTable("dsir_weights")}),
-       |a AS (SELECT CAST(level AS BIGINT) AS level, CAST(thr AS BIGINT) AS thr
+       |da AS (SELECT CAST(level AS BIGINT) AS level, CAST(thr AS BIGINT) AS thr
        |  FROM ${OracleSidecars.sqlTable("dsir_accept")}),
-       |t AS (SELECT doc_id, ('0x'||substr(md5('dsir:'||tok),1,15))::BIGINT % $B AS b
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-       |z AS (SELECT d.doc_id AS doc_id, d.source AS source,
-       |    COALESCE(s.z, 0) AS z
-       |  FROM documents d LEFT JOIN (
-       |    SELECT t.doc_id AS doc_id, CAST(sum(w.wq) AS BIGINT) AS z
-       |    FROM t JOIN w USING (b) GROUP BY t.doc_id) s USING (doc_id)),
-       |dec AS (SELECT z.source, z.z,
-       |    CASE WHEN ('0x'||substr(md5(z.doc_id::VARCHAR||'$AcceptSalt'),1,15))::BIGINT < a.thr
+       |dt AS (SELECT doc_id, ('0x'||substr(md5('dsir:'||tok),1,15))::BIGINT % $B AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $src)),
+       |dz AS (SELECT s.doc_id AS doc_id, COALESCE(zz.z, 0) AS z
+       |  FROM $src s LEFT JOIN (
+       |    SELECT dt.doc_id AS doc_id, CAST(sum(dw.wq) AS BIGINT) AS z
+       |    FROM dt JOIN dw USING (b) GROUP BY dt.doc_id) zz USING (doc_id)),
+       |dk AS (SELECT dz.doc_id AS doc_id, dz.z AS z,
+       |    CASE WHEN ('0x'||substr(md5(dz.doc_id::VARCHAR||'$AcceptSalt'),1,15))::BIGINT < da.thr
        |      THEN 1 ELSE 0 END AS kept
-       |  FROM z JOIN a ON a.level = least(greatest(0, -z.z) // $LevelQ, $Levels))
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(kept) AS BIGINT) AS n_kept,
-       |  min(z) AS min_z, max(z) AS max_z
-       |FROM dec GROUP BY source ORDER BY source""".stripMargin
+       |  FROM dz JOIN da ON da.level = least(greatest(0, -dz.z) // $LevelQ, $Levels))""".stripMargin
   }
 
+  lazy val dsirSampleSql: String =
+    s"""WITH ${dsirKeptCtes("documents")}
+       |SELECT d.source AS source, count(*) AS n_docs,
+       |  CAST(sum(dk.kept) AS BIGINT) AS n_kept,
+       |  min(dk.z) AS min_z, max(dk.z) AS max_z
+       |FROM documents d JOIN dk USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** The FULL curation capstone — the three model-driven stages a real
+    * training-data pipeline chains, composed in order: (1) the LEARNED
+    * quality gate ([[TextQueries.qualityModelScores]]'s quantized logit
+    * > 0) drops junk, (2) DSIR importance resampling ([[graft.text.Dsir]])
+    * pulls the survivors toward the target domain, (3) the temperature
+    * mix flattens the REMAINING per-source masses (the mixture balances
+    * what actually ships, like [[qualityMix]]). Per-doc coin flips are
+    * independent per stage (each stage's own salt), and DSIR's per-doc
+    * purity (TrancheSpec) is what makes stage order well-defined. HASH-
+    * GATED end-to-end by composing the three factored mirrors
+    * ([[TextQueries.qualityLogitCtes]] + [[dsirKeptCtes]] + the mix
+    * arithmetic) — no stage's oracle text is duplicated, so none can
+    * drift. Scale shape: one cached gate-scoring pass, one DSIR scoring
+    * pass over the gated survivors (bounded broadcast joins), one
+    * bounded per-source mass broadcast, pure-expression acceptance —
+    * three shuffles total, nothing corpus-sized collected. Report:
+    * (source, n_docs, n_quality, n_dsir, n_kept, threshold) with LEFT
+    * joins so a source fully dropped at any stage still reports. */
+  def dsirMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qm = TextQueries.qualityModel(spark, dir)
+    TextQueries.publishQualityWeights(spark, dir, qm) // repair no-op
+    val dm = dsirModel(spark, dir)
+    publishDsirSidecars(spark, dir, dm) // repair no-op
+    val docs = VectorModel.documents(spark, dir)
+    val gatedIds = graft.store.CacheRegistry.cached(
+      graft.text.QualityModel.score(docs.select("doc_id", "text"), qm)
+        .where(col("is_quality") === 1L).select("doc_id"))
+    val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+    val dsirIds = graft.store.CacheRegistry.cached(
+      graft.text.Dsir.decisions(gated, dm)
+        .where(col("kept") === 1L).select("doc_id"))
+    val survivors = gated.join(dsirIds, Seq("doc_id"), "left_semi")
+    val rates = survivors.groupBy("source").agg(sum("n_chars").as("mass"))
+      .withColumn("mmax", max("mass").over(Window.partitionBy()))
+      .select(col("source"),
+        floor(sqrt(col("mass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    val kept = survivors
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_dsir"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        max("threshold").as("threshold"))
+    val nQuality = gated.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(nQuality, Seq("source"), "left")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dsir"), lit(0L)).as("n_dsir"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("threshold"), lit(0L)).as("threshold"))
+      .orderBy("source")
+  }
+
+  lazy val dsirMixSql: String =
+    s"""WITH ${TextQueries.qualityLogitCtes},
+       |ql AS (SELECT d.doc_id AS doc_id
+       |  FROM d CROSS JOIN b
+       |  WHERE ${TextQueries.qualityLogitExpr} > CAST('0.0' AS DOUBLE)),
+       |g AS (SELECT doc.* FROM documents doc JOIN ql USING (doc_id)),
+       |${dsirKeptCtes("g")},
+       |sv AS (SELECT g.* FROM g JOIN dk USING (doc_id) WHERE dk.kept = 1),
+       |m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+       |      FROM sv GROUP BY source),
+       |r AS (SELECT source,
+       |        CAST(floor(sqrt(CAST(mass AS DOUBLE) / CAST((SELECT max(mass) FROM m) AS DOUBLE))
+       |          * ${MixBuckets}.0) AS BIGINT) AS threshold
+       |      FROM m),
+       |k AS (SELECT sv.source, r.threshold,
+       |        ('0x' || substr(md5(sv.doc_id::VARCHAR || '$MixSalt'), 1, 15))::BIGINT % $MixBuckets AS bucket
+       |      FROM sv JOIN r USING (source)),
+       |kk AS (SELECT source, count(*) AS n_dsir,
+       |        CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |        max(threshold) AS threshold
+       |      FROM k GROUP BY source),
+       |nq AS (SELECT source, count(*) AS n_quality FROM g GROUP BY source),
+       |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT nd.source AS source, nd.n_docs AS n_docs,
+       |  CAST(COALESCE(nq.n_quality, 0) AS BIGINT) AS n_quality,
+       |  CAST(COALESCE(kk.n_dsir, 0) AS BIGINT) AS n_dsir,
+       |  CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(kk.threshold, 0) AS BIGINT) AS threshold
+       |FROM nd LEFT JOIN nq USING (source) LEFT JOIN kk USING (source)
+       |ORDER BY nd.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dsir_mix" -> (dsirMix _),
     "pipe_dsir_sample" -> (dsirSample _),
     "pipe_pack_spans" -> (packSpans _),
     "pipe_pack_ffd" -> (packFfd _),
@@ -920,6 +1021,7 @@ object PipelineQueries {
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_dsir_mix" -> dsirMixSql,
     "pipe_dsir_sample" -> dsirSampleSql,
     "pipe_pack_spans" -> packSpansSql,
     "pipe_pack_ffd" -> packFfdSql,

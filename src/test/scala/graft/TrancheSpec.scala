@@ -330,6 +330,50 @@ class TrancheSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("dsirMix: stage composition equals gate-then-dsir-then-mix, bounds hold") {
+    val rows = PipelineQueries.dsirMix(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, nDocs, nQ, nDsir, nKept, thr) =>
+      assert(nQ <= nDocs, s"$s: more quality docs than docs")
+      assert(nDsir <= nQ, s"$s: more dsir survivors than gated docs")
+      assert(nKept <= nDsir, s"$s: kept more than survived dsir")
+      assert(thr >= 0L && thr <= PipelineQueries.MixBuckets)
+    }
+    // driver recompute of all three stages through the library calls
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val qm = graft.queries.TextQueries.qualityModel(spark, Sf0001)
+    val dm = PipelineQueries.dsirModel(spark, Sf0001)
+    val gatedIds = graft.text.QualityModel
+      .score(docs.select("doc_id", "text"), qm)
+      .where(col("is_quality") === 1L).collect().map(_.getLong(0)).toSet
+    val gated = docs.where(col("doc_id").isInCollection(gatedIds))
+    val dsirIds = graft.text.Dsir.decisions(gated, dm)
+      .where(col("kept") === 1L).collect().map(_.getLong(0)).toSet
+    val sv = docs.collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+      .filter { case (id, _, _) => dsirIds(id) }
+    val mass = sv.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mmax = mass.values.max
+    val expThr = mass.map { case (s, m) =>
+      s -> math.floor(math.sqrt(m.toDouble / mmax.toDouble) *
+        PipelineQueries.MixBuckets.toDouble).toLong
+    }
+    rows.foreach { case (s, _, nQ, nDsir, _, thr) =>
+      assert(nDsir === sv.count(_._2 == s).toLong, s"$s: dsir survivor count")
+      if (nDsir > 0) assert(thr === expThr(s), s"$s: threshold $thr vs ${expThr(s)}")
+    }
+    // DSIR purity is what makes the stage order well-defined: deciding
+    // over the gated subset equals deciding over everything then gating
+    val allKept = graft.text.Dsir.decisions(docs, dm)
+      .where(col("kept") === 1L).collect().map(_.getLong(0)).toSet
+    assert(dsirIds === allKept.intersect(gatedIds))
+    // the heaviest SURVIVING source keeps all its survivors
+    val heaviest = mass.maxBy(_._2)._1
+    val hr = rows.find(_._1 == heaviest).get
+    assert(hr._6 === PipelineQueries.MixBuckets && hr._5 === hr._4)
+  }
+
   test("lshIncrementalPairs: delta matches corpus dups only, never delta-delta") {
     val docs = Seq(
       // 0/1 identical (0 = delta, 1 = corpus) -> must match at est 1.0
