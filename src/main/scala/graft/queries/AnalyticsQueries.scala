@@ -499,21 +499,27 @@ object AnalyticsQueries {
       .withColumn("rho", rhoWhen)
       .groupBy("event_type", "bucket").agg(max("rho").as("m"))
 
-  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.model.VectorModel.events(spark, dir)
-    val regs = hllRegisters(ev)
-    val est = regs.groupBy("event_type").agg(
+  /** Raw HLL estimate from a register table — the serving tail shared by
+    * [[hllUsers]] and the grown-state reader ([[graft.streaming.
+    * StreamingIngest.hllRegistersFrom]]'s consumers): per type,
+    * α·m²/(Σ2^(−M) + zero-register count). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("event_type").agg(
       sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)"))
         .as("sp"),
       count(lit(1)).as("np"))
       .select(col("event_type"),
-        (lit(HllAlphaM2) /
-          (col("sp") + (lit(HllM) - col("np")).cast("double"))).as("e"))
+        round(lit(HllAlphaM2) /
+          (col("sp") + (lit(HllM) - col("np")).cast("double")), 6)
+          .as("hll_users"))
+
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+    val est = hllEstimate(hllRegisters(ev))
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"))
     est.join(exact, "event_type")
-      .select(col("event_type"), round(col("e"), 6).as("hll_users"),
-        col("exact_users"))
+      .select(col("event_type"), col("hll_users"), col("exact_users"))
       .orderBy("event_type")
   }
 

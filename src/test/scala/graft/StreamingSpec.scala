@@ -1237,6 +1237,12 @@ class StreamingSpec extends SparkSpec {
     val batchQ = AnalyticsQueries.quantileSketch(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
     assert(servedQ === batchQ)
+    // ...and the HLL estimate tail serves from grown registers identically
+    val servedH = AnalyticsQueries.hllEstimate(StreamingIngest.hllRegistersFrom(spark, st))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    val batchH = AnalyticsQueries.hllUsers(spark, Sf0001)
+      .select("event_type", "hll_users").collect().map(_.toSeq).toSeq
+    assert(servedH === batchH)
     // replay idempotence: re-running the last batch changes nothing
     val lastB = spark.read.parquet(s"$st/cm")
       .agg(max(col("batch").cast("long"))).head.getLong(0)
