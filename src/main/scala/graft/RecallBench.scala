@@ -66,11 +66,14 @@ object RecallBench {
     // the reference-parity series base); mean probes + scanned published
     // beside recall like the LSH adaptive entries
     val ivfSizes = Ivf.clusterSizes(ivfAssigned)
-    // the registered entry's candidate budget is 240 ROWS (overscan 12 ×
-    // its k=20) — a k-independent mass; express it in this bench's k so
-    // the published point is the serving default's actual budget
-    val ivfAdaptBudget = graft.queries.ApproxQueries.AnnIvfOverscan.toLong * 20
-    val ivfAdaptOverscan = (ivfAdaptBudget / k).toInt
+    // the registered entry's candidate budget is overscan × its own k —
+    // a k-independent row mass; express it in this bench's k (rounded,
+    // floored at 1: integer truncation would silently undershoot or zero
+    // the budget for k not dividing it) so the published point is the
+    // serving default's actual budget
+    val ivfAdaptBudget = graft.queries.ApproxQueries.AnnIvfOverscan.toLong *
+      graft.queries.ApproxQueries.AnnIvfTopKK
+    val ivfAdaptOverscan = math.max(1, math.round(ivfAdaptBudget.toDouble / k).toInt)
     val (ivfAdaptMs, ivfAdaptRes) = timeAll(q =>
       Ivf.searchAdaptive(ivfAssigned, ivfModel, q, k, ivfSizes,
         overscan = ivfAdaptOverscan, vecCol = "embedding", idCol = "vec_id")

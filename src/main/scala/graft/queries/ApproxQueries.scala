@@ -58,6 +58,11 @@ object ApproxQueries {
     * default, named here because the oracle mirrors it. */
   val AnnIvfMinProbes = 3
 
+  /** The entry's k — named because the oracle's budget and RecallBench's
+    * published operating point both derive from overscan·THIS, and a
+    * bare literal in three places desyncs silently. */
+  val AnnIvfTopKK = 20
+
   /** S3 over the embeddings table — served by the ADAPTIVE candidate-mass
     * walk ([[Ivf.searchAdaptive]]) since round 14: probe centroids in
     * similarity order until the probed clusters hold
@@ -73,7 +78,7 @@ object ApproxQueries {
       VectorModel.embeddings(spark, dir).withColumn("embedding", col("embedding").cast("array<double>")),
       vecCol = "embedding", idCol = "vec_id")
     publishCentroidsFlat(spark, "ivf_centroids_emb", dir, model.centroids)
-    Ivf.searchAdaptive(assigned, model, VectorModel.AnnQuery, 20,
+    Ivf.searchAdaptive(assigned, model, VectorModel.AnnQuery, AnnIvfTopKK,
       Ivf.clusterSizes(assigned), overscan = AnnIvfOverscan,
       minProbes = AnnIvfMinProbes,
       vecCol = "embedding", idCol = "vec_id")
@@ -1590,7 +1595,7 @@ object ApproxQueries {
     val d = VectorModel.EmbDim
     def cE(i: Int) = s"cent.c$i"
     def eE(i: Int) = OracleSql.listElem("a.embedding")(i)
-    val budget = AnnIvfOverscan * 20L
+    val budget = AnnIvfOverscan * AnnIvfTopKK.toLong
     s"""WITH cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
        |    ${(0 until d).map(j => s"c$j").mkString(", ")}
        |  FROM ${OracleSidecars.sqlTable("ivf_centroids_emb")}),
@@ -1617,7 +1622,7 @@ object ApproxQueries {
        |    asg.cluster_id AS cluster_id
        |  FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id
        |    JOIN probed p ON p.cluster_id = asg.cluster_id)
-       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+       |ORDER BY sim DESC, vec_id ASC LIMIT $AnnIvfTopKK""".stripMargin
   }
 
   /** Routed-HNSW big batch — see [[ivfBigBatchTopK]]. The probe list is

@@ -865,10 +865,16 @@ object StreamingIngest {
     import graft.text.Dsir
     val wq = typedLit(model.wq.toSeq)
     val thr = typedLit(model.thr.toSeq)
-    val z = aggregate(
-      transform(graft.text.TextAnalysis.tokens(col("text")),
-        t => element_at(wq, (Dsir.bucket(t) + 1).cast("int"))),
-      lit(0L), (acc, x) => acc + x)
+    // coalesce: NULL text must score the batch path's empty-product 0
+    // (Dsir.score's explode drops the row, the left join restores z=0) —
+    // an un-coalesced NULL would propagate through level into a REJECT,
+    // silently flipping the decision vs Dsir.decisions
+    val z = coalesce(
+      aggregate(
+        transform(graft.text.TextAnalysis.tokens(col("text")),
+          t => element_at(wq, (Dsir.bucket(t) + 1).cast("int"))),
+        lit(0L), (acc, x) => acc + x),
+      lit(0L))
     val level = least(expr(s"greatest(0L, -z) DIV ${Dsir.LevelQ}"),
       lit(Dsir.Levels.toLong))
     val u = graft.dedup.Dedup.hash60(

@@ -57,9 +57,9 @@ object DevHnswExact {
           .select("id", "sim")
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       Seq("vq_hnsw_topk", "vq_hnsw_routed_topk", "vq_hnsw_routed_parity").foreach { n =>
-        val eq = top10(n) == brute
-        println(s"DEVHNSW $sf $n equal=$eq")
-        if (!eq) println(s"  got=${top10(n)}")
+        val got = top10(n)
+        println(s"DEVHNSW $sf $n equal=${got == brute}")
+        if (got != brute) println(s"  got=$got")
       }
       Seq("vq_hnsw_batch_topk", "vq_hnsw_routed_batch").foreach { n =>
         val got = graft.queries.ApproxQueries.queries(n)(spark, sf)

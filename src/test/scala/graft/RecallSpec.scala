@@ -124,7 +124,7 @@ class RecallSpec extends SparkSpec {
     assigned.cache().count()
     val sizes = Ivf.clusterSizes(assigned)
     val total = sizes.values.sum.toDouble
-    val budget = ApproxQueries.AnnIvfOverscan.toLong * 20
+    val budget = ApproxQueries.AnnIvfOverscan.toLong * ApproxQueries.AnnIvfTopKK
     val queries = (0 until 20).map(graft.model.VectorModel.syntheticQuery)
     val nFixed = math.max(model.k / 2, 8)
     val (rF, rA, sF, sA) = queries.map { q =>

@@ -511,6 +511,20 @@ class StreamingSpec extends SparkSpec {
       assert(got === batch)
       assert(got.nonEmpty)
     } finally q.stop()
+    // NULL-text parity (the stream transform is a plain per-row select,
+    // so it applies to a batch frame directly): the batch path's explode
+    // drops the row and the left join restores z=0 → kept at level 0;
+    // the stream must coalesce to the same empty-product decision
+    import spark.implicits._
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val sGot = StreamingIngest.dsirGateStream(withNull, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val bGot = graft.text.Dsir.decisions(withNull, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(sGot === bGot, "NULL/empty text must decide identically on both paths")
   }
 
   test("foreachBatch append ingest lands every row") {
@@ -1243,11 +1257,21 @@ class StreamingSpec extends SparkSpec {
     val batchH = AnalyticsQueries.hllUsers(spark, Sf0001)
       .select("event_type", "hll_users").collect().map(_.toSeq).toSeq
     assert(servedH === batchH)
-    // replay idempotence: re-running the last batch changes nothing
+    // replay idempotence: re-running the last batch changes nothing.
+    // FileStreamSource does not guarantee which staged file became which
+    // batch id, so identify the last batch's slice by matching its stored
+    // CM partial instead of assuming write order
     val lastB = spark.read.parquet(s"$st/cm")
       .agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastPartial = cmSet(spark.read.parquet(s"$st/cm")
+      .where(col("batch") === lastB).select("r", "cell", "c"))
+    val lastSlice = (0 until 3).find { i =>
+      cmSet(AnalyticsQueries.cmCounters(
+        ev.where(col("event_id") % 3 === i)
+          .select(col("user_id").cast("string").as("k")))) == lastPartial
+    }.getOrElse(fail("no staged slice matches the last batch's CM partial"))
     StreamingIngest.sketchIngestBatch(
-      ev.where(col("event_id") % 3 === lastB % 3), st, lastB)
+      ev.where(col("event_id") % 3 === lastSlice), st, lastB)
     assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
     assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
     assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
@@ -1259,7 +1283,7 @@ class StreamingSpec extends SparkSpec {
     assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
     // post-compaction replay of the newest batch is still idempotent
     StreamingIngest.sketchIngestBatch(
-      ev.where(col("event_id") % 3 === lastB % 3), st, lastB)
+      ev.where(col("event_id") % 3 === lastSlice), st, lastB)
     assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
     ev.unpersist()
   }
