@@ -95,6 +95,10 @@ object Bench {
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
+    ("build_domain_model", Set("pipe_domain_mix"),
+      // sample-bounded embed + seeded k-means; the serving entry times
+      // assignment + mixing, not the fit
+      (s, d) => { queries.PipelineQueries.domainModel(s, d); () }),
     ("build_dsir_model", Set("pipe_dsir_sample", "pipe_dsir_mix"),
       // two bounded bucket-count aggregates + driver quantization; the
       // serving entry times SCORING + acceptance, not the fit

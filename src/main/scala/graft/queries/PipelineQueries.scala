@@ -912,6 +912,109 @@ object PipelineQueries {
        |FROM documents d JOIN dk USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- learned-domain mixing ---------------------------------------------
+
+  /** Number of LEARNED domains [[domainMix]] clusters the corpus into. */
+  val DomainK = 8
+
+  /** Seeded k-means over the corpus's hash embeddings — the label-free
+    * domain model behind [[domainMix]], memoized per dataset like every
+    * layout build; a Bench build step. Centroids (8 × 16 doubles)
+    * publish as the `domain_centroids` sidecar so the oracle re-derives
+    * assignment. */
+  private[graft] def domainModel(spark: SparkSession, dir: String): graft.index.Ivf.IvfModel =
+    domainModelCache.computeIfAbsent(dir, _ => {
+      val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+      val (_, m) = graft.index.Ivf.fit(
+        VectorModel.documents(spark, dir)
+          .select(col("doc_id").as("id"), emb.embed(col("text")).as("vector")),
+        k = DomainK)
+      publishDomainCentroids(spark, dir, m)
+      m
+    })
+
+  private val domainModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.Ivf.IvfModel]()
+
+  private def publishDomainCentroids(spark: SparkSession, dir: String,
+      m: graft.index.Ivf.IvfModel): Unit =
+    ApproxQueries.publishCentroidsFlat(spark, "domain_centroids", dir, m.centroids)
+
+  /** LEARNED-domain temperature mixing — source labels are a proxy; what
+    * a mixture actually wants to balance is CONTENT domains, which a
+    * 100 TB corpus has no labels for. This entry discovers them
+    * label-free: hash-embed every document (the [[TextQueries.embedDocs]]
+    * kernel), cluster the embeddings with seeded k-means ([[domainModel]]
+    * — the IVF fit machinery reused as a domain model), assign each doc
+    * its nearest centroid, and temperature-mix over the LEARNED domains
+    * exactly as [[temperatureMix]] does over sources (sqrt flattening,
+    * same per-doc md5 coin). HASH-GATED end-to-end: embedding components
+    * are exact (±1 token counts), assignment mirrors as the l2-argmin
+    * over the published centroid sidecar (the `ann_ivf_topk` asg
+    * pattern), and the mix arithmetic is the shared single-rounded IEEE
+    * chain. Scale shape: fit is sample-bounded (one TakeOrdered), serving
+    * is one embed+assign projection pass (codegen kernels, model state
+    * rides the plan), one bounded per-domain mass broadcast, and the
+    * per-domain report shuffle. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = domainModel(spark, dir)
+    publishDomainCentroids(spark, dir, m) // repair no-op unless dir switched / root lost
+    val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    val assigned = graft.index.Ivf.assign(
+      VectorModel.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), emb.embed(col("text")).as("vector")),
+      m)
+      .select(col("doc_id"), col("n_chars"), col("cluster_id").as("domain"))
+    val rates = assigned.groupBy("domain").agg(sum("n_chars").as("mass"))
+      .withColumn("mmax", max("mass").over(Window.partitionBy()))
+      .select(col("domain"),
+        floor(sqrt(col("mass").cast("double") / col("mmax").cast("double"))
+          * MixBuckets.toDouble).cast("long").as("threshold"))
+    assigned
+      .join(broadcast(rates), "domain")
+      .withColumn("bucket", pmod(
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(MixSalt))),
+        lit(MixBuckets)))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_kept"),
+        max("threshold").as("threshold"))
+      .orderBy("domain")
+  }
+
+  lazy val domainMixSql: String = {
+    val d = TextQueries.EmbedDim
+    def cE(i: Int) = s"cent.c$i"
+    def eE(i: Int) = s"e.e$i"
+    s"""WITH hd AS (${TextQueries.hashedDocsSql}),
+       |e AS (SELECT doc_id,
+       |  ${TextQueries.hashFeatureComps}
+       |FROM hd),
+       |cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+       |  FROM ${OracleSidecars.sqlTable("domain_centroids")}),
+       |asg AS (SELECT doc_id, cluster_id FROM (
+       |  SELECT e.doc_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY e.doc_id
+       |      ORDER BY ${OracleSql.l2sq(cE, eE, d)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM e CROSS JOIN cent) WHERE arn = 1),
+       |j AS (SELECT asg.cluster_id AS domain, doc.doc_id AS doc_id, doc.n_chars AS n_chars
+       |  FROM documents doc JOIN asg USING (doc_id)),
+       |m AS (SELECT domain, CAST(sum(n_chars) AS BIGINT) AS mass FROM j GROUP BY domain),
+       |r AS (SELECT domain,
+       |        CAST(floor(sqrt(CAST(mass AS DOUBLE) / CAST((SELECT max(mass) FROM m) AS DOUBLE))
+       |          * ${MixBuckets}.0) AS BIGINT) AS threshold
+       |      FROM m),
+       |b AS (SELECT j.domain, r.threshold,
+       |        ('0x' || substr(md5(j.doc_id::VARCHAR || '$MixSalt'), 1, 15))::BIGINT % $MixBuckets AS bucket
+       |      FROM j JOIN r USING (domain))
+       |SELECT CAST(domain AS INTEGER) AS domain, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  max(threshold) AS threshold
+       |FROM b GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   /** The FULL curation capstone — the three model-driven stages a real
     * training-data pipeline chains, composed in order: (1) the LEARNED
     * quality gate ([[TextQueries.qualityModelScores]]'s quantized logit
@@ -1003,6 +1106,7 @@ object PipelineQueries {
        |ORDER BY nd.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_domain_mix" -> (domainMix _),
     "pipe_dsir_mix" -> (dsirMix _),
     "pipe_dsir_sample" -> (dsirSample _),
     "pipe_pack_spans" -> (packSpans _),
@@ -1021,6 +1125,7 @@ object PipelineQueries {
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_domain_mix" -> domainMixSql,
     "pipe_dsir_mix" -> dsirMixSql,
     "pipe_dsir_sample" -> dsirSampleSql,
     "pipe_pack_spans" -> packSpansSql,

@@ -733,7 +733,7 @@ object TextQueries {
     }.mkString(",\n  ")
   }
 
-  private def hashedDocsSql: String =
+  private[queries] def hashedDocsSql: String =
     s"""SELECT doc_id,
        |        list_transform(string_split(lower(text), ' '),
        |          t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS hs

@@ -77,7 +77,8 @@ object DevPlans {
     "q_quantile_sketch" -> "quantile sketch: the BottomS ObjectHashAggregate truncates to s rows per (group, partition) map-side — the shuffle carries <= s rows per group per task, no per-group window sort anywhere",
     "dd_audio_fp" -> "audio fingerprint: fixture synthesis + PCM decode + 65-window energy dHash all scan-side codegen kernels (media_fixture -> media_audio_fp) — one projection, no shuffle before the final order",
     "ann_ivf_topk" -> "adaptive-default embeddings IVF: the candidate-mass probe walk runs driver-side over the 16-centroid model + size map; the plan is the same pruned cluster_id filter scan as the fixed rule — budget adaptive, pruning shape unchanged",
-    "pipe_dsir_mix" -> "full curation capstone: ONE cached gate-scoring pass (InMemoryTableScan feeds gate + survivor branches), DSIR's bounded 256/257-row broadcast joins over the gated survivors, bounded per-source mass broadcast, pure-expression md5 acceptance — three shuffles end to end")
+    "pipe_dsir_mix" -> "full curation capstone: ONE cached gate-scoring pass (InMemoryTableScan feeds gate + survivor branches), DSIR's bounded 256/257-row broadcast joins over the gated survivors, bounded per-source mass broadcast, pure-expression md5 acceptance — three shuffles end to end",
+    "pipe_domain_mix" -> "learned-domain mixing: embed+assign are scan-side codegen kernels (hash_embed → nearest_centroid, 8×16-double model state riding the plan), bounded per-domain mass broadcast, pure-expression acceptance — no corpus-sized join anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -330,6 +330,41 @@ class TrancheSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("domainMix: learned domains partition the corpus, mix arithmetic recomputes") {
+    val rows = PipelineQueries.domainMix(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= PipelineQueries.DomainK)
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    // a partition: every doc lands in exactly one domain
+    assert(rows.map(_._2).sum === docs.count())
+    rows.foreach { case (dm, nDocs, nKept, thr) =>
+      assert(dm >= 0 && dm < PipelineQueries.DomainK)
+      assert(nKept >= 0L && nKept <= nDocs)
+      assert(thr >= 0L && thr <= PipelineQueries.MixBuckets)
+    }
+    // driver recompute of the thresholds from the assigned masses
+    val m = PipelineQueries.domainModel(spark, Sf0001)
+    val emb = new graft.text.HashEmbedder(graft.queries.TextQueries.EmbedDim)
+    val mass = graft.index.Ivf.assign(
+        docs.select(col("doc_id"), col("n_chars"), emb.embed(col("text")).as("vector")), m)
+      .groupBy("cluster_id").agg(sum("n_chars").as("mass"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mmax = mass.values.max
+    rows.foreach { case (dm, _, _, thr) =>
+      val exp = math.floor(math.sqrt(mass(dm).toDouble / mmax.toDouble) *
+        PipelineQueries.MixBuckets.toDouble).toLong
+      assert(thr === exp, s"domain $dm: threshold $thr vs $exp")
+    }
+    // the heaviest learned domain keeps everything it holds
+    val heaviest = mass.maxBy(_._2)._1
+    val hr = rows.find(_._1 == heaviest).get
+    assert(hr._4 === PipelineQueries.MixBuckets && hr._3 === hr._2)
+    // deterministic: a second evaluation is value-identical
+    val again = PipelineQueries.domainMix(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("dsirMix: stage composition equals gate-then-dsir-then-mix, bounds hold") {
     val rows = PipelineQueries.dsirMix(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
