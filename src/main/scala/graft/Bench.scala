@@ -96,8 +96,8 @@ object Bench {
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
     ("build_domain_model", Set("pipe_domain_mix"),
-      // sample-bounded embed + seeded k-means; the serving entry times
-      // assignment + mixing, not the fit
+      // hash-priority doc sample FIRST, then embed only the winners +
+      // seeded k-means; the serving entry times assignment + mixing
       (s, d) => { queries.PipelineQueries.domainModel(s, d); () }),
     ("build_dsir_model", Set("pipe_dsir_sample", "pipe_dsir_mix"),
       // two bounded bucket-count aggregates + driver quantization; the

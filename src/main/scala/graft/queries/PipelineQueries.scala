@@ -921,13 +921,26 @@ object PipelineQueries {
     * domain model behind [[domainMix]], memoized per dataset like every
     * layout build; a Bench build step. Centroids (8 × 16 doubles)
     * publish as the `domain_centroids` sidecar so the oracle re-derives
-    * assignment. */
+    * assignment.
+    *
+    * The hash-priority SAMPLE is taken over raw docs FIRST and only the
+    * winners embed: unlike every prior [[graft.index.Ivf.fit]] caller
+    * (whose vector column is already stored), this one's vectors are an
+    * expensive computed expression, and fit's TakeOrderedAndProject
+    * sampler evaluates the projection for every row before the heap
+    * insert — embedding the whole corpus to keep ≤ FitSampleRows of it
+    * (the round-14 review finding). Sampling-then-embedding yields the
+    * IDENTICAL model: fit re-applies the same (hash(id), id) order +
+    * limit to the pre-sampled set, and the top-N of a top-N is itself. */
   private[graft] def domainModel(spark: SparkSession, dir: String): graft.index.Ivf.IvfModel =
     domainModelCache.computeIfAbsent(dir, _ => {
       val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+      val sampled = VectorModel.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("text"))
+        .orderBy(hash(col("id")), col("id"))
+        .limit(graft.index.Ivf.FitSampleRows)
       val (_, m) = graft.index.Ivf.fit(
-        VectorModel.documents(spark, dir)
-          .select(col("doc_id").as("id"), emb.embed(col("text")).as("vector")),
+        sampled.select(col("id"), emb.embed(col("text")).as("vector")),
         k = DomainK)
       publishDomainCentroids(spark, dir, m)
       m
@@ -961,11 +974,15 @@ object PipelineQueries {
     val m = domainModel(spark, dir)
     publishDomainCentroids(spark, dir, m) // repair no-op unless dir switched / root lost
     val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
-    val assigned = graft.index.Ivf.assign(
-      VectorModel.documents(spark, dir)
-        .select(col("doc_id"), col("n_chars"), emb.embed(col("text")).as("vector")),
-      m)
-      .select(col("doc_id"), col("n_chars"), col("cluster_id").as("domain"))
+    // the embed+assign pass feeds BOTH the mass branch and the acceptance
+    // branch — cache the tiny (doc_id, n_chars, domain) projection or the
+    // corpus is embedded twice (the recurring shared-lineage class)
+    val assigned = graft.store.CacheRegistry.cached(
+      graft.index.Ivf.assign(
+        VectorModel.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars"), emb.embed(col("text")).as("vector")),
+        m)
+        .select(col("doc_id"), col("n_chars"), col("cluster_id").as("domain")))
     val rates = assigned.groupBy("domain").agg(sum("n_chars").as("mass"))
       .withColumn("mmax", max("mass").over(Window.partitionBy()))
       .select(col("domain"),
