@@ -281,7 +281,18 @@ object ApproxQueries {
     * diverges at sf0.1 too, and `vq_hnsw_routed_batch` (k=3 over the
     * part queries) loses boundary neighbors to unprobed shards at every
     * SF — which is also the evidence this family cannot be
-    * blanket-converted. */
+    * blanket-converted.
+    *
+    * TRIAGE NOTE for a future hash mismatch on any of the four (also at
+    * their oracle-map registrations): because this gate is empirical
+    * exactness, not a structural mirror, a mismatch may be a benign
+    * TIE-ORDER artifact (a heap/tie tweak reshuffling equal-similarity
+    * ranks) or a dataset change rather than a recall regression. Check
+    * DevHnswExact first: if measured recall is still ≥ the 0.8 contract,
+    * the operator is healthy — either restore exactness or fall back to
+    * the spec gate (drop the entry from the oracle map; RecallSpec stays
+    * the contract gate, the `vq_hnsw_*` batch twins are the precedent).
+    * Only a DevHnswExact recall drop is a real regression. */
   lazy val hnswExactnessOracleSql: String =
     s"""WITH ${OracleSql.vectorCte}
        |SELECT id, round(${OracleSql.cosineConst((i: Int) => s"v$i", VectorModel.Query)}, 6) AS sim
@@ -1676,6 +1687,9 @@ object ApproxQueries {
     "vq_ivf_batch_topk" -> ivfBatchTopKSql,
     "vq_ivf_bigbatch" -> ivfBigBatchSql,
     "ann_ivf_topk" -> annIvfTopKSql,
+    // deliberate EXACTNESS tripwires (empirical, stronger than the ≥0.8
+    // recall contract) — on a mismatch read the triage note at
+    // [[hnswExactnessOracleSql]] before treating it as a recall regression
     "vq_hnsw_topk" -> hnswExactnessOracleSql,
     "vq_hnsw_stored_topk" -> hnswExactnessOracleSql,
     "vq_hnsw_routed_topk" -> hnswExactnessOracleSql,

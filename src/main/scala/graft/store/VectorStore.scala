@@ -57,22 +57,44 @@ object VectorStore {
     * no per-row driver work, no second base scan. */
   def merge(base: DataFrame, delta: DataFrame, idCol: String = "id",
       opCol: String = "op"): DataFrame = {
-    requireValidOps(delta, opCol)
-    base.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(delta.where(col(opCol) === "U").drop(opCol))
+    val d = validatedDelta(delta, opCol)
+    base.join(d.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(d.where(col(opCol) === "U").drop(opCol))
   }
 
-  /** Eager op validation, shared by [[merge]] and [[mergeVersioned]]'s
-    * bootstrap so an unknown op fails loudly on EVERY path, never
-    * silently drops. Eager (one bounded scan of the delta — bounded by
-    * [[merge]]'s contract) rather than a `raise_error` CASE inside the
-    * plan: the lazy check only survived through the `op = 'U'` branch —
-    * column pruning strips it from the anti-join side, so whether an
-    * unknown op failed or silently dropped its base row rested on
-    * Catalyst never simplifying `CASE…raise_error END = 'U'` in the
-    * filter. An eagerly-evaluated emptiness assertion cannot be
-    * optimized away by any future rule. NULL ops are invalid too (a
-    * `NOT isin` filter alone would pass them through to a silent drop). */
+  /** The delta, MATERIALIZED once and op-validated — shared by [[merge]]
+    * and [[mergeVersioned]]'s bootstrap so an unknown op fails loudly on
+    * EVERY path, never silently drops, and so validation and the merge
+    * read the SAME evaluation.
+    *
+    * Why eager validation (not a `raise_error` CASE inside the plan):
+    * the lazy check only survived through the `op = 'U'` branch — column
+    * pruning strips it from the anti-join side, so whether an unknown op
+    * failed or silently dropped its base row rested on Catalyst never
+    * simplifying `CASE…raise_error END = 'U'` in the filter. An eagerly-
+    * evaluated emptiness assertion cannot be optimized away by any
+    * future rule. NULL ops are invalid too (a `NOT isin` filter alone
+    * would pass them through to a silent drop).
+    *
+    * Why `localCheckpoint` first (the round-14 advice finding): eager
+    * validation as a SEPARATE job meant a non-deterministic delta could
+    * pass validation yet merge different rows, and every merge paid an
+    * extra source scan. Checkpointing evaluates the delta exactly once
+    * (bounded by [[merge]]'s contract — a daily delta, never a corpus)
+    * and cuts the lineage, so the validation scan and both merge
+    * branches read the materialized blocks: one evaluation, observed by
+    * all consumers. Blocks are freed by the ContextCleaner once the
+    * checkpointed plan is unreachable. */
+  private[graft] def validatedDelta(delta: DataFrame, opCol: String): DataFrame = {
+    val d = delta.localCheckpoint(eager = true)
+    requireValidOps(d, opCol)
+    d
+  }
+
+  /** The scan-only op check of [[validatedDelta]], also used directly on
+    * streaming micro-batches ([[graft.streaming.StreamingIngest]]'s CDC
+    * twin) whose rows the streaming engine has ALREADY materialized — no
+    * re-evaluation risk there, so no checkpoint needed. */
   private[graft] def requireValidOps(delta: DataFrame, opCol: String): Unit = {
     val bad = delta
       .where(col(opCol).isNull || !col(opCol).isin("U", "D"))
@@ -94,8 +116,7 @@ object VectorStore {
       val merged = VersionedLayout.currentDir(spark, root) match {
         case Some(cur) => merge(spark.read.parquet(cur), delta, idCol, opCol)
         case None =>
-          requireValidOps(delta, opCol)
-          delta.where(col(opCol) === "U").drop(opCol)
+          validatedDelta(delta, opCol).where(col(opCol) === "U").drop(opCol)
       }
       merged.write.parquet(dir)
     }

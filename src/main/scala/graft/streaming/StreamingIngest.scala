@@ -320,7 +320,7 @@ object StreamingIngest {
     // cache populates on the write action; the band join below re-reads it
     val batchSig = graft.dedup.Dedup.minhashSignatures(
       batch, "doc_id", "text", numHashes).cache()
-    batchSig.write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+    writeBatchPartition(batchSig, sigPath, batchId)
     // the read-back state gains a discovered `batch` partition column —
     // dropped so the band join's schema matches the delta side's; the
     // ≤ batchId guard keeps a backfill replay of a NON-final batch from
@@ -335,7 +335,7 @@ object StreamingIngest {
         greatest(col("new_doc"), col("dup_of")).as("db"),
         col("est_jaccard"))
       .distinct()
-    pairs.write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
+    writeBatchPartition(pairs, s"$statePath/pairs", batchId)
     batchSig.unpersist()
   }
 
@@ -390,14 +390,15 @@ object StreamingIngest {
       }
     // bases is BOUNDED (≤ NumShards rows) — broadcast, unlike the
     // corpus-growing per-doc aggregates this module shuffle-hashes
-    keyed.join(broadcast(bases), Seq("shard"), "left")
-      .withColumn("pos",
-        (coalesce(col("base"), lit(0L)) +
-          row_number().over(
-            Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))) - 1)
-          .cast("long"))
-      .select("doc_id", "shard", "pos")
-      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    writeBatchPartition(
+      keyed.join(broadcast(bases), Seq("shard"), "left")
+        .withColumn("pos",
+          (coalesce(col("base"), lit(0L)) +
+            row_number().over(
+              Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))) - 1)
+            .cast("long"))
+        .select("doc_id", "shard", "pos"),
+      statePath, batchId)
   }
 
   /** Streaming twin of the temperature mix
@@ -436,8 +437,8 @@ object StreamingIngest {
     // the micro-batch source scans once, like minhashIngestBatch's sigs
     val rows = batch.select("doc_id", "source", "n_chars").cache()
     try {
-      rows.groupBy("source").agg(sum("n_chars").as("m"))
-        .write.mode("overwrite").parquet(s"$statePath/mass/batch=$batchId")
+      writeBatchPartition(rows.groupBy("source").agg(sum("n_chars").as("m")),
+        s"$statePath/mass", batchId)
       val thr = spark.read.parquet(s"$statePath/mass")
         .where(col("batch") <= batchId)
         .groupBy("source").agg(sum("m").as("cmass"))
@@ -445,14 +446,15 @@ object StreamingIngest {
         .select(col("source"),
           floor(sqrt(col("cmass").cast("double") / col("mmax").cast("double"))
             * MixBuckets.toDouble).cast("long").as("threshold"))
-      rows.join(broadcast(thr), "source")
-        .withColumn("bucket", pmod(
-          graft.dedup.Dedup.hash60(
-            concat(col("doc_id").cast("string"), lit(MixSalt))),
-          lit(MixBuckets)))
-        .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
-          (col("bucket") < col("threshold")).as("kept"))
-        .write.mode("overwrite").parquet(s"$statePath/kept/batch=$batchId")
+      writeBatchPartition(
+        rows.join(broadcast(thr), "source")
+          .withColumn("bucket", pmod(
+            graft.dedup.Dedup.hash60(
+              concat(col("doc_id").cast("string"), lit(MixSalt))),
+            lit(MixBuckets)))
+          .select(col("doc_id"), col("source"), col("bucket"), col("threshold"),
+            (col("bucket") < col("threshold")).as("kept")),
+        s"$statePath/kept", batchId)
     } finally rows.unpersist() // a retried write must not leak cached blocks
   }
 
@@ -496,8 +498,8 @@ object StreamingIngest {
         explode(graft.dedup.Dedup.ngrams(col("text"), 2)).as("gram"))
       .cache()
     try {
-      grams.groupBy("gram").agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$statePath/grams/batch=$batchId")
+      writeBatchPartition(grams.groupBy("gram").agg(count(lit(1)).as("n")),
+        s"$statePath/grams", batchId)
       val counts = spark.read.parquet(s"$statePath/grams")
         .where(col("batch") <= batchId)
         .groupBy("gram").agg(sum("n").as("cn"))
@@ -505,16 +507,17 @@ object StreamingIngest {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(col("cn") < RareBigramMin, 1L).otherwise(0L)).as("n_rare"))
-      rows.select(col("doc_id"))
-        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
-        .withColumn("rare_frac",
-          when(col("n_bigrams") === 0L, lit(0.0))
-            .otherwise(round(col("n_rare").cast("double") /
-              col("n_bigrams").cast("double"), 6)))
-        .write.mode("overwrite").parquet(s"$statePath/scores/batch=$batchId")
+      writeBatchPartition(
+        rows.select(col("doc_id"))
+          .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+          .withColumn("rare_frac",
+            when(col("n_bigrams") === 0L, lit(0.0))
+              .otherwise(round(col("n_rare").cast("double") /
+                col("n_bigrams").cast("double"), 6))),
+        s"$statePath/scores", batchId)
     } finally { grams.unpersist(); rows.unpersist() }
   }
 
@@ -587,15 +590,15 @@ object StreamingIngest {
     import graft.queries.AnalyticsQueries
     val cached = batch.cache()
     try {
-      AnalyticsQueries.cmCounters(
-          cached.select(col("user_id").cast("string").as("k")))
-        .write.mode("overwrite").parquet(s"$statePath/cm/batch=$batchId")
-      AnalyticsQueries.hllRegisters(cached)
-        .write.mode("overwrite").parquet(s"$statePath/hll/batch=$batchId")
-      graft.operators.TopK.perGroupBottomS(
+      writeBatchPartition(AnalyticsQueries.cmCounters(
+          cached.select(col("user_id").cast("string").as("k"))),
+        s"$statePath/cm", batchId)
+      writeBatchPartition(AnalyticsQueries.hllRegisters(cached),
+        s"$statePath/hll", batchId)
+      writeBatchPartition(graft.operators.TopK.perGroupBottomS(
           AnalyticsQueries.qsPrioritized(cached),
-          "event_type", col("pri"), col("value"), AnalyticsQueries.QsSampleSize)
-        .write.mode("overwrite").parquet(s"$statePath/qs/batch=$batchId")
+          "event_type", col("pri"), col("value"), AnalyticsQueries.QsSampleSize),
+        s"$statePath/qs", batchId)
     } finally cached.unpersist()
   }
 
@@ -735,13 +738,14 @@ object StreamingIngest {
         fp(col("payload")).as("simhash"))
       .cache()
     try {
-      batchHash.write.mode("overwrite").parquet(s"$hashPath/batch=$batchId")
-      graft.dedup.Dedup.simhashIncrementalPairs(
+      writeBatchPartition(batchHash, hashPath, batchId)
+      writeBatchPartition(
+        graft.dedup.Dedup.simhashIncrementalPairs(
           batchHash,
           spark.read.parquet(hashPath)
             .where(col("batch") <= batchId).drop("batch"),
-          maxHamming, bits = 64)
-        .write.mode("overwrite").parquet(s"$statePath/pairs/batch=$batchId")
+          maxHamming, bits = 64),
+        s"$statePath/pairs", batchId)
     } finally batchHash.unpersist()
   }
 
@@ -810,7 +814,7 @@ object StreamingIngest {
             col("rem").cast("long"))
           .as[(Int, Long, Long)]
       else spark.emptyDataset[(Int, Long, Long)]
-    priorBins.groupByKey(_._1)
+    val placed = priorBins.groupByKey(_._1)
       .cogroup(items.groupByKey(_._2)) { (shard, binsIt, itemsIt) =>
         val prior = binsIt.toArray.sortBy(_._2) // ascending bin id
         val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -821,7 +825,7 @@ object StreamingIngest {
           .map { case (doc, n, bin) => (doc, n, shard, bin) }
       }
       .toDF("doc_id", "n", "shard", "bin")
-      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    writeBatchPartition(placed, statePath, batchId)
   }
 
   /** Streaming twin of the LEARNED quality gate
@@ -1362,6 +1366,44 @@ object StreamingIngest {
     * that needs arrival attribution must carry the arrival batch as a
     * DATA column before ever compacting; none of the shipped states do,
     * by design. */
+  /** Guarded idempotent per-batch overwrite into `dir/batch=<id>` — the
+    * single choke point every batch-partitioned state writer goes
+    * through. [[compactBatchState]]'s contract makes `batch` a
+    * replay/cumulative key after the first fold, so the newest existing
+    * partition is the only legitimate replay target (foreachBatch
+    * processes batch ids sequentially — a lower id can have no pending
+    * commit once a higher partition exists): a write targeting any LOWER
+    * existing id would overwrite a folded cumulative partial (data loss)
+    * or re-land log rows the fold already carries (duplication). The
+    * round-14 advice finding was that this was documented but
+    * unenforced; enforced here at the cost of one directory listing per
+    * micro-batch. The pre-v2 migration id `batch=-1` participates like
+    * any other id. */
+  private[graft] def writeBatchPartition(df: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    maxBatchPartition(df.sparkSession, dir).foreach { maxB =>
+      require(batchId >= maxB,
+        s"batch $batchId is behind the newest state partition batch=$maxB " +
+          s"under $dir: after compaction lower partitions hold folded " +
+          "history, so a non-final replay would lose or duplicate it — " +
+          "only the newest batch is a legitimate replay target")
+    }
+    df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+  }
+
+  /** Highest `batch=<id>` partition under `dir`, if any — the replay
+    * frontier [[writeBatchPartition]] guards against. */
+  private[graft] def maxBatchPartition(spark: SparkSession,
+      dir: String): Option[Long] = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, dir)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch=").toLong).toOption)
+      .reduceOption(_ max _)
+  }
+
   def compactBatchState(spark: SparkSession, path: String,
       fold: DataFrame => DataFrame = _.coalesce(1),
       minBatches: Int = 3): Boolean = {

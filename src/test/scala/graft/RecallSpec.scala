@@ -181,12 +181,16 @@ class RecallSpec extends SparkSpec {
     // and it must still beat its scanned fraction, or the buckets carry
     // no signal beyond random subsampling
     assert(r > scanned, s"recall $r does not beat scanned fraction $scanned")
-    // the radius-1 ring (the library default) keeps its tight budget
+    // the DEFAULT ring (no radius argument — LshAnn.DefaultProbeRadius,
+    // pinned radius 1 in LshLifecycleSpec) keeps its tight budget and its
+    // measured recall floor; a silent default move fails here
     val r1 = Recall.recallAtK(exact,
       LshAnn.search(bucketed, planes, VectorModel.AnnQuery, 20,
-        vecCol = "embedding", idCol = "vec_id", radius = 1), "vec_id")
-    info(s"LSH radius-1 recall@20 = $r1")
+        vecCol = "embedding", idCol = "vec_id"), "vec_id")
+    info(s"LSH default-radius recall@20 = $r1")
     assert(r1 >= 0.35)
+    assert(r1 < 0.7, "default-radius recall reached the radius-2 operating " +
+      "point — did the default silently move? see LshAnn.DefaultProbeRadius")
   }
 
   test("multi-table sign-LSH: mean recall@10 >= 0.7 at scanned fraction <= 0.4") {

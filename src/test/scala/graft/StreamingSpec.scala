@@ -454,6 +454,17 @@ class StreamingSpec extends SparkSpec {
       cap, 32, lastB)
     assert(rows(spark.read.parquet(s"$base/state")) === before,
       "replay after compaction must be identical")
+    // the data-loss guard (round-14 advice): a NON-final replay id — here
+    // the folded partition itself — must fail loudly BEFORE any write,
+    // instead of overwriting folded history with one batch's rows
+    val err = intercept[IllegalArgumentException] {
+      StreamingIngest.ffdIngestBatch(
+        docs.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+        cap, 32, lastB - 1)
+    }
+    assert(err.getMessage.contains("newest state partition"))
+    assert(rows(spark.read.parquet(s"$base/state")) === before,
+      "the rejected replay must leave the state untouched")
   }
 
   test("streaming quality gate equals the batch scorer under the frozen model") {
