@@ -83,11 +83,13 @@ object Bench {
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e",
-        "pipe_split_leakproof", "dd_incremental_lsh"),
+        "pipe_split_leakproof", "dd_incremental_lsh",
+        "pipe_decontaminate_fuzzy", "pipe_train_corpus_fuzzy"),
       (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
       Set("dd_ngram_capped", "dd_components", "pipe_curated_mix",
-        "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof"),
+        "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof",
+        "pipe_train_corpus_fuzzy"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),

@@ -135,6 +135,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Fuzzy (MinHash) decontamination — the near-dup complement of
+    * [[contaminatedDocs]]: flag training docs whose banded MinHash
+    * signature collides with ANY eval doc's at an estimated Jaccard ≥
+    * `threshold`. One row per flagged training doc:
+    * `(doc, n_eval_matches, max_est_jaccard)`.
+    *
+    * What this catches that the exact path cannot: the exact detector
+    * grams both sides at its k (word k-grams, k = 4 in the registered
+    * pipeline) — an eval item SHORTER than k words produces no grams at
+    * all and is invisible to it, yet short items (benchmark questions,
+    * cloze answers) are exactly what leaks verbatim into crawled training
+    * data. The MinHash path shingles at the smaller signature k (3) and
+    * scores SET similarity, so short-item copies surface at est ≈ 1.0,
+    * and paraphrases keep scoring by their true shingle overlap instead
+    * of vanishing the moment no single k-run survives verbatim. (At
+    * these widths the two detectors otherwise overlap heavily — any
+    * ≥ k-word verbatim run trips the exact path; the fuzzy path's edge
+    * grows with the exact path's k, which production decontamination
+    * sets much higher. The complementarity cases are TrancheSpec-gated.)
+    *
+    * Scale shape — the eval set is the BOUNDED delta side of the
+    * existing incremental-LSH join ([[lshIncrementalPairs]]): only the
+    * eval docs pay fresh shingle/minhash cost, the corpus side is a SCAN
+    * of the persisted signature layout (never rebuilt, never self-
+    * joined — delta×corpus, not corpus²), the shuffle-hash build side is
+    * the eval signatures, and the final per-doc aggregate runs over
+    * ≪ corpus collision rows. `corpusSig` must not contain the eval
+    * docs' own signatures (anti-join them out — a benchmark doc must not
+    * flag itself). */
+  def fuzzyContaminatedFromSig(evalDocs: DataFrame, corpusSig: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    lshIncrementalPairs(
+        minhashSignatures(evalDocs, idCol, textCol, numHashes, k),
+        corpusSig, numHashes, bands, threshold)
+      .groupBy("dup_of")
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("est_jaccard")).as("max_est_jaccard"))
+      .select(col("dup_of").as("doc"), col("n_eval_matches"),
+        col("max_est_jaccard"))
+
+  /** [[fuzzyContaminatedFromSig]] with the corpus signatures computed
+    * in-line — the one-shot shape (specs, ad-hoc audits); production
+    * serves from the persisted signature layout. */
+  def fuzzyContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    fuzzyContaminatedFromSig(eval,
+      minhashSignatures(train, idCol, textCol, numHashes, k),
+      idCol, textCol, k, numHashes, bands, threshold)
+
   /** Cross-document repeated n-gram spans — the memorization/span-dedup
     * audit (the signal behind substring-level training-data dedup): every
     * k-gram appearing in at least `minDocs` distinct documents, with its

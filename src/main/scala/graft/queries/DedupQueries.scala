@@ -353,6 +353,60 @@ object DedupQueries {
        |WHERE CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE) >= CAST('0.5' AS DOUBLE)
        |ORDER BY new_doc, dup_of""".stripMargin
 
+  /** Fuzzy decontamination Jaccard floor: a training doc is flagged when
+    * its banded MinHash estimate against any eval doc reaches this. The
+    * same operating point as every other MinHash consumer here — a
+    * near-dup-grade floor, deliberately stricter than "any shared gram"
+    * (the exact path's bar) because the fuzzy flag DROPS docs wholesale
+    * in the train-corpus composition. */
+  val FuzzyDecontamThreshold = 0.5
+
+  /** Fuzzy (MinHash) decontamination
+    * ([[Dedup.fuzzyContaminatedFromSig]]): training docs whose banded
+    * signature collides with any eval doc (source = EvalSource) at
+    * est ≥ [[FuzzyDecontamThreshold]] — the near-dup complement of
+    * `pipe_decontaminate`'s exact 4-gram overlap, catching eval items
+    * shorter than the exact gram width and paraphrase-grade near-dups.
+    * Eval signatures are computed fresh (the eval set is the bounded
+    * delta side); the corpus side is the persisted signature layout with
+    * the eval docs anti-joined out (bounded side → broadcast). */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val evalDocs = docs.where(col("source") === PipelineQueries.EvalSource)
+    val corpusSig = spark.read.parquet(sigLayout(spark, dir))
+      .join(evalDocs.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
+    Dedup.fuzzyContaminatedFromSig(evalDocs, corpusSig, "doc_id", "text",
+        ShingleK, NumHashes, Bands, FuzzyDecontamThreshold)
+      .select(col("doc").as("doc_id"), col("n_eval_matches"),
+        col("max_est_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** CTE chain → `fscored(doc_id, est)`: per-(eval, training)-pair
+    * estimates that band-collide and clear the floor — the banding-
+    * semantics mirror of [[decontaminateFuzzy]], factored so its two
+    * consumers ([[decontaminateFuzzySql]],
+    * [[PipelineQueries.trainCorpusFuzzySql]]) share one definition.
+    * Names are f-prefixed to compose beside the component/gram CTEs. */
+  private[graft] def fuzzyScoredCtes: String =
+    s"""$sigBandCtePrefix,
+       |fev AS (SELECT doc_id FROM documents WHERE source = '${PipelineQueries.EvalSource}'),
+       |fcand AS (SELECT DISTINCT a.doc_id ev_doc, b.doc_id doc_id
+       |          FROM bl a JOIN bl b ON a.b = b.b AND a.bh = b.bh
+       |          WHERE a.doc_id IN (SELECT doc_id FROM fev)
+       |            AND b.doc_id NOT IN (SELECT doc_id FROM fev)),
+       |fscored AS (SELECT fcand.doc_id,
+       |    round(CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE), 6) AS est
+       |  FROM fcand JOIN sig a ON fcand.ev_doc = a.doc_id
+       |             JOIN sig b ON fcand.doc_id = b.doc_id
+       |  WHERE CAST($sigMatches AS DOUBLE)/CAST('$NumHashes.0' AS DOUBLE)
+       |    >= CAST('$FuzzyDecontamThreshold' AS DOUBLE))""".stripMargin
+
+  lazy val decontaminateFuzzySql: String =
+    s"""WITH $fuzzyScoredCtes
+       |SELECT doc_id, count(*) AS n_eval_matches, max(est) AS max_est_jaccard
+       |FROM fscored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** SimHash near-dup pairs at hamming ≤ 12 over 60-bit fingerprints. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.simhash(VectorModel.documents(spark, dir), "doc_id", "text", ShingleK)
@@ -740,6 +794,7 @@ object DedupQueries {
     "dd_ngram_jaccard" -> (ngramJaccard _),
     "dd_minhash_lsh" -> (minhashLsh _),
     "dd_incremental_lsh" -> (incrementalLsh _),
+    "pipe_decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dd_simhash" -> (simhashPairs _),
     "dd_embedding_cosine" -> (embeddingCosine _),
     "dd_semantic_keepers" -> (semanticKeepers _),
@@ -758,6 +813,7 @@ object DedupQueries {
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,
     "dd_incremental_lsh" -> incrementalLshSql,
+    "pipe_decontaminate_fuzzy" -> decontaminateFuzzySql,
     "dd_simhash" -> simhashPairsSql,
     "dd_embedding_cosine" -> embeddingCosineSql,
     "dd_semantic_keepers" -> semanticKeepersSql,

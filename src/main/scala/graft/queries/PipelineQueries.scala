@@ -204,7 +204,22 @@ object PipelineQueries {
     * explode + per-doc agg of contaminatedDocs), the composition itself
     * adds only the pair-layout read, one keeper semi-join, and one
     * decontamination anti-join. */
-  def trainCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def trainCorpus(spark: SparkSession, dir: String): DataFrame =
+    trainCorpusFrom(spark, dir, fuzzyDecontam = false)
+
+  /** [[trainCorpus]] with fuzzy (MinHash) decontamination composed in:
+    * beyond the exact 4-gram anti-join, docs flagged by
+    * [[DedupQueries.decontaminateFuzzy]] (banded signature collision with
+    * any eval doc at est ≥ the near-dup floor) are dropped too — the
+    * leakage-audit-grade corpus cut. Adds one bounded anti-join (the
+    * flagged set is ≪ corpus) plus the delta×corpus band join, whose
+    * corpus side is the SAME persisted signature layout the keeper stage
+    * already builds — no second signature pass. */
+  def trainCorpusFuzzy(spark: SparkSession, dir: String): DataFrame =
+    trainCorpusFrom(spark, dir, fuzzyDecontam = true)
+
+  private def trainCorpusFrom(spark: SparkSession, dir: String,
+      fuzzyDecontam: Boolean): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
     val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
     val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -214,10 +229,16 @@ object PipelineQueries {
         docs.where(col("source") === EvalSource),
         "doc_id", "text", DecontamK)
       .select(col("doc").as("doc_id"))
-    docs
+    val base = docs
       .where(col("source") =!= EvalSource)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
+    val decontaminated =
+      if (!fuzzyDecontam) base
+      else base.join(
+        DedupQueries.decontaminateFuzzy(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    decontaminated
       .where(curationFilter)
       .select(col("doc_id"), col("lang"),
         posexplode(TextAnalysis.chunks(col("text"),
@@ -228,17 +249,20 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_ix")
   }
 
-  lazy val trainCorpusSql: String =
+  /** Shared oracle body of [[trainCorpusSql]]/[[trainCorpusFuzzySql]] —
+    * one text, parameterized on the extra CTE chain and kept-predicate
+    * the fuzzy variant adds, so the two cannot drift. */
+  private def trainCorpusSqlFrom(extraCtes: String, extraKeptPred: String): String =
     s"""WITH RECURSIVE $duckComponentCtes,
        |${duckGramCte("dgl", DecontamK)},
        |ev AS (SELECT DISTINCT sg FROM dgl WHERE source = '$EvalSource'),
        |contaminated AS (SELECT DISTINCT t.doc_id FROM dgl t JOIN ev ON t.sg = ev.sg
-       |                 WHERE t.source <> '$EvalSource'),
+       |                 WHERE t.source <> '$EvalSource'),$extraCtes
        |kept AS (
        |  SELECT doc_id, lang, text FROM documents
        |  WHERE source <> '$EvalSource'
        |    AND doc_id IN (SELECT doc FROM comp WHERE doc = component)
-       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)$extraKeptPred
        |    AND $duckQuality >= CAST('$QualityFloor' AS DOUBLE)
        |    AND $DuckSampleHash < $duckBucket)
        |SELECT doc_id, lang, CAST(s // ${TextQueries.ChunkStride} AS BIGINT) AS chunk_ix,
@@ -246,6 +270,16 @@ object PipelineQueries {
        |FROM (SELECT doc_id, lang, toks, unnest(range(0, len(toks), ${TextQueries.ChunkStride})) AS s
        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept))
        |ORDER BY doc_id, chunk_ix""".stripMargin
+
+  lazy val trainCorpusSql: String = trainCorpusSqlFrom("", "")
+
+  /** [[trainCorpusSql]] with the fuzzy-decontamination cut composed in:
+    * the factored fuzzy CTE chain ([[DedupQueries.fuzzyScoredCtes]] —
+    * one definition with `pipe_decontaminate_fuzzy`'s own oracle, so the
+    * two cannot drift) plus one NOT IN over its flagged doc set. */
+  lazy val trainCorpusFuzzySql: String = trainCorpusSqlFrom(
+    s"\n${DedupQueries.fuzzyScoredCtes},",
+    "\n    AND doc_id NOT IN (SELECT doc_id FROM fscored)")
 
   /** Retrieval query for the RAG capstone (English, like the corpus). */
   val RagQuery = "vector database similarity search"
@@ -1136,6 +1170,7 @@ object PipelineQueries {
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
+    "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
     "pipe_train_corpus" -> (trainCorpus _),
     "pipe_pack" -> (pack _),
     "pipe_split_leakproof" -> (leakproofSplit _),
@@ -1154,6 +1189,7 @@ object PipelineQueries {
     "pipe_quality_mix" -> qualityMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
+    "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,
     "pipe_train_corpus" -> trainCorpusSql,
     "pipe_pack" -> packSql,
     "pipe_split_leakproof" -> leakproofSplitSql,

@@ -482,4 +482,86 @@ class TrancheSpec extends SparkSpec {
       assert(r.getLong(1) >= 0L && r.getLong(1) <= AnalyticsQueries.RetentionMaxOffset)
     }
   }
+
+  // ---- fuzzy (MinHash) decontamination: the contamination classes the
+  // exact 4-gram path provably misses, on planted fixtures (round 15) ----
+
+  private def exactFlags(train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame): Set[Long] =
+    Dedup.contaminatedDocs(train, eval, "doc_id", "text",
+        PipelineQueries.DecontamK)
+      .collect().map(_.getLong(0)).toSet
+
+  private def fuzzyFlags(train: org.apache.spark.sql.DataFrame,
+      eval: org.apache.spark.sql.DataFrame, threshold: Double)
+      : Map[Long, (Long, Double)] =
+    Dedup.fuzzyContaminated(train, eval, "doc_id", "text",
+        threshold = threshold)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+  test("fuzzy decontamination catches a verbatim SHORT eval item the exact path is blind to") {
+    // a 3-word eval item (a benchmark answer) produces NO 4-grams, so the
+    // exact path cannot see even its verbatim copy; the fuzzy path
+    // shingles at k=3 and scores the copy at est = 1.0
+    val eval = Seq((100L, "quantum flux capacitor")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "quantum flux capacitor"),
+      (2L, "completely unrelated training content words here")
+    ).toDF("doc_id", "text")
+    assert(exactFlags(train, eval) === Set.empty[Long])
+    val fz = fuzzyFlags(train, eval, threshold = 0.5)
+    assert(fz.keySet === Set(1L))
+    assert(fz(1L) === ((1L, 1.0)))
+  }
+
+  test("fuzzy decontamination catches an insertion paraphrase with zero shared 4-grams") {
+    // one word inserted mid-item breaks EVERY 4-gram (max clean run 3 on
+    // both sides of the insertion) — exact misses; the shingle sets still
+    // overlap (est 0.34375, band-collision verified for this fixture) so
+    // the fuzzy path flags it at a paraphrase-grade floor
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma mu delta epsilon zeta"),
+      (2L, "completely unrelated training content words here")
+    ).toDF("doc_id", "text")
+    assert(exactFlags(train, eval) === Set.empty[Long])
+    val fz = fuzzyFlags(train, eval, threshold = 0.2)
+    assert(fz.keySet === Set(1L))
+    assert(fz(1L)._2 === 0.34375)
+  }
+
+  test("fuzzy and exact decontamination agree on an ordinary near-dup; neither flags clean docs") {
+    // a long doc with only the last word changed keeps shared 4-grams
+    // (exact flags) AND high shingle similarity (fuzzy flags at the
+    // registered 0.5 floor — est 0.8125 for this fixture)
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda omega"),
+      (2L, "completely unrelated training content words here today")
+    ).toDF("doc_id", "text")
+    assert(exactFlags(train, eval) === Set(1L))
+    val fz = fuzzyFlags(train, eval,
+      threshold = DedupQueries.FuzzyDecontamThreshold)
+    assert(fz.keySet === Set(1L))
+    assert(fz(1L)._2 === 0.8125)
+  }
+
+  test("pipe_train_corpus_fuzzy == pipe_train_corpus minus the fuzzy-flagged docs") {
+    // composition contract on real data: the fuzzy variant's chunk set is
+    // the plain variant's with exactly the flagged docs' chunks removed
+    val plain = PipelineQueries.trainCorpus(spark, Sf0001)
+      .select("doc_id", "chunk_ix", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val fuzzy = PipelineQueries.trainCorpusFuzzy(spark, Sf0001)
+      .select("doc_id", "chunk_ix", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val flagged = DedupQueries.decontaminateFuzzy(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "sf0.001 must plant at least one fuzzy hit")
+    assert(fuzzy === plain.filterNot { case (d, _, _) => flagged(d) })
+    assert(fuzzy.subsetOf(plain))
+  }
 }
