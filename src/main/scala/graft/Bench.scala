@@ -109,6 +109,10 @@ object Bench {
       // hashed-feature LR fit on the planted fixture sample; the serving
       // entry times SCORING under the quantized weights, not training
       (s, d) => { queries.TextQueries.qualityModel(s, d); () }),
+    ("build_langid_model", Set("tx_langid_model"),
+      // one bounded fixture aggregate + driver log-smoothing; the serving
+      // entry times integer-dot classification, not training
+      (s, d) => { queries.TextQueries.langIdModel(s, d); () }),
     ("build_bpe_model", Set("tx_bpe_corpus_vocab", "tx_bpe_stats_trained"),
       // one wordcount shuffle + driver-side merge learning; the serving
       // entry times ENCODING under the learned model, not training

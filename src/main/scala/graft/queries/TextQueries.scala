@@ -1164,8 +1164,81 @@ object TextQueries {
        |  CAST(CASE WHEN $qualityLogitExpr > CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS is_quality
        |FROM d CROSS JOIN b ORDER BY doc_id""".stripMargin
 
+  // ---- learned language ID ---------------------------------------------
+
+  /** Trained-and-quantized language-ID model for a dataset dir
+    * ([[graft.text.LangIdModel.train]] — char-trigram Naive Bayes on the
+    * planted langified fixture), memoized like every other layout build;
+    * a Bench build step. The weight sidecar publish lands here
+    * (build-time state); the serving entry re-calls it as a cheap repair
+    * no-op. */
+  private[graft] def langIdModel(spark: SparkSession, dir: String)
+      : graft.text.LangIdModel.Model =
+    langIdModelCache.computeIfAbsent(dir, _ => {
+      val m = graft.text.LangIdModel.train(VectorModel.documents(spark, dir))
+      publishLangIdWeights(spark, dir, m)
+      m
+    })
+
+  private def publishLangIdWeights(spark: SparkSession, dir: String,
+      m: graft.text.LangIdModel.Model): Unit =
+    OracleSidecars.publish(spark, "langid_weights", dir) {
+      import spark.implicits._
+      (for {
+        (l, r) <- graft.text.LangIdModel.Langs.zipWithIndex
+        b <- 0 until graft.text.LangIdModel.D
+      } yield (l, r, b, m.wq(l)(b))).toDF("lang", "rank", "bucket", "wq")
+    }
+
+  private val langIdModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.text.LangIdModel.Model]()
+
+  /** HASH-GATED learned language ID over every document: the per-language
+    * integer dot Σ count(bucket)·wq[lang][bucket] over the bounded-prefix
+    * char trigrams, argmax with the heuristic's tie order, "und" for
+    * docs too short to gram. Training is spec-gated (LangIdModelSpec:
+    * held-out fixture accuracy + heuristic agreement report); GIVEN the
+    * published weight sidecar the serve is exact integer arithmetic that
+    * [[langIdModelSql]] re-derives term-for-term. */
+  def langIdModelScores(spark: SparkSession, dir: String): DataFrame = {
+    val m = langIdModel(spark, dir)
+    publishLangIdWeights(spark, dir, m) // repair no-op unless dir switched
+    graft.text.LangIdModel.classify(
+        VectorModel.documents(spark, dir).select("doc_id", "text"), m)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[langIdModelScores]] GIVEN the published weights:
+    * same bounded prefix, char-trigram enumeration, md5 bucket hash,
+    * integer dots (order-free exact sums), and the same
+    * (score DESC, rank ASC) argmax; docs with no trigram coalesce to
+    * ('und', 0). */
+  lazy val langIdModelSql: String = {
+    import graft.text.LangIdModel.{D, GramLen, PrefixChars}
+    s"""WITH w AS (SELECT lang, CAST(rank AS INTEGER) AS rank,
+       |    CAST(bucket AS INTEGER) AS bucket, CAST(wq AS BIGINT) AS wq
+       |  FROM ${OracleSidecars.sqlTable("langid_weights")}),
+       |p AS (SELECT doc_id, substr(text, 1, $PrefixChars) AS prefix FROM documents),
+       |gi AS (SELECT doc_id, prefix, unnest(range(1, len(prefix) - ${GramLen - 2})) AS i
+       |       FROM p WHERE len(prefix) >= $GramLen),
+       |g AS (SELECT doc_id,
+       |    ('0x'||substr(md5(substr(prefix, CAST(i AS INTEGER), $GramLen)),1,15))::BIGINT % $D AS bucket
+       |  FROM gi),
+       |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |s AS (SELECT c.doc_id, w.lang, w.rank, sum(c.cnt * w.wq) AS score
+       |      FROM c JOIN w USING (bucket) GROUP BY 1, 2, 3),
+       |best AS (SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, rank ASC) AS rn
+       |  FROM s)
+       |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
+       |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_quality_model" -> (qualityModelScores _),
+    "tx_langid_model" -> (langIdModelScores _),
     "tx_bpe_stats" -> (bpeStats _),
     "tx_bpe_stats_trained" -> (bpeStatsTrained _),
     "tx_bpe_corpus_vocab" -> (bpeCorpusVocab _),
@@ -1195,6 +1268,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_quality_model" -> qualityModelSql,
+    "tx_langid_model" -> langIdModelSql,
     "tx_bpe_stats" -> bpeStatsSql,
     "tx_bpe_stats_trained" -> bpeStatsTrainedSql,
     "tx_bpe_corpus_vocab" -> bpeCorpusVocabSql,
