@@ -60,6 +60,10 @@ object Bench {
       (s, d) => { queries.ApproxQueries.hnswRoutedLayout(s, d); () }),
     ("build_point_layout", Set("vq_get_by_id"),
       (s, d) => { queries.VectorQueries.pointLayout(s, d); () }),
+    ("build_asof_root", Set("vq_asof_read"),
+      // three commit-marker merges land here (build-time state); the
+      // serving entry times the pinned-version read + aggregate only
+      (s, d) => { queries.VectorQueries.asofRoot(s, d); () }),
     ("build_ivfpq_layout", Set("ann_ivfpq_topk", "ann_ivfpq_batch_topk", "ann_ivfpq_bigbatch"),
       // sizes warm here too (the adaptive bigbatch entry's probing
       // statistic is build-time state, like the IVF/LSH sizes)

@@ -199,6 +199,68 @@ object VectorQueries {
        |SELECT category, count(*) AS n, CAST(sum(v0) AS BIGINT) AS sum_v0
        |FROM merged GROUP BY category ORDER BY category""".stripMargin
 
+  /** Memoized AS-OF root: a [[graft.store.VersionedLayout]] carrying three
+    * committed merges of the (projected) vector table — v0 the bootstrap
+    * base, v1 the [[mergeAgg]] delta, v2 a later delete wave — built once
+    * per dataset dir (a Bench build step). Retention ([[graft.store.
+    * VersionedLayout.Keep]] = 2) prunes v0 when v2 lands, so the root
+    * holds exactly {v1 (grace), v2 (live)}: the pinned read below targets
+    * a RETAINED historical version while a newer merge exists, which is
+    * precisely the training-run-pins-a-snapshot shape. Rows carry the
+    * aggregate-relevant projection (id, v0, category, status) — a
+    * production root stores full payloads; version semantics are
+    * identical. */
+  private[graft] def asofRoot(spark: SparkSession, dir: String): String =
+    asofRootCache.computeIfAbsent(dir, _ => {
+      val root = graft.store.Fs.scratchDir(spark, "graft_asof_root") + "/t"
+      val base = VectorModel.lineitemVectors(spark, dir)
+        .select(col("id"), element_at(col("vector"), 1).as("v0"),
+          col("category"), col("status"))
+      // v0: bootstrap (base as U-rows)
+      VectorStore.mergeVersioned(spark, root, base.withColumn("op", lit("U")))
+      // v1: the mergeAgg delta — updates (id%5 minus deletes), deletes
+      // (id%7), inserts (fresh negative ids for id%11) — so v1's content
+      // is exactly the vq_merge_agg result over the projection
+      val updates = base
+        .where(pmod(col("id"), lit(5L)) === 0 && pmod(col("id"), lit(7L)) =!= 0)
+        .select(col("id"), col("v0"), lit("M").as("category"),
+          col("status"), lit("U").as("op"))
+      val deletes = base.where(pmod(col("id"), lit(7L)) === 0)
+        .select(col("id"), col("v0"), col("category"), col("status"),
+          lit("D").as("op"))
+      val inserts = base.where(pmod(col("id"), lit(11L)) === 0)
+        .select((-col("id") - 1).as("id"), col("v0"),
+          lit("I").as("category"), col("status"), lit("U").as("op"))
+      VectorStore.mergeVersioned(spark, root,
+        updates.unionByName(deletes).unionByName(inserts))
+      // v2: a later merge the pinned read must NOT observe
+      VectorStore.mergeVersioned(spark, root,
+        base.where(pmod(col("id"), lit(2L)) === 1)
+          .select(col("id"), col("v0"), col("category"), col("status"),
+            lit("D").as("op")))
+      root
+    })
+
+  private val asofRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Time-travel read ([[VectorStore.readVersion]]): aggregate the PINNED
+    * version-1 snapshot while the live version (v2, a delete wave) has
+    * moved on — the oracle mirrors base + the FIRST delta only, so a
+    * read that leaked any later merge (or resolved "live" instead of the
+    * pinned version) hash-fails. Shares [[mergeAggSql]]'s mirror text
+    * verbatim: v1's content IS the vq_merge_agg result. */
+  def asofRead(spark: SparkSession, dir: String): DataFrame =
+    VectorStore.readVersion(spark, asofRoot(spark, dir), 1)
+      .groupBy("category")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        sum(col("v0")).cast("long").as("sum_v0"))
+      .orderBy("category")
+
+  /** The pinned snapshot's mirror == the merge mirror (one definition —
+    * see [[asofRead]]). */
+  val asofReadSql: String = mergeAggSql
+
   /** W3: update metadata (category := 'X' where status = 'O'), aggregate. */
   def updateAgg(spark: SparkSession, dir: String): DataFrame =
     VectorStore.update(
@@ -299,7 +361,8 @@ object VectorQueries {
     "vq_insert_agg" -> (insertAgg _),
     "vq_delete_agg" -> (deleteAgg _),
     "vq_update_agg" -> (updateAgg _),
-    "vq_merge_agg" -> (mergeAgg _))
+    "vq_merge_agg" -> (mergeAgg _),
+    "vq_asof_read" -> (asofRead _))
 
   val oracleSql: Map[String, String] = Map(
     "vq_brute_topk" -> bruteTopKSql,
@@ -313,5 +376,6 @@ object VectorQueries {
     "vq_insert_agg" -> insertAggSql,
     "vq_delete_agg" -> deleteAggSql,
     "vq_update_agg" -> updateAggSql,
-    "vq_merge_agg" -> mergeAggSql)
+    "vq_merge_agg" -> mergeAggSql,
+    "vq_asof_read" -> asofReadSql)
 }

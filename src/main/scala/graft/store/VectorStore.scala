@@ -121,6 +121,32 @@ object VectorStore {
       merged.write.parquet(dir)
     }
 
+  /** Time-travel (AS-OF) read on a [[VersionedLayout]] root: the
+    * committed snapshot at `version`, stable while later merges land —
+    * the operational primitive a 100 TB pipeline uses to pin a training
+    * run to one snapshot while ingestion continues. Version directories
+    * are immutable once committed (publishes only add, pruning removes
+    * whole old dirs), so the returned frame keeps reading exactly that
+    * snapshot. Fails loudly — naming the versions still available — for
+    * a version that was never committed, is torn (no commit marker), or
+    * was pruned past [[VersionedLayout.Keep]]; a torn version is
+    * INVISIBLE here exactly as it is to the live reader. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame =
+    VersionedLayout.versionDir(spark, root, version) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None =>
+        val have = VersionedLayout.committedVersions(spark, root)
+        throw new IllegalArgumentException(
+          s"no committed version $version under $root (committed: " +
+            s"${if (have.isEmpty) "<none>" else have.mkString(", ")}) — " +
+            "never published, torn, or pruned past the retention window")
+    }
+
+  /** Committed version numbers under `root`, ascending ([[readVersion]]'s
+    * catalog). */
+  def versions(spark: SparkSession, root: String): Seq[Int] =
+    VersionedLayout.committedVersions(spark, root)
+
   /** W10 `save` (vervectordb/__init__.py:556-573): data → columnar files;
     * small model state (centroids, codebooks) is the caller's sidecar.
     * Parquet is the default (columnar, predicate/column pushdown); json/csv

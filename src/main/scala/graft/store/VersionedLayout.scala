@@ -79,6 +79,24 @@ private[graft] object VersionedLayout {
     versionsOf(fs, rp).filter(_._3).lastOption.map(_._2.toString)
   }
 
+  /** All COMMITTED version numbers under `root`, ascending — the
+    * time-travel surface's catalog. Uncommitted (torn) directories are
+    * invisible here exactly as they are to [[currentDir]]. */
+  def committedVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val (fs, rp) = fsRoot(spark, root)
+    versionsOf(fs, rp).filter(_._3).map(_._1)
+  }
+
+  /** Committed version `n`'s directory — None when `n` was never
+    * committed, is torn (no marker), or was pruned past [[Keep]]. The
+    * AS-OF read primitive: a returned directory is immutable (publishes
+    * only ever ADD versions; pruning deletes whole old dirs), so a
+    * reader holding it keeps a stable snapshot while later merges land. */
+  def versionDir(spark: SparkSession, root: String, n: Int): Option[String] = {
+    val (fs, rp) = fsRoot(spark, root)
+    versionsOf(fs, rp).find(v => v._1 == n && v._3).map(_._2.toString)
+  }
+
   /** Operator recovery for a lock orphaned by a killed publish (the error
     * message names the holder pid/host/time): removes the writer lock so
     * the next publish can proceed. The caller is asserting no writer is

@@ -155,4 +155,47 @@ class CrudSpec extends SparkSpec {
       assert(after === Map(2L -> "B2"))
     } finally graft.store.Fs.delete(spark, root)
   }
+
+  test("readVersion: pinned snapshot stable under later merges; torn and pruned versions fail loudly") {
+    import graft.store.VersionedLayout
+    val root = s"/tmp/graft_asof_${java.util.UUID.randomUUID()}"
+    def cats(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    try {
+      // v0 bootstrap, v1 a keyed merge
+      VectorStore.mergeVersioned(spark, root,
+        deltaRow(1L, 1.0, "A", "U").unionByName(deltaRow(2L, 2.0, "B", "U")))
+      VectorStore.mergeVersioned(spark, root,
+        deltaRow(2L, 9.0, "B2", "U").unionByName(deltaRow(3L, 3.0, "C", "U")))
+      assert(VectorStore.versions(spark, root) === Seq(0, 1))
+      val v1Before = cats(VectorStore.readVersion(spark, root, 1))
+      assert(v1Before === Map(1L -> "A", 2L -> "B2", 3L -> "C"))
+      // a TORN later publish (crashes after writing files, before the
+      // marker) is invisible to the catalog and unreadable as a version
+      intercept[Exception] {
+        VectorStore.mergeVersioned(spark, root, deltaRow(4L, 4.0, "D", "Q"))
+      }
+      assert(VectorStore.versions(spark, root) === Seq(0, 1))
+      val eTorn = intercept[IllegalArgumentException] {
+        VectorStore.readVersion(spark, root, 2)
+      }
+      assert(eTorn.getMessage.contains("no committed version 2"))
+      // merge v2 lands: the pinned v1 read is BYTE-STABLE while the live
+      // version moved on, and retention (Keep = 2) prunes v0
+      VectorStore.mergeVersioned(spark, root, deltaRow(1L, 0.0, "-", "D"))
+      assert(VectorStore.versions(spark, root) === Seq(1, 2))
+      assert(cats(VectorStore.readVersion(spark, root, 1)) === v1Before,
+        "the pinned historical read changed under a later merge")
+      assert(cats(VectorStore.readVersion(spark, root, 2)) ===
+        Map(2L -> "B2", 3L -> "C"))
+      assert(VersionedLayout.currentDir(spark, root) ===
+        VersionedLayout.versionDir(spark, root, 2))
+      // the pruned v0 names what IS still available in its error
+      val ePruned = intercept[IllegalArgumentException] {
+        VectorStore.readVersion(spark, root, 0)
+      }
+      assert(ePruned.getMessage.contains("no committed version 0"))
+      assert(ePruned.getMessage.contains("1, 2"))
+    } finally graft.store.Fs.delete(spark, root)
+  }
 }
