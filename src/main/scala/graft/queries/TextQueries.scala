@@ -211,6 +211,22 @@ object TextQueries {
 
   val orcAggSql: String = jsonlAggSql
 
+  /** Avro round-trip twin of [[jsonlAgg]]/[[csvAgg]]/[[orcAgg]] — egress
+    * to Avro container files via the avro-mapred Hadoop formats
+    * ([[graft.sources.AvroSource]], this container ships no spark-avro
+    * module), re-ingest through the writer-schema-verifying reader,
+    * aggregate; record-format fidelity gated the same way as the other
+    * interchange formats. */
+  def avroAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, avroLayoutCache, "graft_avro_layout",
+      graft.sources.AvroSource.write(_, _),
+      graft.sources.AvroSource.readDocuments(_, _))
+
+  private val avroLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val avroAggSql: String = jsonlAggSql
+
   /** Corpus vocabulary top-N: total occurrences + document frequency per
     * lowercased whitespace token — the frequency table a
     * tokenizer-training / vocab-pruning / idf stage consumes. Classic
@@ -1257,6 +1273,7 @@ object TextQueries {
     "src_jsonl_agg" -> (jsonlAgg _),
     "src_csv_agg" -> (csvAgg _),
     "src_orc_agg" -> (orcAgg _),
+    "src_avro_agg" -> (avroAgg _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -1287,6 +1304,7 @@ object TextQueries {
     "src_jsonl_agg" -> jsonlAggSql,
     "src_csv_agg" -> csvAggSql,
     "src_orc_agg" -> orcAggSql,
+    "src_avro_agg" -> avroAggSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,
