@@ -597,15 +597,16 @@ object Dedup {
   /** (doc, simhash, band, bv) pigeonhole band rows of a (doc, simhash)
     * frame — the shared banding of [[simhashPairs]] and
     * [[simhashIncrementalPairs]], so the two cannot drift. */
-  private def simhashBandRows(sh: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+  private def simhashBandRows(sh: DataFrame, maxHamming: Int, bits: Int,
+      carry: Seq[Column] = Nil): DataFrame = {
     val nBands = maxHamming + 1
     val widths = Array.tabulate(nBands)(b => bits / nBands + (if (b < bits % nBands) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nBands).map { b =>
       shiftrightunsigned(col("simhash"), starts(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     }
-    sh.select(col("doc"), col("simhash"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    sh.select(col("doc") +: col("simhash") +: carry :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")): _*)
   }
 
   /** Incremental pigeonhole pairs — the DELTA's fingerprints band-joined
@@ -697,6 +698,84 @@ object Dedup {
       df.select(col(idCol).as("doc"),
         graft.functions.MediaExpressions.audioFp(col(payloadCol)).as("simhash")),
       maxHamming, bits = 64, skewSalt = skewSalt)
+
+  /** Worst aligned-slot Hamming distance between two clip fingerprints —
+    * the video near-dup dissimilarity, one codegen'd expression (≤ 4
+    * XOR/popcounts). Shared by [[videoNearDupPairs]] and
+    * [[videoIncrementalPairs]] so batch and streaming verify identically. */
+  private def clipMaxHamming(fa: Column, fb: Column): Column =
+    array_max(zip_with(fa, fb,
+      (x, y) => bit_count(x.bitwiseXOR(y)))).cast("long")
+
+  /** (doc, fps, slot-0 simhash) clip fingerprints of `(idCol, payloadCol)`
+    * Y4M rows — the shared fingerprint projection of the video pair
+    * generators. */
+  private def clipFingerprints(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        graft.functions.MediaExpressions.videoFp(col(payloadCol)).as("fps"))
+      .withColumn("simhash", element_at(col("fps"), 1))
+
+  /** Video near-dup CLIP pairs over Y4M payloads — completing the
+    * modality matrix beside [[imageNearDupPairs]] (dHash) and
+    * [[audioNearDupPairs]] (energy envelope), with one structural
+    * difference: a clip's key is the ALIGNED array of sampled-frame
+    * dHashes ([[graft.multimodal.MediaCodec.videoFp]] — the frame-plan
+    * sampling points), and two clips are near-dups iff they sampled the
+    * SAME slot count and EVERY aligned frame pair is within `maxHamming`
+    * bits (a clip sharing an opening frame but diverging later is NOT a
+    * near-dup — folding the hashes into one word would lose exactly
+    * that). Candidate generation pigeonhole-bands slot 0 only — still
+    * COMPLETE: "every aligned slot ≤ maxHamming" implies slot 0 ≤
+    * maxHamming, so every qualifying pair collides on at least one
+    * slot-0 band — and the exact per-slot verify closes the set. Returns
+    * `(da, db, max_hamming)` (the worst aligned slot). Cost: O(n·bands)
+    * bucket rows like every band join here; `skewSalt` subdivides a
+    * mass-duplicated clip's bucket identically. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, skewSalt: Int = 1): DataFrame = {
+    val bl = Par.spread(
+      simhashBandRows(clipFingerprints(df, idCol, payloadCol),
+        maxHamming, bits = 64, carry = Seq(col("fps"))),
+      col("band"), col("bv"))
+    saltedSelfJoin(bl, Seq("band", "bv"), "doc", skewSalt)
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        col("a.fps").as("fa"), col("b.fps").as("fb"))
+      .distinct()
+      .where(size(col("fa")) === size(col("fb")))
+      .withColumn("max_hamming", clipMaxHamming(col("fa"), col("fb")))
+      .where(col("max_hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("max_hamming"))
+  }
+
+  /** Incremental video pairs — the DELTA's clip fingerprints slot-0
+    * band-joined against the corpus fingerprint state (which must
+    * INCLUDE the delta; union-over-deltas equals the batch
+    * [[videoNearDupPairs]] set because every pair is discovered at the
+    * batch where its later endpoint arrives — the
+    * [[simhashIncrementalPairs]] contract verbatim). Normalized
+    * `(da, db, max_hamming)`. */
+  def videoIncrementalPairs(deltaFp: DataFrame, corpusFp: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val dl = simhashBandRows(deltaFp.withColumn("simhash",
+      element_at(col("fps"), 1)), maxHamming, bits = 64, carry = Seq(col("fps")))
+    val cl = Par.spread(
+      simhashBandRows(corpusFp.withColumn("simhash",
+        element_at(col("fps"), 1)), maxHamming, bits = 64,
+        carry = Seq(col("fps"))),
+      col("band"), col("bv"))
+    dl.hint("shuffle_hash").as("a").join(cl.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("da"),
+        greatest(col("a.doc"), col("b.doc")).as("db"),
+        col("a.fps").as("fa"), col("b.fps").as("fb"))
+      .where(size(col("fa")) === size(col("fb")))
+      .withColumn("max_hamming", clipMaxHamming(col("fa"), col("fb")))
+      .where(col("max_hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("max_hamming"))
+      .distinct()
+  }
 
   /** Connected components over a near-dup pair list: every vertex labeled
     * with the MINIMUM id reachable through the pair graph — the canonical

@@ -56,6 +56,22 @@ final class MediaKernel extends Serializable {
     * only — fails loudly on raster payloads like every decode path. */
   def audioFp(p: Array[Byte]): Long =
     MediaCodec.audioFp64(MediaCodec.decodePcm(p))
+
+  /** Deterministic Y4M clip fixture for a row id — the VIDEO planted
+    * fixture beside [[fixture]]'s image/audio rotation: dims 4–12 × 4–10,
+    * 2–8 frames (ids with id mod 7 ≥ 3 exceed the 4-frame sampling
+    * budget, so the frame plan's i·n/4 arithmetic is exercised at every
+    * SF), every 11th id Cmono so both colorspace layouts decode. */
+  def videoFixture(id: Long): Array[Byte] =
+    MediaCodec.encodeY4m(
+      (4 + id % 9).toInt, (4 + (id * 3) % 7).toInt, (2 + id % 7).toInt, id,
+      mono = id % 11 == 0)
+
+  /** Decode → per-sampled-frame dHash array ([[MediaCodec.videoFp]]).
+    * Y4M only — fails loudly on any other payload. */
+  def videoFp(p: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      MediaCodec.videoFp(p))
 }
 
 case class MediaFixture(child: Expression, kernel: MediaKernel)
@@ -136,6 +152,46 @@ case class MediaAudioFp(child: Expression, kernel: MediaKernel)
   override def prettyName: String = "media_audio_fp"
 }
 
+case class MediaVideoFixture(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires bigint, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    kernel.videoFixture(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, id => s"${ev.value} = $k.videoFixture($id);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_video_fixture"
+}
+
+/** `media_video_fp(payload)` — aligned per-sampled-frame dHash array of a
+  * Y4M clip; the video near-dup key ([[graft.dedup.Dedup]]'s
+  * videoNearDupPairs bands slot 0 for the Hamming pigeonhole join and
+  * verifies every aligned slot). */
+case class MediaVideoFp(child: Expression, kernel: MediaKernel)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"argument 1 of $prettyName requires binary, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(p: Any): Any =
+    kernel.videoFp(p.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("mediaKernel", kernel, classOf[MediaKernel].getName)
+    nullSafeCodeGen(ctx, ev, p => s"${ev.value} = $k.videoFp($p);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "media_video_fp"
+}
+
 object MediaExpressions {
   /** Catalyst type of the decoded metadata struct (field order matches
     * [[graft.multimodal.Multimodal.MediaMeta]]). */
@@ -160,4 +216,11 @@ object MediaExpressions {
 
   def audioFp(payload: Column): Column =
     ColumnBridge.column(MediaAudioFp(ColumnBridge.expression(payload), kernel))
+
+  def videoFixture(id: Column): Column =
+    ColumnBridge.column(MediaVideoFixture(
+      ColumnBridge.expression(id.cast("long")), kernel))
+
+  def videoFp(payload: Column): Column =
+    ColumnBridge.column(MediaVideoFp(ColumnBridge.expression(payload), kernel))
 }

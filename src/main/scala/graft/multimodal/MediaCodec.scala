@@ -252,6 +252,155 @@ object MediaCodec {
     hash
   }
 
+  /** Y4M (YUV4MPEG2) — the public uncompressed video container: one ASCII
+    * stream header (`YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C444\n`), then per
+    * frame an ASCII `FRAME\n` marker followed by raw planes. The subset
+    * here is C444 (full-resolution Y, U, V planes — 3wh bytes/frame) and
+    * Cmono (Y only — wh bytes/frame); anything else, INCLUDING a missing
+    * C tag (the Y4M default is C420, whose chroma subsampling this codec
+    * does not implement), fails loudly like the other containers.
+    * Fixture bytes are closed forms of (seed, frame, plane offset) so the
+    * oracle mirrors every sampled luma value without parsing:
+    * Y(f, p) = (seed + 997·f + 31·p) mod 256; U/V are (seed + f + p) and
+    * (seed + 2f + p) mod 256 — decoded and skipped by the gray path
+    * (luma IS the Y plane; no RGB conversion exists to get wrong, which
+    * is why the hash gate pins plane OFFSETS instead). */
+  def encodeY4m(width: Int, height: Int, nFrames: Int, seed: Long,
+      mono: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 1024 && height <= 1024 &&
+      nFrames > 0 && nFrames <= 1000)
+    val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C${if (mono) "mono" else "444"}\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+    val planeBytes = width * height
+    val frameBytes = (if (mono) 1 else 3) * planeBytes
+    val out = new Array[Byte](
+      header.length + nFrames * (marker.length + frameBytes))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(marker, 0, out, off, marker.length)
+      off += marker.length
+      var p = 0
+      while (p < planeBytes) { // Y plane
+        out(off + p) = ((seed + 997L * f + 31L * p) & 0xFF).toByte
+        p += 1
+      }
+      if (!mono) {
+        var q = 0
+        while (q < planeBytes) { // U plane
+          out(off + planeBytes + q) = ((seed + f + q) & 0xFF).toByte
+          q += 1
+        }
+        var r = 0
+        while (r < planeBytes) { // V plane
+          out(off + 2 * planeBytes + r) = ((seed + 2L * f + r) & 0xFF).toByte
+          r += 1
+        }
+      }
+      off += frameBytes
+      f += 1
+    }
+    out
+  }
+
+  /** Closed-form [[encodeY4m]] payload size — the oracle's mirror:
+    * header chars + per-frame (6 + planes·wh). */
+  def y4mSize(width: Int, height: Int, nFrames: Int, mono: Boolean = false): Long = {
+    val header = "YUV4MPEG2 W".length + width.toString.length +
+      " H".length + height.toString.length +
+      " F25:1 Ip A1:1 C".length + (if (mono) 4 else 3) + 1
+    header.toLong +
+      nFrames.toLong * (6L + (if (mono) 1L else 3L) * width * height)
+  }
+
+  /** Parsed Y4M: (width, height, nFrames, planesPerFrame, frame0Offset,
+    * headerLen). Validates the stream header, every FRAME marker, and
+    * that the payload length is exactly header + n·(6 + planes·wh). */
+  private def parseY4m(p: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    var i = 0
+    while (i < p.length && p(i) != '\n') i += 1
+    if (i >= p.length) fail("Y4M stream header unterminated")
+    val header = new String(p, 0, i, StandardCharsets.US_ASCII)
+    val tags = header.split(' ')
+    if (tags.head != "YUV4MPEG2") fail("not a YUV4MPEG2 stream header")
+    var w = -1; var h = -1; var cs: String = null
+    tags.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.drop(1).toInt
+        case 'H' => h = t.drop(1).toInt
+        case 'C' => cs = t.drop(1)
+        case _ => () // F/I/A/X tags carry no layout the subset needs
+      }
+    }
+    if (w <= 0 || h <= 0 || w > 65535 || h > 65535)
+      fail(s"Y4M dimensions out of range: ${w}x$h")
+    val planes = cs match {
+      case "444" => 3
+      case "mono" => 1
+      case null => fail("Y4M colorspace tag missing (default C420 unsupported " +
+        "— this codec's subset is C444/Cmono)")
+      case other => fail(s"unsupported Y4M colorspace C$other (C444/Cmono only)")
+    }
+    val headerLen = i + 1
+    val frameBytes = planes * w * h
+    val per = 6L + frameBytes
+    val body = p.length.toLong - headerLen
+    if (body <= 0 || body % per != 0)
+      fail(s"Y4M payload $body body bytes not a whole number of " +
+        s"$per-byte frames")
+    val n = (body / per).toInt
+    var f = 0
+    while (f < n) {
+      val off = headerLen + f * per.toInt
+      if (!(p(off) == 'F' && p(off + 1) == 'R' && p(off + 2) == 'A' &&
+            p(off + 3) == 'M' && p(off + 4) == 'E' && p(off + 5) == '\n'))
+        fail(s"Y4M frame $f marker malformed at offset $off")
+      f += 1
+    }
+    (w, h, n, planes, headerLen)
+  }
+
+  private def decodeY4m(p: Array[Byte]): MediaMeta = {
+    val (w, h, n, planes, _) = parseY4m(p)
+    MediaMeta(w, h, channels = planes, nFrames = n, sizeBytes = p.length.toLong)
+  }
+
+  /** Frame `idx`'s grayscale raster of a Y4M payload: the Y plane read
+    * in place (luma needs no conversion) — the video twin of
+    * [[decodeGray]]. Fails loudly on a non-Y4M payload or an
+    * out-of-range frame index. */
+  def y4mFrameGray(payload: Array[Byte], idx: Int): (Int, Int, Array[Int]) = {
+    if (payload == null || payload.length < 9 || payload(0) != 'Y')
+      fail("video decode requires a YUV4MPEG2 container")
+    val (w, h, n, planes, headerLen) = parseY4m(payload)
+    if (idx < 0 || idx >= n) fail(s"Y4M frame index $idx outside 0..${n - 1}")
+    val off = headerLen + idx * (6 + planes * w * h) + 6
+    val gray = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) { gray(p) = payload(off + p) & 0xFF; p += 1 }
+    (w, h, gray)
+  }
+
+  /** Frames a clip fingerprint samples. */
+  val VideoFpMaxFrames = 4
+
+  /** Clip fingerprint: [[dhash64]] of each SAMPLED frame's Y plane at the
+    * frame-plan indices ([[Multimodal.sampleFrameIndices]] — i·n/max
+    * integer floors, ≤ [[VideoFpMaxFrames]] slots). Per-frame hashes are
+    * kept ALIGNED (slot order) rather than folded into one word: clip
+    * near-duplication is judged per aligned frame pair, so a clip that
+    * shares an opening frame but diverges later is NOT a near-dup —
+    * folding would lose exactly that. */
+  def videoFp(payload: Array[Byte]): Array[Long] = {
+    val (_, _, n, _, _) = parseY4m(payload)
+    Multimodal.sampleFrameIndices(n, VideoFpMaxFrames).map { idx =>
+      val (w, h, gray) = y4mFrameGray(payload, idx)
+      dhash64(w, h, gray)
+    }.toArray
+  }
+
   private def le32(p: Array[Byte], off: Int): Int =
     (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
       ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
@@ -260,11 +409,13 @@ object MediaCodec {
     (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
 
   /** Sniff + parse. Throws on anything that is not a well-formed BMP /
-    * P6 PPM / PCM WAV. */
+    * P6 PPM / PCM WAV / Y4M. */
   def decode(payload: Array[Byte]): MediaMeta = {
     if (payload == null || payload.length < 2) fail("payload shorter than any magic")
     if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
     else if (payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
+    else if (payload.length >= 9 && payload(0) == 'Y' && payload(1) == 'U' &&
+      payload(2) == 'V' && payload(3) == '4') decodeY4m(payload)
     else if (payload.length >= 12 &&
       payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F' &&
       payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')

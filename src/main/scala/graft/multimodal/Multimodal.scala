@@ -50,6 +50,16 @@ object Multimodal {
     df.withColumn("payload",
       graft.functions.MediaExpressions.fixture(col(idCol)))
 
+  /** Attach a REAL Y4M video payload per row — a valid multi-frame clip
+    * synthesized deterministically from the id
+    * ([[graft.functions.MediaKernel.videoFixture]]); the video fixture
+    * beside [[withMediaPayload]]'s image/audio rotation, on EVERY row
+    * (the modalities are separate columns in a real corpus, not a
+    * rotation). */
+  def withVideoPayload(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("payload",
+      graft.functions.MediaExpressions.videoFixture(col(idCol)))
+
   /** Partition-parallel decode: binary payload → typed metadata struct.
     * Runs [[MediaCodec.decode]] once per row inside mapPartitions — the
     * shape a batched JNI decoder needs (amortized per-partition init);

@@ -241,8 +241,71 @@ object MultimodalQueries {
        |    THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS afp_lo
        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Per-sampled-frame dHash of every document's Y4M VIDEO payload — the
+    * video-dedup key, HASH-GATED end to end like [[imagePhash]]/
+    * [[audioFp]]: the serving path parses the real YUV4MPEG2 bytes
+    * (stream-header validation → FRAME markers → frame-plan sampling at
+    * i·n/4 → Y-plane luma → 9×8 difference grid,
+    * [[graft.multimodal.MediaCodec.videoFp]]), while the oracle computes
+    * every sampled luma value from the fixture's id closed form WITHOUT
+    * parsing — equality proves the header parse, the per-frame plane
+    * offsets (Y first, U/V skipped; Cmono rows have no chroma at all yet
+    * identical Y bytes), the sampling arithmetic, and the hash bit
+    * layout all at once. One row per (doc, slot), slots aligned — the
+    * key [[graft.dedup.Dedup.videoNearDupPairs]] verifies per aligned
+    * slot (MultimodalSpec: planted perturbed twins + brute-force
+    * parity). Ships as unsigned 32-bit halves like the other hashes. */
+  def videoPhash(spark: SparkSession, dir: String): DataFrame = {
+    val withPayload =
+      Multimodal.withVideoPayload(VectorModel.documents(spark, dir), "doc_id")
+    withPayload
+      .select(col("doc_id"),
+        posexplode(graft.functions.MediaExpressions.videoFp(col("payload")))
+          .as(Seq("slot", "fp")))
+      .select(col("doc_id"), col("slot").cast("long").as("slot"),
+        shiftrightunsigned(col("fp"), 32).as("dhash_hi"),
+        col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+      .orderBy("doc_id", "slot")
+  }
+
+  /** Closed-form mirror of [[videoPhash]]: the fixture clip's luma is a
+    * pure function of (doc_id, frame, plane offset) —
+    * Y(f, p) = (id + 997f + 31p) mod 256 ([[graft.multimodal.MediaCodec.
+    * encodeY4m]] with seed = id) — and the sampled frame index is the
+    * frame plan's i·n/4 floor, so each of the 72 grid lumas per slot and
+    * every difference bit is SQL arithmetic. */
+  val videoPhashSql: String = {
+    def gray(sx: String, sy: String): String =
+      s"((doc_id + 997 * f + 31 * ($sy * w + $sx)) % 256)"
+    val grayCols = (for { y <- 0 until 8; x <- 0 until 9 } yield {
+      val sx = s"(($x * w) // 9)"
+      val sy = s"(($y * h) // 8)"
+      s"${gray(sx, sy)} AS g${x}_$y"
+    }).mkString(",\n  ")
+    def bit(k: Int): String = {
+      val y = k / 8; val x = k % 8
+      s"CASE WHEN g${x}_$y > g${x + 1}_$y THEN ${1L << (k % 32)} ELSE 0 END"
+    }
+    val lo = (0 until 32).map(bit).mkString(" + ")
+    val hi = (32 until 64).map(bit).mkString(" + ")
+    s"""WITH vd AS (SELECT doc_id,
+       |    4 + doc_id % 9 AS w, 4 + (doc_id * 3) % 7 AS h, 2 + doc_id % 7 AS n
+       |  FROM documents),
+       |sl AS (SELECT doc_id, w, h, n, unnest(range(0, least(n, 4))) AS slot FROM vd),
+       |fr AS (SELECT doc_id, w, h, slot,
+       |    CASE WHEN n <= 4 THEN slot ELSE (slot * n) // 4 END AS f FROM sl),
+       |g AS (SELECT doc_id, slot,
+       |  $grayCols
+       |FROM fr)
+       |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+       |  CAST($hi AS BIGINT) AS dhash_hi,
+       |  CAST($lo AS BIGINT) AS dhash_lo
+       |FROM g ORDER BY doc_id, slot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),
+    "dd_video_phash" -> (videoPhash _),
     "mm_frame_plan" -> (framePlan _),
     "mm_resize_plan" -> (resizePlan _),
     "dd_image_phash" -> (imagePhash _),
@@ -250,6 +313,7 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "mm_media_features" -> mediaFeaturesSql,
+    "dd_video_phash" -> videoPhashSql,
     "mm_frame_plan" -> framePlanSql,
     "mm_resize_plan" -> resizePlanSql,
     "dd_image_phash" -> imagePhashSql,

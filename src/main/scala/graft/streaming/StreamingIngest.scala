@@ -719,6 +719,46 @@ object StreamingIngest {
     fingerprintIngestBatch(batch, statePath, maxHamming, batchId,
       graft.functions.MediaExpressions.audioFp)
 
+  /** Streaming twin of video near-dup dedup
+    * ([[graft.dedup.Dedup.videoNearDupPairs]]) over a stream of
+    * `(doc_id, payload)` Y4M clips — the third modality beside
+    * [[imagePhashIngest]] and [[audioFpIngest]], same state layout
+    * (`hash/batch=<id>` now holding the ALIGNED per-frame hash arrays,
+    * `pairs/batch=<id>`), same replay/idempotence and union-equals-batch
+    * contract; only the delta pays the frame decode+hash cost, and pairs
+    * come from the slot-0 band join with the per-aligned-slot verify
+    * ([[graft.dedup.Dedup.videoIncrementalPairs]]).
+    * [[compactPhashState]] applies verbatim (same two append-only
+    * dirs). */
+  def videoFpIngest(clips: DataFrame, statePath: String,
+      checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+    clips.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        videoFpIngestBatch(batch, statePath, maxHamming, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private[graft] def videoFpIngestBatch(batch: DataFrame,
+      statePath: String, maxHamming: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hashPath = s"$statePath/hash"
+    val batchFp = batch.select(col("doc_id").as("doc"),
+        graft.functions.MediaExpressions.videoFp(col("payload")).as("fps"))
+      .cache()
+    try {
+      writeBatchPartition(batchFp, hashPath, batchId)
+      writeBatchPartition(
+        graft.dedup.Dedup.videoIncrementalPairs(
+          batchFp,
+          spark.read.parquet(hashPath)
+            .where(col("batch") <= batchId).drop("batch"),
+          maxHamming),
+        s"$statePath/pairs", batchId)
+    } finally batchFp.unpersist()
+  }
+
   /** The shared per-batch body of the 64-bit-fingerprint dedup twins
     * ([[imagePhashIngestBatch]], [[audioFpIngestBatch]]): delta-only
     * fingerprinting via `fp`, hashes landing in `hash/batch=<id>`, the

@@ -31,4 +31,24 @@ object MediaFixtures {
         twin(54 + 31 * j + g) = (twin(54 + 31 * j + g) ^ 0x11).toByte)
       Seq((2L * g, base), (2L * g + 1, twin))
     }
+
+  /** Frame-0 Y-plane offset of a Y4M payload (header line + the first
+    * FRAME marker) — where the video twins' perturbations land. */
+  def y4mFrame0(p: Array[Byte]): Int = p.indexOf('\n'.toByte) + 1 + 6
+
+  /** 20 base Y4M clips (2–7 frames, so both sampling regimes occur; every
+    * 5th mono), each followed by a near-dup twin with two frame-0 luma
+    * bytes flipped — later slots stay byte-identical, so the aligned
+    * verify sees max_hamming = the slot-0 distance. Ids: base 2g,
+    * twin 2g+1. */
+  def plantedVideos: Seq[(Long, Array[Byte])] =
+    (0 until 20).flatMap { g =>
+      val base = MediaCodec.encodeY4m(16 + g % 5, 12 + g % 3, 2 + g % 6,
+        3000L + g * 101, mono = g % 5 == 0)
+      val twin = base.clone()
+      val y0 = y4mFrame0(base)
+      Seq(0, 1).foreach(j =>
+        twin(y0 + 17 * j + g) = (twin(y0 + 17 * j + g) ^ 0x11).toByte)
+      Seq((2L * g, base), (2L * g + 1, twin))
+    }
 }

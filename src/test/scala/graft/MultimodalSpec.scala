@@ -181,4 +181,101 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted === banded)
   }
+
+  test("Y4M codec: encode/decode round-trip, closed-form size, fail-loud subset") {
+    val p = MediaCodec.encodeY4m(12, 8, 5, 42L)
+    val m = MediaCodec.decode(p)
+    assert((m.width, m.height, m.channels, m.nFrames) === ((12, 8, 3, 5)))
+    assert(m.sizeBytes === p.length.toLong)
+    assert(MediaCodec.y4mSize(12, 8, 5) === p.length.toLong)
+    val mono = MediaCodec.encodeY4m(12, 8, 5, 42L, mono = true)
+    val mm = MediaCodec.decode(mono)
+    assert((mm.width, mm.height, mm.channels, mm.nFrames) === ((12, 8, 1, 5)))
+    assert(MediaCodec.y4mSize(12, 8, 5, mono = true) === mono.length.toLong)
+    // the Y plane is identical across colorspaces (chroma is extra planes)
+    assert(MediaCodec.y4mFrameGray(p, 2)._3.toSeq ===
+      MediaCodec.y4mFrameGray(mono, 2)._3.toSeq)
+    // fail-loud: the Y4M DEFAULT colorspace (no C tag = C420) is outside
+    // the subset and must say so; malformed markers and truncations throw
+    def hdr(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val noC = hdr("YUV4MPEG2 W4 H4 F25:1 Ip A1:1\n") ++
+      hdr("FRAME\n") ++ Array.fill[Byte](48)(1)
+    val eC = intercept[IllegalArgumentException](MediaCodec.decode(noC))
+    assert(eC.getMessage.contains("C420"))
+    val badMarker = MediaCodec.encodeY4m(4, 4, 2, 1L)
+    badMarker(MediaFixtures.y4mFrame0(badMarker) - 6) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](MediaCodec.decode(badMarker))
+      .getMessage.contains("marker"))
+    val truncated = MediaCodec.encodeY4m(4, 4, 2, 1L).dropRight(5)
+    assert(intercept[IllegalArgumentException](MediaCodec.decode(truncated))
+      .getMessage.contains("frames"))
+    intercept[IllegalArgumentException](MediaCodec.y4mFrameGray(p, 5))
+    intercept[IllegalArgumentException](
+      MediaCodec.videoFp(MediaCodec.encodeBmp(8, 8, 1L)))
+  }
+
+  test("videoFp: aligned slots, frame-plan sampling, perturbations move few slot-0 bits") {
+    val a = MediaCodec.encodeY4m(16, 12, 7, 9L)
+    val fa = MediaCodec.videoFp(a)
+    assert(fa.length === 4) // 7 frames sample at the 4-slot budget
+    assert(fa.toSeq === MediaCodec.videoFp(MediaCodec.encodeY4m(16, 12, 7, 9L)).toSeq)
+    // slots are the PLAN's frames: i·7/4 = frames 0,1,3,5
+    val planned = graft.multimodal.Multimodal.sampleFrameIndices(7, 4).map { i =>
+      val (w, h, g) = MediaCodec.y4mFrameGray(a, i)
+      MediaCodec.dhash64(w, h, g)
+    }
+    assert(fa.toSeq === planned)
+    val short = MediaCodec.videoFp(MediaCodec.encodeY4m(16, 12, 3, 9L))
+    assert(short.length === 3) // under budget: every frame sampled
+    // frame-0-only perturbation: slot 0 moves a few bits, others exactly 0
+    val b = a.clone()
+    val y0 = MediaFixtures.y4mFrame0(a)
+    Seq(0, 1).foreach(j => b(y0 + 17 * j) = (b(y0 + 17 * j) ^ 0x11).toByte)
+    val fb = MediaCodec.videoFp(b)
+    val d0 = java.lang.Long.bitCount(fa(0) ^ fb(0))
+    assert(d0 <= 3, s"2 nudged lumas moved $d0/64 slot-0 bits — not perceptual")
+    (1 until 4).foreach(s => assert(fa(s) === fb(s), s"untouched slot $s moved"))
+  }
+
+  test("videoNearDupPairs: planted twins found; banded == brute force; opening-frame-only match rejected") {
+    import spark.implicits._
+    val rows = MediaFixtures.plantedVideos
+    val df = rows.toDF("doc_id", "payload")
+    val banded = graft.dedup.Dedup
+      .videoNearDupPairs(df, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps: Seq[(Long, Array[Long])] = rows.map { case (id, p) =>
+      (id, MediaCodec.videoFp(p))
+    }
+    val brute = (for {
+      (ia, ha) <- fps
+      (ib, hb) <- fps
+      if ia < ib && ha.length == hb.length
+      mh = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.max
+      if mh <= 3
+    } yield (ia, ib, mh.toLong)).toSet
+    assert(banded === brute, "slot-0 banding + aligned verify must equal brute force")
+    assert(banded.exists { case (a, b, _) => b == a + 1 && a % 2 == 0 },
+      "no planted twin pair found — perturbation too destructive")
+    val salted = graft.dedup.Dedup
+      .videoNearDupPairs(df, "doc_id", "payload", 3, skewSalt = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === banded)
+    // a clip sharing ONLY the opening frame must not pair: same dims and
+    // frame count as base 0, frame 0's Y bytes copied verbatim, later
+    // frames from a far seed
+    val base0 = rows.head._2
+    val far = MediaCodec.encodeY4m(16, 12, 2, 777777L)
+    val hybrid = far.clone()
+    // frame-0 offsets differ between the two payloads (Cmono vs C444
+    // headers differ by one char) — compute each side's own
+    System.arraycopy(base0, MediaFixtures.y4mFrame0(base0),
+      hybrid, MediaFixtures.y4mFrame0(hybrid), 16 * 12)
+    val with3 = (rows :+ (1000L, hybrid)).toDF("doc_id", "payload")
+    val got = graft.dedup.Dedup
+      .videoNearDupPairs(with3, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a == 1000L || b == 1000L },
+      "a clip matching only the opening frame paired — the aligned verify leaked")
+  }
 }

@@ -1386,6 +1386,60 @@ class StreamingSpec extends SparkSpec {
     assert(state() === grown)
   }
 
+  test("streaming video fingerprint: accumulated pair log equals the batch pair join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the SHARED MultimodalSpec planted fixture (MediaFixtures): 20 base
+    // Y4M clips, each with a frame-0-perturbed near-dup twin; ids
+    // interleave across batches so pairs straddle batch boundaries
+    val clips = MediaFixtures.plantedVideos.toDF("doc_id", "payload")
+    val base = java.nio.file.Files.createTempDirectory("graft_vfpstream").toString
+    (0 until 3).foreach(i =>
+      clips.where(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in"))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = StreamingIngest.videoFpIngest(stream, s"$base/state", s"$base/ckpt")
+    try q.awaitTermination(240000) finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("da", "db", "max_hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = pairs(spark.read.parquet(s"$base/state/pairs"))
+    val batch = graft.dedup.Dedup
+      .videoNearDupPairs(clips, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain video near-duplicates")
+    assert(streamed.exists { case (a, b, _) => a % 3 != b % 3 },
+      "no pair straddles a micro-batch boundary")
+    // only the delta is ever decoded: hash state has one row per clip
+    assert(spark.read.parquet(s"$base/state/hash").count() === clips.count())
+    // replay idempotence on the last batch
+    val hashState = spark.read.parquet(s"$base/state/hash")
+    val lastB = hashState.agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = hashState.where(col("batch") === lastB)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val (hashRows, pairRows) = (hashState.count(),
+      spark.read.parquet(s"$base/state/pairs").count())
+    StreamingIngest.videoFpIngestBatch(
+      clips.where(col("doc_id").isInCollection(lastIds)), s"$base/state",
+      maxHamming = 3, batchId = lastB)
+    assert(spark.read.parquet(s"$base/state/hash").count() === hashRows)
+    assert(spark.read.parquet(s"$base/state/pairs").count() === pairRows)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "replay must leave the pair set intact")
+    // roll-up compaction folds both append-only logs content-identically
+    assert(StreamingIngest.compactPhashState(spark, s"$base/state").nonEmpty)
+    assert(pairs(spark.read.parquet(s"$base/state/pairs")) === batch,
+      "compaction must preserve the pair log")
+  }
+
   test("streaming audio fingerprint: accumulated pair log equals the batch pair join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
