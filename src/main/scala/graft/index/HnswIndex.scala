@@ -50,37 +50,56 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   /** Binary heap over parallel (sim, node) arrays. `max=true` pops the
     * highest sim first. */
+  /** (sim, tie)-TOTAL-ORDERED binary heap (round 15; previously sim-only,
+    * which left pop order among EQUAL similarities heap-internal — the
+    * documented blocker that kept every HNSW serve's tie behavior
+    * insertion-order dependent and SQL-inexpressible). `tie` is the
+    * node's EXTERNAL id, so the order is a property of the data, not of
+    * node numbering: the candidate max-heap pops (sim DESC, id ASC) —
+    * equal-sim candidates explore lowest-id first — and the result
+    * min-heap pops (sim ASC, id DESC) — the boundary eviction drops the
+    * HIGHEST id among equal sims, matching the brute-force oracle's
+    * (sim DESC, id ASC) keep order. Storage is sign-normalized so the
+    * root is always the lexicographic minimum of (sign·sim, −sign·tie). */
   private final class Heap(max: Boolean, initCap: Int) {
-    private val sign = if (max) -1.0 else 1.0 // store sign*sim; root is min
+    private val sign = if (max) -1.0 else 1.0
     var sims = new Array[Double](initCap)
+    var ties = new Array[Long](initCap)
     var ns = new Array[Int](initCap)
     var size = 0
     def clear(): Unit = size = 0
     def headSim: Double = sign * sims(0)
+    def headTie: Long = if (max) ties(0) else -ties(0)
     def headNode: Int = ns(0)
-    def push(sim: Double, n: Int): Unit = {
+    // stored-key lexicographic less-than
+    private def lt(s1: Double, t1: Long, s2: Double, t2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && t1 < t2)
+    def push(sim: Double, tie: Long, n: Int): Unit = {
       if (size == sims.length) {
         sims = java.util.Arrays.copyOf(sims, size * 2)
+        ties = java.util.Arrays.copyOf(ties, size * 2)
         ns = java.util.Arrays.copyOf(ns, size * 2)
       }
       var i = size; size += 1
       val s = sign * sim
-      while (i > 0 && sims((i - 1) / 2) > s) {
-        sims(i) = sims((i - 1) / 2); ns(i) = ns((i - 1) / 2); i = (i - 1) / 2
+      val t = if (max) tie else -tie
+      while (i > 0 && lt(s, t, sims((i - 1) / 2), ties((i - 1) / 2))) {
+        sims(i) = sims((i - 1) / 2); ties(i) = ties((i - 1) / 2)
+        ns(i) = ns((i - 1) / 2); i = (i - 1) / 2
       }
-      sims(i) = s; ns(i) = n
+      sims(i) = s; ties(i) = t; ns(i) = n
     }
     def pop(): Unit = {
       size -= 1
-      val s = sims(size); val n = ns(size)
+      val s = sims(size); val t = ties(size); val n = ns(size)
       var i = 0
       var c = 1
       while (c < size) {
-        if (c + 1 < size && sims(c + 1) < sims(c)) c += 1
-        if (sims(c) >= s) c = size
-        else { sims(i) = sims(c); ns(i) = ns(c); i = c; c = 2 * i + 1 }
+        if (c + 1 < size && lt(sims(c + 1), ties(c + 1), sims(c), ties(c))) c += 1
+        if (!lt(sims(c), ties(c), s, t)) c = size
+        else { sims(i) = sims(c); ties(i) = ties(c); ns(i) = ns(c); i = c; c = 2 * i + 1 }
       }
-      sims(i) = s; ns(i) = n
+      sims(i) = s; ties(i) = t; ns(i) = n
     }
   }
 
@@ -154,14 +173,17 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     candHeap.clear(); resultHeap.clear()
     val eSim = simTo(entryNode, q, qNorm)
     visitedStamp(entryNode) = stamp
-    candHeap.push(eSim, entryNode)
-    if (accept == null || accept(entryNode)) resultHeap.push(eSim, entryNode)
+    candHeap.push(eSim, extIds(entryNode), entryNode)
+    if (accept == null || accept(entryNode))
+      resultHeap.push(eSim, extIds(entryNode), entryNode)
     while (candHeap.size > 0) {
       val cSim = candHeap.headSim
       val cNode = candHeap.headNode
       candHeap.pop()
       if (resultHeap.size >= ef && cSim < resultHeap.headSim) {
         candHeap.clear() // no remaining candidate can improve the results
+        // (sim-strict on purpose: an equal-sim candidate beyond the
+        // boundary cannot ENTER the results but its edges still navigate)
       } else if (level <= nodeLevels(cNode)) {
         val edges = adj(cNode)(level)
         var i = 0
@@ -170,10 +192,15 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
           if (visitedStamp(nb) != stamp) {
             visitedStamp(nb) = stamp
             val s = simTo(nb, q, qNorm)
-            if (resultHeap.size < ef || s > resultHeap.headSim) {
-              candHeap.push(s, nb)
+            // total-ordered boundary: an equal-sim node with a SMALLER id
+            // than the current worst result still enters (and evicts the
+            // larger id), so the kept set is exactly the lexicographic
+            // (sim DESC, id ASC) top-ef of the accepted visited nodes
+            if (resultHeap.size < ef || s > resultHeap.headSim ||
+                (s == resultHeap.headSim && extIds(nb) < resultHeap.headTie)) {
+              candHeap.push(s, extIds(nb), nb)
               if (accept == null || accept(nb)) {
-                resultHeap.push(s, nb)
+                resultHeap.push(s, extIds(nb), nb)
                 if (resultHeap.size > ef) resultHeap.pop()
               }
             }
@@ -195,16 +222,8 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
       resultHeap.pop()
       i -= 1
     }
-    // ascending pops gave us sims ascending-reversed = descending; fix ties by idx
-    // (equal sims are adjacent; stable order by idx)
-    var j = 1
-    while (j < cnt) {
-      if (scratchSims(j - 1) == scratchSims(j) && scratchIdx(j - 1) > scratchIdx(j)) {
-        val t = scratchIdx(j - 1); scratchIdx(j - 1) = scratchIdx(j); scratchIdx(j) = t
-        if (j > 1) j -= 2
-      }
-      j += 1
-    }
+    // the total-ordered min-heap pops (sim ASC, extId DESC), so the
+    // reversed fill above is already exactly (sim DESC, extId ASC)
     cnt
   }
 
@@ -213,13 +232,17 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     val edges = adj(node)(level)
     if (edges.len <= max) return
     val v = vecs(node); val nrm = norms(node)
-    // selection via bounded min-heap of size max
+    // selection via bounded min-heap of size max, (sim, extId)-total-
+    // ordered like the beam: equal-sim edges keep the LOWER ids
     val h = new Heap(max = false, max + 1)
     var i = 0
     while (i < edges.len) {
-      val s = simTo(edges.arr(i), v, nrm)
-      if (h.size < max) h.push(s, edges.arr(i))
-      else if (s > h.headSim) { h.push(s, edges.arr(i)); h.pop() }
+      val e = edges.arr(i)
+      val s = simTo(e, v, nrm)
+      if (h.size < max) h.push(s, extIds(e), e)
+      else if (s > h.headSim || (s == h.headSim && extIds(e) < h.headTie)) {
+        h.push(s, extIds(e), e); h.pop()
+      }
       i += 1
     }
     val kept = new Array[Int](h.size)

@@ -253,18 +253,24 @@ object ApproxQueries {
     * mirror, converting four of the eight `vq_hnsw_*` entries out of
     * the spec-only set (round-14 task 8 + follow-through):
     *
-    * Why no structural mirror exists: the graph walk itself
-    * ([[graft.index.HnswIndex]].searchLayer) is a candidate max-heap +
-    * result min-heap whose pop order among EQUAL-similarity nodes is
-    * heap-internal (insertion-order dependent) — no SQL total order can
-    * reproduce it, and this corpus has duplicate lineitem-derived
-    * vectors, so equal similarities are real, and the beam's visited
-    * set, ef-boundary cut, and therefore its RESULT can depend on those
-    * tie pops. A recursive-CTE re-derivation (one heap pop per
-    * iteration, state in LIST columns) is expressible only for a
-    * total-ordered walk; making the JVM heaps (sim, id)-total-ordered is
-    * an engine change left un-made because the weaker gate below already
-    * pins the serving value.
+    * STATUS (round 15): the beam heaps are now (sim, extId)-TOTAL-ORDERED
+    * ([[graft.index.HnswIndex]].Heap — equal-sim candidates explore
+    * lowest-id first, the result boundary keeps lowest ids, PureProps
+    * pins determinism under tie reshuffles), which retires the round-14
+    * blocker's first half: the walk is now SQL-expressible IN PRINCIPLE
+    * (a recursive CTE popping one total-ordered beam step per iteration,
+    * state in LIST columns). The re-attempted batch-twin conversion
+    * still fails on the SECOND half — re-measured at the total-ordered
+    * HEAD, the twins' divergences are REAL beam misses, not tie
+    * artifacts: DevHnswExact shows `vq_hnsw_batch_topk` and
+    * `vq_hnsw_stored_batch` still lose a neighbor at sf0.1 and
+    * `vq_hnsw_routed_batch` loses boundary neighbors to unprobed shards
+    * at every SF, all unchanged by the total ordering. Those are
+    * within-contract (≥0.8 recall) approximation gaps; converting the
+    * twins would gate an exactness they measurably do not have. The
+    * recursive-CTE structural mirror stays un-built because the
+    * exactness gate below is simpler and equally binding for the four
+    * single-query serves.
     *
     * What IS gated: on this corpus each of the four single-query serves
     * — fresh per-partition build, stored-graph restore, adaptive routed,

@@ -69,6 +69,27 @@ object PureProps extends Properties("graft.pure") {
       top.nonEmpty && top.head._2 >= 0.9999999
     }
 
+  property("hnsw: tie order is total — duplicate vectors return the smallest ids whatever the insertion order") =
+    forAll(Gen.choose(8, 40), Gen.choose(0L, 1000L)) { (n, seed) =>
+      // n copies of ONE vector (every similarity ties at 1.0) inserted in
+      // a seed-shuffled id order: the (sim, id)-total-ordered beam must
+      // return the k SMALLEST ids in order, independent of the shuffle —
+      // the round-15 determinism contract (pre-change, heap-internal pop
+      // order among equal sims made this insertion-order dependent)
+      val rng = new scala.util.Random(seed)
+      val v = Array.fill(dim)(0.5)
+      val ids = rng.shuffle((0 until n).toList)
+      val idx = new HnswIndex(m = 4, efConstruction = 16, seed = 1L)
+      ids.foreach(i => idx.insert(i.toLong, v.clone()))
+      val k = math.min(5, n)
+      // ef = 8 < n: the boundary EVICTION must engage (the beam cannot
+      // just keep everything), and equal sims never early-terminate the
+      // walk, so the kept set is exactly the 8 smallest ids
+      val top = idx.search(v, k, efSearch = 8)
+      top.map(_._1) == (0 until k).map(_.toLong) &&
+        top.forall(_._2 >= 0.9999999)
+    }
+
   property("hnsw: duplicate id insert is a no-op") =
     forAll(Gen.choose(5, 40)) { n =>
       val rng = new java.util.Random(n)
