@@ -700,6 +700,171 @@ object AnalyticsQueries {
        |  round(quantile_cont(value, CAST('0.95' AS DOUBLE)), 6) AS p95
        |FROM keep GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- deterministic set-operation sketch: KMV bottom-k -----------------
+
+  /** KMV sketch size. 256 keeps the union/intersection estimates within
+    * ~1/√k ≈ 6% relative error (gated empirically in SketchSpec) while
+    * staying far below the sf0.01 set sizes (~1600), so the ESTIMATOR
+    * branch — not the exact-small-set branch — is what the driver's
+    * oracle gates. */
+  val KmvK = 256
+
+  /** Set-operation sketch: per event type, the k-minimum-values sketch
+    * (Bar-Yossef et al. 2002; the theta-sketch family) of the type's
+    * ACTIVITY SET — distinct (user, epoch-day) pairs — and, per type
+    * pair, union / intersection / Jaccard ESTIMATES with the exact values
+    * alongside. This is the set-operation gap [[hllUsers]] leaves: HLL
+    * registers union (max) but cannot intersect; KMV sketches support
+    * both, because the bottom-k hashes are a uniform coordinated sample
+    * of the set — the k-th minimum θ estimates density ((k−1)·2⁶⁰/θ
+    * distincts), and membership of the union sample in both sets
+    * estimates overlap. Merge of two KMV sketches = bottom-k of their
+    * union: every value kept globally is ≤ its own sketch's θ, so the
+    * merged k-smallest are fully covered by both inputs — the same
+    * union-then-retruncate mergeability as [[graft.operators.TopK.
+    * perGroupBottomS]] (whose map-side-truncating aggregator builds the
+    * per-type sketches here).
+    *
+    * Exactness contract: hashes and ranks are integer; the only float
+    * steps are the final estimate divisions — est_union = one
+    * correctly-rounded division of two exactly-representable doubles
+    * (255·2⁶⁰ has an 8-bit mantissa; θ < 2⁶⁰ is an exact Long→double),
+    * est_inter = one multiplication then an EXACT /256 (dyadic) — so
+    * both engines round identically and the entry is hash-gated, the
+    * [[hllUsers]] precedent. When the union sample holds fewer than k
+    * values both sketches were exhaustive and the exact branch serves.
+    *
+    * Scale shape: one distinct aggregate over (type, hash) — the one
+    * corpus-sized shuffle, map-side combinable — then the bounded
+    * bottom-k truncation; everything downstream touches ≤ types·k rows.
+    * The exact comparison columns are one more distinct aggregate and a
+    * bounded self-join of per-type DISTINCT activity sets (validation
+    * ballast, same role as [[hllUsers]]'s exact_users). */
+  private[graft] def kmvElements(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      concat(col("user_id").cast("string"), lit(":"),
+        expr(s"ts div $DayNs").cast("string")).as("e"))
+
+  /** Per-type bottom-[[KmvK]] sketch: (event_type, h) with h the salted
+    * md5-60 of the element — ≤ k rows per type, kept map-side. */
+  private[graft] def kmvSketches(ev: DataFrame): DataFrame =
+    graft.operators.TopK.perGroupBottomS(
+      kmvElements(ev)
+        .select(col("event_type"),
+          graft.dedup.Dedup.hash60(concat(lit("kmv:"), col("e"))).as("h"))
+        .distinct()
+        .select(col("event_type"), col("h"), lit(0.0).as("v")),
+      "event_type", col("h"), col("v"), KmvK)
+      .select(col("event_type"), col("pri").as("h"))
+
+  def kmvSets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.model.VectorModel.events(spark, dir)
+    val sk = kmvSketches(ev)
+    val types = sk.select("event_type").distinct()
+    val pairs = broadcast(types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb")))
+    // union-sample membership: one row per (pair, h), flagged per side
+    val members = pairs.join(sk, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(sk, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ta", "tb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    // bottom-k of the merged sketch; window is fine — ≤ 2k rows per pair
+    val kept = members
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .where(col("rn") <= KmvK)
+    val agg = kept.groupBy("ta", "tb").agg(
+      count(lit(1)).as("nu"),
+      max("h").as("theta"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("c"))
+    // exact comparison sets (distinct elements, not hashes)
+    val el = kmvElements(ev).distinct()
+    val exact = pairs.join(el, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("e"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(el, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("e"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ta", "tb", "e")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .groupBy("ta", "tb").agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("exact_inter"))
+    val euRaw = lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)) /
+      col("theta").cast("double")
+    agg.join(exact, Seq("ta", "tb"))
+      .select(
+        col("ta").as("type_a"), col("tb").as("type_b"),
+        when(col("nu") >= KmvK, round(euRaw, 6))
+          .otherwise(col("nu").cast("double")).as("est_union"),
+        when(col("nu") >= KmvK,
+          round(col("c").cast("double") * euRaw / KmvK.toDouble, 6))
+          .otherwise(col("c").cast("double")).as("est_inter"),
+        when(col("nu") >= KmvK,
+          round(col("c").cast("double") / KmvK.toDouble, 6))
+          .otherwise(round(col("c").cast("double") / col("nu").cast("double"), 6))
+          .as("est_jaccard"),
+        col("exact_union"), col("exact_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
+  lazy val kmvSetsSql: String = {
+    val k = KmvK
+    val euRaw = s"(CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)" +
+      s" / CAST(theta AS DOUBLE))"
+    s"""WITH el AS (SELECT DISTINCT event_type,
+       |    CAST(user_id AS VARCHAR)||':'||CAST(epoch_ns(ts) // $DayNs AS VARCHAR) AS e
+       |  FROM events),
+       |hs AS (SELECT DISTINCT event_type,
+       |    ('0x'||substr(md5('kmv:'||e),1,15))::BIGINT AS h FROM el),
+       |sk AS (SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM hs) WHERE rn <= $k),
+       |ty AS (SELECT DISTINCT event_type FROM el),
+       |pairs AS (SELECT x.event_type AS ta, y.event_type AS tb
+       |  FROM ty x JOIN ty y ON x.event_type < y.event_type),
+       |m AS (SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.ta, p.tb, s.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN sk s ON s.event_type = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, s.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN sk s ON s.event_type = p.tb
+       |  ) GROUP BY ta, tb, h),
+       |kept AS (SELECT * FROM (
+       |    SELECT ta, tb, h, in_a, in_b,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |    FROM m) WHERE rn <= $k),
+       |agg AS (SELECT ta, tb, count(*) AS nu, max(h) AS theta,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS c
+       |  FROM kept GROUP BY ta, tb),
+       |me AS (SELECT ta, tb, e, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.ta, p.tb, s.e, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN el s ON s.event_type = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, s.e, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN el s ON s.event_type = p.tb
+       |  ) GROUP BY ta, tb, e),
+       |ex AS (SELECT ta, tb, count(*) AS exact_union,
+       |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_inter
+       |  FROM me GROUP BY ta, tb)
+       |SELECT agg.ta AS type_a, agg.tb AS type_b,
+       |  CASE WHEN nu >= $k THEN round($euRaw, 6)
+       |    ELSE CAST(nu AS DOUBLE) END AS est_union,
+       |  CASE WHEN nu >= $k
+       |    THEN round(CAST(c AS DOUBLE) * $euRaw / CAST(${k} AS DOUBLE), 6)
+       |    ELSE CAST(c AS DOUBLE) END AS est_inter,
+       |  CASE WHEN nu >= $k THEN round(CAST(c AS DOUBLE) / CAST($k AS DOUBLE), 6)
+       |    ELSE round(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE), 6) END AS est_jaccard,
+       |  exact_union, exact_inter
+       |FROM agg JOIN ex ON agg.ta = ex.ta AND agg.tb = ex.tb
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   /** ROLLUP hierarchy totals (null group keys coalesced to 'ALL'). */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
@@ -879,6 +1044,7 @@ object AnalyticsQueries {
     "q_hll_users" -> (hllUsers _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
+    "q_kmv_sets" -> (kmvSets _),
     "q_percentiles" -> (valuePercentiles _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),
@@ -905,6 +1071,7 @@ object AnalyticsQueries {
     "q_hll_users" -> hllUsersSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_quantile_sketch" -> quantileSketchSql,
+    "q_kmv_sets" -> kmvSetsSql,
     "q_percentiles" -> valuePercentilesSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topk" -> q3JoinTopKSql,

@@ -107,4 +107,37 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("KMV set sketch: union/intersection estimates within sampling error") {
+    // k = 256 -> union estimate sd ≈ 1/√k ≈ 6.25%; gate each pair's union
+    // at ~3σ (20%) and intersection — whose c/k resemblance adds binomial
+    // noise on a ~0.2 jaccard — at a wider 35%, plus the mean across the
+    // ten pairs at ~1σ each. The estimator BRANCH must be the one
+    // serving: the fixture's activity sets (~260 at sf0.001) exceed k.
+    val rows = AnalyticsQueries.kmvSets(spark, Sf001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length === 10) // 5 types choose 2
+    val (uErrs, iErrs) = rows.map { case (a, b, eu, ei, ej, xu, xi) =>
+      assert(xu > AnalyticsQueries.KmvK,
+        s"$a-$b: fixture union $xu under k — exact branch, estimator untested")
+      val ru = math.abs(eu - xu) / xu.toDouble
+      val ri = math.abs(ei - xi) / xi.toDouble
+      assert(ru <= 0.20, s"$a-$b: est_union $eu vs exact $xu (rel $ru)")
+      assert(ri <= 0.35, s"$a-$b: est_inter $ei vs exact $xi (rel $ri)")
+      assert(ej >= 0.0 && ej <= 1.0)
+      (ru, ri)
+    }.unzip
+    assert(uErrs.sum / uErrs.length <= 0.0625,
+      f"mean union error ${uErrs.sum / uErrs.length}%.4f past 1σ")
+    assert(iErrs.sum / iErrs.length <= 0.15,
+      f"mean intersection error ${iErrs.sum / iErrs.length}%.4f")
+    info(f"KMV: mean union err ${uErrs.sum / uErrs.length}%.4f, " +
+      f"mean inter err ${iErrs.sum / iErrs.length}%.4f over ${rows.length} pairs")
+    // deterministic: re-evaluation is value-identical (order-free sketch)
+    val again = AnalyticsQueries.kmvSets(spark, Sf001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
