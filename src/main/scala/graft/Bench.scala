@@ -113,6 +113,11 @@ object Bench {
       // hashed-feature LR fit on the planted fixture sample; the serving
       // entry times SCORING under the quantized weights, not training
       (s, d) => { queries.TextQueries.qualityModel(s, d); () }),
+    ("build_lm_model", Set("tx_perplexity", "pipe_perplexity_gate"),
+      // one bounded bigram-bucket aggregate over the reference slice +
+      // driver log-smoothing; the serving entries time SCORING under the
+      // quantized weights, not the fit
+      (s, d) => { queries.TextQueries.lmModel(s, d); () }),
     ("build_langid_model", Set("tx_langid_model"),
       // one bounded fixture aggregate + driver log-smoothing; the serving
       // entry times integer-dot classification, not training

@@ -1156,7 +1156,113 @@ object PipelineQueries {
        |FROM nd LEFT JOIN nq USING (source) LEFT JOIN kk USING (source)
        |ORDER BY nd.source""".stripMargin
 
+  // ---- perplexity gate ----------------------------------------------------
+
+  /** Perplexity-gated corpus cut — the CCNet serving step over
+    * [[TextQueries.perplexityScores]]: keep documents whose cross-entropy
+    * under the English-reference bigram LM is BELOW THE CORPUS'S POOLED
+    * cross-entropy. The cut is RELATIVE by design: the model's absolute
+    * nats level shifts with reference-slice size (measured 5.9 → 4.1
+    * across the SFs as the en slice grows), so any fixed gate constant
+    * is wrong at some scale — CCNet's own cut is distribution-relative
+    * (percentile bands) for the same reason. A percentile needs a global
+    * sort; the pooled mean needs ONE two-column aggregate, so the
+    * threshold is Σnll_q div Σn_bigrams (exact integer division over the
+    * scored docs), each doc keeps iff its own integer micro-nats mean is
+    * strictly below it, and the whole gate stays hash-exact with no
+    * float anywhere. Docs without bigrams are unscored and never kept (a
+    * quality gate drops no-evidence docs). Reports the per-lang ledger:
+    * the reference language passes at a visibly higher rate.
+    *
+    * Scale shape: the scoring pass (bounded broadcasts + one doc-keyed
+    * shuffle, [[graft.text.NgramLm.score]]), one scalar aggregate, one
+    * broadcast scalar join, one bounded per-lang ledger aggregate. */
+  def perplexityGate(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextQueries.lmModel(spark, dir)
+    TextQueries.publishLmSidecars(spark, dir, m) // repair no-op
+    val docs = VectorModel.documents(spark, dir)
+    val scores = graft.text.NgramLm.score(docs.select("doc_id", "text"), m)
+    val thr = scores.where(col("n_bigrams") > 0)
+      .agg(expr("sum(nll_q) div sum(n_bigrams)").as("thr_micro"))
+    val decided = scores.crossJoin(broadcast(thr))
+      .withColumn("kept",
+        when(col("n_bigrams") > 0 &&
+          expr("nll_q div n_bigrams") < col("thr_micro"), 1L).otherwise(0L))
+    docs.select("doc_id", "lang").join(decided, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bigrams") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum("kept").as("n_kept"),
+        max("thr_micro").as("thr_micro"))
+      .orderBy("lang")
+  }
+
+  lazy val perplexityGateSql: String =
+    s"""WITH ${TextQueries.lmNatsCtes("documents")},
+       |lthr AS (SELECT CAST(sum(nll_q) AS BIGINT) // CAST(sum(n_bigrams) AS BIGINT)
+       |    AS thr_micro FROM ln WHERE n_bigrams > 0),
+       |ldec AS (SELECT doc_id, n_bigrams,
+       |    CASE WHEN n_bigrams > 0 AND nll_q // n_bigrams < thr_micro
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM ln CROSS JOIN lthr)
+       |SELECT d.lang AS lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ldec.n_bigrams > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_scored,
+       |  CAST(sum(ldec.kept) AS BIGINT) AS n_kept,
+       |  (SELECT thr_micro FROM lthr) AS thr_micro
+       |FROM documents d JOIN ldec USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---- stratified sampling ------------------------------------------------
+
+  /** Per-stratum sample size for [[stratifiedSample]]. */
+  val StratSampleSize = 64
+
+  /** Deterministic stratified sample: exactly min([[StratSampleSize]], n)
+    * documents PER LANGUAGE STRATUM by md5 priority, each row carrying its
+    * stratum's population size — the balanced-sample primitive an eval
+    * set, labeling budget, or per-domain inspection pulls from a skewed
+    * corpus (a uniform corpus sample is dominated by the majority
+    * stratum; this one guarantees every stratum its quota). "Bottom s by
+    * an md5 priority" is a uniform stratum sample that is ORDER-FREE
+    * (the [[AnalyticsQueries.quantileSketch]] argument) and exactly
+    * mirrorable by the same hash, unlike rand()/reservoir sampling.
+    *
+    * Scale shape: [[graft.operators.TopK.perGroupBottomS]] truncates to s
+    * per (stratum, partition) MAP-SIDE, so the sample shuffle carries ≤ s
+    * rows per stratum per task however large the corpus; the population
+    * counts are one bounded aggregate joined back onto the ≤ strata·s
+    * sampled rows. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val kept = graft.operators.TopK.perGroupBottomS(
+      docs.select(col("lang"),
+        Dedup.hash60(concat(lit("strat:"), col("doc_id").cast("string")))
+          .as("pri"),
+        col("doc_id").cast("double").as("v")),
+      "lang", col("pri"), col("v"), StratSampleSize)
+      .select(col("lang"), col("value").cast("long").as("doc_id"))
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n_stratum"))
+    kept.join(broadcast(sizes), "lang")
+      .select(col("lang"), col("doc_id"), col("n_stratum"))
+      .orderBy("lang", "doc_id")
+  }
+
+  lazy val stratifiedSampleSql: String =
+    s"""WITH pri AS (SELECT lang, doc_id,
+       |    ('0x'||substr(md5('strat:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS pri
+       |  FROM documents),
+       |keep AS (SELECT lang, doc_id FROM (
+       |    SELECT lang, doc_id,
+       |      row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+       |    FROM pri) WHERE rn <= $StratSampleSize),
+       |sz AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang)
+       |SELECT k.lang AS lang, k.doc_id AS doc_id, sz.n_stratum AS n_stratum
+       |FROM keep k JOIN sz USING (lang) ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_perplexity_gate" -> (perplexityGate _),
+    "pipe_stratified_sample" -> (stratifiedSample _),
     "pipe_domain_mix" -> (domainMix _),
     "pipe_dsir_mix" -> (dsirMix _),
     "pipe_dsir_sample" -> (dsirSample _),
@@ -1177,6 +1283,8 @@ object PipelineQueries {
     "pipe_curated_mix" -> (curatedMix _))
 
   val oracleSql: Map[String, String] = Map(
+    "pipe_perplexity_gate" -> perplexityGateSql,
+    "pipe_stratified_sample" -> stratifiedSampleSql,
     "pipe_domain_mix" -> domainMixSql,
     "pipe_dsir_mix" -> dsirMixSql,
     "pipe_dsir_sample" -> dsirSampleSql,

@@ -1252,8 +1252,100 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- learned LM perplexity scoring -------------------------------------
+
+  /** The perplexity model's clean reference slice: the corpus's English
+    * documents — the "train on a reference domain, score the crawl"
+    * split CCNet makes with Wikipedia. Lang labels exist here; a corpus
+    * without them would use [[langIdModelScores]]' output instead. */
+  val LmReferenceLang = "en"
+
+  /** Fitted-and-quantized bigram LM for a dataset dir
+    * ([[graft.text.NgramLm.fit]] on the [[LmReferenceLang]] slice),
+    * memoized like every other layout build; a Bench build step. The
+    * two weight sidecars publish here (build-time state); the serving
+    * entry re-calls it as a cheap repair no-op. */
+  private[graft] def lmModel(spark: SparkSession, dir: String)
+      : graft.text.NgramLm.Model =
+    lmModelCache.computeIfAbsent(dir, _ => {
+      val m = graft.text.NgramLm.fit(
+        VectorModel.documents(spark, dir)
+          .where(col("lang") === LmReferenceLang))
+      publishLmSidecars(spark, dir, m)
+      m
+    })
+
+  private[queries] def publishLmSidecars(spark: SparkSession, dir: String,
+      m: graft.text.NgramLm.Model): Unit = {
+    import spark.implicits._
+    OracleSidecars.publish(spark, "lm_pairs", dir) {
+      m.pairs.toSeq.map { case ((b1, b2), q) => (b1, b2, q) }
+        .toDF("b1", "b2", "wq")
+    }
+    OracleSidecars.publish(spark, "lm_ctx", dir) {
+      m.ctxDefault.toSeq.zipWithIndex.map { case (q, b1) => (b1, q) }
+        .toDF("b1", "defq")
+    }
+  }
+
+  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.text.NgramLm.Model]()
+
+  /** HASH-GATED learned perplexity over every document: cross-entropy in
+    * nats per bigram under the [[LmReferenceLang]]-trained hashed-bigram
+    * LM ([[graft.text.NgramLm]] — the CCNet quality-scoring shape).
+    * Training is spec-gated (NgramLmSpec: in-domain vs garbled
+    * separation); GIVEN the two published sidecars the serve is exact
+    * integer sums plus ONE rounded division, mirrored term-for-term by
+    * [[perplexitySql]]. */
+  def perplexityScores(spark: SparkSession, dir: String): DataFrame = {
+    val m = lmModel(spark, dir)
+    publishLmSidecars(spark, dir, m) // repair no-op unless dir switched
+    graft.text.NgramLm.score(
+        VectorModel.documents(spark, dir).select("doc_id", "text"), m)
+      .orderBy("doc_id")
+  }
+
+  /** The LM-scoring CTE chain over `src` (any table/CTE with doc_id,
+    * text): sidecars → bucket bigrams → per-doc fixed-point sum → nats,
+    * as CTEs `lw, lc, lg, ls, ln` with `ln = (doc_id, n_bigrams, nll_q,
+    * nats)` — ONE definition composed by [[perplexitySql]] and the
+    * perplexity-gate oracle ([[PipelineQueries.perplexityFilterSql]]) so
+    * the two cannot drift (the [[qualityLogitCtes]] pattern). */
+  private[queries] def lmNatsCtes(src: String): String = {
+    val b = graft.text.NgramLm.B
+    val scale = graft.text.NgramLm.Scale.toLong
+    s"""lw AS (SELECT CAST(b1 AS INTEGER) AS b1, CAST(b2 AS INTEGER) AS b2,
+       |    CAST(wq AS BIGINT) AS wq FROM ${OracleSidecars.sqlTable("lm_pairs")}),
+       |lc AS (SELECT CAST(b1 AS INTEGER) AS b1, CAST(defq AS BIGINT) AS defq
+       |  FROM ${OracleSidecars.sqlTable("lm_ctx")}),
+       |lg AS (SELECT doc_id,
+       |    ('0x'||substr(md5('lm:'||toks[CAST(i AS INTEGER)]),1,15))::BIGINT % $b AS b1,
+       |    ('0x'||substr(md5('lm:'||toks[CAST(i AS INTEGER)+1]),1,15))::BIGINT % $b AS b2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
+       |    WHERE len(toks) >= 2)),
+       |ls AS (SELECT lg.doc_id AS doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(COALESCE(lw.wq, lc.defq)) AS BIGINT) AS nll_q
+       |  FROM lg LEFT JOIN lw ON lg.b1 = lw.b1 AND lg.b2 = lw.b2
+       |  JOIN lc ON lg.b1 = lc.b1
+       |  GROUP BY lg.doc_id),
+       |ln AS (SELECT s.doc_id AS doc_id,
+       |    CAST(COALESCE(ls.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CAST(COALESCE(ls.nll_q, 0) AS BIGINT) AS nll_q,
+       |    CASE WHEN COALESCE(ls.n_bigrams, 0) = 0 THEN CAST('0.0' AS DOUBLE)
+       |      ELSE CAST(ls.nll_q // ls.n_bigrams AS DOUBLE)
+       |        / CAST($scale AS DOUBLE) END AS nats
+       |  FROM $src s LEFT JOIN ls USING (doc_id))""".stripMargin
+  }
+
+  lazy val perplexitySql: String =
+    s"""WITH ${lmNatsCtes("documents")}
+       |SELECT doc_id, n_bigrams, nll_q, nats FROM ln ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_quality_model" -> (qualityModelScores _),
+    "tx_perplexity" -> (perplexityScores _),
     "tx_langid_model" -> (langIdModelScores _),
     "tx_bpe_stats" -> (bpeStats _),
     "tx_bpe_stats_trained" -> (bpeStatsTrained _),
@@ -1285,6 +1377,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "tx_quality_model" -> qualityModelSql,
+    "tx_perplexity" -> perplexitySql,
     "tx_langid_model" -> langIdModelSql,
     "tx_bpe_stats" -> bpeStatsSql,
     "tx_bpe_stats_trained" -> bpeStatsTrainedSql,

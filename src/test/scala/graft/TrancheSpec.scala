@@ -564,4 +564,41 @@ class TrancheSpec extends SparkSpec {
     assert(fuzzy === plain.filterNot { case (d, _, _) => flagged(d) })
     assert(fuzzy.subsetOf(plain))
   }
+
+  test("stratifiedSample: exact per-stratum quota, subset, small strata take-all") {
+    val rows = PipelineQueries.stratifiedSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val pop = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet === pop.keySet, "every stratum is represented")
+    byLang.foreach { case (lang, sample) =>
+      assert(sample.length ===
+        math.min(PipelineQueries.StratSampleSize.toLong, pop(lang)).toInt,
+        s"$lang quota")
+      assert(sample.forall(_._3 == pop(lang)), s"$lang population rides along")
+      sample.foreach { case (_, id, _) =>
+        assert(docs.exists(d => d._1 == id && d._2 == lang),
+          s"sampled $id not in stratum $lang")
+      }
+    }
+    // a stratum smaller than the quota is taken whole (planted frame)
+    val planted = (0 until 100).map(i =>
+      (i.toLong, if (i < 3) "tiny" else "big")).toDF("doc_id", "lang")
+      .withColumn("doc_id", col("doc_id"))
+    val kept = graft.operators.TopK.perGroupBottomS(
+      planted.select(col("lang"),
+        Dedup.hash60(concat(lit("strat:"), col("doc_id").cast("string"))).as("pri"),
+        col("doc_id").cast("double").as("v")),
+      "lang", col("pri"), col("v"), PipelineQueries.StratSampleSize)
+      .collect().map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kept("tiny") === 3)
+    assert(kept("big") === PipelineQueries.StratSampleSize)
+    // deterministic replay
+    val again = PipelineQueries.stratifiedSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
