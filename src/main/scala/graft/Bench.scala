@@ -113,6 +113,11 @@ object Bench {
       // hashed-feature LR fit on the planted fixture sample; the serving
       // entry times SCORING under the quantized weights, not training
       (s, d) => { queries.TextQueries.qualityModel(s, d); () }),
+    ("build_pca_layout", Set("ann_pca_topk"),
+      // sample-bounded covariance + driver power iteration, then the one
+      // projection pass writing the 16-d reduced layout; the serving
+      // entry times the coarse-scan + re-rank, not the build
+      (s, d) => { queries.ApproxQueries.pcaLayout(s, d); () }),
     ("build_lm_model", Set("tx_perplexity", "pipe_perplexity_gate"),
       // one bounded bigram-bucket aggregate over the reference slice +
       // driver log-smoothing; the serving entries time SCORING under the

@@ -1,0 +1,167 @@
+package graft.pq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA dimension reduction for two-stage vector search: project the corpus
+  * once onto the top-[[R]] principal components (a quarter of the stored
+  * floats), serve the coarse stage off the small projected layout, and
+  * re-rank only a bounded candidate set against the full vectors — the
+  * third compression family next to the codebook (PQ/OPQ) and affine
+  * (SQ8/binary) codecs, and the one that preserves DISTANCE GEOMETRY
+  * (an orthogonal projection's distances are exact within the kept
+  * subspace) rather than per-dimension precision.
+  *
+  * Determinism contract (what makes the serve hash-gateable): the fit is
+  * a pure driver-side function of the hash-ordered sample — covariance
+  * accumulated in sorted-id row order, power iteration with deflation
+  * from a FIXED pseudorandom start for a FIXED iteration count (no
+  * convergence test, no data-dependent branching), each component's sign
+  * canonicalized (largest-|coefficient| entry positive, lowest index on
+  * ties). The model publishes as sidecars, and every serving sum —
+  * projection, coarse L2, re-rank cosine — is a fixed left-associated
+  * chain mirrorable term-for-term in SQL, the
+  * [[graft.queries.OracleSql.cosineCols]] convention.
+  *
+  * Scale shape: fit touches a bounded sample ([[graft.index.Ivf.
+  * FitSampleRows]] discipline) and one 64×64 covariance; the projection
+  * is one codegen map pass writing the reduced layout (build-once); the
+  * coarse stage scans [[R]] doubles per row instead of the full vector;
+  * the re-rank is a broadcast join of a CONSTANT candidate count against
+  * the id-keyed full vectors. At 100 TB the coarse scan is the only
+  * full-corpus cost, at R/dim of the bytes. */
+object Pca {
+
+  /** Reduced dimensionality (64 → 16: 4× fewer bytes in the coarse scan). */
+  val R = 16
+
+  /** Power-iteration count per component — fixed, never adaptive (a
+    * convergence test would make the model depend on float-comparison
+    * outcomes; 60 iterations is far past convergence for any spectrum
+    * this 64-dim fit sees). */
+  val Iters = 60
+
+  case class Model(mean: Array[Double], components: Array[Array[Double]])
+
+  /** L2-normalize a vector with the zero-vector guard the projection
+    * chain uses: norm accumulated LEFT-ASSOCIATED (v₀·v₀ + v₁·v₁ + …),
+    * a zero norm divides by 1 (the zero vector stays zero) — sqrt is
+    * IEEE-exact so both engines agree bit-for-bit, unlike ln/exp.
+    * Normalizing FIRST is what makes the coarse subspace L2 monotone in
+    * cosine (‖v̂−q̂‖² = 2−2·cos): without it the L2 stage ranks by a
+    * different metric than the re-rank and recall collapses (measured
+    * 0.5 → 0.95 on the corpus). */
+  def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).reduceLeft(_ + _))
+    val n1 = if (n == 0.0) 1.0 else n
+    v.map(_ / n1)
+  }
+
+  /** Fit on the hash-ordered bounded sample (the [[graft.index.Ivf.fit]]
+    * discipline), NORMALIZED like the serving chain: accumulate the
+    * 64×64 covariance in sorted-id order, then extract [[R]] components
+    * by power iteration with deflation — all O(dim²) driver work after
+    * the one covariance pass. */
+  def fit(df: DataFrame, vecCol: String, dim: Int, idCol: String): Model = {
+    val sample = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .orderBy(hash(col(idCol)), col(idCol))
+      .limit(graft.index.Ivf.FitSampleRows)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => normalize(r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "PCA fit: empty sample")
+    val n = sample.length
+    val mean = Array.tabulate(dim)(i => sample.map(_(i)).sum / n)
+    // covariance (unnormalized — scaling does not change eigenvectors),
+    // accumulated row-by-row in the sorted deterministic order
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      val x = Array.tabulate(dim)(i => v(i) - mean(i))
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    val comps = Array.ofDim[Double](R, dim)
+    for (r <- 0 until R) {
+      // fixed pseudorandom start — a constant start can be orthogonal to
+      // the target eigenvector; this one is reproducible and generic
+      var v = Array.tabulate(dim)(i => ((i * 37 + r * 17 + 5) % 101) / 101.0 - 0.5)
+      for (_ <- 0 until Iters) {
+        val w = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+        // deflate: remove the span of already-extracted components
+        for (p <- 0 until r) {
+          val d = (0 until dim).map(i => w(i) * comps(p)(i)).sum
+          for (i <- 0 until dim) w(i) -= d * comps(p)(i)
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm == 0.0) v else w.map(_ / norm)
+      }
+      // canonical sign: largest-|coeff| entry positive (lowest index wins ties)
+      val lead = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+      if (v(lead) < 0.0) v = v.map(-_)
+      comps(r) = v
+    }
+    Model(mean, comps)
+  }
+
+  /** The safe-norm Column of a vector: left-associated Σv², sqrt, zero →
+    * 1 — [[normalize]]'s engine twin, computed ONCE per row and shared by
+    * all [[R]] projection chains. */
+  def safeNormExpr(vecCol: Column, dim: Int): Column = {
+    val n = sqrt((0 until dim).map { i =>
+      element_at(vecCol, i + 1).cast("double") *
+        element_at(vecCol, i + 1).cast("double")
+    }.reduceLeft(_ + _))
+    when(n === 0.0, 1.0).otherwise(n)
+  }
+
+  /** Projection of component `r` as a fixed left-associated Column chain
+    * over the NORMALIZED vector: (v₀/‖v‖−m₀)·c₀ + (v₁/‖v‖−m₁)·c₁ + … —
+    * the exact shape the SQL mirror re-derives from the published
+    * sidecars. `normCol` is the shared [[safeNormExpr]] column. */
+  def projectExpr(vecCol: Column, normCol: Column, m: Model, r: Int): Column =
+    m.components(r).indices.map { i =>
+      (element_at(vecCol, i + 1).cast("double") / normCol - lit(m.mean(i))) *
+        lit(m.components(r)(i))
+    }.reduceLeft(_ + _)
+
+  /** Driver-side projection of a query — normalized then the same
+    * left-associated chain as [[projectExpr]], so engine and oracle agree
+    * bit-for-bit. */
+  def project(q: Seq[Double], m: Model): Array[Double] = {
+    val qn = normalize(q.toArray)
+    m.components.map(c =>
+      c.indices.map(i => (qn(i) - m.mean(i)) * c(i)).reduceLeft(_ + _))
+  }
+
+  /** Coarse squared-L2 between the layout's p-columns and a projected
+    * query, left-associated. */
+  def coarseDistExpr(qp: Array[Double]): Column =
+    qp.indices.map { r =>
+      (col(s"p$r") - lit(qp(r))) * (col(s"p$r") - lit(qp(r)))
+    }.reduceLeft(_ + _)
+
+  /** Two-stage top-k: coarse (d2 asc, id asc) cut to `rerank` candidates
+    * off the projected layout, exact-cosine re-rank against the full
+    * vectors — the [[BinaryQuantizer.topK]] shape with an L2 subspace
+    * stage instead of Hamming. */
+  def topK(projected: DataFrame, vecs: DataFrame, m: Model, query: Seq[Double],
+      k: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
+    val cand = projected
+      .select(col(idCol), coarseDistExpr(project(query, m)).as("d2"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+      .limit(rerank)
+    vecs
+      .join(broadcast(cand), Seq(idCol))
+      .select(col(idCol),
+        round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

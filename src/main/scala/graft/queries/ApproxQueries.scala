@@ -1412,6 +1412,127 @@ object ApproxQueries {
       .orderBy("query_id", "rn")
   }
 
+  // ---- PCA-reduced two-stage search --------------------------------------
+
+  /** PCA model memo ([[graft.pq.Pca.fit]] — deterministic sample-bounded
+    * covariance + power iteration; see Pca's determinism contract). */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pq.Pca.Model]()
+
+  private def trainedPca(spark: SparkSession, dir: String): graft.pq.Pca.Model =
+    pcaCache.computeIfAbsent(dir, _ => {
+      val m = graft.pq.Pca.fit(
+        VectorModel.embeddings(spark, dir), "embedding",
+        VectorModel.EmbDim, "vec_id")
+      publishPcaSidecars(spark, dir, m)
+      m
+    })
+
+  private def publishPcaSidecars(spark: SparkSession, dir: String,
+      m: graft.pq.Pca.Model): Unit = {
+    publishCentroidsFlat(spark, "pca_mean", dir, Array(m.mean))
+    publishCentroidsFlat(spark, "pca_components", dir, m.components)
+  }
+
+  /** Build-once/serve-many projected layout: (vec_id, p0..p{R−1}) — the
+    * coarse stage's scan reads [[graft.pq.Pca.R]]/dim of the float bytes;
+    * memoized per dataset dir, a Bench build step. */
+  private[graft] def pcaLayout(spark: SparkSession, dir: String): String =
+    pcaLayoutCache.computeIfAbsent(dir, _ => {
+      val m = trainedPca(spark, dir)
+      val p = graft.store.Fs.scratchDir(spark, "graft_pca")
+      // norm as a MATERIALIZED column, not an inline expression: all 16
+      // projection chains reference it 64 times each, and inlining the
+      // 64-term sqrt into every element turns codegen into a ~65k-node
+      // tree (measured 4× the whole build time in JIT/compile)
+      VectorModel.embeddings(spark, dir)
+        .withColumn("_nrm",
+          graft.pq.Pca.safeNormExpr(col("embedding"), VectorModel.EmbDim))
+        .select(col("vec_id") +: (0 until graft.pq.Pca.R).map(r =>
+          graft.pq.Pca.projectExpr(col("embedding"), col("_nrm"), m, r)
+            .as(s"p$r")): _*)
+        .write.mode("overwrite").parquet(s"$p/proj")
+      s"$p/proj"
+    })
+
+  private val pcaLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Subspace re-rank candidate budget — the [[BinRerank]] convention. */
+  val PcaRerank = 400
+
+  /** PCA two-stage top-20: coarse L2 in the 16-d projected subspace over
+    * the STORED reduced layout (4× fewer bytes than the float vectors —
+    * and unlike the SQ8/binary codecs the projection PRESERVES the
+    * dominant-variance geometry exactly), exact-cosine re-rank of the
+    * top-[[PcaRerank]]. HASH-GATED like [[annSqTopK]]: given the two
+    * published sidecars (mean, components) every projection / coarse /
+    * re-rank sum is a fixed left-associated chain [[annPcaTopKSql]]
+    * re-derives term-for-term from the RAW embeddings — fit is spec-gated
+    * (PcaSpec), serving is exact closed-form. */
+  def annPcaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val m = trainedPca(spark, dir)
+    publishPcaSidecars(spark, dir, m) // repair no-op unless dir switched
+    val projected = spark.read.parquet(pcaLayout(spark, dir))
+    graft.pq.Pca.topK(projected, VectorModel.embeddings(spark, dir), m,
+      VectorModel.AnnQuery, 20, PcaRerank, "vec_id", "embedding")
+  }
+
+  /** Term-for-term mirror of the PCA path GIVEN the sidecars: the mean
+    * row and each component row join in as single-row CTEs (so every
+    * coefficient is a column, keeping the 64-term projection sums in
+    * the engine's exact left-associated order — a SQL aggregate would
+    * sum in scan order), the query projects from its literals through
+    * the same chain, the coarse cut keeps (d2 asc, id asc) top-100, and
+    * the re-rank is the shared rounded-cosine convention. */
+  lazy val annPcaTopKSql: String = {
+    val d = VectorModel.EmbDim
+    val R = graft.pq.Pca.R
+    def m(i: Int) = s"pm.c$i"
+    def kc(r: Int, i: Int) = s"k$r.c$i"
+    val kCtes = (0 until R).map(r =>
+      s"k$r AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_components")} WHERE cluster_id = $r)")
+      .mkString(",\n")
+    val crossK = (0 until R).map(r => s"CROSS JOIN k$r").mkString(" ")
+    def safeNorm(elem: Int => String): String = {
+      val n = s"sqrt(${OracleSql.normSq(elem, d)})"
+      s"CASE WHEN $n = CAST('0.0' AS DOUBLE) THEN CAST('1.0' AS DOUBLE) ELSE $n END"
+    }
+    def projSql(elem: Int => String, r: Int): String =
+      (0 until d).map(i => s"((${elem(i)} - ${m(i)}) * ${kc(r, i)})")
+        .mkString(" + ")
+    def qLit(i: Int) = OracleSql.lit(VectorModel.AnnQuery(i))
+    val qProj = (0 until R)
+      .map(r => s"(${projSql(i => s"(${qLit(i)} / qn.nrm)", r)}) AS q$r")
+      .mkString(",\n    ")
+    val eProj = (0 until R)
+      .map(r => s"(${projSql(i => s"(${OracleSql.listElem("nv.embedding")(i)} / nv.nrm)", r)}) AS p$r")
+      .mkString(",\n    ")
+    val d2 = (0 until R)
+      .map(r => s"(proj.p$r - qp.q$r)*(proj.p$r - qp.q$r)").mkString(" + ")
+    val sim = OracleSql.cosineConst(
+      OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)
+    s"""WITH pm AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_mean")}),
+       |$kCtes,
+       |nv AS (SELECT vec_id, embedding,
+       |    ${safeNorm(OracleSql.listElem("embedding"))} AS nrm
+       |  FROM embeddings),
+       |qn AS (SELECT ${safeNorm(qLit)} AS nrm),
+       |qp AS (SELECT
+       |    $qProj
+       |  FROM qn CROSS JOIN pm $crossK),
+       |proj AS (SELECT nv.vec_id AS vec_id,
+       |    $eProj
+       |  FROM nv CROSS JOIN pm $crossK),
+       |cand AS (SELECT vec_id FROM (
+       |    SELECT proj.vec_id AS vec_id, $d2 AS d2
+       |    FROM proj CROSS JOIN qp)
+       |  ORDER BY d2 ASC, vec_id ASC LIMIT $PcaRerank)
+       |SELECT e.vec_id AS vec_id, round($sim, 6) AS sim
+       |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+       |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
   /** S4 at QUERY-SET scale — the DataFrame-native big-batch paths: the
     * query set is a DataFrame end-to-end (here ~1/16 of the part table,
     * growing with SF), probe assignment happens in codegen'd expressions,
@@ -1683,6 +1804,7 @@ object ApproxQueries {
     * [[OracleSidecars]] two-step oracle. */
   val oracleSql: Map[String, String] = Map(
     "ann_sq_topk" -> annSqTopKSql,
+    "ann_pca_topk" -> annPcaTopKSql,
     "ann_bin_topk" -> annBinTopKSql,
     "ann_pq_adc_topk" -> annPqAdcTopKSql,
     "ann_opq_adc_topk" -> annOpqAdcTopKSql,
@@ -1711,6 +1833,7 @@ object ApproxQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
+    "ann_pca_topk" -> (annPcaTopK _),
     "ann_bin_topk" -> (annBinTopK _),
     "ann_bin_batch_topk" -> (annBinBatchTopK _),
     "ann_pq_adc_topk" -> (annPqAdcTopK _),
