@@ -564,7 +564,10 @@ object StreamingIngest {
     *  - quantile-sample partials (`qs/batch=<id>`: per-type bottom-s by
     *    md5 priority within the batch) merge by RE-TRUNCATION — every
     *    globally-kept row is kept in its own batch's partial, so bottom-s
-    *    over the union of partials equals bottom-s over the raw union.
+    *    over the union of partials equals bottom-s over the raw union;
+    *  - KMV set-sketch partials (`kmv/batch=<id>`: per-type bottom-k
+    *    distinct element hashes, `q_kmv_sets`'s kernel) merge by
+    *    DISTINCT-then-RE-TRUNCATION — the theta-sketch union.
     *
     * Each partial is computed by the SAME kernel the batch sketch uses
     * ([[graft.queries.AnalyticsQueries.cmCounters]]/[[graft.queries.
@@ -599,6 +602,8 @@ object StreamingIngest {
           AnalyticsQueries.qsPrioritized(cached),
           "event_type", col("pri"), col("value"), AnalyticsQueries.QsSampleSize),
         s"$statePath/qs", batchId)
+      writeBatchPartition(AnalyticsQueries.kmvSketches(cached),
+        s"$statePath/kmv", batchId)
     } finally cached.unpersist()
   }
 
@@ -622,6 +627,20 @@ object StreamingIngest {
       "event_type", col("pri"), col("value"),
       graft.queries.AnalyticsQueries.QsSampleSize)
 
+  /** Cumulative KMV set sketch: DISTINCT then bottom-k re-truncation over
+    * the union of partials — distinct first because, unlike the qs
+    * sample's per-event priorities, the SAME element recurring across
+    * batches hashes identically, and a duplicated hash would displace a
+    * genuine k-th minimum. Every globally-bottom-k hash is bottom-k
+    * within its own batch, so this equals [[graft.queries.
+    * AnalyticsQueries.kmvSketches]] over the full history. */
+  def kmvSketchFrom(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.TopK.perGroupBottomS(
+      spark.read.parquet(s"$statePath/kmv").distinct()
+        .select(col("event_type"), col("h"), lit(0.0).as("v")),
+      "event_type", col("h"), col("v"), graft.queries.AnalyticsQueries.KmvK)
+      .select(col("event_type"), col("pri").as("h"))
+
   /** [[compactBatchState]] over the three sketch logs, each folded with
     * its own merge: counters re-SUM, registers re-MAX, samples
     * re-TRUNCATE — the same associative merges serving uses, so a
@@ -634,7 +653,13 @@ object StreamingIngest {
         fold = _.groupBy("event_type", "bucket").agg(max("m").as("m"))),
       s"$statePath/qs" -> compactBatchState(spark, s"$statePath/qs",
         fold = df => graft.operators.TopK.perGroupBottomS(df, "event_type",
-          col("pri"), col("value"), graft.queries.AnalyticsQueries.QsSampleSize)))
+          col("pri"), col("value"), graft.queries.AnalyticsQueries.QsSampleSize)),
+      s"$statePath/kmv" -> compactBatchState(spark, s"$statePath/kmv",
+        fold = df => graft.operators.TopK.perGroupBottomS(
+          df.distinct().select(col("event_type"), col("h"), lit(0.0).as("v")),
+          "event_type", col("h"), col("v"),
+          graft.queries.AnalyticsQueries.KmvK)
+          .select(col("event_type"), col("pri").as("h"))))
     did.collect { case (p, true) => p }
   }
 

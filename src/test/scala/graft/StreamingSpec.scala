@@ -1228,7 +1228,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.queries.AnalyticsQueries
     val ev = graft.model.VectorModel.events(spark, Sf0001)
-      .select("event_id", "user_id", "event_type", "value").cache()
+      .select("event_id", "user_id", "event_type", "value", "ts").cache()
     val base = java.nio.file.Files.createTempDirectory("graft_skstream").toString
     (0 until 3).foreach(i =>
       ev.where(col("event_id") % 3 === i).coalesce(1)
@@ -1246,6 +1246,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     def qsSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def kmvSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
     // each grown state folds to exactly the batch kernel over full history
     val cmBatch = cmSet(AnalyticsQueries.cmCounters(
       ev.select(col("user_id").cast("string").as("k"))))
@@ -1253,9 +1255,11 @@ class StreamingSpec extends SparkSpec {
     val qsBatch = qsSet(graft.operators.TopK.perGroupBottomS(
       AnalyticsQueries.qsPrioritized(ev), "event_type",
       col("pri"), col("value"), AnalyticsQueries.QsSampleSize))
+    val kmvBatch = kmvSet(AnalyticsQueries.kmvSketches(ev))
     assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
     assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
     assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    assert(kmvSet(StreamingIngest.kmvSketchFrom(spark, st)) === kmvBatch)
     // end-to-end: the registered quantile entry re-derives from grown state
     val servedQ = AnalyticsQueries.qsQuantiles(StreamingIngest.qsSampleFrom(spark, st))
       .collect().map(_.toSeq).toSeq
@@ -1286,12 +1290,14 @@ class StreamingSpec extends SparkSpec {
     assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
     assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
     assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    assert(kmvSet(StreamingIngest.kmvSketchFrom(spark, st)) === kmvBatch)
     // roll-up compaction folds each log with its OWN merge; reads identical
     val compacted = StreamingIngest.compactSketchState(spark, st)
-    assert(compacted.size === 3, s"expected all three sketch logs folded, got $compacted")
+    assert(compacted.size === 4, s"expected all four sketch logs folded, got $compacted")
     assert(cmSet(StreamingIngest.cmCountersFrom(spark, st)) === cmBatch)
     assert(hllSet(StreamingIngest.hllRegistersFrom(spark, st)) === hllBatch)
     assert(qsSet(StreamingIngest.qsSampleFrom(spark, st)) === qsBatch)
+    assert(kmvSet(StreamingIngest.kmvSketchFrom(spark, st)) === kmvBatch)
     // post-compaction replay of the newest batch is still idempotent
     StreamingIngest.sketchIngestBatch(
       ev.where(col("event_id") % 3 === lastSlice), st, lastB)
