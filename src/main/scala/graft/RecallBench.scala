@@ -209,6 +209,27 @@ object RecallBench {
       graft.pq.BinaryQuantizer.topK(binCodes, data, bq, q, k, rerank = 100,
         "vec_id", "embedding").select("vec_id"))
 
+    // PCA two-stage (the ann_pca_topk serving shape): normalized top-16
+    // subspace coarse cut + exact re-rank at the registered rerank budget
+    // — isotropic embeddings keep only 16/64 of variance in the subspace,
+    // the projection's hard case (like the binary point above)
+    val pcaModel = graft.pq.Pca.fit(data, "embedding", dim, "vec_id")
+    val pcaProjected = data
+      .withColumn("_nrm", graft.pq.Pca.safeNormExpr(
+        org.apache.spark.sql.functions.col("embedding"), dim))
+      .select(org.apache.spark.sql.functions.col("vec_id") +:
+        (0 until graft.pq.Pca.R).map(r =>
+          graft.pq.Pca.projectExpr(
+            org.apache.spark.sql.functions.col("embedding"),
+            org.apache.spark.sql.functions.col("_nrm"), pcaModel, r)
+            .as(s"p$r")): _*)
+      .cache()
+    pcaProjected.count()
+    val (pcaMs, pcaRes) = timeAll(q =>
+      graft.pq.Pca.topK(pcaProjected, data, pcaModel, q, k,
+        graft.queries.ApproxQueries.PcaRerank, "vec_id", "embedding")
+        .select("vec_id"))
+
     def recallVs(truth: Seq[Set[Long]], approx: Seq[Set[Long]]): Double =
       truth.zip(approx).map { case (e, a) =>
         if (e.isEmpty) 1.0 else e.intersect(a).size.toDouble / e.size
@@ -339,7 +360,8 @@ object RecallBench {
         f""""ivfpq_ms":$ivfPqMs%.2f,"ivfpq_recall":${recall(ivfPqRes)}%.4f,""" +
         f""""pq_ms":$pqMs%.2f,"pq_recall":${recall(pqRes)}%.4f,""" +
         f""""opq_ms":$opqMs%.2f,"opq_recall":${recall(opqRes)}%.4f,""" +
-        f""""bin_ms":$binMs%.2f,"bin_recall":${recall(binRes)}%.4f}"""
+        f""""bin_ms":$binMs%.2f,"bin_recall":${recall(binRes)}%.4f,""" +
+        f""""pca_ms":$pcaMs%.2f,"pca_recall":${recall(pcaRes)}%.4f}"""
     println(json)
     spark.stop()
   }

@@ -760,7 +760,10 @@ object AnalyticsQueries {
   def kmvSets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.model.VectorModel.events(spark, dir)
-    val sk = kmvSketches(ev)
+    // both the sketch and the exact element set feed TWO pair-side joins
+    // below — cache them (CacheRegistry) or each join re-runs its distinct
+    // aggregate from the raw events (the recurring shared-lineage class)
+    val sk = graft.store.CacheRegistry.cached(kmvSketches(ev))
     val types = sk.select("event_type").distinct()
     val pairs = broadcast(types.select(col("event_type").as("ta"))
       .crossJoin(types.select(col("event_type").as("tb")))
@@ -782,7 +785,7 @@ object AnalyticsQueries {
       max("h").as("theta"),
       sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("c"))
     // exact comparison sets (distinct elements, not hashes)
-    val el = kmvElements(ev).distinct()
+    val el = graft.store.CacheRegistry.cached(kmvElements(ev).distinct())
     val exact = pairs.join(el, col("event_type") === col("ta"))
       .select(col("ta"), col("tb"), col("e"), lit(1).as("in_a"), lit(0).as("in_b"))
       .unionByName(pairs.join(el, col("event_type") === col("tb"))

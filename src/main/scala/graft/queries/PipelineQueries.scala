@@ -1181,7 +1181,12 @@ object PipelineQueries {
     val m = TextQueries.lmModel(spark, dir)
     TextQueries.publishLmSidecars(spark, dir, m) // repair no-op
     val docs = VectorModel.documents(spark, dir)
-    val scores = graft.text.NgramLm.score(docs.select("doc_id", "text"), m)
+    // the scoring pass (explode + weight joins + doc-keyed shuffle) feeds
+    // BOTH the threshold aggregate and the acceptance branch — cache it
+    // (CacheRegistry) or the corpus is scored twice (the recurring
+    // shared-lineage class)
+    val scores = graft.store.CacheRegistry.cached(
+      graft.text.NgramLm.score(docs.select("doc_id", "text"), m))
     val thr = scores.where(col("n_bigrams") > 0)
       .agg(expr("sum(nll_q) div sum(n_bigrams)").as("thr_micro"))
     val decided = scores.crossJoin(broadcast(thr))

@@ -40,8 +40,12 @@ object NgramLm {
     * 256): a perplexity model's signal is per-TOKEN likelihood, which
     * bucket collisions blur directly (measured en-vs-rest separation
     * doubles from 256), and its state is still bounded — the ctx sidecar
-    * is B rows and the pair sidecar is capped by the REFERENCE SLICE'S
-    * distinct bigram count regardless of corpus size. */
+    * is B rows and the pair sidecar is capped at min(reference-slice
+    * distinct bigrams, B²). The honest worst case: B² = 16.7M rows
+    * ≈ 270 MB collected once at fit and broadcast at serve — the size of
+    * a small KenLM, heavy but routine for a model an entire 100 TB
+    * curation run amortizes; a corpus whose reference slice saturates it
+    * should drop B or shard the weight join. */
   val B = 4096
 
   /** Fixed-point scale for the quantized negative log-probs (1e-6 nats). */

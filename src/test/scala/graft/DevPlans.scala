@@ -78,7 +78,16 @@ object DevPlans {
     "dd_audio_fp" -> "audio fingerprint: fixture synthesis + PCM decode + 65-window energy dHash all scan-side codegen kernels (media_fixture -> media_audio_fp) — one projection, no shuffle before the final order",
     "ann_ivf_topk" -> "adaptive-default embeddings IVF: the candidate-mass probe walk runs driver-side over the 16-centroid model + size map; the plan is the same pruned cluster_id filter scan as the fixed rule — budget adaptive, pruning shape unchanged",
     "pipe_dsir_mix" -> "full curation capstone: ONE cached gate-scoring pass (InMemoryTableScan feeds gate + survivor branches), DSIR's bounded 256/257-row broadcast joins over the gated survivors, bounded per-source mass broadcast, pure-expression md5 acceptance — three shuffles end to end",
-    "pipe_domain_mix" -> "learned-domain mixing: embed+assign are scan-side codegen kernels (hash_embed → nearest_centroid, 8×16-double model state riding the plan), bounded per-domain mass broadcast, pure-expression acceptance — no corpus-sized join anywhere")
+    "pipe_domain_mix" -> "learned-domain mixing: embed+assign are scan-side codegen kernels (hash_embed → nearest_centroid, 8×16-double model state riding the plan), bounded per-domain mass broadcast, pure-expression acceptance — no corpus-sized join anywhere",
+    "pipe_decontaminate_fuzzy" -> "fuzzy decontamination: eval docs (the bounded DELTA) pay fresh minhash, corpus side is a SCAN of the persisted signature layout with eval ids anti-joined out, shuffle-hash band join with the eval side as build — delta×corpus, never corpus²",
+    "tx_langid_model" -> "learned language ID: bounded-prefix trigram explode, BOUNDED |langs|·256-row weight BroadcastHashJoin, per-(doc,lang) integer dots map-side combined, argmax window over ≤|langs| rows per doc — model state fixed-size",
+    "dd_video_phash" -> "video near-dup: Y4M decode + per-frame dHash as ONE scan-side codegen kernel (media_video_fp), slot-0 pigeonhole band join (complete: all-aligned-≤ implies slot-0-≤), exact aligned-slot max verify in place",
+    "vq_asof_read" -> "time-travel read: the PINNED version directory resolves once, then the plan is a plain pruned scan of that immutable snapshot — version semantics are directory selection, zero plan overhead",
+    "q_kmv_sets" -> "KMV set sketch: one distinct aggregate over (type, hash) — the only corpus shuffle, map-side combinable — then the BottomS truncation bounds everything downstream at types·k rows; exact comparison columns ride the same cached distinct",
+    "tx_perplexity" -> "LM perplexity scoring: bigram explode + BOUNDED pair-weight and context-default BroadcastHashJoins + one map-side-combinable integer sum per doc — the quality-gate shape with a two-level (pair, fallback) lookup",
+    "pipe_perplexity_gate" -> "relative perplexity gate: ONE cached scoring pass (InMemoryTableScan feeds threshold + acceptance branches), the pooled threshold is a SCALAR broadcast, keep-compare is integer expressions — no sort, no percentile pass",
+    "pipe_stratified_sample" -> "stratified sampling: the BottomS ObjectHashAggregate truncates to s rows per (stratum, partition) map-side — the shuffle carries ≤ s per stratum per task; stratum populations broadcast onto the bounded sample",
+    "ann_pca_topk" -> "PCA two-stage: the coarse scan's ReadSchema is (vec_id, p0..p15) — a quarter of the float bytes, no vector column — one codegen'd subspace-L2 projection, TakeOrderedAndProject cut, bounded candidate broadcast back to the vectors for the exact re-rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
