@@ -215,14 +215,9 @@ object RecallBench {
     // the projection's hard case (like the binary point above)
     val pcaModel = graft.pq.Pca.fit(data, "embedding", dim, "vec_id")
     val pcaProjected = data
-      .withColumn("_nrm", graft.pq.Pca.safeNormExpr(
-        org.apache.spark.sql.functions.col("embedding"), dim))
       .select(org.apache.spark.sql.functions.col("vec_id") +:
-        (0 until graft.pq.Pca.R).map(r =>
-          graft.pq.Pca.projectExpr(
-            org.apache.spark.sql.functions.col("embedding"),
-            org.apache.spark.sql.functions.col("_nrm"), pcaModel, r)
-            .as(s"p$r")): _*)
+        graft.pq.Pca.projectionCols(
+          org.apache.spark.sql.functions.col("embedding"), pcaModel): _*)
       .cache()
     pcaProjected.count()
     val (pcaMs, pcaRes) = timeAll(q =>

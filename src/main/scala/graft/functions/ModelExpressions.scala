@@ -49,6 +49,13 @@ object ModelExpressions {
     ColumnBridge.column(NearestCentroid(
       dbl(vec), new IvfKernel(centroids)))
 
+  /** All-components PCA projection of the normalized vector
+    * ([[graft.pq.Pca]] — array of R doubles; see [[PcaKernel]]). */
+  def pcaProject(vec: Column, mean: Array[Double],
+      components: Array[Array[Double]]): Column =
+    ColumnBridge.column(PcaProjectAll(
+      dbl(vec), new PcaKernel(mean, components)))
+
   /** L2 distance from a row's vector to its assigned centroid
     * ([[graft.index.Ivf.meanAssignmentDistance]]). */
   def centroidDistance(vec: Column, clusterId: Column,
@@ -692,6 +699,54 @@ final class HashEmbedKernel(val dim: Int) extends Serializable {
     }
     UnsafeArrayData.fromPrimitiveArray(acc)
   }
+}
+
+/** All-components PCA projection of one NORMALIZED vector — one fused
+  * O(dim·R) loop, bit-identical to the SQL mirror's left-associated
+  * chains: nrm = sqrt(v₀² + v₁² + …) (zero → divide by 1), then
+  * p_r = ((v₀/nrm − m₀)·c_r0 + (v₁/nrm − m₁)·c_r1 + …) in index order.
+  * Exists because the chain spelled as 16 × 64-term Column expressions
+  * overflowed janino's 64 KB method limit and dropped the whole
+  * projection stage to interpreted evaluation (measured in the round-15
+  * layout build); the kernel keeps the stage inside codegen at O(1)
+  * generated-code size, the [[HashEmbedKernel]] argument. */
+final class PcaKernel(val mean: Array[Double],
+    val components: Array[Array[Double]]) extends Serializable {
+  private val dim = mean.length
+  def project(v: ArrayData): ArrayData = {
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"vector of ${v.numElements()} elements is shorter than the model dimension $dim")
+    var n = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); n += x * x; i += 1 }
+    val n0 = math.sqrt(n)
+    val nrm = if (n0 == 0.0) 1.0 else n0
+    val out = new Array[Double](components.length)
+    var r = 0
+    while (r < components.length) {
+      val c = components(r)
+      var s = 0.0
+      i = 0
+      while (i < dim) { s += (v.getDouble(i) / nrm - mean(i)) * c(i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class PcaProjectAll(child: Expression, kernel: PcaKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Vec)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = kernel.project(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pcaKernel", kernel, classOf[PcaKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.project($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pca_project"
 }
 
 case class HashEmbed(child: Expression, kernel: HashEmbedKernel)

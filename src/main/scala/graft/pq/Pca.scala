@@ -109,26 +109,23 @@ object Pca {
     Model(mean, comps)
   }
 
-  /** The safe-norm Column of a vector: left-associated Σv², sqrt, zero →
-    * 1 — [[normalize]]'s engine twin, computed ONCE per row and shared by
-    * all [[R]] projection chains. */
-  def safeNormExpr(vecCol: Column, dim: Int): Column = {
-    val n = sqrt((0 until dim).map { i =>
-      element_at(vecCol, i + 1).cast("double") *
-        element_at(vecCol, i + 1).cast("double")
-    }.reduceLeft(_ + _))
-    when(n === 0.0, 1.0).otherwise(n)
-  }
+  /** All [[R]] projections of the NORMALIZED vector as one array Column —
+    * the fused [[graft.functions.PcaKernel]] loop, bit-identical to the
+    * SQL mirror's left-associated chains (norm, division, subtraction,
+    * product, sum all in index order). One kernel, O(1) generated code:
+    * the same chains spelled as 16 × 64-term Column expressions
+    * overflowed janino's 64 KB method limit and dropped the projection
+    * stage to interpreted evaluation. */
+  def projectionsCol(vecCol: Column, m: Model): Column =
+    graft.functions.ModelExpressions.pcaProject(vecCol, m.mean, m.components)
 
-  /** Projection of component `r` as a fixed left-associated Column chain
-    * over the NORMALIZED vector: (v₀/‖v‖−m₀)·c₀ + (v₁/‖v‖−m₁)·c₁ + … —
-    * the exact shape the SQL mirror re-derives from the published
-    * sidecars. `normCol` is the shared [[safeNormExpr]] column. */
-  def projectExpr(vecCol: Column, normCol: Column, m: Model, r: Int): Column =
-    m.components(r).indices.map { i =>
-      (element_at(vecCol, i + 1).cast("double") / normCol - lit(m.mean(i))) *
-        lit(m.components(r)(i))
-    }.reduceLeft(_ + _)
+  /** The flat (p0..p{R−1}) projection columns off one shared
+    * [[projectionsCol]] — expand via element_at; codegen subexpression
+    * elimination evaluates the kernel once per row. */
+  def projectionCols(vecCol: Column, m: Model): Seq[Column] = {
+    val ps = projectionsCol(vecCol, m)
+    (0 until R).map(r => element_at(ps, r + 1).as(s"p$r"))
+  }
 
   /** Driver-side projection of a query — normalized then the same
     * left-associated chain as [[projectExpr]], so engine and oracle agree

@@ -1441,16 +1441,8 @@ object ApproxQueries {
     pcaLayoutCache.computeIfAbsent(dir, _ => {
       val m = trainedPca(spark, dir)
       val p = graft.store.Fs.scratchDir(spark, "graft_pca")
-      // norm as a MATERIALIZED column, not an inline expression: all 16
-      // projection chains reference it 64 times each, and inlining the
-      // 64-term sqrt into every element turns codegen into a ~65k-node
-      // tree (measured 4× the whole build time in JIT/compile)
       VectorModel.embeddings(spark, dir)
-        .withColumn("_nrm",
-          graft.pq.Pca.safeNormExpr(col("embedding"), VectorModel.EmbDim))
-        .select(col("vec_id") +: (0 until graft.pq.Pca.R).map(r =>
-          graft.pq.Pca.projectExpr(col("embedding"), col("_nrm"), m, r)
-            .as(s"p$r")): _*)
+        .select(col("vec_id") +: graft.pq.Pca.projectionCols(col("embedding"), m): _*)
         .write.mode("overwrite").parquet(s"$p/proj")
       s"$p/proj"
     })

@@ -31,10 +31,8 @@ class PcaSpec extends SparkSpec {
     // spectral order survives into the projected corpus: variances of the
     // projection columns are non-increasing (small slack — the sample the
     // fit saw and the full corpus differ)
-    val nrm = Pca.safeNormExpr(col("embedding"), VectorModel.EmbDim)
-    val projected = emb.withColumn("_nrm", nrm)
-      .select((0 until Pca.R).map(r =>
-        Pca.projectExpr(col("embedding"), col("_nrm"), model, r).as(s"p$r")): _*)
+    val projected = emb
+      .select(Pca.projectionCols(col("embedding"), model): _*)
     val vars = projected.select((0 until Pca.R).map(r =>
       var_samp(col(s"p$r")).as(s"v$r")): _*).head
     val vs = (0 until Pca.R).map(vars.getDouble)
