@@ -101,7 +101,7 @@ object Bench {
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
-    ("build_domain_model", Set("pipe_domain_mix"),
+    ("build_domain_model", Set("pipe_domain_mix", "pipe_diverse_sample"),
       // hash-priority doc sample FIRST, then embed only the winners +
       // seeded k-means; the serving entry times assignment + mixing
       (s, d) => { queries.PipelineQueries.domainModel(s, d); () }),
@@ -113,7 +113,7 @@ object Bench {
       // hashed-feature LR fit on the planted fixture sample; the serving
       // entry times SCORING under the quantized weights, not training
       (s, d) => { queries.TextQueries.qualityModel(s, d); () }),
-    ("build_pca_layout", Set("ann_pca_topk"),
+    ("build_pca_layout", Set("ann_pca_topk", "ann_pca_batch_topk"),
       // sample-bounded covariance + driver power iteration, then the one
       // projection pass writing the 16-d reduced layout; the serving
       // entry times the coarse-scan + re-rank, not the build

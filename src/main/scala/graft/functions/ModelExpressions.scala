@@ -56,6 +56,19 @@ object ModelExpressions {
     ColumnBridge.column(PcaProjectAll(
       dbl(vec), new PcaKernel(mean, components)))
 
+  /** Per-row frozen-LM bigram score — [n_bigrams, nll_q] (see
+    * [[LmScoreKernel]]). */
+  def lmScore(text: Column, m: graft.text.NgramLm.Model): Column = {
+    val pairs = new java.util.HashMap[java.lang.Long, java.lang.Long](
+      m.pairs.size * 2)
+    m.pairs.foreach { case ((b1, b2), q) =>
+      pairs.put((b1.toLong << 32) | b2.toLong, q)
+    }
+    ColumnBridge.column(LmScore(
+      ColumnBridge.expression(text),
+      new LmScoreKernel(pairs, m.ctxDefault, graft.text.NgramLm.B)))
+  }
+
   /** L2 distance from a row's vector to its assigned centroid
     * ([[graft.index.Ivf.meanAssignmentDistance]]). */
   def centroidDistance(vec: Column, clusterId: Column,
@@ -734,6 +747,57 @@ final class PcaKernel(val mean: Array[Double],
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+}
+
+/** Per-row bigram-LM score under a FROZEN [[graft.text.NgramLm]] model —
+  * (n_bigrams, nll_q) as a 2-long array, for the stateless streaming gate
+  * ([[graft.streaming.StreamingIngest.lmGateStream]]): the pair table is
+  * up to B² entries, far past array-literal territory, so it rides as a
+  * reference object in one fused kernel instead (the [[PcaKernel]]
+  * pattern). Hashing matches the engine/SQL convention exactly — md5 of
+  * "lm:"+token, first 15 hex chars as a long, mod B — and the weight sum
+  * is integer, so the kernel's output equals [[graft.text.NgramLm.score]]
+  * value-for-value on the same row (StreamingSpec-gated). */
+final class LmScoreKernel(val pairs: java.util.HashMap[java.lang.Long, java.lang.Long],
+    val ctxDefault: Array[Long], val b: Int) extends Serializable {
+  private def bucket(tok: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(("lm:" + tok).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % b).toInt
+  }
+  def score(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    var n = 0L
+    var z = 0L
+    if (toks.length >= 2) {
+      var b1 = bucket(toks(0))
+      var i = 1
+      while (i < toks.length) {
+        val b2 = bucket(toks(i))
+        val w = pairs.get((b1.toLong << 32) | b2.toLong)
+        z += (if (w ne null) w.longValue() else ctxDefault(b1))
+        n += 1L
+        b1 = b2
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(n, z))
+  }
+}
+
+case class LmScore(child: Expression, kernel: LmScoreKernel)
+    extends UnaryExpression with KernelInputCheck {
+  override protected def expected: Seq[Option[DataType]] = Seq(Some(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    kernel.score(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("lmKernel", kernel, classOf[LmScoreKernel].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $k.score($t);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lm_score"
 }
 
 case class PcaProjectAll(child: Expression, kernel: PcaKernel)

@@ -161,4 +161,55 @@ object Pca {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** S4 twin of [[topK]]: ONE coarse scan serves the whole query set —
+    * every query's subspace distance evaluates in the same projection
+    * over the reduced layout (an array of (query_id, d2) structs,
+    * exploded), so the 16-double rows are read once per batch instead of
+    * once per query ([[BinaryQuantizer.batchTopK]]'s argument). Per-query
+    * candidate cuts use the k-bounded aggregator on (−d2, id) — the same
+    * (d2 asc, id asc) deterministic cut as the single path — and the
+    * re-rank joins the bounded candidate set back to the vector table
+    * with each query's vector attached. Output (query_id, id, sim, rn). */
+  def batchTopK(projected: DataFrame, vecs: DataFrame, m: Model,
+      queries: Seq[(Long, Seq[Double])], k: Int, rerank: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = projected.sparkSession
+    if (queries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("query_id", LongType),
+          StructField(idCol, LongType),
+          StructField("sim", DoubleType),
+          StructField("rn", LongType))))
+    val d2Structs = array(queries.map { case (qid, q) =>
+      struct(lit(qid).as("query_id"), coarseDistExpr(project(q, m)).as("d2"))
+    }: _*)
+    val scanned = projected
+      .select(col(idCol), explode(d2Structs).as("qd"))
+      .select(col("qd.query_id").as("query_id"), col(idCol),
+        col("qd.d2").as("d2"))
+    val cand = graft.operators.TopK.perGroupTopK(
+      scanned, "query_id", col(idCol), -col("d2"), rerank)
+      .select(col("query_id"), col("id").as(idCol))
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvec", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+    val scored = vecs
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col(idCol),
+        graft.GraftExtensions.cosineSim(
+          col(vecCol).cast("array<double>"), col("qvec")).as("sim_raw"))
+    graft.operators.TopK.perGroupTopK(scored, "query_id", col(idCol),
+      col("sim_raw"), k)
+      .withColumnRenamed("id", idCol)
+      .orderBy("query_id", "rn")
+  }
 }

@@ -1477,15 +1477,17 @@ object ApproxQueries {
     * sum in scan order), the query projects from its literals through
     * the same chain, the coarse cut keeps (d2 asc, id asc) top-100, and
     * the re-rank is the shared rounded-cosine convention. */
-  lazy val annPcaTopKSql: String = {
-    val d = VectorModel.EmbDim
-    val R = graft.pq.Pca.R
-    def m(i: Int) = s"pm.c$i"
-    def kc(r: Int, i: Int) = s"k$r.c$i"
-    val kCtes = (0 until R).map(r =>
-      s"k$r AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_components")} WHERE cluster_id = $r)")
-      .mkString(",\n")
-    val crossK = (0 until R).map(r => s"CROSS JOIN k$r").mkString(" ")
+  /** Shared scaffolding of the PCA mirrors: the safe-norm spelling, the
+    * mean/component single-row CTEs (pm, k0..k{R−1}) + their cross-join
+    * tail, the corpus-projection CTEs (nv, proj), and the per-component
+    * projection-chain builder — ONE definition composed by
+    * [[annPcaTopKSql]] and [[annPcaBatchTopKSql]] so the two cannot
+    * drift. */
+  private object PcaOracleSql {
+    val d: Int = VectorModel.EmbDim
+    val R: Int = graft.pq.Pca.R
+    private def m(i: Int) = s"pm.c$i"
+    private def kc(r: Int, i: Int) = s"k$r.c$i"
     def safeNorm(elem: Int => String): String = {
       val n = s"sqrt(${OracleSql.normSq(elem, d)})"
       s"CASE WHEN $n = CAST('0.0' AS DOUBLE) THEN CAST('1.0' AS DOUBLE) ELSE $n END"
@@ -1493,36 +1495,102 @@ object ApproxQueries {
     def projSql(elem: Int => String, r: Int): String =
       (0 until d).map(i => s"((${elem(i)} - ${m(i)}) * ${kc(r, i)})")
         .mkString(" + ")
+    val crossK: String = (0 until R).map(r => s"CROSS JOIN k$r").mkString(" ")
+    /** `pm, k0.., nv, proj` — the sidecar rows and the corpus projections. */
+    def corpusCtes: String = {
+      val kCtes = (0 until R).map(r =>
+        s"k$r AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_components")} WHERE cluster_id = $r)")
+        .mkString(",\n")
+      val eProj = (0 until R)
+        .map(r => s"(${projSql(i => s"(${OracleSql.listElem("nv.embedding")(i)} / nv.nrm)", r)}) AS p$r")
+        .mkString(",\n    ")
+      s"""pm AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_mean")}),
+         |$kCtes,
+         |nv AS (SELECT vec_id, embedding,
+         |    ${safeNorm(OracleSql.listElem("embedding"))} AS nrm
+         |  FROM embeddings),
+         |proj AS (SELECT nv.vec_id AS vec_id,
+         |    $eProj
+         |  FROM nv CROSS JOIN pm $crossK)""".stripMargin
+    }
+    def d2Sql(qp: String): String = (0 until R)
+      .map(r => s"(proj.p$r - $qp.q$r)*(proj.p$r - $qp.q$r)").mkString(" + ")
+  }
+
+  lazy val annPcaTopKSql: String = {
+    import PcaOracleSql._
     def qLit(i: Int) = OracleSql.lit(VectorModel.AnnQuery(i))
     val qProj = (0 until R)
       .map(r => s"(${projSql(i => s"(${qLit(i)} / qn.nrm)", r)}) AS q$r")
       .mkString(",\n    ")
-    val eProj = (0 until R)
-      .map(r => s"(${projSql(i => s"(${OracleSql.listElem("nv.embedding")(i)} / nv.nrm)", r)}) AS p$r")
-      .mkString(",\n    ")
-    val d2 = (0 until R)
-      .map(r => s"(proj.p$r - qp.q$r)*(proj.p$r - qp.q$r)").mkString(" + ")
     val sim = OracleSql.cosineConst(
       OracleSql.listElem("e.embedding"), VectorModel.AnnQuery)
-    s"""WITH pm AS (SELECT * FROM ${OracleSidecars.sqlTable("pca_mean")}),
-       |$kCtes,
-       |nv AS (SELECT vec_id, embedding,
-       |    ${safeNorm(OracleSql.listElem("embedding"))} AS nrm
-       |  FROM embeddings),
+    s"""WITH $corpusCtes,
        |qn AS (SELECT ${safeNorm(qLit)} AS nrm),
        |qp AS (SELECT
        |    $qProj
        |  FROM qn CROSS JOIN pm $crossK),
-       |proj AS (SELECT nv.vec_id AS vec_id,
-       |    $eProj
-       |  FROM nv CROSS JOIN pm $crossK),
        |cand AS (SELECT vec_id FROM (
-       |    SELECT proj.vec_id AS vec_id, $d2 AS d2
+       |    SELECT proj.vec_id AS vec_id, ${d2Sql("qp")} AS d2
        |    FROM proj CROSS JOIN qp)
        |  ORDER BY d2 ASC, vec_id ASC LIMIT $PcaRerank)
        |SELECT e.vec_id AS vec_id, round($sim, 6) AS sim
        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
        |ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin
+  }
+
+  /** S4 with method=pca over the stored reduced layout: ONE coarse scan
+    * for the whole deterministic query set ([[graft.pq.Pca.batchTopK]]).
+    * Hash-gated via [[annPcaBatchTopKSql]]; batch==single parity is
+    * additionally PcaSpec-gated. */
+  def annPcaBatchTopK(spark: SparkSession, dir: String): DataFrame = {
+    val m = trainedPca(spark, dir)
+    publishPcaSidecars(spark, dir, m) // repair no-op unless dir switched
+    val projected = spark.read.parquet(pcaLayout(spark, dir))
+    graft.pq.Pca.batchTopK(projected, VectorModel.embeddings(spark, dir), m,
+      annQueryBatch(8), 20, PcaRerank, "vec_id", "embedding")
+  }
+
+  /** Term-for-term mirror of the batch PCA path GIVEN the sidecars: the
+    * query set lands as ONE flat-column CTE (ql: query_id, l0..l63), so
+    * the 16 × 64-term projection chains are written ONCE and evaluate per
+    * query row — then the same per-query (d2 asc, id asc) cut and
+    * raw-cosine re-rank rank the [[annPcaTopKSql]] single path uses,
+    * partitioned by query_id. */
+  lazy val annPcaBatchTopKSql: String = {
+    import PcaOracleSql._
+    val qs = annQueryBatch(8)
+    val qlRows = qs.map { case (qid, q) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, " +
+        (0 until d).map(i => s"${OracleSql.lit(q(i))} AS l$i").mkString(", ")
+    }.mkString("\n  UNION ALL ")
+    def lE(i: Int) = s"ql.l$i"
+    def lE2(i: Int) = s"q2.l$i"
+    val qProj = (0 until R)
+      .map(r => s"(${projSql(i => s"((${lE(i)}) / qn.nrm)", r)}) AS q$r")
+      .mkString(",\n    ")
+    val sim = OracleSql.cosineCols(
+      OracleSql.listElem("e.embedding"), lE2, d)
+    s"""WITH $corpusCtes,
+       |ql AS ($qlRows),
+       |qn AS (SELECT query_id, ${safeNorm(lE)} AS nrm FROM ql),
+       |qp AS (SELECT ql.query_id AS query_id,
+       |    $qProj
+       |  FROM ql JOIN qn USING (query_id) CROSS JOIN pm $crossK),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |    SELECT qp.query_id AS query_id, proj.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY qp.query_id
+       |        ORDER BY ${d2Sql("qp")} ASC, proj.vec_id ASC) AS crn
+       |    FROM proj CROSS JOIN qp)
+       |  WHERE crn <= $PcaRerank)
+       |SELECT query_id, vec_id, sim, rn FROM (
+       |  SELECT c.query_id AS query_id, e.vec_id AS vec_id,
+       |    round($sim, 6) AS sim,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY $sim DESC, e.vec_id ASC) AS rn
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN ql q2 ON q2.query_id = c.query_id)
+       |WHERE rn <= 20 ORDER BY query_id, rn""".stripMargin
   }
 
   /** S4 at QUERY-SET scale — the DataFrame-native big-batch paths: the
@@ -1797,6 +1865,7 @@ object ApproxQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_sq_topk" -> annSqTopKSql,
     "ann_pca_topk" -> annPcaTopKSql,
+    "ann_pca_batch_topk" -> annPcaBatchTopKSql,
     "ann_bin_topk" -> annBinTopKSql,
     "ann_pq_adc_topk" -> annPqAdcTopKSql,
     "ann_opq_adc_topk" -> annOpqAdcTopKSql,
@@ -1826,6 +1895,7 @@ object ApproxQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_sq_topk" -> (annSqTopK _),
     "ann_pca_topk" -> (annPcaTopK _),
+    "ann_pca_batch_topk" -> (annPcaBatchTopK _),
     "ann_bin_topk" -> (annBinTopK _),
     "ann_bin_batch_topk" -> (annBinBatchTopK _),
     "ann_pq_adc_topk" -> (annPqAdcTopK _),

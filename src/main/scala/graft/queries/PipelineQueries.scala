@@ -1034,11 +1034,16 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
-  lazy val domainMixSql: String = {
+  /** The learned-domain ASSIGNMENT CTE chain (hd, e, cent, asg — hash
+    * embeddings → centroid sidecar → l2-argmin, `asg = (doc_id,
+    * cluster_id)`) — ONE definition composed by [[domainMixSql]] and the
+    * diverse-sample oracle ([[diverseSampleSql]]) so the two cannot
+    * drift (the [[dsirKeptCtes]] pattern). */
+  private[queries] def domainAsgCtes: String = {
     val d = TextQueries.EmbedDim
     def cE(i: Int) = s"cent.c$i"
     def eE(i: Int) = s"e.e$i"
-    s"""WITH hd AS (${TextQueries.hashedDocsSql}),
+    s"""hd AS (${TextQueries.hashedDocsSql}),
        |e AS (SELECT doc_id,
        |  ${TextQueries.hashFeatureComps}
        |FROM hd),
@@ -1049,7 +1054,11 @@ object PipelineQueries {
        |  SELECT e.doc_id, cent.cluster_id,
        |    row_number() OVER (PARTITION BY e.doc_id
        |      ORDER BY ${OracleSql.l2sq(cE, eE, d)} ASC, cent.cluster_id ASC) AS arn
-       |  FROM e CROSS JOIN cent) WHERE arn = 1),
+       |  FROM e CROSS JOIN cent) WHERE arn = 1)""".stripMargin
+  }
+
+  lazy val domainMixSql: String = {
+    s"""WITH $domainAsgCtes,
        |j AS (SELECT asg.cluster_id AS domain, doc.doc_id AS doc_id, doc.n_chars AS n_chars
        |  FROM documents doc JOIN asg USING (doc_id)),
        |m AS (SELECT domain, CAST(sum(n_chars) AS BIGINT) AS mass FROM j GROUP BY domain),
@@ -1265,9 +1274,66 @@ object PipelineQueries {
        |SELECT k.lang AS lang, k.doc_id AS doc_id, sz.n_stratum AS n_stratum
        |FROM keep k JOIN sz USING (lang) ORDER BY lang, doc_id""".stripMargin
 
+  /** Diversity sampling over LEARNED domains — [[stratifiedSample]] with
+    * the stratum a MODEL output instead of a label: assign every doc its
+    * nearest learned-domain centroid ([[domainModel]] — the k-means
+    * domain discovery [[domainMix]] serves), then take exactly
+    * min([[StratSampleSize]], n) docs per domain by md5 priority. The
+    * balanced-eval-set primitive for the 100 TB corpus that HAS no
+    * labels: a uniform sample is dominated by the heaviest content
+    * domain; this one guarantees every discovered domain its quota.
+    * HASH-GATED end-to-end by composing the two factored mirrors —
+    * the assignment chain ([[domainAsgCtes]], shared with
+    * `pipe_domain_mix`) and the bottom-s cut ([[stratifiedSampleSql]]'s
+    * shape) — so neither stage can drift.
+    *
+    * Scale shape: one embed+assign codegen projection pass (model state
+    * rides the plan), then the map-side-truncating bottom-s — the
+    * shuffle carries ≤ s rows per domain per task; domain populations
+    * are one bounded aggregate onto the ≤ domains·s sampled rows. */
+  def diverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val m = domainModel(spark, dir)
+    publishDomainCentroids(spark, dir, m) // repair no-op unless dir switched
+    val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    // assignment feeds BOTH the sample and the population count — cached,
+    // the domainMix precedent (one embed pass, not two)
+    val assigned = graft.store.CacheRegistry.cached(
+      graft.index.Ivf.assign(
+        VectorModel.documents(spark, dir)
+          .select(col("doc_id"), emb.embed(col("text")).as("vector")),
+        m)
+        .select(col("doc_id"), col("cluster_id").as("domain")))
+    val kept = graft.operators.TopK.perGroupBottomS(
+      assigned.select(col("domain"),
+        Dedup.hash60(concat(lit("divs:"), col("doc_id").cast("string")))
+          .as("pri"),
+        col("doc_id").cast("double").as("v")),
+      "domain", col("pri"), col("v"), StratSampleSize)
+      .select(col("domain"), col("value").cast("long").as("doc_id"))
+    val sizes = assigned.groupBy("domain").agg(count(lit(1)).as("n_domain"))
+    kept.join(broadcast(sizes), "domain")
+      .select(col("domain"), col("doc_id"), col("n_domain"))
+      .orderBy("domain", "doc_id")
+  }
+
+  lazy val diverseSampleSql: String =
+    s"""WITH $domainAsgCtes,
+       |dpri AS (SELECT asg.cluster_id AS domain, asg.doc_id AS doc_id,
+       |    ('0x'||substr(md5('divs:'||CAST(asg.doc_id AS VARCHAR)),1,15))::BIGINT AS pri
+       |  FROM asg),
+       |dkeep AS (SELECT domain, doc_id FROM (
+       |    SELECT domain, doc_id,
+       |      row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id) AS rn
+       |    FROM dpri) WHERE rn <= $StratSampleSize),
+       |dsz AS (SELECT domain, count(*) AS n_domain FROM dpri GROUP BY domain)
+       |SELECT CAST(k.domain AS INTEGER) AS domain, k.doc_id AS doc_id,
+       |  dsz.n_domain AS n_domain
+       |FROM dkeep k JOIN dsz USING (domain) ORDER BY domain, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_perplexity_gate" -> (perplexityGate _),
     "pipe_stratified_sample" -> (stratifiedSample _),
+    "pipe_diverse_sample" -> (diverseSample _),
     "pipe_domain_mix" -> (domainMix _),
     "pipe_dsir_mix" -> (dsirMix _),
     "pipe_dsir_sample" -> (dsirSample _),
@@ -1290,6 +1356,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "pipe_perplexity_gate" -> perplexityGateSql,
     "pipe_stratified_sample" -> stratifiedSampleSql,
+    "pipe_diverse_sample" -> diverseSampleSql,
     "pipe_domain_mix" -> domainMixSql,
     "pipe_dsir_mix" -> dsirMixSql,
     "pipe_dsir_sample" -> dsirSampleSql,

@@ -955,6 +955,67 @@ object StreamingIngest {
           .otherwise(0L).as("kept"))
   }
 
+  /** Streaming twin of the learned language ID
+    * ([[graft.text.LangIdModel.classify]]) under a frozen model —
+    * completes the stream-twin set of the four learned gates (quality,
+    * DSIR, LM, language). The batch path aggregates per-(doc, bucket)
+    * counts through a join; per-row the same integer dot is one
+    * `aggregate(transform(grams))` per language over the |langs|·256
+    * array literals, and the argmax is `array_max` over (score, −rank,
+    * lang) structs — the batch struct-max's ordering exactly. Docs too
+    * short to gram take the batch path's ('und', 0) via the size guard
+    * (an unguarded argmax over all-zero scores would pick rank 0
+    * instead). Stateless, append mode; classification is row-identical
+    * to the batch operator (StreamingSpec). */
+  def langIdStream(docs: DataFrame,
+      m: graft.text.LangIdModel.Model): DataFrame = {
+    import graft.text.LangIdModel
+    val gs = LangIdModel.grams(col("text"))
+    val scored = LangIdModel.Langs.zipWithIndex.map { case (l, r) =>
+      val wq = typedLit(m.wq(l).toSeq)
+      struct(
+        aggregate(
+          transform(gs, g => element_at(wq, (LangIdModel.bucket(g) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("score"),
+        lit(-r).as("nr"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    docs.select(col("doc_id"),
+      when(col("text").isNull || size(gs) === 0, lit("und"))
+        .otherwise(best.getField("lang")).as("lang"),
+      when(col("text").isNull || size(gs) === 0, lit(0L))
+        .otherwise(best.getField("score")).as("score"))
+  }
+
+  /** Streaming twin of the relative perplexity gate
+    * ([[graft.queries.PipelineQueries.perplexityGate]]) under a FROZEN
+    * model AND a FROZEN threshold — the deployment shape: the LM fits on
+    * the reference slice and the pooled threshold freezes at train time
+    * (both build steps), then the doc firehose gates statelessly.
+    * Unlike [[qualityGateStream]]/[[dsirGateStream]], whose 256-entry
+    * weight tables ride as array literals, the bigram pair table is up
+    * to B² entries — so the model rides as ONE fused kernel expression
+    * ([[graft.functions.LmScoreKernel]], reference object, no literal,
+    * no join, no state). Per-row output (doc_id, n_bigrams, nll_q, kept)
+    * is value-identical to [[graft.text.NgramLm.score]] + the gate's
+    * integer micro-nats compare on the same rows (StreamingSpec), NULL
+    * text scoring the batch path's empty-product (0, 0) and never kept.
+    * Threshold drift is a redeploy, not stream state — the same contract
+    * as model drift. */
+  def lmGateStream(docs: DataFrame, model: graft.text.NgramLm.Model,
+      thrMicro: Long): DataFrame = {
+    val s = coalesce(
+      graft.functions.ModelExpressions.lmScore(col("text"), model),
+      typedLit(Seq(0L, 0L)))
+    docs.select(col("doc_id"), s.as("_s"))
+      .select(col("doc_id"),
+        element_at(col("_s"), 1).as("n_bigrams"),
+        element_at(col("_s"), 2).as("nll_q"))
+      .withColumn("kept",
+        when(col("n_bigrams") > 0 &&
+          expr("nll_q div n_bigrams") < lit(thrMicro), 1L).otherwise(0L))
+  }
+
   /** Streaming twin of the PII scrub ([[graft.queries.TextQueries]]'s
     * `tx_pii` stage): typed match counts + the redacted text, per
     * micro-batch. Pure regexp expressions — stateless, no watermark,

@@ -52,6 +52,26 @@ class PcaSpec extends SparkSpec {
     info(f"PCA recall@20 = $recall%.2f at rerank ${graft.queries.ApproxQueries.PcaRerank}")
   }
 
+  test("batch serve == single serve per query (the S4 parity contract)") {
+    import graft.queries.ApproxQueries
+    val batch = ApproxQueries.queries("ann_pca_batch_topk")(spark, Sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    // the single path with each batch query's vector, same layout + model
+    val m = Pca.fit(emb, "embedding", VectorModel.EmbDim, "vec_id")
+    val projected = emb.select(
+      col("vec_id") +: Pca.projectionCols(col("embedding"), m): _*)
+    batch.foreach { case (qid, got) =>
+      val q = (0 until VectorModel.EmbDim)
+        .map(i => ((i * 37 + 11 + qid * 13) % 101) / 101.0)
+      val single = Pca.topK(projected, emb, m, q, 20,
+        ApproxQueries.PcaRerank, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === single, s"query $qid: batch != single")
+    }
+  }
+
   test("deterministic: refit is value-identical; zero vector projects finitely") {
     val m2 = Pca.fit(emb, "embedding", VectorModel.EmbDim, "vec_id")
     assert(m2.mean.toSeq === model.mean.toSeq)

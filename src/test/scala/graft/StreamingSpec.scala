@@ -538,6 +538,97 @@ class StreamingSpec extends SparkSpec {
     assert(sGot === bGot, "NULL/empty text must decide identically on both paths")
   }
 
+  test("streaming LM gate equals batch scoring + the frozen-threshold compare") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_lg").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val model = graft.text.NgramLm.fit(
+      docs.where(col("lang") === graft.queries.TextQueries.LmReferenceLang))
+    // the frozen threshold: the pooled corpus micro-nats at train time
+    val batchScores = graft.text.NgramLm.score(docs.select("doc_id", "text"), model)
+    val thr = batchScores.where(col("n_bigrams") > 0)
+      .agg(expr("sum(nll_q) div sum(n_bigrams)")).head.getLong(0)
+    val q = StreamingIngest.lmGateStream(
+        StreamingIngest.readDocuments(spark, dir), model, thr)
+      .writeStream.outputMode("append").format("memory").queryName("lg_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll_q, kept FROM lg_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val batch = batchScores
+        .withColumn("kept",
+          when(col("n_bigrams") > 0 &&
+            expr("nll_q div n_bigrams") < lit(thr), 1L).otherwise(0L))
+        .select("doc_id", "n_bigrams", "nll_q", "kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+      assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L),
+        "fixture must exercise both sides of the gate")
+    } finally q.stop()
+    // NULL/empty/short text parity: empty-product (0, 0), never kept
+    import spark.implicits._
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "single")).toDF("doc_id", "text")
+    val sGot = StreamingIngest.lmGateStream(withNull, model, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val bScore = graft.text.NgramLm.score(withNull, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    sGot.zip(bScore).foreach { case ((id, n, z, kept), (bid, bn, bz)) =>
+      assert(id == bid && n == bn && z == bz,
+        s"doc $id: stream ($n,$z) vs batch ($bn,$bz)")
+      if (n == 0L) assert(kept == 0L, s"no-evidence doc $id must not pass")
+    }
+  }
+
+  test("streaming language ID equals the batch classifier under the frozen model") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_li").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text")
+    val model = graft.text.LangIdModel.train(
+      graft.model.VectorModel.documents(spark, Sf0001))
+    val q = StreamingIngest.langIdStream(
+        StreamingIngest.readDocuments(spark, dir), model)
+      .writeStream.outputMode("append").format("memory").queryName("li_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, lang, score FROM li_test")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val batch = graft.text.LangIdModel.classify(docs, model)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+    // NULL/short-text parity: the batch left join coalesces to ('und', 0)
+    import spark.implicits._
+    val withNull = Seq((1L, "alpha beta gamma delta"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "ab")).toDF("doc_id", "text")
+    val sGot = StreamingIngest.langIdStream(withNull, model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val bGot = graft.text.LangIdModel.classify(withNull, model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(sGot === bGot, "NULL/short text must classify identically on both paths")
+  }
+
   test("foreachBatch append ingest lands every row") {
     val dir = eventsDir()
     val target = java.nio.file.Files.createTempDirectory("graft_ingest").toString

@@ -601,4 +601,37 @@ class TrancheSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq === rows.toSeq)
   }
+
+  test("diverseSample: quotas over LEARNED domains, sample consistent with assignment") {
+    val rows = PipelineQueries.diverseSample(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // re-derive the assignment with the same memoized model: every sampled
+    // doc must sit in the domain it was sampled from, every domain's
+    // sample size must be exactly min(s, population), and populations must
+    // partition the corpus
+    val m = PipelineQueries.domainModel(spark, Sf0001)
+    val emb = new graft.text.HashEmbedder(graft.queries.TextQueries.EmbedDim)
+    val asg = graft.index.Ivf.assign(
+        spark.read.parquet(s"$Sf0001/documents.parquet")
+          .select(col("doc_id"), emb.embed(col("text")).as("vector")), m)
+      .select(col("doc_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pop = asg.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_._3).sum / rows.groupBy(_._1).size >= 1) // populations ride along
+    rows.groupBy(_._1).foreach { case (dom, sample) =>
+      assert(sample.length ===
+        math.min(PipelineQueries.StratSampleSize.toLong, pop(dom)).toInt,
+        s"domain $dom quota")
+      sample.foreach { case (_, id, n) =>
+        assert(asg(id) === dom, s"doc $id sampled from domain $dom but assigned ${asg(id)}")
+        assert(n === pop(dom))
+      }
+    }
+    assert(rows.map(_._3).toSet.size === rows.groupBy(_._1).size ||
+      pop.values.toSet.size < pop.size) // per-domain populations consistent
+    val again = PipelineQueries.diverseSample(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === rows.toSeq)
+  }
 }
