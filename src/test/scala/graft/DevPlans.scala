@@ -87,7 +87,9 @@ object DevPlans {
     "tx_perplexity" -> "LM perplexity scoring: bigram explode + BOUNDED pair-weight and context-default BroadcastHashJoins + one map-side-combinable integer sum per doc — the quality-gate shape with a two-level (pair, fallback) lookup",
     "pipe_perplexity_gate" -> "relative perplexity gate: ONE cached scoring pass (InMemoryTableScan feeds threshold + acceptance branches), the pooled threshold is a SCALAR broadcast, keep-compare is integer expressions — no sort, no percentile pass",
     "pipe_stratified_sample" -> "stratified sampling: the BottomS ObjectHashAggregate truncates to s rows per (stratum, partition) map-side — the shuffle carries ≤ s per stratum per task; stratum populations broadcast onto the bounded sample",
-    "ann_pca_topk" -> "PCA two-stage: the coarse scan's ReadSchema is (vec_id, p0..p15) — a quarter of the float bytes, no vector column — one codegen'd subspace-L2 projection, TakeOrderedAndProject cut, bounded candidate broadcast back to the vectors for the exact re-rank")
+    "ann_pca_topk" -> "PCA two-stage: the coarse scan's ReadSchema is (vec_id, p0..p15) — a quarter of the float bytes, no vector column — one codegen'd subspace-L2 projection, TakeOrderedAndProject cut, bounded candidate broadcast back to the vectors for the exact re-rank",
+    "ann_pca_batch_topk" -> "batch PCA serving: ONE reduced-layout scan evaluates every query's subspace distance in the same projection (struct-array explode), per-query k-bounded aggregator cuts, bounded-candidate broadcast re-rank with each query's vector attached",
+    "pipe_diverse_sample" -> "learned-domain diversity sampling: embed+assign are scan-side codegen kernels (model state rides the plan), the BottomS ObjectHashAggregate truncates to s rows per (domain, partition) map-side, domain populations broadcast onto the bounded sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
