@@ -760,8 +760,9 @@ final class PcaKernel(val mean: Array[Double],
   * value-for-value on the same row (StreamingSpec-gated). */
 final class LmScoreKernel(val pairs: java.util.HashMap[java.lang.Long, java.lang.Long],
     val ctxDefault: Array[Long], val b: Int) extends Serializable {
-  private def bucket(tok: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  // one digest instance per score() call — digest() resets it, so the
+  // per-token cost is the hash alone, not an allocation
+  private def bucket(md: java.security.MessageDigest, tok: String): Int = {
     val hex = md.digest(("lm:" + tok).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15)
     (java.lang.Long.parseLong(hex, 16) % b).toInt
@@ -771,10 +772,11 @@ final class LmScoreKernel(val pairs: java.util.HashMap[java.lang.Long, java.lang
     var n = 0L
     var z = 0L
     if (toks.length >= 2) {
-      var b1 = bucket(toks(0))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var b1 = bucket(md, toks(0))
       var i = 1
       while (i < toks.length) {
-        val b2 = bucket(toks(i))
+        val b2 = bucket(md, toks(i))
         val w = pairs.get((b1.toLong << 32) | b2.toLong)
         z += (if (w ne null) w.longValue() else ctxDefault(b1))
         n += 1L
