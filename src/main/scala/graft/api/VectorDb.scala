@@ -97,6 +97,16 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   private var binCoveredUpTo: Long = 0L
   private var binMutated: Boolean = false
 
+  private var pca: Option[(graft.pq.Pca.Model, String)] = None
+  private var pcaOwnedRoot: Option[String] = None
+  private var pcaCoveredUpTo: Long = 0L
+  private var pcaMutated: Boolean = false
+
+  private def dropOwnedPca(): Unit = {
+    pcaOwnedRoot.foreach(deletePath)
+    pcaOwnedRoot = None
+  }
+
   private def dropOwnedBin(): Unit = {
     binOwnedRoot.foreach(deletePath)
     binOwnedRoot = None
@@ -245,7 +255,7 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     ivfPqSnap = None
     if (mutated) {
       hnswMutated = true; lshMutated = true; binMutated = true
-      zorderMutated = true
+      pcaMutated = true; zorderMutated = true
     }
   }
 
@@ -399,6 +409,58 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     // legs are disjoint: codes cover only ids below the build watermark
     data.join(broadcast(cand.select("id")), "id")
       .union(data.where(col("id") >= binCoveredUpTo))
+      .select(col("id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(topK)
+  }
+
+  /** Build the PCA-reduced layout ([[graft.pq.Pca]]): fit on this table's
+    * vectors at r = max(1, min(16, dim/4)) components — the 4× byte
+    * reduction where the dimension affords it, a plain rotation at tiny
+    * reference dims — and persist the projected (id, p0..p{r−1}) table.
+    * Same lifecycle contract as [[buildBinIndex]]: owned scratch dropped
+    * on rebuild, watermark for the exact delta region, mutation flag
+    * folded by [[maintainIndexes]]. */
+  def buildPcaIndex(scratch: Option[String] = None): Unit = {
+    requireNonEmpty("build_pca_index")
+    dropOwnedPca()
+    val r = math.max(1, math.min(graft.pq.Pca.R, dim / 4))
+    val m = graft.pq.Pca.fit(data, "vector", dim, "id", r)
+    val (base, ownedRoot) = scratch match {
+      case Some(s) => (s, s"$s/proj")
+      case None =>
+        val b = graft.store.Fs.scratchDir(spark, "graft_db_pca")
+        (b, b)
+    }
+    val p = s"$base/proj"
+    data.select(col("id") +: graft.pq.Pca.projectionCols(col("vector"), m): _*)
+      .write.mode("overwrite").parquet(p)
+    pcaOwnedRoot = Some(ownedRoot)
+    pca = Some((m, p))
+    pcaCoveredUpTo = nextId
+    pcaMutated = false
+  }
+
+  /** Two-stage PCA serving over the persisted projections
+    * ([[buildPcaIndex]] required, [[binSearch]]'s exact contract):
+    * subspace-L2 top-`rerank` candidates from the reduced table, merged
+    * with the EXACT delta region (ids at/above the build watermark), then
+    * every candidate re-scored against LIVE rows — deletes drop out,
+    * updates re-score, and mutation flips the [[maintainIndexes]] rebuild
+    * flag. */
+  def pcaSearch(query: Seq[Double], topK: Int = 5, rerank: Int = 100): DataFrame = {
+    checkDim(query)
+    val (m, path) = pca.getOrElse(
+      throw new IllegalStateException("pca index not built"))
+    val cand = spark.read.parquet(path)
+      .select(col("id"), graft.pq.Pca.coarseDistExpr(
+        graft.pq.Pca.project(query, m)).as("d2"))
+      .orderBy(col("d2").asc, col("id").asc)
+      .limit(rerank)
+    val sim = round(graft.GraftExtensions.cosineSim(col("vector"),
+      array(query.map(lit): _*)), 6)
+    data.join(broadcast(cand.select("id")), "id")
+      .union(data.where(col("id") >= pcaCoveredUpTo))
       .select(col("id"), sim.as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(topK)
@@ -665,6 +727,24 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         actions += "bin_rebuilt"
       }
     }
+    if (pca.isDefined) {
+      val counts = data.agg(
+        org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.count(when(col("id") >= pcaCoveredUpTo, 1))).head
+      val totalRows = counts.getLong(0)
+      val deltaRows = counts.getLong(1)
+      val baseRows = math.max(1L, totalRows - deltaRows)
+      if (totalRows == 0L) {
+        dropOwnedPca()
+        pca = None
+        pcaMutated = false
+        actions += "pca_dropped"
+      } else if (pcaMutated || deltaRows.toDouble > maxDeltaFraction * baseRows) {
+        // sample-bounded fit + one projection write
+        buildPcaIndex()
+        actions += "pca_rebuilt"
+      }
+    }
     if (zorderRoot.isDefined) {
       val counts = data.agg(
         org.apache.spark.sql.functions.count(lit(1)),
@@ -746,6 +826,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         if (bin.isDefined) binCoveredUpTo else -1L,
         fileCount(bin.map(_._2)),
         bin.map(b => s"words=${b._1.numWords}").getOrElse("")),
+      ("pca", pca.isDefined, pca.map(_._2).orNull, pcaMutated,
+        if (pca.isDefined) pcaCoveredUpTo else -1L,
+        fileCount(pca.map(_._2)),
+        pca.map(m => s"r=${m._1.components.length}").getOrElse("")),
       ("zorder", zorderRoot.isDefined, zorderRoot.orNull, zorderMutated,
         if (zorderRoot.isDefined) zorderCoveredUpTo else -1L,
         fileCount(zorderRoot.flatMap(r =>

@@ -62,7 +62,9 @@ object Pca {
     * 64×64 covariance in sorted-id order, then extract [[R]] components
     * by power iteration with deflation — all O(dim²) driver work after
     * the one covariance pass. */
-  def fit(df: DataFrame, vecCol: String, dim: Int, idCol: String): Model = {
+  def fit(df: DataFrame, vecCol: String, dim: Int, idCol: String,
+      r: Int = R): Model = {
+    require(r >= 1 && r <= dim, s"component count $r outside [1, $dim]")
     val sample = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .orderBy(hash(col(idCol)), col(idCol))
@@ -85,8 +87,8 @@ object Pca {
         i += 1
       }
     }
-    val comps = Array.ofDim[Double](R, dim)
-    for (r <- 0 until R) {
+    val comps = Array.ofDim[Double](r, dim)
+    for (r <- 0 until comps.length) {
       // fixed pseudorandom start — a constant start can be orthogonal to
       // the target eigenvector; this one is reproducible and generic
       var v = Array.tabulate(dim)(i => ((i * 37 + r * 17 + 5) % 101) / 101.0 - 0.5)
@@ -124,7 +126,7 @@ object Pca {
     * elimination evaluates the kernel once per row. */
   def projectionCols(vecCol: Column, m: Model): Seq[Column] = {
     val ps = projectionsCol(vecCol, m)
-    (0 until R).map(r => element_at(ps, r + 1).as(s"p$r"))
+    m.components.indices.map(r => element_at(ps, r + 1).as(s"p$r"))
   }
 
   /** Driver-side projection of a query — normalized then the same
