@@ -88,15 +88,15 @@ object Pca {
       }
     }
     val comps = Array.ofDim[Double](r, dim)
-    for (r <- 0 until comps.length) {
+    for (ci <- 0 until comps.length) {
       // fixed pseudorandom start — a constant start can be orthogonal to
       // the target eigenvector; this one is reproducible and generic
-      var v = Array.tabulate(dim)(i => ((i * 37 + r * 17 + 5) % 101) / 101.0 - 0.5)
+      var v = Array.tabulate(dim)(i => ((i * 37 + ci * 17 + 5) % 101) / 101.0 - 0.5)
       for (_ <- 0 until Iters) {
         val w = Array.tabulate(dim)(i =>
           (0 until dim).map(j => cov(i)(j) * v(j)).sum)
         // deflate: remove the span of already-extracted components
-        for (p <- 0 until r) {
+        for (p <- 0 until ci) {
           val d = (0 until dim).map(i => w(i) * comps(p)(i)).sum
           for (i <- 0 until dim) w(i) -= d * comps(p)(i)
         }
@@ -106,7 +106,7 @@ object Pca {
       // canonical sign: largest-|coeff| entry positive (lowest index wins ties)
       val lead = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
       if (v(lead) < 0.0) v = v.map(-_)
-      comps(r) = v
+      comps(ci) = v
     }
     Model(mean, comps)
   }

@@ -1475,7 +1475,7 @@ object ApproxQueries {
     * coefficient is a column, keeping the 64-term projection sums in
     * the engine's exact left-associated order — a SQL aggregate would
     * sum in scan order), the query projects from its literals through
-    * the same chain, the coarse cut keeps (d2 asc, id asc) top-100, and
+    * the same chain, the coarse cut keeps (d2 asc, id asc) top-[[PcaRerank]], and
     * the re-rank is the shared rounded-cosine convention. */
   /** Shared scaffolding of the PCA mirrors: the safe-norm spelling, the
     * mean/component single-row CTEs (pm, k0..k{R−1}) + their cross-join

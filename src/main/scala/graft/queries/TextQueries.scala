@@ -1310,7 +1310,7 @@ object TextQueries {
     * text): sidecars → bucket bigrams → per-doc fixed-point sum → nats,
     * as CTEs `lw, lc, lg, ls, ln` with `ln = (doc_id, n_bigrams, nll_q,
     * nats)` — ONE definition composed by [[perplexitySql]] and the
-    * perplexity-gate oracle ([[PipelineQueries.perplexityFilterSql]]) so
+    * perplexity-gate oracle ([[PipelineQueries.perplexityGateSql]]) so
     * the two cannot drift (the [[qualityLogitCtes]] pattern). */
   private[queries] def lmNatsCtes(src: String): String = {
     val b = graft.text.NgramLm.B

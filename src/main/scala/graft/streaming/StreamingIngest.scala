@@ -633,10 +633,17 @@ object StreamingIngest {
     * batches hashes identically, and a duplicated hash would displace a
     * genuine k-th minimum. Every globally-bottom-k hash is bottom-k
     * within its own batch, so this equals [[graft.queries.
-    * AnalyticsQueries.kmvSketches]] over the full history. */
+    * AnalyticsQueries.kmvSketches]] over the full history.
+    *
+    * The projection to `(event_type, h)` must come BEFORE the distinct:
+    * the raw read's schema carries the `batch` partition column, and a
+    * distinct over it would keep one copy of the same hash PER BATCH —
+    * exactly the duplicated-hash displacement this step exists to
+    * prevent once a type exceeds k distinct elements. */
   def kmvSketchFrom(spark: SparkSession, statePath: String): DataFrame =
     graft.operators.TopK.perGroupBottomS(
-      spark.read.parquet(s"$statePath/kmv").distinct()
+      spark.read.parquet(s"$statePath/kmv")
+        .select("event_type", "h").distinct()
         .select(col("event_type"), col("h"), lit(0.0).as("v")),
       "event_type", col("h"), col("v"), graft.queries.AnalyticsQueries.KmvK)
       .select(col("event_type"), col("pri").as("h"))
@@ -656,7 +663,8 @@ object StreamingIngest {
           col("pri"), col("value"), graft.queries.AnalyticsQueries.QsSampleSize)),
       s"$statePath/kmv" -> compactBatchState(spark, s"$statePath/kmv",
         fold = df => graft.operators.TopK.perGroupBottomS(
-          df.distinct().select(col("event_type"), col("h"), lit(0.0).as("v")),
+          df.select("event_type", "h").distinct()
+            .select(col("event_type"), col("h"), lit(0.0).as("v")),
           "event_type", col("h"), col("v"),
           graft.queries.AnalyticsQueries.KmvK)
           .select(col("event_type"), col("pri").as("h"))))

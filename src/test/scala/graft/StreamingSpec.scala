@@ -1396,6 +1396,43 @@ class StreamingSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("streaming KMV: cross-batch recurrence past k does not displace genuine minima") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.AnalyticsQueries
+    // One type, 450 distinct users (> KmvK = 256), three batches whose user
+    // ranges OVERLAP — the same (event_type, h) recurs across micro-batch
+    // partitions. A distinct over the raw state (which carries the `batch`
+    // partition column) keeps one copy per batch; the duplicated hashes then
+    // displace genuine k-th minima in the bottom-k fold. The projection-first
+    // distinct in kmvSketchFrom keeps this equal to the batch kernel.
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = (0 until 450).map(u =>
+      (u.toLong, u.toLong, "click", 1.0, 0L))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val base = java.nio.file.Files.createTempDirectory("graft_kmvrec").toString
+    val st = s"$base/state"
+    // batch ranges [0,300), [150,450), [0,450) — every element recurs
+    val slices = Seq((0, 300), (150, 450), (0, 450))
+    slices.zipWithIndex.foreach { case ((lo, hi), b) =>
+      StreamingIngest.sketchIngestBatch(
+        ev.where(col("user_id") >= lo && col("user_id") < hi), st, b.toLong)
+    }
+    def kmvSeq(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val served = kmvSeq(StreamingIngest.kmvSketchFrom(spark, st))
+    val batch = kmvSeq(AnalyticsQueries.kmvSketches(ev))
+    assert(served.size === AnalyticsQueries.KmvK,
+      "450 distinct elements must saturate the bottom-k sketch")
+    assert(served.map(_._2).distinct.size === served.size,
+      "a KMV sketch must never carry a duplicated hash")
+    assert(served === batch,
+      "grown KMV state must equal the batch sketch over full history")
+    // compaction preserves the fixed sketch
+    StreamingIngest.compactSketchState(spark, st)
+    assert(kmvSeq(StreamingIngest.kmvSketchFrom(spark, st)) === batch)
+  }
+
   test("streaming keyed merge: grown state == one-shot merge of the compacted log, replay is content-idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
