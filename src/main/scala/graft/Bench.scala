@@ -82,6 +82,13 @@ object Bench {
       (s, d) => { queries.ApproxQueries.sqCodesLayout(s, d); () }),
     ("build_bin_codes", Set("ann_bin_topk", "ann_bin_batch_topk"),
       (s, d) => { queries.ApproxQueries.binCodesLayout(s, d); () }),
+    ("build_vec_id_layout",
+      Set("ann_bin_topk", "ann_bin_batch_topk",
+        "ann_pca_topk", "ann_pca_batch_topk"),
+      // the id-clustered re-rank fetch target (range-partitioned + sorted
+      // by vec_id, bloom on the id column); the serving entries time the
+      // coarse scan + PRUNED candidate fetch, not the clustering write
+      (s, d) => { queries.ApproxQueries.vecByIdLayout(s, d); () }),
     ("build_zorder_layout", Set("q_zorder_box"),
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",

@@ -93,7 +93,14 @@ object BinaryQuantizer {
   /** Two-stage top-k: Hamming top-`rerank` over the stored codes
     * (deterministic (ham asc, id asc) cut), then exact rounded-cosine
     * re-rank over just those ids against the vector table. Output
-    * (id, ham, sim) ordered (sim desc, id asc). */
+    * (id, ham, sim) ordered (sim desc, id asc).
+    *
+    * The re-rank is a PRUNED fetch ([[graft.pq.Pca.topK]]'s argument):
+    * the Hamming cut is driver-bounded, so its (id, ham) rows collect,
+    * the ids push into the vector scan as `id IN (…)`
+    * ([[graft.search.IdFetch]]), and the Hamming distances re-attach
+    * from the rebuilt local candidate frame — the exact stage reads row
+    * groups proportional to `rerank`, never the corpus. */
   def topK(codes: DataFrame, vecs: DataFrame, bq: BinaryQuantizer,
       query: Seq[Double], k: Int, rerank: Int, idCol: String,
       vecCol: String): DataFrame = {
@@ -101,8 +108,10 @@ object BinaryQuantizer {
       .select(col(idCol), bq.hammingExpr(bq.pack(query)).as("ham"))
       .orderBy(col("ham").asc, col(idCol).asc)
       .limit(rerank)
-    vecs
-      .join(broadcast(cand), Seq(idCol))
+    val candRows = cand.collect()
+    val candDf = graft.search.IdFetch.localFrame(vecs, candRows, cand.schema)
+    graft.search.IdFetch.fetchByIds(vecs, idCol, candRows.map(_.get(0)).toSeq)
+      .join(broadcast(candDf), Seq(idCol))
       .select(col(idCol), col("ham"),
         round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6)
           .as("sim"))
@@ -117,9 +126,11 @@ object BinaryQuantizer {
     * ADC-batch argument ([[graft.index.IvfPq.batchSearch]]). Per-query
     * candidate cuts use the k-bounded aggregator on (-ham, id) — the same
     * (ham asc, id asc) deterministic cut as the single path — and the
-    * re-rank joins the bounded candidate set back to the vector table
-    * with each query's vector attached. Output (query_id, id, sim, rn);
-    * batch==single parity is BinSpec-gated. */
+    * re-rank FETCHES the bounded candidate union (ids collected and
+    * pushed as `id IN (…)` into the vector scan, the [[topK]] pruning
+    * argument) with each query's vector attached via the rebuilt local
+    * candidate frame. Output (query_id, id, sim, rn); batch==single
+    * parity is BinSpec-gated. */
   def batchTopK(codes: DataFrame, vecs: DataFrame, bq: BinaryQuantizer,
       queries: Seq[(Long, Seq[Double])], k: Int, rerank: Int, idCol: String,
       vecCol: String): DataFrame = {
@@ -144,14 +155,17 @@ object BinaryQuantizer {
     val cand = graft.operators.TopK.perGroupTopK(
       scanned, "query_id", col(idCol), -col("ham").cast("double"), rerank)
       .select(col("query_id"), col("id").as(idCol))
+    val candRows = cand.collect()
+    val candDf = graft.search.IdFetch.localFrame(vecs, candRows, cand.schema)
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(DoubleType, containsNull = false),
           nullable = false))))
-    val scored = vecs
-      .join(broadcast(cand), Seq(idCol))
+    val scored = graft.search.IdFetch.fetchByIds(
+        vecs, idCol, candRows.map(_.get(1)).distinct.toSeq)
+      .join(broadcast(candDf), Seq(idCol))
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), col(idCol),
         round(graft.GraftExtensions.cosineSim(

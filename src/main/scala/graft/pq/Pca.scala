@@ -148,15 +148,22 @@ object Pca {
   /** Two-stage top-k: coarse (d2 asc, id asc) cut to `rerank` candidates
     * off the projected layout, exact-cosine re-rank against the full
     * vectors — the [[BinaryQuantizer.topK]] shape with an L2 subspace
-    * stage instead of Hamming. */
+    * stage instead of Hamming.
+    *
+    * The re-rank is a PRUNED fetch, not a join probe: the candidate set
+    * is driver-bounded by construction (`LIMIT rerank`), so its ids
+    * collect and push into the vector scan as `id IN (…)`
+    * ([[graft.search.IdFetch]]) — over an id-clustered layout the exact
+    * stage reads row groups proportional to `rerank`, never the corpus. */
   def topK(projected: DataFrame, vecs: DataFrame, m: Model, query: Seq[Double],
       k: Int, rerank: Int, idCol: String, vecCol: String): DataFrame = {
-    val cand = projected
+    val candIds = projected
       .select(col(idCol), coarseDistExpr(project(query, m)).as("d2"))
       .orderBy(col("d2").asc, col(idCol).asc)
       .limit(rerank)
-    vecs
-      .join(broadcast(cand), Seq(idCol))
+      .select(col(idCol))
+      .collect().map(_.get(0)).toSeq
+    graft.search.IdFetch.fetchByIds(vecs, idCol, candIds)
       .select(col(idCol),
         round(graft.functions.VectorFunctions.cosineConst(col(vecCol), query), 6)
           .as("sim"))
@@ -171,8 +178,10 @@ object Pca {
     * once per query ([[BinaryQuantizer.batchTopK]]'s argument). Per-query
     * candidate cuts use the k-bounded aggregator on (−d2, id) — the same
     * (d2 asc, id asc) deterministic cut as the single path — and the
-    * re-rank joins the bounded candidate set back to the vector table
-    * with each query's vector attached. Output (query_id, id, sim, rn). */
+    * re-rank FETCHES the bounded candidate union (≤ queries × rerank ids,
+    * collected and pushed as `id IN (…)` into the vector scan — the
+    * [[topK]] pruning argument) with each query's vector attached via the
+    * rebuilt local candidate frame. Output (query_id, id, sim, rn). */
   def batchTopK(projected: DataFrame, vecs: DataFrame, m: Model,
       queries: Seq[(Long, Seq[Double])], k: Int, rerank: Int, idCol: String,
       vecCol: String): DataFrame = {
@@ -197,14 +206,17 @@ object Pca {
     val cand = graft.operators.TopK.perGroupTopK(
       scanned, "query_id", col(idCol), -col("d2"), rerank)
       .select(col("query_id"), col("id").as(idCol))
+    val candRows = cand.collect()
+    val candDf = graft.search.IdFetch.localFrame(vecs, candRows, cand.schema)
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(queries.map { case (qid, q) => Row(qid, q) }),
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(DoubleType, containsNull = false),
           nullable = false))))
-    val scored = vecs
-      .join(broadcast(cand), Seq(idCol))
+    val scored = graft.search.IdFetch.fetchByIds(
+        vecs, idCol, candRows.map(_.get(1)).distinct.toSeq)
+      .join(broadcast(candDf), Seq(idCol))
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), col(idCol),
         graft.GraftExtensions.cosineSim(

@@ -1279,6 +1279,25 @@ object ApproxQueries {
   private val binCodesLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build-once/serve-many id-clustered (vec_id, embedding) layout — the
+    * PRUNED re-rank fetch target of the two-stage codecs (binary, PCA):
+    * range-partitioned + sorted by vec_id with a parquet bloom filter on
+    * the id column ([[graft.search.IdFetch.writeIdClustered]]), so the
+    * collected candidate ids push into the scan as `IN (…)` and a stats
+    * reader touches row groups proportional to the candidate count, not
+    * the corpus. Memoized per dataset dir; a Bench build step. */
+  private[graft] def vecByIdLayout(spark: SparkSession, dir: String): String =
+    vecByIdLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_vec_by_id")
+      graft.search.IdFetch.writeIdClustered(
+        VectorModel.embeddings(spark, dir).select("vec_id", "embedding"),
+        s"$p/vecs", "vec_id", numFiles = 32)
+      s"$p/vecs"
+    })
+
+  private val vecByIdLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Hamming re-rank candidate budget — sized so the exact stage stays a
     * broadcast while the popcount stage is the only full scan. */
   val BinRerank = 100
@@ -1291,7 +1310,8 @@ object ApproxQueries {
   def annBinTopK(spark: SparkSession, dir: String): DataFrame = {
     val bq = trainedBin(spark, dir)
     val codes = spark.read.parquet(binCodesLayout(spark, dir))
-    graft.pq.BinaryQuantizer.topK(codes, VectorModel.embeddings(spark, dir),
+    graft.pq.BinaryQuantizer.topK(codes,
+      spark.read.parquet(vecByIdLayout(spark, dir)),
       bq, VectorModel.AnnQuery, 20, BinRerank, "vec_id", "embedding")
   }
 
@@ -1407,7 +1427,7 @@ object ApproxQueries {
     val bq = trainedBin(spark, dir)
     val codes = spark.read.parquet(binCodesLayout(spark, dir))
     graft.pq.BinaryQuantizer.batchTopK(codes,
-      VectorModel.embeddings(spark, dir), bq, annQueryBatch(8),
+      spark.read.parquet(vecByIdLayout(spark, dir)), bq, annQueryBatch(8),
       20, BinRerank, "vec_id", "embedding")
       .orderBy("query_id", "rn")
   }
@@ -1466,7 +1486,8 @@ object ApproxQueries {
     val m = trainedPca(spark, dir)
     publishPcaSidecars(spark, dir, m) // repair no-op unless dir switched
     val projected = spark.read.parquet(pcaLayout(spark, dir))
-    graft.pq.Pca.topK(projected, VectorModel.embeddings(spark, dir), m,
+    graft.pq.Pca.topK(projected,
+      spark.read.parquet(vecByIdLayout(spark, dir)), m,
       VectorModel.AnnQuery, 20, PcaRerank, "vec_id", "embedding")
   }
 
@@ -1547,7 +1568,8 @@ object ApproxQueries {
     val m = trainedPca(spark, dir)
     publishPcaSidecars(spark, dir, m) // repair no-op unless dir switched
     val projected = spark.read.parquet(pcaLayout(spark, dir))
-    graft.pq.Pca.batchTopK(projected, VectorModel.embeddings(spark, dir), m,
+    graft.pq.Pca.batchTopK(projected,
+      spark.read.parquet(vecByIdLayout(spark, dir)), m,
       annQueryBatch(8), 20, PcaRerank, "vec_id", "embedding")
   }
 

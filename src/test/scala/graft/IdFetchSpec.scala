@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.search.IdFetch
+
+/** Gates the pruned re-rank fetch ([[graft.search.IdFetch]]) the
+  * two-stage codecs (PCA, binary) serve through: the candidate `IN` list
+  * actually reaches the parquet scan as a value-list pushdown, a
+  * stats-pruning reader skips the files whose id range holds no
+  * candidate, and the fetch is row-identical to the join probe it
+  * replaced. */
+class IdFetchSpec extends SparkSpec {
+
+  private lazy val emb =
+    VectorModel.embeddings(spark, Sf0001).select("vec_id", "embedding")
+
+  private lazy val layoutPath: String = {
+    val p = graft.store.Fs.scratchDir(spark, "idfetch_spec") + "/vecs"
+    IdFetch.writeIdClustered(emb, p, "vec_id", numFiles = 32)
+    p
+  }
+
+  test("candidate IN list survives to the scan as a pushed value filter") {
+    // 400 ids — the ann_pca_topk budget, far past Spark's default
+    // threshold of 10 where the pushed filter silently degrades to a
+    // min/max range spanning the whole domain
+    val ids = emb.select("vec_id").orderBy(md5(col("vec_id").cast("string")))
+      .limit(graft.queries.ApproxQueries.PcaRerank)
+      .collect().map(_.getLong(0)).toSeq
+    val fetched = IdFetch.fetchByIds(spark.read.parquet(layoutPath), "vec_id", ids)
+    val plan = fetched.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(vec_id"),
+      s"expected a pushed In(vec_id, …) filter in the scan, got:\n$plan")
+    assert(fetched.count() === ids.size.toLong)
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+      === IdFetch.InFilterThreshold.toString)
+  }
+
+  test("stats pruning: a bounded scattered fetch touches ~|ids| files, not the corpus") {
+    // 8 hash-scattered candidates over 32 id-disjoint files: a footer-stats
+    // reader must touch at most 8 files (one per candidate) — the other
+    // 24+ are skipped outright. This is the q_zorder_box measurement
+    // applied to the point-fetch workload: at 100 TB the re-rank reads
+    // row groups proportional to the CANDIDATE COUNT, never the corpus.
+    val ids = emb.select("vec_id").orderBy(md5(col("vec_id").cast("string")))
+      .limit(8).collect().map(_.getLong(0)).sorted.toSeq
+    val stats = graft.operators.ZOrder.fileStats(
+      spark.read.parquet(layoutPath), Seq("vec_id")).collect()
+    assert(stats.length === 32, s"expected 32 files, got ${stats.length}")
+    val touched = stats.count { r =>
+      val (lo, hi) = (r.getLong(1), r.getLong(2))
+      ids.exists(id => id >= lo && id <= hi)
+    }
+    assert(touched <= ids.size,
+      s"stats reader touches $touched of ${stats.length} files for " +
+        s"${ids.size} candidates — id clustering is not pruning")
+    info(s"fetch of ${ids.size} ids: $touched/${stats.length} files touched, " +
+      s"${stats.length - touched} skipped by footer stats")
+    // and the clustering is what buys it: file id-ranges are disjoint
+    val ranges = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file id ranges overlap: $hiA >= $loB")
+      case _ =>
+    }
+  }
+
+  test("fetch == join probe, row for row; empty candidate set is empty") {
+    val vecs = spark.read.parquet(layoutPath)
+    val ids = emb.select("vec_id").orderBy(md5(col("vec_id").cast("string")))
+      .limit(100).collect().map(_.getLong(0)).toSeq
+    val viaFetch = IdFetch.fetchByIds(vecs, "vec_id", ids)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val spark2 = spark
+    import spark2.implicits._
+    val viaJoin = vecs.join(broadcast(ids.toDF("vec_id")), "vec_id")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(viaFetch === viaJoin)
+    assert(IdFetch.fetchByIds(vecs, "vec_id", Seq.empty).count() === 0L)
+    assert(IdFetch.fetchByIds(vecs, "vec_id", Seq.empty).schema === vecs.schema)
+  }
+
+  test("a candidate list past the pushdown threshold fails loudly") {
+    val vecs = spark.read.parquet(layoutPath)
+    val tooMany = (0 until IdFetch.InFilterThreshold + 1).map(_.toLong)
+    val e = intercept[IllegalArgumentException] {
+      IdFetch.fetchByIds(vecs, "vec_id", tooMany)
+    }
+    assert(e.getMessage.contains("exceed the pushdown threshold"))
+  }
+
+  test("clustered layout round-trips content and writes id bloom filters") {
+    val back = spark.read.parquet(layoutPath)
+    assert(back.count() === emb.count())
+    assert(back.agg(sum("vec_id")).head.getLong(0) ===
+      emb.agg(sum("vec_id")).head.getLong(0))
+    // bloom filter presence: assert via the parquet footer-level API that
+    // at least the option landed — read one file's metadata through the
+    // hadoop reader
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(layoutPath)
+    val f = hPath.getFileSystem(conf).listStatus(hPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val idChunk = (0 until rg.getColumns.size())
+        .map(rg.getColumns.get)
+        .find(_.getPath.toDotString == "vec_id")
+        .getOrElse(fail("no vec_id column chunk"))
+      assert(idChunk.getBloomFilterOffset >= 0,
+        "vec_id column chunk carries no bloom filter")
+    } finally reader.close()
+  }
+}
