@@ -21,8 +21,14 @@ object PipelineQueries {
 
   val QualityFloor = 0.5
 
-  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = VectorModel.documents(spark, dir)
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpusFrom(VectorModel.documents(spark, dir))
+
+  /** [[cleanCorpus]] over ANY documents-shaped frame — the same pipeline
+    * body serves the parquet table and an acquisition ingest (e.g. a
+    * WARC crawl parsed through [[graft.sources.WarcSource]], WarcSpec's
+    * end-to-end gate). */
+  def cleanCorpusFrom(docs: DataFrame): DataFrame = {
     val keepers = Dedup.exactGroups(docs, "doc_id", "text").select(col("keeper").as("doc_id"))
     docs
       .join(keepers, Seq("doc_id"), "left_semi")

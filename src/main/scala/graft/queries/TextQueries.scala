@@ -227,6 +227,49 @@ object TextQueries {
 
   val avroAggSql: String = jsonlAggSql
 
+  /** WARC round-trip twin — the corpus-ACQUISITION front door rather
+    * than an interchange format: the documents table egresses as WARC
+    * response records whose HTTP payloads are full HTML pages
+    * ([[graft.sources.WarcSource]]), and re-ingests through the fail-loud
+    * record parser + byte-exact article recovery. The aggregate over the
+    * re-read crawl must hash-match the oracle over the original parquet —
+    * any framing slip, header drift, or escape asymmetry shows up as a
+    * value mismatch. */
+  def warcAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, warcLayoutCache, "graft_warc_layout",
+      graft.sources.WarcSource.write(_, _),
+      graft.sources.WarcSource.readDocuments(_, _))
+
+  private val warcLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val warcAggSql: String = jsonlAggSql
+
+  /** HTML → text extraction over the planted page fixture
+    * ([[graft.text.HtmlText]]): each document's text wraps into a full
+    * boilerplate page IN-QUERY on BOTH engines (head matter, a script
+    * whose body contains a literal `</p>`, nav/footer chrome, a comment),
+    * then the fixed extraction chain — element removal, block-break
+    * newlines, tag strip, entity decode, whitespace normalization —
+    * recovers the readable text. Hash-gated on the FULL extracted string,
+    * so every regex step must agree byte-for-byte across the two regex
+    * engines. */
+  def htmlText(spark: SparkSession, dir: String): DataFrame =
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.text.HtmlText.extract(
+          graft.text.HtmlText.page(col("doc_id"), col("text"))).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .orderBy("doc_id")
+
+  val htmlTextSql: String =
+    s"""SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id,
+       |    ${graft.text.HtmlText.extractSql(
+             graft.text.HtmlText.pageSql("doc_id", "text"))} AS text
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary top-N: total occurrences + document frequency per
     * lowercased whitespace token — the frequency table a
     * tokenizer-training / vocab-pruning / idf stage consumes. Classic
@@ -1366,6 +1409,8 @@ object TextQueries {
     "src_csv_agg" -> (csvAgg _),
     "src_orc_agg" -> (orcAgg _),
     "src_avro_agg" -> (avroAgg _),
+    "src_warc_agg" -> (warcAgg _),
+    "tx_html_text" -> (htmlText _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -1398,6 +1443,8 @@ object TextQueries {
     "src_csv_agg" -> csvAggSql,
     "src_orc_agg" -> orcAggSql,
     "src_avro_agg" -> avroAggSql,
+    "src_warc_agg" -> warcAggSql,
+    "tx_html_text" -> htmlTextSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.sources.WarcSource
+import graft.text.HtmlText
+
+/** Gates the WARC acquisition seam ([[graft.sources.WarcSource]]) and the
+  * HTML extraction chain ([[graft.text.HtmlText]]) beyond what the
+  * src_warc_agg / tx_html_text hash oracles see: row-level round-trip
+  * identity, the fail-loud framing contract, escape/decode inverses, and
+  * the end-to-end feed into the cleaning pipeline. */
+class WarcSpec extends SparkSpec {
+
+  private lazy val docs = VectorModel.documents(spark, Sf0001)
+
+  private def writeCorpus(): String = {
+    val p = graft.store.Fs.scratchDir(spark, "warc_spec") + "/crawl"
+    WarcSource.write(docs, p)
+    p
+  }
+
+  test("round trip is row-identical in all five columns") {
+    val p = writeCorpus()
+    val back = WarcSource.readDocuments(spark, p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val orig = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(back.length === orig.length)
+    assert(back === orig)
+  }
+
+  test("records surface carries the http envelope") {
+    val p = writeCorpus()
+    val rec = WarcSource.readRecords(spark, p)
+    assert(rec.count() === docs.count())
+    val one = rec.where(col("record_id") === "<urn:graft:0>").head
+    assert(one.getString(1) === "response")
+    assert(one.getString(2).startsWith("https://"))
+    assert(one.getInt(3) === 200)
+    assert(one.getString(4) === docs.where(col("doc_id") === 0).head.getString(2))
+    assert(one.getString(6).contains("<article><p>"))
+  }
+
+  test("html special characters in the text survive the round trip") {
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial corpus: literal markup, pre-escaped entities (the
+    // double-escape trap), the article close marker itself
+    val tricky = Seq(
+      (1L, "a < b && c > d", "en", "web", 14L),
+      (2L, "already &amp;lt; escaped", "en", "web", 24L),
+      (3L, "</p></article> inside text", "de", "web", 26L),
+      (4L, "quotes \" and ' and & mix <tag>", "fr", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = graft.store.Fs.scratchDir(spark, "warc_tricky") + "/crawl"
+    WarcSource.write(tricky, p)
+    val back = WarcSource.readDocuments(spark, p).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back === tricky.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))))
+  }
+
+  test("framing violations fail loudly with file and offset") {
+    def mangle(f: Array[Byte] => Array[Byte]): Throwable = {
+      val good = WarcSource.recordBytes(7L, "hello world", "en", "web")
+      intercept[IllegalArgumentException] {
+        WarcSource.parseFile("test.warc", f(good))
+      }
+    }
+    // bad magic
+    val e1 = mangle { b => b(4) = 'X'; b }
+    assert(e1.getMessage.contains("bad record magic"))
+    // truncated payload: chop the record mid-payload
+    val e2 = mangle(b => java.util.Arrays.copyOfRange(b, 0, b.length - 20))
+    assert(e2.getMessage.contains("overruns the file") ||
+      e2.getMessage.contains("unterminated"))
+    // missing record separator
+    val e3 = mangle { b => b(b.length - 2) = 'x'; b }
+    assert(e3.getMessage.contains("record separator"))
+    // corrupt Content-Length
+    val e4 = mangle { b =>
+      val s = new String(b, UTF_8).replaceFirst("Content-Length: ",
+        "Content-Length: x")
+      s.getBytes(UTF_8)
+    }
+    assert(e4.getMessage.contains("non-numeric Content-Length"))
+    // a valid non-response record parses through with null http fields
+    val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "WARC-Record-ID: <urn:graft:meta>\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
+      .getBytes(UTF_8)
+    val rows = WarcSource.parseFile("m.warc", meta)
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "warcinfo")
+    assert(rows.head.isNullAt(3))
+  }
+
+  test("escape/unescape are exact inverses; amp ordering handles double-escapes") {
+    val cases = Seq("a&b", "&lt;", "&amp;lt;", "<x>&</x>", "plain",
+      "&&&&", "a & b < c > d &amp; e")
+    cases.foreach { s =>
+      assert(HtmlText.unescapeStr(HtmlText.escapeStr(s)) === s, s"case '$s'")
+    }
+    // the escaped form never contains raw markup
+    cases.foreach(s => assert(!HtmlText.escapeStr(s).exists(c => c == '<' || c == '>')))
+  }
+
+  test("extraction drops script/style/boilerplate bodies but keeps content text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val html =
+      "<html><head><title>T</title><style>p{x:1}</style>" +
+        "<script>var a = \"</p>fake\";</script></head><body>" +
+        "<nav>skip me</nav><!-- no -->" +
+        "<h1>Head</h1><p>one &amp; two</p><br><div>three</div>" +
+        "<footer>skip too</footer></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(HtmlText.extract(col("h")).as("t")).head.getString(0)
+    assert(!got.contains("skip me") && !got.contains("skip too"))
+    assert(!got.contains("fake") && !got.contains("x:1") && !got.contains("no"))
+    assert(got.contains("Head") && got.contains("one & two") &&
+      got.contains("three"))
+    // block closes became line boundaries
+    assert(got.linesIterator.toSeq.map(_.trim)
+      .filter(_.nonEmpty).containsSlice(Seq("Head", "one & two", "three")))
+  }
+
+  test("warc-ingested corpus feeds the cleaning pipeline identically") {
+    // the acquisition story end-to-end: crawl → parse → extract →
+    // the SAME rows the parquet documents table gives pipe_clean_corpus
+    val p = writeCorpus()
+    val fromWarc = WarcSource.readDocuments(spark, p)
+    val viaWarc = graft.queries.PipelineQueries.cleanCorpusFrom(fromWarc)
+      .collect().map(_.toSeq).toSeq
+    val viaParquet = graft.queries.PipelineQueries.cleanCorpus(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaWarc === viaParquet)
+  }
+}
