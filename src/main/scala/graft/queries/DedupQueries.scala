@@ -779,7 +779,29 @@ object DedupQueries {
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY da, db""".stripMargin
 
+  /** Canonical-URL exact-dup groups ([[graft.text.Urls]]) — the crawl's
+    * FIRST dedup pass, before any content byte is compared: the planted
+    * URL-variant fixture canonicalizes (case, default ports, tracking
+    * params, fragments, slash runs) and groups on the canonical key with
+    * the [[exact]] keeper convention. Pure string expressions + one
+    * group-by shuffle; the canonicalization chain mirrors 1:1 in the
+    * oracle. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    Urls.urlCorpus(VectorModel.documents(spark, dir))
+      .select(col("doc_id"), Urls.canonical(col("url")).as("curl"))
+      .groupBy("curl")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+  }
+
+  val urlDedupSql: String =
+    s"""WITH ${graft.text.Urls.canonicalCtesSql(graft.text.Urls.urlCorpusSql)}
+       |SELECT curl, min(doc_id) AS keeper, count(*) AS n_copies
+       |FROM ucanon GROUP BY curl ORDER BY keeper""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_url_dedup" -> (urlDedup _),
     "dd_fuzzy_parts" -> (fuzzyParts _),
     "dd_cjk_ngram" -> (cjkNgramDedup _),
     "dd_embedding_ivf" -> (embeddingIvf _),
@@ -801,6 +823,7 @@ object DedupQueries {
     "dd_semantic_ivf" -> (semanticKeepersBucketed _))
 
   val oracleSql: Map[String, String] = Map(
+    "dd_url_dedup" -> urlDedupSql,
     "dd_fuzzy_parts" -> fuzzyPartsSql,
     "dd_cjk_ngram" -> cjkNgramDedupSql,
     "dd_ngram_capped" -> ngramJaccardCappedSql,

@@ -245,6 +245,22 @@ object TextQueries {
 
   val warcAggSql: String = jsonlAggSql
 
+  /** Gzip-JSONL round-trip twin of [[jsonlAgg]]
+    * ([[graft.sources.JsonlSource.writeGz]]) — proves the compressed-text
+    * read path end to end (codec resolution by extension, schema'd read,
+    * no row loss) with the non-splittability trade documented at the
+    * writer: parallelism is per-FILE, so the egress keeps many
+    * moderate files rather than one big stream. */
+  def jsonlGzAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, jsonlGzLayoutCache, "graft_jsonl_gz_layout",
+      graft.sources.JsonlSource.writeGz(_, _),
+      graft.sources.JsonlSource.readDocuments(_, _))
+
+  private val jsonlGzLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val jsonlGzAggSql: String = jsonlAggSql
+
   /** HTML → text extraction over the planted page fixture
     * ([[graft.text.HtmlText]]): each document's text wraps into a full
     * boilerplate page IN-QUERY on BOTH engines (head matter, a script
@@ -261,6 +277,32 @@ object TextQueries {
           graft.text.HtmlText.page(col("doc_id"), col("text"))).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .orderBy("doc_id")
+
+  /** Host-level crawl stats over canonicalized URLs
+    * ([[graft.text.Urls]]): per host, raw fetch count, DISTINCT canonical
+    * pages (the duplicate-fetch gap between the two is what URL
+    * canonicalization saves before any content pass), and the https
+    * share. The planted URL-variant fixture exercises every
+    * canonicalization rule at every SF. */
+  def urlStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    Urls.urlCorpus(VectorModel.documents(spark, dir))
+      .select(Urls.host(col("url")).as("host"),
+        Urls.scheme(col("url")).as("sch"),
+        Urls.canonical(col("url")).as("curl"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("curl")).as("n_pages"),
+        sum(when(col("sch") === "https", 1L).otherwise(0L)).as("n_https"))
+      .orderBy("host")
+  }
+
+  val urlStatsSql: String =
+    s"""WITH ${graft.text.Urls.canonicalCtesSql(graft.text.Urls.urlCorpusSql)}
+       |SELECT host, count(*) AS n_urls,
+       |  CAST(count(DISTINCT curl) AS BIGINT) AS n_pages,
+       |  CAST(sum(CASE WHEN sch = 'https' THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+       |FROM ucanon GROUP BY host ORDER BY host""".stripMargin
 
   val htmlTextSql: String =
     s"""SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
@@ -1410,7 +1452,9 @@ object TextQueries {
     "src_orc_agg" -> (orcAgg _),
     "src_avro_agg" -> (avroAgg _),
     "src_warc_agg" -> (warcAgg _),
+    "src_jsonl_gz" -> (jsonlGzAgg _),
     "tx_html_text" -> (htmlText _),
+    "tx_url_stats" -> (urlStats _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
     "tx_fingerprints" -> (fingerprints _),
@@ -1444,7 +1488,9 @@ object TextQueries {
     "src_orc_agg" -> orcAggSql,
     "src_avro_agg" -> avroAggSql,
     "src_warc_agg" -> warcAggSql,
+    "src_jsonl_gz" -> jsonlGzAggSql,
     "tx_html_text" -> htmlTextSql,
+    "tx_url_stats" -> urlStatsSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,
     "tx_fingerprints" -> fingerprintsSql,

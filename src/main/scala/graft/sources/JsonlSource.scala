@@ -72,4 +72,17 @@ object JsonlSource {
       case None =>
         df.write.mode(SaveMode.Overwrite).json(path)
     }
+
+  /** Write gzip-compressed JSONL (`.json.gz`) — the format public text
+    * corpora actually ship in. THE TRADE, stated plainly: gzip is a
+    * non-splittable stream, so each file becomes exactly ONE read task —
+    * a single 100 GB `.gz` serializes its whole decompress on one core.
+    * The mitigation is the file count: egress keeps the input's
+    * partitioning (many ~100 MB-class files), so reads parallelize
+    * per-file just like the WARC layout; readers need no flag because
+    * Hadoop's codec resolution keys off the extension. zstd has the same
+    * seam (`compression=zstd`, splittable only with a seekable-format
+    * wrapper); gzip is registered here as the interchange default. */
+  def writeGz(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
 }

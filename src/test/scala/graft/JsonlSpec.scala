@@ -34,6 +34,28 @@ class JsonlSpec extends SparkSpec {
     assert(rows(back) === rows(emb))
   }
 
+  test("gzip egress writes .gz part files that round-trip value-identically") {
+    val docs = VectorModel.documents(spark, Sf0001).repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    JsonlSource.writeGz(docs, s"$dir/out")
+    // the non-splittability mitigation made concrete: the egress kept the
+    // input's partitioning as SEPARATE .gz files (per-file parallel read),
+    // and codec resolution keys off the extension
+    val parts = Option(new java.io.File(s"$dir/out").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected .json.gz parts, got ${parts.map(_.getName).toSeq}")
+    assert(parts.size === 4)
+    val back = JsonlSource.readDocuments(spark, s"$dir/out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows(back) === rows(docs))
+    // ...and the read fans out one task per gz file
+    assert(back.rdd.getNumPartitions === 4)
+  }
+
   test("malformed lines drop instead of failing the read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
     val good = """{"doc_id": 1, "text": "a b c", "lang": "en", "source": "s0", "n_chars": 5}"""
