@@ -737,9 +737,9 @@ object AnalyticsQueries {
     * Scale shape: one distinct aggregate over (type, hash) — the one
     * corpus-sized shuffle, map-side combinable — then the bounded
     * bottom-k truncation; everything downstream touches ≤ types·k rows.
-    * The exact comparison columns are one more distinct aggregate and a
-    * bounded self-join of per-type DISTINCT activity sets (validation
-    * ballast, same role as [[hllUsers]]'s exact_users). */
+    * Exact comparison sets exist only in the spec-gated audit twin
+    * [[kmvSets]] — the registered serving entry carries no validation
+    * ballast. */
   private[graft] def kmvElements(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
       concat(col("user_id").cast("string"), lit(":"),
@@ -757,12 +757,23 @@ object AnalyticsQueries {
       "event_type", col("h"), col("v"), KmvK)
       .select(col("event_type"), col("pri").as("h"))
 
-  def kmvSets(spark: SparkSession, dir: String): DataFrame = {
+  /** Estimator-only KMV set-operation serving — what `q_kmv_sets`
+    * registers and the bench times: sketch → pairwise merged bottom-k →
+    * union/intersection/Jaccard estimates. The exact-comparison columns
+    * the entry previously carried were validation ballast (two more
+    * corpus-distinct aggregates + a full element-set pair join) that a
+    * production serve never runs; they now live only in the spec-gated
+    * audit twin [[kmvSets]] (SketchSpec gates the estimates against
+    * exact sets at sf0.01). */
+  def kmvSetsServing(spark: SparkSession, dir: String): DataFrame =
+    kmvEstimates(graft.model.VectorModel.events(spark, dir))
+      .orderBy("type_a", "type_b")
+
+  private def kmvEstimates(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = graft.model.VectorModel.events(spark, dir)
-    // both the sketch and the exact element set feed TWO pair-side joins
-    // below — cache them (CacheRegistry) or each join re-runs its distinct
-    // aggregate from the raw events (the recurring shared-lineage class)
+    // the sketch feeds TWO pair-side joins below — cache it
+    // (CacheRegistry) or each join re-runs its distinct aggregate from
+    // the raw events (the recurring shared-lineage class)
     val sk = graft.store.CacheRegistry.cached(kmvSketches(ev))
     val types = sk.select("event_type").distinct()
     val pairs = broadcast(types.select(col("event_type").as("ta"))
@@ -784,8 +795,34 @@ object AnalyticsQueries {
       count(lit(1)).as("nu"),
       max("h").as("theta"),
       sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("c"))
-    // exact comparison sets (distinct elements, not hashes)
+    val euRaw = lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)) /
+      col("theta").cast("double")
+    agg.select(
+      col("ta").as("type_a"), col("tb").as("type_b"),
+      when(col("nu") >= KmvK, round(euRaw, 6))
+        .otherwise(col("nu").cast("double")).as("est_union"),
+      when(col("nu") >= KmvK,
+        round(col("c").cast("double") * euRaw / KmvK.toDouble, 6))
+        .otherwise(col("c").cast("double")).as("est_inter"),
+      when(col("nu") >= KmvK,
+        round(col("c").cast("double") / KmvK.toDouble, 6))
+        .otherwise(round(col("c").cast("double") / col("nu").cast("double"), 6))
+        .as("est_jaccard"))
+  }
+
+  /** Audit twin of [[kmvSetsServing]]: the estimates JOINED with exact
+    * union/intersection over the full distinct element sets. Spec-gated
+    * only (SketchSpec's sampling-error bounds) — deliberately NOT a
+    * registered entry, so the bench measures the operator, not its
+    * audit. */
+  def kmvSets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.model.VectorModel.events(spark, dir)
+    val pairsEst = kmvEstimates(ev)
     val el = graft.store.CacheRegistry.cached(kmvElements(ev).distinct())
+    val types = el.select("event_type").distinct()
+    val pairs = broadcast(types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb")))
     val exact = pairs.join(el, col("event_type") === col("ta"))
       .select(col("ta"), col("tb"), col("e"), lit(1).as("in_a"), lit(0).as("in_b"))
       .unionByName(pairs.join(el, col("event_type") === col("tb"))
@@ -796,21 +833,9 @@ object AnalyticsQueries {
         count(lit(1)).as("exact_union"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
           .as("exact_inter"))
-    val euRaw = lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)) /
-      col("theta").cast("double")
-    agg.join(exact, Seq("ta", "tb"))
-      .select(
-        col("ta").as("type_a"), col("tb").as("type_b"),
-        when(col("nu") >= KmvK, round(euRaw, 6))
-          .otherwise(col("nu").cast("double")).as("est_union"),
-        when(col("nu") >= KmvK,
-          round(col("c").cast("double") * euRaw / KmvK.toDouble, 6))
-          .otherwise(col("c").cast("double")).as("est_inter"),
-        when(col("nu") >= KmvK,
-          round(col("c").cast("double") / KmvK.toDouble, 6))
-          .otherwise(round(col("c").cast("double") / col("nu").cast("double"), 6))
-          .as("est_jaccard"),
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("exact_union"), col("exact_inter"))
+    pairsEst.join(exact, Seq("type_a", "type_b"))
       .orderBy("type_a", "type_b")
   }
 
@@ -843,18 +868,7 @@ object AnalyticsQueries {
        |    FROM m) WHERE rn <= $k),
        |agg AS (SELECT ta, tb, count(*) AS nu, max(h) AS theta,
        |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS c
-       |  FROM kept GROUP BY ta, tb),
-       |me AS (SELECT ta, tb, e, max(in_a) AS in_a, max(in_b) AS in_b FROM (
-       |    SELECT p.ta, p.tb, s.e, 1 AS in_a, 0 AS in_b
-       |    FROM pairs p JOIN el s ON s.event_type = p.ta
-       |    UNION ALL
-       |    SELECT p.ta, p.tb, s.e, 0 AS in_a, 1 AS in_b
-       |    FROM pairs p JOIN el s ON s.event_type = p.tb
-       |  ) GROUP BY ta, tb, e),
-       |ex AS (SELECT ta, tb, count(*) AS exact_union,
-       |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS exact_inter
-       |  FROM me GROUP BY ta, tb)
+       |  FROM kept GROUP BY ta, tb)
        |SELECT agg.ta AS type_a, agg.tb AS type_b,
        |  CASE WHEN nu >= $k THEN round($euRaw, 6)
        |    ELSE CAST(nu AS DOUBLE) END AS est_union,
@@ -862,9 +876,8 @@ object AnalyticsQueries {
        |    THEN round(CAST(c AS DOUBLE) * $euRaw / CAST(${k} AS DOUBLE), 6)
        |    ELSE CAST(c AS DOUBLE) END AS est_inter,
        |  CASE WHEN nu >= $k THEN round(CAST(c AS DOUBLE) / CAST($k AS DOUBLE), 6)
-       |    ELSE round(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE), 6) END AS est_jaccard,
-       |  exact_union, exact_inter
-       |FROM agg JOIN ex ON agg.ta = ex.ta AND agg.tb = ex.tb
+       |    ELSE round(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE), 6) END AS est_jaccard
+       |FROM agg
        |ORDER BY type_a, type_b""".stripMargin
   }
 
@@ -1047,7 +1060,7 @@ object AnalyticsQueries {
     "q_hll_users" -> (hllUsers _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
-    "q_kmv_sets" -> (kmvSets _),
+    "q_kmv_sets" -> (kmvSetsServing _),
     "q_percentiles" -> (valuePercentiles _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopK _),

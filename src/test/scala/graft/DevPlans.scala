@@ -83,7 +83,7 @@ object DevPlans {
     "tx_langid_model" -> "learned language ID: bounded-prefix trigram explode, BOUNDED |langs|·256-row weight BroadcastHashJoin, per-(doc,lang) integer dots map-side combined, argmax window over ≤|langs| rows per doc — model state fixed-size",
     "dd_video_phash" -> "video near-dup: Y4M decode + per-frame dHash as ONE scan-side codegen kernel (media_video_fp), slot-0 pigeonhole band join (complete: all-aligned-≤ implies slot-0-≤), exact aligned-slot max verify in place",
     "vq_asof_read" -> "time-travel read: the PINNED version directory resolves once, then the plan is a plain pruned scan of that immutable snapshot — version semantics are directory selection, zero plan overhead",
-    "q_kmv_sets" -> "KMV set sketch: one distinct aggregate over (type, hash) — the only corpus shuffle, map-side combinable — then the BottomS truncation bounds everything downstream at types·k rows; exact comparison columns ride the same cached distinct",
+    "q_kmv_sets" -> "KMV set sketch, estimator-only serving: one distinct aggregate over (type, hash) — the only corpus shuffle, map-side combinable — then the BottomS truncation bounds everything downstream at types·k rows; the exact-comparison audit lives in the spec-gated kmvSets twin",
     "tx_perplexity" -> "LM perplexity scoring: bigram explode + BOUNDED pair-weight and context-default BroadcastHashJoins + one map-side-combinable integer sum per doc — the quality-gate shape with a two-level (pair, fallback) lookup",
     "pipe_perplexity_gate" -> "relative perplexity gate: ONE cached scoring pass (InMemoryTableScan feeds threshold + acceptance branches), the pooled threshold is a SCALAR broadcast, keep-compare is integer expressions — no sort, no percentile pass",
     "pipe_stratified_sample" -> "stratified sampling: the BottomS ObjectHashAggregate truncates to s rows per (stratum, partition) map-side — the shuffle carries ≤ s per stratum per task; stratum populations broadcast onto the bounded sample",
