@@ -400,14 +400,18 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     checkDim(query)
     val (bq, path) = bin.getOrElse(
       throw new IllegalStateException("binary index not built"))
-    val cand = spark.read.parquet(path)
+    // pruned candidate fetch (the graft.search.IdFetch discipline): the
+    // Hamming cut is driver-bounded, so its ids push into the live-table
+    // scan as an IN list instead of probing the whole table as a join
+    val candIds = spark.read.parquet(path)
       .select(col("id"), bq.hammingExpr(bq.pack(query)).as("ham"))
       .orderBy(col("ham").asc, col("id").asc)
       .limit(rerank)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
     val sim = round(graft.GraftExtensions.cosineSim(col("vector"),
       array(query.map(lit): _*)), 6)
     // legs are disjoint: codes cover only ids below the build watermark
-    data.join(broadcast(cand.select("id")), "id")
+    graft.search.IdFetch.fetchByIds(data, "id", candIds)
       .union(data.where(col("id") >= binCoveredUpTo))
       .select(col("id"), sim.as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
@@ -452,14 +456,16 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     checkDim(query)
     val (m, path) = pca.getOrElse(
       throw new IllegalStateException("pca index not built"))
-    val cand = spark.read.parquet(path)
+    // pruned candidate fetch — the binSearch shape over the subspace cut
+    val candIds = spark.read.parquet(path)
       .select(col("id"), graft.pq.Pca.coarseDistExpr(
         graft.pq.Pca.project(query, m)).as("d2"))
       .orderBy(col("d2").asc, col("id").asc)
       .limit(rerank)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
     val sim = round(graft.GraftExtensions.cosineSim(col("vector"),
       array(query.map(lit): _*)), 6)
-    data.join(broadcast(cand.select("id")), "id")
+    graft.search.IdFetch.fetchByIds(data, "id", candIds)
       .union(data.where(col("id") >= pcaCoveredUpTo))
       .select(col("id"), sim.as("sim"))
       .orderBy(col("sim").desc, col("id").asc)

@@ -76,17 +76,33 @@ object VectorStore {
     * future rule. NULL ops are invalid too (a `NOT isin` filter alone
     * would pass them through to a silent drop).
     *
-    * Why `localCheckpoint` first (the round-14 advice finding): eager
+    * Why `localCheckpoint` (the round-14 advice finding): eager
     * validation as a SEPARATE job meant a non-deterministic delta could
-    * pass validation yet merge different rows, and every merge paid an
-    * extra source scan. Checkpointing evaluates the delta exactly once
-    * (bounded by [[merge]]'s contract — a daily delta, never a corpus)
-    * and cuts the lineage, so the validation scan and both merge
-    * branches read the materialized blocks: one evaluation, observed by
-    * all consumers. Blocks are freed by the ContextCleaner once the
-    * checkpointed plan is unreachable. */
+    * pass validation yet merge different rows — and the merge's own two
+    * branches (anti-join side, U side) could diverge from each other.
+    * Checkpointing evaluates the delta exactly once (bounded by
+    * [[merge]]'s contract — a daily delta, never a corpus) and cuts the
+    * lineage, so the validation scan and both merge branches read the
+    * materialized blocks: one evaluation, observed by all consumers.
+    * Blocks are freed by the ContextCleaner once the checkpointed plan
+    * is unreachable.
+    *
+    * Why it is GATED on plan determinism (the round-16 attribution): the
+    * checkpoint materialization measured ~0.4 s per merge at sf0.1
+    * (DevTimeOne 1.14–1.34 s with vs 0.72–0.99 s without — the whole
+    * r15 `vq_merge_agg` move), and for a DETERMINISTIC delta it buys
+    * nothing: every re-evaluation produces identical rows by definition,
+    * so validation and both branches already observe one logical value.
+    * The checkpoint is applied exactly when the hazard exists — any
+    * expression in the delta's plan reports non-deterministic (rand,
+    * uuid, monotonically_increasing_id, a UDF marked
+    * `asNondeterministic`). A UDF that lies about determinism defeats
+    * this the same way it defeats every Catalyst rule keyed on the same
+    * flag — Spark's own trust model, not a new one. */
   private[graft] def validatedDelta(delta: DataFrame, opCol: String): DataFrame = {
-    val d = delta.localCheckpoint(eager = true)
+    val nonDeterministic = delta.queryExecution.analyzed.exists(
+      p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    val d = if (nonDeterministic) delta.localCheckpoint(eager = true) else delta
     requireValidOps(d, opCol)
     d
   }

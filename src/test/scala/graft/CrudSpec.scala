@@ -114,6 +114,34 @@ class CrudSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown merge op"))
   }
 
+  test("merge: a non-deterministic delta is evaluated exactly once") {
+    import org.apache.spark.sql.functions._
+    // an accumulator counts SOURCE evaluations through a non-deterministic
+    // udf; without the checkpoint the validation scan + both merge
+    // branches would each re-evaluate the delta (3x rows), and the
+    // branches could observe DIFFERENT rows
+    val evals = spark.sparkContext.longAccumulator("delta_evals")
+    val counting = udf { (id: Long) => { evals.add(1L); id } }.asNondeterministic()
+    val base = data.limit(0).unionByName(
+      Seq(10L, 11L).map(i => newRow(i, 8).withColumn("category", lit("A")))
+        .reduce(_ unionByName _))
+    val delta = deltaRow(11L, 5.0, "U1", "U")
+      .unionByName(deltaRow(99L, 6.0, "NEW", "U"))
+      .withColumn("id", counting(col("id")))
+    val out = VectorStore.merge(base, delta).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(10L -> "A", 11L -> "U1", 99L -> "NEW"))
+    assert(evals.value === 2L,
+      s"non-deterministic delta evaluated ${evals.value} row-evals for 2 rows" +
+        " — must be checkpointed to exactly one evaluation")
+    // the deterministic shape skips the checkpoint (the r16 cost
+    // attribution): its validated frame keeps the original plan
+    val det = deltaRow(11L, 5.0, "U1", "U")
+    val validated = VectorStore.validatedDelta(det, "op")
+    assert(validated.queryExecution.analyzed === det.queryExecution.analyzed,
+      "a deterministic delta must pass through un-checkpointed")
+  }
+
   test("mergeVersioned: bootstrap on an empty root validates ops too") {
     val root = s"/tmp/graft_mergeboot_${java.util.UUID.randomUUID()}"
     try {
