@@ -39,7 +39,7 @@ object DevPlans {
     "ann_sq_topk" -> "SQ8 stored-codes serving: the scan reads (vec_id, 64-byte sq_code) only — ReadSchema has no vector column — one codegen'd sq_score projection, TakeOrderedAndProject",
     "vq_range_topk" -> "range search: threshold predicate on the FUSED cosine_sim kernel (Catalyst copies the sim expression into the pushed-down filter — the expanded spelling landed twice and fell out of JIT; the kernel is one loop however often it is duplicated), sort only over survivors",
     "vq_grouped_topk" -> "grouped top-k: k-bounded ObjectHashAggregate keyed by category (partial_topk map-side — <= k rows per group per task on the shuffle)",
-    "ann_bin_topk" -> "binary stored-codes serving: the stage-1 scan reads (vec_id, two packed BIGINT words) only — popcount-XOR Hamming in codegen, TakeOrderedAndProject cut — then the bounded candidate set broadcast-joins back to the vector table for the exact re-rank",
+    "ann_bin_topk" -> "binary stored-codes serving: the stage-1 scan reads (vec_id, two packed BIGINT words) only — popcount-XOR Hamming in codegen, TakeOrderedAndProject cut — then the collected candidate ids land as a pushed In(vec_id, …) filter over the id-clustered vector layout (PRUNED fetch, not a full-table join probe)",
     "ann_maxsim_topk" -> "late interaction: chunk explode + hash_embed + one fused cosine per facet in a single codegen stage, ONE map-side-combined max aggregate keyed by doc (no join — query vectors ride as literals), TakeOrderedAndProject on the left-associated facet sum",
     "tx_pii" -> "PII scrub: the regexp count/redact chain is pure per-row expressions inside whole-stage codegen — no shuffle before the report sort",
     "pipe_pack" -> "packing offsets: two-level distributed prefix sum — S-row totals aggregate, broadcast shard bases, per-shard window exchange (hashpartitioning(shard)) — no single-partition global sort anywhere",
@@ -50,7 +50,7 @@ object DevPlans {
     "vq_ivf_bigbatch" -> "DataFrame-native big-batch IVF: queries NEVER collected — codegen'd probe_clusters explode, then a SHUFFLED hash join on (cluster_id, salt) with the data side salted (k*S join granules past the 16-value key bottleneck); no BroadcastExchange of anything query-sized",
     "vq_hnsw_routed_bigbatch" -> "DataFrame-native big-batch routed HNSW: probe-shard explode over the routing centroids, then ONE cogroup (two grouping exchanges) pairing each shard's graph rows with exactly its queries — graph restored once per shard, nothing on the driver",
     "ann_lsh_bigbatch" -> "DataFrame-native big-batch LSH: per-table bucket expressions on the query DataFrame, admission/pointer-dedup/payload-fetch/score all as SHUFFLED equi-joins — the collected path's broadcasts replaced end-to-end",
-    "ann_bin_batch_topk" -> "batch binary serving: ONE Hamming scan evaluates every query's popcount-XOR sum in the same projection (struct-array explode), per-query k-bounded aggregator cut, bounded-candidate broadcast re-rank",
+    "ann_bin_batch_topk" -> "batch binary serving: ONE Hamming scan evaluates every query's popcount-XOR sum in the same projection (struct-array explode), per-query k-bounded aggregator cut, pruned In-list candidate fetch over the id-clustered layout",
     "ann_ivfpq_bigbatch" -> "DataFrame-native big-batch IVF-PQ: adaptive probe explode over the code layout, salted shuffled cluster join, LUT-FREE direct-ADC kernel in the scoring projection (bit-identical to the collected LUT path), shuffle-join exact refine — no per-query driver state anywhere",
     "tx_cjk_bm25_dict" -> "dictionary CJK segmentation: the FMM fold is ONE aggregate() expression per token (struct accumulator) inside the corpus projection — no UDF, no extra pass; the segmented fixture broadcast-joins documents like the bigram twin",
     "dd_span_scrub" -> "span-scrub apply step: dup-gram set via two-level gram aggregate, doc grams re-join it SHUFFLE-HASH on the widened gram key (never broadcast — the dup set grows with the corpus), bounded k-row interval expansion, one (doc,pos) distinct + per-doc count",
@@ -87,9 +87,12 @@ object DevPlans {
     "tx_perplexity" -> "LM perplexity scoring: bigram explode + BOUNDED pair-weight and context-default BroadcastHashJoins + one map-side-combinable integer sum per doc — the quality-gate shape with a two-level (pair, fallback) lookup",
     "pipe_perplexity_gate" -> "relative perplexity gate: ONE cached scoring pass (InMemoryTableScan feeds threshold + acceptance branches), the pooled threshold is a SCALAR broadcast, keep-compare is integer expressions — no sort, no percentile pass",
     "pipe_stratified_sample" -> "stratified sampling: the BottomS ObjectHashAggregate truncates to s rows per (stratum, partition) map-side — the shuffle carries ≤ s per stratum per task; stratum populations broadcast onto the bounded sample",
-    "ann_pca_topk" -> "PCA two-stage: the coarse scan's ReadSchema is (vec_id, p0..p15) — a quarter of the float bytes, no vector column — one codegen'd subspace-L2 projection, TakeOrderedAndProject cut, bounded candidate broadcast back to the vectors for the exact re-rank",
-    "ann_pca_batch_topk" -> "batch PCA serving: ONE reduced-layout scan evaluates every query's subspace distance in the same projection (struct-array explode), per-query k-bounded aggregator cuts, bounded-candidate broadcast re-rank with each query's vector attached",
-    "pipe_diverse_sample" -> "learned-domain diversity sampling: embed+assign are scan-side codegen kernels (model state rides the plan), the BottomS ObjectHashAggregate truncates to s rows per (domain, partition) map-side, domain populations broadcast onto the bounded sample")
+    "ann_pca_topk" -> "PCA two-stage: the coarse scan's ReadSchema is (vec_id, p0..p15) — a quarter of the float bytes, no vector column — one codegen'd subspace-L2 projection, TakeOrderedAndProject cut; the re-rank is a PRUNED fetch — PushedFilters shows In(vec_id, [400 ids]) over the id-clustered layout, row groups read ∝ candidate count",
+    "ann_pca_batch_topk" -> "batch PCA serving: ONE reduced-layout scan evaluates every query's subspace distance in the same projection (struct-array explode), per-query k-bounded aggregator cuts; the re-rank fetches the candidate union via the pushed In(vec_id, …) filter with each query's vector attached from the rebuilt local frame",
+    "pipe_diverse_sample" -> "learned-domain diversity sampling: embed+assign are scan-side codegen kernels (model state rides the plan), the BottomS ObjectHashAggregate truncates to s rows per (domain, partition) map-side, domain populations broadcast onto the bounded sample",
+    "tx_html_text" -> "HTML extraction: page construction + the whole removal/strip/decode/normalize regex chain are ONE scan-side codegen projection — no UDF, no shuffle before the final order; at 100 TB this runs at scan speed beside the WARC reader",
+    "tx_url_stats" -> "URL canonicalization: scheme/host/port/path/query extracts and the tracking-param array filter are pure scan-side expressions; ONE host-keyed aggregate shuffle (map-side combined) for the per-host fetch-vs-page stats",
+    "dd_url_dedup" -> "canonical-URL dedup: the canonicalization chain in the scan projection, ONE group-by shuffle on the canonical key with map-side partial aggregation — the crawl's cheapest dedup pass, no content bytes touched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
