@@ -245,6 +245,21 @@ object TextQueries {
 
   val warcAggSql: String = jsonlAggSql
 
+  /** Member-gzip WARC round-trip twin of [[warcAgg]] — the Common Crawl
+    * layout ([[graft.sources.WarcSource.writeGz]]): each record is its
+    * own gzip member, files decompress as member concatenations with
+    * per-file parallelism; the same fail-loud parser serves both
+    * layouts. */
+  def warcGzAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, warcGzLayoutCache, "graft_warc_gz_layout",
+      graft.sources.WarcSource.writeGz(_, _),
+      graft.sources.WarcSource.readDocuments(_, _))
+
+  private val warcGzLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val warcGzAggSql: String = jsonlAggSql
+
   /** Gzip-JSONL round-trip twin of [[jsonlAgg]]
     * ([[graft.sources.JsonlSource.writeGz]]) — proves the compressed-text
     * read path end to end (codec resolution by extension, schema'd read,
@@ -1452,6 +1467,7 @@ object TextQueries {
     "src_orc_agg" -> (orcAgg _),
     "src_avro_agg" -> (avroAgg _),
     "src_warc_agg" -> (warcAgg _),
+    "src_warc_gz" -> (warcGzAgg _),
     "src_jsonl_gz" -> (jsonlGzAgg _),
     "tx_html_text" -> (htmlText _),
     "tx_url_stats" -> (urlStats _),
@@ -1488,6 +1504,7 @@ object TextQueries {
     "src_orc_agg" -> orcAggSql,
     "src_avro_agg" -> avroAggSql,
     "src_warc_agg" -> warcAggSql,
+    "src_warc_gz" -> warcGzAggSql,
     "src_jsonl_gz" -> jsonlGzAggSql,
     "tx_html_text" -> htmlTextSql,
     "tx_url_stats" -> urlStatsSql,

@@ -109,11 +109,72 @@ object WarcSource {
     outBytes
   }
 
-  /** Parse every record of every `.warc` file under `path` into
-    * [[recordsSchema]] rows. */
+  /** Egress as `.warc.gz` with each record its OWN gzip member — the
+    * Common Crawl convention: a conforming reader can seek to a member
+    * boundary and decompress one record without touching the rest, which
+    * is what makes the compressed form record-addressable at scale (an
+    * index of member offsets — CC's cdx — turns it into random access).
+    * This reader decompresses the member CONCATENATION per file (gzip
+    * streams concatenate losslessly), keeping per-file parallelism like
+    * the uncompressed path. */
+  def writeGz(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(conf.value)
+    if (fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    df.select("doc_id", "text", "lang", "source")
+      .rdd.foreachPartition { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        if (it.hasNext) {
+          val part = new org.apache.hadoop.fs.Path(
+            out, f"part-$pid%05d.warc.gz")
+          val os = part.getFileSystem(conf.value).create(part, true)
+          try it.foreach { row =>
+            require(!row.anyNull,
+              s"warc write: null field in row $row — doc_id/text/lang/" +
+                "source must be non-null")
+            os.write(gzipMember(recordBytes(row.getLong(0), row.getString(1),
+              row.getString(2), row.getString(3))))
+          } finally os.close()
+        }
+      }
+  }
+
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Gunzip a whole member concatenation; fail loud with the file name on
+    * a corrupt stream. Plain (non-gzip) bytes pass through untouched, so
+    * one reader serves both layouts. */
+  private[graft] def maybeGunzip(file: String, bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val bos = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"warc parse: corrupt gzip stream in $file", e)
+      }
+    } else bytes
+
+  /** Parse every record of every `.warc`/`.warc.gz` file under `path`
+    * into [[recordsSchema]] rows. */
   def readRecords(spark: SparkSession, path: String): DataFrame = {
-    val rows = spark.sparkContext.binaryFiles(s"$path/*.warc")
-      .flatMap { case (file, stream) => parseFile(file, stream.toArray()) }
+    val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
+      .flatMap { case (file, stream) =>
+        parseFile(file, maybeGunzip(file, stream.toArray())) }
     spark.createDataFrame(rows, recordsSchema)
   }
 
@@ -124,8 +185,9 @@ object WarcSource {
     * recomputed — the full acquisition round trip the `src_warc_agg`
     * oracle hashes. */
   def readDocuments(spark: SparkSession, path: String): DataFrame = {
-    val rows = spark.sparkContext.binaryFiles(s"$path/*.warc")
-      .flatMap { case (file, stream) => parseFile(file, stream.toArray()) }
+    val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
+      .flatMap { case (file, stream) =>
+        parseFile(file, maybeGunzip(file, stream.toArray())) }
       .map { r =>
         val id = r.getString(0)
         require(id.startsWith("<urn:graft:") && id.endsWith(">"),

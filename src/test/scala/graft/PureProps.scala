@@ -209,4 +209,36 @@ object PureProps extends Properties("graft.pure") {
       // maxHamming differing bits cannot touch all maxHamming+1 bands
       ba.zip(bb).exists { case (x, y) => x == y }
     }
+
+  // arbitrary unicode-ish text including the html-special characters and
+  // pre-escaped entity fragments (the double-escape trap)
+  private val htmlTextGen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("&", "<", ">", "\"", "'", " ", "\n"),
+    1 -> Gen.oneOf("&amp;", "&lt;", "&gt;", "</p>", "<script>", "&amp;lt;")
+  )).map(_.mkString)
+
+  property("html escape/unescape are exact inverses on arbitrary text") =
+    forAll(htmlTextGen) { s =>
+      graft.text.HtmlText.unescapeStr(graft.text.HtmlText.escapeStr(s)) == s
+    }
+
+  property("html escape output never contains raw markup characters") =
+    forAll(htmlTextGen) { s =>
+      val e = graft.text.HtmlText.escapeStr(s)
+      !e.contains('<') && !e.contains('>')
+    }
+
+  property("warc record bytes parse back to the same payload fields") =
+    forAll(htmlTextGen, Gen.choose(0L, 1L << 40),
+      Gen.oneOf("en", "de", "zh"), Gen.oneOf("web", "wiki")) { (text, id, lang, src) =>
+      val rows = graft.sources.WarcSource.parseFile("prop.warc",
+        graft.sources.WarcSource.recordBytes(id, text, lang, src))
+      rows.size == 1 && {
+        val r = rows.head
+        r.getString(0) == s"<urn:graft:$id>" &&
+          r.getString(4) == lang && r.getString(5) == src &&
+          r.getString(6).contains(graft.text.HtmlText.escapeStr(text))
+      }
+    }
 }

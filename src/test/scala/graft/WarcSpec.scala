@@ -67,6 +67,48 @@ class WarcSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))))
   }
 
+  test("member-gzip layout round-trips identically; each record is its own member") {
+    val p = graft.store.Fs.scratchDir(spark, "warc_gz") + "/crawl"
+    WarcSource.writeGz(docs, p)
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath).map(_.getPath)
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.nonEmpty)
+    // per-record members: decompressing member-by-member yields one
+    // record each — the Common Crawl record-addressability property
+    val in = fs.open(parts.head)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 * 1024, false)
+      bos.toByteArray
+    } finally in.close()
+    // a second gzip magic after the first member's end proves multi-member
+    // (single-member files put the magic only at offset 0)
+    val nRecords = WarcSource.parseFile(parts.head.toString,
+      WarcSource.maybeGunzip(parts.head.toString, bytes)).size
+    if (nRecords > 1) {
+      val magics = bytes.sliding(3).count(w =>
+        (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b && (w(2) & 0xff) == 0x08)
+      assert(magics >= nRecords,
+        s"expected >= $nRecords gzip members, magic count $magics")
+    }
+    val back = WarcSource.readDocuments(spark, p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val orig = docs.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(back === orig)
+    // a corrupt gzip stream fails loudly with the file named
+    val e = intercept[IllegalArgumentException] {
+      WarcSource.maybeGunzip("bad.warc.gz",
+        Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 42))
+    }
+    assert(e.getMessage.contains("corrupt gzip") && e.getMessage.contains("bad.warc.gz"))
+  }
+
   test("framing violations fail loudly with file and offset") {
     def mangle(f: Array[Byte] => Array[Byte]): Throwable = {
       val good = WarcSource.recordBytes(7L, "hello world", "en", "web")
