@@ -188,6 +188,66 @@ object PipelineQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Semantic decontamination threshold: hash-embedding cosine at/above
+    * this against ANY eval doc flags the training doc. Picked on the
+    * measured max-sim distribution (median ~0.83 on this corpus): 0.9
+    * flags the semantically-close tail (~10% at sf0.01, ~43% at sf0.1)
+    * without flagging everything. */
+  val SemDecontamTau = 0.9
+
+  /** SEMANTIC test-set leakage check — the meaning-level complement of
+    * the exact ([[decontaminate]], shared 4-grams) and fuzzy
+    * (`pipe_decontaminate_fuzzy`, banded MinHash) passes: flag training
+    * docs whose hash-embedding ([[TextQueries.embedDocs]]'s gated
+    * embedder) lands within cosine [[SemDecontamTau]] of ANY eval doc —
+    * paraphrases and re-encodings that share no n-grams at all. Output
+    * (doc_id, max_sim, n_hits) for the flagged docs.
+    *
+    * Scale shape: the eval set is BOUNDED (a benchmark suite, not a
+    * corpus), so it broadcasts and the train side is ONE scan with a
+    * per-row max over |eval| cosines — corpus × |eval|, never corpus².
+    * The IVF-bucketed variant (the `dd_semantic_ivf` blocking) is the
+    * path when |eval| itself grows large. Hash-gated: embeddings,
+    * cosine chains, max, and the threshold compare all mirror
+    * term-for-term (max over doubles is order-free; the compare runs on
+    * the bit-identical raw sims). */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    val docs = VectorModel.documents(spark, dir)
+      .select(col("doc_id"), col("source"), emb.embed(col("text")).as("emb"))
+    val eval = docs.where(col("source") === EvalSource)
+      .select(col("emb").as("evemb"))
+    docs.where(col("source") =!= EvalSource)
+      .crossJoin(broadcast(eval))
+      .select(col("doc_id"),
+        graft.GraftExtensions.cosineSim(col("emb"), col("evemb")).as("s"))
+      .groupBy("doc_id")
+      .agg(max(col("s")).as("ms"),
+        sum(when(col("s") >= SemDecontamTau, 1L).otherwise(0L)).as("n_hits"))
+      .where(col("ms") >= SemDecontamTau)
+      .select(col("doc_id"), round(col("ms"), 6).as("max_sim"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSemanticSql: String = {
+    val sim = OracleSql.cosineCols(
+      i => s"tr.e$i", i => s"ev.e$i", TextQueries.EmbedDim)
+    val tau = s"CAST('$SemDecontamTau' AS DOUBLE)"
+    s"""WITH e AS (SELECT doc_id, source,
+       |    ${TextQueries.hashFeatureComps}
+       |  FROM (SELECT doc_id, source, ${TextQueries.hashListSql("text")} AS hs
+       |        FROM documents)),
+       |tr AS (SELECT * FROM e WHERE source <> '$EvalSource'),
+       |ev AS (SELECT * FROM e WHERE source = '$EvalSource'),
+       |sims AS (SELECT tr.doc_id AS doc_id, $sim AS s FROM tr CROSS JOIN ev),
+       |agg AS (SELECT doc_id, max(s) AS ms,
+       |    sum(CASE WHEN s >= $tau THEN 1 ELSE 0 END) AS n_hits
+       |  FROM sims GROUP BY doc_id)
+       |SELECT doc_id, round(ms, 6) AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM agg WHERE ms >= $tau
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** THE full training-corpus pipeline, end to end — every cleaning stage
     * composed in the order a 100 TB run would schedule them, emitting the
     * training units (chunks), not documents:
@@ -1353,6 +1413,7 @@ object PipelineQueries {
     "pipe_rag_e2e" -> (ragEndToEnd _),
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
+    "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
     "pipe_train_corpus" -> (trainCorpus _),
     "pipe_pack" -> (pack _),
@@ -1375,6 +1436,7 @@ object PipelineQueries {
     "pipe_quality_mix" -> qualityMixSql,
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
+    "pipe_decontaminate_semantic" -> decontaminateSemanticSql,
     "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,
     "pipe_train_corpus" -> trainCorpusSql,
     "pipe_pack" -> packSql,

@@ -319,6 +319,44 @@ object TextQueries {
        |  CAST(sum(CASE WHEN sch = 'https' THEN 1 ELSE 0 END) AS BIGINT) AS n_https
        |FROM ucanon GROUP BY host ORDER BY host""".stripMargin
 
+  /** Outlink extraction + host-level link stats — the crawl-frontier
+    * step between a fetched page and the next fetch wave: every
+    * `href="…"` attribute extracted from the fixture page
+    * ([[graft.text.HtmlText.page]] plants one clean-https-with-tracking
+    * and one case/port/fragment-mess absolute link per page), relative
+    * links dropped, absolute ones CANONICALIZED ([[graft.text.Urls]]) so
+    * the frontier dedupes before fetching, aggregated per host. One
+    * expression chain + one host-keyed shuffle. */
+  def outlinks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    VectorModel.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(
+          graft.text.HtmlText.page(col("doc_id"), col("text")),
+          lit("href=\"([^\"]*)\""), lit(1))).as("url"))
+      .where(col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+      .select(Urls.host(col("url")).as("host"),
+        Urls.canonical(col("url")).as("curl"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("curl")).as("n_pages"))
+      .orderBy("host")
+  }
+
+  val outlinksSql: String = {
+    val page = graft.text.HtmlText.pageSql("d.doc_id", "d.text")
+    s"""WITH pages AS (SELECT d.doc_id AS doc_id, $page AS html FROM documents d),
+       |lnk AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+       |  FROM pages),
+       |absl AS (SELECT doc_id, url FROM lnk
+       |  WHERE regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')),
+       |${graft.text.Urls.canonicalCtesSql("SELECT * FROM absl")}
+       |SELECT host, count(*) AS n_links,
+       |  CAST(count(DISTINCT curl) AS BIGINT) AS n_pages
+       |FROM ucanon GROUP BY host ORDER BY host""".stripMargin
+  }
+
   val htmlTextSql: String =
     s"""SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
        |FROM (SELECT doc_id,
@@ -1470,6 +1508,7 @@ object TextQueries {
     "src_warc_gz" -> (warcGzAgg _),
     "src_jsonl_gz" -> (jsonlGzAgg _),
     "tx_html_text" -> (htmlText _),
+    "tx_outlinks" -> (outlinks _),
     "tx_url_stats" -> (urlStats _),
     "tx_token_stats" -> (tokenStats _),
     "tx_quality" -> (quality _),
@@ -1507,6 +1546,7 @@ object TextQueries {
     "src_warc_gz" -> warcGzAggSql,
     "src_jsonl_gz" -> jsonlGzAggSql,
     "tx_html_text" -> htmlTextSql,
+    "tx_outlinks" -> outlinksSql,
     "tx_url_stats" -> urlStatsSql,
     "tx_token_stats" -> tokenStatsSql,
     "tx_quality" -> qualitySql,

@@ -339,6 +339,64 @@ object StreamingIngest {
     batchSig.unpersist()
   }
 
+  /** Streaming URL-frontier dedup — the incremental twin of the batch
+    * canonical-key dedup (`dd_url_dedup`,
+    * [[graft.queries.DedupQueries.urlDedup]]): a crawl frontier must
+    * decide "have I fetched this page?" BEFORE fetching, per discovery
+    * wave, not over a static corpus. Each micro-batch of discovered
+    * `(doc_id, url)` rows canonicalizes ([[graft.text.Urls.canonical]]),
+    * compacts to one keeper per canonical key within the batch (min
+    * doc_id), anti-joins the seen state (earlier batches only), and
+    * appends ONLY the genuinely-new keys as its `batch=<id>` partition —
+    * a URL recurring in a later wave is never re-emitted (never
+    * re-fetched), the frontier semantic.
+    *
+    * Grown-state contract (StreamingSpec): when discovery ids ascend
+    * with batches (arrival order), the union of all partitions equals
+    * the batch kernel's (curl, keeper) set over the full history; each
+    * canonical key lives in EXACTLY ONE partition; a replay of the
+    * newest batch rewrites it identically (the state read is `< id`, so
+    * a replay sees exactly the pre-batch state).
+    *
+    * Scale shape: only the delta pays canonicalization + its own
+    * compaction shuffle; the seen side is a SCAN of the persisted key
+    * layout feeding one anti-join on the canonical key (delta as build
+    * side — the [[minhashIngestBatch]] delta×corpus discipline). */
+  def urlFrontierIngest(urls: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    requireNoFlatLegacyState(urls.sparkSession, s"$statePath/seen")
+    urls.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        urlFrontierIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private[graft] def urlFrontierIngestBatch(batch: DataFrame,
+      statePath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenPath = s"$statePath/seen"
+    val canon = batch
+      .select(col("doc_id"), graft.text.Urls.canonical(col("url")).as("curl"))
+      .groupBy("curl").agg(min(col("doc_id")).as("keeper"))
+    val fresh =
+      if (graft.store.Fs.exists(spark, seenPath))
+        canon.join(
+          spark.read.parquet(seenPath)
+            .where(col("batch") < batchId).select("curl"),
+          Seq("curl"), "left_anti")
+      else canon
+    writeBatchPartition(fresh, seenPath, batchId)
+  }
+
+  /** The grown frontier: every canonical key ever admitted, with its
+    * first-arrival keeper — equals the batch kernel's (curl, keeper) set
+    * when discovery ids ascend with batches. */
+  def urlFrontierFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/seen").select("curl", "keeper")
+
   /** Streaming twin of the deterministic shard shuffle
     * ([[graft.queries.PipelineQueries.shuffleShards]]) — the
     * daily-increment shape: each micro-batch's docs hash to their shards

@@ -139,18 +139,47 @@ object HtmlText {
       "<!-- render -->" +
       "<div class=\"main\"><h1>Entry "
   private[graft] val PageBeforeText: String = "</h1><article><p>"
-  private[graft] val PageTail: String =
-    "</p></article><footer>(c) corp.example</footer></body></html>"
+  // outlinks AFTER the article block (inside it would break the WARC
+  // byte-exact article recovery): two absolute URLs derived from the doc
+  // id — the first clean https with a tracking param, the second a
+  // case/default-port/fragment mess — so outlink extraction exercises
+  // the full canonicalization chain on every page
+  private[graft] val PageAfterArticle: String = "</p></article><p>see <a href=\""
+  private[graft] val PageBetweenLinks: String = "\">ref</a> and <a href=\""
+  private[graft] val PageAfterLinks: String =
+    "\">also</a></p><footer>(c) corp.example</footer></body></html>"
+
+  private[graft] def linkUrl1(docId: Column): Column =
+    concat(lit("https://site"), pmod(docId + 1, lit(5)),
+      lit(".example.com/articles/item"), docId + 1, lit("?utm_source=page"))
+  private[graft] def linkUrl2(docId: Column): Column =
+    concat(lit("HTTP://Site"), pmod(docId + 2, lit(5)),
+      lit(".EXAMPLE.com:80/articles/item"), docId + 2, lit("#ref"))
+
+  private def linkUrl1Str(docId: Long): String =
+    s"https://site${(docId + 1) % 5}.example.com/articles/item${docId + 1}?utm_source=page"
+  private def linkUrl2Str(docId: Long): String =
+    s"HTTP://Site${(docId + 2) % 5}.EXAMPLE.com:80/articles/item${docId + 2}#ref"
+
+  private def linkUrl1Sql(id: String): String =
+    s"'https://site' || CAST(($id + 1) % 5 AS VARCHAR) || " +
+      s"'.example.com/articles/item' || CAST($id + 1 AS VARCHAR) || '?utm_source=page'"
+  private def linkUrl2Sql(id: String): String =
+    s"'HTTP://Site' || CAST(($id + 2) % 5 AS VARCHAR) || " +
+      s"'.EXAMPLE.com:80/articles/item' || CAST($id + 2 AS VARCHAR) || '#ref'"
 
   /** The fixture page as a Column (escaped text embedded). */
   def page(docId: Column, text: Column): Column =
     concat(lit(PageHead), docId, lit(PageAfterTitle), docId,
-      lit(PageBeforeText), escape(text), lit(PageTail))
+      lit(PageBeforeText), escape(text), lit(PageAfterArticle),
+      linkUrl1(docId), lit(PageBetweenLinks), linkUrl2(docId),
+      lit(PageAfterLinks))
 
   /** Driver/executor-side String twin of [[page]] (the WARC writer). */
   def pageStr(docId: Long, text: String): String =
     PageHead + docId + PageAfterTitle + docId + PageBeforeText +
-      escapeStr(text) + PageTail
+      escapeStr(text) + PageAfterArticle + linkUrl1Str(docId) +
+      PageBetweenLinks + linkUrl2Str(docId) + PageAfterLinks
 
   /** DuckDB mirror of [[page]]. */
   def pageSql(docIdExpr: String, textExpr: String): String = {
@@ -158,6 +187,8 @@ object HtmlText {
     val esc =
       s"replace(replace(replace($textExpr, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
     s"${q(PageHead)} || CAST($docIdExpr AS VARCHAR) || ${q(PageAfterTitle)} || " +
-      s"CAST($docIdExpr AS VARCHAR) || ${q(PageBeforeText)} || $esc || ${q(PageTail)}"
+      s"CAST($docIdExpr AS VARCHAR) || ${q(PageBeforeText)} || $esc || " +
+      s"${q(PageAfterArticle)} || ${linkUrl1Sql(docIdExpr)} || " +
+      s"${q(PageBetweenLinks)} || ${linkUrl2Sql(docIdExpr)} || ${q(PageAfterLinks)}"
   }
 }

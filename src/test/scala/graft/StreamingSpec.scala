@@ -1396,6 +1396,44 @@ class StreamingSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("streaming URL frontier: grown keys == batch dedup, recurrence never re-emits, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.text.Urls
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val corpus = Urls.urlCorpus(docs).cache()
+    val base = java.nio.file.Files.createTempDirectory("graft_urlfrontier").toString
+    val st = s"$base/state"
+    // three ascending discovery waves with OVERLAP: waves 1 and 2 re-discover
+    // earlier ranges (recurring canonical keys must not re-emit)
+    val waves = Seq((0L, 200L), (100L, 380L), (0L, 10000L))
+    waves.zipWithIndex.foreach { case ((lo, hi), b) =>
+      StreamingIngest.urlFrontierIngestBatch(
+        corpus.where(col("doc_id") >= lo && col("doc_id") < hi), st, b.toLong)
+    }
+    def keySet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val grown = keySet(StreamingIngest.urlFrontierFrom(spark, st))
+    // ids ascend with waves, so first-arrival keeper == global min keeper
+    val batch = keySet(graft.queries.DedupQueries.urlDedup(spark, Sf0001)
+      .select("curl", "keeper"))
+    assert(grown === batch,
+      "grown frontier must equal the batch canonical dedup over full history")
+    // each canonical key admitted exactly once across partitions
+    val perKey = spark.read.parquet(s"$st/seen")
+      .groupBy("curl").count().where(col("count") > 1).count()
+    assert(perKey === 0L, "a canonical key re-emitted in a later wave")
+    // replay of the newest batch rewrites identically
+    StreamingIngest.urlFrontierIngestBatch(corpus, st, waves.size - 1L)
+    assert(keySet(StreamingIngest.urlFrontierFrom(spark, st)) === batch)
+    // a replay BEHIND the newest partition fails loudly (the shared
+    // writer choke point)
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.urlFrontierIngestBatch(corpus, st, 0L)
+    }
+    assert(e.getMessage.contains("behind the newest state partition"))
+    corpus.unpersist()
+  }
+
   test("streaming KMV: cross-batch recurrence past k does not displace genuine minima") {
     import org.apache.spark.sql.functions._
     import graft.queries.AnalyticsQueries
