@@ -229,24 +229,34 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val decontaminateSemanticSql: String = {
+  private def semTau = s"CAST('$SemDecontamTau' AS DOUBLE)"
+
+  /** The train×eval cosine CTE chain (`sem_e, sem_tr, sem_ev, sem_sims`
+    * with `sem_sims = (doc_id, s)`) — ONE definition composed by
+    * [[decontaminateSemanticSql]] and the semantic train-corpus oracle,
+    * so the two cannot drift (the [[DedupQueries.fuzzyScoredCtes]]
+    * pattern). */
+  private[queries] lazy val semanticSimsCtes: String = {
     val sim = OracleSql.cosineCols(
-      i => s"tr.e$i", i => s"ev.e$i", TextQueries.EmbedDim)
-    val tau = s"CAST('$SemDecontamTau' AS DOUBLE)"
-    s"""WITH e AS (SELECT doc_id, source,
+      i => s"sem_tr.e$i", i => s"sem_ev.e$i", TextQueries.EmbedDim)
+    s"""sem_e AS (SELECT doc_id, source,
        |    ${TextQueries.hashFeatureComps}
        |  FROM (SELECT doc_id, source, ${TextQueries.hashListSql("text")} AS hs
        |        FROM documents)),
-       |tr AS (SELECT * FROM e WHERE source <> '$EvalSource'),
-       |ev AS (SELECT * FROM e WHERE source = '$EvalSource'),
-       |sims AS (SELECT tr.doc_id AS doc_id, $sim AS s FROM tr CROSS JOIN ev),
-       |agg AS (SELECT doc_id, max(s) AS ms,
-       |    sum(CASE WHEN s >= $tau THEN 1 ELSE 0 END) AS n_hits
-       |  FROM sims GROUP BY doc_id)
-       |SELECT doc_id, round(ms, 6) AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
-       |FROM agg WHERE ms >= $tau
-       |ORDER BY doc_id""".stripMargin
+       |sem_tr AS (SELECT * FROM sem_e WHERE source <> '$EvalSource'),
+       |sem_ev AS (SELECT * FROM sem_e WHERE source = '$EvalSource'),
+       |sem_sims AS (SELECT sem_tr.doc_id AS doc_id, $sim AS s
+       |  FROM sem_tr CROSS JOIN sem_ev)""".stripMargin
   }
+
+  val decontaminateSemanticSql: String =
+    s"""WITH $semanticSimsCtes,
+       |agg AS (SELECT doc_id, max(s) AS ms,
+       |    sum(CASE WHEN s >= $semTau THEN 1 ELSE 0 END) AS n_hits
+       |  FROM sem_sims GROUP BY doc_id)
+       |SELECT doc_id, round(ms, 6) AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM agg WHERE ms >= $semTau
+       |ORDER BY doc_id""".stripMargin
 
   /** THE full training-corpus pipeline, end to end — every cleaning stage
     * composed in the order a 100 TB run would schedule them, emitting the
@@ -284,8 +294,17 @@ object PipelineQueries {
   def trainCorpusFuzzy(spark: SparkSession, dir: String): DataFrame =
     trainCorpusFrom(spark, dir, fuzzyDecontam = true)
 
+  /** [[trainCorpus]] with the SEMANTIC decontamination cut composed in —
+    * the third rung of the leakage ladder (exact 4-grams → fuzzy MinHash
+    * → embedding cosine): training docs within cosine
+    * [[SemDecontamTau]] of any eval doc drop too. Adds one bounded
+    * anti-join over [[decontaminateSemantic]]'s flagged set; the
+    * embedding pass is delta-free (corpus × bounded eval). */
+  def trainCorpusSemantic(spark: SparkSession, dir: String): DataFrame =
+    trainCorpusFrom(spark, dir, fuzzyDecontam = false, semanticDecontam = true)
+
   private def trainCorpusFrom(spark: SparkSession, dir: String,
-      fuzzyDecontam: Boolean): DataFrame = {
+      fuzzyDecontam: Boolean, semanticDecontam: Boolean = false): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
     val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
     val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -299,10 +318,15 @@ object PipelineQueries {
       .where(col("source") =!= EvalSource)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    val decontaminated =
+    val fuzzyCut =
       if (!fuzzyDecontam) base
       else base.join(
         DedupQueries.decontaminateFuzzy(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val decontaminated =
+      if (!semanticDecontam) fuzzyCut
+      else fuzzyCut.join(
+        decontaminateSemantic(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_anti")
     decontaminated
       .where(curationFilter)
@@ -346,6 +370,15 @@ object PipelineQueries {
   lazy val trainCorpusFuzzySql: String = trainCorpusSqlFrom(
     s"\n${DedupQueries.fuzzyScoredCtes},",
     "\n    AND doc_id NOT IN (SELECT doc_id FROM fscored)")
+
+  /** [[trainCorpusSql]] with the semantic cut composed in: the factored
+    * cosine CTE chain ([[semanticSimsCtes]] — one definition with
+    * [[decontaminateSemanticSql]]) plus one NOT IN over the flagged
+    * set. */
+  lazy val trainCorpusSemanticSql: String = trainCorpusSqlFrom(
+    s"\n$semanticSimsCtes,\nsem_flagged AS (SELECT doc_id FROM sem_sims" +
+      s" GROUP BY doc_id HAVING max(s) >= $semTau),",
+    "\n    AND doc_id NOT IN (SELECT doc_id FROM sem_flagged)")
 
   /** Retrieval query for the RAG capstone (English, like the corpus). */
   val RagQuery = "vector database similarity search"
@@ -1415,6 +1448,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
+    "pipe_train_corpus_semantic" -> (trainCorpusSemantic _),
     "pipe_train_corpus" -> (trainCorpus _),
     "pipe_pack" -> (pack _),
     "pipe_split_leakproof" -> (leakproofSplit _),
@@ -1438,6 +1472,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_decontaminate_semantic" -> decontaminateSemanticSql,
     "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,
+    "pipe_train_corpus_semantic" -> trainCorpusSemanticSql,
     "pipe_train_corpus" -> trainCorpusSql,
     "pipe_pack" -> packSql,
     "pipe_split_leakproof" -> leakproofSplitSql,

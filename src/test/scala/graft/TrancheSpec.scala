@@ -565,6 +565,29 @@ class TrancheSpec extends SparkSpec {
     assert(fuzzy.subsetOf(plain))
   }
 
+  test("pipe_train_corpus_semantic == pipe_train_corpus minus the cosine-flagged docs") {
+    // same composition contract for the meaning-level rung: the semantic
+    // variant's chunk set is the plain variant's with exactly the
+    // embedding-cosine-flagged docs' chunks removed
+    val plain = PipelineQueries.trainCorpus(spark, Sf0001)
+      .select("doc_id", "chunk_ix", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val sem = PipelineQueries.trainCorpusSemantic(spark, Sf0001)
+      .select("doc_id", "chunk_ix", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val flagged = PipelineQueries.decontaminateSemantic(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "sf0.001 must flag at least one semantic hit")
+    assert(sem === plain.filterNot { case (d, _, _) => flagged(d) })
+    assert(sem.subsetOf(plain))
+    // the semantic pass flags something the exact 4-gram pass does not —
+    // the reason the rung exists
+    val exactFlagged = PipelineQueries.decontaminate(spark, Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((flagged -- exactFlagged).nonEmpty,
+      "semantic flags must reach docs the exact n-gram pass misses")
+  }
+
   test("stratifiedSample: exact per-stratum quota, subset, small strata take-all") {
     val rows = PipelineQueries.stratifiedSample(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
