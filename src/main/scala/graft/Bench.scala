@@ -84,7 +84,8 @@ object Bench {
       (s, d) => { queries.ApproxQueries.binCodesLayout(s, d); () }),
     ("build_vec_id_layout",
       Set("ann_bin_topk", "ann_bin_batch_topk",
-        "ann_pca_topk", "ann_pca_batch_topk"),
+        "ann_pca_topk", "ann_pca_batch_topk",
+        "ann_ivfpq_topk", "ann_ivfpq_batch_topk"),
       // the id-clustered re-rank fetch target (range-partitioned + sorted
       // by vec_id, bloom on the id column); the serving entries time the
       // coarse scan + PRUNED candidate fetch, not the clustering write

@@ -933,12 +933,20 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
             def routedParts: Option[Seq[Int]] = if (hnswRouted)
               Some(graft.index.HnswStore.probedShards(spark, p, query, hnswRoutedProbes))
             else None
-            def rerank(cand: DataFrame): DataFrame =
-              data.join(broadcast(cand), "id")
+            def rerank(cand: DataFrame): DataFrame = {
+              // pruned fetch (graft.search.IdFetch): the candidate set is
+              // bounded (≤ 30·topK), so its ids push into the live-table
+              // scan and the graph-side sims re-attach from the rebuilt
+              // local frame
+              val rows = cand.collect()
+              val candDf = graft.search.IdFetch.localFrame(data, rows, cand.schema)
+              graft.search.IdFetch.fetchByIds(data, "id", rows.map(_.get(0)).toSeq)
+                .join(broadcast(candDf), "id")
                 .where(f)
                 .orderBy(col("sim").desc, col("id").asc)
                 .limit(topK)
                 .select("id", "sim")
+            }
             val probe = data.where(f).select("id")
               .limit(MaxAcceptIds + 1).collect()
             if (probe.isEmpty) {
@@ -1004,8 +1012,10 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         .select("id", "sim")
     }
     // graph-covered candidates re-scored against live rows ∪ exact delta;
-    // the regions are disjoint (graph holds only ids < hnswCoveredUpTo)
-    score(data.join(broadcast(cand.select("id")), "id"))
+    // the regions are disjoint (graph holds only ids < hnswCoveredUpTo).
+    // Candidate fetch is the pruned IN-list (bounded by fetchK)
+    val candIds = cand.select("id").collect().map(_.getLong(0)).toSeq
+    score(graft.search.IdFetch.fetchByIds(data, "id", candIds))
       .union(score(data.where(col("id") >= hnswCoveredUpTo)))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(topK)

@@ -135,8 +135,13 @@ object IvfPq {
       case None =>
         cand.limit(topK).select(col(idCol), round(col("adc_score"), 6).as("adc_score"))
       case Some(raw) =>
-        filter.foldLeft(raw)((d, f) => d.where(f))
-          .join(broadcast(cand.select(col(idCol))), idCol)
+        // pruned refine fetch (the graft.search.IdFetch discipline): the
+        // ADC cut is driver-bounded (refineFactor·topK), so its ids push
+        // into the raw-vector scan as an IN list instead of probing the
+        // whole table as the scan side of a broadcast join
+        val candIds = cand.select(col(idCol)).collect().map(_.get(0)).toSeq
+        graft.search.IdFetch.fetchByIds(
+            filter.foldLeft(raw)((d, f) => d.where(f)), idCol, candIds)
           .withColumn("sim", round(VectorFunctions.cosineConst(col(vecCol), query), 6))
           .orderBy(col("sim").desc, col(idCol).asc)
           .limit(topK)
@@ -213,8 +218,16 @@ object IvfPq {
       StructType(Seq(
         StructField("query_id", LongType, nullable = false),
         StructField("qvec", ArrayType(DoubleType, containsNull = false), nullable = false))))
-    val joined = filter.foldLeft(refineFrom)((d, f) => d.where(f))
-      .join(broadcast(keep), idCol)
+    // pruned refine fetch: the per-query cuts are driver-bounded
+    // (|queries|·refineFactor·topK), so collect them, push the id union
+    // into the raw-vector scan, and re-attach query assignment from the
+    // rebuilt local frame (the Pca.batchTopK shape)
+    val keepRows = keep.collect()
+    val keepDf = graft.search.IdFetch.localFrame(refineFrom, keepRows, keep.schema)
+    val joined = graft.search.IdFetch.fetchByIds(
+        filter.foldLeft(refineFrom)((d, f) => d.where(f)), idCol,
+        keepRows.map(_.get(1)).distinct.toSeq)
+      .join(broadcast(keepDf), idCol)
       .join(broadcast(qvecDf), "query_id")
       .withColumn("sim_raw",
         graft.GraftExtensions.cosineSim(col(vecCol).cast("array<double>"), col("qvec")))

@@ -442,7 +442,9 @@ object ApproxQueries {
     val (path, model) = ivfPqLayout(spark, dir)
     publishIvfPqSidecars(spark, dir, model) // repair no-op unless dir switched / root lost
     val encoded = spark.read.parquet(path)
-    val emb = VectorModel.embeddings(spark, dir)
+    // refine fetches from the id-clustered layout: the pruned IN-list
+    // fetch reads row groups ∝ the bounded candidate count
+    val emb = spark.read.parquet(vecByIdLayout(spark, dir))
     graft.index.IvfPq.search(encoded, model, VectorModel.AnnQuery, 20,
       refineFrom = Some(emb), vecCol = "embedding", idCol = "vec_id")
       .select("vec_id", "sim")
@@ -684,7 +686,7 @@ object ApproxQueries {
     val (path, model) = ivfPqLayout(spark, dir)
     publishIvfPqSidecars(spark, dir, model) // repair no-op unless dir switched / root lost
     val encoded = spark.read.parquet(path)
-    val emb = VectorModel.embeddings(spark, dir)
+    val emb = spark.read.parquet(vecByIdLayout(spark, dir))
       .withColumn("embedding", col("embedding").cast("array<double>"))
     graft.index.IvfPq.batchSearch(encoded, model, annBatchQueries(3), 5,
       refineFrom = emb, vecCol = "embedding", idCol = "vec_id")
