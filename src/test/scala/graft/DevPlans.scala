@@ -22,7 +22,7 @@ object DevPlans {
     "dd_simhash" -> "pigeonhole bit-band equi-join (13 bands / 60 bits): NO BroadcastNestedLoopJoin",
     "ann_pq_adc_topk" -> "ADC scan over m-byte codes instead of full vectors",
     "ev_range_join" -> "banded range join: equi-join on time buckets, then exact range filter",
-    "ann_ivfpq_topk" -> "IVF-PQ serving: ADC over m-byte codes from probed cluster partitions only, then broadcast-semi-join exact refine",
+    "ann_ivfpq_topk" -> "IVF-PQ serving: ADC over m-byte codes from probed cluster partitions only, then the PRUNED exact refine — the bounded ADC cut's ids land as a pushed In(vec_id, …) filter over the id-clustered layout",
     "tx_bm25_topk" -> "BM25 one-scan: cached per-doc scalar projection (dl + per-term tf, no token explode), stats inlined as literals, TakeOrderedAndProject on the rounded score",
     "pipe_curated_mix" -> "curation pipeline over the shared pair layout: components + one semi-join for keepers, pure-expression quality/sampling filters",
     "tx_vocab_topk" -> "vocab wordcount: map-side partial aggregation, one token-key shuffle, bounded TakeOrderedAndProject",
