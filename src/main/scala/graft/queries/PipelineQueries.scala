@@ -188,6 +188,32 @@ object PipelineQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Blocked hosts (an RFC 2606 fixture standing in for the spam/adult/
+    * SEO blocklists every production crawl applies BEFORE any content
+    * work — the cheapest gate in the pipeline). */
+  val HostBlocklist = Seq("site2.example.com", "site4.example.com")
+
+  /** Host-level blocklist gate over the planted URL corpus
+    * ([[graft.text.Urls]]): docs whose canonical host is blocklisted
+    * drop before a single content byte is touched. A pure expression
+    * filter — the blocklist is a bounded literal set (a production list
+    * is a bounded broadcast); no shuffle at all. */
+  def hostFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    Urls.urlCorpus(VectorModel.documents(spark, dir))
+      .select(col("doc_id"), Urls.host(col("url")).as("host"))
+      .where(!col("host").isInCollection(HostBlocklist))
+      .orderBy("doc_id")
+  }
+
+  val hostFilterSql: String = {
+    val blocked = HostBlocklist.map(h => s"'$h'").mkString(", ")
+    s"""WITH ${graft.text.Urls.canonicalCtesSql(graft.text.Urls.urlCorpusSql)}
+       |SELECT doc_id, host FROM ucanon
+       |WHERE host NOT IN ($blocked)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Semantic decontamination threshold: hash-embedding cosine at/above
     * this against ANY eval doc flags the training doc. Picked on the
     * measured max-sim distribution (median ~0.83 on this corpus): 0.9
@@ -1447,6 +1473,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
+    "pipe_host_filter" -> (hostFilter _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
     "pipe_train_corpus_semantic" -> (trainCorpusSemantic _),
     "pipe_train_corpus" -> (trainCorpus _),
@@ -1471,6 +1498,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_decontaminate_semantic" -> decontaminateSemanticSql,
+    "pipe_host_filter" -> hostFilterSql,
     "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,
     "pipe_train_corpus_semantic" -> trainCorpusSemanticSql,
     "pipe_train_corpus" -> trainCorpusSql,

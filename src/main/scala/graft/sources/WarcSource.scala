@@ -186,24 +186,28 @@ object WarcSource {
     * oracle hashes. */
   def readDocuments(spark: SparkSession, path: String): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
-      .flatMap { case (file, stream) =>
-        parseFile(file, maybeGunzip(file, stream.toArray())) }
-      .map { r =>
-        val id = r.getString(0)
-        require(id.startsWith("<urn:graft:") && id.endsWith(">"),
-          s"warc ingest: unrecognized record id $id")
-        val docId = id.stripPrefix("<urn:graft:").stripSuffix(">").toLong
-        val body = r.getString(6)
-        val open = body.indexOf("<article><p>")
-        val close = body.indexOf("</p></article>")
-        require(open >= 0 && close > open,
-          s"warc ingest: record $id carries no article block")
-        val text = graft.text.HtmlText.unescapeStr(
-          body.substring(open + "<article><p>".length, close))
-        Row(docId, text, r.getString(4), r.getString(5), text.length.toLong)
-      }
+      .flatMap { case (file, stream) => docsFromBytes(file, stream.toArray()) }
     spark.createDataFrame(rows, JsonlSource.documentsSchema)
   }
+
+  /** One file's bytes (plain or member-gzip) → canonical documents rows —
+    * the task-side body shared by [[readDocuments]] and the streaming
+    * acquisition twin ([[graft.streaming.StreamingIngest.warcIngest]]). */
+  private[graft] def docsFromBytes(file: String, bytes: Array[Byte]): Seq[Row] =
+    parseFile(file, maybeGunzip(file, bytes)).map { r =>
+      val id = r.getString(0)
+      require(id.startsWith("<urn:graft:") && id.endsWith(">"),
+        s"warc ingest: unrecognized record id $id")
+      val docId = id.stripPrefix("<urn:graft:").stripSuffix(">").toLong
+      val body = r.getString(6)
+      val open = body.indexOf("<article><p>")
+      val close = body.indexOf("</p></article>")
+      require(open >= 0 && close > open,
+        s"warc ingest: record $id carries no article block")
+      val text = graft.text.HtmlText.unescapeStr(
+        body.substring(open + "<article><p>".length, close))
+      Row(docId, text, r.getString(4), r.getString(5), text.length.toLong)
+    }
 
   /** Sequential record parse of one file's bytes — fail loud with file +
     * offset on any framing violation. */

@@ -397,6 +397,50 @@ object StreamingIngest {
   def urlFrontierFrom(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/seen").select("curl", "keeper")
 
+  /** Streaming WARC acquisition — the continuous twin of the batch crawl
+    * ingest ([[graft.sources.WarcSource.readDocuments]]): archives LAND
+    * continuously (a crawler drops `.warc`/`.warc.gz` files as it
+    * fetches), and the pipeline should not wait for a "crawl complete"
+    * marker. Each micro-batch of newly-arrived archive files (the
+    * `binaryFile` streaming source: one row per file with its bytes)
+    * parses task-side through the SAME fail-loud record parser + article
+    * recovery the batch reader uses — one shared body, the two cannot
+    * drift — and appends its documents as an idempotent `batch=<id>`
+    * partition. The grown state equals the batch reader over all files
+    * landed so far (StreamingSpec), so every downstream stage
+    * (clean → dedup → gates → mix) can run incrementally off it.
+    *
+    * Scale shape: parallelism per archive file (the crawl layout), only
+    * the delta's files parse per batch, nothing collected. */
+  def warcIngest(files: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    requireNoFlatLegacyState(files.sparkSession, s"$statePath/docs")
+    files.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        warcIngestBatch(batch, statePath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private[graft] def warcIngestBatch(batch: DataFrame, statePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val rows = batch.select(col("path"), col("content")).rdd.flatMap { r =>
+      graft.sources.WarcSource.docsFromBytes(
+        r.getString(0), r.getAs[Array[Byte]](1))
+    }
+    writeBatchPartition(
+      spark.createDataFrame(rows, graft.sources.JsonlSource.documentsSchema),
+      s"$statePath/docs", batchId)
+  }
+
+  /** The grown acquisition corpus: every document parsed from every
+    * archive landed so far — the canonical documents shape. */
+  def warcDocsFrom(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/docs").drop("batch")
+
   /** Streaming twin of the deterministic shard shuffle
     * ([[graft.queries.PipelineQueries.shuffleShards]]) — the
     * daily-increment shape: each micro-batch's docs hash to their shards

@@ -1396,6 +1396,88 @@ class StreamingSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("streaming WARC acquisition: grown docs == batch reader, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.WarcSource
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val base = java.nio.file.Files.createTempDirectory("graft_warcstream").toString
+    // three archive drops (one plain, one member-gzip wave) landing in one
+    // watched directory — the crawler-drop layout
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    def land(lo: Long, hi: Long, gz: Boolean, tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      val slice = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      if (gz) WarcSource.writeGz(slice, tmp) else WarcSource.write(slice, tmp)
+      val hPath = new org.apache.hadoop.fs.Path(tmp)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hPath).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).zipWithIndex.foreach {
+          case (p, i) =>
+            fs.rename(p, new org.apache.hadoop.fs.Path(
+              inDir, s"$tag-$i-${p.getName}"))
+        }
+    }
+    land(0, 180, gz = false, "a")
+    land(180, 360, gz = true, "b")
+    land(360, 10000, gz = false, "c")
+    val stream = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", "2")
+      .load(inDir)
+    val st = s"$base/state"
+    val q = StreamingIngest.warcIngest(stream, st, s"$base/ckpt")
+    try q.awaitTermination(120000) finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val grown = rows(StreamingIngest.warcDocsFrom(spark, st))
+    assert(grown === rows(WarcSource.readDocuments(spark, inDir)),
+      "grown acquisition state must equal the batch reader over all files")
+    assert(grown === rows(docs),
+      "the acquisition round trip must recover the original corpus")
+    // replay of the newest batch is content-idempotent
+    val lastB = spark.read.parquet(s"$st/docs")
+      .agg(max(col("batch").cast("long"))).head.getLong(0)
+    val lastIds = spark.read.parquet(s"$st/docs")
+      .where(col("batch") === lastB).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // rebuild the last batch's file rows (path, content) from disk
+    val hIn = new org.apache.hadoop.fs.Path(inDir)
+    val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastFiles = fs.listStatus(hIn).map(_.getPath).filter { p =>
+      WarcSource.docsFromBytes(p.toString, readAll(fs, p))
+        .forall(r => lastIds(r.getLong(0)))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val replay = lastFiles.map(p => (p.toString, readAll(fs, p))).toSeq
+      .toDF("path", "content")
+    StreamingIngest.warcIngestBatch(replay, st, lastB)
+    assert(rows(StreamingIngest.warcDocsFrom(spark, st)) === grown,
+      "replay of the newest batch must not change the grown corpus")
+  }
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 * 1024, false)
+      bos.toByteArray
+    } finally in.close()
+  }
+
   test("streaming URL frontier: grown keys == batch dedup, recurrence never re-emits, replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.text.Urls
