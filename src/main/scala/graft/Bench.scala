@@ -90,6 +90,10 @@ object Bench {
       // by vec_id, bloom on the id column); the serving entries time the
       // coarse scan + PRUNED candidate fetch, not the clustering write
       (s, d) => { queries.ApproxQueries.vecByIdLayout(s, d); () }),
+    ("build_warc_layout", Set("src_warc_agg", "pipe_crawl_corpus"),
+      // the crawl egress is build state; the serving entries time the
+      // fail-loud parse + article recovery (+ cleaning), not the write
+      (s, d) => { queries.TextQueries.warcLayoutPath(s, d); () }),
     ("build_zorder_layout", Set("q_zorder_box"),
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",

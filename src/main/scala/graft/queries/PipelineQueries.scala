@@ -188,6 +188,21 @@ object PipelineQueries {
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
+  /** THE acquisition capstone, registered end to end: raw WARC archives
+    * (the memoized crawl egress — a Bench build state like every layout)
+    * → fail-loud record parse → byte-exact article recovery →
+    * [[cleanCorpusFrom]] (exact dedup → quality floor → language gate).
+    * Hash-gated against [[cleanCorpusSql]] UNCHANGED: the crawl round
+    * trip is lossless, so cleaning the re-ingested crawl must equal
+    * cleaning the parquet documents table — any parse slip, escape
+    * asymmetry, or row loss anywhere in the acquisition chain breaks the
+    * hash. */
+  def crawlCorpus(spark: SparkSession, dir: String): DataFrame =
+    cleanCorpusFrom(graft.sources.WarcSource.readDocuments(
+      spark, TextQueries.warcLayoutPath(spark, dir)))
+
+  lazy val crawlCorpusSql: String = cleanCorpusSql
+
   /** Blocked hosts (an RFC 2606 fixture standing in for the spam/adult/
     * SEO blocklists every production crawl applies BEFORE any content
     * work — the cheapest gate in the pipeline). */
@@ -1474,6 +1489,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
     "pipe_host_filter" -> (hostFilter _),
+    "pipe_crawl_corpus" -> (crawlCorpus _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
     "pipe_train_corpus_semantic" -> (trainCorpusSemantic _),
     "pipe_train_corpus" -> (trainCorpus _),
@@ -1499,6 +1515,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_decontaminate_semantic" -> decontaminateSemanticSql,
     "pipe_host_filter" -> hostFilterSql,
+    "pipe_crawl_corpus" -> crawlCorpusSql,
     "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,
     "pipe_train_corpus_semantic" -> trainCorpusSemanticSql,
     "pipe_train_corpus" -> trainCorpusSql,

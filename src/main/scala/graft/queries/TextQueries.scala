@@ -243,6 +243,15 @@ object TextQueries {
   private val warcLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The memoized WARC egress path — shared by [[warcAgg]] and the
+    * acquisition capstone (`pipe_crawl_corpus`); a Bench build step. */
+  private[graft] def warcLayoutPath(spark: SparkSession, dir: String): String =
+    warcLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_warc_layout") + "/docs"
+      graft.sources.WarcSource.write(VectorModel.documents(spark, dir), p)
+      p
+    })
+
   val warcAggSql: String = jsonlAggSql
 
   /** Member-gzip WARC round-trip twin of [[warcAgg]] — the Common Crawl
