@@ -72,14 +72,16 @@ object IdFetch {
     * (an empty `IN` list is not a valid pushdown). Raises the session's
     * parquet `IN` threshold first — set at fetch time rather than in the
     * session builders so every consumer (entry sessions, the facade,
-    * specs) gets the value-list pushdown, not the min/max degradation. */
+    * specs) gets the value-list pushdown, not the min/max degradation.
+    *
+    * A candidate list PAST [[InFilterThreshold]] stays correct and
+    * degrades gracefully: the filter still applies (as an `InSet` after
+    * the scan), only the parquet-side pushdown falls back to Spark's
+    * min/max range — unpruned, never wrong. Callers with bounded budgets
+    * stay under the threshold; a caller-supplied rerank/topK large
+    * enough to exceed it must not turn a previously-valid search into an
+    * exception. */
   def fetchByIds(vecs: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
-    if (ids.size > InFilterThreshold)
-      throw new IllegalArgumentException(
-        s"fetchByIds: ${ids.size} candidate ids exceed the pushdown " +
-          s"threshold $InFilterThreshold — a list past the threshold " +
-          "degrades to a min/max range over the whole domain; widen " +
-          "InFilterThreshold or cut the candidate budget")
     vecs.sparkSession.conf.set(
       "spark.sql.parquet.pushdown.inFilterThreshold", InFilterThreshold)
     if (ids.isEmpty) vecs.where(lit(false))

@@ -55,7 +55,14 @@ object WarcSource {
     * in both the record id and the target URI). One `.warc` file per
     * input partition, written task-locally — no shuffle, no driver
     * materialization. */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String): Unit =
+    writeWith(df, path, ".warc", identity)
+
+  /** Shared writer body of [[write]]/[[writeGz]]: one `.warc`-family
+    * file per input partition, each record's bytes through
+    * `perRecord` (identity for plain, one-gzip-member for `.warc.gz`). */
+  private def writeWith(df: DataFrame, path: String, suffix: String,
+      perRecord: Array[Byte] => Array[Byte]): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -68,14 +75,14 @@ object WarcSource {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         if (it.hasNext) {
           val part = new org.apache.hadoop.fs.Path(
-            out, f"part-$pid%05d.warc")
+            out, f"part-$pid%05d$suffix")
           val os = part.getFileSystem(conf.value).create(part, true)
           try it.foreach { row =>
             require(!row.anyNull,
               s"warc write: null field in row $row — doc_id/text/lang/" +
                 "source must be non-null")
-            os.write(recordBytes(row.getLong(0), row.getString(1),
-              row.getString(2), row.getString(3)))
+            os.write(perRecord(recordBytes(row.getLong(0), row.getString(1),
+              row.getString(2), row.getString(3))))
           } finally os.close()
         }
       }
@@ -117,31 +124,8 @@ object WarcSource {
     * This reader decompresses the member CONCATENATION per file (gzip
     * streams concatenate losslessly), keeping per-file parallelism like
     * the uncompressed path. */
-  def writeGz(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val out = new org.apache.hadoop.fs.Path(path)
-    val fs = out.getFileSystem(conf.value)
-    if (fs.exists(out)) fs.delete(out, true)
-    fs.mkdirs(out)
-    df.select("doc_id", "text", "lang", "source")
-      .rdd.foreachPartition { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        if (it.hasNext) {
-          val part = new org.apache.hadoop.fs.Path(
-            out, f"part-$pid%05d.warc.gz")
-          val os = part.getFileSystem(conf.value).create(part, true)
-          try it.foreach { row =>
-            require(!row.anyNull,
-              s"warc write: null field in row $row — doc_id/text/lang/" +
-                "source must be non-null")
-            os.write(gzipMember(recordBytes(row.getLong(0), row.getString(1),
-              row.getString(2), row.getString(3))))
-          } finally os.close()
-        }
-      }
-  }
+  def writeGz(df: DataFrame, path: String): Unit =
+    writeWith(df, path, ".warc.gz", gzipMember)
 
   private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
@@ -150,24 +134,66 @@ object WarcSource {
     bos.toByteArray
   }
 
-  /** Gunzip a whole member concatenation; fail loud with the file name on
-    * a corrupt stream. Plain (non-gzip) bytes pass through untouched, so
-    * one reader serves both layouts. */
-  private[graft] def maybeGunzip(file: String, bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+  /** Gunzip a member concatenation by WALKING the members ourselves —
+    * never through `GZIPInputStream`'s concatenation mode, which treats a
+    * malformed subsequent member header as clean EOF and silently
+    * truncates everything after a corruption (measured: a bit-flip at a
+    * member boundary decodes to a clean prefix with no exception —
+    * exactly the resync-past-corruption failure this seam exists to
+    * reject). Each member's header is parsed per RFC 1952 (magic, method
+    * 8, FLG-gated extra/name/comment fields), its deflate body inflated
+    * raw, and its CRC32 + ISIZE trailer VERIFIED; any violation fails
+    * loudly with file + member offset. Plain (non-gzip) bytes pass
+    * through untouched, so one reader serves both layouts. Output sizing
+    * and offset arithmetic are Long-safe (a ~1 GB archive must not wrap
+    * an Int). */
+  private[graft] def maybeGunzip(file: String, bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
+      return bytes
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, 64L * 1024 * 1024).toInt)
+    var off = 0
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"warc parse: $msg in $file at member offset $off")
+    def u8(i: Long): Int = {
+      if (i < 0 || i >= bytes.length) fail("truncated gzip member")
+      bytes(i.toInt) & 0xff
+    }
+    while (off < bytes.length) {
+      if (u8(off) != 0x1f || u8(off + 1) != 0x8b) fail("bad gzip member magic")
+      if (u8(off + 2) != 8) fail(s"unsupported gzip method ${u8(off + 2)}")
+      val flg = u8(off + 3)
+      var p: Long = off + 10L // fixed header
+      if ((flg & 4) != 0) { val xlen = u8(p) | (u8(p + 1) << 8); p += 2 + xlen } // FEXTRA
+      if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 }                  // FNAME
+      if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 }                 // FCOMMENT
+      if ((flg & 2) != 0) p += 2                                                 // FHCRC
+      if (p >= bytes.length) fail("truncated gzip member")
+      val inf = new java.util.zip.Inflater(/* nowrap = */ true)
+      val crc = new java.util.zip.CRC32
+      var memberLen = 0L
       try {
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val bos = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        inf.setInput(bytes, p.toInt, bytes.length - p.toInt)
         val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        bos.toByteArray
-      } catch {
-        case e: java.io.IOException => throw new IllegalArgumentException(
-          s"warc parse: corrupt gzip stream in $file", e)
-      }
-    } else bytes
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt deflate body (${e.getMessage})") }
+          if (n == 0 && !inf.finished()) fail("truncated deflate body")
+          out.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n
+        }
+        val dataEnd = p + inf.getBytesRead
+        // trailer: CRC32 + ISIZE (mod 2^32), little-endian
+        val gotCrc = (0 until 4).map(i => u8(dataEnd + i).toLong << (8 * i)).sum
+        val gotLen = (0 until 4).map(i => u8(dataEnd + 4 + i).toLong << (8 * i)).sum
+        if (gotCrc != crc.getValue) fail("gzip member CRC mismatch")
+        if (gotLen != (memberLen & 0xffffffffL)) fail("gzip member ISIZE mismatch")
+        off = (dataEnd + 8).toInt
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
 
   /** Parse every record of every `.warc`/`.warc.gz` file under `path`
     * into [[recordsSchema]] rows. */
@@ -240,11 +266,16 @@ object WarcSource {
       val recordId =
         headers.getOrElse("warc-record-id", fail("missing WARC-Record-ID"))
       val len = headers.get("content-length") match {
-        case Some(v) if v.forall(_.isDigit) => v.toInt
-        case Some(v) => fail(s"non-numeric Content-Length '$v'")
+        // non-empty, digits only, and small enough that no downstream
+        // Int arithmetic can wrap (an empty string passes forall; an
+        // all-digit overflow would otherwise throw a bare
+        // NumberFormatException with no file:offset context)
+        case Some(v) if v.nonEmpty && v.length <= 9 && v.forall(_.isDigit) =>
+          v.toInt
+        case Some(v) => fail(s"invalid Content-Length '$v'")
         case None => fail("missing Content-Length")
       }
-      if (pos + len + 4 > bytes.length)
+      if (pos.toLong + len + 4 > bytes.length)
         fail(s"payload of $len bytes overruns the file")
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len

@@ -87,24 +87,50 @@ object VectorStore {
     * Blocks are freed by the ContextCleaner once the checkpointed plan
     * is unreachable.
     *
-    * Why it is GATED on plan determinism (the round-16 attribution): the
-    * checkpoint materialization measured ~0.4 s per merge at sf0.1
-    * (DevTimeOne 1.14–1.34 s with vs 0.72–0.99 s without — the whole
-    * r15 `vq_merge_agg` move), and for a DETERMINISTIC delta it buys
-    * nothing: every re-evaluation produces identical rows by definition,
-    * so validation and both branches already observe one logical value.
-    * The checkpoint is applied exactly when the hazard exists — any
-    * expression in the delta's plan reports non-deterministic (rand,
-    * uuid, monotonically_increasing_id, a UDF marked
-    * `asNondeterministic`). A UDF that lies about determinism defeats
-    * this the same way it defeats every Catalyst rule keyed on the same
-    * flag — Spark's own trust model, not a new one. */
+    * Why it is GATED on replay stability (the round-16 attribution,
+    * tightened by the round's review): the checkpoint materialization
+    * measured ~0.4 s per merge at sf0.1 (DevTimeOne 1.14–1.34 s with vs
+    * 0.72–0.99 s without — the whole r15 `vq_merge_agg` move), and for
+    * a replay-STABLE delta it buys nothing: every re-evaluation
+    * produces identical rows by definition. `Expression.deterministic`
+    * alone is NOT that test — `dropDuplicates`/`first()` aggregates and
+    * post-shuffle `limit`s report deterministic yet depend on shuffle
+    * fetch order — so the gate is a conservative WHITELIST of plan
+    * shapes that replay identically by construction: scans / local
+    * relations / ranges composed of projects, filters, and unions whose
+    * expressions are all deterministic and subquery-free. Anything else
+    * (aggregate, join, window, limit, sort, distinct, sample, repartition
+    * — or any unknown node) checkpoints. A UDF that lies about
+    * determinism defeats this the same way it defeats every Catalyst
+    * rule keyed on the same flag — Spark's own trust model, not a new
+    * one. */
   private[graft] def validatedDelta(delta: DataFrame, opCol: String): DataFrame = {
-    val nonDeterministic = delta.queryExecution.analyzed.exists(
-      p => p.expressions.exists(e => e.exists(!_.deterministic)))
-    val d = if (nonDeterministic) delta.localCheckpoint(eager = true) else delta
+    val d = if (replayStable(delta.queryExecution.analyzed)) delta
+      else delta.localCheckpoint(eager = true)
     requireValidOps(d, opCol)
     d
+  }
+
+  /** Conservative replay-stability test for [[validatedDelta]]: true only
+    * for plans whose every node is a stable leaf (file/table relation,
+    * local rows, range) or an order-insensitive row-wise combinator
+    * (project / filter / union / alias), with all expressions
+    * deterministic and subquery-free. */
+  private[graft] def replayStable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def exprsOk(p: LogicalPlan): Boolean = p.expressions.forall(e =>
+      e.deterministic && !e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    def nodeOk(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias => true
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case _ => false
+    }
+    plan.collect { case p => p }.forall(p => nodeOk(p) && exprsOk(p))
   }
 
   /** The scan-only op check of [[validatedDelta]], also used directly on

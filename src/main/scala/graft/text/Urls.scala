@@ -45,7 +45,11 @@ object Urls {
   private val SchemeRe = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
   private val HostportRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
   private val PathRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-  private val QueryRe = "^[^#]*[?]([^#]*)"
+  // the prefix class excludes '?' so the match anchors at the FIRST '?'
+  // — a greedy [^#]* prefix would anchor at the LAST one and silently
+  // drop everything before it for queries containing a literal '?'
+  // (legal per RFC 3986), collapsing distinct pages to one canonical key
+  private val QueryRe = "^[^?#]*[?]([^#]*)"
 
   def scheme(u: Column): Column = lower(regexp_extract(u, SchemeRe, 1))
 

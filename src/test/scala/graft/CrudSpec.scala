@@ -134,12 +134,27 @@ class CrudSpec extends SparkSpec {
     assert(evals.value === 2L,
       s"non-deterministic delta evaluated ${evals.value} row-evals for 2 rows" +
         " — must be checkpointed to exactly one evaluation")
-    // the deterministic shape skips the checkpoint (the r16 cost
+    // the replay-stable shape skips the checkpoint (the r16 cost
     // attribution): its validated frame keeps the original plan
     val det = deltaRow(11L, 5.0, "U1", "U")
     val validated = VectorStore.validatedDelta(det, "op")
     assert(validated.queryExecution.analyzed === det.queryExecution.analyzed,
-      "a deterministic delta must pass through un-checkpointed")
+      "a replay-stable delta must pass through un-checkpointed")
+    // Expression.deterministic is NOT the test: dropDuplicates picks its
+    // survivor by shuffle fetch order while reporting deterministic —
+    // the whitelist must checkpoint it (and any aggregate/limit/join)
+    Seq(
+      det.dropDuplicates("id"),
+      det.limit(1),
+      det.groupBy("id").agg(org.apache.spark.sql.functions.first("op").as("op"))
+        .join(det.drop("op"), "id")
+    ).foreach { orderSensitive =>
+      val v = VectorStore.validatedDelta(
+        orderSensitive.withColumn("op", lit("U")), "op")
+      assert(v.queryExecution.analyzed !==
+        orderSensitive.withColumn("op", lit("U")).queryExecution.analyzed,
+        s"order-sensitive plan must be checkpointed: ${orderSensitive.queryExecution.analyzed.nodeName}")
+    }
   }
 
   test("mergeVersioned: bootstrap on an empty root validates ops too") {

@@ -82,13 +82,19 @@ class IdFetchSpec extends SparkSpec {
     assert(IdFetch.fetchByIds(vecs, "vec_id", Seq.empty).schema === vecs.schema)
   }
 
-  test("a candidate list past the pushdown threshold fails loudly") {
+  test("a candidate list past the pushdown threshold degrades gracefully, never wrongly") {
+    // a caller-supplied rerank/topK big enough to exceed the threshold
+    // must not turn a valid search into an exception: the filter still
+    // applies post-scan (InSet), only the parquet pushdown falls back to
+    // Spark's min/max range
     val vecs = spark.read.parquet(layoutPath)
-    val tooMany = (0 until IdFetch.InFilterThreshold + 1).map(_.toLong)
-    val e = intercept[IllegalArgumentException] {
-      IdFetch.fetchByIds(vecs, "vec_id", tooMany)
-    }
-    assert(e.getMessage.contains("exceed the pushdown threshold"))
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val tooMany = (all.toSeq ++
+      (0 until IdFetch.InFilterThreshold).map(i => -1000000L - i))
+    assert(tooMany.size > IdFetch.InFilterThreshold)
+    val got = IdFetch.fetchByIds(vecs, "vec_id", tooMany)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got === all, "over-threshold fetch must stay row-correct")
   }
 
   test("clustered layout round-trips content and writes id bloom filters") {

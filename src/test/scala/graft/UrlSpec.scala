@@ -50,6 +50,22 @@ class UrlSpec extends SparkSpec {
       "https://a.example.com/s?preference=1")
   }
 
+  test("a literal '?' inside the query survives — distinct pages stay distinct") {
+    // RFC 3986 allows '?' within a query; the extraction must anchor at
+    // the FIRST '?' or everything before the last one silently drops and
+    // different pages collapse to one canonical key
+    val c = canon(
+      "https://h.example.com/p?a=1?b=2",
+      "https://h.example.com/p?x=9?b=2",
+      "https://h.example.com/p?b=2")
+    assert(c(0) === "https://h.example.com/p?a=1?b=2")
+    assert(c(1) === "https://h.example.com/p?x=9?b=2")
+    assert(c.distinct.size === 3, s"pages collapsed: $c")
+    // tracking strip still works around the embedded '?' (split is on &)
+    assert(canon("https://h.example.com/p?a=1?b=2&utm_source=x").head ===
+      "https://h.example.com/p?a=1?b=2")
+  }
+
   test("canonicalization is idempotent") {
     val raw = Urls.UrlFixture.map(_._2)
       .map(_.replace("{h}", "3").replace("{p}", "42"))

@@ -106,7 +106,36 @@ class WarcSpec extends SparkSpec {
       WarcSource.maybeGunzip("bad.warc.gz",
         Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 42))
     }
-    assert(e.getMessage.contains("corrupt gzip") && e.getMessage.contains("bad.warc.gz"))
+    assert(e.getMessage.contains("bad.warc.gz"))
+    // the silent-truncation trap: GZIPInputStream treats a malformed
+    // SECOND member as clean EOF and returns only member 1 — the member
+    // walk must fail loudly instead of losing every later record
+    def member(payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload); gz.close(); bos.toByteArray
+    }
+    val good1 = member(WarcSource.recordBytes(1L, "first record", "en", "web"))
+    val good2 = member(WarcSource.recordBytes(2L, "second record", "en", "web"))
+    val joinedOk = good1 ++ good2
+    assert(WarcSource.parseFile("two.warc.gz",
+      WarcSource.maybeGunzip("two.warc.gz", joinedOk)).size === 2)
+    val corrupt2 = joinedOk.clone()
+    corrupt2(good1.length + 1) = 0x00 // break member 2's magic
+    val e2 = intercept[IllegalArgumentException] {
+      WarcSource.maybeGunzip("trunc.warc.gz", corrupt2)
+    }
+    assert(e2.getMessage.contains("trunc.warc.gz") &&
+      e2.getMessage.contains(s"member offset ${good1.length}"),
+      s"expected loud failure at the corrupt member, got: ${e2.getMessage}")
+    // a flipped bit INSIDE a member's deflate body or trailer is caught
+    // by the CRC verification
+    val crcBad = joinedOk.clone()
+    crcBad(crcBad.length - 6) = (crcBad(crcBad.length - 6) ^ 0x01).toByte // ISIZE
+    val e3 = intercept[IllegalArgumentException] {
+      WarcSource.maybeGunzip("crc.warc.gz", crcBad)
+    }
+    assert(e3.getMessage.contains("ISIZE") || e3.getMessage.contains("CRC"))
   }
 
   test("framing violations fail loudly with file and offset") {
@@ -132,7 +161,7 @@ class WarcSpec extends SparkSpec {
         "Content-Length: x")
       s.getBytes(UTF_8)
     }
-    assert(e4.getMessage.contains("non-numeric Content-Length"))
+    assert(e4.getMessage.contains("invalid Content-Length"))
     // a valid non-response record parses through with null http fields
     val meta = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
       "WARC-Record-ID: <urn:graft:meta>\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
