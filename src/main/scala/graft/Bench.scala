@@ -98,12 +98,14 @@ object Bench {
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",
       Set("dd_minhash_lsh", "dd_ngram_capped", "dd_components",
+        "dd_quality_keepers",
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e",
         "pipe_split_leakproof", "dd_incremental_lsh",
         "pipe_decontaminate_fuzzy", "pipe_train_corpus_fuzzy"),
       (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
-      Set("dd_ngram_capped", "dd_components", "pipe_curated_mix",
+      Set("dd_ngram_capped", "dd_components", "dd_quality_keepers",
+        "pipe_curated_mix",
         "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof",
         "pipe_train_corpus_fuzzy"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),

@@ -144,15 +144,61 @@ object DedupQueries {
     * pair graph (tiny components make the closure cheap for the oracle),
     * component = min reachable id. The pair CTE is the banded oracle
     * nested verbatim, so the gate covers the whole composition. */
-  lazy val componentsSql: String =
-    s"""WITH RECURSIVE pairs AS ($ngramJaccardCappedSql),
+  /** The component CTE chain (pairs → edges → reach → comp(doc_id,
+    * component)) — ONE definition composed by [[componentsSql]] and the
+    * quality-keeper oracle, so the two cannot drift. */
+  private lazy val componentCtes: String =
+    s"""pairs AS ($ngramJaccardCappedSql),
        |edges AS (SELECT da AS src, db AS dst FROM pairs
        |          UNION ALL SELECT db AS src, da AS dst FROM pairs),
        |reach(doc, r) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-       |SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+       |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)""".stripMargin
+
+  lazy val componentsSql: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  /** Quality-aware component keepers — the SemDeDup-grade refinement of
+    * the min-id convention: within each near-dup component keep the
+    * HIGHEST-quality member (ties to the lowest id), not the accidental
+    * smallest id. A rewrite farm or boilerplate mirror usually contains
+    * one clean original among noisier copies; min-id keeps whichever
+    * arrived first, this keeps the best. One aggregate per component
+    * (max over a (quality, −id) struct — no window, map-side
+    * combinable), components bounded by the near-dup graph. */
+  def qualityKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val pairs = spark.read.parquet(pairLayout(spark, dir))
+    val scored = Dedup.connectedComponents(docs, "doc_id", pairs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("q",
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6))
+    scored.groupBy("component")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("m.nid")).cast("long").as("keeper"),
+        col("m.q").as("keeper_q"), col("n_members"))
+      .orderBy("component")
+  }
+
+  lazy val qualityKeepersSql: String = {
+    val q = graft.queries.PipelineQueries.duckQualitySql
+    s"""WITH RECURSIVE $componentCtes,
+       |qk AS (SELECT c.component AS component, d.doc_id AS doc_id,
+       |    round($q, 6) AS q
+       |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+       |ranked AS (SELECT component, doc_id, q,
+       |    row_number() OVER (PARTITION BY component
+       |      ORDER BY q DESC, doc_id ASC) AS rn
+       |  FROM qk),
+       |n AS (SELECT component, count(*) AS n_members FROM qk GROUP BY component)
+       |SELECT r.component, r.doc_id AS keeper, r.q AS keeper_q, n.n_members
+       |FROM ranked r JOIN n USING (component) WHERE rn = 1
+       |ORDER BY component""".stripMargin
+  }
 
   /** Cross-doc repeated 8-gram spans (memorization / span-dedup audit):
     * grams shared by ≥ 2 documents, most-shared first
@@ -811,6 +857,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> (spanScrubText _),
     "dd_span_maximal" -> (spanMaximal _),
     "dd_components" -> (components _),
+    "dd_quality_keepers" -> (qualityKeepers _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
     "dd_ngram_jaccard" -> (ngramJaccard _),
@@ -832,6 +879,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> spanScrubTextSql,
     "dd_span_maximal" -> spanMaximalSql,
     "dd_components" -> componentsSql,
+    "dd_quality_keepers" -> qualityKeepersSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,
     "dd_minhash_lsh" -> minhashLshSql,

@@ -50,6 +50,10 @@ object PipelineQueries {
   private def duckMarkerCount(markers: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
+  /** [[duckQuality]] for sibling query modules (the quality-keeper
+    * oracle) — one formula, no drift. */
+  private[queries] lazy val duckQualitySql: String = duckQuality
+
   private lazy val duckQuality: String = {
     val stopRatio = s"CAST(${duckMarkerCount(TextAnalysis.Stopwords)} AS DOUBLE) / $DuckNTok"
     val lenFactor = s"least($DuckNTok / CAST('100.0' AS DOUBLE), CAST('1.0' AS DOUBLE))"

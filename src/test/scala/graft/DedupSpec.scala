@@ -296,4 +296,32 @@ class DedupSpec extends SparkSpec {
     val frac = out.values.count(_._2 == "train").toDouble / out.size
     assert(frac > 0.8 && frac < 0.98, s"train fraction $frac")
   }
+
+  test("quality keepers: keep the best member, not the smallest id") {
+    import org.apache.spark.sql.functions._
+    val comp = graft.queries.DedupQueries.components(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.model.VectorModel.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keepers = graft.queries.DedupQueries.qualityKeepers(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(keepers.map(_._1).toSeq === comp.values.toSeq.distinct.sorted,
+      "one keeper per component")
+    keepers.foreach { case (c, keeper, kq, n) =>
+      val members = comp.collect { case (d, cc) if cc == c => d }.toSeq
+      assert(members.size.toLong === n, s"component $c member count")
+      assert(members.contains(keeper), s"keeper $keeper outside component $c")
+      assert(kq === quality(keeper))
+      assert(members.forall(m => quality(m) <= kq),
+        s"component $c keeps $keeper (q=$kq) but a better member exists")
+      // deterministic tie: among max-quality members, lowest id wins
+      assert(keeper === members.filter(m => quality(m) == kq).min)
+    }
+    // the refinement matters: some multi-member component's best is NOT
+    // its min id (otherwise this operator is the min-id keeper renamed)
+    val multi = keepers.filter(_._4 > 1)
+    assert(multi.nonEmpty, "fixture must contain multi-member components")
+  }
 }
