@@ -92,7 +92,8 @@ object DevPlans {
     "pipe_diverse_sample" -> "learned-domain diversity sampling: embed+assign are scan-side codegen kernels (model state rides the plan), the BottomS ObjectHashAggregate truncates to s rows per (domain, partition) map-side, domain populations broadcast onto the bounded sample",
     "tx_html_text" -> "HTML extraction: page construction + the whole removal/strip/decode/normalize regex chain are ONE scan-side codegen projection — no UDF, no shuffle before the final order; at 100 TB this runs at scan speed beside the WARC reader",
     "tx_url_stats" -> "URL canonicalization: scheme/host/port/path/query extracts and the tracking-param array filter are pure scan-side expressions; ONE host-keyed aggregate shuffle (map-side combined) for the per-host fetch-vs-page stats",
-    "dd_url_dedup" -> "canonical-URL dedup: the canonicalization chain in the scan projection, ONE group-by shuffle on the canonical key with map-side partial aggregation — the crawl's cheapest dedup pass, no content bytes touched")
+    "dd_url_dedup" -> "canonical-URL dedup: the canonicalization chain in the scan projection, ONE group-by shuffle on the canonical key with map-side partial aggregation — the crawl's cheapest dedup pass, no content bytes touched",
+    "dd_quality_keepers" -> "quality-aware keepers: components from the persisted pair layout, ONE aggregate per component over a (quality, -id) struct max — no window, map-side combinable; the quality expression rides the scan projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
