@@ -21,6 +21,8 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 otherwise rejects;
       // read as nanos-since-epoch LONG (queries bucket it integrally).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.search.IdFetch.InFilterThreshold.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

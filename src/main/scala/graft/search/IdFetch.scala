@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bounded candidate-id fetch for two-stage vector search — the re-rank
@@ -69,24 +69,31 @@ object IdFetch {
 
   /** The pruned fetch: `WHERE id IN (ids)` pushed into the scan. Empty
     * candidate set short-circuits to an empty frame of the same schema
-    * (an empty `IN` list is not a valid pushdown). Raises the session's
-    * parquet `IN` threshold first — set at fetch time rather than in the
-    * session builders so every consumer (entry sessions, the facade,
-    * specs) gets the value-list pushdown, not the min/max degradation.
+    * (an empty `IN` list is not a valid pushdown).
     *
-    * A candidate list PAST [[InFilterThreshold]] stays correct and
-    * degrades gracefully: the filter still applies (as an `InSet` after
-    * the scan), only the parquet-side pushdown falls back to Spark's
-    * min/max range — unpruned, never wrong. Callers with bounded budgets
-    * stay under the threshold; a caller-supplied rerank/topK large
-    * enough to exceed it must not turn a previously-valid search into an
-    * exception. */
+    * The fetch itself never mutates session state: the parquet `IN`
+    * threshold is a SESSION-GLOBAL conf, and raising it per call races
+    * with every other query planned concurrently in the same session
+    * (and leaks the raised value to unrelated queries afterward). Entry
+    * sessions set [[InFilterThreshold]] at build time
+    * ([[configure]] — Verify/Bench/RecallBench/specs all call it);
+    * a session left at the default degrades GRACEFULLY, not wrongly:
+    * the filter still applies (as an `InSet` after the scan), only the
+    * parquet-side pushdown falls back to Spark's min/max range —
+    * unpruned, never incorrect. The same graceful degradation covers a
+    * candidate list past the configured threshold. */
   def fetchByIds(vecs: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
-    vecs.sparkSession.conf.set(
-      "spark.sql.parquet.pushdown.inFilterThreshold", InFilterThreshold)
     if (ids.isEmpty) vecs.where(lit(false))
     else vecs.where(col(idCol).isin(ids: _*))
   }
+
+  /** Apply the point-fetch session conf to a builder — ONE place owns the
+    * threshold value, every entry session (Verify, Bench, RecallBench,
+    * the shared spec session) composes it at build time, so concurrent
+    * query planning never sees a mid-flight conf mutation. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.parquet.pushdown.inFilterThreshold",
+      InFilterThreshold.toString)
 
   /** Rebuild a COLLECTED bounded candidate set as a small local
     * DataFrame (for re-attaching per-candidate columns — coarse distance,

@@ -60,7 +60,17 @@ object WarcSource {
 
   /** Shared writer body of [[write]]/[[writeGz]]: one `.warc`-family
     * file per input partition, each record's bytes through
-    * `perRecord` (identity for plain, one-gzip-member for `.warc.gz`). */
+    * `perRecord` (identity for plain, one-gzip-member for `.warc.gz`).
+    *
+    * Commit protocol: each task attempt writes an ATTEMPT-UNIQUE temp
+    * file (`.part-<pid>.attempt-<taskAttemptId>`) and renames it to the
+    * final name only after a clean close — so a retried or speculative
+    * attempt never interleaves bytes with a zombie writing the same
+    * final path, which would leave a torn archive the fail-loud reader
+    * rejects. If the rename finds the final name already present, a
+    * sibling attempt of the SAME deterministic partition won the race;
+    * its bytes are identical by construction, so the loser just deletes
+    * its temp. */
   private def writeWith(df: DataFrame, path: String, suffix: String,
       perRecord: Array[Byte] => Array[Byte]): Unit = {
     val spark = df.sparkSession
@@ -72,11 +82,15 @@ object WarcSource {
     fs.mkdirs(out)
     df.select("doc_id", "text", "lang", "source")
       .rdd.foreachPartition { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         if (it.hasNext) {
-          val part = new org.apache.hadoop.fs.Path(
+          val partFs = out.getFileSystem(conf.value)
+          val finalPart = new org.apache.hadoop.fs.Path(
             out, f"part-$pid%05d$suffix")
-          val os = part.getFileSystem(conf.value).create(part, true)
+          val tmpPart = new org.apache.hadoop.fs.Path(
+            out, f".part-$pid%05d.attempt-${tc.taskAttemptId()}$suffix")
+          val os = partFs.create(tmpPart, true)
           try it.foreach { row =>
             require(!row.anyNull,
               s"warc write: null field in row $row — doc_id/text/lang/" +
@@ -84,6 +98,13 @@ object WarcSource {
             os.write(perRecord(recordBytes(row.getLong(0), row.getString(1),
               row.getString(2), row.getString(3))))
           } finally os.close()
+          if (!partFs.rename(tmpPart, finalPart)) {
+            val won = partFs.exists(finalPart)
+            partFs.delete(tmpPart, false)
+            require(won,
+              s"warc write: rename $tmpPart -> $finalPart failed with no " +
+                "committed sibling attempt")
+          }
         }
       }
   }

@@ -115,7 +115,18 @@ object VectorStore {
     * for plans whose every node is a stable leaf (file/table relation,
     * local rows, range) or an order-insensitive row-wise combinator
     * (project / filter / union / alias), with all expressions
-    * deterministic and subquery-free. */
+    * deterministic and subquery-free.
+    *
+    * RDD-backed leaves carry NO determinism metadata in the plan (an
+    * arbitrary `createDataFrame(rdd)` lineage never passes through
+    * `Expression.deterministic`), so a [[LogicalRDD]] counts as stable
+    * only when the rows themselves are pinned — the RDD is checkpointed
+    * (what `localCheckpoint(eager = true)` produces) or persisted at a
+    * disk-backed level that survives block eviction. An
+    * [[InMemoryRelation]] at a memory-only level RECOMPUTES its child on
+    * eviction, so it is stable only if disk-backed or if the cached
+    * child's plan is itself replay-stable (recursed — the cache is then
+    * a pure accelerator over a stable computation). */
   private[graft] def replayStable(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -126,8 +137,11 @@ object VectorStore {
       case _: Project | _: Filter | _: Union | _: SubqueryAlias => true
       case _: LocalRelation | _: Range | _: OneRowRelation => true
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.isCheckpointed || l.rdd.getStorageLevel.useDisk
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cacheBuilder.storageLevel.useDisk ||
+          replayStable(r.cacheBuilder.logicalPlan)
       case _ => false
     }
     plan.collect { case p => p }.forall(p => nodeOk(p) && exprsOk(p))

@@ -51,9 +51,14 @@ object HtmlText {
     "(?is)<footer[^>]*>.*?</footer>")
 
   /** Block-element closes + `<br>` → newline: paragraph boundaries
-    * survive the strip as line boundaries. */
+    * survive the strip as line boundaries. The `<br` match is
+    * name-anchored — the tag name must end at whitespace, `/`, or `>` —
+    * so a tag that merely STARTS with "br" (`<brand …>`) falls through
+    * to [[TagPattern]]'s space replacement instead of minting a bogus
+    * paragraph boundary. */
   private[graft] val BlockBreakPattern: String =
-    "(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|article|section|blockquote|pre|title)>|<br[^>]*>"
+    "(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|article|section|blockquote|pre|title)>" +
+      "|<br(?:\\s[^>]*)?/?>"
 
   /** Any remaining tag → space. */
   private[graft] val TagPattern: String = "(?s)<[^>]+>"

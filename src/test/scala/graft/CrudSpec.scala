@@ -157,6 +157,48 @@ class CrudSpec extends SparkSpec {
     }
   }
 
+  test("replayStable: RDD-backed and memory-only-cached leaves are NOT stable") {
+    import org.apache.spark.sql.functions._
+    val det = deltaRow(11L, 5.0, "U1", "U")
+    // createDataFrame(rdd): arbitrary RDD lineage with no determinism
+    // metadata in the plan — must checkpoint (the r16 whitelist accepted
+    // every LogicalRDD and reopened the replay divergence for these)
+    val rddBacked = spark.createDataFrame(det.rdd, det.schema)
+    assert(!VectorStore.replayStable(rddBacked.queryExecution.analyzed),
+      "un-checkpointed RDD lineage must not count as replay-stable")
+    val v = VectorStore.validatedDelta(rddBacked, "op")
+    assert(v.queryExecution.analyzed !== rddBacked.queryExecution.analyzed,
+      "an RDD-backed delta must be checkpointed")
+    // a checkpointed delta (exactly what validatedDelta produces) IS
+    // stable — callers pre-checkpointing don't pay twice
+    assert(VectorStore.replayStable(v.queryExecution.analyzed),
+      "a checkpointed delta must pass through un-checkpointed")
+    // cache substitution: a MEMORY_ONLY cache over a nondeterministic
+    // child recomputes that child on block eviction — not stable; the
+    // same cache disk-backed (or over a stable child) is
+    // fresh frame per case: withCachedData is a lazy val on the frame's
+    // QueryExecution, so a re-persisted SAME frame would replay the first
+    // substitution
+    val memOnly = det.withColumn("salt", rand())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    memOnly.count()
+    assert(!VectorStore.replayStable(memOnly.queryExecution.withCachedData),
+      "MEMORY_ONLY cache over a nondeterministic child must not be stable")
+    memOnly.unpersist(blocking = true)
+    val onDisk = det.withColumn("salt", rand())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    onDisk.count()
+    assert(VectorStore.replayStable(onDisk.queryExecution.withCachedData),
+      "a disk-backed cache survives eviction — stable")
+    onDisk.unpersist(blocking = true)
+    val stableChild = det.withColumn("salt", lit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    stableChild.count()
+    assert(VectorStore.replayStable(stableChild.queryExecution.withCachedData),
+      "MEMORY_ONLY over a replay-stable child recomputes to the same rows — stable")
+    stableChild.unpersist(blocking = true)
+  }
+
   test("mergeVersioned: bootstrap on an empty root validates ops too") {
     val root = s"/tmp/graft_mergeboot_${java.util.UUID.randomUUID()}"
     try {

@@ -18,6 +18,8 @@ object DevTimeOne {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.search.IdFetch.InFilterThreshold.toString)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     val q = SparkEntry.queries(entry)

@@ -17,6 +17,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.pushdown.inFilterThreshold",
+      graft.search.IdFetch.InFilterThreshold.toString)
     .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

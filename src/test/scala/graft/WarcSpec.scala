@@ -202,6 +202,20 @@ class WarcSpec extends SparkSpec {
       .filter(_.nonEmpty).containsSlice(Seq("Head", "one & two", "three")))
   }
 
+  test("<br> match is name-anchored: <brand …> is a tag strip, not a line break") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every legitimate br form breaks the line; a tag whose NAME merely
+    // starts with "br" must fall through to the space replacement (the
+    // r16 pattern <br[^>]*> turned <brand …> into a bogus paragraph
+    // boundary on real crawl HTML)
+    val html = "<p>a<br>b<br/>c<br />d<br class=\"x\">e<brand x=\"1\">f</p>"
+    val got = Seq(html).toDF("h")
+      .select(HtmlText.extract(col("h")).as("t")).head.getString(0)
+    assert(got.linesIterator.toSeq === Seq("a", "b", "c", "d", "e f"),
+      s"got lines ${got.linesIterator.toSeq}")
+  }
+
   test("warc-ingested corpus feeds the cleaning pipeline identically") {
     // the acquisition story end-to-end: crawl → parse → extract →
     // the SAME rows the parquet documents table gives pipe_clean_corpus
