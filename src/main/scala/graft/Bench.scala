@@ -109,10 +109,25 @@ object Bench {
         "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof",
         "pipe_train_corpus_fuzzy"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
+    ("build_component_layout",
+      Set("dd_components", "dd_quality_keepers", "pipe_curated_mix",
+        "pipe_split_leakproof", "pipe_train_corpus",
+        "pipe_train_corpus_fuzzy", "pipe_train_corpus_semantic",
+        "pipe_rag_e2e"),
+      // the star-contraction over the persisted pair layout is
+      // build-time state; every component consumer serves from a scan
+      // of the materialized (doc_id, component) assignment
+      (s, d) => { queries.DedupQueries.componentLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
     ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
+    ("build_semantic_cc_layout", Set("dd_semantic_keepers"),
+      // exact-cosine pair discovery + contraction, persisted; the
+      // serving entry is a scan + kept flag
+      (s, d) => { queries.DedupQueries.semanticCcLayout(s, d); () }),
+    ("build_semantic_cc_ivf_layout", Set("dd_semantic_ivf"),
+      (s, d) => { queries.DedupQueries.semanticCcIvfLayout(s, d); () }),
     ("build_embed_model", Set("tx_embed_local"),
       (s, d) => { queries.TextQueries.localModelPath(s, d); () }),
     ("build_domain_model", Set("pipe_domain_mix", "pipe_diverse_sample"),

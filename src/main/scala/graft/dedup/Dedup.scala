@@ -972,6 +972,44 @@ object Dedup {
         coalesce(col("component"), col("doc")).as("component"))
   }
 
+  /** DELTA re-propagation over a prior component assignment — the
+    * maintenance move for a persisted component layout when its pair
+    * layout GROWS (a new crawl batch's near-dup pairs), so the layout is
+    * refreshed without re-contracting the full historical pair set.
+    *
+    * The prior assignment is a fixed point of min-label propagation:
+    * every component is a STAR (member → component-min edge). Union the
+    * star edges with the fresh pairs and contract — the result equals a
+    * fresh contraction over (old pairs ∪ new pairs) because a star edge
+    * carries exactly the information the old pairs proved (reachability
+    * to the component min), and min-label over the union re-derives the
+    * merged minima. Cost: O(|prior touched| + |new pairs|) edges and the
+    * few cycles the DELTA's diameter needs — independent of the
+    * historical pair count. The same move the streaming semantic path
+    * runs per micro-batch
+    * ([[graft.streaming.StreamingIngest.semanticIngestBatch]]).
+    *
+    * `prior` rows labeled self (component minima, isolated vertices) add
+    * no information and are dropped from the star; minima re-appear as
+    * star endpoints of their members, and isolated vertices re-enter
+    * only if a new pair touches them. Output covers TOUCHED vertices
+    * only (the [[connectedComponents]] contract) — merge back over the
+    * full id set with a coalesce-to-self, exactly like serving. */
+  def incrementalComponents(prior: DataFrame, idCol: String,
+      newPairs: DataFrame): DataFrame = {
+    val star = prior
+      .select(col(idCol).cast("long").as("da"),
+        col("component").cast("long").as("db"))
+      .where(col("da") =!= col("db"))
+    val fresh = newPairs
+      .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
+    val edges = star.union(fresh)
+    val touched = edges.select(col("da").as(idCol))
+      .union(edges.select(col("db").as(idCol)))
+      .distinct()
+    connectedComponents(touched, idCol, edges)
+  }
+
 
   /** Embedding-cosine near-dup pairs within a blocking column (e.g. a
     * cluster/label id — at scale, an LSH or IVF bucket).

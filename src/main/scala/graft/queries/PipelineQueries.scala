@@ -139,11 +139,11 @@ object PipelineQueries {
 
   def curatedMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
-    // shared banded-pair layout: the candidate stage is built once per
-    // dataset dir and served from parquet (DedupQueries.pairLayout)
-    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
-    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
-    val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
+    // shared component layout: pair discovery AND the star-contraction
+    // are build-time state (DedupQueries.componentLayout); the keeper
+    // set here is one filtered scan of the persisted assignment
+    val keepers = spark.read.parquet(DedupQueries.componentLayout(spark, dir))
+      .where(col("doc_id") === col("component")).select("doc_id")
     docs
       .join(keepers, Seq("doc_id"), "left_semi")
       .where(curationFilter)
@@ -351,9 +351,10 @@ object PipelineQueries {
   private def trainCorpusFrom(spark: SparkSession, dir: String,
       fuzzyDecontam: Boolean, semanticDecontam: Boolean = false): DataFrame = {
     val docs = VectorModel.documents(spark, dir)
-    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
-    val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
-    val keepers = comp.where(col("doc_id") === col("component")).select("doc_id")
+    // keepers from the persisted component layout — the contraction is
+    // build-time state, not a per-capstone cost
+    val keepers = spark.read.parquet(DedupQueries.componentLayout(spark, dir))
+      .where(col("doc_id") === col("component")).select("doc_id")
     val contaminated = Dedup.contaminatedDocs(
         docs.where(col("source") =!= EvalSource),
         docs.where(col("source") === EvalSource),

@@ -1268,18 +1268,18 @@ object StreamingIngest {
     val freshPairs = spark.read.parquet(pairsPath)
       .where(col("batch") === batchId).select(col("da"), col("db"))
     val labelsRoot = s"$statePath/labels"
-    val star = graft.store.VersionedLayout.currentDir(spark, labelsRoot) match {
+    val prior = graft.store.VersionedLayout.currentDir(spark, labelsRoot) match {
       case Some(dir) => spark.read.parquet(dir)
-        .select(col("vec_id").as("da"), col("component").as("db"))
       case None => freshPairs.limit(0)
+        .select(col("da").as("vec_id"), col("db").as("component"))
     }
-    val edges = star.union(freshPairs)
-    // labels cover only TOUCHED vertices (every component has ≥2 members,
-    // so all prior labeled vertices reappear as star-edge endpoints);
-    // untouched rows resolve to kept=1 at serve time
-    val touched = edges.select(col("da").as("vec_id"))
-      .union(edges.select(col("db").as("vec_id"))).distinct()
-    val labels = graft.dedup.Dedup.connectedComponents(touched, "vec_id", edges)
+    // delta re-propagation over the published assignment — the SAME
+    // maintenance move the batch component layouts document
+    // ([[graft.dedup.Dedup.incrementalComponents]]): star edges of the
+    // prior labels ∪ this batch's pairs, contracted over touched
+    // vertices only; untouched rows resolve to kept=1 at serve time
+    val labels = graft.dedup.Dedup.incrementalComponents(
+      prior, "vec_id", freshPairs)
     graft.store.VersionedLayout.publish(spark, labelsRoot)(dir =>
       labels.write.mode("overwrite").parquet(dir))
     b.unpersist()
