@@ -274,6 +274,51 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** IVF-bucketed twin of [[decontaminateSemantic]] — the LARGE-|eval|
+    * escape hatch the broadcast path documents: when the eval suite
+    * itself is too big to broadcast-cross every training row, block the
+    * bipartite comparison instead. The blocking structure is fitted on
+    * the EVAL side (bounded, and it is the side being protected): eval
+    * docs assign to their nearest of [[SemIvfK]] learned clusters, each
+    * training doc probes its [[SemIvfProbes]] nearest clusters, and the
+    * candidate join runs co-partitioned on cluster_id — candidate volume
+    * Σ_c |train probers(c)|·|eval members(c)| instead of corpus × |eval|.
+    * Approximate in FLAG RECALL only (a qualifying pair probing disjoint
+    * clusters is missed; reported sims are exact cosines) → spec-gated
+    * against the broadcast-exact path like every IVF serving twin, and
+    * registered rows-only in the driver contract. */
+  def decontaminateSemanticIvf(spark: SparkSession, dir: String): DataFrame = {
+    val embd = new graft.text.HashEmbedder(TextQueries.EmbedDim)
+    val docs = VectorModel.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        embd.embed(col("text")).as("emb"))
+    val eval = docs.where(col("source") === EvalSource)
+      .select(col("doc_id").as("vec_id"), col("emb").as("vector"))
+    val (_, model) = graft.index.Ivf.fit(eval, vecCol = "vector",
+      k = SemIvfK, idCol = "vec_id")
+    val evalAssigned = graft.index.Ivf.assign(eval, model, "vector")
+      .select(col("vector").as("evemb"), col("cluster_id"))
+    docs.where(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("emb"),
+        explode(graft.functions.ModelExpressions.probeClusters(
+          col("emb"), model.centroids, SemIvfProbes)).as("cluster_id"))
+      .join(evalAssigned.hint("shuffle_hash"), Seq("cluster_id"))
+      .select(col("doc_id"),
+        graft.GraftExtensions.cosineSim(col("emb"), col("evemb")).as("s"))
+      .groupBy("doc_id")
+      .agg(max(col("s")).as("ms"),
+        sum(when(col("s") >= SemDecontamTau, 1L).otherwise(0L)).as("n_hits"))
+      .where(col("ms") >= SemDecontamTau)
+      .select(col("doc_id"), round(col("ms"), 6).as("max_sim"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Cluster count / probe width for [[decontaminateSemanticIvf]] —
+    * sized to the fixture eval set (25 docs); at production |eval| both
+    * scale with √|eval| like every IVF sizing. */
+  val SemIvfK = 8
+  val SemIvfProbes = 3
+
   private def semTau = s"CAST('$SemDecontamTau' AS DOUBLE)"
 
   /** The train×eval cosine CTE chain (`sem_e, sem_tr, sem_ev, sem_sims`
@@ -1549,6 +1594,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> (cleanCorpus _),
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
+    "pipe_decontaminate_semantic_ivf" -> (decontaminateSemanticIvf _),
     "pipe_host_filter" -> (hostFilter _),
     "pipe_crawl_corpus" -> (crawlCorpus _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),

@@ -285,6 +285,21 @@ object TextQueries {
 
   val jsonlGzAggSql: String = jsonlAggSql
 
+  /** Zstd-JSONL round-trip twin of [[jsonlGzAgg]]
+    * ([[graft.sources.JsonlSource.writeZst]]) — the compression public
+    * corpora increasingly ship in, served by a pure-JVM codec since the
+    * Hadoop-native one needs a zstd-enabled libhadoop. Same
+    * non-splittability trade, documented at the writer. */
+  def jsonlZstAgg(spark: SparkSession, dir: String): DataFrame =
+    sourceRoundTripAgg(spark, dir, jsonlZstLayoutCache, "graft_jsonl_zst_layout",
+      graft.sources.JsonlSource.writeZst(_, _),
+      graft.sources.JsonlSource.readDocumentsZst(_, _))
+
+  private val jsonlZstLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val jsonlZstAggSql: String = jsonlAggSql
+
   /** HTML → text extraction over the planted page fixture
     * ([[graft.text.HtmlText]]): each document's text wraps into a full
     * boilerplate page IN-QUERY on BOTH engines (head matter, a script
@@ -1516,6 +1531,7 @@ object TextQueries {
     "src_warc_agg" -> (warcAgg _),
     "src_warc_gz" -> (warcGzAgg _),
     "src_jsonl_gz" -> (jsonlGzAgg _),
+    "src_jsonl_zst" -> (jsonlZstAgg _),
     "tx_html_text" -> (htmlText _),
     "tx_outlinks" -> (outlinks _),
     "tx_url_stats" -> (urlStats _),
@@ -1554,6 +1570,7 @@ object TextQueries {
     "src_warc_agg" -> warcAggSql,
     "src_warc_gz" -> warcGzAggSql,
     "src_jsonl_gz" -> jsonlGzAggSql,
+    "src_jsonl_zst" -> jsonlZstAggSql,
     "tx_html_text" -> htmlTextSql,
     "tx_outlinks" -> outlinksSql,
     "tx_url_stats" -> urlStatsSql,

@@ -72,7 +72,7 @@ object WarcSource {
     * its bytes are identical by construction, so the loser just deletes
     * its temp. */
   private def writeWith(df: DataFrame, path: String, suffix: String,
-      perRecord: Array[Byte] => Array[Byte]): Unit = {
+      perRecord: Array[Byte] => Array[Byte], indexed: Boolean = false): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -86,24 +86,43 @@ object WarcSource {
         val pid = tc.partitionId()
         if (it.hasNext) {
           val partFs = out.getFileSystem(conf.value)
+          def commitTo(tmp: org.apache.hadoop.fs.Path,
+              dst: org.apache.hadoop.fs.Path): Unit =
+            if (!partFs.rename(tmp, dst)) {
+              val won = partFs.exists(dst)
+              partFs.delete(tmp, false)
+              require(won,
+                s"warc write: rename $tmp -> $dst failed with no " +
+                  "committed sibling attempt")
+            }
           val finalPart = new org.apache.hadoop.fs.Path(
             out, f"part-$pid%05d$suffix")
           val tmpPart = new org.apache.hadoop.fs.Path(
             out, f".part-$pid%05d.attempt-${tc.taskAttemptId()}$suffix")
           val os = partFs.create(tmpPart, true)
+          val cdx = if (indexed) new StringBuilder else null
+          var offset = 0L
           try it.foreach { row =>
             require(!row.anyNull,
               s"warc write: null field in row $row — doc_id/text/lang/" +
                 "source must be non-null")
-            os.write(perRecord(recordBytes(row.getLong(0), row.getString(1),
-              row.getString(2), row.getString(3))))
+            val bytes = perRecord(recordBytes(row.getLong(0), row.getString(1),
+              row.getString(2), row.getString(3)))
+            os.write(bytes)
+            if (indexed) {
+              cdx.append(row.getLong(0)).append(' ').append(offset)
+                .append(' ').append(bytes.length).append('\n')
+              offset += bytes.length
+            }
           } finally os.close()
-          if (!partFs.rename(tmpPart, finalPart)) {
-            val won = partFs.exists(finalPart)
-            partFs.delete(tmpPart, false)
-            require(won,
-              s"warc write: rename $tmpPart -> $finalPart failed with no " +
-                "committed sibling attempt")
+          commitTo(tmpPart, finalPart)
+          if (indexed) {
+            val tmpCdx = new org.apache.hadoop.fs.Path(
+              out, f".part-$pid%05d.attempt-${tc.taskAttemptId()}.cdx")
+            val cs = partFs.create(tmpCdx, true)
+            try cs.write(cdx.toString.getBytes(UTF_8)) finally cs.close()
+            commitTo(tmpCdx,
+              new org.apache.hadoop.fs.Path(out, f"part-$pid%05d.cdx"))
           }
         }
       }
@@ -140,13 +159,17 @@ object WarcSource {
   /** Egress as `.warc.gz` with each record its OWN gzip member — the
     * Common Crawl convention: a conforming reader can seek to a member
     * boundary and decompress one record without touching the rest, which
-    * is what makes the compressed form record-addressable at scale (an
-    * index of member offsets — CC's cdx — turns it into random access).
-    * This reader decompresses the member CONCATENATION per file (gzip
-    * streams concatenate losslessly), keeping per-file parallelism like
-    * the uncompressed path. */
+    * is what makes the compressed form record-addressable at scale. The
+    * writer ALSO emits that address book: a CDX-style sidecar per
+    * archive (`part-NNNNN.cdx`, one `docId offset length` line per
+    * member) — CC's cdx shape — which [[fetchDocumentsById]] uses for
+    * point reads that touch bytes proportional to the CANDIDATE COUNT,
+    * never the crawl ([[graft.search.IdFetch]]'s discipline at the
+    * archive layer). Full scans still decompress the member
+    * CONCATENATION per file (gzip streams concatenate losslessly),
+    * keeping per-file parallelism like the uncompressed path. */
   def writeGz(df: DataFrame, path: String): Unit =
-    writeWith(df, path, ".warc.gz", gzipMember)
+    writeWith(df, path, ".warc.gz", gzipMember, indexed = true)
 
   private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
@@ -234,6 +257,56 @@ object WarcSource {
   def readDocuments(spark: SparkSession, path: String): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
       .flatMap { case (file, stream) => docsFromBytes(file, stream.toArray()) }
+    spark.createDataFrame(rows, JsonlSource.documentsSchema)
+  }
+
+  /** Bounded point fetch over an INDEXED member-gzip crawl
+    * ([[writeGz]]'s cdx sidecars): resolve the requested ids to
+    * (archive, offset, length) triples through one pruned scan of the
+    * cdx files, then read EXACTLY those byte ranges — one seek + one
+    * member gunzip + one record parse per candidate, distributed over
+    * the (bounded) candidate list. I/O ∝ |ids|, never the crawl size —
+    * the [[graft.search.IdFetch]] two-stage discipline applied to the
+    * archive layer (at production scale the text cdx converts to an
+    * id-clustered parquet sidecar for footer-stat pruning of the index
+    * scan itself; the text form here is CC's interchange shape).
+    * Unknown ids are simply absent from the result (the caller's
+    * candidate list is advisory, like an `IN` fetch). */
+  def fetchDocumentsById(spark: SparkSession, path: String,
+      ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    if (ids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], JsonlSource.documentsSchema)
+    val idSet = ids.toSet
+    val entries = spark.read.textFile(s"$path/*.cdx")
+      .select(org.apache.spark.sql.functions.input_file_name().as("cdx"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .flatMap { case (cdx, line) =>
+        val f = line.split(' ')
+        require(f.length == 3, s"$cdx: malformed cdx line '$line'")
+        val id = f(0).toLong
+        if (idSet(id))
+          Some((cdx.stripSuffix(".cdx") + ".warc.gz", f(1).toLong, f(2).toInt, id))
+        else None
+      }
+      .collect()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(entries.toSeq, math.max(1, math.min(entries.length, 32)))
+      .flatMap { case (file, offset, length, id) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(conf.value)
+        val bytes = new Array[Byte](length)
+        val in = fs.open(p)
+        try in.readFully(offset, bytes) finally in.close()
+        val docs = docsFromBytes(file, maybeGunzip(file, bytes))
+        require(docs.size == 1 && docs.head.getLong(0) == id,
+          s"$file@$offset: cdx entry for $id does not frame exactly that record")
+        docs
+      }
     spark.createDataFrame(rows, JsonlSource.documentsSchema)
   }
 

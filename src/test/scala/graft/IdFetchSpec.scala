@@ -121,4 +121,89 @@ class IdFetchSpec extends SparkSpec {
         "vec_id column chunk carries no bloom filter")
     } finally reader.close()
   }
+
+  test("after compaction mixes id ranges, the bloom layer carries the pruning") {
+    // compaction of interleaved appends produces files whose id [min,max]
+    // spans nearly the whole domain — the case the layout's bloom filters
+    // exist for (IdFetch scaladoc). Model the worst case: scatter ids
+    // across 4 files by id % 4 so every file's stats range covers every
+    // candidate, then measure each pruning layer separately.
+    val p = graft.store.Fs.scratchDir(spark, "idfetch_compact") + "/vecs"
+    // one file per id%4 stripe, written deterministically (hash
+    // repartitioning can leave empty partitions → fewer files)
+    (0 until 4).foreach { b =>
+      spark.read.parquet(layoutPath)
+        .where(pmod(col("vec_id"), lit(4)) === b)
+        .coalesce(1)
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .option("parquet.bloom.filter.enabled#vec_id", "true")
+        .parquet(p)
+    }
+    val vecs = spark.read.parquet(p)
+    val ids = emb.select("vec_id").orderBy(md5(col("vec_id").cast("string")))
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    // correctness first: the IN fetch over the mixed layout stays exact
+    val spark2 = spark
+    import spark2.implicits._
+    val viaFetch = IdFetch.fetchByIds(vecs, "vec_id", ids)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val viaJoin = vecs.join(broadcast(ids.toDF("vec_id")), "vec_id")
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(viaFetch === viaJoin)
+    // layer measurement over the parquet footers
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val files = hPath.getFileSystem(conf).listStatus(hPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 4)
+    var statsTouched = 0; var bloomTouched = 0; var trueTouched = 0
+    files.foreach { f =>
+      val holds = spark.read.parquet(f.toString)
+        .where(col("vec_id").isin(ids: _*)).count() > 0
+      if (holds) trueTouched += 1
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val perId = ids.map { id =>
+          var statsHit = false; var bloomHit = false
+          (0 until blocks.size()).foreach { bi =>
+            val chunk = (0 until blocks.get(bi).getColumns.size())
+              .map(blocks.get(bi).getColumns.get)
+              .find(_.getPath.toDotString == "vec_id").get
+            val st = chunk.getStatistics
+              .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            if (st.getMin <= id && id <= st.getMax) {
+              statsHit = true
+              val bloom = reader.getBloomFilterDataReader(blocks.get(bi))
+                .readBloomFilter(chunk)
+              assert(bloom != null, s"$f: missing bloom for vec_id")
+              if (bloom.findHash(bloom.hash(id))) bloomHit = true
+            }
+          }
+          (id, statsHit, bloomHit)
+        }
+        if (perId.exists(_._2)) statsTouched += 1
+        if (perId.exists(_._3)) bloomTouched += 1
+      } finally reader.close()
+    }
+    // the scattering defeated stats on purpose: stats touch MORE files
+    // than actually hold a candidate...
+    assert(statsTouched > trueTouched,
+      s"range mixing did not defeat stats ($statsTouched vs $trueTouched true)")
+    // ...no bloom false negatives: every file really holding a candidate
+    // is bloom-positive...
+    assert(bloomTouched >= trueTouched,
+      s"bloom false negative: $bloomTouched touched < $trueTouched true")
+    // ...and the bloom layer is what prunes — down to the truly-holding
+    // files, modulo its false-positive rate
+    assert(bloomTouched <= trueTouched + 1,
+      s"bloom touched $bloomTouched files, only $trueTouched hold a candidate" +
+        " — the bloom layer is not pruning")
+    assert(bloomTouched < statsTouched,
+      "bloom must prune strictly better than stats on a mixed-range layout")
+    info(s"compacted layout: stats touches $statsTouched/${files.length} " +
+      s"files, bloom narrows to $bloomTouched ($trueTouched truly hold)")
+  }
 }

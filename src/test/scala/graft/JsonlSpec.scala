@@ -56,6 +56,32 @@ class JsonlSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions === 4)
   }
 
+  test("zstd egress writes .zst part files that round-trip value-identically") {
+    val docs = VectorModel.documents(spark, Sf0001).repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_zst").toString
+    JsonlSource.writeZst(docs, s"$dir/out")
+    // same non-splittability mitigation as gzip: one .zst file per input
+    // partition, extension-keyed codec resolution (the pure-JVM codec —
+    // no zstd-enabled libhadoop in this image)
+    val parts = Option(new java.io.File(s"$dir/out").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.zst")),
+      s"expected .json.zst parts, got ${parts.map(_.getName).toSeq}")
+    assert(parts.size === 4)
+    // the bytes really are zstd frames (magic 0xFD2FB528 little-endian)
+    val head = java.nio.file.Files.readAllBytes(parts.head.toPath).take(4)
+    assert(head === Array(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte),
+      "part file does not start with the zstd frame magic")
+    val back = JsonlSource.readDocumentsZst(spark, s"$dir/out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows(back) === rows(docs))
+    // one task per non-splittable file
+    assert(back.rdd.getNumPartitions === 4)
+  }
+
   test("malformed lines drop instead of failing the read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
     val good = """{"doc_id": 1, "text": "a b c", "lang": "en", "source": "s0", "n_chars": 5}"""

@@ -588,6 +588,36 @@ class TrancheSpec extends SparkSpec {
       "semantic flags must reach docs the exact n-gram pass misses")
   }
 
+  test("bucketed semantic decontamination: exact sims, full flag recall vs the broadcast path") {
+    // the escape hatch for large |eval| must be exercised, not just
+    // cited: the IVF-bucketed twin's flagged set is judged against the
+    // broadcast-exact path's
+    val exact = PipelineQueries.decontaminateSemantic(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val bucketed = PipelineQueries.decontaminateSemanticIvf(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(exact.nonEmpty)
+    // subset by construction: the bucketed path can only MISS pairs
+    assert(bucketed.keySet.subsetOf(exact.keySet),
+      s"bucketed path flagged docs the exact path did not: ${bucketed.keySet -- exact.keySet}")
+    // recall gate — the probing parameters must recover the flag set
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.9, s"flag recall $recall < 0.9 " +
+      s"(missed: ${exact.keySet -- bucketed.keySet})")
+    // where a doc is flagged by both, the winning cosine is EXACT (the
+    // approximation is in candidate generation only) — the max may still
+    // differ if the argmax eval doc was not probed, so gate on ≤ and on
+    // hit-count ≤
+    bucketed.foreach { case (d, (ms, nh)) =>
+      assert(ms <= exact(d)._1 + 1e-9, s"doc $d bucketed max_sim exceeds exact")
+      assert(nh <= exact(d)._2, s"doc $d bucketed n_hits exceeds exact")
+    }
+    // and usually the argmax IS probed — require value identity on ≥90%
+    val identical = bucketed.count { case (d, v) => v == exact(d) }
+    assert(identical >= (bucketed.size * 0.9).floor.toInt,
+      s"only $identical/${bucketed.size} flagged docs carry the exact (max_sim, n_hits)")
+  }
+
   test("stratifiedSample: exact per-stratum quota, subset, small strata take-all") {
     val rows = PipelineQueries.stratifiedSample(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -202,6 +202,52 @@ class WarcSpec extends SparkSpec {
       .filter(_.nonEmpty).containsSlice(Seq("Head", "one & two", "three")))
   }
 
+  test("cdx sidecars address every member exactly; point fetch == full-scan filter") {
+    val p = graft.store.Fs.scratchDir(spark, "warc_cdx") + "/crawl"
+    WarcSource.writeGz(docs, p)
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cdxs = fs.listStatus(hPath).map(_.getPath)
+      .filter(_.getName.endsWith(".cdx")).sortBy(_.getName)
+    assert(cdxs.nonEmpty, "member-gzip egress must write cdx sidecars")
+    // offsets verified against member boundaries: entries tile the
+    // archive exactly (sorted, contiguous, summing to the file length)
+    // and each offset lands on a gzip member magic
+    cdxs.foreach { cdx =>
+      val arch = new org.apache.hadoop.fs.Path(
+        cdx.toString.stripSuffix(".cdx") + ".warc.gz")
+      val lines = scala.io.Source.fromInputStream(fs.open(cdx)).getLines()
+        .map { l => val f = l.split(' '); (f(0).toLong, f(1).toLong, f(2).toLong) }
+        .toSeq
+      assert(lines.nonEmpty)
+      var expect = 0L
+      val in = fs.open(arch)
+      try lines.foreach { case (id, off, len) =>
+        assert(off === expect, s"$cdx: member for $id not contiguous")
+        val magic = new Array[Byte](2)
+        in.readFully(off, magic)
+        assert((magic(0) & 0xff) === 0x1f && (magic(1) & 0xff) === 0x8b,
+          s"$cdx: offset $off for $id is not a gzip member boundary")
+        expect = off + len
+      } finally in.close()
+      assert(expect === fs.getFileStatus(arch).getLen,
+        s"$cdx: entries do not tile the archive")
+    }
+    // point fetch: a scattered bounded id set comes back identical to the
+    // full-scan filter, in all five columns
+    val all = WarcSource.readDocuments(spark, p)
+    val ids = all.select("doc_id").orderBy(md5(col("doc_id").cast("string")))
+      .limit(7).collect().map(_.getLong(0)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    val fetched = WarcSource.fetchDocumentsById(spark, p, ids)
+    assert(rows(fetched) === rows(all.where(col("doc_id").isin(ids: _*))))
+    // unknown ids are absent, empty list short-circuits
+    assert(WarcSource.fetchDocumentsById(spark, p, Seq(-1L)).count() === 0)
+    assert(WarcSource.fetchDocumentsById(spark, p, Nil).count() === 0)
+  }
+
   test("<br> match is name-anchored: <brand …> is a tag strip, not a line break") {
     val spark2 = spark
     import spark2.implicits._
