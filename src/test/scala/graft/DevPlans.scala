@@ -24,7 +24,7 @@ object DevPlans {
     "ev_range_join" -> "banded range join: equi-join on time buckets, then exact range filter",
     "ann_ivfpq_topk" -> "IVF-PQ serving: ADC over m-byte codes from probed cluster partitions only, then the PRUNED exact refine — the bounded ADC cut's ids land as a pushed In(vec_id, …) filter over the id-clustered layout",
     "tx_bm25_topk" -> "BM25 one-scan: cached per-doc scalar projection (dl + per-term tf, no token explode), stats inlined as literals, TakeOrderedAndProject on the rounded score",
-    "pipe_curated_mix" -> "curation pipeline over the shared pair layout: components + one semi-join for keepers, pure-expression quality/sampling filters",
+    "pipe_curated_mix" -> "curation pipeline over the persisted COMPONENT layout: keepers are one filtered scan of the materialized assignment (no contraction at serve time) + one semi-join, pure-expression quality/sampling filters",
     "tx_vocab_topk" -> "vocab wordcount: map-side partial aggregation, one token-key shuffle, bounded TakeOrderedAndProject",
     "dd_repeated_ngrams" -> "repeated-span audit: exploded grams, two-level countDistinct aggregate, bounded top-N",
     "tx_chunk_bm25" -> "chunk-granularity BM25: chunk explode feeding the one-scan cached projection, no extra corpus pass",
@@ -93,7 +93,9 @@ object DevPlans {
     "tx_html_text" -> "HTML extraction: page construction + the whole removal/strip/decode/normalize regex chain are ONE scan-side codegen projection — no UDF, no shuffle before the final order; at 100 TB this runs at scan speed beside the WARC reader",
     "tx_url_stats" -> "URL canonicalization: scheme/host/port/path/query extracts and the tracking-param array filter are pure scan-side expressions; ONE host-keyed aggregate shuffle (map-side combined) for the per-host fetch-vs-page stats",
     "dd_url_dedup" -> "canonical-URL dedup: the canonicalization chain in the scan projection, ONE group-by shuffle on the canonical key with map-side partial aggregation — the crawl's cheapest dedup pass, no content bytes touched",
-    "dd_quality_keepers" -> "quality-aware keepers: components from the persisted pair layout, ONE aggregate per component over a (quality, -id) struct max — no window, map-side combinable; the quality expression rides the scan projection")
+    "dd_quality_keepers" -> "quality-aware keepers: the component assignment is a SCAN of the persisted component layout (the star-contraction is build-time state), ONE aggregate per component over a (quality, -id) struct max — no window, map-side combinable; the quality expression rides the scan projection",
+    "dd_components" -> "near-dup components served from the persisted component layout: one parquet scan + the presentation sort — the iterative contraction loop runs only in build_component_layout",
+    "pipe_export_shards" -> "token-shard round-trip: per-file binary decode aggregates (the serve side); the export itself is build state — one token-stream shuffle keyed by window id, bounded per-window assembly, task-parallel shard files")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1455,10 +1455,13 @@ class StreamingSpec extends SparkSpec {
     // rebuild the last batch's file rows (path, content) from disk
     val hIn = new org.apache.hadoop.fs.Path(inDir)
     val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lastFiles = fs.listStatus(hIn).map(_.getPath).filter { p =>
-      WarcSource.docsFromBytes(p.toString, readAll(fs, p))
-        .forall(r => lastIds(r.getLong(0)))
-    }
+    val lastFiles = fs.listStatus(hIn).map(_.getPath)
+      // archives only — member-gzip egress also drops .cdx sidecars
+      .filter(_.getName.contains(".warc"))
+      .filter { p =>
+        WarcSource.docsFromBytes(p.toString, readAll(fs, p))
+          .forall(r => lastIds(r.getLong(0)))
+      }
     val spark2 = spark
     import spark2.implicits._
     val replay = lastFiles.map(p => (p.toString, readAll(fs, p))).toSeq
