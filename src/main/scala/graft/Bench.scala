@@ -118,6 +118,10 @@ object Bench {
       // build-time state; every component consumer serves from a scan
       // of the materialized (doc_id, component) assignment
       (s, d) => { queries.DedupQueries.componentLayout(s, d); () }),
+    ("build_token_shards_bpe", Set("pipe_export_shards_bpe"),
+      // BPE encode + vocab ranking + shard write are build-time egress;
+      // the serving entry times the round-trip decode + aggregate
+      (s, d) => { queries.PipelineQueries.bpeTokenShardLayout(s, d); () }),
     ("build_token_shards", Set("pipe_export_shards"),
       // the packing manifest materialized as binary token shards is
       // build-time egress; the serving entry times the round-trip

@@ -61,30 +61,46 @@ object TokenShards {
 
   private val IdxMagic = "GRFTIDX1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Export `docs` as token shards under `outPath`. Returns
+  /** Export `docs` as token shards under `outPath` with the
+    * whitespace-hash token ids ([[tokId]]). Returns
     * (totalTokens, totalSeqs, seqsPerFile). */
   def write(docs: DataFrame, idCol: String, textCol: String, cap: Int,
       packShards: Int, numFiles: Int, outPath: String): (Long, Long, Long) = {
-    val spark = docs.sparkSession
     val base = docs.select(col(idCol).cast("long").as("doc"),
       col(textCol).as("__text"))
-    val packed = SeqPack.pack(base, "doc",
-      graft.text.TextAnalysis.tokenCount(col("__text")), cap, packShards)
-    val totalTokens = base
-      .agg(sum(graft.text.TextAnalysis.tokenCount(col("__text")).cast("long")))
-      .head.getLong(0)
+    val counts = base.select(col("doc"),
+      graft.text.TextAnalysis.tokenCount(col("__text")).cast("long").as("n"))
+    val cells = base
+      .select(col("doc"), posexplode(graft.text.TextAnalysis.tokens(col("__text")))
+        .as(Seq("dpos", "tok")))
+      .select(col("doc"), col("dpos"), tokId(col("tok")).as("id"))
+    writeCells(counts, cells, cap, packShards, numFiles, outPath)
+  }
+
+  /** The encoder-agnostic export body — the TOKENIZER SEAM made
+    * concrete: `counts` is (doc, n) with n ≥ 1 (a zero-token doc clamps
+    * to one pad slot, [[SeqPack.pack]]'s precondition), `cells` is the
+    * per-doc token stream (doc, dpos, id) with every doc contributing at
+    * least one cell (a pad cell for blank docs keeps every window
+    * non-empty so the fail-loud contiguity walk sees no phantom gaps).
+    * Any encoder producing that shape — whitespace hash ids ([[write]]),
+    * BPE vocab ids (`pipe_export_shards_bpe`), a real tokenizer — plugs
+    * in above the one window-keyed shuffle. */
+  def writeCells(counts: DataFrame, cells: DataFrame, cap: Int,
+      packShards: Int, numFiles: Int, outPath: String): (Long, Long, Long) = {
+    val spark = counts.sparkSession
+    val packed = SeqPack.pack(counts, "doc", col("n"), cap, packShards)
+    val totalTokens = counts.agg(sum(col("n"))).head.getLong(0)
     val totalSeqs = (totalTokens + cap - 1) / cap
     val seqsPerFile = (totalSeqs + numFiles - 1) / numFiles
     // token stream in pack order: doc-local position + the doc's global
     // offset → window id and in-window offset; ONE shuffle keyed by seq
-    val cells = base
-      .select(col("doc"), posexplode(graft.text.TextAnalysis.tokens(col("__text")))
-        .as(Seq("i", "tok")))
+    val placed = cells
       .join(packed.select(col("doc"), col("start")), "doc")
-      .select((col("start") + col("i")).as("p"), tokId(col("tok")).as("id"))
+      .select((col("start") + col("dpos")).as("p"), col("id"))
       .select(expr(s"p div $cap").as("seq"), (col("p") % cap).cast("int").as("off"),
         col("id"))
-    val windows = cells
+    val windows = placed
       .groupBy("seq")
       .agg(sort_array(collect_list(struct(col("off"), col("id")))).as("cells"))
       .withColumn("file", expr(s"seq div $seqsPerFile"))

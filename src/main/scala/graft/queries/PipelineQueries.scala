@@ -760,6 +760,109 @@ object PipelineQueries {
        |  CAST(sum(id) AS BIGINT) AS id_sum
        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** TOKENIZER-UNIT token-shard export — the [[exportShards]] machinery
+    * with REAL vocabulary ids: the corpus is BPE-encoded under the
+    * fixture model ([[graft.text.Bpe.FixtureModel]], the same model
+    * `pipe_pack_bpe` packs by), the corpus vocabulary (distinct encoded
+    * tokens, sorted) is materialized as a (token, vid) sidecar — the
+    * tokenizer artifact a trainer loads next to its shards — and each
+    * doc's token stream exports as dense vocab ids at the `pipe_pack_bpe`
+    * offsets. Blank docs occupy their clamped one-token slot as a pad.
+    * Gated by the SAME round-trip discipline: the served aggregates are
+    * re-derived from shard bytes while the oracle replays the BPE encode
+    * walk, the vocabulary ranking, the per-word offsets, and the pack
+    * arithmetic in SQL. */
+  private[graft] def bpeTokenShardLayout(spark: SparkSession, dir: String): String =
+    bpeTokenShardLayoutCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.expressions.Window
+      val root = graft.store.Fs.scratchDir(spark, "graft_token_shards_bpe")
+      val docs = VectorModel.documents(spark, dir)
+      val model = graft.text.Bpe.FixtureModel
+      val toks = graft.text.Bpe.bpeTokens(col("text"), model)
+      val exploded = graft.store.CacheRegistry.cached(
+        docs.select(col("doc_id").as("doc"),
+          posexplode(toks).as(Seq("dpos", "tok"))))
+      // the vocabulary sidecar: dense ids 1..V by token sort order
+      // (vocab-sized single-partition rank — a tokenizer vocab, not a
+      // corpus-sized table), written next to the shards
+      exploded.select("tok").distinct()
+        .withColumn("vid",
+          row_number().over(Window.orderBy(col("tok"))).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/vocab")
+      val vocab = spark.read.parquet(s"$root/vocab")
+      val cells = exploded
+        .join(broadcast(vocab), "tok")
+        .select(col("doc"), col("dpos").cast("long").as("dpos"),
+          col("vid").as("id"))
+      // a blank doc still owns one (clamped) slot — emit its pad cell so
+      // every window stays non-empty for the contiguity walk
+      val blanks = docs.select(col("doc_id").as("doc"))
+        .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
+        .select(col("doc"), lit(0L).as("dpos"),
+          lit(graft.operators.TokenShards.PadId).as("id"))
+      val counts = docs.select(col("doc_id").as("doc"),
+        greatest(graft.text.Bpe.bpeTokenCount(col("text"), model).cast("long"),
+          lit(1L)).as("n"))
+      graft.operators.TokenShards.writeCells(counts,
+        cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
+        s"$root/shards")
+      s"$root/shards"
+    })
+
+  private val bpeTokenShardLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def exportShardsBpe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenShards.readAggregates(
+      spark, bpeTokenShardLayout(spark, dir), PackCap)
+
+  lazy val exportShardsBpeSql: String =
+    s"""WITH RECURSIVE
+       |${TextQueries.bpeDocCountCtes},
+       |bt AS (
+       |  SELECT d.doc_id AS doc_id,
+       |    ${packHashSql("d.doc_id")} AS h,
+       |    greatest(CAST(coalesce(a.nb, 0) AS BIGINT), 1) AS n
+       |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+       |c AS (SELECT doc_id, n, $packCumsumSql FROM bt),
+       |dw0 AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |dw AS (SELECT doc_id, i AS wpos, ws[i] AS w FROM dw0 WHERE ws[i] <> ''),
+       |wt AS (SELECT d.doc_id AS doc_id, d.wpos AS wpos, f.toks AS toks, f.n AS n
+       |       FROM dw d JOIN final f ON f.w = d.w),
+       |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS vid
+       |          FROM (SELECT DISTINCT unnest(toks) AS tok FROM wt)),
+       |wo AS (SELECT doc_id, wpos, toks,
+       |         COALESCE(sum(n) OVER (PARTITION BY doc_id ORDER BY wpos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+       |       FROM wt),
+       |dt0 AS (SELECT doc_id, woff, toks, unnest(range(1, len(toks)+1)) AS j FROM wo),
+       |dt AS (SELECT d.doc_id AS doc_id, d.woff + j - 1 AS dpos, v.vid AS id
+       |       FROM dt0 d JOIN vocab v ON v.tok = d.toks[j]),
+       |tok AS (SELECT c.start + d.dpos AS p, d.id AS id FROM dt d JOIN c USING (doc_id)),
+       |dims AS (
+       |  SELECT ((CAST((SELECT sum(n) FROM bt) AS BIGINT) + ${PackCap - 1}) // $PackCap
+       |    + ${TokenShardFiles - 1}) // $TokenShardFiles AS spf),
+       |f AS (SELECT (p // $PackCap) // (SELECT spf FROM dims) AS shard,
+       |        p // $PackCap AS seq, id FROM tok),
+       |sh AS (SELECT shard, count(DISTINCT seq) AS n_present,
+       |         CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(id) AS BIGINT) AS id_sum
+       |       FROM f GROUP BY shard),
+       |-- window slots per shard FILE from the pack totals (a shard's
+       |-- trailing all-pad windows — blank-doc slots — hold no tok rows)
+       |slots AS (
+       |  SELECT shard, least((shard + 1) * spf, total_seqs) - shard * spf AS n_seqs
+       |  FROM (SELECT unnest(range(0, CAST((total_seqs + spf - 1) // spf AS BIGINT))) AS shard,
+       |               spf, total_seqs
+       |        FROM (SELECT spf, (CAST((SELECT sum(n) FROM bt) AS BIGINT) + ${PackCap - 1})
+       |                // $PackCap AS total_seqs FROM dims)))
+       |SELECT s.shard AS shard, s.n_seqs AS n_seqs,
+       |  coalesce(sh.n_tokens, 0) AS n_tokens,
+       |  s.n_seqs * $PackCap - coalesce(sh.n_tokens, 0) AS n_pad,
+       |  coalesce(sh.id_sum, 0) AS id_sum
+       |FROM slots s LEFT JOIN sh USING (shard)
+       |ORDER BY shard""".stripMargin
+
   /** Split-assignment salt — versioned so a deliberate re-split is a
     * one-line change that provably reassigns every bucket. */
   val SplitSalt = ":graft-split:v1"
@@ -1584,6 +1687,7 @@ object PipelineQueries {
     "pipe_dsir_sample" -> (dsirSample _),
     "pipe_pack_spans" -> (packSpans _),
     "pipe_export_shards" -> (exportShards _),
+    "pipe_export_shards_bpe" -> (exportShardsBpe _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1613,6 +1717,7 @@ object PipelineQueries {
     "pipe_dsir_sample" -> dsirSampleSql,
     "pipe_pack_spans" -> packSpansSql,
     "pipe_export_shards" -> exportShardsSql,
+    "pipe_export_shards_bpe" -> exportShardsBpeSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -107,6 +107,43 @@ class TokenShardSpec extends SparkSpec {
     }
   }
 
+  test("BPE export: dense sorted vocab sidecar, ids in range, token/pad accounting") {
+    val layoutBpe = PipelineQueries.bpeTokenShardLayout(spark, Sf0001)
+    val root = layoutBpe.stripSuffix("/shards")
+    // vocab sidecar: dense ids 1..V in token sort order — the artifact a
+    // trainer loads next to the shards
+    val vocab = spark.read.parquet(s"$root/vocab")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).sortBy(_._2)
+    assert(vocab.nonEmpty)
+    assert(vocab.map(_._2).toSeq === (1 to vocab.length),
+      "vocab ids must be dense 1..V")
+    assert(vocab.map(_._1).toSeq === vocab.map(_._1).sorted.toSeq,
+      "vocab ids must follow token sort order")
+    // decode every shard: ids within [0, V], non-pad total equals the
+    // corpus BPE token count, pads equal the window+clamp slack
+    val docs = VectorModel.documents(spark, Sf0001)
+    val model = graft.text.Bpe.FixtureModel
+    val realTokens = docs.agg(sum(
+      graft.text.Bpe.bpeTokenCount(col("text"), model).cast("long")))
+      .head.getLong(0)
+    val clamped = docs.agg(sum(greatest(
+      graft.text.Bpe.bpeTokenCount(col("text"), model).cast("long"), lit(1L))))
+      .head.getLong(0)
+    val totalSeqs = (clamped + Cap - 1) / Cap
+    val (fs, p) = graft.store.Fs.pathFs(spark, layoutBpe)
+    val decoded = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".bin")).sorted
+      .flatMap(f => decodeInts(fileBytes(f)))
+    assert(decoded.length.toLong === totalSeqs * Cap)
+    assert(decoded.forall(id => id >= 0 && id <= vocab.length),
+      "decoded ids must be pad or vocab ids")
+    assert(decoded.count(_ != TokenShards.PadId).toLong === realTokens,
+      "non-pad cells must equal the corpus BPE token count")
+    assert(decoded.count(_ == TokenShards.PadId).toLong ===
+      totalSeqs * Cap - realTokens,
+      "pads must equal final-window slack plus blank-doc clamp slots")
+  }
+
   test("every pipe_pack_spans manifest window maps to the identical shard slice") {
     val total = expectedStream.length.toLong
     val totalSeqs = (total + Cap - 1) / Cap
