@@ -131,6 +131,12 @@ object Bench {
       (s, d) => { queries.DedupQueries.mllibLshModel(s, d); () }),
     ("build_emb_pair_layout", Set("dd_embedding_ivf", "dd_semantic_ivf"),
       (s, d) => { queries.DedupQueries.embPairLayout(s, d); () }),
+    ("build_incr_component_layout", Set("dd_components_incremental"),
+      // the delta-re-propagation maintenance path: prior fixed point
+      // from half the pair layout + incremental propagation of the
+      // other half; the serving entry is a scan hash-gated against the
+      // SAME oracle as dd_components
+      (s, d) => { queries.DedupQueries.incrComponentLayout(s, d); () }),
     ("build_semantic_cc_layout", Set("dd_semantic_keepers"),
       // exact-cosine pair discovery + contraction, persisted; the
       // serving entry is a scan + kept flag

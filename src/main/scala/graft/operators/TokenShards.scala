@@ -232,6 +232,34 @@ object TokenShards {
       .orderBy("shard")
   }
 
+  /** Point-read ONE context window by its global id — the data-loader
+    * access pattern the layout exists for: window `seq` lives in file
+    * `seq div seqsPerFile` at the byte offset its `.idx` pins, so the
+    * read is one idx header + one `cap·4`-byte ranged read, never a
+    * shard scan. `seqsPerFile` is self-describing (file 0's idx window
+    * count — every file but the last holds exactly that many). */
+  def readWindow(spark: SparkSession, outPath: String, seq: Long): Array[Int] = {
+    require(seq >= 0, s"window id $seq")
+    val (cap0, first0, offs0) = readIdx(spark, f"$outPath/shard-${0}%05d.idx")
+    require(first0 == 0, s"$outPath: file 0 idx starts at $first0")
+    val spf = offs0.length.toLong
+    val shard = seq / spf
+    val (cap, firstSeq, offsets) =
+      if (shard == 0) (cap0, first0, offs0)
+      else readIdx(spark, f"$outPath/shard-$shard%05d.idx")
+    val k = (seq - firstSeq).toInt
+    require(k >= 0 && k < offsets.length,
+      s"$outPath: window $seq outside shard $shard's ${offsets.length} windows")
+    val (fs, bin) = graft.store.Fs.pathFs(spark,
+      f"$outPath/shard-$shard%05d.bin")
+    val bytes = new Array[Byte](cap * 4)
+    val in = fs.open(bin)
+    try in.readFully(offsets(k), bytes) finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(cap)(bb.getInt)
+  }
+
   /** Parse one `.idx` sidecar (driver-side; spec + loader use). Returns
     * (cap, firstSeq, offsets). */
   private[graft] def readIdx(spark: SparkSession, path: String): (Int, Long, Array[Long]) = {

@@ -168,6 +168,39 @@ object DedupQueries {
   def components(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(componentLayout(spark, dir)).orderBy("doc_id")
 
+  /** The MAINTENANCE path under the driver's hash gate: the component
+    * layout grown by delta re-propagation instead of a full rebuild. The
+    * pair layout splits deterministically in half ("already crawled" vs
+    * "the new batch"), the prior fixed point contracts from the old
+    * half, the delta re-propagates through
+    * [[Dedup.incrementalComponents]], and the merged full assignment
+    * must HASH-MATCH the same recursive-CTE oracle `dd_components`
+    * answers to — the incremental path is correct not just by spec
+    * fixture but against the driver's independent engine on the real
+    * corpus. Built once per dir (`build_incr_component_layout`); the
+    * serve is a scan. */
+  private[graft] def incrComponentLayout(spark: SparkSession, dir: String): String =
+    incrComponentLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_incr_component_layout") +
+        "/components"
+      val docs = VectorModel.documents(spark, dir)
+      val pairs = spark.read.parquet(pairLayout(spark, dir))
+      val isOld = Dedup.hash60(concat_ws(":", col("da"), col("db"))) % 2 === 0
+      val prior = Dedup.connectedComponents(docs, "doc_id", pairs.where(isOld))
+      val inc = Dedup.incrementalComponents(prior, "doc_id", pairs.where(!isOld))
+      docs.select(col("doc_id"))
+        .join(inc.withColumnRenamed("component", "c"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c"), col("doc_id")).as("component"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  private val incrComponentLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def componentsIncremental(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(incrComponentLayout(spark, dir)).orderBy("doc_id")
+
   /** Recursive-CTE mirror: full reachability closure over the symmetrized
     * pair graph (tiny components make the closure cheap for the oracle),
     * component = min reachable id. The pair CTE is the banded oracle
@@ -913,6 +946,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> (spanScrubText _),
     "dd_span_maximal" -> (spanMaximal _),
     "dd_components" -> (components _),
+    "dd_components_incremental" -> (componentsIncremental _),
     "dd_quality_keepers" -> (qualityKeepers _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
     "dd_exact" -> (exact _),
@@ -935,6 +969,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> spanScrubTextSql,
     "dd_span_maximal" -> spanMaximalSql,
     "dd_components" -> componentsSql,
+    "dd_components_incremental" -> componentsSql,
     "dd_quality_keepers" -> qualityKeepersSql,
     "dd_exact" -> exactSql,
     "dd_ngram_jaccard" -> ngramJaccardSql,

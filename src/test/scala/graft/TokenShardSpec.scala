@@ -144,6 +144,23 @@ class TokenShardSpec extends SparkSpec {
       "pads must equal final-window slack plus blank-doc clamp slots")
   }
 
+  test("readWindow point-reads any global window identical to its byte slice") {
+    val total = expectedStream.length.toLong
+    val totalSeqs = (total + Cap - 1) / Cap
+    val spf = (totalSeqs + Files - 1) / Files
+    val padded = expectedStream ++
+      Array.fill(((totalSeqs * Cap) - total).toInt)(TokenShards.PadId)
+    // every window, including cross-file boundaries and the padded tail
+    (0L until totalSeqs).foreach { seq =>
+      val got = TokenShards.readWindow(spark, layout, seq)
+      assert(got === padded.slice((seq * Cap).toInt, ((seq + 1) * Cap).toInt),
+        s"window $seq point-read diverges")
+    }
+    // out-of-range fails loudly (missing shard file or out-of-idx window)
+    intercept[Exception] {
+      TokenShards.readWindow(spark, layout, totalSeqs + spf) }
+  }
+
   test("every pipe_pack_spans manifest window maps to the identical shard slice") {
     val total = expectedStream.length.toLong
     val totalSeqs = (total + Cap - 1) / Cap
