@@ -94,6 +94,11 @@ object Bench {
       // the crawl egress is build state; the serving entries time the
       // fail-loud parse + article recovery (+ cleaning), not the write
       (s, d) => { queries.TextQueries.warcLayoutPath(s, d); () }),
+    ("build_warc_gz_layout", Set("src_warc_gz", "src_warc_fetch"),
+      // the member-gzip egress (+ cdx sidecars) is build state; the
+      // serving entries time the member-walk read and the pruned
+      // point fetch respectively
+      (s, d) => { queries.TextQueries.warcGzLayoutPath(s, d); () }),
     ("build_zorder_layout", Set("q_zorder_box"),
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),
     ("build_sig_layout",
@@ -118,6 +123,11 @@ object Bench {
       // build-time state; every component consumer serves from a scan
       // of the materialized (doc_id, component) assignment
       (s, d) => { queries.DedupQueries.componentLayout(s, d); () }),
+    ("build_corpus_shards", Set("pipe_corpus_shards"),
+      // the curated-corpus export (train-corpus chunks -> binary
+      // shards) is build-time egress; the serving entry times the
+      // round-trip decode + aggregate
+      (s, d) => { queries.PipelineQueries.corpusShardLayout(s, d); () }),
     ("build_token_shards_bpe", Set("pipe_export_shards_bpe"),
       // BPE encode + vocab ranking + shard write are build-time egress;
       // the serving entry times the round-trip decode + aggregate

@@ -863,6 +863,68 @@ object PipelineQueries {
        |FROM slots s LEFT JOIN sh USING (shard)
        |ORDER BY shard""".stripMargin
 
+  /** Chunk-key base for [[corpusShardLayout]]: the pack unit there is a
+    * (doc, chunk) pair folded into one long — chunk counts are bounded
+    * far below 2^20 by the chunker, doc ids far below 2^43. */
+  val ChunkIdBase = 1L << 20
+
+  /** THE capstone of capstones — the curated training corpus exported as
+    * trainer shards: `pipe_train_corpus`' kept chunks (crawlable docs →
+    * cleaning → near-dup keepers from the component layout → exact
+    * decontamination → quality floor → stratified acceptance → chunking)
+    * flow through the SAME binary export machinery as the raw-corpus
+    * entries, so the pipeline genuinely ends in files a trainer mmaps.
+    * Pack unit = chunk (keyed doc·2^20 + chunk_ix); ids are the
+    * whitespace-hash seam. The oracle composes the FULL train-corpus
+    * mirror with the export arithmetic — one hash gate over the entire
+    * pipeline-to-bytes story. */
+  private[graft] def corpusShardLayout(spark: SparkSession, dir: String): String =
+    corpusShardLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_corpus_shards") + "/shards"
+      val chunks = trainCorpus(spark, dir)
+        .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("cid"),
+          col("chunk"))
+      graft.operators.TokenShards.write(chunks, "cid", "chunk",
+        PackCap, PackShards, TokenShardFiles, p)
+      p
+    })
+
+  private val corpusShardLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def corpusShards(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenShards.readAggregates(
+      spark, corpusShardLayout(spark, dir), PackCap)
+
+  lazy val corpusShardsSql: String = {
+    val cumsum =
+      s"""CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, cid ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start""".stripMargin
+    s"""WITH RECURSIVE
+       |chunks AS ($trainCorpusSql),
+       |t AS (
+       |  SELECT cid, ${packHashSql("cid")} AS h,
+       |    string_split(chunk, ' ') AS toks,
+       |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n
+       |  FROM (SELECT doc_id * $ChunkIdBase + chunk_ix AS cid, chunk FROM chunks)),
+       |c AS (SELECT cid, toks, n, $cumsum FROM t),
+       |tok AS (
+       |  SELECT start + i - 1 AS p,
+       |    ${graft.operators.TokenShards.tokIdSql("toks[i]")} AS id
+       |  FROM (SELECT toks, start, unnest(range(1, len(toks)+1)) AS i FROM c)),
+       |dims AS (
+       |  SELECT ((max(p) + $PackCap) // $PackCap + ${TokenShardFiles - 1})
+       |    // $TokenShardFiles AS spf
+       |  FROM tok),
+       |f AS (SELECT (p // $PackCap) // (SELECT spf FROM dims) AS shard,
+       |        p // $PackCap AS seq, id FROM tok)
+       |SELECT shard, count(DISTINCT seq) AS n_seqs,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT seq) * $PackCap - count(*) AS n_pad,
+       |  CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** Split-assignment salt — versioned so a deliberate re-split is a
     * one-line change that provably reassigns every bucket. */
   val SplitSalt = ":graft-split:v1"
@@ -1688,6 +1750,7 @@ object PipelineQueries {
     "pipe_pack_spans" -> (packSpans _),
     "pipe_export_shards" -> (exportShards _),
     "pipe_export_shards_bpe" -> (exportShardsBpe _),
+    "pipe_corpus_shards" -> (corpusShards _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1718,6 +1781,7 @@ object PipelineQueries {
     "pipe_pack_spans" -> packSpansSql,
     "pipe_export_shards" -> exportShardsSql,
     "pipe_export_shards_bpe" -> exportShardsBpeSql,
+    "pipe_corpus_shards" -> corpusShardsSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -267,7 +267,43 @@ object TextQueries {
   private val warcGzLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The memoized member-gzip egress (same cache [[warcGzAgg]] fills) —
+    * shared with the point-fetch entry and exposed as the Bench build
+    * step `build_warc_gz_layout`. */
+  private[graft] def warcGzLayoutPath(spark: SparkSession, dir: String): String =
+    warcGzLayoutCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_warc_gz_layout") + "/docs"
+      graft.sources.WarcSource.writeGz(VectorModel.documents(spark, dir), p)
+      p
+    })
+
   val warcGzAggSql: String = jsonlAggSql
+
+  /** Bounded candidate count for the archive point-fetch entry. */
+  val WarcFetchK = 16
+
+  /** CDX point-fetch over the member-gzip crawl, hash-gated: a
+    * deterministic scattered candidate set (md5-ordered first
+    * [[WarcFetchK]] ids — the same derivation the oracle runs in SQL)
+    * fetches through [[graft.sources.WarcSource.fetchDocumentsById]] —
+    * cdx-pruned ranged reads + single-member gunzips, I/O ∝ candidates —
+    * and the recovered rows must hash-match the documents table row for
+    * row in all five columns. */
+  def warcFetch(spark: SparkSession, dir: String): DataFrame = {
+    val path = warcGzLayoutPath(spark, dir)
+    val ids = VectorModel.documents(spark, dir).select("doc_id")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(WarcFetchK).collect().map(_.getLong(0)).toSeq
+    graft.sources.WarcSource.fetchDocumentsById(spark, path, ids)
+      .orderBy("doc_id")
+  }
+
+  val warcFetchSql: String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id IN (
+       |  SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $WarcFetchK)
+       |ORDER BY doc_id""".stripMargin
 
   /** Gzip-JSONL round-trip twin of [[jsonlAgg]]
     * ([[graft.sources.JsonlSource.writeGz]]) — proves the compressed-text
@@ -1532,6 +1568,7 @@ object TextQueries {
     "src_warc_gz" -> (warcGzAgg _),
     "src_jsonl_gz" -> (jsonlGzAgg _),
     "src_jsonl_zst" -> (jsonlZstAgg _),
+    "src_warc_fetch" -> (warcFetch _),
     "tx_html_text" -> (htmlText _),
     "tx_outlinks" -> (outlinks _),
     "tx_url_stats" -> (urlStats _),
@@ -1571,6 +1608,7 @@ object TextQueries {
     "src_warc_gz" -> warcGzAggSql,
     "src_jsonl_gz" -> jsonlGzAggSql,
     "src_jsonl_zst" -> jsonlZstAggSql,
+    "src_warc_fetch" -> warcFetchSql,
     "tx_html_text" -> htmlTextSql,
     "tx_outlinks" -> outlinksSql,
     "tx_url_stats" -> urlStatsSql,
