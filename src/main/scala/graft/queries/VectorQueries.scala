@@ -213,8 +213,14 @@ object VectorQueries {
   private[graft] def asofRoot(spark: SparkSession, dir: String): String =
     asofRootCache.computeIfAbsent(dir, _ => {
       val root = graft.store.Fs.scratchDir(spark, "graft_asof_root") + "/t"
+      // getItem(0), not element_at(…, 1): ANSI element_at's generated
+      // code trips a janino "not an rvalue" error when composed over the
+      // constructed vector array (Spark falls back to interpreted mode
+      // for the whole stage — observed on every asof merge projection,
+      // r16 and r17 HEADs alike); GetArrayItem codegens clean. Same
+      // value: both read the first element.
       val base = VectorModel.lineitemVectors(spark, dir)
-        .select(col("id"), element_at(col("vector"), 1).as("v0"),
+        .select(col("id"), col("vector").getItem(0).as("v0"),
           col("category"), col("status"))
       // v0: bootstrap (base as U-rows)
       VectorStore.mergeVersioned(spark, root, base.withColumn("op", lit("U")))
