@@ -1374,6 +1374,106 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming token-shard export — the BINARY twin of [[packIngest]]:
+    * micro-batches of documents land directly as trainer-consumable
+    * `.bin`/`.idx` shard sets ([[graft.operators.TokenShards]]).
+    *
+    * EPOCH-ALIGNED by design: each batch exports a SELF-CONTAINED shard
+    * set under `batch=<id>` (windows 0..n−1 within the batch, the final
+    * window padded) and records its global window base in a per-batch
+    * manifest marker — the per-dataset shard convention trainers already
+    * consume (per-dataset pad tails). Earlier batches' bytes are NEVER
+    * rewritten — the property that makes the layout append-only — which
+    * is exactly why this twin pads at batch boundaries where the OFFSET
+    * manifest twin ([[packIngest]]) packs straight through: continuing a
+    * partially-filled binary window would mean rewriting a committed
+    * `.bin` tail on every arrival.
+    *
+    * Idempotent under foreachBatch's at-least-once replay like the pack
+    * twin: a replayed committed id is a no-op (state guard), a replay
+    * after a crash mid-batch rewrites the same dir (the writer deletes
+    * it first), and the (lastId, window total) state self-heals from the
+    * per-batch end markers if the sidecars are lost. */
+  def shardIngest(stream: DataFrame, layoutPath: String, checkpoint: String,
+      cap: Int, numFiles: Int = 4): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shardAppendBatch(batch, layoutPath, cap, numFiles, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private val ShardLastFile = "_graft_shard_last"
+  private val ShardSeqFile = "_graft_shard_seqs"
+  private[graft] val ShardFirstSeqFile = "_graft_first_seq"
+  private val ShardEndFile = "_graft_batch_end"
+
+  private[graft] def shardAppendBatch(batch: DataFrame, layoutPath: String,
+      cap: Int, numFiles: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val (lastId, baseSeqs) = readShardState(spark, layoutPath)
+    if (batchId <= lastId) return // replay of an already-committed batch
+    val dir = s"$layoutPath/batch=$batchId"
+    val (_, nSeqs, _) = graft.operators.TokenShards.write(
+      batch, "doc_id", "text", cap, 32, numFiles, dir)
+    // per-batch manifest (base, end) BEFORE the layout-level state: a
+    // crash between the two leaves a provably-complete batch the heal
+    // counts
+    writeLongFile(spark, s"$dir/$ShardFirstSeqFile", baseSeqs)
+    writeLongFile(spark, s"$dir/$ShardEndFile", baseSeqs + nSeqs)
+    writeLongFile(spark, s"$layoutPath/$ShardLastFile", batchId)
+    writeLongFile(spark, s"$layoutPath/$ShardSeqFile", baseSeqs + nSeqs)
+  }
+
+  /** (lastBatchId, global window total) of a shard layout: the sidecars
+    * when both present, else healed from the per-batch end markers (ends
+    * are cumulative, so the max complete batch's end IS the total; a
+    * batch dir missing its markers is incomplete and a replay rewrites
+    * it), else (−1, 0) for a fresh layout. */
+  private[graft] def readShardState(spark: SparkSession,
+      layoutPath: String): (Long, Long) =
+    (readLongFile(spark, s"$layoutPath/$ShardLastFile"),
+      readLongFile(spark, s"$layoutPath/$ShardSeqFile")) match {
+      case (Some(l), Some(s)) => (l, s)
+      case _ =>
+        completeShardBatches(spark, layoutPath).lastOption
+          .map { case (id, _, _, end) => (id, end) }
+          .getOrElse((-1L, 0L))
+    }
+
+  /** Complete batches of a shard layout in id order:
+    * (batchId, dir, firstSeq, end). */
+  private[graft] def completeShardBatches(spark: SparkSession,
+      layoutPath: String): Seq[(Long, String, Long, Long)] = {
+    val (fs, root) = graft.store.Fs.pathFs(spark, layoutPath)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .flatMap { d =>
+        val id = d.getName.stripPrefix("batch=").toLong
+        for {
+          first <- readLongFile(spark, s"$d/$ShardFirstSeqFile")
+          end <- readLongFile(spark, s"$d/$ShardEndFile")
+        } yield (id, d.toString, first, end)
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Point-read a GLOBAL window of the grown shard layout: resolve the
+    * owning batch through the manifest markers, then the batch-local
+    * [[graft.operators.TokenShards.readWindow]] — one marker lookup +
+    * one idx header + one ranged read. */
+  def readGlobalWindow(spark: SparkSession, layoutPath: String,
+      gseq: Long): Array[Int] = {
+    val batches = completeShardBatches(spark, layoutPath)
+    val owner = batches.find(b => gseq >= b._3 && gseq < b._4)
+      .getOrElse(throw new IllegalArgumentException(
+        s"window $gseq outside the grown layout " +
+          s"(total ${batches.lastOption.map(_._4).getOrElse(0L)})"))
+    graft.operators.TokenShards.readWindow(spark, owner._2, gseq - owner._3)
+  }
+
   private val PackTotalFile = "_graft_pack_total"
 
   /** Per-batch commit record written INSIDE `batch=<id>` after its data

@@ -978,6 +978,80 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/_scratch/layout/part-0.parquet"), Array[Byte](1))
     assert(graft.store.Fs.dataFileCount(spark, s"$dir/_scratch/layout") === 1)
   }
+  test("streaming shard export: per-batch shards byte-equal batch exports, global reads, replay, heal") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text").cache()
+    val base = java.nio.file.Files.createTempDirectory("graft_shardstream").toString
+    val epochOf = pmod(col("doc_id"), lit(3))
+    (0 until 3).foreach { e =>
+      docs.where(epochOf === e).coalesce(1).write.parquet(f"$base/in/b$e")
+    }
+    val stream = spark.readStream.schema(docs.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$base/in")
+    val cap = 64
+    val layout = s"$base/shards"
+    val q = StreamingIngest.shardIngest(stream, layout, s"$base/ckpt", cap,
+      numFiles = 3)
+    try q.awaitTermination(120000) finally q.stop()
+    val batches = StreamingIngest.completeShardBatches(spark, layout)
+    assert(batches.map(_._1) === Seq(0L, 1L, 2L))
+    // manifest bases are cumulative and self-consistent
+    batches.foldLeft(0L) { case (expectBase, (id, _, first, end)) =>
+      assert(first === expectBase, s"batch $id base")
+      assert(end > first); end
+    }
+    def fileBytes(path: String): Array[Byte] = {
+      val (fs, p) = graft.store.Fs.pathFs(spark, path)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      bytes
+    }
+    def shardFiles(dir: String): Seq[String] = {
+      val (fs, p) = graft.store.Fs.pathFs(spark, dir)
+      fs.listStatus(p).map(_.getPath.toString)
+        .filter(f => f.endsWith(".bin") || f.endsWith(".idx")).sorted.toSeq
+    }
+    // each batch's shard set byte-equals a direct batch export of the
+    // same slice — the streamed layout IS the batch operator's output
+    batches.foreach { case (id, dir, _, _) =>
+      val expectDir = s"$base/expected/b$id"
+      graft.operators.TokenShards.write(
+        docs.where(epochOf === id), "doc_id", "text", cap, 32, 3, expectDir)
+      val got = shardFiles(dir); val want = shardFiles(expectDir)
+      assert(got.map(_.split('/').last) === want.map(_.split('/').last),
+        s"batch $id file set")
+      got.zip(want).foreach { case (g, w) =>
+        assert(java.util.Arrays.equals(fileBytes(g), fileBytes(w)),
+          s"batch $id: $g diverges from the batch export") }
+    }
+    // every GLOBAL window point-reads to the owning batch's local window
+    val total = batches.last._4
+    (0L until total).foreach { gseq =>
+      val owner = batches.find(b => gseq >= b._3 && gseq < b._4).get
+      assert(StreamingIngest.readGlobalWindow(spark, layout, gseq) ===
+        graft.operators.TokenShards.readWindow(spark, owner._2, gseq - owner._3))
+    }
+    intercept[IllegalArgumentException] {
+      StreamingIngest.readGlobalWindow(spark, layout, total) }
+    // replay of a committed id is a byte-level no-op
+    val before = batches.map(_._2).flatMap(shardFiles).map(f => f -> fileBytes(f).toSeq).toMap
+    StreamingIngest.shardAppendBatch(docs.where(epochOf === 2), layout,
+      cap, 3, batchId = 2L)
+    before.foreach { case (f, b) =>
+      assert(fileBytes(f).toSeq === b, s"replay changed $f") }
+    assert(StreamingIngest.readShardState(spark, layout) === ((2L, total)))
+    // sidecar loss self-heals from the per-batch end markers
+    val (fsH, pH) = graft.store.Fs.pathFs(spark, layout)
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_shard_last"), false)
+    fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_shard_seqs"), false)
+    assert(StreamingIngest.readShardState(spark, layout) === ((2L, total)))
+  }
+
   test("streaming sequence packing: grown layout equals the batch pack over the union") {
     import org.apache.spark.sql.functions._
     val docs = graft.model.VectorModel.documents(spark, Sf0001)
