@@ -123,6 +123,10 @@ object Bench {
       // build-time state; every component consumer serves from a scan
       // of the materialized (doc_id, component) assignment
       (s, d) => { queries.DedupQueries.componentLayout(s, d); () }),
+    ("build_corpus_shards_bpe", Set("pipe_corpus_shards_bpe"),
+      // curated chunks -> BPE vocab-id shards: encode + vocab ranking +
+      // write are build egress; the serve is the round-trip decode
+      (s, d) => { queries.PipelineQueries.corpusShardBpeLayout(s, d); () }),
     ("build_corpus_shards", Set("pipe_corpus_shards"),
       // the curated-corpus export (train-corpus chunks -> binary
       // shards) is build-time egress; the serving entry times the

@@ -925,6 +925,107 @@ object PipelineQueries {
        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** [[corpusShardLayout]] under REAL vocabulary ids — the exact bytes a
+    * trainer consumes: the curated corpus's kept chunks, BPE-encoded
+    * under the fixture model, exported as dense vocab ids with the
+    * (token, vid) sidecar. Vocabulary ranks over the CURATED chunks'
+    * token set (what the shards actually contain), not the raw corpus.
+    * The oracle composes three mirrored stories into one hash gate: the
+    * full train-corpus cut, the BPE encode walk + vocab ranking, and the
+    * pack/shard arithmetic. */
+  private[graft] def corpusShardBpeLayout(spark: SparkSession, dir: String): String =
+    corpusShardBpeLayoutCache.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.expressions.Window
+      val root = graft.store.Fs.scratchDir(spark, "graft_corpus_shards_bpe")
+      val model = graft.text.Bpe.FixtureModel
+      val chunks = trainCorpus(spark, dir)
+        .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("doc"),
+          col("chunk"))
+      val exploded = graft.store.CacheRegistry.cached(
+        chunks.select(col("doc"),
+          posexplode(graft.text.Bpe.bpeTokens(col("chunk"), model))
+            .as(Seq("dpos", "tok"))))
+      exploded.select("tok").distinct()
+        .withColumn("vid",
+          row_number().over(Window.orderBy(col("tok"))).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/vocab")
+      val vocab = spark.read.parquet(s"$root/vocab")
+      val cells = exploded.join(broadcast(vocab), "tok")
+        .select(col("doc"), col("dpos").cast("long").as("dpos"),
+          col("vid").as("id"))
+      val blanks = chunks.select(col("doc"))
+        .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
+        .select(col("doc"), lit(0L).as("dpos"),
+          lit(graft.operators.TokenShards.PadId).as("id"))
+      val counts = chunks.select(col("doc"),
+        greatest(graft.text.Bpe.bpeTokenCount(col("chunk"), model).cast("long"),
+          lit(1L)).as("n"))
+      graft.operators.TokenShards.writeCells(counts,
+        cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
+        s"$root/shards")
+      s"$root/shards"
+    })
+
+  private val corpusShardBpeLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def corpusShardsBpe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenShards.readAggregates(
+      spark, corpusShardBpeLayout(spark, dir), PackCap)
+
+  lazy val corpusShardsBpeSql: String = {
+    val cumsum =
+      s"""CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, cid ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start""".stripMargin
+    s"""WITH RECURSIVE
+       |chunks AS ($trainCorpusSql),
+       |${TextQueries.bpeEncodeCtes(
+          TextQueries.bpeFixtureMergesCte)},
+       |cw0 AS (SELECT cid, ws, unnest(range(1, len(ws)+1)) AS i
+       |        FROM (SELECT doc_id * $ChunkIdBase + chunk_ix AS cid,
+       |                string_split(chunk, ' ') AS ws FROM chunks)),
+       |cw AS (SELECT cid, i AS wpos, ws[i] AS w FROM cw0 WHERE ws[i] <> ''),
+       |wt AS (SELECT c.cid AS cid, c.wpos AS wpos, f.toks AS toks, f.n AS n
+       |       FROM cw c JOIN final f ON f.w = c.w),
+       |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INTEGER) AS vid
+       |          FROM (SELECT DISTINCT unnest(toks) AS tok FROM wt)),
+       |cnt AS (SELECT cid, CAST(sum(n) AS BIGINT) AS nb FROM wt GROUP BY cid),
+       |bt AS (
+       |  SELECT c0.cid AS cid, ${packHashSql("c0.cid")} AS h,
+       |    greatest(coalesce(cnt.nb, 0), 1) AS n
+       |  FROM (SELECT DISTINCT doc_id * $ChunkIdBase + chunk_ix AS cid FROM chunks) c0
+       |  LEFT JOIN cnt USING (cid)),
+       |c AS (SELECT cid, n, $cumsum FROM bt),
+       |wo AS (SELECT cid, wpos, toks,
+       |         COALESCE(sum(n) OVER (PARTITION BY cid ORDER BY wpos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+       |       FROM wt),
+       |dt0 AS (SELECT cid, woff, toks, unnest(range(1, len(toks)+1)) AS j FROM wo),
+       |dt AS (SELECT d.cid AS cid, d.woff + j - 1 AS dpos, v.vid AS id
+       |       FROM dt0 d JOIN vocab v ON v.tok = d.toks[j]),
+       |tok AS (SELECT c.start + d.dpos AS p, d.id AS id FROM dt d JOIN c USING (cid)),
+       |dims AS (
+       |  SELECT ((CAST((SELECT sum(n) FROM bt) AS BIGINT) + ${PackCap - 1}) // $PackCap
+       |    + ${TokenShardFiles - 1}) // $TokenShardFiles AS spf),
+       |f AS (SELECT (p // $PackCap) // (SELECT spf FROM dims) AS shard,
+       |        p // $PackCap AS seq, id FROM tok),
+       |sh AS (SELECT shard, count(DISTINCT seq) AS n_present,
+       |         CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(id) AS BIGINT) AS id_sum
+       |       FROM f GROUP BY shard),
+       |slots AS (
+       |  SELECT shard, least((shard + 1) * spf, total_seqs) - shard * spf AS n_seqs
+       |  FROM (SELECT unnest(range(0, CAST((total_seqs + spf - 1) // spf AS BIGINT))) AS shard,
+       |               spf, total_seqs
+       |        FROM (SELECT spf, (CAST((SELECT sum(n) FROM bt) AS BIGINT) + ${PackCap - 1})
+       |                // $PackCap AS total_seqs FROM dims)))
+       |SELECT s.shard AS shard, s.n_seqs AS n_seqs,
+       |  coalesce(sh.n_tokens, 0) AS n_tokens,
+       |  s.n_seqs * $PackCap - coalesce(sh.n_tokens, 0) AS n_pad,
+       |  coalesce(sh.id_sum, 0) AS id_sum
+       |FROM slots s LEFT JOIN sh USING (shard)
+       |ORDER BY shard""".stripMargin
+  }
+
   /** Split-assignment salt — versioned so a deliberate re-split is a
     * one-line change that provably reassigns every bucket. */
   val SplitSalt = ":graft-split:v1"
@@ -1751,6 +1852,7 @@ object PipelineQueries {
     "pipe_export_shards" -> (exportShards _),
     "pipe_export_shards_bpe" -> (exportShardsBpe _),
     "pipe_corpus_shards" -> (corpusShards _),
+    "pipe_corpus_shards_bpe" -> (corpusShardsBpe _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1782,6 +1884,7 @@ object PipelineQueries {
     "pipe_export_shards" -> exportShardsSql,
     "pipe_export_shards_bpe" -> exportShardsBpeSql,
     "pipe_corpus_shards" -> corpusShardsSql,
+    "pipe_corpus_shards_bpe" -> corpusShardsBpeSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -1190,12 +1190,17 @@ object TextQueries {
     * [[bpeStatsSql]] and `PipelineQueries.packBpeSql`, so the encode
     * mirror cannot drift between the stats and packing oracles. Callers
     * open with `WITH RECURSIVE`. */
-  lazy val bpeDocCountCtes: String = {
+  lazy val bpeDocCountCtes: String =
+    bpeDocCountCtesWith(bpeFixtureMergesCte)
+
+  /** The fixture model's merge table as a literal-VALUES CTE — factored
+    * so every fixture-model oracle (stats, packing, the vocab-id shard
+    * exports) renders the identical table. */
+  lazy val bpeFixtureMergesCte: String = {
     val m = graft.text.Bpe.FixtureModel.merges
     val vals = m.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
-    bpeDocCountCtesWith(
-      s"merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b))")
+    s"merges(rank, a, b) AS (SELECT * FROM (VALUES $vals) v(rank, a, b))"
   }
 
   /** The encode-walk CTE chain parameterized by its merge-table source —
