@@ -1,4 +1,6 @@
 package graft
+
+import scala.util.chaining._
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: times every registered query at
@@ -201,8 +203,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        graft.search.IdFetch.InFilterThreshold.toString)
+      .pipe(graft.search.IdFetch.configure)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,4 +1,6 @@
 package graft
+
+import scala.util.chaining._
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -21,8 +23,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 otherwise rejects;
       // read as nanos-since-epoch LONG (queries bucket it integrally).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        graft.search.IdFetch.InFilterThreshold.toString)
+      .pipe(graft.search.IdFetch.configure)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,6 +61,26 @@ object TokenShards {
 
   private val IdxMagic = "GRFTIDX1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** Windows-per-file ceiling: the largest `written` for which the idx
+    * buffer allocation (`IdxMagic.length + 4 + 8 + 8 + 8·written`) still
+    * fits a JVM int. ~268M windows per file — at cap 2048 that is ~2 TB
+    * of tokens in ONE shard file, i.e. the bound only bites a
+    * misconfiguration (tiny `numFiles` over a huge corpus), which
+    * [[writeCells]] rejects up front. */
+  private[graft] val MaxSeqsPerFile: Long = (Int.MaxValue - 28L) / 8L
+
+  /** The idx buffer (8·written + header bytes) and the point-read window
+    * arithmetic ([[readIdx]]/[[readWindow]]) address a file's windows with
+    * JVM ints — a misconfigured small `numFiles` over a huge corpus must
+    * fail HERE, loudly, before any bytes land, not wrap a buffer size at
+    * commit. */
+  private[graft] def checkSeqsPerFile(seqsPerFile: Long, numFiles: Int,
+      totalSeqs: Long): Unit =
+    require(seqsPerFile <= MaxSeqsPerFile,
+      s"token shards: $numFiles file(s) over $totalSeqs windows is " +
+        s"$seqsPerFile windows/file, past the int-addressable idx bound " +
+        s"$MaxSeqsPerFile — raise numFiles")
+
   /** Export `docs` as token shards under `outPath` with the
     * whitespace-hash token ids ([[tokId]]). Returns
     * (totalTokens, totalSeqs, seqsPerFile). */
@@ -68,8 +88,14 @@ object TokenShards {
       packShards: Int, numFiles: Int, outPath: String): (Long, Long, Long) = {
     val base = docs.select(col(idCol).cast("long").as("doc"),
       col(textCol).as("__text"))
+    // whitespace split structurally yields n ≥ 1 (split("", " ") is [""] —
+    // a blank doc's single empty token is its one slot, so the cells side
+    // below needs no synthetic pad cell); the clamp makes [[writeCells]]'s
+    // n ≥ 1 precondition explicit instead of an implicit dependency on
+    // that split behavior
     val counts = base.select(col("doc"),
-      graft.text.TextAnalysis.tokenCount(col("__text")).cast("long").as("n"))
+      greatest(graft.text.TextAnalysis.tokenCount(col("__text")).cast("long"),
+        lit(1L)).as("n"))
     val cells = base
       .select(col("doc"), posexplode(graft.text.TextAnalysis.tokens(col("__text")))
         .as(Seq("dpos", "tok")))
@@ -93,6 +119,7 @@ object TokenShards {
     val totalTokens = counts.agg(sum(col("n"))).head.getLong(0)
     val totalSeqs = (totalTokens + cap - 1) / cap
     val seqsPerFile = (totalSeqs + numFiles - 1) / numFiles
+    checkSeqsPerFile(seqsPerFile, numFiles, totalSeqs)
     // token stream in pack order: doc-local position + the doc's global
     // offset → window id and in-window offset; ONE shuffle keyed by seq
     val placed = cells

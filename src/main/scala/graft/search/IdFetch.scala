@@ -75,8 +75,9 @@ object IdFetch {
     * threshold is a SESSION-GLOBAL conf, and raising it per call races
     * with every other query planned concurrently in the same session
     * (and leaks the raised value to unrelated queries afterward). Entry
-    * sessions set [[InFilterThreshold]] at build time
-    * ([[configure]] — Verify/Bench/RecallBench/specs all call it);
+    * sessions set [[InFilterThreshold]] at build time — every builder
+    * (Verify, Bench, RecallBench, the shared spec session, DevTimeOne,
+    * DevPlans) pipes through [[configure]], the one owner of the key;
     * a session left at the default degrades GRACEFULLY, not wrongly:
     * the filter still applies (as an `InSet` after the scan), only the
     * parquet-side pushdown falls back to Spark's min/max range —

@@ -1404,8 +1404,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  private val ShardLastFile = "_graft_shard_last"
-  private val ShardSeqFile = "_graft_shard_seqs"
+  private val ShardStateFile = "_graft_shard_state"
   private[graft] val ShardFirstSeqFile = "_graft_first_seq"
   private val ShardEndFile = "_graft_batch_end"
 
@@ -1422,24 +1421,28 @@ object StreamingIngest {
     // counts
     writeLongFile(spark, s"$dir/$ShardFirstSeqFile", baseSeqs)
     writeLongFile(spark, s"$dir/$ShardEndFile", baseSeqs + nSeqs)
-    writeLongFile(spark, s"$layoutPath/$ShardLastFile", batchId)
-    writeLongFile(spark, s"$layoutPath/$ShardSeqFile", baseSeqs + nSeqs)
+    // layout-level state is ONE atomic record ("<batchId> <total>", the
+    // [[writePackState]] protocol): (lastId, total) written as two files
+    // would leave a crash window where a parseable-but-mismatched pair
+    // (lastId=N, total=end(N−1)) skips batch N's replay and bases N+1
+    // over N's global window range
+    writePairFile(spark, s"$layoutPath/$ShardStateFile", batchId,
+      baseSeqs + nSeqs)
   }
 
-  /** (lastBatchId, global window total) of a shard layout: the sidecars
-    * when both present, else healed from the per-batch end markers (ends
-    * are cumulative, so the max complete batch's end IS the total; a
-    * batch dir missing its markers is incomplete and a replay rewrites
-    * it), else (−1, 0) for a fresh layout. */
+  /** (lastBatchId, global window total) of a shard layout: the atomic
+    * state sidecar when present and parseable, else healed from the
+    * per-batch end markers (ends are cumulative, so the max complete
+    * batch's end IS the total; a batch dir missing its markers is
+    * incomplete and a replay rewrites it), else (−1, 0) for a fresh
+    * layout. A torn sidecar (crash between create and write) fails the
+    * exact-two-longs parse and reads as absent. */
   private[graft] def readShardState(spark: SparkSession,
       layoutPath: String): (Long, Long) =
-    (readLongFile(spark, s"$layoutPath/$ShardLastFile"),
-      readLongFile(spark, s"$layoutPath/$ShardSeqFile")) match {
-      case (Some(l), Some(s)) => (l, s)
-      case _ =>
-        completeShardBatches(spark, layoutPath).lastOption
-          .map { case (id, _, _, end) => (id, end) }
-          .getOrElse((-1L, 0L))
+    readPairFile(spark, s"$layoutPath/$ShardStateFile").getOrElse {
+      completeShardBatches(spark, layoutPath).lastOption
+        .map { case (id, _, _, end) => (id, end) }
+        .getOrElse((-1L, 0L))
     }
 
   /** Complete batches of a shard layout in id order:
@@ -1577,24 +1580,7 @@ object StreamingIngest {
   private[graft] def readPackState(spark: SparkSession, layoutPath: String)
       : (Long, Long) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
-    val sp = new org.apache.hadoop.fs.Path(p, PackTotalFile)
-    // a crash between writePackState's create() and write() leaves a
-    // visible EMPTY (or truncated) sidecar — anything that does not parse
-    // as exactly "<batchId> <total>" reads as NO sidecar, falling through
-    // to the data-derived self-heal instead of wedging every restart
-    // (a truncated "12" prefix of "12 34567" must NOT parse as a total)
-    val sidecar: Option[(Long, Long)] =
-      if (!fs.exists(sp)) None
-      else {
-        val in = fs.open(sp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        txt.split(" ") match {
-          case Array(id, tot) =>
-            for (i <- id.toLongOption; t <- tot.toLongOption) yield (i, t)
-          case _ => None
-        }
-      }
+    val sidecar = readPairFile(spark, s"$layoutPath/$PackTotalFile")
     if (sidecar.isDefined) {
       sidecar.get
     } else if (graft.store.Fs.exists(spark, layoutPath) &&
@@ -1643,10 +1629,38 @@ object StreamingIngest {
     readPackState(spark, layoutPath)._2
 
   private def writePackState(spark: SparkSession, layoutPath: String,
+      batchId: Long, total: Long): Unit =
+    writePairFile(spark, s"$layoutPath/$PackTotalFile", batchId, total)
+
+  /** ONE-record state sidecar: "<batchId> <total>" in a single file, so
+    * the two values can never be observed torn relative to each other.
+    * Shared by the pack and shard ingest twins. */
+  private def writePairFile(spark: SparkSession, path: String,
       batchId: Long, total: Long): Unit = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, layoutPath)
-    val out = fs.create(new org.apache.hadoop.fs.Path(p, PackTotalFile), true)
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val out = fs.create(p, true)
     try out.write(s"$batchId $total\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Parse a pair sidecar. A crash between create() and write() leaves a
+    * visible EMPTY (or truncated) file — anything that does not parse as
+    * exactly "<batchId> <total>" reads as NO sidecar, falling through to
+    * the caller's data-derived self-heal instead of wedging every restart
+    * (a truncated "12" prefix of "12 34567" must NOT parse as a total). */
+  private def readPairFile(spark: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.split(" ") match {
+        case Array(id, tot) =>
+          for (i <- id.toLongOption; t <- tot.toLongOption) yield (i, t)
+        case _ => None
+      }
+    }
   }
 
   /** File-count-triggered compaction of the streaming semantic state —

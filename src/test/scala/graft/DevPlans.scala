@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: regenerates PLANS.md — formatted physical plans of
@@ -107,8 +109,7 @@ object DevPlans {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        graft.search.IdFetch.InFilterThreshold.toString)
+      .pipe(graft.search.IdFetch.configure)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

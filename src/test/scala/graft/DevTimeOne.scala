@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 
 /** Time one registered query in isolation (cold JVM, no other entries):
@@ -18,8 +20,7 @@ object DevTimeOne {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold",
-        graft.search.IdFetch.InFilterThreshold.toString)
+      .pipe(graft.search.IdFetch.configure)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     val q = SparkEntry.queries(entry)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -17,8 +19,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.parquet.pushdown.inFilterThreshold",
-      graft.search.IdFetch.InFilterThreshold.toString)
+    .pipe(graft.search.IdFetch.configure)
     .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

@@ -1047,9 +1047,18 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.readShardState(spark, layout) === ((2L, total)))
     // sidecar loss self-heals from the per-batch end markers
     val (fsH, pH) = graft.store.Fs.pathFs(spark, layout)
-    fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_shard_last"), false)
-    fsH.delete(new org.apache.hadoop.fs.Path(pH, "_graft_shard_seqs"), false)
+    val statePath = new org.apache.hadoop.fs.Path(pH, "_graft_shard_state")
+    fsH.delete(statePath, false)
     assert(StreamingIngest.readShardState(spark, layout) === ((2L, total)))
+    // a TORN sidecar (crash between create and write: empty or a truncated
+    // "<batchId>" prefix) must read as absent — heal, never a wrong state
+    Seq("", "12", "2 ", s"2 $total extra").foreach { torn =>
+      val out = fsH.create(statePath, true)
+      try out.write(torn.getBytes("UTF-8")) finally out.close()
+      assert(StreamingIngest.readShardState(spark, layout) === ((2L, total)),
+        s"torn sidecar '$torn' must fall through to the marker heal")
+    }
+    fsH.delete(statePath, false)
   }
 
   test("streaming sequence packing: grown layout equals the batch pack over the union") {

@@ -198,4 +198,20 @@ class TokenShardSpec extends SparkSpec {
     }
     info(s"verified $checked manifest spans against shard bytes")
   }
+
+  test("windows-per-file past the int-addressable idx bound fails loudly up front") {
+    // the bound is the largest `written` whose idx allocation
+    // (magic 8 + 4 + 8 + 8 + 8·written bytes) still fits a JVM int
+    assert(TokenShards.MaxSeqsPerFile === (Int.MaxValue - 28L) / 8L)
+    // at the bound: fine
+    TokenShards.checkSeqsPerFile(TokenShards.MaxSeqsPerFile, 4,
+      4 * TokenShards.MaxSeqsPerFile)
+    // one past: the misconfiguration (tiny numFiles over a huge corpus)
+    // must fail before any bytes land, naming the fix
+    val e = intercept[IllegalArgumentException] {
+      TokenShards.checkSeqsPerFile(TokenShards.MaxSeqsPerFile + 1, 1,
+        TokenShards.MaxSeqsPerFile + 1)
+    }
+    assert(e.getMessage.contains("raise numFiles"))
+  }
 }
