@@ -148,7 +148,49 @@ object TokenShards {
       .foreachPartition { (it: Iterator[Row]) =>
         writeTaskFiles(it, outPath, conf.value, capB, spfB, totalSeqsB)
       }
+    // PUBLISH: one marker after every task committed — the
+    // [[graft.store.VersionedLayout]] pattern. The per-file temp+rename
+    // protects against zombie attempts WITHIN the job; the marker is what
+    // makes the layout safe on object stores, where rename is copy+delete
+    // and a crashed job leaves a partial file set indistinguishable from
+    // a complete one. Readers gate on it ([[requireCommitted]]) and
+    // cross-check the `.bin` count it implies, so a torn publish (parts
+    // visible, no marker) or a lost shard file fails loudly instead of
+    // serving a silently-shorter corpus.
+    val ms = fsRoot.create(
+      new org.apache.hadoop.fs.Path(out, CommitMarker), true)
+    try ms.write(s"$totalSeqs $seqsPerFile $cap\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)) finally ms.close()
     (totalTokens, totalSeqs, seqsPerFile)
+  }
+
+  /** Layout-level commit marker: "<totalSeqs> <seqsPerFile> <cap>",
+    * written ONCE by the driver after the shard-write job succeeds. */
+  private[graft] val CommitMarker = "_graft_shards_committed"
+
+  /** Gate every batch read of a shard layout on the commit marker; fail
+    * loudly naming it when absent or torn (a crash between the marker's
+    * create and write leaves an empty file — that must read as an
+    * unpublished layout, not wedge differently). Returns
+    * (totalSeqs, seqsPerFile, cap). */
+  private[graft] def requireCommitted(spark: SparkSession,
+      outPath: String): (Long, Long, Int) = {
+    val (fs, p) = graft.store.Fs.pathFs(spark, s"$outPath/$CommitMarker")
+    require(fs.exists(p),
+      s"$outPath: no $CommitMarker marker — the layout was never " +
+        "published (writer crashed mid-job) or the path is wrong; " +
+        "shard files without the marker are an incomplete torn publish")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split(" ") match {
+      case Array(t, s, c) if t.toLongOption.isDefined &&
+          s.toLongOption.isDefined && c.toIntOption.isDefined =>
+        (t.toLong, s.toLong, c.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"$outPath: torn $CommitMarker marker ('$txt') — publish crashed " +
+          "mid-commit; rewrite the layout")
+    }
   }
 
   /** One task's walk over its (file, seq)-ordered window rows: assemble
@@ -226,6 +268,22 @@ object TokenShards {
     * re-derived from the shard BYTES, so any layout defect (wrong order,
     * wrong width, wrong endianness, shifted window) changes the hash. */
   def readAggregates(spark: SparkSession, outPath: String, cap: Int): DataFrame = {
+    val (totalSeqs, spf, capM) = requireCommitted(spark, outPath)
+    require(capM == cap,
+      s"$outPath: layout committed at cap $capM, read requested cap $cap")
+    // the marker pins the exact .bin count — a lost shard file (partial
+    // object-store copy, manual deletion) must not read as a shorter
+    // corpus
+    val expectFiles = if (totalSeqs == 0) 0L else (totalSeqs + spf - 1) / spf
+    val (fsL, root) = graft.store.Fs.pathFs(spark, outPath)
+    val gotFiles = fsL.listStatus(root)
+      .count(st => st.getPath.getName.matches("shard-\\d+\\.bin"))
+    require(gotFiles == expectFiles,
+      s"$outPath: marker expects $expectFiles shard file(s), found " +
+        s"$gotFiles — shard file lost or publish torn")
+    if (totalSeqs == 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], aggregatesSchema)
     val rows = spark.sparkContext.binaryFiles(s"$outPath/*.bin")
       .map { case (name, stream) =>
         val bytes = stream.toArray()
@@ -245,19 +303,20 @@ object TokenShards {
         }
         Row(shard, (n / cap).toLong, nTok, n - nTok, idSum)
       }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("shard",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_seqs",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_pad",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("id_sum",
-        org.apache.spark.sql.types.LongType, nullable = false))))
-      .orderBy("shard")
+    spark.createDataFrame(rows, aggregatesSchema).orderBy("shard")
   }
+
+  private val aggregatesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("shard",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_seqs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_pad",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("id_sum",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Point-read ONE context window by its global id — the data-loader
     * access pattern the layout exists for: window `seq` lives in file
@@ -267,9 +326,14 @@ object TokenShards {
     * count — every file but the last holds exactly that many). */
   def readWindow(spark: SparkSession, outPath: String, seq: Long): Array[Int] = {
     require(seq >= 0, s"window id $seq")
+    val (totalSeqs, spfM, _) = requireCommitted(spark, outPath)
+    require(seq < totalSeqs,
+      s"$outPath: window $seq outside the committed layout ($totalSeqs windows)")
     val (cap0, first0, offs0) = readIdx(spark, f"$outPath/shard-${0}%05d.idx")
     require(first0 == 0, s"$outPath: file 0 idx starts at $first0")
     val spf = offs0.length.toLong
+    require(spf == spfM || totalSeqs <= spf,
+      s"$outPath: file 0 idx carries $spf windows, marker says $spfM per file")
     val shard = seq / spf
     val (cap, firstSeq, offsets) =
       if (shard == 0) (cap0, first0, offs0)

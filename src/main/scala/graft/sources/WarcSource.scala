@@ -126,6 +126,52 @@ object WarcSource {
           }
         }
       }
+    // PUBLISH: one driver-written marker after every task committed — the
+    // [[graft.store.VersionedLayout]] pattern. The per-part temp+rename
+    // protects against zombie attempts WITHIN the job; the marker is what
+    // makes the archive directory safe where rename is copy+delete
+    // (object stores): a job that crashed after committing SOME parts
+    // leaves a directory indistinguishable from a complete one without
+    // it. The marker records the committed part count, so the readers
+    // also catch a part file lost after publish.
+    val nParts = fs.listStatus(out)
+      .count(st => st.getPath.getName.matches("part-\\d+\\..*") &&
+        !st.getPath.getName.endsWith(".cdx"))
+    val ms = fs.create(new org.apache.hadoop.fs.Path(out, CommitMarker), true)
+    try ms.write(s"$nParts\n".getBytes(UTF_8)) finally ms.close()
+  }
+
+  /** Directory-level commit marker: "<nParts>", written ONCE by the
+    * driver after the archive-write job succeeds. */
+  private[graft] val CommitMarker = "_graft_warc_committed"
+
+  /** Gate a whole-directory read of an ENGINE-WRITTEN archive layout on
+    * the commit marker; fail loudly naming it when absent or torn, and
+    * when the committed part count no longer matches the listing. The
+    * crawler-drop layout — archives landed file-by-file from an external
+    * crawler, where arrival of each (internally fail-loud-framed) file IS
+    * its publish — has no directory-level publish to enforce; readers
+    * take `requireMarker = false` for that shape. */
+  private def requireCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(dir, CommitMarker)
+    require(fs.exists(mp),
+      s"$dir: no $CommitMarker marker — the archive directory was never " +
+        "published (writer crashed mid-job); part files without the " +
+        "marker are an incomplete torn publish (external crawler-drop " +
+        "directories are read with requireMarker = false)")
+    val in = fs.open(mp)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val nParts = txt.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$dir: torn $CommitMarker marker ('$txt') — publish crashed " +
+        "mid-commit; rewrite the archive"))
+    val got = fs.listStatus(dir)
+      .count(st => st.getPath.getName.matches("part-\\d+\\..*") &&
+        !st.getPath.getName.endsWith(".cdx"))
+    require(got == nParts,
+      s"$dir: marker committed $nParts part file(s), found $got — " +
+        "archive file lost after publish")
   }
 
   private[graft] def recordBytes(docId: Long, text: String, lang: String,
@@ -240,8 +286,14 @@ object WarcSource {
   }
 
   /** Parse every record of every `.warc`/`.warc.gz` file under `path`
-    * into [[recordsSchema]] rows. */
-  def readRecords(spark: SparkSession, path: String): DataFrame = {
+    * into [[recordsSchema]] rows. `requireMarker = false` for external
+    * crawler-drop directories (see [[requireCommitted]]). */
+  def readRecords(spark: SparkSession, path: String,
+      requireMarker: Boolean = true): DataFrame = {
+    if (requireMarker) {
+      val (fs, p) = graft.store.Fs.pathFs(spark, path)
+      requireCommitted(fs, p)
+    }
     val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
       .flatMap { case (file, stream) =>
         parseFile(file, maybeGunzip(file, stream.toArray())) }
@@ -254,7 +306,12 @@ object WarcSource {
     * source from `X-Graft-Source`, doc_id from the record id, n_chars
     * recomputed — the full acquisition round trip the `src_warc_agg`
     * oracle hashes. */
-  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+  def readDocuments(spark: SparkSession, path: String,
+      requireMarker: Boolean = true): DataFrame = {
+    if (requireMarker) {
+      val (fs, p) = graft.store.Fs.pathFs(spark, path)
+      requireCommitted(fs, p)
+    }
     val rows = spark.sparkContext.binaryFiles(s"$path/*.warc*")
       .flatMap { case (file, stream) => docsFromBytes(file, stream.toArray()) }
     spark.createDataFrame(rows, JsonlSource.documentsSchema)
@@ -275,6 +332,13 @@ object WarcSource {
   def fetchDocumentsById(spark: SparkSession, path: String,
       ids: Seq[Long]): DataFrame = {
     import spark.implicits._
+    // point fetch is only meaningful over an engine-INDEXED archive
+    // (cdx sidecars are written by writeGz's indexed path), so the
+    // publish marker is unconditionally required here
+    locally {
+      val (fs, p) = graft.store.Fs.pathFs(spark, path)
+      requireCommitted(fs, p)
+    }
     if (ids.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], JsonlSource.documentsSchema)

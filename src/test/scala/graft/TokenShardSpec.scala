@@ -214,4 +214,47 @@ class TokenShardSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("raise numFiles"))
   }
+
+  test("torn publish: shard files without the commit marker are rejected naming it") {
+    val dir = graft.store.Fs.scratchDir(spark, "shards_torn") + "/shards"
+    val docs = VectorModel.documents(spark, Sf0001)
+      .orderBy("doc_id").limit(40)
+    val (_, totalSeqs, spf) =
+      TokenShards.write(docs, "doc_id", "text", Cap, 32, 3, dir)
+    val (fs, p) = graft.store.Fs.pathFs(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_shards_committed")
+    assert(fs.exists(marker), "writer must publish a commit marker")
+    val agg = TokenShards.readAggregates(spark, dir, Cap).collect()
+    assert(agg.nonEmpty)
+    assert(TokenShards.readWindow(spark, dir, 0L).length === Cap)
+    // SIMULATED TORN PUBLISH: bin/idx files visible, marker never landed
+    // — both readers must fail loudly naming the marker
+    fs.delete(marker, false)
+    Seq(
+      () => TokenShards.readAggregates(spark, dir, Cap).count(),
+      () => { TokenShards.readWindow(spark, dir, 0L); 0L }
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("_graft_shards_committed"),
+        s"torn publish must name the missing marker, got: ${e.getMessage}")
+    }
+    // a torn MARKER (crash between create and write) is also torn publish
+    val ms = fs.create(marker, true); ms.close()
+    val eTorn = intercept[IllegalArgumentException](
+      TokenShards.readAggregates(spark, dir, Cap).count())
+    assert(eTorn.getMessage.contains("torn"), eTorn.getMessage)
+    // restore a healthy marker, then lose a shard file: the committed
+    // window count pins the .bin set, so the loss is loud, never a
+    // silently-shorter corpus
+    val os = fs.create(marker, true)
+    try os.write(s"$totalSeqs $spf $Cap\n".getBytes("UTF-8"))
+    finally os.close()
+    assert(TokenShards.readAggregates(spark, dir, Cap).collect() === agg)
+    val lastBin = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".bin")).maxBy(_.getName)
+    fs.delete(lastBin, false)
+    val eLost = intercept[IllegalArgumentException](
+      TokenShards.readAggregates(spark, dir, Cap).count())
+    assert(eLost.getMessage.contains("lost"), eLost.getMessage)
+  }
 }

@@ -273,4 +273,43 @@ class WarcSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(viaWarc === viaParquet)
   }
+
+  test("torn publish: parts without the commit marker are rejected naming it") {
+    val p = graft.store.Fs.scratchDir(spark, "warc_torn") + "/crawl"
+    WarcSource.writeGz(docs, p)
+    val hPath = new org.apache.hadoop.fs.Path(p)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_warc_committed")
+    assert(fs.exists(marker), "writer must publish a commit marker")
+    val committed = WarcSource.readDocuments(spark, p).count()
+    assert(committed === docs.count())
+    // SIMULATED TORN PUBLISH: parts visible, marker never landed (the
+    // object-store crash shape the marker exists for) — every
+    // whole-directory reader must fail loudly naming the marker
+    fs.delete(marker, false)
+    Seq(
+      () => WarcSource.readDocuments(spark, p).count(),
+      () => WarcSource.readRecords(spark, p).count(),
+      () => WarcSource.fetchDocumentsById(spark, p, Seq(1L)).count()
+    ).foreach { read =>
+      val e = intercept[IllegalArgumentException](read())
+      assert(e.getMessage.contains("_graft_warc_committed"),
+        s"torn publish must name the missing marker, got: ${e.getMessage}")
+    }
+    // the crawler-drop escape (externally-landed archives, no
+    // directory-level publish) still reads — per-file framing is the gate
+    assert(WarcSource.readDocuments(spark, p, requireMarker = false)
+      .count() === committed)
+    // a torn MARKER (crash between create and write) is also a torn publish
+    val ms = fs.create(marker, true); ms.close()
+    val e2 = intercept[IllegalArgumentException](
+      WarcSource.readDocuments(spark, p).count())
+    assert(e2.getMessage.contains("torn"), e2.getMessage)
+    // a part lost AFTER a healthy publish is caught by the count record
+    val os = fs.create(marker, true)
+    try os.write("99\n".getBytes(UTF_8)) finally os.close()
+    val e3 = intercept[IllegalArgumentException](
+      WarcSource.readDocuments(spark, p).count())
+    assert(e3.getMessage.contains("lost"), e3.getMessage)
+  }
 }
