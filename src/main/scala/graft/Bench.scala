@@ -129,6 +129,10 @@ object Bench {
       // curated chunks -> BPE vocab-id shards: encode + vocab ranking +
       // write are build egress; the serve is the round-trip decode
       (s, d) => { queries.PipelineQueries.corpusShardBpeLayout(s, d); () }),
+    ("build_corpus_shards_trained", Set("pipe_corpus_shards_trained"),
+      // the corpus-TRAINED twin: BPE training + trained encode + vocab
+      // ranking + write are build egress; the serve is the decode
+      (s, d) => { queries.PipelineQueries.corpusShardTrainedLayout(s, d); () }),
     ("build_corpus_shards", Set("pipe_corpus_shards"),
       // the curated-corpus export (train-corpus chunks -> binary
       // shards) is build-time egress; the serving entry times the

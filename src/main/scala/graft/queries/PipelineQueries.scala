@@ -773,41 +773,52 @@ object PipelineQueries {
     * walk, the vocabulary ranking, the per-word offsets, and the pack
     * arithmetic in SQL. */
   private[graft] def bpeTokenShardLayout(spark: SparkSession, dir: String): String =
-    bpeTokenShardLayoutCache.computeIfAbsent(dir, _ => {
-      import org.apache.spark.sql.expressions.Window
-      val root = graft.store.Fs.scratchDir(spark, "graft_token_shards_bpe")
-      val docs = VectorModel.documents(spark, dir)
-      val model = graft.text.Bpe.FixtureModel
-      val toks = graft.text.Bpe.bpeTokens(col("text"), model)
-      val exploded = graft.store.CacheRegistry.cached(
-        docs.select(col("doc_id").as("doc"),
-          posexplode(toks).as(Seq("dpos", "tok"))))
-      // the vocabulary sidecar: dense ids 1..V by token sort order
-      // (vocab-sized single-partition rank — a tokenizer vocab, not a
-      // corpus-sized table), written next to the shards
-      exploded.select("tok").distinct()
-        .withColumn("vid",
-          row_number().over(Window.orderBy(col("tok"))).cast("int"))
-        .write.mode("overwrite").parquet(s"$root/vocab")
-      val vocab = spark.read.parquet(s"$root/vocab")
-      val cells = exploded
-        .join(broadcast(vocab), "tok")
-        .select(col("doc"), col("dpos").cast("long").as("dpos"),
-          col("vid").as("id"))
-      // a blank doc still owns one (clamped) slot — emit its pad cell so
-      // every window stays non-empty for the contiguity walk
-      val blanks = docs.select(col("doc_id").as("doc"))
-        .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
-        .select(col("doc"), lit(0L).as("dpos"),
-          lit(graft.operators.TokenShards.PadId).as("id"))
-      val counts = docs.select(col("doc_id").as("doc"),
-        greatest(graft.text.Bpe.bpeTokenCount(col("text"), model).cast("long"),
-          lit(1L)).as("n"))
-      graft.operators.TokenShards.writeCells(counts,
-        cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
-        s"$root/shards")
-      s"$root/shards"
-    })
+    bpeTokenShardLayoutCache.computeIfAbsent(dir, _ =>
+      bpeShardLayoutFrom(spark,
+        VectorModel.documents(spark, dir)
+          .select(col("doc_id").as("doc"), col("text").as("txt")),
+        graft.text.Bpe.FixtureModel,
+        graft.store.Fs.scratchDir(spark, "graft_token_shards_bpe")))
+
+  /** Shared body of every BPE-encoded shard export (whole-document
+    * fixture, curated fixture, curated corpus-TRAINED): `input` is
+    * (doc: Long, txt: String); encode under `model`, rank the dense
+    * vocabulary sidecar (ids 1..V by token sort order — a tokenizer
+    * vocab, not a corpus-sized table), place vocab-id cells, clamp blank
+    * docs to one pad slot, and land trainer shards under
+    * `root/shards`. */
+  private def bpeShardLayoutFrom(spark: SparkSession, input: DataFrame,
+      model: graft.text.Bpe.BpeModel, root: String): String = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = graft.store.CacheRegistry.cached(
+      input.select(col("doc"),
+        posexplode(graft.text.Bpe.bpeTokens(col("txt"), model))
+          .as(Seq("dpos", "tok"))))
+    // the vocabulary sidecar: dense ids 1..V by token sort order
+    // (vocab-sized single-partition rank), written next to the shards
+    exploded.select("tok").distinct()
+      .withColumn("vid",
+        row_number().over(Window.orderBy(col("tok"))).cast("int"))
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    val vocab = spark.read.parquet(s"$root/vocab")
+    val cells = exploded
+      .join(broadcast(vocab), "tok")
+      .select(col("doc"), col("dpos").cast("long").as("dpos"),
+        col("vid").as("id"))
+    // a blank doc still owns one (clamped) slot — emit its pad cell so
+    // every window stays non-empty for the contiguity walk
+    val blanks = input.select(col("doc"))
+      .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
+      .select(col("doc"), lit(0L).as("dpos"),
+        lit(graft.operators.TokenShards.PadId).as("id"))
+    val counts = input.select(col("doc"),
+      greatest(graft.text.Bpe.bpeTokenCount(col("txt"), model).cast("long"),
+        lit(1L)).as("n"))
+    graft.operators.TokenShards.writeCells(counts,
+      cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
+      s"$root/shards")
+    s"$root/shards"
+  }
 
   private val bpeTokenShardLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -934,37 +945,17 @@ object PipelineQueries {
     * full train-corpus cut, the BPE encode walk + vocab ranking, and the
     * pack/shard arithmetic. */
   private[graft] def corpusShardBpeLayout(spark: SparkSession, dir: String): String =
-    corpusShardBpeLayoutCache.computeIfAbsent(dir, _ => {
-      import org.apache.spark.sql.expressions.Window
-      val root = graft.store.Fs.scratchDir(spark, "graft_corpus_shards_bpe")
-      val model = graft.text.Bpe.FixtureModel
-      val chunks = trainCorpus(spark, dir)
-        .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("doc"),
-          col("chunk"))
-      val exploded = graft.store.CacheRegistry.cached(
-        chunks.select(col("doc"),
-          posexplode(graft.text.Bpe.bpeTokens(col("chunk"), model))
-            .as(Seq("dpos", "tok"))))
-      exploded.select("tok").distinct()
-        .withColumn("vid",
-          row_number().over(Window.orderBy(col("tok"))).cast("int"))
-        .write.mode("overwrite").parquet(s"$root/vocab")
-      val vocab = spark.read.parquet(s"$root/vocab")
-      val cells = exploded.join(broadcast(vocab), "tok")
-        .select(col("doc"), col("dpos").cast("long").as("dpos"),
-          col("vid").as("id"))
-      val blanks = chunks.select(col("doc"))
-        .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
-        .select(col("doc"), lit(0L).as("dpos"),
-          lit(graft.operators.TokenShards.PadId).as("id"))
-      val counts = chunks.select(col("doc"),
-        greatest(graft.text.Bpe.bpeTokenCount(col("chunk"), model).cast("long"),
-          lit(1L)).as("n"))
-      graft.operators.TokenShards.writeCells(counts,
-        cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
-        s"$root/shards")
-      s"$root/shards"
-    })
+    corpusShardBpeLayoutCache.computeIfAbsent(dir, _ =>
+      bpeShardLayoutFrom(spark, curatedChunksFor(spark, dir),
+        graft.text.Bpe.FixtureModel,
+        graft.store.Fs.scratchDir(spark, "graft_corpus_shards_bpe")))
+
+  /** The curated corpus's kept chunks in the (doc, txt) shape the BPE
+    * shard exports consume. */
+  private def curatedChunksFor(spark: SparkSession, dir: String): DataFrame =
+    trainCorpus(spark, dir)
+      .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("doc"),
+        col("chunk").as("txt"))
 
   private val corpusShardBpeLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -973,14 +964,44 @@ object PipelineQueries {
     graft.operators.TokenShards.readAggregates(
       spark, corpusShardBpeLayout(spark, dir), PackCap)
 
-  lazy val corpusShardsBpeSql: String = {
+  /** [[corpusShardBpeLayout]]'s corpus-TRAINED twin — the capstone a real
+    * trainer consumes: the SAME curated chunks, encoded under the
+    * corpus-trained merge list ([[TextQueries.bpeModel]] — the train→serve
+    * seam `tx_bpe_stats_trained` already hash-gates), shipped as dense
+    * trained-vocab ids with the (token, vid) sidecar. The oracle replays
+    * the trained encode walk from the published merge-table sidecar, so a
+    * drifted trained vocabulary, a fixture/trained mixup, or broken pack
+    * arithmetic all hash-mismatch. */
+  private[graft] def corpusShardTrainedLayout(spark: SparkSession, dir: String): String =
+    corpusShardTrainedLayoutCache.computeIfAbsent(dir, _ =>
+      bpeShardLayoutFrom(spark, curatedChunksFor(spark, dir),
+        TextQueries.bpeModel(spark, dir), // publishes the merges sidecar
+        graft.store.Fs.scratchDir(spark, "graft_corpus_shards_trained")))
+
+  private val corpusShardTrainedLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def corpusShardsTrained(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenShards.readAggregates(
+      spark, corpusShardTrainedLayout(spark, dir), PackCap)
+
+  lazy val corpusShardsBpeSql: String =
+    corpusShardsBpeSqlWith(TextQueries.bpeFixtureMergesCte)
+
+  lazy val corpusShardsTrainedSql: String =
+    corpusShardsBpeSqlWith(
+      s"merges AS (SELECT CAST(rank AS INTEGER) AS rank, a, b FROM ${OracleSidecars.sqlTable("bpe_merges")})")
+
+  /** The curated-chunk vocab-id shard oracle, parameterized by its
+    * merge-table source (fixture literals / trained sidecar) — ONE
+    * mirrored story for both capstones. */
+  private def corpusShardsBpeSqlWith(mergesCte: String): String = {
     val cumsum =
       s"""CAST(COALESCE(sum(n) OVER (ORDER BY h % $PackShards ASC, h ASC, cid ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start""".stripMargin
     s"""WITH RECURSIVE
        |chunks AS ($trainCorpusSql),
-       |${TextQueries.bpeEncodeCtes(
-          TextQueries.bpeFixtureMergesCte)},
+       |${TextQueries.bpeEncodeCtes(mergesCte)},
        |cw0 AS (SELECT cid, ws, unnest(range(1, len(ws)+1)) AS i
        |        FROM (SELECT doc_id * $ChunkIdBase + chunk_ix AS cid,
        |                string_split(chunk, ' ') AS ws FROM chunks)),
@@ -1853,6 +1874,7 @@ object PipelineQueries {
     "pipe_export_shards_bpe" -> (exportShardsBpe _),
     "pipe_corpus_shards" -> (corpusShards _),
     "pipe_corpus_shards_bpe" -> (corpusShardsBpe _),
+    "pipe_corpus_shards_trained" -> (corpusShardsTrained _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1885,6 +1907,7 @@ object PipelineQueries {
     "pipe_export_shards_bpe" -> exportShardsBpeSql,
     "pipe_corpus_shards" -> corpusShardsSql,
     "pipe_corpus_shards_bpe" -> corpusShardsBpeSql,
+    "pipe_corpus_shards_trained" -> corpusShardsTrainedSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -257,4 +257,60 @@ class TokenShardSpec extends SparkSpec {
       TokenShards.readAggregates(spark, dir, Cap).count())
     assert(eLost.getMessage.contains("lost"), eLost.getMessage)
   }
+
+  test("trained-vocab capstone: shipped ids live in the trained vocabulary, pads account") {
+    val shards = PipelineQueries.corpusShardTrainedLayout(spark, Sf0001)
+    val vocab = spark.read.parquet(
+      shards.stripSuffix("/shards") + "/vocab").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val v = vocab.size
+    // dense ids 1..V by token sort order
+    assert(vocab.values.toSeq.sorted === (1 to v))
+    assert(vocab.keys.toSeq.sorted.map(vocab) === (1 to v))
+    // the vocabulary IS the trained model's token set over the curated
+    // chunks — the fixture/trained mixup this entry exists to preclude
+    val model = graft.queries.TextQueries.bpeModel(spark, Sf0001)
+    val trainedToks = PipelineQueries.trainCorpus(spark, Sf0001)
+      .select(explode(
+        graft.text.Bpe.bpeTokens(col("chunk"), model)).as("tok"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(vocab.keySet === trainedToks,
+      "vocab sidecar must rank exactly the trained-model token set")
+    // every shipped non-pad id is a trained-vocab id; pad accounting
+    // closes: slots = tokens + pads, windows tile the clamped counts
+    val (fs, p) = graft.store.Fs.pathFs(spark, shards)
+    var nonPad = 0L; var pads = 0L
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".bin")).foreach { bin =>
+        val len = fs.getFileStatus(bin).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(bin)
+        try in.readFully(0, bytes) finally in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until len / 4).foreach { i =>
+          val id = bb.getInt(i * 4)
+          if (id == TokenShards.PadId) pads += 1
+          else { nonPad += 1
+            assert(id >= 1 && id <= v, s"shipped id $id outside vocab 1..$v") }
+        }
+      }
+    val counts = PipelineQueries.trainCorpus(spark, Sf0001)
+      .select(greatest(graft.text.Bpe.bpeTokenCount(col("chunk"), model)
+        .cast("long"), lit(1L)).as("n"),
+        graft.text.Bpe.bpeTokenCount(col("chunk")
+          , model).cast("long").as("raw"))
+      .agg(sum("n"), sum("raw")).head
+    val (clamped, raw) = (counts.getLong(0), counts.getLong(1))
+    assert(nonPad === raw, "non-pad cells must equal the trained token mass")
+    val totalSeqs = (clamped + Cap - 1) / Cap
+    assert(nonPad + pads === totalSeqs * Cap,
+      "shipped slots must tile the committed windows exactly")
+    // the served aggregate view re-derives the same accounting
+    val agg = PipelineQueries.corpusShardsTrained(spark, Sf0001)
+      .agg(sum("n_seqs"), sum("n_tokens"), sum("n_pad")).head
+    assert(agg.getLong(0) === totalSeqs)
+    assert(agg.getLong(1) === nonPad)
+    assert(agg.getLong(2) === pads)
+  }
 }
