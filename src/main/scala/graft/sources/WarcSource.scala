@@ -126,6 +126,18 @@ object WarcSource {
           }
         }
       }
+    // the at-scale index form: the text cdx sidecars (CC's interchange
+    // shape, kept) convert ONCE at write time to an id-clustered parquet
+    // layout — range-partitioned + sorted by doc id, bloom on id (the
+    // [[graft.search.IdFetch.writeIdClustered]] recipe) — so the
+    // candidate resolve in [[fetchDocumentsById]] is itself a PRUNED
+    // footer-stat scan. At one cdx line per record over a 100 TB crawl
+    // the text scan is billions of rows per point fetch; the parquet
+    // conversion makes resolve I/O ∝ touched row groups, not crawl size.
+    if (indexed)
+      graft.search.IdFetch.writeIdClustered(
+        cdxTextEntries(spark, path), s"$path/$CdxIndexDir", "doc_id",
+        numFiles = CdxIndexFiles)
     // PUBLISH: one driver-written marker after every task committed — the
     // [[graft.store.VersionedLayout]] pattern. The per-part temp+rename
     // protects against zombie attempts WITHIN the job; the marker is what
@@ -133,7 +145,8 @@ object WarcSource {
     // (object stores): a job that crashed after committing SOME parts
     // leaves a directory indistinguishable from a complete one without
     // it. The marker records the committed part count, so the readers
-    // also catch a part file lost after publish.
+    // also catch a part file lost after publish. Written AFTER the cdx
+    // index conversion, so a publish is never visible without its index.
     val nParts = fs.listStatus(out)
       .count(st => st.getPath.getName.matches("part-\\d+\\..*") &&
         !st.getPath.getName.endsWith(".cdx"))
@@ -144,6 +157,30 @@ object WarcSource {
   /** Directory-level commit marker: "<nParts>", written ONCE by the
     * driver after the archive-write job succeeds. */
   private[graft] val CommitMarker = "_graft_warc_committed"
+
+  /** The id-clustered parquet form of the cdx sidecars (underscore
+    * prefix: parquet/binaryFiles readers ignore it). */
+  private[graft] val CdxIndexDir = "_cdx_index"
+  private val CdxIndexFiles = 8
+
+  /** Parse every text cdx sidecar under `path` into
+    * (doc_id, archive file NAME, offset, length) rows — the archive is
+    * stored as a bare name so the index stays valid when the directory
+    * moves. Shared by the index conversion and the text-scan fallback. */
+  private def cdxTextEntries(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(s"$path/*.cdx")
+      .select(org.apache.spark.sql.functions.input_file_name().as("cdx"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .map { case (cdx, line) =>
+        val f = line.split(' ')
+        require(f.length == 3, s"$cdx: malformed cdx line '$line'")
+        val name = cdx.substring(cdx.lastIndexOf('/') + 1)
+          .stripSuffix(".cdx") + ".warc.gz"
+        (f(0).toLong, name, f(1).toLong, f(2).toInt)
+      }.toDF("doc_id", "archive", "offset", "length")
+  }
 
   /** Gate a whole-directory read of an ENGINE-WRITTEN archive layout on
     * the commit marker; fail loudly naming it when absent or torn, and
@@ -342,20 +379,21 @@ object WarcSource {
     if (ids.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], JsonlSource.documentsSchema)
-    val idSet = ids.toSet
-    val entries = spark.read.textFile(s"$path/*.cdx")
-      .select(org.apache.spark.sql.functions.input_file_name().as("cdx"),
-        org.apache.spark.sql.functions.col("value"))
-      .as[(String, String)]
-      .flatMap { case (cdx, line) =>
-        val f = line.split(' ')
-        require(f.length == 3, s"$cdx: malformed cdx line '$line'")
-        val id = f(0).toLong
-        if (idSet(id))
-          Some((cdx.stripSuffix(".cdx") + ".warc.gz", f(1).toLong, f(2).toInt, id))
-        else None
-      }
-      .collect()
+    // candidate resolve: the id-clustered parquet index when the layout
+    // carries one (every indexed write does) — a PRUNED `IN` scan, row
+    // groups ∝ candidates — else one pass over the text cdx (the
+    // interchange-shape fallback for hand-assembled layouts)
+    val idxPath = s"$path/$CdxIndexDir"
+    val resolve =
+      if (graft.store.Fs.exists(spark, idxPath))
+        graft.search.IdFetch.fetchByIds(
+          spark.read.parquet(idxPath), "doc_id", ids)
+      else cdxTextEntries(spark, path)
+        .where(org.apache.spark.sql.functions.col("doc_id").isin(ids: _*))
+    val entries = resolve
+      .select("archive", "offset", "length", "doc_id").collect()
+      .map(r => (s"$path/${r.getString(0)}", r.getLong(1), r.getInt(2),
+        r.getLong(3)))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext

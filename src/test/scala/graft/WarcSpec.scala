@@ -246,6 +246,49 @@ class WarcSpec extends SparkSpec {
     // unknown ids are absent, empty list short-circuits
     assert(WarcSource.fetchDocumentsById(spark, p, Seq(-1L)).count() === 0)
     assert(WarcSource.fetchDocumentsById(spark, p, Nil).count() === 0)
+    // ---- the at-scale resolve: id-clustered parquet cdx index ----
+    val idx = s"$p/_cdx_index"
+    assert(graft.store.Fs.exists(spark, idx),
+      "indexed write must convert the cdx sidecars to the parquet index")
+    val idxDf = spark.read.parquet(idx)
+    // the index is exactly the text cdx, row for row
+    assert(idxDf.count() === docs.count())
+    // the IN resolve reaches the parquet scan as a pushed filter
+    val plan = graft.search.IdFetch.fetchByIds(idxDf, "doc_id", ids)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"cdx resolve must push the id IN list into the scan:\n$plan")
+    // IdFetchSpec-style pruning pin: the clustered layout gives every
+    // file a tight DISJOINT id range, so footer stats admit at most ONE
+    // file per candidate — resolve I/O ∝ candidates, never crawl size
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    val pfs = idxPath.getFileSystem(conf)
+    val pfiles = pfs.listStatus(idxPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(pfiles.length > 1, "pruning needs a multi-file layout")
+    ids.foreach { id =>
+      var statHits = 0
+      pfiles.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).foreach { bi =>
+            val chunk = (0 until blocks.get(bi).getColumns.size())
+              .map(blocks.get(bi).getColumns.get)
+              .find(_.getPath.toDotString == "doc_id").get
+            assert(chunk.getBloomFilterOffset >= 0,
+              s"$f: doc_id column chunk carries no bloom filter")
+            val st = chunk.getStatistics
+              .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+            if (st.getMin <= id && id <= st.getMax) statHits += 1
+          }
+        } finally reader.close()
+      }
+      assert(statHits <= 1,
+        s"candidate $id admitted by $statHits row groups — ranges overlap")
+    }
   }
 
   test("<br> match is name-anchored: <brand …> is a tag strip, not a line break") {
