@@ -198,6 +198,104 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
   def attachSemanticState(statePath: String): Unit =
     semanticStatePath = Some(statePath)
 
+  // ---- near-dup component layout lifecycle state (the dedup-side twin
+  // of the vector index state above: a persisted versioned assignment +
+  // a covered-batch watermark that routes maintenance between delta
+  // re-propagation and a fresh re-contraction) ----
+  private var componentDocs: Option[(DataFrame, String)] = None
+  private var componentPairPath: Option[String] = None
+  private var componentRoot: Option[String] = None
+  /** Pair batches at or below this watermark are folded into the current
+    * component version; later batches are the delta the next
+    * [[maintainIndexes]] tick re-propagates. Persisted in the version
+    * dir's sidecar, so a re-attach resumes where the layout left off. */
+  private var componentCoveredBatch: Long = -1L
+  private var componentCoveredPairs: Long = 0L
+
+  private val ComponentStateFile = "_graft_component_state"
+
+  /** Register a near-dup COMPONENT layout with this facade's maintenance
+    * tick — the move that puts [[graft.dedup.Dedup.incrementalComponents]]
+    * on the scheduler next to the IVF/HNSW/LSH/binary loops instead of
+    * leaving it a manual operator. `pairLayoutPath` is a
+    * `batch=<id>`-partitioned near-dup pair layout (da, db) — the growth
+    * shape every incremental path in this engine writes — and
+    * `componentLayoutRoot` a [[graft.store.VersionedLayout]] root this
+    * facade owns. If the root has no committed version, the FULL
+    * assignment (isolated docs labeled self) contracts fresh over the
+    * current pair batches and publishes as v0; otherwise the current
+    * version resumes at its recorded watermark. Each later
+    * [[maintainIndexes]] tick folds grown batches: delta re-propagation
+    * while the growth stays inside the tick's `maxDeltaFraction` of the
+    * covered pair count, a fresh re-contraction once the delta dominates
+    * (past that point the delta's own contraction cost approaches the
+    * full rebuild, and the rebuild re-tightens the star layout). */
+  def attachComponentState(docs: DataFrame, idCol: String,
+      pairLayoutPath: String, componentLayoutRoot: String): Unit = {
+    componentDocs = Some((docs, idCol))
+    componentPairPath = Some(pairLayoutPath)
+    componentRoot = Some(componentLayoutRoot)
+    graft.store.VersionedLayout.currentDir(spark, componentLayoutRoot) match {
+      case Some(cur) =>
+        val (covered, pairs) = readComponentState(cur)
+        componentCoveredBatch = covered
+        componentCoveredPairs = pairs
+      case None =>
+        val pairs = spark.read.parquet(pairLayoutPath)
+        val st = pairs.agg(
+          coalesce(max(col("batch").cast("long")), lit(-1L)),
+          org.apache.spark.sql.functions.count(lit(1))).head
+        val (maxBatch, nPairs) = (st.getLong(0), st.getLong(1))
+        publishComponents(
+          graft.dedup.Dedup.connectedComponents(docs, idCol, pairs),
+          maxBatch, nPairs)
+    }
+  }
+
+  /** Publish a FULL component assignment as the next version, carrying
+    * the covered-watermark sidecar inside the version dir (readers of the
+    * version see the assignment and its provenance atomically — the
+    * commit-marker protocol makes both visible together or not at all). */
+  private def publishComponents(assignment: DataFrame, coveredBatch: Long,
+      coveredPairs: Long): Unit = {
+    graft.store.VersionedLayout.publish(spark, componentRoot.get) { dir =>
+      assignment.write.parquet(dir)
+      val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/$ComponentStateFile")
+      val out = fs.create(p, true)
+      try out.write(s"$coveredBatch $coveredPairs\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+    componentCoveredBatch = coveredBatch
+    componentCoveredPairs = coveredPairs
+  }
+
+  private def readComponentState(versionDir: String): (Long, Long) = {
+    val (fs, p) = graft.store.Fs.pathFs(spark,
+      s"$versionDir/$ComponentStateFile")
+    require(fs.exists(p),
+      s"$versionDir: no $ComponentStateFile sidecar — not a facade-managed " +
+        "component layout")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    txt.split(" ") match {
+      case Array(b, n) if b.toLongOption.isDefined && n.toLongOption.isDefined =>
+        (b.toLong, n.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"$versionDir: torn $ComponentStateFile sidecar ('$txt')")
+    }
+  }
+
+  /** The current component assignment (facade read surface; the version
+    * snapshot a maintenance tick may supersede without disturbing it). */
+  def componentAssignment(): DataFrame = {
+    val root = componentRoot.getOrElse(throw new IllegalStateException(
+      "no component layout attached"))
+    val cur = graft.store.VersionedLayout.currentDir(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed component version under $root"))
+    spark.read.parquet(cur)
+  }
+
   /** Read frame of the LIVE layout version, memoized per version dir — a
     * fresh `spark.read.parquet` re-lists the layout's ~L·2^bits partition
     * dirs (~5 s at sf0.1, several times the query itself), so serving
@@ -654,10 +752,19 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
     *    HNSW, but the codec is closed-form, so the rebuild is one fit
     *    aggregate + one write (no graph/k-means cost).
     *
+    *  - Near-dup components: when an attached pair layout
+    *    ([[attachComponentState]]) grew past its covered batch watermark,
+    *    the assignment refreshes — delta re-propagation
+    *    ([[graft.dedup.Dedup.incrementalComponents]], cost independent of
+    *    the historical pair count) while the growth stays inside
+    *    `maxDeltaFraction` of the covered pair count, a fresh
+    *    re-contraction once the delta dominates. Published as the NEXT
+    *    version (readers keep their snapshot).
+    *
     * Returns the actions taken ("hnsw_rebuilt", "ivf_refit",
     * "ivfpq_refit", "lsh_rebuilt", "lsh_compacted", "bin_rebuilt",
-    * "bin_dropped", "semantic_compacted:<dir>"), empty when everything
-    * was within bounds. */
+    * "bin_dropped", "semantic_compacted:<dir>", "components_propagated",
+    * "components_rebuilt"), empty when everything was within bounds. */
   def maintainIndexes(maxDeltaFraction: Double = 0.2,
       ivfDriftThreshold: Option[Double] = None,
       maxDataFiles: Int = 64): Seq[String] = {
@@ -776,6 +883,41 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         .compactSemanticState(spark, statePath, maxDataFiles)
         .foreach(d => actions += s"semantic_compacted:$d")
     }
+    componentRoot.foreach { _ =>
+      val (docs, idCol) = componentDocs.get
+      val pairs = spark.read.parquet(componentPairPath.get)
+      // one aggregate scan for the growth decision (not two jobs)
+      val isNew = col("batch").cast("long") > componentCoveredBatch
+      val st = pairs.agg(
+        coalesce(max(col("batch").cast("long")), lit(-1L)),
+        org.apache.spark.sql.functions.count(when(isNew, 1)),
+        org.apache.spark.sql.functions.count(lit(1))).head
+      val (maxBatch, deltaPairs, totalPairs) =
+        (st.getLong(0), st.getLong(1), st.getLong(2))
+      if (deltaPairs > 0L) {
+        if (deltaPairs.toDouble >
+            maxDeltaFraction * math.max(1L, componentCoveredPairs)) {
+          // the delta dominates: re-contract fresh (and re-tighten the
+          // star layout), same rule as the vector-index rebuilds above
+          publishComponents(
+            graft.dedup.Dedup.connectedComponents(docs, idCol, pairs),
+            maxBatch, totalPairs)
+          actions += "components_rebuilt"
+        } else {
+          // delta re-propagation: prior fixed point + new batches only —
+          // cost independent of the historical pair count
+          val prior = componentAssignment()
+          val inc = graft.dedup.Dedup.incrementalComponents(
+            prior, idCol, pairs.where(isNew))
+          val merged = docs.select(col(idCol))
+            .join(inc.withColumnRenamed("component", "__c"), Seq(idCol), "left")
+            .select(col(idCol),
+              coalesce(col("__c"), col(idCol).cast("long")).as("component"))
+          publishComponents(merged, maxBatch, totalPairs)
+          actions += "components_propagated"
+        }
+      }
+    }
     ivfDriftThreshold.foreach { threshold =>
       ivf.foreach { case (assigned, model) =>
         if (Ivf.meanAssignmentDistance(assigned, model) > threshold) {
@@ -841,7 +983,15 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         fileCount(zorderRoot.flatMap(r =>
           graft.store.VersionedLayout.currentDir(spark, r))),
         if (zorderRoot.isDefined)
-          s"keys=${zorderKeys.mkString("+")} bits=$zorderBits" else ""))
+          s"keys=${zorderKeys.mkString("+")} bits=$zorderBits" else ""),
+      ("components", componentRoot.isDefined, componentRoot.orNull, false,
+        // covered_up_to is the pair-BATCH watermark here (ids are batch
+        // numbers for this family, not row ids)
+        if (componentRoot.isDefined) componentCoveredBatch else -1L,
+        fileCount(componentRoot.flatMap(r =>
+          graft.store.VersionedLayout.currentDir(spark, r))),
+        if (componentRoot.isDefined)
+          s"covered_pairs=$componentCoveredPairs" else ""))
     spark.createDataFrame(rows).toDF(
       "family", "built", "path", "mutated", "covered_up_to", "files", "params")
   }

@@ -103,4 +103,54 @@ class ComponentLayoutSpec extends SparkSpec {
       "delta re-propagation must reach the same fixed point as a full rebuild")
     pairs.unpersist()
   }
+
+  test("facade tick maintains an attached component layout: propagate, rebuild, no-op") {
+    val docs = VectorModel.documents(spark, Sf0001).select("doc_id")
+    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, Sf0001))
+      .select(col("da"), col("db")).cache()
+    // three arrival waves of the pair layout, batch-partitioned — the
+    // growth shape attachComponentState contracts for
+    val wave = Dedup.hash60(concat_ws(":", col("da"), col("db"))) % 3
+    val base = graft.store.Fs.scratchDir(spark, "component_facade")
+    val pairPath = s"$base/pairs"
+    val root = s"$base/components"
+    pairs.where(wave === 0).withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite").parquet(pairPath)
+    def fresh(upTo: Int): Map[Long, Long] = labelMap(
+      Dedup.connectedComponents(docs, "doc_id", pairs.where(wave <= upTo)),
+      "doc_id")
+    val db = new graft.api.VectorDb(spark, dim = 8)
+    db.attachComponentState(docs, "doc_id", pairPath, root)
+    // attach publishes v0 = fresh contraction over the current batches
+    assert(labelMap(db.componentAssignment(), "doc_id") === fresh(0))
+    // nothing grew: the tick is a component no-op
+    assert(!db.maintainIndexes().exists(_.startsWith("components")))
+    // wave 1 arrives; growth within the delta budget → RE-PROPAGATION,
+    // and the published merge must equal a fresh contraction
+    pairs.where(wave === 1).withColumn("batch", lit(1))
+      .write.partitionBy("batch").mode("append").parquet(pairPath)
+    assert(db.maintainIndexes(maxDeltaFraction = 10.0)
+      .contains("components_propagated"))
+    assert(labelMap(db.componentAssignment(), "doc_id") === fresh(1),
+      "propagated assignment must reach the fresh fixed point")
+    // wave 2 arrives; a dominating delta → fresh REBUILD, same fixed point
+    pairs.where(wave === 2).withColumn("batch", lit(2))
+      .write.partitionBy("batch").mode("append").parquet(pairPath)
+    assert(db.maintainIndexes(maxDeltaFraction = 1e-9)
+      .contains("components_rebuilt"))
+    assert(labelMap(db.componentAssignment(), "doc_id") === fresh(2))
+    // the runbook surface reports the family with its batch watermark
+    val row = db.describeIndexes().where(col("family") === "components")
+      .head
+    assert(row.getBoolean(1) === true)
+    assert(row.getLong(4) === 2L, "covered_up_to must be the batch watermark")
+    assert(row.getString(6).startsWith("covered_pairs="))
+    // a RE-ATTACH (fresh facade, surviving layout) resumes at the
+    // recorded watermark instead of re-contracting
+    val db2 = new graft.api.VectorDb(spark, dim = 8)
+    db2.attachComponentState(docs, "doc_id", pairPath, root)
+    assert(!db2.maintainIndexes().exists(_.startsWith("components")))
+    assert(labelMap(db2.componentAssignment(), "doc_id") === fresh(2))
+    pairs.unpersist()
+  }
 }
