@@ -208,6 +208,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .pipe(graft.search.IdFetch.configure)
+      // the janino class cache defaults to 100 entries — sized for an app
+      // serving a few plans, not 200+ entries' stages compiled through ONE
+      // JVM: evictions recompile already-seen fragments mid-suite, and
+      // whichever entry's slot pays the recompile wanders round to round
+      // (the vq_hnsw_stored_topk history — r15 3.27 s, r16 1.45, r17
+      // 3.74/4.11 with a 0.8 s isolated floor). Static conf, so it must
+      // land at builder time; 4096 covers the suite's ~2.8k generated
+      // classes with headroom. Evidence rides in the artifact's
+      // env.codegen_compiles.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -255,9 +265,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // janino activity evidence: with the whole suite in ONE JVM, codegen
+    // class-cache evictions show up as recompilations of already-seen
+    // plans — the artifact carries the count/time so a cache-thrash run
+    // is self-identifying (the vq_hnsw_stored_topk slot history)
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
     val env = s"""{"cpus":$cpus,"host_cores":${Runtime.getRuntime.availableProcessors},""" +
       s""""load_avg_start":$load0,"load_avg_end":$loadAvg,""" +
-      s""""java_procs_start":$jvm0,"java_procs_end":$javaProcs}"""
+      s""""java_procs_start":$jvm0,"java_procs_end":$javaProcs,""" +
+      s""""codegen_compiles":${cg.METRIC_COMPILATION_TIME.getCount},""" +
+      s""""codegen_compile_mean_ms":${cg.METRIC_COMPILATION_TIME.getSnapshot.getMean.round}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"env":$env,"sf":"$sfDir"}"""
     println(line)
     // The stdout line is the driver contract, but its capture window has
