@@ -260,27 +260,21 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
       coveredPairs: Long): Unit = {
     graft.store.VersionedLayout.publish(spark, componentRoot.get) { dir =>
       assignment.write.parquet(dir)
-      val (fs, p) = graft.store.Fs.pathFs(spark, s"$dir/$ComponentStateFile")
-      val out = fs.create(p, true)
-      try out.write(s"$coveredBatch $coveredPairs\n".getBytes("UTF-8"))
-      finally out.close()
+      graft.store.Fs.writeSidecar(spark, s"$dir/$ComponentStateFile",
+        s"$coveredBatch $coveredPairs\n")
     }
     componentCoveredBatch = coveredBatch
     componentCoveredPairs = coveredPairs
   }
 
   private def readComponentState(versionDir: String): (Long, Long) = {
-    val (fs, p) = graft.store.Fs.pathFs(spark,
-      s"$versionDir/$ComponentStateFile")
-    require(fs.exists(p),
-      s"$versionDir: no $ComponentStateFile sidecar — not a facade-managed " +
-        "component layout")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    txt.split(" ") match {
-      case Array(b, n) if b.toLongOption.isDefined && n.toLongOption.isDefined =>
-        (b.toLong, n.toLong)
+    val txt = graft.store.Fs.readSidecar(
+      spark, s"$versionDir/$ComponentStateFile").getOrElse(
+      throw new IllegalArgumentException(
+        s"$versionDir: no $ComponentStateFile sidecar — not a " +
+          "facade-managed component layout"))
+    graft.store.Fs.parseLongs(txt, 2) match {
+      case Some(Seq(b, n)) => (b, n)
       case _ => throw new IllegalArgumentException(
         s"$versionDir: torn $ComponentStateFile sidecar ('$txt')")
     }
@@ -894,6 +888,17 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         org.apache.spark.sql.functions.count(lit(1))).head
       val (maxBatch, deltaPairs, totalPairs) =
         (st.getLong(0), st.getLong(1), st.getLong(2))
+      // a pair layout whose max batch fell BELOW the covered watermark
+      // was rebuilt or truncated underneath the facade — the current
+      // assignment was computed from pairs that no longer exist, and
+      // silently no-op'ing every tick would serve it forever; fail
+      // loudly (the operator re-attaches a fresh root for the new
+      // layout, an explicit decision)
+      require(maxBatch >= componentCoveredBatch,
+        s"component pair layout ${componentPairPath.get} regressed: max " +
+          s"batch $maxBatch is below the covered watermark " +
+          s"$componentCoveredBatch — the layout was rebuilt or truncated; " +
+          "attach a fresh component root for it")
       if (deltaPairs > 0L) {
         if (deltaPairs.toDouble >
             maxDeltaFraction * math.max(1L, componentCoveredPairs)) {

@@ -175,23 +175,33 @@ object TokenShards {
     * (totalSeqs, seqsPerFile, cap). */
   private[graft] def requireCommitted(spark: SparkSession,
       outPath: String): (Long, Long, Int) = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, s"$outPath/$CommitMarker")
-    require(fs.exists(p),
-      s"$outPath: no $CommitMarker marker — the layout was never " +
-        "published (writer crashed mid-job) or the path is wrong; " +
-        "shard files without the marker are an incomplete torn publish")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    txt.split(" ") match {
-      case Array(t, s, c) if t.toLongOption.isDefined &&
-          s.toLongOption.isDefined && c.toIntOption.isDefined =>
-        (t.toLong, s.toLong, c.toInt)
+    val txt = graft.store.Fs.readSidecar(spark, s"$outPath/$CommitMarker")
+      .getOrElse(throw new IllegalArgumentException(
+        s"$outPath: no $CommitMarker marker — the layout was never " +
+          "published (writer crashed mid-job) or the path is wrong; " +
+          "shard files without the marker are an incomplete torn publish"))
+    graft.store.Fs.parseLongs(txt, 3) match {
+      case Some(Seq(t, s, c)) => (t, s, c.toInt)
       case _ => throw new IllegalArgumentException(
         s"$outPath: torn $CommitMarker marker ('$txt') — publish crashed " +
           "mid-commit; rewrite the layout")
     }
   }
+
+  /** [[requireCommitted]] memoized per layout for the POINT-READ hot path
+    * ([[readWindow]] is "one idx header + one ranged read" by contract —
+    * two extra marker round-trips per training sample would dominate on
+    * an object store). Sound because a marker is immutable once
+    * published: layouts land under attempt-unique scratch dirs or
+    * versioned roots, never rewritten in place. Batch reads
+    * ([[readAggregates]]) stay unmemoized — one marker read per query
+    * also re-verifies the file count. */
+  private val committedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Int)]()
+
+  private def requireCommittedMemo(spark: SparkSession,
+      outPath: String): (Long, Long, Int) =
+    committedMemo.computeIfAbsent(outPath, _ => requireCommitted(spark, outPath))
 
   /** One task's walk over its (file, seq)-ordered window rows: assemble
     * each window's fixed-width int32 LE block (pads where no cell), write
@@ -326,7 +336,7 @@ object TokenShards {
     * count — every file but the last holds exactly that many). */
   def readWindow(spark: SparkSession, outPath: String, seq: Long): Array[Int] = {
     require(seq >= 0, s"window id $seq")
-    val (totalSeqs, spfM, _) = requireCommitted(spark, outPath)
+    val (totalSeqs, spfM, _) = requireCommittedMemo(spark, outPath)
     require(seq < totalSeqs,
       s"$outPath: window $seq outside the committed layout ($totalSeqs windows)")
     val (cap0, first0, offs0) = readIdx(spark, f"$outPath/shard-${0}%05d.idx")

@@ -134,7 +134,7 @@ object WarcSource {
     // footer-stat scan. At one cdx line per record over a 100 TB crawl
     // the text scan is billions of rows per point fetch; the parquet
     // conversion makes resolve I/O ∝ touched row groups, not crawl size.
-    if (indexed)
+    if (indexed && hasCdx(fs, out))
       graft.search.IdFetch.writeIdClustered(
         cdxTextEntries(spark, path), s"$path/$CdxIndexDir", "doc_id",
         numFiles = CdxIndexFiles)
@@ -162,6 +162,15 @@ object WarcSource {
     * prefix: parquet/binaryFiles readers ignore it). */
   private[graft] val CdxIndexDir = "_cdx_index"
   private val CdxIndexFiles = 8
+
+  /** Any text cdx sidecar under `dir`? An EMPTY indexed egress (no rows →
+    * no parts → no cdx) must skip the index conversion — globbing zero
+    * files is a read-time error — and an empty archive point-fetch must
+    * short-circuit instead of scanning nothing. */
+  private def hasCdx(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(_.getPath.getName.endsWith(".cdx"))
 
   /** Parse every text cdx sidecar under `path` into
     * (doc_id, archive file NAME, offset, length) rows — the archive is
@@ -200,9 +209,10 @@ object WarcSource {
     val in = fs.open(mp)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    val nParts = txt.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"$dir: torn $CommitMarker marker ('$txt') — publish crashed " +
-        "mid-commit; rewrite the archive"))
+    val nParts = graft.store.Fs.parseLongs(txt, 1).map(_.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: torn $CommitMarker marker ('$txt') — publish crashed " +
+          "mid-commit; rewrite the archive"))
     val got = fs.listStatus(dir)
       .count(st => st.getPath.getName.matches("part-\\d+\\..*") &&
         !st.getPath.getName.endsWith(".cdx"))
@@ -367,27 +377,27 @@ object WarcSource {
     * Unknown ids are simply absent from the result (the caller's
     * candidate list is advisory, like an `IN` fetch). */
   def fetchDocumentsById(spark: SparkSession, path: String,
-      ids: Seq[Long]): DataFrame = {
+      ids: Seq[Long], requireMarker: Boolean = true): DataFrame = {
     import spark.implicits._
-    // point fetch is only meaningful over an engine-INDEXED archive
-    // (cdx sidecars are written by writeGz's indexed path), so the
-    // publish marker is unconditionally required here
-    locally {
-      val (fs, p) = graft.store.Fs.pathFs(spark, path)
-      requireCommitted(fs, p)
-    }
-    if (ids.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], JsonlSource.documentsSchema)
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    // engine-written archives carry the publish marker; hand-assembled
+    // interchange layouts (external .warc.gz + .cdx dropped file-by-file)
+    // take requireMarker = false like the whole-directory readers
+    if (requireMarker) requireCommitted(fs, p)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], JsonlSource.documentsSchema)
+    if (ids.isEmpty) return empty
     // candidate resolve: the id-clustered parquet index when the layout
-    // carries one (every indexed write does) — a PRUNED `IN` scan, row
-    // groups ∝ candidates — else one pass over the text cdx (the
-    // interchange-shape fallback for hand-assembled layouts)
+    // carries one (every non-empty indexed write does) — a PRUNED `IN`
+    // scan, row groups ∝ candidates — else one pass over the text cdx
+    // (the interchange-shape fallback); an EMPTY archive (no cdx at all)
+    // short-circuits, nothing to glob
     val idxPath = s"$path/$CdxIndexDir"
     val resolve =
       if (graft.store.Fs.exists(spark, idxPath))
         graft.search.IdFetch.fetchByIds(
           spark.read.parquet(idxPath), "doc_id", ids)
+      else if (!hasCdx(fs, p)) return empty
       else cdxTextEntries(spark, path)
         .where(org.apache.spark.sql.functions.col("doc_id").isin(ids: _*))
     val entries = resolve

@@ -94,4 +94,42 @@ private[graft] object Fs {
     }
     p.toString
   }
+
+  /** Write a tiny text sidecar (overwrite). ONE shared definition for
+    * every marker/state record in the engine, so the charset and write
+    * shape cannot drift between writers. */
+  def writeSidecar(spark: SparkSession, path: String, content: String): Unit = {
+    val (fs, p) = pathFs(spark, path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a tiny text sidecar fully, `None` when absent. Trimmed — a
+    * trailing newline is part of the write shape, not the record. */
+  def readSidecar(spark: SparkSession, path: String): Option[String] = {
+    val (fs, p) = pathFs(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Parse EXACTLY `n` space-separated longs, else `None`. The shared
+    * torn-sidecar rule: a crash between a sidecar's create and write
+    * leaves an empty or truncated file — anything that does not parse as
+    * exactly the expected record reads as NO record, so a truncated "12"
+    * prefix of "12 34567" can never parse as a value (every caller then
+    * applies its own policy: heal from data, or fail loudly naming the
+    * torn publish). */
+  def parseLongs(txt: String, n: Int): Option[Seq[Long]] = {
+    val parts = txt.split(" ")
+    if (parts.length != n) None
+    else {
+      val longs = parts.flatMap(_.toLongOption)
+      if (longs.length == n) Some(longs.toSeq) else None
+    }
+  }
 }

@@ -1636,32 +1636,17 @@ object StreamingIngest {
     * the two values can never be observed torn relative to each other.
     * Shared by the pack and shard ingest twins. */
   private def writePairFile(spark: SparkSession, path: String,
-      batchId: Long, total: Long): Unit = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, path)
-    val out = fs.create(p, true)
-    try out.write(s"$batchId $total\n".getBytes("UTF-8")) finally out.close()
-  }
+      batchId: Long, total: Long): Unit =
+    graft.store.Fs.writeSidecar(spark, path, s"$batchId $total\n")
 
-  /** Parse a pair sidecar. A crash between create() and write() leaves a
-    * visible EMPTY (or truncated) file — anything that does not parse as
-    * exactly "<batchId> <total>" reads as NO sidecar, falling through to
-    * the caller's data-derived self-heal instead of wedging every restart
-    * (a truncated "12" prefix of "12 34567" must NOT parse as a total). */
+  /** Parse a pair sidecar; a torn record reads as absent
+    * ([[graft.store.Fs.parseLongs]]), falling through to the caller's
+    * data-derived self-heal instead of wedging every restart. */
   private def readPairFile(spark: SparkSession,
-      path: String): Option[(Long, Long)] = {
-    val (fs, p) = graft.store.Fs.pathFs(spark, path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      txt.split(" ") match {
-        case Array(id, tot) =>
-          for (i <- id.toLongOption; t <- tot.toLongOption) yield (i, t)
-        case _ => None
-      }
-    }
-  }
+      path: String): Option[(Long, Long)] =
+    graft.store.Fs.readSidecar(spark, path)
+      .flatMap(graft.store.Fs.parseLongs(_, 2))
+      .map { case Seq(id, tot) => (id, tot) }
 
   /** File-count-triggered compaction of the streaming semantic state —
     * the maintenance loop that closes what [[semanticDedupIngest]] opens:

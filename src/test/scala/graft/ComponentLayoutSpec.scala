@@ -151,6 +151,13 @@ class ComponentLayoutSpec extends SparkSpec {
     db2.attachComponentState(docs, "doc_id", pairPath, root)
     assert(!db2.maintainIndexes().exists(_.startsWith("components")))
     assert(labelMap(db2.componentAssignment(), "doc_id") === fresh(2))
+    // a pair layout rebuilt/truncated BELOW the watermark must fail the
+    // tick loudly — the assignment was computed from pairs that no
+    // longer exist, and a silent no-op would serve it forever
+    pairs.where(wave === 0).withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite").parquet(pairPath)
+    val e = intercept[IllegalArgumentException](db2.maintainIndexes())
+    assert(e.getMessage.contains("regressed"), e.getMessage)
     pairs.unpersist()
   }
 }

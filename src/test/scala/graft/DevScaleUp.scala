@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   * groups 10-fold and inflate the pair-quadratic terms 100×, measuring
   * the synthesis instead of the operator).
   *
-  *  - documents: copy 0 verbatim; copy i suffixes every token with `~i`
-  *    EXCEPT the langid/stopword marker tokens
-  *    ([[graft.text.TextAnalysis.LangMarkers]]) — so within-copy shingle/
-  *    near-dup structure is isomorphic to the original (token renaming is
-  *    a bijection), cross-copy shingle sets are disjoint (df per shingle
-  *    unchanged, Σdf² scales ×10 exactly), and content gates (stopword
-  *    ratio, langid, gopher stats) score each copy identically.
+  *  - documents: copy 0 verbatim; copy i renames every token EXCEPT the
+  *    langid/stopword markers ([[graft.text.TextAnalysis.LangMarkers]])
+  *    to a SAME-LENGTH md5-derived token (`md5(token ~ i)` hex, cut to
+  *    the token's length) — so within-copy shingle/near-dup structure is
+  *    isomorphic to the original (the rename is deterministic and
+  *    injective up to hex collisions, which need a full shingle of
+  *    simultaneous short-token collisions to matter), cross-copy shingle
+  *    sets are disjoint (df per shingle unchanged, Σdf² scales ×10
+  *    exactly), and content gates score each copy identically: a
+  *    suffixing rename would shift mean token length and flip
+  *    gopher-style length gates near their thresholds — length
+  *    preservation keeps every stopword-ratio/langid/length statistic
+  *    bit-identical per copy.
   *  - embeddings: vec_id shifted; coordinate 0 nudged by i·10⁻³ so copies
   *    are not exact ties.
   *  - lineitem: l_orderkey shifted (the vector-id packing stays bijective
@@ -58,11 +64,16 @@ object DevScaleUp {
     copies(docs) { (df, i) =>
       if (i == 0) df
       else {
-        val sfx = transform(split(col("text"), " "),
-          t => when(t.isin(preserved: _*), t).otherwise(concat(t, lit(s"~$i"))))
+        // same-length rename: md5 hex repeated past any token length,
+        // cut to the original length — n_chars and every per-token
+        // length statistic survive bit-identical
+        val renamed = transform(split(col("text"), " "),
+          t => when(t.isin(preserved: _*), t)
+            .otherwise(repeat(md5(concat(t, lit(s"~$i"))), 8)
+              .substr(lit(1), length(t))))
         df.select(
           (col("doc_id") + lit(i * docStride)).as("doc_id"),
-          array_join(sfx, " ").as("text"),
+          array_join(renamed, " ").as("text"),
           col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }

@@ -227,12 +227,20 @@ class TokenShardSpec extends SparkSpec {
     val agg = TokenShards.readAggregates(spark, dir, Cap).collect()
     assert(agg.nonEmpty)
     assert(TokenShards.readWindow(spark, dir, 0L).length === Cap)
-    // SIMULATED TORN PUBLISH: bin/idx files visible, marker never landed
-    // — both readers must fail loudly naming the marker
+    // SIMULATED TORN PUBLISH: bin/idx files visible, marker never landed.
+    // readWindow's gate is memoized per layout (point-read hot path), so
+    // its missing-marker check runs on a SECOND layout no read ever
+    // validated — the real torn-publish shape, where the marker never
+    // existed to be memoized
+    val dir2 = graft.store.Fs.scratchDir(spark, "shards_torn2") + "/shards"
+    TokenShards.write(docs, "doc_id", "text", Cap, 32, 3, dir2)
+    val (fs2, p2) = graft.store.Fs.pathFs(spark, dir2)
+    fs2.delete(new org.apache.hadoop.fs.Path(p2, "_graft_shards_committed"),
+      false)
     fs.delete(marker, false)
     Seq(
       () => TokenShards.readAggregates(spark, dir, Cap).count(),
-      () => { TokenShards.readWindow(spark, dir, 0L); 0L }
+      () => { TokenShards.readWindow(spark, dir2, 0L); 0L }
     ).foreach { read =>
       val e = intercept[IllegalArgumentException](read())
       assert(e.getMessage.contains("_graft_shards_committed"),

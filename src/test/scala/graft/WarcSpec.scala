@@ -343,6 +343,16 @@ class WarcSpec extends SparkSpec {
     // directory-level publish) still reads — per-file framing is the gate
     assert(WarcSource.readDocuments(spark, p, requireMarker = false)
       .count() === committed)
+    // ... and the point fetch has the same escape for hand-assembled
+    // interchange layouts (resolves via the index or the text cdx)
+    assert(WarcSource.fetchDocumentsById(spark, p, Seq(1L),
+      requireMarker = false).count() === 1)
+    // an EMPTY indexed egress publishes cleanly (no parts, no cdx, no
+    // index conversion to choke on) and point-fetches to empty
+    val pEmpty = graft.store.Fs.scratchDir(spark, "warc_empty") + "/crawl"
+    WarcSource.writeGz(docs.where(org.apache.spark.sql.functions.lit(false)),
+      pEmpty)
+    assert(WarcSource.fetchDocumentsById(spark, pEmpty, Seq(1L)).count() === 0)
     // a torn MARKER (crash between create and write) is also a torn publish
     val ms = fs.create(marker, true); ms.close()
     val e2 = intercept[IllegalArgumentException](
