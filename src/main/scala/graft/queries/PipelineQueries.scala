@@ -129,12 +129,19 @@ object PipelineQueries {
     * Shared by the batch query and the streaming twin
     * ([[graft.streaming.StreamingIngest.curateDocStream]]): stateless
     * expressions run identically in either mode. */
-  def curationFilter: org.apache.spark.sql.Column = {
+  def curationFilter: org.apache.spark.sql.Column =
+    qualityPass && samplePass
+
+  /** The two stateless curation predicates SEPARATELY — the audit surface
+    * ([[auditCorpus]]) reports each stage's flag on its own. */
+  private def qualityPass: org.apache.spark.sql.Column =
+    TextAnalysis.qualityScore(col("text")) >= QualityFloor
+
+  private def samplePass: org.apache.spark.sql.Column = {
     val bucket = SampleBuckets.foldRight(lit(DefaultBucket): org.apache.spark.sql.Column) {
       case ((lang, b), acc) => when(col("lang") === lang, lit(b)).otherwise(acc)
     }
-    (TextAnalysis.qualityScore(col("text")) >= QualityFloor) &&
-      (Dedup.hash60(concat_ws(":", col("lang"), col("doc_id"))) % 1000 < bucket)
+    Dedup.hash60(concat_ws(":", col("lang"), col("doc_id"))) % 1000 < bucket
   }
 
   def curatedMix(spark: SparkSession, dir: String): DataFrame = {
@@ -453,6 +460,65 @@ object PipelineQueries {
        |ORDER BY doc_id, chunk_ix""".stripMargin
 
   lazy val trainCorpusSql: String = trainCorpusSqlFrom("", "")
+
+  /** Per-document LINEAGE through the training-corpus pipeline — the
+    * audit table a curation run ships next to the corpus, answering "why
+    * is doc X not in the training set?" without re-running anything: one
+    * row per training-candidate doc (the eval slice is the contamination
+    * REFERENCE, not a candidate), the per-stage flags in scheduling
+    * order, and `verdict` = the FIRST stage that dropped the doc. Reads
+    * the SAME persisted component layout and stage expressions as
+    * `pipe_train_corpus`, so the audit cannot drift from the corpus it
+    * explains (spec pins audit-kept == the trainCorpus doc set). Scale
+    * shape: the capstone's own joins minus the chunk explode — one
+    * keeper scan, one bounded contaminated set, pure-expression flags. */
+  def auditCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val all = VectorModel.documents(spark, dir)
+    val docs = all.where(col("source") =!= EvalSource)
+    val keepers = spark.read.parquet(DedupQueries.componentLayout(spark, dir))
+      .where(col("doc_id") === col("component"))
+      .select(col("doc_id"), lit(true).as("__k"))
+    val contaminated = Dedup.contaminatedDocs(
+        docs, all.where(col("source") === EvalSource),
+        "doc_id", "text", DecontamK)
+      .select(col("doc").as("doc_id"), lit(true).as("__c"))
+    docs
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("__k"), lit(false)).as("is_keeper"),
+        coalesce(col("__c"), lit(false)).as("is_contaminated"),
+        qualityPass.as("quality_pass"),
+        samplePass.as("sample_pass"))
+      .withColumn("verdict",
+        when(!col("is_keeper"), "near_duplicate")
+          .when(col("is_contaminated"), "contaminated")
+          .when(!col("quality_pass"), "low_quality")
+          .when(!col("sample_pass"), "sampled_out")
+          .otherwise("kept"))
+      .orderBy("doc_id")
+  }
+
+  lazy val auditCorpusSql: String =
+    s"""WITH RECURSIVE $duckComponentCtes,
+       |${duckGramCte("dgl", DecontamK)},
+       |ev AS (SELECT DISTINCT sg FROM dgl WHERE source = '$EvalSource'),
+       |contaminated AS (SELECT DISTINCT t.doc_id FROM dgl t JOIN ev ON t.sg = ev.sg
+       |                 WHERE t.source <> '$EvalSource'),
+       |a AS (
+       |  SELECT doc_id, lang,
+       |    doc_id IN (SELECT doc FROM comp WHERE doc = component) AS is_keeper,
+       |    doc_id IN (SELECT doc_id FROM contaminated) AS is_contaminated,
+       |    $duckQuality >= CAST('$QualityFloor' AS DOUBLE) AS quality_pass,
+       |    $DuckSampleHash < $duckBucket AS sample_pass
+       |  FROM documents WHERE source <> '$EvalSource')
+       |SELECT doc_id, lang, is_keeper, is_contaminated, quality_pass, sample_pass,
+       |  CASE WHEN NOT is_keeper THEN 'near_duplicate'
+       |       WHEN is_contaminated THEN 'contaminated'
+       |       WHEN NOT quality_pass THEN 'low_quality'
+       |       WHEN NOT sample_pass THEN 'sampled_out'
+       |       ELSE 'kept' END AS verdict
+       |FROM a ORDER BY doc_id""".stripMargin
 
   /** [[trainCorpusSql]] with the fuzzy-decontamination cut composed in:
     * the factored fuzzy CTE chain ([[DedupQueries.fuzzyScoredCtes]] —
@@ -1875,6 +1941,7 @@ object PipelineQueries {
     "pipe_corpus_shards" -> (corpusShards _),
     "pipe_corpus_shards_bpe" -> (corpusShardsBpe _),
     "pipe_corpus_shards_trained" -> (corpusShardsTrained _),
+    "pipe_audit" -> (auditCorpus _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1908,6 +1975,7 @@ object PipelineQueries {
     "pipe_corpus_shards" -> corpusShardsSql,
     "pipe_corpus_shards_bpe" -> corpusShardsBpeSql,
     "pipe_corpus_shards_trained" -> corpusShardsTrainedSql,
+    "pipe_audit" -> auditCorpusSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

@@ -565,6 +565,38 @@ class TrancheSpec extends SparkSpec {
     assert(fuzzy.subsetOf(plain))
   }
 
+  test("pipe_audit explains the corpus it ships with: kept == trainCorpus docs, first-failure verdicts") {
+    val audit = PipelineQueries.auditCorpus(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getString(6))).toMap
+    // one row per training CANDIDATE (the eval slice is the reference)
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+    val candidates = docs
+      .where(col("source") =!= PipelineQueries.EvalSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(audit.keySet === candidates)
+    // the audit's kept set IS the corpus's doc set — the no-drift pin
+    val corpusDocs = PipelineQueries.trainCorpus(spark, Sf0001)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(audit.filter(_._2._5 == "kept").keySet === corpusDocs)
+    // verdict = the FIRST failing stage in scheduling order, and every
+    // verdict class actually occurs on the fixture corpus
+    audit.foreach { case (id, (k, c, q, s, v)) =>
+      val expect =
+        if (!k) "near_duplicate"
+        else if (c) "contaminated"
+        else if (!q) "low_quality"
+        else if (!s) "sampled_out"
+        else "kept"
+      assert(v === expect, s"doc $id: verdict $v, flags k=$k c=$c q=$q s=$s")
+    }
+    val verdicts = audit.values.map(_._5).toSet
+    assert(verdicts === Set("near_duplicate", "contaminated", "low_quality",
+      "sampled_out", "kept"),
+      s"fixture corpus must exercise every verdict class, got $verdicts")
+  }
+
   test("pipe_train_corpus_semantic == pipe_train_corpus minus the cosine-flagged docs") {
     // same composition contract for the meaning-level rung: the semantic
     // variant's chunk set is the plain variant's with exactly the
