@@ -222,6 +222,44 @@ object DedupQueries {
     s"""WITH RECURSIVE $componentCtes
        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-MASS accounting per source — the dedup dashboard number a
+    * curation run reports ("dedup removed N% of the token mass"): docs
+    * and token counts split keeper vs duplicate (doc ≠ its component
+    * min) from the persisted component layout. One scan + one narrow
+    * join + one bounded aggregate (rows = |sources|); the token counts
+    * are the same whitespace measure the packing family uses. */
+  def dupMass(spark: SparkSession, dir: String): DataFrame = {
+    val docs = VectorModel.documents(spark, dir)
+    val comp = spark.read.parquet(componentLayout(spark, dir))
+    docs.join(comp, Seq("doc_id"))
+      .select(col("source"),
+        (col("doc_id") =!= col("component")).as("dup"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_total"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("docs_dup"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(col("dup"), col("nt")).otherwise(0L)).as("tokens_dup"))
+      .withColumn("dup_token_frac",
+        round(col("tokens_dup").cast("double") / col("tokens_total"), 6))
+      .orderBy("source")
+  }
+
+  lazy val dupMassSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |d AS (SELECT source,
+       |    (documents.doc_id <> comp.component) AS dup,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents JOIN comp ON documents.doc_id = comp.doc_id)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS docs_total,
+       |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS docs_dup,
+       |  CAST(sum(nt) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN dup THEN nt ELSE 0 END) AS BIGINT) AS tokens_dup,
+       |  round(CAST(sum(CASE WHEN dup THEN nt ELSE 0 END) AS DOUBLE)
+       |    / sum(nt), 6) AS dup_token_frac
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Quality-aware component keepers — the SemDeDup-grade refinement of
     * the min-id convention: within each near-dup component keep the
     * HIGHEST-quality member (ties to the lowest id), not the accidental
@@ -946,6 +984,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> (spanScrubText _),
     "dd_span_maximal" -> (spanMaximal _),
     "dd_components" -> (components _),
+    "dd_dup_mass" -> (dupMass _),
     "dd_components_incremental" -> (componentsIncremental _),
     "dd_quality_keepers" -> (qualityKeepers _),
     "dd_ngram_capped" -> (ngramJaccardCapped _),
@@ -969,6 +1008,7 @@ object DedupQueries {
     "dd_span_scrub_text" -> spanScrubTextSql,
     "dd_span_maximal" -> spanMaximalSql,
     "dd_components" -> componentsSql,
+    "dd_dup_mass" -> dupMassSql,
     "dd_components_incremental" -> componentsSql,
     "dd_quality_keepers" -> qualityKeepersSql,
     "dd_exact" -> exactSql,
