@@ -99,7 +99,9 @@ object DevPlans {
     "dd_components" -> "near-dup components served from the persisted component layout: one parquet scan + the presentation sort — the iterative contraction loop runs only in build_component_layout",
     "pipe_export_shards" -> "token-shard round-trip: per-file binary decode aggregates (the serve side); the export itself is build state — one token-stream shuffle keyed by window id, bounded per-window assembly, task-parallel shard files",
     "dd_components_incremental" -> "the maintenance path's serve: one scan of the incrementally-grown component layout — prior fixed point + delta re-propagation ran at build time, hash-gated against the same oracle as dd_components",
-    "pipe_corpus_shards_trained" -> "corpus-TRAINED capstone serve: the round-trip decode of the trained-vocab shard bytes (binaryFiles aggregate) — training, trained encode, vocab ranking and the shard write all ran in build_corpus_shards_trained")
+    "pipe_corpus_shards_trained" -> "corpus-TRAINED capstone serve: the round-trip decode of the trained-vocab shard bytes (binaryFiles aggregate) — training, trained encode, vocab ranking and the shard write all ran in build_corpus_shards_trained",
+    "pipe_audit" -> "lineage audit: one scan of the persisted component layout + the bounded contaminated set as left joins, quality/sampling as pure expressions, verdict a CASE projection — the capstone's joins minus the chunk explode",
+    "dd_dup_mass" -> "duplicate-mass accounting: documents joined narrow to the persisted (doc_id, component) layout, one map-side-combined aggregate keyed by source (rows = |sources|)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
