@@ -361,6 +361,46 @@ object TokenShards {
     Array.fill(cap)(bb.getInt)
   }
 
+  /** Batched point-read — the shape a training data loader actually
+    * issues (a batch of window ids per step, commonly scattered by a
+    * shuffle like `pipe_shuffle_shards`): windows grouped by owning
+    * shard file, ONE idx read and ONE open stream per touched file, the
+    * file's windows fetched in ascending byte order (sequential-friendly
+    * on spinning/object storage; on an object store this is one ranged
+    * GET per window over few connections instead of per-window
+    * open/close). Returns windows in the REQUESTED order. Duplicate ids
+    * are served from the first fetch. */
+  def readWindows(spark: SparkSession, outPath: String,
+      seqs: Seq[Long]): Seq[Array[Int]] = {
+    if (seqs.isEmpty) return Nil
+    val (totalSeqs, spfM, _) = requireCommittedMemo(spark, outPath)
+    seqs.foreach { s =>
+      require(s >= 0 && s < totalSeqs,
+        s"$outPath: window $s outside the committed layout ($totalSeqs windows)")
+    }
+    val spf = spfM // the marker carries the layout constant directly
+    val got = scala.collection.mutable.Map.empty[Long, Array[Int]]
+    seqs.distinct.groupBy(_ / spf).toSeq.sortBy(_._1).foreach {
+      case (shard, shardSeqs) =>
+        val (cap, firstSeq, offsets) =
+          readIdx(spark, f"$outPath/shard-$shard%05d.idx")
+        val (fs, bin) = graft.store.Fs.pathFs(spark,
+          f"$outPath/shard-$shard%05d.bin")
+        val in = fs.open(bin)
+        try shardSeqs.sorted.foreach { s =>
+          val k = (s - firstSeq).toInt
+          require(k >= 0 && k < offsets.length,
+            s"$outPath: window $s outside shard $shard's ${offsets.length} windows")
+          val bytes = new Array[Byte](cap * 4)
+          in.readFully(offsets(k), bytes)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          got(s) = Array.fill(cap)(bb.getInt)
+        } finally in.close()
+    }
+    seqs.map(got)
+  }
+
   /** Parse one `.idx` sidecar (driver-side; spec + loader use). Returns
     * (cap, firstSeq, offsets). */
   private[graft] def readIdx(spark: SparkSession, path: String): (Int, Long, Array[Long]) = {

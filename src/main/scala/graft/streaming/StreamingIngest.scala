@@ -1477,6 +1477,29 @@ object StreamingIngest {
     graft.operators.TokenShards.readWindow(spark, owner._2, gseq - owner._3)
   }
 
+  /** Batched [[readGlobalWindow]] — the loader-step shape over the GROWN
+    * layout: one manifest listing for the whole batch, requests grouped
+    * by owning ingest batch, each group served by the shard layer's own
+    * batched reader ([[graft.operators.TokenShards.readWindows]]: one
+    * idx read + one open stream per touched shard file). Requested
+    * order preserved. */
+  def readGlobalWindows(spark: SparkSession, layoutPath: String,
+      gseqs: Seq[Long]): Seq[Array[Int]] = {
+    if (gseqs.isEmpty) return Nil
+    val batches = completeShardBatches(spark, layoutPath)
+    val total = batches.lastOption.map(_._4).getOrElse(0L)
+    def owner(g: Long) = batches.find(b => g >= b._3 && g < b._4)
+      .getOrElse(throw new IllegalArgumentException(
+        s"window $g outside the grown layout (total $total)"))
+    val got = scala.collection.mutable.Map.empty[Long, Array[Int]]
+    gseqs.distinct.groupBy(owner).foreach { case ((_, dir, first, _), gs) =>
+      val local = gs.map(_ - first)
+      gs.zip(graft.operators.TokenShards.readWindows(spark, dir, local))
+        .foreach { case (g, w) => got(g) = w }
+    }
+    gseqs.map(got)
+  }
+
   private val PackTotalFile = "_graft_pack_total"
 
   /** Per-batch commit record written INSIDE `batch=<id>` after its data

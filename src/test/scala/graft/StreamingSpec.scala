@@ -1038,6 +1038,15 @@ class StreamingSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       StreamingIngest.readGlobalWindow(spark, layout, total) }
+    // the batched loader-step twin: scattered disordered duplicates come
+    // back per-window-identical, in requested order
+    val req = Seq(total - 1, 0L, total / 2, 0L, total - 1)
+    val gotBatch = StreamingIngest.readGlobalWindows(spark, layout, req)
+    req.zip(gotBatch).foreach { case (g, w) =>
+      assert(w === StreamingIngest.readGlobalWindow(spark, layout, g)) }
+    assert(StreamingIngest.readGlobalWindows(spark, layout, Nil) === Nil)
+    intercept[IllegalArgumentException] {
+      StreamingIngest.readGlobalWindows(spark, layout, Seq(total)) }
     // replay of a committed id is a byte-level no-op
     val before = batches.map(_._2).flatMap(shardFiles).map(f => f -> fileBytes(f).toSeq).toMap
     StreamingIngest.shardAppendBatch(docs.where(epochOf === 2), layout,

@@ -199,6 +199,25 @@ class TokenShardSpec extends SparkSpec {
     info(s"verified $checked manifest spans against shard bytes")
   }
 
+  test("batched point-reads equal per-window reads, in requested order, duplicates served") {
+    val total = (expectedStream.length.toLong + Cap - 1) / Cap
+    // a scattered, disordered, duplicate-carrying request — the shuffled
+    // data-loader batch shape
+    val req = Seq(total - 1, 0L, total / 2, 0L, total - 1, 1L % total)
+      .filter(_ >= 0).filter(_ < total)
+    val batch = TokenShards.readWindows(spark, layout, req)
+    assert(batch.length === req.length)
+    req.zip(batch).foreach { case (s, w) =>
+      assert(w === TokenShards.readWindow(spark, layout, s),
+        s"batched window $s diverges from the single point-read")
+    }
+    // empty request short-circuits; out-of-range fails loudly
+    assert(TokenShards.readWindows(spark, layout, Nil) === Nil)
+    val e = intercept[IllegalArgumentException](
+      TokenShards.readWindows(spark, layout, Seq(total)))
+    assert(e.getMessage.contains("outside the committed layout"))
+  }
+
   test("windows-per-file past the int-addressable idx bound fails loudly up front") {
     // the bound is the largest `written` whose idx allocation
     // (magic 8 + 4 + 8 + 8 + 8·written bytes) still fits a JVM int
