@@ -1039,10 +1039,15 @@ object PipelineQueries {
     * drifted trained vocabulary, a fixture/trained mixup, or broken pack
     * arithmetic all hash-mismatch. */
   private[graft] def corpusShardTrainedLayout(spark: SparkSession, dir: String): String =
-    corpusShardTrainedLayoutCache.computeIfAbsent(dir, _ =>
-      bpeShardLayoutFrom(spark, curatedChunksFor(spark, dir),
-        TextQueries.bpeModel(spark, dir), // publishes the merges sidecar
-        graft.store.Fs.scratchDir(spark, "graft_corpus_shards_trained")))
+    corpusShardTrainedLayoutCache.computeIfAbsent(dir, _ => {
+      val root = graft.store.Fs.scratchDir(spark, "graft_corpus_shards_trained")
+      val model = TextQueries.bpeModel(spark, dir) // publishes oracle sidecar
+      // the tokenizer rides WITH the shards: shards + (token, vid) vocab
+      // + ordered merge table is the complete trainer handoff — ids are
+      // meaningless without the model that produced them
+      graft.text.Bpe.save(spark, model, s"$root/merges")
+      bpeShardLayoutFrom(spark, curatedChunksFor(spark, dir), model, root)
+    })
 
   private val corpusShardTrainedLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

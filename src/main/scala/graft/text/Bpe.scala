@@ -295,6 +295,34 @@ object Bpe {
     trainFromCounts(wc, numMerges)
   }
 
+  /** Persist a trained model as its ordered merge table (rank, a, b)
+    * parquet — the TRAINER-HANDOFF artifact: encode is a pure function
+    * of the merge ORDER, so the table is the complete model, reloadable
+    * by any serving session ([[load]]) or readable by non-JVM tooling.
+    * One file: a tokenizer is vocabulary-sized, never corpus-sized. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[save]]d model. Fails loudly on rank gaps or duplicates —
+    * a partially-copied merge table silently reordering merges would
+    * change every encode downstream, the worst possible quiet failure
+    * for shipped token ids. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path).select("rank", "a", "b")
+      .collect().sortBy(_.getInt(0))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i + 1,
+        s"$path: merge table rank ${r.getInt(0)} at position $i — gap or " +
+          "duplicate; the artifact is torn") }
+    BpeModel(rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
+  }
+
   /** Fixed training fixture for the ORACLE-GATED encode entry: the
     * oracle SQL must be static text, so its merge table has to be a
     * compile-time constant — trained here from a self-written

@@ -214,4 +214,26 @@ class BpeSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(3) < r.getLong(2)),
       "fixture merges never fired on the corpus")
   }
+
+  test("save/load round-trips the trained model; torn merge tables fail loudly") {
+    val model = graft.queries.TextQueries.bpeModel(spark, Sf0001)
+    assert(model.merges.nonEmpty)
+    val path = graft.store.Fs.scratchDir(spark, "bpe_model") + "/merges"
+    Bpe.save(spark, model, path)
+    val back = Bpe.load(spark, path)
+    // the merge table IS the model: order-exact equality, identical encode
+    assert(back.merges === model.merges)
+    val words = graft.model.VectorModel.documents(spark, Sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct().limit(50)
+      .collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(back.encodeWord(w) === model.encodeWord(w), s"word '$w'") }
+    // a torn copy (lost rank) must not silently reorder merges
+    val torn = spark.read.parquet(path).where(col("rank") =!= 2)
+    val tornPath = graft.store.Fs.scratchDir(spark, "bpe_torn") + "/merges"
+    torn.write.parquet(tornPath)
+    val e = intercept[IllegalArgumentException](Bpe.load(spark, tornPath))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
 }

@@ -339,5 +339,11 @@ class TokenShardSpec extends SparkSpec {
     assert(agg.getLong(0) === totalSeqs)
     assert(agg.getLong(1) === nonPad)
     assert(agg.getLong(2) === pads)
+    // the tokenizer rides with the shards: the merge-table artifact
+    // reloads to exactly the model that produced the shipped ids
+    val shipped = graft.text.Bpe.load(spark,
+      shards.stripSuffix("/shards") + "/merges")
+    assert(shipped.merges === model.merges,
+      "shipped merge table must be the trained model, order-exact")
   }
 }
