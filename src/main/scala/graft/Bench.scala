@@ -109,19 +109,19 @@ object Bench {
         "pipe_curated_mix", "pipe_train_corpus", "pipe_rag_e2e",
         "pipe_split_leakproof", "dd_incremental_lsh",
         "pipe_decontaminate_fuzzy", "pipe_train_corpus_fuzzy",
-        "pipe_audit", "dd_dup_mass"),
+        "pipe_audit", "dd_dup_mass", "pipe_split_audit"),
       (s, d) => { queries.DedupQueries.sigLayout(s, d); () }),
     ("build_pair_layout",
       Set("dd_ngram_capped", "dd_components", "dd_quality_keepers",
         "pipe_curated_mix",
         "pipe_train_corpus", "pipe_rag_e2e", "pipe_split_leakproof",
-        "pipe_train_corpus_fuzzy", "pipe_audit", "dd_dup_mass"),
+        "pipe_train_corpus_fuzzy", "pipe_audit", "dd_dup_mass", "pipe_split_audit"),
       (s, d) => { queries.DedupQueries.pairLayout(s, d); () }),
     ("build_component_layout",
       Set("dd_components", "dd_quality_keepers", "pipe_curated_mix",
         "pipe_split_leakproof", "pipe_train_corpus",
         "pipe_train_corpus_fuzzy", "pipe_train_corpus_semantic",
-        "pipe_rag_e2e", "pipe_audit", "dd_dup_mass"),
+        "pipe_rag_e2e", "pipe_audit", "dd_dup_mass", "pipe_split_audit"),
       // the star-contraction over the persisted pair layout is
       // build-time state; every component consumer serves from a scan
       // of the materialized (doc_id, component) assignment

@@ -1148,6 +1148,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** The leakage AUDIT over the split — the verification artifact a
+    * training run ships next to its split assignment: near-dup pairs
+    * bucketed by the (unordered) split pair of their endpoints. Because
+    * [[leakproofSplit]] hashes the COMPONENT label, every pair's
+    * endpoints share a component and therefore a split — the off-diagonal
+    * rows are empty BY CONSTRUCTION, and this entry proves it
+    * value-level under the driver's hash gate (a per-doc hash split
+    * would show (train, val)/(train, test) rows here — the leak this
+    * audit exists to catch). One narrow join per endpoint against the
+    * persisted pair layout; output rows ≤ |splits|². */
+  def splitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val split = leakproofSplit(spark, dir).select(col("doc_id"), col("split"))
+    val pairs = spark.read.parquet(DedupQueries.pairLayout(spark, dir))
+      .select("da", "db")
+    pairs
+      .join(split.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+      .join(split.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
+  lazy val splitAuditSql: String =
+    s"""WITH RECURSIVE $duckComponentCtes,
+       |b AS (
+       |  SELECT doc AS doc_id,
+       |    CASE WHEN bucket < $TrainPct THEN 'train'
+       |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc, ('0x' || substr(md5(component::VARCHAR || '$SplitSalt'), 1, 15))::BIGINT % 100 AS bucket
+       |        FROM comp)),
+       |j AS (SELECT least(sa.split, sb.split) AS split_a,
+       |             greatest(sa.split, sb.split) AS split_b
+       |      FROM pairs p JOIN b sa ON p.da = sa.doc_id
+       |                   JOIN b sb ON p.db = sb.doc_id)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+
   lazy val leakproofSplitSql: String =
     s"""WITH RECURSIVE $duckComponentCtes,
        |b AS (
@@ -1947,6 +1986,7 @@ object PipelineQueries {
     "pipe_corpus_shards_bpe" -> (corpusShardsBpe _),
     "pipe_corpus_shards_trained" -> (corpusShardsTrained _),
     "pipe_audit" -> (auditCorpus _),
+    "pipe_split_audit" -> (splitAudit _),
     "pipe_pack_ffd" -> (packFfd _),
     "pipe_pack_bpe" -> (packBpe _),
     "pipe_shuffle_shards" -> (shuffleShards _),
@@ -1981,6 +2021,7 @@ object PipelineQueries {
     "pipe_corpus_shards_bpe" -> corpusShardsBpeSql,
     "pipe_corpus_shards_trained" -> corpusShardsTrainedSql,
     "pipe_audit" -> auditCorpusSql,
+    "pipe_split_audit" -> splitAuditSql,
     "pipe_pack_ffd" -> packFfdSql,
     "pipe_pack_bpe" -> packBpeSql,
     "pipe_shuffle_shards" -> shuffleShardsSql,

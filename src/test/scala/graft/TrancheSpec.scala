@@ -597,6 +597,33 @@ class TrancheSpec extends SparkSpec {
       s"fixture corpus must exercise every verdict class, got $verdicts")
   }
 
+  test("pipe_split_audit: every near-dup pair is split-diagonal, totals tile the pair layout") {
+    val audit = PipelineQueries.splitAudit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(audit.nonEmpty)
+    // the leakproof property, value-level: no off-diagonal bucket exists
+    audit.foreach { case (a, b, n) =>
+      assert(a === b, s"cross-split near-dup pairs leaked: ($a, $b) x $n") }
+    // completeness: the audit accounts for EVERY pair in the layout
+    val totalPairs = spark.read.parquet(
+      graft.queries.DedupQueries.pairLayout(spark, Sf0001)).count()
+    assert(audit.map(_._3).sum === totalPairs)
+    // the negative control: a PER-DOC hash split (the leak this audit
+    // catches) does show cross-split pairs on the same corpus
+    val perDoc = graft.model.VectorModel.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        (graft.dedup.Dedup.hash60(col("doc_id").cast("string")) % 100 < 90)
+          .cast("string").as("split"))
+    val pairs = spark.read.parquet(
+      graft.queries.DedupQueries.pairLayout(spark, Sf0001)).select("da", "db")
+    val cross = pairs
+      .join(perDoc.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+      .join(perDoc.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+      .where(col("sa") =!= col("sb")).count()
+    assert(cross > 0,
+      "fixture corpus must demonstrate the per-doc-split leak the audit catches")
+  }
+
   test("pipe_train_corpus_semantic == pipe_train_corpus minus the cosine-flagged docs") {
     // same composition contract for the meaning-level rung: the semantic
     // variant's chunk set is the plain variant's with exactly the
