@@ -240,6 +240,17 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         val (covered, pairs) = readComponentState(cur)
         componentCoveredBatch = covered
         componentCoveredPairs = pairs
+      case None if !graft.store.Fs.exists(spark, pairLayoutPath) =>
+        // attaching BEFORE any pair batch has landed is a legitimate
+        // startup order (the pair writer and the facade start together);
+        // publish the all-isolated v0 — every doc its own component,
+        // watermark (-1, 0) — so the first maintenance tick that sees
+        // batch 0 folds it as a normal delta instead of this attach
+        // dying on a raw path-not-found AnalysisException
+        publishComponents(
+          docs.select(col(idCol).cast("long").as(idCol),
+            col(idCol).cast("long").as("component")),
+          -1L, 0L)
       case None =>
         val pairs = spark.read.parquet(pairLayoutPath)
         val st = pairs.agg(
@@ -877,7 +888,12 @@ final class VectorDb(val spark: SparkSession, val dim: Int,
         .compactSemanticState(spark, statePath, maxDataFiles)
         .foreach(d => actions += s"semantic_compacted:$d")
     }
-    componentRoot.foreach { _ =>
+    // a pre-first-batch attach published the all-isolated v0 with no pair
+    // layout on disk yet; until the writer lands batch 0 there is nothing
+    // to fold — skip this tick's component pass, don't die on a
+    // path-not-found scan
+    componentRoot.filter(_ =>
+        graft.store.Fs.exists(spark, componentPairPath.get)).foreach { _ =>
       val (docs, idCol) = componentDocs.get
       val pairs = spark.read.parquet(componentPairPath.get)
       // one aggregate scan for the growth decision (not two jobs)

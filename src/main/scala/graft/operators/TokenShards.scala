@@ -161,6 +161,13 @@ object TokenShards {
       new org.apache.hadoop.fs.Path(out, CommitMarker), true)
     try ms.write(s"$totalSeqs $seqsPerFile $cap\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8)) finally ms.close()
+    // the memo's soundness argument ("a marker is immutable once
+    // published") holds for the in-repo scratch/versioned layouts, but
+    // THIS method happily regenerates a layout at the same outPath (it
+    // deletes and rewrites above) — drop any stale memo entry so point
+    // reads in the same JVM see the rewritten (totalSeqs, seqsPerFile,
+    // cap), not the shape of the overwritten layout
+    committedMemo.remove(outPath)
     (totalTokens, totalSeqs, seqsPerFile)
   }
 

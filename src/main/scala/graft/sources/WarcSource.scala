@@ -178,6 +178,24 @@ object WarcSource {
     * moves. Shared by the index conversion and the text-scan fallback. */
   private def cdxTextEntries(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    // archive names resolve through ONE driver-side listing (stem → the
+    // sibling archive file actually present), never an assumed `.warc.gz`
+    // suffix: a hand-assembled plain-`.warc` + `.cdx` drop directory
+    // (requireMarker = false interchange shape) must index to its real
+    // files — and this mapping persists into `_cdx_index`, so a wrong
+    // guess here would bake dead paths into the at-scale index
+    val (fs, p) = graft.store.Fs.pathFs(spark, path)
+    val siblings = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(n => n.contains(".warc") && !n.endsWith(".cdx"))
+      .toSeq.groupBy(n => n.substring(0, n.indexOf(".warc")))
+    siblings.find(_._2.size > 1).foreach { case (stem, names) =>
+      throw new IllegalArgumentException(
+        s"$path: ambiguous archives for cdx stem '$stem': " +
+          names.sorted.mkString(", "))
+    }
+    val sib = spark.sparkContext.broadcast(siblings.map {
+      case (stem, names) => stem -> names.head
+    })
     spark.read.textFile(s"$path/*.cdx")
       .select(org.apache.spark.sql.functions.input_file_name().as("cdx"),
         org.apache.spark.sql.functions.col("value"))
@@ -185,8 +203,9 @@ object WarcSource {
       .map { case (cdx, line) =>
         val f = line.split(' ')
         require(f.length == 3, s"$cdx: malformed cdx line '$line'")
-        val name = cdx.substring(cdx.lastIndexOf('/') + 1)
-          .stripSuffix(".cdx") + ".warc.gz"
+        val stem = cdx.substring(cdx.lastIndexOf('/') + 1).stripSuffix(".cdx")
+        val name = sib.value.getOrElse(stem, throw new IllegalArgumentException(
+          s"$cdx: no sibling .warc archive for cdx stem '$stem'"))
         (f(0).toLong, name, f(1).toLong, f(2).toInt)
       }.toDF("doc_id", "archive", "offset", "length")
   }

@@ -160,4 +160,33 @@ class ComponentLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("regressed"), e.getMessage)
     pairs.unpersist()
   }
+
+  test("attach before any pair batch lands publishes the all-isolated v0") {
+    // legitimate startup order: the facade attaches while the pair writer
+    // has not created its layout path yet — v0 is every doc its own
+    // component at watermark (-1, 0), and ticks no-op until batch 0 lands
+    val docs = VectorModel.documents(spark, Sf0001).select("doc_id").limit(20)
+    val base = graft.store.Fs.scratchDir(spark, "component_prebatch")
+    val pairPath = s"$base/pairs"
+    val root = s"$base/components"
+    val db = new graft.api.VectorDb(spark, dim = 8)
+    db.attachComponentState(docs, "doc_id", pairPath, root)
+    val v0 = labelMap(db.componentAssignment(), "doc_id")
+    assert(v0.nonEmpty && v0.forall { case (d, c) => d == c },
+      "pre-first-batch v0 must be the all-isolated assignment")
+    assert(!db.maintainIndexes().exists(_.startsWith("components")),
+      "tick with no pair layout on disk must skip the component pass")
+    // batch 0 lands; the next tick folds it as a normal delta from the
+    // (-1, 0) watermark and reaches the fresh fixed point
+    val ids = docs.orderBy("doc_id").limit(4).collect().map(_.getLong(0))
+    val pairs = spark.createDataFrame(Seq(
+      (ids(0), ids(1)), (ids(2), ids(3)))).toDF("da", "db")
+    pairs.withColumn("batch", lit(0))
+      .write.partitionBy("batch").mode("overwrite").parquet(pairPath)
+    assert(db.maintainIndexes().exists(_.startsWith("components")))
+    val folded = labelMap(db.componentAssignment(), "doc_id")
+    val fresh = labelMap(
+      Dedup.connectedComponents(docs, "doc_id", pairs), "doc_id")
+    assert(folded === fresh)
+  }
 }

@@ -61,6 +61,15 @@ object DevScaleUp {
     // documents: token-suffixed copies, marker tokens preserved
     val docs = spark.read.parquet(s"$in/documents.parquet")
     val docStride = nextStride(docs.agg(max("doc_id")).head.getLong(0))
+    // repeat count scaled from the CORPUS max token length (md5 hex is 32
+    // chars per repeat): a fixed repeat(…, 8) caps the pool at 256 chars
+    // and would silently TRUNCATE any longer token, breaking the
+    // length-preservation invariant every bit-identical statistic below
+    // rests on — one aggregate, driver-side, before the rename
+    val maxTokLen = docs
+      .agg(max(array_max(transform(split(col("text"), " "), t => length(t)))))
+      .head.getInt(0)
+    val md5Repeats = math.max(1, (maxTokLen + 31) / 32)
     copies(docs) { (df, i) =>
       if (i == 0) df
       else {
@@ -69,7 +78,7 @@ object DevScaleUp {
         // length statistic survive bit-identical
         val renamed = transform(split(col("text"), " "),
           t => when(t.isin(preserved: _*), t)
-            .otherwise(repeat(md5(concat(t, lit(s"~$i"))), 8)
+            .otherwise(repeat(md5(concat(t, lit(s"~$i"))), md5Repeats)
               .substr(lit(1), length(t))))
         df.select(
           (col("doc_id") + lit(i * docStride)).as("doc_id"),

@@ -285,6 +285,24 @@ class TokenShardSpec extends SparkSpec {
     assert(eLost.getMessage.contains("lost"), eLost.getMessage)
   }
 
+  test("in-place layout regeneration invalidates the point-read memo") {
+    val dir = graft.store.Fs.scratchDir(spark, "shards_rewrite") + "/shards"
+    val docs = VectorModel.documents(spark, Sf0001).orderBy("doc_id")
+    val (_, seqsSmall, _) =
+      TokenShards.write(docs.limit(8), "doc_id", "text", Cap, 32, 2, dir)
+    // memoize the small layout's shape through a point read
+    assert(TokenShards.readWindow(spark, dir, 0L).length === Cap)
+    // regenerate a LARGER layout at the SAME path in the same JVM — the
+    // public API supports this (writeCells deletes and rewrites); a stale
+    // memo would keep serving the small (totalSeqs, seqsPerFile, cap) and
+    // wrongly reject valid window ids of the rewritten layout
+    val (_, seqsBig, _) =
+      TokenShards.write(docs.limit(64), "doc_id", "text", Cap, 32, 2, dir)
+    assert(seqsBig > seqsSmall, "rewrite must actually grow the layout")
+    assert(TokenShards.readWindow(spark, dir, seqsBig - 1).length === Cap,
+      "point reads after an in-place rewrite must serve the NEW layout shape")
+  }
+
   test("trained-vocab capstone: shipped ids live in the trained vocabulary, pads account") {
     val shards = PipelineQueries.corpusShardTrainedLayout(spark, Sf0001)
     val vocab = spark.read.parquet(

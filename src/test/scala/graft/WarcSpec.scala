@@ -365,4 +365,33 @@ class WarcSpec extends SparkSpec {
       WarcSource.readDocuments(spark, p).count())
     assert(e3.getMessage.contains("lost"), e3.getMessage)
   }
+
+  test("hand-assembled plain-.warc + .cdx drop dir resolves point fetches to real files") {
+    // the interchange shape an external crawler drops: bare `.warc` (not
+    // member-gzip) plus a cdx sidecar, no publish marker — the archive
+    // name in the index must come from the sibling file actually present,
+    // not an assumed `.warc.gz` suffix
+    val dir = graft.store.Fs.scratchDir(spark, "warc_drop") + "/drop"
+    val (fs, p) = graft.store.Fs.pathFs(spark, dir)
+    fs.mkdirs(p)
+    val rows = docs.orderBy("doc_id").limit(3).collect()
+    val cdx = new StringBuilder
+    var off = 0L
+    val os = fs.create(new org.apache.hadoop.fs.Path(p, "part-00000.warc"), true)
+    try rows.foreach { r =>
+      val b = WarcSource.recordBytes(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))
+      os.write(b)
+      cdx.append(r.getLong(0)).append(' ').append(off).append(' ')
+        .append(b.length).append('\n')
+      off += b.length
+    } finally os.close()
+    val cs = fs.create(new org.apache.hadoop.fs.Path(p, "part-00000.cdx"), true)
+    try cs.write(cdx.toString.getBytes(UTF_8)) finally cs.close()
+    val want = rows(1).getLong(0)
+    val got = WarcSource.fetchDocumentsById(spark, dir, Seq(want),
+      requireMarker = false).collect()
+    assert(got.length === 1 && got(0).getLong(0) === want)
+    assert(got(0).getString(1) === rows(1).getString(1))
+  }
 }
