@@ -37,7 +37,8 @@ object Hnsw {
     * hold with these defaults. */
   def hnswTopK(df: DataFrame, query: Seq[Double], k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
-      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id",
+      numPartitions: Int = HnswStore.DeriveShards,
+      vecCol: String = "vector", idCol: String = "id",
       filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     val spark = df.sparkSession
@@ -49,9 +50,21 @@ object Hnsw {
     // post-filter (vervectordb/__init__.py:388-407) as S1/S3 (SURVEY.md §2
     // overfetch note). Persisted graphs can't pre-filter; their filtered
     // path overfetches + post-filters at the facade (VectorDb.hnswSearch).
-    val prepared = filter.foldLeft(df)((d, f) => d.where(f))
+    val base = filter.foldLeft(df)((d, f) => d.where(f))
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .repartition(numPartitions, col(idCol))
+    // partition count defaults to the corpus-derived policy (the count
+    // job is one bounded scan — noise next to the graph build it sizes):
+    // per-shard insert cost is ~n^1.27, so a FIXED count makes this
+    // fresh-build operator inherit the exponent as the corpus grows;
+    // deriving holds per-shard size (and cost) constant, total build
+    // work linear. The count is of the FILTERED rows — the corpus the
+    // graphs actually index.
+    val parts =
+      if (numPartitions == HnswStore.DeriveShards)
+        HnswStore.derivedShards(base.count(), HnswStore.TargetShardRows)
+      else numPartitions
+    val prepared = base
+      .repartition(parts, col(idCol))
       .sortWithinPartitions(idCol)
     val perPartition = prepared
       .as[(Long, Array[Double])]
@@ -74,14 +87,22 @@ object Hnsw {
     * k-bounded aggregator. Returns (query_id, idCol, sim, rn). */
   def hnswBatchTopK(df: DataFrame, queries: Seq[(Long, Seq[Double])], k: Int,
       m: Int = 16, efConstruction: Int = 64, efSearch: Int = 128,
-      numPartitions: Int = 32, vecCol: String = "vector", idCol: String = "id")
+      numPartitions: Int = HnswStore.DeriveShards,
+      vecCol: String = "vector", idCol: String = "id")
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val qArr = queries.map { case (qid, q) => (qid, q.toArray) }
-    val prepared = df
+    val base = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .repartition(numPartitions, col(idCol))
+    // corpus-derived partition count, same policy + rationale as
+    // [[hnswTopK]]
+    val parts =
+      if (numPartitions == HnswStore.DeriveShards)
+        HnswStore.derivedShards(base.count(), HnswStore.TargetShardRows)
+      else numPartitions
+    val prepared = base
+      .repartition(parts, col(idCol))
       .sortWithinPartitions(idCol)
     val perPartition = prepared
       .as[(Long, Array[Double])]

@@ -39,6 +39,52 @@ object HnswStore {
 
   private type Rec = (Int, Int, Long, Array[Double], Int, Array[Array[Long]], Boolean, Int)
 
+  /** Sentinel for `numPartitions`/`numShards`: derive the shard count from
+    * the CORPUS SIZE at build time (rows-per-shard target) instead of
+    * accepting a fixed count. This is the policy that keeps graph-build
+    * cost linear across corpus decades: per-shard insert cost is
+    * superlinear in shard size (~n^1.27 measured — insertion beam walks
+    * grow with the graph; DevHnswProfile: one shard at 10× the rows costs
+    * 18.6× to build), so a FIXED shard count silently inherits that
+    * exponent at every rebuild as the corpus grows. Deriving
+    * `ceil(n / targetRows)` holds per-shard size — and therefore per-shard
+    * cost — constant, making total build work ∝ corpus size. */
+  val DeriveShards = 0
+
+  /** Rows-per-shard target of the derived policy for HASH-sharded graphs
+    * ([[save]]): ~19k rows ≈ the per-shard size the sf0.1 operating point
+    * was measured at (600k rows / 32 shards; one 19k×8d shard builds in
+    * ~1.6 s single-threaded, DevHnswProfile). */
+  val TargetShardRows = 19000
+
+  /** Rows-per-shard target for the ROUTED layout ([[saveRouted]]): ~9.4k
+    * rows ≈ the DevRoutedSweep operating point (64 shards at sf0.1
+    * dominated 16 on every axis — recall, build AND serving; RECALL.md
+    * round 7). Finer spatial shards both route better and build faster. */
+  val RoutedTargetShardRows = 9400
+
+  /** Floor of the derived count — a CONSTANT (the engine's baseline
+    * shuffle width), deliberately NOT the session's core count: graphs
+    * are seeded per shard, so two hosts deriving different counts from
+    * their core counts would build DIFFERENT layouts for the same corpus
+    * and serve different (approximate) results. The floor only matters
+    * for corpora under `floor · targetRows` rows — small enough that the
+    * extra parallelism is free; past it the data term dominates and the
+    * count scales with the corpus, which is the 1000-executor design
+    * (shard count grows with rows, per-shard size constant, wall-clock
+    * bounded by cluster width). A deployment that wants a higher floor
+    * passes its cluster parallelism as an explicit shard count — the
+    * derived policy is for the growth axis, not the width axis. */
+  val DefaultMinShards = 32
+
+  /** The derived-policy arithmetic: `max(floor, ceil(n / targetRows))`. */
+  def derivedShards(n: Long, targetRows: Int,
+      minShards: Int = DefaultMinShards): Int = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    math.max(minShards.toLong, (n + targetRows - 1) / targetRows)
+      .min(Int.MaxValue).toInt
+  }
+
   /** Graph hyperparameter sidecar (underscore-prefixed → invisible to the
     * parquet reader): build-time (m, efConstruction, numPartitions) travel
     * with the layout, so serving and incremental maintenance use the
@@ -57,11 +103,18 @@ object HnswStore {
     graft.store.Fs.pathFs(spark, path)
 
   private def writeMeta(spark: SparkSession, path: String,
-      m: Int, efConstruction: Int, numPartitions: Int): Unit = {
+      m: Int, efConstruction: Int, numPartitions: Int,
+      targetRows: Option[Int] = None): Unit = {
     val (fs, p) = hadoopFs(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaFile), true)
+    // targetRows records that the layout was built under the DERIVED
+    // policy: rebuilds re-derive from the grown corpus at the same
+    // target instead of freezing the build-time count (the exact gap the
+    // policy exists to close). Absent = explicitly-pinned layout; its
+    // rebuilds preserve the pin.
     try out.write(
-      s"m=$m\nefConstruction=$efConstruction\nnumPartitions=$numPartitions\n"
+      (s"m=$m\nefConstruction=$efConstruction\nnumPartitions=$numPartitions\n"
+        + targetRows.map(t => s"targetRows=$t\n").getOrElse(""))
         .getBytes("UTF-8"))
     finally out.close()
   }
@@ -78,6 +131,20 @@ object HnswStore {
         val Array(k, v) = l.split("=", 2); k -> v.trim.toInt
       }.toMap
       Some((kv("m"), kv("efConstruction"), kv("numPartitions")))
+    }
+  }
+
+  /** The rows-per-shard target a layout was derived under, if it was
+    * built with the [[DeriveShards]] policy (see [[writeMeta]]). */
+  private[graft] def readTargetRows(spark: SparkSession, path: String): Option[Int] = {
+    val (fs, p) = hadoopFs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(p, MetaFile)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.split("\n").find(_.startsWith("targetRows="))
+        .map(_.stripPrefix("targetRows=").trim.toInt)
     }
   }
 
@@ -118,15 +185,28 @@ object HnswStore {
   }
 
   /** Build per-partition graphs (identically to [[Hnsw.hnswTopK]]) and
-    * persist their structure, clustered one file per graph partition. */
+    * persist their structure, clustered one file per graph partition.
+    *
+    * `numPartitions` defaults to [[DeriveShards]]: the count comes from
+    * the corpus size at `targetRows` rows per shard (one bounded count
+    * job at build time), and the target is recorded in the meta sidecar
+    * so versioned REBUILDS re-derive at the grown size — on fixed
+    * hardware a frozen count turns corpus growth into shard-size growth
+    * and the build inherits the ~n^1.27 per-shard exponent (measured,
+    * SCALE.md round 18). Pass an explicit count to pin the layout. */
   def save(df: DataFrame, path: String,
-      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 32,
-      vecCol: String = "vector", idCol: String = "id"): Unit = {
+      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = DeriveShards,
+      vecCol: String = "vector", idCol: String = "id",
+      targetRows: Int = TargetShardRows): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val prepared = df
+    val base = df
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .repartition(numPartitions, col(idCol))
+    val derived = numPartitions == DeriveShards
+    val parts =
+      if (derived) derivedShards(base.count(), targetRows) else numPartitions
+    val prepared = base
+      .repartition(parts, col(idCol))
       .sortWithinPartitions(idCol)
     prepared
       .as[(Long, Array[Double])]
@@ -143,7 +223,8 @@ object HnswStore {
       .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(path)
-    writeMeta(spark, path, m, efConstruction, numPartitions)
+    writeMeta(spark, path, m, efConstruction, parts,
+      if (derived) Some(targetRows) else None)
   }
 
   /** CLUSTER-COHERENT twin of [[save]] — the routed layout that kills the
@@ -168,19 +249,31 @@ object HnswStore {
     * routing targets and the probe filter prunes at the file level).
     * K-means balance keeps shard sizes within a small factor; the build
     * stays deterministic (seeded fit, per-shard seed, id-sorted inserts). */
-  def saveRouted(df: DataFrame, path: String, numShards: Int = 16,
+  def saveRouted(df: DataFrame, path: String, numShards: Int = DeriveShards,
       m: Int = 16, efConstruction: Int = 64,
-      vecCol: String = "vector", idCol: String = "id"): Unit = {
+      vecCol: String = "vector", idCol: String = "id",
+      targetRows: Int = RoutedTargetShardRows): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vector"))
-    val (_, model) = Ivf.fit(base, "vector", k = numShards)
+    // numShards defaults to the DERIVED policy like [[save]] (corpus
+    // count / targetRows, floor DefaultMinShards, target recorded for
+    // rebuilds). The routed target is finer than the hash target — the
+    // measured sweep: smaller spatial shards route better AND build
+    // faster. Note the routing sidecar holds one centroid per shard
+    // driver-side: at extreme derived counts (≥ ~10⁶ shards) the sidecar
+    // itself needs a coarse-to-fine hierarchy — out of scope here, the
+    // probe walk already bounds the per-query cost.
+    val derived = numShards == DeriveShards
+    val shards =
+      if (derived) derivedShards(base.count(), targetRows) else numShards
+    val (_, model) = Ivf.fit(base, "vector", k = shards)
     // assign WITHOUT Ivf.fit's widen exchange (the cluster repartition
     // below provides the build parallelism — the ivfLayout shape)
     Ivf.assign(base, model, "vector")
       .select(col("id"), col("vector"), col("cluster_id"))
-      .repartition(numShards, col("cluster_id"))
+      .repartition(shards, col("cluster_id"))
       .sortWithinPartitions(col("cluster_id"), col("id"))
       .as[(Long, Array[Double], Int)]
       .mapPartitions { rows =>
@@ -217,7 +310,8 @@ object HnswStore {
       .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
       .repartition(col("part"))
       .write.mode("overwrite").partitionBy("part").parquet(path)
-    writeMeta(spark, path, m, efConstruction, numShards)
+    writeMeta(spark, path, m, efConstruction, shards,
+      if (derived) Some(targetRows) else None)
     writeRouting(spark, path, model.centroids)
   }
 
@@ -341,19 +435,22 @@ object HnswStore {
     * the next version; readers keep their snapshot). Returns the committed
     * version directory. */
   def saveVersioned(df: DataFrame, root: String,
-      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = 32,
-      vecCol: String = "vector", idCol: String = "id"): String =
+      m: Int = 16, efConstruction: Int = 64, numPartitions: Int = DeriveShards,
+      vecCol: String = "vector", idCol: String = "id",
+      targetRows: Int = TargetShardRows): String =
     graft.store.VersionedLayout.publish(df.sparkSession, root)(dir =>
-      save(df, dir, m, efConstruction, numPartitions, vecCol, idCol))
+      save(df, dir, m, efConstruction, numPartitions, vecCol, idCol, targetRows))
 
   /** [[saveVersioned]] for the ROUTED layout ([[saveRouted]] under a
     * versioned root); [[maintainDelta]] detects the sidecar and keeps
     * rebuilds routed. */
-  def saveRoutedVersioned(df: DataFrame, root: String, numShards: Int = 16,
+  def saveRoutedVersioned(df: DataFrame, root: String,
+      numShards: Int = DeriveShards,
       m: Int = 16, efConstruction: Int = 64,
-      vecCol: String = "vector", idCol: String = "id"): String =
+      vecCol: String = "vector", idCol: String = "id",
+      targetRows: Int = RoutedTargetShardRows): String =
     graft.store.VersionedLayout.publish(df.sparkSession, root)(dir =>
-      saveRouted(df, dir, numShards, m, efConstruction, vecCol, idCol))
+      saveRouted(df, dir, numShards, m, efConstruction, vecCol, idCol, targetRows))
 
   /** The live graph version under a versioned root. */
   def currentGraph(spark: SparkSession, root: String): String =
@@ -405,21 +502,43 @@ object HnswStore {
       // merge serving stops paying for rows the graph already answers
       graft.store.Fs.delete(spark, deltaPath)
       (current, false)
-    } else if (nNew.toDouble <= maxDeltaFraction * math.max(1L, base.count()))
-      (current, false)
-    else {
-      val (m, ef, np) = readMeta(spark, current).getOrElse((16, 64, 32))
-      // the rebuild preserves the layout KIND: a routed live version
-      // (routing sidecar present) rebuilds routed — fresh k-means +
-      // sidecar over base ∪ delta — else compaction would silently strip
-      // routing and downgrade serving to the all-shards fan-out
-      val routed = readRouting(spark, current).isDefined
-      val next = graft.store.VersionedLayout.publish(spark, graphRoot)(dir =>
-        if (routed) saveRouted(base.union(newDelta), dir, numShards = np,
-          m = m, efConstruction = ef)
-        else save(base.union(newDelta), dir, m, ef, np))
-      graft.store.Fs.delete(spark, deltaPath)
-      (next, true)
+    } else {
+      val nBase = base.count()
+      if (nNew.toDouble <= maxDeltaFraction * math.max(1L, nBase))
+        (current, false)
+      else {
+        val (m, ef, np) = readMeta(spark, current).getOrElse((16, 64, 32))
+        // shard-count policy for the rebuild: a layout BUILT under the
+        // derived policy (targetRows in its meta sidecar) RE-DERIVES at
+        // the grown corpus size — this is where a frozen count would
+        // silently turn growth into shard-size growth and inherit the
+        // superlinear per-shard build exponent at every compaction; an
+        // explicitly-pinned layout keeps its pin (the caller chose it).
+        // Passing (DeriveShards, target) through save/saveRouted also
+        // re-RECORDS the target, so the policy survives every rebuild.
+        val target = readTargetRows(spark, current)
+        // the rebuild preserves the layout KIND: a routed live version
+        // (routing sidecar present) rebuilds routed — fresh k-means +
+        // sidecar over base ∪ delta — else compaction would silently strip
+        // routing and downgrade serving to the all-shards fan-out
+        val routed = readRouting(spark, current).isDefined
+        val next = graft.store.VersionedLayout.publish(spark, graphRoot) { dir =>
+          target match {
+            case Some(t) =>
+              if (routed) saveRouted(base.union(newDelta), dir,
+                numShards = DeriveShards, m = m, efConstruction = ef,
+                targetRows = t)
+              else save(base.union(newDelta), dir, m, ef,
+                numPartitions = DeriveShards, targetRows = t)
+            case None =>
+              if (routed) saveRouted(base.union(newDelta), dir, numShards = np,
+                m = m, efConstruction = ef)
+              else save(base.union(newDelta), dir, m, ef, np)
+          }
+        }
+        graft.store.Fs.delete(spark, deltaPath)
+        (next, true)
+      }
     }
   }
 

@@ -316,15 +316,18 @@ object ApproxQueries {
   private val hnswLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The routed serving operating point — MEASURED on the DevRoutedSweep
+  /** The routed probe operating point — MEASURED on the DevRoutedSweep
     * grid (RECALL.md round 7): 8 probes of 64 shards dominates the earlier
     * 4-of-16 on every axis at sf0.1 — recall 0.985 vs 0.965 (finer shards
     * let the centroid scoring skip more irrelevant data), build 5.8 s vs
     * 16.7 s (per-shard graph construction is superlinear, so more smaller
     * graphs win), serving ~2× faster, scanned fraction 12.5% vs 25%. The
     * 100× path is MORE shards at a sublinear probe budget, not bigger
-    * graphs. */
-  val RoutedShards = 64
+    * graphs — which is why the SHARD COUNT is no longer pinned here: the
+    * layout builds under [[graft.index.HnswStore.DeriveShards]], whose
+    * [[graft.index.HnswStore.RoutedTargetShardRows]] (~9.4k rows/shard)
+    * IS this sweep's measured operating point (600k / 64), so the count
+    * now grows with the corpus instead of freezing at one SF's optimum. */
   val RoutedProbes = 8
 
   /** S2 over the CENTROID-ROUTED persisted graphs — the serving shape that
@@ -341,7 +344,7 @@ object ApproxQueries {
     graft.index.HnswStore.topKRoutedAdaptive(spark, hnswRoutedLayout(spark, dir),
       VectorModel.Query, 10, stats = routedStats(spark, dir))
 
-  /** The FIXED-probe routed path ([[RoutedProbes]] of [[RoutedShards]]) —
+  /** The FIXED-probe routed path ([[RoutedProbes]] of the derived count) —
     * kept registered as the parity knob beside the adaptive default,
     * exactly like `vq_ivf_parity_topk`: a migrating user can pin the
     * constant-probe rule for bit-for-bit reproducibility. */
@@ -388,7 +391,7 @@ object ApproxQueries {
     hnswRoutedLayoutCache.computeIfAbsent(dir, _ => {
       val p = graft.store.Fs.scratchDir(spark, "graft_hnsw_routed_layout")
       graft.index.HnswStore.saveRouted(
-        VectorModel.lineitemVectors(spark, dir), s"$p/g", numShards = RoutedShards)
+        VectorModel.lineitemVectors(spark, dir), s"$p/g")
       // collect the adaptive-probing statistics HERE (two aggregates over
       // the fresh layout) — build-time work, not first-serve work; written
       // into the sibling cache directly (routedStats() would re-enter this

@@ -224,6 +224,65 @@ class HnswStoreSpec extends SparkSpec {
     assert(res.head.getLong(0) === planted, "delta row identical to the query must rank first")
   }
 
+  test("derived shard policy: count tracks corpus size at build and through rebuilds") {
+    import org.apache.spark.sql.functions.col
+    val vecs = VectorModel.lineitemVectors(spark, Sf0001)
+    val base = vecs.where(col("id") % 3 =!= 0)
+    val nBase = base.count()
+    val nAll = vecs.count()
+    val target = 100 // spec-scale target so derivation clears the floor
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_derived").toString
+
+    // HASH layout: derived count = max(floor, ceil(n/target)), recorded
+    // with its target; rows per shard bounded near the target
+    HnswStore.save(base, s"$dir/g", targetRows = target)
+    val wantBase = HnswStore.derivedShards(nBase, target)
+    assert(wantBase.toLong === math.max(32L, (nBase + target - 1) / target))
+    assert(HnswStore.readMeta(spark, s"$dir/g").map(_._3) === Some(wantBase))
+    assert(HnswStore.readTargetRows(spark, s"$dir/g") === Some(target))
+    val perShard = spark.read.parquet(s"$dir/g")
+      .groupBy("part").count().collect().map(_.getLong(1))
+    assert(perShard.length === wantBase)
+    assert(perShard.max <= 2L * target,
+      s"hash-sharded rows/shard must stay near the target, max=${perShard.max}")
+
+    // REBUILD re-derives at the grown corpus: versioned root + a delta
+    // that trips compaction → the next version's count tracks nAll, the
+    // target survives in its meta, and serving equals a fresh derived
+    // build over the same rows
+    val root = s"$dir/groot"
+    HnswStore.saveVersioned(base, root, targetRows = target)
+    vecs.where(col("id") % 3 === 0).select("id", "vector")
+      .write.parquet(s"$dir/delta")
+    val (next, rebuilt) = HnswStore.maintainDelta(spark, root, s"$dir/delta")
+    assert(rebuilt)
+    val wantAll = HnswStore.derivedShards(nAll, target)
+    assert(wantAll > wantBase, "the grown corpus must derive more shards")
+    assert(HnswStore.readMeta(spark, next).map(_._3) === Some(wantAll),
+      "rebuild must re-derive the shard count from the grown corpus")
+    assert(HnswStore.readTargetRows(spark, next) === Some(target),
+      "the derived policy must survive the rebuild")
+    HnswStore.save(vecs, s"$dir/fresh", targetRows = target)
+    assert(topKPairs(HnswStore.topK(spark, next, VectorModel.Query, 10)) ===
+      topKPairs(HnswStore.topK(spark, s"$dir/fresh", VectorModel.Query, 10)))
+
+    // ROUTED layout: same policy, routing sidecar sized to the derived
+    // count, and an explicitly-pinned layout's rebuild keeps its pin
+    HnswStore.saveRouted(base, s"$dir/r", targetRows = target)
+    assert(HnswStore.readMeta(spark, s"$dir/r").map(_._3) === Some(wantBase))
+    assert(HnswStore.readRouting(spark, s"$dir/r").map(_.length) === Some(wantBase))
+    val pinRoot = s"$dir/pinroot"
+    HnswStore.saveRoutedVersioned(base, pinRoot, numShards = 4)
+    assert(HnswStore.readTargetRows(spark,
+      HnswStore.currentGraph(spark, pinRoot)) === None)
+    vecs.where(col("id") % 3 === 0).select("id", "vector")
+      .write.parquet(s"$dir/delta2")
+    val (nextPin, rebuiltPin) = HnswStore.maintainDelta(spark, pinRoot, s"$dir/delta2")
+    assert(rebuiltPin)
+    assert(HnswStore.readMeta(spark, nextPin).map(_._3) === Some(4),
+      "an explicitly-pinned layout's rebuild must preserve the pin")
+  }
+
   test("hyperparameter sidecar round-trips and governs serving over caller defaults") {
     val vecs = VectorModel.lineitemVectors(spark, Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_meta").toString
