@@ -97,9 +97,15 @@ object Bench {
       // fail-loud parse + article recovery (+ cleaning), not the write
       (s, d) => { queries.TextQueries.warcLayoutPath(s, d); () }),
     ("build_warc_gz_layout", Set("src_warc_gz", "src_warc_fetch"),
-      // the member-gzip egress (+ cdx sidecars) is build state; the
-      // serving entries time the member-walk read and the pruned
-      // point fetch respectively
+      // PHASE 1 of the member-gzip egress: archive parts + text cdx
+      // sidecars (unpublished); the serving entries time the member-walk
+      // read and the pruned point fetch respectively
+      (s, d) => { queries.TextQueries.warcGzArchivesPath(s, d); () }),
+    ("build_warc_cdx_index", Set("src_warc_gz", "src_warc_fetch"),
+      // PHASE 2, ledgered separately: cdx→parquet id-clustered index
+      // conversion + commit marker — its cost grows with crawl size and
+      // must stay individually visible (r18 folded it into the archive
+      // write and the combined entry read as a 2.4× regression)
       (s, d) => { queries.TextQueries.warcGzLayoutPath(s, d); () }),
     ("build_zorder_layout", Set("q_zorder_box"),
       (s, d) => { queries.AnalyticsQueries.zorderLayout(s, d); () }),

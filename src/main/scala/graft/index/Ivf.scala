@@ -197,6 +197,21 @@ object Ivf {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
+    // The two O(n·k·d) loops below (seeding's min-distance refresh and
+    // Lloyd's argmin assignment) parallelize across the driver's cores
+    // WITHOUT changing a single comparison or addition order: each point
+    // reads shared centers and writes only its own slot, and every
+    // reduction (distance totals, centroid sums) stays sequential in
+    // sample order. The fit therefore remains BIT-IDENTICAL to the
+    // single-threaded walk — layouts are seeded and deterministic, and a
+    // parallel reduction here would reorder double additions and silently
+    // change every downstream hash-gated layout. This matters at derived
+    // shard counts: k grows with the corpus (ceil(n/targetRows)), and a
+    // sequential O(n·k·d) fit would reintroduce a super-linear DRIVER
+    // term into the routed build the derived policy just removed.
+    def parRange(n: Int)(body: Int => Unit): Unit =
+      java.util.stream.IntStream.range(0, n).parallel()
+        .forEach(i => body(i))
     // k-means++ seeding
     val centers = new Array[Array[Double]](kk)
     centers(0) = sample(rng.nextInt(sample.length)).clone()
@@ -208,11 +223,10 @@ object Ivf {
       var pick = 0
       while (pick < sample.length - 1 && r > minD2(pick)) { r -= minD2(pick); pick += 1 }
       centers(c) = sample(pick).clone()
-      var i = 0
-      while (i < sample.length) {
-        val d = d2(sample(i), centers(c))
+      val cNew = centers(c)
+      parRange(sample.length) { i =>
+        val d = d2(sample(i), cNew)
         if (d < minD2(i)) minD2(i) = d
-        i += 1
       }
       c += 1
     }
@@ -221,16 +235,21 @@ object Ivf {
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
-      changed = false
-      var i = 0
-      while (i < sample.length) {
+      val newAssign = new Array[Int](sample.length)
+      parRange(sample.length) { i =>
         var best = 0; var bestD = d2(sample(i), centers(0)); var j = 1
         while (j < kk) {
           val d = d2(sample(i), centers(j))
           if (d < bestD) { bestD = d; best = j }
           j += 1
         }
-        if (assign(i) != best || iter == 0) { assign(i) = best; changed = true }
+        newAssign(i) = best
+      }
+      changed = iter == 0
+      var i = 0
+      while (i < sample.length) {
+        if (assign(i) != newAssign(i)) changed = true
+        assign(i) = newAssign(i)
         i += 1
       }
       val sums = Array.fill(kk)(new Array[Double](dim))

@@ -294,7 +294,28 @@ object PipelineQueries {
     * clusters is missed; reported sims are exact cosines) → spec-gated
     * against the broadcast-exact path like every IVF serving twin, and
     * registered rows-only in the driver contract. */
-  def decontaminateSemanticIvf(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateSemanticIvf(spark: SparkSession, dir: String): DataFrame =
+    semanticIvfFlagged(spark, dir)._1
+
+  /** ORACLE-GATED parity twin of [[decontaminateSemanticIvf]] — the
+    * `vq_ivf_parity_topk` two-step-oracle pattern applied to the
+    * decontamination ladder: the SAME fixed-probe bucketed pipeline, plus
+    * a publish of the fitted eval-side centroids as an oracle sidecar so
+    * DuckDB re-derives the whole chain (eval assignment by squared-L2
+    * asc / cluster asc — the nearestCentroid rule; train probes by
+    * centroid cosine desc / cluster asc — the probeClusters rule; exact
+    * candidate cosines; threshold + rounding) and hash-compares it. The
+    * base entry stays the recall-gated operator (spec vs the
+    * broadcast-exact path); this twin pins the serving math end to end. */
+  def decontaminateSemanticIvfParity(spark: SparkSession, dir: String): DataFrame = {
+    val (df, model) = semanticIvfFlagged(spark, dir)
+    ApproxQueries.publishCentroidsFlat(spark, "sem_ivf_centroids", dir,
+      model.centroids)
+    df
+  }
+
+  private def semanticIvfFlagged(spark: SparkSession, dir: String)
+      : (DataFrame, graft.index.Ivf.IvfModel) = {
     val embd = new graft.text.HashEmbedder(TextQueries.EmbedDim)
     val docs = VectorModel.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -305,7 +326,7 @@ object PipelineQueries {
       k = SemIvfK, idCol = "vec_id")
     val evalAssigned = graft.index.Ivf.assign(eval, model, "vector")
       .select(col("vector").as("evemb"), col("cluster_id"))
-    docs.where(col("source") =!= EvalSource)
+    val flagged = docs.where(col("source") =!= EvalSource)
       .select(col("doc_id"), col("emb"),
         explode(graft.functions.ModelExpressions.probeClusters(
           col("emb"), model.centroids, SemIvfProbes)).as("cluster_id"))
@@ -318,6 +339,7 @@ object PipelineQueries {
       .where(col("ms") >= SemDecontamTau)
       .select(col("doc_id"), round(col("ms"), 6).as("max_sim"), col("n_hits"))
       .orderBy("doc_id")
+    (flagged, model)
   }
 
   /** Cluster count / probe width for [[decontaminateSemanticIvf]] —
@@ -354,6 +376,44 @@ object PipelineQueries {
        |SELECT doc_id, round(ms, 6) AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
        |FROM agg WHERE ms >= $semTau
        |ORDER BY doc_id""".stripMargin
+
+  /** HASH-GATE of [[decontaminateSemanticIvfParity]] GIVEN the published
+    * eval-side centroid sidecar: the bucketed candidate set re-derived
+    * end to end (assignment squared-L2 asc / cluster asc, probes cosine
+    * desc / cluster asc — the kernels' exact tie rules), candidate
+    * cosines term-for-term, then the same max/count/threshold as the
+    * broadcast oracle. Reuses [[semanticSimsCtes]]'s embedding CTEs so
+    * the two semantic oracles cannot drift. */
+  lazy val decontaminateSemanticIvfParitySql: String = {
+    val d = TextQueries.EmbedDim
+    def cE(i: Int) = s"cent.c$i"
+    s"""WITH $semanticSimsCtes,
+       |cent AS (SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       |    ${(0 until d).map(j => s"c$j").mkString(", ")}
+       |  FROM ${OracleSidecars.sqlTable("sem_ivf_centroids")}),
+       |sem_asg AS (SELECT doc_id, cluster_id FROM (
+       |  SELECT ev.doc_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY ev.doc_id
+       |      ORDER BY ${OracleSql.l2sq(cE, i => s"ev.e$i", d)} ASC, cent.cluster_id ASC) AS arn
+       |  FROM sem_ev ev CROSS JOIN cent) WHERE arn = 1),
+       |sem_pr AS (SELECT doc_id, cluster_id FROM (
+       |  SELECT tr.doc_id, cent.cluster_id,
+       |    row_number() OVER (PARTITION BY tr.doc_id
+       |      ORDER BY ${OracleSql.cosineCols(cE, i => s"tr.e$i", d)} DESC, cent.cluster_id ASC) AS prn
+       |  FROM sem_tr tr CROSS JOIN cent) WHERE prn <= $SemIvfProbes),
+       |sem_cand AS (SELECT p.doc_id AS doc_id,
+       |    ${OracleSql.cosineCols(i => s"tr.e$i", i => s"ev.e$i", d)} AS s
+       |  FROM sem_pr p
+       |    JOIN sem_asg a ON a.cluster_id = p.cluster_id
+       |    JOIN sem_tr tr ON tr.doc_id = p.doc_id
+       |    JOIN sem_ev ev ON ev.doc_id = a.doc_id),
+       |sem_agg AS (SELECT doc_id, max(s) AS ms,
+       |    sum(CASE WHEN s >= $semTau THEN 1 ELSE 0 END) AS n_hits
+       |  FROM sem_cand GROUP BY doc_id)
+       |SELECT doc_id, round(ms, 6) AS max_sim, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM sem_agg WHERE ms >= $semTau
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** THE full training-corpus pipeline, end to end — every cleaning stage
     * composed in the order a 100 TB run would schedule them, emitting the
@@ -1998,6 +2058,7 @@ object PipelineQueries {
     "pipe_decontaminate" -> (decontaminate _),
     "pipe_decontaminate_semantic" -> (decontaminateSemantic _),
     "pipe_decontaminate_semantic_ivf" -> (decontaminateSemanticIvf _),
+    "pipe_decontaminate_semantic_ivf_parity" -> (decontaminateSemanticIvfParity _),
     "pipe_host_filter" -> (hostFilter _),
     "pipe_crawl_corpus" -> (crawlCorpus _),
     "pipe_train_corpus_fuzzy" -> (trainCorpusFuzzy _),
@@ -2031,6 +2092,7 @@ object PipelineQueries {
     "pipe_clean_corpus" -> cleanCorpusSql,
     "pipe_decontaminate" -> decontaminateSql,
     "pipe_decontaminate_semantic" -> decontaminateSemanticSql,
+    "pipe_decontaminate_semantic_ivf_parity" -> decontaminateSemanticIvfParitySql,
     "pipe_host_filter" -> hostFilterSql,
     "pipe_crawl_corpus" -> crawlCorpusSql,
     "pipe_train_corpus_fuzzy" -> trainCorpusFuzzySql,

@@ -267,13 +267,30 @@ object TextQueries {
   private val warcGzLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Phase-1 memo of the member-gzip egress: archive parts + text cdx
+    * sidecars, UNPUBLISHED (no marker) — the Bench build step
+    * `build_warc_gz_layout`, timing the archive write alone. */
+  private[graft] def warcGzArchivesPath(spark: SparkSession, dir: String): String =
+    warcGzArchivesCache.computeIfAbsent(dir, _ => {
+      val p = graft.store.Fs.scratchDir(spark, "graft_warc_gz_layout") + "/docs"
+      graft.sources.WarcSource.writeGzArchives(
+        VectorModel.documents(spark, dir), p)
+      p
+    })
+
+  private val warcGzArchivesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The memoized member-gzip egress (same cache [[warcGzAgg]] fills) —
-    * shared with the point-fetch entry and exposed as the Bench build
-    * step `build_warc_gz_layout`. */
+    * shared with the point-fetch entry. Under the bench this is the
+    * SECOND build step (`build_warc_cdx_index`): the cdx→parquet index
+    * conversion + commit marker over the phase-1 archives, timed on its
+    * own because its cost grows with crawl size and must stay
+    * individually visible in the ledger. */
   private[graft] def warcGzLayoutPath(spark: SparkSession, dir: String): String =
     warcGzLayoutCache.computeIfAbsent(dir, _ => {
-      val p = graft.store.Fs.scratchDir(spark, "graft_warc_gz_layout") + "/docs"
-      graft.sources.WarcSource.writeGz(VectorModel.documents(spark, dir), p)
+      val p = warcGzArchivesPath(spark, dir)
+      graft.sources.WarcSource.indexAndPublish(spark, p)
       p
     })
 

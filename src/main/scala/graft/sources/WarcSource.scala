@@ -72,7 +72,8 @@ object WarcSource {
     * its bytes are identical by construction, so the loser just deletes
     * its temp. */
   private def writeWith(df: DataFrame, path: String, suffix: String,
-      perRecord: Array[Byte] => Array[Byte], indexed: Boolean = false): Unit = {
+      perRecord: Array[Byte] => Array[Byte], indexed: Boolean = false,
+      publish: Boolean = true): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -126,27 +127,41 @@ object WarcSource {
           }
         }
       }
-    // the at-scale index form: the text cdx sidecars (CC's interchange
-    // shape, kept) convert ONCE at write time to an id-clustered parquet
-    // layout — range-partitioned + sorted by doc id, bloom on id (the
-    // [[graft.search.IdFetch.writeIdClustered]] recipe) — so the
-    // candidate resolve in [[fetchDocumentsById]] is itself a PRUNED
-    // footer-stat scan. At one cdx line per record over a 100 TB crawl
-    // the text scan is billions of rows per point fetch; the parquet
-    // conversion makes resolve I/O ∝ touched row groups, not crawl size.
-    if (indexed && hasCdx(fs, out))
+    if (publish) indexAndPublish(spark, path)
+  }
+
+  /** Phase 2 of an archive egress: convert any text cdx sidecars to the
+    * id-clustered parquet index, then write the commit marker — the
+    * at-scale index form and the publish, as one driver-side step.
+    *
+    * The text cdx sidecars (CC's interchange shape, kept) convert ONCE
+    * at write time to an id-clustered parquet layout — range-partitioned
+    * + sorted by doc id, bloom on id (the
+    * [[graft.search.IdFetch.writeIdClustered]] recipe) — so the
+    * candidate resolve in [[fetchDocumentsById]] is itself a PRUNED
+    * footer-stat scan. At one cdx line per record over a 100 TB crawl
+    * the text scan is billions of rows per point fetch; the parquet
+    * conversion makes resolve I/O ∝ touched row groups, not crawl size.
+    *
+    * PUBLISH: one driver-written marker after every task committed — the
+    * [[graft.store.VersionedLayout]] pattern. The per-part temp+rename
+    * protects against zombie attempts WITHIN the job; the marker is what
+    * makes the archive directory safe where rename is copy+delete
+    * (object stores): a job that crashed after committing SOME parts
+    * leaves a directory indistinguishable from a complete one without
+    * it. The marker records the committed part count, so the readers
+    * also catch a part file lost after publish. Written AFTER the cdx
+    * index conversion, so a publish is never visible without its index.
+    *
+    * Exposed (package-private) as its own phase so the bench ledger can
+    * time the index conversion separately from the archive write — its
+    * cost grows with crawl size and must stay individually visible. */
+  private[graft] def indexAndPublish(spark: SparkSession, path: String): Unit = {
+    val (fs, out) = graft.store.Fs.pathFs(spark, path)
+    if (hasCdx(fs, out))
       graft.search.IdFetch.writeIdClustered(
         cdxTextEntries(spark, path), s"$path/$CdxIndexDir", "doc_id",
         numFiles = CdxIndexFiles)
-    // PUBLISH: one driver-written marker after every task committed — the
-    // [[graft.store.VersionedLayout]] pattern. The per-part temp+rename
-    // protects against zombie attempts WITHIN the job; the marker is what
-    // makes the archive directory safe where rename is copy+delete
-    // (object stores): a job that crashed after committing SOME parts
-    // leaves a directory indistinguishable from a complete one without
-    // it. The marker records the committed part count, so the readers
-    // also catch a part file lost after publish. Written AFTER the cdx
-    // index conversion, so a publish is never visible without its index.
     val nParts = fs.listStatus(out)
       .count(st => st.getPath.getName.matches("part-\\d+\\..*") &&
         !st.getPath.getName.endsWith(".cdx"))
@@ -280,8 +295,20 @@ object WarcSource {
     * archive layer). Full scans still decompress the member
     * CONCATENATION per file (gzip streams concatenate losslessly),
     * keeping per-file parallelism like the uncompressed path. */
-  def writeGz(df: DataFrame, path: String): Unit =
-    writeWith(df, path, ".warc.gz", gzipMember, indexed = true)
+  def writeGz(df: DataFrame, path: String): Unit = {
+    writeGzArchives(df, path)
+    indexAndPublish(df.sparkSession, path)
+  }
+
+  /** Phase 1 of the indexed egress: archive parts + text cdx sidecars,
+    * NO commit marker — deliberately an unpublished directory until
+    * [[indexAndPublish]] runs (readers reject it as a torn publish).
+    * Split out so the bench ledger times the archive write and the cdx
+    * index conversion as separate build steps; [[writeGz]] remains the
+    * one-call publish for users. */
+  private[graft] def writeGzArchives(df: DataFrame, path: String): Unit =
+    writeWith(df, path, ".warc.gz", gzipMember, indexed = true,
+      publish = false)
 
   private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
