@@ -1407,6 +1407,7 @@ object StreamingIngest {
   private val ShardStateFile = "_graft_shard_state"
   private[graft] val ShardFirstSeqFile = "_graft_first_seq"
   private val ShardEndFile = "_graft_batch_end"
+  private[graft] val ShardManifestFile = "_graft_shard_manifest"
 
   private[graft] def shardAppendBatch(batch: DataFrame, layoutPath: String,
       cap: Int, numFiles: Int, batchId: Long): Unit = {
@@ -1421,6 +1422,12 @@ object StreamingIngest {
     // counts
     writeLongFile(spark, s"$dir/$ShardFirstSeqFile", baseSeqs)
     writeLongFile(spark, s"$dir/$ShardEndFile", baseSeqs + nSeqs)
+    // compacted manifest BEFORE the state record: a crash after the
+    // manifest leaves state at batchId−1, so the replay rewrites this
+    // batch and the manifest dedups its line — readers meanwhile serve
+    // the (complete, marker-proven) batch exactly as the heal path would
+    appendShardManifest(spark, layoutPath, batchId, baseSeqs,
+      baseSeqs + nSeqs)
     // layout-level state is ONE atomic record ("<batchId> <total>", the
     // [[writePackState]] protocol): (lastId, total) written as two files
     // would leave a crash window where a parseable-but-mismatched pair
@@ -1428,6 +1435,57 @@ object StreamingIngest {
     // over N's global window range
     writePairFile(spark, s"$layoutPath/$ShardStateFile", batchId,
       baseSeqs + nSeqs)
+  }
+
+  /** The compacted batch manifest: one `<batchId> <firstSeq> <end>` text
+    * line per committed batch, rewritten whole by the DRIVER on every
+    * commit (a year of hourly batches is ~9k lines ≈ 200 KB — one small
+    * sidecar write per batch) and read by every resolve in TWO
+    * round-trips (manifest + state record) instead of a root listing
+    * plus two marker reads per batch dir — ~18k object-store round-trips
+    * per point-read resolve on that same year. The per-batch markers
+    * REMAIN the ground truth the manifest compacts: a torn manifest
+    * (crashed mid-write) fails the strict parse and reads as ABSENT, so
+    * readers fall back to the marker walk; a parseable manifest whose
+    * windows are non-cumulative is real corruption, not a torn write,
+    * and fails loudly. Returns None for absent/torn. */
+  private[graft] def readShardManifest(spark: SparkSession,
+      layoutPath: String): Option[Seq[(Long, Long, Long)]] = {
+    val txt = graft.store.Fs.readSidecar(
+      spark, s"$layoutPath/$ShardManifestFile").getOrElse(return None)
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    val parsed = lines.map { l =>
+      graft.store.Fs.parseLongs(l, 3).map(s => (s(0), s(1), s(2)))
+    }
+    if (parsed.exists(_.isEmpty)) return None // torn write → marker walk
+    val entries = parsed.flatten.toSeq
+    entries.sliding(2).foreach {
+      case Seq((ia, _, enda), (ib, firstb, _)) =>
+        require(ia < ib && firstb == enda,
+          s"$layoutPath/$ShardManifestFile: non-cumulative manifest " +
+            s"(batch $ia ends at $enda, batch $ib starts at $firstb) — " +
+            "the layout was rewritten underneath its manifest; delete " +
+            "the manifest to heal from the per-batch markers")
+      case _ => ()
+    }
+    Some(entries)
+  }
+
+  /** Advance the compacted manifest with `batchId`'s line. A missing or
+    * torn prior manifest rebuilds from the marker walk — which is also
+    * the MIGRATION path: a layout written before the manifest existed
+    * compacts its whole history on its first new-code commit. Replayed
+    * ids dedup (any line at or past `batchId` is dropped before the
+    * append). */
+  private def appendShardManifest(spark: SparkSession, layoutPath: String,
+      batchId: Long, first: Long, end: Long): Unit = {
+    val prior = readShardManifest(spark, layoutPath)
+      .map(_.filter(_._1 < batchId))
+      .getOrElse(completeShardBatchesByWalk(spark, layoutPath, Long.MinValue)
+        .collect { case (id, _, f, e) if id < batchId => (id, f, e) })
+    graft.store.Fs.writeSidecar(spark, s"$layoutPath/$ShardManifestFile",
+      (prior :+ ((batchId, first, end)))
+        .map { case (id, f, e) => s"$id $f $e" }.mkString("", "\n", "\n"))
   }
 
   /** (lastBatchId, global window total) of a shard layout: the atomic
@@ -1446,19 +1504,48 @@ object StreamingIngest {
     }
 
   /** Complete batches of a shard layout in id order:
-    * (batchId, dir, firstSeq, end). */
+    * (batchId, dir, firstSeq, end). Resolution order: the compacted
+    * manifest covers its entries with NO per-batch I/O, and when the
+    * atomic state record confirms the manifest head is the newest commit
+    * (the steady state) the whole resolve is two sidecar reads — no root
+    * listing at all. A state record AHEAD of the manifest (or absent)
+    * walks only the uncompacted tail; an absent/torn manifest falls back
+    * to the full marker walk (pre-manifest layouts, torn writes). */
   private[graft] def completeShardBatches(spark: SparkSession,
-      layoutPath: String): Seq[(Long, String, Long, Long)] = {
+      layoutPath: String): Seq[(Long, String, Long, Long)] =
+    readShardManifest(spark, layoutPath) match {
+      case Some(entries) if entries.nonEmpty =>
+        val compacted = entries.map { case (id, first, end) =>
+          (id, s"$layoutPath/batch=$id", first, end)
+        }
+        val lastId = entries.last._1
+        readPairFile(spark, s"$layoutPath/$ShardStateFile") match {
+          case Some((sid, _)) if sid == lastId => compacted
+          case _ => compacted ++
+            completeShardBatchesByWalk(spark, layoutPath, lastId)
+        }
+      case _ => completeShardBatchesByWalk(spark, layoutPath, Long.MinValue)
+    }
+
+  /** The marker walk: list the root, read both markers of every batch
+    * dir with id > `minId` — the pre-manifest resolve, kept as the
+    * ground-truth heal path and the uncompacted-tail scan. */
+  private def completeShardBatchesByWalk(spark: SparkSession,
+      layoutPath: String, minId: Long): Seq[(Long, String, Long, Long)] = {
     val (fs, root) = graft.store.Fs.pathFs(spark, layoutPath)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("batch="))
       .flatMap { d =>
         val id = d.getName.stripPrefix("batch=").toLong
-        for {
+        if (id <= minId) None
+        else for {
           first <- readLongFile(spark, s"$d/$ShardFirstSeqFile")
           end <- readLongFile(spark, s"$d/$ShardEndFile")
-        } yield (id, d.toString, first, end)
+          // dir rooted at the CALLER'S layoutPath (not the listing's
+          // scheme-qualified Path.toString), so the walk and the
+          // manifest resolve to identical entries
+        } yield (id, s"$layoutPath/${d.getName}", first, end)
       }
       .sortBy(_._1).toSeq
   }

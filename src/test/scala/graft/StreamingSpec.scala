@@ -1983,4 +1983,86 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === batch,
       "compaction must preserve the pair log")
   }
+
+  test("shard manifest compaction: ~100 batches resolve with zero per-batch I/O, byte-identical to the marker walk") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_shardmanifest").toString
+    val layout = s"$base/shards"
+    val cap = 32
+    val docs = graft.model.VectorModel.documents(spark, Sf0001)
+      .select("doc_id", "text").orderBy("doc_id").limit(101).cache()
+    val ids = docs.collect().map(_.getLong(0))
+    def append(i: Int): Unit = StreamingIngest.shardAppendBatch(
+      docs.where(col("doc_id") === ids(i)), layout, cap, 1, i.toLong)
+    (0 until 100).foreach(append)
+    val manifestPath = s"$layout/${StreamingIngest.ShardManifestFile}"
+    val (fs, _) = graft.store.Fs.pathFs(spark, layout)
+    def rawManifest: String =
+      graft.store.Fs.readSidecar(spark, manifestPath).get
+
+    // the manifest-resolved view: all 100 batches, cumulative windows
+    val viaManifest = StreamingIngest.completeShardBatches(spark, layout)
+    assert(viaManifest.map(_._1) === (0L until 100L))
+    viaManifest.foldLeft(0L) { case (expect, (id, _, first, end)) =>
+      assert(first === expect, s"batch $id base"); assert(end > first); end
+    }
+    val goodManifest = rawManifest
+
+    // a TORN manifest (crashed driver mid-write) reads as absent — the
+    // marker walk serves the identical view, never a wrong one
+    graft.store.Fs.writeSidecar(spark, manifestPath,
+      goodManifest.dropRight(3))
+    assert(StreamingIngest.completeShardBatches(spark, layout) === viaManifest,
+      "torn manifest must fall back to the marker walk")
+    // absent manifest (pre-manifest layout): same view via the walk
+    fs.delete(new org.apache.hadoop.fs.Path(manifestPath), false)
+    assert(StreamingIngest.completeShardBatches(spark, layout) === viaManifest)
+
+    // MIGRATION: the next commit compacts the whole marker history
+    append(100)
+    assert(StreamingIngest.readShardManifest(spark, layout).get.size === 101,
+      "first commit after manifest loss must compact the full history")
+    val grown = StreamingIngest.completeShardBatches(spark, layout)
+    assert(grown.take(100) === viaManifest && grown.last._1 === 100L)
+    val total = grown.last._4
+
+    // replay dedup: state rolled back one commit (the crash-between-
+    // manifest-and-state window) → the replay rewrites batch 100 and the
+    // manifest keeps exactly one line for it
+    graft.store.Fs.writeSidecar(spark, s"$layout/_graft_shard_state",
+      s"99 ${grown(99)._4}\n")
+    append(100)
+    assert(StreamingIngest.readShardManifest(spark, layout).get.size === 101,
+      "replayed batch must dedup in the manifest")
+    assert(StreamingIngest.readShardState(spark, layout) === ((100L, total)))
+
+    // ZERO per-batch I/O on the steady-state resolve: with every
+    // per-batch marker DELETED, the manifest+state pair still serves the
+    // full view and point reads — a resolve that touched any batch
+    // marker (the pre-compaction shape: two reads × batches) would see
+    // nothing. This is stronger than counting round-trips: the per-batch
+    // files are not merely unread, they are gone.
+    val probe = Seq(0L, total / 2, total - 1)
+    val expectWindows = probe.map(g =>
+      StreamingIngest.readGlobalWindow(spark, layout, g).toSeq)
+    grown.foreach { case (_, dir, _, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/${StreamingIngest.ShardFirstSeqFile}"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_batch_end"), false)
+    }
+    assert(StreamingIngest.completeShardBatches(spark, layout) === grown)
+    assert(probe.map(g =>
+      StreamingIngest.readGlobalWindow(spark, layout, g).toSeq) === expectWindows)
+    assert(StreamingIngest.readGlobalWindows(spark, layout, probe)
+      .map(_.toSeq) === expectWindows)
+    assert(StreamingIngest.readShardState(spark, layout) === ((100L, total)))
+
+    // a parseable manifest with NON-CUMULATIVE windows is corruption (a
+    // layout rewritten underneath its manifest), not a torn write — loud
+    graft.store.Fs.writeSidecar(spark, manifestPath, "0 0 5\n1 7 9\n")
+    val e = intercept[IllegalArgumentException](
+      StreamingIngest.completeShardBatches(spark, layout))
+    assert(e.getMessage.contains("non-cumulative"), e.getMessage)
+    docs.unpersist()
+  }
 }
