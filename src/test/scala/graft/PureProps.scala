@@ -60,13 +60,22 @@ object PureProps extends Properties("graft.pure") {
       val vecs = Array.fill(n)(Array.fill(dim)(rng.nextDouble() + 0.1))
       vecs.zipWithIndex.foreach { case (v, i) => idx.insert(i.toLong, v) }
       val probe = rng.nextInt(n)
-      // ef >= n: the beam never prunes, so search exhausts the connected
-      // graph (inserts link bidirectionally, so it IS connected) and the
-      // self-match cannot be approximated away — with a small ef this
-      // property is only probabilistic and flaked rarely in full runs
+      // ef >= n: the beam never prunes, so search exhausts the REACHABLE
+      // component. Inserts link bidirectionally, but degree-bounded
+      // reverse-edge pruning can later cut a node's last inbound edge —
+      // so "the graph is connected" holds only almost always, and the
+      // self-match is genuinely probabilistic even at full ef: measured
+      // counterexample (n=105, seed=535) strands node 38 with top-1
+      // (94, 0.88). Exhaustive k=n retrieval tells the two apart: a
+      // DISCONNECTED probe is absent at every rank (accepted here as the
+      // known rare mode — the operator-level recall floor is RecallSpec's
+      // contract); a REACHABLE probe not ranked first would be a real
+      // beam-ordering bug and still fails.
       val top = idx.search(vecs(probe), 1, math.max(n, 32))
+      val selfReachable = idx.search(vecs(probe), n, math.max(n, 32))
+        .exists { case (id, sim) => id == probe.toLong && sim >= 0.9999999 }
       // cosine ties are possible in principle but not with continuous data
-      top.nonEmpty && top.head._2 >= 0.9999999
+      top.nonEmpty && (!selfReachable || top.head._2 >= 0.9999999)
     }
 
   property("hnsw: tie order is total — duplicate vectors return the smallest ids whatever the insertion order") =
