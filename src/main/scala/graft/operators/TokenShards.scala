@@ -115,8 +115,18 @@ object TokenShards {
   def writeCells(counts: DataFrame, cells: DataFrame, cap: Int,
       packShards: Int, numFiles: Int, outPath: String): (Long, Long, Long) = {
     val spark = counts.sparkSession
-    val packed = SeqPack.pack(counts, "doc", col("n"), cap, packShards)
-    val totalTokens = counts.agg(sum(col("n"))).head.getLong(0)
+    // `counts` is consumed by THREE actions below (the pack's shard-total
+    // collect, the corpus-total aggregate, and the final write job's
+    // offset window) — but it is only (doc, n), two longs per document,
+    // while its LINEAGE can be an arbitrarily expensive encoder +
+    // curation pipeline (the curated BPE exports re-derived the whole
+    // corpus per action). Cache the small decision table once and let
+    // every action serve from it; the corpus-sized `cells` stream still
+    // flows exactly once, into the write job (guide §8: decide with
+    // small rows, move big rows once).
+    val countsC = graft.store.CacheRegistry.cached(counts)
+    val packed = SeqPack.pack(countsC, "doc", col("n"), cap, packShards)
+    val totalTokens = countsC.agg(sum(col("n"))).head.getLong(0)
     val totalSeqs = (totalTokens + cap - 1) / cap
     val seqsPerFile = (totalSeqs + numFiles - 1) / numFiles
     checkSeqsPerFile(seqsPerFile, numFiles, totalSeqs)

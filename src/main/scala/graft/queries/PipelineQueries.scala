@@ -931,15 +931,24 @@ object PipelineQueries {
       .join(broadcast(vocab), "tok")
       .select(col("doc"), col("dpos").cast("long").as("dpos"),
         col("vid").as("id"))
+    // the doc universe: one (cached) projection pass over the input —
+    // shared by the blank-doc slots and the per-doc counts below, instead
+    // of each re-deriving the whole upstream curation pipeline
+    val docs = graft.store.CacheRegistry.cached(input.select(col("doc")))
     // a blank doc still owns one (clamped) slot — emit its pad cell so
     // every window stays non-empty for the contiguity walk
-    val blanks = input.select(col("doc"))
+    val blanks = docs
       .join(exploded.select("doc").distinct(), Seq("doc"), "left_anti")
       .select(col("doc"), lit(0L).as("dpos"),
         lit(graft.operators.TokenShards.PadId).as("id"))
-    val counts = input.select(col("doc"),
-      greatest(graft.text.Bpe.bpeTokenCount(col("txt"), model).cast("long"),
-        lit(1L)).as("n"))
+    // per-doc token counts FROM the cached encoded stream (row count per
+    // doc == size(bpeTokens), exactly), not a second full BPE encode of
+    // the corpus: `bpeTokenCount` is `size(bpeTokens(...))`, so spelling
+    // counts that way re-ran the encoder once per consuming action
+    val counts = docs
+      .join(exploded.groupBy("doc").agg(count(lit(1)).as("nb")), Seq("doc"), "left")
+      .select(col("doc"),
+        greatest(coalesce(col("nb"), lit(0L)), lit(1L)).as("n"))
     graft.operators.TokenShards.writeCells(counts,
       cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
       s"$root/shards")
