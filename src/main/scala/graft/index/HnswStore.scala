@@ -221,7 +221,12 @@ object HnswStore {
         }
       }
       .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
-      .repartition(col("part"))
+      // NO re-shuffle before the partitioned write: each build task's
+      // output is exactly one `part` (part == its partition id), so the
+      // dynamic partition writer already lands one file per graph dir —
+      // a repartition(part) here would move every dumped byte (vectors +
+      // adjacency, larger than the input) across a second exchange just
+      // to re-derive a grouping the tasks already have
       .write.mode("overwrite").partitionBy("part").parquet(path)
     writeMeta(spark, path, m, efConstruction, parts,
       if (derived) Some(targetRows) else None)
@@ -308,7 +313,11 @@ object HnswStore {
         }.flatten
       }
       .toDF("part", "ord", "id", "vector", "node_level", "adj", "is_entry", "part_rows")
-      .repartition(col("part"))
+      // NO re-shuffle before the partitioned write (see [[save]]): every
+      // cluster run lives wholly in one build task after the cluster_id
+      // repartition, so the dynamic partition writer already lands one
+      // file per shard dir — the removed repartition(part) was a second
+      // full exchange of the dumped graphs
       .write.mode("overwrite").partitionBy("part").parquet(path)
     writeMeta(spark, path, m, efConstruction, shards,
       if (derived) Some(targetRows) else None)
@@ -587,9 +596,21 @@ object HnswStore {
     * input ([[topKRoutedAdaptive]]): one cheap aggregate (≤ shards rows
     * back), computed once per layout and memoized by callers beside the
     * routing sidecar, exactly like [[Ivf.clusterSizes]]. */
-  def shardSizes(spark: SparkSession, path: String): Map[Int, Long] =
-    spark.read.parquet(path).groupBy("part").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  def shardSizes(spark: SparkSession, path: String): Map[Int, Long] = {
+    val raw = spark.read.parquet(path)
+    // layouts carry the shard's row count on every row (`part_rows`, the
+    // restore completeness guard) — one distinct over two small columns
+    // answers the question without aggregating the corpus-sized rows;
+    // equality with the full count is exactly the invariant restore
+    // asserts. Pre-part_rows layouts keep the counting path.
+    if (raw.columns.contains("part_rows"))
+      raw.select(col("part").cast("int"), col("part_rows").cast("long"))
+        .distinct()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    else
+      raw.groupBy("part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
 
   /** Mean member-to-centroid cosine distance of a routed layout — the
     * shard-geometry scale the adaptive margin is expressed in (a true
