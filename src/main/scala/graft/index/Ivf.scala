@@ -162,10 +162,27 @@ object Ivf {
   def fit(df: DataFrame, vecCol: String = "vector", k: Int = 16, seed: Long = 42L,
       maxIter: Int = 10, idCol: String = "id"): (DataFrame, IvfModel) = {
     val wide = graft.operators.Par.widen(df)
-    val sample = df
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val spark = df.sparkSession
+    // The winning ids first, WITHOUT their vectors: TakeOrderedAndProject
+    // collects every partition's top-FitSampleRows rows to the driver
+    // merge, so ordering the full (id, vector) rows dragged partitions ×
+    // sample-rows VECTORS through driver deserialization to keep 100k of
+    // them (at 64-d embeddings that is GBs of discarded payload). Order
+    // 12 bytes of (hash, id) per row instead, then fetch exactly the
+    // winners' vectors with one broadcast semi-join — the identical
+    // sample set (same total order, same limit), a fraction of the bytes
+    // (guide §8: decide with small rows, move big rows once).
+    val sampleIds = df
+      .select(col(idCol).cast("long").as(idCol))
       .orderBy(hash(col(idCol)), col(idCol))
       .limit(FitSampleRows)
+      .collect().map(_.getLong(0))
+    import spark.implicits._
+    val idDf = sampleIds.toSeq.toDF(idCol)
+    val sample = df
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .join(broadcast(idDf), Seq(idCol), "left_semi")
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
