@@ -123,6 +123,12 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   private val resultHeap = new Heap(max = false, 256)
   private val scratchSims = new Array[Double](4096)
   private val scratchIdx = new Array[Int](4096)
+  // prune scratch, reused across pruneEdges calls (insert adds a reverse
+  // edge to up to m neighbors per level and prunes each over-cap list —
+  // allocating a heap + kept buffer per prune was the one allocation
+  // left in the insert hot path)
+  private val pruneHeap = new Heap(max = false, 2 * m + 1)
+  private val pruneKept = new Array[Int](2 * m + 1)
 
   def size: Int = n
 
@@ -234,7 +240,8 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     val v = vecs(node); val nrm = norms(node)
     // selection via bounded min-heap of size max, (sim, extId)-total-
     // ordered like the beam: equal-sim edges keep the LOWER ids
-    val h = new Heap(max = false, max + 1)
+    val h = pruneHeap
+    h.clear()
     var i = 0
     while (i < edges.len) {
       val e = edges.arr(i)
@@ -245,10 +252,11 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
       }
       i += 1
     }
-    val kept = new Array[Int](h.size)
-    var j = h.size - 1
+    val kept = pruneKept
+    val keptLen = h.size
+    var j = keptLen - 1
     while (j >= 0) { kept(j) = h.headNode; h.pop(); j -= 1 }
-    edges.setAll(kept, kept.length)
+    edges.setAll(kept, keptLen)
   }
 
   /** Insert; duplicate id is a no-op (reference `:92-93`). */
