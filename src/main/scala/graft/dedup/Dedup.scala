@@ -823,24 +823,94 @@ object Dedup {
     * O(log diameter)-deep plan) and materialize once, at the end. */
   private val TruncateEvery = 3
 
+  /** Edge-count bound under which [[connectedComponents]] contracts ON
+    * THE DRIVER (union-find over the collected edge list) instead of
+    * running the iterative distributed loop. The label fixed point —
+    * min reachable id per component — is a property of the GRAPH, not of
+    * the algorithm, so the two paths return identical assignments; the
+    * bound exists because the loop costs ~a dozen scheduler round-trips
+    * with fresh codegen per cycle (measured 6–16 s on a 2k-vertex pair
+    * graph — pure iteration overhead), while 1M edges are 16 MB of longs
+    * a driver union-find resolves in milliseconds. Near-dup pair graphs
+    * at this bound are routine at ANY corpus size (deltas, bounded
+    * per-batch pair sets); past it the distributed contraction is the
+    * only shape that survives, and the probe costs one count the loop
+    * needed anyway. */
+  private[graft] val DriverContractEdges = 1000000L
+
+  /** Driver-side min-label contraction: union-find over `edges`, then
+    * label every touched vertex with the minimum id in its component —
+    * the same fixed point the distributed loop converges to. */
+  private[graft] def localMinLabel(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int](edges.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](edges.length)
+    val parent = new scala.collection.mutable.ArrayBuffer[Int](edges.length)
+    def nodeOf(id: Long): Int =
+      idx.getOrElseUpdate(id, { ids += id; parent += parent.length; ids.length - 1 })
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(nodeOf(a)); val rb = find(nodeOf(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    // min id per root, then one label row per touched vertex
+    val minOf = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i).toLong
+      val id = ids(i)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), id)
+      i += 1
+    }
+    Array.tabulate(ids.length)(i => (ids(i), minOf(find(i).toLong)))
+  }
+
   def connectedComponents(vertices: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    val medges0 = pairs
+      .select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .cache()
+    val edgeCount = medges0.count()
+    if (edgeCount <= DriverContractEdges) {
+      // bounded graph: contract locally (see [[DriverContractEdges]]) —
+      // same fixed point, none of the loop's per-cycle scheduling
+      val edges = medges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      medges0.unpersist()
+      val labelRows = localMinLabel(edges)
+      import spark.implicits._
+      val labelDf = labelRows.toSeq.toDF("doc", "component")
+      vertices.select(col(idCol).cast("long").as("doc"))
+        .join(labelDf, Seq("doc"), "left")
+        .select(col("doc").as(idCol),
+          coalesce(col("component"), col("doc")).as("component"))
+    } else connectedComponentsDistributed(vertices, idCol, medges0, edgeCount, maxIter)
+  }
+
+  /** The iterative distributed contraction (see [[connectedComponents]]
+    * scaladoc above for the algorithm); `medges0` is the cached non-self
+    * edge list and `edgeCount` its count. Exposed private[graft] so the
+    * equivalence spec can drive it below the driver gate. */
+  private[graft] def connectedComponentsDistributed(vertices: DataFrame,
+      idCol: String, medges0: DataFrame, edgeCount: Long,
       maxIter: Int = 30): DataFrame = {
     val spark = vertices.sparkSession
     lazy val ccScratch = graft.store.Fs.scratchDir(spark, "graft_cc")
     var truncatePaths: List[String] = Nil
-    // the initial meta-edge list IS the pair list (labels start as ids);
-    // self-pairs contract immediately
-    var medges = pairs
-      .select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .cache()
+    var medges = medges0
     // Touched-vertex labels: isolated vertices are their own component by
     // definition and never change — they join back at the end.
     var labels = medges.select(col("src").as("doc"))
       .union(medges.select(col("dst").as("doc")))
       .distinct()
       .select(col("doc"), col("doc").as("label"))
-    var remaining = medges.count()
+    var remaining = edgeCount
     var iter = 0
     // caches that later frames' LINEAGE still references (every cycle's
     // relabeling feeds the final labels plan); released after the final
