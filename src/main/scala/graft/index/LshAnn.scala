@@ -141,7 +141,8 @@ object LshAnn {
     * `biases = 0` is the uncentered special case. Derivable from a seed +
     * one mean vector — nothing to broadcast but ~L·bits doubles. */
   final case class LshTables(planes: Array[Array[Array[Double]]],
-      biases: Array[Array[Double]]) {
+      biases: Array[Array[Double]],
+      groupShift: Int = BucketGroupShift) {
     def numTables: Int = planes.length
     def numBits: Int = planes.head.length
   }
@@ -425,8 +426,42 @@ object LshAnn {
     * as bits grow with corpus size, so fine-grained pruning belongs to
     * row groups, not directories — the lakehouse layout rule. */
   val GroupCol = "lsh_bgroup"
+
+  /** FLOOR of the bucket-group shift (and the fixed value of legacy
+    * layouts): at full corpus width, storage partitions on
+    * 2^(bits−[[BucketGroupShift]]) groups per table — the measured
+    * operating point balancing dir-level pruning against dir-count
+    * build/list cost. */
   val BucketGroupShift = 2
-  private def groupOf(bucket: Int): Int = bucket >>> BucketGroupShift
+
+  /** Rows-per-(table, group)-dir target of the DERIVED shift: below it,
+    * dynamic-partition dir/file creation and dir listing dominate the
+    * build (measured 7.3 s write + 2.5 s list for ~1k dirs holding two
+    * rows each at sf0.1), so small corpora coarsen the grouping — exact
+    * buckets stay a sorted data column and row-group stats keep the
+    * fine-grained pruning — while large corpora converge to the
+    * [[BucketGroupShift]] floor unchanged. The shift is recorded in the
+    * layout sidecar; results are grouping-independent (the candidate
+    * predicate is on exact buckets). */
+  val GroupDirTargetRows = 4096L
+
+  /** Sentinel for `groupShift`: derive from the corpus size at build
+    * time ([[derivedGroupShift]]); pass an explicit shift to pin the
+    * granularity (spec fixtures asserting dir-level behavior pin the
+    * [[BucketGroupShift]] floor). */
+  val DeriveGroupShift = -1
+
+  /** The derived policy: enough group dirs per table that each holds
+    * ~[[GroupDirTargetRows]] rows, rounded down to a power of two, never
+    * finer than the [[BucketGroupShift]] floor allows. */
+  private[graft] def derivedGroupShift(n: Long, numBits: Int): Int = {
+    val maxDirs = 1L << math.max(0, numBits - BucketGroupShift)
+    val want = math.max(1L, math.min(maxDirs, n / GroupDirTargetRows))
+    val log2 = 63 - java.lang.Long.numberOfLeadingZeros(want)
+    math.max(BucketGroupShift, numBits - log2)
+  }
+
+  private def groupOf(bucket: Int, shift: Int): Int = bucket >>> shift
   private val SidecarFile = "_graft_lsh"
 
   /** Build + persist the inverted-list layout at `path` and the model
@@ -436,13 +471,20 @@ object LshAnn {
     * moves here, amortized over every query. */
   def saveBucketed(df: DataFrame, vecCol: String, idCol: String, path: String,
       dim: Int, numTables: Int = DefaultTables, numBits: Int = DefaultBits,
-      seed: Long = 42L): LshTables = {
+      seed: Long = 42L, groupShift: Int = DeriveGroupShift): LshTables = {
     val center = sampleMeanVector(df, vecCol, idCol, dim)
+    // dir granularity from the corpus size (one bounded count job —
+    // the HnswStore.derivedShards pattern): see [[derivedGroupShift]]
+    val shift =
+      if (groupShift == DeriveGroupShift) derivedGroupShift(df.count(), numBits)
+      else groupShift
     val model = tables(numTables, numBits, dim, center, seed)
+      .copy(groupShift = shift)
     layoutRows(df, vecCol, idCol, model)
       .write.mode("overwrite")
       .partitionBy(TableCol, GroupCol).parquet(path)
-    writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center)
+    writeSidecar(df.sparkSession, path, numTables, numBits, dim, seed, center,
+      shift)
     model
   }
 
@@ -478,7 +520,7 @@ object LshAnn {
           .otherwise(lit(null).cast(vecType)).as(vecCol),
         col(s"e.$HomeCol").as(HomeCol),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
-      .withColumn(GroupCol, shiftright(col(BucketCol), BucketGroupShift))
+      .withColumn(GroupCol, shiftright(col(BucketCol), model.groupShift))
     val writeTasks = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     // rows SORTED by exact bucket inside each (table, group) file, so the
     // serve-time bucket In-filter prunes at parquet row-group granularity
@@ -594,12 +636,12 @@ object LshAnn {
 
   private def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
       numTables: Int, numBits: Int, dim: Int, seed: Long,
-      center: Array[Double]): Unit = {
+      center: Array[Double], groupShift: Int): Unit = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(p, SidecarFile), true)
     try out.write(
       (s"numTables=$numTables\nnumBits=$numBits\ndim=$dim\nseed=$seed\n" +
-        s"center=${center.mkString(",")}\n").getBytes("UTF-8"))
+        s"center=${center.mkString(",")}\ngroupShift=$groupShift\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -611,16 +653,19 @@ object LshAnn {
     * [0, 2^numBits)) — a truncated or hand-edited sidecar must fail
     * loudly here, not silently probe the wrong buckets. */
   def loadTables(spark: org.apache.spark.sql.SparkSession, path: String): LshTables = {
-    val (numTables, numBits, dim, seed, center) = sidecarParams(spark, path)
-    tables(numTables, numBits, dim, center, seed)
+    val (numTables, numBits, dim, seed, center, groupShift) =
+      sidecarParams(spark, path)
+    tables(numTables, numBits, dim, center, seed).copy(groupShift = groupShift)
   }
 
   /** Parsed + validated sidecar of a stored layout —
-    * (numTables, numBits, dim, seed, center). Maintenance rebuilds read
-    * the hyperparameters from here so a rebuilt layout answers with the
-    * same tables as the one it replaces. */
+    * (numTables, numBits, dim, seed, center, groupShift). Maintenance
+    * rebuilds read the hyperparameters from here so a rebuilt layout
+    * answers with the same tables as the one it replaces; a sidecar
+    * without the groupShift key (pre-derived-shift layout) reads as the
+    * [[BucketGroupShift]] constant those layouts were built with. */
   private[graft] def sidecarParams(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int, Int, Long, Array[Double]) = {
+      path: String): (Int, Int, Int, Long, Array[Double], Int) = {
     val (fs, p) = graft.store.Fs.pathFs(spark, path)
     val sp = new org.apache.hadoop.fs.Path(p, SidecarFile)
     require(fs.exists(sp), s"no LSH sidecar at $path — need a saveBucketed layout")
@@ -650,10 +695,18 @@ object LshAnn {
       }
     require(center.isEmpty || center.length == dim,
       s"LSH sidecar at $path: center has ${center.length} components, dim=$dim")
+    val groupShift =
+      try kv.get("groupShift").map(_.toInt).getOrElse(BucketGroupShift)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"LSH sidecar at $path has a non-numeric groupShift — corrupt; rebuild the layout", e)
+      }
+    require(groupShift >= 0 && groupShift <= numBits,
+      s"LSH sidecar at $path: groupShift=$groupShift outside [0, numBits=$numBits]")
     // cross-check the sidecar against the partition dirs actually present —
     // a sidecar pasted from a different layout would otherwise silently
     // probe buckets that never match the stored dirs
-    val maxGroup = groupOf((1 << numBits) - 1)
+    val maxGroup = groupOf((1 << numBits) - 1, groupShift)
     val tableDirs = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$TableCol="))
       .map(_.getPath)
@@ -681,7 +734,7 @@ object LshAnn {
         }
       }
     }
-    (numTables, numBits, dim, seed, center)
+    (numTables, numBits, dim, seed, center, groupShift)
   }
 
   /** Copy a layout's model sidecar to a relocated layout dir (save-dir
@@ -722,7 +775,7 @@ object LshAnn {
     * payload sample mean ([[sampleMeanVector]] over the table-0 dirs —
     * bounded per tick, like the build-side statistic it is compared to). */
   def centerDrift(spark: org.apache.spark.sql.SparkSession, path: String): Double = {
-    val (_, _, dim, _, center) = sidecarParams(spark, path)
+    val (_, _, dim, _, center, _) = sidecarParams(spark, path)
     val (idCol, vecCol) = payloadColumns(spark, path)
     val cur = sampleMeanVector(
       spark.read.parquet(path).where(col(TableCol) === 0)
@@ -753,7 +806,8 @@ object LshAnn {
     // per sub-step (as calling centerDrift/loadTables here would) costs
     // thousands of redundant LIST calls per maintenance tick on an
     // object store
-    val (numTables, numBits, dim, seed, center) = sidecarParams(spark, path)
+    val (numTables, numBits, dim, seed, center, groupShift) =
+      sidecarParams(spark, path)
     val (idCol, vecCol) = payloadColumns(spark, path)
     val cur = sampleMeanVector(
       spark.read.parquet(path).where(col(TableCol) === 0)
@@ -762,7 +816,8 @@ object LshAnn {
     val c = if (center.isEmpty) new Array[Double](dim) else center
     val drift = math.sqrt(c.zip(cur).map { case (a, b) => (a - b) * (a - b) }.sum)
     if (drift <= driftThreshold)
-      (tables(numTables, numBits, dim, center, seed), false)
+      (tables(numTables, numBits, dim, center, seed).copy(groupShift = groupShift),
+        false)
     else {
       var model: LshTables = null
       Ivf.rewriteSwapped(spark, path) { tmp =>
@@ -811,9 +866,11 @@ object LshAnn {
     * candidate semantics — the split exists because a single OR mixing
     * partition and data columns would qualify as neither a partition
     * filter nor a pushable data filter. */
-  private[graft] def storedFilterForSets(sets: IndexedSeq[Seq[Int]]): Column = {
+  private[graft] def storedFilterForSets(sets: IndexedSeq[Seq[Int]],
+      shift: Int): Column = {
     val groupPred = sets.indices.map { t =>
-      col(TableCol) === t && col(GroupCol).isin(sets(t).map(groupOf).distinct: _*)
+      col(TableCol) === t &&
+        col(GroupCol).isin(sets(t).map(groupOf(_, shift)).distinct: _*)
     }.reduceLeft(_ || _)
     val bucketPred = sets.indices.map { t =>
       col(TableCol) === t && col(BucketCol).isin(sets(t): _*)
@@ -823,7 +880,7 @@ object LshAnn {
 
   private[graft] def storedCandidateFilter(query: Seq[Double], model: LshTables,
       probes: Int): Column =
-    storedFilterForSets(probeSetsFixed(query, model, probes))
+    storedFilterForSets(probeSetsFixed(query, model, probes), model.groupShift)
 
   /** Approximate top-k over the stored layout, in ONE pass over the
     * probed dirs + ONE payload fetch:
@@ -862,7 +919,7 @@ object LshAnn {
       query: Seq[Double], topK: Int, probes: Int = DefaultProbes,
       vecCol: String = "vector", idCol: String = "id"): DataFrame =
     serveStored(layout, probeSetsFixed(query, model, probes), query, topK,
-      vecCol, idCol)
+      vecCol, idCol, model.groupShift)
 
   /** [[searchStored]] with the ADAPTIVE probe budget: probe sets from
     * [[probeSetsAdaptive]] — the walk stops when the probed buckets hold
@@ -877,20 +934,21 @@ object LshAnn {
     serveStored(layout,
       probeSetsAdaptive(query, model, sizes, overscan.toLong * topK,
         maxProbesPerTable),
-      query, topK, vecCol, idCol)
+      query, topK, vecCol, idCol, model.groupShift)
 
   private def serveStored(layout: DataFrame, sets: IndexedSeq[Seq[Int]],
-      query: Seq[Double], topK: Int, vecCol: String, idCol: String): DataFrame = {
+      query: Seq[Double], topK: Int, vecCol: String, idCol: String,
+      shift: Int): DataFrame = {
     // renamed pointer columns — the payload fetch is a self-join on the
     // layout's lineage, and distinct names sidestep ambiguous-attribute
     // resolution entirely. LEFT SEMI: a table-0 row is fetched iff ANY
     // pointer names it, which dedups multi-table admissions for free —
     // no dropDuplicates aggregate pair in the plan at all
-    val ptr = layout.where(storedFilterForSets(sets))
+    val ptr = layout.where(storedFilterForSets(sets, shift))
       .select(col(idCol).as("__lsh_ptr_id"),
         coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
       .withColumn("__lsh_ptr_hgroup",
-        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
+        shiftright(col("__lsh_ptr_home"), shift))
     layout.where(col(TableCol) === 0)
       .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
         col(BucketCol) === col("__lsh_ptr_home") &&
@@ -910,17 +968,18 @@ object LshAnn {
     * unchanged. */
   private[graft] def dependencyDirs(layout: DataFrame, model: LshTables,
       query: Seq[Double], probes: Int): Set[(Int, Int)] =
-    dependencyDirsForSets(layout, probeSetsFixed(query, model, probes))
+    dependencyDirsForSets(layout, probeSetsFixed(query, model, probes),
+      model.groupShift)
 
   private[graft] def dependencyDirsForSets(layout: DataFrame,
-      sets: IndexedSeq[Seq[Int]]): Set[(Int, Int)] = {
+      sets: IndexedSeq[Seq[Int]], shift: Int): Set[(Int, Int)] = {
     val probed = sets.zipWithIndex.flatMap { case (bs, t) =>
-      bs.map(b => (t, groupOf(b)))
+      bs.map(b => (t, groupOf(b, shift)))
     }.toSet
-    val homes = layout.where(storedFilterForSets(sets))
+    val homes = layout.where(storedFilterForSets(sets, shift))
       .where(col(TableCol) > 0)
       .select(HomeCol).distinct().collect()
-      .map(r => (0, groupOf(r.getInt(0)))).toSet
+      .map(r => (0, groupOf(r.getInt(0), shift))).toSet
     probed ++ homes
   }
 
@@ -939,7 +998,8 @@ object LshAnn {
       queries: Seq[(Long, Seq[Double])], topK: Int, probes: Int = DefaultProbes,
       vecCol: String = "vector", idCol: String = "id"): DataFrame =
     batchServeStored(layout, queries,
-      q => probeSetsFixed(q, model, probes), topK, vecCol, idCol)
+      q => probeSetsFixed(q, model, probes), topK, vecCol, idCol,
+      model.groupShift)
 
   /** [[batchSearchStored]] with the ADAPTIVE probe budget — each query's
     * probe sets stop at overscan·topK candidate mass
@@ -953,12 +1013,12 @@ object LshAnn {
     batchServeStored(layout, queries,
       q => probeSetsAdaptive(q, model, sizes, overscan.toLong * topK,
         maxProbesPerTable),
-      topK, vecCol, idCol)
+      topK, vecCol, idCol, model.groupShift)
 
   private def batchServeStored(layout: DataFrame,
       queries: Seq[(Long, Seq[Double])],
       setsOf: Seq[Double] => IndexedSeq[Seq[Int]], topK: Int,
-      vecCol: String, idCol: String): DataFrame = {
+      vecCol: String, idCol: String, shift: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = layout.sparkSession
@@ -986,7 +1046,7 @@ object LshAnn {
     // admission scan would read every (table, group) dir post-filter
     val unionPred = storedFilterForSets(
       IndexedSeq.tabulate(byTable.keys.max + 1)(t =>
-        byTable.getOrElse(t, Seq.empty)))
+        byTable.getOrElse(t, Seq.empty)), shift)
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         probed.map { case (qid, t, b) => Row(qid, t, b) }),
@@ -1008,7 +1068,7 @@ object LshAnn {
         coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
       .dropDuplicates("__lsh_ptr_qid", "__lsh_ptr_id")
       .withColumn("__lsh_ptr_hgroup",
-        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
+        shiftright(col("__lsh_ptr_home"), shift))
     val candidates = layout.where(col(TableCol) === 0)
       .join(broadcast(ptr), col(idCol) === col("__lsh_ptr_id") &&
         col(BucketCol) === col("__lsh_ptr_home") &&
@@ -1084,7 +1144,8 @@ object LshAnn {
       .select(col("query_id"), explode(probeEntries).as("e"))
       .select(col("query_id"),
         col(s"e.$TableCol").as(TableCol), col(s"e.$BucketCol").as(BucketCol))
-    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, acceptIds)
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, model.groupShift,
+      acceptIds)
   }
 
   /** [[bigBatchSearchStored]] with the margin-ranked ADAPTIVE probe
@@ -1125,7 +1186,8 @@ object LshAnn {
         col("__lsh_probe")
           .bitwiseAND(lit((1 << graft.functions.LshProbeKernel.PackShift) - 1))
           .cast("int").as(BucketCol))
-    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, acceptIds)
+    bigBatchServe(layout, q0, qdf, topK, vecCol, idCol, model.groupShift,
+      acceptIds)
   }
 
   /** The shared big-batch serve shape: shuffled admission → per-(query,
@@ -1145,7 +1207,7 @@ object LshAnn {
     * budget (overscan) under selective filters. */
   private def bigBatchServe(layout: DataFrame, q0: DataFrame, qdf: DataFrame,
       topK: Int, vecCol: String, idCol: String,
-      acceptIds: Option[DataFrame] = None): DataFrame = {
+      shift: Int, acceptIds: Option[DataFrame] = None): DataFrame = {
     // narrow admission scan (id + home, no vector bytes), shuffle-joined
     // against the probe rows on (table, bucket)
     val admitted = graft.operators.Par.widen(layout)
@@ -1155,7 +1217,7 @@ object LshAnn {
         coalesce(col(HomeCol), col(BucketCol)).as("__lsh_ptr_home"))
       .dropDuplicates("query_id", "__lsh_ptr_id")
       .withColumn("__lsh_ptr_hgroup",
-        shiftright(col("__lsh_ptr_home"), BucketGroupShift))
+        shiftright(col("__lsh_ptr_home"), shift))
     // payload fetch: one shuffle join against table-0 on (id, home-bucket)
     val fetchSide = acceptIds.foldLeft(layout.where(col(TableCol) === 0)) {
       (d, ids) => d.join(ids.select(col(idCol)).hint("shuffle_hash"),

@@ -145,7 +145,11 @@ class LshLifecycleSpec extends SparkSpec {
         (10000L + b * 100 + i, Seq.fill(Dim)(rng.nextDouble() * 10)))
         .toDF("id", "vector")
     }
-    (0 until 3).foreach(b => LshAnn.appendBucketed(appendBatch(b), cur, model))
+    // enough batches that the layout's data-file count clearly exceeds
+    // the fabricated semantic dirs' below (the derived group shift packs
+    // a fixture-sized layout into few dirs, so per-batch file growth is
+    // small)
+    (0 until 6).foreach(b => LshAnn.appendBucketed(appendBatch(b), cur, model))
     // the append-id contract guard (debug mode): re-appending existing ids
     // fails loudly instead of silently double-serving them
     spark.conf.set("spark.graft.lsh.validateAppendIds", "true")

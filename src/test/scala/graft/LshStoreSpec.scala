@@ -25,8 +25,12 @@ class LshStoreSpec extends SparkSpec {
 
   test("stored serving equals in-memory multi-table search; probe filter prunes partitions; unprobed dirs are dead") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_store").toString
+    // pin the full-width group granularity: this test asserts DIR-level
+    // behavior (unprobed dirs exist and are dead), which the derived
+    // shift legitimately coarsens away on a fixture-sized corpus
     val model = LshAnn.saveBucketed(embeddings, "embedding", "vec_id",
-      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits,
+      groupShift = LshAnn.BucketGroupShift)
 
     // parity: the stored candidate set is the same union-over-tables set
     val bucketed = LshAnn.withTableBuckets(embeddings, "embedding", model)
@@ -92,8 +96,11 @@ class LshStoreSpec extends SparkSpec {
 
   test("batch stored serving equals per-query stored serving; union probe filter prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh_batch").toString
+    // pinned like the single-query dir-granularity test above: the
+    // INSET-partition-filter assertion needs >1 group dir per table
     val model = LshAnn.saveBucketed(embeddings, "embedding", "vec_id",
-      s"$dir/t", VectorModel.EmbDim, numBits = Bits)
+      s"$dir/t", VectorModel.EmbDim, numBits = Bits,
+      groupShift = LshAnn.BucketGroupShift)
     val layout = spark.read.parquet(s"$dir/t")
     val queries = (0 until 4).map(s => (s.toLong, VectorModel.syntheticQuery(s)))
     val batchDf = LshAnn.batchSearchStored(layout, model, queries, 10,
