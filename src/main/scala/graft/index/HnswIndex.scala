@@ -103,9 +103,17 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     }
   }
 
-  // node storage: dense int indices
+  // node storage: dense int indices. Vectors live in ONE flat array at
+  // stride `dim` (fixed by the first insert): the hot loop (simTo inside
+  // the beam) previously chased an Array[Array[Double]] pointer per
+  // similarity — a dependent load + per-node object header that cost
+  // ~15% of build wall-clock at 8-d shards (DevHnswProfile). The flat
+  // layout reads the same doubles in the same order, so every similarity
+  // — and therefore every graph and every hash-gated serve — is
+  // bit-identical; only the addressing changed.
   private var cap = 1024
-  private var vecs = new Array[Array[Double]](cap)
+  private var dim = -1
+  private var flat: Array[Double] = null
   private var norms = new Array[Double](cap)
   private var extIds = new Array[Long](cap)
   private var nodeLevels = new Array[Int](cap)
@@ -134,7 +142,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
 
   private def grow(): Unit = {
     cap *= 2
-    vecs = java.util.Arrays.copyOf(vecs, cap)
+    if (flat != null) flat = java.util.Arrays.copyOf(flat, cap * dim)
     norms = java.util.Arrays.copyOf(norms, cap)
     extIds = java.util.Arrays.copyOf(extIds, cap)
     nodeLevels = java.util.Arrays.copyOf(nodeLevels, cap)
@@ -148,10 +156,34 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   private def simTo(node: Int, q: Array[Double], qNorm: Double): Double = {
     val nn = norms(node)
     if (nn == 0.0 || qNorm == 0.0) return 0.0
-    val v = vecs(node)
+    val f = flat
+    val off = node * dim
     var dot = 0.0; var i = 0
-    while (i < v.length) { dot += v(i) * q(i); i += 1 }
+    while (i < dim) { dot += f(off + i) * q(i); i += 1 }
     dot / (nn * qNorm)
+  }
+
+  /** [[simTo]] with the query being another STORED node — the prune-path
+    * shape. Reads both sides from the flat store; term order matches
+    * `simTo(a, vecs(b), norms(b))` exactly (a's element × b's element),
+    * so the result is bit-identical to the per-node-array version. */
+  private def simBetween(a: Int, b: Int): Double = {
+    val na = norms(a); val nb = norms(b)
+    if (na == 0.0 || nb == 0.0) return 0.0
+    val f = flat
+    val oa = a * dim; val ob = b * dim
+    var dot = 0.0; var i = 0
+    while (i < dim) { dot += f(oa + i) * f(ob + i); i += 1 }
+    dot / (na * nb)
+  }
+
+  /** Register node `node`'s vector in the flat store (first vector fixes
+    * the index's dimensionality — one index holds one vector family). */
+  private def storeVec(node: Int, vector: Array[Double]): Unit = {
+    if (dim < 0) { dim = vector.length; flat = new Array[Double](cap * dim) }
+    require(vector.length == dim,
+      s"vector dim ${vector.length} != index dim $dim (node $node)")
+    System.arraycopy(vector, 0, flat, node * dim, dim)
   }
 
   private def vecNorm(q: Array[Double]): Double = {
@@ -237,7 +269,6 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   private def pruneEdges(node: Int, level: Int, max: Int): Unit = {
     val edges = adj(node)(level)
     if (edges.len <= max) return
-    val v = vecs(node); val nrm = norms(node)
     // selection via bounded min-heap of size max, (sim, extId)-total-
     // ordered like the beam: equal-sim edges keep the LOWER ids
     val h = pruneHeap
@@ -245,7 +276,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     var i = 0
     while (i < edges.len) {
       val e = edges.arr(i)
-      val s = simTo(e, v, nrm)
+      val s = simBetween(e, node)
       if (h.size < max) h.push(s, extIds(e), e)
       else if (s > h.headSim || (s == h.headSim && extIds(e) < h.headTie)) {
         h.push(s, extIds(e), e); h.pop()
@@ -266,7 +297,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     val level = randomLevel()
     val node = n; n += 1
     idToIdx(id) = node
-    vecs(node) = vector
+    storeVec(node, vector)
     norms(node) = vecNorm(vector)
     extIds(node) = id
     nodeLevels(node) = level
@@ -319,7 +350,9 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
         val e = levels(l)
         Array.tabulate(e.len)(i => extIds(e.arr(i)))
       }
-      (extIds(node), vecs(node), nodeLevels(node), adjExt, node == entry)
+      (extIds(node),
+        java.util.Arrays.copyOfRange(flat, node * dim, node * dim + dim),
+        nodeLevels(node), adjExt, node == entry)
     }
 
   /** Wire a restored node (phase 2 of [[HnswIndex.restore]]). */
@@ -328,7 +361,7 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
     if (n == cap) grow()
     val node = n; n += 1
     idToIdx(id) = node
-    vecs(node) = vector
+    storeVec(node, vector)
     norms(node) = vecNorm(vector)
     extIds(node) = id
     nodeLevels(node) = level

@@ -137,10 +137,6 @@ object TokenShards {
       .select((col("start") + col("dpos")).as("p"), col("id"))
       .select(expr(s"p div $cap").as("seq"), (col("p") % cap).cast("int").as("off"),
         col("id"))
-    val windows = placed
-      .groupBy("seq")
-      .agg(sort_array(collect_list(struct(col("off"), col("id")))).as("cells"))
-      .withColumn("file", expr(s"seq div $seqsPerFile"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val out = new org.apache.hadoop.fs.Path(outPath)
@@ -151,12 +147,23 @@ object TokenShards {
     val spfB = seqsPerFile
     val capB = cap
     // hash co-location: every window of a file lands in one task; a task
-    // may own several complete files and walks them in (file, seq) order
-    windows.repartition(numFiles, col("file"))
-      .sortWithinPartitions("file", "seq")
-      .select("file", "seq", "cells")
+    // may own several complete files and walks them in (file, seq, off)
+    // order, assembling windows AS IT STREAMS — the previous shape
+    // aggregated cells per window (groupBy(seq) + collect_list) and then
+    // repartitioned the assembled windows by file: TWO exchanges of the
+    // whole token stream where one suffices, since the file-keyed sort
+    // already delivers each window's cells contiguously (guide §2.4:
+    // remove shuffles outright). Bytes landed are identical — same ids at
+    // the same offsets, pads elsewhere, windows in the same order.
+    placed.withColumn("file", expr(s"seq div $seqsPerFile"))
+      .repartition(numFiles, col("file"))
+      // id last: for a (hypothetical) duplicate offset the LAST write wins
+      // below, and sorting ids too keeps that the larger id — exactly the
+      // order the previous sort_array(struct(off, id)) assembly produced
+      .sortWithinPartitions("file", "seq", "off", "id")
+      .select("file", "seq", "off", "id")
       .foreachPartition { (it: Iterator[Row]) =>
-        writeTaskFiles(it, outPath, conf.value, capB, spfB, totalSeqsB)
+        writeTaskCells(it, outPath, conf.value, capB, spfB, totalSeqsB)
       }
     // PUBLISH: one marker after every task committed — the
     // [[graft.store.VersionedLayout]] pattern. The per-file temp+rename
@@ -220,20 +227,34 @@ object TokenShards {
       outPath: String): (Long, Long, Int) =
     committedMemo.computeIfAbsent(outPath, _ => requireCommitted(spark, outPath))
 
-  /** One task's walk over its (file, seq)-ordered window rows: assemble
-    * each window's fixed-width int32 LE block (pads where no cell), write
-    * per-file `.bin` + `.idx` through attempt-unique temps, rename on
-    * close. Fails loudly on any contiguity violation. */
-  private def writeTaskFiles(it: Iterator[Row], outPath: String,
+  /** One task's walk over its (file, seq, off)-ordered CELL rows: assemble
+    * each window's fixed-width int32 LE block in place (pads where no
+    * cell), write per-file `.bin` + `.idx` through attempt-unique temps,
+    * rename on close. Fails loudly on any contiguity violation — a window
+    * with no cells is a manifest gap (every doc contributes at least one
+    * cell, so every committed window owns one) and surfaces as the same
+    * out-of-order/short-count error the per-window walk raised. */
+  private def writeTaskCells(it: Iterator[Row], outPath: String,
       hconf: org.apache.hadoop.conf.Configuration, cap: Int,
       seqsPerFile: Long, totalSeqs: Long): Unit = {
     val tc = org.apache.spark.TaskContext.get()
     val out = new org.apache.hadoop.fs.Path(outPath)
     val fs = out.getFileSystem(hconf)
     var curFile = -1L
+    var curSeq = -1L
     var written = 0L
     var os: org.apache.hadoop.fs.FSDataOutputStream = null
     var tmpBin: org.apache.hadoop.fs.Path = null
+    val ids = new Array[Int](cap)
+    val buf = java.nio.ByteBuffer.allocate(cap * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def flushWindow(): Unit = if (curSeq >= 0) {
+      buf.clear()
+      var i = 0
+      while (i < cap) { buf.putInt(ids(i)); i += 1 }
+      os.write(buf.array())
+      written += 1
+    }
     def commit(): Unit = if (curFile >= 0) {
       val expected = math.min(seqsPerFile, totalSeqs - curFile * seqsPerFile)
       require(written == expected,
@@ -258,24 +279,24 @@ object TokenShards {
     }
     it.foreach { row =>
       val (file, seq) = (row.getLong(0), row.getLong(1))
-      if (file != curFile) {
-        commit()
-        curFile = file; written = 0L
-        tmpBin = new org.apache.hadoop.fs.Path(out,
-          f".shard-$curFile%05d.attempt-${tc.taskAttemptId()}.bin")
-        os = fs.create(tmpBin, true)
+      if (file != curFile || seq != curSeq) {
+        flushWindow()
+        if (file != curFile) {
+          commit()
+          curFile = file; written = 0L
+          tmpBin = new org.apache.hadoop.fs.Path(out,
+            f".shard-$curFile%05d.attempt-${tc.taskAttemptId()}.bin")
+          os = fs.create(tmpBin, true)
+        }
+        require(seq == curFile * seqsPerFile + written,
+          s"token shard $curFile: window $seq out of order or missing " +
+            s"predecessor (expected ${curFile * seqsPerFile + written})")
+        curSeq = seq
+        java.util.Arrays.fill(ids, PadId)
       }
-      require(seq == curFile * seqsPerFile + written,
-        s"token shard $curFile: window $seq out of order or missing " +
-          s"predecessor (expected ${curFile * seqsPerFile + written})")
-      val buf = java.nio.ByteBuffer.allocate(cap * 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val ids = Array.fill(cap)(PadId)
-      row.getSeq[Row](2).foreach(c => ids(c.getInt(0)) = c.getInt(1))
-      ids.foreach(buf.putInt)
-      os.write(buf.array())
-      written += 1
+      ids(row.getInt(2)) = row.getInt(3)
     }
+    flushWindow()
     commit()
   }
 

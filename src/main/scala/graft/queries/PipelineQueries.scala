@@ -916,8 +916,14 @@ object PipelineQueries {
   private def bpeShardLayoutFrom(spark: SparkSession, input: DataFrame,
       model: graft.text.Bpe.BpeModel, root: String): String = {
     import org.apache.spark.sql.expressions.Window
+    // cache the INPUT lineage first: for the curated exports it is the
+    // whole train-corpus pipeline, and the two caches built below
+    // (encoded stream, doc universe) would otherwise each re-derive it —
+    // one pass to build this cache replaces two full pipeline re-runs
+    // (measured ~1.2 s per re-run at sf0.1; guide §1.2 "don't recompute")
+    val in = graft.store.CacheRegistry.cached(input)
     val exploded = graft.store.CacheRegistry.cached(
-      input.select(col("doc"),
+      in.select(col("doc"),
         posexplode(graft.text.Bpe.bpeTokens(col("txt"), model))
           .as(Seq("dpos", "tok"))))
     // the vocabulary sidecar: dense ids 1..V by token sort order
@@ -934,7 +940,7 @@ object PipelineQueries {
     // the doc universe: one (cached) projection pass over the input —
     // shared by the blank-doc slots and the per-doc counts below, instead
     // of each re-deriving the whole upstream curation pipeline
-    val docs = graft.store.CacheRegistry.cached(input.select(col("doc")))
+    val docs = graft.store.CacheRegistry.cached(in.select(col("doc")))
     // a blank doc still owns one (clamped) slot — emit its pad cell so
     // every window stays non-empty for the contiguity walk
     val blanks = docs
@@ -1027,9 +1033,14 @@ object PipelineQueries {
   private[graft] def corpusShardLayout(spark: SparkSession, dir: String): String =
     corpusShardLayoutCache.computeIfAbsent(dir, _ => {
       val p = graft.store.Fs.scratchDir(spark, "graft_corpus_shards") + "/shards"
-      val chunks = trainCorpus(spark, dir)
-        .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("cid"),
-          col("chunk"))
+      // cache the curated chunks: TokenShards.write consumes its input in
+      // two independent actions (the counts-cache build and the cell
+      // write job), each of which would re-run the whole train-corpus
+      // pipeline from lineage (guide §1.2 "don't recompute")
+      val chunks = graft.store.CacheRegistry.cached(
+        trainCorpus(spark, dir)
+          .select((col("doc_id") * ChunkIdBase + col("chunk_ix")).as("cid"),
+            col("chunk")))
       graft.operators.TokenShards.write(chunks, "cid", "chunk",
         PackCap, PackShards, TokenShardFiles, p)
       p
