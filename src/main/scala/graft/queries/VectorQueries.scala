@@ -219,9 +219,13 @@ object VectorQueries {
       // for the whole stage — observed on every asof merge projection,
       // r16 and r17 HEADs alike); GetArrayItem codegens clean. Same
       // value: both read the first element.
-      val base = VectorModel.lineitemVectors(spark, dir)
-        .select(col("id"), col("vector").getItem(0).as("v0"),
-          col("category"), col("status"))
+      // cached: the projection feeds the bootstrap write plus the three
+      // delta branches and the v2 wave — five scans of lineitem from one
+      // (guide §1.2 "don't recompute"; values unchanged, merges identical)
+      val base = graft.store.CacheRegistry.cached(
+        VectorModel.lineitemVectors(spark, dir)
+          .select(col("id"), col("vector").getItem(0).as("v0"),
+            col("category"), col("status")))
       // v0: bootstrap (base as U-rows)
       VectorStore.mergeVersioned(spark, root, base.withColumn("op", lit("U")))
       // v1: the mergeAgg delta — updates (id%5 minus deletes), deletes
