@@ -185,6 +185,10 @@ object TokenShards {
     // reads in the same JVM see the rewritten (totalSeqs, seqsPerFile,
     // cap), not the shape of the overwritten layout
     committedMemo.remove(outPath)
+    // every consumer of the counts cache (pack totals, corpus total, the
+    // write job's offset join) has run — release it so the blocks don't
+    // hold executor storage for the rest of the session
+    graft.store.CacheRegistry.release(countsC)
     (totalTokens, totalSeqs, seqsPerFile)
   }
 

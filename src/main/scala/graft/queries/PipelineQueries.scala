@@ -958,6 +958,11 @@ object PipelineQueries {
     graft.operators.TokenShards.writeCells(counts,
       cells.unionByName(blanks), PackCap, PackShards, TokenShardFiles,
       s"$root/shards")
+    // the export is on disk; all three build caches are fully consumed —
+    // release them so they don't hold executor storage into the serves
+    graft.store.CacheRegistry.release(docs)
+    graft.store.CacheRegistry.release(exploded)
+    graft.store.CacheRegistry.release(in)
     s"$root/shards"
   }
 
@@ -1043,6 +1048,7 @@ object PipelineQueries {
             col("chunk")))
       graft.operators.TokenShards.write(chunks, "cid", "chunk",
         PackCap, PackShards, TokenShardFiles, p)
+      graft.store.CacheRegistry.release(chunks) // fully consumed by the write
       p
     })
 

@@ -248,6 +248,7 @@ object VectorQueries {
         base.where(pmod(col("id"), lit(2L)) === 1)
           .select(col("id"), col("v0"), col("category"), col("status"),
             lit("D").as("op")))
+      graft.store.CacheRegistry.release(base) // all three merges landed
       root
     })
 

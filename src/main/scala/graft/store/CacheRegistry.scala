@@ -59,6 +59,22 @@ private[graft] object CacheRegistry {
     }
   }
 
+  /** Release a cached frame whose LAST consumer has finished: drop the
+    * registry entry and unpersist. Strictly the LRU eviction's semantics,
+    * just at a point the CALLER knows is safe (a build step that fully
+    * consumed its decision tables before returning) — lingering cached
+    * blocks otherwise hold executor storage for the rest of the session
+    * and surface as storage-eviction/GC pressure on whatever runs later.
+    * A concurrent holder of the same plan recomputes from lineage, the
+    * same documented cost as being evicted. No-op if not registered. */
+  def release(df: DataFrame): Unit = {
+    val key = keyOf(df)
+    synchronized {
+      val prev = entries.remove(key)
+      if (prev != null) prev.unpersist()
+    }
+  }
+
   /** Adopt an ALREADY-CACHED frame (e.g. materialized inside an iterative
     * loop) into the registry so eviction, not the next call, bounds its
     * lifetime. Replacing an entry unpersists the replaced frame. */
