@@ -106,11 +106,14 @@ final class HnswIndex(m: Int = 16, efConstruction: Int = 64, seed: Long = 42L) {
   // node storage: dense int indices. Vectors live in ONE flat array at
   // stride `dim` (fixed by the first insert): the hot loop (simTo inside
   // the beam) previously chased an Array[Array[Double]] pointer per
-  // similarity — a dependent load + per-node object header that cost
-  // ~15% of build wall-clock at 8-d shards (DevHnswProfile). The flat
-  // layout reads the same doubles in the same order, so every similarity
-  // — and therefore every graph and every hash-gated serve — is
-  // bit-identical; only the addressing changed.
+  // similarity — a dependent load plus a per-node object header's cache
+  // footprint. Measured: neutral single-threaded at the m=16/8-d
+  // operating point, ~8% at m=32/efC=200 (DevHnswProfile), ~7% on the
+  // 32-way parallel fresh build where cache pressure is 32 graphs deep
+  // (DevTimeOne vq_hnsw_topk warm). The flat layout reads the same
+  // doubles in the same order, so every similarity — and therefore every
+  // graph and every hash-gated serve — is bit-identical; only the
+  // addressing changed.
   private var cap = 1024
   private var dim = -1
   private var flat: Array[Double] = null
